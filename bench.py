@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every registry query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Results are materialized through Spark's noop sink — full execution of
+every operator, no driver-side collect overhead distorting the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from cryptocoininsights_data_engineer_project_spark import queries as registry
+from cryptocoininsights_data_engineer_project_spark.session import get_spark
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+    timings: dict[str, float] = {}
+
+    # one warmup action so JVM/codegen startup isn't billed to the
+    # first query
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    for name, spec in sorted(registry.REGISTRY.items()):
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "registry_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(sf_dir),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Table catalog over the driver-generated parquet testdata.
+
+``load(spark, sf_dir)`` returns a dict of DataFrames for the TPC-H-ish
+star schema plus the LLM-pipeline tables. All reads are schema-on-file
+parquet scans — Catalyst prunes columns and pushes predicates into the
+scan, so callers should select/filter early and let the optimizer do
+the rest.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import tune_session
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor: they are
+# bounded by the real world (5 regions, 25 nations), not by data volume.
+ALWAYS_BROADCAST = {"region", "nation"}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    tune_session(spark)
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
+    reader rejects outright. We read nanos as int64
+    (``spark.sql.legacy.parquet.nanosAsLong``) and derive:
+
+    - ``ts``     timestamp_ntz at microsecond precision, truncated the
+                 same way DuckDB truncates ns → µs (floor division), so
+                 oracle comparisons agree;
+    - ``ts_ns``  the raw int64 nanoseconds for full-precision ops.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # TIMESTAMP -> TIMESTAMP_NTZ cast goes through the session zone; pin
+    # it so `ts` is the same wall-clock instant DuckDB reads.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return raw.withColumnRenamed("ts", "ts_ns").withColumn(
+        "ts",
+        F.expr("CAST(timestamp_micros(ts_ns div 1000) AS TIMESTAMP_NTZ)"),
+    )
+
+
+def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    tune_session(spark)
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so queries can be written in
+    SQL (same Catalyst plan as the DataFrame API)."""
+    for name, df in load(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

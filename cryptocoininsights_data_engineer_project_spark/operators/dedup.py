@@ -1,0 +1,302 @@
+"""Deduplication operators for LLM-scale corpora.
+
+Four tiers, cheapest to priciest, all over a ``documents``-shaped
+DataFrame (``doc_id bigint, text string``):
+
+- exact:        group on a normalized fingerprint (one shuffle on the
+                fingerprint — the 100 TB plan: map-side partial
+                aggregation, then a single hash-partitioned reduce).
+- MinHash+LSH:  word-shingles → k universal min-hashes → b bands of r
+                rows → bucket join. The self-join is on (band, hash),
+                i.e. only near-identical docs meet — no O(n²) stage.
+- SimHash:      32-bit sign-aggregated token hash per doc; Hamming
+                buckets come free by grouping on the code.
+- n-gram Jaccard: exact verification join on *rare* shingles
+                (document-frequency cap) — the standard trick that
+                keeps hot shingles from going quadratic at scale.
+
+Every operator's hash derives from md5 (functions.hashing) so the
+DuckDB oracle can reproduce results bit-for-bit; each has a
+``*_oracle_sql`` twin generated from the SAME constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    HASH_PRIME,
+    duck_hash64,
+    duck_minhash_term,
+    minhash_params,
+    spark_hash64,
+    spark_minhash_term,
+)
+from ..functions.textnorm import (
+    duck_norm,
+    duck_tokens,
+    spark_norm,
+    spark_shingles,
+    spark_tokens,
+)
+
+# LSH geometry: k = BANDS * ROWS signatures. r=2 keeps the candidate
+# threshold low enough (~ (1/b)^(1/r) ≈ 0.35 Jaccard) to surface pairs
+# in the synthetic corpus; production would tune upward.
+MINHASH_K = 16
+LSH_BANDS = 8
+LSH_ROWS = 2
+SHINGLE_W = 3
+MINHASH_SEED = 42
+SIMHASH_BITS = 32
+JACCARD_MAX_DF = 20
+
+_PARAMS = minhash_params(MINHASH_K, MINHASH_SEED)
+
+
+# ---------------------------------------------------------------- shingles
+def shingle_docs(docs: DataFrame, w: int = SHINGLE_W) -> DataFrame:
+    """(doc_id, shingle) — distinct word w-shingles per document."""
+    return (
+        docs.select("doc_id", F.expr(spark_tokens("text")).alias("ws"))
+        .select("doc_id", F.explode(F.expr(spark_shingles("ws", w))).alias("shingle"))
+        .distinct()
+    )
+
+
+def _duck_shingle_cte(w: int = SHINGLE_W) -> str:
+    """CTE chain producing (doc_id, shingle) in DuckDB, identical to
+    ``shingle_docs``."""
+    parts = " || ' ' || ".join(f"ws[i + {j}]" for j in range(w))
+    return (
+        f"toks AS (SELECT doc_id, {duck_tokens('text')} AS ws FROM documents), "
+        f"sh AS (SELECT DISTINCT doc_id, {parts} AS shingle "
+        f"FROM toks, UNNEST(generate_series(1, len(ws) - {w - 1})) AS g(i) "
+        f"WHERE len(ws) >= {w})"
+    )
+
+
+# ------------------------------------------------------------- exact dedup
+def exact_dedup_clusters(docs: DataFrame) -> DataFrame:
+    """Exact near-duplicate clusters on a normalized-text fingerprint.
+
+    Returns one row per distinct content: (fingerprint, keep_id =
+    smallest doc_id, n_copies). Single hash aggregation — scales as a
+    plain groupBy (partial agg map-side, one shuffle on fingerprint).
+    """
+    return (
+        docs.select(
+            "doc_id", F.md5(F.expr(spark_norm("text"))).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup_oracle_sql() -> str:
+    return (
+        f"SELECT md5({duck_norm('text')}) AS fingerprint, "
+        f"min(doc_id) AS keep_id, count(*) AS n_copies "
+        f"FROM documents GROUP BY 1"
+    )
+
+
+# ----------------------------------------------------------- MinHash + LSH
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, s0..s{k-1}) MinHash signature matrix.
+
+    One shuffle: groupBy(doc_id) with k partial mins — Catalyst turns
+    this into a single hash aggregate with map-side combine, so the
+    shuffle carries one row per (doc, partial-sig), not per shingle.
+    """
+    h = shingle_docs(docs).select(
+        "doc_id", F.expr(spark_hash64("shingle")).alias("h")
+    )
+    aggs = [
+        F.min(F.expr(spark_minhash_term(a, b, "h"))).alias(f"s{i}")
+        for i, (a, b) in enumerate(_PARAMS[:k])
+    ]
+    return h.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_bands(sigs: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> DataFrame:
+    """(doc_id, band_id, band_hash): md5 over each band's slice of the
+    signature. Exploding bands multiplies rows by ``bands`` but each row
+    is tiny; the subsequent join partitions on (band_id, band_hash)."""
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"s{b * rows + r}").cast("string") for r in range(rows)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws(",", *cols)).alias("band_hash"))
+        )
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """(doc_a, doc_b) candidate near-duplicate pairs: docs agreeing on
+    at least one full LSH band. Join key (band_id, band_hash) spreads
+    uniformly — no skew unless true duplicate clusters are huge, which
+    AQE's skew-join handles."""
+    b = minhash_bands(minhash_signatures(docs, k), bands, rows)
+    left = b.alias("a")
+    right = b.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_pairs_oracle_sql(
+    k: int = MINHASH_K, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> str:
+    mins = ", ".join(
+        f"min({duck_minhash_term(a, b, 'h')}) AS s{i}"
+        for i, (a, b) in enumerate(_PARAMS[:k])
+    )
+    band_selects = []
+    for b in range(bands):
+        cols = " || ',' || ".join(
+            f"CAST(s{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sig"
+        )
+    return (
+        f"WITH {_duck_shingle_cte()}, "
+        f"h AS (SELECT doc_id, {duck_hash64('shingle')} AS h FROM sh), "
+        f"sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id), "
+        f"bands AS ({' UNION ALL '.join(band_selects)}) "
+        f"SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        f"FROM bands a JOIN bands b "
+        f"ON a.band_id = b.band_id AND a.band_hash = b.band_hash "
+        f"AND a.doc_id < b.doc_id"
+    )
+
+
+# ----------------------------------------------------------------- SimHash
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): classic sign-aggregated token hash. Token
+    multiplicity counts (term frequency weighting). One explode + one
+    grouped aggregation."""
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(spark_tokens("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    h = toks.select("doc_id", F.expr(spark_hash64("tok")).alias("h"))
+    # shiftright() rather than the >> operator: works on every Spark 3.x/4.x
+    weights = [
+        F.sum(
+            F.expr(f"CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END")
+        ).alias(f"w{j}")
+        for j in range(bits)
+    ]
+    per_doc = h.groupBy("doc_id").agg(*weights)
+    code = " + ".join(
+        f"CASE WHEN w{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(bits)
+    )
+    return per_doc.select("doc_id", F.expr(code).alias("simhash"))
+
+
+def simhash_oracle_sql(bits: int = SIMHASH_BITS) -> str:
+    weights = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS w{j}"
+        for j in range(bits)
+    )
+    code = " + ".join(
+        f"CASE WHEN w{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(bits)
+    )
+    return (
+        f"WITH toks AS (SELECT doc_id, unnest({duck_tokens('text')}) AS tok FROM documents), "
+        f"h AS (SELECT doc_id, {duck_hash64('tok')} AS h FROM toks WHERE tok != ''), "
+        f"w AS (SELECT doc_id, {weights} FROM h GROUP BY doc_id) "
+        f"SELECT doc_id, {code} AS simhash FROM w"
+    )
+
+
+# ------------------------------------------------------------ exact Jaccard
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_df: int = JACCARD_MAX_DF,
+    w: int = SHINGLE_W,
+) -> DataFrame:
+    """Exact shingle-set Jaccard over candidate pairs that share at
+    least one *rare* shingle (document frequency <= max_df).
+
+    The df cap is what makes this tractable at 100 TB: shingles shared
+    by thousands of docs contribute candidates quadratically but no
+    discriminating signal; dropping them is standard practice and is
+    mirrored exactly in the oracle."""
+    sh = shingle_docs(docs, w)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    sh_rare = sh.join(rare, "shingle")
+    a = sh_rare.alias("a")
+    b = sh_rare.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_oracle_sql(
+    threshold: float = 0.5, max_df: int = JACCARD_MAX_DF, w: int = SHINGLE_W
+) -> str:
+    return (
+        f"WITH {_duck_shingle_cte(w)}, "
+        f"sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+        f"rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {max_df}), "
+        f"shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)), "
+        f"inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter "
+        f"FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        f"GROUP BY 1, 2) "
+        f"SELECT doc_a, doc_b, "
+        f"round(inter / (na.n_sh + nb.n_sh - inter), 6) AS jaccard "
+        f"FROM inter JOIN sizes na ON na.doc_id = doc_a "
+        f"JOIN sizes nb ON nb.doc_id = doc_b "
+        f"WHERE round(inter / (na.n_sh + nb.n_sh - inter), 6) >= {threshold}"
+    )

@@ -1,0 +1,204 @@
+"""Text-analysis operators over a ``documents``-shaped table.
+
+All four are single-pass, shuffle-free projections (narrow
+transformations): at 100 TB they run at scan speed, fully inside
+whole-stage codegen — no UDFs, no Python. Each returns deterministic
+values reproducible by the generated DuckDB oracle.
+
+- language ID:   tiny per-language stopword lexicons, argmax with a
+                 fixed precedence order (a real system would use
+                 character n-gram profiles; the operator shape — score
+                 columns + CASE argmax — is identical).
+- quality score: length / punctuation / stopword ratios combined into
+                 one bounded score, the usual cheap pre-filter before
+                 expensive model-based scoring.
+- token count:   whitespace tokens and a BPE-ish regex segmentation
+                 (letter runs / digit runs / single symbols).
+- fingerprint:   min w-shingle hash (MinHash with k=1) — a compact
+                 content fingerprint for cheap near-dup pre-grouping.
+
+Regex note: Spark SQL string literals process backslash escapes,
+DuckDB's do not — canonical patterns live here once and are escaped
+per engine by ``_spark_re`` / ``_duck_re``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import duck_hash64, spark_hash64
+from ..functions.textnorm import (
+    QUALITY_STOPWORDS,
+    STOPWORDS,
+    duck_norm,
+    duck_tokens,
+    spark_norm,
+    spark_shingles,
+    spark_tokens,
+)
+
+# BPE-ish segmentation: alphabetic runs, digit runs, or a single
+# non-space symbol — a crude stand-in for byte-pair pretokenization.
+BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+PUNCT_RE = r"[^a-zA-Z0-9\s]"
+
+
+def _spark_re(pat: str) -> str:
+    """Escape a regex for embedding in a Spark SQL string literal."""
+    return pat.replace("\\", "\\\\")
+
+
+def _duck_re(pat: str) -> str:
+    """DuckDB string literals are escape-free: pattern passes verbatim."""
+    return pat
+
+
+def _in_list(values: tuple[str, ...]) -> str:
+    return ", ".join(f"'{v}'" for v in values)
+
+
+# -------------------------------------------------------------- language ID
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang_pred): stopword-lexicon argmax, ties broken by the
+    fixed language precedence en > es > fr > de; 'unknown' when no
+    lexicon matches at all."""
+    scored = docs.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"size(filter({spark_tokens('text')}, t -> t IN ({_in_list(words)})))"
+            ).alias(f"n_{lang}")
+            for lang, words in STOPWORDS.items()
+        ],
+    )
+    return scored.select("doc_id", F.expr(_argmax_case(list(STOPWORDS))).alias("lang_pred"))
+
+
+def _argmax_case(langs: list[str]) -> str:
+    best = "GREATEST(" + ", ".join(f"n_{l}" for l in langs) + ")"
+    return (
+        "CASE "
+        + " ".join(f"WHEN n_{l} = {best} AND n_{l} > 0 THEN '{l}'" for l in langs)
+        + " ELSE 'unknown' END"
+    )
+
+
+def lang_id_oracle_sql() -> str:
+    score_cols = ", ".join(
+        f"len(list_filter({duck_tokens('text')}, t -> t IN ({_in_list(words)}))) AS n_{lang}"
+        for lang, words in STOPWORDS.items()
+    )
+    return (
+        f"WITH scored AS (SELECT doc_id, {score_cols} FROM documents) "
+        f"SELECT doc_id, {_argmax_case(list(STOPWORDS))} AS lang_pred FROM scored"
+    )
+
+
+# ------------------------------------------------------------ quality score
+def quality_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, avg_token_len, punct_ratio, stop_ratio,
+    quality): heuristic quality features + combined bounded score."""
+    stop = _in_list(QUALITY_STOPWORDS)
+    toks = spark_tokens("text")
+    feats = docs.selectExpr(
+        "doc_id",
+        f"CAST(size({toks}) AS BIGINT) AS n_tokens",
+        f"round(length(replace({spark_norm('text')}, ' ', ''))"
+        f" / CAST(size({toks}) AS DOUBLE), 6) AS avg_token_len",
+        f"round(CAST(size(regexp_extract_all(text, '{_spark_re(PUNCT_RE)}', 0)) AS DOUBLE)"
+        f" / length(text), 6) AS punct_ratio",
+        f"round(CAST(size(filter({toks}, t -> t IN ({stop}))) AS DOUBLE)"
+        f" / size({toks}), 6) AS stop_ratio",
+    )
+    return feats.withColumn(
+        "quality",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                0.5 * F.least(F.col("stop_ratio") * 10, F.lit(1.0))
+                + 0.3 * (1 - F.col("punct_ratio"))
+                + 0.2 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0)),
+            ),
+            6,
+        ),
+    )
+
+
+def quality_score_oracle_sql() -> str:
+    stop = _in_list(QUALITY_STOPWORDS)
+    toks = duck_tokens("text")
+    return f"""
+WITH feats AS (
+  SELECT doc_id,
+    CAST(len({toks}) AS BIGINT) AS n_tokens,
+    round(length(replace({duck_norm('text')}, ' ', ''))
+          / CAST(len({toks}) AS DOUBLE), 6) AS avg_token_len,
+    round(CAST(len(regexp_extract_all(text, '{_duck_re(PUNCT_RE)}')) AS DOUBLE)
+          / length(text), 6) AS punct_ratio,
+    round(CAST(len(list_filter({toks}, t -> t IN ({stop}))) AS DOUBLE)
+          / len({toks}), 6) AS stop_ratio
+  FROM documents
+)
+SELECT doc_id, n_tokens, avg_token_len, punct_ratio, stop_ratio,
+  round(LEAST(1.0,
+    0.5 * LEAST(stop_ratio * 10, 1.0) + 0.3 * (1 - punct_ratio)
+    + 0.2 * LEAST(n_tokens / 100.0, 1.0)), 6) AS quality
+FROM feats
+"""
+
+
+# -------------------------------------------------------------- token count
+def token_count(docs: DataFrame) -> DataFrame:
+    """(doc_id, ws_tokens, bpe_tokens)."""
+    return docs.selectExpr(
+        "doc_id",
+        f"CAST(size({spark_tokens('text')}) AS BIGINT) AS ws_tokens",
+        f"CAST(size(regexp_extract_all(text, '{_spark_re(BPE_RE)}', 0)) AS BIGINT)"
+        " AS bpe_tokens",
+    )
+
+
+def token_count_oracle_sql() -> str:
+    return (
+        f"SELECT doc_id, CAST(len({duck_tokens('text')}) AS BIGINT) AS ws_tokens, "
+        f"CAST(len(regexp_extract_all(text, '{_duck_re(BPE_RE)}')) AS BIGINT) AS bpe_tokens "
+        f"FROM documents"
+    )
+
+
+# -------------------------------------------------------------- fingerprint
+def doc_fingerprint(docs: DataFrame, w: int = 4) -> DataFrame:
+    """(doc_id, fingerprint): min over w-shingle hashes — MinHash k=1.
+    Documents shorter than w tokens fall back to the whole-text hash."""
+    sh = docs.select(
+        "doc_id", F.expr(spark_tokens("text")).alias("ws")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(ws) >= {w} THEN {spark_shingles('ws', w)} "
+                f"ELSE array(concat_ws(' ', ws)) END"
+            )
+        ).alias("shingle"),
+    )
+    return (
+        sh.select("doc_id", F.expr(spark_hash64("shingle")).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("fingerprint"))
+    )
+
+
+def doc_fingerprint_oracle_sql(w: int = 4) -> str:
+    parts = " || ' ' || ".join(f"ws[i + {j}]" for j in range(w))
+    return f"""
+WITH toks AS (SELECT doc_id, {duck_tokens('text')} AS ws FROM documents),
+sh AS (
+  SELECT doc_id, {parts} AS shingle
+  FROM toks, UNNEST(generate_series(1, len(ws) - {w - 1})) AS g(i)
+  WHERE len(ws) >= {w}
+  UNION ALL
+  SELECT doc_id, array_to_string(ws, ' ') AS shingle FROM toks WHERE len(ws) < {w}
+)
+SELECT doc_id, min({duck_hash64('shingle')}) AS fingerprint FROM sh GROUP BY doc_id
+"""

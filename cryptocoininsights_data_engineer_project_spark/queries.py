@@ -1,0 +1,790 @@
+"""Named query registry: every operator from SURVEY.md §2 as a
+(spark_fn, duckdb_oracle_sql) pair.
+
+Each Spark function takes (spark, sf_dir) and returns a DataFrame; the
+oracle SQL runs on the same parquet files in DuckDB. Column names and
+types are aligned on both sides (the driver's comparator sorts columns
+by name and hashes values). Determinism rules:
+
+- computed doubles (sums/avgs/products/ratios) are rounded identically
+  on both sides (2 decimals for money sums, 6 for ratios) so
+  summation-order ulp noise can't flip the hash;
+- raw passthrough doubles are NOT rounded (same bits in the parquet);
+- every ranking window carries a unique tiebreaker column;
+- no wall-clock anywhere: time predicates are either literals or
+  derived from max(ts) in the data.
+
+Q-ids reference SURVEY.md §2 tables; file:line comments point at the
+reference behavior being re-expressed (see /root/reference).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import catalog
+from .operators import dedup, merge, multimodal, similarity, textops
+
+
+@dataclass(frozen=True)
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible, rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def _q(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = Query(fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return catalog.table(spark, sf_dir, name)
+
+
+# =====================================================================
+# A1 hash_agg — flagship. Shape of TPC-H Q1 and of "top coins by
+# market cap" market-wide aggregates (README.md:5 of the reference:
+# the warehouse exists for exactly this kind of analysis).
+# =====================================================================
+@_q(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  round(avg(l_quantity), 6) AS avg_qty,
+  round(avg(l_extendedprice), 6) AS avg_price,
+  round(avg(l_discount), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="A1: grouped sum/avg/count with map-side partial aggregation",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# =====================================================================
+# P1-P5 projection / rename / derive / cast
+# (data-transformation.py:45-59 of the reference: select, rename
+# image→image_url / symbol→id, derive id, cast last_updated)
+# =====================================================================
+@_q(
+    "project_rename_cast",
+    """
+SELECT o_orderkey AS order_id,
+  lower(o_orderstatus) AS status,
+  o_totalprice AS total_usd,
+  CAST(o_orderdate AS DATE) AS order_date,
+  o_orderpriority AS priority,
+  (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS is_urgent
+FROM orders
+""",
+    doc="P1-P5: projection, rename, derived column, timestamp→date cast",
+)
+def project_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.lower("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total_usd"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_urgent"),
+    )
+
+
+# P6 prefix filter (data-transformation.py:33: startswith on S3 keys)
+@_q(
+    "prefix_filter",
+    """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_mktsegment LIKE 'BUILD%'
+""",
+    doc="P6: pushdown-eligible string-prefix predicate",
+)
+def prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(F.col("c_mktsegment").startswith("BUILD")).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# =====================================================================
+# O1 top-k (the canonical query the reference's rank column serves),
+# O2 deterministic column order
+# =====================================================================
+@_q(
+    "topk_orders",
+    """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+    doc="O1: top-N — Catalyst TakeOrderedAndProject, no full sort",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_q(
+    "sort_cols",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    doc="O2: explicit output column order (data-transformation.py:49-50)",
+)
+def sort_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )
+
+
+# =====================================================================
+# A2 distinct agg, A3 time-bounded min/max, A4 rollup
+# =====================================================================
+@_q(
+    "distinct_agg",
+    """
+SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+  count(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+""",
+    doc="A2: distinct count (expand+two-phase agg in Spark)",
+)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@_q(
+    "high_low_24h",
+    """
+SELECT user_id, max(value) AS high_24h, min(value) AS low_24h,
+  count(*) AS n_events
+FROM events
+WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 24 HOURS
+GROUP BY user_id
+""",
+    doc="A3: reproduce the reference's high_24h/low_24h "
+    "(data-transformation.py:53) from granular data",
+)
+def high_low_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    cutoff = e.select((F.max("ts") - F.expr("INTERVAL 24 HOURS")).alias("cutoff"))
+    return (
+        e.join(F.broadcast(cutoff))
+        .filter(F.col("ts") > F.col("cutoff"))
+        .groupBy("user_id")
+        .agg(
+            F.max("value").alias("high_24h"),
+            F.min("value").alias("low_24h"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@_q(
+    "rollup_agg",
+    """
+SELECT r_name, n_name, round(sum(c_acctbal), 2) AS total_bal,
+  count(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    doc="A4: hierarchical totals in one pass (dim joins broadcast)",
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+# =====================================================================
+# W1-W4 window functions (reproduce the reference's precomputed
+# market_cap_rank / *_24h fields from granular data, SURVEY §2.5)
+# =====================================================================
+@_q(
+    "rank_by_price",
+    """
+SELECT p_brand, p_partkey, p_retailprice,
+  rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank
+FROM part
+""",
+    doc="W1: rank within partition (market_cap_rank semantics, "
+    "data-transformation.py:53)",
+)
+def rank_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.rank().over(w).cast("long").alias("price_rank"),
+    )
+
+
+@_q(
+    "pct_change",
+    """
+SELECT event_id, user_id, value,
+  round((value - lag(value) OVER w) / nullif(lag(value) OVER w, 0) * 100, 6)
+    AS pct_change
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    doc="W2: lag-based change (price_change_percentage_24h semantics, "
+    "data-transformation.py:53)",
+)
+def pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round((F.col("value") - prev) / F.nullif(prev, F.lit(0)) * 100, 6).alias(
+            "pct_change"
+        ),
+    )
+
+
+@_q(
+    "latest_per_key",
+    """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+    doc="W3: keep-latest per key — the MERGE duplicate-key rule "
+    "(coininsights.py:119-126)",
+)
+def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return merge.dedupe_latest(o, ["o_custkey"], ["o_orderdate", "o_orderkey"]).select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+
+
+@_q(
+    "frame_agg",
+    """
+SELECT event_id, user_id,
+  round(avg(value) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS rolling_avg
+FROM events
+""",
+    doc="W4: sliding frame aggregate (rolling metric average)",
+)
+def frame_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    return e.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("rolling_avg")
+    )
+
+
+# =====================================================================
+# J1-J3 joins: star join with broadcast dims (README.md:10-11 — the
+# star schema the reference loads exists to serve this query shape)
+# =====================================================================
+@_q(
+    "star_join_revenue",
+    """
+SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    doc="J3: fact⋈dims analytical star join; dims broadcast, "
+    "fact-side sort-merge on l_orderkey",
+)
+def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+# =====================================================================
+# U1-U3 set operations
+# =====================================================================
+@_q(
+    "union_runs",
+    """
+SELECT batch_id, o_orderstatus, count(*) AS n FROM (
+  SELECT 0 AS batch_id, o_orderstatus FROM orders
+  WHERE o_orderdate < TIMESTAMP '1998-01-01'
+  UNION ALL
+  SELECT 1 AS batch_id, o_orderstatus FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+) GROUP BY batch_id, o_orderstatus
+""",
+    doc="U1: per-batch union — the relational form of the reference's "
+    "per-file loop (data-transformation.py:32-67)",
+)
+def union_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp_ntz")
+    a = o.filter(F.col("o_orderdate") < cutoff).select(
+        F.lit(0).alias("batch_id"), "o_orderstatus"
+    )
+    b = o.filter(F.col("o_orderdate") >= cutoff).select(
+        F.lit(1).alias("batch_id"), "o_orderstatus"
+    )
+    return a.unionByName(b).groupBy("batch_id", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@_q(
+    "except_new",
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    doc="U2: anti join — the MERGE 'WHEN NOT MATCHED' key set "
+    "(coininsights.py:124-126)",
+)
+def except_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@_q(
+    "intersect_keys",
+    """
+SELECT c_custkey FROM customer
+INTERSECT
+SELECT o_custkey FROM orders
+""",
+    doc="U3: matched-key set — the MERGE 'WHEN MATCHED' key set "
+    "(coininsights.py:119, 143)",
+)
+def intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.intersect(o)
+
+
+# =====================================================================
+# M1/M2 MERGE upsert — the heart of the reference
+# (coininsights.py:110-165). Target/stage are derived deterministically
+# from orders/customer so the oracle can reproduce them.
+# =====================================================================
+_MERGE_DIM_STAGE_SQL = """
+SELECT id, 'Customer#updated-' || CAST(id AS VARCHAR) AS c_name,
+       round(o_totalprice, 2) AS c_acctbal
+FROM (
+  SELECT o_custkey AS id, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+) WHERE rn = 1
+UNION ALL
+SELECT id + 1000000 AS id,
+       'Customer#new-' || CAST(id + 1000000 AS VARCHAR) AS c_name,
+       round(o_totalprice, 2) AS c_acctbal
+FROM (
+  SELECT o_custkey AS id, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+) WHERE rn = 1 AND id % 7 = 0
+"""
+
+
+def _merge_dim_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    latest = merge.dedupe_latest(
+        o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")),
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+    ).select(
+        F.col("o_custkey").alias("id"),
+        F.round("o_totalprice", 2).alias("c_acctbal"),
+    )
+    updates = latest.select(
+        "id",
+        F.concat(F.lit("Customer#updated-"), F.col("id").cast("string")).alias(
+            "c_name"
+        ),
+        "c_acctbal",
+    )
+    inserts = (
+        latest.filter(F.col("id") % 7 == 0)
+        .select((F.col("id") + 1000000).alias("id"), "c_acctbal")
+        .select(
+            "id",
+            F.concat(F.lit("Customer#new-"), F.col("id").cast("string")).alias(
+                "c_name"
+            ),
+            "c_acctbal",
+        )
+    )
+    return updates.unionByName(inserts)
+
+
+@_q(
+    "merge_dim",
+    merge.merge_oracle_sql(
+        target_sql="SELECT c_custkey AS id, c_name, c_acctbal, c_mktsegment FROM customer",
+        stage_sql=_MERGE_DIM_STAGE_SQL,
+        keys=["id"],
+        update_cols=["c_name", "c_acctbal"],
+        passthrough_cols=["c_mktsegment"],
+    ),
+    doc="M1: SCD-1 dim upsert — full-outer join + stage-wins resolution "
+    "(coininsights.py:110-131)",
+)
+def merge_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), "c_name", "c_acctbal", "c_mktsegment"
+    )
+    stage = _merge_dim_stage(spark, sf_dir)
+    return merge.merge(target, stage, keys=["id"], update_cols=["c_name", "c_acctbal"])
+
+
+_MERGE_FACT_TARGET_SQL = """
+SELECT o_custkey AS id, count(*) AS order_cnt,
+  round(sum(o_totalprice), 2) AS total_spend, max(o_orderdate) AS last_order
+FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY o_custkey
+"""
+_MERGE_FACT_STAGE_SQL = """
+SELECT o_custkey AS id, count(*) AS order_cnt,
+  round(sum(o_totalprice), 2) AS total_spend, max(o_orderdate) AS last_order
+FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY o_custkey
+"""
+
+
+def _order_stats(spark, sf_dir, pred):
+    o = _t(spark, sf_dir, "orders").filter(pred)
+    return o.groupBy(F.col("o_custkey").alias("id")).agg(
+        F.count(F.lit(1)).alias("order_cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+@_q(
+    "merge_fact",
+    merge.merge_oracle_sql(
+        target_sql=_MERGE_FACT_TARGET_SQL,
+        stage_sql=_MERGE_FACT_STAGE_SQL,
+        keys=["id"],
+        update_cols=["order_cnt", "total_spend", "last_order"],
+        passthrough_cols=[],
+    ),
+    doc="M2: fact upsert, stage overwrites all measures on match "
+    "(coininsights.py:134-165)",
+)
+def merge_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-01-01").cast("timestamp_ntz")
+    target = _order_stats(spark, sf_dir, F.col("o_orderdate") < cutoff)
+    stage = _order_stats(spark, sf_dir, F.col("o_orderdate") >= cutoff)
+    return merge.merge(
+        target, stage, keys=["id"], update_cols=["order_cnt", "total_spend", "last_order"]
+    )
+
+
+# =====================================================================
+# Scalar function families (SURVEY §2.10)
+# =====================================================================
+@_q(
+    "json_extract",
+    """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events
+""",
+    doc="json family: get_json_object over the raw-layer JSON "
+    "(data-extract.py:20, data-transformation.py:40)",
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+@_q(
+    "string_funcs",
+    """
+SELECT p_partkey, lower(p_name) AS name_lower,
+  regexp_replace(p_name, ' ', '_', 'g') AS name_slug,
+  substring(p_type, 1, 4) AS type_prefix,
+  CAST(len(string_split(p_name, ' ')) AS INT) AS n_words
+FROM part
+""",
+    doc="string family: lower/regexp_replace/substring/split "
+    "(key sanitization, coininsights.py:224 et al.)",
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.regexp_replace("p_name", " ", "_").alias("name_slug"),
+        F.substring("p_type", 1, 4).alias("type_prefix"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+    )
+
+
+@_q(
+    "datetime_funcs",
+    """
+SELECT o_orderkey,
+  CAST(year(o_orderdate) AS INT) AS yr,
+  CAST(month(o_orderdate) AS INT) AS mo,
+  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+FROM orders
+""",
+    doc="date/time family: to_timestamp/date_trunc/unix epoch "
+    "(data-transformation.py:56)",
+)
+def datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias("epoch_s"),
+    )
+
+
+@_q(
+    "null_conditional",
+    """
+SELECT l_orderkey, l_linenumber,
+  CASE WHEN l_discount >= 0.05 THEN 'HIGH'
+       WHEN l_discount > 0 THEN 'LOW' ELSE 'NONE' END AS disc_tier,
+  coalesce(nullif(l_tax, 0.0), 0.01) AS eff_tax,
+  round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS net
+FROM lineitem
+""",
+    doc="null/conditional family: when/coalesce/nullif — the MERGE "
+    "branch logic (coininsights.py:119-126)",
+)
+def null_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_discount") >= 0.05, "HIGH")
+        .when(F.col("l_discount") > 0, "LOW")
+        .otherwise("NONE")
+        .alias("disc_tier"),
+        F.coalesce(F.nullif(F.col("l_tax"), F.lit(0.0)), F.lit(0.01)).alias("eff_tax"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+            2,
+        ).alias("net"),
+    )
+
+
+# T4 tumbling window as a batch query (streaming twin lives in
+# streaming/, same groupBy(window(...)) plan per micro-batch)
+@_q(
+    "tumbling_window",
+    """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+  count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+""",
+    doc="T4: 24h tumbling aggregation (the reference's *_24h fields, "
+    "data-transformation.py:53)",
+)
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("day", "ts").alias("day"), F.col("event_type")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+# =====================================================================
+# North-star extension operators (BASELINE.json): dedup, similarity,
+# text analysis, multimodal — see the operator modules for the
+# 100 TB design notes.
+# =====================================================================
+@_q("dedup_exact", dedup.exact_dedup_oracle_sql(), doc="exact dedup: hash-groupBy")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_clusters(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_minhash",
+    dedup.minhash_pairs_oracle_sql(),
+    doc="MinHash+LSH candidate pairs: shingle→minhash→band→bucket-join",
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_candidate_pairs(_t(spark, sf_dir, "documents"))
+
+
+@_q("dedup_simhash", dedup.simhash_oracle_sql(), doc="SimHash codes per document")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    dedup.ngram_jaccard_oracle_sql(),
+    doc="exact n-gram Jaccard over rare-shingle candidate pairs",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "doc_fingerprint",
+    textops.doc_fingerprint_oracle_sql(),
+    doc="document fingerprint: min shingle hash (MinHash k=1)",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "similarity_topk",
+    similarity.cosine_topk_oracle_sql(),
+    doc="brute-force cosine top-k (exact ANN baseline), broadcast queries",
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@_q(
+    "similarity_ivf",
+    similarity.ivf_topk_oracle_sql(),
+    doc="IVF-bucketed approximate top-k (scale path: per-bucket scan)",
+)
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@_q("lang_id", textops.lang_id_oracle_sql(), doc="language-ID stopword heuristic")
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "quality_score",
+    textops.quality_score_oracle_sql(),
+    doc="text quality features + bounded score",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@_q("token_count", textops.token_count_oracle_sql(), doc="whitespace + BPE-ish token counts")
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.token_count(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "multimodal_meta",
+    multimodal.multimodal_meta_oracle_sql(),
+    doc="binary-column metadata projection (decode stays stubbed, "
+    "plumbing is real — see operators/multimodal.py)",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.multimodal_meta(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------- exports
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }

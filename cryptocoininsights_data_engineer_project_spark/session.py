@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+Local harness: one JVM, ``local[$SPARK_GRAFT_CPUS]`` threads. The same
+configuration is what we'd ship as cluster defaults: AQE on (runtime
+re-planning, skew-join splitting, partition coalescing), shuffle
+partitions sized to the parallelism, Arrow for any pandas interchange,
+UTC session timezone so results are deterministic and match the DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "cryptocoininsights-spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned local SparkSession.
+
+    At cluster scale the master/memory settings come from spark-submit;
+    everything set here is master-agnostic engine configuration.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine conf to an externally-created session
+    (the driver hands us its own SparkSession for ``queries()``)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    return spark
