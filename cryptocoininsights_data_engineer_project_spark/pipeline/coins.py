@@ -1,0 +1,328 @@
+"""The reference pipeline, Spark-first.
+
+Reference dataflow (see /root/reference):
+- data-extract.py:12-33    — GET CoinGecko /coins/markets → one JSON
+                             array per run in S3 ``raw_data/``,
+                             wall-clock-timestamped filename.
+- data-transformation.py   — list bucket, prefix-filter keys (27-33),
+                             json_normalize (42), project/derive/rename
+                             into coin_info (45-50) and coin_metrics
+                             (53-59), CSV out (62-67).
+- coininsights.py          — COPY into stage tables (75-108), MERGE
+                             into dim/fact (110-165), TRUNCATE stage
+                             (168-189), archive + purge raw files
+                             (193-353).
+
+Spark mapping (SURVEY.md §2.1/§2.2/§2.8): schema-on-read JSON scan →
+nested-struct flattening via select (Catalyst handles ``roi.times``
+natively — no json_normalize pass) → two projections → library MERGE →
+Hadoop-FileSystem archive/purge. Wall-clock filenames become a
+deterministic ``batch_id`` parsed from the filename, so runs are
+reproducible and testable.
+
+Scale notes: the per-file Lambda loop (data-transformation.py:32-67)
+disappears — a single multi-file scan parallelizes across executors.
+The stage/TRUNCATE dance (coininsights.py:168-189) collapses into
+Spark's immutable per-run DataFrames. Warehouse tables are parquet,
+partition-ready; MERGE rewrites would prune to touched partitions on a
+bucketed layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.merge import merge
+
+# CoinGecko /coins/markets row (FIXTURES.md B1; the reference ingests
+# exactly this shape, data-extract.py:12-20). Explicit schema: the
+# reference relies on pandas inference (data-transformation.py:42);
+# at scale schema-on-read inference is both slow and nondeterministic.
+RAW_COIN_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("symbol", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("image", T.StringType()),
+        T.StructField("current_price", T.DoubleType()),
+        T.StructField("market_cap", T.LongType()),
+        T.StructField("market_cap_rank", T.IntegerType()),
+        T.StructField("fully_diluted_valuation", T.LongType()),
+        T.StructField("total_volume", T.LongType()),
+        T.StructField("high_24h", T.DoubleType()),
+        T.StructField("low_24h", T.DoubleType()),
+        T.StructField("price_change_24h", T.DoubleType()),
+        T.StructField("price_change_percentage_24h", T.DoubleType()),
+        T.StructField("market_cap_change_24h", T.LongType()),
+        T.StructField("market_cap_change_percentage_24h", T.DoubleType()),
+        T.StructField("circulating_supply", T.DoubleType()),
+        T.StructField("total_supply", T.DoubleType()),
+        T.StructField("max_supply", T.DoubleType()),
+        T.StructField("ath", T.DoubleType()),
+        T.StructField("ath_change_percentage", T.DoubleType()),
+        T.StructField("ath_date", T.StringType()),
+        T.StructField("atl", T.DoubleType()),
+        T.StructField("atl_change_percentage", T.DoubleType()),
+        T.StructField("atl_date", T.StringType()),
+        T.StructField(
+            "roi",
+            T.StructType(
+                [
+                    T.StructField("times", T.DoubleType()),
+                    T.StructField("currency", T.StringType()),
+                    T.StructField("percentage", T.DoubleType()),
+                ]
+            ),
+        ),
+        T.StructField("last_updated", T.StringType()),
+    ]
+)
+
+INFO_COLS = ["id", "name", "symbol", "image_url"]  # data-transformation.py:49-50
+METRIC_COLS = [  # data-transformation.py:58-59, exact order
+    "id",
+    "current_price_usd",
+    "market_cap",
+    "market_cap_rank",
+    "total_volume",
+    "price_change_percentage_24h",
+    "market_cap_change_percentage_24h",
+    "high_24h",
+    "low_24h",
+    "price_change_24h",
+    "circulating_supply",
+    "total_supply",
+    "max_supply",
+    "last_updated",
+]
+
+
+# ------------------------------------------------------------- S3/S4 scan
+def read_raw_json(spark: SparkSession, path: str) -> DataFrame:
+    """Raw-layer scan: one JSON array per batch file (the shape
+    data-extract.py:29-33 writes). ``multiLine`` because each file is
+    a single JSON document, not JSON-lines. The glob replaces the
+    reference's list-bucket + startswith prefix filter
+    (data-transformation.py:27-33) — push the predicate into the
+    listing, not a post-hoc loop."""
+    return (
+        spark.read.schema(RAW_COIN_SCHEMA)
+        .option("multiLine", "true")
+        .json(path)
+        .withColumn(
+            "batch_id",
+            F.regexp_extract(F.input_file_name(), r"batch(\d+)", 1).cast("int"),
+        )
+    )
+
+
+# ----------------------------------------------------------- S5 normalize
+def normalize(raw: DataFrame) -> DataFrame:
+    """Flatten nested structs (pd.json_normalize equivalent,
+    data-transformation.py:42). Catalyst extracts struct fields in
+    place — no row-level pass, prunes untouched fields from the scan."""
+    return raw.select(
+        *[c for c in raw.columns if c != "roi"],
+        F.col("roi.times").alias("roi_times"),
+        F.col("roi.currency").alias("roi_currency"),
+        F.col("roi.percentage").alias("roi_percentage"),
+    )
+
+
+# ------------------------------------------------------ P1-P5 projections
+def split_info(normalized: DataFrame) -> DataFrame:
+    """coin_info dimension (data-transformation.py:45-50): id is a
+    copy of symbol (py:46), image renamed image_url (py:47)."""
+    return normalized.select(
+        F.col("symbol").alias("id"),
+        "name",
+        "symbol",
+        F.col("image").alias("image_url"),
+        "batch_id",
+    )
+
+
+def split_metrics(normalized: DataFrame) -> DataFrame:
+    """coin_metrics fact (data-transformation.py:53-59): symbol→id,
+    current_price→current_price_usd, last_updated cast to timestamp
+    (py:55-56), exact column order (py:58-59)."""
+    return normalized.select(
+        F.col("symbol").alias("id"),
+        F.col("current_price").alias("current_price_usd"),
+        "market_cap",
+        "market_cap_rank",
+        "total_volume",
+        "price_change_percentage_24h",
+        "market_cap_change_percentage_24h",
+        "high_24h",
+        "low_24h",
+        "price_change_24h",
+        "circulating_supply",
+        "total_supply",
+        "max_supply",
+        F.to_timestamp("last_updated").alias("last_updated"),
+        "batch_id",
+    )
+
+
+# ---------------------------------------------------------- S6/S7 CSV compat
+def write_csv(df: DataFrame, path: str) -> None:
+    """Transformed-layer CSV sink with the reference's exact dialect
+    (data-transformation.py:63-67 writes; coininsights.py:85,103 reads
+    back with FORMAT AS CSV DELIMITER ',' QUOTE '\"' IGNOREHEADER 1).
+    Parquet is the engine default; CSV is the compat path."""
+    (
+        df.write.mode("overwrite")
+        .option("header", True)
+        .option("sep", ",")
+        .option("quote", '"')
+        .csv(path)
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """COPY-semantics CSV scan (coininsights.py:75-108): explicit
+    schema (the stage table DDL), header skipped, same dialect."""
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("sep", ",")
+        .option("quote", '"')
+        .csv(path)
+    )
+
+
+# ------------------------------------------------- M1-M5 warehouse + maint
+class CoinWarehouse:
+    """Parquet-backed dim/fact warehouse with MERGE load semantics.
+
+    Replaces Redshift ``dev.public.dim_coin_info`` /
+    ``fact_coin_metrics`` (coininsights.py:110-165). Stage tables and
+    TRUNCATE (coininsights.py:168-189) have no equivalent: each run's
+    stage is an immutable DataFrame.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.dim_path = os.path.join(root, "dim_coin_info")
+        self.fact_path = os.path.join(root, "fact_coin_metrics")
+
+    # -- table access -----------------------------------------------
+    def _read_or_none(self, path: str) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            return None
+
+    def dim(self) -> DataFrame | None:
+        return self._read_or_none(self.dim_path)
+
+    def fact(self) -> DataFrame | None:
+        return self._read_or_none(self.fact_path)
+
+    # -- load -------------------------------------------------------
+    def upsert_batch(self, info: DataFrame, metrics: DataFrame) -> None:
+        """M1 + M2 for one batch. Stage duplicates resolve keep-latest
+        (fact: by last_updated; dim: by batch_id) — the reference
+        relies on one-row-per-coin API payloads; we make the rule
+        explicit so replayed/duplicated batches stay idempotent."""
+        info = info.select(*INFO_COLS, "batch_id")
+        metrics = metrics.select(*METRIC_COLS, "batch_id")
+        self._upsert(self.dim_path, info, INFO_COLS, dedupe_order=["batch_id"])
+        self._upsert(
+            self.fact_path,
+            metrics,
+            METRIC_COLS,
+            dedupe_order=["last_updated", "batch_id"],
+        )
+
+    def _upsert(self, path, stage, cols, dedupe_order):
+        target = self._read_or_none(path)
+        if target is None:
+            from ..operators.merge import dedupe_latest
+
+            result = dedupe_latest(stage, ["id"], dedupe_order).select(*cols)
+        else:
+            result = merge(
+                target,
+                stage,
+                keys=["id"],
+                update_cols=[c for c in cols if c != "id"],
+                dedupe_order=dedupe_order,
+            ).select(*cols)
+        # rewrite via temp dir: Spark can't overwrite its own input
+        tmp = path + "__staging"
+        result.write.mode("overwrite").parquet(tmp)
+        fs, jpath = self._fs(path)
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
+        fs.rename(self._jpath(tmp), jpath)
+
+    # -- maintenance (M4/M5, coininsights.py:193-353) ----------------
+    def _fs(self, path: str):
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, jpath
+
+    def _jpath(self, path: str):
+        return self.spark._jvm.org.apache.hadoop.fs.Path(path)
+
+    def archive_files(self, files: list[str], archive_dir: str) -> None:
+        """Copy processed raw files to archive/ (coininsights.py:219-265)
+        via Hadoop FileSystem — works on file://, hdfs://, s3a://."""
+        fs, _ = self._fs(archive_dir)
+        dst_dir = self._jpath(archive_dir)
+        if not fs.exists(dst_dir):
+            fs.mkdirs(dst_dir)
+        util = self.spark._jvm.org.apache.hadoop.fs.FileUtil
+        conf = self.spark._jsc.hadoopConfiguration()
+        for f in files:
+            src = self._jpath(f)
+            dst = self._jpath(os.path.join(archive_dir, os.path.basename(f)))
+            util.copy(fs, src, fs, dst, False, True, conf)
+
+    def purge_files(self, files: list[str]) -> None:
+        """Delete consumed raw files (coininsights.py:268-312)."""
+        for f in files:
+            fs, jpath = self._fs(f)
+            if fs.exists(jpath):
+                fs.delete(jpath, False)
+
+
+def run_batch_pipeline(
+    spark: SparkSession,
+    raw_glob: str,
+    warehouse: CoinWarehouse,
+    archive_dir: str | None = None,
+    purge: bool = False,
+) -> dict[str, int]:
+    """One DAG run, end-to-end (the whole coininsights.py DAG):
+    scan raw → normalize → split → merge into dim/fact → archive/purge.
+    Returns row counts for observability."""
+    raw = read_raw_json(spark, raw_glob)
+    normalized = normalize(raw)
+    info = split_info(normalized)
+    metrics = split_metrics(normalized)
+    warehouse.upsert_batch(info, metrics)
+    # materialize row/file stats BEFORE maintenance: raw is lazy, and
+    # counting after purge would re-scan deleted files
+    raw_rows = raw.count()
+    files = [
+        r.f for r in raw.select(F.input_file_name().alias("f")).distinct().collect()
+    ]
+    if archive_dir:
+        warehouse.archive_files(files, archive_dir)
+    if purge:
+        warehouse.purge_files(files)
+    return {
+        "raw_rows": raw_rows,
+        "dim_rows": warehouse.dim().count(),
+        "fact_rows": warehouse.fact().count(),
+        "files": len(files),
+    }

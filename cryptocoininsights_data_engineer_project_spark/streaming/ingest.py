@@ -1,0 +1,106 @@
+"""Structured Streaming ingestion: the whole sensor→transform→load→
+archive chain of the reference DAG as one streaming query.
+
+Reference mechanics replaced (SURVEY.md §2.9):
+- T1 ``S3KeySensor`` polling every 60 s with 1 h timeout
+  (coininsights.py:33-42, 53-73) → the file source's built-in new-file
+  discovery; ``Trigger.AvailableNow`` reproduces the one-shot DAG run
+  while keeping checkpointed exactly-once file consumption.
+- T2 per-run COPY+MERGE (coininsights.py:75-165) →
+  ``foreachBatch`` invoking the same library MERGE per micro-batch.
+- T3 archive+delete of consumed files (coininsights.py:219-353) →
+  file-source ``cleanSource=archive`` + ``sourceArchiveDir``: the
+  source itself moves consumed files, transactionally with the
+  checkpoint — strictly stronger than the reference's non-atomic
+  copy-then-delete PythonOperators.
+- T4 24 h tumbling windows (the API's ``*_24h`` fields) →
+  ``groupBy(window(ts, '24 hours'))``.
+- T5 late data: the reference silently re-merges late files on the
+  next run (idempotent via MERGE). A watermark bounds state instead;
+  rows later than the watermark are DROPPED — a semantic difference
+  we document rather than hide: upsert sinks (T2) remain last-write-
+  wins, only windowed aggregation state is bounded.
+
+At scale: checkpointing makes ingestion exactly-once per file;
+``maxFilesPerTrigger`` paces micro-batches; the MERGE inside
+foreachBatch shuffles once per batch on the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline.coins import (
+    RAW_COIN_SCHEMA,
+    CoinWarehouse,
+    normalize,
+    split_info,
+    split_metrics,
+)
+
+
+def stream_coin_pipeline(
+    spark: SparkSession,
+    raw_dir: str,
+    warehouse: CoinWarehouse,
+    checkpoint_dir: str,
+    archive_dir: str | None = None,
+    available_now: bool = True,
+):
+    """T1+T2+T3: stream raw coin JSON into the warehouse.
+
+    Returns the started StreamingQuery; with ``available_now`` the
+    caller should ``awaitTermination()`` — it processes everything
+    currently in the directory and stops (the one-shot DAG run).
+    """
+    reader = (
+        spark.readStream.schema(RAW_COIN_SCHEMA)
+        .option("multiLine", "true")
+        .option("maxFilesPerTrigger", 1)  # per-file micro-batches, like per-run COPY
+    )
+    if archive_dir:
+        reader = reader.option("cleanSource", "archive").option(
+            "sourceArchiveDir", archive_dir
+        )
+    raw = reader.json(raw_dir)
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.withColumn("batch_id", F.lit(batch_id))
+        normalized = normalize(batch)
+        warehouse.upsert_batch(split_info(normalized), split_metrics(normalized))
+
+    writer = raw.writeStream.foreachBatch(_upsert).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "24 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """T4+T5: tumbling-window aggregation with bounded state.
+
+    Works on a streaming OR batch events DataFrame (same plan either
+    way — that's the point of Structured Streaming). Late rows beyond
+    the watermark are dropped in streaming mode; the batch twin of
+    this aggregation is the ``tumbling_window`` registry query.
+    """
+    # watermarks require TIMESTAMP (not NTZ); the session runs UTC so
+    # the cast is a pure re-tag, not a wall-clock shift
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select("win.start", "win.end", "event_type", "n", "total_value")
+    )

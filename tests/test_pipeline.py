@@ -1,0 +1,136 @@
+"""End-to-end coin-pipeline parity (SURVEY.md §5.3): fixture JSON →
+ingest → normalize → split → merge into dim/fact → maintenance; run
+twice to assert merge idempotency (the reference's core invariant)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from cryptocoininsights_data_engineer_project_spark.pipeline import fixtures
+from cryptocoininsights_data_engineer_project_spark.pipeline.coins import (
+    INFO_COLS,
+    METRIC_COLS,
+    CoinWarehouse,
+    normalize,
+    read_csv,
+    read_raw_json,
+    run_batch_pipeline,
+    split_info,
+    split_metrics,
+    write_csv,
+)
+
+
+@pytest.fixture(scope="module")
+def raw_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("raw")
+    fixtures.write_batches(str(d))
+    return str(d)
+
+
+def test_read_and_normalize(spark, raw_dir):
+    raw = read_raw_json(spark, os.path.join(raw_dir, "raw_coins_batch0.json"))
+    assert raw.count() == fixtures.N_PER_BATCH
+    assert raw.filter("batch_id = 0").count() == fixtures.N_PER_BATCH
+    n = normalize(raw)
+    # roi struct flattened to scalars (S5), ~20% nulls preserved
+    assert {"roi_times", "roi_currency", "roi_percentage"} <= set(n.columns)
+    assert "roi" not in n.columns
+    null_roi = n.filter("roi_currency IS NULL").count()
+    assert 0 < null_roi < fixtures.N_PER_BATCH
+
+
+def test_split_projections(spark, raw_dir):
+    n = normalize(read_raw_json(spark, os.path.join(raw_dir, "raw_coins_batch0.json")))
+    info, metrics = split_info(n), split_metrics(n)
+    assert info.columns == INFO_COLS + ["batch_id"]
+    assert metrics.columns == METRIC_COLS + ["batch_id"]
+    row = info.filter("symbol = 'c0000'").first()
+    assert row["id"] == "c0000"  # id := symbol (data-transformation.py:46)
+    assert row["image_url"].startswith("https://")
+    m = metrics.filter("id = 'c0000'").first()
+    assert m["last_updated"] is not None  # cast succeeded (P5)
+    assert isinstance(m["current_price_usd"], float)
+
+
+def test_full_pipeline_three_batches_then_idempotent(spark, raw_dir, tmp_path):
+    wh = CoinWarehouse(spark, str(tmp_path / "warehouse"))
+    archive = str(tmp_path / "archive")
+
+    for b in range(3):
+        run_batch_pipeline(
+            spark, os.path.join(raw_dir, f"raw_coins_batch{b}.json"), wh, archive
+        )
+
+    dim, fact = wh.dim(), wh.fact()
+    # batches cover indices 0..449 → 450 distinct coins
+    assert dim.count() == 450
+    assert fact.count() == 450
+    assert dim.select("id").distinct().count() == 450
+
+    # overlap keys carry batch-2 values (stage wins)
+    m = fact.filter("id = 'c0200'").first()  # in batches 1 and 2
+    assert m["last_updated"].day == 3  # batch2 ts day=3
+
+    # re-run the LAST batch: warehouse unchanged (idempotency)
+    before = sorted(
+        (r["id"], r["current_price_usd"], r["last_updated"])
+        for r in fact.collect()
+    )
+    run_batch_pipeline(
+        spark, os.path.join(raw_dir, "raw_coins_batch2.json"), wh, archive
+    )
+    after = sorted(
+        (r["id"], r["current_price_usd"], r["last_updated"])
+        for r in wh.fact().collect()
+    )
+    assert before == after
+
+    # archive received every batch file (M4); Hadoop LocalFS also
+    # writes .crc sidecars — only the payload files matter
+    assert sorted(f for f in os.listdir(archive) if f.endswith(".json")) == [
+        "raw_coins_batch0.json",
+        "raw_coins_batch1.json",
+        "raw_coins_batch2.json",
+    ]
+
+
+def test_purge_removes_consumed_files(spark, tmp_path):
+    d = tmp_path / "raw2"
+    fixtures.write_batches(str(d))
+    wh = CoinWarehouse(spark, str(tmp_path / "wh2"))
+    run_batch_pipeline(
+        spark,
+        str(d / "raw_coins_batch0.json"),
+        wh,
+        archive_dir=str(tmp_path / "arch2"),
+        purge=True,
+    )
+    remaining = sorted(os.listdir(d))
+    assert "raw_coins_batch0.json" not in remaining  # M5
+    assert "raw_coins_batch1.json" in remaining  # untouched
+    assert os.path.exists(tmp_path / "arch2" / "raw_coins_batch0.json")
+
+
+def test_csv_compat_roundtrip(spark, raw_dir, tmp_path):
+    # S6/S7: reference CSV dialect (header, comma, double-quote)
+    n = normalize(read_raw_json(spark, os.path.join(raw_dir, "raw_coins_batch0.json")))
+    info = split_info(n).drop("batch_id")
+    path = str(tmp_path / "coin_info_csv")
+    write_csv(info, path)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("symbol", T.StringType()),
+            T.StructField("image_url", T.StringType()),
+        ]
+    )
+    back = read_csv(spark, path, schema)
+    assert sorted(r["id"] for r in back.collect()) == sorted(
+        r["id"] for r in info.collect()
+    )
+    assert back.columns == INFO_COLS
