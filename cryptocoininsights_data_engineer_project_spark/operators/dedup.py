@@ -22,7 +22,7 @@ DuckDB oracle can reproduce results bit-for-bit; each has a
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
@@ -37,7 +37,6 @@ from ..functions.textnorm import (
     duck_norm,
     duck_tokens,
     spark_norm,
-    spark_shingles,
     spark_tokens,
 )
 
@@ -57,10 +56,18 @@ _PARAMS = minhash_params(MINHASH_K, MINHASH_SEED)
 
 # ---------------------------------------------------------------- shingles
 def shingle_docs(docs: DataFrame, w: int = SHINGLE_W) -> DataFrame:
-    """(doc_id, shingle) — distinct word w-shingles per document."""
+    """(doc_id, shingle) — distinct word w-shingles per document.
+
+    posexplode + indexed lookups instead of a nested ``transform``
+    lambda building the shingle array: same rows, but the flat
+    generator form avoids seconds of whole-stage-codegen compilation
+    that the higher-order-function expression costs on first use."""
+    toks = docs.select("doc_id", F.expr(spark_tokens("text")).alias("ws"))
+    idx = toks.select("doc_id", "ws", F.posexplode("ws").alias("i", "_tok"))
+    parts = [F.expr(f"ws[i + {j}]") for j in range(w)]
     return (
-        docs.select("doc_id", F.expr(spark_tokens("text")).alias("ws"))
-        .select("doc_id", F.explode(F.expr(spark_shingles("ws", w))).alias("shingle"))
+        idx.filter(F.expr(f"i + {w} <= size(ws)"))
+        .select("doc_id", F.concat_ws(" ", *parts).alias("shingle"))
         .distinct()
     )
 
@@ -74,6 +81,19 @@ def _duck_shingle_cte(w: int = SHINGLE_W) -> str:
         f"sh AS (SELECT DISTINCT doc_id, {parts} AS shingle "
         f"FROM toks, UNNEST(generate_series(1, len(ws) - {w - 1})) AS g(i) "
         f"WHERE len(ws) >= {w})"
+    )
+
+
+def _ordered_pairs(buckets: DataFrame, ids_col: str = "ids") -> DataFrame:
+    """(doc_a, doc_b) with doc_a < doc_b from each bucket's sorted id
+    list. Two chained generators (posexplode + slice) rather than a
+    nested ``transform`` lambda: identical output, but the flat form
+    whole-stage-codegens in milliseconds where the nested-lambda
+    expression costs seconds of compilation on first use."""
+    step = buckets.select(ids_col, F.posexplode(ids_col).alias("i", "doc_a"))
+    return step.select(
+        "doc_a",
+        F.explode(F.expr(f"slice({ids_col}, i + 2, size({ids_col}))")).alias("doc_b"),
     )
 
 
@@ -145,22 +165,24 @@ def minhash_candidate_pairs(
     rows: int = LSH_ROWS,
 ) -> DataFrame:
     """(doc_a, doc_b) candidate near-duplicate pairs: docs agreeing on
-    at least one full LSH band. Join key (band_id, band_hash) spreads
-    uniformly — no skew unless true duplicate clusters are huge, which
-    AQE's skew-join handles."""
+    at least one full LSH band.
+
+    Physical shape: a band self-join would evaluate the whole
+    shingle→signature pipeline TWICE (Spark's exchange reuse does not
+    kick in reliably across self-join aliases — at 100 TB that's
+    re-tokenizing the corpus). Instead, group each (band_id, band_hash)
+    bucket once, collect its (tiny, near-dup-only) member list, and
+    explode ordered pairs in place: single pipeline, one extra shuffle,
+    no second scan. Bucket membership is bounded by true duplicate
+    cluster size; a pathological all-identical corpus is the only skew
+    case, and AQE splits that reduce."""
     b = minhash_bands(minhash_signatures(docs, k), bands, rows)
-    left = b.alias("a")
-    right = b.alias("b")
-    return (
-        left.join(
-            right,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    buckets = (
+        b.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
+    return _ordered_pairs(buckets).distinct()
 
 
 def minhash_pairs_oracle_sql(
@@ -244,28 +266,26 @@ def ngram_jaccard_pairs(
     The df cap is what makes this tractable at 100 TB: shingles shared
     by thousands of docs contribute candidates quadratically but no
     discriminating signal; dropping them is standard practice and is
-    mirrored exactly in the oracle."""
+    mirrored exactly in the oracle.
+
+    Physical shape: rare-shingle buckets collect their (df-capped, so
+    bounded) member lists once and explode ordered pairs in place — no
+    shingle self-join, so the corpus is tokenized twice (once for
+    buckets, once for the per-doc size table) instead of six times.
+    The size table is one row per doc — orders of magnitude smaller
+    than the shingle table. The size lookups join onto the already-tiny
+    candidate-pair set; AQE converts them to broadcasts when the stats
+    allow (no static hint: at billion-doc scale the size table itself
+    outgrows a broadcast, and the pair side is the small one)."""
     sh = shingle_docs(docs, w)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    rare = (
+    buckets = (
         sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids").between(2, max_df))
     )
-    sh_rare = sh.join(rare, "shingle")
-    a = sh_rare.alias("a")
-    b = sh_rare.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
+    inter = _ordered_pairs(buckets).groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("inter")
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))

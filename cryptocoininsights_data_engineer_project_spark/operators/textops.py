@@ -34,7 +34,6 @@ from ..functions.textnorm import (
     duck_norm,
     duck_tokens,
     spark_norm,
-    spark_shingles,
     spark_tokens,
 )
 
@@ -170,20 +169,18 @@ def token_count_oracle_sql() -> str:
 # -------------------------------------------------------------- fingerprint
 def doc_fingerprint(docs: DataFrame, w: int = 4) -> DataFrame:
     """(doc_id, fingerprint): min over w-shingle hashes — MinHash k=1.
-    Documents shorter than w tokens fall back to the whole-text hash."""
-    sh = docs.select(
-        "doc_id", F.expr(spark_tokens("text")).alias("ws")
-    ).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"CASE WHEN size(ws) >= {w} THEN {spark_shingles('ws', w)} "
-                f"ELSE array(concat_ws(' ', ws)) END"
-            )
-        ).alias("shingle"),
-    )
+    Documents shorter than w tokens fall back to the whole-text hash.
+    Built on the generator-form shingler (see dedup.shingle_docs) —
+    no higher-order-function lambdas in the hot path."""
+    from .dedup import shingle_docs
+
+    sh = shingle_docs(docs, w)
+    short = docs.selectExpr(
+        "doc_id", f"{spark_norm('text')} AS shingle"
+    ).filter(F.expr(f"size({spark_tokens('text')}) < {w}"))
+    allsh = sh.unionByName(short)
     return (
-        sh.select("doc_id", F.expr(spark_hash64("shingle")).alias("h"))
+        allsh.select("doc_id", F.expr(spark_hash64("shingle")).alias("h"))
         .groupBy("doc_id")
         .agg(F.min("h").alias("fingerprint"))
     )

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import catalog
-from .operators import dedup, merge, multimodal, similarity, textops
+from .operators import asof, dedup, merge, multimodal, similarity, textops
 
 
 @dataclass(frozen=True)
@@ -253,6 +253,54 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
             F.count(F.lit(1)).alias("n_customers"),
         )
+    )
+
+
+@_q(
+    "cube_agg",
+    """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+  count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    doc="A4b: full cube — every grouping-set combination in one pass",
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    # pre-aggregate to one row per (flag, status) BEFORE the cube's
+    # Expand: the 4× row multiplication then runs over 6 rows, not the
+    # whole fact table — sum/count re-aggregate losslessly
+    pre = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("_q"), F.count(F.lit(1)).alias("_n")
+    )
+    return pre.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("_q"), 2).alias("sum_qty"),
+        F.sum("_n").alias("n"),
+    )
+
+
+@_q(
+    "pivot_status",
+    """
+SELECT o_orderpriority,
+  round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS O,
+  round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS F,
+  round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS P
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="A5: pivot — status columns out of rows (single hash agg, "
+    "no shuffle-per-column)",
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum("o_totalprice"))
+    )
+    return out.select(
+        "o_orderpriority",
+        *[F.round(F.coalesce(F.col(c), F.lit(0.0)), 2).alias(c) for c in ("O", "F", "P")],
     )
 
 
@@ -777,6 +825,101 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.multimodal_meta(_t(spark, sf_dir, "documents"))
+
+
+# =====================================================================
+# Custom operators beyond the reference surface
+# =====================================================================
+@_q(
+    "asof_prev_purchase",
+    """
+WITH r AS (
+  SELECT user_id, ts, arg_max(event_id, event_id) AS event_id,
+         arg_max(value, event_id) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id,
+       r.event_id AS asof_event_id, r.value AS asof_value
+FROM events e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts > r.ts
+""",
+    doc="as-of join (backward, strict): latest prior purchase per event "
+    "— union + ignore-nulls window, one shuffle (operators/asof.py)",
+)
+def asof_prev_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type", "value")
+    purchases = merge.dedupe_latest(
+        e.filter(F.col("event_type") == "purchase"), ["user_id", "ts"], ["event_id"]
+    ).select("user_id", "ts", "event_id", "value")
+    joined = asof.asof_join(
+        e.select("event_id", "user_id", "ts"),
+        purchases,
+        keys=["user_id"],
+        ts="ts",
+        payload_cols=["event_id", "value"],
+    )
+    return joined.select("event_id", "user_id", "asof_event_id", "asof_value")
+
+
+@_q(
+    "dedup_embedding",
+    """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), n AS (
+  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) >= 0.45
+""",
+    doc="embedding-cosine near-duplicate pairs (exact; the LSH/IVF "
+    "path is similarity_ivf)",
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = _t(spark, sf_dir, "embeddings")
+    n = em.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).withColumn(
+        "nrm",
+        F.expr("sqrt(aggregate(zip_with(emb, emb, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v))"),
+    )
+    a = n.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), F.col("nrm").alias("nrm_a")
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), F.col("nrm").alias("nrm_b")
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    return (
+        pairs.withColumn(
+            "cosine",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+                )
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= 0.45)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+@_q(
+    "approx_distinct",
+    None,  # HLL sketches differ across engines — rows-only check
+    doc="A2b: approx_count_distinct (HyperLogLog++) — the at-scale "
+    "form of distinct counting; no oracle (sketch values are "
+    "engine-specific by construction)",
+)
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
 
 
 # ---------------------------------------------------------------- exports
