@@ -292,11 +292,10 @@ def ngram_jaccard_pairs(
     return (
         inter.join(na, "doc_a")
         .join(nb, "doc_b")
+        # integer-derived division: bit-identical across engines, no
+        # rounding (round() boundary behavior is engine-specific)
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
-            ),
+            "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -315,8 +314,8 @@ def ngram_jaccard_oracle_sql(
         f"FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
         f"GROUP BY 1, 2) "
         f"SELECT doc_a, doc_b, "
-        f"round(inter / (na.n_sh + nb.n_sh - inter), 6) AS jaccard "
+        f"inter / (na.n_sh + nb.n_sh - inter) AS jaccard "
         f"FROM inter JOIN sizes na ON na.doc_id = doc_a "
         f"JOIN sizes nb ON nb.doc_id = doc_b "
-        f"WHERE round(inter / (na.n_sh + nb.n_sh - inter), 6) >= {threshold}"
+        f"WHERE inter / (na.n_sh + nb.n_sh - inter) >= {threshold}"
     )

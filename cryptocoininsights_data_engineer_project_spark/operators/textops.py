@@ -100,26 +100,26 @@ def quality_score(docs: DataFrame) -> DataFrame:
     quality): heuristic quality features + combined bounded score."""
     stop = _in_list(QUALITY_STOPWORDS)
     toks = spark_tokens("text")
+    # NOTE: no rounding anywhere — every expression here is rational
+    # per-row arithmetic, bit-identical across engines; round() itself
+    # is the only operation the engines disagree on (boundary doubles)
     feats = docs.selectExpr(
         "doc_id",
         f"CAST(size({toks}) AS BIGINT) AS n_tokens",
-        f"round(length(replace({spark_norm('text')}, ' ', ''))"
-        f" / CAST(size({toks}) AS DOUBLE), 6) AS avg_token_len",
-        f"round(CAST(size(regexp_extract_all(text, '{_spark_re(PUNCT_RE)}', 0)) AS DOUBLE)"
-        f" / length(text), 6) AS punct_ratio",
-        f"round(CAST(size(filter({toks}, t -> t IN ({stop}))) AS DOUBLE)"
-        f" / size({toks}), 6) AS stop_ratio",
+        f"length(replace({spark_norm('text')}, ' ', ''))"
+        f" / CAST(size({toks}) AS DOUBLE) AS avg_token_len",
+        f"CAST(size(regexp_extract_all(text, '{_spark_re(PUNCT_RE)}', 0)) AS DOUBLE)"
+        f" / length(text) AS punct_ratio",
+        f"CAST(size(filter({toks}, t -> t IN ({stop}))) AS DOUBLE)"
+        f" / size({toks}) AS stop_ratio",
     )
     return feats.withColumn(
         "quality",
-        F.round(
-            F.least(
-                F.lit(1.0),
-                0.5 * F.least(F.col("stop_ratio") * 10, F.lit(1.0))
-                + 0.3 * (1 - F.col("punct_ratio"))
-                + 0.2 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0)),
-            ),
-            6,
+        F.least(
+            F.lit(1.0),
+            0.5 * F.least(F.col("stop_ratio") * 10, F.lit(1.0))
+            + 0.3 * (1 - F.col("punct_ratio"))
+            + 0.2 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0)),
         ),
     )
 
@@ -131,18 +131,18 @@ def quality_score_oracle_sql() -> str:
 WITH feats AS (
   SELECT doc_id,
     CAST(len({toks}) AS BIGINT) AS n_tokens,
-    round(length(replace({duck_norm('text')}, ' ', ''))
-          / CAST(len({toks}) AS DOUBLE), 6) AS avg_token_len,
-    round(CAST(len(regexp_extract_all(text, '{_duck_re(PUNCT_RE)}')) AS DOUBLE)
-          / length(text), 6) AS punct_ratio,
-    round(CAST(len(list_filter({toks}, t -> t IN ({stop}))) AS DOUBLE)
-          / len({toks}), 6) AS stop_ratio
+    length(replace({duck_norm('text')}, ' ', ''))
+          / CAST(len({toks}) AS DOUBLE) AS avg_token_len,
+    CAST(len(regexp_extract_all(text, '{_duck_re(PUNCT_RE)}')) AS DOUBLE)
+          / length(text) AS punct_ratio,
+    CAST(len(list_filter({toks}, t -> t IN ({stop}))) AS DOUBLE)
+          / len({toks}) AS stop_ratio
   FROM documents
 )
 SELECT doc_id, n_tokens, avg_token_len, punct_ratio, stop_ratio,
-  round(LEAST(1.0,
+  LEAST(1.0,
     0.5 * LEAST(stop_ratio * 10, 1.0) + 0.3 * (1 - punct_ratio)
-    + 0.2 * LEAST(n_tokens / 100.0, 1.0)), 6) AS quality
+    + 0.2 * LEAST(n_tokens / 100.0, 1.0)) AS quality
 FROM feats
 """
 

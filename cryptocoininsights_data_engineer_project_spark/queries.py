@@ -27,7 +27,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import catalog
-from .operators import asof, dedup, merge, multimodal, similarity, textops
+from .operators import asof, dedup, merge, multimodal, sessions, similarity, textops
+from .functions.textnorm import duck_tokens, spark_tokens
 
 
 @dataclass(frozen=True)
@@ -333,7 +334,7 @@ def rank_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pct_change",
     """
 SELECT event_id, user_id, value,
-  round((value - lag(value) OVER w) / nullif(lag(value) OVER w, 0) * 100, 6)
+  (value - lag(value) OVER w) / nullif(lag(value) OVER w, 0) * 100
     AS pct_change
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -349,9 +350,7 @@ def pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "value",
-        F.round((F.col("value") - prev) / F.nullif(prev, F.lit(0)) * 100, 6).alias(
-            "pct_change"
-        ),
+        ((F.col("value") - prev) / F.nullif(prev, F.lit(0)) * 100).alias("pct_change"),
     )
 
 
@@ -691,7 +690,7 @@ SELECT l_orderkey, l_linenumber,
   CASE WHEN l_discount >= 0.05 THEN 'HIGH'
        WHEN l_discount > 0 THEN 'LOW' ELSE 'NONE' END AS disc_tier,
   coalesce(nullif(l_tax, 0.0), 0.01) AS eff_tax,
-  round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS net
+  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS net
 FROM lineitem
 """,
     doc="null/conditional family: when/coalesce/nullif — the MERGE "
@@ -707,9 +706,11 @@ def null_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("NONE")
         .alias("disc_tier"),
         F.coalesce(F.nullif(F.col("l_tax"), F.lit(0.0)), F.lit(0.01)).alias("eff_tax"),
-        F.round(
-            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
-            2,
+        # per-row arithmetic is bit-identical across engines — rounding
+        # would INTRODUCE divergence (engines' round() disagree on
+        # boundary doubles, and 2-dec money data hits boundaries often)
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
         ).alias("net"),
     )
 
@@ -904,6 +905,156 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= 0.45)
         .select("vec_a", "vec_b", "cosine")
+    )
+
+
+@_q(
+    "sessionize",
+    sessions.sessionize_oracle_sql(),
+    doc="gaps-and-islands sessionization (30-min inactivity timeout) — "
+    "one shuffle per key; streaming twin uses session_window/state",
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessions.sessionize(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "range_join_counts",
+    """
+SELECT e.event_id, count(p.event_id) AS n_purchases
+FROM events e LEFT JOIN events p
+  ON p.user_id = e.user_id AND p.event_type = 'purchase'
+  AND p.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts + INTERVAL 1 HOUR
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+""",
+    doc="range join via time-binning: ±1h neighborhood becomes an "
+    "equi-join on (user, hour-bin) + exact filter — no nested-loop "
+    "inequality join, scales as a plain shuffle join",
+)
+def range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").withColumn(
+        "us", F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    )
+    hour_us = 3_600_000_000
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("us").alias("e_us"),
+        F.floor(F.col("us") / hour_us).alias("bin"),
+    )
+    # each purchase registers in its own bin and both neighbors, so an
+    # error event's single bin sees every purchase within +/-1h
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"), "user_id", F.col("us").alias("p_us"),
+            F.explode(
+                F.array(
+                    F.floor(F.col("us") / hour_us) - 1,
+                    F.floor(F.col("us") / hour_us),
+                    F.floor(F.col("us") / hour_us) + 1,
+                )
+            ).alias("bin"),
+        )
+    )
+    matched = errors.join(purchases, ["user_id", "bin"], "left").withColumn(
+        "hit",
+        F.when(
+            F.col("p_us").isNotNull()
+            & (F.abs(F.col("p_us") - F.col("e_us")) <= hour_us),
+            F.col("p_id"),
+        ),
+    )
+    return matched.groupBy("event_id").agg(F.count("hit").alias("n_purchases"))
+
+
+@_q(
+    "tfidf_top_terms",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({duck_tokens('text')}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term != '' GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3
+""",
+    doc="TF-IDF top-3 terms per doc: tf and df aggregations + broadcast "
+    "idf join — the textbook two-pass text pipeline",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(spark_tokens("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@_q(
+    "percentile_agg",
+    """
+SELECT o_orderpriority,
+  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50,
+  round(percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p95
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="exact interpolated percentiles per group (sort-based agg)",
+)
+def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5D)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95D)"), 4).alias("p95"),
+    )
+
+
+@_q(
+    "stats_agg",
+    """
+SELECT c_mktsegment,
+  round(stddev_samp(c_acctbal), 2) AS bal_stddev,
+  round(var_samp(c_acctbal), 2) AS bal_var,
+  round(corr(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS bal_key_corr
+FROM customer GROUP BY c_mktsegment
+""",
+    doc="statistical aggregates: stddev/variance/correlation",
+)
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.stddev_samp("c_acctbal"), 2).alias("bal_stddev"),
+        F.round(F.var_samp("c_acctbal"), 2).alias("bal_var"),
+        F.round(F.corr("c_acctbal", F.col("c_custkey").cast("double")), 6).alias(
+            "bal_key_corr"
+        ),
     )
 
 
