@@ -11,10 +11,8 @@ from .hashing import HASH_PRIME, duck_hash64, minhash_params, spark_hash64
 from .textnorm import (
     STOPWORDS,
     duck_norm,
-    duck_shingles,
     duck_tokens,
     spark_norm,
-    spark_shingles,
     spark_tokens,
 )
 
@@ -28,6 +26,4 @@ __all__ = [
     "duck_norm",
     "spark_tokens",
     "duck_tokens",
-    "spark_shingles",
-    "duck_shingles",
 ]

@@ -38,36 +38,7 @@ def duck_tokens(col: str = "text") -> str:
     return f"string_split({duck_norm(col)}, ' ')"
 
 
-def spark_shingles(tokens_col: str, w: int = 3) -> str:
-    """Spark SQL expr: array of w-word shingles (space-joined).
-
-    Empty array when the document has fewer than w tokens.
-    """
-    parts = ", ".join(f"{tokens_col}[i + {j}]" for j in range(w))
-    return (
-        f"CASE WHEN size({tokens_col}) >= {w} THEN "
-        f"transform(sequence(0, size({tokens_col}) - {w}), i -> concat_ws(' ', {parts})) "
-        f"ELSE array() END"
-    )
-
-
-def duck_shingles_select(doc_key: str, tokens_cte: str, tokens_col: str, w: int = 3) -> str:
-    """DuckDB SELECT producing (doc_key, shingle) rows from a CTE that
-    exposes a token-list column. 1-based list indexing."""
-    parts = " || ' ' || ".join(f"{tokens_col}[i + {j}]" for j in range(w))
-    return (
-        f"SELECT {doc_key}, {parts} AS shingle "
-        f"FROM {tokens_cte}, UNNEST(generate_series(1, len({tokens_col}) - {w - 1})) AS g(i) "
-        f"WHERE len({tokens_col}) >= {w}"
-    )
-
-
-# Convenience mirror so callers can treat the Spark side uniformly.
-def duck_shingles(tokens_col: str, w: int = 3) -> str:
-    """DuckDB list-comprehension form of w-shingles (no unnest needed)."""
-    parts = " || ' ' || ".join(f"{tokens_col}[i + {j}]" for j in range(w))
-    return (
-        f"CASE WHEN len({tokens_col}) >= {w} THEN "
-        f"[{parts} FOR i IN generate_series(1, len({tokens_col}) - {w - 1})] "
-        f"ELSE [] END"
-    )
+# Shingle construction lives in operators/dedup.py (generator form on
+# the Spark side, UNNEST(generate_series) CTE on the DuckDB side) —
+# higher-order-function shingle builders were removed after profiling:
+# nested transform() lambdas cost seconds of codegen compilation.

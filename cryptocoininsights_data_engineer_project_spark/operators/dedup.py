@@ -22,7 +22,7 @@ DuckDB oracle can reproduce results bit-for-bit; each has a
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (

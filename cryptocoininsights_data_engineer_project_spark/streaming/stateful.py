@@ -1,0 +1,118 @@
+"""Custom stateful streaming operator: per-key sessionization with
+``applyInPandasWithState`` (Arrow-batched, event-time timeouts).
+
+The batch twin is ``operators/sessions.py::sessionize`` (gaps-and-
+islands windows). Streaming can't look ahead, so state carries the
+open session per key and closed sessions are emitted:
+
+- data-driven: a new event with gap > timeout closes the running
+  session immediately;
+- watermark-driven: keys that stop receiving data time out via
+  ``GroupStateTimeout.EventTimeTimeout`` once the watermark passes
+  ``last_event + gap``.
+
+The session that is still open when the stream stops is intentionally
+NOT emitted (it isn't over). Tests reconcile: emitted sessions ==
+batch sessionize minus each key's final session.
+
+Scale notes: state is one fixed-size tuple per key in the state store
+(RocksDB on a real cluster), partitioned by the grouping key — the
+same single shuffle as the batch form. The Python function sees
+Arrow record batches per key, never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+DEFAULT_GAP_MIN = 30
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+# open-session state: (start_us, last_us, n_events)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _sessions_frame(user_id: int, closed: list[tuple[int, int, int]]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [user_id] * len(closed),
+            "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+            "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+            "n_events": [n for _, _, n in closed],
+        }
+    )
+
+
+def make_session_fn(gap_min: int = DEFAULT_GAP_MIN):
+    gap_us = gap_min * 60 * 1_000_000
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield _sessions_frame(user_id, [(start_us, last_us, n)])
+            return
+        ts_us: list[int] = []
+        for pdf in pdfs:
+            ts_us.extend(int(v) // 1000 for v in pdf["ts"].astype("int64"))
+        ts_us.sort()
+        closed: list[tuple[int, int, int]] = []
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = ts_us[0], ts_us[0], 0
+        for t in ts_us:
+            if t - last_us > gap_us:
+                closed.append((start_us, last_us, n))
+                start_us, n = t, 0
+            n += 1
+            last_us = t
+        state.update((start_us, last_us, n))
+        # close this key by timeout once the watermark passes last+gap
+        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+        yield _sessions_frame(user_id, closed)
+
+    return fn
+
+
+def stateful_sessionize(
+    events: DataFrame,
+    gap_min: int = DEFAULT_GAP_MIN,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """events must carry (user_id, ts). Returns the stream of CLOSED
+    sessions."""
+    from pyspark.sql import functions as F
+
+    stream = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", watermark
+    )
+    return stream.groupBy("user_id").applyInPandasWithState(
+        make_session_fn(gap_min),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1,0 +1,95 @@
+"""Stateful streaming sessionization vs. its batch twin."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from cryptocoininsights_data_engineer_project_spark.operators.sessions import sessionize
+from cryptocoininsights_data_engineer_project_spark.streaming.stateful import (
+    stateful_sessionize,
+)
+
+BASE = 1_700_000_000  # epoch seconds
+
+
+def _write_events(path, rows):
+    with open(path, "w") as f:
+        for eid, (user, sec) in enumerate(rows):
+            f.write(
+                json.dumps(
+                    {
+                        "event_id": eid,
+                        "user_id": user,
+                        "ts": __import__("datetime")
+                        .datetime.utcfromtimestamp(BASE + sec)
+                        .strftime("%Y-%m-%dT%H:%M:%S"),
+                    }
+                )
+                + "\n"
+            )
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    # file1: user 1 & 2, one tight session each
+    _write_events(
+        raw / "f1.json",
+        [(1, 0), (1, 300), (1, 600), (2, 100), (2, 200)],
+    )
+    # file2 (much later): new sessions for both users — data-driven
+    # closure of the file1 sessions
+    _write_events(
+        raw / "f2.json",
+        [(1, 36_000), (1, 36_060), (2, 40_000)],
+    )
+
+    schema = "event_id long, user_id long, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(raw))
+    )
+    q = (
+        stateful_sessionize(stream, gap_min=30)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    emitted = {
+        (r["user_id"], r["session_start"].isoformat(), r["session_end"].isoformat(), r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+
+    # batch twin over the same data
+    batch_events = spark.read.schema(schema).json(str(raw))
+    gap_us = 30 * 60 * 1_000_000
+    batch = sessionize(batch_events, key="user_id", gap_us=gap_us)
+    rows = batch.collect()
+    last_seq = {}
+    max_ts = None
+    for r in rows:
+        last_seq[r["user_id"]] = max(last_seq.get(r["user_id"], 0), r["session_seq"])
+        end = r["session_end"]
+        max_ts = end if max_ts is None or end > max_ts else max_ts
+    # a session is emitted if it was closed by later data (a newer
+    # session exists for the key) OR by the event-time timeout (final
+    # watermark = max event time - 10 min passed session_end + gap)
+    import datetime
+
+    final_wm = max_ts - datetime.timedelta(minutes=10)
+    expected_closed = {
+        (r["user_id"], r["session_start"].isoformat(), r["session_end"].isoformat(), r["n_events"])
+        for r in rows
+        if r["session_seq"] < last_seq[r["user_id"]]
+        or r["session_end"] + datetime.timedelta(microseconds=gap_us) <= final_wm
+    }
+    assert emitted == expected_closed
+    # both data-driven closures AND at least one timeout-driven closure
+    assert len(emitted) == 3
