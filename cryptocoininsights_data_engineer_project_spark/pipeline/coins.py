@@ -198,17 +198,35 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
 
 # ------------------------------------------------- M1-M5 warehouse + maint
 class CoinWarehouse:
-    """Parquet-backed dim/fact warehouse with MERGE load semantics.
+    """Parquet-backed dim/fact warehouse with partition-pruned MERGE.
 
     Replaces Redshift ``dev.public.dim_coin_info`` /
     ``fact_coin_metrics`` (coininsights.py:110-165). Stage tables and
     TRUNCATE (coininsights.py:168-189) have no equivalent: each run's
     stage is an immutable DataFrame.
+
+    Layout for scale: both tables are hash-bucketed on the merge key
+    into ``bucket=N`` partition directories (``pmod(xxhash64(id),
+    n_buckets)``). An upsert then:
+
+    1. computes the stage's bucket set (tiny distinct-collect);
+    2. reads ONLY those partitions of the target (partition pruning —
+       the scan never touches unaffected buckets);
+    3. merges and rewrites ONLY those partition directories, swapping
+       them in via rename.
+
+    At 100 TB with e.g. 4096 buckets, a typical incremental batch
+    touches a small fraction of buckets, so merge I/O is proportional
+    to the delta, not the table. The directory swap is per-bucket
+    rename — atomic enough for a single writer; multi-writer tables
+    would layer a commit protocol (Delta/Iceberg-style) on the same
+    plan shape.
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 16):
         self.spark = spark
         self.root = root
+        self.n_buckets = n_buckets
         self.dim_path = os.path.join(root, "dim_coin_info")
         self.fact_path = os.path.join(root, "fact_coin_metrics")
 
@@ -220,10 +238,17 @@ class CoinWarehouse:
             return None
 
     def dim(self) -> DataFrame | None:
-        return self._read_or_none(self.dim_path)
+        df = self._read_or_none(self.dim_path)
+        return df.drop("bucket") if df is not None else None
 
     def fact(self) -> DataFrame | None:
-        return self._read_or_none(self.fact_path)
+        df = self._read_or_none(self.fact_path)
+        return df.drop("bucket") if df is not None else None
+
+    def _bucketed(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bucket", F.pmod(F.xxhash64("id"), F.lit(self.n_buckets))
+        )
 
     # -- load -------------------------------------------------------
     def upsert_batch(self, info: DataFrame, metrics: DataFrame) -> None:
@@ -242,26 +267,41 @@ class CoinWarehouse:
         )
 
     def _upsert(self, path, stage, cols, dedupe_order):
+        from ..operators.merge import dedupe_latest
+
+        stage = self._bucketed(stage)
         target = self._read_or_none(path)
         if target is None:
-            from ..operators.merge import dedupe_latest
-
-            result = dedupe_latest(stage, ["id"], dedupe_order).select(*cols)
-        else:
-            result = merge(
-                target,
-                stage,
-                keys=["id"],
-                update_cols=[c for c in cols if c != "id"],
-                dedupe_order=dedupe_order,
-            ).select(*cols)
-        # rewrite via temp dir: Spark can't overwrite its own input
+            result = dedupe_latest(stage, ["id"], dedupe_order).select(*cols, "bucket")
+            result.write.mode("overwrite").partitionBy("bucket").parquet(path)
+            return
+        # bucket pruning: only partitions holding stage keys participate
+        touched = sorted(
+            r["bucket"] for r in stage.select("bucket").distinct().collect()
+        )
+        target_sub = target.filter(F.col("bucket").isin(touched))
+        # bucket must be an update column: inserted keys have no target
+        # row to pass it through from (and matched rows agree anyway —
+        # same id, same hash)
+        merged = merge(
+            target_sub,
+            stage,
+            keys=["id"],
+            update_cols=[c for c in cols if c != "id"] + ["bucket"],
+            dedupe_order=dedupe_order,
+        ).select(*cols, "bucket")
         tmp = path + "__staging"
-        result.write.mode("overwrite").parquet(tmp)
-        fs, jpath = self._fs(path)
-        if fs.exists(jpath):
-            fs.delete(jpath, True)
-        fs.rename(self._jpath(tmp), jpath)
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        # swap ONLY the touched bucket directories
+        fs, _ = self._fs(path)
+        for b in touched:
+            dst = self._jpath(os.path.join(path, f"bucket={b}"))
+            src = self._jpath(os.path.join(tmp, f"bucket={b}"))
+            if fs.exists(dst):
+                fs.delete(dst, True)
+            if fs.exists(src):
+                fs.rename(src, dst)
+        fs.delete(self._jpath(tmp), True)
 
     # -- maintenance (M4/M5, coininsights.py:193-353) ----------------
     def _fs(self, path: str):

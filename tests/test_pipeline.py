@@ -98,6 +98,43 @@ def test_full_pipeline_three_batches_then_idempotent(spark, raw_dir, tmp_path):
     ]
 
 
+def test_partition_pruned_merge(spark, raw_dir, tmp_path):
+    """A small incremental batch must rewrite ONLY the bucket
+    partitions containing its keys — untouched bucket directories keep
+    their exact files (the 100 TB property: merge I/O ∝ delta)."""
+    import glob
+
+    wh = CoinWarehouse(spark, str(tmp_path / "whp"), n_buckets=16)
+    run_batch_pipeline(spark, os.path.join(raw_dir, "raw_coins_batch0.json"), wh)
+
+    fact_dir = wh.fact_path
+    before = {
+        d: sorted(os.listdir(os.path.join(fact_dir, d)))
+        for d in os.listdir(fact_dir)
+        if d.startswith("bucket=")
+    }
+    assert len(before) > 4  # keys spread over many buckets
+
+    # tiny stage: 3 coins → at most 3 buckets touched
+    from pyspark.sql import functions as F
+
+    n = normalize(read_raw_json(spark, os.path.join(raw_dir, "raw_coins_batch0.json")))
+    small = n.filter(F.col("symbol").isin("c0000", "c0001", "c0002"))
+    wh.upsert_batch(split_info(small), split_metrics(small))
+
+    after = {
+        d: sorted(os.listdir(os.path.join(fact_dir, d)))
+        for d in os.listdir(fact_dir)
+        if d.startswith("bucket=")
+    }
+    assert set(after) == set(before)  # same partition set
+    changed = [d for d in before if before[d] != after[d]]
+    assert 1 <= len(changed) <= 3  # only the stage's buckets rewritten
+    # data still complete and correct
+    assert wh.fact().count() == fixtures.N_PER_BATCH
+    assert wh.fact().filter("id = 'c0000'").count() == 1
+
+
 def test_purge_removes_consumed_files(spark, tmp_path):
     d = tmp_path / "raw2"
     fixtures.write_batches(str(d))
