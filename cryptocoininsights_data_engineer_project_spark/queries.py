@@ -878,33 +878,8 @@ WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) >= 0.45
     "path is similarity_ivf)",
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    em = _t(spark, sf_dir, "embeddings")
-    n = em.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    ).withColumn(
-        "nrm",
-        F.expr("sqrt(aggregate(zip_with(emb, emb, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v))"),
-    )
-    a = n.select(
-        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), F.col("nrm").alias("nrm_a")
-    )
-    b = n.select(
-        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), F.col("nrm").alias("nrm_b")
-    )
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    return (
-        pairs.withColumn(
-            "cosine",
-            F.round(
-                F.expr(
-                    "aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
-                )
-                / (F.col("nrm_a") * F.col("nrm_b")),
-                6,
-            ),
-        )
-        .filter(F.col("cosine") >= 0.45)
-        .select("vec_a", "vec_b", "cosine")
+    return similarity.all_pairs_cosine(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45
     )
 
 
