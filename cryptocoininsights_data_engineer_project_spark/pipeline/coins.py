@@ -102,16 +102,24 @@ METRIC_COLS = [  # data-transformation.py:58-59, exact order
 
 
 # ------------------------------------------------------------- S3/S4 scan
-def read_raw_json(spark: SparkSession, path: str) -> DataFrame:
+def read_raw_json(spark: SparkSession, path: str, mode: str = "FAILFAST") -> DataFrame:
     """Raw-layer scan: one JSON array per batch file (the shape
     data-extract.py:29-33 writes). ``multiLine`` because each file is
     a single JSON document, not JSON-lines. The glob replaces the
     reference's list-bucket + startswith prefix filter
     (data-transformation.py:27-33) — push the predicate into the
-    listing, not a post-hoc loop."""
+    listing, not a post-hoc loop.
+
+    ``mode=FAILFAST``: a malformed raw file fails the batch loudly —
+    the opposite of the reference's swallow-and-log error model
+    (data-extract.py:35-46), where missing data surfaces only as a
+    sensor timeout an hour later. Pass ``mode="PERMISSIVE"`` to get
+    null-row salvage instead (streaming uses permissive so one bad
+    file can't wedge the whole query)."""
     return (
         spark.read.schema(RAW_COIN_SCHEMA)
         .option("multiLine", "true")
+        .option("mode", mode)
         .json(path)
         .withColumn(
             "batch_id",

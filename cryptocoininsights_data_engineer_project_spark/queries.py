@@ -1034,6 +1034,53 @@ def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "salted_agg",
+    """
+SELECT l_returnflag, round(sum(l_quantity), 2) AS total_qty, count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="skew-mitigation pattern: salted two-phase aggregation — "
+    "provably identical to the plain groupBy (associative merges); "
+    "oracle is the unsalted form",
+)
+def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import salted_agg as _salted
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = _salted(
+        li,
+        keys=["l_returnflag"],
+        aggs={"total_qty": ("l_quantity", "sum"), "n": ("l_quantity", "count")},
+    )
+    return out.select(
+        "l_returnflag", F.round("total_qty", 2).alias("total_qty"), "n"
+    )
+
+
+@_q(
+    "above_avg_parts",
+    """
+SELECT p_partkey, p_brand, p_retailprice
+FROM part p
+WHERE p_retailprice > (
+  SELECT avg(p_retailprice) FROM part x WHERE x.p_brand = p.p_brand
+)
+""",
+    doc="correlated scalar subquery — decorrelated to a window/join "
+    "aggregate (Catalyst does this automatically; expressed as the "
+    "window form to keep one scan)",
+)
+def above_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        p.withColumn("__brand_avg", F.avg("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") > F.col("__brand_avg"))
+        .select("p_partkey", "p_brand", "p_retailprice")
+    )
+
+
+@_q(
     "approx_distinct",
     None,  # HLL sketches differ across engines — rows-only check
     doc="A2b: approx_count_distinct (HyperLogLog++) — the at-scale "
