@@ -62,4 +62,9 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # an untouched Spark default of 200 shuffle partitions is wrong for
+    # this harness (32 cores, sub-GB inputs); respect any explicit
+    # non-default choice the session owner made
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
     return spark
