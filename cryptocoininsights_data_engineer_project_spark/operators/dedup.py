@@ -253,6 +253,71 @@ def simhash_oracle_sql(bits: int = SIMHASH_BITS) -> str:
     )
 
 
+# ----------------------------------------------------- duplicate clusters
+def dedup_clusters(docs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id): connected components over the MinHash-LSH
+    candidate-pair graph; cluster_id = smallest doc_id in the
+    component (the canonical survivor a dedup pass would keep).
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(component diameter) rounds. Near-dup components are tiny (bounded
+    by true duplication), so 2-4 rounds in practice. Each round is one
+    equi-join + one groupBy — all distributed; the driver only checks a
+    scalar convergence metric (sum of labels, strictly decreasing until
+    fixpoint). This is the standard large-scale CC shape (GraphX/
+    Pregel's simplest program) without needing a graph library.
+    """
+    pairs = minhash_candidate_pairs(docs)
+    # symmetric edge list, materialized ONCE — every propagation round
+    # joins against it, and without the checkpoint each round would
+    # re-run the whole shingle→minhash→band pipeline from the scan
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    labels = nodes.withColumn("cluster_id", F.col("doc_id")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("cluster_id")).first()[0] or 0
+    while True:
+        neighbor = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "cluster_id")
+        )
+        labels = (
+            labels.unionByName(neighbor)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()  # truncate the growing lineage each round
+        )
+        cur_sum = labels.agg(F.sum("cluster_id")).first()[0] or 0
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+
+
+def dedup_clusters_oracle_sql() -> str:
+    """Transitive closure as a recursive CTE over the same pair graph."""
+    pairs = minhash_pairs_oracle_sql()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+walk(node, reach) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+)
+SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS cluster_id
+FROM walk GROUP BY node
+"""
+
+
 # ------------------------------------------------------------ exact Jaccard
 def ngram_jaccard_pairs(
     docs: DataFrame,

@@ -773,6 +773,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_clusters",
+    dedup.dedup_clusters_oracle_sql(),
+    doc="connected components over the LSH pair graph (iterative "
+    "min-label propagation; oracle is a recursive CTE)",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_clusters(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "doc_fingerprint",
     textops.doc_fingerprint_oracle_sql(),
     doc="document fingerprint: min shingle hash (MinHash k=1)",
