@@ -152,6 +152,33 @@ def test_purge_removes_consumed_files(spark, tmp_path):
     assert os.path.exists(tmp_path / "arch2" / "raw_coins_batch0.json")
 
 
+def test_schema_evolution_semantics(spark, tmp_path):
+    """Reference §1.4 parity: a NEW upstream field is silently dropped
+    by schema-on-read; a MISSING field yields nulls (vs. the
+    reference's pandas KeyError crash — ours degrades, documented)."""
+    import json as _json
+
+    extra = tmp_path / "raw_coins_batch9.json"
+    rows = [
+        {
+            "id": "coin-x", "symbol": "cx", "name": "X",
+            "image": "https://img/x.png", "current_price": 1.0,
+            "market_cap": 10, "market_cap_rank": 1,
+            "last_updated": "2024-01-01T00:00:00Z",
+            "brand_new_api_field": {"nested": True},  # unknown field
+            # note: most schema fields absent entirely
+        }
+    ]
+    extra.write_text(_json.dumps(rows))
+    df = read_raw_json(spark, str(extra))
+    r = df.first()
+    assert "brand_new_api_field" not in df.columns  # new field dropped
+    assert r["symbol"] == "cx"
+    assert r["max_supply"] is None  # missing field → null, no crash
+    info, metrics = split_info(normalize(df)), split_metrics(normalize(df))
+    assert info.count() == 1 and metrics.first()["max_supply"] is None
+
+
 def test_csv_compat_roundtrip(spark, raw_dir, tmp_path):
     # S6/S7: reference CSV dialect (header, comma, double-quote)
     n = normalize(read_raw_json(spark, os.path.join(raw_dir, "raw_coins_batch0.json")))
