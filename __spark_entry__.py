@@ -11,11 +11,18 @@
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-from cryptocoininsights_data_engineer_project_spark import queries as _registry
+# importable regardless of the caller's working directory
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from cryptocoininsights_data_engineer_project_spark import queries as _registry  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 

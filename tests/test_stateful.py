@@ -30,6 +30,30 @@ def _write_events(path, rows):
             )
 
 
+def test_native_session_window_agrees(spark, sf_dir):
+    """Spark's built-in session_window must produce the same sessions
+    as our gaps-and-islands operator (same gap semantics: a session
+    extends while consecutive events are <= gap apart... note
+    session_window closes at STRICTLY gap, our operator splits on
+    gap-exceeded — identical boundaries for continuous timestamps)."""
+    from pyspark.sql import functions as F
+
+    from cryptocoininsights_data_engineer_project_spark.catalog import table
+
+    events = table(spark, sf_dir, "events").withColumn(
+        "tts", F.col("ts").cast("timestamp")
+    )
+    native = (
+        events.groupBy(F.session_window("tts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("tts").alias("start"))
+        .select("user_id", "n_events", "start")
+    )
+    ours = sessionize(events, key="user_id")
+    a = {(r["user_id"], r["session_start"].isoformat(), r["n_events"]) for r in ours.collect()}
+    b = {(r["user_id"], r["start"].isoformat(), r["n_events"]) for r in native.collect()}
+    assert a == b
+
+
 def test_stateful_sessionize_matches_batch(spark, tmp_path):
     raw = tmp_path / "raw"
     raw.mkdir()
