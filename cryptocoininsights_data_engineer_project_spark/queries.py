@@ -432,6 +432,75 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q3_shipping_priority",
+    """
+SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+""",
+    doc="TPC-H Q3 shape: selective dim filter + fact join + grouped "
+    "top-k (filters pushed to all three scans)",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_q(
+    "monthly_revenue_trend",
+    """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+    round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+  round(sum(revenue) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING), 2)
+    AS cumulative_revenue
+FROM monthly
+""",
+    doc="time-series trend: monthly aggregation + running total "
+    "(cumsum over pre-rounded month sums — deterministic across "
+    "engines because the frame order is total)",
+)
+def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.sum("revenue").over(w), 2).alias("cumulative_revenue"),
+    )
+
+
 # =====================================================================
 # U1-U3 set operations
 # =====================================================================
