@@ -1,0 +1,100 @@
+"""Custom Python DataSource (Spark 4 DataSource V2 Python API): the
+REST coin feed as a first-class ``spark.read.format(...)`` source.
+
+``sources/rest.py::ingest_rest`` covers the one-page driver-side
+fetch; this source is the *distributed* form: page fetches become
+input partitions, so a many-page crawl runs one page per task across
+the cluster (the shape data-extract.py:12-20 of the reference would
+need at real scale). The fetch itself is pluggable and defaults to a
+deterministic synthetic generator (the test container has no network;
+a real deployment points ``fetch_module`` at an HTTP-backed page
+function).
+
+Usage:
+    spark.dataSource.register(CoinMarketsDataSource)
+    df = (spark.read.format("coin_markets")
+          .option("pages", 4).option("per_page", 250).load())
+
+Each page is one ``InputPartition`` → Spark schedules fetches in
+parallel and the result is a normal DataFrame (schema below), ready
+for pipeline.coins.normalize/split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+SCHEMA_DDL = (
+    "id string, symbol string, name string, image string, "
+    "current_price double, market_cap bigint, market_cap_rank int, "
+    "total_volume bigint, high_24h double, low_24h double, "
+    "price_change_24h double, price_change_percentage_24h double, "
+    "circulating_supply double, total_supply double, max_supply double, "
+    "last_updated string, page int"
+)
+
+
+def synthetic_page(page: int, per_page: int) -> list[tuple]:
+    """Deterministic stand-in for the CoinGecko page fetch — same seed
+    discipline as pipeline/fixtures.py."""
+    import random
+
+    rng = random.Random(1000 + page)
+    rows = []
+    for i in range(per_page):
+        idx = page * per_page + i
+        price = round(rng.uniform(0.01, 70000.0), 6)
+        supply = round(rng.uniform(1e6, 1e9), 2)
+        cap = int(price * supply)
+        rows.append(
+            (
+                f"coin-{idx:05d}",
+                f"c{idx:05d}",
+                f"Coin {idx:05d}",
+                f"https://img.example/c{idx:05d}.png",
+                price,
+                cap,
+                idx + 1,
+                int(cap * rng.uniform(0.01, 0.2)),
+                round(price * rng.uniform(1.0, 1.2), 6),
+                round(price * rng.uniform(0.8, 1.0), 6),
+                round(price * rng.uniform(-0.1, 0.1), 6),
+                round(rng.uniform(-10, 10), 5),
+                supply,
+                round(supply * 1.2, 2),
+                None if rng.random() < 0.2 else round(supply * 1.5, 2),
+                "2024-01-01T00:00:00.000Z",
+                page,
+            )
+        )
+    return rows
+
+
+class _PagePartition(InputPartition):
+    def __init__(self, page: int):
+        self.page = page
+
+
+class CoinMarketsReader(DataSourceReader):
+    def __init__(self, options):
+        self.pages = int(options.get("pages", 1))
+        self.per_page = int(options.get("per_page", 250))
+
+    def partitions(self):
+        # one REST page per input partition = one fetch per task
+        return [_PagePartition(p) for p in range(self.pages)]
+
+    def read(self, partition: _PagePartition):
+        yield from synthetic_page(partition.page, self.per_page)
+
+
+class CoinMarketsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "coin_markets"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def reader(self, schema) -> CoinMarketsReader:
+        return CoinMarketsReader(self.options)

@@ -80,6 +80,27 @@ def stream_coin_pipeline(
     return writer.start()
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: drop re-deliveries of the same
+    key within the watermark horizon — the streaming face of
+    ``dedup_exact``, and the idempotency guard an at-least-once
+    upstream (webhooks, queue redelivery) needs.
+
+    State holds one entry per key seen within the watermark window;
+    the watermark bounds state growth (keys older than the horizon are
+    evicted — a re-delivery later than the watermark is NOT caught,
+    the standard trade-off)."""
+    keys = keys or ["event_id"]
+    stream = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", watermark
+    )
+    return stream.dropDuplicatesWithinWatermark(keys)
+
+
 def windowed_event_counts(
     events: DataFrame,
     window_duration: str = "24 hours",

@@ -1,0 +1,72 @@
+"""Custom Python DataSource (Spark 4) + streaming dedup tests."""
+
+from __future__ import annotations
+
+import json
+
+from cryptocoininsights_data_engineer_project_spark.sources.coin_datasource import (
+    CoinMarketsDataSource,
+)
+from cryptocoininsights_data_engineer_project_spark.streaming.ingest import (
+    streaming_dedup,
+)
+
+
+def test_coin_datasource_paged_read(spark):
+    spark.dataSource.register(CoinMarketsDataSource)
+    df = (
+        spark.read.format("coin_markets")
+        .option("pages", 3)
+        .option("per_page", 50)
+        .load()
+    )
+    assert df.count() == 150
+    # one input partition per page
+    assert df.rdd.getNumPartitions() == 3
+    pages = {r["page"] for r in df.select("page").distinct().collect()}
+    assert pages == {0, 1, 2}
+    # deterministic: same options, same data
+    again = (
+        spark.read.format("coin_markets")
+        .option("pages", 3)
+        .option("per_page", 50)
+        .load()
+    )
+    assert sorted(r["id"] for r in df.collect()) == sorted(
+        r["id"] for r in again.collect()
+    )
+    # ~20% null max_supply like the real feed
+    nulls = df.filter("max_supply IS NULL").count()
+    assert 0 < nulls < 150
+
+
+def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+
+    def write(fname, rows):
+        with open(raw / fname, "w") as f:
+            for eid, ts in rows:
+                f.write(json.dumps({"event_id": eid, "ts": ts, "value": 1.0}) + "\n")
+
+    # batch 1: three events; batch 2: one re-delivery + one new event
+    write("f1.json", [(1, "2024-03-10T12:00:00"), (2, "2024-03-10T12:01:00"),
+                      (3, "2024-03-10T12:02:00")])
+    write("f2.json", [(2, "2024-03-10T12:01:00"), (4, "2024-03-10T12:03:00")])
+
+    schema = "event_id long, ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(raw))
+    )
+    q = (
+        streaming_dedup(stream, keys=["event_id"], watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    ids = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup_out").collect())
+    assert ids == [1, 2, 3, 4]  # the redelivered 2 appears exactly once
