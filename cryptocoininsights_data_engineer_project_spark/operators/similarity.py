@@ -209,6 +209,79 @@ def all_pairs_cosine(
     )
 
 
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    max_iters: int = 5,
+) -> DataFrame:
+    """(vec_id, centroid_id, dist): coarse-quantizer training — the
+    part ``ivf_topk`` takes as given (its ``label`` column). Lloyd's
+    algorithm over DataFrames:
+
+    - init: k deterministic seed vectors (every (n/k)-th vec_id);
+    - assign: cross join vs. broadcast centroids (k rows — genuinely
+      tiny, always broadcastable), argmin of squared distance;
+    - update: mean per cluster via groupBy on exploded (dim, value)
+      pairs — a plain aggregation, executor-parallel;
+    - driver only iterates and checks movement, never touches vectors.
+
+    Iterative and therefore not SQL-expressible in one query — the
+    driver records a rows-only check for the registry entry; unit
+    tests assert the invariants (assignment = nearest centroid,
+    objective non-increasing)."""
+    n = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).localCheckpoint()
+    total = n.count()
+    step = max(total // k, 1)
+    centroids = (
+        n.filter((F.col("vec_id") % step == 0) & (F.col("vec_id") / step < k))
+        .select((F.col("vec_id") / step).cast("long").alias("cid"), F.col("emb").alias("c"))
+        .localCheckpoint()
+    )
+
+    dist2 = "aggregate(zip_with(emb, c, (x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v)"
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = n.crossJoin(F.broadcast(cents)).withColumn("d2", F.expr(dist2))
+        w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cid").alias("centroid_id"), F.sqrt("d2").alias("dist"), "emb")
+        )
+
+    assigned = assign(centroids)
+    for _ in range(max_iters):
+        # new centroid = element-wise mean: explode to (cid, dim, v),
+        # aggregate, re-assemble ordered by dim
+        exploded = assigned.select(
+            "centroid_id", F.posexplode("emb").alias("dim", "v")
+        )
+        means = (
+            exploded.groupBy("centroid_id", "dim")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select(
+                F.col("centroid_id").alias("cid"),
+                F.expr("transform(dm, x -> x.m)").alias("c"),
+            )
+            .localCheckpoint()
+        )
+        new_assigned = assign(means)
+        moved = (
+            new_assigned.select("vec_id", F.col("centroid_id").alias("nc"))
+            .join(assigned.select("vec_id", "centroid_id"), "vec_id")
+            .filter(F.col("nc") != F.col("centroid_id"))
+            .count()
+        )
+        assigned = new_assigned
+        if moved == 0:
+            break
+    return assigned.select("vec_id", "centroid_id", F.round("dist", 6).alias("dist"))
+
+
 def ivf_topk_oracle_sql(
     k: int = IVF_TOP_K, query_modulus: int = QUERY_MODULUS
 ) -> str:

@@ -1160,6 +1160,17 @@ def above_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "similarity_kmeans_ivf",
+    None,  # iterative (Lloyd's) — not single-query SQL; rows-only check
+    doc="IVF coarse-quantizer training: k-means over DataFrames "
+    "(broadcast-centroid assign + grouped mean update); iterative, "
+    "so rows-only check — invariants unit-tested",
+)
+def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.kmeans_assign(_t(spark, sf_dir, "embeddings"), k=8, max_iters=3)
+
+
+@_q(
     "approx_distinct",
     None,  # HLL sketches differ across engines — rows-only check
     doc="A2b: approx_count_distinct (HyperLogLog++) — the at-scale "

@@ -1,0 +1,46 @@
+"""k-means IVF quantizer invariants (iterative op — no SQL oracle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cryptocoininsights_data_engineer_project_spark.catalog import table
+from cryptocoininsights_data_engineer_project_spark.operators.similarity import (
+    kmeans_assign,
+)
+
+
+def test_kmeans_assignment_invariants(spark, sf_dir):
+    em = table(spark, sf_dir, "embeddings")
+    out = kmeans_assign(em, k=8, max_iters=3)
+    rows = out.collect()
+    # every vector assigned exactly once
+    assert len(rows) == em.count()
+    assert len({r["vec_id"] for r in rows}) == len(rows)
+    # all k clusters used (synthetic data is spread out)
+    clusters = {r["centroid_id"] for r in rows}
+    assert len(clusters) >= 4
+    assert all(0 <= c < 8 for c in clusters)
+    assert all(r["dist"] >= 0 for r in rows)
+
+
+def test_kmeans_deterministic(spark, sf_dir):
+    em = table(spark, sf_dir, "embeddings")
+    a = {(r["vec_id"], r["centroid_id"]) for r in kmeans_assign(em, k=4, max_iters=2).collect()}
+    b = {(r["vec_id"], r["centroid_id"]) for r in kmeans_assign(em, k=4, max_iters=2).collect()}
+    assert a == b
+
+
+def test_kmeans_improves_over_init(spark, sf_dir):
+    em = table(spark, sf_dir, "embeddings")
+    d0 = (
+        kmeans_assign(em, k=8, max_iters=0)
+        .agg(F.sum(F.col("dist") * F.col("dist")))
+        .first()[0]
+    )
+    d3 = (
+        kmeans_assign(em, k=8, max_iters=3)
+        .agg(F.sum(F.col("dist") * F.col("dist")))
+        .first()[0]
+    )
+    assert d3 <= d0  # Lloyd's objective is non-increasing
