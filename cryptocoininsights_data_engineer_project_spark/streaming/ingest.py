@@ -80,6 +80,21 @@ def stream_coin_pipeline(
     return writer.start()
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a (batch) dimension —
+    the streaming face of the star join (J3). Spark re-plans the
+    static side per micro-batch, so slowly-changing dims refresh
+    without restarting the query; a bounded dim broadcasts (the same
+    rule as batch: broadcast what the world bounds, let AQE handle the
+    rest)."""
+    return stream.join(dim, on, how)
+
+
 def streaming_dedup(
     events: DataFrame,
     keys: list[str] | None = None,

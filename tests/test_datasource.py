@@ -40,6 +40,40 @@ def test_coin_datasource_paged_read(spark):
     assert 0 < nulls < 150
 
 
+def test_stream_static_enrichment(spark, tmp_path, sf_dir):
+    # stream of synthetic order events enriched with the static
+    # customer dim — the streaming star join (J3/T-series)
+    from cryptocoininsights_data_engineer_project_spark.catalog import table
+    from cryptocoininsights_data_engineer_project_spark.streaming.ingest import (
+        enrich_stream,
+    )
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    with open(raw / "orders.json", "w") as f:
+        for i, cust in enumerate([0, 1, 2, 99999]):  # last one unmatched
+            f.write(json.dumps({"order_id": i, "c_custkey": cust, "amt": 10.0 * i}) + "\n")
+
+    customers = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    stream = spark.readStream.schema("order_id long, c_custkey long, amt double").json(
+        str(raw)
+    )
+    q = (
+        enrich_stream(stream, customers, on="c_custkey")
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = {r["order_id"]: r["c_mktsegment"] for r in spark.sql("SELECT * FROM enriched").collect()}
+    assert len(rows) == 4
+    assert rows[3] is None  # unmatched key survives (left join)
+    assert all(v is not None for k, v in rows.items() if k < 3)
+
+
 def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
     raw = tmp_path / "raw"
     raw.mkdir()
