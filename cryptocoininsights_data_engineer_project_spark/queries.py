@@ -907,6 +907,64 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.multimodal_meta(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "unpivot_measures",
+    """
+SELECT l_orderkey, l_linenumber, metric, value FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+)
+""",
+    doc="wide→long reshaping (unpivot/melt): one scan with an Expand "
+    "node, not three self-unions",
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).withColumn(
+        "metric", F.expr("substring(metric, 3)")  # l_quantity → quantity
+    )
+
+
+@_q(
+    "fuzzy_name_match",
+    """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+""",
+    doc="fuzzy string matching: edit-distance pairs blocked by brand "
+    "(the equi-join block keeps the pair space linear per block)",
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = p.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(b, "brand")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 3)
+        .select("key_a", "key_b", "edit_dist")
+    )
+
+
 # =====================================================================
 # Custom operators beyond the reference surface
 # =====================================================================
