@@ -95,6 +95,41 @@ def enrich_stream(
     return stream.join(dim, on, how)
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    interval: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join within a time interval — the streaming
+    twin of the batch range join (range_join_counts): match right rows
+    whose timestamp falls within ±interval of a left row with the same
+    key.
+
+    Both sides carry watermarks so Spark can bound the join state:
+    buffered rows are evicted once the other side's watermark passes
+    their timestamp + interval. Without the time-range condition the
+    state would grow forever — the range predicate IS the state bound.
+    """
+    l = (
+        left.withColumn("l_ts", F.col("ts").cast("timestamp"))
+        .withColumnRenamed(key, "l_key")
+        .withWatermark("l_ts", watermark)
+    )
+    r = (
+        right.withColumn("r_ts", F.col("ts").cast("timestamp"))
+        .withColumnRenamed(key, "r_key")
+        .withWatermark("r_ts", watermark)
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.expr(f"l_ts - INTERVAL {interval}"))
+        & (F.col("r_ts") <= F.expr(f"l_ts + INTERVAL {interval}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def streaming_dedup(
     events: DataFrame,
     keys: list[str] | None = None,

@@ -40,6 +40,44 @@ def test_coin_datasource_paged_read(spark):
     assert 0 < nulls < 150
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    # errors stream joined to purchases stream within ±1h per user —
+    # the streaming twin of the batch range_join_counts query
+    from cryptocoininsights_data_engineer_project_spark.streaming.ingest import (
+        interval_join_streams,
+    )
+
+    errs = tmp_path / "errs"
+    purch = tmp_path / "purch"
+    errs.mkdir()
+    purch.mkdir()
+    with open(errs / "e.json", "w") as f:
+        f.write(json.dumps({"event_id": 1, "user_id": 7, "ts": "2024-03-10T12:00:00"}) + "\n")
+        f.write(json.dumps({"event_id": 2, "user_id": 8, "ts": "2024-03-10T12:00:00"}) + "\n")
+    with open(purch / "p.json", "w") as f:
+        f.write(json.dumps({"event_id": 10, "user_id": 7, "ts": "2024-03-10T12:30:00"}) + "\n")  # in window
+        f.write(json.dumps({"event_id": 11, "user_id": 7, "ts": "2024-03-10T15:00:00"}) + "\n")  # outside
+        f.write(json.dumps({"event_id": 12, "user_id": 9, "ts": "2024-03-10T12:10:00"}) + "\n")  # wrong user
+
+    schema = "event_id long, user_id long, ts timestamp"
+    l = spark.readStream.schema(schema).json(str(errs))
+    r = spark.readStream.schema(schema).json(str(purch))
+    joined = interval_join_streams(l, r, key="user_id").select(
+        l.event_id.alias("err_id"), r.event_id.alias("purch_id")
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("sxs_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {(r["err_id"], r["purch_id"]) for r in spark.sql("SELECT * FROM sxs_join").collect()}
+    assert got == {(1, 10)}  # only the in-window same-user pair
+
+
 def test_stream_static_enrichment(spark, tmp_path, sf_dir):
     # stream of synthetic order events enriched with the static
     # customer dim — the streaming star join (J3/T-series)
