@@ -166,6 +166,85 @@ def token_count_oracle_sql() -> str:
     )
 
 
+# ---------------------------------------------------------------- winnowing
+# pos fits in 20 bits (docs ≤ ~1M tokens); (h % P) < 2^31 → packed
+# (h << 20 | pos) < 2^51, safely in int64, and integer MIN over the
+# packed value IS the lexicographic (h, pos) minimum winnowing wants.
+_POS_BITS = 20
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 4, window: int = 5) -> DataFrame:
+    """(doc_id, n_fps, min_fp): winnowing fingerprint selection
+    (Schleimer/Wilkerson/Aiken, the MOSS algorithm): hash all k-token
+    shingles, slide a window of ``window`` consecutive hashes, keep
+    each window's minimum (rightmost-on-ties via the position
+    tiebreak), dedupe. Guarantees any match of length >= window+k-1
+    shares a fingerprint, with ~2/(window+1) selection density —
+    the principled sparse fingerprint for large-corpus dedup.
+
+    Shuffle profile: one explode + two grouped aggregations; the
+    sliding min is a per-doc window frame (ROWS BETWEEN CURRENT AND
+    window-1 FOLLOWING) — no joins."""
+    from pyspark.sql import Window as W
+
+    from ..functions.hashing import HASH_PRIME
+
+    toks = docs.select("doc_id", F.expr(spark_tokens("text")).alias("ws"))
+    idx = toks.select("doc_id", "ws", F.posexplode("ws").alias("i", "_t"))
+    shingle_sql = "concat_ws(' ', " + ", ".join(f"ws[i + {j}]" for j in range(k)) + ")"
+    hashed = (
+        idx.filter(F.expr(f"i + {k} <= size(ws)"))
+        .select(
+            "doc_id",
+            "i",
+            F.expr(f"({spark_hash64(shingle_sql)} % {HASH_PRIME}L)").alias("h"),
+        )
+        .withColumn("packed", F.expr(f"h * {1 << _POS_BITS}L + i"))
+    )
+    w = W.partitionBy("doc_id").orderBy("i").rowsBetween(0, window - 1)
+    selected = (
+        hashed.withColumn("win_min", F.min("packed").over(w))
+        # the last window-1 positions start incomplete windows; a full
+        # window exists while i <= n_shingles - window — enforce via
+        # count over the same frame
+        .withColumn("win_n", F.count("packed").over(w))
+        .filter(F.col("win_n") == window)
+        .select("doc_id", "win_min")
+        .distinct()
+    )
+    return selected.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.min(F.expr(f"win_min div {1 << _POS_BITS}L")).alias("min_fp"),
+    )
+
+
+def winnow_oracle_sql(k: int = 4, window: int = 5) -> str:
+    from ..functions.hashing import HASH_PRIME, duck_hash64
+
+    parts = " || ' ' || ".join(f"ws[i + {j}]" for j in range(k))
+    return f"""
+WITH toks AS (SELECT doc_id, {duck_tokens('text')} AS ws FROM documents),
+sh AS (
+  SELECT doc_id, i, ({duck_hash64(f"({parts})")} % {HASH_PRIME}::BIGINT)
+           * {1 << _POS_BITS}::BIGINT + i AS packed
+  FROM toks, UNNEST(generate_series(1, len(ws) - {k - 1})) AS g(i)
+  WHERE len(ws) >= {k}
+),
+wins AS (
+  SELECT doc_id,
+    min(packed) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS win_min,
+    count(packed) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS win_n
+  FROM sh
+),
+sel AS (SELECT DISTINCT doc_id, win_min FROM wins WHERE win_n = {window})
+SELECT doc_id, count(*) AS n_fps,
+  CAST(min(win_min // {1 << _POS_BITS}) AS BIGINT) AS min_fp
+FROM sel GROUP BY doc_id
+"""
+
+
 # -------------------------------------------------------------- fingerprint
 def doc_fingerprint(docs: DataFrame, w: int = 4) -> DataFrame:
     """(doc_id, fingerprint): min over w-shingle hashes — MinHash k=1.

@@ -852,6 +852,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "doc_winnow",
+    textops.winnow_oracle_sql(),
+    doc="winnowing fingerprint selection (MOSS): sliding-window "
+    "lexicographic-min over shingle hashes via integer packing — "
+    "guaranteed-coverage sparse fingerprints for corpus dedup",
+)
+def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "doc_fingerprint",
     textops.doc_fingerprint_oracle_sql(),
     doc="document fingerprint: min shingle hash (MinHash k=1)",
@@ -905,6 +916,65 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.multimodal_meta(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "q7_volume_by_nations",
+    """
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+  CAST(year(l_shipdate) AS INT) AS ship_year,
+  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0
+    AS volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE cn.n_regionkey != sn.n_regionkey
+GROUP BY cn.n_name, sn.n_name, year(l_shipdate)
+""",
+    doc="TPC-H Q7 shape: double-role dimension (nation joined twice "
+    "under different aliases), cross-region trade volume by year",
+)
+def q7_volume_by_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = F.broadcast(n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"),
+        F.col("n_regionkey").alias("c_rk"),
+    ))
+    sn = F.broadcast(n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"),
+        F.col("n_regionkey").alias("s_rk"),
+    ))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(cn, c.c_nationkey == F.col("c_nk"))
+        .join(sn, s.s_nationkey == F.col("s_nk"))
+        .filter(F.col("c_rk") != F.col("s_rk"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year"))
+        # sum in integer CENTS: per-row scale-0 rounding of identical
+        # doubles agrees across engines, and integer sums are
+        # order-independent — unlike round-after-double-sum, which can
+        # flip on groups whose sum sits within ulp of a .xx5 boundary
+        # (~1/1000 groups at this group count)
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                    ).cast("long")
+                )
+                / 100.0
+            ).alias("volume")
+        )
+    )
 
 
 @_q(
