@@ -1009,15 +1009,24 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
   CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
-FROM part a JOIN part b
+FROM (SELECT * FROM part WHERE p_size <= 20) a
+JOIN (SELECT * FROM part WHERE p_size <= 20) b
   ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-WHERE levenshtein(a.p_name, b.p_name) <= 3
+WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
+  AND levenshtein(a.p_name, b.p_name) <= 3
 """,
     doc="fuzzy string matching: edit-distance pairs blocked by brand "
     "(the equi-join block keeps the pair space linear per block)",
 )
 def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    # scope: small parts (p_size <= 20) — the operator's cost is the
+    # blocked pair space; at full 100 TB scale the block key would be
+    # a fingerprint prefix (doc_winnow), not just brand
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 20)
+        .select("p_partkey", "p_brand", "p_name")
+    )
     a = p.select(
         F.col("p_partkey").alias("key_a"), F.col("p_brand").alias("brand"),
         F.col("p_name").alias("name_a"),
@@ -1029,6 +1038,9 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "brand")
         .filter(F.col("key_a") < F.col("key_b"))
+        # lossless pre-filter: edit distance >= length difference, so
+        # the cheap length band removes most pairs before levenshtein
+        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= 3)
         .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("edit_dist") <= 3)
         .select("key_a", "key_b", "edit_dist")
