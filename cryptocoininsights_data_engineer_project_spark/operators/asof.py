@@ -95,3 +95,82 @@ def asof_join(
         *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
         *[F.col(f"__f_{c}").alias(f"{prefix}{c}") for c in payload_cols],
     )
+
+
+def asof_join_within(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    right_pred,
+    payload_cols: Sequence[str],
+    right_order: Sequence[str] = (),
+    left_cols: Sequence[str] | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward strict as-of join where the right side is a filtered
+    subset of the SAME DataFrame — single scan, single shuffle.
+
+    Every row is a left row; rows matching ``right_pred`` additionally
+    act as right rows. Instead of scanning the source twice and
+    shuffling twice (once to dedupe the right side, once for the as-of
+    window), each matching row is exploded into a (left-copy,
+    right-copy) pair from one scan, and ONE window does both jobs:
+
+    - strict ``<``: at equal ts the left copy sorts before right
+      copies (tag desc), so same-timestamp right rows are outside the
+      running frame;
+    - dedupe-to-latest: among right copies with equal (keys, ts),
+      ``right_order`` ascending puts the winner last, and the payload
+      travels as ONE struct so all its fields come from that same
+      winning row (`arg_max` semantics — no per-column divergence).
+
+    At 100 TB this halves the source scan and drops an exchange+sort
+    of the full right side; the explode only doubles the (typically
+    sparse) right-matching rows, not the whole table.
+    """
+    keys = list(keys)
+    payload_cols = list(payload_cols)
+    left_cols = list(left_cols) if left_cols is not None else list(df.columns)
+    order_cols = [c for c in right_order if c not in (*keys, ts)]
+
+    tagged = (
+        df.select(
+            *keys,
+            F.col(ts).alias("__ts"),
+            *[F.col(c).alias(f"__o_{c}") for c in order_cols],
+            F.struct(*[F.col(c) for c in left_cols]).alias("__lrow"),
+            F.when(right_pred, F.struct(*[F.col(c) for c in payload_cols])).alias("__rpay"),
+        )
+        .withColumn(
+            "__tag",
+            F.explode(
+                F.when(F.col("__rpay").isNotNull(), F.array(F.lit(1), F.lit(0))).otherwise(
+                    F.array(F.lit(1))
+                )
+            ),
+        )
+        # the left copy of a right-matching row must not see its own
+        # payload (it would match at ts == ts, breaking strict '<')
+        .withColumn("__rpay", F.when(F.col("__tag") == 0, F.col("__rpay")))
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(
+            F.col("__ts").asc(),
+            F.col("__tag").desc(),
+            *[F.col(f"__o_{c}").asc() for c in order_cols],
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        tagged.select(
+            "__tag",
+            "__lrow",
+            F.last("__rpay", ignorenulls=True).over(w).alias("__f"),
+        )
+        .filter(F.col("__tag") == 1)
+    )
+    return filled.select(
+        *[F.col(f"__lrow.{c}").alias(c) for c in left_cols],
+        *[F.col(f"__f.{c}").alias(f"{prefix}{c}") for c in payload_cols],
+    )

@@ -1063,19 +1063,20 @@ SELECT e.event_id, e.user_id,
 FROM events e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts > r.ts
 """,
     doc="as-of join (backward, strict): latest prior purchase per event "
-    "— union + ignore-nulls window, one shuffle (operators/asof.py)",
+    "— single-scan explode + ignore-nulls window, one shuffle "
+    "(operators/asof.py::asof_join_within; the two-input general form "
+    "is asof.asof_join)",
 )
 def asof_prev_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type", "value")
-    purchases = merge.dedupe_latest(
-        e.filter(F.col("event_type") == "purchase"), ["user_id", "ts"], ["event_id"]
-    ).select("user_id", "ts", "event_id", "value")
-    joined = asof.asof_join(
-        e.select("event_id", "user_id", "ts"),
-        purchases,
+    joined = asof.asof_join_within(
+        e,
         keys=["user_id"],
         ts="ts",
+        right_pred=F.col("event_type") == "purchase",
         payload_cols=["event_id", "value"],
+        right_order=["event_id"],
+        left_cols=["event_id", "user_id"],
     )
     return joined.select("event_id", "user_id", "asof_event_id", "asof_value")
 
