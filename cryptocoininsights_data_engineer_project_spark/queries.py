@@ -978,6 +978,80 @@ def q7_volume_by_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q8_market_share",
+    """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+  round(
+    sum(CASE WHEN sn.n_name = 'NATION_4'
+        THEN CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+        ELSE 0 END)
+    / sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)),
+  6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY year(o_orderdate)
+""",
+    doc="TPC-H Q8 shape: national market share inside a region — "
+    "8-table snowflake with two nation roles; every dimension "
+    "broadcast, selective filters pushed to the part/orders scans, "
+    "cent-exact conditional/total sums so the ratio is "
+    "order-independent",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp_ntz"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        # integer-cent sums (see q7) keep both the conditional national
+        # sum and the regional total order-independent, so the ratio is
+        # bit-identical across engines before the final round
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_4", cents).otherwise(
+                        F.lit(0)
+                    )
+                )
+                / F.sum(cents),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@_q(
     "unpivot_measures",
     """
 SELECT l_orderkey, l_linenumber, metric, value FROM (
