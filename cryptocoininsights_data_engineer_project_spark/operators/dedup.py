@@ -268,10 +268,13 @@ def dedup_clusters(docs: DataFrame) -> DataFrame:
     fixpoint). This is the standard large-scale CC shape (GraphX/
     Pregel's simplest program) without needing a graph library.
     """
-    pairs = minhash_candidate_pairs(docs)
+    # materialize the pairs BEFORE the symmetrizing self-union: the two
+    # union branches share no exchange, so an uncheckpointed union
+    # re-runs the whole shingle→minhash→band pipeline once per side
+    pairs = minhash_candidate_pairs(docs).localCheckpoint()
     # symmetric edge list, materialized ONCE — every propagation round
     # joins against it, and without the checkpoint each round would
-    # re-run the whole shingle→minhash→band pipeline from the scan
+    # re-run the pair pipeline from the scan
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
