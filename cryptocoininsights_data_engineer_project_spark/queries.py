@@ -1052,6 +1052,86 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q2_min_cost_supplier",
+    """
+WITH cost AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), offers AS (
+  SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
+         unit_cost,
+         min(unit_cost) OVER (PARTITION BY p_partkey) AS best_cost
+  FROM cost
+  JOIN eu ON suppkey = s_suppkey
+  JOIN part ON partkey = p_partkey
+  WHERE p_size <= 10
+)
+SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
+       round(unit_cost, 6) AS unit_cost
+FROM offers WHERE unit_cost = best_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+LIMIT 100
+""",
+    doc="TPC-H Q2 shape: cheapest in-region supplier per part — the "
+    "correlated min subquery decorrelated to a window over the joined "
+    "relation (one pass, no re-join against the aggregate); unit cost "
+    "derived from lineitem since the schema has no partsupp. The "
+    "min/equality runs on exact doubles (selection, not summation, so "
+    "engines agree bit-for-bit); rounding only on output",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    cost = (
+        li.groupBy(
+            F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+        ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        cost.join(F.broadcast(eu), cost.suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(p), cost.partkey == F.col("p_partkey"))
+        .withColumn(
+            "best_cost", F.min("unit_cost").over(Window.partitionBy("p_partkey"))
+        )
+    )
+    return (
+        offers.filter(F.col("unit_cost") == F.col("best_cost"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_suppkey",
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            "n_name",
+            "s_name",
+            "p_partkey",
+            "s_suppkey",
+        )
+        .limit(100)
+    )
+
+
+@_q(
     "unpivot_measures",
     """
 SELECT l_orderkey, l_linenumber, metric, value FROM (
