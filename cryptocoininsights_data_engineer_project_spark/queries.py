@@ -258,6 +258,37 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "grouping_sets_agg",
+    """
+SELECT l_returnflag, l_linestatus,
+  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+""",
+    doc="A4c: arbitrary grouping sets in one pass (an Expand node with "
+    "exactly the requested 3 set projections — unlike cube's full "
+    "power set); grouping_id disambiguates real NULLs from subtotal "
+    "rows",
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"]],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+    )
+
+
+@_q(
     "cube_agg",
     """
 SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
@@ -1257,6 +1288,61 @@ WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) >= 0.45
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.all_pairs_cosine_blas(
         _t(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+@_q(
+    "time_weighted_avg",
+    """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), d AS (
+  SELECT user_id, tu, cents,
+         COALESCE(lead(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) - tu, 0) AS dt
+  FROM e
+)
+SELECT user_id,
+  round(CAST(sum(CAST(cents AS HUGEINT) * dt) AS DOUBLE)
+        / (100.0 * (max(tu) - min(tu))), 6) AS twa_value
+FROM d GROUP BY user_id HAVING max(tu) > min(tu)
+""",
+    doc="time-weighted average per key over an irregular time series "
+    "(last-observation-carried-forward weighting): one window for the "
+    "lead-gap, one grouped aggregation. Inner sum runs on exact "
+    "integers (cents x microseconds, 128-bit) so engines agree "
+    "bit-for-bit; floats only at the final division",
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("tu"),
+            F.round(F.col("value") * 100, 0).cast("decimal(38,0)").alias("cents"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    d = e.withColumn(
+        "dt", F.coalesce(F.lead("tu").over(w) - F.col("tu"), F.lit(0))
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.sum(F.col("cents") * F.col("dt")).alias("num"),
+            F.max("tu").alias("mx"),
+            F.min("tu").alias("mn"),
+        )
+        .filter(F.col("mx") > F.col("mn"))
+        .select(
+            "user_id",
+            F.round(
+                F.col("num").cast("double") / (100.0 * (F.col("mx") - F.col("mn"))), 6
+            ).alias("twa_value"),
+        )
     )
 
 
