@@ -883,6 +883,51 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "doc_chunks",
+    """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), s AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws), 24)) AS start FROM t
+)
+SELECT doc_id, CAST((start - 1) // 24 AS BIGINT) AS chunk_id,
+  CAST(len(ws[start : start + 31]) AS INT) AS n_tokens,
+  array_to_string(ws[start : start + 31], ' ') AS chunk_text
+FROM s
+""",
+    doc="fixed-window document chunking with stride (32-token chunks, "
+    "24-token stride = 25% overlap): split + posexplode over the "
+    "start sequence + slice — a pure narrow projection at scan speed, "
+    "no shuffle. The UDTF twin (functions/udtfs.py::ChunkDoc) covers "
+    "the Spark 4 table-function API surface; tests pin it equal",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    )
+    return (
+        d.select(
+            "doc_id",
+            "ws",
+            F.posexplode(F.expr("sequence(1, size(ws), 24)")).alias(
+                "chunk_id", "start"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.expr("slice(ws, start, 32)").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("toks").alias("n_tokens"),
+            F.array_join("toks", " ").alias("chunk_text"),
+        )
+    )
+
+
+@_q(
     "doc_winnow",
     textops.winnow_oracle_sql(),
     doc="winnowing fingerprint selection (MOSS): sliding-window "

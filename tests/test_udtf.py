@@ -1,0 +1,38 @@
+"""The ChunkDoc UDTF (API-surface demo) must emit exactly what the
+built-in doc_chunks operator emits — same windows, same text."""
+
+from __future__ import annotations
+
+from cryptocoininsights_data_engineer_project_spark.functions import udtfs
+from cryptocoininsights_data_engineer_project_spark.queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_udtf_matches_builtin_chunking(spark):
+    udtfs.register(spark)
+    builtin = REGISTRY["doc_chunks"].fn(spark, SF_DIR)
+    docs = builtin.sparkSession.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.createOrReplaceTempView("__udtf_docs")
+    via_udtf = spark.sql(
+        "SELECT d.doc_id, c.chunk_id, c.n_tokens, c.chunk_text "
+        "FROM __udtf_docs d, LATERAL chunk_doc(d.text) c"
+    )
+    cols = ["doc_id", "chunk_id", "n_tokens", "chunk_text"]
+    a = sorted(map(str, builtin.select(cols).collect()))
+    b = sorted(map(str, via_udtf.select(cols).collect()))
+    assert a == b
+    assert len(a) > 0
+
+
+def test_udtf_empty_and_null_text(spark):
+    udtfs.register(spark)
+    df = spark.createDataFrame([(1, "a b c"), (2, None)], "doc_id long, text string")
+    df.createOrReplaceTempView("__udtf_tiny")
+    rows = spark.sql(
+        "SELECT d.doc_id, c.* FROM __udtf_tiny d, LATERAL chunk_doc(d.text) c"
+    ).collect()
+    # NULL text emits no rows; short text emits one short chunk
+    assert [(r.doc_id, r.chunk_id, r.n_tokens, r.chunk_text) for r in rows] == [
+        (1, 0, 3, "a b c")
+    ]
