@@ -22,7 +22,12 @@ for pipeline.coins.normalize/split.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 SCHEMA_DDL = (
     "id string, symbol string, name string, image string, "
@@ -98,3 +103,48 @@ class CoinMarketsDataSource(DataSource):
 
     def reader(self, schema) -> CoinMarketsReader:
         return CoinMarketsReader(self.options)
+
+    def streamReader(self, schema) -> "CoinMarketsStreamReader":
+        return CoinMarketsStreamReader(self.options)
+
+
+class CoinMarketsStreamReader(DataSourceStreamReader):
+    """Micro-batch stream over the paged feed: offsets are page
+    numbers, each micro-batch ingests the pages published since the
+    last committed offset, one page per input partition (one fetch per
+    task — the same distribution story as the batch reader).
+
+    Exactly-once comes from Spark's offset log: a failed batch replays
+    the SAME [start, end) page window (the fetch is idempotent), and a
+    restart resumes from the committed offset. ``latestOffset`` MUST
+    be a monotonic high-water mark derived from the feed itself — a
+    reader-local counter would reset on restart and report an offset
+    behind the checkpoint, corrupting the offset sequence. Here the
+    high-water mark is ``max_pages`` (the whole synthetic feed is
+    "published"); a live deployment returns the feed's current page
+    count, and per-batch admission control (Kafka's
+    maxOffsetsPerTrigger analog) belongs in that function — e.g.
+    ``min(feed_hwm, committed + K)`` with ``committed`` tracked via
+    ``commit()``, never below it.
+    """
+
+    def __init__(self, options):
+        self.per_page = int(options.get("per_page", 250))
+        self.max_pages = int(options.get("max_pages", 8))
+
+    def initialOffset(self):
+        return {"page": 0}
+
+    def latestOffset(self):
+        return {"page": self.max_pages}
+
+    def partitions(self, start, end):
+        return [_PagePartition(p) for p in range(start["page"], end["page"])]
+
+    def read(self, partition: _PagePartition):
+        yield from synthetic_page(partition.page, self.per_page)
+
+    def commit(self, end):
+        # source-side cleanup hook: nothing to prune for an idempotent
+        # REST page fetch
+        pass

@@ -142,3 +142,33 @@ def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
     q.awaitTermination(300)
     ids = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup_out").collect())
     assert ids == [1, 2, 3, 4]  # the redelivered 2 appears exactly once
+
+
+def test_coin_datasource_streaming_read(spark, tmp_path):
+    spark.dataSource.register(CoinMarketsDataSource)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("coin_markets")
+            .option("per_page", 20)
+            .option("max_pages", 4)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    out = spark.read.parquet(out_dir)
+    # 4 pages x 20 rows, each page ingested exactly once
+    assert out.count() == 80
+    pages = sorted(r["page"] for r in out.select("page").distinct().collect())
+    assert pages == [0, 1, 2, 3]
+    # restart from the same checkpoint: offsets are committed, no replay,
+    # no duplicates in the sink
+    run_once()
+    assert spark.read.parquet(out_dir).count() == 80
