@@ -216,70 +216,101 @@ def kmeans_assign(
 ) -> DataFrame:
     """(vec_id, centroid_id, dist): coarse-quantizer training — the
     part ``ivf_topk`` takes as given (its ``label`` column). Lloyd's
-    algorithm over DataFrames:
+    algorithm, shuffle-free:
 
     - init: k deterministic seed vectors (every (n/k)-th vec_id);
-    - assign: cross join vs. broadcast centroids (k rows — genuinely
-      tiny, always broadcastable), argmin of squared distance;
-    - update: mean per cluster via groupBy on exploded (dim, value)
-      pairs — a plain aggregation, executor-parallel;
-    - driver only iterates and checks movement, never touches vectors.
+    - per iteration: centroids broadcast as one numpy array; a single
+      ``mapInPandas`` pass assigns every vector (vectorized argmin of
+      squared distance, ties to the lowest centroid id) and emits only
+      per-partition PARTIAL SUMS — k x (64 + 1) floats per partition,
+      regardless of data size. The driver combines the k x P partials,
+      forms new means (empty clusters keep their old centroid), and
+      checks movement — no shuffle, no join, no extra convergence job;
+    - final pass: same broadcast-assign, emitting the assignment rows.
 
+    At 100 TB each iteration is one scan at memory bandwidth with
+    k*65*P floats of driver traffic; the old crossJoin+window form
+    amplified the data k-fold through a shuffle per iteration.
     Iterative and therefore not SQL-expressible in one query — the
     driver records a rows-only check for the registry entry; unit
-    tests assert the invariants (assignment = nearest centroid,
-    objective non-increasing)."""
+    tests assert the invariants (determinism, all-assigned,
+    objective non-increasing).
+    """
+    import numpy as np
+    import pandas as pd
+
     n = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     ).localCheckpoint()
     total = n.count()
     step = max(total // k, 1)
-    centroids = (
+    seeds = (
         n.filter((F.col("vec_id") % step == 0) & (F.col("vec_id") / step < k))
-        .select((F.col("vec_id") / step).cast("long").alias("cid"), F.col("emb").alias("c"))
-        .localCheckpoint()
+        .select((F.col("vec_id") / step).cast("long").alias("cid"), "emb")
+        .collect()
     )
+    cents = np.stack([r.emb for r in sorted(seeds, key=lambda r: r.cid)])
+    sc = embeddings.sparkSession.sparkContext
 
-    dist2 = "aggregate(zip_with(emb, c, (x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v)"
-
-    def assign(cents: DataFrame) -> DataFrame:
-        scored = n.crossJoin(F.broadcast(cents)).withColumn("d2", F.expr(dist2))
-        w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", F.col("cid").alias("centroid_id"), F.sqrt("d2").alias("dist"), "emb")
-        )
-
-    assigned = assign(centroids)
     for _ in range(max_iters):
-        # new centroid = element-wise mean: explode to (cid, dim, v),
-        # aggregate, re-assemble ordered by dim
-        exploded = assigned.select(
-            "centroid_id", F.posexplode("emb").alias("dim", "v")
-        )
-        means = (
-            exploded.groupBy("centroid_id", "dim")
-            .agg(F.avg("v").alias("m"))
-            .groupBy("centroid_id")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-            .select(
-                F.col("centroid_id").alias("cid"),
-                F.expr("transform(dm, x -> x.m)").alias("c"),
+        bc = sc.broadcast(cents)
+
+        def partial_sums(batches):
+            c = bc.value
+            kk, dim = c.shape
+            sums = np.zeros((kk, dim))
+            counts = np.zeros(kk, dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.stack(pdf["emb"].to_numpy())
+                d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+                cid = d2.argmin(1)  # ties -> lowest centroid id
+                np.add.at(sums, cid, m)
+                np.add.at(counts, cid, 1)
+            yield pd.DataFrame(
+                {
+                    "cid": np.arange(kk),
+                    "s": list(sums),
+                    "cnt": counts,
+                }
             )
-            .localCheckpoint()
-        )
-        new_assigned = assign(means)
-        moved = (
-            new_assigned.select("vec_id", F.col("centroid_id").alias("nc"))
-            .join(assigned.select("vec_id", "centroid_id"), "vec_id")
-            .filter(F.col("nc") != F.col("centroid_id"))
-            .count()
-        )
-        assigned = new_assigned
-        if moved == 0:
+
+        partials = n.mapInPandas(
+            partial_sums, "cid long, s array<double>, cnt long"
+        ).collect()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in partials:
+            sums[r.cid] += np.asarray(r.s)
+            counts[r.cid] += r.cnt
+        new_cents = cents.copy()  # empty clusters keep their centroid
+        nonempty = counts > 0
+        new_cents[nonempty] = sums[nonempty] / counts[nonempty, None]
+        moved = not np.array_equal(new_cents, cents)
+        cents = new_cents
+        if not moved:
             break
-    return assigned.select("vec_id", "centroid_id", F.round("dist", 6).alias("dist"))
+
+    bc = sc.broadcast(cents)
+
+    def assign(batches):
+        c = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["emb"].to_numpy())
+            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            cid = d2.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "centroid_id": cid,
+                    "dist": np.round(np.sqrt(d2[np.arange(len(cid)), cid]), 6),
+                }
+            )
+
+    return n.mapInPandas(assign, "vec_id long, centroid_id long, dist double")
 
 
 def ivf_topk_oracle_sql(
