@@ -42,6 +42,7 @@ def asof_join(
     keys: Sequence[str],
     ts: str,
     payload_cols: Sequence[str] | None = None,
+    right_order: Sequence[str] = (),
     prefix: str = "asof_",
 ) -> DataFrame:
     """Backward strict as-of join.
@@ -49,51 +50,64 @@ def asof_join(
     Returns every left row plus ``{prefix}{c}`` for each right payload
     column: the value from the latest right row with the same key and
     ``right.ts < left.ts`` (NULL when no such row exists).
+
+    The payload travels as ONE struct so every emitted ``{prefix}{c}``
+    comes from the SAME right row (`arg_max` semantics) — filling each
+    column with an independent ignore-nulls window would let a NULL in
+    one payload column back-fill from an older right row, mixing fields
+    across rows. ``right_order`` breaks ties among right rows sharing
+    (keys, ts): ascending order, last one wins; without it equal-ts
+    right rows resolve in partition-arrival order (nondeterministic).
     """
     keys = list(keys)
     if payload_cols is None:
         payload_cols = [c for c in right.columns if c not in keys and c != ts]
     payload_cols = list(payload_cols)
+    order_cols = [c for c in right_order if c not in (*keys, ts)]
 
     l_tag = left.select(
         *keys,
         F.col(ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in payload_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__o_{c}") for c in order_cols],
+        F.lit(None)
+        .cast(right.select(F.struct(*payload_cols).alias("s")).schema["s"].dataType)
+        .alias("__rpay"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
     )
     r_tag = right.select(
         *keys,
         F.col(ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
-        *[F.col(c).alias(f"__r_{c}") for c in payload_cols],
+        *[F.col(c).alias(f"__o_{c}") for c in order_cols],
+        F.struct(*[F.col(c) for c in payload_cols]).alias("__rpay"),
         F.lit(None)
         .cast(l_tag.schema["__lrow"].dataType)
         .alias("__lrow"),
     )
     unioned = l_tag.unionByName(r_tag)
-    # right rows (tag 0) sort before left rows (tag 1) at equal ts, so
-    # frames ending at the current left row include only strictly
-    # earlier right rows — wait: equal-ts right rows sorting BEFORE the
-    # left row would be visible. For strict '<' they must sort AFTER:
-    # tag order (left 1 first) is achieved by ordering ts, __is_left
-    # DESC.
+    # For strict '<', a left row must not see same-timestamp right
+    # rows: order ts asc, tag desc puts the left copy (tag 1) BEFORE
+    # equal-ts right copies (tag 0), leaving them outside its running
+    # frame. Among equal-(keys, ts) right rows, right_order ascending
+    # puts the winner last, where last(ignorenulls) picks it up.
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col("__is_left").desc())
+        .orderBy(
+            F.col("__ts").asc(),
+            F.col("__is_left").desc(),
+            *[F.col(f"__o_{c}").asc() for c in order_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
         "__is_left",
         "__lrow",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in payload_cols
-        ],
+        F.last("__rpay", ignorenulls=True).over(w).alias("__f"),
     ).filter(F.col("__is_left") == 1)
     return filled.select(
         *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__f_{c}").alias(f"{prefix}{c}") for c in payload_cols],
+        *[F.col(f"__f.{c}").alias(f"{prefix}{c}") for c in payload_cols],
     )
 
 

@@ -49,6 +49,11 @@ LSH_ROWS = 2
 SHINGLE_W = 3
 MINHASH_SEED = 42
 SIMHASH_BITS = 32
+# Hamming-neighbor search geometry: 4 chunks of 8 bits. Pigeonhole: a
+# pair within Hamming distance 3 differs in <= 3 chunks, so it agrees
+# EXACTLY on at least one — banding is recall-lossless for r <= 3.
+SIMHASH_CHUNKS = 4
+SIMHASH_MAX_HAMMING = 3
 JACCARD_MAX_DF = 20
 
 _PARAMS = minhash_params(MINHASH_K, MINHASH_SEED)
@@ -251,6 +256,93 @@ def simhash_oracle_sql(bits: int = SIMHASH_BITS) -> str:
         f"w AS (SELECT doc_id, {weights} FROM h GROUP BY doc_id) "
         f"SELECT doc_id, {code} AS simhash FROM w"
     )
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    bits: int = SIMHASH_BITS,
+    chunks: int = SIMHASH_CHUNKS,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): near-duplicate pairs whose SimHash
+    codes differ in at most ``max_hamming`` bits.
+
+    Banding turns the Hamming-ball search into equi-joins: the code is
+    split into ``chunks`` equal bit-chunks, and (pigeonhole) any pair
+    within distance ``chunks - 1`` shares at least one chunk verbatim —
+    so grouping on (chunk_id, chunk_value) surfaces every qualifying
+    pair with zero recall loss, and only the (tiny, near-dup-bounded)
+    bucket members are pair-exploded and popcount-verified.
+
+    Physical shape mirrors ``minhash_candidate_pairs``: bucket-collect
+    + in-place ordered-pair explosion from ONE pipeline — a chunk
+    self-join would re-run the whole tokenize→simhash aggregation per
+    side. At 100 TB bucket size is bounded by true near-dup density
+    (an 8-bit chunk value shared by unrelated docs still requires the
+    other 24 bits to verify, and the popcount filter drops them);
+    a degenerate corpus of one repeated document is the only skew case,
+    handled by AQE the same way as the LSH tier.
+    """
+    cw = bits // chunks
+    mask = (1 << cw) - 1
+    codes = simhash(docs, bits)
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk_id"),
+            F.expr(f"shiftright(simhash, {c * cw}) & {mask}").alias("chunk_val"),
+        )
+        for c in range(chunks)
+    ]
+    exploded = codes.select(
+        F.struct("doc_id", "simhash").alias("ds"),
+        F.explode(F.array(*chunk_structs)).alias("ch"),
+    ).select("ds", F.col("ch.chunk_id"), F.col("ch.chunk_val"))
+    buckets = (
+        exploded.groupBy("chunk_id", "chunk_val")
+        .agg(F.sort_array(F.collect_set("ds")).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+    step = buckets.select("members", F.posexplode("members").alias("i", "a"))
+    pairs = step.select(
+        "a",
+        F.explode(F.expr("slice(members, i + 2, size(members))")).alias("b"),
+    )
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_pairs_oracle_sql(
+    bits: int = SIMHASH_BITS,
+    chunks: int = SIMHASH_CHUNKS,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> str:
+    cw = bits // chunks
+    mask = (1 << cw) - 1
+    code_sql = simhash_oracle_sql(bits)
+    chunk_ids = ", ".join(f"({c})" for c in range(chunks))
+    return f"""
+WITH codes AS ({code_sql}),
+chunked AS (
+  SELECT doc_id, simhash, c.chunk_id,
+         (simhash >> (c.chunk_id * {cw})) & {mask} AS chunk_val
+  FROM codes, (VALUES {chunk_ids}) AS c(chunk_id)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM chunked a JOIN chunked b
+  ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
 
 
 # ----------------------------------------------------- duplicate clusters

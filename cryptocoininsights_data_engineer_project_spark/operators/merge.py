@@ -100,10 +100,17 @@ def merge(
 
 def _merge_full_outer(target, stage, keys, update_cols, target_cols):
     t = target.alias("t")
-    s = stage.select(*keys, *update_cols).alias("s")
-    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
+    # Plain equality, matching merge_oracle_sql and the union_latest
+    # strategy: NULL-key stage rows never match and insert as new rows
+    # (Redshift MERGE ON t.id = s.id behaves identically). Matched is
+    # detected via a dedicated sentinel, not key-null testing, so it
+    # stays correct even for joins where a key column could be NULL.
+    s = stage.select(
+        *keys, *update_cols, F.lit(True).alias("__matched")
+    ).alias("s")
+    cond = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys]
     joined = t.join(s, cond, "full_outer")
-    matched = F.col(f"s.{keys[0]}").isNotNull()
+    matched = F.col("s.__matched").isNotNull()
     out = []
     for c in target_cols:
         if c in keys:

@@ -34,6 +34,18 @@ IVF_TOP_K = 3
 ALL_PAIRS_BLOCKS = 8
 
 
+def _round_half_away(x, decimals: int = 6):
+    """Round half AWAY from zero, matching Spark's ``F.round`` (BigDecimal
+    HALF_UP) and DuckDB's ``round`` — numpy's ``np.round`` is banker's
+    rounding (half to even) and would flip a value landing exactly on a
+    representable .5e-6 boundary, silently breaking oracle parity and
+    any >= threshold comparison on the rounded value."""
+    import numpy as np
+
+    s = 10.0**decimals
+    return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s
+
+
 def dot_expr(a: str, b: str) -> str:
     """Sequential-fold dot product (left-to-right accumulation —
     bit-identical to DuckDB's list_dot_product).
@@ -218,7 +230,8 @@ def kmeans_assign(
     part ``ivf_topk`` takes as given (its ``label`` column). Lloyd's
     algorithm, shuffle-free:
 
-    - init: k deterministic seed vectors (every (n/k)-th vec_id);
+    - init: k deterministic seed vectors — the k smallest by
+      xxhash64(vec_id), a uniform sample that needs no id contiguity;
     - per iteration: centroids broadcast as one numpy array; a single
       ``mapInPandas`` pass assigns every vector (vectorized argmin of
       squared distance, ties to the lowest centroid id) and emits only
@@ -242,14 +255,23 @@ def kmeans_assign(
     n = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     ).localCheckpoint()
-    total = n.count()
-    step = max(total // k, 1)
+    # Seed selection must not assume contiguous 0-based vec_ids: hash-
+    # rank the ids and take the k smallest — a deterministic uniform
+    # sample that compiles to TakeOrderedAndProject (per-partition
+    # top-k, no global sort shuffle). With fewer than k vectors we
+    # train that many centroids; every array below is sized from the
+    # ACTUAL seed count, never the requested k.
     seeds = (
-        n.filter((F.col("vec_id") % step == 0) & (F.col("vec_id") / step < k))
-        .select((F.col("vec_id") / step).cast("long").alias("cid"), "emb")
+        n.withColumn("__h", F.xxhash64("vec_id"))
+        .orderBy("__h", "vec_id")
+        .limit(k)
+        .select("emb")
         .collect()
     )
-    cents = np.stack([r.emb for r in sorted(seeds, key=lambda r: r.cid)])
+    if not seeds:
+        raise ValueError("kmeans_assign: embeddings input is empty")
+    cents = np.stack([r.emb for r in seeds])
+    k = cents.shape[0]
     sc = embeddings.sparkSession.sparkContext
 
     for _ in range(max_iters):
@@ -306,7 +328,9 @@ def kmeans_assign(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
                     "centroid_id": cid,
-                    "dist": np.round(np.sqrt(d2[np.arange(len(cid)), cid]), 6),
+                    "dist": _round_half_away(
+                        np.sqrt(d2[np.arange(len(cid)), cid]), 6
+                    ),
                 }
             )
 
@@ -411,7 +435,7 @@ def all_pairs_cosine_blas(
                 np.arange(len(ids_a)), np.arange(len(ids_b)), indexing="ij"
             )
             ia, ib, c = ids_a[ii.ravel()], ids_b[jj.ravel()], cos.ravel()
-        c = np.round(c, 6)
+        c = _round_half_away(c, 6)
         keep = c >= threshold
         ia, ib, c = ia[keep], ib[keep], c[keep]
         return pd.DataFrame(

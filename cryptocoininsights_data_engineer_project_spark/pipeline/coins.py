@@ -226,9 +226,11 @@ class CoinWarehouse:
     At 100 TB with e.g. 4096 buckets, a typical incremental batch
     touches a small fraction of buckets, so merge I/O is proportional
     to the delta, not the table. The directory swap is per-bucket
-    rename — atomic enough for a single writer; multi-writer tables
-    would layer a commit protocol (Delta/Iceberg-style) on the same
-    plan shape.
+    rename-aside + rename-in (old copy deleted only after the new one
+    is live), so a crash at any point loses nothing and
+    ``_recover_buckets`` heals the table on the next run; multi-writer
+    tables would layer a commit protocol (Delta/Iceberg-style) on the
+    same plan shape.
     """
 
     def __init__(self, spark: SparkSession, root: str, n_buckets: int = 16):
@@ -277,6 +279,7 @@ class CoinWarehouse:
     def _upsert(self, path, stage, cols, dedupe_order):
         from ..operators.merge import dedupe_latest
 
+        self._recover_buckets(path)
         stage = self._bucketed(stage)
         target = self._read_or_none(path)
         if target is None:
@@ -300,16 +303,47 @@ class CoinWarehouse:
         ).select(*cols, "bucket")
         tmp = path + "__staging"
         merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-        # swap ONLY the touched bucket directories
+        # Swap ONLY the touched bucket directories, crash-safely: the
+        # old copy is renamed aside (underscore prefix — invisible to
+        # partition discovery) BEFORE the new copy moves in, and deleted
+        # only after. A crash at any point leaves every byte in exactly
+        # one of live/_bak_/staging; _recover_buckets() heals the table
+        # on the next run. (Plain delete-then-rename had a window where
+        # a bucket existed only in staging, which a later successful run
+        # would have deleted — real single-writer data loss.)
         fs, _ = self._fs(path)
         for b in touched:
             dst = self._jpath(os.path.join(path, f"bucket={b}"))
             src = self._jpath(os.path.join(tmp, f"bucket={b}"))
+            bak = self._jpath(os.path.join(path, f"_bak_bucket={b}"))
+            if not fs.exists(src):
+                continue
+            if fs.exists(bak):
+                fs.delete(bak, True)
             if fs.exists(dst):
-                fs.delete(dst, True)
-            if fs.exists(src):
-                fs.rename(src, dst)
+                fs.rename(dst, bak)
+            fs.rename(src, dst)
+            if fs.exists(bak):
+                fs.delete(bak, True)
         fs.delete(self._jpath(tmp), True)
+
+    def _recover_buckets(self, path: str) -> None:
+        """Heal an interrupted bucket swap: any ``_bak_bucket=N`` whose
+        live ``bucket=N`` is missing is restored (crash happened between
+        rename-aside and rename-in); one whose live copy exists is a
+        leftover from after the new copy went live and is deleted."""
+        fs, root = self._fs(path)
+        if not fs.exists(root):
+            return
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not name.startswith("_bak_bucket="):
+                continue
+            live = self._jpath(os.path.join(path, name[len("_bak_") :]))
+            if fs.exists(live):
+                fs.delete(st.getPath(), True)
+            else:
+                fs.rename(st.getPath(), live)
 
     # -- maintenance (M4/M5, coininsights.py:193-353) ----------------
     def _fs(self, path: str):

@@ -864,6 +864,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_simhash_pairs",
+    dedup.simhash_pairs_oracle_sql(),
+    doc="SimHash Hamming-neighbor pairs: 8-bit chunk banding (recall-"
+    "lossless for distance <= 3 by pigeonhole) -> bucket equi-group -> "
+    "popcount verify — completes the 4-tier dedup ladder",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_hamming_pairs(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "dedup_ngram_jaccard",
     dedup.ngram_jaccard_oracle_sql(),
     doc="exact n-gram Jaccard over rare-shingle candidate pairs",

@@ -80,3 +80,42 @@ def test_asof_join_within_matches_two_input_form(spark):
     assert sorted(map(str, two_input.select(cols).collect())) == sorted(
         map(str, single.select(cols).collect())
     )
+
+
+def test_asof_join_payload_atomic_with_null_field(spark):
+    """A NULL in one payload column of the winning right row must NOT
+    back-fill from an older right row — the whole payload comes from
+    the same (latest) right row."""
+    left = spark.createDataFrame([(1, 1000)], "user_id long, ts long")
+    right = spark.createDataFrame(
+        [
+            (1, 100, 10.0, "old"),
+            (1, 200, None, "new"),  # latest: value NULL, note 'new'
+        ],
+        "user_id long, ts long, value double, note string",
+    )
+    out = asof.asof_join(
+        left, right, keys=["user_id"], ts="ts", payload_cols=["value", "note"]
+    ).collect()
+    assert len(out) == 1
+    assert out[0].asof_value is None  # NOT 10.0 from the older row
+    assert out[0].asof_note == "new"
+
+
+def test_asof_join_right_order_tiebreaker(spark):
+    """Equal-(key, ts) right rows resolve deterministically by
+    right_order ascending (last wins)."""
+    left = spark.createDataFrame([(1, 1000)], "user_id long, ts long")
+    right = spark.createDataFrame(
+        [(1, 200, 10.0, 2), (1, 200, 20.0, 3), (1, 200, 15.0, 1)],
+        "user_id long, ts long, value double, seq long",
+    )
+    out = asof.asof_join(
+        left,
+        right,
+        keys=["user_id"],
+        ts="ts",
+        payload_cols=["value", "seq"],
+        right_order=["seq"],
+    ).collect()
+    assert (out[0].asof_value, out[0].asof_seq) == (20.0, 3)

@@ -44,3 +44,26 @@ def test_kmeans_improves_over_init(spark, sf_dir):
         .first()[0]
     )
     assert d3 <= d0  # Lloyd's objective is non-increasing
+
+
+def test_kmeans_sparse_noncontiguous_ids(spark):
+    """Seeding must not assume contiguous 0-based vec_ids: sparse ids
+    (and total < k) still train without shape errors, and every vector
+    gets an assignment."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (1000 + i * 997, [rng.uniform(-1, 1) for _ in range(8)], 0)
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    out = kmeans_assign(df, k=4, max_iters=3).collect()
+    assert len(out) == 12
+    assert {r.vec_id for r in out} == {v for v, _, _ in rows}
+    # more clusters requested than vectors: trains len(df) centroids
+    tiny = spark.createDataFrame(rows[:3], "vec_id long, embedding array<double>, label long")
+    out2 = kmeans_assign(tiny, k=8, max_iters=2).collect()
+    assert len(out2) == 3

@@ -128,3 +128,16 @@ def test_missing_stage_column_raises(spark):
     stage = target.drop("supply")
     with pytest.raises(ValueError, match="missing merge columns"):
         merge(target, stage, ["id"], update_cols=["price", "supply"])
+
+
+def test_merge_null_key_stage_row_inserts(spark):
+    """NULL-key stage rows never 'match' a NULL-key target row (plain
+    equality, like the oracle and Redshift MERGE ON t.id = s.id): both
+    survive as distinct rows and the target's values are untouched."""
+    target = spark.createDataFrame(
+        [(None, 1.0), ("btc", 2.0)], "id string, price double"
+    )
+    stage = spark.createDataFrame([(None, 9.0)], "id string, price double")
+    out = merge(target, stage, keys=["id"], strategy="full_outer")
+    rows = sorted(out.collect(), key=lambda r: (r.id or "", r.price or 0))
+    assert [(r.id, r.price) for r in rows] == [(None, 1.0), (None, 9.0), ("btc", 2.0)]

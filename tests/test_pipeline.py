@@ -198,3 +198,33 @@ def test_csv_compat_roundtrip(spark, raw_dir, tmp_path):
         r["id"] for r in info.collect()
     )
     assert back.columns == INFO_COLS
+
+
+def test_crash_safe_bucket_swap_recovery(spark, raw_dir, tmp_path):
+    """A crash between rename-aside and rename-in leaves a bucket only
+    in _bak_bucket=N; the next upsert must heal it (no data loss), and
+    a leftover _bak_ alongside a live bucket must be discarded."""
+    import shutil
+
+    wh = CoinWarehouse(spark, str(tmp_path / "whc"), n_buckets=8)
+    run_batch_pipeline(spark, os.path.join(raw_dir, "raw_coins_batch0.json"), wh)
+    total = wh.fact().count()
+    fact_dir = wh.fact_path
+    buckets = sorted(d for d in os.listdir(fact_dir) if d.startswith("bucket="))
+
+    # simulate crash window 1: live copy renamed aside, new copy never landed
+    b0 = buckets[0]
+    os.rename(
+        os.path.join(fact_dir, b0), os.path.join(fact_dir, "_bak_" + b0)
+    )
+    # simulate crash window 2: stale bak left behind AFTER a successful swap
+    b1 = buckets[1]
+    shutil.copytree(
+        os.path.join(fact_dir, b1), os.path.join(fact_dir, "_bak_" + b1)
+    )
+
+    wh._recover_buckets(fact_dir)
+    names = set(os.listdir(fact_dir))
+    assert b0 in names and "_bak_" + b0 not in names
+    assert b1 in names and "_bak_" + b1 not in names
+    assert wh.fact().count() == total  # every row survived the crash
