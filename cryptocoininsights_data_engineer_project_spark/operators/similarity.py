@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import spark_hash64
+
 # Query set: every 100th vector. Scale-factor-proportional (50 queries
 # at sf0.01) and deterministic.
 QUERY_MODULUS = 100
@@ -162,6 +164,196 @@ def ivf_topk(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+# Trained-quantizer IVF geometry: small k (coarse cells), two Lloyd's
+# iterations (enough to pull seeds onto the data modes), two probes per
+# query (recall at cell boundaries).
+IVF_KCLUSTERS = 8
+IVF_ITERS = 2
+IVF_NPROBE = 2
+
+
+def _ivf_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: (vec_id, emb, vv, cid). ``cents``
+    is k rows — broadcast, so the k-fold expansion never shuffles.
+    d2 = vv - 2*<v,c> + cc with every dot product the sequential fold
+    that DuckDB's list_dot_product reproduces bit-for-bit; ties break
+    to the lowest cid."""
+    d = vecs.crossJoin(F.broadcast(cents)).withColumn(
+        "d2", F.expr(f"vv - 2 * ({dot_expr('emb', 'cent')}) + cc")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", "vv", "cid")
+    )
+
+
+def ivf_trained_topk(
+    embeddings: DataFrame,
+    k: int = IVF_TOP_K,
+    query_modulus: int = QUERY_MODULUS,
+    n_clusters: int = IVF_KCLUSTERS,
+    n_iters: int = IVF_ITERS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF top-k over a quantizer trained END-TO-END in the query:
+    deterministic seeds → ``n_iters`` unrolled Lloyd's iterations →
+    nearest-``nprobe`` multi-probe per query → cosine top-k within the
+    probed cells. Unlike ``ivf_topk`` (which buckets on the dataset's
+    pre-assigned label), the cells here come from the data itself.
+
+    Every step is engine-portable, so the whole pipeline — training
+    included — has an exact DuckDB oracle (``ivf_trained_oracle_sql``):
+
+    - seeds: the ``n_clusters`` rows with the smallest portable 60-bit
+      md5 hash of vec_id (no id-contiguity assumption);
+    - assignment: squared distance via the sequential-fold dot product
+      (bit-identical to list_dot_product), ties to the lowest cid;
+    - update: element-wise mean rounded to 6 decimals — the rounding
+      quantizes away summation-order ulp so both engines hand the NEXT
+      iteration identical centroids (the iteration would otherwise
+      amplify a 1-ulp difference into different assignments);
+    - probe: each query scores all k centroids (k is tiny) and keeps
+      the ``nprobe`` nearest, an equi-join fan-out of nprobe, bounding
+      extra work at nprobe/n_clusters of a full scan.
+
+    Scale notes: the crossJoin here is (n × k) with k broadcast — one
+    scan per iteration, no shuffle for assignment; the element-wise
+    mean is one groupBy on (cid, idx) = k×dim groups. This form is the
+    oracle-checkable twin; ``kmeans_assign`` is the shuffle-free
+    mapInPandas production path (same algorithm, partial sums on the
+    executors), and ``similarity_kmeans_ivf`` exercises it rows-only.
+    """
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    vecs = e.withColumn("vv", F.expr(dot_expr("emb", "emb")))
+    h = F.expr(spark_hash64("CAST(vec_id AS STRING)"))
+    seeds = vecs.withColumn("__h", h).orderBy("__h", "vec_id").limit(n_clusters)
+    w_seed = Window.orderBy("__h", "vec_id")  # n_clusters rows: single partition is fine
+    cents = seeds.select(
+        (F.row_number().over(w_seed) - 1).cast("long").alias("cid"),
+        F.col("emb").alias("cent"),
+    )
+    for _ in range(n_iters):
+        cents = cents.withColumn("cc", F.expr(dot_expr("cent", "cent")))
+        assigned = _ivf_assign(vecs, cents)
+        cents = (
+            assigned.select("cid", F.posexplode("emb").alias("idx", "v"))
+            .groupBy("cid", "idx")
+            .agg(F.round(F.avg("v"), 6).alias("v"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("idx", "v"))).alias("ps"))
+            .select("cid", F.expr("transform(ps, p -> p.v)").alias("cent"))
+            # k tiny rows; materialize so the deep training lineage is
+            # not re-evaluated once per downstream reference
+            .localCheckpoint()
+        )
+    cents = cents.withColumn("cc", F.expr(dot_expr("cent", "cent")))
+    assigned = _ivf_assign(vecs, cents).withColumn("nrm", F.expr("sqrt(vv)"))
+
+    q = vecs.filter(F.col("vec_id") % query_modulus == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("vv").alias("q_vv"),
+        F.expr("sqrt(vv)").alias("q_nrm"),
+    )
+    qd = q.crossJoin(F.broadcast(cents)).withColumn(
+        "d2", F.expr(f"q_vv - 2 * ({dot_expr('q_emb', 'cent')}) + cc")
+    )
+    w_p = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    probes = (
+        qd.withColumn("rn", F.row_number().over(w_p))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q_emb", "q_nrm", "cid")
+    )
+    cand = probes.join(assigned, "cid").filter(F.col("query_id") != F.col("vec_id"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            F.expr(dot_expr("q_emb", "emb")) / (F.col("q_nrm") * F.col("nrm")), 6
+        ).alias("cosine"),
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_k))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def ivf_trained_oracle_sql(
+    k: int = IVF_TOP_K,
+    query_modulus: int = QUERY_MODULUS,
+    n_clusters: int = IVF_KCLUSTERS,
+    n_iters: int = IVF_ITERS,
+    nprobe: int = IVF_NPROBE,
+) -> str:
+    """DuckDB twin of ``ivf_trained_topk`` — the Lloyd's iterations are
+    unrolled as a CTE chain generated from the same constants."""
+    from ..functions.hashing import duck_hash64
+
+    dh = duck_hash64("CAST(vec_id AS VARCHAR)")
+    d2 = "v.vv - 2 * list_dot_product(v.emb, c.cent) + list_dot_product(c.cent, c.cent)"
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+        "v AS (SELECT vec_id, emb, list_dot_product(emb, emb) AS vv FROM e)",
+        f"seed_sel AS (SELECT vec_id, emb FROM v ORDER BY {dh}, vec_id LIMIT {n_clusters})",
+        f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY {dh}, vec_id) - 1 AS BIGINT) AS cid, "
+        "emb AS cent FROM seed_sel)",
+    ]
+    prev = "c0"
+    for i in range(1, n_iters + 1):
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, emb, vv, cid FROM ("
+            f"SELECT v.vec_id, v.emb, v.vv, c.cid, "
+            f"row_number() OVER (PARTITION BY v.vec_id ORDER BY {d2} ASC, c.cid ASC) AS rn "
+            f"FROM v CROSS JOIN {prev} c) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT cid, array_agg(av ORDER BY i) AS cent FROM ("
+            f"SELECT cid, i, round(avg(emb[i]), 6) AS av "
+            f"FROM a{i}, UNNEST(generate_series(1, len(emb))) AS g(i) "
+            f"GROUP BY cid, i) GROUP BY cid)"
+        )
+        prev = f"c{i}"
+    ctes.append(
+        f"af AS (SELECT vec_id, emb, vv, cid FROM ("
+        f"SELECT v.vec_id, v.emb, v.vv, c.cid, "
+        f"row_number() OVER (PARTITION BY v.vec_id ORDER BY {d2} ASC, c.cid ASC) AS rn "
+        f"FROM v CROSS JOIN {prev} c) WHERE rn = 1)"
+    )
+    ctes.append(
+        f"q AS (SELECT vec_id AS query_id, emb AS q_emb, vv AS q_vv, sqrt(vv) AS q_nrm "
+        f"FROM v WHERE vec_id % {query_modulus} = 0)"
+    )
+    qd2 = "q.q_vv - 2 * list_dot_product(q.q_emb, c.cent) + list_dot_product(c.cent, c.cent)"
+    ctes.append(
+        f"probe AS (SELECT query_id, q_emb, q_nrm, cid FROM ("
+        f"SELECT q.query_id, q.q_emb, q.q_nrm, c.cid, "
+        f"row_number() OVER (PARTITION BY q.query_id ORDER BY {qd2} ASC, c.cid ASC) AS rn "
+        f"FROM q CROSS JOIN {prev} c) WHERE rn <= {nprobe})"
+    )
+    ctes.append(
+        "scored AS (SELECT p.query_id, a.vec_id AS neighbor_id, "
+        "round(list_dot_product(p.q_emb, a.emb) / (p.q_nrm * sqrt(a.vv)), 6) AS cosine "
+        "FROM probe p JOIN af a ON a.cid = p.cid AND a.vec_id != p.query_id)"
+    )
+    ctes.append(
+        "ranked AS (SELECT *, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)"
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT query_id, neighbor_id, cosine FROM ranked WHERE rn <= {k}"
     )
 
 

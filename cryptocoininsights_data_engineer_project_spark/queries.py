@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import catalog
-from .operators import asof, dedup, merge, multimodal, sessions, similarity, textops
+from .operators import asof, dedup, fuzzy, merge, multimodal, sessions, similarity, textops
 from .functions.textnorm import duck_tokens, spark_tokens
 
 
@@ -968,6 +968,18 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "similarity_ivf_trained",
+    similarity.ivf_trained_oracle_sql(),
+    doc="IVF top-k with the coarse quantizer trained IN the query "
+    "(deterministic seeds + unrolled Lloyd's, centroid means rounded "
+    "for engine parity) and nprobe=2 multi-probe — the full "
+    "train→bucket→probe→score ANN pipeline, exactly oracle-checked",
+)
+def similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_trained_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@_q(
     "similarity_ivf",
     similarity.ivf_topk_oracle_sql(),
     doc="IVF-bucketed approximate top-k (scale path: per-bucket scan)",
@@ -1256,35 +1268,22 @@ JOIN (SELECT * FROM part WHERE p_size <= 20) b
 WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
   AND levenshtein(a.p_name, b.p_name) <= 3
 """,
-    doc="fuzzy string matching: edit-distance pairs blocked by brand "
-    "(the equi-join block keeps the pair space linear per block)",
+    doc="fuzzy string matching via PassJoin segment blocking "
+    "(operators/fuzzy.py): candidate pairs from a segment equi-join "
+    "whose fan-out per row is constant, so the pair space is bounded "
+    "by near-dup density, not data volume. The oracle stays the plain "
+    "quadratic definition — the hash-match proves the blocking is "
+    "recall-lossless on the corpus",
 )
 def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # scope: small parts (p_size <= 20) — the operator's cost is the
-    # blocked pair space; at full 100 TB scale the block key would be
-    # a fingerprint prefix (doc_winnow), not just brand
+    # scope: small parts (p_size <= 20), matching the oracle's filter
     p = (
         _t(spark, sf_dir, "part")
         .filter(F.col("p_size") <= 20)
         .select("p_partkey", "p_brand", "p_name")
     )
-    a = p.select(
-        F.col("p_partkey").alias("key_a"), F.col("p_brand").alias("brand"),
-        F.col("p_name").alias("name_a"),
-    )
-    b = p.select(
-        F.col("p_partkey").alias("key_b"), F.col("p_brand").alias("brand"),
-        F.col("p_name").alias("name_b"),
-    )
-    return (
-        a.join(b, "brand")
-        .filter(F.col("key_a") < F.col("key_b"))
-        # lossless pre-filter: edit distance >= length difference, so
-        # the cheap length band removes most pairs before levenshtein
-        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= 3)
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("edit_dist") <= 3)
-        .select("key_a", "key_b", "edit_dist")
+    return fuzzy.edit_distance_pairs(
+        p, key="p_partkey", text="p_name", block="p_brand", tau=3
     )
 
 
