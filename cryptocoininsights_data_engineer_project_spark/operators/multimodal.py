@@ -39,9 +39,46 @@ _DECODED_SCHEMA = T.StructType(
         T.StructField("asset_id", T.LongType(), False),
         T.StructField("media_type", T.StringType(), True),
         T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("channels", T.LongType(), True),
+        T.StructField("sample_rate", T.LongType(), True),
         T.StructField("features", T.ArrayType(T.FloatType()), True),
     ]
 )
+
+
+def parse_media_header(payload: bytes) -> dict:
+    """Pure-Python container-header parse — REAL metadata decode, no
+    codec library needed (the pixel/sample decode below it still needs
+    PIL/ffmpeg and stays stubbed):
+
+    - PNG: IHDR width/height (big-endian u32 at bytes 16..23,
+      0-indexed, right after the 8-byte signature + 4-byte length +
+      'IHDR').
+    - WAV: channels / sample rate (little-endian u16/u32 at bytes
+      22..23 / 24..27 of the canonical RIFF/WAVE 'fmt ' layout).
+
+    Returns {} for anything else (including truncated headers).
+    """
+    out: dict = {}
+    if payload is None:
+        return out
+    b = bytes(payload)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        out["media_type"] = "image/png"
+        out["width"] = int.from_bytes(b[16:20], "big")
+        out["height"] = int.from_bytes(b[20:24], "big")
+    elif (
+        b[:4] == b"RIFF"
+        and len(b) >= 28
+        and b[8:12] == b"WAVE"
+        and b[12:16] == b"fmt "
+    ):
+        out["media_type"] = "audio/wav"
+        out["channels"] = int.from_bytes(b[22:24], "little")
+        out["sample_rate"] = int.from_bytes(b[24:28], "little")
+    return out
 
 
 def binarize_text(docs: DataFrame) -> DataFrame:
@@ -84,10 +121,11 @@ def extract_features(assets: DataFrame) -> DataFrame:
         import hashlib
 
         for pdf in batches:
-            feats = []
+            feats, meta = [], []
             for payload in pdf["payload"]:
                 if payload is None:
                     feats.append(None)
+                    meta.append({})
                     continue
                 digest = hashlib.sha256(bytes(payload)).digest()
                 feats.append(
@@ -96,13 +134,21 @@ def extract_features(assets: DataFrame) -> DataFrame:
                         for i in range(FEATURE_DIM)
                     ]
                 )
+                meta.append(parse_media_header(payload))
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "media_type": pdf["media_type"],
+                    "media_type": [
+                        m.get("media_type", t)
+                        for m, t in zip(meta, pdf["media_type"])
+                    ],
                     "n_bytes": pdf["payload"].map(
                         lambda p: len(p) if p is not None else None
                     ),
+                    "width": [m.get("width") for m in meta],
+                    "height": [m.get("height") for m in meta],
+                    "channels": [m.get("channels") for m in meta],
+                    "sample_rate": [m.get("sample_rate") for m in meta],
                     "features": feats,
                 }
             )
@@ -117,6 +163,158 @@ def decode_image(payload: bytes) -> "object":
         "image decode requires codec libraries not present in this environment; "
         "swap this in on a cluster with PIL/opencv installed"
     )
+
+
+# --------------------------------------------------------------- header decode
+# Deterministic binary fixtures: the documents table becomes a mixed
+# media-asset table (PNG / WAV / raw text by doc_id % 3) whose headers
+# are CONSTRUCTED byte-exactly in SQL, then parsed back from the binary
+# payload — both sides expressible in Spark AND DuckDB, so the decode
+# is hash-checked end-to-end. Dimensions derive from doc_id.
+_PNG_SIG = "89504e470d0a1a0a"  # \x89PNG\r\n\x1a\n
+_IHDR = "0000000d49484452"  # length 13 + "IHDR"
+_IHDR_TAIL = "0806000000" + "00000000"  # depth 8, RGBA, default, fake CRC
+
+
+def _synth_hex_spark() -> str:
+    """Spark SQL expression: hex string of the synthetic payload."""
+    w = "(doc_id % 1920) + 1"
+    h = "(doc_id % 1080) + 1"
+    ch = "(doc_id % 2) + 1"
+    rate = "8000 + (doc_id % 8) * 4000"
+    le2 = f"concat(lpad(hex(({ch}) % 256), 2, '0'), '00')"
+    le4 = (
+        f"concat(lpad(hex(({rate}) % 256), 2, '0'), "
+        f"lpad(hex(({rate}) div 256 % 256), 2, '0'), "
+        f"lpad(hex(({rate}) div 65536 % 256), 2, '0'), '00')"
+    )
+    png = (
+        f"concat('{_PNG_SIG}', '{_IHDR}', lpad(hex({w}), 8, '0'), "
+        f"lpad(hex({h}), 8, '0'), '{_IHDR_TAIL}')"
+    )
+    wav = (
+        f"concat('52494646', '24000000', '57415645', '666d7420', "
+        f"'10000000', '0100', {le2}, {le4})"
+    )
+    return (
+        f"CASE WHEN doc_id % 3 = 0 THEN {png} "
+        f"WHEN doc_id % 3 = 1 THEN {wav} "
+        f"ELSE hex(encode(text, 'UTF-8')) END"
+    )
+
+
+def _synth_hex_duck() -> str:
+    w = "(doc_id % 1920) + 1"
+    h = "(doc_id % 1080) + 1"
+    ch = "(doc_id % 2) + 1"
+    rate = "8000 + (doc_id % 8) * 4000"
+    le2 = f"lpad(hex(({ch}) % 256), 2, '0') || '00'"
+    le4 = (
+        f"lpad(hex(({rate}) % 256), 2, '0') || "
+        f"lpad(hex(({rate}) // 256 % 256), 2, '0') || "
+        f"lpad(hex(({rate}) // 65536 % 256), 2, '0') || '00'"
+    )
+    png = (
+        f"'{_PNG_SIG}' || '{_IHDR}' || lpad(hex({w}), 8, '0') || "
+        f"lpad(hex({h}), 8, '0') || '{_IHDR_TAIL}'"
+    )
+    wav = f"'52494646' || '24000000' || '57415645' || '666d7420' || '10000000' || '0100' || {le2} || {le4}"
+    return (
+        f"CASE WHEN doc_id % 3 = 0 THEN {png} "
+        f"WHEN doc_id % 3 = 1 THEN {wav} "
+        f"ELSE hex(encode(text)) END"
+    )
+
+
+def synth_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload binary): deterministic mixed-media fixtures."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(f"unhex({_synth_hex_spark()})").alias("payload"),
+    )
+
+
+# Byte offsets are 1-based; byte n lives at hex chars (2n-1, 2n) of
+# hex(payload) — shared geometry for the Spark and DuckDB parsers.
+def decode_meta(assets: DataFrame) -> DataFrame:
+    """JVM-side container-header decode over binary payloads: sniff the
+    magic, then parse PNG IHDR width/height (big-endian) and WAV fmt
+    channels/sample-rate (little-endian byte-swapped) — all built-in
+    string/bit expressions on hex(payload), zero Python in the path.
+    Column pruning keeps payload out of any query not selecting it;
+    scans stay narrow. This is the query-side twin of the Arrow
+    ``extract_features`` path (parse_media_header)."""
+    hx = F.upper(F.hex(F.col("payload")))
+    d = assets.withColumn("hx", hx)
+
+    def u(start_hex: int, n_hex: int):
+        return F.expr(f"CAST(conv(substring(hx, {start_hex}, {n_hex}), 16, 10) AS BIGINT)")
+
+    def le(*byte_offsets: int):
+        parts = "|| ".join(
+            f"substring(hx, {2 * b - 1}, 2) " for b in reversed(byte_offsets)
+        )
+        return F.expr(f"CAST(conv({parts}, 16, 10) AS BIGINT)")
+
+    is_png = F.expr(f"substring(hx, 1, 16) = '{_PNG_SIG.upper()}'") & F.expr(
+        "substring(hx, 25, 8) = '49484452'"
+    )
+    is_wav = (
+        F.expr("substring(hx, 1, 8) = '52494646'")
+        & F.expr("substring(hx, 17, 8) = '57415645'")
+        & F.expr("substring(hx, 25, 8) = '666D7420'")
+    )
+    return d.select(
+        "asset_id",
+        F.when(is_png, F.lit("image/png"))
+        .when(is_wav, F.lit("audio/wav"))
+        .otherwise(F.lit("text/plain"))
+        .alias("media_type"),
+        F.when(is_png, u(33, 8)).alias("width"),
+        F.when(is_png, u(41, 8)).alias("height"),
+        F.when(is_wav, le(23, 24)).alias("channels"),
+        F.when(is_wav, le(25, 26, 27, 28)).alias("sample_rate"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+
+
+def decode_meta_oracle_sql() -> str:
+    def u(start_hex: int, n_hex: int) -> str:
+        return (
+            f"CAST('0x' || substring(hx, {start_hex}, {n_hex}) AS BIGINT)"
+        )
+
+    def le(*byte_offsets: int) -> str:
+        parts = " || ".join(
+            f"substring(hx, {2 * b - 1}, 2)" for b in reversed(byte_offsets)
+        )
+        return f"CAST('0x' || {parts} AS BIGINT)"
+
+    is_png = (
+        f"substring(hx, 1, 16) = '{_PNG_SIG.upper()}' "
+        "AND substring(hx, 25, 8) = '49484452'"
+    )
+    is_wav = (
+        "substring(hx, 1, 8) = '52494646' AND substring(hx, 17, 8) = '57415645' "
+        "AND substring(hx, 25, 8) = '666D7420'"
+    )
+    return f"""
+WITH assets AS (
+  SELECT doc_id AS asset_id, unhex({_synth_hex_duck()}) AS payload FROM documents
+), h AS (
+  SELECT asset_id, payload, upper(hex(payload)) AS hx FROM assets
+)
+SELECT asset_id,
+  CASE WHEN {is_png} THEN 'image/png'
+       WHEN {is_wav} THEN 'audio/wav'
+       ELSE 'text/plain' END AS media_type,
+  CASE WHEN {is_png} THEN {u(33, 8)} END AS width,
+  CASE WHEN {is_png} THEN {u(41, 8)} END AS height,
+  CASE WHEN {is_wav} THEN {le(23, 24)} END AS channels,
+  CASE WHEN {is_wav} THEN {le(25, 26, 27, 28)} END AS sample_rate,
+  CAST(octet_length(payload) AS BIGINT) AS n_bytes
+FROM h
+"""
 
 
 def multimodal_meta(docs: DataFrame) -> DataFrame:

@@ -716,6 +716,105 @@ def merge_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# Decimal-money twins: the reference keeps money in doubles
+# (data-transformation.py:53-59) and the registry mirrors that; these
+# two entries are the decimal(12,2)-backed forms — exact arithmetic,
+# order-independent sums, no rounding discipline needed. Group sums are
+# CAST to a fixed output scale so both engines agree on the schema.
+# ---------------------------------------------------------------------
+@_q(
+    "decimal_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+       * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+       * (1 - CAST(l_discount AS DECIMAL(12,2)))
+       * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(18,6)) AS sum_charge,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="A1 decimal twin: exact decimal(12,2) money aggregation — "
+    "retires the doubles-for-money caveat (SURVEY §1.3); decimal sums "
+    "are order-independent so the hash needs no rounding discipline",
+)
+def decimal_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("l_quantity").cast("decimal(12,2)").alias("qty"),
+            F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+            F.col("l_discount").cast("decimal(12,2)").alias("disc"),
+            F.col("l_tax").cast("decimal(12,2)").alias("tax"),
+        )
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty").cast("decimal(18,2)").alias("sum_qty"),
+            F.sum("price").cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum(F.expr("price * (1 - disc)"))
+            .cast("decimal(18,4)")
+            .alias("sum_disc_price"),
+            F.sum(F.expr("price * (1 - disc) * (1 + tax)"))
+            .cast("decimal(18,6)")
+            .alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_DEC_FACT_TARGET_SQL = """
+SELECT o_custkey AS id, count(*) AS order_cnt,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_spend
+FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY o_custkey
+"""
+_DEC_FACT_STAGE_SQL = """
+SELECT o_custkey AS id, count(*) AS order_cnt,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_spend
+FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY o_custkey
+"""
+
+
+def _order_stats_decimal(spark, sf_dir, pred):
+    o = _t(spark, sf_dir, "orders").filter(pred)
+    return o.groupBy(F.col("o_custkey").alias("id")).agg(
+        F.count(F.lit(1)).alias("order_cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("total_spend"),
+    )
+
+
+@_q(
+    "decimal_merge_fact",
+    merge.merge_oracle_sql(
+        target_sql=_DEC_FACT_TARGET_SQL,
+        stage_sql=_DEC_FACT_STAGE_SQL,
+        keys=["id"],
+        update_cols=["order_cnt", "total_spend"],
+        passthrough_cols=[],
+    ),
+    doc="M2 decimal twin: fact upsert whose money measure is exact "
+    "DECIMAL(18,2) end-to-end through the merge",
+)
+def decimal_merge_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-01-01").cast("timestamp_ntz")
+    target = _order_stats_decimal(spark, sf_dir, F.col("o_orderdate") < cutoff)
+    stage = _order_stats_decimal(spark, sf_dir, F.col("o_orderdate") >= cutoff)
+    return merge.merge(
+        target, stage, keys=["id"], update_cols=["order_cnt", "total_spend"]
+    )
+
+
 # =====================================================================
 # Scalar function families (SURVEY §2.10)
 # =====================================================================
@@ -861,6 +960,21 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("dedup_simhash", dedup.simhash_oracle_sql(), doc="SimHash codes per document")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "multimodal_decode",
+    multimodal.decode_meta_oracle_sql(),
+    doc="container-header decode over binary payloads: PNG IHDR "
+    "width/height (big-endian) and WAV fmt channels/sample-rate "
+    "(little-endian) parsed JVM-side from byte-exact synthetic "
+    "fixtures; the Arrow path (extract_features/parse_media_header) "
+    "is the Python twin, test-pinned equal",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.decode_meta(
+        multimodal.synth_assets(_t(spark, sf_dir, "documents"))
+    )
 
 
 @_q(

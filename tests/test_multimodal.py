@@ -60,3 +60,87 @@ def test_sniff_media_type(spark):
 def test_decode_hook_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def _png(w: int, h: int) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + b"\x08\x06\x00\x00\x00"
+        + b"\x00\x00\x00\x00"
+    )
+
+
+def _wav(channels: int, rate: int) -> bytes:
+    return (
+        b"RIFF"
+        + (36).to_bytes(4, "little")
+        + b"WAVE"
+        + b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+    )
+
+
+def test_parse_media_header_crafted_bytes():
+    """The pure-Python header parser decodes real PNG/WAV layouts,
+    including multi-byte big/little-endian fields and truncation."""
+    assert multimodal.parse_media_header(_png(1920, 1080)) == {
+        "media_type": "image/png",
+        "width": 1920,
+        "height": 1080,
+    }
+    assert multimodal.parse_media_header(_wav(2, 44100)) == {
+        "media_type": "audio/wav",
+        "channels": 2,
+        "sample_rate": 44100,
+    }
+    assert multimodal.parse_media_header(b"just text") == {}
+    assert multimodal.parse_media_header(b"\x89PNG\r\n\x1a\n trunc") == {}
+    assert multimodal.parse_media_header(None) == {}
+
+
+def test_decode_meta_jvm_matches_python_parser(spark):
+    """The JVM-side hex-expression decode (registry query path) and the
+    Arrow-side pure-Python parser agree on the same payloads."""
+    rows = [
+        (1, _png(640, 480)),
+        (2, _wav(1, 8000)),
+        (3, _wav(2, 48000)),
+        (4, b"plain text bytes"),
+        (5, _png(1, 1)),
+    ]
+    df = spark.createDataFrame(rows, "asset_id: long, payload: binary")
+    jvm = {
+        r.asset_id: (r.media_type, r.width, r.height, r.channels, r.sample_rate)
+        for r in multimodal.decode_meta(df).collect()
+    }
+    for aid, payload in rows:
+        m = multimodal.parse_media_header(payload)
+        expect = (
+            m.get("media_type", "text/plain"),
+            m.get("width"),
+            m.get("height"),
+            m.get("channels"),
+            m.get("sample_rate"),
+        )
+        assert jvm[aid] == expect, aid
+
+
+def test_extract_features_emits_header_metadata(spark):
+    """extract_features now carries the decoded header fields through
+    the Arrow batches alongside the feature vector."""
+    rows = [(1, _png(320, 200), "application/octet-stream"),
+            (2, _wav(2, 16000), "application/octet-stream"),
+            (3, b"hello", "text/plain")]
+    df = spark.createDataFrame(rows, "asset_id: long, payload: binary, media_type: string")
+    got = {r.asset_id: r for r in multimodal.extract_features(df).collect()}
+    assert (got[1].media_type, got[1].width, got[1].height) == ("image/png", 320, 200)
+    assert (got[2].media_type, got[2].channels, got[2].sample_rate) == ("audio/wav", 2, 16000)
+    assert got[3].media_type == "text/plain"
+    assert len(got[1].features) == multimodal.FEATURE_DIM

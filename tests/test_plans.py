@@ -1,0 +1,96 @@
+"""Physical-plan regression tests.
+
+The bench numbers rest on plan PROPERTIES, not just query text: dims
+broadcast in star joins, filters reach the parquet scan, single-scan
+pipelines stay single-scan, and nothing silently introduces a
+BroadcastNestedLoopJoin. These tests pin those properties via
+``explain("formatted")`` so a future edit that regresses a plan fails
+loudly instead of just getting slower.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from cryptocoininsights_data_engineer_project_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _nodes(plan: str, op: str) -> int:
+    """Count operator nodes in the detail listing (the ASCII tree above
+    it would double-count)."""
+    return len(re.findall(rf"\(\d+\) {re.escape(op)}", plan))
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    """Every dim join in the star query must be a broadcast hash join —
+    a SortMergeJoin on a 25-row dim means a full fact shuffle."""
+    p = _plan(spark, "star_join_revenue")
+    assert _nodes(p, "BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q1_scan_pushdown_and_pruning(spark):
+    """The shipdate filter must reach the parquet scan (PushedFilters)
+    and the scan must read only the 7 referenced columns."""
+    p = _plan(spark, "q1_pricing_summary")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m and "LessThanOrEqual(l_shipdate" in m.group(1)
+    m = re.search(r"ReadSchema: ([^\n]*)", p)
+    assert m
+    read = m.group(1)
+    # a pruned scan: none of the unreferenced lineitem columns appear
+    for col in ("l_orderkey", "l_shipmode", "l_comment", "l_partkey"):
+        assert col not in read
+
+
+def test_dedup_minhash_single_scan(spark):
+    """The shingle→minhash→band→bucket pipeline runs off ONE corpus
+    scan — a second scan means a self-join crept back in."""
+    p = _plan(spark, "dedup_minhash")
+    assert _nodes(p, "Scan parquet") == 1
+
+
+def test_simhash_pairs_single_scan(spark):
+    p = _plan(spark, "dedup_simhash_pairs")
+    assert _nodes(p, "Scan parquet") == 1
+
+
+# BroadcastNestedLoopJoin is allowed ONLY where the broadcast side is a
+# constant-size relation (not data-proportional):
+#   similarity_topk        — the labeled exact baseline (broadcast query set)
+#   similarity_ivf_trained — crossJoin against <= 8 trained centroids
+#   high_low_24h           — 1-row max-timestamp scalar
+#   tfidf_top_terms        — 1-row corpus doc-count scalar
+BNLJ_ALLOWED = {
+    "similarity_topk",
+    "similarity_ivf_trained",
+    "high_low_24h",
+    "tfidf_top_terms",
+}
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in REGISTRY if n not in BNLJ_ALLOWED)
+)
+def test_no_nested_loop_joins(spark, name):
+    """No registry query outside the allowlist may plan a
+    BroadcastNestedLoopJoin or CartesianProduct — at scale those are
+    single-broadcast chokepoints outside whole-stage codegen."""
+    p = _plan(spark, name)
+    assert _nodes(p, "BroadcastNestedLoopJoin") == 0, name
+    assert _nodes(p, "CartesianProduct") == 0, name

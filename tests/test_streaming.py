@@ -143,3 +143,40 @@ def test_windowed_counts_streaming_mode(spark, dirs, sf_dir):
     got = spark.sql("SELECT count(*) AS n FROM win_counts").first()["n"]
     batch = windowed_event_counts(events, "24 hours", "1 hour").count()
     assert got >= batch - 5  # all but the unsealed tail windows
+
+
+def test_replayed_micro_batch_is_idempotent(spark, dirs):
+    """Exactly-once end-to-end under retry: delete the checkpoint's
+    last commit marker after a successful run — on restart Spark
+    re-delivers the final micro-batch with the SAME batch_id — and the
+    warehouse must come out row-identical (the MERGE + keep-latest
+    dedupe make redelivery a no-op, like the reference's re-runnable
+    Redshift MERGE)."""
+    wh = CoinWarehouse(spark, dirs["wh"])
+    _drop_batches(dirs["staging"], dirs["raw"], [0, 1])
+    q = stream_coin_pipeline(spark, dirs["raw"], wh, dirs["ckpt"])
+    q.awaitTermination(300)
+
+    def snapshot():
+        dim = sorted(map(str, wh.dim().collect()))
+        fact = sorted(map(str, wh.fact().collect()))
+        return dim, fact
+
+    before = snapshot()
+    assert len(before[1]) == 350
+
+    # simulate a crash AFTER the sink wrote but BEFORE the commit
+    # marker landed: remove the newest commit file; restart replays
+    # that batch with the same batch_id
+    commits = os.path.join(dirs["ckpt"], "commits")
+    latest = max(
+        (f for f in os.listdir(commits) if f.isdigit()), key=int
+    )
+    os.remove(os.path.join(commits, latest))
+    crc = os.path.join(commits, f".{latest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    q2 = stream_coin_pipeline(spark, dirs["raw"], wh, dirs["ckpt"])
+    q2.awaitTermination(300)
+    assert snapshot() == before
