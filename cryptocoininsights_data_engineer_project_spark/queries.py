@@ -27,7 +27,17 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import catalog
-from .operators import asof, dedup, fuzzy, merge, multimodal, sessions, similarity, textops
+from .operators import (
+    asof,
+    dedup,
+    fuzzy,
+    merge,
+    multimodal,
+    sessions,
+    similarity,
+    sketch,
+    textops,
+)
 from .functions.textnorm import duck_tokens, spark_tokens
 
 
@@ -1709,6 +1719,106 @@ def above_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.withColumn("__brand_avg", F.avg("p_retailprice").over(w))
         .filter(F.col("p_retailprice") > F.col("__brand_avg"))
         .select("p_partkey", "p_brand", "p_retailprice")
+    )
+
+
+@_q(
+    "q17_small_qty_revenue",
+    """
+WITH pf AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#23' AND p_size <= 15
+), li AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l JOIN pf ON l.l_partkey = pf.p_partkey
+), stats AS (
+  SELECT l_partkey, round(0.2 * avg(l_quantity), 6) AS qty_cap FROM li GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_small_orders
+FROM li JOIN stats USING (l_partkey)
+WHERE l_quantity < qty_cap
+""",
+    doc="TPC-H Q17 shape: correlated aggregate subquery (avg quantity "
+    "per part) decorrelated to a semi-joined groupBy — the per-part "
+    "average computes only over lineitems of qualifying parts, one "
+    "broadcast join + one grouped agg instead of a per-row subquery. "
+    "The cap is rounded before comparison so both engines compare "
+    "identical doubles",
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pf = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 15))
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    stats = li.groupBy("l_partkey").agg(
+        F.round(0.2 * F.avg("l_quantity"), 6).alias("qty_cap")
+    )
+    return (
+        li.join(stats, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_orders"),
+        )
+    )
+
+
+@_q(
+    "q18_large_orders",
+    """
+WITH heavy AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM heavy
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+""",
+    doc="TPC-H Q18 shape: IN-subquery over a grouped HAVING — expressed "
+    "as an aggregate-then-join so the heavy-order filter reduces the "
+    "join input instead of re-aggregating after it; quantity sums are "
+    "integer-valued doubles, exact in both engines",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    heavy = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 300)
+        .select("l_orderkey", F.round("__qty", 2).alias("total_qty"))
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        heavy.join(o, heavy.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
+        )
+    )
+
+
+@_q(
+    "approx_topk_cms",
+    sketch.cms_topk_oracle_sql("lineitem", "l_partkey"),
+    doc="approximate heavy hitters via a deterministic count-min sketch "
+    "(portable md5 hash family): an APPROXIMATE operator with an EXACT "
+    "cross-engine oracle — estimates are overestimates bounded by n/w, "
+    "sketch is d*w counters mergeable across partitions/streams "
+    "(operators/sketch.py)",
+)
+def approx_topk_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketch.cms_topk(_t(spark, sf_dir, "lineitem"), "l_partkey").select(
+        F.col("key").alias("l_partkey"), "est_count"
     )
 
 
