@@ -1823,6 +1823,31 @@ def approx_topk_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "geomean_price",
+    """
+SELECT p_brand, round(exp(avg(ln(p_retailprice))), 6) AS geomean_price,
+       count(*) AS n_parts
+FROM part GROUP BY p_brand
+""",
+    doc="geometric mean per brand — an aggregate Spark lacks natively, "
+    "expressed as the codegen-resident composition exp(avg(ln(x))); "
+    "the Arrow pandas-UDAF form (functions/udafs.py::geomean_udaf) "
+    "covers the UDAF API surface and is test-pinned equal",
+)
+def geomean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.udafs import geomean_builtin
+
+    return (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(
+            F.round(geomean_builtin("p_retailprice"), 6).alias("geomean_price"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+    )
+
+
+@_q(
     "similarity_kmeans_ivf",
     None,  # iterative (Lloyd's) — not single-query SQL; rows-only check
     doc="IVF coarse-quantizer training: k-means over DataFrames "

@@ -116,3 +116,89 @@ def stateful_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ------------------------------------------------------------------ LOCF TWA
+# Streaming twin of the batch `time_weighted_avg` registry query:
+# last-observation-carried-forward time-weighted mean per key, updated
+# every micro-batch. State per key is one fixed tuple — (first_us,
+# last_us, last_cents, weighted num) — so state-store size is O(keys)
+# regardless of stream length; the numerator accumulates in float64
+# (the batch twin uses 128-bit exact integers; at double precision the
+# relative error is ~1e-16 per accumulation, far under the 6-decimal
+# output rounding). Events are assumed in key-order across batches
+# (upstream per-key ordering, e.g. a partitioned log); out-of-order
+# delivery would need watermark buffering, which the batch form covers.
+TWA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("twa_value", T.DoubleType()),
+        T.StructField("n_obs", T.LongType()),
+    ]
+)
+TWA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("first_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("last_cents", T.LongType()),
+        T.StructField("num", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def make_twa_fn():
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            first_us, last_us, last_cents, num, n = state.get
+        else:
+            first_us = None
+        rows: list[tuple[int, int, int]] = []
+        for pdf in pdfs:
+            for ts_ns, eid, cents in zip(
+                pdf["ts"].astype("int64"), pdf["event_id"], pdf["cents"]
+            ):
+                rows.append((int(ts_ns) // 1000, int(eid), int(cents)))
+        rows.sort()
+        for tu, _eid, cents in rows:
+            if first_us is None:
+                first_us, last_us, last_cents, num, n = tu, tu, cents, 0.0, 0
+            else:
+                num += last_cents * float(tu - last_us)
+                last_us, last_cents = tu, cents
+            n += 1
+        state.update((first_us, last_us, last_cents, num, n))
+        if last_us > first_us:
+            twa = round(num / (100.0 * (last_us - first_us)), 6)
+            yield pd.DataFrame(
+                {"user_id": [user_id], "twa_value": [twa], "n_obs": [n]}
+            )
+
+    return fn
+
+
+def stateful_time_weighted_avg(events: DataFrame) -> DataFrame:
+    """events must carry (user_id, event_id, ts, value). Emits the
+    running per-key TWA each micro-batch (update semantics)."""
+    from pyspark.sql import functions as F
+
+    ev = (
+        events.filter(F.col("value").isNotNull())
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        make_twa_fn(),
+        outputStructType=TWA_OUTPUT_SCHEMA,
+        stateStructType=TWA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -69,3 +69,29 @@ def test_table_sink_saveAsTable(spark, tmp_path):
     spark.sql("TRUNCATE TABLE coin_info_stage")  # M3
     assert spark.table("coin_info_stage").count() == 0
     spark.sql("DROP TABLE coin_info_stage")
+
+
+def test_orc_sink_scan_roundtrip(spark, sf_dir, tmp_path):
+    """ORC source/sink coverage: write a projected lineitem slice to
+    ORC, read it back identically, and confirm predicate pushdown
+    reaches the ORC scan (same contract as the parquet path)."""
+    import contextlib
+    import io
+
+    from cryptocoininsights_data_engineer_project_spark.catalog import table
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    dst = str(tmp_path / "li_orc")
+    li.write.mode("overwrite").orc(dst)
+    back = spark.read.orc(dst)
+    assert sorted(map(str, back.collect())) == sorted(map(str, li.collect()))
+
+    filtered = back.filter(back.l_quantity > 40).select("l_orderkey")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        filtered.explain("formatted")
+    plan = buf.getvalue()
+    assert "Scan orc" in plan
+    assert "l_quantity" in plan.split("PushedFilters:")[1].splitlines()[0]

@@ -117,3 +117,74 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
     assert emitted == expected_closed
     # both data-driven closures AND at least one timeout-driven closure
     assert len(emitted) == 3
+
+
+def test_stateful_twa_matches_batch_formula(spark, tmp_path):
+    """The streaming LOCF time-weighted average converges per key to
+    the batch formula over all delivered events, across micro-batch
+    boundaries (state carries last observation between files)."""
+    import json as _json
+
+    from cryptocoininsights_data_engineer_project_spark.streaming.stateful import (
+        stateful_time_weighted_avg,
+    )
+
+    raw = tmp_path / "twa_raw"
+    raw.mkdir()
+
+    def write(path, rows):
+        with open(path, "w") as f:
+            for eid, (uid, sec, val) in enumerate(rows):
+                f.write(
+                    _json.dumps(
+                        {
+                            "event_id": eid + hash(str(path)) % 1000 * 100,
+                            "user_id": uid,
+                            "ts": f"2024-01-01T00:{sec // 60:02d}:{sec % 60:02d}",
+                            "value": val,
+                        }
+                    )
+                    + "\n"
+                )
+
+    f1 = [(1, 0, 10.0), (1, 60, 20.0), (2, 0, 5.0)]
+    f2 = [(1, 180, 40.0), (2, 120, 15.0), (2, 300, 5.0)]
+    write(raw / "f1.json", f1)
+    write(raw / "f2.json", f2)
+
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(raw))
+    )
+    latest = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            latest[r.user_id] = (r.twa_value, r.n_obs)
+
+    q = (
+        stateful_time_weighted_avg(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "twa_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # batch formula on the driver: sum(value_i * dt_i) / total span
+    def batch_twa(rows):
+        rows = sorted(rows, key=lambda r: r[1])
+        num = sum(
+            rows[i][2] * (rows[i + 1][1] - rows[i][1])
+            for i in range(len(rows) - 1)
+        )
+        return round(num / (rows[-1][1] - rows[0][1]), 6)
+
+    all_rows = f1 + f2
+    for uid in (1, 2):
+        rows = [r for r in all_rows if r[0] == uid]
+        assert latest[uid][0] == batch_twa(rows), uid
+        assert latest[uid][1] == len(rows)

@@ -36,3 +36,30 @@ def test_udtf_empty_and_null_text(spark):
     assert [(r.doc_id, r.chunk_id, r.n_tokens, r.chunk_text) for r in rows] == [
         (1, 0, 3, "a b c")
     ]
+
+
+def test_geomean_udaf_pins_builtin(spark, sf_dir):
+    """UDAF API surface: the Arrow grouped-agg geometric mean equals
+    the codegen composition exp(avg(ln(x))) used by the registry."""
+    from pyspark.sql import functions as F
+
+    from cryptocoininsights_data_engineer_project_spark.catalog import table
+    from cryptocoininsights_data_engineer_project_spark.functions.udafs import (
+        geomean_builtin,
+        geomean_udaf,
+    )
+
+    p = table(spark, sf_dir, "part")
+    via_udaf = {
+        r.p_brand: r.g
+        for r in p.groupBy("p_brand")
+        .agg(F.round(geomean_udaf("p_retailprice"), 6).alias("g"))
+        .collect()
+    }
+    via_builtin = {
+        r.p_brand: r.g
+        for r in p.groupBy("p_brand")
+        .agg(F.round(geomean_builtin("p_retailprice"), 6).alias("g"))
+        .collect()
+    }
+    assert via_udaf == via_builtin
