@@ -39,6 +39,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Runtime bloom-filter join pruning: when a selective filtered
+        # side is too big to broadcast (the 100 TB shuffle-join case),
+        # inject a bloom filter of its join keys into the other side's
+        # scan — a semi-join reduction that cuts shuffle volume by the
+        # filter's selectivity. Self-activating: broadcast joins don't
+        # need it and don't get it (verified in tests/test_plans.py).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
@@ -67,4 +74,5 @@ def tune_session(spark: SparkSession) -> SparkSession:
     # non-default choice the session owner made
     if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
         spark.conf.set("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     return spark

@@ -94,3 +94,47 @@ def test_no_nested_loop_joins(spark, name):
     p = _plan(spark, name)
     assert _nodes(p, "BroadcastNestedLoopJoin") == 0, name
     assert _nodes(p, "CartesianProduct") == 0, name
+
+
+def test_bloom_filter_injects_on_shuffle_join(spark):
+    """Runtime bloom-filter pruning: when the selective side can't
+    broadcast, its join keys reach the big side's scan as a
+    might_contain filter — the shuffle-volume reducer that matters at
+    100 TB. (Broadcast joins, the local-scale norm, neither need nor
+    get one: see test_star_join_broadcasts_all_dims.)"""
+    import pyspark.sql.functions as F
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    except Exception:
+        old_aqe = None
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        o = (
+            spark.read.parquet(f"{SF}/orders.parquet")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+        )
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        assert "might_contain" in buf.getvalue().lower()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
