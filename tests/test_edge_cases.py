@@ -107,3 +107,46 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     )
     # the 2024-03-07 window (the late row) must not appear with data
     assert all(r["start"].day != 7 for r in rows), rows
+
+
+def test_new_operators_tolerate_degenerate_inputs(spark):
+    """Empty and single-row inputs must not crash the round-2
+    operators (a 100 TB pipeline hits empty partitions and empty
+    filter results constantly)."""
+    from cryptocoininsights_data_engineer_project_spark.operators import (
+        dedup,
+        fuzzy,
+        sketch,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.simhash_hamming_pairs(empty_docs).count() == 0
+    one_doc = spark.createDataFrame([(1, "hello world one")], "doc_id long, text string")
+    assert dedup.simhash_hamming_pairs(one_doc).count() == 0
+
+    empty_p = spark.createDataFrame([], "k long, blk string, txt string")
+    assert fuzzy.edit_distance_pairs(empty_p, "k", "txt", "blk").count() == 0
+    one_p = spark.createDataFrame([(1, "b", "some name")], "k long, blk string, txt string")
+    assert fuzzy.edit_distance_pairs(one_p, "k", "txt", "blk").count() == 0
+
+    one_key = spark.createDataFrame([(7,), (7,), (7,)], "l_partkey long")
+    rows = sketch.cms_topk(one_key, "l_partkey").collect()
+    assert [(r.key, r.est_count) for r in rows] == [(7, 3)]
+
+
+def test_multimodal_decode_ignores_malformed_headers(spark):
+    """Truncated or wrong-magic payloads fall through to text/plain
+    with NULL media fields — never a parse error."""
+    from cryptocoininsights_data_engineer_project_spark.operators import multimodal
+
+    rows = [
+        (1, b"\x89PNG"),                      # truncated PNG signature
+        (2, b"RIFFxxxxWAVE"),                 # RIFF but no fmt chunk
+        (3, b""),                             # empty payload
+        (4, b"\x89PNG\r\n\x1a\nXXXXYYYY"),    # signature but no IHDR
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {r.asset_id: r for r in multimodal.decode_meta(df).collect()}
+    for aid in (1, 2, 3, 4):
+        assert got[aid].media_type == "text/plain"
+        assert got[aid].width is None and got[aid].sample_rate is None
