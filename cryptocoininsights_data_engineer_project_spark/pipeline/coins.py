@@ -345,6 +345,61 @@ class CoinWarehouse:
             else:
                 fs.rename(st.getPath(), live)
 
+    def compact(self, path: str, target_files_per_bucket: int = 1) -> dict:
+        """OPTIMIZE-style small-file compaction: rewrite each bucket
+        directory holding more than ``target_files_per_bucket`` parquet
+        files into that many, leaving compact buckets untouched.
+
+        Why it exists: every incremental upsert rewrites touched
+        buckets as fresh files, and at high batch cadence a bucket
+        accretes many small files — the classic warehouse small-file
+        problem (scan tasks, open costs, and footer reads all scale
+        with file count, not bytes). Compaction is I/O proportional to
+        the SICK buckets only, reuses the same crash-safe rename-aside
+        swap as the upsert path, and never changes row content (tests
+        assert byte-level row equality).
+
+        Returns {bucket_name: files_before} for the rewritten buckets.
+        """
+        fs, root = self._fs(path)
+        if not fs.exists(root):
+            return {}
+        sick: dict[str, int] = {}
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not name.startswith("bucket="):
+                continue
+            n_parquet = sum(
+                1
+                for f in fs.listStatus(st.getPath())
+                if f.getPath().getName().endswith(".parquet")
+            )
+            if n_parquet > target_files_per_bucket:
+                sick[name] = n_parquet
+        if not sick:
+            return {}
+        tmp = path + "__compact"
+        for name in sick:
+            src_dir = os.path.join(path, name)
+            (
+                self.spark.read.parquet(src_dir)
+                .coalesce(target_files_per_bucket)
+                .write.mode("overwrite")
+                .parquet(os.path.join(tmp, name))
+            )
+        for name in sick:
+            b = name[len("bucket=") :]
+            dst = self._jpath(os.path.join(path, name))
+            src = self._jpath(os.path.join(tmp, name))
+            bak = self._jpath(os.path.join(path, f"_bak_bucket={b}"))
+            if fs.exists(bak):
+                fs.delete(bak, True)
+            fs.rename(dst, bak)
+            fs.rename(src, dst)
+            fs.delete(bak, True)
+        fs.delete(self._jpath(tmp), True)
+        return sick
+
     # -- maintenance (M4/M5, coininsights.py:193-353) ----------------
     def _fs(self, path: str):
         jvm = self.spark._jvm

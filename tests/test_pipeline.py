@@ -228,3 +228,71 @@ def test_crash_safe_bucket_swap_recovery(spark, raw_dir, tmp_path):
     assert b0 in names and "_bak_" + b0 not in names
     assert b1 in names and "_bak_" + b1 not in names
     assert wh.fact().count() == total  # every row survived the crash
+
+
+def test_compaction_reduces_files_preserves_rows(spark, raw_dir, tmp_path):
+    """Repeated upserts accrete small files per bucket; compact()
+    rewrites ONLY the multi-file buckets down to one file each and the
+    table contents are row-identical before/after."""
+    wh = CoinWarehouse(spark, str(tmp_path / "whf"), n_buckets=4)
+    run_batch_pipeline(spark, os.path.join(raw_dir, "raw_coins_batch0.json"), wh)
+    fact_dir = wh.fact_path
+
+    # manufacture the many-small-files state a wide cluster write
+    # produces (N shuffle tasks each dropping a file into the bucket)
+    import shutil
+
+    buckets = sorted(d for d in os.listdir(fact_dir) if d.startswith("bucket="))
+    for d in buckets[:2]:
+        bdir = os.path.join(fact_dir, d)
+        split = spark.read.parquet(bdir).repartition(3)
+        tmp_out = str(tmp_path / ("split_" + d))
+        split.write.mode("overwrite").parquet(tmp_out)
+        shutil.rmtree(bdir)
+        os.makedirs(bdir)
+        i = 0
+        for f in os.listdir(tmp_out):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(tmp_out, f), os.path.join(bdir, f"part-{i}.parquet"))
+                i += 1
+
+    def files_per_bucket():
+        return {
+            d: sum(1 for f in os.listdir(os.path.join(fact_dir, d)) if f.endswith(".parquet"))
+            for d in os.listdir(fact_dir)
+            if d.startswith("bucket=")
+        }
+
+    before_rows = sorted(map(str, wh.fact().collect()))
+    before_files = files_per_bucket()
+    assert any(n > 1 for n in before_files.values())  # small files exist
+
+    rewritten = wh.compact(fact_dir)
+    after_files = files_per_bucket()
+    assert set(rewritten) == {d for d, n in before_files.items() if n > 1}
+    assert all(n == 1 for n in after_files.values())
+    assert sorted(map(str, wh.fact().collect())) == before_rows
+    # idempotent: second pass is a no-op
+    assert wh.compact(fact_dir) == {}
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """Dynamic partition-overwrite: rewriting one partition's data
+    leaves sibling partitions untouched — the write-side contract the
+    bucketed upsert relies on conceptually, exposed as plain Spark
+    conf for user tables."""
+    dst = str(tmp_path / "dyn")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "id long, part string"
+    )
+    df.write.partitionBy("part").mode("overwrite").parquet(dst)
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        spark.createDataFrame([(9, "a")], "id long, part string").write.partitionBy(
+            "part"
+        ).mode("overwrite").parquet(dst)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    got = sorted((r.id, r.part) for r in spark.read.parquet(dst).collect())
+    assert got == [(2, "b"), (9, "a")]  # partition b survived, a replaced
