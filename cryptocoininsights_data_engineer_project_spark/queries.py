@@ -1822,6 +1822,157 @@ def approx_topk_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CENTS = "CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)"
+
+
+@_q(
+    "q5_local_supplier_volume",
+    f"""
+SELECT n_name, sum({_CENTS}) / 100.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""",
+    doc="TPC-H Q5 shape: six-way star with the customer-nation = "
+    "supplier-nation equi-condition folded into the supplier join; "
+    "dims broadcast, revenue summed in integer cents",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            (F.sum(F.expr(_CENTS)) / 100.0).alias("revenue")
+        )
+    )
+
+
+@_q(
+    "q10_returned_item_revenue",
+    f"""
+SELECT c_custkey, c_name, n_name,
+  sum({_CENTS}) / 100.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+    doc="TPC-H Q10 shape: returned-item revenue per customer, top 20 "
+    "— selective fact filter first, integer-cent sums (customer-count "
+    "group cardinality is exactly where round-after-double-sum flips)",
+)
+def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg((F.sum(F.expr(_CENTS)) / 100.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@_q(
+    "q14_promo_revenue",
+    f"""
+SELECT round(
+  100.0 * sum(CASE WHEN p_type = 'PROMO' THEN {_CENTS} ELSE 0 END)
+  / sum({_CENTS}), 6) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+  AND l_shipdate < TIMESTAMP '1995-10-01'
+""",
+    doc="TPC-H Q14 shape: conditional-aggregate ratio (promo revenue "
+    "share) — one scan, both sums in the same grouped aggregate, "
+    "integer cents inside the conditional",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp_ntz"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", F.expr(_CENTS)).otherwise(
+                        F.lit(0)
+                    )
+                )
+                / F.sum(F.expr(_CENTS)),
+                6,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@_q(
+    "q19_disjunctive",
+    f"""
+SELECT sum({_CENTS}) / 100.0 AS revenue, count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+""",
+    doc="TPC-H Q19 shape: OR-of-ANDs disjunctive predicate spanning "
+    "both join sides — Catalyst extracts the common p_brand IN (...) "
+    "and p_size <= 15 conjuncts below the join so the part scan "
+    "prunes before the join, and the residual disjunction filters "
+    "after; the join itself stays a plain broadcast equi-join",
+)
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(cond).agg(
+        (F.sum(F.expr(_CENTS)) / 100.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 @_q(
     "geomean_price",
     """

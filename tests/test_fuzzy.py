@@ -93,3 +93,76 @@ def test_passjoin_candidates_bounded_by_output(spark, sf_dir):
     )
     assert cands <= 4 * (out + n)
     assert brand_pairs > 4 * (out + n)  # the old blocking would not pass
+
+
+def _python_keys(txt: str, tau: int = 3):
+    """Pure-Python mirror of the Spark key-generation arithmetic
+    (operators/fuzzy.py) — index keys and probe keys."""
+    segs = tau + 1
+    m = len(txt)
+    idx = set()
+    for i in range(segs):
+        start = i * m // segs + 1
+        slen = (i + 1) * m // segs - i * m // segs
+        if slen >= 1:
+            idx.add((m, i, txt[start - 1 : start - 1 + slen]))
+    prb = set()
+    for l in range(m - tau, m + tau + 1):
+        if l <= tau:
+            continue
+        for i in range(segs):
+            start = i * l // segs + 1
+            slen = (i + 1) * l // segs - i * l // segs
+            if slen < 1:
+                continue
+            lo, hi = max(1, start - tau), min(m - slen + 1, start + tau)
+            for pos in range(lo, hi + 1):
+                prb.add((l, i, txt[pos - 1 : pos - 1 + slen]))
+    return idx, prb
+
+
+def test_passjoin_geometry_property():
+    """Hypothesis-grade sweep without Spark: for thousands of random
+    (s, r) pairs within edit distance tau, r's probe keys intersect
+    s's index keys (the pigeonhole + shift-window guarantee the
+    distributed equi-join relies on)."""
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+    except ImportError:  # pragma: no cover
+        import pytest
+
+        pytest.skip("hypothesis unavailable")
+
+    alpha = "abcd"
+
+    @settings(max_examples=2000, deadline=None)
+    @given(
+        base=st.text(alphabet=alpha, min_size=8, max_size=40),
+        edits=st.lists(
+            st.tuples(
+                st.sampled_from(["sub", "ins", "del"]),
+                st.integers(min_value=0, max_value=200),
+                st.sampled_from(alpha),
+            ),
+            min_size=0,
+            max_size=3,
+        ),
+    )
+    def check(base, edits):
+        s = base
+        r = base
+        for op, i, ch in edits:
+            i = i % max(len(r), 1)
+            if op == "sub":
+                r = r[:i] + ch + r[i + 1 :]
+            elif op == "ins":
+                r = r[:i] + ch + r[i:]
+            elif len(r) > 5:
+                r = r[:i] + r[i + 1 :]
+        # true edit distance <= number of applied edits <= 3
+        idx_s, _ = _python_keys(s)
+        _, prb_r = _python_keys(r)
+        assert idx_s & prb_r, (s, r)
+
+    check()
