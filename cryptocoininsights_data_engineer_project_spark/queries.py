@@ -31,6 +31,7 @@ from .operators import (
     asof,
     dedup,
     fuzzy,
+    layout,
     merge,
     multimodal,
     sessions,
@@ -1970,6 +1971,37 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(cond).agg(
         (F.sum(F.expr(_CENTS)) / 100.0).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@_q(
+    "zorder_key",
+    f"""
+WITH s AS (
+  SELECT min(l_partkey) AS nx, max(l_partkey) AS xx,
+         min(l_orderkey) AS ny, max(l_orderkey) AS xy
+  FROM lineitem
+), z AS (
+  SELECT l_orderkey, l_linenumber,
+    CAST(((l_partkey - s.nx) * 65535) // greatest(s.xx - s.nx, 1) AS BIGINT) AS zx,
+    CAST(((l_orderkey - s.ny) * 65535) // greatest(s.xy - s.ny, 1) AS BIGINT) AS zy
+  FROM lineitem, s
+)
+SELECT l_orderkey, l_linenumber, {layout.zorder_duck_sql('zx', 'zy')} AS zkey
+FROM z
+""",
+    doc="Z-order (Morton) layout key: min/max-normalize both dims to "
+    "16 bits then interleave — pure codegen bit arithmetic "
+    "(operators/layout.py). zorder_write uses it to range-partition + "
+    "sort so every file covers one (x, y) tile and row-group stats "
+    "prune on either column",
+)
+def zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    return layout.with_zorder_key(li, "l_partkey", "l_orderkey").select(
+        "l_orderkey", "l_linenumber", "zkey"
     )
 
 
