@@ -278,3 +278,98 @@ sh AS (
 )
 SELECT doc_id, min({duck_hash64('shingle')}) AS fingerprint FROM sh GROUP BY doc_id
 """
+
+
+# ------------------------------------------------------------ corpus filter
+def corpus_filter(docs: DataFrame, lang: str = "en", min_quality: float = 0.5) -> DataFrame:
+    """(doc_id, lang_pred, quality, n_copies, keep): the end-to-end
+    training-corpus filter — language gate + quality gate + exact-dup
+    canonicalization — FUSED into one pass.
+
+    Physical shape is the point: language scores, quality features,
+    and the content fingerprint are all narrow projections of the same
+    scan, so they compute in one pipelined stage; the duplicate-group
+    canon (smallest doc_id, copy count) comes from a WINDOW over the
+    fingerprint rather than an aggregate+self-join — one scan, one
+    shuffle, total. The naive composition (lang_id ⋈ quality_score ⋈
+    dedup) re-reads the corpus four times; at 100 TB that is the whole
+    game. Per-family semantics match lang_id / quality_score /
+    exact_dedup_clusters exactly (shared expression builders).
+    """
+    from pyspark.sql import Window
+
+    stop = _in_list(QUALITY_STOPWORDS)
+    toks = spark_tokens("text")
+    feats = docs.selectExpr(
+        "doc_id",
+        *[
+            f"size(filter({toks}, t -> t IN ({_in_list(words)}))) AS n_{lg}"
+            for lg, words in STOPWORDS.items()
+        ],
+        f"CAST(size({toks}) AS BIGINT) AS n_tokens",
+        f"CAST(size(regexp_extract_all(text, '{_spark_re(PUNCT_RE)}', 0)) AS DOUBLE)"
+        f" / length(text) AS punct_ratio",
+        f"CAST(size(filter({toks}, t -> t IN ({stop}))) AS DOUBLE)"
+        f" / size({toks}) AS stop_ratio",
+        f"md5({spark_norm('text')}) AS fingerprint",
+    )
+    scored = feats.select(
+        "doc_id",
+        F.expr(_argmax_case(list(STOPWORDS))).alias("lang_pred"),
+        F.least(
+            F.lit(1.0),
+            0.5 * F.least(F.col("stop_ratio") * 10, F.lit(1.0))
+            + 0.3 * (1 - F.col("punct_ratio"))
+            + 0.2 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0)),
+        ).alias("quality"),
+        "fingerprint",
+    )
+    w = Window.partitionBy("fingerprint")
+    return (
+        scored.withColumn("keep_id", F.min("doc_id").over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .select(
+            "doc_id",
+            "lang_pred",
+            "quality",
+            "n_copies",
+            (
+                (F.col("lang_pred") == lang)
+                & (F.col("quality") >= min_quality)
+                & (F.col("doc_id") == F.col("keep_id"))
+            ).alias("keep"),
+        )
+    )
+
+
+def corpus_filter_oracle_sql(lang: str = "en", min_quality: float = 0.5) -> str:
+    stop = _in_list(QUALITY_STOPWORDS)
+    toks = duck_tokens("text")
+    score_cols = ", ".join(
+        f"len(list_filter({toks}, t -> t IN ({_in_list(words)}))) AS n_{lg}"
+        for lg, words in STOPWORDS.items()
+    )
+    return f"""
+WITH feats AS (
+  SELECT doc_id, {score_cols},
+    CAST(len({toks}) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(text, '{_duck_re(PUNCT_RE)}')) AS DOUBLE)
+          / length(text) AS punct_ratio,
+    CAST(len(list_filter({toks}, t -> t IN ({stop}))) AS DOUBLE)
+          / len({toks}) AS stop_ratio,
+    md5({duck_norm('text')}) AS fingerprint
+  FROM documents
+), scored AS (
+  SELECT doc_id, {_argmax_case(list(STOPWORDS))} AS lang_pred,
+    LEAST(1.0,
+      0.5 * LEAST(stop_ratio * 10, 1.0) + 0.3 * (1 - punct_ratio)
+      + 0.2 * LEAST(n_tokens / 100.0, 1.0)) AS quality,
+    fingerprint
+  FROM feats
+)
+SELECT doc_id, lang_pred, quality,
+  count(*) OVER (PARTITION BY fingerprint) AS n_copies,
+  (lang_pred = '{lang}' AND quality >= {min_quality}
+   AND doc_id = min(doc_id) OVER (PARTITION BY fingerprint)) AS keep
+FROM scored
+"""

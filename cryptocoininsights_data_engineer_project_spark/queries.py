@@ -1975,6 +1975,19 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "corpus_filter",
+    textops.corpus_filter_oracle_sql(),
+    doc="end-to-end training-corpus filter: language gate + quality "
+    "gate + exact-dup canonicalization FUSED into one scan and one "
+    "shuffle (dup canon via window over the fingerprint, not an "
+    "aggregate+self-join) — the composition a naive pipeline pays "
+    "four corpus reads for",
+)
+def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.corpus_filter(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "zorder_key",
     f"""
 WITH s AS (

@@ -138,3 +138,11 @@ def test_bloom_filter_injects_on_shuffle_join(spark):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_corpus_filter_single_scan(spark):
+    """The fused corpus filter computes language + quality + dup-canon
+    off ONE scan (window, not aggregate+self-join) — its reason to
+    exist over composing the three standalone queries."""
+    p = _plan(spark, "corpus_filter")
+    assert _nodes(p, "Scan parquet") == 1
