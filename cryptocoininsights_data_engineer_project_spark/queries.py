@@ -1975,6 +1975,39 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "array_funcs",
+    """
+WITH t AS (
+  SELECT user_id, list_sort(array_agg(DISTINCT event_type)) AS types
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+  array_to_string(types, ',') AS type_csv,
+  CAST(len(types) AS INT) AS n_types,
+  list_contains(types, 'purchase') AS has_purchase,
+  types[1] AS first_type
+FROM t
+""",
+    doc="§2.10 array family: collect_set → sort_array → "
+    "array_join/contains/element_at over grouped event types "
+    "(array results compared as joined strings for portable hashing)",
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
+        .select(
+            "user_id",
+            F.array_join("types", ",").alias("type_csv"),
+            F.size("types").alias("n_types"),
+            F.array_contains("types", "purchase").alias("has_purchase"),
+            F.element_at("types", 1).alias("first_type"),
+        )
+    )
+
+
+@_q(
     "corpus_filter",
     textops.corpus_filter_oracle_sql(),
     doc="end-to-end training-corpus filter: language gate + quality "
