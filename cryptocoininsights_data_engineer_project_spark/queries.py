@@ -2102,6 +2102,224 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q6_forecast_revenue",
+    """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6 shape: pure scan-side aggregate — every predicate "
+    "is a pushable range filter (shipdate/discount/quantity reach the "
+    "parquet row-group stats), no join, one map-side partial sum",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_q(
+    "q4_order_priority",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4 shape (adapted: testdata lineitem has no "
+    "commit/receipt dates, so the EXISTS condition is "
+    "l_shipdate > o_orderdate): decorrelated into a LEFT SEMI join "
+    "on l_orderkey with the date comparison as a join residual — "
+    "the semi join short-circuits per order, no fact duplication, "
+    "and the selective orderdate filter prunes the probe side first",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@_q(
+    "q13_customer_distribution",
+    """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+""",
+    doc="TPC-H Q13 shape: customer order-count distribution (adapted: "
+    "the anti-filter is on o_orderpriority, testdata orders has no "
+    "comment column) — LEFT OUTER join with the filter INSIDE the "
+    "join condition (not a WHERE, which would drop 0-order "
+    "customers), then a two-level re-aggregation; second agg is "
+    "near-free (|distinct counts| rows)",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "5-LOW"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@_q(
+    "q15_top_supplier",
+    f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, sum({_CENTS}) / 100.0 AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+    doc="TPC-H Q15 shape: top supplier by quarterly revenue — the "
+    "scalar max is a 1-row broadcast joined back against the "
+    "aggregated (|suppliers|-sized) revenue table, NOT a global "
+    "single-partition window over the fact; integer-cent sums make "
+    "the max/equality comparison order-independent",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        (F.sum(F.expr(_CENTS)) / 100.0).alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == top.max_revenue)
+        .join(F.broadcast(s), rev.supplier_no == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@_q(
+    "q22_dormant_value",
+    """
+SELECT c_nationkey, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_nationkey IN (1, 3, 10, 15, 20)
+  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0.0
+                     AND c_nationkey IN (1, 3, 10, 15, 20))
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+""",
+    doc="TPC-H Q22 shape (adapted: nation-key set stands in for the "
+    "missing phone country codes): above-average-balance customers "
+    "with no orders — scalar-subquery avg as a 1-row broadcast "
+    "join, NOT EXISTS as a LEFT ANTI join on a pruned "
+    "(o_custkey-only) orders projection",
+)
+def q22_dormant_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nations = [1, 3, 10, 15, 20]
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(nations))
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(F.broadcast(avg_bal), c.c_acctbal > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@_q(
+    "q9_nation_profit",
+    f"""
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       sum({_CENTS}) / 100.0 AS profit
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN part ON l_partkey = p_partkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, o_year
+""",
+    doc="TPC-H Q9 shape (adapted: no partsupp table → profit is "
+    "discounted revenue, no supply-cost term): five-way join grouped "
+    "by supplier nation × order year — part filtered by LIKE before "
+    "the join and broadcast with supplier/nation; the only shuffle "
+    "joins are the two fact-sized ones (orders, final agg)",
+)
+def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg((F.sum(F.expr(_CENTS)) / 100.0).alias("profit"))
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}

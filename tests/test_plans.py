@@ -76,11 +76,13 @@ def test_simhash_pairs_single_scan(spark):
 #   similarity_ivf_trained — crossJoin against <= 8 trained centroids
 #   high_low_24h           — 1-row max-timestamp scalar
 #   tfidf_top_terms        — 1-row corpus doc-count scalar
+#   q22_dormant_value      — 1-row avg-acctbal scalar (inequality join)
 BNLJ_ALLOWED = {
     "similarity_topk",
     "similarity_ivf_trained",
     "high_low_24h",
     "tfidf_top_terms",
+    "q22_dormant_value",
 }
 
 
