@@ -373,3 +373,141 @@ SELECT doc_id, lang_pred, quality,
    AND doc_id = min(doc_id) OVER (PARTITION BY fingerprint)) AS keep
 FROM scored
 """
+
+
+# ---------------------------------------------------------- repetition score
+# Gopher-style repetition features (Rae et al. 2021 §A1.1): fraction of
+# duplicate words, share of the most frequent word, share of the most
+# frequent bigram. High values flag boilerplate / degenerate generations
+# that the quality heuristic (stopword-based) misses entirely.
+def repetition_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, dup_word_frac, top_word_frac, top_bigram_frac).
+
+    Scale shape: token/bigram explosion feeds a two-level aggregation
+    (count per (doc, term) → max/sum per doc), so the shuffle carries
+    partial counts, never raw token rows twice; both per-doc aggregates
+    then meet in a join that is co-partitioned on doc_id because both
+    sides were just shuffled on it. No HOF lambdas in the hot path
+    (first-use codegen cost — see shingle_docs) and no per-row Python.
+    Docs shorter than 2 tokens emit NULL top_bigram_frac on both
+    engines (explicit CASE, not division-by-zero behavior).
+    """
+    toks = docs.select("doc_id", F.expr(spark_tokens("text")).alias("ws"))
+    wagg = (
+        toks.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+    )
+    idx = toks.select("doc_id", "ws", F.posexplode("ws").alias("i", "_t"))
+    bagg = (
+        idx.filter(F.expr("i + 2 <= size(ws)"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.expr("ws[i]"), F.expr("ws[i + 1]")).alias("s"),
+        )
+        .groupBy("doc_id", "s")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bg"))
+    )
+    return wagg.join(bagg, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(1 - F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(F.col("top_c") / F.col("n_tokens"), 6).alias("top_word_frac"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.round(F.col("top_bg") / F.col("n_bigrams"), 6),
+        ).alias("top_bigram_frac"),
+    )
+
+
+def repetition_score_oracle_sql() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {duck_tokens('text')} AS ws FROM documents),
+words AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+wagg AS (
+  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS top_c
+  FROM wc GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS s
+  FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS g(i)
+  WHERE len(ws) >= 2
+),
+bc AS (SELECT doc_id, s, count(*) AS c FROM bg GROUP BY doc_id, s),
+bagg AS (
+  SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bg FROM bc GROUP BY doc_id
+)
+SELECT wagg.doc_id,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  round(1 - n_distinct / CAST(n_tokens AS DOUBLE), 6) AS dup_word_frac,
+  round(top_c / CAST(n_tokens AS DOUBLE), 6) AS top_word_frac,
+  CASE WHEN n_bigrams > 0
+       THEN round(top_bg / CAST(n_bigrams AS DOUBLE), 6) END
+    AS top_bigram_frac
+FROM wagg LEFT JOIN bagg ON wagg.doc_id = bagg.doc_id
+"""
+
+
+# ------------------------------------------------------------- PII redaction
+# RE2-safe patterns (no lookaround/backrefs) so Java regex (Spark) and
+# RE2 (DuckDB) match identically. \b is supported by both.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,4}"
+PHONE_RE = r"\+?[0-9][0-9() .-]{6,}[0-9]"
+IPV4_RE = r"\b[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}\b"
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """(doc_id, redacted, n_emails, n_phones, n_ips): replace
+    email / phone-number / IPv4 literals with typed placeholder tokens
+    and count what was removed — the standard scrub pass before a text
+    corpus is used for training.
+
+    Narrow projection, zero shuffle: three chained JVM
+    ``regexp_replace`` calls (global by default in Spark) and three
+    ``regexp_extract_all`` counts, all inside one whole-stage-codegen
+    span. Order matters: emails first (an email contains digit runs a
+    greedy phone pattern could claim), then IPs, then phones.
+    """
+    email, phone, ip = (
+        _spark_re(EMAIL_RE),
+        _spark_re(PHONE_RE),
+        _spark_re(IPV4_RE),
+    )
+    return docs.selectExpr(
+        "doc_id",
+        "regexp_replace(regexp_replace(regexp_replace("
+        f"text, '{email}', '<EMAIL>'), '{ip}', '<IP>'), '{phone}', '<PHONE>')"
+        " AS redacted",
+        f"CAST(size(regexp_extract_all(text, '{email}', 0)) AS BIGINT) AS n_emails",
+        f"CAST(size(regexp_extract_all(regexp_replace(regexp_replace(text,"
+        f" '{email}', '<EMAIL>'), '{ip}', '<IP>'), '{phone}', 0)) AS BIGINT)"
+        " AS n_phones",
+        f"CAST(size(regexp_extract_all(text, '{ip}', 0)) AS BIGINT) AS n_ips",
+    )
+
+
+def pii_redact_oracle_sql() -> str:
+    email, phone, ip = _duck_re(EMAIL_RE), _duck_re(PHONE_RE), _duck_re(IPV4_RE)
+    return f"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(
+    text, '{email}', '<EMAIL>', 'g'), '{ip}', '<IP>', 'g'),
+    '{phone}', '<PHONE>', 'g') AS redacted,
+  CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(regexp_replace(regexp_replace(text,
+    '{email}', '<EMAIL>', 'g'), '{ip}', '<IP>', 'g'), '{phone}'))
+    AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(text, '{ip}')) AS BIGINT) AS n_ips
+FROM documents
+"""

@@ -2320,6 +2320,31 @@ def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "repetition_score",
+    textops.repetition_score_oracle_sql(),
+    doc="Gopher-style repetition features over documents: duplicate-"
+    "word fraction, top-word share, top-bigram share — the "
+    "boilerplate/degenerate-text filter a training-data pipeline runs "
+    "alongside quality_score (operators/textops.py)",
+)
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.repetition_score(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "pii_redact",
+    textops.pii_redact_oracle_sql(),
+    doc="PII scrub: email/phone/IPv4 → typed placeholders + removal "
+    "counts, one codegen span, zero shuffle (operators/textops.py; "
+    "regex behavior on PII-bearing strings pinned by "
+    "tests/test_textops.py on crafted fixtures — this corpus is "
+    "synthetically clean, so counts here are all 0)",
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.pii_redact(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}

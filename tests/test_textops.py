@@ -1,0 +1,81 @@
+"""PII redaction and repetition scoring on crafted, PII-bearing
+fixtures — the driver corpus is synthetically clean (zero matches), so
+engine parity of the regex/repetition expressions is pinned here, on
+rows where they actually fire. Spark result vs the DuckDB oracle on an
+identical in-memory `documents` table."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cryptocoininsights_data_engineer_project_spark.operators import textops
+
+from .oracle_compare import compare
+
+DOCS = [
+    (1, "contact me at jane.doe+spam@example.co.uk or call +1 (415) 555-0199 now"),
+    (2, "server at 10.0.255.3 logged bob@test.io twice; fallback 192.168.1.1"),
+    (3, "no pii here, just words and the number 42"),
+    (4, "phones: 555-867-5309 and (020) 7946 0958; not a phone: 12"),
+    (5, "a@b.io"),
+    (6, ""),
+    (7, "word"),
+    (8, "batch batch batch batch batch batch"),
+    (9, "the fast key order sort the fast key order sort"),
+]
+
+
+@pytest.fixture(scope="module")
+def duck_docs():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", DOCS)
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string")
+
+
+def test_pii_redact_matches_oracle_on_pii_rows(docs_df, duck_docs):
+    out = textops.pii_redact(docs_df)
+    assert compare(out, duck_docs, textops.pii_redact_oracle_sql(), "pii") == []
+
+
+def test_pii_redact_values(docs_df):
+    rows = {r.doc_id: r for r in textops.pii_redact(docs_df).collect()}
+    assert rows[1].redacted == "contact me at <EMAIL> or call <PHONE> now"
+    assert (rows[1].n_emails, rows[1].n_phones, rows[1].n_ips) == (1, 1, 0)
+    assert rows[2].redacted == "server at <IP> logged <EMAIL> twice; fallback <IP>"
+    assert rows[2].n_ips == 2 and rows[2].n_emails == 1 and rows[2].n_phones == 0
+    assert rows[3].redacted == DOCS[2][1]  # untouched
+    assert rows[4].n_phones == 2 and "12" in rows[4].redacted
+    assert rows[5].redacted == "<EMAIL>"
+    assert rows[6].redacted == ""
+
+
+def test_repetition_score_matches_oracle(docs_df, duck_docs):
+    out = textops.repetition_score(docs_df)
+    assert (
+        compare(out, duck_docs, textops.repetition_score_oracle_sql(), "rep") == []
+    )
+
+
+def test_repetition_score_values(docs_df):
+    rows = {r.doc_id: r for r in textops.repetition_score(docs_df).collect()}
+    # one word: no bigrams → NULL fraction, zero duplication
+    assert rows[7].n_tokens == 1
+    assert rows[7].dup_word_frac == 0.0
+    assert rows[7].top_bigram_frac is None
+    # pure repetition: 6× one word → dup 5/6, top word 6/6, top bigram 5/5
+    assert rows[8].n_tokens == 6
+    assert rows[8].dup_word_frac == pytest.approx(5 / 6, abs=1e-6)
+    assert rows[8].top_word_frac == 1.0
+    assert rows[8].top_bigram_frac == 1.0
+    # doubled 5-gram: every word twice → dup 1/2; bigram "sort the" once,
+    # the other 8 bigram slots are 4 distinct bigrams twice each → top 2/9
+    assert rows[9].dup_word_frac == 0.5
+    assert rows[9].top_bigram_frac == pytest.approx(2 / 9, abs=1e-6)
