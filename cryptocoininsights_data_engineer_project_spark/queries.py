@@ -2345,6 +2345,45 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.pii_redact(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "map_funcs",
+    """
+WITH m AS (
+  SELECT event_id, map(['k', 'user'],
+    [CAST(json_extract(props, '$.k') AS BIGINT), user_id]) AS mp
+  FROM events)
+SELECT event_id,
+  array_to_string(map_keys(mp), ',') AS keys_csv,
+  CAST(list_sum(map_values(mp)) AS BIGINT) AS vals_sum,
+  map_extract(mp, 'k')[1] AS k_val,
+  CAST(cardinality(mp) AS INT) AS n_entries
+FROM m
+""",
+    doc="§2.10 map family: from_json→map, map_concat with a "
+    "constructed entry, map_keys/map_values/element_at/size — map "
+    "results compared via joined keys + folded value sum for "
+    "portable hashing; narrow, zero shuffle",
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    m = e.select(
+        "event_id",
+        F.map_concat(
+            F.from_json("props", "map<string,bigint>"),
+            F.create_map(F.lit("user"), F.col("user_id")),
+        ).alias("mp"),
+    )
+    return m.select(
+        "event_id",
+        F.array_join(F.map_keys("mp"), ",").alias("keys_csv"),
+        F.expr(
+            "aggregate(map_values(mp), CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("vals_sum"),
+        F.element_at("mp", "k").alias("k_val"),
+        F.size("mp").alias("n_entries"),
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}

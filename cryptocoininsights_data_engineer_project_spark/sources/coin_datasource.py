@@ -27,6 +27,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 SCHEMA_DDL = (
@@ -147,4 +148,61 @@ class CoinMarketsStreamReader(DataSourceStreamReader):
     def commit(self, end):
         # source-side cleanup hook: nothing to prune for an idempotent
         # REST page fetch
+        pass
+
+
+class CoinMarketsSimpleDataSource(DataSource):
+    """`coin_markets_simple`: the same feed through Spark 4's
+    SIMPLE streaming source API (``SimpleDataSourceStreamReader``).
+
+    Contrast with ``CoinMarketsStreamReader`` above — the two APIs
+    trade planning for simplicity:
+
+    - simple reader: ``read(start)`` runs ON THE DRIVER, returns the
+      batch's rows AND the next offset in one call; no partition
+      planning, so per-batch throughput is bounded by one process.
+      Right for low-volume control-plane feeds (a ~250-row coin page
+      — the reference's actual scale, data-extract.py:12-20).
+    - full reader: offsets → ``partitions()`` → distributed
+      ``read(partition)`` per task. Right when a batch spans many
+      pages and fetches should fan out across executors.
+
+    Replay contract: data returned by ``read`` is cached driver-side
+    by Spark until committed; ``readBetweenOffsets`` re-serves an
+    uncommitted [start, end) window after a restart, which is pure
+    recomputation here because the synthetic fetch is idempotent.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "coin_markets_simple"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def simpleStreamReader(self, schema) -> "CoinMarketsSimpleStreamReader":
+        return CoinMarketsSimpleStreamReader(self.options)
+
+
+class CoinMarketsSimpleStreamReader(SimpleDataSourceStreamReader):
+    """One feed page per micro-batch; offset = next unread page."""
+
+    def __init__(self, options):
+        self.per_page = int(options.get("per_page", 250))
+        self.max_pages = int(options.get("max_pages", 8))
+
+    def initialOffset(self):
+        return {"page": 0}
+
+    def read(self, start):
+        p = start["page"]
+        if p >= self.max_pages:  # feed exhausted: empty batch, same offset
+            return iter([]), start
+        return iter(synthetic_page(p, self.per_page)), {"page": p + 1}
+
+    def readBetweenOffsets(self, start, end):
+        for p in range(start["page"], end["page"]):
+            yield from synthetic_page(p, self.per_page)
+
+    def commit(self, end):
         pass

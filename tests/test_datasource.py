@@ -172,3 +172,42 @@ def test_coin_datasource_streaming_read(spark, tmp_path):
     # no duplicates in the sink
     run_once()
     assert spark.read.parquet(out_dir).count() == 80
+
+
+def test_simple_stream_reader_reads_feed_exactly_once(spark, tmp_path):
+    """coin_markets_simple (SimpleDataSourceStreamReader): every page
+    arrives exactly once across micro-batches, offsets advance one
+    page per batch on the driver, and exhaustion yields empty batches
+    rather than duplicates."""
+    import time
+
+    from cryptocoininsights_data_engineer_project_spark.sources.coin_datasource import (
+        CoinMarketsSimpleDataSource,
+    )
+
+    spark.dataSource.register(CoinMarketsSimpleDataSource)
+    q = (
+        spark.readStream.format("coin_markets_simple")
+        .option("max_pages", 3)
+        .option("per_page", 40)
+        .load()
+        .writeStream.format("memory")
+        .queryName("simple_feed")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("simple_feed").count() >= 120:
+                break
+            time.sleep(0.5)
+        # let a couple of post-exhaustion (empty) batches run
+        time.sleep(1.5)
+        got = spark.table("simple_feed")
+        assert got.count() == 120  # 3 pages × 40, no replays after exhaustion
+        assert {r["page"] for r in got.select("page").distinct().collect()} == {0, 1, 2}
+        assert got.select("id").distinct().count() == 120
+    finally:
+        q.stop()
