@@ -2384,6 +2384,76 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "window_rank_family",
+    """
+SELECT o_orderkey, o_orderpriority,
+  ntile(4) OVER w AS quartile,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cum_dist,
+  first_value(o_orderkey) OVER w AS cheapest_key,
+  nth_value(o_orderkey, 2) OVER w AS second_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    doc="W-family completion: ntile/percent_rank/cume_dist/"
+    "first_value/nth_value in one window pass — o_orderkey tiebreaker "
+    "makes the ordering total so rank fractions are deterministic; "
+    "one shuffle on the partition key, single Window node",
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    # ranking functions carry Spark's required (unbounded, current) frame;
+    # value functions get the full-partition frame — same Window node,
+    # one shuffle + one sort either way
+    wrank = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wfull = wrank.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(wrank).alias("quartile"),
+        F.round(F.percent_rank().over(wrank), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(wrank), 6).alias("cum_dist"),
+        F.first("o_orderkey").over(wfull).alias("cheapest_key"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_key"),
+    )
+
+
+@_q(
+    "bitwise_funcs",
+    """
+SELECT event_id,
+  event_id & 255 AS low_byte,
+  event_id | 15 AS or_mask,
+  xor(event_id, user_id) AS xored,
+  event_id << 2 AS shifted_l,
+  event_id >> 3 AS shifted_r,
+  CAST(bit_count(event_id) AS INT) AS popcnt
+FROM events
+""",
+    doc="§2.10 bitwise family: and/or/xor/shifts/popcount — pure "
+    "codegen arithmetic, zero shuffle (engine syntax differs: "
+    "DuckDB ^ is power, xor() is the operator; Spark ^ is xor)",
+)
+def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.selectExpr(
+        "event_id",
+        "event_id & 255 AS low_byte",
+        "event_id | 15 AS or_mask",
+        "event_id ^ user_id AS xored",
+        "shiftleft(event_id, 2) AS shifted_l",
+        "shiftright(event_id, 3) AS shifted_r",
+        "CAST(bit_count(event_id) AS INT) AS popcnt",
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
