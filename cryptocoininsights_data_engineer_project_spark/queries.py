@@ -2454,6 +2454,35 @@ def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "variant_funcs",
+    """
+SELECT event_id,
+  CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+  CAST(json_extract(props, '$.absent') AS BIGINT) AS absent_val,
+  json_type(props) = 'OBJECT' AS is_object,
+  replace(props::JSON::VARCHAR, ' ', '') AS roundtrip
+FROM events
+""",
+    doc="Spark 4 VARIANT surface: parse_json → try_variant_get typed "
+    "extraction (missing path → NULL, no error), schema_of_variant "
+    "object check, to_json round-trip — the semi-structured "
+    "ingestion path for schema-on-read at scale (variant decode is "
+    "columnar, no per-row Python); DuckDB twin via JSON functions, "
+    "whitespace normalized on both sides for the round-trip compare",
+)
+def variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    v = e.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.try_variant_get("v", "$.k", "bigint").alias("k_val"),
+        F.try_variant_get("v", "$.absent", "bigint").alias("absent_val"),
+        F.schema_of_variant("v").startswith("OBJECT").alias("is_object"),
+        F.regexp_replace(F.to_json("v"), " ", "").alias("roundtrip"),
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}

@@ -148,3 +148,55 @@ def test_corpus_filter_single_scan(spark):
     exist over composing the three standalone queries."""
     p = _plan(spark, "corpus_filter")
     assert _nodes(p, "Scan parquet") == 1
+
+
+def test_q6_all_predicates_pushed(spark):
+    """Q6 is the pushdown litmus: every predicate is a range filter
+    that must reach the parquet scan, and the scan must read only the
+    four referenced columns."""
+    p = _plan(spark, "q6_forecast_revenue")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m
+    pushed = m.group(1)
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount",
+        "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity",
+    ):
+        assert frag in pushed, frag
+    m = re.search(r"ReadSchema: ([^\n]*)", p)
+    assert m and "l_orderkey" not in m.group(1)
+
+
+def test_q4_plans_left_semi(spark):
+    """The EXISTS subquery must decorrelate to a semi join — a full
+    join + distinct would duplicate-then-dedup the fact."""
+    p = _plan(spark, "q4_order_priority")
+    assert "LeftSemi" in p
+    assert _nodes(p, "HashAggregate") <= 2  # partial+final only
+
+
+def test_q9_broadcasts_all_dims(spark):
+    """part/supplier/nation ride broadcasts; only orders may shuffle-
+    join against the fact."""
+    p = _plan(spark, "q9_nation_profit")
+    assert _nodes(p, "BroadcastHashJoin") >= 3
+    assert _nodes(p, "SortMergeJoin") + _nodes(p, "ShuffledHashJoin") <= 1
+
+
+def test_q13_outer_join_keeps_filter_in_condition(spark):
+    """LEFT OUTER with the priority filter inside the join condition:
+    the plan must stay an outer join (a WHERE would have turned it
+    inner and dropped 0-order customers)."""
+    p = _plan(spark, "q13_customer_distribution")
+    assert "LeftOuter" in p
+
+
+def test_window_rank_family_single_window(spark):
+    """Two frame specs over the same (partition, order) must fuse into
+    one Window node with one exchange."""
+    p = _plan(spark, "window_rank_family")
+    assert _nodes(p, "Window") == 1
+    assert _nodes(p, "Exchange") == 1

@@ -79,3 +79,55 @@ def test_repetition_score_values(docs_df):
     # the other 8 bigram slots are 4 distinct bigrams twice each → top 2/9
     assert rows[9].dup_word_frac == 0.5
     assert rows[9].top_bigram_frac == pytest.approx(2 / 9, abs=1e-6)
+
+
+# ----------------------------------------------------- property: repetition
+from collections import Counter  # noqa: E402
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+WORDS = st.lists(
+    st.sampled_from(["a", "bb", "ccc", "dd", "e1", "f", "batch"]),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _py_repetition(tokens: list[str]):
+    wc = Counter(tokens)
+    n = len(tokens)
+    bigrams = Counter(
+        f"{a} {b}" for a, b in zip(tokens, tokens[1:])
+    )
+    return (
+        round(1 - len(wc) / n, 6),
+        round(max(wc.values()) / n, 6),
+        round(max(bigrams.values()) / sum(bigrams.values()), 6)
+        if bigrams
+        else None,
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(WORDS, min_size=1, max_size=6))
+def test_repetition_score_matches_python_reference(spark, docs):
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.dup_word_frac, r.top_word_frac, r.top_bigram_frac)
+        for r in textops.repetition_score(df).collect()
+    }
+    for i, toks in enumerate(docs):
+        want = _py_repetition(toks)
+        assert got[i][2] == want[2] or got[i][2] == pytest.approx(
+            want[2], abs=2e-6
+        ), (i, toks)
+        assert got[i][0] == pytest.approx(want[0], abs=2e-6), (i, toks)
+        assert got[i][1] == pytest.approx(want[1], abs=2e-6), (i, toks)
