@@ -2281,7 +2281,7 @@ def q22_dormant_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q9_nation_profit",
     f"""
-SELECT n_name AS nation, year(o_orderdate) AS o_year,
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
        sum({_CENTS}) / 100.0 AS profit
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -2388,7 +2388,7 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_rank_family",
     """
 SELECT o_orderkey, o_orderpriority,
-  ntile(4) OVER w AS quartile,
+  CAST(ntile(4) OVER w AS INT) AS quartile,
   round(percent_rank() OVER w, 6) AS pct_rank,
   round(cume_dist() OVER w, 6) AS cum_dist,
   first_value(o_orderkey) OVER w AS cheapest_key,

@@ -62,6 +62,44 @@ def _values_close(a, b) -> bool:
     return a == b
 
 
+# DuckDB result type → the Spark simpleString type(s) it should pair
+# with. The driver's gate compares schemas, so a BIGINT oracle column
+# against a Spark int (ntile, year, size, ...) is a formal mismatch
+# even when every value agrees — catch it locally.
+_DUCK_TO_SPARK = {
+    "BIGINT": {"bigint"},
+    "INTEGER": {"int"},
+    "SMALLINT": {"smallint"},
+    "TINYINT": {"tinyint"},
+    "DOUBLE": {"double"},
+    "FLOAT": {"float"},
+    "VARCHAR": {"string"},
+    "BOOLEAN": {"boolean"},
+    "DATE": {"date"},
+    "TIMESTAMP": {"timestamp", "timestamp_ntz"},
+    "TIMESTAMP WITH TIME ZONE": {"timestamp"},
+}
+
+
+def _type_problems(spark_df, res, name: str) -> list[str]:
+    spark_types = dict(spark_df.dtypes)
+    problems = []
+    for col, duck_t in zip(
+        [c[0] for c in res.description], [str(c[1]) for c in res.description]
+    ):
+        expected = _DUCK_TO_SPARK.get(duck_t)
+        s_t = spark_types.get(col)
+        if duck_t.startswith("DECIMAL"):
+            expected = {duck_t.lower().replace(" ", "")}
+        if expected is None:  # lists/structs/hugeint: values-only compare
+            continue
+        if s_t is not None and s_t not in expected:
+            problems.append(
+                f"{name}: column {col} type mismatch spark={s_t} duck={duck_t}"
+            )
+    return problems
+
+
 def compare(spark_df, con, sql: str, name: str = "") -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
     problems: list[str] = []
@@ -74,6 +112,7 @@ def compare(spark_df, con, sql: str, name: str = "") -> list[str]:
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"{name}: columns differ spark={sorted(s_cols)} duck={sorted(d_cols)}")
         return problems
+    problems.extend(_type_problems(spark_df, res, name))
     if len(s_rows) != len(d_rows):
         problems.append(f"{name}: row count spark={len(s_rows)} duck={len(d_rows)}")
     s_norm = _rows_to_multiset(s_cols, s_rows)
