@@ -2483,6 +2483,75 @@ def variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "try_funcs",
+    """
+SELECT event_id,
+  TRY_CAST(event_type AS BIGINT) AS bad_cast,
+  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS good_cast,
+  CASE WHEN user_id % 3 = 0 THEN NULL
+       ELSE round(value / (user_id % 3), 6) END AS safe_div,
+  round(value / nullif(CAST(user_id % 3 AS DOUBLE), 0.0), 6) AS nullif_div
+FROM events
+""",
+    doc="§2.10 error-safe family: try_cast (malformed → NULL, not a "
+    "task failure — at 100 TB one bad row must not kill a stage), "
+    "try_divide (÷0 → NULL), and the nullif composition — ANSI-mode "
+    "safety without disabling ANSI; oracle uses TRY_CAST + explicit "
+    "CASE since DuckDB division semantics differ",
+)
+def try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.col("event_type").try_cast("bigint").alias("bad_cast"),
+        F.get_json_object("props", "$.k").try_cast("bigint").alias(
+            "good_cast"
+        ),
+        F.round(
+            F.try_divide("value", F.col("user_id") % 3), 6
+        ).alias("safe_div"),
+        F.round(
+            F.col("value") / F.nullif((F.col("user_id") % 3).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("nullif_div"),
+    )
+
+
+@_q(
+    "q16_supplier_part_counts",
+    """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13' AND p_size IN (1, 9, 19, 23, 36, 45, 49, 3)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 50
+""",
+    doc="TPC-H Q16 shape (adapted: no partsupp table — the "
+    "supplier-part relation comes from lineitem): distinct-count "
+    "aggregation above a broadcast dim join with NOT-equal + IN "
+    "pushdown; distinct expands to a two-phase (expand + merge) "
+    "aggregate, both phases partial-aggregated map-side",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & F.col("p_size").isin(1, 9, 19, 23, 36, 45, 49, 3)
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}

@@ -63,3 +63,17 @@ def test_geomean_udaf_pins_builtin(spark, sf_dir):
         .collect()
     }
     assert via_udaf == via_builtin
+
+
+def test_map_in_arrow_pinned_to_builtin(spark):
+    """functions/arrowops.py: the Arrow-batch cents kernel must be
+    bit-equal to the JVM codegen expression — same rows, same int64
+    values (pins pyarrow half-away-from-zero == Spark scale-0 round)."""
+    from cryptocoininsights_data_engineer_project_spark.functions import arrowops
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    a = arrowops.cents_builtin(li).collect()
+    b = arrowops.cents_arrow(li).collect()
+    key = lambda r: (r.l_orderkey, r.l_linenumber)  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
+    assert len(a) == li.count()
