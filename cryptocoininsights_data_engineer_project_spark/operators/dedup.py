@@ -479,3 +479,52 @@ def ngram_jaccard_oracle_sql(
         f"JOIN sizes nb ON nb.doc_id = doc_b "
         f"WHERE inter / (na.n_sh + nb.n_sh - inter) >= {threshold}"
     )
+
+
+# -------------------------------------------------------- decontamination
+# Benchmark decontamination (GPT-3 paper §C / PaLM-style): a corpus
+# document is contaminated if it shares any word n-gram with a held-out
+# benchmark document — those rows must not reach a training set, or
+# eval numbers are fiction. The n-gram join is the exact-substring
+# tier; the MinHash/SimHash tiers above catch fuzzier leakage.
+def decontaminate(
+    corpus: DataFrame, benchmark: DataFrame, w: int = 6
+) -> DataFrame:
+    """(doc_id, n_shared) — corpus docs sharing ≥1 word ``w``-gram with
+    any benchmark doc, with the count of distinct shared shingles.
+
+    Scale shape: the benchmark side is small by definition (eval sets
+    are thousands of docs, the corpus is billions), so its distinct
+    shingle set BROADCASTS and the probe is a map-side hash-semi pass
+    over corpus shingles — no corpus shuffle at all until the final
+    per-doc count, which groups the (already tiny) matched subset.
+    One corpus scan; shingling runs inside it (shingle_docs generator
+    form, no codegen-hostile lambdas).
+    """
+    sh_c = shingle_docs(corpus, w)
+    sh_b = shingle_docs(benchmark, w).select("shingle").distinct()
+    return (
+        sh_c.join(F.broadcast(sh_b), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def decontaminate_oracle_sql(
+    corpus_pred: str, benchmark_pred: str, w: int = 6
+) -> str:
+    """DuckDB twin over the `documents` view split by two predicates."""
+    parts = " || ' ' || ".join(f"ws[i + {j}]" for j in range(w))
+    return f"""
+WITH toks AS (SELECT doc_id, {duck_tokens('text')} AS ws FROM documents),
+sh AS (
+  SELECT doc_id, {parts} AS shingle
+  FROM toks, UNNEST(generate_series(1, len(ws) - {w - 1})) AS g(i)
+  WHERE len(ws) >= {w}
+),
+sh_c AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE {corpus_pred}),
+sh_b AS (SELECT DISTINCT shingle FROM sh WHERE {benchmark_pred})
+SELECT doc_id, count(*) AS n_shared
+FROM sh_c JOIN sh_b USING (shingle)
+GROUP BY doc_id
+"""

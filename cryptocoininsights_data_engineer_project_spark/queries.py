@@ -2552,6 +2552,63 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "decontaminate",
+    dedup.decontaminate_oracle_sql(
+        corpus_pred="doc_id >= 20", benchmark_pred="doc_id < 20", w=6
+    ),
+    doc="benchmark decontamination: corpus docs sharing any word "
+    "6-gram with the held-out set (doc_id < 20 stands in for the "
+    "benchmark) + shared-shingle counts — broadcast semi-probe of the "
+    "small benchmark shingle set, one corpus scan "
+    "(operators/dedup.py::decontaminate)",
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.decontaminate(
+        docs.filter(F.col("doc_id") >= 20),
+        docs.filter(F.col("doc_id") < 20),
+        w=6,
+    )
+
+
+@_q(
+    "train_split",
+    """
+WITH assigned AS (
+  SELECT doc_id,
+    CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         % 10 AS INT) AS bucket
+  FROM documents)
+SELECT doc_id, bucket,
+  CASE WHEN bucket < 8 THEN 'train'
+       WHEN bucket = 8 THEN 'val'
+       ELSE 'test' END AS split
+FROM assigned
+""",
+    doc="deterministic 80/10/10 train/val/test split on a portable "
+    "md5-derived bucket of doc_id — reproducible across engines, "
+    "runs, and cluster sizes (no rand(), no row ordering "
+    "dependence); narrow projection, zero shuffle",
+)
+def train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+            " AS BIGINT) % 10"
+        )
+    ).cast("int")
+    return d.select("doc_id", bucket.alias("bucket")).select(
+        "doc_id",
+        "bucket",
+        F.when(F.col("bucket") < 8, "train")
+        .when(F.col("bucket") == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
