@@ -54,12 +54,20 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     def _fork(it):
+        # fork AND warm the worker's numeric stack: the BLAS-backed
+        # operators (dedup_embedding, kmeans) pay numpy import + BLAS
+        # thread-pool init per worker on first use otherwise
+        import numpy as np
+
+        (np.ones((4, 4)) @ np.ones((4, 4))).sum()
         for pdf in it:
             yield pdf
 
-    spark.range(64).selectExpr("id", "CAST(id AS DOUBLE) AS v").mapInPandas(
-        _fork, "id long, v double"
-    ).write.format("noop").mode("overwrite").save()
+    spark.range(64).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS v"
+    ).mapInPandas(_fork, "id long, v double").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     for name, spec in sorted(registry.REGISTRY.items()):
         t0 = time.perf_counter()
