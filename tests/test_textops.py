@@ -131,3 +131,52 @@ def test_repetition_score_matches_python_reference(spark, docs):
         ), (i, toks)
         assert got[i][0] == pytest.approx(want[0], abs=2e-6), (i, toks)
         assert got[i][1] == pytest.approx(want[1], abs=2e-6), (i, toks)
+
+
+# ------------------------------------------------- decontaminate edges
+def test_decontaminate_edges(spark):
+    from cryptocoininsights_data_engineer_project_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta"),
+            (11, "totally different words with no overlap here"),
+            (12, "x alpha beta gamma delta epsilon zeta y"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.n_shared for r in decontaminate(corpus, bench, w=6).collect()}
+    # doc 10 contains the full benchmark 6-gram; doc 12 contains it too
+    # (shifted); doc 11 shares nothing and must be absent
+    assert got == {10: 1, 12: 1}
+    # empty benchmark → nothing flagged
+    empty = bench.filter("doc_id < 0")
+    assert decontaminate(corpus, empty, w=6).count() == 0
+    # short docs (< w tokens) can never collide
+    shorts = spark.createDataFrame(
+        [(20, "alpha beta gamma")], "doc_id bigint, text string"
+    )
+    assert decontaminate(shorts, bench, w=6).count() == 0
+
+
+def test_train_split_is_deterministic_and_total(spark):
+    from cryptocoininsights_data_engineer_project_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    a = REGISTRY["train_split"].fn(spark, sf)
+    b = REGISTRY["train_split"].fn(spark, sf)
+    ra = sorted((r.doc_id, r.bucket, r.split) for r in a.collect())
+    rb = sorted((r.doc_id, r.bucket, r.split) for r in b.collect())
+    assert ra == rb  # same input → same assignment, no rand()
+    n = len(ra)
+    assert n == spark.read.parquet(f"{sf}/documents.parquet").count()
+    splits = {s for _, _, s in ra}
+    assert splits == {"train", "val", "test"}
+    frac_train = sum(1 for _, _, s in ra if s == "train") / n
+    assert 0.7 < frac_train < 0.9
