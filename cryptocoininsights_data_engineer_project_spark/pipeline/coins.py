@@ -463,3 +463,33 @@ def run_batch_pipeline(
         "fact_rows": warehouse.fact().count(),
         "files": len(files),
     }
+
+
+# --------------------------------------------------------- QC observation
+def observed_metrics(df: DataFrame, name: str = "qc"):
+    """Attach single-pass data-quality counters via ``df.observe``.
+
+    Returns ``(df, observation)``: the counters (row count, null-price
+    rows, negative-price rows, distinct-ish symbol count via HLL) are
+    computed inside whatever action later consumes ``df`` — no second
+    scan, no extra job, which is the only affordable way to run QC on
+    a 100 TB ingest. ``observation.get`` blocks until that action
+    finishes. The reference has no QC at all (a silent bad batch loads
+    straight into Redshift, data-transformation.py:32-67); this is the
+    Spark-native guardrail a production ingest bolts on first.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("current_price").isNull(), 1).otherwise(0)
+        ).alias("null_price_rows"),
+        F.sum(
+            F.when(F.col("current_price") < 0, 1).otherwise(0)
+        ).alias("negative_price_rows"),
+        F.approx_count_distinct("symbol").alias("approx_symbols"),
+    )
+    return observed, obs

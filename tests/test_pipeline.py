@@ -296,3 +296,22 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
     got = sorted((r.id, r.part) for r in spark.read.parquet(dst).collect())
     assert got == [(2, "b"), (9, "a")]  # partition b survived, a replaced
+
+
+def test_observed_metrics_single_pass(spark, tmp_path):
+    """pipeline.observed_metrics: QC counters ride the consuming action
+    (no second scan) and agree with directly-computed values."""
+    from cryptocoininsights_data_engineer_project_spark.pipeline import coins, fixtures
+
+    d = tmp_path / "raw"
+    d.mkdir()
+    fixtures.write_batches(str(d))
+    raw = coins.read_raw_json(spark, str(d))
+    norm = coins.normalize(raw)
+    observed, obs = coins.observed_metrics(norm)
+    n = observed.count()  # the one action; metrics piggyback on it
+    m = obs.get
+    assert m["n_rows"] == n
+    assert m["null_price_rows"] == norm.filter("current_price IS NULL").count()
+    assert m["negative_price_rows"] == norm.filter("current_price < 0").count()
+    assert m["approx_symbols"] > 0
