@@ -528,3 +528,120 @@ SELECT doc_id, count(*) AS n_shared
 FROM sh_c JOIN sh_b USING (shingle)
 GROUP BY doc_id
 """
+
+
+# --------------------------------------------- exact substring-span dedup
+# Span width for duplicate-substring scrubbing: any word 8-gram seen
+# before (in this doc or any earlier one) is scrubbed. Production
+# systems (suffix-array dedup per Lee et al., "Deduplicating Training
+# Data Makes Language Models Better") use ~50-token repeats; 8 fits
+# the short synthetic docs while exercising the identical plan.
+SUBSTR_N = 8
+
+
+def substring_dedup(docs: DataFrame, n: int = SUBSTR_N) -> DataFrame:
+    """Exact duplicate-SPAN dedup: scrub every word ``n``-gram whose
+    first corpus occurrence is elsewhere, keeping the first occurrence
+    (smallest (doc_id, position)). Unlike whole-document dedup this
+    removes boilerplate *inside* otherwise-distinct documents — the
+    dominant duplication mode in web corpora. Output one row per doc:
+    (doc_id, clean_text, n_kept, n_dropped).
+
+    Plan shape (all linear, no pair joins anywhere):
+    1. per-doc word array → sliding n-gram md5 fingerprints, built with
+       array expressions inside codegen (no explode of the gram text);
+    2. one groupBy(gram) keeping min(struct(doc_id, start)) — map-side
+       combine makes the shuffle one row per DISTINCT gram;
+    3. join grams back to keepers on the gram hash: fan-out bounded by
+       occurrence count, i.e. by the duplication actually present;
+    4. duplicate spans explode to their n covered positions (constant
+       factor n), distinct, and anti-join against the exploded words on
+       (doc_id, pos) — both shuffles on well-distributed composite keys;
+    5. per-doc reassembly: collect (pos, word), sort, join — one final
+       groupBy(doc_id).
+    A hot boilerplate gram repeated 10^6 times costs exactly its 10^6
+    span scrubs, never a pairwise comparison. Docs shorter than ``n``
+    words pass through unchanged; a fully-duplicated doc comes back as
+    an empty string (standard practice drops those downstream).
+    """
+    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    grams = (
+        w.select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN size(w) >= {n} THEN "
+                f"transform(sequence(1, size(w) - {n - 1}), "
+                f"i -> struct(i AS start, md5(array_join(slice(w, i, {n}), ' ')) AS gh)) "
+                "ELSE array() END"
+            ).alias("gs"),
+        )
+        .select("doc_id", F.explode("gs").alias("g"))
+        .select("doc_id", "g.start", "g.gh")
+    )
+    keeper = grams.groupBy("gh").agg(
+        F.min(F.struct("doc_id", "start")).alias("k")
+    )
+    dups = grams.join(keeper, "gh").filter(
+        (F.col("doc_id") != F.col("k.doc_id")) | (F.col("start") != F.col("k.start"))
+    )
+    covered = dups.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(start, start + {n - 1})")).alias("pos"),
+    ).distinct()
+    words = w.select(
+        "doc_id", F.posexplode("w").alias("p0", "word")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "word")
+    kept = words.join(covered, ["doc_id", "pos"], "left_anti")
+    sur = kept.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, word))), "
+            "s -> s.word), ' ')"
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = w.select("doc_id", F.size("w").alias("n_words"))
+    return base.join(sur, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (F.col("n_words") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+    )
+
+
+def substring_dedup_oracle_sql(n: int = SUBSTR_N) -> str:
+    """DuckDB twin of ``substring_dedup`` (keeper selection via
+    row_number, equivalent to min(struct(doc_id, start)))."""
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, g.i AS start,
+         md5(array_to_string(list_slice(w, g.i, g.i + {n - 1}), ' ')) AS gh
+  FROM w, UNNEST(generate_series(1, len(w) - {n - 1})) AS g(i)
+  WHERE len(w) >= {n}
+), ranked AS (
+  SELECT doc_id, start, gh,
+         row_number() OVER (PARTITION BY gh ORDER BY doc_id, start) AS rn
+  FROM grams
+), covered AS (
+  SELECT DISTINCT doc_id, c.pos
+  FROM ranked, UNNEST(generate_series(start, start + {n - 1})) AS c(pos)
+  WHERE rn > 1
+), words AS (
+  SELECT doc_id, g.pos, w[g.pos] AS word
+  FROM w, UNNEST(generate_series(1, len(w))) AS g(pos)
+), kept AS (
+  SELECT wd.doc_id, wd.pos, wd.word
+  FROM words wd ANTI JOIN covered c
+    ON wd.doc_id = c.doc_id AND wd.pos = c.pos
+), sur AS (
+  SELECT doc_id, array_to_string(array_agg(word ORDER BY pos), ' ') AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       COALESCE(sur.clean_text, '') AS clean_text,
+       COALESCE(sur.n_kept, 0) AS n_kept,
+       len(b.w) - COALESCE(sur.n_kept, 0) AS n_dropped
+FROM w b LEFT JOIN sur ON b.doc_id = sur.doc_id
+"""

@@ -1472,6 +1472,37 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_substring",
+    dedup.substring_dedup_oracle_sql(),
+    doc="exact duplicate-SPAN dedup (Lee et al. suffix-array dedup, "
+    "re-expressed relationally): every word 8-gram whose first corpus "
+    "occurrence is elsewhere is scrubbed from the text, keeping the "
+    "first occurrence — removes boilerplate inside otherwise-distinct "
+    "docs. Linear plan: gram fingerprints in codegen, one groupBy for "
+    "first-occurrence, span explode + anti-join, per-doc reassembly "
+    "(operators/dedup.py::substring_dedup)",
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.substring_dedup(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_embedding_lsh",
+    similarity.hyperplane_lsh_oracle_sql(threshold=0.45),
+    doc="embedding near-dup pairs via random-hyperplane LSH (SimHash "
+    "over vectors): 24 literal Gaussian planes → 8 bands x 3 bits → "
+    "bucket-collected candidates → exact cosine verification "
+    "(similarity.hyperplane_lsh_pairs). The sub-quadratic sibling of "
+    "dedup_embedding; recall measured 13/14 at this corpus's weak "
+    "0.45 threshold, ~0.97 per pair at production thresholds >= 0.9",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.hyperplane_lsh_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+@_q(
     "time_weighted_avg",
     """
 WITH e AS (
