@@ -511,3 +511,93 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(text, '{ip}')) AS BIGINT) AS n_ips
 FROM documents
 """
+
+
+# -------------------------------------------------------- sequence packing
+# Greedy contiguous first-fit packing of documents into fixed-size
+# context windows — the step that turns a deduped corpus into training
+# sequences. Sequential by nature WITHIN a shard; shards are fully
+# independent, so parallelism = n_shards and only (doc_id, n_tokens)
+# metadata ever moves — the text itself stays where it is and the pack
+# assignment joins back by doc_id.
+PACK_CAPACITY = 256
+PACK_SHARDS = 32
+
+
+def pack_sequences(
+    docs,
+    capacity: int = PACK_CAPACITY,
+    n_shards: int = PACK_SHARDS,
+):
+    """(doc_id, shard, pack_id, n_tokens): greedy contiguous packing.
+
+    Docs are sharded by ``doc_id % n_shards``; within a shard, in
+    doc_id order, each doc joins the current pack while the running
+    token total fits ``capacity``, else opens the next pack (a doc
+    longer than ``capacity`` gets a pack of its own). The loop is
+    inherently sequential per shard, so it runs as one arrow-batched
+    ``applyInPandas`` per shard over METADATA ONLY — the hot path
+    never carries text through Python.
+
+    At 100 TB: shard by input partition (or date bucket) instead of a
+    modulus so the metadata groupBy is the only shuffle; packing cost
+    is O(docs/shard) per task with ~16 bytes per doc in flight.
+    DuckDB oracle: per-shard recursive CTE carrying (acc, pack) —
+    identical greedy rule, engine-portable.
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    meta = docs.select(
+        "doc_id",
+        (F.col("doc_id") % n_shards).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        packs = []
+        acc = 0
+        pid = -1
+        for tok in pdf["n_tokens"]:
+            if pid >= 0 and acc + tok <= capacity:
+                acc += tok
+            else:
+                pid += 1
+                acc = tok
+            packs.append(pid)
+        pdf["pack_id"] = packs
+        return pdf[["doc_id", "shard", "pack_id", "n_tokens"]]
+
+    return meta.groupBy("shard").applyInPandas(
+        lambda _, pdf: pack(pdf),
+        "doc_id long, shard long, pack_id long, n_tokens int",
+    )
+
+
+def pack_sequences_oracle_sql(
+    capacity: int = PACK_CAPACITY, n_shards: int = PACK_SHARDS
+) -> str:
+    """Recursive-CTE twin of ``pack_sequences``: all shards advance one
+    row per iteration, so recursion depth = max rows per shard."""
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, doc_id % {n_shards} AS shard,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % {n_shards} ORDER BY doc_id) AS rn
+  FROM documents
+), r AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         n_tokens AS acc, CAST(0 AS BIGINT) AS pack_id
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN r.acc + t.n_tokens <= {capacity}
+              THEN r.acc + t.n_tokens ELSE t.n_tokens END,
+         CASE WHEN r.acc + t.n_tokens <= {capacity}
+              THEN r.pack_id ELSE r.pack_id + 1 END
+  FROM r JOIN t ON t.shard = r.shard AND t.rn = r.rn + 1
+)
+SELECT doc_id, shard, pack_id, n_tokens FROM r
+"""

@@ -1472,6 +1472,58 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ngram_vocab",
+    f"""
+WITH toks AS (
+  SELECT doc_id, {duck_tokens('text')} AS ws FROM documents
+), grams AS (
+  SELECT ws[i] || ' ' || ws[i + 1] AS gram
+  FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS g(i)
+  WHERE len(ws) >= 2 AND ws[i] != '' AND ws[i + 1] != ''
+)
+SELECT gram, count(*) AS n
+FROM grams GROUP BY gram
+ORDER BY n DESC, gram LIMIT 50
+""",
+    doc="corpus n-gram vocabulary statistics (top-50 word bigrams with "
+    "multiplicity) — the counting pass behind tokenizer/vocab training. "
+    "One scan, generator-form bigrams in codegen, one groupBy with "
+    "map-side combine, global top-k as TakeOrderedAndProject (per-"
+    "partition heaps, no global sort shuffle)",
+)
+def ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _t(spark, sf_dir, "documents").select(
+        F.expr(spark_tokens("text")).alias("ws")
+    )
+    idx = toks.select("ws", F.posexplode("ws").alias("i", "tok"))
+    grams = idx.filter(
+        (F.expr("i + 2 <= size(ws)"))
+        & (F.col("tok") != "")
+        & (F.expr("ws[i + 1]") != "")
+    ).select(F.concat_ws(" ", F.col("tok"), F.expr("ws[i + 1]")).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram"))
+        .limit(50)
+    )
+
+
+@_q(
+    "pack_sequences",
+    textops.pack_sequences_oracle_sql(),
+    doc="greedy contiguous sequence packing into fixed 256-token "
+    "context windows, sharded 32 ways — the training-prep step after "
+    "dedup/filter. Metadata-only applyInPandas per shard (text never "
+    "enters Python); DuckDB oracle is a per-shard recursive CTE "
+    "running the identical greedy rule "
+    "(operators/textops.py::pack_sequences)",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.pack_sequences(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "dedup_substring",
     dedup.substring_dedup_oracle_sql(),
     doc="exact duplicate-SPAN dedup (Lee et al. suffix-array dedup, "
