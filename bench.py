@@ -48,6 +48,22 @@ def main() -> None:
     from cryptocoininsights_data_engineer_project_spark.operators import dedup as _dedup
 
     _dedup.minhash_candidate_pairs(tiny).write.format("noop").mode("overwrite").save()
+    # substring-scrub shapes: indexed-gram md5, keeper join, sequence
+    # explode, anti join, sort/collect reassembly
+    _dedup.substring_dedup(tiny, n=2).write.format("noop").mode("overwrite").save()
+    # LSH shapes: mapInPandas sketch, applyInPandas bucket matmul
+    from cryptocoininsights_data_engineer_project_spark.operators import (
+        similarity as _sim,
+    )
+
+    tiny_emb = spark.range(16).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 64), j -> CAST(id * j % 7 AS FLOAT)) AS embedding",
+        "id % 2 AS label",
+    )
+    _sim.hyperplane_lsh_pairs(tiny_emb, threshold=0.99).write.format("noop").mode(
+        "overwrite"
+    ).save()
     spark.range(64).selectExpr(
         "id", "aggregate(zip_with(array(1.0D, 2.0D), array(3.0D, 4.0D), (x, y) -> x * y), 0.0D, (a, v) -> a + v) AS d",
         "sum(id) OVER (PARTITION BY id % 4 ORDER BY id) AS w",

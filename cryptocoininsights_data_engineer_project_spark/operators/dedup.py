@@ -565,19 +565,22 @@ def substring_dedup(docs: DataFrame, n: int = SUBSTR_N) -> DataFrame:
     an empty string (standard practice drops those downstream).
     """
     w = docs.select("doc_id", F.split("text", " ").alias("w"))
-    grams = (
-        w.select(
-            "doc_id",
-            F.expr(
-                f"CASE WHEN size(w) >= {n} THEN "
-                f"transform(sequence(1, size(w) - {n - 1}), "
-                f"i -> struct(i AS start, md5(array_join(slice(w, i, {n}), ' ')) AS gh)) "
-                "ELSE array() END"
-            ).alias("gs"),
-        )
-        .select("doc_id", F.explode("gs").alias("g"))
-        .select("doc_id", "g.start", "g.gh")
+    # generator form (posexplode + indexed concat), NOT a transform()
+    # lambda building gram structs: identical rows, but the flat form
+    # whole-stage-codegens in milliseconds where the nested-lambda
+    # expression costs seconds of compilation on first use (same
+    # lesson as shingle_docs above).
+    idx = w.select("doc_id", "w", F.posexplode("w").alias("i0", "_tok"))
+    parts = [F.expr(f"w[i0 + {j}]") for j in range(n)]
+    grams = idx.filter(F.expr(f"i0 + {n} <= size(w)")).select(
+        "doc_id",
+        (F.col("i0") + 1).alias("start"),  # 1-based, matching the oracle
+        F.md5(F.concat_ws(" ", *parts)).alias("gh"),
     )
+    # grams feeds BOTH the keeper aggregation and the occurrence join;
+    # without a checkpoint Spark re-derives the scan→explode→md5
+    # pipeline once per consumer (same lesson as dedup_clusters).
+    grams = grams.localCheckpoint(eager=False)
     keeper = grams.groupBy("gh").agg(
         F.min(F.struct("doc_id", "start")).alias("k")
     )

@@ -460,87 +460,94 @@ def hyperplane_lsh_pairs(
     - sketching is one narrow projection — ``transform`` over a LITERAL
       plane matrix evaluates 24 sequential-fold dot products per vector
       inside whole-stage codegen; no join, no shuffle, no Python;
-    - candidates come from the minhash-style bucket-collect + in-place
-      ordered-pair explosion (one pipeline, no self-join re-scan),
-      sharded on (band_id, band_value);
-    - verification re-fetches vectors by key: two equi-joins against
-      the (cheap, column-pruned) vector projection, then one fold dot
-      per DISTINCT candidate pair. Never an all-pairs join.
+    - vectors shuffle ONCE, partitioned by (band_id, band_value) — an
+      n_bands-factor replication of the input, never a pair join;
+    - each bucket verifies its own members with one numpy matmul
+      inside ``applyInPandas`` (the all_pairs_cosine_blas kernel):
+      within-bucket pairs never materialize as Spark rows, and a pair
+      colliding in several bands collapses in the final ``distinct``
+      (identical cosine on every copy — same rounding everywhere).
+    Bucket size is bounded by collision probability (at production
+    thresholds, by true near-dup density), so per-task memory is the
+    bucket's vectors, not the corpus.
 
     The whole pipeline — planes included, inlined as literals from the
     same Python constants — is reproduced bit-for-bit by the DuckDB
     oracle (``hyperplane_lsh_oracle_sql``)."""
+    import pandas as pd
     planes = _lsh_planes(dim, n_planes, seed)
     bb = n_planes // n_bands
-    h_lit = (
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"{v!r}D" for v in p) + ")" for p in planes
-        )
-        + ")"
-    )
     e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    bits = e.withColumn(
-        "bits",
-        F.expr(
-            f"transform({h_lit}, h -> CASE WHEN {dot_expr('emb', 'h')} >= 0D "
-            "THEN 1L ELSE 0L END)"
-        ),
+
+    # Sketching runs as ONE vectorized mapInPandas pass: a (rows x 24)
+    # BLAS matmul against the broadcast-by-closure plane matrix, then
+    # integer band packing — per-row work is nanoseconds where the
+    # equivalent nested HOF expression (transform over aggregate/
+    # zip_with) evaluates interpreted, ~24x64 lambda steps per row.
+    # Summation-order caveat: BLAS accumulates the sign dot in a
+    # different order than the oracle's sequential fold; a sign flip
+    # needs |dot| under ~1e-13 of the fold value — the same accepted
+    # ulp argument as all_pairs_cosine_blas's rounding.
+    def sketch(batches):
+        import numpy as np
+
+        H = np.array(planes).T  # (dim, n_planes)
+        weights = 1 << np.arange(bb - 1, -1, -1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["emb"].to_numpy())
+            bits_m = (m @ H) >= 0
+            out = {
+                "vec_id": np.tile(pdf["vec_id"].to_numpy(), n_bands),
+                "emb": list(pdf["emb"].to_numpy()) * n_bands,
+                "band_id": np.repeat(np.arange(n_bands), len(pdf)),
+                "band_val": np.concatenate(
+                    [
+                        bits_m[:, b * bb : (b + 1) * bb] @ weights
+                        for b in range(n_bands)
+                    ]
+                ),
+            }
+            yield pd.DataFrame(out)
+
+    exploded = e.mapInPandas(
+        sketch, "vec_id long, emb array<double>, band_id long, band_val long"
     )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.expr(
-                " + ".join(
-                    f"element_at(bits, {b * bb + j + 1}) * {1 << (bb - 1 - j)}"
-                    for j in range(bb)
-                )
-            ).alias("band_val"),
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
         )
-        for b in range(n_bands)
-    ]
-    exploded = bits.select(
-        "vec_id", F.explode(F.array(*band_structs)).alias("bd")
-    ).select("vec_id", "bd.band_id", "bd.band_val")
-    buckets = (
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["emb"].to_numpy())
+        nrm = np.sqrt(np.einsum("ij,ij->i", m, m))
+        cos = (m @ m.T) / np.outer(nrm, nrm)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        ia, ib, c = ids[iu], ids[ju], _round_half_away(cos[iu, ju], 6)
+        keep = c >= threshold
+        ia, ib, c = ia[keep], ib[keep], c[keep]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ia, ib),
+                "vec_b": np.maximum(ia, ib),
+                "cosine": c,
+            }
+        )
+
+    return (
         exploded.groupBy("band_id", "band_val")
-        .agg(F.sort_array(F.collect_set("vec_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    step = buckets.select("ids", F.posexplode("ids").alias("i", "vec_a"))
-    cand = (
-        step.select(
-            "vec_a",
-            F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("vec_b"),
+        .applyInPandas(
+            lambda _, pdf: score_bucket(pdf),
+            "vec_a long, vec_b long, cosine double",
         )
         .distinct()
-    )
-    n = e.withColumn("nrm", F.expr(f"sqrt({dot_expr('emb', 'emb')})"))
-    a = n.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("emb").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    b = n.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("emb").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    return (
-        cand.join(a, "vec_a")
-        .join(b, "vec_b")
-        .withColumn(
-            "cosine",
-            F.round(
-                F.expr(dot_expr("emb_a", "emb_b"))
-                / (F.col("nrm_a") * F.col("nrm_b")),
-                6,
-            ),
-        )
-        .filter(F.col("cosine") >= threshold)
-        .select("vec_a", "vec_b", "cosine")
     )
 
 

@@ -202,3 +202,95 @@ def stateful_time_weighted_avg(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ----------------------------------------- transformWithState sessionize
+# The Spark 4 successor API to applyInPandasWithState: an explicit
+# StatefulProcessor object with named state variables and first-class
+# timers (per-key, deletable) instead of one opaque tuple + a single
+# implicit timeout. Same operator semantics as stateful_sessionize —
+# the test suite pins the two APIs' outputs equal on the same stream —
+# so the engine covers both the stable and the new stateful surface.
+# State here is one ValueState tuple per key (RocksDB-backed on a real
+# cluster); the extra timer_ms field lets each batch delete its stale
+# timer instead of accumulating one per batch.
+# Runtime dependency: transformWithState's Python state-server protocol
+# needs google.protobuf, which this container does not ship — the
+# operator is exercised by a test that skips when protobuf is absent
+# (the applyInPandasWithState twin above covers the semantics here).
+from pyspark.sql.streaming import StatefulProcessor  # noqa: E402
+
+
+class SessionProcessor(StatefulProcessor):
+    """StatefulProcessor for gap-based sessionization (transformWithState)."""
+
+    def __init__(self, gap_min: int = DEFAULT_GAP_MIN):
+        self.gap_us = gap_min * 60 * 1_000_000
+
+    def init(self, handle) -> None:
+        self.handle = handle
+        self.state = handle.getValueState(
+            "open_session",
+            "start_us long, last_us long, n long, timer_ms long",
+        )
+
+    def handleInputRows(self, key, rows, timer_values):
+        (user_id,) = key
+        ts_us: list[int] = []
+        for pdf in rows:
+            ts_us.extend(int(v) // 1000 for v in pdf["ts"].astype("int64"))
+        if not ts_us:
+            return
+        ts_us.sort()
+        closed: list[tuple[int, int, int]] = []
+        if self.state.exists():
+            start_us, last_us, n, timer_ms = self.state.get()
+            self.handle.deleteTimer(timer_ms)
+        else:
+            start_us, last_us, n = ts_us[0], ts_us[0], 0
+        for t in ts_us:
+            if t - last_us > self.gap_us:
+                closed.append((start_us, last_us, n))
+                start_us, n = t, 0
+            n += 1
+            last_us = t
+        timer_ms = (last_us + self.gap_us) // 1000
+        self.state.update((start_us, last_us, n, timer_ms))
+        self.handle.registerTimer(timer_ms)
+        if closed:
+            yield _sessions_frame(user_id, closed)
+
+    def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        (user_id,) = key
+        if self.state.exists():
+            start_us, last_us, n, _timer_ms = self.state.get()
+            self.state.clear()
+            yield _sessions_frame(user_id, [(start_us, last_us, n)])
+
+    def handleInitialState(self, key, initial_state, timer_values) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def tws_sessionize(
+    events: DataFrame,
+    gap_min: int = DEFAULT_GAP_MIN,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """transformWithStateInPandas twin of ``stateful_sessionize``:
+    events must carry (user_id, ts); returns the stream of CLOSED
+    sessions (append mode, event-time timers)."""
+    from pyspark.sql import functions as F
+
+    stream = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", watermark
+    )
+    proc = SessionProcessor(gap_min)
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
+    )

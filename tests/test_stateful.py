@@ -188,3 +188,62 @@ def test_stateful_twa_matches_batch_formula(spark, tmp_path):
         rows = [r for r in all_rows if r[0] == uid]
         assert latest[uid][0] == batch_twa(rows), uid
         assert latest[uid][1] == len(rows)
+
+
+def test_transform_with_state_matches_applyinpandaswithstate(spark, tmp_path):
+    """The Spark 4 transformWithStateInPandas sessionizer must emit the
+    exact same closed sessions as the applyInPandasWithState form on an
+    identical multi-file stream (data-driven AND timer-driven closures).
+
+    transformWithState's state-server protocol needs google.protobuf
+    (not shipped in this container) — skipped when absent; the
+    applyInPandasWithState twin covers the semantics either way."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from cryptocoininsights_data_engineer_project_spark.streaming.stateful import (
+        tws_sessionize,
+    )
+
+    raw = tmp_path / "raw_tws"
+    raw.mkdir()
+    _write_events(
+        raw / "f1.json",
+        [(1, 0), (1, 300), (1, 600), (2, 100), (2, 200)],
+    )
+    _write_events(
+        raw / "f2.json",
+        [(1, 36_000), (1, 36_060), (2, 40_000)],
+    )
+    schema = "event_id long, user_id long, ts timestamp"
+
+    def run(factory, name, ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(raw))
+        )
+        q = (
+            factory(stream, gap_min=30)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return {
+            (
+                r["user_id"],
+                r["session_start"].isoformat(),
+                r["session_end"].isoformat(),
+                r["n_events"],
+            )
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+
+    old_api = run(stateful_sessionize, "tws_old", "ck_old")
+    new_api = run(tws_sessionize, "tws_new", "ck_new")
+    assert new_api == old_api
+    assert len(new_api) == 3
