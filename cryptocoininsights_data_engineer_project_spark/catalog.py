@@ -43,25 +43,52 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects outright. We read nanos as int64
-    (``spark.sql.legacy.parquet.nanosAsLong``) and derive:
+    """Normalize events.parquet to a stable shape regardless of how the
+    generator stored ``ts``:
 
-    - ``ts``     timestamp_ntz at microsecond precision, truncated the
-                 same way DuckDB truncates ns → µs (floor division), so
-                 oracle comparisons agree;
-    - ``ts_ns``  the raw int64 nanoseconds for full-precision ops.
+    - older drops: TIMESTAMP(NANOS), which Spark's reader only accepts
+      as int64 via ``spark.sql.legacy.parquet.nanosAsLong``;
+    - current drops: TIMESTAMP(MICROS) (``timestamp[us]``), read
+      natively as TIMESTAMP_NTZ / TIMESTAMP.
+
+    Output columns are identical either way:
+
+    - ``ts``     timestamp_ntz at microsecond precision (nanos inputs
+                 are floor-truncated the same way DuckDB truncates
+                 ns → µs, so oracle comparisons agree);
+    - ``ts_ns``  int64 nanoseconds for full-precision ops.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # TIMESTAMP -> TIMESTAMP_NTZ cast goes through the session zone; pin
     # it so `ts` is the same wall-clock instant DuckDB reads.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return raw.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts",
-        F.expr("CAST(timestamp_micros(ts_ns div 1000) AS TIMESTAMP_NTZ)"),
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # int64 nanoseconds (legacy nanos file read via nanosAsLong)
+        return raw.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts",
+            F.expr("CAST(timestamp_micros(ts_ns div 1000) AS TIMESTAMP_NTZ)"),
+        )
+    if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        # Same column order as the legacy branch: ts_ns where the raw
+        # ts column sat, derived ts appended last.
+        cols = [
+            F.expr(
+                "unix_micros(CAST(CAST(ts AS TIMESTAMP_NTZ) AS TIMESTAMP)) * 1000L"
+            ).alias("ts_ns")
+            if c == "ts"
+            else F.col(c)
+            for c in raw.columns
+        ]
+        cols.append(F.col("ts").cast("timestamp_ntz").alias("ts"))
+        return raw.select(*cols)
+    raise TypeError(
+        f"events.ts has unsupported dtype {ts_type}; expected int64 "
+        "nanoseconds or a timestamp type (testdata generator drift?)"
     )
 
 

@@ -738,13 +738,13 @@ def merge_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decimal_pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
-  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-       * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+       * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
        * (1 - CAST(l_discount AS DECIMAL(12,2)))
-       * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(18,6)) AS sum_charge,
+       * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_charge,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -752,7 +752,10 @@ GROUP BY l_returnflag, l_linestatus
 """,
     doc="A1 decimal twin: exact decimal(12,2) money aggregation — "
     "retires the doubles-for-money caveat (SURVEY §1.3); decimal sums "
-    "are order-independent so the hash needs no rounding discipline",
+    "are order-independent so the hash needs no rounding discipline. "
+    "Final columns materialize as DOUBLE on both engines so the "
+    "driver's value hash compares numbers, not Decimal-vs-float64 "
+    "host representations (arithmetic stays exact decimal upstream)",
 )
 def decimal_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
@@ -770,13 +773,18 @@ def decimal_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("qty").cast("decimal(18,2)").alias("sum_qty"),
-            F.sum("price").cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum("qty").cast("decimal(18,2)").cast("double").alias("sum_qty"),
+            F.sum("price")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("sum_base_price"),
             F.sum(F.expr("price * (1 - disc)"))
             .cast("decimal(18,4)")
+            .cast("double")
             .alias("sum_disc_price"),
             F.sum(F.expr("price * (1 - disc) * (1 + tax)"))
             .cast("decimal(18,6)")
+            .cast("double")
             .alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -785,12 +793,12 @@ def decimal_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DEC_FACT_TARGET_SQL = """
 SELECT o_custkey AS id, count(*) AS order_cnt,
-  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_spend
+  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_spend
 FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY o_custkey
 """
 _DEC_FACT_STAGE_SQL = """
 SELECT o_custkey AS id, count(*) AS order_cnt,
-  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total_spend
+  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_spend
 FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY o_custkey
 """
 
@@ -801,6 +809,7 @@ def _order_stats_decimal(spark, sf_dir, pred):
         F.count(F.lit(1)).alias("order_cnt"),
         F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
         .cast("decimal(18,2)")
+        .cast("double")
         .alias("total_spend"),
     )
 
