@@ -432,16 +432,45 @@ class CoinWarehouse:
                 fs.delete(jpath, False)
 
 
+def _glob_files(spark: SparkSession, raw_glob: str) -> list[str]:
+    """List the files a glob matches via Hadoop ``globStatus`` — pure
+    namenode/listing metadata, no Spark job, no data scan. At 100 TB
+    this is the right way to learn "which files did this run consume":
+    O(files) RPCs against the filesystem index instead of a full scan +
+    shuffle + driver collect over the data itself."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(raw_glob)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(jpath)
+    if statuses is None:
+        return []
+    return [s.getPath().toString() for s in statuses]
+
+
 def run_batch_pipeline(
     spark: SparkSession,
     raw_glob: str,
     warehouse: CoinWarehouse,
     archive_dir: str | None = None,
     purge: bool = False,
+    file_discovery: str = "glob",
 ) -> dict[str, int]:
     """One DAG run, end-to-end (the whole coininsights.py DAG):
     scan raw → normalize → split → merge into dim/fact → archive/purge.
-    Returns row counts for observability."""
+    Returns row counts for observability.
+
+    ``file_discovery`` picks how the maintenance file list is built:
+
+    - ``"glob"`` (default): Hadoop ``globStatus`` listing — metadata
+      only, no Spark job; holds at any file count.
+    - ``"scan"``: ``input_file_name()`` distinct-collect over the data
+      actually read — exact parity with what the scan consumed, but it
+      is a full pass + driver collect; keep for small parity runs.
+
+    For continuously-arriving data prefer the streaming ingest
+    (streaming/ingest.py) whose file source archives consumed input
+    natively via ``cleanSource=archive`` — maintenance there is the
+    source's own bookkeeping, with no separate file list at all."""
     raw = read_raw_json(spark, raw_glob)
     normalized = normalize(raw)
     info = split_info(normalized)
@@ -450,9 +479,17 @@ def run_batch_pipeline(
     # materialize row/file stats BEFORE maintenance: raw is lazy, and
     # counting after purge would re-scan deleted files
     raw_rows = raw.count()
-    files = [
-        r.f for r in raw.select(F.input_file_name().alias("f")).distinct().collect()
-    ]
+    if file_discovery == "glob":
+        files = sorted(_glob_files(spark, raw_glob))
+    elif file_discovery == "scan":
+        files = [
+            r.f
+            for r in raw.select(F.input_file_name().alias("f")).distinct().collect()
+        ]
+    else:
+        raise ValueError(
+            f"file_discovery must be 'glob' or 'scan', got {file_discovery!r}"
+        )
     if archive_dir:
         warehouse.archive_files(files, archive_dir)
     if purge:

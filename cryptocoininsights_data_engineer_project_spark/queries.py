@@ -1468,11 +1468,13 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) >= 0.45
 """,
-    doc="embedding-cosine near-duplicate pairs (exact): per-block-pair "
-    "BLAS matmul via applyInPandas — the quadratic pair space never "
-    "materializes as rows (similarity.all_pairs_cosine_blas; the "
-    "pure-JVM triangle join is all_pairs_cosine, ~14x slower measured; "
-    "the sub-quadratic path is similarity_ivf)",
+    doc="embedding-cosine near-duplicate pairs, EXACT oracle twin — "
+    "quadratic by construction; use dedup_embedding_lsh as the default "
+    "entry point at scale and keep this form for verification/recall "
+    "measurement. Per-block-pair BLAS matmul via applyInPandas — the "
+    "quadratic pair space never materializes as rows "
+    "(similarity.all_pairs_cosine_blas; the pure-JVM triangle join is "
+    "all_pairs_cosine, ~14x slower measured)",
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.all_pairs_cosine_blas(
@@ -1551,11 +1553,13 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_lsh",
     similarity.hyperplane_lsh_oracle_sql(threshold=0.45),
     doc="embedding near-dup pairs via random-hyperplane LSH (SimHash "
-    "over vectors): 24 literal Gaussian planes → 8 bands x 3 bits → "
+    "over vectors) — the DEFAULT entry point for embedding dedup at "
+    "scale: 24 literal Gaussian planes → 8 bands x 3 bits → "
     "bucket-collected candidates → exact cosine verification "
-    "(similarity.hyperplane_lsh_pairs). The sub-quadratic sibling of "
-    "dedup_embedding; recall measured 13/14 at this corpus's weak "
-    "0.45 threshold, ~0.97 per pair at production thresholds >= 0.9",
+    "(similarity.hyperplane_lsh_pairs). Sub-quadratic; dedup_embedding "
+    "is the exact all-pairs oracle twin kept for verification; recall "
+    "measured 13/14 at this corpus's weak 0.45 threshold, ~0.97 per "
+    "pair at production thresholds >= 0.9",
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hyperplane_lsh_pairs(

@@ -1,7 +1,12 @@
 """Every registry query must match its DuckDB oracle at sf0.001 —
-the local replica of the driver's correctness gate."""
+the local replica of the driver's correctness gate.
+
+Set ``SPARK_GRAFT_PARITY_SF_DIR`` to sweep another scale factor (the
+driver gates at sf0.01; run that before shipping catalog changes)."""
 
 from __future__ import annotations
+
+import os
 
 import pytest
 
@@ -9,7 +14,7 @@ from cryptocoininsights_data_engineer_project_spark import queries as registry
 
 from .oracle_compare import compare, duck_connection
 
-SF = "/root/testdata/sf0.001"
+SF = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="module")

@@ -315,3 +315,36 @@ def test_observed_metrics_single_pass(spark, tmp_path):
     assert m["null_price_rows"] == norm.filter("current_price IS NULL").count()
     assert m["negative_price_rows"] == norm.filter("current_price < 0").count()
     assert m["approx_symbols"] > 0
+
+
+def test_file_discovery_modes_agree(spark, tmp_path):
+    """`glob` (metadata-only listing, the scale default) and `scan`
+    (input_file_name collect, the parity mode) must archive/purge the
+    same files; an unknown mode is rejected."""
+    for mode in ("glob", "scan"):
+        d = tmp_path / f"raw_{mode}"
+        fixtures.write_batches(str(d))
+        wh = CoinWarehouse(spark, str(tmp_path / f"wh_{mode}"))
+        arch = tmp_path / f"arch_{mode}"
+        stats = run_batch_pipeline(
+            spark,
+            str(d / "raw_coins_batch0.json"),
+            wh,
+            archive_dir=str(arch),
+            purge=True,
+            file_discovery=mode,
+        )
+        assert stats["files"] == 1
+        assert not (d / "raw_coins_batch0.json").exists()
+        assert (d / "raw_coins_batch1.json").exists()
+        assert (arch / "raw_coins_batch0.json").exists()
+
+    with pytest.raises(ValueError, match="file_discovery"):
+        d = tmp_path / "raw_bad"
+        fixtures.write_batches(str(d))
+        run_batch_pipeline(
+            spark,
+            str(d / "raw_coins_batch0.json"),
+            CoinWarehouse(spark, str(tmp_path / "wh_bad")),
+            file_discovery="nope",
+        )
