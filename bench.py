@@ -51,6 +51,11 @@ def main() -> None:
     # substring-scrub shapes: indexed-gram md5, keeper join, sequence
     # explode, anti join, sort/collect reassembly
     _dedup.substring_dedup(tiny, n=2).write.format("noop").mode("overwrite").save()
+    # simhash shapes: the 32-wide CASE-sum aggregate + 32-term code
+    # reassembly is the single most expensive codegen compile in the
+    # registry (~7 s measured); chunk-band explode + popcount verify
+    # ride along
+    _dedup.simhash_hamming_pairs(tiny).write.format("noop").mode("overwrite").save()
     # LSH shapes: mapInPandas sketch, applyInPandas bucket matmul
     from cryptocoininsights_data_engineer_project_spark.operators import (
         similarity as _sim,
