@@ -2416,6 +2416,215 @@ def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q11_VALUE_CENTS = "CAST(round(l_extendedprice * l_quantity * 100, 0) AS BIGINT)"
+
+
+@_q(
+    "q11_important_stock",
+    f"""
+WITH v AS (
+  SELECT l_partkey, sum({_Q11_VALUE_CENTS}) AS cents
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey IN (1, 3, 10)
+  GROUP BY l_partkey)
+SELECT l_partkey AS partkey, round(cents / 100.0, 2) AS part_value
+FROM v WHERE cents > (SELECT sum(cents) * 0.001 FROM v)
+""",
+    doc="TPC-H Q11 shape (adapted: shipped value per part from "
+    "lineitem stands in for the missing partsupp supplycost*availqty): "
+    "per-part value for a nation-set of suppliers, kept only above a "
+    "fraction of the GLOBAL value — the group-by result is reused for "
+    "both legs, the scalar total is a 1-row broadcast inequality "
+    "join-back (not a second scan of the fact), and money sums are "
+    "exact integer cents so the fraction threshold is deterministic",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey").isin([1, 3, 10]))
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    v = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.expr(_Q11_VALUE_CENTS)).alias("cents"))
+    )
+    tot = v.agg((F.sum("cents") * 0.001).alias("threshold"))
+    return (
+        v.join(F.broadcast(tot), F.col("cents") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("cents") / 100.0, 2).alias("part_value"),
+        )
+    )
+
+
+@_q(
+    "q12_priority_shipping",
+    """
+SELECT l_returnflag,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_returnflag IN ('A', 'R')
+  AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+""",
+    doc="TPC-H Q12 shape (adapted: l_returnflag stands in for the "
+    "missing l_shipmode; 'late' is shipped >= 60 days after order "
+    "since commit/receipt dates don't exist): late-line counts split "
+    "by order priority via conditional aggregation — the returnflag "
+    "and shipdate filters push into the lineitem scan, the join is a "
+    "single equi-join on orderkey with the lateness comparison as a "
+    "join residual, priorities classified in one pass (no second join "
+    "or union of two filtered branches)",
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin(["A", "R"])
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin(["1-URGENT", "2-HIGH"])
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate >= o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "q20_promotable_suppliers",
+    """
+WITH sp AS (
+  SELECT l_suppkey,
+     sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+              THEN l_quantity ELSE 0 END) AS qty_97,
+     sum(l_quantity) AS qty_total
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%widget%'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name
+FROM supplier JOIN sp ON s_suppkey = l_suppkey
+WHERE qty_97 > 0.16 * qty_total
+""",
+    doc="TPC-H Q20 shape (adapted: 1997 shipped-quantity share of a "
+    "supplier's all-time widget volume stands in for the missing "
+    "partsupp availability threshold): the original's two correlated "
+    "scans over lineitem fuse into ONE conditional aggregation (total "
+    "and 1997 qty in the same group-by), the part-name filter is a "
+    "broadcast semi-probe into the fact scan, and the supplier join "
+    "is a broadcast equi-join on the (|suppliers|-sized) aggregate — "
+    "quantity sums of integer-valued doubles are exact, so the "
+    "fraction comparison is order-independent",
+)
+def q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    in_97 = (
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz")
+    ) & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    sp = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(in_97, F.col("l_quantity")).otherwise(0.0)).alias(
+                "qty_97"
+            ),
+            F.sum("l_quantity").alias("qty_total"),
+        )
+        .filter(F.col("qty_97") > 0.16 * F.col("qty_total"))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return s.join(sp, s.s_suppkey == sp.l_suppkey).select("s_suppkey", "s_name")
+
+
+@_q(
+    "q21_waiting_suppliers",
+    """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+""",
+    doc="TPC-H Q21 shape (adapted: 'late' is shipped > 60 days after "
+    "order date in lieu of the missing receipt/commit dates): "
+    "multi-supplier finished orders where ONLY this supplier was late "
+    "— EXISTS decorrelates to a LEFT SEMI join on orderkey with the "
+    "supplier-inequality as a residual, NOT EXISTS to a LEFT ANTI "
+    "join against the same late-lines relation (computed once, "
+    "reused for probe and anti sides — Spark reuses the exchange), "
+    "then a broadcast supplier join for names",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    only_late = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        only_late.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 @_q(
     "repetition_score",
     textops.repetition_score_oracle_sql(),

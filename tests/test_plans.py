@@ -77,12 +77,14 @@ def test_simhash_pairs_single_scan(spark):
 #   high_low_24h           — 1-row max-timestamp scalar
 #   tfidf_top_terms        — 1-row corpus doc-count scalar
 #   q22_dormant_value      — 1-row avg-acctbal scalar (inequality join)
+#   q11_important_stock    — 1-row value-threshold scalar (inequality join)
 BNLJ_ALLOWED = {
     "similarity_topk",
     "similarity_ivf_trained",
     "high_low_24h",
     "tfidf_top_terms",
     "q22_dormant_value",
+    "q11_important_stock",
 }
 
 
