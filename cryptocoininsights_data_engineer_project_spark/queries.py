@@ -2914,6 +2914,97 @@ def train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "stratified_sample",
+    """
+WITH counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source),
+rates AS (
+  SELECT source, n,
+         (SELECT min(n) FROM counts) * 1000000 / n AS keep_ppm
+  FROM counts)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE CAST(CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      % 1000000 AS BIGINT) < r.keep_ppm
+""",
+    doc="training-mix rebalancing: downsample every source stratum to "
+    "the smallest stratum's size with a DETERMINISTIC per-stratum "
+    "keep rate (md5-bucket of doc_id vs rate in ppm — no rand(), no "
+    "ordering dependence, reproducible across engines and cluster "
+    "sizes). Stratum counts are a tiny aggregate broadcast back onto "
+    "the corpus scan; integer ppm arithmetic keeps the threshold "
+    "comparison exact on both engines",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    min_n = counts.agg(F.min("n").alias("min_n"))
+    # min_n is 1 row; counts is |sources| rows — both broadcast, so the
+    # corpus scan joins against a tiny in-memory rate table
+    rates = counts.join(F.broadcast(min_n)).select(
+        "source", (F.col("min_n") * 1_000_000 / F.col("n")).alias("keep_ppm")
+    )
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) % 1000000"
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(bucket < F.col("keep_ppm"))
+        .select("doc_id", "source")
+    )
+
+
+@_q(
+    "embedding_quantize",
+    """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+s AS (
+  SELECT vec_id, emb,
+         list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+  FROM e)
+SELECT vec_id,
+  round(scale, 6) AS scale,
+  CAST(list_sum(list_transform(emb, x -> round(x / scale))) AS BIGINT) AS q_sum,
+  round(list_max(list_transform(emb, x -> abs(round(x / scale) * scale - x))), 6) AS max_err
+FROM s
+""",
+    doc="int8 symmetric embedding quantization (the 4x storage/IO "
+    "shrink an ANN index applies before sharding): per-vector scale = "
+    "max|x|/127, quantized checksum + max reconstruction error as "
+    "verifiable outputs — pure array-HOF codegen expressions, zero "
+    "shuffle, no Python; ties-away-from-zero rounding matches across "
+    "engines",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb")
+    )
+    s = e.select(
+        "vec_id",
+        "emb",
+        F.expr(
+            "array_max(transform(emb, x -> abs(x))) / 127.0"
+        ).alias("scale"),
+    )
+    return s.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.expr(
+            "CAST(aggregate(transform(emb, x -> round(x / scale)),"
+            " 0.0D, (a, v) -> a + v) AS BIGINT)"
+        ).alias("q_sum"),
+        F.round(
+            F.expr(
+                "array_max(transform(emb, x -> abs(round(x / scale) * scale - x)))"
+            ),
+            6,
+        ).alias("max_err"),
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}

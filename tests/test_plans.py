@@ -78,6 +78,8 @@ def test_simhash_pairs_single_scan(spark):
 #   tfidf_top_terms        — 1-row corpus doc-count scalar
 #   q22_dormant_value      — 1-row avg-acctbal scalar (inequality join)
 #   q11_important_stock    — 1-row value-threshold scalar (inequality join)
+#   stratified_sample      — 1-row min-stratum-count scalar joined onto the
+#                            (|sources|-sized) rate table, not the corpus
 BNLJ_ALLOWED = {
     "similarity_topk",
     "similarity_ivf_trained",
@@ -85,6 +87,7 @@ BNLJ_ALLOWED = {
     "tfidf_top_terms",
     "q22_dormant_value",
     "q11_important_stock",
+    "stratified_sample",
 }
 
 
