@@ -49,8 +49,17 @@ def main() -> None:
 
     _dedup.minhash_candidate_pairs(tiny).write.format("noop").mode("overwrite").save()
     # substring-scrub shapes: indexed-gram md5, keeper join, sequence
-    # explode, anti join, sort/collect reassembly
-    _dedup.substring_dedup(tiny, n=2).write.format("noop").mode("overwrite").save()
+    # explode, anti join, sort/collect reassembly. Default n: codegen
+    # caches by expression tree, and the gram width is a literal in it —
+    # warming n=2 would compile a different kernel than the registry runs
+    _dedup.substring_dedup(tiny).write.format("noop").mode("overwrite").save()
+    # repetition features: token/bigram double explode + two-level agg +
+    # co-partitioned join — the second-largest codegen compile (~8 s)
+    from cryptocoininsights_data_engineer_project_spark.operators import (
+        textops as _textops,
+    )
+
+    _textops.repetition_score(tiny).write.format("noop").mode("overwrite").save()
     # simhash shapes: the 32-wide CASE-sum aggregate + 32-term code
     # reassembly is the single most expensive codegen compile in the
     # registry (~7 s measured); chunk-band explode + popcount verify
