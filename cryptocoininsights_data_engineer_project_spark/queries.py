@@ -2451,6 +2451,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum(F.expr(_Q11_VALUE_CENTS)).alias("cents"))
+        # materialize the |parts|-sized aggregate once: both the scalar
+        # total and the filter leg read it, and without this the fact
+        # scan + join + agg pipeline runs TWICE (4 parquet scans at
+        # 100 TB). Same checkpoint discipline as dedup_clusters.
+        .localCheckpoint()
     )
     tot = v.agg((F.sum("cents") * 0.001).alias("threshold"))
     return (
@@ -2577,12 +2582,16 @@ GROUP BY s_name
 """,
     doc="TPC-H Q21 shape (adapted: 'late' is shipped > 60 days after "
     "order date in lieu of the missing receipt/commit dates): "
-    "multi-supplier finished orders where ONLY this supplier was late "
-    "— EXISTS decorrelates to a LEFT SEMI join on orderkey with the "
-    "supplier-inequality as a residual, NOT EXISTS to a LEFT ANTI "
-    "join against the same late-lines relation (computed once, "
-    "reused for probe and anti sides — Spark reuses the exchange), "
-    "then a broadcast supplier join for names",
+    "multi-supplier finished orders where ONLY this supplier was late. "
+    "The textbook EXISTS/NOT-EXISTS decorrelation needs three probes "
+    "of the (fact-sized) late-lines relation; instead the whole "
+    "predicate folds into ONE scan and a two-level aggregation — per "
+    "(order, supplier) late-line counts, then per order: supplier "
+    "count, late-supplier count, and (unique when it qualifies) the "
+    "late supplier + its line count. 'Only this supplier late' is "
+    "n_late_supp = 1 AND n_supp >= 2 — pure group math, no self-join, "
+    "no Expand (the two-level split avoids multi-distinct), map-side "
+    "partial aggregation on both levels",
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (
@@ -2593,35 +2602,27 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    late = (
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_pair = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(
-            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-        )
-        .select("l_orderkey", "l_suppkey")
+        .groupBy("o_orderkey", "l_suppkey")
+        .agg(F.sum(F.when(late, 1).otherwise(0)).alias("late_lines"))
     )
-    l1 = late.alias("l1")
-    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
-    l3 = late.alias("l3")
-    only_late = (
-        l1.join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-            "left_anti",
-        )
+    is_late = F.col("late_lines") > 0
+    per_order = per_pair.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.when(is_late, 1).otherwise(0)).alias("n_late_supp"),
+        F.max(F.when(is_late, F.col("l_suppkey"))).alias("late_supp"),
+        F.max(F.when(is_late, F.col("late_lines"))).alias("late_supp_lines"),
+    )
+    waiting = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        only_late.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        waiting.join(F.broadcast(s), waiting.late_supp == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("late_supp_lines").cast("long").alias("numwait"))
     )
 
 
@@ -2938,7 +2939,14 @@ WHERE CAST(CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGI
 )
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "source")
-    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    # the counts aggregate feeds both the min-scalar and the rate rows;
+    # checkpointing the |sources|-sized result keeps the corpus to a
+    # single scan for the whole counts→min→rates derivation
+    counts = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
     min_n = counts.agg(F.min("n").alias("min_n"))
     # min_n is 1 row; counts is |sources| rows — both broadcast, so the
     # corpus scan joins against a tiny in-memory rate table

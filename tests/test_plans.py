@@ -205,3 +205,64 @@ def test_window_rank_family_single_window(spark):
     p = _plan(spark, "window_rank_family")
     assert _nodes(p, "Window") == 1
     assert _nodes(p, "Exchange") == 1
+
+
+def test_q11_fact_scanned_once(spark):
+    """Both the threshold scalar and the filter leg must read the
+    checkpointed per-part aggregate — a parquet scan in the final plan
+    means the fact pipeline is running twice."""
+    p = _plan(spark, "q11_important_stock")
+    assert _nodes(p, "Scan parquet") == 0
+    assert _nodes(p, "Scan ExistingRDD") == 2
+
+
+def test_q12_filters_reach_scans(spark):
+    """returnflag + shipdate push into the lineitem scan; orderkey
+    join is the only join."""
+    p = _plan(spark, "q12_priority_shipping")
+    assert "In(l_returnflag, [A,R]" in p
+    assert "IsNotNull(l_shipdate)" in p
+    assert (
+        _nodes(p, "BroadcastHashJoin")
+        + _nodes(p, "SortMergeJoin")
+        + _nodes(p, "ShuffledHashJoin")
+        == 1
+    )
+
+
+def test_q20_partname_pushdown_and_semi(spark):
+    """The widget filter reaches the part scan; parts prune the fact
+    via a LEFT SEMI broadcast, never duplicating lineitem rows."""
+    p = _plan(spark, "q20_promotable_suppliers")
+    assert "StringContains(p_name,widget)" in p
+    assert "LeftSemi" in p
+    assert _nodes(p, "Scan parquet") == 3
+
+
+def test_q21_no_self_join(spark):
+    """The only-this-supplier-late predicate folds into a two-level
+    aggregation: one lineitem scan, one orders scan, one supplier
+    broadcast, NO late-lines self-join and no multi-distinct Expand."""
+    p = _plan(spark, "q21_waiting_suppliers")
+    assert _nodes(p, "Scan parquet") == 3
+    assert _nodes(p, "Expand") == 0
+    assert _nodes(p, "BroadcastHashJoin") == 2
+    assert _nodes(p, "SortMergeJoin") + _nodes(p, "ShuffledHashJoin") == 0
+
+
+def test_stratified_sample_single_corpus_scan(spark):
+    """The rate table derives from a checkpointed counts aggregate —
+    the corpus parquet is scanned exactly once in the final plan, and
+    the sample filter probes a broadcast rate table."""
+    p = _plan(spark, "stratified_sample")
+    assert _nodes(p, "Scan parquet") == 1
+    assert _nodes(p, "BroadcastHashJoin") == 1
+
+
+def test_embedding_quantize_pure_projection(spark):
+    """int8 quantization is a zero-shuffle projection: one scan, no
+    exchange, no join, no aggregate."""
+    p = _plan(spark, "embedding_quantize")
+    assert _nodes(p, "Scan parquet") == 1
+    assert _nodes(p, "Exchange") == 0
+    assert _nodes(p, "HashAggregate") == 0
