@@ -32,6 +32,52 @@ TABLES = (
 # bounded by the real world (5 regions, 25 nations), not by data volume.
 ALWAYS_BROADCAST = {"region", "nation"}
 
+# Columns every consumer in the registry depends on. Checked on read so a
+# driver-side testdata regeneration that renames or drops a column fails
+# with ONE diagnostic naming the table and the drift, instead of dozens of
+# identical unresolved-column AnalysisExceptions downstream (the round-2
+# events.ts dtype drift cost a full round — see _events).
+REQUIRED_COLUMNS = {
+    "region": {"r_regionkey", "r_name"},
+    "nation": {"n_nationkey", "n_name", "n_regionkey"},
+    "customer": {"c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"},
+    "supplier": {"s_suppkey", "s_name", "s_nationkey", "s_acctbal"},
+    "part": {"p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"},
+    "orders": {
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    },
+    "lineitem": {
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    },
+    "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
+    "documents": {"doc_id", "text", "lang", "source", "n_chars"},
+    "embeddings": {"vec_id", "embedding"},
+}
+
+
+def _check_columns(name: str, df: DataFrame) -> DataFrame:
+    missing = REQUIRED_COLUMNS[name] - set(df.columns)
+    if missing:
+        raise ValueError(
+            f"table {name!r} is missing expected column(s) {sorted(missing)}; "
+            f"found {df.columns} — testdata generator drift?"
+        )
+    return df
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
@@ -39,7 +85,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune_session(spark)
     if name == "events":
         return _events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _check_columns(
+        name, spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    )
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,7 +113,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TIMESTAMP -> TIMESTAMP_NTZ cast goes through the session zone; pin
     # it so `ts` is the same wall-clock instant DuckDB reads.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    raw = _check_columns(
+        "events", spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    )
     ts_type = raw.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
         # int64 nanoseconds (legacy nanos file read via nanosAsLong)

@@ -1732,6 +1732,85 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("spark", "query", "join")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_score_exprs(n_docs: str, avgdl: str) -> str:
+    """The summed Okapi BM25 term scores, written ONCE and rendered
+    identically for both engines (term order and operation order fixed,
+    so IEEE double results agree bit-for-bit)."""
+    parts = []
+    for t in _BM25_TERMS:
+        idf = (
+            f"ln(({n_docs} - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0)"
+        )
+        tf_norm = (
+            f"(tf_{t} * {_BM25_K1 + 1}) / "
+            f"(tf_{t} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / {avgdl}))"
+        )
+        parts.append(f"{idf} * {tf_norm}")
+    return " + ".join(parts)
+
+
+@_q(
+    "bm25_score",
+    f"""
+WITH base AS (
+  SELECT doc_id,
+    len(list_filter({duck_tokens('text')}, x -> x != '')) AS dl,
+    {', '.join(f"len(list_filter({duck_tokens('text')}, x -> x = '{t}')) AS tf_{t}" for t in _BM25_TERMS)}
+  FROM documents),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl,
+    {', '.join(f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}" for t in _BM25_TERMS)}
+  FROM base)
+SELECT doc_id, round({_bm25_score_exprs('n_docs', 'avgdl')}, 6) AS bm25
+FROM base CROSS JOIN stats
+WHERE {' + '.join(f'tf_{t}' for t in _BM25_TERMS)} > 0
+""",
+    doc="Okapi BM25 relevance of every document against a fixed query "
+    "term set: per-doc term frequencies are array-filter expressions "
+    "in the scan projection (NO corpus-wide token explode for the TF "
+    "side — the per-(doc,term) shuffle tfidf needs is unnecessary "
+    "when the query is fixed and small), corpus stats (N, avgdl, "
+    "per-term df) are ONE tiny aggregate row broadcast back, scoring "
+    "is pure codegen arithmetic. Search-engine building block over "
+    "the documents table",
+)
+def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = f"filter({spark_tokens('text')}, x -> x != '')"
+    base = docs.select(
+        "doc_id",
+        F.expr(f"size({toks})").alias("dl"),
+        *[
+            F.expr(f"size(filter({toks}, x -> x = '{t}'))").alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    ).localCheckpoint()
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    any_tf = sum(F.col(f"tf_{t}") for t in _BM25_TERMS)
+    return (
+        base.join(F.broadcast(stats))
+        .filter(any_tf > 0)
+        .select(
+            "doc_id",
+            F.round(
+                F.expr(_bm25_score_exprs("n_docs", "avgdl")), 6
+            ).alias("bm25"),
+        )
+    )
+
+
 @_q(
     "percentile_agg",
     """

@@ -82,3 +82,14 @@ def test_events_unsupported_dtype_diagnosed(spark, tmp_path):
     sf_dir = _write_events(str(tmp_path / "bad"), bad)
     with pytest.raises(TypeError, match="events.ts has unsupported dtype"):
         table(spark, sf_dir, "events")
+
+
+def test_missing_column_diagnosed(spark, tmp_path):
+    import pytest as _pytest
+
+    tbl = pa.table({"doc_id": pa.array([1, 2], pa.int64())})
+    d = tmp_path / "docs"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(tbl, os.path.join(str(d), "documents.parquet"))
+    with _pytest.raises(ValueError, match="documents.*missing expected column"):
+        table(spark, str(d), "documents")

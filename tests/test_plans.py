@@ -88,6 +88,7 @@ BNLJ_ALLOWED = {
     "q22_dormant_value",
     "q11_important_stock",
     "stratified_sample",
+    "bm25_score",  # 1-row corpus-stats scalar (N, avgdl, per-term df)
 }
 
 
