@@ -602,6 +602,219 @@ SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {threshold}
 """
 
 
+# Product-quantization geometry: 64 dims → 4 subspaces × 16 dims, 8
+# centroids per subspace (codebook 4×8; a code is 4 small ints — 64
+# doubles compress to 4 bytes, the 128× shrink that lets a 100 TB
+# corpus's ANN index live in executor memory). One Lloyd's update after
+# deterministic seeding; distances are asymmetric (ADC): the query stays
+# full-precision, only the corpus is coded.
+PQ_M = 4
+PQ_DSUB = 16
+PQ_K = 8
+PQ_TOP_K = 5
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    k: int = PQ_TOP_K,
+    query_modulus: int = QUERY_MODULUS,
+    m: int = PQ_M,
+    dsub: int = PQ_DSUB,
+    n_codes: int = PQ_K,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (ADC), the
+    codebook trained END-TO-END in the query — the compression-side
+    complement of the IVF pruning path (real systems compose both:
+    IVF cells × PQ codes = the FAISS IVFPQ layout).
+
+    Engine-portable construction (every step has a DuckDB twin in
+    ``pq_adc_oracle_sql``):
+
+    - subspaces: each vector splits into ``m`` contiguous ``dsub``-dim
+      subvectors (one generator explode, no shuffle);
+    - codebook: per subspace, ``n_codes`` centroids — seeds are the
+      subvectors of the ``n_codes`` globally-smallest md5-hashed
+      vec_ids, then ONE Lloyd's update with means rounded to 6
+      decimals (the rounding hands both engines identical codebooks);
+    - encoding: nearest-centroid id per (vector, subspace), ties to
+      the lowest cid — the corpus compresses to ``m`` small ints per
+      vector;
+    - ADC: each query computes its m×n_codes lookup table of partial
+      squared distances (tiny — broadcast), every corpus code row
+      joins its partial by (subspace, cid) equi-key, and per-pair
+      distances sum EXACTLY as integer micros (floating summation
+      order would otherwise differ between engines);
+    - top-k per query by approximate distance, self excluded.
+
+    Scale shape: the codebook and the per-query LUTs broadcast; the
+    corpus is scanned once to encode (the encode output is what a real
+    pipeline would persist); the candidate fan-out is m partial rows
+    per (query, vector) combined map-side before the (query, vector)
+    shuffle. No all-pairs full-precision math anywhere."""
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    sub = e.select(
+        "vec_id",
+        F.expr(
+            f"explode(transform(sequence(0, {m - 1}), "
+            f"s -> named_struct('s', s, 'semb', slice(emb, s * {dsub} + 1, {dsub}))))"
+        ).alias("x"),
+    ).select(
+        "vec_id",
+        F.col("x.s").alias("s"),
+        F.col("x.semb").alias("semb"),
+    ).withColumn("svv", F.expr(dot_expr("semb", "semb")))
+
+    h = F.expr(spark_hash64("CAST(vec_id AS STRING)"))
+    seeds = e.withColumn("__h", h).orderBy("__h", "vec_id").limit(n_codes)
+    w_seed = Window.orderBy("__h", "vec_id")  # n_codes rows
+    seed_cents = seeds.select(
+        (F.row_number().over(w_seed) - 1).cast("long").alias("cid"),
+        F.col("emb"),
+    )
+    cents = seed_cents.select(
+        "cid",
+        F.expr(
+            f"explode(transform(sequence(0, {m - 1}), "
+            f"s -> named_struct('s', s, 'cent', slice(emb, s * {dsub} + 1, {dsub}))))"
+        ).alias("x"),
+    ).select("cid", F.col("x.s").alias("s"), F.col("x.cent").alias("cent"))
+
+    def _assign(cents_df: DataFrame) -> DataFrame:
+        cc = cents_df.withColumn("cc", F.expr(dot_expr("cent", "cent")))
+        d = sub.join(F.broadcast(cc), "s").withColumn(
+            "d2", F.expr(f"svv - 2 * ({dot_expr('semb', 'cent')}) + cc")
+        )
+        w = Window.partitionBy("vec_id", "s").orderBy(
+            F.col("d2").asc(), F.col("cid").asc()
+        )
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "s", "semb", "svv", "cid", "d2")
+        )
+
+    # one Lloyd's update: means per (subspace, cid, component), rounded
+    # so both engines hand encoding identical codebooks
+    updated = (
+        _assign(cents)
+        .select("s", "cid", F.posexplode("semb").alias("idx", "v"))
+        .groupBy("s", "cid", "idx")
+        .agg(F.round(F.avg("v"), 6).alias("v"))
+        .groupBy("s", "cid")
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "v"))).alias("ps"))
+        .select("s", "cid", F.expr("transform(ps, p -> p.v)").alias("cent"))
+        .localCheckpoint()  # m*n_codes tiny rows; training lineage ends here
+    )
+    codes = _assign(updated).select("vec_id", "s", "cid")
+
+    q_sub = sub.filter(F.col("vec_id") % query_modulus == 0).select(
+        F.col("vec_id").alias("query_id"),
+        "s",
+        F.col("semb").alias("q_semb"),
+        F.col("svv").alias("q_svv"),
+    )
+    cc = updated.withColumn("cc", F.expr(dot_expr("cent", "cent")))
+    lut = q_sub.join(F.broadcast(cc), "s").select(
+        "query_id",
+        "s",
+        "cid",
+        F.expr(
+            f"CAST(round((q_svv - 2 * ({dot_expr('q_semb', 'cent')}) + cc) * 1000000, 0) AS BIGINT)"
+        ).alias("pd2_micro"),
+    )
+    pairs = (
+        codes.join(F.broadcast(lut), ["s", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd2_micro").alias("d2_micro"))
+        # a vector only pairs with a query when ALL m subspace partials
+        # matched (inner join on (s, cid) always matches — the LUT has
+        # every (s, cid) — so every pair carries exactly m rows)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("d2_micro") / 1000000.0, 6).alias("approx_d2"),
+        )
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w_k))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "approx_d2")
+    )
+
+
+def pq_adc_oracle_sql(
+    k: int = PQ_TOP_K,
+    query_modulus: int = QUERY_MODULUS,
+    m: int = PQ_M,
+    dsub: int = PQ_DSUB,
+    n_codes: int = PQ_K,
+) -> str:
+    """DuckDB twin of ``pq_adc_topk``: identical seeding, one identical
+    Lloyd's update (means rounded to 6), identical encoding and
+    integer-micro ADC sums."""
+    from ..functions.hashing import duck_hash64
+
+    dh = duck_hash64("CAST(vec_id AS VARCHAR)")
+    sub_slice = f"emb[g.s * {dsub} + 1 : (g.s + 1) * {dsub}]"
+    d2 = (
+        "a.svv - 2 * list_dot_product(a.semb, c.cent) "
+        "+ list_dot_product(c.cent, c.cent)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), sub AS (
+  SELECT vec_id, g.s AS s, {sub_slice} AS semb,
+         list_dot_product({sub_slice}, {sub_slice}) AS svv
+  FROM e, UNNEST(generate_series(0, {m - 1})) AS g(s)
+), seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY {dh}, vec_id) - 1 AS BIGINT) AS cid, emb
+  FROM (SELECT vec_id, emb FROM e ORDER BY {dh}, vec_id LIMIT {n_codes})
+), c0 AS (
+  SELECT cid, g.s AS s, emb[g.s * {dsub} + 1 : (g.s + 1) * {dsub}] AS cent
+  FROM seeds, UNNEST(generate_series(0, {m - 1})) AS g(s)
+), a0 AS (
+  SELECT vec_id, s, semb, cid FROM (
+    SELECT a.vec_id, a.s, a.semb, c.cid,
+      row_number() OVER (PARTITION BY a.vec_id, a.s ORDER BY {d2} ASC, c.cid ASC) AS rn
+    FROM sub a JOIN c0 c ON a.s = c.s) WHERE rn = 1
+), c1 AS (
+  SELECT s, cid, array_agg(av ORDER BY i) AS cent FROM (
+    SELECT s, cid, i, round(avg(semb[i]), 6) AS av
+    FROM a0, UNNEST(generate_series(1, {dsub})) AS g(i)
+    GROUP BY s, cid, i) GROUP BY s, cid
+), codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT a.vec_id, a.s, c.cid,
+      row_number() OVER (PARTITION BY a.vec_id, a.s ORDER BY {d2} ASC, c.cid ASC) AS rn
+    FROM sub a JOIN c1 c ON a.s = c.s) WHERE rn = 1
+), lut AS (
+  SELECT q.vec_id AS query_id, q.s, c.cid,
+    CAST(round((q.svv - 2 * list_dot_product(q.semb, c.cent)
+                + list_dot_product(c.cent, c.cent)) * 1000000, 0) AS BIGINT) AS pd2_micro
+  FROM sub q JOIN c1 c ON q.s = c.s
+  WHERE q.vec_id % {query_modulus} = 0
+), pairs AS (
+  SELECT l.query_id, x.vec_id AS neighbor_id,
+         round(sum(l.pd2_micro) / 1000000.0, 6) AS approx_d2
+  FROM codes x JOIN lut l ON x.s = l.s AND x.cid = l.cid
+  WHERE x.vec_id != l.query_id
+  GROUP BY l.query_id, x.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY approx_d2 ASC, neighbor_id ASC) AS rn
+  FROM pairs
+)
+SELECT query_id, neighbor_id, approx_d2 FROM ranked WHERE rn <= {k}
+"""
+
+
 def kmeans_assign(
     embeddings: DataFrame,
     k: int = 8,

@@ -1122,6 +1122,22 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"))
 
 
+@_q(
+    "similarity_pq",
+    similarity.pq_adc_oracle_sql(),
+    doc="product-quantization ANN with asymmetric distance (ADC): "
+    "4x16-dim subspaces, 8-centroid codebook trained in-query "
+    "(deterministic seeds + one rounded Lloyd's update), corpus "
+    "encoded to 4 small ints per vector, per-query distance LUT "
+    "broadcast, partial distances summed as exact integer micros — "
+    "the compression-side complement of the IVF pruning path "
+    "(operators/similarity.py::pq_adc_topk); fully oracle-checked "
+    "including training",
+)
+def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.pq_adc_topk(_t(spark, sf_dir, "embeddings"))
+
+
 @_q("lang_id", textops.lang_id_oracle_sql(), doc="language-ID stopword heuristic")
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.lang_id(_t(spark, sf_dir, "documents"))
