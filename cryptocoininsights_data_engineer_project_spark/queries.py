@@ -1828,6 +1828,66 @@ def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "unigram_logppl",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({duck_tokens('text')}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term != '' GROUP BY 1, 2
+), vocab AS (
+  SELECT term, CAST(sum(tf) AS BIGINT) AS tt FROM tf GROUP BY term
+), n AS (SELECT CAST(sum(tt) AS BIGINT) AS n_total FROM vocab),
+surprisal AS (
+  SELECT term,
+    CAST(round((ln(CAST(n_total AS DOUBLE)) - ln(CAST(tt AS DOUBLE))) * 1000000, 0)
+         AS BIGINT) AS s_micro
+  FROM vocab CROSS JOIN n
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+  round(sum(tf * s_micro) / (1000000.0 * sum(tf)), 6) AS cross_entropy
+FROM tf JOIN surprisal USING (term)
+GROUP BY doc_id
+""",
+    doc="unigram-LM cross-entropy per document (log-perplexity) — the "
+    "CCNet-style fluency filter a training pipeline runs after the "
+    "cheap heuristics: corpus term totals double as the LM, per-term "
+    "surprisal -ln p is quantized to exact integer micros so the "
+    "per-doc sum is order-independent across engines, and the whole "
+    "thing derives from ONE token explode (tf feeds both the vocab "
+    "aggregate and the scoring join — same reuse discipline as "
+    "tfidf_top_terms)",
+)
+def unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(spark_tokens("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("tt"))
+    n = vocab.agg(F.sum("tt").alias("n_total"))
+    surprisal = vocab.join(F.broadcast(n)).select(
+        "term",
+        F.expr(
+            "CAST(round((ln(CAST(n_total AS DOUBLE)) - ln(CAST(tt AS DOUBLE)))"
+            " * 1000000, 0) AS BIGINT)"
+        ).alias("s_micro"),
+    )
+    return (
+        tf.join(surprisal, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * F.col("s_micro"))
+                / (1_000_000.0 * F.sum("tf")),
+                6,
+            ).alias("cross_entropy"),
+        )
+    )
+
+
+@_q(
     "percentile_agg",
     """
 SELECT o_orderpriority,

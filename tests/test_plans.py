@@ -89,6 +89,7 @@ BNLJ_ALLOWED = {
     "q11_important_stock",
     "stratified_sample",
     "bm25_score",  # 1-row corpus-stats scalar (N, avgdl, per-term df)
+    "unigram_logppl",  # 1-row corpus-token-total scalar onto the vocab table
 }
 
 
