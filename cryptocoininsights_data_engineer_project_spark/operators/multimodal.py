@@ -317,6 +317,67 @@ FROM h
 """
 
 
+# Audio frame-sampling geometry: the standard 25 ms window / 10 ms
+# stride over a nominal 1 s clip (synthetic payloads carry headers
+# only, so the clip length is a documented constant rather than parsed
+# from a data chunk). 16-bit PCM, data chunk at the canonical 44-byte
+# offset.
+FRAME_MS = 25
+STRIDE_MS = 10
+CLIP_MS = 1000
+N_FRAMES = 1 + (CLIP_MS - FRAME_MS) // STRIDE_MS  # 98
+DATA_OFFSET = 44
+BYTES_PER_SAMPLE = 2
+
+
+def frame_sample_plan(assets: DataFrame) -> DataFrame:
+    """(asset_id, frame_idx, start_ms, start_byte, n_bytes): the
+    deterministic frame-sampling plan for every WAV asset — which byte
+    range of the payload each 25 ms / 10 ms-stride analysis frame
+    covers, derived entirely from the parsed header (sample rate ×
+    channels × 16-bit PCM). This is the Spark-side plumbing of a
+    feature-extraction front-end: a production pipeline feeds
+    (payload, start_byte, n_bytes) into a mapInPandas decoder next;
+    the sample-level decode itself stays stubbed (no codecs in the
+    container — operators/multimodal.py::decode_image). All integer
+    arithmetic, one generator explode, no shuffle."""
+    meta = decode_meta(assets).filter(F.col("media_type") == "audio/wav")
+    samples_per_ms = "sample_rate div 1000"  # rates are multiples of 1000
+    return meta.select(
+        "asset_id",
+        "channels",
+        "sample_rate",
+        F.explode(F.expr(f"sequence(0, {N_FRAMES - 1})")).alias("frame_idx"),
+    ).select(
+        "asset_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        (F.col("frame_idx") * STRIDE_MS).cast("long").alias("start_ms"),
+        F.expr(
+            f"CAST({DATA_OFFSET} + frame_idx * {STRIDE_MS} * ({samples_per_ms})"
+            f" * channels * {BYTES_PER_SAMPLE} AS BIGINT)"
+        ).alias("start_byte"),
+        F.expr(
+            f"CAST({FRAME_MS} * ({samples_per_ms}) * channels * {BYTES_PER_SAMPLE}"
+            " AS BIGINT)"
+        ).alias("n_bytes"),
+    )
+
+
+def frame_sample_oracle_sql() -> str:
+    return f"""
+WITH meta AS ({decode_meta_oracle_sql()})
+SELECT asset_id,
+  CAST(g.frame_idx AS BIGINT) AS frame_idx,
+  CAST(g.frame_idx * {STRIDE_MS} AS BIGINT) AS start_ms,
+  CAST({DATA_OFFSET} + g.frame_idx * {STRIDE_MS} * (sample_rate // 1000)
+       * channels * {BYTES_PER_SAMPLE} AS BIGINT) AS start_byte,
+  CAST({FRAME_MS} * (sample_rate // 1000) * channels * {BYTES_PER_SAMPLE}
+       AS BIGINT) AS n_bytes
+FROM meta, UNNEST(generate_series(0, {N_FRAMES - 1})) AS g(frame_idx)
+WHERE media_type = 'audio/wav'
+"""
+
+
 def multimodal_meta(docs: DataFrame) -> DataFrame:
     """Metadata-only projection over binary assets (no decode): the
     query-able face of a multimodal table. Fully JVM-side."""

@@ -998,6 +998,23 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_framesample",
+    multimodal.frame_sample_oracle_sql(),
+    doc="audio frame-sampling plan: 25 ms / 10 ms-stride analysis "
+    "frames as exact byte ranges per WAV asset, derived from the "
+    "parsed header (sample rate x channels x 16-bit PCM) — the "
+    "deterministic front-end a mapInPandas feature extractor consumes; "
+    "sample-level decode stays stubbed (no codecs in container). "
+    "Integer arithmetic, one generator explode, no shuffle "
+    "(operators/multimodal.py::frame_sample_plan)",
+)
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.frame_sample_plan(
+        multimodal.synth_assets(_t(spark, sf_dir, "documents"))
+    )
+
+
+@_q(
     "dedup_simhash_pairs",
     dedup.simhash_pairs_oracle_sql(),
     doc="SimHash Hamming-neighbor pairs: 8-bit chunk banding (recall-"
