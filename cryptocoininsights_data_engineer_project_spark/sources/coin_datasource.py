@@ -76,22 +76,89 @@ def synthetic_page(page: int, per_page: int) -> list[tuple]:
     return rows
 
 
+class RateLimitedError(RuntimeError):
+    """Transient page-fetch rejection (the HTTP 429 of a live feed)."""
+
+
+def fetch_with_retry(
+    fetch,
+    *,
+    max_retries: int = 3,
+    backoff_s: float = 1.0,
+    sleep=None,
+):
+    """Bounded exponential backoff around one page fetch.
+
+    Rate limiting is the failure mode a paged crawl actually hits
+    (data-extract.py:35-46 swallows it and ships nothing; the DAG's
+    sensor then times out an hour later). Here the policy is explicit:
+    retry ``max_retries`` times with doubling delay, then RAISE — the
+    task fails loudly and Spark's own task retry / the job failure
+    surfaces it, never a silently-short dataset. Retrying inside the
+    task (not via task re-run alone) matters at scale: a task retry
+    re-fetches with zero delay and re-hits the limiter, while backoff
+    inside the task is the polite client the API expects."""
+    import time
+
+    do_sleep = sleep if sleep is not None else time.sleep
+    delay = backoff_s
+    attempt = 0
+    while True:
+        try:
+            return fetch()
+        except RateLimitedError:
+            if attempt >= max_retries:
+                raise
+            do_sleep(delay)
+            delay *= 2
+            attempt += 1
+
+
 class _PagePartition(InputPartition):
     def __init__(self, page: int):
         self.page = page
 
 
 class CoinMarketsReader(DataSourceReader):
+    """Options: ``pages``, ``per_page``, plus the retry policy
+    (``max_retries``, ``backoff_s``) and a deterministic fault
+    injector for tests — ``fail_pages`` (csv of page numbers) raise
+    RateLimitedError on their first ``fail_times`` fetch attempts,
+    exercising the same code path a live 429 takes."""
+
     def __init__(self, options):
         self.pages = int(options.get("pages", 1))
         self.per_page = int(options.get("per_page", 250))
+        self.max_retries = int(options.get("max_retries", 3))
+        self.backoff_s = float(options.get("backoff_s", 1.0))
+        fp = str(options.get("fail_pages", "") or "")
+        self.fail_pages = {int(p) for p in fp.split(",") if p.strip()}
+        self.fail_times = int(options.get("fail_times", 0))
 
     def partitions(self):
         # one REST page per input partition = one fetch per task
         return [_PagePartition(p) for p in range(self.pages)]
 
     def read(self, partition: _PagePartition):
-        yield from synthetic_page(partition.page, self.per_page)
+        attempts = {"n": 0}
+
+        def fetch():
+            if (
+                partition.page in self.fail_pages
+                and attempts["n"] < self.fail_times
+            ):
+                attempts["n"] += 1
+                raise RateLimitedError(
+                    f"429 Too Many Requests (page {partition.page}, "
+                    f"attempt {attempts['n']})"
+                )
+            return synthetic_page(partition.page, self.per_page)
+
+        # backoff_s=0 in tests: the retry LOGIC is what's under test,
+        # not wall-clock waiting
+        yield from fetch_with_retry(
+            fetch, max_retries=self.max_retries, backoff_s=self.backoff_s
+        )
 
 
 class CoinMarketsDataSource(DataSource):

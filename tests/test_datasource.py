@@ -211,3 +211,77 @@ def test_simple_stream_reader_reads_feed_exactly_once(spark, tmp_path):
         assert got.select("id").distinct().count() == 120
     finally:
         q.stop()
+
+
+def test_rate_limited_pages_retry_then_succeed(spark):
+    """Transient 429s on specific pages are absorbed by in-task
+    backoff: the read returns the complete dataset, no rows dropped
+    (the reference swallows the error and ships nothing —
+    data-extract.py:35-46)."""
+    spark.dataSource.register(CoinMarketsDataSource)
+    df = (
+        spark.read.format("coin_markets")
+        .option("pages", 4)
+        .option("per_page", 25)
+        .option("fail_pages", "1,3")
+        .option("fail_times", 2)  # < max_retries=3 → recovers
+        .option("backoff_s", 0.0)
+        .load()
+    )
+    assert df.count() == 100
+    pages = {r["page"] for r in df.select("page").distinct().collect()}
+    assert pages == {0, 1, 2, 3}
+
+
+def test_rate_limit_exhaustion_fails_loudly(spark):
+    """A page that stays rate-limited past max_retries fails the job —
+    never a silently-short dataset."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    spark.dataSource.register(CoinMarketsDataSource)
+    df = (
+        spark.read.format("coin_markets")
+        .option("pages", 2)
+        .option("per_page", 10)
+        .option("fail_pages", "1")
+        .option("fail_times", 10)  # > max_retries → exhausts
+        .option("max_retries", 2)
+        .option("backoff_s", 0.0)
+        .load()
+    )
+    with pytest.raises((Py4JJavaError, Exception), match="429|RateLimited"):
+        df.count()
+
+
+def test_fetch_with_retry_backoff_schedule():
+    """The backoff doubles per attempt and raises after max_retries."""
+    from cryptocoininsights_data_engineer_project_spark.sources.coin_datasource import (
+        RateLimitedError,
+        fetch_with_retry,
+    )
+
+    sleeps: list[float] = []
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] <= 3:
+            raise RateLimitedError("429")
+        return "ok"
+
+    assert (
+        fetch_with_retry(
+            flaky, max_retries=3, backoff_s=1.0, sleep=sleeps.append
+        )
+        == "ok"
+    )
+    assert sleeps == [1.0, 2.0, 4.0]
+
+    calls["n"] = -100  # needs 103 successes' worth of failures → exhausts
+    import pytest
+
+    with pytest.raises(RateLimitedError):
+        fetch_with_retry(
+            flaky, max_retries=2, backoff_s=0.5, sleep=sleeps.append
+        )
