@@ -96,3 +96,35 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 16,
+) -> None:
+    """Persist a table hash-bucketed AND per-bucket-sorted on ``key``
+    (Hive-compatible bucketing via ``saveAsTable``).
+
+    This is the storage-side half of the co-located join: two tables
+    bucketed on the same key with the same bucket count join WITHOUT
+    any Exchange — each task reads bucket i of both sides and merges.
+    At 100 TB this turns every repeated fact-fact join on the same key
+    (the workload's star joins, MERGE stages, IVM refreshes) from a
+    full two-sided shuffle into a metadata decision made once at write
+    time. The engine-parity story is unaffected: bucketing changes the
+    physical plan, never results."""
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
+
+
+def colocated_join(spark, left_table: str, right_table: str, key: str) -> DataFrame:
+    """Join two same-key/same-count bucketed tables; with bucketing
+    active the physical plan contains NO Exchange on either side."""
+    return spark.table(left_table).join(spark.table(right_table), key)

@@ -83,3 +83,61 @@ def test_incremental_rollup_equals_full_recompute(spark, sf_dir):
         )
 
     assert snap(rollup) == snap(full)
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir):
+    """Two tables bucketed on the same key with the same bucket count
+    must join with ZERO Exchange nodes — the write-time co-location
+    replaces the read-time shuffle (the 100 TB fact-fact join story).
+    An unbucketed control join over the same data DOES shuffle,
+    proving the assertion bites."""
+    import contextlib
+    import io
+
+    from cryptocoininsights_data_engineer_project_spark.operators.layout import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_orderkey")
+        .count()
+    )
+    write_bucketed(orders, "t_orders_b", "o_orderkey", n_buckets=8)
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "t_licnt_b",
+        "o_orderkey",
+        n_buckets=8,
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a real join strategy decision (tiny test tables would
+        # broadcast and trivially show no exchange)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        def plan_of(df):
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            return buf.getvalue()
+
+        joined = colocated_join(spark, "t_orders_b", "t_licnt_b", "o_orderkey")
+        p = plan_of(joined)
+        assert "Exchange" not in p, p
+        assert "SortMergeJoin" in p
+
+        control = orders.join(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        )
+        assert "Exchange" in plan_of(control)
+
+        # and the join is correct: every order with lineitems matched
+        n = joined.count()
+        assert n == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_licnt_b")
