@@ -168,3 +168,125 @@ def merge_oracle_sql(
         f"WITH target AS ({target_sql}), stage AS ({stage_sql}) "
         f"SELECT {', '.join(sel)} FROM target t FULL OUTER JOIN stage s ON {on}"
     )
+
+
+# ------------------------------------------------------------------ SCD2
+def scd2_init(stage: DataFrame, keys: Sequence[str], ts: str) -> DataFrame:
+    """Open a type-2 dimension from its first snapshot: every row
+    becomes current (valid_from=ts, valid_to=NULL)."""
+    return stage.select(
+        *stage.columns,
+        F.lit(ts).cast("timestamp_ntz").alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+    )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    stage: DataFrame,
+    keys: Sequence[str],
+    attrs: Sequence[str],
+    ts: str,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge: apply a new attribute
+    snapshot to a versioned dimension, preserving history.
+
+    - changed keys: the current row closes (valid_to=ts) and a new
+      current row opens (valid_from=ts);
+    - new keys: inserted open;
+    - unchanged keys: untouched;
+    - closed history rows: pass through untouched.
+
+    This is the dimension-history discipline the reference's
+    stage-wins MERGE (coininsights.py:110-131) cannot express — its
+    UPDATE destroys the prior attribute value. Attribute comparison is
+    null-safe (NULL -> value and value -> NULL both count as changes).
+
+    Plan shape: ONE full-outer join of the current slice against the
+    stage on the keys (same single-shuffle footprint as ``merge``; the
+    closed-history slice is a filter union, no join), then three
+    row-arms unioned. At 100 TB: same bucketed-layout story as merge —
+    co-located on the key, the join is shuffle-free."""
+    keys, attrs = list(keys), list(attrs)
+    cur = dim.filter(F.col("valid_to").isNull())
+    hist = dim.filter(F.col("valid_to").isNotNull())
+    s = stage.select(
+        *[F.col(k).alias(f"__s_{k}") for k in keys],
+        *[F.col(a).alias(f"__s_{a}") for a in attrs],
+    )
+    cond = [cur[k] == s[f"__s_{k}"] for k in keys]
+    j = cur.join(s, cond, "full_outer")
+    in_stage = F.col(f"__s_{keys[0]}").isNotNull()
+    in_dim = F.col(keys[0]).isNotNull()
+    changed = in_stage & in_dim & ~F.expr(
+        " AND ".join(f"({a} <=> __s_{a})" for a in attrs)
+    )
+    ts_lit = F.lit(ts).cast("timestamp_ntz")
+    dim_cols = dim.columns
+    # arm 1: dim rows survive — closed if changed, untouched otherwise
+    kept = j.filter(in_dim).select(
+        *[F.col(c) for c in dim_cols if c != "valid_to"],
+        F.when(changed, ts_lit).otherwise(F.col("valid_to")).alias("valid_to"),
+    )
+    # arm 2: new current rows for changed + brand-new keys
+    opened = (
+        j.filter(in_stage & (changed | ~in_dim))
+        .select(
+            *[F.col(f"__s_{k}").alias(k) for k in keys],
+            *[F.col(f"__s_{a}").alias(a) for a in attrs],
+            ts_lit.alias("valid_from"),
+            F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+        )
+    )
+    ordered = keys + attrs + ["valid_from", "valid_to"]
+    return hist.select(ordered).unionByName(kept.select(ordered)).unionByName(
+        opened
+    )
+
+
+def scd2_oracle_sql(
+    snapshot_sqls: Sequence[tuple[str, str]],
+    keys: Sequence[str],
+    attrs: Sequence[str],
+) -> str:
+    """DuckDB twin of ``scd2_init`` + a chain of ``scd2_apply`` calls.
+    ``snapshot_sqls`` is [(sql, ts), ...] in application order. The
+    oracle favors clarity over plan quality (kept/opened arms as two
+    plain joins); the Spark operator does it in one full-outer."""
+    keys, attrs = list(keys), list(attrs)
+    k0 = keys[0]
+    on = " AND ".join(f"d.{k} = s.{k}" for k in keys)
+    eq = " AND ".join(f"(d.{a} IS NOT DISTINCT FROM s.{a})" for a in attrs)
+    d_cols = ", ".join(f"d.{c}" for c in keys + attrs)
+    s_cols = ", ".join(f"s.{c}" for c in keys + attrs)
+    cols = ", ".join(keys + attrs)
+    (sql0, ts0) = snapshot_sqls[0]
+    ctes = [
+        f"s0 AS ({sql0})",
+        f"d0 AS (SELECT {cols}, TIMESTAMP '{ts0}' AS valid_from, "
+        f"CAST(NULL AS TIMESTAMP) AS valid_to FROM s0)",
+    ]
+    prev = "d0"
+    for i, (sql_i, ts_i) in enumerate(snapshot_sqls[1:], start=1):
+        ctes.append(f"s{i} AS ({sql_i})")
+        ctes.append(f"cur{i} AS (SELECT * FROM {prev} WHERE valid_to IS NULL)")
+        ctes.append(
+            f"d{i} AS ("
+            f"SELECT {cols}, valid_from, valid_to FROM {prev} "
+            f"WHERE valid_to IS NOT NULL "
+            f"UNION ALL "
+            f"SELECT {d_cols}, d.valid_from, "
+            f"CASE WHEN s.{k0} IS NOT NULL AND NOT ({eq}) "
+            f"THEN TIMESTAMP '{ts_i}' ELSE d.valid_to END AS valid_to "
+            f"FROM cur{i} d LEFT JOIN s{i} s ON {on} "
+            f"UNION ALL "
+            f"SELECT {s_cols}, TIMESTAMP '{ts_i}' AS valid_from, "
+            f"CAST(NULL AS TIMESTAMP) AS valid_to "
+            f"FROM s{i} s LEFT JOIN cur{i} d ON {on} "
+            f"WHERE d.{k0} IS NULL OR NOT ({eq}))"
+        )
+        prev = f"d{i}"
+    return (
+        "WITH " + ", ".join(ctes) +
+        f" SELECT {cols}, valid_from, valid_to FROM {prev}"
+    )

@@ -3185,6 +3185,61 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCD2_CUTS = ("1997-01-01 00:00:00", "1999-01-01 00:00:00")
+
+
+def _tier_snapshot_sql(cutoff: str) -> str:
+    return f"""
+SELECT o_custkey AS id,
+  CASE WHEN n >= 12 THEN 'large' WHEN n >= 6 THEN 'mid' ELSE 'small' END AS tier
+FROM (SELECT o_custkey, count(*) AS n FROM orders
+      WHERE o_orderdate < TIMESTAMP '{cutoff}' GROUP BY o_custkey)
+"""
+
+
+def _tier_snapshot(spark: SparkSession, sf_dir: str, cutoff: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp_ntz")
+    )
+    n = o.groupBy(F.col("o_custkey").alias("id")).agg(F.count(F.lit(1)).alias("n"))
+    return n.select(
+        "id",
+        F.when(F.col("n") >= 12, "large")
+        .when(F.col("n") >= 6, "mid")
+        .otherwise("small")
+        .alias("tier"),
+    )
+
+
+@_q(
+    "scd2_customer_tiers",
+    merge.scd2_oracle_sql(
+        [(_tier_snapshot_sql(c), c) for c in _SCD2_CUTS],
+        keys=["id"],
+        attrs=["tier"],
+    ),
+    doc="type-2 slowly-changing dimension: customer order-volume tiers "
+    "snapshotted at two dates merged into a versioned history "
+    "(valid_from/valid_to, NULL = current) — changed keys close their "
+    "old row and open a new one, unchanged keys untouched, history "
+    "preserved. The dimension-history discipline the reference's "
+    "stage-wins MERGE destroys (operators/merge.py::scd2_apply; one "
+    "full-outer join per applied snapshot, same bucketed-layout "
+    "co-location story as merge)",
+)
+def scd2_customer_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = merge.scd2_init(
+        _tier_snapshot(spark, sf_dir, _SCD2_CUTS[0]), keys=["id"], ts=_SCD2_CUTS[0]
+    )
+    return merge.scd2_apply(
+        dim,
+        _tier_snapshot(spark, sf_dir, _SCD2_CUTS[1]),
+        keys=["id"],
+        attrs=["tier"],
+        ts=_SCD2_CUTS[1],
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}

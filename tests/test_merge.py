@@ -141,3 +141,53 @@ def test_merge_null_key_stage_row_inserts(spark):
     out = merge(target, stage, keys=["id"], strategy="full_outer")
     rows = sorted(out.collect(), key=lambda r: (r.id or "", r.price or 0))
     assert [(r.id, r.price) for r in rows] == [(None, 1.0), (None, 9.0), ("btc", 2.0)]
+
+
+def test_scd2_semantics(spark):
+    """scd2_apply: changed keys close+reopen, new keys open, unchanged
+    untouched, closed history passes through, NULL<->value attribute
+    transitions count as changes (null-safe compare)."""
+    from cryptocoininsights_data_engineer_project_spark.operators.merge import (
+        scd2_apply,
+        scd2_init,
+    )
+
+    t1, t2, t3 = (
+        "2024-01-01 00:00:00",
+        "2024-02-01 00:00:00",
+        "2024-03-01 00:00:00",
+    )
+    snap1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "id long, attr string"
+    )
+    dim = scd2_init(snap1, keys=["id"], ts=t1)
+    snap2 = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c"), (4, "d")], "id long, attr string"
+    )
+    dim2 = scd2_apply(dim, snap2, keys=["id"], attrs=["attr"], ts=t2)
+    rows = {
+        (r["id"], r["attr"], str(r["valid_from"]), str(r["valid_to"]))
+        for r in dim2.collect()
+    }
+    assert (1, "a", t1, "None") in rows  # unchanged: untouched
+    assert (2, "b", t1, t2) in rows  # changed: closed
+    assert (2, "B", t2, "None") in rows  # changed: reopened
+    assert (3, None, t1, t2) in rows  # NULL -> value is a change
+    assert (3, "c", t2, "None") in rows
+    assert (4, "d", t2, "None") in rows  # new key opens
+    assert len(rows) == 6
+
+    # second application: closed history must survive verbatim
+    snap3 = spark.createDataFrame([(2, "B"), (4, None)], "id long, attr string")
+    dim3 = scd2_apply(dim2, snap3, keys=["id"], attrs=["attr"], ts=t3)
+    rows3 = {
+        (r["id"], r["attr"], str(r["valid_from"]), str(r["valid_to"]))
+        for r in dim3.collect()
+    }
+    assert (2, "b", t1, t2) in rows3  # history intact
+    assert (2, "B", t2, "None") in rows3  # unchanged in snap3
+    assert (4, "d", t2, t3) in rows3  # value -> NULL is a change
+    assert (4, None, t3, "None") in rows3
+    # keys absent from snap3 (1, 3) keep their current rows open
+    assert (1, "a", t1, "None") in rows3
+    assert (3, "c", t2, "None") in rows3
