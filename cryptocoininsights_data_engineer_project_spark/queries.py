@@ -3185,6 +3185,75 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPINE_START, _SPINE_END = "1995-01-01", "2001-08-01"
+_ORDER_CENTS = "CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+
+
+@_q(
+    "gap_fill_monthly",
+    f"""
+WITH nations AS (SELECT DISTINCT c_nationkey FROM customer),
+months AS (
+  SELECT unnest(generate_series(TIMESTAMP '{_SPINE_START}',
+                                TIMESTAMP '{_SPINE_END}',
+                                INTERVAL 1 MONTH)) AS month),
+spine AS (SELECT c_nationkey, month FROM nations, months),
+rev AS (
+  SELECT c_nationkey, date_trunc('month', o_orderdate) AS month,
+         sum({_ORDER_CENTS}) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2)
+SELECT s.c_nationkey AS nationkey, s.month,
+  round(coalesce(r.cents, 0) / 100.0, 2) AS revenue,
+  round(coalesce(last_value(r.cents IGNORE NULLS) OVER (
+    PARTITION BY s.c_nationkey ORDER BY s.month
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) / 100.0, 2)
+    AS revenue_locf
+FROM spine s LEFT JOIN rev r
+  ON s.c_nationkey = r.c_nationkey AND s.month = r.month
+""",
+    doc="calendar densification + LOCF: a month spine per nation "
+    "(generated by exploding a sequence() per dimension row — no "
+    "cross join), LEFT-joined revenue with zero-fill AND "
+    "last-observation-carried-forward via an IGNORE NULLS window — "
+    "the gap-filling every BI/time-series consumer needs before "
+    "charting or diffing; integer-cent sums keep both engines exact",
+)
+def gap_fill_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    spine = c.distinct().select(
+        "c_nationkey",
+        F.explode(
+            F.expr(
+                f"sequence(TIMESTAMP '{_SPINE_START}', TIMESTAMP '{_SPINE_END}',"
+                " interval 1 month)"
+            )
+        ).alias("month"),
+    )
+    rev = (
+        o.join(cust, o.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.sum(F.expr(_ORDER_CENTS)).alias("cents"))
+    )
+    j = spine.join(rev, ["c_nationkey", "month"], "left_outer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        F.col("c_nationkey").alias("nationkey"),
+        "month",
+        F.round(F.coalesce(F.col("cents"), F.lit(0)) / 100.0, 2).alias("revenue"),
+        F.round(
+            F.coalesce(F.last("cents", ignorenulls=True).over(w), F.lit(0)) / 100.0,
+            2,
+        ).alias("revenue_locf"),
+    )
+
+
 _SCD2_CUTS = ("1997-01-01 00:00:00", "1999-01-01 00:00:00")
 
 
