@@ -3309,6 +3309,392 @@ def scd2_customer_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# BI-layer analytics shapes: cohort retention, funnel conversion,
+# cumulative-distinct, linear interpolation, histogramming, RFM
+# segmentation. The reference feeds Redshift dashboards with exactly
+# this class of query (README.md:5, data-transformation.py) — these are
+# the consumer-side workloads the warehouse exists for, expressed as
+# shuffle-minimal Spark plans with DuckDB oracle twins.
+
+
+@_q(
+    "cohort_retention",
+    """
+WITH o AS (SELECT o_custkey, year(o_orderdate) AS yr FROM orders),
+firsts AS (SELECT o_custkey, min(yr) AS cohort_year FROM o GROUP BY 1),
+active AS (SELECT DISTINCT o_custkey, yr FROM o),
+sizes AS (SELECT cohort_year, count(*) AS cohort_n FROM firsts GROUP BY 1),
+agg AS (
+  SELECT f.cohort_year, a.yr AS active_year, count(*) AS active_n
+  FROM active a JOIN firsts f ON a.o_custkey = f.o_custkey
+  GROUP BY 1, 2)
+SELECT g.cohort_year, g.active_year, g.active_n,
+  round(g.active_n / CAST(s.cohort_n AS DOUBLE), 6) AS retention
+FROM agg g JOIN sizes s ON g.cohort_year = s.cohort_year
+""",
+    doc="cohort retention: customers bucketed by first-order year, "
+    "retention ratio per (cohort, activity-year) cell — the classic "
+    "BI cohort triangle. Scale: firsts and active share one shuffle "
+    "partitioning on o_custkey (the join is co-partitioned, no extra "
+    "exchange); the year-level aggregate and sizes table are "
+    "|years|-sized, joined broadcast",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("yr").alias("cohort_year"))
+    active = o.distinct()
+    sizes = firsts.groupBy("cohort_year").agg(F.count(F.lit(1)).alias("cohort_n"))
+    agg = (
+        active.join(firsts, "o_custkey")
+        .groupBy("cohort_year", F.col("yr").alias("active_year"))
+        .agg(F.count(F.lit(1)).alias("active_n"))
+    )
+    return agg.join(F.broadcast(sizes), "cohort_year").select(
+        "cohort_year",
+        "active_year",
+        "active_n",
+        F.round(F.col("active_n") / F.col("cohort_n").cast("double"), 6).alias(
+            "retention"
+        ),
+    )
+
+
+@_q(
+    "funnel_conversion",
+    """
+WITH m AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id)
+SELECT
+  count(CASE WHEN t_signup IS NOT NULL THEN 1 END) AS n_signup,
+  count(CASE WHEN t_view > t_signup THEN 1 END) AS n_view,
+  count(CASE WHEN t_click > t_view AND t_view > t_signup THEN 1 END) AS n_click,
+  count(CASE WHEN t_purchase > t_click AND t_click > t_view
+              AND t_view > t_signup THEN 1 END) AS n_purchase
+FROM m
+""",
+    doc="ordered event funnel (signup -> view -> click -> purchase): "
+    "per-user conditional-min timestamps in ONE shuffle on user_id "
+    "(map-side combinable), then a global roll-up of users whose "
+    "stage times strictly increase — no self-joins, no per-stage "
+    "passes over the event log; the standard relaxed-funnel "
+    "semantics (first occurrence of each stage must be ordered)",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def _tmin(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts"))).alias(f"t_{t}")
+
+    m = e.groupBy("user_id").agg(
+        _tmin("signup"), _tmin("view"), _tmin("click"), _tmin("purchase")
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = F.col("t_view") > F.col("t_signup")
+    s3 = (F.col("t_click") > F.col("t_view")) & s2
+    s4 = (F.col("t_purchase") > F.col("t_click")) & (
+        F.col("t_click") > F.col("t_view")
+    ) & s2
+    return m.agg(
+        F.count(F.when(s1, 1)).alias("n_signup"),
+        F.count(F.when(s2, 1)).alias("n_view"),
+        F.count(F.when(s3, 1)).alias("n_click"),
+        F.count(F.when(s4, 1)).alias("n_purchase"),
+    )
+
+
+@_q(
+    "cumulative_distinct",
+    """
+WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
+firsts AS (SELECT user_id, event_type, min(day) AS first_day
+           FROM e GROUP BY 1, 2),
+news AS (SELECT user_id, first_day AS day, count(*) AS new_types
+         FROM firsts GROUP BY 1, 2),
+days AS (SELECT DISTINCT user_id, day FROM e)
+SELECT d.user_id, d.day,
+  CAST(sum(coalesce(n.new_types, 0)) OVER (
+    PARTITION BY d.user_id ORDER BY d.day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS distinct_types
+FROM days d LEFT JOIN news n ON d.user_id = n.user_id AND d.day = n.day
+""",
+    doc="cumulative distinct count per key: event types a user has "
+    "ever seen, as of each active day. Windowed COUNT(DISTINCT) "
+    "doesn't exist in Spark and a RANGE-frame set-union is "
+    "tie-fragile — instead count FIRST APPEARANCES (min day per "
+    "(user,type)) and running-sum them, which is exact, "
+    "deterministic, and one extra hash-agg instead of a set-valued "
+    "window state. All three shuffles share the user_id key",
+)
+def cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    )
+    firsts = e.groupBy("user_id", "event_type").agg(F.min("day").alias("first_day"))
+    news = firsts.groupBy("user_id", F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_types")
+    )
+    days = e.select("user_id", "day").distinct()
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        days.join(news, ["user_id", "day"], "left_outer")
+        .select(
+            "user_id",
+            "day",
+            F.sum(F.coalesce(F.col("new_types"), F.lit(0)))
+            .over(w)
+            .alias("distinct_types"),
+        )
+    )
+
+
+def _monthly_rev_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation x month spine LEFT-joined with integer-cent revenue —
+    shared base of gap_fill_monthly and gap_fill_interp."""
+    c = _t(spark, sf_dir, "customer").select("c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    spine = c.distinct().select(
+        "c_nationkey",
+        F.explode(
+            F.expr(
+                f"sequence(TIMESTAMP '{_SPINE_START}', TIMESTAMP '{_SPINE_END}',"
+                " interval 1 month)"
+            )
+        ).alias("month"),
+    )
+    rev = (
+        o.join(cust, o.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.sum(F.expr(_ORDER_CENTS)).alias("cents"))
+    )
+    return spine.join(rev, ["c_nationkey", "month"], "left_outer")
+
+
+@_q(
+    "gap_fill_interp",
+    f"""
+WITH nations AS (SELECT DISTINCT c_nationkey FROM customer),
+months AS (
+  SELECT unnest(generate_series(TIMESTAMP '{_SPINE_START}',
+                                TIMESTAMP '{_SPINE_END}',
+                                INTERVAL 1 MONTH)) AS month),
+spine AS (SELECT c_nationkey, month FROM nations, months),
+rev AS (
+  SELECT c_nationkey, date_trunc('month', o_orderdate) AS month,
+         sum({_ORDER_CENTS}) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2),
+j AS (
+  SELECT s.c_nationkey, s.month, r.cents,
+         year(s.month) * 12 + month(s.month) AS midx
+  FROM spine s LEFT JOIN rev r
+    ON s.c_nationkey = r.c_nationkey AND s.month = r.month),
+k AS (
+  SELECT c_nationkey, month, cents, midx,
+    last_value(cents IGNORE NULLS) OVER (
+      PARTITION BY c_nationkey ORDER BY month
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_c,
+    last_value(CASE WHEN cents IS NOT NULL THEN midx END IGNORE NULLS) OVER (
+      PARTITION BY c_nationkey ORDER BY month
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_m,
+    first_value(cents IGNORE NULLS) OVER (
+      PARTITION BY c_nationkey ORDER BY month
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_c,
+    first_value(CASE WHEN cents IS NOT NULL THEN midx END IGNORE NULLS) OVER (
+      PARTITION BY c_nationkey ORDER BY month
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_m
+  FROM j)
+SELECT c_nationkey AS nationkey, month,
+  floor(CASE
+    WHEN cents IS NOT NULL THEN cents
+    WHEN prev_c IS NULL THEN coalesce(next_c, 0)
+    WHEN next_c IS NULL THEN prev_c
+    ELSE prev_c + (next_c - prev_c) * (midx - prev_m) / (next_m - prev_m)
+  END + 0.5) / 100.0 AS revenue_interp
+FROM k
+""",
+    doc="calendar densification + LINEAR interpolation (the sibling of "
+    "gap_fill_monthly's LOCF): missing months take "
+    "prev + (next-prev) * elapsed/gap between the nearest known "
+    "neighbors, edges clamp to the nearest known value. Directional "
+    "IGNORE NULLS window frames find both neighbors in one sort; "
+    "integer-cent values and a single shared parenthesization keep "
+    "the float math bit-identical across engines",
+)
+def gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    j = _monthly_rev_cents(spark, sf_dir).withColumn(
+        "midx", F.year("month") * 12 + F.month("month")
+    )
+    wprev = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wnext = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("month")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    known_m = F.when(F.col("cents").isNotNull(), F.col("midx"))
+    k = j.select(
+        "c_nationkey",
+        "month",
+        "cents",
+        "midx",
+        F.last("cents", ignorenulls=True).over(wprev).alias("prev_c"),
+        F.last(known_m, ignorenulls=True).over(wprev).alias("prev_m"),
+        F.first("cents", ignorenulls=True).over(wnext).alias("next_c"),
+        F.first(known_m, ignorenulls=True).over(wnext).alias("next_m"),
+    )
+    interp = F.col("prev_c") + (F.col("next_c") - F.col("prev_c")) * (
+        F.col("midx") - F.col("prev_m")
+    ) / (F.col("next_m") - F.col("prev_m"))
+    value = (
+        F.when(F.col("cents").isNotNull(), F.col("cents"))
+        .when(F.col("prev_c").isNull(), F.coalesce(F.col("next_c"), F.lit(0)))
+        .when(F.col("next_c").isNull(), F.col("prev_c"))
+        .otherwise(interp)
+    )
+    # interp lands on exact half-cents (x.5 when the gap divides the
+    # delta); decimal round() of such doubles is engine-dependent
+    # (shortest-repr vs exact-binary HALF_UP). floor(x + 0.5) is pure
+    # float arithmetic — bit-identical everywhere — so quantize cents
+    # with it and divide once; no further rounding.
+    return k.select(
+        F.col("c_nationkey").alias("nationkey"),
+        "month",
+        (F.floor(value + F.lit(0.5)) / 100.0).alias("revenue_interp"),
+    )
+
+
+_HIST_BIN_CENTS = 5_000_000  # $50k-wide buckets
+
+
+@_q(
+    "histogram_bins",
+    f"""
+SELECT {_ORDER_CENTS} // {_HIST_BIN_CENTS} AS bin,
+  count(*) AS n,
+  min(o_totalprice) AS lo,
+  max(o_totalprice) AS hi,
+  round(sum({_ORDER_CENTS}) / 100.0, 2) AS total
+FROM orders GROUP BY 1
+""",
+    doc="fixed-width histogram of order totals: bucket index via "
+    "INTEGER division on cents (bit-exact on both engines, immune to "
+    "the float-boundary ulp hazards of width_bucket on doubles); "
+    "min/max are raw parquet passthrough doubles. One map-side "
+    "combinable hash-agg over a 2-column pruned scan",
+)
+def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_totalprice")
+    return (
+        o.groupBy(
+            F.expr(f"({_ORDER_CENTS}) div {_HIST_BIN_CENTS}").alias("bin")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.round(F.sum(F.expr(_ORDER_CENTS)) / 100.0, 2).alias("total"),
+        )
+    )
+
+
+@_q(
+    "rfm_segments",
+    f"""
+WITH cust AS (
+  SELECT o_custkey,
+    max(CAST(o_orderdate AS DATE)) AS last_order,
+    count(*) AS freq,
+    sum({_ORDER_CENTS}) AS cents
+  FROM orders GROUP BY 1),
+anchor AS (SELECT max(last_order) AS anchor_day FROM cust),
+rfm AS (
+  SELECT o_custkey, date_diff('day', last_order, anchor_day) AS recency,
+         freq, cents
+  FROM cust, anchor),
+med AS (
+  SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY recency) AS r_med,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY freq) AS f_med,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY cents) AS m_med
+  FROM rfm)
+SELECT concat('R', CAST(CAST(recency <= r_med AS INT) AS VARCHAR),
+              'F', CAST(CAST(freq > f_med AS INT) AS VARCHAR),
+              'M', CAST(CAST(cents > m_med AS INT) AS VARCHAR)) AS segment,
+  count(*) AS n_customers,
+  round(sum(cents) / (count(*) * 100.0), 2) AS avg_monetary
+FROM rfm, med
+GROUP BY 1
+""",
+    doc="RFM segmentation: recency / frequency / monetary per "
+    "customer, median-split into 8 segments. Thresholds come from "
+    "ONE exact-percentile aggregate (a sort-based agg, scale-safe) "
+    "instead of a global ntile window (a single-partition sort, a "
+    "100 TB chokepoint); the 1-row anchor/median scalars attach via "
+    "broadcast of a constant-size relation (allowlisted, same class "
+    "as q11/q22). Integer day/count/cent metrics make the "
+    "interpolated medians bit-identical",
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.expr(_ORDER_CENTS)).alias("cents"),
+        )
+        # customer-sized aggregate feeds THREE consumers (anchor scalar,
+        # median scalar, final segmentation) — materialize once or the
+        # orders scan + shuffle runs three times (q11 discipline)
+        .localCheckpoint()
+    )
+    anchor = cust.agg(F.max("last_order").alias("anchor_day"))
+    rfm = cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff("anchor_day", "last_order").alias("recency"),
+        "freq",
+        "cents",
+    )
+    med = rfm.agg(
+        F.expr("percentile(recency, 0.5D)").alias("r_med"),
+        F.expr("percentile(freq, 0.5D)").alias("f_med"),
+        F.expr("percentile(cents, 0.5D)").alias("m_med"),
+    )
+    seg = F.concat(
+        F.lit("R"),
+        (F.col("recency") <= F.col("r_med")).cast("int").cast("string"),
+        F.lit("F"),
+        (F.col("freq") > F.col("f_med")).cast("int").cast("string"),
+        F.lit("M"),
+        (F.col("cents") > F.col("m_med")).cast("int").cast("string"),
+    )
+    return (
+        rfm.crossJoin(F.broadcast(med))
+        .groupBy(seg.alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("cents") / (F.count(F.lit(1)) * 100.0), 2).alias(
+                "avg_monetary"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}

@@ -90,6 +90,7 @@ BNLJ_ALLOWED = {
     "stratified_sample",
     "bm25_score",  # 1-row corpus-stats scalar (N, avgdl, per-term df)
     "unigram_logppl",  # 1-row corpus-token-total scalar onto the vocab table
+    "rfm_segments",  # 1-row anchor-date + 1-row median-threshold scalars
 }
 
 
