@@ -3335,21 +3335,29 @@ FROM agg g JOIN sizes s ON g.cohort_year = s.cohort_year
 """,
     doc="cohort retention: customers bucketed by first-order year, "
     "retention ratio per (cohort, activity-year) cell — the classic "
-    "BI cohort triangle. Scale: firsts and active share one shuffle "
-    "partitioning on o_custkey (the join is co-partitioned, no extra "
-    "exchange); the year-level aggregate and sizes table are "
-    "|years|-sized, joined broadcast",
+    "BI cohort triangle. ONE orders scan and ONE custkey shuffle: "
+    "per-customer (min year, set of active years) in a single "
+    "map-combinable agg (the set is bounded by |calendar years|), "
+    "cohort = min of the set, activity rows exploded from it — no "
+    "firsts-vs-active self-join at all. The year-level cells and "
+    "cohort sizes are |years|^2-sized; sizes joins broadcast",
 )
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
         "o_custkey", F.year("o_orderdate").alias("yr")
     )
-    firsts = o.groupBy("o_custkey").agg(F.min("yr").alias("cohort_year"))
-    active = o.distinct()
-    sizes = firsts.groupBy("cohort_year").agg(F.count(F.lit(1)).alias("cohort_n"))
+    per_c = (
+        o.groupBy("o_custkey")
+        .agg(F.min("yr").alias("cohort_year"), F.collect_set("yr").alias("yrs"))
+        # customer-sized; feeds both the cell aggregate and the cohort
+        # sizes — materialize once (q11 discipline) so the orders scan
+        # and custkey shuffle run exactly once
+        .localCheckpoint()
+    )
+    sizes = per_c.groupBy("cohort_year").agg(F.count(F.lit(1)).alias("cohort_n"))
     agg = (
-        active.join(firsts, "o_custkey")
-        .groupBy("cohort_year", F.col("yr").alias("active_year"))
+        per_c.select("cohort_year", F.explode("yrs").alias("active_year"))
+        .groupBy("cohort_year", "active_year")
         .agg(F.count(F.lit(1)).alias("active_n"))
     )
     return agg.join(F.broadcast(sizes), "cohort_year").select(
@@ -3432,7 +3440,8 @@ FROM days d LEFT JOIN news n ON d.user_id = n.user_id AND d.day = n.day
     "tie-fragile — instead count FIRST APPEARANCES (min day per "
     "(user,type)) and running-sum them, which is exact, "
     "deterministic, and one extra hash-agg instead of a set-valued "
-    "window state. All three shuffles share the user_id key",
+    "window state. Two 3-column pruned scans; every agg is "
+    "map-side combinable so shuffle volume is per-key, not per-event",
 )
 def cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").select(
