@@ -3704,6 +3704,156 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LI_CENTS = "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+
+
+@_q(
+    "pareto_parts",
+    f"""
+WITH rev AS (
+  SELECT l_partkey, sum({_LI_CENTS}) AS cents FROM lineitem GROUP BY 1),
+tot AS (SELECT sum(cents) AS t FROM rev),
+c AS (
+  SELECT l_partkey, cents,
+    sum(cents) OVER (ORDER BY cents DESC, l_partkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM rev)
+SELECT l_partkey AS partkey,
+  round(cents / 100.0, 2) AS revenue,
+  round(cum / CAST(t AS DOUBLE), 6) AS cum_share,
+  CASE WHEN cum / CAST(t AS DOUBLE) <= 0.8 THEN 'A'
+       WHEN cum / CAST(t AS DOUBLE) <= 0.95 THEN 'B'
+       ELSE 'C' END AS abc_class
+FROM c, tot
+""",
+    doc="Pareto / ABC classification: parts ranked by revenue, "
+    "cumulative revenue share, 80/95% class cut. The global running "
+    "sum uses operators/windows.py::global_cumsum — range-partitioned "
+    "sort + per-partition prefix sums + broadcast partition offsets — "
+    "NOT a single-partition Window.orderBy (the chokepoint Spark "
+    "would plan naively). (cents DESC, partkey) is a total order so "
+    "ties can't straddle partition boundaries; integer cents keep "
+    "both engines exact",
+)
+def pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import global_cumsum
+
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_extendedprice")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.expr(_LI_CENTS)).alias("cents"))
+        # part-sized aggregate feeds the cumsum AND the 1-row total —
+        # materialize once (q11 discipline)
+        .localCheckpoint()
+    )
+    tot = rev.agg(F.sum("cents").alias("t"))
+    cum = global_cumsum(
+        rev, [F.col("cents").desc(), F.col("l_partkey")], F.col("cents"), out="cum"
+    )
+    share = F.col("cum") / F.col("t").cast("double")
+    return cum.crossJoin(F.broadcast(tot)).select(
+        F.col("l_partkey").alias("partkey"),
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(share, 6).alias("cum_share"),
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )
+
+
+_ROLL_EPOCH = "1995-01-01"
+
+
+@_q(
+    "rolling_7d_revenue",
+    f"""
+WITH daily AS (
+  SELECT c_nationkey, CAST(o_orderdate AS DATE) AS day,
+         date_diff('day', DATE '{_ROLL_EPOCH}', CAST(o_orderdate AS DATE)) AS didx,
+         sum({_ORDER_CENTS}) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2, 3)
+SELECT c_nationkey AS nationkey, day,
+  round(cents / 100.0, 2) AS revenue,
+  round(sum(cents) OVER (PARTITION BY c_nationkey ORDER BY didx
+    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0, 2) AS rolling_7d
+FROM daily
+""",
+    doc="trailing 7-day revenue per nation: a time-based RANGE frame "
+    "over an integer day index (datediff from a fixed epoch) — the "
+    "moving-average family every ops dashboard needs. Aggregated to "
+    "day grain BEFORE the window, so the frame walks |nation×day| "
+    "rows, not raw orders; integer-cent sums keep engines exact. "
+    "RANGE (not ROWS) so calendar gaps shorten the window honestly",
+)
+def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    daily = (
+        o.join(cust, o.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_nationkey",
+            F.to_date("o_orderdate").alias("day"),
+            F.datediff(F.to_date("o_orderdate"), F.lit(_ROLL_EPOCH).cast("date")).alias(
+                "didx"
+            ),
+        )
+        .agg(F.sum(F.expr(_ORDER_CENTS)).alias("cents"))
+    )
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("didx")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        F.col("c_nationkey").alias("nationkey"),
+        "day",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(F.sum("cents").over(w) / 100.0, 2).alias("rolling_7d"),
+    )
+
+
+@_q(
+    "basket_pairs",
+    """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+FROM op a JOIN op b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= 2
+""",
+    doc="market-basket co-occurrence: part pairs appearing in >= 2 "
+    "orders. The oracle self-joins; the Spark plan does NOT — it "
+    "collect_sets parts per order (bounded by order width, ~7) and "
+    "expands sorted in-array pairs with nested transform/slice, so "
+    "the fact table is scanned ONCE, shuffled ONCE on orderkey, and "
+    "the quadratic blow-up is per-order (k<=7 -> <=21 pairs), never "
+    "per-table. The same shape at 100 TB is a self-join shuffle of "
+    "the whole fact table vs an array expression in codegen",
+)
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) ->"
+                " transform(slice(parts, i + 2, size(parts)),"
+                " y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}

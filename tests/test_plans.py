@@ -91,6 +91,7 @@ BNLJ_ALLOWED = {
     "bm25_score",  # 1-row corpus-stats scalar (N, avgdl, per-term df)
     "unigram_logppl",  # 1-row corpus-token-total scalar onto the vocab table
     "rfm_segments",  # 1-row anchor-date + 1-row median-threshold scalars
+    "pareto_parts",  # 1-row revenue-total scalar onto the part rollup
 }
 
 
