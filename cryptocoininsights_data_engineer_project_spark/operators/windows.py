@@ -71,3 +71,40 @@ def global_cumsum(
         .withColumn(out, F.col(_LOCAL) + F.col(_OFF))
         .drop(_PID, _LOCAL, _OFF)
     )
+
+
+def global_cummax_exclusive(
+    df: DataFrame,
+    order_by: list[Column],
+    value: Column,
+    out: str = "cummax",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running max of ``value`` over all STRICTLY-PRECEDING rows of the
+    total order ``order_by`` (NULL for the first row) — same
+    prefix-scan decomposition as :func:`global_cumsum` with the
+    (max, greatest) monoid. The exclusive frame is what dominance
+    tests (skyline/Pareto-frontier) need: "best value among everything
+    ranked ahead of me"."""
+    parts = [num_partitions] if num_partitions else []
+    d = (
+        df.repartitionByRange(*parts, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn(_PID, F.spark_partition_id())
+    )
+    w_in = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = d.withColumn(_LOCAL, F.max(value).over(w_in))
+    totals = local.groupBy(_PID).agg(F.max(value).alias(_TOT))
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(_PID, F.max(_TOT).over(w_off).alias(_OFF))
+    # greatest() skips NULLs (empty local frame / first partition), so
+    # the first row of the whole order correctly yields NULL
+    return (
+        local.join(F.broadcast(offsets), _PID)
+        .withColumn(out, F.greatest(F.col(_LOCAL), F.col(_OFF)))
+        .drop(_PID, _LOCAL, _OFF)
+    )

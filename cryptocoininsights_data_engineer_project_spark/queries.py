@@ -3854,6 +3854,57 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "skyline_orders",
+    f"""
+WITH o AS (
+  SELECT o_orderkey, {_ORDER_CENTS} AS cents,
+    date_diff('day', DATE '{_ROLL_EPOCH}', CAST(o_orderdate AS DATE)) AS didx
+  FROM orders),
+g AS (SELECT cents, max(didx) AS dmax FROM o GROUP BY 1),
+s AS (
+  SELECT cents, max(dmax) OVER (ORDER BY cents DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_dmax
+  FROM g)
+SELECT o.o_orderkey AS orderkey, round(o.cents / 100.0, 2) AS price,
+  o.didx AS day_idx
+FROM o JOIN s ON o.cents = s.cents
+WHERE s.prior_dmax IS NULL OR s.prior_dmax <= o.didx
+""",
+    doc="2-D skyline (Pareto frontier): orders not strictly dominated "
+    "on (price, recency). Grouping to price grain first makes the "
+    "dominance test a single exclusive running max over the price "
+    "order — computed with operators/windows.py::"
+    "global_cummax_exclusive (range-partitioned prefix scan with the "
+    "(max, greatest) monoid), NOT the naive quadratic "
+    "NOT-EXISTS self-join and NOT a single-partition window; the "
+    "join back to orders is co-partitioned on the price key",
+)
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import global_cummax_exclusive
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(_ORDER_CENTS).alias("cents"),
+        F.datediff(F.to_date("o_orderdate"), F.lit(_ROLL_EPOCH).cast("date")).alias(
+            "didx"
+        ),
+    )
+    g = o.groupBy("cents").agg(F.max("didx").alias("dmax"))
+    s = global_cummax_exclusive(
+        g, [F.col("cents").desc()], F.col("dmax"), out="prior_dmax"
+    ).select("cents", "prior_dmax")
+    return (
+        o.join(s, "cents")
+        .filter(F.col("prior_dmax").isNull() | (F.col("prior_dmax") <= F.col("didx")))
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.round(F.col("cents") / 100.0, 2).alias("price"),
+            F.col("didx").alias("day_idx"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}

@@ -28,6 +28,25 @@ def test_global_cumsum_matches_serial(spark):
         assert rows[i] == (v, run), (i, v, run, rows[i])
 
 
+def test_global_cummax_exclusive_matches_serial(spark):
+    from cryptocoininsights_data_engineer_project_spark.operators.windows import (
+        global_cummax_exclusive,
+    )
+
+    df = spark.range(500).select(
+        F.col("id"), ((F.col("id") * 61) % 97).alias("v")
+    )
+    out = global_cummax_exclusive(
+        df, [F.col("id")], F.col("v"), out="m", num_partitions=11
+    )
+    got = {r["id"]: r["m"] for r in out.collect()}
+    best = None
+    for i in range(500):
+        assert got[i] == best, (i, got[i], best)
+        v = (i * 61) % 97
+        best = v if best is None or v > best else best
+
+
 def test_global_cumsum_single_partition_degenerate(spark):
     df = spark.range(5).select(F.col("id"), F.lit(1).alias("v"))
     out = global_cumsum(df, [F.col("id")], F.col("v"), num_partitions=1)
