@@ -3905,6 +3905,68 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "regr_trend",
+    f"""
+WITH d AS (
+  SELECT c_nationkey,
+    date_diff('day', DATE '{_ROLL_EPOCH}', CAST(o_orderdate AS DATE)) AS x,
+    {_ORDER_CENTS} AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+s AS (
+  SELECT c_nationkey, count(*) AS n,
+    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM d GROUP BY 1)
+SELECT c_nationkey AS nationkey, n,
+  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS slope_cents_per_day,
+  round((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx) / n, 2)
+    AS intercept_cents
+FROM s
+""",
+    doc="per-nation least-squares revenue trend (slope + intercept vs "
+    "order day). NOT regr_slope/regr_intercept: those accumulate "
+    "doubles whose summation order is partition-dependent — "
+    "unreproducible across engines AND across runs. Instead the five "
+    "sufficient statistics (n, Σx, Σy, Σxy, Σx²) are EXACT integer "
+    "sums (map-side combinable, overflow-checked: Σxy ~ 1e17 << 2^63 "
+    "at sf1), and the closed form is evaluated in float once, with "
+    "one shared parenthesization — bit-identical everywhere, any "
+    "partitioning",
+)
+def regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    d = o.join(cust, o.o_custkey == cust.c_custkey).select(
+        "c_nationkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit(_ROLL_EPOCH).cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.expr(_ORDER_CENTS).alias("y"),
+    )
+    s = d.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    slope = (nd * F.col("sxy") - sxd * F.col("sy")) / (
+        nd * F.col("sxx") - sxd * F.col("sx")
+    )
+    return s.select(
+        F.col("c_nationkey").alias("nationkey"),
+        "n",
+        F.round(slope, 6).alias("slope_cents_per_day"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"), 2
+        ).alias("intercept_cents"),
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
