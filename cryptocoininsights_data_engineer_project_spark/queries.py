@@ -3967,6 +3967,78 @@ def regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "sliding_window",
+    """
+SELECT win_start, event_type, count(*) AS n, round(sum(value), 4) AS total_value
+FROM (
+  SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                 time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
+           AS win_start,
+         event_type, value
+  FROM events)
+GROUP BY 1, 2
+""",
+    doc="overlapping sliding window (10-min span, 5-min slide): "
+    "Spark's window() generator assigns each event to its "
+    "span/slide = 2 windows inline (no self-join, no per-window "
+    "pass); the oracle unnests the same two epoch-aligned bucket "
+    "starts. Completes the window-shape coverage next to "
+    "tumbling_window (T4) and the streaming twins",
+)
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+@_q(
+    "ivm_rollup",
+    f"""
+SELECT o_custkey AS custkey, round(sum({_ORDER_CENTS}) / 100.0, 2) AS revenue,
+  count(*) AS n_orders
+FROM orders GROUP BY 1
+""",
+    doc="incremental view maintenance, verified against full "
+    "recompute: the orders fact is split into two date batches, each "
+    "aggregated delta-only (one delta-sized shuffle per refresh — "
+    "the 100 TB refresh cost model) and counter-merged into the "
+    "rollup via operators/ivm.py; the oracle is the from-scratch "
+    "GROUP BY. Integer-cent counters make additive merge exact — "
+    "refresh-per-batch == one recompute, bit-for-bit, cross-engine",
+)
+def ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import ivm
+
+    cut = "1997-06-01"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", F.expr(_ORDER_CENTS).alias("cents")
+    )
+    cut_ts = F.lit(cut).cast("timestamp_ntz")
+    rollup = None
+    for batch in (
+        o.filter(F.col("o_orderdate") < cut_ts),
+        o.filter(F.col("o_orderdate") >= cut_ts),
+    ):
+        delta = ivm.aggregate_delta(batch, ["o_custkey"], ["cents"])
+        rollup = ivm.merge_rollup(rollup, delta, ["o_custkey"])
+    return rollup.select(
+        F.col("o_custkey").alias("custkey"),
+        F.round(F.col("sum_cents") / 100.0, 2).alias("revenue"),
+        F.col("n_rows").alias("n_orders"),
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
