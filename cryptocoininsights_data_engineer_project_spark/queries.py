@@ -4039,6 +4039,237 @@ def ivm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Feature-engineering family: the tabular-ML / training-data prep ops
+# (equi-depth discretization, target encoding, experiment stats,
+# conversion latency) — deterministic via exact-integer sufficient
+# statistics, scalar thresholds attached as 1-row broadcasts.
+
+_DECILES = [i / 10.0 for i in range(1, 10)]
+
+
+@_q(
+    "feature_bins",
+    f"""
+WITH o AS (SELECT o_totalprice, {_ORDER_CENTS} AS cents FROM orders),
+t AS (
+  SELECT {", ".join(
+      f"percentile_cont({p}) WITHIN GROUP (ORDER BY cents) AS t{i + 1}"
+      for i, p in enumerate(_DECILES)
+  )}
+  FROM o)
+SELECT {" + ".join(f"CAST(cents > t{i + 1} AS INT)" for i in range(9))} AS bin,
+  count(*) AS n,
+  min(o_totalprice) AS lo,
+  max(o_totalprice) AS hi
+FROM o, t
+GROUP BY 1
+""",
+    doc="equi-depth discretization (decile binning) — the feature-"
+    "prep op behind gradient-boosted trees and quantile features. "
+    "Bin edges from ONE exact-percentile aggregate (sort-based, "
+    "scale-safe; never a global ntile sort), bin index = count of "
+    "exceeded thresholds, evaluated in codegen against the 1-row "
+    "broadcast threshold row. Integer-cent order keeps the "
+    "interpolated edges bit-identical cross-engine",
+)
+def feature_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_totalprice", F.expr(_ORDER_CENTS).alias("cents")
+    )
+    t = o.agg(
+        *[
+            F.expr(f"percentile(cents, {p}D)").alias(f"t{i + 1}")
+            for i, p in enumerate(_DECILES)
+        ]
+    )
+    bin_col = sum(
+        (F.col("cents") > F.col(f"t{i + 1}")).cast("int") for i in range(9)
+    )
+    return (
+        o.crossJoin(F.broadcast(t))
+        .groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+_TE_PRIOR_W = 20.0
+
+
+@_q(
+    "target_encode",
+    f"""
+WITH o AS (
+  SELECT c_mktsegment, {_ORDER_CENTS} AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+g AS (SELECT sum(cents) AS gsum, count(*) AS gn FROM o),
+s AS (SELECT c_mktsegment, sum(cents) AS ssum, count(*) AS sn FROM o GROUP BY 1)
+SELECT c_mktsegment AS segment, sn AS n_orders,
+  round(((CAST(ssum AS DOUBLE) + {_TE_PRIOR_W} *
+          (CAST(gsum AS DOUBLE) / gn)) / (sn + {_TE_PRIOR_W})) / 100.0, 4)
+    AS encoded_value
+FROM s, g
+""",
+    doc="smoothed target encoding (the categorical-feature encoder): "
+    "per-category target mean shrunk toward the global mean with a "
+    "pseudo-count prior — (Σy_cat + w·μ_global)/(n_cat + w). Exact "
+    "integer sums feed one shared float expression; the global-mean "
+    "scalar is a 1-row broadcast; map-side combinable aggs only",
+)
+def target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(cust, o.o_custkey == cust.c_custkey).select(
+        "c_mktsegment", F.expr(_ORDER_CENTS).alias("cents")
+    )
+    g = j.agg(F.sum("cents").alias("gsum"), F.count(F.lit(1)).alias("gn"))
+    s = j.groupBy("c_mktsegment").agg(
+        F.sum("cents").alias("ssum"), F.count(F.lit(1)).alias("sn")
+    )
+    enc = (
+        (
+            F.col("ssum").cast("double")
+            + _TE_PRIOR_W * (F.col("gsum").cast("double") / F.col("gn"))
+        )
+        / (F.col("sn") + _TE_PRIOR_W)
+    ) / 100.0
+    return s.crossJoin(F.broadcast(g)).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("sn").alias("n_orders"),
+        F.round(enc, 4).alias("encoded_value"),
+    )
+
+
+@_q(
+    "ab_test_zscore",
+    """
+WITH u AS (
+  SELECT user_id, CAST(user_id % 2 AS INT) AS grp,
+    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT grp, count(*) AS n, sum(purchases) AS s1,
+    sum(purchases * purchases) AS s2
+  FROM u GROUP BY 1),
+w AS (
+  SELECT
+    max(CASE WHEN grp = 0 THEN n END) AS na,
+    max(CASE WHEN grp = 0 THEN s1 END) AS sa,
+    max(CASE WHEN grp = 0 THEN s2 END) AS qa,
+    max(CASE WHEN grp = 1 THEN n END) AS nb,
+    max(CASE WHEN grp = 1 THEN s1 END) AS sb,
+    max(CASE WHEN grp = 1 THEN s2 END) AS qb
+  FROM s)
+SELECT na, nb,
+  round(CAST(sa AS DOUBLE) / na, 6) AS mean_a,
+  round(CAST(sb AS DOUBLE) / nb, 6) AS mean_b,
+  round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) /
+    sqrt((CAST(qa AS DOUBLE) - (CAST(sa AS DOUBLE) * sa) / na) / (na - 1) / na +
+         (CAST(qb AS DOUBLE) - (CAST(sb AS DOUBLE) * sb) / nb) / (nb - 1) / nb),
+    6) AS z_score
+FROM w
+""",
+    doc="two-sample z-test for an A/B split (users hashed to arms by "
+    "id parity; metric = purchases per user): Welch z from the "
+    "exact-integer sufficient statistics (n, Σx, Σx²) — two "
+    "map-combinable shuffles and a 2-row pivot, no collect. sqrt is "
+    "IEEE-exact so the whole expression is deterministic (unlike "
+    "log/exp, no libm divergence risk)",
+)
+def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    u = e.groupBy(
+        "user_id", (F.col("user_id") % 2).cast("int").alias("grp")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases")
+    )
+    s = u.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("purchases").alias("s1"),
+        F.sum(F.col("purchases") * F.col("purchases")).alias("s2"),
+    )
+
+    def _pick(g: int, c: str):
+        return F.max(F.when(F.col("grp") == g, F.col(c)))
+
+    w = s.agg(
+        _pick(0, "n").alias("na"),
+        _pick(0, "s1").alias("sa"),
+        _pick(0, "s2").alias("qa"),
+        _pick(1, "n").alias("nb"),
+        _pick(1, "s1").alias("sb"),
+        _pick(1, "s2").alias("qb"),
+    )
+    sa, qa, na = F.col("sa").cast("double"), F.col("qa").cast("double"), F.col("na")
+    sb, qb, nb = F.col("sb").cast("double"), F.col("qb").cast("double"), F.col("nb")
+    mean_a, mean_b = sa / na, sb / nb
+    var_term = (qa - (sa * F.col("sa")) / na) / (na - 1) / na + (
+        qb - (sb * F.col("sb")) / nb
+    ) / (nb - 1) / nb
+    return w.select(
+        "na",
+        "nb",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round((mean_a - mean_b) / F.sqrt(var_term), 6).alias("z_score"),
+    )
+
+
+@_q(
+    "funnel_latency",
+    """
+WITH m AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id),
+d AS (
+  SELECT epoch_us(t_purchase) - epoch_us(t_signup) AS delta_us
+  FROM m WHERE t_purchase > t_signup)
+SELECT count(*) AS n_converted,
+  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY delta_us) / 3600.0e6, 4)
+    AS median_hours,
+  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY delta_us) / 3600.0e6, 4)
+    AS p90_hours
+FROM d
+""",
+    doc="conversion latency: signup -> first purchase, median and p90 "
+    "hours. Same one-shuffle conditional-min skeleton as "
+    "funnel_conversion; deltas are exact integer microseconds, the "
+    "exact percentile is one sort-based aggregate, division by the "
+    "hour constant happens once at the end (shared parenthesization)",
+)
+def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    m = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    # events.ts is TIMESTAMP_NTZ; the session is pinned UTC so the
+    # cast to TIMESTAMP (which unix_micros requires) is lossless
+    d = m.filter(F.col("t_purchase") > F.col("t_signup")).select(
+        (
+            F.unix_micros(F.col("t_purchase").cast("timestamp"))
+            - F.unix_micros(F.col("t_signup").cast("timestamp"))
+        ).alias("delta_us")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(delta_us, 0.5D)") / 3600.0e6, 4).alias(
+            "median_hours"
+        ),
+        F.round(F.expr("percentile(delta_us, 0.9D)") / 3600.0e6, 4).alias(
+            "p90_hours"
+        ),
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}

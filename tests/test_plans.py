@@ -92,6 +92,8 @@ BNLJ_ALLOWED = {
     "unigram_logppl",  # 1-row corpus-token-total scalar onto the vocab table
     "rfm_segments",  # 1-row anchor-date + 1-row median-threshold scalars
     "pareto_parts",  # 1-row revenue-total scalar onto the part rollup
+    "feature_bins",  # 1-row decile-threshold scalar onto the fact scan
+    "target_encode",  # 1-row global-mean scalar onto the segment rollup
 }
 
 
