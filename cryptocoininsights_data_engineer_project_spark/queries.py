@@ -4270,6 +4270,122 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "mutual_info",
+    """
+WITH j AS (
+  SELECT c_mktsegment AS a, o_orderpriority AS b
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+cells AS (SELECT a, b, count(*) AS nij FROM j GROUP BY 1, 2),
+ma AS (SELECT a, sum(nij) AS ni FROM cells GROUP BY 1),
+mb AS (SELECT b, sum(nij) AS nj FROM cells GROUP BY 1),
+tot AS (SELECT sum(nij) AS n FROM cells)
+SELECT
+  round(sum((CAST(nij AS DOUBLE) / n) *
+            ln((CAST(nij AS DOUBLE) * n) / (CAST(ni AS DOUBLE) * nj))), 6)
+    AS mi_nats,
+  round(-sum(CASE WHEN b = (SELECT min(b) FROM cells)
+    THEN (CAST(ni AS DOUBLE) / n) * ln(CAST(ni AS DOUBLE) / n) END), 6)
+    AS h_segment_nats,
+  CAST(count(*) AS BIGINT) AS n_cells
+FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+""",
+    doc="mutual information + marginal entropy between two "
+    "categoricals (feature-selection / drift detection): contingency "
+    "cells from one shuffle, margins re-aggregated from the "
+    "|A|x|B|-sized cell table (never a second fact scan), all "
+    "broadcast-joined. Counts are exact ints; ln() of identical "
+    "doubles and a 6-dec round absorb any last-ulp libm skew (same "
+    "precedent as unigram_logppl). H(segment) summed once via the "
+    "min-b guard instead of a separate margins pass",
+)
+def mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(cust, o.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("a"), F.col("o_orderpriority").alias("b"))
+        .agg(F.count(F.lit(1)).alias("nij"))
+        # |A|x|B| rows feed margins, the total, AND the final sum —
+        # materialize once (tiny), then everything downstream is
+        # broadcast algebra
+        .localCheckpoint()
+    )
+    ma = cells.groupBy("a").agg(F.sum("nij").alias("ni"))
+    mb = cells.groupBy("b").agg(F.sum("nij").alias("nj"))
+    tot = cells.agg(F.sum("nij").alias("n"))
+    bmin = cells.agg(F.min("b").alias("b_min"))
+    nijd = F.col("nij").cast("double")
+    nid = F.col("ni").cast("double")
+    njd = F.col("nj").cast("double")
+    nd = F.col("n")
+    joined = (
+        cells.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(bmin))
+    )
+    return joined.agg(
+        F.round(
+            F.sum((nijd / nd) * F.log((nijd * nd) / (nid * njd))), 6
+        ).alias("mi_nats"),
+        F.round(
+            -F.sum(
+                F.when(
+                    F.col("b") == F.col("b_min"), (nid / nd) * F.log(nid / nd)
+                )
+            ),
+            6,
+        ).alias("h_segment_nats"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+
+
+@_q(
+    "dq_report",
+    f"""
+SELECT count(*) AS n_rows,
+  count(*) - count(o_custkey) AS null_custkey,
+  count(*) - count(DISTINCT o_orderkey) AS dup_orderkey,
+  count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS nonpositive_price,
+  count(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+              OR o_orderdate >= TIMESTAMP '2005-01-01' THEN 1 END)
+    AS out_of_range_date,
+  count(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 END)
+    AS invalid_status,
+  round(min(o_totalprice), 2) AS min_price,
+  round(max(o_totalprice), 2) AS max_price
+FROM orders
+""",
+    doc="single-pass data-quality report (the expectations/contract "
+    "check every warehouse load needs): null counts, key uniqueness, "
+    "domain and range violations, bounds — ONE scan, one aggregate "
+    "(the distinct-count is the only extra exchange, and it is "
+    "partial-aggregated). The streaming twin is the df.observe QC "
+    "counters on the ingest pipeline (pipeline/coins.py)",
+)
+def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("null_custkey"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_orderkey"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("nonpositive_price"),
+        F.count(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp_ntz"))
+                | (F.col("o_orderdate") >= F.lit("2005-01-01").cast("timestamp_ntz")),
+                1,
+            )
+        ).alias("out_of_range_date"),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1)
+        ).alias("invalid_status"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}

@@ -94,6 +94,7 @@ BNLJ_ALLOWED = {
     "pareto_parts",  # 1-row revenue-total scalar onto the part rollup
     "feature_bins",  # 1-row decile-threshold scalar onto the fact scan
     "target_encode",  # 1-row global-mean scalar onto the segment rollup
+    "mutual_info",  # 1-row total + min-category scalars onto the cell table
 }
 
 
