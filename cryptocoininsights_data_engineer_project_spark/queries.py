@@ -4386,6 +4386,63 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "argmax_per_group",
+    """
+SELECT c_mktsegment AS segment, c_custkey AS top_custkey,
+  round(c_acctbal, 2) AS top_acctbal
+FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+    row_number() OVER (PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+  FROM customer)
+WHERE rn = 1
+""",
+    doc="top-1 per group WITHOUT a sort: max of a (value, key) struct "
+    "— lexicographic struct ordering makes the tie-break (higher "
+    "custkey) explicit and deterministic, and the whole thing is one "
+    "map-combinable hash aggregate. The oracle uses the row_number "
+    "formulation; at scale the aggregate form wins — no per-group "
+    "sort, no window exchange, partial agg absorbs everything "
+    "map-side (the max_by/arg_max shape, minus its undefined "
+    "tie-break)",
+)
+def argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    m = c.groupBy("c_mktsegment").agg(
+        F.max(F.struct("c_acctbal", "c_custkey")).alias("top")
+    )
+    return m.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("top.c_custkey").alias("top_custkey"),
+        F.round(F.col("top.c_acctbal"), 2).alias("top_acctbal"),
+    )
+
+
+@_q(
+    "boolean_aggs",
+    """
+SELECT o_orderpriority,
+  count_if(o_totalprice > 200000) AS n_large,
+  bool_and(o_totalprice > 0) AS all_positive,
+  bool_or(o_orderstatus = 'P') AS any_pending,
+  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="predicate-aggregate family (count_if / bool_and / bool_or + "
+    "distinct count): one hash aggregate, everything map-side "
+    "combinable except the bounded distinct on status",
+)
+def boolean_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_large"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
