@@ -155,20 +155,29 @@ def windowed_event_counts(
     events: DataFrame,
     window_duration: str = "24 hours",
     watermark: str = "1 hour",
+    slide: str | None = None,
 ) -> DataFrame:
-    """T4+T5: tumbling-window aggregation with bounded state.
+    """T4+T5: tumbling (or, with ``slide``, overlapping sliding)
+    window aggregation with bounded state.
 
     Works on a streaming OR batch events DataFrame (same plan either
     way — that's the point of Structured Streaming). Late rows beyond
-    the watermark are dropped in streaming mode; the batch twin of
-    this aggregation is the ``tumbling_window`` registry query.
+    the watermark are dropped in streaming mode; the batch twins of
+    this aggregation are the ``tumbling_window`` and
+    ``sliding_window`` registry queries. Sliding state is bounded by
+    span/slide windows per key, all expired by the same watermark.
     """
     # watermarks require TIMESTAMP (not NTZ); the session runs UTC so
     # the cast is a pure re-tag, not a wall-clock shift
     events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    win = (
+        F.window("ts", window_duration, slide)
+        if slide
+        else F.window("ts", window_duration)
+    )
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window_duration).alias("win"), F.col("event_type"))
+        .groupBy(win.alias("win"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 4).alias("total_value"),

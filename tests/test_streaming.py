@@ -116,6 +116,25 @@ def test_windowed_counts_batch_parity(spark, sf_dir):
     assert got == expect
 
 
+def test_sliding_windowed_counts_batch_parity(spark, sf_dir):
+    # the sliding form must equal the registry's sliding_window query
+    # (span/slide = 2 windows per event, epoch-aligned starts)
+    from cryptocoininsights_data_engineer_project_spark.catalog import table
+    from cryptocoininsights_data_engineer_project_spark.queries import REGISTRY
+
+    events = table(spark, sf_dir, "events")
+    win = windowed_event_counts(events, "10 minutes", "1 hour", slide="5 minutes")
+    got = {
+        (r["start"].isoformat(), r["event_type"]): (r["n"], r["total_value"])
+        for r in win.collect()
+    }
+    expect = {
+        (r["win_start"].isoformat(), r["event_type"]): (r["n"], r["total_value"])
+        for r in REGISTRY["sliding_window"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
 def test_windowed_counts_streaming_mode(spark, dirs, sf_dir):
     # run the same aggregation as a real stream over the events data
     # (json re-encoded), AvailableNow, results in a memory sink
