@@ -4435,6 +4435,105 @@ def boolean_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "dq_orphans",
+    """
+SELECT
+  (SELECT count(*) FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    AS lineitem_orphans,
+  (SELECT count(*) FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    AS order_orphans,
+  (SELECT count(*) FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    AS customer_orphans
+""",
+    doc="referential-integrity check (the DQ contract's join half, "
+    "next to dq_report's single-table half): orphan counts down the "
+    "fact->dim chain via LEFT ANTI joins. Each anti join shuffles on "
+    "its key (or broadcasts when the dim is bounded: nation) and "
+    "feeds a count — no row payload survives the join, so shuffle "
+    "volume is keys only",
+)
+def dq_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey")
+    a = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("lineitem_orphans"))
+    )
+    b = (
+        o.join(c.select("c_custkey"), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("order_orphans"))
+    )
+    d = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("customer_orphans"))
+    )
+    return a.crossJoin(b).crossJoin(d)
+
+
+_CDC_CUTS = ("1997-01-01", "1998-06-01")
+
+
+@_q(
+    "snapshot_diff",
+    f"""
+WITH s1 AS (
+  SELECT o_custkey AS id, count(*) AS n_orders
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_CDC_CUTS[0]}' GROUP BY 1),
+s2 AS (
+  SELECT o_custkey AS id, count(*) AS n_orders
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_CDC_CUTS[1]}' GROUP BY 1)
+SELECT
+  coalesce(s1.id, s2.id) AS id,
+  CASE WHEN s1.id IS NULL THEN 'added'
+       WHEN s2.id IS NULL THEN 'removed'
+       WHEN s1.n_orders <> s2.n_orders THEN 'changed'
+       ELSE 'unchanged' END AS change,
+  s1.n_orders AS old_n, s2.n_orders AS new_n
+FROM s1 FULL OUTER JOIN s2 ON s1.id = s2.id
+WHERE s1.n_orders IS DISTINCT FROM s2.n_orders
+""",
+    doc="CDC snapshot diff: two keyed snapshots full-outer joined and "
+    "classified added/removed/changed (unchanged filtered out — the "
+    "delta IS the product; at 100 TB you emit it, not the 99% static "
+    "mass). One co-partitioned shuffle join on the key; both "
+    "snapshot aggregates partial-combine map-side. The inverse of "
+    "operators/merge.py (MERGE applies a delta; this derives one)",
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+
+    def snap(cut: str) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderdate") < F.lit(cut).cast("timestamp_ntz"))
+            .groupBy(F.col("o_custkey").alias("id"))
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+        )
+    s1, s2 = snap(_CDC_CUTS[0]), snap(_CDC_CUTS[1])
+    j = s1.alias("s1").join(s2.alias("s2"), F.col("s1.id") == F.col("s2.id"), "full_outer")
+    old_n, new_n = F.col("s1.n_orders"), F.col("s2.n_orders")
+    return (
+        j.select(
+            F.coalesce(F.col("s1.id"), F.col("s2.id")).alias("id"),
+            F.when(F.col("s1.id").isNull(), "added")
+            .when(F.col("s2.id").isNull(), "removed")
+            .when(old_n != new_n, "changed")
+            .otherwise("unchanged")
+            .alias("change"),
+            old_n.alias("old_n"),
+            new_n.alias("new_n"),
+        )
+        # null-safe inequality: added/removed rows have a NULL side and
+        # a plain <> would (three-valued-logic) drop them
+        .filter(~F.col("old_n").eqNullSafe(F.col("new_n")))
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}

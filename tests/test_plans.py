@@ -95,6 +95,7 @@ BNLJ_ALLOWED = {
     "feature_bins",  # 1-row decile-threshold scalar onto the fact scan
     "target_encode",  # 1-row global-mean scalar onto the segment rollup
     "mutual_info",  # 1-row total + min-category scalars onto the cell table
+    "dq_orphans",  # three 1-row orphan-count scalars cross-joined
 }
 
 
