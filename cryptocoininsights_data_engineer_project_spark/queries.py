@@ -4534,6 +4534,67 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "pct_of_total",
+    f"""
+WITH nat AS (
+  SELECT n.n_regionkey AS regionkey, c.c_nationkey AS nationkey,
+         sum({_ORDER_CENTS}) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2),
+reg AS (SELECT regionkey, sum(cents) AS rcents FROM nat GROUP BY 1),
+tot AS (SELECT sum(cents) AS gcents FROM nat)
+SELECT nat.regionkey, nat.nationkey,
+  round(nat.cents / 100.0, 2) AS revenue,
+  round(nat.cents / CAST(reg.rcents AS DOUBLE), 6) AS share_of_region,
+  round(nat.cents / CAST(tot.gcents AS DOUBLE), 6) AS share_of_total
+FROM nat JOIN reg ON nat.regionkey = reg.regionkey CROSS JOIN tot
+""",
+    doc="ratio-to-report / contribution analysis: nation revenue as a "
+    "share of its region and of the grand total. The fact shuffles "
+    "ONCE to nation grain; region and grand totals re-aggregate the "
+    "25-row nation table (never the fact) and come back as "
+    "broadcasts — the two-level percent-of-parent every BI tool "
+    "ships, without a repeated fact pass or a ratio window over a "
+    "global sort. Integer-cent ratios round deterministically",
+)
+def pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_regionkey").alias("regionkey"),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+        .agg(F.sum(F.expr(_ORDER_CENTS)).alias("cents"))
+        # 25-row grain feeds itself, the region rollup, and the grand
+        # total — materialize once
+        .localCheckpoint()
+    )
+    reg = nat.groupBy("regionkey").agg(F.sum("cents").alias("rcents"))
+    tot = nat.agg(F.sum("cents").alias("gcents"))
+    return (
+        nat.join(F.broadcast(reg), "regionkey")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "regionkey",
+            "nationkey",
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            F.round(F.col("cents") / F.col("rcents").cast("double"), 6).alias(
+                "share_of_region"
+            ),
+            F.round(F.col("cents") / F.col("gcents").cast("double"), 6).alias(
+                "share_of_total"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}

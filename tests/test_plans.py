@@ -96,6 +96,7 @@ BNLJ_ALLOWED = {
     "target_encode",  # 1-row global-mean scalar onto the segment rollup
     "mutual_info",  # 1-row total + min-category scalars onto the cell table
     "dq_orphans",  # three 1-row orphan-count scalars cross-joined
+    "pct_of_total",  # 1-row grand-total scalar onto the nation rollup
 }
 
 
