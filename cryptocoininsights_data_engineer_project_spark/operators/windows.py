@@ -6,23 +6,43 @@ executor materializes the whole dataset, the canonical 100 TB
 chokepoint. But the classic prefix-sum decomposition distributes it:
 
 1. range-partition by the global order (Spark's scale-safe sort path —
-   sampled boundaries, P-way parallel sort);
-2. prefix-sum WITHIN each partition (window keyed on
-   ``spark_partition_id()`` — no cross-partition traffic);
-3. aggregate one total per partition (P rows), prefix-sum THOSE on a
-   single partition (P values, trivially small), and broadcast the
-   resulting offsets back.
+   sampled boundaries, P-way parallel sort), stamp each row with its
+   partition id, and ``localCheckpoint`` the result;
+2. prefix-sum WITHIN each partition-id group (a window keyed on the
+   stamped pid);
+3. aggregate one total per pid (P rows after map-side combine),
+   prefix-sum THOSE on a single partition (P values, trivially small),
+   and broadcast the resulting offsets back.
 
-Every row moves exactly once; the only single-partition work is over
-P rows. The reference outsources this shape to Redshift's windowed SUM
-(data-transformation.py aggregates feeding ranked dashboards); here it
-is first-class and cluster-safe.
+Cost model (honest): rows move TWICE — once in the range exchange that
+assigns pids, once in the hash exchange the pid-keyed window requires
+(``Window.partitionBy(_PID)`` needs ClusteredDistribution on the pid,
+which RangePartitioning on ``order_by`` does not satisfy, so
+EnsureRequirements inserts a hash exchange + sort). The only
+single-partition work is over P rows. That is still the scale win:
+both exchanges are P-way parallel and no single task ever holds more
+than one partition's rows, versus the whole dataset for a naive
+``Window.orderBy``.
+
+Why the ``localCheckpoint``: pid assignment is NONDETERMINISTIC —
+range-partition boundaries come from sampling seeded by RDD id, so two
+independent recomputations of the stamped frame (the window branch and
+the totals branch, or an AQE replan / task retry) could sample
+different boundaries and assign inconsistent pids, silently corrupting
+the prefixes. Checkpointing materializes ONE pid assignment that every
+consumer reads (the repo's "q11 discipline" for nondeterministic
+mid-plan frames). The checkpoint also replaces lineage recomputation
+on the second branch with a block read.
 
 Determinism: callers must pass a TOTAL order (include a unique
 tiebreaker) — ties split across range-partition boundaries would
 otherwise make per-row prefixes depend on partition placement. With a
 total order and exact-integer values the result is bit-stable and
 matches a ROWS-framed running sum in any engine.
+
+The reference outsources this shape to Redshift's windowed SUM
+(data-transformation.py aggregates feeding ranked dashboards); here it
+is first-class and cluster-safe.
 """
 
 from __future__ import annotations
@@ -36,6 +56,24 @@ _OFF = "_gcs_off"
 _TOT = "_gcs_tot"
 
 
+def _pid_stamped(
+    df: DataFrame, order_by: list[Column], num_partitions: int | None
+) -> DataFrame:
+    """Range-partition by the order, stamp partition ids, and
+    materialize via localCheckpoint so every downstream branch sees the
+    SAME (sampled, nondeterministic) boundary assignment.
+
+    No ``sortWithinPartitions`` here: the pid-keyed window downstream
+    re-sorts after its own hash exchange anyway, so a pre-sort would be
+    pure wasted work — pid assignment only needs the range exchange.
+    """
+    parts = [num_partitions] if num_partitions else []
+    d = df.repartitionByRange(*parts, *order_by).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    return d.localCheckpoint()
+
+
 def global_cumsum(
     df: DataFrame,
     order_by: list[Column],
@@ -46,12 +84,7 @@ def global_cumsum(
     """Running sum of ``value`` over the TOTAL order ``order_by``,
     without a single-partition sort. ``order_by`` must be a total
     order (unique key somewhere in the list)."""
-    parts = [num_partitions] if num_partitions else []
-    d = (
-        df.repartitionByRange(*parts, *order_by)
-        .sortWithinPartitions(*order_by)
-        .withColumn(_PID, F.spark_partition_id())
-    )
+    d = _pid_stamped(df, order_by, num_partitions)
     w_in = (
         Window.partitionBy(_PID)
         .orderBy(*order_by)
@@ -59,7 +92,7 @@ def global_cumsum(
     )
     local = d.withColumn(_LOCAL, F.sum(value).over(w_in))
     # P rows; the global window below runs on ONE partition of P values
-    totals = local.groupBy(_PID).agg(F.sum(value).alias(_TOT))
+    totals = d.groupBy(_PID).agg(F.sum(value).alias(_TOT))
     w_off = Window.orderBy(_PID).rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -86,19 +119,14 @@ def global_cummax_exclusive(
     (max, greatest) monoid. The exclusive frame is what dominance
     tests (skyline/Pareto-frontier) need: "best value among everything
     ranked ahead of me"."""
-    parts = [num_partitions] if num_partitions else []
-    d = (
-        df.repartitionByRange(*parts, *order_by)
-        .sortWithinPartitions(*order_by)
-        .withColumn(_PID, F.spark_partition_id())
-    )
+    d = _pid_stamped(df, order_by, num_partitions)
     w_in = (
         Window.partitionBy(_PID)
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = d.withColumn(_LOCAL, F.max(value).over(w_in))
-    totals = local.groupBy(_PID).agg(F.max(value).alias(_TOT))
+    totals = d.groupBy(_PID).agg(F.max(value).alias(_TOT))
     w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(_PID, F.max(_TOT).over(w_off).alias(_OFF))
     # greatest() skips NULLs (empty local frame / first partition), so
