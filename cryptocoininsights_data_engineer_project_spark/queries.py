@@ -4271,16 +4271,19 @@ WITH j AS (
 cells AS (SELECT a, b, count(*) AS nij FROM j GROUP BY 1, 2),
 ma AS (SELECT a, sum(nij) AS ni FROM cells GROUP BY 1),
 mb AS (SELECT b, sum(nij) AS nj FROM cells GROUP BY 1),
-tot AS (SELECT sum(nij) AS n FROM cells)
-SELECT
-  round(sum((CAST(nij AS DOUBLE) / n) *
-            ln((CAST(nij AS DOUBLE) * n) / (CAST(ni AS DOUBLE) * nj))), 6)
-    AS mi_nats,
-  round(-sum(CASE WHEN b = (SELECT min(b) FROM cells)
-    THEN (CAST(ni AS DOUBLE) / n) * ln(CAST(ni AS DOUBLE) / n) END), 6)
-    AS h_segment_nats,
-  CAST(count(*) AS BIGINT) AS n_cells
-FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+tot AS (SELECT sum(nij) AS n FROM cells),
+mi AS (
+  SELECT
+    round(sum((CAST(nij AS DOUBLE) / n) *
+              ln((CAST(nij AS DOUBLE) * n) / (CAST(ni AS DOUBLE) * nj))), 6)
+      AS mi_nats,
+    CAST(count(*) AS BIGINT) AS n_cells
+  FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot),
+hs AS (
+  SELECT round(-sum((CAST(ni AS DOUBLE) / n) *
+               ln(CAST(ni AS DOUBLE) / n)), 6) AS h_segment_nats
+  FROM ma CROSS JOIN tot)
+SELECT mi_nats, h_segment_nats, n_cells FROM mi CROSS JOIN hs
 """,
     doc="mutual information + marginal entropy between two "
     "categoricals (feature-selection / drift detection): contingency "
@@ -4288,8 +4291,10 @@ FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
     "|A|x|B|-sized cell table (never a second fact scan), all "
     "broadcast-joined. Counts are exact ints; ln() of identical "
     "doubles and a 6-dec round absorb any last-ulp libm skew (same "
-    "precedent as unigram_logppl). H(segment) summed once via the "
-    "min-b guard instead of a separate margins pass",
+    "precedent as unigram_logppl). H(segment) computed from the ma "
+    "margin table directly (|A| rows, costs nothing) — an earlier "
+    "min-b-guard formulation silently dropped segments lacking a "
+    "(segment, min-b) cell, in engine and oracle alike",
 )
 def mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
@@ -4306,7 +4311,6 @@ def mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     ma = cells.groupBy("a").agg(F.sum("nij").alias("ni"))
     mb = cells.groupBy("b").agg(F.sum("nij").alias("nj"))
     tot = cells.agg(F.sum("nij").alias("n"))
-    bmin = cells.agg(F.min("b").alias("b_min"))
     nijd = F.col("nij").cast("double")
     nid = F.col("ni").cast("double")
     njd = F.col("nj").cast("double")
@@ -4315,21 +4319,21 @@ def mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.join(F.broadcast(ma), "a")
         .join(F.broadcast(mb), "b")
         .crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(bmin))
     )
-    return joined.agg(
+    mi = joined.agg(
         F.round(
             F.sum((nijd / nd) * F.log((nijd * nd) / (nid * njd))), 6
         ).alias("mi_nats"),
-        F.round(
-            -F.sum(
-                F.when(
-                    F.col("b") == F.col("b_min"), (nid / nd) * F.log(nid / nd)
-                )
-            ),
-            6,
-        ).alias("h_segment_nats"),
         F.count(F.lit(1)).alias("n_cells"),
+    )
+    # H(A) straight off the |A|-row margin table — every segment
+    # contributes, whether or not it has a cell for any particular b
+    hs = (
+        ma.crossJoin(F.broadcast(tot))
+        .agg(F.round(-F.sum((nid / nd) * F.log(nid / nd)), 6).alias("h_segment_nats"))
+    )
+    return mi.crossJoin(F.broadcast(hs)).select(
+        "mi_nats", "h_segment_nats", "n_cells"
     )
 
 

@@ -150,3 +150,42 @@ def test_multimodal_decode_ignores_malformed_headers(spark):
     for aid in (1, 2, 3, 4):
         assert got[aid].media_type == "text/plain"
         assert got[aid].width is None and got[aid].sample_rate is None
+
+
+def test_mutual_info_entropy_counts_all_segments(spark, tmp_path):
+    # Regression: H(segment) was once summed via a min-b guard
+    # (only cells where b == min(b) contributed) — a segment with NO
+    # order at the minimum priority silently vanished from the
+    # entropy, in engine and oracle alike. Build exactly that shape:
+    # segment 'BLD' never places a '1-URGENT' order.
+    import datetime
+    import math
+
+    from cryptocoininsights_data_engineer_project_spark.queries import REGISTRY
+
+    d = datetime.datetime(1995, 1, 1)
+    orders = spark.createDataFrame(
+        [
+            (1, 1, "O", 10.0, d, "1-URGENT"),
+            (2, 1, "O", 10.0, d, "2-HIGH"),
+            (3, 2, "O", 10.0, d, "2-HIGH"),
+            (4, 2, "O", 10.0, d, "2-HIGH"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+    )
+    customer = spark.createDataFrame(
+        [
+            (1, "a", 0, 0.0, "AUTO"),
+            (2, "b", 0, 0.0, "BLD"),
+        ],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    orders.write.parquet(str(tmp_path / "orders.parquet"))
+    customer.write.parquet(str(tmp_path / "customer.parquet"))
+    row = REGISTRY["mutual_info"].fn(spark, str(tmp_path)).collect()[0]
+    # both segments have 2 of 4 orders -> H = ln 2, NOT the ln-half
+    # a min-b-guarded sum would produce (only AUTO has an urgent cell)
+    assert row["h_segment_nats"] == pytest.approx(math.log(2), abs=1e-6)
+    assert row["n_cells"] == 3
