@@ -32,49 +32,98 @@ TABLES = (
 # bounded by the real world (5 regions, 25 nations), not by data volume.
 ALWAYS_BROADCAST = {"region", "nation"}
 
-# Columns every consumer in the registry depends on. Checked on read so a
-# driver-side testdata regeneration that renames or drops a column fails
-# with ONE diagnostic naming the table and the drift, instead of dozens of
-# identical unresolved-column AnalysisExceptions downstream (the round-2
-# events.ts dtype drift cost a full round — see _events).
-REQUIRED_COLUMNS = {
-    "region": {"r_regionkey", "r_name"},
-    "nation": {"n_nationkey", "n_name", "n_regionkey"},
-    "customer": {"c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"},
-    "supplier": {"s_suppkey", "s_name", "s_nationkey", "s_acctbal"},
-    "part": {"p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"},
+# Columns every consumer in the registry depends on, with the Spark dtype
+# (``simpleString``) each consumer assumes. Checked on read so a driver-side
+# testdata regeneration that renames, drops, or RETYPES a column (e.g. a
+# decimal→double flip on a price) fails with ONE diagnostic naming the table
+# and the drift, instead of dozens of downstream AnalysisExceptions or —
+# worse — silently different arithmetic (the round-2 events.ts dtype drift
+# cost a full round; see _events). ``None`` = any dtype accepted here
+# because a dedicated branch normalizes it (events.ts: legacy int64-nanos
+# vs current timestamp — _events raises its own diagnostic for anything
+# else). Extra columns are always allowed (e.g. embeddings.label).
+EXPECTED_SCHEMA: dict[str, dict[str, str | None]] = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "bigint",
+        "c_name": "string",
+        "c_nationkey": "int",
+        "c_acctbal": "double",
+        "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "bigint",
+        "s_name": "string",
+        "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "bigint",
+        "p_name": "string",
+        "p_brand": "string",
+        "p_type": "string",
+        "p_size": "int",
+        "p_retailprice": "double",
+    },
     "orders": {
-        "o_orderkey",
-        "o_custkey",
-        "o_orderstatus",
-        "o_totalprice",
-        "o_orderdate",
-        "o_orderpriority",
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp_ntz",
+        "o_orderpriority": "string",
     },
     "lineitem": {
-        "l_orderkey",
-        "l_partkey",
-        "l_suppkey",
-        "l_quantity",
-        "l_extendedprice",
-        "l_discount",
-        "l_tax",
-        "l_returnflag",
-        "l_linestatus",
-        "l_shipdate",
+        "l_orderkey": "bigint",
+        "l_partkey": "bigint",
+        "l_suppkey": "bigint",
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_discount": "double",
+        "l_tax": "double",
+        "l_returnflag": "string",
+        "l_linestatus": "string",
+        "l_shipdate": "timestamp_ntz",
     },
-    "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
-    "documents": {"doc_id", "text", "lang", "source", "n_chars"},
-    "embeddings": {"vec_id", "embedding"},
+    "events": {
+        "event_id": "bigint",
+        "ts": None,  # int64 nanos OR timestamp — normalized by _events
+        "user_id": "bigint",
+        "event_type": "string",
+        "value": "double",
+        "props": "string",
+    },
+    "documents": {
+        "doc_id": "bigint",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "bigint",
+    },
+    "embeddings": {"vec_id": "bigint", "embedding": "array<float>"},
 }
 
 
 def _check_columns(name: str, df: DataFrame) -> DataFrame:
-    missing = REQUIRED_COLUMNS[name] - set(df.columns)
+    expected = EXPECTED_SCHEMA[name]
+    missing = set(expected) - set(df.columns)
     if missing:
         raise ValueError(
             f"table {name!r} is missing expected column(s) {sorted(missing)}; "
             f"found {df.columns} — testdata generator drift?"
+        )
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    drifted = sorted(
+        f"{col}: expected {want}, found {actual[col]}"
+        for col, want in expected.items()
+        if want is not None and actual[col] != want
+    )
+    if drifted:
+        raise ValueError(
+            f"table {name!r} has dtype drift — {'; '.join(drifted)} — "
+            "testdata generator drift? (update EXPECTED_SCHEMA only after "
+            "auditing every consumer's arithmetic)"
         )
     return df
 

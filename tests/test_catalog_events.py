@@ -93,3 +93,40 @@ def test_missing_column_diagnosed(spark, tmp_path):
     pq.write_table(tbl, os.path.join(str(d), "documents.parquet"))
     with _pytest.raises(ValueError, match="documents.*missing expected column"):
         table(spark, str(d), "documents")
+
+
+def test_dtype_drift_diagnosed_non_events(spark, tmp_path):
+    # the next regeneration hazard: same column NAMES, silently
+    # retyped (here orders.o_totalprice double -> decimal) — must fail
+    # with one diagnostic naming table+column+both dtypes, not produce
+    # different arithmetic downstream
+    import decimal
+
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array([1], pa.int64()),
+            "o_custkey": pa.array([1], pa.int64()),
+            "o_orderstatus": pa.array(["O"], pa.string()),
+            "o_totalprice": pa.array(
+                [decimal.Decimal("10.00")], pa.decimal128(12, 2)
+            ),
+            "o_orderdate": pa.array([_BASE_US], pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"], pa.string()),
+        }
+    )
+    d = tmp_path / "orders_drift"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(tbl, os.path.join(str(d), "orders.parquet"))
+    with pytest.raises(
+        ValueError,
+        match="orders.*dtype drift.*o_totalprice: expected double, found decimal",
+    ):
+        table(spark, str(d), "orders")
+
+
+def test_events_ts_dtype_exempt_from_generic_check(spark, tmp_path):
+    # ts is normalized by the dedicated _events branch (int64-nanos OR
+    # timestamp) — the generic dtype check must not reject either shape
+    ns = pa.array([r[1] * 1000 for r in _ROWS], pa.timestamp("ns"))
+    sf_dir = _write_events(str(tmp_path / "ns2"), ns)
+    _assert_normalized(table(spark, sf_dir, "events"))
