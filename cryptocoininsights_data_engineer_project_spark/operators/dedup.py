@@ -346,27 +346,40 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 
 
 # ----------------------------------------------------- duplicate clusters
-def dedup_clusters(docs: DataFrame) -> DataFrame:
-    """(doc_id, cluster_id): connected components over the MinHash-LSH
-    candidate-pair graph; cluster_id = smallest doc_id in the
-    component (the canonical survivor a dedup pass would keep).
+def connected_components(
+    pairs: DataFrame, max_rounds: int = 50
+) -> tuple[DataFrame, int]:
+    """Connected components over an undirected pair graph
+    ``(doc_a, doc_b)`` → ``(doc_id, cluster_id)`` labels with
+    cluster_id = smallest doc_id in the component. Returns
+    ``(labels, rounds_used)``.
 
-    Iterative min-label propagation: each round every node adopts the
-    smallest label among itself and its neighbors; converges in
-    O(component diameter) rounds. Near-dup components are tiny (bounded
-    by true duplication), so 2-4 rounds in practice. Each round is one
-    equi-join + one groupBy — all distributed; the driver only checks a
-    scalar convergence metric (sum of labels, strictly decreasing until
-    fixpoint). This is the standard large-scale CC shape (GraphX/
-    Pregel's simplest program) without needing a graph library.
+    Each round does min-label propagation (every node adopts the
+    smallest label among itself and its neighbors — one equi-join +
+    one groupBy) FOLLOWED by a pointer-jumping shortcut
+    (``label(v) ← label(label(v))`` — a self-join on the label table,
+    which is one row per node, far smaller than the edge list). Plain
+    propagation alone needs O(component diameter) rounds — unbounded on
+    an adversarial path graph (templated boilerplate chaining A≈B≈C…).
+    The shortcut halves remaining label-tree depth every round, so
+    convergence is O(log diameter): a 2^50-diameter component — more
+    nodes than atoms in a planet — fits the default cap. This is the
+    path-halving half of the large-star/small-star CC construction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14); the full alternation is unnecessary once min-propagation
+    supplies the neighbor step.
+
+    Everything is distributed: the driver only compares a scalar
+    convergence metric per round (sum of labels, strictly decreasing
+    until fixpoint — min-propagation can only lower labels).
+    ``max_rounds`` is a hard safety: exceeding it raises RuntimeError
+    (diagnosis, not silence) — with log-convergence it is unreachable
+    for any physical input and exists to catch a broken edge list
+    (e.g. labels oscillating because ids changed dtype mid-plan).
     """
-    # materialize the pairs BEFORE the symmetrizing self-union: the two
-    # union branches share no exchange, so an uncheckpointed union
-    # re-runs the whole shingle→minhash→band pipeline once per side
-    pairs = minhash_candidate_pairs(docs).localCheckpoint()
     # symmetric edge list, materialized ONCE — every propagation round
     # joins against it, and without the checkpoint each round would
-    # re-run the pair pipeline from the scan
+    # re-run the whole upstream pair pipeline from the scan
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -377,21 +390,53 @@ def dedup_clusters(docs: DataFrame) -> DataFrame:
     nodes = edges.select(F.col("src").alias("doc_id")).distinct()
     labels = nodes.withColumn("cluster_id", F.col("doc_id")).localCheckpoint()
     prev_sum = labels.agg(F.sum("cluster_id")).first()[0] or 0
-    while True:
+    for rounds in range(1, max_rounds + 1):
         neighbor = (
             edges.join(labels, edges.src == labels.doc_id)
             .select(F.col("dst").alias("doc_id"), "cluster_id")
         )
-        labels = (
+        stepped = (
             labels.unionByName(neighbor)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
+        )
+        # pointer jump: follow the label one hop through the label
+        # table itself. Every label IS a node id (min over node ids,
+        # seeded with self), so the inner join cannot drop rows.
+        parent = stepped.select(
+            F.col("doc_id").alias("cluster_id"),
+            F.col("cluster_id").alias("_cc_parent"),
+        )
+        labels = (
+            stepped.join(parent, "cluster_id")
+            .select("doc_id", F.col("_cc_parent").alias("cluster_id"))
             .localCheckpoint()  # truncate the growing lineage each round
         )
         cur_sum = labels.agg(F.sum("cluster_id")).first()[0] or 0
         if cur_sum == prev_sum:
-            return labels
+            return labels, rounds
         prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected_components failed to converge in {max_rounds} rounds — "
+        "log-convergent pointer jumping makes this unreachable for any "
+        "physical graph; suspect a corrupted edge list (dtype drift on "
+        "doc ids, or nondeterministic pair generation upstream)"
+    )
+
+
+def dedup_clusters(docs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id): connected components over the MinHash-LSH
+    candidate-pair graph; cluster_id = smallest doc_id in the
+    component (the canonical survivor a dedup pass would keep).
+    Propagation machinery (and its giant-component guarantees):
+    :func:`connected_components`.
+    """
+    # materialize the pairs BEFORE the symmetrizing self-union: the two
+    # union branches share no exchange, so an uncheckpointed union
+    # re-runs the whole shingle→minhash→band pipeline once per side
+    pairs = minhash_candidate_pairs(docs).localCheckpoint()
+    labels, _ = connected_components(pairs)
+    return labels
 
 
 def dedup_clusters_oracle_sql() -> str:

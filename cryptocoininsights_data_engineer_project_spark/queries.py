@@ -1037,8 +1037,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "dedup_clusters",
     dedup.dedup_clusters_oracle_sql(),
-    doc="connected components over the LSH pair graph (iterative "
-    "min-label propagation; oracle is a recursive CTE)",
+    doc="connected components over the LSH pair graph (min-label "
+    "propagation + pointer jumping — O(log diameter) rounds, round-capped "
+    "with diagnosis, giant-component safe; oracle is a recursive CTE)",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(_t(spark, sf_dir, "documents"))

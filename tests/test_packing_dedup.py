@@ -139,3 +139,40 @@ def test_pack_sequences_matches_oracle_on_crafted_rows(spark):
         == []
     )
     con.close()
+
+
+# ---------------------------------------------------- connected components
+def _cc(spark, edges, max_rounds=50):
+    from cryptocoininsights_data_engineer_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    labels, rounds = connected_components(pairs, max_rounds=max_rounds)
+    return {r["doc_id"]: r["cluster_id"] for r in labels.collect()}, rounds
+
+
+def test_connected_components_adversarial_chain(spark):
+    # path graph 0-1-2-...-200: diameter 200. Plain min-propagation
+    # needs ~200 rounds; pointer jumping must land well inside the cap
+    # (log2(200) ~ 8, allow slack for the union/shortcut interleaving).
+    n = 201
+    labels, rounds = _cc(spark, [(i, i + 1) for i in range(n - 1)], max_rounds=16)
+    assert labels == {i: 0 for i in range(n)}
+    assert rounds <= 16
+
+
+def test_connected_components_star_and_islands(spark):
+    # star centered at 1000 (high id — min must still win through the
+    # center), plus a disjoint 2-cycle island
+    edges = [(1000, i) for i in range(5)] + [(7000, 7001)]
+    labels, rounds = _cc(spark, edges)
+    assert labels == {**{i: 0 for i in range(5)}, 1000: 0, 7000: 7000, 7001: 7000}
+    assert rounds <= 4
+
+
+def test_connected_components_round_cap_diagnoses(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="failed to converge in 1 rounds"):
+        _cc(spark, [(i, i + 1) for i in range(64)], max_rounds=1)
