@@ -9,10 +9,15 @@ Two paths, as a 100 TB engine needs both:
   expressions inside whole-stage codegen (see ``dot_expr``) — no
   Python, no lambda machinery in the hot loop.
 - IVF-style partitioned top-k: the scale path. Vectors are bucketed
-  by a coarse quantizer (here the pre-assigned ``label``; production
-  would k-means its own centroids) and each query only scans its own
-  bucket — a 1/n_buckets reduction in compared pairs, expressed as an
-  equi-join so Catalyst partitions both sides by bucket.
+  by a coarse quantizer (k-means cells trained in-query, or the same
+  cells untrained as the ablation) and each query scans only its
+  nearest-``nprobe`` cells — an nprobe/n_cells reduction in compared
+  pairs, expressed as an equi-join so Catalyst partitions both sides
+  by cell. Measured recall@5 vs the exact baseline is pinned in
+  tests/test_similarity.py (NB: the synthetic corpus is near-uniform
+  random, the hardest case for any pruning index — real text/image
+  embeddings cluster, which raises IVF recall at the same scan
+  fraction).
 
 Everything computes in float64 after an explicit cast from float32 so
 the DuckDB oracle (``list_dot_product`` over ``DOUBLE[]``) agrees to
@@ -30,7 +35,9 @@ from ..functions.hashing import spark_hash64
 # at sf0.01) and deterministic.
 QUERY_MODULUS = 100
 TOP_K = 5
-IVF_TOP_K = 3
+# Same k as the exact baseline so recall@k is the clean headline metric
+# (tests/test_similarity.py pins the floors).
+IVF_TOP_K = 5
 
 # Number of triangle-join blocks for exact all-pairs scoring.
 ALL_PAIRS_BLOCKS = 8
@@ -133,46 +140,30 @@ def ivf_topk(
     k: int = IVF_TOP_K,
     query_modulus: int = QUERY_MODULUS,
 ) -> DataFrame:
-    """Bucketed (IVF-style) approximate top-k: each query scans only
-    its own coarse bucket. The bucket equi-join is the whole trick —
-    at 1000 buckets it cuts compared pairs 1000×, and both sides
-    shuffle-partition on the bucket key, so no broadcast is required
-    when the query set itself is huge."""
-    n = _with_norms(embeddings)
-    q = n.filter(F.col("vec_id") % query_modulus == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-        F.col("label").alias("bucket"),
-    )
-    pairs = q.join(
-        n.withColumnRenamed("label", "bucket"),
-        ["bucket"],
-    ).filter(F.col("query_id") != F.col("vec_id"))
-    scored = pairs.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(
-            F.expr(dot_expr("q_emb", "emb")) / (F.col("q_nrm") * F.col("nrm")),
-            6,
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "cosine")
+    """Bucketed (IVF-style) approximate top-k with an UNTRAINED coarse
+    quantizer: cells are the deterministic md5-seed vectors themselves,
+    zero Lloyd's iterations — the n_iters=0 ablation of
+    :func:`ivf_trained_topk` (same probe geometry, so the recall gap
+    between the two registry entries is exactly the value of training).
+
+    An earlier version bucketed on the dataset's pre-assigned ``label``
+    column; measured recall@5 was 0.04 — chance — because the labels
+    are classification targets with no cosine geometry (same-label mean
+    cosine ≈ all-pairs mean cosine on this corpus). A bucketing that
+    ignores the vectors cannot prune a vector space; replaced with the
+    seed-cell quantizer, which probes by actual distance."""
+    return ivf_trained_topk(
+        embeddings, k=k, query_modulus=query_modulus, n_iters=0
     )
 
 
-# Trained-quantizer IVF geometry: small k (coarse cells), two Lloyd's
-# iterations (enough to pull seeds onto the data modes), two probes per
-# query (recall at cell boundaries).
-IVF_KCLUSTERS = 8
+# Trained-quantizer IVF geometry: 16 coarse cells, two Lloyd's
+# iterations (enough to pull seeds onto the data modes), five probes
+# per query — a 31% scan fraction chosen against measured recall@5 on
+# the near-uniform synthetic corpus (see tests/test_similarity.py).
+IVF_KCLUSTERS = 16
 IVF_ITERS = 2
-IVF_NPROBE = 2
+IVF_NPROBE = 5
 
 
 def _ivf_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
@@ -203,8 +194,8 @@ def ivf_trained_topk(
     """IVF top-k over a quantizer trained END-TO-END in the query:
     deterministic seeds → ``n_iters`` unrolled Lloyd's iterations →
     nearest-``nprobe`` multi-probe per query → cosine top-k within the
-    probed cells. Unlike ``ivf_topk`` (which buckets on the dataset's
-    pre-assigned label), the cells here come from the data itself.
+    probed cells. ``ivf_topk`` is the n_iters=0 ablation — the recall
+    gap between the two registry entries is the value of training.
 
     Every step is engine-portable, so the whole pipeline — training
     included — has an exact DuckDB oracle (``ivf_trained_oracle_sql``):
@@ -608,10 +599,15 @@ SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {threshold}
 # corpus's ANN index live in executor memory). One Lloyd's update after
 # deterministic seeding; distances are asymmetric (ADC): the query stays
 # full-precision, only the corpus is coded.
-PQ_M = 4
-PQ_DSUB = 16
-PQ_K = 8
+PQ_M = 8
+PQ_DSUB = 8
+PQ_K = 16
 PQ_TOP_K = 5
+# ADC shortlist size ahead of the exact re-rank (the FAISS "refine"
+# stage). 16× over-fetch vs k: ADC on 8×8-dim subspaces is lossy; the
+# shortlist bounds full-precision work to rerank/N of the corpus per
+# query while recovering most of the recall ADC alone loses.
+PQ_RERANK = 80
 
 
 def pq_adc_topk(
@@ -621,6 +617,7 @@ def pq_adc_topk(
     m: int = PQ_M,
     dsub: int = PQ_DSUB,
     n_codes: int = PQ_K,
+    rerank: int = PQ_RERANK,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance (ADC), the
     codebook trained END-TO-END in the query — the compression-side
@@ -644,7 +641,12 @@ def pq_adc_topk(
       joins its partial by (subspace, cid) equi-key, and per-pair
       distances sum EXACTLY as integer micros (floating summation
       order would otherwise differ between engines);
-    - top-k per query by approximate distance, self excluded.
+    - shortlist: top-``rerank`` per query by approximate distance,
+      self excluded;
+    - re-rank: exact cosine over the shortlist only (full vectors are
+      touched for rerank/N of the corpus per query), top-k by true
+      cosine — the FAISS "refine" stage; output is (query_id,
+      neighbor_id, cosine) like every other ANN entry.
 
     Scale shape: the codebook and the per-query LUTs broadcast; the
     corpus is scanned once to encode (the encode output is what a real
@@ -738,13 +740,50 @@ def pq_adc_topk(
             F.round(F.col("d2_micro") / 1000000.0, 6).alias("approx_d2"),
         )
     )
-    w_k = Window.partitionBy("query_id").orderBy(
+    # exact re-rank of the ADC shortlist (the FAISS "refine" stage):
+    # the compressed-domain scan nominates `rerank` candidates per
+    # query, full-precision cosine orders them, top-k survive. Only
+    # shortlist rows ever touch full vectors, so the full-precision
+    # cost is rerank/N of a brute-force pass.
+    w_r = Window.partitionBy("query_id").orderBy(
         F.col("approx_d2").asc(), F.col("neighbor_id").asc()
     )
+    shortlist = (
+        pairs.withColumn("rn", F.row_number().over(w_r))
+        .filter(F.col("rn") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    vecs = e.withColumn("nrm", F.expr(f"sqrt({dot_expr('emb', 'emb')})"))
+    qv = vecs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    nv = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    rescored = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.expr(dot_expr("q_emb", "n_emb"))
+                / (F.col("q_nrm") * F.col("n_nrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
     return (
-        pairs.withColumn("rn", F.row_number().over(w_k))
+        rescored.withColumn("rn", F.row_number().over(w_k))
         .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "approx_d2")
+        .select("query_id", "neighbor_id", "cosine")
     )
 
 
@@ -754,10 +793,11 @@ def pq_adc_oracle_sql(
     m: int = PQ_M,
     dsub: int = PQ_DSUB,
     n_codes: int = PQ_K,
+    rerank: int = PQ_RERANK,
 ) -> str:
     """DuckDB twin of ``pq_adc_topk``: identical seeding, one identical
-    Lloyd's update (means rounded to 6), identical encoding and
-    integer-micro ADC sums."""
+    Lloyd's update (means rounded to 6), identical encoding,
+    integer-micro ADC sums, and the same shortlist→exact-re-rank."""
     from ..functions.hashing import duck_hash64
 
     dh = duck_hash64("CAST(vec_id AS VARCHAR)")
@@ -806,12 +846,25 @@ WITH e AS (
   FROM codes x JOIN lut l ON x.s = l.s AND x.cid = l.cid
   WHERE x.vec_id != l.query_id
   GROUP BY l.query_id, x.vec_id
+), shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY approx_d2 ASC, neighbor_id ASC) AS rn
+    FROM pairs) WHERE rn <= {rerank}
+), vn AS (
+  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e
+), rescored AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_dot_product(q.emb, x.emb) / (q.nrm * x.nrm), 6) AS cosine
+  FROM shortlist s
+  JOIN vn q ON q.vec_id = s.query_id
+  JOIN vn x ON x.vec_id = s.neighbor_id
 ), ranked AS (
   SELECT *, row_number() OVER (
-    PARTITION BY query_id ORDER BY approx_d2 ASC, neighbor_id ASC) AS rn
-  FROM pairs
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM rescored
 )
-SELECT query_id, neighbor_id, approx_d2 FROM ranked WHERE rn <= {k}
+SELECT query_id, neighbor_id, cosine FROM ranked WHERE rn <= {k}
 """
 
 
@@ -934,25 +987,11 @@ def kmeans_assign(
 def ivf_topk_oracle_sql(
     k: int = IVF_TOP_K, query_modulus: int = QUERY_MODULUS
 ) -> str:
-    return f"""
-WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings
-), n AS (
-  SELECT vec_id, emb, label, sqrt(list_dot_product(emb, emb)) AS nrm FROM e
-), q AS (
-  SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, label AS bucket FROM n
-  WHERE vec_id % {query_modulus} = 0
-), scored AS (
-  SELECT query_id, n.vec_id AS neighbor_id,
-         round(list_dot_product(q_emb, emb) / (q_nrm * nrm), 6) AS cosine
-  FROM q JOIN n ON q.bucket = n.label AND query_id != n.vec_id
-), ranked AS (
-  SELECT *, row_number() OVER (
-    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
-  ) AS rn FROM scored
-)
-SELECT query_id, neighbor_id, cosine FROM ranked WHERE rn <= {k}
-"""
+    """DuckDB twin of :func:`ivf_topk` — the untrained (n_iters=0)
+    instantiation of the trained-IVF oracle."""
+    return ivf_trained_oracle_sql(
+        k=k, query_modulus=query_modulus, n_iters=0
+    )
 
 
 def all_pairs_cosine_blas(

@@ -1134,7 +1134,10 @@ def similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "similarity_ivf",
     similarity.ivf_topk_oracle_sql(),
-    doc="IVF-bucketed approximate top-k (scale path: per-bucket scan)",
+    doc="IVF approximate top-k with an UNTRAINED seed-cell quantizer "
+    "(the n_iters=0 ablation of similarity_ivf_trained; the recall "
+    "gap between the two entries is the measured value of training — "
+    "floors pinned in tests/test_similarity.py)",
 )
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"))
@@ -1144,13 +1147,15 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity_pq",
     similarity.pq_adc_oracle_sql(),
     doc="product-quantization ANN with asymmetric distance (ADC): "
-    "4x16-dim subspaces, 8-centroid codebook trained in-query "
+    "8x8-dim subspaces, 16-centroid codebook trained in-query "
     "(deterministic seeds + one rounded Lloyd's update), corpus "
-    "encoded to 4 small ints per vector, per-query distance LUT "
-    "broadcast, partial distances summed as exact integer micros — "
-    "the compression-side complement of the IVF pruning path "
-    "(operators/similarity.py::pq_adc_topk); fully oracle-checked "
-    "including training",
+    "encoded to 8 small ints per vector, per-query distance LUT "
+    "broadcast, partial distances summed as exact integer micros, "
+    "then an 80-wide ADC shortlist exactly re-ranked by true cosine "
+    "(the FAISS refine stage; recall@5 pinned in "
+    "tests/test_similarity.py) — the compression-side complement of "
+    "the IVF pruning path (operators/similarity.py::pq_adc_topk); "
+    "fully oracle-checked including training",
 )
 def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(_t(spark, sf_dir, "embeddings"))

@@ -73,7 +73,8 @@ def test_simhash_pairs_single_scan(spark):
 # BroadcastNestedLoopJoin is allowed ONLY where the broadcast side is a
 # constant-size relation (not data-proportional):
 #   similarity_topk        — the labeled exact baseline (broadcast query set)
-#   similarity_ivf_trained — crossJoin against <= 8 trained centroids
+#   similarity_ivf_trained — crossJoin against <= 16 trained centroids
+#   similarity_ivf         — same crossJoin geometry, untrained (n_iters=0)
 #   high_low_24h           — 1-row max-timestamp scalar
 #   tfidf_top_terms        — 1-row corpus doc-count scalar
 #   q22_dormant_value      — 1-row avg-acctbal scalar (inequality join)
@@ -83,6 +84,7 @@ def test_simhash_pairs_single_scan(spark):
 BNLJ_ALLOWED = {
     "similarity_topk",
     "similarity_ivf_trained",
+    "similarity_ivf",
     "high_low_24h",
     "tfidf_top_terms",
     "q22_dormant_value",
@@ -94,7 +96,7 @@ BNLJ_ALLOWED = {
     "pareto_parts",  # 1-row revenue-total scalar onto the part rollup
     "feature_bins",  # 1-row decile-threshold scalar onto the fact scan
     "target_encode",  # 1-row global-mean scalar onto the segment rollup
-    "mutual_info",  # 1-row total + min-category scalars onto the cell table
+    "mutual_info",  # 1-row total + 1-row entropy scalars onto the cell table
     "dq_orphans",  # three 1-row orphan-count scalars cross-joined
     "pct_of_total",  # 1-row grand-total scalar onto the nation rollup
 }

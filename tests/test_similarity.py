@@ -28,12 +28,42 @@ def test_blas_block_count_invariance(spark):
     assert b4 == b13
 
 
-def test_ivf_trained_recall_floor(spark):
-    """The trained-quantizer IVF must actually find neighbors: recall@3
-    vs the exact baseline >= 0.5 at nprobe=2, and multi-probe must not
-    lose recall vs single-probe (cell-boundary misses recovered).
-    Measured at sf0.01 — the sf0.001 corpus has ~6 vectors per cell,
-    too few for cell-local neighborhoods to mean anything."""
+def _recall_at_5(spark, fn, em, exact):
+    approx = {(r.query_id, r.neighbor_id) for r in fn(em).collect()}
+    return len(approx & exact) / len(exact)
+
+
+def test_ann_recall_floors(spark):
+    """Every ANN registry entry must actually find neighbors: pinned
+    recall@5 floors vs the exact baseline at DEFAULT knobs, measured at
+    sf0.01 (the driver's gating scale; the whole pipeline is
+    deterministic, so these are exact reproductions, with the floor set
+    a notch under the measured value to absorb future knob tuning).
+
+    Measured 2026-08-14 (recall@5 at sf0.001 / sf0.01 / sf0.1):
+      ivf_topk (untrained, 16 cells, nprobe=5)  0.64 / 0.56 / 0.54
+      ivf_trained_topk (2 Lloyd's iterations)   0.68 / 0.68 / 0.64
+      pq_adc_topk (8x8 subspaces, 16 codes,
+                   ADC shortlist 80 + exact re-rank) 0.76 / 0.80 / 0.54
+    Context: the synthetic corpus is near-uniform random — the
+    pathological case for pruning indexes (no cluster structure to
+    exploit; exact top-5 shares the query's label 4% of the time).
+    Real text/image embeddings cluster, which raises recall at the
+    same scan fraction. Before round 4, ivf bucketed on the
+    geometry-free label column: recall@5 was 0.04 — chance."""
+    em = _t(spark, "/root/testdata/sf0.01", "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(em).collect()
+    }
+    assert _recall_at_5(spark, similarity.ivf_topk, em, exact) >= 0.5
+    assert _recall_at_5(spark, similarity.ivf_trained_topk, em, exact) >= 0.6
+    assert _recall_at_5(spark, similarity.pq_adc_topk, em, exact) >= 0.7
+
+
+def test_ivf_multiprobe_monotone(spark):
+    """Multi-probe must not lose recall vs single-probe (cell-boundary
+    misses recovered as nprobe grows)."""
     em = _t(spark, "/root/testdata/sf0.01", "embeddings")
     exact = {
         (r.query_id, r.neighbor_id)
@@ -44,12 +74,12 @@ def test_ivf_trained_recall_floor(spark):
             (r.query_id, r.neighbor_id)
             for r in similarity.ivf_trained_topk(em, k=3, nprobe=n).collect()
         }
-        for n in (1, 2)
+        for n in (1, 5)
     }
     r1 = len(got[1] & exact) / len(exact)
-    r2 = len(got[2] & exact) / len(exact)
-    assert r2 >= 0.5
-    assert r2 >= r1
+    r5 = len(got[5] & exact) / len(exact)
+    assert r5 >= r1
+    assert r5 >= 0.5
 
 
 def test_ivf_trained_probes_bound_candidates(spark, sf_dir):
