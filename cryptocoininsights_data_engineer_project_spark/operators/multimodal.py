@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The container has no image/audio codecs, so the *decode* step is a
-deterministic stub (clearly marked), but everything Spark-side is real
-and tested: the schema contract, Arrow batch shapes, ``mapInPandas``
-signatures, and partitioning behavior — exactly what you'd keep when
-swapping the stub for PIL/ffmpeg on a real cluster.
+Decode coverage: container-header parse (PNG IHDR, WAV fmt) and 16-bit
+PCM SAMPLE decode (``decode_wav_frames``) are REAL — no codec library
+needed. Only image PIXEL decode still requires codecs absent from this
+container and stays a clearly-marked stub (``decode_image``); its
+Spark-side plumbing — schema contract, Arrow batch shapes,
+``mapInPandas`` signatures, partitioning — is real and tested, exactly
+what you'd keep when swapping in PIL/ffmpeg on a real cluster.
 
 Design for 100 TB: binary payloads ride in their own column so column
 pruning skips them unless a stage actually decodes; decode runs in
@@ -157,11 +159,15 @@ def extract_features(assets: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> "object":
-    """Real decoder hook. Not implementable in this container (no
+    """Real decoder hook for image PIXELS — the one remaining
+    codec-gated stub (audio samples decode for real via
+    ``decode_wav_frames``). Not implementable in this container (no
     PIL/opencv); see ``extract_features`` for the stubbed path."""
     raise NotImplementedError(
-        "image decode requires codec libraries not present in this environment; "
-        "swap this in on a cluster with PIL/opencv installed"
+        "image pixel decode requires codec libraries not present in this "
+        "environment; swap this in on a cluster with PIL/opencv installed "
+        "(audio PCM decode needs no codec and is implemented: "
+        "decode_wav_frames)"
     )
 
 
@@ -176,25 +182,53 @@ _IHDR = "0000000d49484452"  # length 13 + "IHDR"
 _IHDR_TAIL = "0806000000" + "00000000"  # depth 8, RGBA, default, fake CRC
 
 
+# Synthetic WAV geometry: a COMPLETE canonical 44-byte header (12-byte
+# RIFF/WAVE + full 24-byte 'fmt ' + 8-byte 'data' header) followed by a
+# real 16-bit-PCM data chunk of PCM_N_SAMPLES interleaved samples whose
+# values derive from (doc_id, sample index) — so the sample decoder has
+# actual bytes to decode and BOTH engines can state the expected
+# waveform in closed form: sample(i) = (doc_id*131 + i*7919) % 65536
+# as a signed little-endian int16.
+PCM_N_SAMPLES = 64
+_PCM_BYTES = PCM_N_SAMPLES * 2
+_WAV_RIFF_SIZE = 4 + (8 + 16) + (8 + _PCM_BYTES)  # WAVE + fmt + data
+
+
 def _synth_hex_spark() -> str:
     """Spark SQL expression: hex string of the synthetic payload."""
     w = "(doc_id % 1920) + 1"
     h = "(doc_id % 1080) + 1"
     ch = "(doc_id % 2) + 1"
     rate = "8000 + (doc_id % 8) * 4000"
+    brate = f"(({rate}) * ({ch}) * 2)"
     le2 = f"concat(lpad(hex(({ch}) % 256), 2, '0'), '00')"
     le4 = (
         f"concat(lpad(hex(({rate}) % 256), 2, '0'), "
         f"lpad(hex(({rate}) div 256 % 256), 2, '0'), "
         f"lpad(hex(({rate}) div 65536 % 256), 2, '0'), '00')"
     )
+    brate_le4 = (
+        f"concat(lpad(hex({brate} % 256), 2, '0'), "
+        f"lpad(hex({brate} div 256 % 256), 2, '0'), "
+        f"lpad(hex({brate} div 65536 % 256), 2, '0'), '00')"
+    )
+    balign_le2 = f"concat(lpad(hex(({ch}) * 2), 2, '0'), '00')"
+    riff_le4 = (
+        f"'{_WAV_RIFF_SIZE % 256:02x}{_WAV_RIFF_SIZE // 256 % 256:02x}0000'"
+    )
+    pcm = (
+        f"array_join(transform(sequence(0, {PCM_N_SAMPLES - 1}), i -> "
+        "concat(lpad(hex((doc_id * 131 + i * 7919) % 65536 % 256), 2, '0'), "
+        "lpad(hex((doc_id * 131 + i * 7919) % 65536 div 256), 2, '0'))), '')"
+    )
     png = (
         f"concat('{_PNG_SIG}', '{_IHDR}', lpad(hex({w}), 8, '0'), "
         f"lpad(hex({h}), 8, '0'), '{_IHDR_TAIL}')"
     )
     wav = (
-        f"concat('52494646', '24000000', '57415645', '666d7420', "
-        f"'10000000', '0100', {le2}, {le4})"
+        f"concat('52494646', {riff_le4}, '57415645', '666d7420', "
+        f"'10000000', '0100', {le2}, {le4}, {brate_le4}, {balign_le2}, "
+        f"'1000', '64617461', '{_PCM_BYTES % 256:02x}000000', {pcm})"
     )
     return (
         f"CASE WHEN doc_id % 3 = 0 THEN {png} "
@@ -208,17 +242,34 @@ def _synth_hex_duck() -> str:
     h = "(doc_id % 1080) + 1"
     ch = "(doc_id % 2) + 1"
     rate = "8000 + (doc_id % 8) * 4000"
+    brate = f"(({rate}) * ({ch}) * 2)"
     le2 = f"lpad(hex(({ch}) % 256), 2, '0') || '00'"
     le4 = (
         f"lpad(hex(({rate}) % 256), 2, '0') || "
         f"lpad(hex(({rate}) // 256 % 256), 2, '0') || "
         f"lpad(hex(({rate}) // 65536 % 256), 2, '0') || '00'"
     )
+    brate_le4 = (
+        f"lpad(hex({brate} % 256), 2, '0') || "
+        f"lpad(hex({brate} // 256 % 256), 2, '0') || "
+        f"lpad(hex({brate} // 65536 % 256), 2, '0') || '00'"
+    )
+    balign_le2 = f"lpad(hex(({ch}) * 2), 2, '0') || '00'"
+    riff_le4 = f"'{_WAV_RIFF_SIZE % 256:02x}{_WAV_RIFF_SIZE // 256 % 256:02x}0000'"
+    pcm = (
+        f"array_to_string(list_transform(generate_series(0, {PCM_N_SAMPLES - 1}), "
+        "i -> lpad(hex((doc_id * 131 + i * 7919) % 65536 % 256), 2, '0') || "
+        "lpad(hex((doc_id * 131 + i * 7919) % 65536 // 256), 2, '0')), '')"
+    )
     png = (
         f"'{_PNG_SIG}' || '{_IHDR}' || lpad(hex({w}), 8, '0') || "
         f"lpad(hex({h}), 8, '0') || '{_IHDR_TAIL}'"
     )
-    wav = f"'52494646' || '24000000' || '57415645' || '666d7420' || '10000000' || '0100' || {le2} || {le4}"
+    wav = (
+        f"'52494646' || {riff_le4} || '57415645' || '666d7420' || '10000000' "
+        f"|| '0100' || {le2} || {le4} || {brate_le4} || {balign_le2} "
+        f"|| '1000' || '64617461' || '{_PCM_BYTES % 256:02x}000000' || {pcm}"
+    )
     return (
         f"CASE WHEN doc_id % 3 = 0 THEN {png} "
         f"WHEN doc_id % 3 = 1 THEN {wav} "
@@ -375,6 +426,142 @@ SELECT asset_id,
        AS BIGINT) AS n_bytes
 FROM meta, UNNEST(generate_series(0, {N_FRAMES - 1})) AS g(frame_idx)
 WHERE media_type = 'audio/wav'
+"""
+
+
+# ------------------------------------------------------------ PCM decode
+# Real audio SAMPLE decode — no codec library needed: 16-bit PCM is
+# stdlib-decodable (numpy int16 view over the byte range). This retires
+# the audio half of the decode stub; only image PIXEL decode still
+# needs external codecs (decode_image).
+_WAV_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("peak_min", T.LongType(), True),
+        T.StructField("peak_max", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_wav_frames(assets: DataFrame, plan: DataFrame) -> DataFrame:
+    """Decode 16-bit-PCM sample frames over EXACTLY the byte ranges a
+    frame plan emits (``frame_sample_plan`` / ``micro_frame_plan``):
+    (asset_id, frame_idx, n_samples, peak_min, peak_max, rms).
+
+    Physical shape: the plan collapses to one row per asset
+    (collect_list of frame specs — bounded: ~100 tiny structs), joins
+    the payload ONCE (no payload×frames blow-up through the shuffle),
+    and a mapInPandas worker slices each range out of the local bytes —
+    Arrow-batched, zero driver involvement, payload moves exactly once.
+    Frames extending past the payload decode the available prefix
+    (n_samples reflects what was actually decoded; 0 ⇒ NULL stats).
+
+    rms = round(sqrt(ssq / n), 6) with ssq an EXACT integer sum of
+    squares, so the only float ops are one divide, one sqrt, one
+    half-away round — bit-reproducible against any engine that states
+    the same waveform (the registry oracle does, in closed form).
+    """
+    specs = plan.groupBy("asset_id").agg(
+        F.collect_list(F.struct("frame_idx", "start_byte", "n_bytes")).alias(
+            "_frames"
+        )
+    )
+    joined = assets.select("asset_id", "payload").join(specs, "asset_id")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _WAV_FRAME_SCHEMA}
+            for aid, payload, frames in zip(
+                pdf["asset_id"], pdf["payload"], pdf["_frames"]
+            ):
+                b = bytes(payload) if payload is not None else b""
+                for fr in frames:
+                    start, nb = int(fr["start_byte"]), int(fr["n_bytes"])
+                    chunk = b[start : start + nb]
+                    chunk = chunk[: len(chunk) - (len(chunk) % 2)]
+                    arr = np.frombuffer(chunk, dtype="<i2")
+                    rows["asset_id"].append(aid)
+                    rows["frame_idx"].append(int(fr["frame_idx"]))
+                    rows["n_samples"].append(len(arr))
+                    if len(arr):
+                        ssq = int((arr.astype(np.int64) ** 2).sum())
+                        rms = math.sqrt(ssq / len(arr))
+                        rows["peak_min"].append(int(arr.min()))
+                        rows["peak_max"].append(int(arr.max()))
+                        # half-away round, matching F.round/DuckDB (rms >= 0)
+                        rows["rms"].append(math.floor(rms * 1e6 + 0.5) / 1e6)
+                    else:
+                        rows["peak_min"].append(None)
+                        rows["peak_max"].append(None)
+                        rows["rms"].append(None)
+            yield pd.DataFrame(rows)
+
+    return joined.mapInPandas(_decode, schema=_WAV_FRAME_SCHEMA)
+
+
+# Micro frame geometry sized to the synthetic PCM chunk (64 interleaved
+# samples): 16-sample frames at 8-sample stride -> 7 fully-covered
+# frames. Same integer byte arithmetic as frame_sample_plan, so the
+# decoder is exercised through the identical (start_byte, n_bytes)
+# contract it would receive from the real 25ms/10ms plan.
+MICRO_FRAME_SAMPLES = 16
+MICRO_STRIDE_SAMPLES = 8
+MICRO_N_FRAMES = 1 + (PCM_N_SAMPLES - MICRO_FRAME_SAMPLES) // MICRO_STRIDE_SAMPLES
+
+
+def micro_frame_plan(assets: DataFrame) -> DataFrame:
+    """(asset_id, frame_idx, start_byte, n_bytes) over every WAV asset,
+    sized to the synthetic clip. JVM-only: magic sniff + one explode."""
+    wav = assets.filter(
+        F.expr("substring(upper(hex(substring(payload, 1, 4))), 1, 8) = '52494646'")
+    )
+    return wav.select(
+        "asset_id",
+        F.explode(F.expr(f"sequence(0, {MICRO_N_FRAMES - 1})")).alias("f"),
+    ).select(
+        "asset_id",
+        F.col("f").cast("long").alias("frame_idx"),
+        (
+            F.lit(DATA_OFFSET)
+            + F.col("f") * MICRO_STRIDE_SAMPLES * BYTES_PER_SAMPLE
+        ).cast("long").alias("start_byte"),
+        F.lit(MICRO_FRAME_SAMPLES * BYTES_PER_SAMPLE).cast("long").alias("n_bytes"),
+    )
+
+
+def wav_pcm_oracle_sql() -> str:
+    """Closed-form oracle for ``decode_wav_frames`` over the synthetic
+    assets: instead of re-parsing bytes, DuckDB states the expected
+    waveform directly — sample(i) = ((doc_id*131 + i*7919) % 65536) -
+    32768 — so any mis-slice/mis-endian/mis-sign in the Spark byte
+    decoder breaks the match."""
+    return f"""
+WITH u AS (
+  SELECT doc_id AS asset_id, f.f AS frame_idx,
+    (doc_id * 131 + (f.f * {MICRO_STRIDE_SAMPLES} + g.i) * 7919) % 65536 AS uv
+  FROM documents,
+    UNNEST(generate_series(0, {MICRO_N_FRAMES - 1})) AS f(f),
+    UNNEST(generate_series(0, {MICRO_FRAME_SAMPLES - 1})) AS g(i)
+  WHERE doc_id % 3 = 1
+), s AS (
+  -- reinterpret the unsigned 16-bit word as little-endian int16
+  SELECT asset_id, frame_idx,
+         CASE WHEN uv >= 32768 THEN uv - 65536 ELSE uv END AS v
+  FROM u
+)
+SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+  CAST(count(*) AS BIGINT) AS n_samples,
+  CAST(min(v) AS BIGINT) AS peak_min,
+  CAST(max(v) AS BIGINT) AS peak_max,
+  round(sqrt(sum(CAST(v AS BIGINT) * v) / {MICRO_FRAME_SAMPLES}.0), 6) AS rms
+FROM s GROUP BY asset_id, frame_idx
 """
 
 

@@ -1003,15 +1003,33 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="audio frame-sampling plan: 25 ms / 10 ms-stride analysis "
     "frames as exact byte ranges per WAV asset, derived from the "
     "parsed header (sample rate x channels x 16-bit PCM) — the "
-    "deterministic front-end a mapInPandas feature extractor consumes; "
-    "sample-level decode stays stubbed (no codecs in container). "
-    "Integer arithmetic, one generator explode, no shuffle "
-    "(operators/multimodal.py::frame_sample_plan)",
+    "deterministic front-end the mapInPandas sample decoder consumes "
+    "(multimodal_wav_pcm). Integer arithmetic, one generator explode, "
+    "no shuffle (operators/multimodal.py::frame_sample_plan)",
 )
 def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample_plan(
         multimodal.synth_assets(_t(spark, sf_dir, "documents"))
     )
+
+
+@_q(
+    "multimodal_wav_pcm",
+    multimodal.wav_pcm_oracle_sql(),
+    doc="REAL 16-bit-PCM sample decode (no codec needed — numpy int16 "
+    "view in an Arrow-batched mapInPandas worker) over exactly the "
+    "byte ranges a frame plan emits: per-frame n_samples, peaks, and "
+    "rms from an exact integer sum of squares. The synthetic WAV "
+    "assets carry a real data chunk whose waveform both engines can "
+    "state in closed form, so the oracle catches any mis-slice/"
+    "mis-endian/mis-sign in the byte decoder. Payload joins the "
+    "per-asset frame-spec list once — no payload-per-frame blow-up "
+    "(operators/multimodal.py::decode_wav_frames). Image PIXEL decode "
+    "remains the only codec-gated stub (decode_image)",
+)
+def multimodal_wav_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = multimodal.synth_assets(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_wav_frames(assets, multimodal.micro_frame_plan(assets))
 
 
 @_q(
