@@ -693,3 +693,83 @@ SELECT b.doc_id,
        len(b.w) - COALESCE(sur.n_kept, 0) AS n_dropped
 FROM w b LEFT JOIN sur ON b.doc_id = sur.doc_id
 """
+
+
+# ------------------------------------------------- incremental (cross-run)
+def write_fingerprint_index(
+    docs: DataFrame,
+    path: str,
+    mode: str = "append",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> None:
+    """Persist the MinHash band fingerprints of a corpus (or batch) as
+    the cross-run dedup index: (doc_id, band_id, band_hash), ``bands``
+    tiny rows per document.
+
+    This is the mode a real 100 TB training pipeline runs in: the
+    corpus is fingerprinted ONCE when ingested; every later batch
+    dedups against the index (``incremental_dedup_pairs``) instead of
+    re-scanning — and re-tokenizing — petabytes of already-seen text.
+    Soundness rests on MinHash being a PER-DOCUMENT function: a doc's
+    signature (and hence its band hashes) never depends on the rest of
+    the corpus, so bands computed in different runs collide exactly as
+    they would in one run.
+
+    ``mode="append"`` makes index maintenance one cheap write per
+    batch (fingerprint the batch, append). The layout shuffles on the
+    probe key (band_id, band_hash) before writing so each output file
+    covers a key range; production would bucket the table on band_hash
+    (operators/layout.py::write_bucketed) to make every future probe
+    join exchange-free on the index side."""
+    b = minhash_bands(minhash_signatures(docs, k), bands, rows)
+    b.repartition("band_id", "band_hash").write.mode(mode).parquet(path)
+
+
+def incremental_dedup_pairs(
+    spark,
+    batch_docs: DataFrame,
+    index_path: str,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """(doc_a, doc_b) near-duplicate candidate pairs for a NEW batch:
+    batch-vs-index collisions plus batch-internal collisions, without
+    touching any already-indexed document's text.
+
+    Union-equivalence (tested): index(A) then incremental(B) finds
+    exactly the pairs of minhash_candidate_pairs(A ∪ B) that involve a
+    B document — because band fingerprints are per-document, batching
+    cannot create or destroy collisions. A-internal pairs were already
+    reported when A was indexed; re-indexing the batch afterwards
+    (``write_fingerprint_index(batch, path)``) keeps the invariant for
+    the next run.
+
+    Physical shape: the batch is fingerprinted in one pipeline (its
+    only corpus scan); the index side is a pure parquet scan of
+    band-hash rows — never text. The probe is an equi-join on
+    (band_id, band_hash); with a bucketed index the exchange lands on
+    the (small) batch side only, and AQE broadcasts it outright when
+    the batch is broadcast-sized. Output is bounded by true collision
+    density, same as the one-shot banding."""
+    b = minhash_bands(minhash_signatures(batch_docs, k), bands, rows)
+    # one batch scan feeds both the cross-probe and the internal pairs
+    b = b.localCheckpoint()
+    idx = spark.read.parquet(index_path)
+    cross = (
+        idx.join(b.withColumnRenamed("doc_id", "batch_id"), ["band_id", "band_hash"])
+        .filter(F.col("doc_id") != F.col("batch_id"))
+        .select(
+            F.least("doc_id", "batch_id").alias("doc_a"),
+            F.greatest("doc_id", "batch_id").alias("doc_b"),
+        )
+    )
+    internal_buckets = (
+        b.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    internal = _ordered_pairs(internal_buckets)
+    return cross.unionByName(internal).distinct()

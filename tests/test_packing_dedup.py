@@ -176,3 +176,42 @@ def test_connected_components_round_cap_diagnoses(spark):
 
     with _pytest.raises(RuntimeError, match="failed to converge in 1 rounds"):
         _cc(spark, [(i, i + 1) for i in range(64)], max_rounds=1)
+
+
+# ---------------------------------------------- incremental cross-run dedup
+def test_incremental_dedup_matches_full_corpus(spark, tmp_path):
+    """index(A) + incremental(B) must equal the B-involving subset of
+    one-shot dedup over A ∪ B — the invariant that lets a pipeline
+    dedup new batches against a persisted index instead of re-scanning
+    the corpus."""
+    from cryptocoininsights_data_engineer_project_spark.operators.dedup import (
+        incremental_dedup_pairs,
+        minhash_candidate_pairs,
+        write_fingerprint_index,
+    )
+    from cryptocoininsights_data_engineer_project_spark.queries import _t
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    a = docs.filter("doc_id % 2 = 0")
+    b = docs.filter("doc_id % 2 = 1")
+    idx = str(tmp_path / "fp_index")
+    write_fingerprint_index(a, idx)
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in incremental_dedup_pairs(spark, b, idx).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b) for r in minhash_candidate_pairs(docs).collect()
+    }
+    b_ids = {r.doc_id for r in b.collect()}
+    want = {(x, y) for x, y in full if x in b_ids or y in b_ids}
+    assert got == want
+    assert len(got) > 0  # fixture corpus has cross-parity near-dups
+
+    # maintenance invariant: append B's fingerprints and a later batch
+    # (here: empty) sees a complete index — the union's pair set is
+    # fully recoverable from index-time + incremental reports
+    write_fingerprint_index(b, idx)
+    a_internal = {(x, y) for x, y in full if x not in b_ids and y not in b_ids}
+    assert a_internal | got == full
