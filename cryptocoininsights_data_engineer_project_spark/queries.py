@@ -4623,6 +4623,368 @@ def pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Market-analytics family: the reference warehouse exists to analyze
+# coin prices (README.md:5, data-transformation.py computes price /
+# high_24h / low_24h / price_change_percentage_24h columns); these
+# queries extend that to the standard exchange analytics a crypto
+# warehouse serves — OHLCV bars, VWAP, Bollinger bands, drawdown, RSI,
+# z-score anomalies — over the events stream (value = price tick,
+# props.k = trade size, event_type = instrument).
+#
+# Determinism: prices become integer cents at ingest; every window /
+# grouped sum runs on exact integers, floats appear only in final
+# ratios written with the IDENTICAL expression tree on both engines
+# (IEEE ops on equal inputs are bit-equal), then rounded.
+# =====================================================================
+
+# Sort key making open/close picks deterministic under equal
+# timestamps: microseconds * 1e8 + event_id, exact in HUGEINT
+# (DuckDB); the Spark side orders by the equivalent struct(tu,
+# event_id) instead (min_by/max_by take any orderable type).
+_EVT_SKEY = "CAST(tu AS HUGEINT) * 100000000 + event_id"
+
+_EVT_BASE_SQL = """
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         date_trunc('hour', ts) AS bar_ts,
+         epoch_us(ts) AS tu, event_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS qty
+  FROM events WHERE value IS NOT NULL
+"""
+
+_DAILY_CLOSE_SQL = f"""
+  SELECT event_type, day,
+         arg_max(cents, {_EVT_SKEY}) AS close_c
+  FROM ({_EVT_BASE_SQL})
+  GROUP BY 1, 2
+"""
+
+
+def _evt_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-tick projection of events: integer cents, trade qty,
+    bar timestamps, and the deterministic (tu, event_id) order key."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.date_trunc("hour", "ts").alias("bar_ts"),
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("tu"),
+            "event_id",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("qty"),
+        )
+    )
+
+
+def _daily_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One close price per (instrument, day): last tick by (tu,
+    event_id). One shuffle to (event_type, day) grain; output is
+    |instruments x days| rows — tiny at any corpus scale."""
+    return (
+        _evt_base(spark, sf_dir)
+        .groupBy("event_type", "day")
+        .agg(F.expr("max_by(cents, struct(tu, event_id))").alias("close_c"))
+    )
+
+
+@_q(
+    "ohlcv_candles",
+    f"""
+SELECT event_type, bar_ts,
+  round(arg_min(cents, {_EVT_SKEY}) / 100.0, 2) AS open,
+  round(max(cents) / 100.0, 2) AS high,
+  round(min(cents) / 100.0, 2) AS low,
+  round(arg_max(cents, {_EVT_SKEY}) / 100.0, 2) AS close,
+  CAST(sum(qty) AS BIGINT) AS volume,
+  count(*) AS n_trades
+FROM ({_EVT_BASE_SQL})
+GROUP BY 1, 2
+""",
+    doc="hourly OHLCV candlesticks per instrument — the canonical "
+    "exchange rollup over the reference's price feed (the 24h "
+    "high/low columns of data-transformation.py:40 generalized to "
+    "arbitrary bars). ONE scan, ONE shuffle to (instrument, hour) "
+    "grain: open/close are max_by/min_by over the (tu, event_id) "
+    "order key inside the same hash aggregate as high/low/volume — "
+    "no window, no sort, no second pass; partial aggregation "
+    "map-side-combines ticks before the exchange, so shuffle bytes "
+    "are bounded by |bars|, not |ticks|, at 100 TB",
+)
+def ohlcv_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _evt_base(spark, sf_dir)
+        .groupBy("event_type", "bar_ts")
+        .agg(
+            F.round(F.expr("min_by(cents, struct(tu, event_id))") / 100.0, 2).alias(
+                "open"
+            ),
+            F.round(F.max("cents") / 100.0, 2).alias("high"),
+            F.round(F.min("cents") / 100.0, 2).alias("low"),
+            F.round(F.expr("max_by(cents, struct(tu, event_id))") / 100.0, 2).alias(
+                "close"
+            ),
+            F.sum("qty").alias("volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+    )
+
+
+@_q(
+    "vwap_hourly",
+    f"""
+SELECT event_type, bar_ts,
+  round(CAST(sum(CAST(cents AS HUGEINT) * qty) AS DOUBLE)
+        / (100.0 * sum(qty)), 6) AS vwap,
+  CAST(sum(qty) AS BIGINT) AS volume
+FROM ({_EVT_BASE_SQL})
+GROUP BY 1, 2 HAVING sum(qty) > 0
+""",
+    doc="hourly volume-weighted average price per instrument: "
+    "sum(price x size)/sum(size) with the inner product kept exact "
+    "(cents x qty in 128-bit), one scan + one shuffle like "
+    "ohlcv_candles; a float appears only in the final division. At "
+    "100 TB the decimal(38,0) partial sums are what keep this both "
+    "overflow-safe and order-independent",
+)
+def vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _evt_base(spark, sf_dir)
+    return (
+        e.groupBy("event_type", "bar_ts")
+        .agg(
+            F.sum(F.col("cents").cast("decimal(38,0)") * F.col("qty")).alias("pv"),
+            F.sum("qty").alias("volume"),
+        )
+        .filter(F.col("volume") > 0)
+        .select(
+            "event_type",
+            "bar_ts",
+            F.round(
+                F.col("pv").cast("double") / (100.0 * F.col("volume")), 6
+            ).alias("vwap"),
+            "volume",
+        )
+    )
+
+
+@_q(
+    "bollinger_daily",
+    f"""
+WITH d AS ({_DAILY_CLOSE_SQL}),
+w AS (
+  SELECT event_type, day, close_c,
+    count(*) OVER win AS n,
+    sum(close_c) OVER win AS s,
+    sum(close_c * close_c) OVER win AS ss
+  FROM d
+  WINDOW win AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+SELECT event_type, day, round(close_c / 100.0, 2) AS close,
+  round(CAST(s AS DOUBLE) / (100.0 * n), 4) AS ma20,
+  round((CAST(s AS DOUBLE) / (100.0 * n))
+        + 2.0 * (sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                      / (n - 1)) / 100.0), 4) AS upper_band,
+  round((CAST(s AS DOUBLE) / (100.0 * n))
+        - 2.0 * (sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                      / (n - 1)) / 100.0), 4) AS lower_band
+FROM w WHERE n = 20
+""",
+    doc="20-day Bollinger bands (SMA +/- 2 sigma) per instrument over "
+    "daily closes: variance from integer window sums (s, ss exact in "
+    "BIGINT — the 20-row frame bounds them at any corpus scale), one "
+    "Window over the tiny |instrument x day| close table. The "
+    "expensive part (tick -> daily close) is the same single "
+    "shuffle-to-grain as ohlcv_candles; the band math never touches "
+    "the raw tick table",
+)
+def bollinger_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_close(spark, sf_dir)
+    win = Window.partitionBy("event_type").orderBy("day").rowsBetween(-19, 0)
+    w = d.select(
+        "event_type",
+        "day",
+        "close_c",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("close_c").over(win).alias("s"),
+        F.sum(F.col("close_c") * F.col("close_c")).over(win).alias("ss"),
+    ).filter(F.col("n") == 20)
+    sd_c = F.sqrt(
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    ma = F.col("s").cast("double") / (100.0 * F.col("n"))
+    return w.select(
+        "event_type",
+        "day",
+        F.round(F.col("close_c") / 100.0, 2).alias("close"),
+        F.round(ma, 4).alias("ma20"),
+        F.round(ma + 2.0 * (sd_c / 100.0), 4).alias("upper_band"),
+        F.round(ma - 2.0 * (sd_c / 100.0), 4).alias("lower_band"),
+    )
+
+
+@_q(
+    "max_drawdown",
+    f"""
+WITH d AS ({_DAILY_CLOSE_SQL}),
+p AS (
+  SELECT event_type, close_c,
+    max(close_c) OVER (PARTITION BY event_type ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_c
+  FROM d)
+SELECT event_type,
+  round(max((peak_c - close_c) / CAST(peak_c AS DOUBLE)), 6) AS max_drawdown,
+  round(max(peak_c) / 100.0, 2) AS peak_price
+FROM p GROUP BY 1
+""",
+    doc="maximum drawdown per instrument: running-peak cummax over "
+    "daily closes, then the worst peak-to-trough ratio. Integer "
+    "cummax + a max of per-row ratios — both order-safe (no float "
+    "summation anywhere). Window walks |instrument x day| rows, "
+    "never ticks",
+)
+def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_close(spark, sf_dir)
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = d.select(
+        "event_type",
+        "close_c",
+        F.max("close_c").over(win).alias("peak_c"),
+    )
+    return p.groupBy("event_type").agg(
+        F.round(
+            F.max(
+                (F.col("peak_c") - F.col("close_c")) / F.col("peak_c").cast("double")
+            ),
+            6,
+        ).alias("max_drawdown"),
+        F.round(F.max("peak_c") / 100.0, 2).alias("peak_price"),
+    )
+
+
+@_q(
+    "rsi_14",
+    f"""
+WITH d AS ({_DAILY_CLOSE_SQL}),
+delta AS (
+  SELECT event_type, day, close_c,
+    close_c - lag(close_c) OVER (PARTITION BY event_type ORDER BY day) AS chg
+  FROM d),
+g AS (
+  SELECT event_type, day, close_c,
+    count(chg) OVER win AS n,
+    sum(CASE WHEN chg > 0 THEN chg ELSE 0 END) OVER win AS sg,
+    sum(CASE WHEN chg < 0 THEN -chg ELSE 0 END) OVER win AS sl
+  FROM delta
+  WINDOW win AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+SELECT event_type, day, round(close_c / 100.0, 2) AS close,
+  round(coalesce(100.0 * sg / nullif(sg + sl, 0), 50.0), 4) AS rsi14
+FROM g WHERE n = 14
+""",
+    doc="14-day RSI (SMA variant) per instrument: integer "
+    "gain/loss window sums over daily close deltas, "
+    "100*gain/(gain+loss) with the flat-market case pinned at 50. "
+    "Two windows (lag + frame) over the daily-grain table; exact "
+    "until the final ratio",
+)
+def rsi_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_close(spark, sf_dir)
+    lagw = Window.partitionBy("event_type").orderBy("day")
+    frame = Window.partitionBy("event_type").orderBy("day").rowsBetween(-13, 0)
+    delta = d.select(
+        "event_type",
+        "day",
+        "close_c",
+        (F.col("close_c") - F.lag("close_c").over(lagw)).alias("chg"),
+    )
+    g = delta.select(
+        "event_type",
+        "day",
+        "close_c",
+        F.count("chg").over(frame).alias("n"),
+        F.sum(F.when(F.col("chg") > 0, F.col("chg")).otherwise(0)).over(frame).alias(
+            "sg"
+        ),
+        F.sum(F.when(F.col("chg") < 0, -F.col("chg")).otherwise(0)).over(frame).alias(
+            "sl"
+        ),
+    ).filter(F.col("n") == 14)
+    return g.select(
+        "event_type",
+        "day",
+        F.round(F.col("close_c") / 100.0, 2).alias("close"),
+        F.round(
+            F.coalesce(
+                100.0 * F.col("sg") / F.nullif(F.col("sg") + F.col("sl"), F.lit(0)),
+                F.lit(50.0),
+            ),
+            4,
+        ).alias("rsi14"),
+    )
+
+
+@_q(
+    "anomaly_zscore",
+    f"""
+WITH e AS ({_EVT_BASE_SQL}),
+st AS (
+  SELECT event_type, count(*) AS n, sum(cents) AS s,
+         sum(CAST(cents AS HUGEINT) * cents) AS ss
+  FROM e GROUP BY 1)
+SELECT e.event_id, e.event_type,
+  round(e.cents / 100.0, 2) AS price,
+  round((e.cents - CAST(st.s AS DOUBLE) / st.n)
+        / sqrt((CAST(st.ss AS DOUBLE) - CAST(st.s AS DOUBLE) * st.s / st.n)
+               / st.n), 4) AS zscore
+FROM e JOIN st ON e.event_type = st.event_type
+WHERE abs((e.cents - CAST(st.s AS DOUBLE) / st.n)
+      / sqrt((CAST(st.ss AS DOUBLE) - CAST(st.s AS DOUBLE) * st.s / st.n)
+             / st.n)) > 2.5
+""",
+    doc="price anomaly detection: ticks more than 2.5 sigma from "
+    "their instrument's mean. Per-instrument moments from ONE exact "
+    "integer aggregation (decimal(38,0) partial sums — overflow-safe "
+    "at 100 TB where sum(cents^2) exceeds int64), broadcast back "
+    "onto the tick scan: two scans total, zero windows, no "
+    "per-tick shuffle. The z expression is written identically on "
+    "both engines so IEEE doubles agree bit-for-bit",
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _evt_base(spark, sf_dir).select("event_id", "event_type", "cents")
+    st = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)") * F.col("cents")
+        ).alias("ss"),
+    )
+    z = (F.col("cents") - F.col("s").cast("double") / F.col("n")) / F.sqrt(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+        )
+        / F.col("n")
+    )
+    return (
+        e.join(F.broadcast(st), "event_type")
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("cents") / 100.0, 2).alias("price"),
+            F.round("zscore", 4).alias("zscore"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}

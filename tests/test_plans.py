@@ -277,3 +277,31 @@ def test_embedding_quantize_pure_projection(spark):
     assert _nodes(p, "Scan parquet") == 1
     assert _nodes(p, "Exchange") == 0
     assert _nodes(p, "HashAggregate") == 0
+
+
+def test_ohlcv_single_scan_single_shuffle(spark):
+    """OHLCV bars: open/close picked by min_by/max_by INSIDE the same
+    hash aggregate as high/low/volume — one tick scan, one exchange to
+    bar grain, zero windows/sorts/joins."""
+    p = _plan(spark, "ohlcv_candles")
+    assert _nodes(p, "Scan parquet") == 1
+    assert _nodes(p, "Exchange") == 1
+    assert _nodes(p, "Window") == 0
+    assert _nodes(p, "SortMergeJoin") + _nodes(p, "BroadcastHashJoin") == 0
+
+
+def test_anomaly_zscore_broadcast_stats(spark):
+    """Per-instrument moments come back to the tick scan as a
+    broadcast — no shuffle of the tick table itself."""
+    p = _plan(spark, "anomaly_zscore")
+    assert _nodes(p, "BroadcastHashJoin") == 1
+    assert _nodes(p, "SortMergeJoin") == 0
+
+
+def test_bollinger_windows_daily_grain_only(spark):
+    """The Window runs over the |instrument x day| close table (fed by
+    the grain aggregate), never over raw ticks: one scan, and the
+    aggregate sits below the window."""
+    p = _plan(spark, "bollinger_daily")
+    assert _nodes(p, "Scan parquet") == 1
+    assert _nodes(p, "Window") == 1
