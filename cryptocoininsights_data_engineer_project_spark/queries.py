@@ -4985,6 +4985,148 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DAILY_CHG_SQL = f"""
+  SELECT event_type, day, close_c,
+    close_c - lag(close_c) OVER (PARTITION BY event_type ORDER BY day) AS chg
+  FROM ({_DAILY_CLOSE_SQL})
+"""
+
+
+def _daily_chg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("event_type").orderBy("day")
+    return _daily_close(spark, sf_dir).select(
+        "event_type",
+        "day",
+        "close_c",
+        (F.col("close_c") - F.lag("close_c").over(w)).alias("chg"),
+    )
+
+
+@_q(
+    "corr_pairs",
+    f"""
+WITH c AS (SELECT event_type, day, chg FROM ({_DAILY_CHG_SQL}) WHERE chg IS NOT NULL),
+p AS (
+  SELECT a.event_type AS sym_a, b.event_type AS sym_b, count(*) AS n,
+    sum(a.chg) AS sx, sum(b.chg) AS sy,
+    sum(CAST(a.chg AS HUGEINT) * b.chg) AS sxy,
+    sum(CAST(a.chg AS HUGEINT) * a.chg) AS sxx,
+    sum(CAST(b.chg AS HUGEINT) * b.chg) AS syy
+  FROM c a JOIN c b ON a.day = b.day AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT sym_a, sym_b, n AS n_days,
+  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+        / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+           * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 6)
+    AS corr_chg
+FROM p
+""",
+    doc="pairwise correlation matrix of daily price CHANGES between "
+    "instruments (changes, not returns, so every sufficient "
+    "statistic — sx, sy, sxy, sxx, syy — is an exact 128-bit "
+    "integer and the correlation is order-independent; float "
+    "appears once, in the closed form). Equi-join on day over the "
+    "|instrument x day| close-delta table, so the pair blow-up is "
+    "|instruments|^2 per day — the close table at 100 TB is still "
+    "tiny, and Spark broadcasts one side",
+)
+def corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _daily_chg(spark, sf_dir).filter(F.col("chg").isNotNull()).select(
+        "event_type", "day", F.col("chg").cast("decimal(38,0)").alias("chg")
+    )
+    a = c.select(
+        F.col("event_type").alias("sym_a"), "day", F.col("chg").alias("xa")
+    )
+    b = c.select(
+        F.col("event_type").alias("sym_b"), "day", F.col("chg").alias("xb")
+    )
+    p = (
+        a.join(b, (a.day == b.day) & (a.sym_a < b.sym_b))
+        .groupBy("sym_a", "sym_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xa").alias("sx"),
+            F.sum("xb").alias("sy"),
+            F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+            F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+            F.sum(F.col("xb") * F.col("xb")).alias("syy"),
+        )
+    )
+    corr = (
+        F.col("n") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.sqrt(
+            F.col("n") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        * F.sqrt(
+            F.col("n") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy")
+        )
+    )
+    return p.select(
+        "sym_a", "sym_b", F.col("n").alias("n_days"), F.round(corr, 6).alias("corr_chg")
+    )
+
+
+@_q(
+    "beta_vs_market",
+    f"""
+WITH c AS (SELECT event_type, day, chg FROM ({_DAILY_CHG_SQL}) WHERE chg IS NOT NULL),
+m AS (SELECT day, sum(chg) AS mchg FROM c GROUP BY 1),
+j AS (SELECT c.event_type, c.chg, m.mchg FROM c JOIN m ON c.day = m.day),
+st AS (
+  SELECT event_type, count(*) AS n,
+    sum(chg) AS sx, sum(mchg) AS sm,
+    sum(CAST(chg AS HUGEINT) * mchg) AS sxm,
+    sum(CAST(mchg AS HUGEINT) * mchg) AS smm
+  FROM j GROUP BY 1)
+SELECT event_type, n AS n_days,
+  round((n * CAST(sxm AS DOUBLE) - CAST(sx AS DOUBLE) * sm)
+        / (n * CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * sm), 6) AS beta
+FROM st
+""",
+    doc="per-instrument beta vs the equal-weight market portfolio: "
+    "cov(chg, market_chg)/var(market_chg) where market change per day "
+    "is the integer SUM of instrument changes (no float averaging), "
+    "so every sufficient statistic is exact. The market series "
+    "re-aggregates the |instrument x day| table and joins back "
+    "broadcast — the tick table is scanned once",
+)
+def beta_vs_market(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _daily_chg(spark, sf_dir)
+        .filter(F.col("chg").isNotNull())
+        .select("event_type", "day", F.col("chg").cast("decimal(38,0)").alias("chg"))
+        # market totals and the per-instrument join both consume this
+        # frame; one shuffle to close grain feeds both branches
+        .localCheckpoint()
+    )
+    m = c.groupBy("day").agg(F.sum("chg").alias("mchg"))
+    st = (
+        c.join(F.broadcast(m), "day")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("chg").alias("sx"),
+            F.sum("mchg").alias("sm"),
+            F.sum(F.col("chg") * F.col("mchg")).alias("sxm"),
+            F.sum(F.col("mchg") * F.col("mchg")).alias("smm"),
+        )
+    )
+    beta = (
+        F.col("n") * F.col("sxm").cast("double")
+        - F.col("sx").cast("double") * F.col("sm")
+    ) / (
+        F.col("n") * F.col("smm").cast("double")
+        - F.col("sm").cast("double") * F.col("sm")
+    )
+    return st.select(
+        "event_type", F.col("n").alias("n_days"), F.round(beta, 6).alias("beta")
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
