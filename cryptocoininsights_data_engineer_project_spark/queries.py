@@ -5127,6 +5127,102 @@ def beta_vs_market(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ema_macd",
+    f"""
+WITH d0 AS ({_DAILY_CLOSE_SQL}),
+d AS (
+  SELECT event_type, day, close_c,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM d0),
+r AS (
+  WITH RECURSIVE rec AS (
+    SELECT event_type, rn, day, close_c,
+           CAST(close_c AS DOUBLE) AS e12, CAST(close_c AS DOUBLE) AS e26,
+           CAST(0 AS DOUBLE) AS macd, CAST(0 AS DOUBLE) AS sig
+    FROM d WHERE rn = 1
+    UNION ALL
+    SELECT d.event_type, d.rn, d.day, d.close_c,
+      (2.0 * d.close_c + 11.0 * rec.e12) / 13.0,
+      (2.0 * d.close_c + 25.0 * rec.e26) / 27.0,
+      ((2.0 * d.close_c + 11.0 * rec.e12) / 13.0)
+        - ((2.0 * d.close_c + 25.0 * rec.e26) / 27.0),
+      (2.0 * (((2.0 * d.close_c + 11.0 * rec.e12) / 13.0)
+              - ((2.0 * d.close_c + 25.0 * rec.e26) / 27.0))
+       + 8.0 * rec.sig) / 10.0
+    FROM d JOIN rec ON d.event_type = rec.event_type AND d.rn = rec.rn + 1)
+  SELECT * FROM rec)
+SELECT event_type, day, round(close_c / 100.0, 2) AS close,
+  round(e12 / 100.0, 6) AS ema12, round(e26 / 100.0, 6) AS ema26,
+  round(macd / 100.0, 6) AS macd, round(sig / 100.0, 6) AS macd_signal
+FROM r
+""",
+    doc="EMA-12/26, MACD, and its 9-day signal line per instrument — "
+    "a RECURSIVE per-key computation (each EMA value depends on the "
+    "previous one), the class SQL windows cannot express. Spark-first "
+    "shape: ONE shuffle to instrument grain, closes collected into a "
+    "per-key day-ordered array, then the whole recurrence runs as a "
+    "sequential fold in a single codegen'd F.aggregate lambda — "
+    "distributed ACROSS instruments, sequential only WITHIN one "
+    "(exactly the data dependency), never a driver loop or a Python "
+    "UDF. The oracle is DuckDB's recursive CTE; both engines execute "
+    "the recurrence in the same order with the same IEEE expression "
+    "tree, so doubles agree bit-for-bit. Per-key state is "
+    "O(|days|) — bounded by calendar length, not corpus size",
+)
+def ema_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_close(spark, sf_dir)
+    per_key = d.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "close_c"))).alias("s")
+    )
+    out_t = "array<struct<e12:double,e26:double,macd:double,sig:double>>"
+    fold = f"""
+aggregate(
+  transform(s, a -> cast(a.close_c as double)),
+  named_struct('e12', cast(0.0 as double), 'e26', cast(0.0 as double),
+               'sig', cast(0.0 as double), 'out', cast(array() as {out_t})),
+  (acc, x) -> case when size(acc.out) = 0 then named_struct(
+      'e12', x, 'e26', x, 'sig', cast(0.0 as double),
+      'out', array(named_struct('e12', x, 'e26', x,
+                   'macd', cast(0.0 as double), 'sig', cast(0.0 as double))))
+    else named_struct(
+      'e12', (2.0d * x + 11.0d * acc.e12) / 13.0d,
+      'e26', (2.0d * x + 25.0d * acc.e26) / 27.0d,
+      'sig', (2.0d * ((2.0d * x + 11.0d * acc.e12) / 13.0d
+                      - (2.0d * x + 25.0d * acc.e26) / 27.0d)
+              + 8.0d * acc.sig) / 10.0d,
+      'out', concat(acc.out, array(named_struct(
+        'e12', (2.0d * x + 11.0d * acc.e12) / 13.0d,
+        'e26', (2.0d * x + 25.0d * acc.e26) / 27.0d,
+        'macd', (2.0d * x + 11.0d * acc.e12) / 13.0d
+                - (2.0d * x + 25.0d * acc.e26) / 27.0d,
+        'sig', (2.0d * ((2.0d * x + 11.0d * acc.e12) / 13.0d
+                        - (2.0d * x + 25.0d * acc.e26) / 27.0d)
+                + 8.0d * acc.sig) / 10.0d))))
+    end
+).out
+"""
+    z = per_key.select(
+        "event_type",
+        F.explode(
+            F.arrays_zip(
+                F.expr("transform(s, a -> a.day)").alias("day"),
+                F.expr("transform(s, a -> a.close_c)").alias("close_c"),
+                F.expr(fold).alias("m"),
+            )
+        ).alias("z"),
+    )
+    return z.select(
+        "event_type",
+        F.col("z.day").alias("day"),
+        F.round(F.col("z.close_c") / 100.0, 2).alias("close"),
+        F.round(F.col("z.m.e12") / 100.0, 6).alias("ema12"),
+        F.round(F.col("z.m.e26") / 100.0, 6).alias("ema26"),
+        F.round(F.col("z.m.macd") / 100.0, 6).alias("macd"),
+        F.round(F.col("z.m.sig") / 100.0, 6).alias("macd_signal"),
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
