@@ -184,3 +184,55 @@ def windowed_event_counts(
         )
         .select("win.start", "win.end", "event_type", "n", "total_value")
     )
+
+
+def streaming_ohlcv(
+    events: DataFrame,
+    bar_duration: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of the ``ohlcv_candles`` registry query: OHLCV
+    bars per instrument over tumbling event-time windows.
+
+    Same single-aggregation shape as the batch query — open/close are
+    min_by/max_by over the (tu, event_id) order key INSIDE the bar
+    aggregate, so streaming state per (instrument, bar) is one
+    candle's accumulators, expired by the watermark; late ticks beyond
+    it are dropped. Works identically on a batch DataFrame (the
+    batch-parity test pins it to the registry query's output).
+    """
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    e = events.filter(F.col("value").isNotNull()).select(
+        "ts",
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("tu"),
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("qty"),
+    )
+    return (
+        e.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", bar_duration).alias("win"), F.col("event_type"))
+        .agg(
+            F.round(F.expr("min_by(cents, struct(tu, event_id))") / 100.0, 2).alias(
+                "open"
+            ),
+            F.round(F.max("cents") / 100.0, 2).alias("high"),
+            F.round(F.min("cents") / 100.0, 2).alias("low"),
+            F.round(F.expr("max_by(cents, struct(tu, event_id))") / 100.0, 2).alias(
+                "close"
+            ),
+            F.sum("qty").alias("volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .select(
+            F.col("win.start").alias("bar_ts"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "n_trades",
+        )
+    )

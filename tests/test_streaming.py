@@ -199,3 +199,71 @@ def test_replayed_micro_batch_is_idempotent(spark, dirs):
     q2 = stream_coin_pipeline(spark, dirs["raw"], wh, dirs["ckpt"])
     q2.awaitTermination(300)
     assert snapshot() == before
+
+
+def test_streaming_ohlcv_batch_parity(spark, sf_dir):
+    # the streaming candle plan applied to the batch events table must
+    # equal the ohlcv_candles registry query row-for-row
+    from cryptocoininsights_data_engineer_project_spark.catalog import table
+    from cryptocoininsights_data_engineer_project_spark.queries import REGISTRY
+    from cryptocoininsights_data_engineer_project_spark.streaming.ingest import (
+        streaming_ohlcv,
+    )
+
+    events = table(spark, sf_dir, "events")
+    got = {
+        (r["bar_ts"].isoformat(), r["event_type"]): (
+            r["open"], r["high"], r["low"], r["close"], r["volume"], r["n_trades"],
+        )
+        for r in streaming_ohlcv(events).collect()
+    }
+    expect = {
+        (r["bar_ts"].isoformat(), r["event_type"]): (
+            r["open"], r["high"], r["low"], r["close"], r["volume"], r["n_trades"],
+        )
+        for r in REGISTRY["ohlcv_candles"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_streaming_ohlcv_streaming_mode(spark, dirs, sf_dir):
+    # real stream, AvailableNow: sealed candles must MATCH the batch
+    # candles (not just count) — min_by/max_by state works in streaming
+    from cryptocoininsights_data_engineer_project_spark.catalog import table
+    from cryptocoininsights_data_engineer_project_spark.streaming.ingest import (
+        streaming_ohlcv,
+    )
+
+    events = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    src = dirs["raw"]
+    events.coalesce(1).write.mode("overwrite").json(src)
+    stream = spark.readStream.schema(events.schema).json(src)
+    q = (
+        streaming_ohlcv(stream)
+        .writeStream.format("memory")
+        .queryName("ohlcv_stream")
+        .outputMode("append")
+        .option("checkpointLocation", dirs["ckpt"] + "_ohlcv")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["bar_ts"].isoformat(), r["event_type"]): (
+            r["open"], r["high"], r["low"], r["close"], r["volume"], r["n_trades"],
+        )
+        for r in spark.sql("SELECT * FROM ohlcv_stream").collect()
+    }
+    batch = {
+        (r["bar_ts"].isoformat(), r["event_type"]): (
+            r["open"], r["high"], r["low"], r["close"], r["volume"], r["n_trades"],
+        )
+        for r in streaming_ohlcv(events).collect()
+    }
+    # append mode withholds candles the final watermark hasn't sealed
+    assert set(got).issubset(set(batch))
+    assert len(got) >= len(batch) - 10
+    for k, v in got.items():
+        assert v == batch[k]
