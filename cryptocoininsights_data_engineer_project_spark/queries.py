@@ -1025,7 +1025,8 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mis-endian/mis-sign in the byte decoder. Payload joins the "
     "per-asset frame-spec list once — no payload-per-frame blow-up "
     "(operators/multimodal.py::decode_wav_frames). Image PIXEL decode "
-    "remains the only codec-gated stub (decode_image)",
+    "decodes for real too (multimodal_png_pixels); only JPEG/video "
+    "remain codec-gated (decode_image)",
 )
 def multimodal_wav_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = multimodal.synth_assets(_t(spark, sf_dir, "documents"))
@@ -1201,11 +1202,29 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "multimodal_meta",
     multimodal.multimodal_meta_oracle_sql(),
-    doc="binary-column metadata projection (decode stays stubbed, "
+    doc="binary-column metadata projection (no decode needed here; "
     "plumbing is real — see operators/multimodal.py)",
 )
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.multimodal_meta(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "multimodal_png_pixels",
+    multimodal.png_pixels_oracle_sql(),
+    doc="REAL image pixel decode, end-to-end and cross-engine-checked: "
+    "a complete spec-valid PNG per document is constructed byte-exactly "
+    "in SQL (grey 8-bit, stored-DEFLATE IDAT), decoded by the pure-"
+    "stdlib PNG decoder (zlib raw-inflate + unfilter, "
+    "operators/multimodal.py::decode_png_pixels) in one mapInPandas "
+    "pass, and the per-asset pixel statistics hash-match DuckDB's "
+    "closed-form statement of the fixture waveform. Retires the image "
+    "half of the decode stub; filters 1-4 and RGB/alpha shapes are "
+    "covered by round-trip unit tests (tests/test_multimodal.py)",
+)
+def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_png_stats(multimodal.synth_png_assets(docs))
 
 
 @_q(

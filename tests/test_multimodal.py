@@ -233,3 +233,134 @@ def test_synth_wav_payload_is_decodable_wav(spark):
         for i, v in enumerate(vals):
             u = (doc_id * 131 + i * 7919) % 65536
             assert v == (u - 65536 if u >= 32768 else u)
+
+
+# ------------------------------------------------------------ PNG pixels
+def _encode_png(wd, ht, chn, pix, filt):
+    """Minimal reference PNG encoder (test-only): real zlib stream,
+    chosen per-row filter, correct chunk layout, zeroed CRCs."""
+    import struct
+    import zlib
+
+    stride = wd * chn
+    raw = b""
+    prev = bytes(stride)
+    for y in range(ht):
+        line = pix[y * stride:(y + 1) * stride]
+        if filt == 0:
+            fl = line
+        elif filt == 1:
+            fl = bytes((line[i] - (line[i - chn] if i >= chn else 0)) & 255 for i in range(stride))
+        elif filt == 2:
+            fl = bytes((line[i] - prev[i]) & 255 for i in range(stride))
+        elif filt == 3:
+            fl = bytes(
+                (line[i] - (((line[i - chn] if i >= chn else 0) + prev[i]) >> 1)) & 255
+                for i in range(stride)
+            )
+        else:
+            out = []
+            for i in range(stride):
+                a = line[i - chn] if i >= chn else 0
+                b_ = prev[i]
+                c = prev[i - chn] if i >= chn else 0
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
+                out.append((line[i] - pr) & 255)
+            fl = bytes(out)
+        raw += bytes([filt]) + fl
+        prev = line
+    z = zlib.compress(raw)
+    ctype = {1: 0, 3: 2, 2: 4, 4: 6}[chn]
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big") + b"IHDR"
+        + struct.pack(">IIBBBBB", wd, ht, 8, ctype, 0, 0, 0) + b"\x00" * 4
+        + len(z).to_bytes(4, "big") + b"IDAT" + z + b"\x00" * 4
+        + (0).to_bytes(4, "big") + b"IEND" + b"\x00" * 4
+    )
+
+
+def test_png_pixels_round_trip_all_filters_and_channels():
+    """The decoder must invert a REAL zlib-compressed stream under
+    every spec filter type, for grey / RGB / RGBA layouts."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    for chn, filt in itertools.product([1, 2, 3, 4], range(5)):
+        wd, ht = 5, 4
+        pix = bytes(rng.randrange(256) for _ in range(wd * ht * chn))
+        w, h, c, out = multimodal.decode_png_pixels(_encode_png(wd, ht, chn, pix, filt))
+        assert (w, h, c) == (wd, ht, chn)
+        assert out == pix, f"filter={filt} channels={chn}"
+
+
+def test_png_pixels_multi_idat_chunks():
+    """IDAT may legally split across chunks mid-stream; the decoder
+    concatenates before inflating."""
+    import struct
+
+    pix = bytes(range(24))
+    png = _encode_png(4, 2, 3, pix, 2)
+    # split the single IDAT into two chunks
+    sig, rest = png[:8], png[8:]
+    ihdr = rest[: 8 + 13 + 4]
+    idat_len = int.from_bytes(rest[25:29], "big")
+    idat_data = rest[33 : 33 + idat_len]
+    tail = rest[33 + idat_len + 4 :]
+    a, b = idat_data[:3], idat_data[3:]
+    rebuilt = (
+        sig + ihdr
+        + len(a).to_bytes(4, "big") + b"IDAT" + a + b"\x00" * 4
+        + len(b).to_bytes(4, "big") + b"IDAT" + b + b"\x00" * 4
+        + tail
+    )
+    w, h, c, out = multimodal.decode_png_pixels(rebuilt)
+    assert (w, h, c, out) == (4, 2, 3, pix)
+
+
+def test_png_pixels_rejects_unsupported_shapes():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.decode_png_pixels(b"\x89PNG\r\n\x1a\n" + b"garbage")
+    with _pytest.raises(ValueError):
+        multimodal.decode_png_pixels(b"JFIF not a png")
+    # truncated pixel data: valid header, IDAT covering half the rows
+    png = _encode_png(4, 4, 1, bytes(range(16)), 0)
+    import struct, zlib
+
+    short = zlib.compress(b"\x00" + bytes(4))  # one row only
+    broken = (
+        png[:33]
+        + len(short).to_bytes(4, "big") + b"IDAT" + short + b"\x00" * 4
+        + (0).to_bytes(4, "big") + b"IEND" + b"\x00" * 4
+    )
+    with _pytest.raises(ValueError):
+        multimodal.decode_png_pixels(broken)
+
+
+def test_decode_image_routes_png_and_gates_jpeg():
+    png = _encode_png(2, 2, 1, bytes([1, 2, 3, 4]), 0)
+    w, h, c, px = multimodal.decode_image(png)
+    assert (w, h, c, px) == (2, 2, 1, bytes([1, 2, 3, 4]))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0 jpeg")
+
+
+def test_synth_png_assets_decode_on_spark(spark, sf_dir):
+    """The SQL-built PNGs are REAL PNGs: pull one payload and decode it
+    in-process; run the distributed stats path and spot-check one id."""
+    from cryptocoininsights_data_engineer_project_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents").limit(20)
+    assets = multimodal.synth_png_assets(docs)
+    row = assets.filter("asset_id = 3").first()
+    w, h, c, px = multimodal.decode_png_pixels(bytes(row["payload"]))
+    assert (w, h, c) == (multimodal.PNG_W, multimodal.PNG_H, 1)
+    assert px == bytes((3 * 7 + i) % 256 for i in range(8))
+    stats = {r["asset_id"]: r for r in multimodal.decode_png_stats(assets).collect()}
+    assert stats[3]["pixel_sum"] == sum((3 * 7 + i) % 256 for i in range(8))
+    assert stats[3]["n_pixels"] == 8
