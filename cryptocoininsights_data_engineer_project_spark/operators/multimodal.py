@@ -786,3 +786,90 @@ SELECT doc_id AS asset_id,
   round(CAST(sum(v) AS DOUBLE) / {n}, 6) AS mean_level
 FROM px GROUP BY doc_id
 """
+
+
+# ------------------------------------------------------------ image resize
+def resize_nearest(
+    px: bytes, w: int, h: int, ch: int, out_w: int, out_h: int
+) -> bytes:
+    """Nearest-neighbor resample of interleaved 8-bit pixels — the
+    standard thumbnail/downsample step of an image-ingest pipeline.
+    Source coordinate per output pixel is the pixel-center map
+    sx = floor((2x+1)·w / 2·out_w) — integer-exact, so an oracle can
+    state the resized bytes in closed form."""
+    out = bytearray()
+    for y in range(out_h):
+        sy = ((2 * y + 1) * h) // (2 * out_h)
+        for x in range(out_w):
+            sx = ((2 * x + 1) * w) // (2 * out_w)
+            base = (sy * w + sx) * ch
+            out += px[base : base + ch]
+    return bytes(out)
+
+
+RESIZE_W = 2
+RESIZE_H = 1
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("out_w", T.LongType(), False),
+        T.StructField("out_h", T.LongType(), False),
+        T.StructField("n_pixels", T.LongType(), False),
+        T.StructField("pixel_sum", T.LongType(), False),
+        T.StructField("resized_hex", T.StringType(), False),
+    ]
+)
+
+
+def resize_png_assets(
+    assets: DataFrame, out_w: int = RESIZE_W, out_h: int = RESIZE_H
+) -> DataFrame:
+    """Decode PNG payloads and nearest-neighbor-resize them in ONE
+    mapInPandas pass: (asset_id, out_w, out_h, n_pixels, pixel_sum,
+    resized_hex). resized_hex is the exact resized byte stream (hex) so
+    a closed-form oracle can compare content, not just statistics.
+
+    Same physical shape as decode_png_stats: narrow per-row transform
+    at scan speed, zero shuffle, payload never moves."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _RESIZE_SCHEMA}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, ch, px = decode_png_pixels(bytes(payload))
+                rz = resize_nearest(px, w, h, ch, out_w, out_h)
+                rows["asset_id"].append(int(aid))
+                rows["out_w"].append(out_w)
+                rows["out_h"].append(out_h)
+                rows["n_pixels"].append(out_w * out_h)
+                rows["pixel_sum"].append(sum(rz))
+                rows["resized_hex"].append(rz.hex())
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _resize, schema=_RESIZE_SCHEMA
+    )
+
+
+def png_resize_oracle_sql(out_w: int = RESIZE_W, out_h: int = RESIZE_H) -> str:
+    """Closed-form resized bytes for the synthetic fixture: the
+    nearest-neighbor map picks source pixel ((2x+1)W // 2w,
+    (2y+1)H // 2h); fixture pixel (sx, sy) = (doc_id*7 + sx + W*sy) % 256."""
+    cells = []
+    for y in range(out_h):
+        sy = ((2 * y + 1) * PNG_H) // (2 * out_h)
+        for x in range(out_w):
+            sx = ((2 * x + 1) * PNG_W) // (2 * out_w)
+            cells.append(f"(doc_id * 7 + {sx + PNG_W * sy}) % 256")
+    hex_parts = " || ".join(f"lower(lpad(hex({c}), 2, '0'))" for c in cells)
+    val_sum = " + ".join(f"({c})" for c in cells)
+    n = out_w * out_h
+    return f"""
+SELECT doc_id AS asset_id,
+  CAST({out_w} AS BIGINT) AS out_w, CAST({out_h} AS BIGINT) AS out_h,
+  CAST({n} AS BIGINT) AS n_pixels,
+  CAST({val_sum} AS BIGINT) AS pixel_sum,
+  {hex_parts} AS resized_hex
+FROM documents
+"""

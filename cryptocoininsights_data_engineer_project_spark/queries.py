@@ -1228,6 +1228,22 @@ def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_image_resize",
+    multimodal.png_resize_oracle_sql(),
+    doc="decode + nearest-neighbor RESIZE in one mapInPandas pass — "
+    "the thumbnail/downsample step of an image-ingest pipeline, over "
+    "REAL decoded pixels (operators/multimodal.py::resize_nearest). "
+    "The pixel-center source map is integer-exact, so the oracle "
+    "states the resized BYTE STREAM itself in closed form "
+    "(resized_hex compares content, not just statistics). Narrow "
+    "scan-speed transform, zero shuffle, payload never moves",
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.resize_png_assets(multimodal.synth_png_assets(docs))
+
+
+@_q(
     "q7_volume_by_nations",
     """
 SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,

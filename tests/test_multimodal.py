@@ -364,3 +364,28 @@ def test_synth_png_assets_decode_on_spark(spark, sf_dir):
     stats = {r["asset_id"]: r for r in multimodal.decode_png_stats(assets).collect()}
     assert stats[3]["pixel_sum"] == sum((3 * 7 + i) % 256 for i in range(8))
     assert stats[3]["n_pixels"] == 8
+
+
+def test_resize_nearest_semantics():
+    """4x2 grey -> 2x1 picks pixel centers (1,1) and (3,1); RGB keeps
+    channel interleave; identity resize returns the input."""
+    px = bytes(range(8))  # 4x2 grey, value == index
+    assert multimodal.resize_nearest(px, 4, 2, 1, 2, 1) == bytes([5, 7])
+    assert multimodal.resize_nearest(px, 4, 2, 1, 4, 2) == px
+    rgb = bytes(range(24))  # 4x2 RGB
+    out = multimodal.resize_nearest(rgb, 4, 2, 3, 2, 1)
+    assert out == rgb[(1 * 4 + 1) * 3:(1 * 4 + 1) * 3 + 3] + rgb[(1 * 4 + 3) * 3:(1 * 4 + 3) * 3 + 3]
+
+
+def test_resize_png_assets_on_spark(spark, sf_dir):
+    from cryptocoininsights_data_engineer_project_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents").limit(10)
+    assets = multimodal.synth_png_assets(docs)
+    rows = {r["asset_id"]: r for r in multimodal.resize_png_assets(assets).collect()}
+    # fixture pixel (sx, sy) = (7d + sx + 4*sy) % 256; resize picks (1,1), (3,1)
+    d = 3
+    exp = bytes([(7 * d + 1 + 4) % 256, (7 * d + 3 + 4) % 256])
+    assert rows[d]["resized_hex"] == exp.hex()
+    assert rows[d]["pixel_sum"] == sum(exp)
+    assert (rows[d]["out_w"], rows[d]["out_h"]) == (2, 1)
