@@ -873,3 +873,139 @@ SELECT doc_id AS asset_id,
   {hex_parts} AS resized_hex
 FROM documents
 """
+
+
+# ------------------------------------------------------------ video frames
+# Y4M (YUV4MPEG2) is the codec-FREE video container: a plain-text
+# stream header, then per frame a "FRAME\n" marker followed by raw
+# plane bytes. With the Cmono colorspace each frame is exactly W*H
+# luma bytes — so REAL video decode + temporal frame sampling need
+# nothing but byte arithmetic, same as PCM audio. Fixture luma:
+# pixel(x, y, t) = (doc_id*7 + x + W*y + 11*t) % 256 over VIDEO_FRAMES
+# frames, so both engines can state any sampled frame in closed form.
+VIDEO_W = PNG_W
+VIDEO_H = PNG_H
+VIDEO_FRAMES = 3
+FRAME_STRIDE = 2  # temporal sampling: keep every 2nd frame
+_Y4M_HDR_HEX = "595556344d50454732205734204832204632353a3120436d6f6e6f0a"
+_Y4M_FRAME_HEX = "4652414d450a"  # "FRAME\n"
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """REAL Y4M video decode, pure stdlib: parse the stream-header
+    parameters (W/H/C tags, space-separated), then split fixed-size
+    frames at each FRAME marker. Mono (luma-only) streams decode to
+    W*H bytes per frame; chroma-subsampled variants (C420 etc.) raise
+    until needed — the container stays codec-free either way."""
+    b = bytes(payload)
+    nl = b.find(b"\n")
+    if nl < 0 or not b.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    cspace = "420jpeg"  # Y4M default when the C tag is absent
+    for tag in b[:nl].split(b" ")[1:]:
+        if tag[:1] == b"W":
+            w = int(tag[1:])
+        elif tag[:1] == b"H":
+            h = int(tag[1:])
+        elif tag[:1] == b"C":
+            cspace = tag[1:].decode()
+    if not w or not h:
+        raise ValueError("missing W/H in Y4M header")
+    if cspace != "mono":
+        raise NotImplementedError(f"Y4M colorspace {cspace}: only mono luma here")
+    fsize = w * h
+    frames = []
+    pos = nl + 1
+    while pos < len(b):
+        fnl = b.find(b"\n", pos)
+        if fnl < 0 or b[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        start = fnl + 1
+        if start + fsize > len(b):
+            raise ValueError("truncated frame payload")
+        frames.append(b[start : start + fsize])
+        pos = start + fsize
+    return w, h, frames
+
+
+def _synth_y4m_hex_spark() -> str:
+    frames = []
+    for t in range(VIDEO_FRAMES):
+        cells = ", ".join(
+            f"lpad(hex((doc_id * 7 + {i + 11 * t}) % 256), 2, '0')"
+            for i in range(VIDEO_W * VIDEO_H)
+        )
+        frames.append(f"'{_Y4M_FRAME_HEX}', concat({cells})")
+    return f"concat('{_Y4M_HDR_HEX}', {', '.join(frames)})"
+
+
+def synth_y4m_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): complete decodable mono Y4M clips."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(f"unhex({_synth_y4m_hex_spark()})").alias("payload"),
+    )
+
+
+_VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("pixel_sum", T.LongType(), False),
+        T.StructField("mean_luma", T.DoubleType(), False),
+    ]
+)
+
+
+def sample_video_frames(assets: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Temporal frame sampling over real decoded video: keep every
+    ``stride``-th frame and emit per-frame luma statistics —
+    (asset_id, frame_idx, width, height, pixel_sum, mean_luma).
+    mean_luma = round(pixel_sum / (w*h), 6), integer sum first.
+
+    Physical shape: one mapInPandas over the asset scan, frames
+    sliced from local bytes — the payload crosses to Python once per
+    asset regardless of frame count, and sampling drops frames BEFORE
+    any downstream exchange, so shuffle volume scales with kept
+    frames only."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _VIDEO_FRAME_SCHEMA}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, frames = decode_y4m(bytes(payload))
+                for t in range(0, len(frames), stride):
+                    s = sum(frames[t])
+                    rows["asset_id"].append(int(aid))
+                    rows["frame_idx"].append(t)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["pixel_sum"].append(s)
+                    rows["mean_luma"].append(round(s / (w * h), 6))
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _sample, schema=_VIDEO_FRAME_SCHEMA
+    )
+
+
+def video_frames_oracle_sql(stride: int = FRAME_STRIDE) -> str:
+    n = VIDEO_W * VIDEO_H
+    kept = list(range(0, VIDEO_FRAMES, stride))
+    return f"""
+WITH px AS (
+  SELECT doc_id, t.t AS frame_idx,
+         sum((doc_id * 7 + g.i + 11 * t.t) % 256) AS s
+  FROM documents,
+       UNNEST(ARRAY{kept}) AS t(t),
+       UNNEST(generate_series(0, {n - 1})) AS g(i)
+  GROUP BY 1, 2)
+SELECT doc_id AS asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+  CAST({VIDEO_W} AS BIGINT) AS width, CAST({VIDEO_H} AS BIGINT) AS height,
+  CAST(s AS BIGINT) AS pixel_sum,
+  round(CAST(s AS DOUBLE) / {n}, 6) AS mean_luma
+FROM px
+"""

@@ -1244,6 +1244,24 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_video_frames",
+    multimodal.video_frames_oracle_sql(),
+    doc="REAL video decode + temporal frame sampling: Y4M (YUV4MPEG2) "
+    "is the codec-free container — text header + raw luma planes — so "
+    "frame extraction is byte arithmetic like PCM audio "
+    "(operators/multimodal.py::decode_y4m). Spec-valid mono clips are "
+    "constructed byte-exactly in SQL, every 2nd frame is sampled and "
+    "reduced to luma stats in one mapInPandas pass, and the oracle "
+    "states each sampled frame in closed form. Completes the "
+    "modality matrix: image decode+resize, audio PCM frames, video "
+    "frame sampling — all real, all cross-engine-checked",
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.sample_video_frames(multimodal.synth_y4m_assets(docs))
+
+
+@_q(
     "q7_volume_by_nations",
     """
 SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,

@@ -389,3 +389,43 @@ def test_resize_png_assets_on_spark(spark, sf_dir):
     assert rows[d]["resized_hex"] == exp.hex()
     assert rows[d]["pixel_sum"] == sum(exp)
     assert (rows[d]["out_w"], rows[d]["out_h"]) == (2, 1)
+
+
+# ------------------------------------------------------------ Y4M video
+def test_decode_y4m_parses_real_stream():
+    payload = (
+        b"YUV4MPEG2 W3 H2 F25:1 Cmono\n"
+        + b"FRAME\n" + bytes([1, 2, 3, 4, 5, 6])
+        + b"FRAME\n" + bytes([7, 8, 9, 10, 11, 12])
+    )
+    w, h, frames = multimodal.decode_y4m(payload)
+    assert (w, h) == (3, 2)
+    assert frames == [bytes([1, 2, 3, 4, 5, 6]), bytes([7, 8, 9, 10, 11, 12])]
+
+
+def test_decode_y4m_rejects_bad_streams():
+    with pytest.raises(ValueError):
+        multimodal.decode_y4m(b"not a video")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_y4m(b"YUV4MPEG2 W2 H2 C420jpeg\nFRAME\n" + bytes(6))
+    with pytest.raises(ValueError):  # truncated frame
+        multimodal.decode_y4m(b"YUV4MPEG2 W2 H2 Cmono\nFRAME\n" + bytes(2))
+    with pytest.raises(ValueError):  # missing FRAME marker
+        multimodal.decode_y4m(b"YUV4MPEG2 W2 H2 Cmono\nBOGUS\n" + bytes(4))
+
+
+def test_sample_video_frames_stride(spark, sf_dir):
+    from cryptocoininsights_data_engineer_project_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents").limit(5)
+    assets = multimodal.synth_y4m_assets(docs)
+    rows = multimodal.sample_video_frames(assets, stride=2).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], []).append(r["frame_idx"])
+    # 3 frames, stride 2 -> frames 0 and 2 kept
+    assert all(sorted(v) == [0, 2] for v in by_asset.values())
+    d = 2
+    got = {r["frame_idx"]: r["pixel_sum"] for r in rows if r["asset_id"] == d}
+    for t in (0, 2):
+        assert got[t] == sum((7 * d + i + 11 * t) % 256 for i in range(8))
