@@ -1009,3 +1009,74 @@ SELECT doc_id AS asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
   round(CAST(s AS DOUBLE) / {n}, 6) AS mean_luma
 FROM px
 """
+
+
+# ------------------------------------------------------------ real features
+_PIXEL_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_pixels", T.LongType(), False),
+        T.StructField("mean_level", T.DoubleType(), False),
+        T.StructField("var_level", T.DoubleType(), False),
+        T.StructField("grad_energy", T.LongType(), False),
+    ]
+)
+
+
+def extract_pixel_features(assets: DataFrame) -> DataFrame:
+    """REAL image feature extraction over decoded pixels (the digest
+    stub in ``extract_features`` covers formats without a codec-free
+    decode): per asset, first/second moments of the luma surface and a
+    horizontal gradient energy — the cheap content descriptors an
+    image-dedup/quality pipeline actually computes before any ML
+    featurizer. All sums are exact integers inside the worker; floats
+    appear once, in the same closed form the oracle states.
+
+    grad_energy = sum over rows of |p[x+1] - p[x]| — a blur/detail
+    proxy; mean/var from sum and sum-of-squares."""
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _PIXEL_FEATURE_SCHEMA}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, ch, px = decode_png_pixels(bytes(payload))
+                n = w * h * ch
+                s = sum(px)
+                ss = sum(v * v for v in px)
+                grad = 0
+                stride = w * ch
+                for y in range(h):
+                    row = px[y * stride : (y + 1) * stride]
+                    grad += sum(
+                        abs(row[i + ch] - row[i]) for i in range(stride - ch)
+                    )
+                rows["asset_id"].append(int(aid))
+                rows["n_pixels"].append(w * h)
+                rows["mean_level"].append(round(s / n, 6))
+                rows["var_level"].append(round(ss / n - (s / n) * (s / n), 6))
+                rows["grad_energy"].append(grad)
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _features, schema=_PIXEL_FEATURE_SCHEMA
+    )
+
+
+def pixel_features_oracle_sql() -> str:
+    n = PNG_W * PNG_H
+    return f"""
+WITH px AS (
+  SELECT doc_id, g.i AS i, (doc_id * 7 + g.i) % 256 AS v
+  FROM documents, UNNEST(generate_series(0, {n - 1})) AS g(i)
+), st AS (
+  SELECT doc_id, sum(v) AS s, sum(v * v) AS ss,
+    sum(CASE WHEN i % {PNG_W} < {PNG_W - 1} THEN
+      abs(((doc_id * 7 + i + 1) % 256) - v) ELSE 0 END) AS grad
+  FROM px GROUP BY doc_id)
+SELECT doc_id AS asset_id, CAST({n} AS BIGINT) AS n_pixels,
+  round(CAST(s AS DOUBLE) / {n}, 6) AS mean_level,
+  round(CAST(ss AS DOUBLE) / {n}
+        - (CAST(s AS DOUBLE) / {n}) * (CAST(s AS DOUBLE) / {n}), 6) AS var_level,
+  CAST(grad AS BIGINT) AS grad_energy
+FROM st
+"""

@@ -1262,6 +1262,23 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_pixel_features",
+    multimodal.pixel_features_oracle_sql(),
+    doc="REAL image feature extraction over decoded pixels: luma "
+    "mean/variance + horizontal gradient energy (blur/detail proxy) — "
+    "the content descriptors an image-quality/dedup pipeline computes "
+    "before any ML featurizer "
+    "(operators/multimodal.py::extract_pixel_features). Integer sums "
+    "in the worker, one closed-form float per stat, oracle-matched. "
+    "With this, all four multimodal verbs — decode, feature-extract, "
+    "resize, frame-sample — run on real bytes",
+)
+def multimodal_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.extract_pixel_features(multimodal.synth_png_assets(docs))
+
+
+@_q(
     "q7_volume_by_nations",
     """
 SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,

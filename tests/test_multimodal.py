@@ -429,3 +429,23 @@ def test_sample_video_frames_stride(spark, sf_dir):
     got = {r["frame_idx"]: r["pixel_sum"] for r in rows if r["asset_id"] == d}
     for t in (0, 2):
         assert got[t] == sum((7 * d + i + 11 * t) % 256 for i in range(8))
+
+
+def test_extract_pixel_features_by_hand(spark, sf_dir):
+    from cryptocoininsights_data_engineer_project_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents").limit(5)
+    rows = {
+        r["asset_id"]: r
+        for r in multimodal.extract_pixel_features(
+            multimodal.synth_png_assets(docs)
+        ).collect()
+    }
+    d = 1
+    px = [(7 * d + i) % 256 for i in range(8)]
+    n = 8
+    s, ss = sum(px), sum(v * v for v in px)
+    assert rows[d]["mean_level"] == s / n
+    assert rows[d]["var_level"] == pytest.approx(ss / n - (s / n) ** 2, abs=1e-6)
+    grad = sum(abs(px[y * 4 + x + 1] - px[y * 4 + x]) for y in range(2) for x in range(3))
+    assert rows[d]["grad_energy"] == grad
