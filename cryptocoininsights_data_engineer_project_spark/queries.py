@@ -5293,6 +5293,49 @@ aggregate(
     )
 
 
+@_q(
+    "k_anonymity",
+    """
+WITH q AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, user_id % 16 AS user_bucket,
+         count(*) AS n
+  FROM events GROUP BY 1, 2, 3),
+tot AS (SELECT count(*) AS total_rows, sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS risky_rows FROM q)
+SELECT q.event_type, q.day, CAST(q.user_bucket AS BIGINT) AS user_bucket,
+  q.n, q.n < 5 AS below_k,
+  CAST(tot.risky_rows AS BIGINT) AS corpus_risky_rows
+FROM q CROSS JOIN tot
+""",
+    doc="k-anonymity audit (k=5) over the quasi-identifier tuple "
+    "(event_type, day, user-bucket): cohort sizes, a below-k risk "
+    "flag per cohort, and the corpus-wide count of re-identifiable "
+    "rows — the privacy gate a training-data pipeline runs before "
+    "release. One shuffle to cohort grain; the corpus total "
+    "re-aggregates the cohort table (never the fact) and returns as "
+    "a 1-row broadcast, the pct_of_total discipline",
+)
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), (F.col("user_id") % 16).alias("user_bucket")
+    )
+    q = e.groupBy("event_type", "day", "user_bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # cohort table feeds itself and the risky-rows total — materialize once
+    q = q.localCheckpoint()
+    tot = q.agg(
+        F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0)).alias("risky")
+    )
+    return q.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "day",
+        "user_bucket",
+        "n",
+        (F.col("n") < 5).alias("below_k"),
+        F.col("risky").alias("corpus_risky_rows"),
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
