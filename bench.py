@@ -18,6 +18,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from pyspark.sql import functions as F
+
 from cryptocoininsights_data_engineer_project_spark import queries as registry
 from cryptocoininsights_data_engineer_project_spark.session import get_spark
 
@@ -81,6 +83,27 @@ def main() -> None:
     spark.range(64).selectExpr(
         "id", "aggregate(zip_with(array(1.0D, 2.0D), array(3.0D, 4.0D), (x, y) -> x * y), 0.0D, (a, v) -> a + v) AS d",
         "sum(id) OVER (PARTITION BY id % 4 ORDER BY id) AS w",
+    ).write.format("noop").mode("overwrite").save()
+
+    # market-analytics shapes: min_by/max_by-over-struct inside a hash
+    # aggregate, JSON prop extraction, sqrt-of-integer-moments, and a
+    # struct-accumulator fold lambda (the EMA recurrence) — otherwise
+    # they bill to anomaly_zscore/ohlcv, the first market queries
+    # alphabetically (4.1 s observed cold vs ~1 s warm)
+    spark.range(256).selectExpr(
+        "id % 4 AS g",
+        "id",
+        "CAST(get_json_object(concat('{\"k\": ', id % 9, '}'), '$.k') AS BIGINT) AS k",
+    ).groupBy("g").agg(
+        F.expr("min_by(id, struct(k, id))").alias("o"),
+        F.expr("max_by(id, struct(k, id))").alias("c"),
+        F.expr("sqrt((sum(k * k) - CAST(sum(k) AS DOUBLE) * sum(k) / count(*)) / count(*))").alias("sd"),
+    ).write.format("noop").mode("overwrite").save()
+    spark.range(8).selectExpr(
+        "aggregate(sequence(1, 16), "
+        "named_struct('e', cast(0.0 as double), 'out', cast(array() as array<double>)), "
+        "(acc, x) -> named_struct('e', (2.0d * x + 11.0d * acc.e) / 13.0d, "
+        "'out', concat(acc.out, array((2.0d * x + 11.0d * acc.e) / 13.0d)))).out AS ema"
     ).write.format("noop").mode("overwrite").save()
 
     def _fork(it):
