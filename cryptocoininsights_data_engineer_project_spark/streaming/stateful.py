@@ -294,3 +294,105 @@ def tws_sessionize(
         outputMode="append",
         timeMode="eventTime",
     )
+
+
+# ------------------------------------------------------------ anomaly state
+ANOMALY_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("zscore", T.DoubleType()),
+    ]
+)
+# running moments per instrument: (n, sum_cents, sum_sq)
+ANOMALY_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.LongType()),
+        T.StructField("ss", T.LongType()),
+    ]
+)
+
+
+def make_anomaly_fn(threshold: float = 3.0, min_n: int = 10):
+    """Prefix z-score semantics: each tick updates the running integer
+    moments FIRST, then scores against the distribution up to and
+    including itself — exactly a batch window
+    ``ROWS UNBOUNDED PRECEDING`` over (tu, event_id) order, which the
+    parity test computes. Emission requires ≥ min_n observations and
+    positive variance."""
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        (event_type,) = key
+        n, s, ss = state.get if state.exists else (0, 0, 0)
+        rows: list[tuple[int, int, int]] = []
+        for pdf in pdfs:
+            for ts_ns, eid, cents in zip(
+                pdf["ts"].astype("int64"), pdf["event_id"], pdf["cents"]
+            ):
+                rows.append((int(ts_ns) // 1000, int(eid), int(cents)))
+        rows.sort()
+        out: list[tuple[int, float, float]] = []
+        for _tu, eid, c in rows:
+            n += 1
+            s += c
+            ss += c * c
+            if n >= min_n:
+                mu = s / n
+                var = ss / n - mu * mu
+                if var > 0:
+                    z = (c - mu) / math.sqrt(var)
+                    if abs(z) > threshold:
+                        out.append((eid, c / 100.0, round(z, 4)))
+        state.update((n, s, ss))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "event_type": [event_type] * len(out),
+                    "event_id": [e for e, _, _ in out],
+                    "price": [p for _, p, _ in out],
+                    "zscore": [z for _, _, z in out],
+                }
+            )
+
+    return fn
+
+
+def stateful_anomaly_detector(
+    events: DataFrame, threshold: float = 3.0, min_n: int = 10
+) -> DataFrame:
+    """Streaming twin of the ``anomaly_zscore`` registry query, online
+    form: per-instrument running moments (three integers in the state
+    store — O(instruments) state regardless of stream length) score
+    every incoming tick as it arrives, instead of a final two-pass
+    batch. Batch recomputation converges to the same flags once n is
+    large; the exact prefix semantics are pinned by the parity test
+    against a window-prefix batch computation.
+
+    sum_sq rides a single int64: exact to ~1e12 ticks/key at 4-digit
+    prices — beyond that, split the state into two longs or rescale.
+    """
+    from pyspark.sql import functions as F
+
+    ev = (
+        events.filter(F.col("value").isNotNull())
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select(
+            "event_type",
+            "event_id",
+            "ts",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    return ev.groupBy("event_type").applyInPandasWithState(
+        make_anomaly_fn(threshold, min_n),
+        outputStructType=ANOMALY_OUTPUT_SCHEMA,
+        stateStructType=ANOMALY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -247,3 +247,90 @@ def test_transform_with_state_matches_applyinpandaswithstate(spark, tmp_path):
     new_api = run(tws_sessionize, "tws_new", "ck_new")
     assert new_api == old_api
     assert len(new_api) == 3
+
+
+def test_stateful_anomaly_matches_batch_prefix(spark, tmp_path):
+    """The streaming anomaly detector's prefix z-scores (state carries
+    integer moments across micro-batches) must equal a batch
+    UNBOUNDED-PRECEDING window computation over the same tick order."""
+    import json as _json
+    import math
+
+    from cryptocoininsights_data_engineer_project_spark.streaming.stateful import (
+        stateful_anomaly_detector,
+    )
+
+    raw = tmp_path / "anom_raw"
+    raw.mkdir()
+    # instrument 'a': stable around 100 with one spike; 'b': drifting
+    ticks = []
+    for i in range(30):
+        ticks.append(("a", i, 100.0 + (i % 5)))
+        ticks.append(("b", i, 50.0 + i))
+    ticks.append(("a", 30, 400.0))  # the anomaly
+    ticks.append(("a", 31, 101.0))
+
+    # two files -> two micro-batches, split mid-stream
+    def write(path, rows, base):
+        with open(path, "w") as f:
+            for j, (sym, sec, val) in enumerate(rows):
+                f.write(
+                    _json.dumps(
+                        {
+                            "event_id": base + j,
+                            "event_type": sym,
+                            "ts": f"2024-01-01T00:{sec // 60:02d}:{sec % 60:02d}",
+                            "value": val,
+                        }
+                    )
+                    + "\n"
+                )
+
+    # keep event-time order within each key across the file split
+    write(raw / "f1.json", ticks[:40], 0)
+    write(raw / "f2.json", ticks[40:], 40)
+
+    schema = "event_id long, event_type string, ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(raw))
+    )
+    got = []
+
+    def sink(batch_df, batch_id):
+        got.extend(
+            (r.event_type, r.event_id, r.price, r.zscore) for r in batch_df.collect()
+        )
+
+    q = (
+        stateful_anomaly_detector(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "anom_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # batch prefix replay on the driver (exact same integer arithmetic)
+    expect = []
+    state = {}
+    order = sorted(
+        enumerate(ticks), key=lambda t: (t[1][0], t[1][1], t[0])
+    )  # by (sym, ts, event_id)
+    for eid, (sym, _sec, val) in order:
+        c = round(val * 100)
+        n, s, ss = state.get(sym, (0, 0, 0))
+        n, s, ss = n + 1, s + c, ss + c * c
+        state[sym] = (n, s, ss)
+        if n >= 10:
+            mu = s / n
+            var = ss / n - mu * mu
+            if var > 0:
+                z = (c - mu) / math.sqrt(var)
+                if abs(z) > 3.0:
+                    expect.append((sym, eid, c / 100.0, round(z, 4)))
+    assert sorted(got) == sorted(expect)
+    # sanity: the planted spike is flagged
+    assert any(eid == 60 for _, eid, _, _ in got)
