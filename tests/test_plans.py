@@ -99,6 +99,7 @@ BNLJ_ALLOWED = {
     "mutual_info",  # 1-row total + 1-row entropy scalars onto the cell table
     "dq_orphans",  # three 1-row orphan-count scalars cross-joined
     "pct_of_total",  # 1-row grand-total scalar onto the nation rollup
+    "k_anonymity",  # 1-row corpus-risky-rows scalar onto the cohort table
 }
 
 
