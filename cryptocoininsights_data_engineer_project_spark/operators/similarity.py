@@ -262,7 +262,15 @@ def ivf_trained_topk(
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "q_emb", "q_nrm", "cid")
     )
-    cand = probes.join(assigned, "cid").filter(F.col("query_id") != F.col("vec_id"))
+    # probes is |queries| x nprobe rows — tiny for any bounded query
+    # batch (the ANN serving shape) — but it sits behind a Window over
+    # a crossJoin, so Spark's size estimate is unusable and it would
+    # otherwise plan a SortMergeJoin that SHUFFLES THE WHOLE CORPUS on
+    # cid. Broadcasting the probe list keeps the corpus in place: each
+    # executor streams its assigned partitions past the probe table.
+    cand = assigned.join(F.broadcast(probes), "cid").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),

@@ -306,3 +306,13 @@ def test_bollinger_windows_daily_grain_only(spark):
     p = _plan(spark, "bollinger_daily")
     assert _nodes(p, "Scan parquet") == 1
     assert _nodes(p, "Window") == 1
+
+
+def test_ivf_probe_broadcasts_onto_corpus(spark):
+    """The IVF candidate join must broadcast the (|queries| x nprobe)
+    probe list — a SortMergeJoin here shuffles the whole corpus on cid
+    (the 100 TB regression this pins against)."""
+    for name in ("similarity_ivf", "similarity_ivf_trained"):
+        p = _plan(spark, name)
+        assert _nodes(p, "SortMergeJoin") == 0, name
+        assert _nodes(p, "ShuffledHashJoin") == 0, name
