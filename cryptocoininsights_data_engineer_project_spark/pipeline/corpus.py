@@ -1,0 +1,118 @@
+"""End-to-end training-corpus preparation: the composed pipeline a
+100 TB pretraining run actually executes, built from the registry's
+verified operators —
+
+    quality/language/exact-dup gate  (textops.corpus_filter — fused, 1 scan)
+      → near-dup removal             (dedup.minhash_candidate_pairs
+                                      → dedup.connected_components → canon)
+      → benchmark decontamination    (dedup.decontaminate — broadcast probe)
+      → sequence packing             (textops.pack_sequences — per-shard
+                                      greedy fill, metadata-only Python)
+      → train/val/test split         (portable md5 bucket per PACK, so a
+                                      pack never straddles splits)
+
+Each stage consumes the previous stage's survivor set; every stage's
+semantics are individually oracle-checked via its registry query, and
+the composition test (tests/test_corpus_pipeline.py) pins that the
+pipeline equals composing the standalone operators by hand.
+
+Scale shape: two corpus text scans total (the fused gate, and the
+shingle/packing path over survivors), every inter-stage join is on
+doc_id (co-partitioned after the first shuffle), the benchmark side
+broadcasts, and the per-stage lineage counts are lazy 1-row aggregates
+union'd into a stats frame — no driver-side counting mid-pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import dedup, textops
+from ..functions.hashing import spark_hash64
+
+TRAIN_BUCKETS = 10  # md5 % 10: 8 train / 1 val / 1 test
+
+
+def _split_col(key_expr: str):
+    bucket = F.expr(f"{spark_hash64(key_expr)} % {TRAIN_BUCKETS}").cast("int")
+    return (
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    lang: str = "en",
+    min_quality: float = 0.5,
+    decon_w: int = 6,
+    capacity: int = textops.PACK_CAPACITY,
+    n_shards: int = textops.PACK_SHARDS,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the full corpus-preparation pipeline.
+
+    Returns ``(packs, stats)``:
+
+    - ``packs``: (doc_id, shard, pack_id, n_tokens, split) — every
+      surviving document placed into a training sequence pack with its
+      train/val/test assignment (split keyed on (shard, pack_id) so
+      whole packs move between splits atomically);
+    - ``stats``: (stage, n) lineage counts — input, after the fused
+      quality/language/exact-dup gate, after near-dup clustering,
+      after decontamination, and packs formed. Lazy until acted on.
+    """
+    docs = docs.select("doc_id", "text", "lang", "source", "n_chars")
+
+    # 1. fused gate: language + quality + exact-dup canonicalization in
+    #    ONE corpus scan (keep = lang match ∧ quality ≥ τ ∧ is-canon)
+    gate = textops.corpus_filter(docs, lang=lang, min_quality=min_quality)
+    kept_ids = gate.filter(F.col("keep")).select("doc_id")
+    survivors = docs.join(kept_ids, "doc_id")
+
+    # 2. near-dup removal: banded MinHash candidates over survivors,
+    #    connected components, keep each cluster's smallest doc_id.
+    #    Non-clustered docs have no pair row and survive by anti-join.
+    pairs = dedup.minhash_candidate_pairs(survivors)
+    labels, _rounds = dedup.connected_components(pairs)
+    non_canon = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    deduped = survivors.join(non_canon, "doc_id", "left_anti")
+
+    # 3. decontamination: any doc sharing a w-gram with the held-out
+    #    benchmark is dropped (broadcast shingle-set semi-probe)
+    contaminated = dedup.decontaminate(deduped, benchmark, w=decon_w).select(
+        "doc_id"
+    )
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+
+    # 4. pack into training sequences (greedy per-shard fill)
+    packs = textops.pack_sequences(clean, capacity=capacity, n_shards=n_shards)
+
+    # 5. split per PACK: md5 of (shard, pack_id) — deterministic,
+    #    engine-portable, and pack-atomic
+    packs = packs.withColumn(
+        "split", _split_col("concat(shard, ':', pack_id)")
+    )
+
+    def _n(df: DataFrame, stage: str) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"), F.count(F.lit(1)).alias("n")
+        )
+
+    stats = (
+        _n(docs, "input")
+        .unionByName(_n(kept_ids, "after_quality_gate"))
+        .unionByName(_n(deduped.select("doc_id"), "after_near_dup"))
+        .unionByName(_n(clean.select("doc_id"), "after_decontaminate"))
+        .unionByName(
+            packs.select("shard", "pack_id")
+            .distinct()
+            .agg(F.lit("packs_formed").alias("stage"), F.count(F.lit(1)).alias("n"))
+        )
+    )
+    return packs, stats

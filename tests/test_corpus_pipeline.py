@@ -1,0 +1,87 @@
+"""The composed training-corpus pipeline must equal composing its
+standalone (individually oracle-checked) operators by hand, stage by
+stage — and its lineage stats must agree with the actual frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cryptocoininsights_data_engineer_project_spark.catalog import table
+from cryptocoininsights_data_engineer_project_spark.operators import dedup, textops
+from cryptocoininsights_data_engineer_project_spark.pipeline.corpus import (
+    prepare_training_corpus,
+)
+
+
+def _frames(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    # a held-out "benchmark": every 97th doc (disjoint-ish, non-empty)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    return docs, benchmark
+
+
+def test_pipeline_equals_manual_composition(spark, sf_dir):
+    docs, benchmark = _frames(spark, sf_dir)
+    packs, stats = prepare_training_corpus(docs, benchmark)
+    got_docs = {r["doc_id"] for r in packs.select("doc_id").collect()}
+
+    # manual composition of the standalone operators
+    gate = textops.corpus_filter(docs)
+    kept = {r["doc_id"] for r in gate.filter("keep").select("doc_id").collect()}
+    survivors = docs.filter(F.col("doc_id").isin(kept))
+    labels, _ = dedup.connected_components(
+        dedup.minhash_candidate_pairs(survivors)
+    )
+    non_canon = {
+        r["doc_id"]
+        for r in labels.filter("doc_id != cluster_id").select("doc_id").collect()
+    }
+    contaminated = {
+        r["doc_id"]
+        for r in dedup.decontaminate(
+            survivors.filter(~F.col("doc_id").isin(non_canon)), benchmark
+        )
+        .select("doc_id")
+        .collect()
+    }
+    expect = kept - non_canon - contaminated
+    assert got_docs == expect
+
+    # stats agree with the frames they describe
+    st = {r["stage"]: r["n"] for r in stats.collect()}
+    assert st["input"] == docs.count()
+    assert st["after_quality_gate"] == len(kept)
+    assert st["after_near_dup"] == len(kept - non_canon)
+    assert st["after_decontaminate"] == len(expect)
+    assert st["packs_formed"] == packs.select("shard", "pack_id").distinct().count()
+    # the gates only ever shrink the corpus
+    assert (
+        st["input"]
+        >= st["after_quality_gate"]
+        >= st["after_near_dup"]
+        >= st["after_decontaminate"]
+        > 0
+    )
+
+
+def test_pipeline_packs_are_split_atomic_and_deterministic(spark, sf_dir):
+    docs, benchmark = _frames(spark, sf_dir)
+    packs1, _ = prepare_training_corpus(docs, benchmark)
+    rows1 = {(r["doc_id"], r["shard"], r["pack_id"], r["split"]) for r in packs1.collect()}
+    packs2, _ = prepare_training_corpus(docs, benchmark)
+    rows2 = {(r["doc_id"], r["shard"], r["pack_id"], r["split"]) for r in packs2.collect()}
+    assert rows1 == rows2  # fully deterministic end-to-end
+
+    # pack-atomic split: one split value per (shard, pack_id)
+    per_pack = (
+        packs1.groupBy("shard", "pack_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter("k > 1")
+        .count()
+    )
+    assert per_pack == 0
+
+    # all three splits materialize and train dominates
+    dist = {r["split"]: r["n"] for r in packs1.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(dist) == {"train", "val", "test"}
+    assert dist["train"] > dist["val"] and dist["train"] > dist["test"]
