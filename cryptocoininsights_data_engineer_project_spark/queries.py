@@ -5336,6 +5336,153 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RRF_K = 60
+_RRF_LEX_TOP = 100
+_RRF_OUT = 10
+
+
+def _rank_fusion_oracle_sql() -> str:
+    bm_tf = ", ".join(
+        f"len(list_filter(list_filter({duck_tokens('text')}, x -> x != ''), x -> x = '{t}')) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    bm_df = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    any_tf = " + ".join(f"tf_{t}" for t in _BM25_TERMS)
+    return f"""
+WITH dense AS ({similarity.cosine_topk_oracle_sql()}),
+dr AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, neighbor_id) AS rd
+  FROM dense),
+bm_base AS (
+  SELECT doc_id,
+    len(list_filter({duck_tokens('text')}, x -> x != '')) AS dl, {bm_tf}
+  FROM documents),
+bm_stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl, {bm_df}
+  FROM bm_base),
+bm AS (
+  SELECT doc_id, round({_bm25_score_exprs('n_docs', 'avgdl')}, 6) AS bm25
+  FROM bm_base CROSS JOIN bm_stats WHERE {any_tf} > 0),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rl
+  FROM bm QUALIFY rl <= {_RRF_LEX_TOP}),
+fused AS (
+  SELECT dr.query_id, dr.neighbor_id,
+    round(1.0 / ({_RRF_K} + dr.rd)
+          + coalesce(1.0 / ({_RRF_K} + lex.rl), 0.0), 6) AS rrf
+  FROM dr LEFT JOIN lex ON dr.neighbor_id = lex.doc_id),
+ranked AS (
+  SELECT query_id, neighbor_id, rrf,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY rrf DESC, neighbor_id) AS rn
+  FROM fused)
+SELECT query_id, neighbor_id, rrf FROM ranked WHERE rn <= {_RRF_OUT}
+"""
+
+
+@_q(
+    "rank_fusion",
+    _rank_fusion_oracle_sql(),
+    doc="reciprocal-rank fusion of two retrievers — dense (exact "
+    "cosine top-k per query over embeddings) and lexical (corpus-wide "
+    "BM25 for the fixed term set, top-100 list) — the standard hybrid-"
+    "search merge: rrf = 1/(60+rank_dense) + 1/(60+rank_lex). "
+    "Scale shape: the lexical list comes from orderBy+limit "
+    "(TakeOrderedAndProject — a distributed partial top-k, never a "
+    "global sort) and joins as a 100-row broadcast; ranks are "
+    "integers so the fused score is the same IEEE expression on both "
+    "engines. doc ids and vec ids share the synthetic key space, the "
+    "usual doc<->chunk-embedding correspondence",
+)
+def rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dense = similarity.cosine_topk(_t(spark, sf_dir, "embeddings"))
+    wd = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    dr = dense.select(
+        "query_id", "neighbor_id", F.row_number().over(wd).alias("rd")
+    )
+    bm = bm25_score(spark, sf_dir)
+    # distributed partial top-k, then rank the bounded list
+    top = bm.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(
+        _RRF_LEX_TOP
+    )
+    wl = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    lex = top.select("doc_id", F.row_number().over(wl).alias("rl"))
+    fused = dr.join(
+        F.broadcast(lex), dr.neighbor_id == lex.doc_id, "left"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            1.0 / (_RRF_K + F.col("rd"))
+            + F.coalesce(1.0 / (_RRF_K + F.col("rl")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fused.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _RRF_OUT)
+        .select("query_id", "neighbor_id", "rrf")
+    )
+
+
+@_q(
+    "ann_recall_at_5",
+    f"""
+WITH exact AS ({similarity.cosine_topk_oracle_sql()}),
+approx AS ({similarity.ivf_trained_oracle_sql()}),
+hits AS (
+  SELECT e.query_id, count(a.neighbor_id) AS n_matched
+  FROM exact e LEFT JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id)
+SELECT query_id, CAST(n_matched AS BIGINT) AS n_matched,
+  round(n_matched / 5.0, 6) AS recall_at_5
+FROM hits
+""",
+    doc="recall@5 of the trained-IVF ANN against the exact cosine "
+    "baseline, AS A QUERY — the ANN-quality measurement itself is "
+    "composed from the two oracle-checked retrievers and "
+    "hash-matched cross-engine, so the driver (not just the unit "
+    "suite, tests/test_similarity.py::test_ann_recall_floors) "
+    "certifies the recall arithmetic. Per-query hit counts from one "
+    "equi-join of two top-5 lists; corpus-level recall is their "
+    "mean. The exact baseline costs one corpus scan per query "
+    "batch — run it on a sample in production; the IVF side is the "
+    "serving path",
+)
+def ann_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(emb).select("query_id", "neighbor_id")
+    approx = similarity.ivf_trained_topk(emb).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    hits = (
+        exact.join(
+            approx,
+            (exact.query_id == approx.a_qid)
+            & (exact.neighbor_id == approx.a_nid),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("a_nid").alias("n_matched"))
+    )
+    return hits.select(
+        "query_id",
+        "n_matched",
+        F.round(F.col("n_matched") / 5.0, 6).alias("recall_at_5"),
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
