@@ -183,6 +183,45 @@ def _ivf_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def _ivf_vecs(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, emb double[], vv): the normalized working projection."""
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    return e.withColumn("vv", F.expr(dot_expr("emb", "emb")))
+
+
+def _train_centroids(
+    vecs: DataFrame, n_clusters: int, n_iters: int
+) -> DataFrame:
+    """Deterministic Lloyd's training (seeds = smallest md5-of-id rows,
+    means rounded to 6 decimals per iteration for engine parity);
+    returns (cid, cent, cc). Shared verbatim by the in-query IVF, the
+    persisted-index build, and their oracles."""
+    h = F.expr(spark_hash64("CAST(vec_id AS STRING)"))
+    seeds = vecs.withColumn("__h", h).orderBy("__h", "vec_id").limit(n_clusters)
+    w_seed = Window.orderBy("__h", "vec_id")  # n_clusters rows: single partition is fine
+    cents = seeds.select(
+        (F.row_number().over(w_seed) - 1).cast("long").alias("cid"),
+        F.col("emb").alias("cent"),
+    )
+    for _ in range(n_iters):
+        cents = cents.withColumn("cc", F.expr(dot_expr("cent", "cent")))
+        assigned = _ivf_assign(vecs, cents)
+        cents = (
+            assigned.select("cid", F.posexplode("emb").alias("idx", "v"))
+            .groupBy("cid", "idx")
+            .agg(F.round(F.avg("v"), 6).alias("v"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("idx", "v"))).alias("ps"))
+            .select("cid", F.expr("transform(ps, p -> p.v)").alias("cent"))
+            # k tiny rows; materialize so the deep training lineage is
+            # not re-evaluated once per downstream reference
+            .localCheckpoint()
+        )
+    return cents.withColumn("cc", F.expr(dot_expr("cent", "cent")))
+
+
 def ivf_trained_topk(
     embeddings: DataFrame,
     k: int = IVF_TOP_K,
@@ -219,32 +258,8 @@ def ivf_trained_topk(
     mapInPandas production path (same algorithm, partial sums on the
     executors), and ``similarity_kmeans_ivf`` exercises it rows-only.
     """
-    e = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    vecs = e.withColumn("vv", F.expr(dot_expr("emb", "emb")))
-    h = F.expr(spark_hash64("CAST(vec_id AS STRING)"))
-    seeds = vecs.withColumn("__h", h).orderBy("__h", "vec_id").limit(n_clusters)
-    w_seed = Window.orderBy("__h", "vec_id")  # n_clusters rows: single partition is fine
-    cents = seeds.select(
-        (F.row_number().over(w_seed) - 1).cast("long").alias("cid"),
-        F.col("emb").alias("cent"),
-    )
-    for _ in range(n_iters):
-        cents = cents.withColumn("cc", F.expr(dot_expr("cent", "cent")))
-        assigned = _ivf_assign(vecs, cents)
-        cents = (
-            assigned.select("cid", F.posexplode("emb").alias("idx", "v"))
-            .groupBy("cid", "idx")
-            .agg(F.round(F.avg("v"), 6).alias("v"))
-            .groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("idx", "v"))).alias("ps"))
-            .select("cid", F.expr("transform(ps, p -> p.v)").alias("cent"))
-            # k tiny rows; materialize so the deep training lineage is
-            # not re-evaluated once per downstream reference
-            .localCheckpoint()
-        )
-    cents = cents.withColumn("cc", F.expr(dot_expr("cent", "cent")))
+    vecs = _ivf_vecs(embeddings)
+    cents = _train_centroids(vecs, n_clusters, n_iters)
     assigned = _ivf_assign(vecs, cents).withColumn("nrm", F.expr("sqrt(vv)"))
 
     q = vecs.filter(F.col("vec_id") % query_modulus == 0).select(
@@ -1089,4 +1104,98 @@ def all_pairs_cosine_blas(
 
     return tagged.groupBy("pa", "pb").applyInPandas(
         score, "vec_a long, vec_b long, cosine double"
+    )
+
+
+# ------------------------------------------------------------ persisted IVF
+def build_ivf_index(
+    embeddings: DataFrame,
+    index_dir: str,
+    n_clusters: int = IVF_KCLUSTERS,
+    n_iters: int = IVF_ITERS,
+) -> None:
+    """Persist an IVF index: train the deterministic quantizer
+    (``_train_centroids`` — the same pipeline the in-query form uses),
+    assign every vector, and write the corpus PARTITIONED BY centroid
+    id, plus the centroid table alongside.
+
+    This is the "index once, serve many" production ANN shape the
+    in-query registry entries amortize away: at 100 TB the quantizer
+    trains once, the corpus is laid out so each cell is a parquet
+    partition directory, and every probe after that reads ONLY the
+    nprobe cells it needs (partition pruning — verified in
+    tests/test_ivf_index.py by inputFiles inspection). Re-indexing is
+    per-cell, not global.
+    """
+    vecs = _ivf_vecs(embeddings)
+    cents = _train_centroids(vecs, n_clusters, n_iters)
+    assigned = _ivf_assign(vecs, cents).withColumn("nrm", F.expr("sqrt(vv)"))
+    assigned.select("vec_id", "emb", "nrm", "cid").write.partitionBy(
+        "cid"
+    ).mode("overwrite").parquet(f"{index_dir}/corpus")
+    cents.select("cid", "cent", "cc").write.mode("overwrite").parquet(
+        f"{index_dir}/centroids"
+    )
+
+
+def probe_ivf_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = IVF_TOP_K,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Serve top-k from a persisted IVF index: score the query batch
+    against the (tiny) centroid table, keep the nprobe nearest cells
+    per query, and scan ONLY those cells' partition directories —
+    the cell filter is a partition-column predicate, so file listing
+    itself prunes (no data files outside the probed cells are even
+    opened). Scoring matches ``ivf_trained_topk`` expression-for-
+    expression, so a probe of a freshly built index returns exactly
+    the in-query result.
+
+    ``queries``: (query_id, q_emb double[]). The probed-cell id list
+    is collected to the driver — bounded by n_clusters, the same
+    metadata-collect class as the bucket-prune list in
+    pipeline/coins.py.
+    """
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    q = queries.select(
+        "query_id",
+        "q_emb",
+        F.expr(dot_expr("q_emb", "q_emb")).alias("q_vv"),
+    ).withColumn("q_nrm", F.expr("sqrt(q_vv)"))
+    qd = q.crossJoin(F.broadcast(cents)).withColumn(
+        "d2", F.expr(f"q_vv - 2 * ({dot_expr('q_emb', 'cent')}) + cc")
+    )
+    w_p = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("cid").asc()
+    )
+    probes = (
+        qd.withColumn("rn", F.row_number().over(w_p))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q_emb", "q_nrm", "cid")
+        .localCheckpoint()  # one probe assignment for cid-list + join
+    )
+    cell_ids = [r["cid"] for r in probes.select("cid").distinct().collect()]
+    corpus = spark.read.parquet(f"{index_dir}/corpus").filter(
+        F.col("cid").isin(cell_ids)
+    )
+    cand = corpus.join(F.broadcast(probes), "cid").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            F.expr(dot_expr("q_emb", "emb")) / (F.col("q_nrm") * F.col("nrm")), 6
+        ).alias("cosine"),
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_k))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
     )
