@@ -5483,6 +5483,85 @@ def ann_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "approx_quantile_hist",
+    """
+WITH b AS (
+  SELECT event_type,
+         CAST(round(value * 100, 0) AS BIGINT) // 100 AS bucket,
+         count(*) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+c AS (
+  SELECT event_type, bucket, n,
+    sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(n) OVER (PARTITION BY event_type) AS total
+  FROM b),
+qs AS (SELECT unnest([500000, 900000, 990000]) AS q_ppm)
+SELECT event_type, q_ppm,
+  CAST(min(CASE WHEN cum * 1000000 >= q_ppm * total THEN bucket END) + 1
+       AS BIGINT) AS est_upper_dollar
+FROM c CROSS JOIN qs
+GROUP BY 1, 2
+""",
+    doc="mergeable histogram-sketch quantiles (p50/p90/p99 per "
+    "instrument): bucket counts at $1 grain, one cumulative pass, "
+    "quantile = first bucket whose cumulative share reaches q. THE "
+    "scale alternative to exact percentile: exact percentile buffers "
+    "and sorts every value per group (the feature_bins lesson), "
+    "while this is one map-combinable count aggregate whose state is "
+    "bounded by the bucket range — mergeable across partitions, "
+    "days, and incremental runs by integer addition. Quantile ranks "
+    "compared in exact integer ppm (cum*1e6 >= q_ppm*total) so no "
+    "float boundary exists for engines to disagree on; error is "
+    "bounded by the bucket width by construction",
+)
+def approx_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # integer floor-div: cents // 100 (cents are non-negative here)
+    b = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("CAST(round(value * 100, 0) AS BIGINT) div 100").alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    c = b.select(
+        "event_type",
+        "bucket",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wt).alias("total"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(500000), F.lit(900000), F.lit(990000))).alias(
+            "q_ppm"
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(qs))
+        .groupBy("event_type", "q_ppm")
+        .agg(
+            (
+                F.min(
+                    F.when(
+                        F.col("cum") * 1000000 >= F.col("q_ppm") * F.col("total"),
+                        F.col("bucket"),
+                    )
+                )
+                + 1
+            ).alias("est_upper_dollar")
+        )
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}

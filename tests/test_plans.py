@@ -100,6 +100,7 @@ BNLJ_ALLOWED = {
     "dq_orphans",  # three 1-row orphan-count scalars cross-joined
     "pct_of_total",  # 1-row grand-total scalar onto the nation rollup
     "k_anonymity",  # 1-row corpus-risky-rows scalar onto the cohort table
+    "approx_quantile_hist",  # 3-row quantile-rank list onto the bucket table
 }
 
 
