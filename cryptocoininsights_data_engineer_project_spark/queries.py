@@ -5562,6 +5562,135 @@ def approx_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MMR_CANDS = 8
+_MMR_PICKS = 4
+
+
+def _mmr_oracle_sql(cand_k: int = _MMR_CANDS, m: int = _MMR_PICKS) -> str:
+    score = (
+        "0.5 * {c}.rel - 0.5 * list_max(list_transform(sel, "
+        "p -> list_dot_product({c}.emb, p.emb)))"
+    )
+    best = (
+        "list_max(list_transform(rem, c2 -> struct_pack("
+        f"s := {score.format(c='c2')}, n := -c2.nid)))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm FROM n
+      WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT query_id, n.vec_id AS nid,
+    round(list_dot_product(q_emb, emb) / (q_nrm * nrm), 6) AS rel,
+    list_transform(emb, v -> v / nrm) AS emb_n
+  FROM q JOIN n ON query_id != n.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY rel DESC, nid) AS rn FROM scored),
+cands AS (
+  SELECT query_id,
+    list(struct_pack(nid := nid, rel := rel, emb := emb_n)
+         ORDER BY rel DESC, nid) AS cl
+  FROM ranked WHERE rn <= {cand_k} GROUP BY query_id),
+rec AS (
+  WITH RECURSIVE r AS (
+    SELECT query_id, 1 AS k, cl[1:1] AS sel, cl[2:] AS rem FROM cands
+    UNION ALL
+    SELECT query_id, k + 1,
+      sel || list_filter(rem, c -> c.nid = -({best}).n),
+      list_filter(rem, c -> c.nid != -({best}).n)
+    FROM r WHERE k < {m} AND len(rem) > 0)
+  SELECT * FROM r),
+final AS (
+  SELECT query_id, sel,
+    row_number() OVER (PARTITION BY query_id ORDER BY k DESC) AS last
+  FROM rec)
+SELECT query_id, CAST(g.i AS BIGINT) AS pick_rank,
+  sel[g.i].nid AS neighbor_id, sel[g.i].rel AS rel
+FROM final, UNNEST(generate_series(1, len(sel))) AS g(i)
+WHERE last = 1
+"""
+
+
+@_q(
+    "mmr_diversify",
+    _mmr_oracle_sql(),
+    doc="maximal-marginal-relevance re-ranking of dense retrieval "
+    "results: from each query's top-8 cosine candidates, greedily "
+    "pick 4 maximizing 0.5*relevance - 0.5*max-similarity-to-picked "
+    "— the diversification step between ANN and the user. A true "
+    "sequential recurrence (each pick depends on all prior picks), "
+    "run like ema_macd as a bounded JVM-side fold over the per-query "
+    "candidate array — parallel across queries, sequential only "
+    "within one, zero Python. Candidate arrays are unit-normalized "
+    "once so pairwise sims are plain dot folds; every score is the "
+    "same IEEE expression both engines compute, and argmax ties "
+    "break on neighbor id via lexicographic struct max. Oracle is a "
+    "recursive CTE over the identical algebra",
+)
+def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = similarity._ivf_vecs(_t(spark, sf_dir, "embeddings")).withColumn(
+        "nrm", F.expr("sqrt(vv)")
+    )
+    q = n.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    dot = similarity.dot_expr
+    scored = (
+        F.broadcast(q)
+        .join(n, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("nid"),
+            F.round(
+                F.expr(dot("q_emb", "emb")) / (F.col("q_nrm") * F.col("nrm")), 6
+            ).alias("rel"),
+            F.expr("transform(emb, v -> v / nrm)").alias("emb_n"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("nid"))
+    cands = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMR_CANDS)
+        .groupBy("query_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(rn, nid, rel, emb_n))),"
+                " x -> struct(x.nid AS nid, x.rel AS rel, x.emb_n AS emb))"
+            ).alias("cl")
+        )
+    )
+    score = (
+        "0.5D * {c}.rel - 0.5D * aggregate(acc.sel, CAST(-1.0E9 AS DOUBLE),"
+        " (mx, p) -> greatest(mx, " + dot("{c}.emb", "p.emb") + "))"
+    )
+    best = (
+        "array_max(transform(acc.rem, c2 -> named_struct("
+        f"'s', {score.format(c='c2')}, 'n', -c2.nid)))"
+    )
+    fold = f"""
+aggregate(
+  sequence(2, {_MMR_PICKS}),
+  named_struct('sel', slice(cl, 1, 1), 'rem', slice(cl, 2, size(cl))),
+  (acc, i) -> CASE WHEN size(acc.rem) = 0 THEN acc ELSE named_struct(
+    'sel', concat(acc.sel, filter(acc.rem, c -> c.nid = -({best}).n)),
+    'rem', filter(acc.rem, c -> c.nid != -({best}).n)) END
+).sel
+"""
+    picked = cands.select(
+        "query_id", F.posexplode(F.expr(fold)).alias("pos", "p")
+    )
+    return picked.select(
+        "query_id",
+        (F.col("pos") + 1).cast("bigint").alias("pick_rank"),
+        F.col("p.nid").alias("neighbor_id"),
+        F.col("p.rel").alias("rel"),
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
