@@ -39,6 +39,7 @@ from .operators import (
     sketch,
     textops,
 )
+from .functions.hashing import spark_hash64
 from .functions.textnorm import duck_tokens, spark_tokens
 
 
@@ -5688,6 +5689,91 @@ aggregate(
         (F.col("pos") + 1).cast("bigint").alias("pick_rank"),
         F.col("p.nid").alias("neighbor_id"),
         F.col("p.rel").alias("rel"),
+    )
+
+
+_HASH_EMB_DIM = 64
+
+
+def _hash_embedding_oracle_sql(dim: int = _HASH_EMB_DIM) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter({duck_tokens('text')}, x -> x != '')) AS term
+  FROM documents
+), h AS (
+  SELECT doc_id, CAST('0x' || substring(md5(term), 1, 15) AS BIGINT) AS h64
+  FROM toks
+), cell AS (
+  SELECT doc_id, h64 % {dim} AS dim,
+    sum(CASE WHEN (h64 // {dim}) % 2 = 0 THEN 1 ELSE -1 END) AS v
+  FROM h GROUP BY 1, 2
+), vec AS (
+  SELECT doc_id, map_from_entries(list(struct_pack(k := dim, v := v))) AS m
+  FROM cell GROUP BY doc_id
+), arr AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, {dim - 1}),
+      i -> CAST(coalesce(map_extract(m, i)[1], 0) AS DOUBLE)) AS raw
+  FROM vec
+)
+SELECT doc_id,
+  list_transform(raw, v -> round(v / sqrt(list_dot_product(raw, raw)), 6))
+    AS embedding
+FROM arr WHERE list_dot_product(raw, raw) > 0
+"""
+
+
+@_q(
+    "text_hash_embedding",
+    _hash_embedding_oracle_sql(),
+    doc="feature-hashing (hashing-trick) text embeddings: every token "
+    "lands in md5%64 of a 64-dim vector with an md5-derived sign, "
+    "summed and L2-normalized — the standard codec-free text "
+    "vectorizer (Weinberger et al.), bridging the documents table "
+    "into the similarity/ANN/dedup stack without any model. "
+    "Signed term counts are exact integers, so the norm and every "
+    "element are the same IEEE doubles on both engines. One token "
+    "explode + two bounded aggregations (cells ≤ 64/doc); "
+    "dimensionality and collision rate trade off exactly as at "
+    "100 TB — state is O(docs × 64) regardless of vocabulary",
+)
+def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = _HASH_EMB_DIM
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"filter({spark_tokens('text')}, x -> x != '')")
+        ).alias("term"),
+    )
+    h = toks.select(
+        "doc_id", F.expr(spark_hash64("term")).alias("h64")
+    )
+    cell = h.groupBy(
+        "doc_id", (F.col("h64") % dim).alias("dim")
+    ).agg(
+        # integer div, NOT `/`: h64 is up to 60 bits and a double
+        # division would lose exactness past 2^53
+        F.sum(
+            F.when(F.expr(f"(h64 div {dim}) % 2 = 0"), 1).otherwise(-1)
+        ).alias("v")
+    )
+    vec = cell.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("dim", "v"))).alias("m")
+    )
+    arr = vec.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {dim - 1}),"
+            " i -> CAST(coalesce(element_at(m, CAST(i AS BIGINT)), 0) AS DOUBLE))"
+        ).alias("raw"),
+    )
+    dot = similarity.dot_expr("raw", "raw")
+    return arr.filter(F.expr(f"{dot} > 0")).select(
+        "doc_id",
+        F.expr(
+            f"transform(raw, v -> round(v / sqrt({dot}), 6))"
+        ).alias("embedding"),
     )
 
 
