@@ -5777,6 +5777,159 @@ def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "winsorize_prices",
+    """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL),
+vc AS (
+  SELECT event_type, cents, count(*) AS n,
+    sum(count(*)) OVER (PARTITION BY event_type ORDER BY cents
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(count(*)) OVER (PARTITION BY event_type) AS total
+  FROM c GROUP BY 1, 2),
+th AS (
+  SELECT event_type,
+    min(CASE WHEN cum * 1000000 >= 10000 * total THEN cents END) AS lo,
+    min(CASE WHEN cum * 1000000 >= 990000 * total THEN cents END) AS hi
+  FROM vc GROUP BY 1)
+SELECT c.event_id, c.event_type,
+  round(c.cents / 100.0, 2) AS price,
+  round(least(greatest(c.cents, th.lo), th.hi) / 100.0, 2) AS price_winsor,
+  c.cents < th.lo OR c.cents > th.hi AS clipped
+FROM c JOIN th ON c.event_type = th.event_type
+""",
+    doc="per-instrument winsorization at discrete p1/p99 quantiles "
+    "defined by exact integer ppm rank over the per-value count "
+    "table (smallest value whose cumulative share reaches q — an "
+    "actual data value; no interpolation float for engines to "
+    "disagree on). The outlier-clipping step every feature pipeline "
+    "runs before normalization: value-grain counts -> cumulative -> "
+    "two thresholds per instrument broadcast back onto the tick "
+    "scan, clip in codegen. The threshold aggregate is "
+    "map-combinable (counts), unlike a buffer-and-sort exact "
+    "percentile — the same shape survives 100 TB",
+)
+def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+    )
+    vc = c.groupBy("event_type", "cents").agg(F.count(F.lit(1)).alias("n"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = vc.select(
+        "event_type",
+        "cents",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wt).alias("total"),
+    )
+    th = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cum") * 1000000 >= 10000 * F.col("total"), F.col("cents"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("cum") * 1000000 >= 990000 * F.col("total"), F.col("cents"))
+        ).alias("hi"),
+    )
+    return c.join(F.broadcast(th), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("cents") / 100.0, 2).alias("price"),
+        F.round(
+            F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi")) / 100.0, 2
+        ).alias("price_winsor"),
+        ((F.col("cents") < F.col("lo")) | (F.col("cents") > F.col("hi"))).alias(
+            "clipped"
+        ),
+    )
+
+
+def _ndcg_side_sql(src_cte: str) -> str:
+    """DCG of a (query_id, neighbor_id, cosine) list: position by
+    (cosine DESC, neighbor_id), gain = cosine + 1 (shift to >= 0),
+    discount log2(i+1), summed by an order-pinned sequential fold."""
+    return f"""
+  SELECT query_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    list(g ORDER BY i)), (a, x) -> a + x) AS dcg
+  FROM (
+    SELECT query_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id) AS i,
+      (cosine + 1.0) / log2(row_number() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id) + 1) AS g
+    FROM {src_cte})
+  GROUP BY query_id
+"""
+
+
+@_q(
+    "ndcg_at_5",
+    f"""
+WITH exact5 AS ({similarity.cosine_topk_oracle_sql()}),
+approx5 AS ({similarity.ivf_trained_oracle_sql()}),
+ideal AS ({_ndcg_side_sql('exact5')}),
+got AS ({_ndcg_side_sql('approx5')})
+SELECT ideal.query_id,
+  round(coalesce(got.dcg, 0.0) / ideal.dcg, 6) AS ndcg_at_5
+FROM ideal LEFT JOIN got ON ideal.query_id = got.query_id
+""",
+    doc="NDCG@5 of the trained-IVF retriever against the exact-cosine "
+    "ideal ranking — the graded companion to ann_recall_at_5 (recall "
+    "counts hits; NDCG weighs WHERE they rank). Gains are the true "
+    "cosines shifted to >= 0, discount log2(i+1); each query's DCG "
+    "is summed by an order-pinned sequential fold over the "
+    "position-sorted gain list, so the 5-term float sum is "
+    "bit-identical on both engines (a plain SUM() would be "
+    "order-nondeterministic). Composed entirely from the two "
+    "oracle-checked retrievers",
+)
+def ndcg_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def dcg(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        g = df.select(
+            "query_id",
+            F.row_number().over(w).alias("i"),
+            "cosine",
+        ).select(
+            "query_id",
+            "i",
+            ((F.col("cosine") + 1.0) / F.log2(F.col("i") + 1)).alias("g"),
+        )
+        return g.groupBy("query_id").agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(i, g))),"
+                " x -> x.g), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+            ).alias("dcg")
+        )
+
+    ideal = dcg(similarity.cosine_topk(emb))
+    got = dcg(similarity.ivf_trained_topk(emb)).withColumnRenamed(
+        "dcg", "got_dcg"
+    )
+    return ideal.join(got, "query_id", "left").select(
+        "query_id",
+        F.round(
+            F.coalesce(F.col("got_dcg"), F.lit(0.0)) / F.col("dcg"), 6
+        ).alias("ndcg_at_5"),
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
