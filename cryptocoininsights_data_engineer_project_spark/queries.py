@@ -5930,6 +5930,131 @@ def ndcg_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DAILY_OHLC_SQL = f"""
+  SELECT event_type, day,
+         max(cents) AS high_c, min(cents) AS low_c,
+         arg_max(cents, {_EVT_SKEY}) AS close_c
+  FROM ({_EVT_BASE_SQL})
+  GROUP BY 1, 2
+"""
+
+
+def _daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _evt_base(spark, sf_dir)
+        .groupBy("event_type", "day")
+        .agg(
+            F.max("cents").alias("high_c"),
+            F.min("cents").alias("low_c"),
+            F.expr("max_by(cents, struct(tu, event_id))").alias("close_c"),
+        )
+    )
+
+
+@_q(
+    "atr_14",
+    f"""
+WITH d AS ({_DAILY_OHLC_SQL}),
+tr AS (
+  SELECT event_type, day,
+    greatest(high_c - low_c,
+      abs(high_c - lag(close_c) OVER w), abs(low_c - lag(close_c) OVER w)) AS tr_c
+  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+g AS (
+  SELECT event_type, day, tr_c,
+    count(tr_c) OVER win AS n, sum(tr_c) OVER win AS s
+  FROM tr
+  WINDOW win AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+SELECT event_type, day, round(tr_c / 100.0, 2) AS true_range,
+  round(CAST(s AS DOUBLE) / (100.0 * n), 4) AS atr14
+FROM g WHERE n = 14
+""",
+    doc="14-day average true range per instrument (the standard "
+    "volatility gauge): TR = max(high-low, |high-prev_close|, "
+    "|low-prev_close|) on integer cents, SMA over a 14-row frame — "
+    "exact integer window sums over the |instrument x day| OHLC "
+    "table, float only at the final division. First day's TR falls "
+    "back to high-low (no prior close), per convention",
+)
+def atr_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_ohlc(spark, sf_dir)
+    lagw = Window.partitionBy("event_type").orderBy("day")
+    frame = Window.partitionBy("event_type").orderBy("day").rowsBetween(-13, 0)
+    tr = d.select(
+        "event_type",
+        "day",
+        F.greatest(
+            F.col("high_c") - F.col("low_c"),
+            F.abs(F.col("high_c") - F.lag("close_c").over(lagw)),
+            F.abs(F.col("low_c") - F.lag("close_c").over(lagw)),
+        ).alias("tr_c"),
+    )
+    g = tr.select(
+        "event_type",
+        "day",
+        "tr_c",
+        F.count("tr_c").over(frame).alias("n"),
+        F.sum("tr_c").over(frame).alias("s"),
+    ).filter(F.col("n") == 14)
+    return g.select(
+        "event_type",
+        "day",
+        F.round(F.col("tr_c") / 100.0, 2).alias("true_range"),
+        F.round(F.col("s").cast("double") / (100.0 * F.col("n")), 4).alias(
+            "atr14"
+        ),
+    )
+
+
+@_q(
+    "stochastic_k",
+    f"""
+WITH d AS ({_DAILY_OHLC_SQL}),
+g AS (
+  SELECT event_type, day, close_c,
+    min(low_c) OVER win AS ll, max(high_c) OVER win AS hh,
+    count(*) OVER win AS n
+  FROM d
+  WINDOW win AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+SELECT event_type, day, round(close_c / 100.0, 2) AS close,
+  round(coalesce(100.0 * (close_c - ll) / nullif(hh - ll, 0), 50.0), 4)
+    AS pct_k
+FROM g WHERE n = 14
+""",
+    doc="14-day stochastic oscillator %K per instrument: close "
+    "position within the rolling high-low channel, "
+    "100*(close - low14)/(high14 - low14) — integer window min/max, "
+    "one exact ratio; the flat-channel case pins at 50 like rsi_14",
+)
+def stochastic_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_ohlc(spark, sf_dir)
+    frame = Window.partitionBy("event_type").orderBy("day").rowsBetween(-13, 0)
+    g = d.select(
+        "event_type",
+        "day",
+        "close_c",
+        F.min("low_c").over(frame).alias("ll"),
+        F.max("high_c").over(frame).alias("hh"),
+        F.count(F.lit(1)).over(frame).alias("n"),
+    ).filter(F.col("n") == 14)
+    return g.select(
+        "event_type",
+        "day",
+        F.round(F.col("close_c") / 100.0, 2).alias("close"),
+        F.round(
+            F.coalesce(
+                100.0
+                * (F.col("close_c") - F.col("ll"))
+                / F.nullif(F.col("hh") - F.col("ll"), F.lit(0)),
+                F.lit(50.0),
+            ),
+            4,
+        ).alias("pct_k"),
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
