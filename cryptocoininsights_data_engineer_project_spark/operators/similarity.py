@@ -571,9 +571,13 @@ def hyperplane_lsh_oracle_sql(
     n_planes: int = LSH_PLANES,
     n_bands: int = LSH_BANDS,
     seed: int = LSH_SEED,
+    source_sql: str | None = None,
 ) -> str:
     """DuckDB twin of ``hyperplane_lsh_pairs`` — identical literal
-    hyperplanes, identical fold dot products, identical banding."""
+    hyperplanes, identical fold dot products, identical banding.
+    ``source_sql`` overrides the vector source (any SELECT producing
+    (vec_id, emb DOUBLE[])) so derived embeddings — e.g. the
+    feature-hashing text vectors — reuse the same oracle."""
     planes = _lsh_planes(dim, n_planes, seed)
     bb = n_planes // n_bands
     h_lit = (
@@ -591,9 +595,12 @@ def hyperplane_lsh_oracle_sql(
         )
         for b in range(n_bands)
     ]
+    source = source_sql or (
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings"
+    )
     return f"""
 WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  {source}
 ), bits AS (
   SELECT vec_id,
          list_transform({h_lit},
