@@ -261,18 +261,42 @@ class CoinWarehouse:
         )
 
     # -- load -------------------------------------------------------
-    def upsert_batch(self, info: DataFrame, metrics: DataFrame) -> None:
+    def upsert_batch(
+        self,
+        info: DataFrame,
+        metrics: DataFrame,
+        evolve_schema: bool = False,
+    ) -> None:
         """M1 + M2 for one batch. Stage duplicates resolve keep-latest
         (fact: by last_updated; dim: by batch_id) — the reference
         relies on one-row-per-coin API payloads; we make the rule
-        explicit so replayed/duplicated batches stay idempotent."""
-        info = info.select(*INFO_COLS, "batch_id")
-        metrics = metrics.select(*METRIC_COLS, "batch_id")
-        self._upsert(self.dim_path, info, INFO_COLS, dedupe_order=["batch_id"])
+        explicit so replayed/duplicated batches stay idempotent.
+
+        ``evolve_schema=True`` is MERGE WITH SCHEMA EVOLUTION: columns
+        present in the stage but not in the table are appended (old
+        rows read NULL); the default drops them, mirroring the
+        reference's fixed column lists (coininsights.py:119-157).
+        Either way, columns already evolved INTO the table persist
+        through later upserts (the table schema is authoritative — a
+        rewrite never narrows it)."""
+
+        def _extras(df, base):
+            known = set(base) | {"batch_id", "bucket"}
+            return [c for c in df.columns if c not in known]
+
+        info_cols = list(INFO_COLS) + (
+            _extras(info, INFO_COLS) if evolve_schema else []
+        )
+        metric_cols = list(METRIC_COLS) + (
+            _extras(metrics, METRIC_COLS) if evolve_schema else []
+        )
+        info = info.select(*info_cols, "batch_id")
+        metrics = metrics.select(*metric_cols, "batch_id")
+        self._upsert(self.dim_path, info, info_cols, dedupe_order=["batch_id"])
         self._upsert(
             self.fact_path,
             metrics,
-            METRIC_COLS,
+            metric_cols,
             dedupe_order=["last_updated", "batch_id"],
         )
 
@@ -286,6 +310,19 @@ class CoinWarehouse:
             result = dedupe_latest(stage, ["id"], dedupe_order).select(*cols, "bucket")
             result.write.mode("overwrite").partitionBy("bucket").parquet(path)
             return
+        # schema evolution, both directions: the table keeps columns a
+        # narrower stage no longer carries (they pass through merge and
+        # stay NULL on inserts), and new stage columns materialize in
+        # the target as typed NULLs so the merged rewrite carries one
+        # uniform schema across bucket directories (mixed per-bucket
+        # schemas would make a plain parquet read schema-roulette)
+        cols = list(cols) + [
+            c for c in target.columns if c not in cols and c != "bucket"
+        ]
+        stage_fields = {f.name: f.dataType for f in stage.schema.fields}
+        for c in cols:
+            if c not in target.columns:
+                target = target.withColumn(c, F.lit(None).cast(stage_fields[c]))
         # bucket pruning: only partitions holding stage keys participate
         touched = sorted(
             r["bucket"] for r in stage.select("bucket").distinct().collect()
@@ -298,7 +335,8 @@ class CoinWarehouse:
             target_sub,
             stage,
             keys=["id"],
-            update_cols=[c for c in cols if c != "id"] + ["bucket"],
+            update_cols=[c for c in cols if c != "id" and c in stage.columns]
+            + ["bucket"],
             dedupe_order=dedupe_order,
         ).select(*cols, "bucket")
         tmp = path + "__staging"

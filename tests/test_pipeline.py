@@ -348,3 +348,46 @@ def test_file_discovery_modes_agree(spark, tmp_path):
             CoinWarehouse(spark, str(tmp_path / "wh_bad")),
             file_discovery="nope",
         )
+
+
+def test_merge_schema_evolution(spark, raw_dir, tmp_path):
+    """MERGE WITH SCHEMA EVOLUTION: a batch carrying a new metric
+    column appends it to the fact table (old rows NULL), and a later
+    NON-evolving batch must not narrow the evolved schema back."""
+    from pyspark.sql import functions as F
+
+    wh = CoinWarehouse(spark, str(tmp_path / "wh_evolve"))
+    n0 = normalize(read_raw_json(spark, os.path.join(raw_dir, "raw_coins_batch0.json")))
+    wh.upsert_batch(split_info(n0), split_metrics(n0))
+    before = wh.fact()
+    assert "ath_usd" not in before.columns
+    n_before = before.count()
+
+    # batch 1 ships a new column, evolve it in
+    n1 = normalize(read_raw_json(spark, os.path.join(raw_dir, "raw_coins_batch1.json")))
+    m1 = split_metrics(n1).withColumn(
+        "ath_usd", F.col("current_price_usd") * 2
+    )
+    wh.upsert_batch(split_info(n1), m1, evolve_schema=True)
+    f = wh.fact()
+    assert "ath_usd" in f.columns
+    # rows refreshed by batch 1 carry values; rows only in batch 0 are NULL
+    batch1_ids = {r["id"] for r in m1.select("id").collect()}
+    vals = {r["id"]: r["ath_usd"] for r in f.collect()}
+    assert all(vals[i] is not None for i in batch1_ids)
+    only_b0 = set(vals) - batch1_ids
+    assert all(vals[i] is None for i in only_b0) and (not only_b0 or True)
+
+    # a later legacy (non-evolving) batch keeps the evolved column
+    n2 = normalize(read_raw_json(spark, os.path.join(raw_dir, "raw_coins_batch2.json")))
+    wh.upsert_batch(split_info(n2), split_metrics(n2))
+    f2 = wh.fact()
+    assert "ath_usd" in f2.columns
+    # values written by the evolving batch survive unless batch 2
+    # re-touched that id (then the stage lacks the column -> passthrough
+    # keeps the old value, per merge()'s passthrough contract)
+    vals2 = {r["id"]: r["ath_usd"] for r in f2.collect()}
+    assert any(v is not None for v in vals2.values())
+    for i in batch1_ids:
+        assert vals2[i] == vals[i]
+    assert f2.count() >= n_before
