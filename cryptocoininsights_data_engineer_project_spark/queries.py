@@ -6089,6 +6089,117 @@ def dedup_text_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hyperplane_lsh_pairs(vecs, threshold=_TEXT_EMB_DEDUP_T)
 
 
+@_q(
+    "cusum_changepoint",
+    f"""
+WITH d AS ({_DAILY_CLOSE_SQL}),
+st AS (
+  SELECT event_type, count(*) AS n, sum(close_c) AS s
+  FROM d GROUP BY 1),
+c AS (
+  SELECT d.event_type, d.day,
+    sum(CAST(st.n AS HUGEINT) * d.close_c - st.s)
+      OVER (PARTITION BY d.event_type ORDER BY d.day
+            ROWS UNBOUNDED PRECEDING) AS cusum_scaled,
+    st.n AS n
+  FROM d JOIN st ON d.event_type = st.event_type)
+SELECT event_type,
+  arg_max(day, CAST(abs(cusum_scaled) AS HUGEINT) * 1048576
+               - date_diff('day', DATE '1995-01-01', day)) AS change_day,
+  round(max(abs(cusum_scaled)) / (CAST(n AS DOUBLE) * 100.0), 4)
+    AS max_drift_dollars
+FROM c GROUP BY event_type, n
+""",
+    doc="CUSUM changepoint detection per instrument: cumulative sum "
+    "of mean-deviations over daily closes peaks at the most likely "
+    "level-shift day. Deviations are kept EXACT by scaling — "
+    "n*close - sum(close) is an integer, so the running cusum and "
+    "its argmax are order-proof; one float at the end rescales to "
+    "dollars. Earliest day wins ties (argmax key |cusum|*2^20 - "
+    "day-index, exact in 128-bit). Mean comes from one tiny per-instrument "
+    "aggregate joined back broadcast; the window walks daily grain",
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_close(spark, sf_dir)
+    st = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("close_c").alias("s"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = (
+        d.join(F.broadcast(st), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.sum(
+                F.col("n").cast("decimal(38,0)") * F.col("close_c") - F.col("s")
+            )
+            .over(w)
+            .alias("cusum_scaled"),
+        )
+    )
+    return c.groupBy("event_type", "n").agg(
+        F.expr(
+            "max_by(day, CAST(abs(cusum_scaled) AS DECIMAL(38,0)) * 1048576"
+            " - datediff(day, DATE'1995-01-01'))"
+        ).alias("change_day"),
+        F.round(
+            F.max(F.abs(F.col("cusum_scaled"))).cast("double")
+            / (F.col("n").cast("double") * 100.0),
+            4,
+        ).alias("max_drift_dollars"),
+    ).drop("n")
+
+
+@_q(
+    "table_fingerprint",
+    """
+WITH h AS (
+  SELECT CAST('0x' || substring(md5(
+    CAST(event_id AS VARCHAR) || '|' || CAST(epoch_us(ts) AS VARCHAR) || '|' ||
+    CAST(user_id AS VARCHAR) || '|' || event_type || '|' ||
+    CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR) || '|' ||
+    coalesce(props, '')), 1, 15) AS BIGINT) AS hv
+  FROM events)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(bit_xor(hv) AS BIGINT) AS xor_sig,
+  CAST(sum(hv) % 2305843009213693951 AS BIGINT) AS sum_sig
+FROM h
+""",
+    doc="order-independent table fingerprint: per-row canonical-string "
+    "md5 folded by XOR and by modular sum (2^61-1) plus the row "
+    "count — the replica/migration audit primitive: two copies of a "
+    "100 TB table compare by exchanging three integers, no sort, no "
+    "row shipping, map-side combinable all the way down. XOR alone "
+    "is blind to duplicated row pairs; the modular sum and count "
+    "close that hole. Timestamps hash at microsecond grain, money "
+    "at cents, so both engines canonicalize identically",
+)
+def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    hv = F.expr(
+        spark_hash64(
+            "concat(CAST(event_id AS STRING), '|',"
+            " CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS STRING), '|',"
+            " CAST(user_id AS STRING), '|', event_type, '|',"
+            " CAST(CAST(round(value * 100, 0) AS BIGINT) AS STRING), '|',"
+            " coalesce(props, ''))"
+        )
+    )
+    return e.select(hv.alias("hv")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(hv)").alias("xor_sig"),
+        F.expr(
+            "CAST(sum(CAST(hv AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT)"
+        ).alias("sum_sig"),
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
