@@ -16,11 +16,17 @@ semantics are individually oracle-checked via its registry query, and
 the composition test (tests/test_corpus_pipeline.py) pins that the
 pipeline equals composing the standalone operators by hand.
 
-Scale shape: two corpus text scans total (the fused gate, and the
-shingle/packing path over survivors), every inter-stage join is on
-doc_id (co-partitioned after the first shuffle), the benchmark side
-broadcasts, and the per-stage lineage counts are lazy 1-row aggregates
-union'd into a stats frame — no driver-side counting mid-pipeline.
+Scale shape: survivor sets are MATERIALIZED between phases (to
+``staging_dir`` as parquet when given — the real 100 TB pattern, each
+phase restartable from storage — else via localCheckpoint at test
+scale). Without that, every downstream consumer of "survivors"
+re-evaluates the gate join against the raw corpus: the un-materialized
+plan re-scans the corpus text 5x for the packs output alone (14x with
+the stats frame) — measured, which is why the materialization is not
+optional-by-default. All inter-stage joins are on doc_id, the
+benchmark side broadcasts, and the per-stage lineage counts are lazy
+1-row aggregates union'd into a stats frame — no driver-side counting
+mid-pipeline.
 """
 
 from __future__ import annotations
@@ -43,6 +49,17 @@ def _split_col(key_expr: str):
     )
 
 
+def _materialize(df: DataFrame, staging_dir: str | None, name: str) -> DataFrame:
+    """Pin a phase boundary: parquet round-trip when a staging dir is
+    given (restartable, scan-cost paid once), localCheckpoint otherwise
+    (same plan-truncation effect at test scale)."""
+    if staging_dir:
+        path = f"{staging_dir}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+    return df.localCheckpoint()
+
+
 def prepare_training_corpus(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -52,6 +69,7 @@ def prepare_training_corpus(
     decon_w: int = 6,
     capacity: int = textops.PACK_CAPACITY,
     n_shards: int = textops.PACK_SHARDS,
+    staging_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full corpus-preparation pipeline.
 
@@ -71,7 +89,7 @@ def prepare_training_corpus(
     #    ONE corpus scan (keep = lang match ∧ quality ≥ τ ∧ is-canon)
     gate = textops.corpus_filter(docs, lang=lang, min_quality=min_quality)
     kept_ids = gate.filter(F.col("keep")).select("doc_id")
-    survivors = docs.join(kept_ids, "doc_id")
+    survivors = _materialize(docs.join(kept_ids, "doc_id"), staging_dir, "survivors")
 
     # 2. near-dup removal: banded MinHash candidates over survivors,
     #    connected components, keep each cluster's smallest doc_id.
@@ -88,7 +106,9 @@ def prepare_training_corpus(
     contaminated = dedup.decontaminate(deduped, benchmark, w=decon_w).select(
         "doc_id"
     )
-    clean = deduped.join(contaminated, "doc_id", "left_anti")
+    clean = _materialize(
+        deduped.join(contaminated, "doc_id", "left_anti"), staging_dir, "clean"
+    )
 
     # 4. pack into training sequences (greedy per-shard fill)
     packs = textops.pack_sequences(clean, capacity=capacity, n_shards=n_shards)

@@ -85,3 +85,29 @@ def test_pipeline_packs_are_split_atomic_and_deterministic(spark, sf_dir):
     dist = {r["split"]: r["n"] for r in packs1.groupBy("split").agg(F.count("*").alias("n")).collect()}
     assert set(dist) == {"train", "val", "test"}
     assert dist["train"] > dist["val"] and dist["train"] > dist["test"]
+
+
+def test_pipeline_staging_materialization(spark, sf_dir, tmp_path):
+    """With a staging_dir, phase boundaries are parquet: the packs plan
+    reads ONLY the staged survivor tables (never the raw corpus), and
+    results equal the checkpoint-based run."""
+    import contextlib
+    import io
+    import re
+
+    docs, benchmark = _frames(spark, sf_dir)
+    packs_ck, _ = prepare_training_corpus(docs, benchmark)
+    packs_st, _ = prepare_training_corpus(
+        docs, benchmark, staging_dir=str(tmp_path / "staging")
+    )
+    a = {(r["doc_id"], r["shard"], r["pack_id"], r["split"]) for r in packs_ck.collect()}
+    b = {(r["doc_id"], r["shard"], r["pack_id"], r["split"]) for r in packs_st.collect()}
+    assert a == b
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        packs_st.explain("formatted")
+    p = buf.getvalue()
+    m = re.findall(r"Location: InMemoryFileIndex[^\n]*\[([^\]]*)\]", p)
+    # every scan in the packs plan reads staged data, not the corpus
+    assert m and all("staging" in loc for loc in m)
