@@ -104,6 +104,7 @@ BNLJ_ALLOWED = {
     "ann_recall_at_5",  # composes cosine_topk + ivf (both allowlisted shapes)
     "rank_fusion",  # dense side is cosine_topk's broadcast query set
     "mmr_diversify",  # broadcast query set, same non-equi shape as cosine_topk
+    "ndcg_at_5",  # composes cosine_topk + ivf (both allowlisted shapes)
 }
 
 
