@@ -70,8 +70,14 @@ def prepare_training_corpus(
     capacity: int = textops.PACK_CAPACITY,
     n_shards: int = textops.PACK_SHARDS,
     staging_dir: str | None = None,
+    index_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full corpus-preparation pipeline.
+
+    ``index_dir``: when given, the surviving corpus's MinHash band
+    fingerprints are written there (overwrite — this is the initial
+    index build), enabling :func:`extend_training_corpus` to absorb
+    future batches incrementally.
 
     Returns ``(packs, stats)``:
 
@@ -110,6 +116,9 @@ def prepare_training_corpus(
         deduped.join(contaminated, "doc_id", "left_anti"), staging_dir, "clean"
     )
 
+    if index_dir:
+        dedup.write_fingerprint_index(clean, index_dir, mode="overwrite")
+
     # 4. pack into training sequences (greedy per-shard fill)
     packs = textops.pack_sequences(clean, capacity=capacity, n_shards=n_shards)
 
@@ -126,6 +135,109 @@ def prepare_training_corpus(
 
     stats = (
         _n(docs, "input")
+        .unionByName(_n(kept_ids, "after_quality_gate"))
+        .unionByName(_n(deduped.select("doc_id"), "after_near_dup"))
+        .unionByName(_n(clean.select("doc_id"), "after_decontaminate"))
+        .unionByName(
+            packs.select("shard", "pack_id")
+            .distinct()
+            .agg(F.lit("packs_formed").alias("stage"), F.count(F.lit(1)).alias("n"))
+        )
+    )
+    return packs, stats
+
+
+def extend_training_corpus(
+    new_docs: DataFrame,
+    benchmark: DataFrame,
+    index_dir: str,
+    *,
+    lang: str = "en",
+    min_quality: float = 0.5,
+    decon_w: int = 6,
+    capacity: int = textops.PACK_CAPACITY,
+    n_shards: int = textops.PACK_SHARDS,
+    staging_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental mode of :func:`prepare_training_corpus`: absorb a
+    NEW batch against an already-prepared corpus without ever touching
+    the indexed corpus's text again.
+
+    - gate: same fused quality/language/exact-dup pass over the batch;
+    - near-dup: the batch probes the persisted MinHash band index
+      (``dedup.incremental_dedup_pairs``) — a batch doc is dropped if
+      it collides with ANY indexed doc (the indexed corpus is
+      immutable, so the incumbent always wins) or if it is a non-canon
+      member of a batch-internal collision pair (smallest doc_id
+      survives, the same canon rule as the full pipeline);
+    - decontaminate + pack + pack-atomic split: identical to the full
+      pipeline, over batch survivors only;
+    - finally the surviving batch docs' fingerprints are APPENDED to
+      the index, keeping the invariant for the next batch.
+
+    Incremental semantics (standard for training pipelines): earlier
+    corpus packs are never re-opened — a batch doc that duplicates an
+    indexed doc disappears, never the reverse. Per-batch cost scales
+    with the batch plus one fingerprint-index probe; the 100 TB of
+    already-ingested text stays cold.
+
+    Returns ``(packs, stats)`` for the batch, shaped exactly like
+    :func:`prepare_training_corpus`.
+    """
+    spark = new_docs.sparkSession
+    docs = new_docs.select("doc_id", "text", "lang", "source", "n_chars")
+
+    gate = textops.corpus_filter(docs, lang=lang, min_quality=min_quality)
+    kept_ids = gate.filter(F.col("keep")).select("doc_id")
+    survivors = _materialize(
+        docs.join(kept_ids, "doc_id"), staging_dir, "batch_survivors"
+    )
+
+    pairs = dedup.incremental_dedup_pairs(spark, survivors, index_dir)
+    batch_ids = survivors.select("doc_id")
+    # vs-index collision: the batch-side doc of any pair whose partner
+    # is NOT in this batch (per incremental_dedup_pairs, one side is
+    # always a batch doc)
+    a_in = pairs.join(
+        batch_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
+    )
+    vs_index_a = pairs.join(
+        batch_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_anti"
+    ).select(F.col("doc_a").alias("doc_id"))
+    vs_index_b = pairs.join(
+        batch_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_anti"
+    ).select(F.col("doc_b").alias("doc_id"))
+    # batch-internal pairs: non-canon = larger doc_id of each component
+    internal = a_in.join(
+        batch_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi"
+    )
+    labels, _ = dedup.connected_components(internal)
+    internal_non_canon = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    dropped = vs_index_a.unionByName(vs_index_b).unionByName(internal_non_canon)
+    deduped = survivors.join(dropped.distinct(), "doc_id", "left_anti")
+
+    contaminated = dedup.decontaminate(deduped, benchmark, w=decon_w).select(
+        "doc_id"
+    )
+    clean = _materialize(
+        deduped.join(contaminated, "doc_id", "left_anti"),
+        staging_dir,
+        "batch_clean",
+    )
+
+    packs = textops.pack_sequences(clean, capacity=capacity, n_shards=n_shards)
+    packs = packs.withColumn("split", _split_col("concat(shard, ':', pack_id)"))
+
+    # keep the index invariant: the batch's SURVIVING docs join the index
+    dedup.write_fingerprint_index(clean, index_dir, mode="append")
+
+    def _n(df: DataFrame, stage: str) -> DataFrame:
+        return df.agg(F.lit(stage).alias("stage"), F.count(F.lit(1)).alias("n"))
+
+    stats = (
+        _n(docs, "batch_input")
         .unionByName(_n(kept_ids, "after_quality_gate"))
         .unionByName(_n(deduped.select("doc_id"), "after_near_dup"))
         .unionByName(_n(clean.select("doc_id"), "after_decontaminate"))
