@@ -6200,6 +6200,112 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DAILY_CV_SQL = f"""
+  SELECT event_type, day,
+         arg_max(cents, {_EVT_SKEY}) AS close_c,
+         sum(qty) AS vol
+  FROM ({_EVT_BASE_SQL})
+  GROUP BY 1, 2
+"""
+
+
+@_q(
+    "obv_daily",
+    f"""
+WITH d AS ({_DAILY_CV_SQL}),
+s AS (
+  SELECT event_type, day, vol,
+    CASE WHEN close_c > lag(close_c) OVER w THEN vol
+         WHEN close_c < lag(close_c) OVER w THEN -vol
+         ELSE 0 END AS signed_vol
+  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day))
+SELECT event_type, day,
+  CAST(sum(signed_vol) OVER (PARTITION BY event_type ORDER BY day
+       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv,
+  CAST(vol AS BIGINT) AS day_volume
+FROM s
+""",
+    doc="on-balance volume per instrument: daily volume signed by the "
+    "close-to-close direction, accumulated — the classic volume-flow "
+    "confirmation indicator. Pure integer lag + cumsum over daily "
+    "grain; the first day contributes 0 (no prior close), per "
+    "convention",
+)
+def obv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        _evt_base(spark, sf_dir)
+        .groupBy("event_type", "day")
+        .agg(
+            F.expr("max_by(cents, struct(tu, event_id))").alias("close_c"),
+            F.sum("qty").alias("vol"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = d.select(
+        "event_type",
+        "day",
+        "vol",
+        F.when(F.col("close_c") > F.lag("close_c").over(w), F.col("vol"))
+        .when(F.col("close_c") < F.lag("close_c").over(w), -F.col("vol"))
+        .otherwise(F.lit(0))
+        .alias("signed_vol"),
+    )
+    return s.select(
+        "event_type",
+        "day",
+        F.sum("signed_vol").over(cum).cast("bigint").alias("obv"),
+        F.col("vol").cast("bigint").alias("day_volume"),
+    )
+
+
+@_q(
+    "volume_profile",
+    f"""
+WITH e AS ({_EVT_BASE_SQL}),
+b AS (
+  SELECT event_type, cents // 500 AS price_bucket,
+         sum(qty) AS vol, count(*) AS n_trades
+  FROM e GROUP BY 1, 2),
+t AS (SELECT event_type, sum(vol) AS tot FROM b GROUP BY 1)
+SELECT b.event_type,
+  round((b.price_bucket * 500) / 100.0, 2) AS bucket_low,
+  CAST(b.vol AS BIGINT) AS volume, CAST(b.n_trades AS BIGINT) AS n_trades,
+  round(b.vol / CAST(t.tot AS DOUBLE), 6) AS vol_share
+FROM b JOIN t ON b.event_type = t.event_type
+""",
+    doc="volume profile per instrument: traded volume by $5 price "
+    "bucket with each bucket's share of total — the market-structure "
+    "view (where the volume actually traded) behind VWAP/POC "
+    "analysis. One shuffle to (instrument, bucket) grain; totals "
+    "re-aggregate the bucket table and come back broadcast, the "
+    "pct_of_total discipline; integer-exact until the share ratio",
+)
+def volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _evt_base(spark, sf_dir)
+    b = (
+        e.groupBy(
+            "event_type", F.expr("cents div 500").alias("price_bucket")
+        )
+        .agg(F.sum("qty").alias("vol"), F.count(F.lit(1)).alias("n_trades"))
+        .localCheckpoint()
+    )
+    t = b.groupBy("event_type").agg(F.sum("vol").alias("tot"))
+    return b.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        F.round((F.col("price_bucket") * 500) / 100.0, 2).alias("bucket_low"),
+        F.col("vol").cast("bigint").alias("volume"),
+        F.col("n_trades").cast("bigint").alias("n_trades"),
+        F.round(F.col("vol") / F.col("tot").cast("double"), 6).alias(
+            "vol_share"
+        ),
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
