@@ -6306,6 +6306,95 @@ def volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "bar_coverage",
+    f"""
+WITH e AS ({_EVT_BASE_SQL}),
+span AS (
+  SELECT event_type, min(bar_ts) AS lo, max(bar_ts) AS hi,
+         count(DISTINCT bar_ts) AS observed
+  FROM e GROUP BY 1)
+SELECT event_type,
+  CAST(date_diff('hour', lo, hi) + 1 AS BIGINT) AS expected_bars,
+  CAST(observed AS BIGINT) AS observed_bars,
+  CAST(date_diff('hour', lo, hi) + 1 - observed AS BIGINT) AS missing_bars,
+  round(observed / CAST(date_diff('hour', lo, hi) + 1 AS DOUBLE), 6)
+    AS coverage
+FROM span
+""",
+    doc="time-series completeness check per instrument: observed "
+    "hourly bars vs the calendar span between first and last tick — "
+    "the data-quality gate a bar-building pipeline runs before "
+    "publishing candles (a gap means an outage or a listing halt, "
+    "not zero volume). One scan, one tiny aggregate; the distinct "
+    "bar count partial-aggregates map-side",
+)
+def bar_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _evt_base(spark, sf_dir)
+    span = e.groupBy("event_type").agg(
+        F.min("bar_ts").alias("lo"),
+        F.max("bar_ts").alias("hi"),
+        F.countDistinct("bar_ts").alias("observed"),
+    )
+    expected = (
+        F.expr("CAST((unix_seconds(hi) - unix_seconds(lo)) / 3600 AS BIGINT)") + 1
+    )
+    return span.select(
+        "event_type",
+        expected.alias("expected_bars"),
+        F.col("observed").alias("observed_bars"),
+        (expected - F.col("observed")).alias("missing_bars"),
+        F.round(F.col("observed") / expected.cast("double"), 6).alias(
+            "coverage"
+        ),
+    )
+
+
+@_q(
+    "momentum_ranks",
+    f"""
+WITH d AS ({_DAILY_CLOSE_SQL}),
+r AS (
+  SELECT event_type, day, close_c,
+    lag(close_c, 7) OVER (PARTITION BY event_type ORDER BY day) AS prev7_c
+  FROM d)
+SELECT event_type, day,
+  round(close_c / 100.0, 2) AS close,
+  round(((close_c - prev7_c) * 1000000 // prev7_c) / 1000000.0, 6) AS ret_7d,
+  CAST(rank() OVER (PARTITION BY day
+    ORDER BY (close_c - prev7_c) * 1000000 // prev7_c DESC, event_type)
+    AS INT) AS momentum_rank
+FROM r WHERE prev7_c IS NOT NULL
+""",
+    doc="cross-sectional momentum: each day, instruments ranked by "
+    "trailing 7-day return — the rotation signal, and the TRANSPOSED "
+    "window shape (partition by DAY across instruments, where every "
+    "other market query partitions by instrument across days). The "
+    "ranking key is the integer-ppm return ((c-p)*1e6/p integer "
+    "division), so rank order is exact on both engines; the reported "
+    "ret_7d is that same integer rescaled — no float enters the "
+    "ordering. Daily-grain windows only",
+)
+def momentum_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_close(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    r = d.select(
+        "event_type",
+        "day",
+        "close_c",
+        F.lag("close_c", 7).over(w).alias("prev7_c"),
+    ).filter(F.col("prev7_c").isNotNull())
+    ppm = F.expr("(close_c - prev7_c) * 1000000 div prev7_c")
+    wr = Window.partitionBy("day").orderBy(ppm.desc(), F.col("event_type"))
+    return r.select(
+        "event_type",
+        "day",
+        F.round(F.col("close_c") / 100.0, 2).alias("close"),
+        F.round(ppm / 1000000.0, 6).alias("ret_7d"),
+        F.rank().over(wr).cast("int").alias("momentum_rank"),
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
