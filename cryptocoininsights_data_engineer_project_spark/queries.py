@@ -6395,6 +6395,66 @@ def momentum_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "vocab_growth",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter({duck_tokens('text')}, x -> x != '')) AS term
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY 1
+), first_seen AS (
+  SELECT doc_id, count(*) AS n_new
+  FROM (SELECT term, min(doc_id) AS doc_id FROM toks GROUP BY term) f
+  GROUP BY doc_id
+), j AS (
+  SELECT p.doc_id, p.n_tokens, coalesce(fs.n_new, 0) AS n_new
+  FROM per_doc p LEFT JOIN first_seen fs ON p.doc_id = fs.doc_id)
+SELECT doc_id,
+  CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+  CAST(sum(n_new) OVER w AS BIGINT) AS cum_vocab
+FROM j WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+""",
+    doc="vocabulary-growth (Heaps'-law) curve: cumulative distinct "
+    "terms vs cumulative tokens in ingestion (doc_id) order — the "
+    "corpus statistic that says when more data stops buying new "
+    "vocabulary. New-term counts come from one min-doc-per-term "
+    "aggregate (first-appearance counting, the cumulative_distinct "
+    "discipline — no set-valued window state); BOTH running sums go "
+    "through the distributed global prefix scan "
+    "(operators/windows.py::global_cumsum) because the order is "
+    "corpus-global — the oracle's bare ORDER-BY window is exactly "
+    "the single-partition sort the primitive exists to avoid",
+)
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import global_cumsum
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"filter({spark_tokens('text')}, x -> x != '')")
+            ).alias("term"),
+        )
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    first_seen = (
+        toks.groupBy("term")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    j = per_doc.join(first_seen, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+    )
+    out = global_cumsum(j, [F.col("doc_id")], F.col("n_tokens"), out="cum_tokens")
+    out = global_cumsum(out, [F.col("doc_id")], F.col("n_new"), out="cum_vocab")
+    return out.select("doc_id", "cum_tokens", "cum_vocab")
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
