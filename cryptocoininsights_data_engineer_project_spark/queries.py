@@ -6455,6 +6455,166 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "cum_tokens", "cum_vocab")
 
 
+@_q(
+    "ngram_collocations",
+    f"""
+WITH toks AS (
+  SELECT doc_id, list_filter({duck_tokens('text')}, x -> x != '') AS ws
+  FROM documents
+), uni AS (
+  SELECT t.term, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(ws) AS term FROM toks) t GROUP BY 1
+), tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tok FROM uni),
+bi AS (
+  SELECT b.w1, b.w2, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT ws[g.i] AS w1, ws[g.i + 1] AS w2
+    FROM toks, UNNEST(generate_series(1, len(ws) - 1)) AS g(i)
+  ) b GROUP BY 1, 2),
+btot AS (SELECT CAST(sum(n) AS BIGINT) AS n_bi FROM bi)
+SELECT bi.w1, bi.w2, bi.n AS n_pair,
+  round(ln((CAST(bi.n AS DOUBLE) / btot.n_bi)
+           / ((CAST(u1.n AS DOUBLE) / tot.n_tok)
+              * (CAST(u2.n AS DOUBLE) / tot.n_tok))), 6) AS pmi
+FROM bi
+JOIN uni u1 ON bi.w1 = u1.term
+JOIN uni u2 ON bi.w2 = u2.term
+CROSS JOIN tot CROSS JOIN btot
+WHERE bi.n >= 5
+""",
+    doc="bigram collocations scored by pointwise mutual information — "
+    "the phrase-mining / tokenizer-merge-candidate pass (PMI is the "
+    "score BPE-style merge selection generalizes). Unigram and "
+    "bigram counts are exact integers from one token explode and one "
+    "adjacent-pair explode of the same tokenization; the two corpus "
+    "totals come back as 1-row broadcasts and the PMI float is one "
+    "identical expression. Count floor >= 5 keeps the estimate "
+    "stable, standard practice",
+)
+def ngram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"filter({spark_tokens('text')}, x -> x != '')").alias("ws"),
+    )
+    uni = (
+        toks.select(F.explode("ws").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    tot = uni.agg(F.sum("n").alias("n_tok"))
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(ws, 1, size(ws) - 1),"
+                    " (w, i) -> struct(w AS w1, ws[i + 1] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+        .localCheckpoint()
+    )
+    btot_src = (
+        toks.select(
+            F.expr("CAST(size(ws) - 1 AS BIGINT)").alias("k")
+        ).filter(F.col("k") > 0)
+    )
+    btot = btot_src.agg(F.sum("k").alias("n_bi"))
+    u1 = uni.select(F.col("term").alias("w1"), F.col("n").alias("n1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("n").alias("n2"))
+    return (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            F.col("n").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("n").cast("double") / F.col("n_bi"))
+                    / (
+                        (F.col("n1").cast("double") / F.col("n_tok"))
+                        * (F.col("n2").cast("double") / F.col("n_tok"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+@_q(
+    "corpus_diversity",
+    """
+WITH c AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+bysrc AS (
+  SELECT 'source' AS dimension, source AS value, sum(n) AS n
+  FROM c GROUP BY 2),
+bylang AS (
+  SELECT 'lang' AS dimension, lang AS value, sum(n) AS n
+  FROM c GROUP BY 2),
+u AS (SELECT * FROM bysrc UNION ALL SELECT * FROM bylang)
+SELECT u.dimension,
+  CAST(count(*) AS BIGINT) AS n_groups,
+  round(1.0 - CAST(sum(CAST(u.n AS HUGEINT) * u.n) AS DOUBLE)
+        / (CAST(t.total AS DOUBLE) * t.total), 6) AS simpson_diversity,
+  round(max(u.n) / CAST(t.total AS DOUBLE), 6) AS max_share
+FROM u CROSS JOIN t
+GROUP BY u.dimension, t.total
+""",
+    doc="training-mix composition report: Simpson diversity index "
+    "(1 - sum of squared shares) and dominant-group share per "
+    "grouping dimension (source, language) — the imbalance check "
+    "behind stratified_sample's rebalancing. Inner sum of squared "
+    "counts is exact 128-bit; two floats at the end. Cell counts "
+    "aggregate once; both dimension rollups re-aggregate the tiny "
+    "cell table",
+)
+def corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    bysrc = c.groupBy(F.col("source").alias("value")).agg(
+        F.sum("n").alias("n")
+    ).select(F.lit("source").alias("dimension"), "value", "n")
+    bylang = c.groupBy(F.col("lang").alias("value")).agg(
+        F.sum("n").alias("n")
+    ).select(F.lit("lang").alias("dimension"), "value", "n")
+    u = bysrc.unionByName(bylang)
+    return (
+        u.crossJoin(F.broadcast(t))
+        .groupBy("dimension", "total")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.round(
+                1.0
+                - F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).cast(
+                    "double"
+                )
+                / (F.col("total").cast("double") * F.col("total")),
+                6,
+            ).alias("simpson_diversity"),
+            F.round(F.max("n") / F.col("total").cast("double"), 6).alias(
+                "max_share"
+            ),
+        )
+        .drop("total")
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}

@@ -105,6 +105,8 @@ BNLJ_ALLOWED = {
     "rank_fusion",  # dense side is cosine_topk's broadcast query set
     "mmr_diversify",  # broadcast query set, same non-equi shape as cosine_topk
     "ndcg_at_5",  # composes cosine_topk + ivf (both allowlisted shapes)
+    "ngram_collocations",  # two 1-row corpus-total scalars onto the bigram table
+    "corpus_diversity",  # 1-row total onto the (tiny) dimension rollup
 }
 
 
