@@ -153,3 +153,63 @@ def test_anomaly_zscore_flags_planted_outlier(spark, tmp_path_factory):
     out = _rows(spark, "anomaly_zscore", str(d))
     assert [r["event_id"] for r in out] == [99]
     assert out[0]["zscore"] > 2.5
+
+
+def test_obv_signed_accumulation(spark, market_dir):
+    rows = sorted(
+        _rows(spark, "obv_daily", market_dir, event_type="bbb"),
+        key=lambda r: r["day"],
+    )
+    # closes 100,110,121,99,120 at k=1 each: signs _,+,+,-,+
+    assert [r["day_volume"] for r in rows] == [1, 1, 1, 1, 1]
+    assert [r["obv"] for r in rows] == [0, 1, 2, 1, 2]
+
+
+def test_bar_coverage_counts_gaps(spark, market_dir):
+    rows = _rows(spark, "bar_coverage", market_dir, event_type="bbb")
+    assert len(rows) == 1
+    # one tick at 12:00 on each of 5 consecutive days: span is
+    # 4 days * 24 h + 1 expected hourly bars, 5 observed
+    assert rows[0]["expected_bars"] == 4 * 24 + 1
+    assert rows[0]["observed_bars"] == 5
+    assert rows[0]["missing_bars"] == 4 * 24 + 1 - 5
+
+
+def test_cusum_flags_planted_level_shift(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("cusum")
+    # 10 days at 100, then 10 days at 200: CUSUM peaks at the shift
+    vals = [100.0] * 10 + [200.0] * 10
+    rows = [
+        (i, _ts(1 + i, 12), 1, "shift", v, '{"k": 1}')
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(str(d / "events.parquet"))
+    out = _rows(spark, "cusum_changepoint", str(d))
+    assert len(out) == 1
+    # |cusum| of mean deviations peaks on the last pre-shift day
+    assert out[0]["change_day"].day == 10
+    # drift = max |cumsum of (x - mean)|: 10 days * $50 below the
+    # $150 mean = $500
+    assert out[0]["max_drift_dollars"] == pytest.approx(500.0, abs=1e-6)
+
+
+def test_momentum_rank_orders_cross_section(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("mom")
+    rows = []
+    # 'up' doubles over 8 days, 'down' halves: on the last day
+    # up must rank 1, down 2
+    for i in range(8):
+        rows.append((100 + i, _ts(1 + i, 12), 1, "up", 100.0 + 10 * i, '{"k": 1}'))
+        rows.append((200 + i, _ts(1 + i, 12), 1, "down", 100.0 - 10 * i, '{"k": 1}'))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(str(d / "events.parquet"))
+    out = _rows(spark, "momentum_ranks", str(d))
+    last = max(r["day"] for r in out)
+    ranks = {r["event_type"]: r["momentum_rank"] for r in out if r["day"] == last}
+    assert ranks == {"up": 1, "down": 2}
+    rets = {r["event_type"]: r["ret_7d"] for r in out if r["day"] == last}
+    assert rets["up"] == pytest.approx(0.7, abs=1e-6)
+    assert rets["down"] == pytest.approx(-0.7, abs=1e-6)
