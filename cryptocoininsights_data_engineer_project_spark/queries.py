@@ -6058,10 +6058,25 @@ def stochastic_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEXT_EMB_DEDUP_T = 0.95
 
 
+# LSH geometry tuned for the 0.95 threshold: hashed bag-of-words
+# vectors over this corpus's ~20-word vocabulary are ALL mutually
+# similar — the adversarial case for sign-bit bucketing — so the
+# default 3-bit bands degenerate (top bucket: 4433 of 5000 docs,
+# 46.6M in-bucket pairs at sf0.1). 8-bit bands cut that to 7.9M
+# (measured) while keeping recall ~0.97 at cos >= 0.95
+# (p_bit = 1 - acos(0.95)/pi = 0.90, band = 0.90^8 = 0.43,
+# 1 - (1-0.43)^6 = 0.97). On a realistic vocabulary the buckets are
+# bounded by true near-dup density, as with dedup_embedding_lsh.
+_TEXT_EMB_PLANES = 48
+_TEXT_EMB_BANDS = 6
+
+
 @_q(
     "dedup_text_embedding",
     similarity.hyperplane_lsh_oracle_sql(
         threshold=_TEXT_EMB_DEDUP_T,
+        n_planes=_TEXT_EMB_PLANES,
+        n_bands=_TEXT_EMB_BANDS,
         source_sql=(
             "SELECT doc_id AS vec_id, embedding AS emb FROM ("
             + _hash_embedding_oracle_sql()
@@ -6083,10 +6098,21 @@ _TEXT_EMB_DEDUP_T = 0.95
     "on the corpus scan",
 )
 def dedup_text_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = text_hash_embedding(spark, sf_dir).select(
-        F.col("doc_id").alias("vec_id"), "embedding"
+    vecs = (
+        text_hash_embedding(spark, sf_dir)
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+        # the LSH plan references the vectors on both the sketch and
+        # the verify side; without materializing, the whole
+        # tokenize+hash embedding pipeline re-evaluates per reference
+        # (measured 22.8 -> 9.0 s at sf0.1)
+        .localCheckpoint()
     )
-    return similarity.hyperplane_lsh_pairs(vecs, threshold=_TEXT_EMB_DEDUP_T)
+    return similarity.hyperplane_lsh_pairs(
+        vecs,
+        threshold=_TEXT_EMB_DEDUP_T,
+        n_planes=_TEXT_EMB_PLANES,
+        n_bands=_TEXT_EMB_BANDS,
+    )
 
 
 @_q(
