@@ -6641,6 +6641,43 @@ def corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "index_contribution",
+    f"""
+WITH c AS (SELECT event_type, day, chg FROM ({_DAILY_CHG_SQL}) WHERE chg IS NOT NULL),
+m AS (SELECT day, sum(chg) AS mchg FROM c GROUP BY 1)
+SELECT c.event_type, c.day,
+  round(c.chg / 100.0, 2) AS chg_dollars,
+  round(m.mchg / 100.0, 2) AS index_chg_dollars,
+  round(c.chg / CAST(nullif(m.mchg, 0) AS DOUBLE), 6) AS contribution
+FROM c JOIN m ON c.day = m.day
+""",
+    doc="index-move attribution: each instrument's share of the "
+    "equal-weight market's daily change — the decomposition a "
+    "market-wide dashboard pairs with beta_vs_market (same integer "
+    "change series; the market total re-aggregates the daily-grain "
+    "table and joins back broadcast). Flat index days yield NULL "
+    "contribution via nullif, not a division blow-up",
+)
+def index_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _daily_chg(spark, sf_dir)
+        .filter(F.col("chg").isNotNull())
+        .select("event_type", "day", "chg")
+        .localCheckpoint()
+    )
+    m = c.groupBy("day").agg(F.sum("chg").alias("mchg"))
+    return c.join(F.broadcast(m), "day").select(
+        "event_type",
+        "day",
+        F.round(F.col("chg") / 100.0, 2).alias("chg_dollars"),
+        F.round(F.col("mchg") / 100.0, 2).alias("index_chg_dollars"),
+        F.round(
+            F.col("chg") / F.nullif(F.col("mchg"), F.lit(0)).cast("double"), 6
+        ).alias("contribution"),
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
