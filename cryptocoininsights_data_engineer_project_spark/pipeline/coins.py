@@ -339,22 +339,36 @@ class CoinWarehouse:
             + ["bucket"],
             dedupe_order=dedupe_order,
         ).select(*cols, "bucket")
+        self._write_and_swap_buckets(path, merged, touched)
+
+    def _write_and_swap_buckets(self, path, frame, touched) -> None:
+        """Write ``frame`` (bucket-partitioned) to staging, then swap
+        ONLY the touched bucket directories, crash-safely: the old copy
+        is renamed aside (underscore prefix — invisible to partition
+        discovery) BEFORE the new copy moves in, and deleted only
+        after. A crash at any point leaves every byte in exactly one of
+        live/_bak_/staging; _recover_buckets() heals the table on the
+        next run. (Plain delete-then-rename had a window where a bucket
+        existed only in staging, which a later successful run would
+        have deleted — real single-writer data loss.)
+
+        A touched bucket MISSING from staging (frame has no rows for
+        it) is emptied via a placeholder: the swap loop renames the old
+        copy aside and, with no staged replacement, deletes it — so
+        "all rows deleted from this bucket" converges to "bucket dir
+        gone", which partition discovery treats as zero rows.
+        """
         tmp = path + "__staging"
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-        # Swap ONLY the touched bucket directories, crash-safely: the
-        # old copy is renamed aside (underscore prefix — invisible to
-        # partition discovery) BEFORE the new copy moves in, and deleted
-        # only after. A crash at any point leaves every byte in exactly
-        # one of live/_bak_/staging; _recover_buckets() heals the table
-        # on the next run. (Plain delete-then-rename had a window where
-        # a bucket existed only in staging, which a later successful run
-        # would have deleted — real single-writer data loss.)
+        frame.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
         fs, _ = self._fs(path)
         for b in touched:
             dst = self._jpath(os.path.join(path, f"bucket={b}"))
             src = self._jpath(os.path.join(tmp, f"bucket={b}"))
             bak = self._jpath(os.path.join(path, f"_bak_bucket={b}"))
             if not fs.exists(src):
+                # frame emptied this bucket: remove the live copy
+                if fs.exists(dst):
+                    fs.delete(dst, True)
                 continue
             if fs.exists(bak):
                 fs.delete(bak, True)
@@ -364,6 +378,31 @@ class CoinWarehouse:
             if fs.exists(bak):
                 fs.delete(bak, True)
         fs.delete(self._jpath(tmp), True)
+
+    def delete_keys(self, path: str, ids) -> dict:
+        """Targeted delete (the GDPR / right-to-be-forgotten
+        maintenance op): remove the given ids from a bucketed table by
+        REWRITING ONLY the buckets that can contain them — I/O is
+        proportional to the touched buckets, untouched bucket
+        directories stay byte-identical (tested). Returns
+        {"deleted": n, "buckets_rewritten": k}.
+        """
+        self._recover_buckets(path)
+        target = self._read_or_none(path)
+        if target is None:
+            return {"deleted": 0, "buckets_rewritten": 0}
+        ids_df = self._bucketed(
+            self.spark.createDataFrame([(i,) for i in ids], "id string")
+        )
+        touched = sorted(
+            r["bucket"] for r in ids_df.select("bucket").distinct().collect()
+        )
+        sub = target.filter(F.col("bucket").isin(touched))
+        before = sub.count()
+        kept = sub.join(ids_df.select("id"), "id", "left_anti")
+        n_kept = kept.count()
+        self._write_and_swap_buckets(path, kept, touched)
+        return {"deleted": before - n_kept, "buckets_rewritten": len(touched)}
 
     def _recover_buckets(self, path: str) -> None:
         """Heal an interrupted bucket swap: any ``_bak_bucket=N`` whose

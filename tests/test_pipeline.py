@@ -391,3 +391,44 @@ def test_merge_schema_evolution(spark, raw_dir, tmp_path):
     for i in batch1_ids:
         assert vals2[i] == vals[i]
     assert f2.count() >= n_before
+
+
+def test_delete_keys_prunes_buckets(spark, raw_dir, tmp_path):
+    """GDPR delete: the target ids vanish, ONLY their buckets rewrite
+    (untouched bucket dirs keep identical file listings), and the op
+    is idempotent."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    wh = CoinWarehouse(spark, str(tmp_path / "wh_del"))
+    n0 = normalize(read_raw_json(spark, os.path.join(raw_dir, "raw_coins_batch0.json")))
+    wh.upsert_batch(split_info(n0), split_metrics(n0))
+    fact0 = wh.fact()
+    all_ids = [r["id"] for r in fact0.select("id").collect()]
+    victims = sorted(all_ids)[:3]
+    n_before = fact0.count()
+
+    def listing():
+        return {
+            d: sorted(os.path.basename(f) for f in glob.glob(os.path.join(d, "*.parquet")))
+            for d in glob.glob(str(tmp_path / "wh_del" / "fact_coin_metrics" / "bucket=*"))
+        }
+
+    before = listing()
+    res = wh.delete_keys(wh.fact_path, victims)
+    assert res["deleted"] == 3
+    assert 1 <= res["buckets_rewritten"] <= 3
+    after = listing()
+    changed = {d for d in before if before[d] != after.get(d, None)}
+    assert len(changed) <= res["buckets_rewritten"]
+    # untouched buckets byte-identical listings
+    assert sum(1 for d in before if before[d] == after.get(d)) >= len(before) - res["buckets_rewritten"]
+
+    f = wh.fact()
+    assert f.count() == n_before - 3
+    assert f.filter(F.col("id").isin(victims)).count() == 0
+    # idempotent
+    res2 = wh.delete_keys(wh.fact_path, victims)
+    assert res2["deleted"] == 0
+    assert wh.fact().count() == n_before - 3
