@@ -6827,6 +6827,41 @@ def spatial_grid_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.join(sm, ["cx", "cy"]).select("cx", "cy", "n", "smoothed_n")
 
 
+@_q(
+    "pseudonymized_export",
+    """
+SELECT event_id,
+  substring(md5('salt:' || CAST(user_id AS VARCHAR)), 1, 16) AS user_pseudonym,
+  event_type,
+  date_trunc('hour', ts) AS ts_hour,
+  CAST((CAST(round(value * 100, 0) AS BIGINT) // 1000) * 10 AS BIGINT)
+    AS value_bucket_dollars
+FROM events WHERE value IS NOT NULL
+""",
+    doc="privacy-preserving export projection: user ids replaced by "
+    "salted-md5 pseudonyms (stable join keys WITHOUT identity — the "
+    "same user links across exports, but nothing maps back), "
+    "timestamps truncated to hour, values generalized to $10 buckets "
+    "— the de-identification transform that makes k_anonymity's "
+    "audit pass before data leaves the platform. Pure narrow "
+    "projection at scan speed; the salt would come from a secret "
+    "store in production, a literal here for oracle determinism",
+)
+def pseudonymized_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return e.select(
+        "event_id",
+        F.expr(
+            "substring(md5(concat('salt:', CAST(user_id AS STRING))), 1, 16)"
+        ).alias("user_pseudonym"),
+        "event_type",
+        F.date_trunc("hour", "ts").alias("ts_hour"),
+        F.expr(
+            "CAST((CAST(round(value * 100, 0) AS BIGINT) div 1000) * 10 AS BIGINT)"
+        ).alias("value_bucket_dollars"),
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
