@@ -6862,6 +6862,112 @@ def pseudonymized_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "robust_outliers_mad",
+    """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL),
+vc AS (
+  SELECT event_type, cents, count(*) AS n,
+    sum(count(*)) OVER (PARTITION BY event_type ORDER BY cents
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(count(*)) OVER (PARTITION BY event_type) AS total
+  FROM c GROUP BY 1, 2),
+med AS (
+  SELECT event_type,
+    min(CASE WHEN cum * 2 >= total THEN cents END) AS med_c
+  FROM vc GROUP BY 1),
+dev AS (
+  SELECT c.event_id, c.event_type, c.cents,
+         abs(c.cents - med.med_c) AS ad, med.med_c
+  FROM c JOIN med ON c.event_type = med.event_type),
+dc AS (
+  SELECT event_type, ad, count(*) AS n,
+    sum(count(*)) OVER (PARTITION BY event_type ORDER BY ad
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(count(*)) OVER (PARTITION BY event_type) AS total
+  FROM dev GROUP BY 1, 2),
+mad AS (
+  SELECT event_type,
+    min(CASE WHEN cum * 2 >= total THEN ad END) AS mad_c
+  FROM dc GROUP BY 1)
+SELECT dev.event_id, dev.event_type,
+  round(dev.cents / 100.0, 2) AS price,
+  round(dev.med_c / 100.0, 2) AS median_price,
+  round(0.6745 * (dev.cents - dev.med_c) / CAST(mad.mad_c AS DOUBLE), 4)
+    AS robust_z
+FROM dev JOIN mad ON dev.event_type = mad.event_type
+WHERE mad.mad_c > 0
+  AND abs(0.6745 * (dev.cents - dev.med_c) / CAST(mad.mad_c AS DOUBLE)) > 3.5
+""",
+    doc="robust outlier detection via median absolute deviation: "
+    "|0.6745*(x - median)/MAD| > 3.5 (the Iglewicz-Hoaglin modified "
+    "z) — unlike anomaly_zscore's moments, the estimator itself "
+    "can't be dragged by the outliers it hunts. Both medians are "
+    "DISCRETE (smallest value whose doubled cumulative count reaches "
+    "the total — an actual data value, exact on both engines from "
+    "integer-count tables; the same map-combinable shape as "
+    "winsorize_prices, two passes). Thresholds broadcast back onto "
+    "the tick scan",
+)
+def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+    )
+
+    def _disc_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        vc = df.groupBy("event_type", col).agg(F.count(F.lit(1)).alias("n"))
+        wc = (
+            Window.partitionBy("event_type")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wt = Window.partitionBy("event_type")
+        cum = vc.select(
+            "event_type",
+            col,
+            F.sum("n").over(wc).alias("cum"),
+            F.sum("n").over(wt).alias("total"),
+        )
+        return cum.groupBy("event_type").agg(
+            F.min(
+                F.when(F.col("cum") * 2 >= F.col("total"), F.col(col))
+            ).alias(out)
+        )
+
+    med = _disc_median(c, "cents", "med_c")
+    dev = c.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("cents") - F.col("med_c"))
+    )
+    mad = _disc_median(dev, "ad", "mad_c")
+    z = (
+        0.6745
+        * (F.col("cents") - F.col("med_c"))
+        / F.col("mad_c").cast("double")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad_c") > 0)
+        .withColumn("robust_z", F.round(z, 4))
+        .filter(F.abs(z) > 3.5)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("cents") / 100.0, 2).alias("price"),
+            F.round(F.col("med_c") / 100.0, 2).alias("median_price"),
+            "robust_z",
+        )
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
