@@ -6968,6 +6968,105 @@ def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "survival_conversion",
+    """
+WITH u AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day,
+    min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END) AS conv_day,
+    max(CAST(ts AS DATE)) AS last_day
+  FROM events GROUP BY 1),
+obs AS (
+  SELECT user_id,
+    CASE WHEN conv_day IS NOT NULL
+         THEN date_diff('day', first_day, conv_day) + 1
+         ELSE date_diff('day', first_day, last_day) + 1 END AS dur,
+    conv_day IS NULL AS censored
+  FROM u),
+agg AS (
+  SELECT dur,
+    CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT) AS d,
+    CAST(count(*) AS BIGINT) AS leaving
+  FROM obs GROUP BY 1),
+risk AS (
+  SELECT dur, d,
+    CAST((SELECT count(*) FROM obs) - coalesce(sum(leaving) OVER (ORDER BY dur
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+  FROM agg)
+SELECT CAST(dur AS BIGINT) AS t_days, n_risk, d AS converted,
+  CASE WHEN d = n_risk THEN 0.0 ELSE
+    round(exp(sum(CASE WHEN d < n_risk
+                  THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk) END)
+              OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)), 6)
+  END AS not_yet_converted
+FROM risk WHERE n_risk > 0
+""",
+    doc="Kaplan-Meier time-to-conversion curve with CENSORING: days "
+    "from first activity to first purchase; users who never purchase "
+    "are censored at last activity instead of being dropped or "
+    "counted as failures — the estimator funnel_conversion's raw "
+    "rate can't give you. All inputs (d, n_risk) are exact integer "
+    "counts; the survival product runs as a frame-ordered running "
+    "log-sum (exp o sum o ln — sequential in BOTH engines' window "
+    "execution, so the float accumulation order is pinned), one "
+    "float per factor. Duration table is |distinct durations| rows",
+)
+def survival_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("conv_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    obs = u.select(
+        F.when(
+            F.col("conv_day").isNotNull(),
+            F.datediff("conv_day", "first_day") + 1,
+        )
+        .otherwise(F.datediff("last_day", "first_day") + 1)
+        .alias("dur"),
+        F.col("conv_day").isNull().alias("censored"),
+    ).localCheckpoint()  # total, per-dur rollup, and the curve share it
+    agg = obs.groupBy("dur").agg(
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0)).alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    total = obs.agg(F.count(F.lit(1)).alias("n_total"))
+    w_prev = (
+        Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    risk = (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            "dur",
+            "d",
+            (
+                F.col("n_total")
+                - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0))
+            ).alias("n_risk"),
+        )
+        .filter(F.col("n_risk") > 0)
+    )
+    # a d = n_risk row (everyone left at risk converts) is necessarily
+    # the LAST emitted row; its survival is exactly 0 and its ln(0)
+    # factor must not enter the running sum (DuckDB errors on ln(0))
+    factor = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(1.0 - F.col("d").cast("double") / F.col("n_risk")),
+    )
+    return risk.select(
+        F.col("dur").cast("bigint").alias("t_days"),
+        "n_risk",
+        F.col("d").alias("converted"),
+        F.when(F.col("d") == F.col("n_risk"), F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum(factor).over(w_run)), 6))
+        .alias("not_yet_converted"),
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}

@@ -107,6 +107,7 @@ BNLJ_ALLOWED = {
     "ndcg_at_5",  # composes cosine_topk + ivf (both allowlisted shapes)
     "ngram_collocations",  # two 1-row corpus-total scalars onto the bigram table
     "corpus_diversity",  # 1-row total onto the (tiny) dimension rollup
+    "survival_conversion",  # 1-row cohort-total scalar onto the duration table
 }
 
 
