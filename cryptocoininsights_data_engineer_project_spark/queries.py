@@ -7067,6 +7067,57 @@ def survival_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "journey_transitions",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+    lead(event_type) OVER (PARTITION BY user_id
+      ORDER BY epoch_us(ts), event_id) AS next_type
+  FROM events),
+pair AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT from_type, sum(n) AS row_n FROM pair GROUP BY 1)
+SELECT pair.from_type, pair.to_type, pair.n,
+  round(pair.n / CAST(tot.row_n AS DOUBLE), 6) AS p_transition
+FROM pair JOIN tot ON pair.from_type = tot.from_type
+""",
+    doc="first-order Markov transition matrix over per-user event "
+    "sequences: P(next = b | current = a) from ordered adjacent "
+    "pairs — the user-journey model behind 'what do users do after "
+    "X' product questions. One per-user lead window with the "
+    "(tu, event_id) deterministic order, one pair count, row totals "
+    "re-aggregated from the |types|^2 pair table and joined back "
+    "broadcast. Integer counts; one ratio",
+)
+def journey_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("tu"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pair = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
+    tot = pair.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return pair.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("row_n").cast("double"), 6).alias(
+            "p_transition"
+        ),
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
