@@ -7118,6 +7118,90 @@ def journey_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "lead_lag_correlation",
+    f"""
+WITH c AS (
+  SELECT event_type, day, chg,
+    date_diff('day', DATE '1995-01-01', day) AS didx
+  FROM ({_DAILY_CHG_SQL}) WHERE chg IS NOT NULL),
+p AS (
+  SELECT a.event_type AS leader, b.event_type AS follower,
+    count(*) AS n, sum(a.chg) AS sx, sum(b.chg) AS sy,
+    sum(CAST(a.chg AS HUGEINT) * b.chg) AS sxy,
+    sum(CAST(a.chg AS HUGEINT) * a.chg) AS sxx,
+    sum(CAST(b.chg AS HUGEINT) * b.chg) AS syy
+  FROM c a JOIN c b
+    ON a.didx + 1 = b.didx AND a.event_type != b.event_type
+  GROUP BY 1, 2)
+SELECT leader, follower, CAST(n AS BIGINT) AS n_days,
+  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+        / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+           * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 6)
+    AS lead_corr
+FROM p
+""",
+    doc="lead-lag cross-correlation at one day: corr(leader's change "
+    "today, follower's change TOMORROW) for every ordered instrument "
+    "pair — the leading-indicator screen corr_pairs (contemporaneous) "
+    "can't answer; directional, so both (a,b) and (b,a) emit. Same "
+    "exact-integer sufficient-statistic discipline: the shifted "
+    "equi-join lands on an integer day index, every inner sum is "
+    "128-bit exact, one closed-form float",
+)
+def lead_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _daily_chg(spark, sf_dir)
+        .filter(F.col("chg").isNotNull())
+        .select(
+            "event_type",
+            F.datediff("day", F.lit(_ROLL_EPOCH).cast("date")).alias("didx"),
+            F.col("chg").cast("decimal(38,0)").alias("chg"),
+        )
+    )
+    a = c.select(
+        F.col("event_type").alias("leader"),
+        F.col("didx").alias("da"),
+        F.col("chg").alias("xa"),
+    )
+    b = c.select(
+        F.col("event_type").alias("follower"),
+        F.col("didx").alias("db"),
+        F.col("chg").alias("xb"),
+    )
+    p = (
+        a.join(b, (a.da + 1 == b.db) & (a.leader != b.follower))
+        .groupBy("leader", "follower")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xa").alias("sx"),
+            F.sum("xb").alias("sy"),
+            F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+            F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+            F.sum(F.col("xb") * F.col("xb")).alias("syy"),
+        )
+    )
+    corr = (
+        F.col("n") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.sqrt(
+            F.col("n") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        * F.sqrt(
+            F.col("n") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy")
+        )
+    )
+    return p.select(
+        "leader",
+        "follower",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(corr, 6).alias("lead_corr"),
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
