@@ -7202,6 +7202,75 @@ def lead_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "sampled_group_stats",
+    """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+  FROM lineitem
+  WHERE CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+        CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 10),
+st AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_sample,
+    sum(cents) AS sc, sum(CAST(cents AS HUGEINT) * cents) AS ssc
+  FROM s GROUP BY 1)
+SELECT l_returnflag, n_sample,
+  round(CAST(sc AS DOUBLE) / (100.0 * n_sample), 4) AS est_mean_price,
+  round(1.96 * sqrt((CAST(ssc AS DOUBLE) - CAST(sc AS DOUBLE) * sc / n_sample)
+        / (n_sample - 1) / n_sample) / 100.0, 4) AS ci95_half_width
+FROM st WHERE n_sample > 1
+""",
+    doc="sampling-based estimation with error bounds: a DETERMINISTIC "
+    "10% sample (portable md5-ppm on the row key — reproducible "
+    "across engines and runs, unlike TABLESAMPLE's RNG) estimates "
+    "each group's mean price with a 95% CI from exact-integer sample "
+    "moments. The query you run when even one full pass is too "
+    "expensive: cost ∝ sample, and the CI tells you what the "
+    "discount bought. The sample predicate is scan-level (no "
+    "pre-pass); the same md5-bucket idiom as train_split",
+)
+def sampled_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = "concat(CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING))"
+    s = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.expr(f"{spark_hash64(key)} % 100 < 10"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    st = s.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.sum("cents").alias("sc"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "ssc"
+        ),
+    ).filter(F.col("n_sample") > 1)
+    return st.select(
+        "l_returnflag",
+        "n_sample",
+        F.round(
+            F.col("sc").cast("double") / (100.0 * F.col("n_sample")), 4
+        ).alias("est_mean_price"),
+        F.round(
+            1.96
+            * F.sqrt(
+                (
+                    F.col("ssc").cast("double")
+                    - F.col("sc").cast("double") * F.col("sc") / F.col("n_sample")
+                )
+                / (F.col("n_sample") - 1)
+                / F.col("n_sample")
+            )
+            / 100.0,
+            4,
+        ).alias("ci95_half_width"),
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
