@@ -7271,6 +7271,139 @@ def sampled_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "roll_spread",
+    f"""
+WITH c AS (
+  SELECT event_type, chg,
+    lag(chg) OVER (PARTITION BY event_type ORDER BY day) AS prev_chg
+  FROM ({_DAILY_CHG_SQL}) WHERE chg IS NOT NULL),
+p AS (
+  SELECT event_type, count(*) AS n,
+    sum(chg) AS sx, sum(prev_chg) AS sy,
+    sum(CAST(chg AS HUGEINT) * prev_chg) AS sxy
+  FROM c WHERE prev_chg IS NOT NULL GROUP BY 1)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+  round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / n, 4)
+    AS serial_cov_cents2,
+  CASE WHEN (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / n < 0
+    THEN round(2.0 * sqrt(-((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / n))
+               / 100.0, 4) END AS roll_spread_dollars
+FROM p
+""",
+    doc="Roll's implied bid-ask spread: 2*sqrt(-cov(dp_t, dp_t-1)) "
+    "per instrument — the market-microstructure estimator that reads "
+    "the effective spread out of price-change serial covariance "
+    "(bounce between bid and ask makes consecutive changes "
+    "negatively correlated). NULL when the covariance is "
+    "non-negative (no bounce signal), per the estimator's "
+    "definition. Integer change pairs from one lag window; exact "
+    "128-bit sufficient statistics; population covariance in one "
+    "identical closed form",
+)
+def roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("event_type").orderBy("day")
+    c = (
+        _daily_chg(spark, sf_dir)
+        .filter(F.col("chg").isNotNull())
+        .select(
+            "event_type",
+            "day",
+            F.col("chg").cast("decimal(38,0)").alias("chg"),
+        )
+        .withColumn("prev_chg", F.lag("chg").over(w))
+        .filter(F.col("prev_chg").isNotNull())
+    )
+    p = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("chg").alias("sx"),
+        F.sum("prev_chg").alias("sy"),
+        F.sum(F.col("chg") * F.col("prev_chg")).alias("sxy"),
+    )
+    cov = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy") / F.col("n")
+    ) / F.col("n")
+    return p.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(cov, 4).alias("serial_cov_cents2"),
+        F.when(cov < 0, F.round(2.0 * F.sqrt(-cov) / 100.0, 4)).alias(
+            "roll_spread_dollars"
+        ),
+    )
+
+
+@_q(
+    "journey_entropy",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+    lead(event_type) OVER (PARTITION BY user_id
+      ORDER BY epoch_us(ts), event_id) AS next_type
+  FROM events),
+pair AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT from_type, sum(n) AS row_n FROM pair GROUP BY 1)
+SELECT pair.from_type, CAST(tot.row_n AS BIGINT) AS n_transitions,
+  round(-sum((pair.n / CAST(tot.row_n AS DOUBLE))
+             * ln(pair.n / CAST(tot.row_n AS DOUBLE))), 6) AS entropy_nats,
+  round(-sum((pair.n / CAST(tot.row_n AS DOUBLE))
+             * ln(pair.n / CAST(tot.row_n AS DOUBLE)))
+        / ln(CAST(count(*) AS DOUBLE)), 6) AS normalized_entropy
+FROM pair JOIN tot ON pair.from_type = tot.from_type
+GROUP BY pair.from_type, tot.row_n
+HAVING count(*) > 1
+""",
+    doc="conditional next-step entropy per current event type — how "
+    "predictable the user journey is from each state (normalized by "
+    "ln(branching factor) to [0,1]); low entropy marks funnel-like "
+    "states, high marks browsing. Built on the same transition "
+    "counts as journey_transitions; the entropy sum runs over the "
+    "|types|^2 pair table (order-insensitive to 1 ulp, rounded at "
+    "6dp with terms of magnitude ~0.1 — boundary-safe)",
+)
+def journey_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("tu"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pair = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
+    tot = pair.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    j = pair.join(F.broadcast(tot), "from_type")
+    p_col = F.col("n") / F.col("row_n").cast("double")
+    return (
+        j.groupBy("from_type", "row_n")
+        .agg(
+            F.round(-F.sum(p_col * F.log(p_col)), 6).alias("entropy_nats"),
+            F.round(
+                -F.sum(p_col * F.log(p_col))
+                / F.log(F.count(F.lit(1)).cast("double")),
+                6,
+            ).alias("normalized_entropy"),
+            F.count(F.lit(1)).alias("_k"),
+        )
+        .filter(F.col("_k") > 1)
+        .select(
+            "from_type",
+            F.col("row_n").cast("bigint").alias("n_transitions"),
+            "entropy_nats",
+            "normalized_entropy",
+        )
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
