@@ -7404,6 +7404,155 @@ def journey_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ACF_MAX_LAG = 5
+
+
+@_q(
+    "acf_changes",
+    f"""
+WITH c AS (
+  SELECT event_type, chg,
+    date_diff('day', DATE '1995-01-01', day) AS didx
+  FROM ({_DAILY_CHG_SQL}) WHERE chg IS NOT NULL),
+p AS (
+  SELECT a.event_type, b.didx - a.didx AS lag, count(*) AS n,
+    sum(a.chg) AS sx, sum(b.chg) AS sy,
+    sum(CAST(a.chg AS HUGEINT) * b.chg) AS sxy,
+    sum(CAST(a.chg AS HUGEINT) * a.chg) AS sxx,
+    sum(CAST(b.chg AS HUGEINT) * b.chg) AS syy
+  FROM c a JOIN c b
+    ON a.event_type = b.event_type
+   AND b.didx - a.didx BETWEEN 1 AND {_ACF_MAX_LAG}
+  GROUP BY 1, 2)
+SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+        / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+           * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 6)
+    AS acf
+FROM p
+""",
+    doc="autocorrelation function of daily price changes, lags 1-5 "
+    "per instrument — the memory/mean-reversion profile (roll_spread "
+    "reads lag 1; this is the whole curve). One banded self-join on "
+    "the integer day index (band width = max lag, so fan-out is a "
+    "CONSTANT 5x of the daily table, not quadratic) feeding the "
+    "exact-integer correlation form per (instrument, lag)",
+)
+def acf_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _daily_chg(spark, sf_dir)
+        .filter(F.col("chg").isNotNull())
+        .select(
+            "event_type",
+            F.datediff("day", F.lit(_ROLL_EPOCH).cast("date")).alias("didx"),
+            F.col("chg").cast("decimal(38,0)").alias("chg"),
+        )
+        .localCheckpoint()  # both join sides read one materialization
+    )
+    a = c.select("event_type", F.col("didx").alias("da"), F.col("chg").alias("xa"))
+    b = c.select(
+        F.col("event_type").alias("et_b"),
+        F.col("didx").alias("db"),
+        F.col("chg").alias("xb"),
+    )
+    p = (
+        a.join(
+            b,
+            (a.event_type == b.et_b)
+            & (b.db - a.da >= 1)
+            & (b.db - a.da <= _ACF_MAX_LAG),
+        )
+        .groupBy("event_type", (F.col("db") - F.col("da")).alias("lag"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xa").alias("sx"),
+            F.sum("xb").alias("sy"),
+            F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+            F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+            F.sum(F.col("xb") * F.col("xb")).alias("syy"),
+        )
+    )
+    corr = (
+        F.col("n") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.sqrt(
+            F.col("n") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        * F.sqrt(
+            F.col("n") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy")
+        )
+    )
+    return p.select(
+        "event_type",
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(corr, 6).alias("acf"),
+    )
+
+
+@_q(
+    "skew_report",
+    """
+WITH k AS (
+  SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(n) AS BIGINT) AS total,
+         CAST(max(n) AS BIGINT) AS max_n
+  FROM k),
+top AS (
+  SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rn FROM k
+  QUALIFY rn <= 5)
+SELECT top.key AS hot_key, top.n AS n_rows, CAST(top.rn AS INT) AS rank,
+  st.n_keys, round(st.max_n * st.n_keys / CAST(st.total AS DOUBLE), 4)
+    AS skew_factor
+FROM top CROSS JOIN st
+""",
+    doc="join-key skew report for orders.o_custkey: the top hot keys "
+    "and the skew factor (hottest key's rows / average rows per key) "
+    "— the diagnosis that decides between a plain shuffle join, AQE "
+    "skew splitting, and the salted_agg pattern. One key-grain "
+    "count; the hot list is a distributed partial top-k; the 1-row "
+    "stats scalar broadcasts. At 100 TB this query IS the planning "
+    "step before the big join",
+)
+def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    st = k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("total"),
+        F.max("n").alias("max_n"),
+    )
+    top = (
+        k.orderBy(F.col("n").desc(), F.col("key").asc())
+        .limit(5)
+        .select(
+            "key",
+            "n",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), F.col("key").asc()))
+            .alias("rn"),
+        )
+    )
+    return top.crossJoin(F.broadcast(st)).select(
+        F.col("key").alias("hot_key"),
+        F.col("n").alias("n_rows"),
+        F.col("rn").cast("int").alias("rank"),
+        "n_keys",
+        F.round(
+            F.col("max_n") * F.col("n_keys") / F.col("total").cast("double"), 4
+        ).alias("skew_factor"),
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}

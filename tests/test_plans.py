@@ -108,6 +108,7 @@ BNLJ_ALLOWED = {
     "ngram_collocations",  # two 1-row corpus-total scalars onto the bigram table
     "corpus_diversity",  # 1-row total onto the (tiny) dimension rollup
     "survival_conversion",  # 1-row cohort-total scalar onto the duration table
+    "skew_report",  # 1-row key-stats scalar onto the 5-row hot list
 }
 
 
