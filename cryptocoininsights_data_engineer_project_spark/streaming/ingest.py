@@ -236,3 +236,72 @@ def streaming_ohlcv(
             "n_trades",
         )
     )
+
+
+def stream_candles_to_table(
+    spark: SparkSession,
+    tick_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    bar_duration: str = "1 hour",
+    watermark: str = "1 hour",
+    available_now: bool = True,
+):
+    """Continuously maintain an OHLCV candle TABLE from a tick stream:
+    ``streaming_ohlcv`` aggregates per micro-batch under the
+    watermark, and ``foreachBatch`` MERGES each batch's (possibly
+    re-emitted) candles into a parquet table keyed on
+    (event_type, bar_ts) — update mode re-emits a bar whenever late
+    ticks within the watermark revise it, and the merge keeps exactly
+    the latest version of each bar. Replays of a micro-batch (crash
+    between sink write and checkpoint commit) converge to the same
+    table: the merge is idempotent on the bar key.
+
+    At scale the table write would go through the bucketed
+    CoinWarehouse layout; here it is a plain keyed parquet merge so
+    the mechanism (update-mode re-emission + keyed upsert = an
+    always-current materialized candle table) stays visible.
+    """
+    from ..operators.merge import merge
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(tick_dir)
+    )
+    candles = streaming_ohlcv(stream, bar_duration, watermark)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        try:
+            target = spark.read.parquet(table_path)
+        except Exception:
+            target = None
+        if target is None:
+            out = batch_df
+        else:
+            out = merge(
+                target,
+                batch_df,
+                keys=["event_type", "bar_ts"],
+            )
+        out.write.mode("overwrite").parquet(table_path + "__next")
+        # swap via rename-free overwrite: small candle table, single
+        # writer; crash between the two writes replays the batch and
+        # converges (idempotent keyed merge)
+        out2 = spark.read.parquet(table_path + "__next")
+        out2.write.mode("overwrite").parquet(table_path)
+
+    writer = (
+        candles.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -267,3 +267,56 @@ def test_streaming_ohlcv_streaming_mode(spark, dirs, sf_dir):
     assert len(got) >= len(batch) - 10
     for k, v in got.items():
         assert v == batch[k]
+
+
+def test_stream_candles_table_maintenance(spark, dirs, sf_dir, tmp_path):
+    """The continuously-merged candle table must equal the batch OHLCV
+    over all delivered ticks, and reprocessing the same ticks (fresh
+    checkpoint — the replay case) must converge to the same table."""
+    from cryptocoininsights_data_engineer_project_spark.catalog import table
+    from cryptocoininsights_data_engineer_project_spark.queries import REGISTRY
+    from cryptocoininsights_data_engineer_project_spark.streaming.ingest import (
+        stream_candles_to_table,
+    )
+
+    events = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    ticks = str(tmp_path / "ticks")
+    # two files -> two micro-batches, split by event time
+    events.filter("event_id % 2 = 0").coalesce(1).write.json(ticks + "/a")
+    events.filter("event_id % 2 = 1").coalesce(1).write.json(ticks + "/b")
+    import glob
+    import shutil
+
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, f in enumerate(sorted(glob.glob(ticks + "/*/part-*.json"))):
+        shutil.copy(f, f"{flat}/f{i}.json")
+
+    tbl = str(tmp_path / "candles")
+    q = stream_candles_to_table(spark, flat, tbl, str(tmp_path / "ck1"))
+    q.awaitTermination(300)
+
+    def snap(path):
+        return {
+            (r["event_type"], r["bar_ts"].isoformat()): (
+                r["open"], r["high"], r["low"], r["close"], r["volume"], r["n_trades"],
+            )
+            for r in spark.read.parquet(path).collect()
+        }
+
+    got = snap(tbl)
+    expect = {
+        (r["event_type"], r["bar_ts"].isoformat()): (
+            r["open"], r["high"], r["low"], r["close"], r["volume"], r["n_trades"],
+        )
+        for r in REGISTRY["ohlcv_candles"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+    # replay: reprocess everything with a fresh checkpoint — the keyed
+    # merge must converge to the identical table, not duplicate bars
+    q2 = stream_candles_to_table(spark, flat, tbl, str(tmp_path / "ck2"))
+    q2.awaitTermination(300)
+    assert snap(tbl) == expect
