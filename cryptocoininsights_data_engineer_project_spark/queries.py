@@ -7553,6 +7553,116 @@ def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "attribution_last_touch",
+    """
+WITH seq AS (
+  SELECT user_id, event_type, event_id,
+    lag(CASE WHEN event_type != 'purchase' THEN event_type END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS last_touch
+  FROM events),
+conv AS (
+  SELECT coalesce(last_touch, '(none)') AS channel,
+         CAST(count(*) AS BIGINT) AS conversions
+  FROM seq WHERE event_type = 'purchase' GROUP BY 1),
+tot AS (SELECT sum(conversions) AS total FROM conv)
+SELECT conv.channel, conv.conversions,
+  round(conv.conversions / CAST(tot.total AS DOUBLE), 6) AS share
+FROM conv CROSS JOIN tot
+""",
+    doc="last-touch conversion attribution: each purchase credits the "
+    "nearest preceding NON-purchase event type (IGNORE NULLS lag "
+    "walks past consecutive purchases), '(none)' when a purchase "
+    "opens the stream — the marketing-attribution baseline. One "
+    "per-user window over the deterministic (tu, event_id) order, "
+    "one count, 1-row total broadcast",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("tu"),
+    )
+    # PySpark's lag() has no ignorenulls — last() over an exclusive
+    # trailing frame is the same operator
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tu", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = e.withColumn(
+        "last_touch",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    conv = (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("last_touch"), F.lit("(none)")).alias("channel")
+        )
+        .agg(F.count(F.lit(1)).alias("conversions"))
+        .localCheckpoint()
+    )
+    tot = conv.agg(F.sum("conversions").alias("total"))
+    return conv.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        "conversions",
+        F.round(
+            F.col("conversions") / F.col("total").cast("double"), 6
+        ).alias("share"),
+    )
+
+
+@_q(
+    "top_event_paths",
+    """
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+    lead(event_type, 1) OVER w AS e2,
+    lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+paths AS (
+  SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE e3 IS NOT NULL GROUP BY 1)
+SELECT path, n,
+  CAST(row_number() OVER (ORDER BY n DESC, path) AS INT) AS rank
+FROM paths QUALIFY rank <= 15
+""",
+    doc="most common 3-step event paths across all user journeys — "
+    "the sequence n-gram view behind 'how do users actually move' "
+    "(journey_transitions is its first-order marginal). Two leads in "
+    "ONE fused window, path trigram counts, distributed partial "
+    "top-k for the leaderboard; ranking key (n DESC, path) is "
+    "deterministic",
+)
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("tu"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(" > ", "e1", "e2", "e3").alias("path")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    top = paths.orderBy(F.col("n").desc(), F.col("path").asc()).limit(15)
+    wr = Window.orderBy(F.col("n").desc(), F.col("path").asc())
+    return top.select(
+        "path", "n", F.row_number().over(wr).cast("int").alias("rank")
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}

@@ -109,6 +109,7 @@ BNLJ_ALLOWED = {
     "corpus_diversity",  # 1-row total onto the (tiny) dimension rollup
     "survival_conversion",  # 1-row cohort-total scalar onto the duration table
     "skew_report",  # 1-row key-stats scalar onto the 5-row hot list
+    "attribution_last_touch",  # 1-row conversion-total scalar onto the channel rollup
 }
 
 
