@@ -7663,6 +7663,131 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "order_cycle_time",
+    """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority, CAST(o_orderdate AS DATE) AS od
+  FROM orders),
+f AS (
+  SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS first_ship
+  FROM lineitem GROUP BY 1),
+d AS (
+  SELECT o.o_orderpriority,
+    date_diff('day', o.od, f.first_ship) AS lag_days
+  FROM o JOIN f ON o.o_orderkey = f.l_orderkey),
+vc AS (
+  SELECT o_orderpriority, lag_days, count(*) AS n,
+    sum(count(*)) OVER (PARTITION BY o_orderpriority ORDER BY lag_days
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(count(*)) OVER (PARTITION BY o_orderpriority) AS total
+  FROM d GROUP BY 1, 2)
+SELECT o_orderpriority,
+  CAST(max(total) AS BIGINT) AS n_orders,
+  CAST(min(CASE WHEN cum * 2 >= total THEN lag_days END) AS BIGINT)
+    AS p50_days,
+  CAST(min(CASE WHEN cum * 10 >= 9 * total THEN lag_days END) AS BIGINT)
+    AS p90_days
+FROM vc GROUP BY 1
+""",
+    doc="fulfillment cycle time: order date to FIRST line shipment, "
+    "p50/p90 days per order priority — the ops-latency SLA view "
+    "(does '1-URGENT' actually ship faster?). First-ship via one "
+    "min-per-order aggregate co-keyed with the orders join; the "
+    "percentiles are discrete integer-day values by the exact "
+    "ppm-rank rule over a value-grain count table (the winsorize "
+    "discipline) — map-combinable, no buffer-and-sort",
+)
+def order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("od")
+    )
+    f = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.min(F.to_date("l_shipdate")).alias("first_ship"))
+    )
+    d = o.join(f, o.o_orderkey == f.l_orderkey).select(
+        "o_orderpriority", F.datediff("first_ship", "od").alias("lag_days")
+    )
+    vc = d.groupBy("o_orderpriority", "lag_days").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wc = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("lag_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("o_orderpriority")
+    cum = vc.select(
+        "o_orderpriority",
+        "lag_days",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wt).alias("total"),
+    )
+    return cum.groupBy("o_orderpriority").agg(
+        F.max("total").cast("bigint").alias("n_orders"),
+        F.min(
+            F.when(F.col("cum") * 2 >= F.col("total"), F.col("lag_days"))
+        )
+        .cast("bigint")
+        .alias("p50_days"),
+        F.min(
+            F.when(F.col("cum") * 10 >= 9 * F.col("total"), F.col("lag_days"))
+        )
+        .cast("bigint")
+        .alias("p90_days"),
+    )
+
+
+@_q(
+    "repeat_purchase_rate",
+    """
+WITH per_cust AS (
+  SELECT o_custkey, CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1, 2)
+SELECT yr,
+  CAST(count(*) AS BIGINT) AS n_customers,
+  CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS repeat_customers,
+  round(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS repeat_rate,
+  round(sum(n_orders) / CAST(count(*) AS DOUBLE), 6) AS orders_per_customer
+FROM per_cust GROUP BY 1
+""",
+    doc="repeat-purchase rate per year: share of active customers "
+    "with 2+ orders, plus order frequency — the loyalty KPI next to "
+    "cohort_retention (retention asks 'did they come BACK'; this "
+    "asks 'did they repeat WITHIN the year'). One shuffle to "
+    "(customer, year) grain; the year rollup re-aggregates that "
+    "table. Integer counts; two ratios",
+)
+def repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_custkey",
+            F.year(F.to_date("o_orderdate")).cast("int").alias("yr"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return per_cust.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0)).alias(
+            "repeat_customers"
+        ),
+        F.round(
+            F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("repeat_rate"),
+        F.round(
+            F.sum("n_orders") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("orders_per_customer"),
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
