@@ -7788,6 +7788,66 @@ def repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "segment_concentration",
+    f"""
+WITH seg AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(year(CAST(o.o_orderdate AS DATE)) AS INT) AS yr,
+         sum({_ORDER_CENTS}) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+tot AS (SELECT yr, sum(cents) AS ycents FROM seg GROUP BY 1)
+SELECT seg.segment, seg.yr,
+  round(seg.cents / 100.0, 2) AS revenue,
+  round(seg.cents / CAST(tot.ycents AS DOUBLE), 6) AS share,
+  round(CAST((SELECT sum(CAST(s2.cents AS HUGEINT) * s2.cents)
+              FROM seg s2 WHERE s2.yr = seg.yr) AS DOUBLE)
+        / (CAST(tot.ycents AS DOUBLE) * tot.ycents), 6) AS yr_hhi
+FROM seg JOIN tot ON seg.yr = tot.yr
+""",
+    doc="market-segment revenue mix per year with the Herfindahl "
+    "concentration index (sum of squared shares — 1/|segments| = "
+    "perfectly even, 1 = monopolized): the revenue-weighted twin of "
+    "corpus_diversity, answering 'is our revenue concentrating?'. "
+    "One fact shuffle to (segment, year) grain; the year totals and "
+    "HHI re-aggregate that tiny table (exact 128-bit squared-cents "
+    "sums) and come back broadcast",
+)
+def segment_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        F.year(F.to_date("o_orderdate")).cast("int").alias("yr"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "yr")
+        .agg(F.sum(F.expr(_ORDER_CENTS)).alias("cents"))
+        .localCheckpoint()  # mix, totals, and HHI all read this grain
+    )
+    tot = seg.groupBy("yr").agg(
+        F.sum("cents").alias("ycents"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "sq"
+        ),
+    )
+    return seg.join(F.broadcast(tot), "yr").select(
+        "segment",
+        "yr",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(F.col("cents") / F.col("ycents").cast("double"), 6).alias(
+            "share"
+        ),
+        F.round(
+            F.col("sq").cast("double")
+            / (F.col("ycents").cast("double") * F.col("ycents")),
+            6,
+        ).alias("yr_hhi"),
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
