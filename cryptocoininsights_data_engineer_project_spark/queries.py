@@ -7848,6 +7848,102 @@ def segment_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "discount_elasticity",
+    """
+WITH b AS (
+  SELECT CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_pct,
+    CAST(count(*) AS BIGINT) AS n_lines,
+    CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS total_qty,
+    sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+      AS rev_cents
+  FROM lineitem GROUP BY 1)
+SELECT disc_pct, n_lines,
+  round(total_qty / CAST(n_lines AS DOUBLE), 6) AS avg_qty_per_line,
+  round(rev_cents / 100.0, 2) AS revenue
+FROM b
+""",
+    doc="discount-band elasticity: line volume, quantity per line, "
+    "and realized revenue per discount percentage — does a deeper "
+    "discount actually move more units? One map-combinable "
+    "aggregation over the fact at the |discount bands| grain (11 "
+    "rows); integer-cent revenue and integer quantities",
+)
+def discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("disc_pct"),
+        F.round(F.col("l_quantity"), 0).cast("bigint").alias("qty"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+        )
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return li.groupBy("disc_pct").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum("qty") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("avg_qty_per_line"),
+        F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+    ).select("disc_pct", "n_lines", "avg_qty_per_line", "revenue")
+
+
+@_q(
+    "return_rate_by_brand",
+    """
+WITH l AS (
+  SELECT p.p_brand AS brand,
+    CAST(count(*) AS BIGINT) AS n_lines,
+    CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_returned,
+    sum(CASE WHEN l.l_returnflag = 'R'
+        THEN CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) ELSE 0 END)
+      AS ret_cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1)
+SELECT brand, n_lines, n_returned,
+  round(n_returned / CAST(n_lines AS DOUBLE), 6) AS return_rate,
+  round(ret_cents / 100.0, 2) AS returned_value
+FROM l
+""",
+    doc="return rate and returned value by brand — the product-"
+    "quality flag a merchandising team watches (q10 totals returned "
+    "revenue by customer; this attributes it to the product side). "
+    "Part dim broadcasts onto one fact scan; conditional integer "
+    "aggregates, one shuffle at brand grain",
+)
+def return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return j.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "n_returned"
+        ),
+        F.round(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("return_rate"),
+        F.round(
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", F.col("cents")).otherwise(
+                    0
+                )
+            )
+            / 100.0,
+            2,
+        ).alias("returned_value"),
+    ).select("brand", "n_lines", "n_returned", "return_rate", "returned_value")
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
