@@ -7944,6 +7944,125 @@ def return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("brand", "n_lines", "n_returned", "return_rate", "returned_value")
 
 
+@_q(
+    "basket_affinity_lift",
+    """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM op),
+item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM op GROUP BY 1),
+pair AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3)
+SELECT pair.part_a, pair.part_b, pair.n_ab,
+  round((CAST(pair.n_ab AS DOUBLE) * nb.n_baskets)
+        / (CAST(ia.n AS DOUBLE) * ib.n), 6) AS lift
+FROM pair
+JOIN item ia ON pair.part_a = ia.l_partkey
+JOIN item ib ON pair.part_b = ib.l_partkey
+CROSS JOIN nb
+""",
+    doc="market-basket affinity LIFT: P(a,b)/(P(a)P(b)) for part "
+    "pairs co-occurring in >= 3 orders — basket_pairs' counts turned "
+    "into the association measure a recommender thresholds on (lift "
+    "> 1 = genuinely bought together, not just both popular). The "
+    "Spark plan reuses the sorted-array pair expansion (one fact "
+    "scan, pair blow-up bounded per order); item frequencies join "
+    "back broadcast with the 1-row basket-count scalar. Integer "
+    "counts; one ratio",
+)
+def basket_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.distinct().localCheckpoint()
+    nb = op.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    item = op.groupBy(F.col("l_partkey")).agg(F.count(F.lit(1)).alias("n"))
+    baskets = op.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) ->"
+                " transform(slice(parts, i + 2, size(parts)),"
+                " y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    pair = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("nb_"))
+    return (
+        pair.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(
+                (F.col("n_ab").cast("double") * F.col("n_baskets"))
+                / (F.col("na").cast("double") * F.col("nb_")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@_q(
+    "weekday_seasonality",
+    f"""
+WITH d AS (
+  SELECT event_type, day, close_c,
+    abs(close_c - lag(close_c) OVER (PARTITION BY event_type ORDER BY day))
+      AS abs_chg
+  FROM ({_DAILY_CLOSE_SQL})),
+w AS (
+  SELECT event_type, CAST(isodow(day) AS INT) AS dow,
+    CAST(count(*) AS BIGINT) AS n_days,
+    sum(abs_chg) AS sc, CAST(count(abs_chg) AS BIGINT) AS nc
+  FROM d GROUP BY 1, 2)
+SELECT event_type, dow, n_days,
+  round(CAST(sc AS DOUBLE) / (100.0 * nc), 4) AS avg_abs_move
+FROM w WHERE nc > 0
+""",
+    doc="weekday seasonality of volatility: average absolute daily "
+    "close move per ISO weekday per instrument — the "
+    "'are weekends quieter' calendar profile (crypto trades 24/7, "
+    "so the answer is empirical, not structural). Integer |change| "
+    "sums at (instrument, weekday) grain — 7 rows per instrument",
+)
+def weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_close(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    dd = d.select(
+        "event_type",
+        "day",
+        F.abs(F.col("close_c") - F.lag("close_c").over(w)).alias("abs_chg"),
+    )
+    g = dd.groupBy(
+        "event_type",
+        F.expr("CAST(extract(DAYOFWEEK_ISO FROM day) AS INT)").alias("dow"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("abs_chg").alias("sc"),
+        F.count("abs_chg").alias("nc"),
+    )
+    return g.filter(F.col("nc") > 0).select(
+        "event_type",
+        "dow",
+        "n_days",
+        F.round(
+            F.col("sc").cast("double") / (100.0 * F.col("nc")), 4
+        ).alias("avg_abs_move"),
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
