@@ -8063,6 +8063,133 @@ def weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LI_CENTS = "CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)"
+
+
+@_q(
+    "nation_trade_balance",
+    f"""
+WITH sup AS (
+  SELECT s.s_nationkey AS nationkey, sum({_LI_CENTS}) AS cents
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1),
+cust AS (
+  SELECT c.c_nationkey AS nationkey, sum({_LI_CENTS}) AS cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1)
+SELECT n.n_name AS nation,
+  round(coalesce(sup.cents, 0) / 100.0, 2) AS supplied_revenue,
+  round(coalesce(cust.cents, 0) / 100.0, 2) AS consumed_revenue,
+  round((coalesce(sup.cents, 0) - coalesce(cust.cents, 0)) / 100.0, 2)
+    AS trade_balance
+FROM nation n
+LEFT JOIN sup ON n.n_nationkey = sup.nationkey
+LEFT JOIN cust ON n.n_nationkey = cust.nationkey
+""",
+    doc="nation trade balance: revenue supplied (as the supplier "
+    "nation) minus revenue consumed (as the customer nation) — the "
+    "net-flow rollup of q7's pairwise volumes. Two independent fact "
+    "aggregations (each one shuffle to nation grain, supplier/"
+    "customer dims broadcast) outer-joined onto the 25-row nation "
+    "dim; integer-cent exactness throughout",
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.expr(_LI_CENTS).alias("cents")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sup = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.sum("cents").alias("sup_cents"))
+    )
+    cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.sum("cents").alias("cust_cents"))
+    )
+    return (
+        n.join(F.broadcast(sup), n.n_nationkey == sup.nationkey, "left")
+        .join(F.broadcast(cust), n.n_nationkey == cust.nationkey, "left")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.round(F.coalesce(F.col("sup_cents"), F.lit(0)) / 100.0, 2).alias(
+                "supplied_revenue"
+            ),
+            F.round(
+                F.coalesce(F.col("cust_cents"), F.lit(0)) / 100.0, 2
+            ).alias("consumed_revenue"),
+            F.round(
+                (
+                    F.coalesce(F.col("sup_cents"), F.lit(0))
+                    - F.coalesce(F.col("cust_cents"), F.lit(0))
+                )
+                / 100.0,
+                2,
+            ).alias("trade_balance"),
+        )
+    )
+
+
+@_q(
+    "return_distribution",
+    f"""
+WITH c AS (
+  SELECT event_type, chg,
+    lag(close_c) OVER (PARTITION BY event_type ORDER BY day) AS prev_c
+  FROM (SELECT event_type, day, close_c,
+          close_c - lag(close_c) OVER (PARTITION BY event_type ORDER BY day) AS chg
+        FROM ({_DAILY_CLOSE_SQL}))
+  ),
+r AS (
+  SELECT event_type,
+    CAST(floor((chg * 1000000 // prev_c) / 50000.0) AS BIGINT)
+      AS ret_bucket_5pct
+  FROM c WHERE chg IS NOT NULL AND prev_c > 0)
+SELECT event_type, CAST(ret_bucket_5pct AS BIGINT) AS ret_bucket_5pct,
+  round(ret_bucket_5pct * 0.05, 2) AS bucket_low_frac,
+  CAST(count(*) AS BIGINT) AS n_days
+FROM r GROUP BY event_type, ret_bucket_5pct
+""",
+    doc="daily-return distribution per instrument in 5% buckets — "
+    "the fat-tails view behind VaR talk: how often does a coin move "
+    "more than 5/10/15% in a day? Returns are integer ppm then "
+    "FLOOR-divided into buckets (bucket k = [5k%, 5k+5%), negatives "
+    "included — the ppm integer is < 2^31 so the float floor is "
+    "exact and identical cross-engine); one lag window + one "
+    "count at the |instrument x bucket| grain",
+)
+def return_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = _daily_close(spark, sf_dir).select(
+        "event_type",
+        "day",
+        "close_c",
+        (F.col("close_c") - F.lag("close_c").over(w)).alias("chg"),
+        F.lag("close_c").over(w).alias("prev_c"),
+    )
+    r = d.filter(F.col("chg").isNotNull() & (F.col("prev_c") > 0)).select(
+        "event_type",
+        F.expr(
+            "CAST(floor((chg * 1000000 div prev_c) / 50000.0) AS BIGINT)"
+        ).alias("ret_bucket_5pct"),
+    )
+    return r.groupBy("event_type", "ret_bucket_5pct").agg(
+        F.count(F.lit(1)).alias("n_days")
+    ).select(
+        "event_type",
+        F.col("ret_bucket_5pct").cast("bigint").alias("ret_bucket_5pct"),
+        F.round(F.col("ret_bucket_5pct") * 0.05, 2).alias("bucket_low_frac"),
+        "n_days",
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
