@@ -8190,6 +8190,105 @@ def return_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "attribution_linear",
+    """
+WITH seq AS (
+  SELECT user_id, event_type, event_id,
+    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seg
+  FROM events),
+segs AS (
+  SELECT user_id, coalesce(seg, 0) AS seg, event_type FROM seq),
+converted AS (
+  SELECT user_id, seg,
+    CAST(sum(CASE WHEN event_type != 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS k
+  FROM segs GROUP BY 1, 2
+  HAVING sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+     AND sum(CASE WHEN event_type != 'purchase' THEN 1 ELSE 0 END) > 0),
+credit AS (
+  SELECT s.event_type AS channel,
+    sum(CAST(1000000 AS HUGEINT) // c.k) AS micro
+  FROM segs s JOIN converted c
+    ON s.user_id = c.user_id AND s.seg = c.seg
+  WHERE s.event_type != 'purchase'
+  GROUP BY 1),
+tot AS (SELECT sum(micro) AS total FROM credit)
+SELECT credit.channel,
+  round(CAST(credit.micro AS DOUBLE) / 1000000.0, 4) AS conversions_credited,
+  round(CAST(credit.micro AS DOUBLE) / tot.total, 6) AS share
+FROM credit CROSS JOIN tot
+""",
+    doc="linear multi-touch attribution: each purchase's credit "
+    "splits EQUALLY across every non-purchase touch since the user's "
+    "previous purchase (the journey segment), vs last-touch's "
+    "winner-take-all. Segments come from a running purchase count "
+    "over the deterministic event order (an exclusive frame, so the "
+    "purchase closes its own segment); per-touch credit 1/k is kept "
+    "as an INTEGER micro-credit (1e6//k, identical truncation both "
+    "engines) so the cross-engine sums are exact. One window + two "
+    "grouped joins at (user, segment) grain",
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("tu"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tu", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    segs = e.select(
+        "user_id",
+        "event_type",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w),
+            F.lit(0),
+        ).alias("seg"),
+    ).localCheckpoint()  # segment table feeds both the gate and the credit join
+    converted = (
+        segs.groupBy("user_id", "seg")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") != "purchase", 1).otherwise(0)
+            ).alias("k"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("np"),
+        )
+        .filter((F.col("np") > 0) & (F.col("k") > 0))
+        .select("user_id", "seg", "k")
+    )
+    credit = (
+        segs.filter(F.col("event_type") != "purchase")
+        .join(converted, ["user_id", "seg"])
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.sum(
+                F.expr("CAST(1000000 AS BIGINT) div k")
+            ).alias("micro")
+        )
+        .localCheckpoint()
+    )
+    tot = credit.agg(F.sum("micro").alias("total"))
+    return credit.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        F.round(F.col("micro").cast("double") / 1000000.0, 4).alias(
+            "conversions_credited"
+        ),
+        F.round(
+            F.col("micro").cast("double") / F.col("total").cast("double"), 6
+        ).alias("share"),
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}

@@ -111,6 +111,7 @@ BNLJ_ALLOWED = {
     "skew_report",  # 1-row key-stats scalar onto the 5-row hot list
     "attribution_last_touch",  # 1-row conversion-total scalar onto the channel rollup
     "basket_affinity_lift",  # 1-row basket-count scalar onto the pair table
+    "attribution_linear",  # 1-row credit-total scalar onto the channel rollup
 }
 
 
