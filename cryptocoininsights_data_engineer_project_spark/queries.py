@@ -8063,18 +8063,18 @@ def weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LI_CENTS = "CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)"
+_LI_NET_CENTS = "CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)"
 
 
 @_q(
     "nation_trade_balance",
     f"""
 WITH sup AS (
-  SELECT s.s_nationkey AS nationkey, sum({_LI_CENTS}) AS cents
+  SELECT s.s_nationkey AS nationkey, sum({_LI_NET_CENTS}) AS cents
   FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
   GROUP BY 1),
 cust AS (
-  SELECT c.c_nationkey AS nationkey, sum({_LI_CENTS}) AS cents
+  SELECT c.c_nationkey AS nationkey, sum({_LI_NET_CENTS}) AS cents
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
@@ -8097,7 +8097,7 @@ LEFT JOIN cust ON n.n_nationkey = cust.nationkey
 )
 def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", F.expr(_LI_CENTS).alias("cents")
+        "l_orderkey", "l_suppkey", F.expr(_LI_NET_CENTS).alias("cents")
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
