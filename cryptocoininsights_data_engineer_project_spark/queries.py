@@ -8289,6 +8289,148 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DAILY_OHLC4_SQL = f"""
+  SELECT event_type, day,
+         arg_min(cents, {_EVT_SKEY}) AS open_c,
+         max(cents) AS high_c, min(cents) AS low_c,
+         arg_max(cents, {_EVT_SKEY}) AS close_c
+  FROM ({_EVT_BASE_SQL})
+  GROUP BY 1, 2
+"""
+
+
+def _daily_ohlc4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _evt_base(spark, sf_dir)
+        .groupBy("event_type", "day")
+        .agg(
+            F.expr("min_by(cents, struct(tu, event_id))").alias("open_c"),
+            F.max("cents").alias("high_c"),
+            F.min("cents").alias("low_c"),
+            F.expr("max_by(cents, struct(tu, event_id))").alias("close_c"),
+        )
+    )
+
+
+@_q(
+    "overnight_gaps",
+    f"""
+WITH d AS ({_DAILY_OHLC4_SQL}),
+g AS (
+  SELECT event_type, day, open_c,
+    lag(close_c) OVER (PARTITION BY event_type ORDER BY day) AS prev_close
+  FROM d)
+SELECT event_type, day,
+  round(open_c / 100.0, 2) AS open,
+  round(prev_close / 100.0, 2) AS prev_close,
+  round((open_c - prev_close) / 100.0, 2) AS gap_dollars,
+  CASE WHEN open_c > prev_close THEN 'up'
+       WHEN open_c < prev_close THEN 'down' ELSE 'flat' END AS gap_direction
+FROM g WHERE prev_close IS NOT NULL
+  AND abs(open_c - prev_close) * 100 >= 5 * prev_close
+""",
+    doc="overnight gap events: sessions OPENING >= 5% away from the "
+    "prior close — the discontinuity scanner (crypto trades 24/7 but "
+    "daily-bar consumers still care where the open prints vs "
+    "yesterday's close). Integer-cent gap with the 5% threshold as "
+    "an exact integer cross-multiplication (|gap|*100 >= 5*prev, no "
+    "ratio float); open/close picked by the deterministic "
+    "(tu, event_id) key in one OHLC aggregate",
+)
+def overnight_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_ohlc4(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    g = d.select(
+        "event_type",
+        "day",
+        "open_c",
+        F.lag("close_c").over(w).alias("prev_close"),
+    ).filter(
+        F.col("prev_close").isNotNull()
+        & (
+            F.abs(F.col("open_c") - F.col("prev_close")) * 100
+            >= 5 * F.col("prev_close")
+        )
+    )
+    return g.select(
+        "event_type",
+        "day",
+        F.round(F.col("open_c") / 100.0, 2).alias("open"),
+        F.round(F.col("prev_close") / 100.0, 2).alias("prev_close"),
+        F.round((F.col("open_c") - F.col("prev_close")) / 100.0, 2).alias(
+            "gap_dollars"
+        ),
+        F.when(F.col("open_c") > F.col("prev_close"), "up")
+        .when(F.col("open_c") < F.col("prev_close"), "down")
+        .otherwise("flat")
+        .alias("gap_direction"),
+    )
+
+
+@_q(
+    "candle_patterns",
+    f"""
+WITH d AS ({_DAILY_OHLC4_SQL}),
+c AS (
+  SELECT event_type, day,
+    abs(close_c - open_c) AS body,
+    high_c - low_c AS range_c,
+    high_c - greatest(open_c, close_c) AS upper_wick,
+    least(open_c, close_c) - low_c AS lower_wick,
+    close_c >= open_c AS bullish
+  FROM d WHERE high_c > low_c)
+SELECT event_type,
+  CASE WHEN body * 10 <= range_c THEN 'doji'
+       WHEN lower_wick >= 2 * body AND upper_wick * 2 <= body + 1 THEN 'hammer'
+       WHEN upper_wick >= 2 * body AND lower_wick * 2 <= body + 1
+         THEN 'inverted_hammer'
+       WHEN body * 10 >= range_c * 9 THEN 'marubozu'
+       ELSE 'ordinary' END AS pattern,
+  CAST(count(*) AS BIGINT) AS n_days,
+  CAST(sum(CASE WHEN bullish THEN 1 ELSE 0 END) AS BIGINT) AS n_bullish
+FROM c GROUP BY 1, 2
+""",
+    doc="candlestick-pattern classification over daily OHLC: doji "
+    "(body <= 10% of range), hammer / inverted hammer (one wick >= "
+    "2x body, the other <= body/2), marubozu (body >= 90% of range) "
+    "— the chartist taxonomy as pure integer predicates (every "
+    "comparison is an exact cross-multiplication, no ratio floats "
+    "for engines to disagree on). One OHLC aggregate + a codegen "
+    "CASE; counts at |instrument x pattern| grain",
+)
+def candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_ohlc4(spark, sf_dir)
+    c = d.filter(F.col("high_c") > F.col("low_c")).select(
+        "event_type",
+        F.abs(F.col("close_c") - F.col("open_c")).alias("body"),
+        (F.col("high_c") - F.col("low_c")).alias("range_c"),
+        (F.col("high_c") - F.greatest("open_c", "close_c")).alias(
+            "upper_wick"
+        ),
+        (F.least("open_c", "close_c") - F.col("low_c")).alias("lower_wick"),
+        (F.col("close_c") >= F.col("open_c")).alias("bullish"),
+    )
+    pattern = (
+        F.when(F.col("body") * 10 <= F.col("range_c"), "doji")
+        .when(
+            (F.col("lower_wick") >= 2 * F.col("body"))
+            & (F.col("upper_wick") * 2 <= F.col("body") + 1),
+            "hammer",
+        )
+        .when(
+            (F.col("upper_wick") >= 2 * F.col("body"))
+            & (F.col("lower_wick") * 2 <= F.col("body") + 1),
+            "inverted_hammer",
+        )
+        .when(F.col("body") * 10 >= F.col("range_c") * 9, "marubozu")
+        .otherwise("ordinary")
+    )
+    return c.groupBy("event_type", pattern.alias("pattern")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.when(F.col("bullish"), 1).otherwise(0)).alias("n_bullish"),
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
