@@ -8431,6 +8431,133 @@ def candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "pack_efficiency",
+    f"""
+WITH packs AS ({textops.pack_sequences_oracle_sql()}),
+per_pack AS (
+  SELECT shard, pack_id, CAST(sum(n_tokens) AS BIGINT) AS fill,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM packs GROUP BY 1, 2)
+SELECT CAST(count(*) AS BIGINT) AS n_packs,
+  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+  round(CAST(sum(least(fill, {textops.PACK_CAPACITY})) AS DOUBLE)
+        / (count(*) * {textops.PACK_CAPACITY}), 6) AS fill_rate,
+  CAST(sum(CASE WHEN fill > {textops.PACK_CAPACITY} THEN 1 ELSE 0 END)
+       AS BIGINT) AS oversize_packs,
+  round(sum(n_docs) / CAST(count(*) AS DOUBLE), 6) AS docs_per_pack
+FROM per_pack
+""",
+    doc="sequence-packing efficiency report: fill rate against "
+    "capacity (capped per pack, so a single over-long doc — which "
+    "legally gets its own oversize pack — can't inflate the "
+    "utilization number), oversize count, docs per pack. The "
+    "throughput metric a training pipeline watches: wasted pad "
+    "tokens = (1 - fill_rate) of every training step. Composes "
+    "pack_sequences with one rollup; integer token sums",
+)
+def pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cap = textops.PACK_CAPACITY
+    packs = textops.pack_sequences(_t(spark, sf_dir, "documents"))
+    per_pack = packs.groupBy("shard", "pack_id").agg(
+        F.sum("n_tokens").alias("fill"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return per_pack.agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("n_docs").alias("n_docs"),
+        F.round(
+            F.sum(F.least(F.col("fill"), F.lit(cap))).cast("double")
+            / (F.count(F.lit(1)) * cap),
+            6,
+        ).alias("fill_rate"),
+        F.sum(F.when(F.col("fill") > cap, 1).otherwise(0)).alias(
+            "oversize_packs"
+        ),
+        F.round(
+            F.sum("n_docs") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("docs_per_pack"),
+    )
+
+
+@_q(
+    "volatility_regimes",
+    f"""
+WITH d AS ({_DAILY_CHG_SQL}),
+rv AS (
+  SELECT event_type, day,
+    sum(CAST(chg AS HUGEINT) * chg) OVER (PARTITION BY event_type
+      ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ss,
+    count(chg) OVER (PARTITION BY event_type
+      ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n
+  FROM d),
+w AS (SELECT event_type, day, ss, n FROM rv WHERE n = 7),
+vc AS (
+  SELECT ss, count(*) AS cnt,
+    sum(count(*)) OVER (ORDER BY ss ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(count(*)) OVER () AS total
+  FROM w GROUP BY 1),
+th AS (
+  SELECT min(CASE WHEN cum * 3 >= total THEN ss END) AS t1,
+    min(CASE WHEN cum * 3 >= 2 * total THEN ss END) AS t2
+  FROM vc)
+SELECT w.event_type, w.day,
+  round(sqrt(CAST(w.ss AS DOUBLE) / w.n) / 100.0, 4) AS realized_vol,
+  CASE WHEN w.ss <= th.t1 THEN 'low'
+       WHEN w.ss <= th.t2 THEN 'mid' ELSE 'high' END AS regime
+FROM w CROSS JOIN th
+""",
+    doc="volatility-regime labeling: 7-day realized volatility "
+    "(RMS of integer daily changes) classified low/mid/high by the "
+    "corpus-wide DISCRETE terciles of the exact integer "
+    "sum-of-squares — regime boundaries and memberships are "
+    "integer-decided, the float sqrt only prints the level. One "
+    "window over daily grain, tercile thresholds from a value-grain "
+    "count table (winsorize discipline) broadcast back",
+)
+def volatility_regimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w7 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    )
+    d = _daily_chg(spark, sf_dir).select(
+        "event_type", "day", F.col("chg").cast("decimal(38,0)").alias("chg")
+    )
+    rv = d.select(
+        "event_type",
+        "day",
+        F.sum(F.col("chg") * F.col("chg")).over(w7).alias("ss"),
+        F.count("chg").over(w7).alias("n"),
+    ).filter(F.col("n") == 7)
+    rv = rv.localCheckpoint()  # terciles and the labeling both read it
+    vc = rv.groupBy("ss").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = Window.orderBy("ss").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cum = vc.select(
+        "ss",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wt).alias("total"),
+    )
+    th = cum.agg(
+        F.min(F.when(F.col("cum") * 3 >= F.col("total"), F.col("ss"))).alias(
+            "t1"
+        ),
+        F.min(
+            F.when(F.col("cum") * 3 >= 2 * F.col("total"), F.col("ss"))
+        ).alias("t2"),
+    )
+    return rv.crossJoin(F.broadcast(th)).select(
+        "event_type",
+        "day",
+        F.round(
+            F.sqrt(F.col("ss").cast("double") / F.col("n")) / 100.0, 4
+        ).alias("realized_vol"),
+        F.when(F.col("ss") <= F.col("t1"), "low")
+        .when(F.col("ss") <= F.col("t2"), "mid")
+        .otherwise("high")
+        .alias("regime"),
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}

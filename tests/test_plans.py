@@ -112,6 +112,7 @@ BNLJ_ALLOWED = {
     "attribution_last_touch",  # 1-row conversion-total scalar onto the channel rollup
     "basket_affinity_lift",  # 1-row basket-count scalar onto the pair table
     "attribution_linear",  # 1-row credit-total scalar onto the channel rollup
+    "volatility_regimes",  # 1-row tercile-threshold scalar onto the vol table
 }
 
 
