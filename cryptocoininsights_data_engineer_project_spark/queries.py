@@ -8558,6 +8558,110 @@ def volatility_regimes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "lang_confusion_matrix",
+    f"""
+WITH pred AS ({textops.lang_id_oracle_sql()}),
+m AS (
+  SELECT d.lang AS declared, p.lang_pred AS predicted,
+         CAST(count(*) AS BIGINT) AS n
+  FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+  GROUP BY 1, 2),
+rt AS (SELECT declared, sum(n) AS row_n FROM m GROUP BY 1)
+SELECT m.declared, m.predicted, m.n,
+  round(m.n / CAST(rt.row_n AS DOUBLE), 6) AS row_share,
+  m.declared = m.predicted AS agree
+FROM m JOIN rt ON m.declared = rt.declared
+""",
+    doc="confusion matrix between the corpus's DECLARED language "
+    "labels and lang_id's stopword predictions — the eval that tells "
+    "you whether to trust the classifier before corpus_filter gates "
+    "on it (per-row recall down the diagonal, the off-diagonal cells "
+    "name the confusions). Composes the oracle-checked lang_id; one "
+    "broadcastable prediction join + a |langs|^2 cell table with "
+    "row shares from its own rollup",
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pred = textops.lang_id(docs)
+    m = (
+        docs.select("doc_id", F.col("lang").alias("declared"))
+        .join(pred, "doc_id")
+        .groupBy("declared", F.col("lang_pred").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    rt = m.groupBy("declared").agg(F.sum("n").alias("row_n"))
+    return m.join(F.broadcast(rt), "declared").select(
+        "declared",
+        "predicted",
+        "n",
+        F.round(F.col("n") / F.col("row_n").cast("double"), 6).alias(
+            "row_share"
+        ),
+        (F.col("declared") == F.col("predicted")).alias("agree"),
+    )
+
+
+@_q(
+    "supplier_reliability",
+    """
+WITH s AS (
+  SELECT l_suppkey,
+    CAST(count(*) AS BIGINT) AS n_lines,
+    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_returned
+  FROM lineitem GROUP BY 1)
+SELECT sup.s_name AS supplier, n.n_name AS nation,
+  s.n_lines, s.n_returned,
+  round(s.n_returned / CAST(s.n_lines AS DOUBLE), 6) AS return_rate,
+  CAST(rank() OVER (ORDER BY s.n_returned * 1000000 // s.n_lines DESC,
+                    sup.s_name) AS INT) AS worst_rank
+FROM s
+JOIN supplier sup ON s.l_suppkey = sup.s_suppkey
+JOIN nation n ON sup.s_nationkey = n.n_nationkey
+WHERE s.n_lines >= 20
+""",
+    doc="supplier reliability scorecard: return rate per supplier "
+    "(min 20 lines for stability) ranked worst-first — the "
+    "supplier-side twin of return_rate_by_brand that feeds vendor "
+    "reviews. The rank key is the integer-ppm rate (exact "
+    "truncation both engines) so ordering never rides a float; "
+    "supplier + nation dims broadcast onto one fact aggregate",
+)
+def supplier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_returnflag")
+    s = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("n_returned"),
+        )
+        .filter(F.col("n_lines") >= 20)
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = s.join(F.broadcast(sup), s.l_suppkey == sup.s_suppkey).join(
+        F.broadcast(n), sup.s_nationkey == n.n_nationkey
+    )
+    ppm = F.expr("n_returned * 1000000 div n_lines")
+    wr = Window.orderBy(ppm.desc(), F.col("s_name").asc())
+    return j.select(
+        F.col("s_name").alias("supplier"),
+        F.col("n_name").alias("nation"),
+        "n_lines",
+        "n_returned",
+        F.round(
+            F.col("n_returned") / F.col("n_lines").cast("double"), 6
+        ).alias("return_rate"),
+        F.rank().over(wr).cast("int").alias("worst_rank"),
+    )
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
