@@ -31,8 +31,12 @@ from pyspark.sql import functions as F
 def aggregate_delta(
     delta: DataFrame, keys: Sequence[str], measures: Sequence[str]
 ) -> DataFrame:
-    """Delta → counter rows: sum per measure + row count per key."""
+    """Delta → counter rows: sum + non-null count per measure + row
+    count per key. count_<m> keeps avg and count(col) NULL-correct in
+    the rollup (mv.query_rollup divides sum_<m> by count_<m>, never by
+    n_rows) — same additive-merge algebra either way."""
     aggs = [F.sum(m).alias(f"sum_{m}") for m in measures]
+    aggs += [F.count(m).alias(f"count_{m}") for m in measures]
     aggs.append(F.count(F.lit(1)).alias("n_rows"))
     return delta.groupBy(*keys).agg(*aggs)
 

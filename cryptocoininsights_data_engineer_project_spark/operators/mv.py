@@ -13,8 +13,10 @@ provable: re-aggregability of sum/count is exact algebra, and avg is
 derived as sum/count AT READ TIME (never averaged averages).
 
 Matching rule (`can_answer`): wanted keys ⊆ MV keys AND every wanted
-measure derivable from the MV's counters (sum_x needs sum_x; count
-needs n_rows; avg_x needs sum_x + n_rows). No silent fallback —
+measure derivable from the MV's counters (sum_x needs sum_x;
+count(*) needs n_rows; count(x) and avg_x need count_x — the
+per-measure NON-NULL counter, because SQL AVG and COUNT(col) ignore
+NULLs while n_rows counts every row). No silent fallback —
 `query_rollup` raises on a mismatch so a caller can route to the fact
 explicitly; an engine wrapper would catch and fall back.
 
@@ -41,14 +43,21 @@ class MVSpec:
     measures: tuple[str, ...]  # fact columns summed into sum_<m>
 
     def counter_cols(self) -> list[str]:
-        return [f"sum_{m}" for m in self.measures] + ["n_rows"]
+        return (
+            [f"sum_{m}" for m in self.measures]
+            + [f"count_{m}" for m in self.measures]
+            + ["n_rows"]
+        )
 
 
 def build_mv(fact: DataFrame, spec: MVSpec, path: str) -> None:
     """Materialize the rollup: one map-combinable aggregation of the
     fact, written as parquet. Refresh incrementally via operators/ivm
-    (same counter layout by construction)."""
+    (same counter layout by construction). Each measure carries BOTH
+    sum_<m> and count_<m> (non-null rows) so avg and count(col) stay
+    NULL-correct at read time."""
     aggs = [F.sum(m).alias(f"sum_{m}") for m in spec.measures]
+    aggs += [F.count(m).alias(f"count_{m}") for m in spec.measures]
     aggs.append(F.count(F.lit(1)).alias("n_rows"))
     fact.groupBy(*spec.keys).agg(*aggs).write.mode("overwrite").parquet(path)
 
@@ -57,13 +66,15 @@ def can_answer(
     spec: MVSpec, want_keys: Sequence[str], want: dict[str, tuple[str, str]]
 ) -> bool:
     """Can the MV answer GROUP BY want_keys with the wanted measures?
-    ``want``: out_col -> (kind, src) with kind in {sum, count, avg}."""
+    ``want``: out_col -> (kind, src) with kind in {sum, count, avg}.
+    count with src "*" is COUNT(*); count with a column name is
+    COUNT(col) and needs that column's non-null counter."""
     if not set(want_keys) <= set(spec.keys):
         return False
     for kind, src in want.values():
-        if kind == "count":
+        if kind == "count" and src == "*":
             continue
-        if kind in ("sum", "avg") and src in spec.measures:
+        if kind in ("sum", "avg", "count") and src in spec.measures:
             continue
         return False
     return True
@@ -78,8 +89,10 @@ def query_rollup(
 ) -> DataFrame:
     """GROUP BY ``want_keys`` answered from the materialized rollup:
     counters re-aggregate by summation (exact algebra for sum/count),
-    avg derives as total sum / total count of the SOURCE rows — the
-    correct weighted form, never an average of per-group averages."""
+    avg derives as total sum / total NON-NULL count of the SOURCE
+    rows (count_<src>) — the correct weighted form matching SQL AVG's
+    NULL semantics, never an average of per-group averages; count(col)
+    likewise serves from count_<col>, count(*) from n_rows."""
     if not can_answer(spec, want_keys, want):
         raise ValueError(
             f"MV{spec.keys} cannot answer keys={tuple(want_keys)} want={want}"
@@ -92,10 +105,15 @@ def query_rollup(
     for out, (kind, src) in want.items():
         if kind == "sum":
             outs.append(F.col(f"sum_{src}").alias(out))
-        elif kind == "count":
+        elif kind == "count" and src == "*":
             outs.append(F.col("n_rows").alias(out))
-        else:  # avg
+        elif kind == "count":
+            outs.append(F.col(f"count_{src}").alias(out))
+        else:  # avg: NULL-aware denominator; all-NULL group -> NULL
             outs.append(
-                (F.col(f"sum_{src}") / F.col("n_rows")).alias(out)
+                (
+                    F.col(f"sum_{src}")
+                    / F.nullif(F.col(f"count_{src}"), F.lit(0))
+                ).alias(out)
             )
     return rolled.select(*want_keys, *outs)

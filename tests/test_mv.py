@@ -80,7 +80,57 @@ def test_non_derivable_requests_refuse(spark, mv_path):
     assert not can_answer(SPEC, ["o_clerk"], {"n": ("count", "*")})
     # measure the MV never summed
     assert not can_answer(SPEC, ["o_orderstatus"], {"s": ("sum", "o_shippriority")})
+    # count(col) for a column the MV carries no non-null counter for
+    assert not can_answer(SPEC, ["o_orderstatus"], {"n": ("count", "o_clerk")})
     with pytest.raises(ValueError):
         query_rollup(
             spark, mv_path, SPEC, ["o_clerk"], {"n": ("count", "*")}
         )
+
+
+def test_nullable_measure_avg_and_count_match_sql_semantics(
+    spark, sf_dir, tmp_path
+):
+    """SQL AVG/COUNT(col) ignore NULLs; the MV must too. Fact with a
+    measure NULLed out on ~half the rows (and one group all-NULL) —
+    the rollup answer must equal the direct aggregation, including the
+    NULL avg for the all-NULL group."""
+    fact = table(spark, sf_dir, "orders").withColumn(
+        "price_n",
+        # status 'P' -> all-NULL group; elsewhere NULL on odd keys
+        F.when(
+            F.col("o_orderstatus") != "P",
+            F.when(F.col("o_orderkey") % 2 == 0, F.col("o_totalprice")),
+        ),
+    )
+    spec = MVSpec(keys=("o_orderstatus",), measures=("price_n",))
+    p = str(tmp_path / "null_mv")
+    build_mv(fact, spec, p)
+    want = {
+        "avg_price": ("avg", "price_n"),
+        "n_priced": ("count", "price_n"),
+        "n_all": ("count", "*"),
+    }
+    got = {
+        r["o_orderstatus"]: (
+            None if r["avg_price"] is None else round(r["avg_price"], 6),
+            r["n_priced"],
+            r["n_all"],
+        )
+        for r in query_rollup(spark, p, spec, ["o_orderstatus"], want).collect()
+    }
+    direct = {
+        r["o_orderstatus"]: (
+            None if r["avg_price"] is None else round(r["avg_price"], 6),
+            r["n_priced"],
+            r["n_all"],
+        )
+        for r in fact.groupBy("o_orderstatus")
+        .agg(
+            F.avg("price_n").alias("avg_price"),
+            F.count("price_n").alias("n_priced"),
+            F.count(F.lit(1)).alias("n_all"),
+        )
+        .collect()
+    }
+    assert got == direct

@@ -98,22 +98,29 @@ def test_full_pipeline_three_batches_then_idempotent(spark, raw_dir, tmp_path):
     ]
 
 
+def _bucket_of(d):
+    from cryptocoininsights_data_engineer_project_spark.pipeline.coins import _bucket_of
+
+    return _bucket_of(d)
+
+
+def _manifest_parts(spark, path):
+    from cryptocoininsights_data_engineer_project_spark.pipeline import manifest
+
+    _, m = manifest.latest_manifest(spark, path)
+    return m["partitions"]
+
+
 def test_partition_pruned_merge(spark, raw_dir, tmp_path):
     """A small incremental batch must rewrite ONLY the bucket
-    partitions containing its keys — untouched bucket directories keep
-    their exact files (the 100 TB property: merge I/O ∝ delta)."""
-    import glob
-
+    partitions containing its keys — untouched buckets' manifest
+    entries carry over file-identical (the 100 TB property: merge
+    I/O ∝ delta)."""
     wh = CoinWarehouse(spark, str(tmp_path / "whp"), n_buckets=16)
     run_batch_pipeline(spark, os.path.join(raw_dir, "raw_coins_batch0.json"), wh)
 
-    fact_dir = wh.fact_path
-    before = {
-        d: sorted(os.listdir(os.path.join(fact_dir, d)))
-        for d in os.listdir(fact_dir)
-        if d.startswith("bucket=")
-    }
-    assert len(before) > 4  # keys spread over many buckets
+    before = _manifest_parts(spark, wh.fact_path)
+    assert len({_bucket_of(d) for d in before}) > 4  # spread over buckets
 
     # tiny stage: 3 coins → at most 3 buckets touched
     from pyspark.sql import functions as F
@@ -122,14 +129,15 @@ def test_partition_pruned_merge(spark, raw_dir, tmp_path):
     small = n.filter(F.col("symbol").isin("c0000", "c0001", "c0002"))
     wh.upsert_batch(split_info(small), split_metrics(small))
 
-    after = {
-        d: sorted(os.listdir(os.path.join(fact_dir, d)))
-        for d in os.listdir(fact_dir)
-        if d.startswith("bucket=")
-    }
-    assert set(after) == set(before)  # same partition set
-    changed = [d for d in before if before[d] != after[d]]
-    assert 1 <= len(changed) <= 3  # only the stage's buckets rewritten
+    after = _manifest_parts(spark, wh.fact_path)
+    changed_buckets = {
+        _bucket_of(d)
+        for d in set(before) ^ set(after)
+    } | {_bucket_of(d) for d in before if d in after and before[d] != after[d]}
+    assert 1 <= len(changed_buckets) <= 3  # only the stage's buckets
+    # untouched buckets keep their exact manifest file lists
+    untouched = [d for d in before if _bucket_of(d) not in changed_buckets]
+    assert untouched and all(before[d] == after[d] for d in untouched)
     # data still complete and correct
     assert wh.fact().count() == fixtures.N_PER_BATCH
     assert wh.fact().filter("id = 'c0000'").count() == 1
@@ -200,80 +208,114 @@ def test_csv_compat_roundtrip(spark, raw_dir, tmp_path):
     assert back.columns == INFO_COLS
 
 
-def test_crash_safe_bucket_swap_recovery(spark, raw_dir, tmp_path):
-    """A crash between rename-aside and rename-in leaves a bucket only
-    in _bak_bucket=N; the next upsert must heal it (no data loss), and
-    a leftover _bak_ alongside a live bucket must be discarded."""
-    import shutil
+def test_crash_mid_commit_leaves_table_intact(spark, raw_dir, tmp_path):
+    """A writer crashing AFTER staging data files but BEFORE publishing
+    its manifest must leave the table byte-identical to readers: the
+    orphan files are unreachable (no recovery step exists or is
+    needed), and vacuum reclaims them without touching live data."""
+    import glob
+
+    from cryptocoininsights_data_engineer_project_spark.pipeline import manifest
 
     wh = CoinWarehouse(spark, str(tmp_path / "whc"), n_buckets=8)
     run_batch_pipeline(spark, os.path.join(raw_dir, "raw_coins_batch0.json"), wh)
-    total = wh.fact().count()
-    fact_dir = wh.fact_path
-    buckets = sorted(d for d in os.listdir(fact_dir) if d.startswith("bucket="))
+    before_rows = sorted(map(str, wh.fact().collect()))
 
-    # simulate crash window 1: live copy renamed aside, new copy never landed
-    b0 = buckets[0]
-    os.rename(
-        os.path.join(fact_dir, b0), os.path.join(fact_dir, "_bak_" + b0)
+    # simulate the crash: stage a commit's files, never publish
+    from pyspark.sql import functions as F
+
+    n = normalize(read_raw_json(spark, os.path.join(raw_dir, "raw_coins_batch1.json")))
+    doomed = wh._with_partition_cols(
+        wh._bucketed(split_metrics(n)), wh.fact_path
     )
-    # simulate crash window 2: stale bak left behind AFTER a successful swap
-    b1 = buckets[1]
-    shutil.copytree(
-        os.path.join(fact_dir, b1), os.path.join(fact_dir, "_bak_" + b1)
+    manifest.stage_commit_files(
+        spark, wh.fact_path, doomed, wh._partition_cols(wh.fact_path)
     )
 
-    wh._recover_buckets(fact_dir)
-    names = set(os.listdir(fact_dir))
-    assert b0 in names and "_bak_" + b0 not in names
-    assert b1 in names and "_bak_" + b1 not in names
-    assert wh.fact().count() == total  # every row survived the crash
+    # orphan files are physically present yet invisible to every read
+    live = {
+        os.path.join(d, f) if d else f
+        for d, fl in _manifest_parts(spark, wh.fact_path).items()
+        for f in fl
+    }
+    on_disk = {
+        os.path.relpath(p, wh.fact_path)
+        for p in glob.glob(os.path.join(wh.fact_path, "**", "*.parquet"), recursive=True)
+    }
+    assert on_disk > live  # orphans exist...
+    assert sorted(map(str, wh.fact().collect())) == before_rows  # ...unseen
+
+    # vacuum reclaims exactly the orphans
+    res = manifest.vacuum(spark, wh.fact_path, keep=2)
+    assert res["data_files"] == len(on_disk - live)
+    assert sorted(map(str, wh.fact().collect())) == before_rows
+
+
+def test_snapshot_isolation_no_mixed_version_reads(spark, raw_dir, tmp_path):
+    """A reader that planned against snapshot N must keep reading
+    snapshot N even while/after a commit publishes N+1 — never a blend
+    of old and new buckets (the mixed-version window the old in-place
+    directory swap had)."""
+    from pyspark.sql import functions as F
+
+    wh = CoinWarehouse(spark, str(tmp_path / "whs"), n_buckets=8)
+    run_batch_pipeline(spark, os.path.join(raw_dir, "raw_coins_batch0.json"), wh)
+
+    pinned = wh.fact()  # plan pinned to snapshot 1's file list
+    before_rows = sorted(map(str, pinned.collect()))
+
+    # commit snapshot 2: every c00xx coin's price bumped (all buckets)
+    n = normalize(read_raw_json(spark, os.path.join(raw_dir, "raw_coins_batch0.json")))
+    bump = split_metrics(n).withColumn(
+        "current_price_usd", F.col("current_price_usd") + 1000000.0
+    ).withColumn(
+        "last_updated", F.col("last_updated") + F.expr("INTERVAL 1 DAY")
+    )
+    wh.upsert_batch(split_info(n), bump)
+
+    # the pinned reader re-collects identically: all-old, zero-new rows
+    assert sorted(map(str, pinned.collect())) == before_rows
+    # a fresh reader sees all-new rows — also no blend
+    fresh = wh.fact()
+    assert fresh.filter(F.col("current_price_usd") < 1000000.0).count() == 0
+    assert fresh.count() == len(before_rows)
 
 
 def test_compaction_reduces_files_preserves_rows(spark, raw_dir, tmp_path):
-    """Repeated upserts accrete small files per bucket; compact()
-    rewrites ONLY the multi-file buckets down to one file each and the
-    table contents are row-identical before/after."""
+    """Immutable-file commits accrete files in re-touched partitions
+    (the REAL accretion path: each upsert adds files); compact()
+    rewrites ONLY the multi-file partitions down to one manifest file
+    each and the table contents are row-identical before/after."""
+    from pyspark.sql import functions as F
+
     wh = CoinWarehouse(spark, str(tmp_path / "whf"), n_buckets=4)
-    run_batch_pipeline(spark, os.path.join(raw_dir, "raw_coins_batch0.json"), wh)
-    fact_dir = wh.fact_path
-
-    # manufacture the many-small-files state a wide cluster write
-    # produces (N shuffle tasks each dropping a file into the bucket)
-    import shutil
-
-    buckets = sorted(d for d in os.listdir(fact_dir) if d.startswith("bucket="))
-    for d in buckets[:2]:
-        bdir = os.path.join(fact_dir, d)
-        split = spark.read.parquet(bdir).repartition(3)
-        tmp_out = str(tmp_path / ("split_" + d))
-        split.write.mode("overwrite").parquet(tmp_out)
-        shutil.rmtree(bdir)
-        os.makedirs(bdir)
-        i = 0
-        for f in os.listdir(tmp_out):
-            if f.endswith(".parquet"):
-                shutil.copy(os.path.join(tmp_out, f), os.path.join(bdir, f"part-{i}.parquet"))
-                i += 1
-
-    def files_per_bucket():
-        return {
-            d: sum(1 for f in os.listdir(os.path.join(fact_dir, d)) if f.endswith(".parquet"))
-            for d in os.listdir(fact_dir)
-            if d.startswith("bucket=")
-        }
+    n0 = normalize(read_raw_json(spark, os.path.join(raw_dir, "raw_coins_batch0.json")))
+    # AQE's partition coalescing hides the small-file state at test
+    # scale (one post-shuffle partition → one file per dir); a wide
+    # cluster writes one file PER TASK per dir — reproduce that
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = spark.conf.get(key, "true")
+    try:
+        spark.conf.set(key, "false")
+        wh.upsert_batch(split_info(n0), split_metrics(n0))
+    finally:
+        spark.conf.set(key, old)
 
     before_rows = sorted(map(str, wh.fact().collect()))
-    before_files = files_per_bucket()
-    assert any(n > 1 for n in before_files.values())  # small files exist
+    before = _manifest_parts(spark, wh.fact_path)
+    assert any(len(fl) > 1 for fl in before.values())  # small files exist
 
-    rewritten = wh.compact(fact_dir)
-    after_files = files_per_bucket()
-    assert set(rewritten) == {d for d, n in before_files.items() if n > 1}
-    assert all(n == 1 for n in after_files.values())
+    rewritten = wh.compact(wh.fact_path)
+    after = _manifest_parts(spark, wh.fact_path)
+    assert set(rewritten) == {d for d, fl in before.items() if len(fl) > 1}
+    assert all(len(fl) == 1 for fl in after.values())
+    # untouched (already-compact) partitions carried over unchanged
+    for d, fl in before.items():
+        if len(fl) == 1:
+            assert after[d] == fl
     assert sorted(map(str, wh.fact().collect())) == before_rows
     # idempotent: second pass is a no-op
-    assert wh.compact(fact_dir) == {}
+    assert wh.compact(wh.fact_path) == {}
 
 
 def test_dynamic_partition_overwrite(spark, tmp_path):
@@ -395,10 +437,8 @@ def test_merge_schema_evolution(spark, raw_dir, tmp_path):
 
 def test_delete_keys_prunes_buckets(spark, raw_dir, tmp_path):
     """GDPR delete: the target ids vanish, ONLY their buckets rewrite
-    (untouched bucket dirs keep identical file listings), and the op
+    (untouched buckets keep identical manifest file lists), and the op
     is idempotent."""
-    import glob
-
     from pyspark.sql import functions as F
 
     wh = CoinWarehouse(spark, str(tmp_path / "wh_del"))
@@ -409,21 +449,20 @@ def test_delete_keys_prunes_buckets(spark, raw_dir, tmp_path):
     victims = sorted(all_ids)[:3]
     n_before = fact0.count()
 
-    def listing():
-        return {
-            d: sorted(os.path.basename(f) for f in glob.glob(os.path.join(d, "*.parquet")))
-            for d in glob.glob(str(tmp_path / "wh_del" / "fact_coin_metrics" / "bucket=*"))
-        }
-
-    before = listing()
+    before = _manifest_parts(spark, wh.fact_path)
     res = wh.delete_keys(wh.fact_path, victims)
     assert res["deleted"] == 3
     assert 1 <= res["buckets_rewritten"] <= 3
-    after = listing()
-    changed = {d for d in before if before[d] != after.get(d, None)}
-    assert len(changed) <= res["buckets_rewritten"]
-    # untouched buckets byte-identical listings
-    assert sum(1 for d in before if before[d] == after.get(d)) >= len(before) - res["buckets_rewritten"]
+    after = _manifest_parts(spark, wh.fact_path)
+    changed_buckets = {
+        _bucket_of(d)
+        for d in (set(before) ^ set(after))
+        | {d for d in before if d in after and before[d] != after[d]}
+    }
+    assert len(changed_buckets) <= res["buckets_rewritten"]
+    # untouched buckets keep byte-identical manifest listings
+    untouched = [d for d in before if _bucket_of(d) not in changed_buckets]
+    assert all(before[d] == after[d] for d in untouched)
 
     f = wh.fact()
     assert f.count() == n_before - 3

@@ -102,7 +102,7 @@ BNLJ_ALLOWED = {
     "k_anonymity",  # 1-row corpus-risky-rows scalar onto the cohort table
     "approx_quantile_hist",  # 3-row quantile-rank list onto the bucket table
     "ann_recall_at_5",  # composes cosine_topk + ivf (both allowlisted shapes)
-    "rank_fusion",  # dense side is cosine_topk's broadcast query set
+    "rank_fusion",  # dense side = ivf_trained (<=16-centroid crossJoin)
     "mmr_diversify",  # broadcast query set, same non-equi shape as cosine_topk
     "ndcg_at_5",  # composes cosine_topk + ivf (both allowlisted shapes)
     "ngram_collocations",  # two 1-row corpus-total scalars onto the bigram table
@@ -324,8 +324,11 @@ def test_bollinger_windows_daily_grain_only(spark):
 def test_ivf_probe_broadcasts_onto_corpus(spark):
     """The IVF candidate join must broadcast the (|queries| x nprobe)
     probe list — a SortMergeJoin here shuffles the whole corpus on cid
-    (the 100 TB regression this pins against)."""
-    for name in ("similarity_ivf", "similarity_ivf_trained"):
+    (the 100 TB regression this pins against). rank_fusion composes
+    the same trained-IVF retriever as its dense leg (VERDICT r4 #3) —
+    its plan must stay probe-broadcast too, never a corpus shuffle per
+    query batch."""
+    for name in ("similarity_ivf", "similarity_ivf_trained", "rank_fusion"):
         p = _plan(spark, name)
         assert _nodes(p, "SortMergeJoin") == 0, name
         assert _nodes(p, "ShuffledHashJoin") == 0, name

@@ -299,11 +299,18 @@ def test_stream_candles_table_maintenance(spark, dirs, sf_dir, tmp_path):
     q.awaitTermination(300)
 
     def snap(path):
+        from cryptocoininsights_data_engineer_project_spark.pipeline.manifest import (
+            SnapshotTable,
+        )
+
+        # snapshot read: superseded files persist until vacuum, so a
+        # raw directory scan would double-count — the manifest is the
+        # table
         return {
             (r["event_type"], r["bar_ts"].isoformat()): (
                 r["open"], r["high"], r["low"], r["close"], r["volume"], r["n_trades"],
             )
-            for r in spark.read.parquet(path).collect()
+            for r in SnapshotTable(spark, path).read().collect()
         }
 
     got = snap(tbl)
