@@ -601,3 +601,71 @@ WITH RECURSIVE t AS (
 )
 SELECT doc_id, shard, pack_id, n_tokens FROM r
 """
+
+
+# --------------------------------------------------- hashed embeddings
+def hash_embed_docs(
+    docs: DataFrame, dim: int = 64, tf_weight: str = "raw"
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) embeddings for a docs frame
+    carrying (doc_id, text): every token lands in md5%dim with an
+    md5-derived sign, aggregated and L2-normalized. The engine core
+    behind the ``text_hash_embedding`` registry query.
+
+    ``tf_weight`` picks the term-frequency contribution per cell:
+
+    - ``"raw"``: signed occurrence counts (the registry default — its
+      DuckDB oracle states exactly this).
+    - ``"binary"``: signed PRESENCE (each distinct doc-term once) —
+      the production weighting for natural-language text. Measured on
+      the Zipf fixture (tests/test_zipf_lsh.py): raw TF lets the
+      high-frequency head dominate every vector (the stopword effect
+      — LSH candidate fraction 13%, max bucket 41% of corpus even at
+      a 4000-word vocabulary), while binary cuts candidates to 1.5%
+      and the max bucket to 7.5% at equal recall. Raw stays the
+      default only because the driver's ~20-word synthetic corpus
+      makes term SETS nearly identical across docs (binary there
+      collapses everything to cosine ~1); real corpora want binary or
+      a saturating cap, exactly as BM25 saturates tf.
+
+    Signed integer counts keep the norm and every element the same
+    IEEE doubles cross-engine. One token explode + bounded
+    aggregations (cells <= dim/doc); O(docs x dim) state regardless
+    of vocabulary."""
+    if tf_weight not in ("raw", "binary"):
+        raise ValueError(f"tf_weight must be raw|binary, got {tf_weight!r}")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"filter({spark_tokens('text')}, x -> x != '')")
+        ).alias("term"),
+    )
+    if tf_weight == "binary":
+        toks = toks.distinct()  # presence: one vote per (doc, term)
+    h = toks.select("doc_id", F.expr(spark_hash64("term")).alias("h64"))
+    cell = h.groupBy("doc_id", (F.col("h64") % dim).alias("dim")).agg(
+        # integer div, NOT `/`: h64 is up to 60 bits and a double
+        # division would lose exactness past 2^53
+        F.sum(
+            F.when(F.expr(f"(h64 div {dim}) % 2 = 0"), 1).otherwise(-1)
+        ).alias("v")
+    )
+    vec = cell.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("dim", "v"))).alias("m")
+    )
+    arr = vec.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {dim - 1}),"
+            " i -> CAST(coalesce(element_at(m, CAST(i AS BIGINT)), 0) AS DOUBLE))"
+        ).alias("raw"),
+    )
+    from .similarity import dot_expr
+
+    dot = dot_expr("raw", "raw")
+    return arr.filter(F.expr(f"{dot} > 0")).select(
+        "doc_id",
+        F.expr(f"transform(raw, v -> round(v / sqrt({dot}), 6))").alias(
+            "embedding"
+        ),
+    )

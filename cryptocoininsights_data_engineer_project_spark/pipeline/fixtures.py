@@ -75,3 +75,61 @@ def write_batches(out_dir: str, seed: int = 42) -> list[str]:
             json.dump(rows, f)
         paths.append(p)
     return paths
+
+
+# ------------------------------------------------------- Zipf text corpus
+# The driver's synthetic documents table has a ~20-word vocabulary —
+# adversarial for sign-bit LSH (every bag-of-words vector is similar to
+# every other, so buckets degenerate; the dedup_text_embedding band
+# retune of round 4). Real corpora are Zipf-distributed over thousands
+# of types, and LSH parameters should be validated on THAT distribution
+# (VERDICT r4 #8). This fixture builds one, with PLANTED near-duplicate
+# pairs (token-perturbed copies) so recall is measurable against a
+# known ground truth.
+ZIPF_VOCAB = 4000
+ZIPF_EXPONENT = 1.05
+
+
+def zipf_documents(
+    n_docs: int = 1500,
+    vocab_size: int = ZIPF_VOCAB,
+    doc_len: tuple[int, int] = (30, 120),
+    dup_frac: float = 0.1,
+    perturb: float = 0.04,
+    seed: int = 1234,
+):
+    """Deterministic Zipf-vocabulary corpus with planted near-dups.
+
+    Returns (rows, planted): ``rows`` matches the documents.parquet
+    schema (doc_id, text, lang, source, n_chars); ``planted`` lists
+    (orig_id, dup_id) pairs where dup copies orig with ~``perturb`` of
+    its tokens resampled — bag-of-words cosine stays near 1, so these
+    are the true near-duplicates an LSH dedup must recover."""
+    import bisect
+    import itertools
+
+    rng = random.Random(seed)
+    weights = [1.0 / (r**ZIPF_EXPONENT) for r in range(1, vocab_size + 1)]
+    cum = list(itertools.accumulate(weights))
+    total = cum[-1]
+
+    def word() -> str:
+        return f"w{bisect.bisect_left(cum, rng.random() * total):05d}"
+
+    n_base = int(n_docs * (1.0 - dup_frac))
+    texts = [
+        [word() for _ in range(rng.randint(*doc_len))] for _ in range(n_base)
+    ]
+    planted: list[tuple[int, int]] = []
+    for d in range(n_base, n_docs):
+        src = rng.randrange(n_base)
+        toks = list(texts[src])
+        for _ in range(max(1, int(len(toks) * perturb))):
+            toks[rng.randrange(len(toks))] = word()
+        texts.append(toks)
+        planted.append((src, d))
+    rows = [
+        (d, " ".join(toks), "en", f"src{d % 4}", len(" ".join(toks)))
+        for d, toks in enumerate(texts)
+    ]
+    return rows, planted

@@ -5740,45 +5740,17 @@ FROM arr WHERE list_dot_product(raw, raw) > 0
     "element are the same IEEE doubles on both engines. One token "
     "explode + two bounded aggregations (cells ≤ 64/doc); "
     "dimensionality and collision rate trade off exactly as at "
-    "100 TB — state is O(docs × 64) regardless of vocabulary",
+    "100 TB — state is O(docs × 64) regardless of vocabulary. Raw TF "
+    "weighting matches this corpus and the oracle; natural-language "
+    "corpora want tf_weight='binary' (presence) — the stopword-"
+    "dominance measurement lives in operators/textops.py::"
+    "hash_embed_docs and tests/test_zipf_lsh.py",
 )
 def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dim = _HASH_EMB_DIM
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(f"filter({spark_tokens('text')}, x -> x != '')")
-        ).alias("term"),
-    )
-    h = toks.select(
-        "doc_id", F.expr(spark_hash64("term")).alias("h64")
-    )
-    cell = h.groupBy(
-        "doc_id", (F.col("h64") % dim).alias("dim")
-    ).agg(
-        # integer div, NOT `/`: h64 is up to 60 bits and a double
-        # division would lose exactness past 2^53
-        F.sum(
-            F.when(F.expr(f"(h64 div {dim}) % 2 = 0"), 1).otherwise(-1)
-        ).alias("v")
-    )
-    vec = cell.groupBy("doc_id").agg(
-        F.map_from_entries(F.collect_list(F.struct("dim", "v"))).alias("m")
-    )
-    arr = vec.select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(0, {dim - 1}),"
-            " i -> CAST(coalesce(element_at(m, CAST(i AS BIGINT)), 0) AS DOUBLE))"
-        ).alias("raw"),
-    )
-    dot = similarity.dot_expr("raw", "raw")
-    return arr.filter(F.expr(f"{dot} > 0")).select(
-        "doc_id",
-        F.expr(
-            f"transform(raw, v -> round(v / sqrt({dot}), 6))"
-        ).alias("embedding"),
+    from .operators.textops import hash_embed_docs
+
+    return hash_embed_docs(
+        _t(spark, sf_dir, "documents"), dim=_HASH_EMB_DIM, tf_weight="raw"
     )
 
 

@@ -147,32 +147,53 @@ TWA_STATE_SCHEMA = T.StructType(
 )
 
 
+def _twa_collect_rows(pdfs: Iterator[pd.DataFrame]) -> list[tuple[int, int, int]]:
+    rows: list[tuple[int, int, int]] = []
+    for pdf in pdfs:
+        for ts_ns, eid, cents in zip(
+            pdf["ts"].astype("int64"), pdf["event_id"], pdf["cents"]
+        ):
+            rows.append((int(ts_ns) // 1000, int(eid), int(cents)))
+    rows.sort()
+    return rows
+
+
+def _twa_fold(prior, rows):
+    """ONE micro-batch's state transition for the LOCF time-weighted
+    average: ``prior`` is the (first_us, last_us, last_cents, num, n)
+    tuple or None, ``rows`` the batch's sorted (t_us, event_id, cents).
+    Returns (new_state, emit_row_or_None). Both stateful APIs —
+    applyInPandasWithState and transformWithState — call THIS function,
+    so their per-batch algebra is identical by construction and the
+    parity test reduces to plumbing, not a re-implementation."""
+    if prior is not None:
+        first_us, last_us, last_cents, num, n = prior
+    else:
+        first_us = None
+    for tu, _eid, cents in rows:
+        if first_us is None:
+            first_us, last_us, last_cents, num, n = tu, tu, cents, 0.0, 0
+        else:
+            num += last_cents * float(tu - last_us)
+            last_us, last_cents = tu, cents
+        n += 1
+    state = (first_us, last_us, last_cents, num, n)
+    if last_us > first_us:
+        twa = round(num / (100.0 * (last_us - first_us)), 6)
+        return state, (twa, n)
+    return state, None
+
+
 def make_twa_fn():
     def fn(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        if state.exists:
-            first_us, last_us, last_cents, num, n = state.get
-        else:
-            first_us = None
-        rows: list[tuple[int, int, int]] = []
-        for pdf in pdfs:
-            for ts_ns, eid, cents in zip(
-                pdf["ts"].astype("int64"), pdf["event_id"], pdf["cents"]
-            ):
-                rows.append((int(ts_ns) // 1000, int(eid), int(cents)))
-        rows.sort()
-        for tu, _eid, cents in rows:
-            if first_us is None:
-                first_us, last_us, last_cents, num, n = tu, tu, cents, 0.0, 0
-            else:
-                num += last_cents * float(tu - last_us)
-                last_us, last_cents = tu, cents
-            n += 1
-        state.update((first_us, last_us, last_cents, num, n))
-        if last_us > first_us:
-            twa = round(num / (100.0 * (last_us - first_us)), 6)
+        prior = state.get if state.exists else None
+        new_state, emit = _twa_fold(prior, _twa_collect_rows(pdfs))
+        state.update(new_state)
+        if emit is not None:
+            twa, n = emit
             yield pd.DataFrame(
                 {"user_id": [user_id], "twa_value": [twa], "n_obs": [n]}
             )
@@ -293,6 +314,71 @@ def tws_sessionize(
         outputStructType=OUTPUT_SCHEMA,
         outputMode="append",
         timeMode="eventTime",
+    )
+
+
+class TwaProcessor(StatefulProcessor):
+    """transformWithState twin of ``stateful_time_weighted_avg``
+    (VERDICT r4 #6): same named-ValueState shape as SessionProcessor,
+    no timers (running aggregate, update semantics). The per-batch
+    state algebra is ``_twa_fold`` — shared verbatim with the
+    applyInPandasWithState form, so the two APIs cannot drift; the
+    cross-micro-batch parity is pinned in tests/test_stateful.py both
+    as pure fold-chaining (runs in this container) and as a live
+    two-query stream comparison (protobuf-gated, see module note)."""
+
+    def init(self, handle) -> None:
+        self.handle = handle
+        self.state = handle.getValueState(
+            "twa",
+            "first_us long, last_us long, last_cents long, num double, n long",
+        )
+
+    def handleInputRows(self, key, rows, timer_values):
+        (user_id,) = key
+        batch_rows = _twa_collect_rows(rows)
+        if not batch_rows:
+            return
+        prior = self.state.get() if self.state.exists() else None
+        new_state, emit = _twa_fold(prior, batch_rows)
+        self.state.update(new_state)
+        if emit is not None:
+            twa, n = emit
+            yield pd.DataFrame(
+                {"user_id": [user_id], "twa_value": [twa], "n_obs": [n]}
+            )
+
+    def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        return iter(())
+
+    def handleInitialState(self, key, initial_state, timer_values) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def tws_time_weighted_avg(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas twin of
+    ``stateful_time_weighted_avg``: same input contract
+    (user_id, event_id, ts, value), same update-mode running emission."""
+    from pyspark.sql import functions as F
+
+    ev = (
+        events.filter(F.col("value").isNotNull())
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TwaProcessor(),
+        outputStructType=TWA_OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
     )
 
 

@@ -334,3 +334,148 @@ def test_stateful_anomaly_matches_batch_prefix(spark, tmp_path):
     assert sorted(got) == sorted(expect)
     # sanity: the planted spike is flagged
     assert any(eid == 60 for _, eid, _, _ in got)
+
+
+def test_tws_twa_matches_applyinpandaswithstate(spark, tmp_path):
+    """The transformWithState TWA must emit the same running values as
+    the applyInPandasWithState form on an identical multi-file stream.
+    protobuf-gated like the sessionize twin (state-server protocol);
+    the fold-level parity below runs regardless."""
+    import json as _json
+
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from cryptocoininsights_data_engineer_project_spark.streaming.stateful import (
+        stateful_time_weighted_avg,
+        tws_time_weighted_avg,
+    )
+
+    raw = tmp_path / "raw_twa_tws"
+    raw.mkdir()
+    rows1 = [(1, 0, 10.0), (1, 60, 20.0), (2, 0, 5.0)]
+    rows2 = [(1, 180, 40.0), (2, 120, 15.0), (2, 300, 5.0)]
+    for name, rows in (("f1.json", rows1), ("f2.json", rows2)):
+        with open(raw / name, "w") as f:
+            for eid, (uid, sec, val) in enumerate(rows):
+                f.write(
+                    _json.dumps(
+                        {
+                            "event_id": eid,
+                            "user_id": uid,
+                            "ts": f"2024-01-01T00:{sec // 60:02d}:{sec % 60:02d}",
+                            "value": val,
+                        }
+                    )
+                    + "\n"
+                )
+    schema = "event_id long, user_id long, ts timestamp, value double"
+
+    def run(factory, ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(raw))
+        )
+        latest = {}
+
+        def sink(batch_df, _bid):
+            for r in batch_df.collect():
+                latest[r.user_id] = (r.twa_value, r.n_obs)
+
+        q = (
+            factory(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return latest
+
+    assert run(tws_time_weighted_avg, "ck_tws_twa") == run(
+        stateful_time_weighted_avg, "ck_aip_twa"
+    )
+
+
+def test_twa_processor_and_group_state_fn_share_fold(spark):
+    """Container-runnable API parity: TwaProcessor (transformWithState)
+    and make_twa_fn (applyInPandasWithState) driven through FAKE
+    state handles over the same micro-batch split must emit identical
+    frames — both funnel through _twa_fold, and this pins the plumbing
+    on each side of that funnel (state round-trip, emission gating)."""
+    import pandas as pd
+
+    from cryptocoininsights_data_engineer_project_spark.streaming.stateful import (
+        TwaProcessor,
+        make_twa_fn,
+    )
+
+    batches = [
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:01:00"]),
+                "event_id": [1, 2],
+                "cents": [1000, 2000],
+            }
+        ),
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime(["2024-01-01 00:03:00"]),
+                "event_id": [3],
+                "cents": [4000],
+            }
+        ),
+    ]
+
+    class FakeValueState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.vs = FakeValueState()
+
+        def getValueState(self, name, schema):
+            return self.vs
+
+    class FakeGroupState:
+        def __init__(self):
+            self.v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self.v is not None
+
+        @property
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    proc = TwaProcessor()
+    proc.init(FakeHandle())
+    gs = FakeGroupState()
+    fn = make_twa_fn()
+    for b in batches:
+        tws_out = list(proc.handleInputRows((7,), iter([b]), None))
+        aip_out = list(fn((7,), iter([b]), gs))
+        assert len(tws_out) == len(aip_out)
+        for a, t in zip(aip_out, tws_out):
+            pd.testing.assert_frame_equal(a, t)
+        assert proc.state.v == gs.v  # identical state after each batch
+    # final value equals the closed-form LOCF integral
+    twa = proc.state.v[3] / (100.0 * (proc.state.v[1] - proc.state.v[0]))
+    assert round(twa, 6) == round((10.0 * 60 + 20.0 * 120) / 180, 6)
