@@ -293,6 +293,64 @@ def vacuum(spark: SparkSession, root: str, keep: int = 2) -> dict[str, int]:
     return {"data_files": n_data, "manifests": len(dropped)}
 
 
+def table_history(spark: SparkSession, root: str) -> list[dict]:
+    """Commit log, oldest first: [{version, n_files, n_partitions}].
+    Pure metadata — one listing + one small JSON read per retained
+    version (superseded manifests vanish at vacuum, like Delta's
+    logRetentionDuration)."""
+    out = []
+    for v in list_versions(spark, root):
+        m = read_manifest(spark, root, v)
+        if m is None:
+            continue
+        out.append(
+            {
+                "version": v,
+                "n_partitions": len(m["partitions"]),
+                "n_files": sum(len(fl) for fl in m["partitions"].values()),
+            }
+        )
+    return out
+
+
+def read_version(
+    spark: SparkSession, root: str, version: int
+) -> DataFrame:
+    """Time travel: the table AS OF ``version`` — exactly that
+    manifest's file list, valid as long as the version is inside the
+    vacuum retention window. Raises KeyError for a vacuumed/unknown
+    version (loudly — a silently-empty past is worse than none)."""
+    m = read_manifest(spark, root, version)
+    if m is None:
+        raise KeyError(
+            f"version {version} not available at {root} "
+            f"(retained: {list_versions(spark, root)})"
+        )
+    return snapshot_read(spark, root, m)
+
+
+def rollback(spark: SparkSession, root: str, version: int) -> int:
+    """Publish a NEW manifest whose content equals ``version`` — the
+    roll-forward form of undo (history is preserved; nothing is
+    deleted, so concurrent readers of the rolled-back-over commits are
+    unaffected). Returns the new version number. The referenced files
+    must still exist: only versions inside the retention window can be
+    rolled back to."""
+    m = read_manifest(spark, root, version)
+    if m is None:
+        raise KeyError(f"version {version} not available at {root}")
+    for _ in range(5):
+        cur, _m = latest_manifest(spark, root)
+        if publish_manifest(
+            spark,
+            root,
+            cur + 1,
+            {k: v for k, v in m.items() if k != "version"},
+        ):
+            return cur + 1
+    raise ConcurrentWriteError(f"rollback lost the manifest CAS at {root}")
+
+
 class SnapshotTable:
     """Unpartitioned manifest-committed parquet table — the smallest
     useful shape of the protocol, for tables maintained by full-

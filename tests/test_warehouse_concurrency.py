@@ -215,3 +215,42 @@ def test_streaming_candle_table_commits_atomically(spark, tmp_path):
     assert sorted(r.k for r in t.read().collect()) == ["e", "e2"]
     t.vacuum(keep=1)
     assert sorted(r.k for r in t.read().collect()) == ["e", "e2"]
+
+
+def test_time_travel_history_and_rollback(spark, raw_dir, tmp_path):
+    """The manifest log is a commit history: read_version time-travels
+    inside the retention window, rollback publishes a NEW version equal
+    to an old snapshot (roll-forward undo — nothing deleted), and a
+    vacuumed-away version fails loudly instead of reading empty."""
+    from pyspark.sql import functions as F
+
+    wh = CoinWarehouse(spark, str(tmp_path / "wh_tt"), n_buckets=4)
+    n0 = _batch(spark, raw_dir, 0)
+    wh.upsert_batch(split_info(n0), split_metrics(n0))
+    v1_rows = sorted(map(str, wh.fact().collect()))
+
+    bump = split_metrics(n0).withColumn(
+        "current_price_usd", F.col("current_price_usd") * 2
+    ).withColumn("last_updated", F.col("last_updated") + F.expr("INTERVAL 1 DAY"))
+    wh.upsert_batch(split_info(n0), bump)
+    v2_rows = sorted(map(str, wh.fact().collect()))
+    assert v2_rows != v1_rows
+
+    hist = manifest.table_history(spark, wh.fact_path)
+    assert [h["version"] for h in hist] == [1, 2]
+
+    # time travel: AS OF 1 returns the pre-bump table
+    past = manifest.read_version(spark, wh.fact_path, 1)
+    assert sorted(map(str, past.drop("bucket", "p_date").collect())) == v1_rows
+
+    # rollback: version 3 == version 1's content, history intact
+    v3 = manifest.rollback(spark, wh.fact_path, 1)
+    assert v3 == 3
+    assert sorted(map(str, wh.fact().collect())) == v1_rows
+    assert [h["version"] for h in manifest.table_history(spark, wh.fact_path)] == [1, 2, 3]
+
+    # retention: vacuum(keep=1) drops old manifests; reading them raises
+    manifest.vacuum(spark, wh.fact_path, keep=1)
+    with pytest.raises(KeyError, match="version 2"):
+        manifest.read_version(spark, wh.fact_path, 2)
+    assert sorted(map(str, wh.fact().collect())) == v1_rows
