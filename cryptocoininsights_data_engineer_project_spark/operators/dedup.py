@@ -219,13 +219,22 @@ def minhash_pairs_oracle_sql(
 
 # ----------------------------------------------------------------- SimHash
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
-    """(doc_id, simhash): classic sign-aggregated token hash. Token
-    multiplicity counts (term frequency weighting). One explode + one
-    grouped aggregation."""
-    toks = docs.select(
-        "doc_id", F.explode(F.expr(spark_tokens("text"))).alias("tok")
-    ).filter(F.col("tok") != "")
-    h = toks.select("doc_id", F.expr(spark_hash64("tok")).alias("h"))
+    """(doc_id, simhash): sign-aggregated feature hash over word
+    w-SHINGLES (the Manku/Charikar web-crawl form), not unigrams. One
+    shingle generator + one grouped aggregation.
+
+    Shingles, not tokens, because unigram bit votes are dominated by
+    the corpus's high-frequency head — on a realistic 4000-type Zipf
+    corpus at 50k docs (the sf1 sweep) unigram codes concentrated 63%
+    of the corpus into ONE 8-bit chunk bucket (954M candidate pairs —
+    quadratic death for engine and oracle alike), while 3-shingles,
+    being near-unique per document, spread the same corpus to a 0.7%
+    max bucket and 47x fewer candidates. Stopword dominance is the
+    same failure the hashed-embedding tf_weight seam documents
+    (operators/textops.py::hash_embed_docs)."""
+    h = shingle_docs(docs).select(
+        "doc_id", F.expr(spark_hash64("shingle")).alias("h")
+    )
     # shiftright() rather than the >> operator: works on every Spark 3.x/4.x
     weights = [
         F.sum(
@@ -251,8 +260,8 @@ def simhash_oracle_sql(bits: int = SIMHASH_BITS) -> str:
         for j in range(bits)
     )
     return (
-        f"WITH toks AS (SELECT doc_id, unnest({duck_tokens('text')}) AS tok FROM documents), "
-        f"h AS (SELECT doc_id, {duck_hash64('tok')} AS h FROM toks WHERE tok != ''), "
+        f"WITH {_duck_shingle_cte()}, "
+        f"h AS (SELECT doc_id, {duck_hash64('shingle')} AS h FROM sh), "
         f"w AS (SELECT doc_id, {weights} FROM h GROUP BY doc_id) "
         f"SELECT doc_id, {code} AS simhash FROM w"
     )

@@ -295,6 +295,12 @@ def stream_candles_to_table(
             if target is None
             else merge(target, batch_df, keys=["event_type", "bar_ts"])
         )
+        # every commit supersedes the previous snapshot's files, so an
+        # unbounded stream would otherwise accrete one table-copy per
+        # micro-batch — vacuum periodically, keeping a small retention
+        # window for concurrent readers
+        if batch_id % 10 == 9:
+            table.vacuum(keep=3)
 
     writer = (
         candles.writeStream.foreachBatch(_merge)
