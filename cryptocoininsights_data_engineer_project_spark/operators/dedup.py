@@ -190,9 +190,11 @@ def minhash_candidate_pairs(
     return _ordered_pairs(buckets).distinct()
 
 
-def minhash_pairs_oracle_sql(
+def _minhash_cte_chain(
     k: int = MINHASH_K, bands: int = LSH_BANDS, rows: int = LSH_ROWS
 ) -> str:
+    """Shared CTE prefix (sh → h → sig → bands → cand) for every
+    MinHash oracle — pairs, accuracy audit, clusters all extend it."""
     mins = ", ".join(
         f"min({duck_minhash_term(a, b, 'h')}) AS s{i}"
         for i, (a, b) in enumerate(_PARAMS[:k])
@@ -206,14 +208,23 @@ def minhash_pairs_oracle_sql(
             f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sig"
         )
     return (
-        f"WITH {_duck_shingle_cte()}, "
+        f"{_duck_shingle_cte()}, "
         f"h AS (SELECT doc_id, {duck_hash64('shingle')} AS h FROM sh), "
         f"sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id), "
-        f"bands AS ({' UNION ALL '.join(band_selects)}) "
-        f"SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        f"bands AS ({' UNION ALL '.join(band_selects)}), "
+        f"cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
         f"FROM bands a JOIN bands b "
         f"ON a.band_id = b.band_id AND a.band_hash = b.band_hash "
-        f"AND a.doc_id < b.doc_id"
+        f"AND a.doc_id < b.doc_id)"
+    )
+
+
+def minhash_pairs_oracle_sql(
+    k: int = MINHASH_K, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> str:
+    return (
+        f"WITH {_minhash_cte_chain(k, bands, rows)} "
+        f"SELECT doc_a, doc_b FROM cand"
     )
 
 
@@ -782,3 +793,131 @@ def incremental_dedup_pairs(
     )
     internal = _ordered_pairs(internal_buckets)
     return cross.unionByName(internal).distinct()
+
+
+# ------------------------------------------------- sketch-accuracy audit
+def minhash_accuracy(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """Per candidate pair: MinHash-estimated vs EXACT Jaccard — the
+    sketch-accuracy audit as a query (the dedup analog of
+    ann_recall_at_5: the measurement itself is engine work, not a
+    notebook afterthought). Columns (doc_a, doc_b, est_ppm, jac_ppm,
+    err_ppm), all exact integers (ppm via truncating integer division —
+    Spark ``div`` and DuckDB ``//`` both truncate toward zero).
+
+    est = (matching signature components) / k, the unbiased MinHash
+    estimator; exact Jaccard joins the (distinct-shingle) sets only for
+    the already-banded candidate pairs, so the exact computation stays
+    bounded by near-dup density — never all-pairs. At 100 TB you run
+    this on a sample of buckets to monitor whether k still fits the
+    corpus's similarity profile."""
+    sigs = minhash_signatures(docs, k).localCheckpoint()
+    pairs = minhash_candidate_pairs(docs).localCheckpoint()
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"s{i}").alias(f"a{i}") for i in range(k)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in range(k)],
+    )
+    match_expr = " + ".join(
+        f"CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    est = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", F.expr(f"({match_expr})").alias("m"))
+    )
+    sh = shingle_docs(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(f"m * 1000000 div {k}").alias("est_ppm"),
+            F.expr(
+                "coalesce(i, 0) * 1000000 div (na + nb - coalesce(i, 0))"
+            ).alias("jac_ppm"),
+            F.expr(
+                f"abs(m * 1000000 div {k}"
+                " - coalesce(i, 0) * 1000000 div (na + nb - coalesce(i, 0)))"
+            ).alias("err_ppm"),
+        )
+    )
+
+
+def minhash_accuracy_oracle_sql(k: int = MINHASH_K) -> str:
+    match_expr = " + ".join(
+        f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return f"""
+WITH {_minhash_cte_chain(k)},
+est AS (
+  SELECT p.doc_a, p.doc_b, ({match_expr}) AS m
+  FROM cand p JOIN sig a ON a.doc_id = p.doc_a
+              JOIN sig b ON b.doc_id = p.doc_b),
+sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS i
+  FROM cand p JOIN sh x ON x.doc_id = p.doc_a
+              JOIN sh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+  GROUP BY 1, 2)
+SELECT e.doc_a, e.doc_b,
+  CAST(e.m * 1000000 // {k} AS BIGINT) AS est_ppm,
+  CAST(coalesce(i.i, 0) * 1000000
+       // (sa.n_sh + sb.n_sh - coalesce(i.i, 0)) AS BIGINT) AS jac_ppm,
+  CAST(abs(e.m * 1000000 // {k}
+       - coalesce(i.i, 0) * 1000000
+         // (sa.n_sh + sb.n_sh - coalesce(i.i, 0))) AS BIGINT) AS err_ppm
+FROM est e
+LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN sz sa ON sa.doc_id = e.doc_a
+JOIN sz sb ON sb.doc_id = e.doc_b
+"""
+
+
+# --------------------------------------------- canonical representative
+def canonical_docs(docs: DataFrame) -> DataFrame:
+    """(cluster_id, canonical_id, n_members): per near-dup cluster, the
+    document a dedup pass KEEPS — longest text wins, smallest doc_id
+    breaks ties (the standard keep-best heuristic; plug a quality score
+    into the same argmax key for model-scored selection). One sort-free
+    max_by over the cluster labels joined to doc lengths; the composite
+    key n_chars*1e6 - doc_id is an exact integer, so the argmax is
+    deterministic and portable."""
+    labels = dedup_clusters(docs)
+    return (
+        labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.expr(
+                "max_by(doc_id, n_chars * 1000000 - doc_id)"
+            ).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
+def canonical_docs_oracle_sql() -> str:
+    return f"""
+WITH cl AS ({dedup_clusters_oracle_sql()})
+SELECT cl.cluster_id,
+  arg_max(d.doc_id, d.n_chars * 1000000 - d.doc_id) AS canonical_id,
+  count(*) AS n_members
+FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+GROUP BY cl.cluster_id
+"""

@@ -978,7 +978,15 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_candidate_pairs(_t(spark, sf_dir, "documents"))
 
 
-@_q("dedup_simhash", dedup.simhash_oracle_sql(), doc="SimHash codes per document")
+@_q(
+    "dedup_simhash",
+    dedup.simhash_oracle_sql(),
+    doc="SimHash codes per document over word 3-SHINGLE features "
+    "(Manku/Charikar) — unigram TF bit votes concentrate on realistic "
+    "vocabularies (the sf1 catch: 63% of a 50k Zipf corpus in one "
+    "chunk bucket, 954M candidates; shingles cut it 47x — "
+    "CORRECTNESS_LOCAL_sf1.md)",
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_t(spark, sf_dir, "documents"))
 
@@ -8637,6 +8645,102 @@ def supplier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("return_rate"),
         F.rank().over(wr).cast("int").alias("worst_rank"),
     )
+
+
+@_q(
+    "sharpe_ratio",
+    f"""
+WITH d AS ({_DAILY_CLOSE_SQL}),
+r AS (
+  SELECT event_type,
+    (close_c - lag(close_c) OVER w) * 1000000
+      // lag(close_c) OVER w AS ret_ppm
+  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+st AS (
+  SELECT event_type, count(*) AS n_days,
+    sum(ret_ppm) AS s, sum(CAST(ret_ppm AS HUGEINT) * ret_ppm) AS ss
+  FROM r WHERE ret_ppm IS NOT NULL GROUP BY 1)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+  round(s / CAST(n_days AS DOUBLE), 4) AS mean_ret_ppm,
+  round(sqrt(ss / CAST(n_days AS DOUBLE)
+             - (s / CAST(n_days AS DOUBLE)) * (s / CAST(n_days AS DOUBLE))),
+        4) AS vol_ppm,
+  round((s / CAST(n_days AS DOUBLE))
+        / nullif(sqrt(ss / CAST(n_days AS DOUBLE)
+             - (s / CAST(n_days AS DOUBLE)) * (s / CAST(n_days AS DOUBLE))),
+             0), 6) AS sharpe
+FROM st
+""",
+    doc="per-instrument Sharpe ratio of daily returns (mean/vol, "
+    "population moments, rate-free form): returns quantized to "
+    "integer ppm by truncating integer division — Spark div and "
+    "DuckDB // both truncate toward zero, so the (n, Σ, Σ²) "
+    "sufficient statistics are exact integers (Σ² in 128-bit) and "
+    "the mean/vol/ratio floats appear once in identical expression "
+    "trees. One lag window at daily grain + one map-combinable "
+    "aggregate; the risk-adjusted-return twin of volatility_regimes",
+)
+def sharpe_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_close(spark, sf_dir)
+    r = d.select(
+        "event_type",
+        F.expr(
+            "(close_c - lag(close_c) OVER (PARTITION BY event_type"
+            " ORDER BY day)) * 1000000 div lag(close_c) OVER"
+            " (PARTITION BY event_type ORDER BY day)"
+        ).alias("ret_ppm"),
+    ).filter(F.col("ret_ppm").isNotNull())
+    st = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("ret_ppm").alias("s"),
+        F.sum(
+            F.col("ret_ppm").cast("decimal(38,0)")
+            * F.col("ret_ppm").cast("decimal(38,0)")
+        ).alias("ss_dec"),
+    )
+    mean = F.col("s") / F.col("n_days").cast("double")
+    var = (
+        F.col("ss_dec").cast("double") / F.col("n_days").cast("double")
+        - mean * mean
+    )
+    return st.select(
+        "event_type",
+        "n_days",
+        F.round(mean, 4).alias("mean_ret_ppm"),
+        F.round(F.sqrt(var), 4).alias("vol_ppm"),
+        F.round(mean / F.nullif(F.sqrt(var), F.lit(0.0)), 6).alias("sharpe"),
+    )
+
+
+@_q(
+    "minhash_jaccard_est",
+    dedup.minhash_accuracy_oracle_sql(),
+    doc="MinHash sketch-accuracy audit as a query (the dedup analog "
+    "of ann_recall_at_5): for every banded candidate pair, the "
+    "k=16-component MinHash Jaccard estimate vs the EXACT "
+    "shingle-set Jaccard, in exact integer ppm (truncating integer "
+    "division on both engines). The exact side joins shingle sets "
+    "only for already-banded pairs — bounded by near-dup density, "
+    "never all-pairs; at 100 TB this runs over a bucket sample to "
+    "monitor whether k still fits the corpus's similarity profile",
+)
+def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_accuracy(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_canonical",
+    dedup.canonical_docs_oracle_sql(),
+    doc="canonical representative per near-dup cluster — the document "
+    "a dedup pass KEEPS: longest text wins, smallest doc_id breaks "
+    "ties, via one sort-free max_by on the exact integer composite "
+    "key n_chars*1e6 - doc_id over the connected-component labels "
+    "(dedup_clusters) joined to doc lengths. Swap a quality score "
+    "into the same argmax key for model-scored selection; oracle is "
+    "the recursive-CTE closure + arg_max",
+)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.canonical_docs(_t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------- exports
