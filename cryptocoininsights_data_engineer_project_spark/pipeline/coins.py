@@ -36,17 +36,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.merge import merge
 from . import manifest
-
-
-def _bucket_of(partition_dir: str) -> int | None:
-    """Bucket id embedded in a manifest partition dir ("bucket=3" or
-    "p_date=2024-01-01/bucket=3")."""
-    for seg in partition_dir.split("/"):
-        if seg.startswith("bucket="):
-            return int(seg[len("bucket=") :])
-    return None
+from .table import BucketedTable, _bucket_of  # noqa: F401 - re-export
 
 # CoinGecko /coins/markets row (FIXTURES.md B1; the reference ingests
 # exactly this shape, data-extract.py:12-20). Explicit schema: the
@@ -268,50 +259,45 @@ class CoinWarehouse:
         self.max_commit_retries = max_commit_retries
         self.dim_path = os.path.join(root, "dim_coin_info")
         self.fact_path = os.path.join(root, "fact_coin_metrics")
+        self._dim = BucketedTable(
+            spark, self.dim_path, ["id"], n_buckets,
+            max_commit_retries=max_commit_retries,
+        )
+        self._fact = BucketedTable(
+            spark, self.fact_path, ["id"], n_buckets,
+            date_col=fact_date_col,
+            max_commit_retries=max_commit_retries,
+        )
 
     # -- table access -----------------------------------------------
+    def _table(self, path: str) -> BucketedTable:
+        if path == self.fact_path:
+            return self._fact
+        if path == self.dim_path:
+            return self._dim
+        raise KeyError(f"unknown table path {path!r}")
+
     def _partition_cols(self, path: str) -> list[str]:
-        if path == self.fact_path and self.fact_date_col:
-            return ["p_date", "bucket"]
-        return ["bucket"]
+        return self._table(path)._partition_cols()
 
     def _snapshot(self, path: str, buckets=None):
         """(version, manifest, DataFrame|None) for the current commit;
         ``buckets`` restricts the frame to those buckets' files."""
-        version, m = manifest.latest_manifest(self.spark, path)
-        if m is None:
-            return version, None, None
-        dirs = None
-        if buckets is not None:
-            want = set(buckets)
-            dirs = [
-                d for d in m["partitions"] if _bucket_of(d) in want
-            ]
-        return version, m, manifest.snapshot_read(self.spark, path, m, dirs)
-
-    def _read_or_none(self, path: str) -> DataFrame | None:
-        _, _, df = self._snapshot(path)
-        return df
+        return self._table(path)._snapshot(buckets)
 
     def dim(self) -> DataFrame | None:
-        df = self._read_or_none(self.dim_path)
-        return df.drop("bucket") if df is not None else None
+        return self._dim.read()
 
     def fact(self) -> DataFrame | None:
-        df = self._read_or_none(self.fact_path)
-        if df is None:
-            return None
-        return df.drop("bucket", "p_date")
+        return self._fact.read()
 
     def fact_snapshot(self) -> DataFrame | None:
         """The fact WITH its partition columns (p_date, bucket) — the
         form a time-windowed reader filters for partition pruning."""
-        return self._read_or_none(self.fact_path)
+        return self._fact.read(with_partitions=True)
 
     def _bucketed(self, df: DataFrame) -> DataFrame:
-        return df.withColumn(
-            "bucket", F.pmod(F.xxhash64("id"), F.lit(self.n_buckets))
-        )
+        return self._fact._bucketed(df)
 
     # -- load -------------------------------------------------------
     def upsert_batch(
@@ -354,98 +340,10 @@ class CoinWarehouse:
         )
 
     def _with_partition_cols(self, df: DataFrame, path: str) -> DataFrame:
-        if path == self.fact_path and self.fact_date_col:
-            df = df.withColumn("p_date", F.to_date(self.fact_date_col))
-        return df
+        return self._table(path)._with_partition_cols(df)
 
     def _upsert(self, path, stage, cols, dedupe_order):
-        from ..operators.merge import dedupe_latest
-
-        stage = self._bucketed(stage)
-        part_cols = self._partition_cols(path)
-        # bucket pruning: only partitions holding stage keys participate
-        touched = sorted(
-            r["bucket"] for r in stage.select("bucket").distinct().collect()
-        )
-        for _ in range(self.max_commit_retries):
-            version, m, _ = self._snapshot(path)
-            if m is None:
-                result = self._with_partition_cols(
-                    dedupe_latest(stage, ["id"], dedupe_order).select(
-                        *cols, "bucket"
-                    ),
-                    path,
-                )
-                if self._commit(path, result, part_cols, version, {}, set()):
-                    return
-                continue  # lost the create race: table exists now, merge
-            _, _, target = self._snapshot(path, buckets=touched)
-            out_cols = list(cols)
-            # schema evolution, both directions: the table keeps columns
-            # a narrower stage no longer carries (they pass through
-            # merge and stay NULL on inserts), and new stage columns
-            # materialize in the target as typed NULLs. The manifest
-            # schema is authoritative on read, so untouched buckets'
-            # older physical files surface evolved columns as typed
-            # NULLs instead of schema roulette.
-            out_cols += [
-                c
-                for c in target.columns
-                if c not in out_cols and c not in ("bucket", "p_date")
-            ]
-            stage_fields = {f.name: f.dataType for f in stage.schema.fields}
-            for c in out_cols:
-                if c not in target.columns:
-                    target = target.withColumn(
-                        c, F.lit(None).cast(stage_fields[c])
-                    )
-            # bucket must be an update column: inserted keys have no
-            # target row to pass it through from (and matched rows agree
-            # anyway — same id, same hash)
-            merged = merge(
-                target.drop("p_date"),
-                stage,
-                keys=["id"],
-                update_cols=[
-                    c for c in out_cols if c != "id" and c in stage.columns
-                ]
-                + ["bucket"],
-                dedupe_order=dedupe_order,
-            ).select(*out_cols, "bucket")
-            merged = self._with_partition_cols(merged, path)
-            if self._commit(
-                path, merged, part_cols, version, m["partitions"], set(touched)
-            ):
-                return
-        raise manifest.ConcurrentWriteError(
-            f"upsert lost the manifest CAS {self.max_commit_retries} times"
-            f" at {path}"
-        )
-
-    def _commit(
-        self, path, frame, part_cols, version, old_partitions, touched
-    ) -> bool:
-        """Stage ``frame``'s files (pure adds, per-commit token) and
-        CAS-publish a manifest replacing exactly the touched buckets'
-        entries. False = lost the race (caller re-reads and retries);
-        the losing attempt's files stay as invisible orphans for
-        vacuum — cheaper and crash-equivalent vs eager cleanup."""
-        new_parts = manifest.stage_commit_files(
-            self.spark, path, frame, part_cols
-        )
-        partitions = {
-            d: fl
-            for d, fl in old_partitions.items()
-            if _bucket_of(d) not in touched
-        }
-        partitions.update(new_parts)
-        return manifest.publish_manifest(
-            self.spark,
-            path,
-            version + 1,
-            {"schema": frame.schema.json(), "partitions": partitions,
-             "n_buckets": self.n_buckets},
-        )
+        self._table(path).upsert(stage, cols=cols, dedupe_order=dedupe_order)
 
     def delete_keys(self, path: str, ids) -> dict:
         """Targeted delete (the GDPR / right-to-be-forgotten
@@ -453,93 +351,18 @@ class CoinWarehouse:
         REWRITING ONLY the buckets that can contain them — I/O is
         proportional to the touched buckets, untouched buckets' manifest
         entries (and files) carry over untouched. Returns
-        {"deleted": n, "buckets_rewritten": k}.
-        """
-        ids_df = self._bucketed(
+        {"deleted": n, "buckets_rewritten": k}."""
+        return self._table(path).delete_keys(
             self.spark.createDataFrame([(i,) for i in ids], "id string")
-        )
-        touched = sorted(
-            r["bucket"] for r in ids_df.select("bucket").distinct().collect()
-        )
-        part_cols = self._partition_cols(path)
-        for _ in range(self.max_commit_retries):
-            version, m, _ = self._snapshot(path)
-            if m is None:
-                return {"deleted": 0, "buckets_rewritten": 0}
-            _, _, sub = self._snapshot(path, buckets=touched)
-            before = sub.count()
-            kept = sub.join(ids_df.select("id"), "id", "left_anti")
-            n_kept = kept.count()
-            if "p_date" in kept.columns:
-                kept = self._with_partition_cols(kept.drop("p_date"), path)
-            if self._commit(
-                path, kept, part_cols, version, m["partitions"], set(touched)
-            ):
-                return {
-                    "deleted": before - n_kept,
-                    "buckets_rewritten": len(touched),
-                }
-        raise manifest.ConcurrentWriteError(
-            f"delete lost the manifest CAS {self.max_commit_retries} times"
-            f" at {path}"
         )
 
     def compact(self, path: str, target_files_per_bucket: int = 1) -> dict:
         """OPTIMIZE-style small-file compaction: rewrite each partition
         directory holding more than ``target_files_per_bucket`` parquet
         files down to ONE file each, leaving compact partitions
-        untouched (the parameter is the sickness threshold).
-
-        Why it exists: every incremental upsert ADDS files to touched
-        partitions (immutable-file commits), so at high batch cadence a
-        partition accretes many small files — the classic warehouse
-        small-file problem (scan tasks, open costs, and footer reads
-        all scale with file count, not bytes). Compaction reads only
-        the SICK partitions' files, rewrites them in ONE job
-        (repartition on the partition columns → one file per
-        directory), and commits through the same manifest CAS as every
-        other writer — racing an upsert is safe, one of them retries.
-        Row content never changes (tests assert row equality).
-
-        Returns {partition_dir: files_before} for rewritten dirs.
-        """
-        for _ in range(self.max_commit_retries):
-            version, m, _ = self._snapshot(path)
-            if m is None:
-                return {}
-            sick = {
-                d: len(fl)
-                for d, fl in m["partitions"].items()
-                if len(fl) > target_files_per_bucket
-            }
-            if not sick:
-                return {}
-            part_cols = self._partition_cols(path)
-            frame = manifest.snapshot_read(
-                self.spark, path, m, dirs=sorted(sick)
-            )
-            # one task per sick dir → exactly one output file per dir
-            # (a task writes one file per partition directory it holds)
-            frame = frame.repartition(len(sick), *part_cols)
-            new_parts = manifest.stage_commit_files(
-                self.spark, path, frame, part_cols
-            )
-            partitions = {
-                d: fl for d, fl in m["partitions"].items() if d not in sick
-            }
-            partitions.update(new_parts)
-            if manifest.publish_manifest(
-                self.spark,
-                path,
-                version + 1,
-                {"schema": m["schema"], "partitions": partitions,
-                 "n_buckets": self.n_buckets},
-            ):
-                return sick
-        raise manifest.ConcurrentWriteError(
-            f"compact lost the manifest CAS {self.max_commit_retries} times"
-            f" at {path}"
-        )
+        untouched (BucketedTable.compact — one job, CAS-committed,
+        content-preserving; tests assert row equality)."""
+        return self._table(path).compact(target_files_per_bucket)
 
     def vacuum(self, keep: int = 2) -> dict:
         """Reclaim orphaned data files (crashed/lost-race commits) and

@@ -267,10 +267,12 @@ def stream_candles_to_table(
     concurrent commits, so a batch maintenance job (compaction,
     backfill) can safely share the table with the stream.
 
-    At scale the table write would go through the bucketed
-    CoinWarehouse layout; here it is a plain keyed merge so the
-    mechanism (update-mode re-emission + keyed upsert = an
-    always-current materialized candle table) stays visible.
+    This full-snapshot form keeps the mechanism (update-mode
+    re-emission + keyed upsert = an always-current materialized candle
+    table) visible and fits a bounded bar count; the SCALE form is
+    ``stream_candles_to_bucketed_table`` below — same stream, same
+    merge key, but each micro-batch rewrites only the touched buckets
+    of a date-partitioned BucketedTable instead of the whole snapshot.
     """
     from ..operators.merge import merge
     from ..pipeline.manifest import SnapshotTable
@@ -299,6 +301,63 @@ def stream_candles_to_table(
         # unbounded stream would otherwise accrete one table-copy per
         # micro-batch — vacuum periodically, keeping a small retention
         # window for concurrent readers
+        if batch_id % 10 == 9:
+            table.vacuum(keep=3)
+
+    writer = (
+        candles.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_candles_to_bucketed_table(
+    spark: SparkSession,
+    tick_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    bar_duration: str = "1 hour",
+    watermark: str = "1 hour",
+    available_now: bool = True,
+    n_buckets: int = 8,
+):
+    """The 100 TB form of ``stream_candles_to_table``: the candle
+    table is a date-partitioned BucketedTable keyed on
+    (event_type, bar_ts), so each micro-batch MERGES into only the
+    buckets its bars hash to — commit I/O ∝ the batch's bar set, not
+    the table — while readers get p_date pruning for time windows and
+    the full manifest contract (snapshot isolation, time travel,
+    concurrent-writer CAS: a batch compaction or backfill can run
+    WHILE the stream maintains the table — pipeline/table.py).
+    Replays converge exactly as in the snapshot form: the keyed merge
+    is idempotent on (event_type, bar_ts)."""
+    from ..pipeline.table import BucketedTable
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(tick_dir)
+    )
+    candles = streaming_ohlcv(stream, bar_duration, watermark)
+    table = BucketedTable(
+        spark,
+        table_path,
+        key_cols=["event_type", "bar_ts"],
+        n_buckets=n_buckets,
+        date_col="bar_ts",
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.upsert(batch_df)
         if batch_id % 10 == 9:
             table.vacuum(keep=3)
 
