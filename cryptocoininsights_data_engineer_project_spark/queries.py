@@ -40,7 +40,7 @@ from .operators import (
     textops,
 )
 from .functions.hashing import spark_hash64
-from .functions.textnorm import duck_tokens, spark_tokens
+from .functions.textnorm import duck_norm, duck_tokens, spark_tokens
 
 
 @dataclass(frozen=True)
@@ -8741,6 +8741,92 @@ def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.canonical_docs(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "embedding_outliers",
+    """
+WITH v AS (
+  SELECT vec_id, label,
+    CAST(round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])), 6)
+         * 1000000 AS BIGINT) AS n2u
+  FROM embeddings),
+th AS (
+  SELECT CAST(quantile_cont(n2u, 0.01) AS BIGINT) AS lo,
+         CAST(quantile_cont(n2u, 0.99) AS BIGINT) AS hi
+  FROM v)
+SELECT vec_id, label,
+  round(n2u / 1000000.0, 6) AS norm2,
+  n2u < th.lo OR n2u = 0 AS is_low,
+  n2u > th.hi AS is_high
+FROM v, th
+""",
+    doc="embedding-space hygiene audit: per-vector squared L2 norm "
+    "flagged against the corpus's p01/p99 — dead (near-zero) and "
+    "blown-up vectors are the two classic upstream-featurizer "
+    "failures an ANN/dedup stack must quarantine before they poison "
+    "cosine geometry. The norm is the sequential-fold dot product "
+    "(bit-identical cross-engine), quantized to exact integer "
+    "micro-units so the discrete percentile thresholds have no float "
+    "boundary; thresholds attach as a 1-row broadcast onto the one "
+    "corpus scan",
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dot = similarity.dot_expr("emb", "emb")
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    ).select(
+        "vec_id",
+        "label",
+        F.expr(f"CAST(round({dot}, 6) * 1000000 AS BIGINT)").alias("n2u"),
+    )
+    th = v.agg(
+        F.expr("CAST(percentile(n2u, 0.01) AS BIGINT)").alias("lo"),
+        F.expr("CAST(percentile(n2u, 0.99) AS BIGINT)").alias("hi"),
+    )
+    return v.crossJoin(F.broadcast(th)).select(
+        "vec_id",
+        "label",
+        F.round(F.col("n2u") / 1000000.0, 6).alias("norm2"),
+        ((F.col("n2u") < F.col("lo")) | (F.col("n2u") == 0)).alias("is_low"),
+        (F.col("n2u") > F.col("hi")).alias("is_high"),
+    )
+
+
+@_q(
+    "duplicate_rate_by_source",
+    f"""
+SELECT source,
+  count(*) AS n_docs,
+  count(DISTINCT md5({duck_norm("text")})) AS n_distinct,
+  CAST((count(*) - count(DISTINCT md5({duck_norm("text")}))) * 1000000
+       // count(*) AS BIGINT) AS dup_rate_ppm
+FROM documents GROUP BY source
+""",
+    doc="exact-duplicate rate per ingest source — the per-feed "
+    "contamination KPI that decides which upstream to fix first "
+    "(a crawler re-fetching the same pages shows up here before any "
+    "fuzzy dedup runs). One hash aggregate over normalized-content "
+    "fingerprints; rate in exact integer ppm (truncating division "
+    "both engines)",
+)
+def duplicate_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.textnorm import spark_norm
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", F.md5(F.expr(spark_norm("text"))).alias("fp")
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_distinct"),
+        F.expr(
+            "CAST((count(1) - count(DISTINCT fp)) * 1000000"
+            " div count(1) AS BIGINT)"
+        ).alias("dup_rate_ppm"),
+    )
 
 
 # ---------------------------------------------------------------- exports

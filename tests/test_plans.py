@@ -101,6 +101,7 @@ BNLJ_ALLOWED = {
     "pct_of_total",  # 1-row grand-total scalar onto the nation rollup
     "k_anonymity",  # 1-row corpus-risky-rows scalar onto the cohort table
     "approx_quantile_hist",  # 3-row quantile-rank list onto the bucket table
+    "embedding_outliers",  # 1-row p01/p99 norm-threshold scalar onto the scan
     "ann_recall_at_5",  # composes cosine_topk + ivf (both allowlisted shapes)
     "rank_fusion",  # dense side = ivf_trained (<=16-centroid crossJoin)
     "mmr_diversify",  # broadcast query set, same non-equi shape as cosine_topk
