@@ -101,7 +101,9 @@ class BucketedTable:
         return manifest.table_history(self.spark, self.path)
 
     # ----------------------------------------------------------- writes
-    def _commit(self, frame, version, old_partitions, touched) -> bool:
+    def _commit(
+        self, frame, version, old_partitions, touched, old_txns=None, txn=None
+    ) -> bool:
         """Stage ``frame``'s files (pure adds under a per-commit token)
         and CAS-publish a manifest replacing exactly the touched
         buckets' entries; False = lost the race (caller retries).
@@ -115,6 +117,10 @@ class BucketedTable:
             if _bucket_of(d) not in touched
         }
         partitions.update(new_parts)
+        txns = dict(old_txns or {})
+        if txn is not None:
+            app_id, txn_version = txn
+            txns[app_id] = txn_version
         return manifest.publish_manifest(
             self.spark,
             self.path,
@@ -123,6 +129,7 @@ class BucketedTable:
                 "schema": frame.schema.json(),
                 "partitions": partitions,
                 "n_buckets": self.n_buckets,
+                "txns": txns,
             },
         )
 
@@ -131,13 +138,24 @@ class BucketedTable:
         stage: DataFrame,
         cols: Sequence[str] | None = None,
         dedupe_order: Sequence[str] | None = None,
-    ) -> None:
+        txn: tuple[str, int] | None = None,
+    ) -> bool:
         """MERGE ``stage`` on the key columns. ``cols`` fixes the
         output column list (default: the stage's columns); the table
         additionally keeps columns an earlier schema carried (schema
         evolution both ways — new stage columns materialize, columns a
         narrower stage dropped pass through, and the manifest schema
-        keeps reads deterministic either way)."""
+        keeps reads deterministic either way).
+
+        ``txn=(app_id, version)`` makes the commit TRANSACTIONALLY
+        IDEMPOTENT (the Delta txn-marker pattern): the manifest records
+        the highest version committed per app_id, and an upsert whose
+        version is <= the recorded one returns False WITHOUT touching
+        the table — so a replayed foreachBatch micro-batch (crash
+        between sink commit and checkpoint commit) is skipped entirely,
+        exactly-once rather than merely merge-idempotent. The check
+        rides the same CAS loop as the commit itself, so it holds under
+        concurrent writers too. Returns True if this call committed."""
         cols = list(cols) if cols is not None else [
             c for c in stage.columns if c != "bucket"
         ]
@@ -147,6 +165,12 @@ class BucketedTable:
         )
         for _ in range(self.max_commit_retries):
             version, m, _ = self._snapshot()
+            if (
+                txn is not None
+                and m is not None
+                and (m.get("txns") or {}).get(txn[0], -1) >= txn[1]
+            ):
+                return False  # this transaction already committed
             if m is None:
                 result = stage
                 if dedupe_order:
@@ -156,8 +180,8 @@ class BucketedTable:
                 result = self._with_partition_cols(
                     result.select(*cols, "bucket")
                 )
-                if self._commit(result, version, {}, set()):
-                    return
+                if self._commit(result, version, {}, set(), None, txn):
+                    return True
                 continue  # lost the create race: table exists now
             _, _, target = self._snapshot(buckets=touched)
             out_cols = list(cols) + [
@@ -186,8 +210,15 @@ class BucketedTable:
                 dedupe_order=dedupe_order,
             ).select(*out_cols, "bucket")
             merged = self._with_partition_cols(merged)
-            if self._commit(merged, version, m["partitions"], set(touched)):
-                return
+            if self._commit(
+                merged,
+                version,
+                m["partitions"],
+                set(touched),
+                m.get("txns"),
+                txn,
+            ):
+                return True
         raise manifest.ConcurrentWriteError(
             f"upsert lost the manifest CAS {self.max_commit_retries} times"
             f" at {self.path}"
@@ -214,7 +245,9 @@ class BucketedTable:
             n_kept = kept.count()
             if "p_date" in kept.columns:
                 kept = self._with_partition_cols(kept.drop("p_date"))
-            if self._commit(kept, version, m["partitions"], set(touched)):
+            if self._commit(
+                kept, version, m["partitions"], set(touched), m.get("txns")
+            ):
                 return {
                     "deleted": before - n_kept,
                     "buckets_rewritten": len(touched),
@@ -259,6 +292,7 @@ class BucketedTable:
                     "schema": m["schema"],
                     "partitions": partitions,
                     "n_buckets": self.n_buckets,
+                    "txns": m.get("txns") or {},
                 },
             ):
                 return sick

@@ -357,7 +357,14 @@ def stream_candles_to_bucketed_table(
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        table.upsert(batch_df)
+        # txn marker = (this query incarnation, micro-batch id): a
+        # replayed batch (crash between sink commit and checkpoint
+        # commit) is SKIPPED at the manifest, not re-merged —
+        # exactly-once, the Delta txn pattern. The checkpoint dir
+        # identifies the incarnation, so a fresh checkpoint (reprocess
+        # from scratch) gets a fresh txn namespace and the keyed merge
+        # idempotence covers it instead.
+        table.upsert(batch_df, txn=(checkpoint_dir, batch_id))
         if batch_id % 10 == 9:
             table.vacuum(keep=3)
 

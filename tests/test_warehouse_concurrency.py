@@ -254,3 +254,43 @@ def test_time_travel_history_and_rollback(spark, raw_dir, tmp_path):
     with pytest.raises(KeyError, match="version 2"):
         manifest.read_version(spark, wh.fact_path, 2)
     assert sorted(map(str, wh.fact().collect())) == v1_rows
+
+
+def test_txn_marker_makes_upserts_exactly_once(spark, tmp_path):
+    """Delta-style txn markers: an upsert replayed with the same
+    (app_id, version) is skipped at the manifest — exactly-once, not
+    merely merge-idempotent — while higher versions apply, other
+    app_ids are independent, and delete/compact carry the txn map
+    forward."""
+    from cryptocoininsights_data_engineer_project_spark.pipeline.table import BucketedTable
+
+    t = BucketedTable(spark, str(tmp_path / "txn_tbl"), ["id"], n_buckets=4)
+    b0 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "id string, v double")
+    assert t.upsert(b0, txn=("q1", 0)) is True
+    v1 = sorted(map(str, t.read().collect()))
+
+    # replay of batch 0 with CHANGED data must be skipped entirely
+    b0_replay = spark.createDataFrame([("a", 99.0)], "id string, v double")
+    assert t.upsert(b0_replay, txn=("q1", 0)) is False
+    assert sorted(map(str, t.read().collect())) == v1
+
+    # the next batch applies
+    b1 = spark.createDataFrame([("c", 3.0)], "id string, v double")
+    assert t.upsert(b1, txn=("q1", 1)) is True
+    assert t.read().count() == 3
+    # ...and an out-of-order replay of batch 0 is still skipped
+    assert t.upsert(b0_replay, txn=("q1", 0)) is False
+
+    # an unrelated writer's txn namespace is independent
+    assert t.upsert(
+        spark.createDataFrame([("d", 4.0)], "id string, v double"),
+        txn=("q2", 0),
+    ) is True
+    assert t.read().count() == 4
+
+    # maintenance ops preserve the txn map
+    t.compact()
+    t.delete_keys(spark.createDataFrame([("d",)], "id string"))
+    assert t.upsert(b0_replay, txn=("q1", 0)) is False
+    assert t.upsert(b0_replay, txn=("q2", 0)) is False
+    assert sorted(r.id for r in t.read().collect()) == ["a", "b", "c"]
