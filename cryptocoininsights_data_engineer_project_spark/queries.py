@@ -8202,8 +8202,8 @@ credit AS (
   GROUP BY 1),
 tot AS (SELECT sum(micro) AS total FROM credit)
 SELECT credit.channel,
-  round(CAST(credit.micro AS DOUBLE) / 1000000.0, 4) AS conversions_credited,
-  round(CAST(credit.micro AS DOUBLE) / tot.total, 6) AS share
+  CAST(credit.micro // 100 AS BIGINT) / 10000.0 AS conversions_credited,
+  CAST(credit.micro * 1000000 // tot.total AS BIGINT) / 1000000.0 AS share
 FROM credit CROSS JOIN tot
 """,
     doc="linear multi-touch attribution: each purchase's credit "
@@ -8263,14 +8263,15 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     tot = credit.agg(F.sum("micro").alias("total"))
+    # truncating integer quantization, NOT round(): micro sums land on
+    # exact half-boundaries (…460250 micros / 1e6 at 4 decimals — hit
+    # at sf1), where Spark's BigDecimal HALF_UP and DuckDB's
+    # multiply-rint disagree by one final digit; integer div is
+    # identical on both engines, so the emitted doubles are too
     return credit.crossJoin(F.broadcast(tot)).select(
         "channel",
-        F.round(F.col("micro").cast("double") / 1000000.0, 4).alias(
-            "conversions_credited"
-        ),
-        F.round(
-            F.col("micro").cast("double") / F.col("total").cast("double"), 6
-        ).alias("share"),
+        (F.expr("micro div 100") / 10000.0).alias("conversions_credited"),
+        (F.expr("micro * 1000000 div total") / 1000000.0).alias("share"),
     )
 
 
@@ -8748,16 +8749,16 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH v AS (
   SELECT vec_id, label,
-    CAST(round(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                CAST(embedding AS DOUBLE[])), 6)
-         * 1000000 AS BIGINT) AS n2u
+    CAST(floor(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[]))
+               * 1000000) AS BIGINT) AS n2u
   FROM embeddings),
 th AS (
   SELECT CAST(quantile_cont(n2u, 0.01) AS BIGINT) AS lo,
          CAST(quantile_cont(n2u, 0.99) AS BIGINT) AS hi
   FROM v)
 SELECT vec_id, label,
-  round(n2u / 1000000.0, 6) AS norm2,
+  n2u / 1000000.0 AS norm2,
   n2u < th.lo OR n2u = 0 AS is_low,
   n2u > th.hi AS is_high
 FROM v, th
@@ -8767,10 +8768,12 @@ FROM v, th
     "blown-up vectors are the two classic upstream-featurizer "
     "failures an ANN/dedup stack must quarantine before they poison "
     "cosine geometry. The norm is the sequential-fold dot product "
-    "(bit-identical cross-engine), quantized to exact integer "
-    "micro-units so the discrete percentile thresholds have no float "
-    "boundary; thresholds attach as a 1-row broadcast onto the one "
-    "corpus scan",
+    "(bit-identical cross-engine), FLOOR-quantized to integer "
+    "micro-units — floor of an identical double is boundary-free, "
+    "where round() hit a genuine half-boundary at sf1 (Spark's "
+    "BigDecimal HALF_UP vs DuckDB's multiply-rint disagreed by 1e-6 "
+    "on one of 20k vectors — the sweep's catch); thresholds attach "
+    "as a 1-row broadcast onto the one corpus scan",
 )
 def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = similarity.dot_expr("emb", "emb")
@@ -8781,7 +8784,7 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         "label",
-        F.expr(f"CAST(round({dot}, 6) * 1000000 AS BIGINT)").alias("n2u"),
+        F.expr(f"CAST(floor(({dot}) * 1000000) AS BIGINT)").alias("n2u"),
     )
     th = v.agg(
         F.expr("CAST(percentile(n2u, 0.01) AS BIGINT)").alias("lo"),
@@ -8790,7 +8793,7 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.crossJoin(F.broadcast(th)).select(
         "vec_id",
         "label",
-        F.round(F.col("n2u") / 1000000.0, 6).alias("norm2"),
+        (F.col("n2u") / 1000000.0).alias("norm2"),
         ((F.col("n2u") < F.col("lo")) | (F.col("n2u") == 0)).alias("is_low"),
         (F.col("n2u") > F.col("hi")).alias("is_high"),
     )
