@@ -3433,7 +3433,8 @@ agg AS (
   FROM active a JOIN firsts f ON a.o_custkey = f.o_custkey
   GROUP BY 1, 2)
 SELECT g.cohort_year, g.active_year, g.active_n,
-  round(g.active_n / CAST(s.cohort_n AS DOUBLE), 6) AS retention
+  CAST(g.active_n * 1000000 // s.cohort_n AS BIGINT) / 1000000.0
+    AS retention
 FROM agg g JOIN sizes s ON g.cohort_year = s.cohort_year
 """,
     doc="cohort retention: customers bucketed by first-order year, "
@@ -3467,9 +3468,9 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_year",
         "active_year",
         "active_n",
-        F.round(F.col("active_n") / F.col("cohort_n").cast("double"), 6).alias(
-            "retention"
-        ),
+        (
+            F.expr("active_n * 1000000 div cohort_n") / 1000000.0
+        ).alias("retention"),
     )
 
 
@@ -5382,8 +5383,9 @@ lex AS (
   FROM bm QUALIFY rl <= {_RRF_LEX_TOP}),
 fused AS (
   SELECT dr.query_id, dr.neighbor_id,
-    round(1.0 / ({_RRF_K} + dr.rd)
-          + coalesce(1.0 / ({_RRF_K} + lex.rl), 0.0), 6) AS rrf
+    CAST(1000000 // ({_RRF_K} + dr.rd)
+         + coalesce(1000000 // ({_RRF_K} + lex.rl), 0) AS BIGINT)
+      / 1000000.0 AS rrf
   FROM dr LEFT JOIN lex ON dr.neighbor_id = lex.doc_id),
 ranked AS (
   SELECT query_id, neighbor_id, rrf,
@@ -5433,10 +5435,17 @@ def rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         "neighbor_id",
-        F.round(
-            1.0 / (_RRF_K + F.col("rd"))
-            + F.coalesce(1.0 / (_RRF_K + F.col("rl")), F.lit(0.0)),
-            6,
+        # integer micro-RRF, not round(): 1/(60+rank) hits exact
+        # half-boundaries (1/128 = 0.0078125) where engine round()
+        # semantics diverge — ppm truncation is identical on both
+        (
+            (
+                F.expr(f"1000000 div ({_RRF_K} + rd)")
+                + F.coalesce(
+                    F.expr(f"1000000 div ({_RRF_K} + rl)"), F.lit(0)
+                )
+            )
+            / 1000000.0
         ).alias("rrf"),
     )
     wk = Window.partitionBy("query_id").orderBy(
@@ -7887,7 +7896,8 @@ WITH l AS (
   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
   GROUP BY 1)
 SELECT brand, n_lines, n_returned,
-  round(n_returned / CAST(n_lines AS DOUBLE), 6) AS return_rate,
+  CAST(n_returned * 1000000 // n_lines AS BIGINT) / 1000000.0
+    AS return_rate,
   round(ret_cents / 100.0, 2) AS returned_value
 FROM l
 """,
@@ -7912,10 +7922,15 @@ def return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
             "n_returned"
         ),
-        F.round(
-            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
-            / F.count(F.lit(1)).cast("double"),
-            6,
+        # integer-ppm truncation, not round(): a count ratio like
+        # 1/128 = 0.0078125 is an exact half at 6 decimals, where the
+        # engines' round() semantics diverge (the r5 sf1 lesson)
+        (
+            F.expr(
+                "sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
+                " * 1000000 div count(1)"
+            )
+            / 1000000.0
         ).alias("return_rate"),
         F.round(
             F.sum(
@@ -8600,7 +8615,8 @@ WITH s AS (
   FROM lineitem GROUP BY 1)
 SELECT sup.s_name AS supplier, n.n_name AS nation,
   s.n_lines, s.n_returned,
-  round(s.n_returned / CAST(s.n_lines AS DOUBLE), 6) AS return_rate,
+  CAST(s.n_returned * 1000000 // s.n_lines AS BIGINT) / 1000000.0
+    AS return_rate,
   CAST(rank() OVER (ORDER BY s.n_returned * 1000000 // s.n_lines DESC,
                     sup.s_name) AS INT) AS worst_rank
 FROM s
@@ -8641,9 +8657,7 @@ def supplier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("nation"),
         "n_lines",
         "n_returned",
-        F.round(
-            F.col("n_returned") / F.col("n_lines").cast("double"), 6
-        ).alias("return_rate"),
+        (ppm / 1000000.0).alias("return_rate"),
         F.rank().over(wr).cast("int").alias("worst_rank"),
     )
 
