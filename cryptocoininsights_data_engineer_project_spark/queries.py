@@ -3824,9 +3824,10 @@ c AS (
   FROM rev)
 SELECT l_partkey AS partkey,
   round(cents / 100.0, 2) AS revenue,
-  round(cum / CAST(t AS DOUBLE), 6) AS cum_share,
-  CASE WHEN cum / CAST(t AS DOUBLE) <= 0.8 THEN 'A'
-       WHEN cum / CAST(t AS DOUBLE) <= 0.95 THEN 'B'
+  CAST((cum // 100) * 1000000 // (t // 100) AS BIGINT) / 1000000.0
+    AS cum_share,
+  CASE WHEN cum * 10 <= t * 8 THEN 'A'
+       WHEN cum * 100 <= t * 95 THEN 'B'
        ELSE 'C' END AS abc_class
 FROM c, tot
 """,
@@ -3855,14 +3856,18 @@ def pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = global_cumsum(
         rev, [F.col("cents").desc(), F.col("l_partkey")], F.col("cents"), out="cum"
     )
-    share = F.col("cum") / F.col("t").cast("double")
     return cum.crossJoin(F.broadcast(tot)).select(
         F.col("l_partkey").alias("partkey"),
         F.round(F.col("cents") / 100.0, 2).alias("revenue"),
-        F.round(share, 6).alias("cum_share"),
-        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
-            "abc_class"
-        ),
+        # dollar-grain integer ppm + exact integer class boundaries:
+        # cum/t is a ratio of integers, the round()-divergence class
+        (
+            F.expr("(cum div 100) * 1000000 div (t div 100)") / 1000000.0
+        ).alias("cum_share"),
+        F.when(F.expr("cum * 10 <= t * 8"), "A")
+        .when(F.expr("cum * 100 <= t * 95"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
     )
 
 
@@ -4261,8 +4266,8 @@ w AS (
     max(CASE WHEN grp = 1 THEN s2 END) AS qb
   FROM s)
 SELECT na, nb,
-  round(CAST(sa AS DOUBLE) / na, 6) AS mean_a,
-  round(CAST(sb AS DOUBLE) / nb, 6) AS mean_b,
+  CAST(sa * 1000000 // na AS BIGINT) / 1000000.0 AS mean_a,
+  CAST(sb * 1000000 // nb AS BIGINT) / 1000000.0 AS mean_b,
   round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) /
     sqrt((CAST(qa AS DOUBLE) - (CAST(sa AS DOUBLE) * sa) / na) / (na - 1) / na +
          (CAST(qb AS DOUBLE) - (CAST(sb AS DOUBLE) * sb) / nb) / (nb - 1) / nb),
@@ -4309,8 +4314,11 @@ def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select(
         "na",
         "nb",
-        F.round(mean_a, 6).alias("mean_a"),
-        F.round(mean_b, 6).alias("mean_b"),
+        # means are integer ratios -> ppm truncation (half-boundary
+        # class); the z keeps round(): its sqrt denominator makes an
+        # exact half unreachable
+        (F.expr("sa * 1000000 div na") / 1000000.0).alias("mean_a"),
+        (F.expr("sb * 1000000 div nb") / 1000000.0).alias("mean_b"),
         F.round((mean_a - mean_b) / F.sqrt(var_term), 6).alias("z_score"),
     )
 
@@ -4915,7 +4923,8 @@ p AS (
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_c
   FROM d)
 SELECT event_type,
-  round(max((peak_c - close_c) / CAST(peak_c AS DOUBLE)), 6) AS max_drawdown,
+  CAST(max((peak_c - close_c) * 1000000 // peak_c) AS BIGINT) / 1000000.0
+    AS max_drawdown,
   round(max(peak_c) / 100.0, 2) AS peak_price
 FROM p GROUP BY 1
 """,
@@ -4938,11 +4947,9 @@ def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("close_c").over(win).alias("peak_c"),
     )
     return p.groupBy("event_type").agg(
-        F.round(
-            F.max(
-                (F.col("peak_c") - F.col("close_c")) / F.col("peak_c").cast("double")
-            ),
-            6,
+        (
+            F.max(F.expr("(peak_c - close_c) * 1000000 div peak_c"))
+            / 1000000.0
         ).alias("max_drawdown"),
         F.round(F.max("peak_c") / 100.0, 2).alias("peak_price"),
     )
@@ -6295,7 +6302,7 @@ t AS (SELECT event_type, sum(vol) AS tot FROM b GROUP BY 1)
 SELECT b.event_type,
   round((b.price_bucket * 500) / 100.0, 2) AS bucket_low,
   CAST(b.vol AS BIGINT) AS volume, CAST(b.n_trades AS BIGINT) AS n_trades,
-  round(b.vol / CAST(t.tot AS DOUBLE), 6) AS vol_share
+  CAST(b.vol * 1000000 // t.tot AS BIGINT) / 1000000.0 AS vol_share
 FROM b JOIN t ON b.event_type = t.event_type
 """,
     doc="volume profile per instrument: traded volume by $5 price "
@@ -6320,9 +6327,7 @@ def volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("price_bucket") * 500) / 100.0, 2).alias("bucket_low"),
         F.col("vol").cast("bigint").alias("volume"),
         F.col("n_trades").cast("bigint").alias("n_trades"),
-        F.round(F.col("vol") / F.col("tot").cast("double"), 6).alias(
-            "vol_share"
-        ),
+        (F.expr("vol * 1000000 div tot") / 1000000.0).alias("vol_share"),
     )
 
 
@@ -7745,9 +7750,10 @@ SELECT yr,
   CAST(count(*) AS BIGINT) AS n_customers,
   CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
     AS repeat_customers,
-  round(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
-        / CAST(count(*) AS DOUBLE), 6) AS repeat_rate,
-  round(sum(n_orders) / CAST(count(*) AS DOUBLE), 6) AS orders_per_customer
+  CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) * 1000000
+       // count(*) AS BIGINT) / 1000000.0 AS repeat_rate,
+  CAST(sum(n_orders) * 1000000 // count(*) AS BIGINT) / 1000000.0
+    AS orders_per_customer
 FROM per_cust GROUP BY 1
 """,
     doc="repeat-purchase rate per year: share of active customers "
@@ -7771,13 +7777,15 @@ def repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0)).alias(
             "repeat_customers"
         ),
-        F.round(
-            F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
-            / F.count(F.lit(1)).cast("double"),
-            6,
+        (
+            F.expr(
+                "sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)"
+                " * 1000000 div count(1)"
+            )
+            / 1000000.0
         ).alias("repeat_rate"),
-        F.round(
-            F.sum("n_orders") / F.count(F.lit(1)).cast("double"), 6
+        (
+            F.expr("sum(n_orders) * 1000000 div count(1)") / 1000000.0
         ).alias("orders_per_customer"),
     )
 
@@ -7794,7 +7802,8 @@ WITH seg AS (
 tot AS (SELECT yr, sum(cents) AS ycents FROM seg GROUP BY 1)
 SELECT seg.segment, seg.yr,
   round(seg.cents / 100.0, 2) AS revenue,
-  round(seg.cents / CAST(tot.ycents AS DOUBLE), 6) AS share,
+  CAST((seg.cents // 100) * 1000000 // (tot.ycents // 100) AS BIGINT)
+    / 1000000.0 AS share,
   round(CAST((SELECT sum(CAST(s2.cents AS HUGEINT) * s2.cents)
               FROM seg s2 WHERE s2.yr = seg.yr) AS DOUBLE)
         / (CAST(tot.ycents AS DOUBLE) * tot.ycents), 6) AS yr_hhi
@@ -7831,9 +7840,10 @@ def segment_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment",
         "yr",
         F.round(F.col("cents") / 100.0, 2).alias("revenue"),
-        F.round(F.col("cents") / F.col("ycents").cast("double"), 6).alias(
-            "share"
-        ),
+        (
+            F.expr("(cents div 100) * 1000000 div (ycents div 100)")
+            / 1000000.0
+        ).alias("share"),
         F.round(
             F.col("sq").cast("double")
             / (F.col("ycents").cast("double") * F.col("ycents")),
