@@ -3749,7 +3749,7 @@ SELECT concat('R', CAST(CAST(recency <= r_med AS INT) AS VARCHAR),
               'F', CAST(CAST(freq > f_med AS INT) AS VARCHAR),
               'M', CAST(CAST(cents > m_med AS INT) AS VARCHAR)) AS segment,
   count(*) AS n_customers,
-  round(sum(cents) / (count(*) * 100.0), 2) AS avg_monetary
+  CAST(sum(cents) // count(*) AS BIGINT) / 100.0 AS avg_monetary
 FROM rfm, med
 GROUP BY 1
 """,
@@ -3801,9 +3801,9 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(seg.alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("cents") / (F.count(F.lit(1)) * 100.0), 2).alias(
-                "avg_monetary"
-            ),
+            (
+                F.expr("sum(cents) div count(1)") / 100.0
+            ).alias("avg_monetary"),
         )
     )
 
@@ -4664,8 +4664,10 @@ reg AS (SELECT regionkey, sum(cents) AS rcents FROM nat GROUP BY 1),
 tot AS (SELECT sum(cents) AS gcents FROM nat)
 SELECT nat.regionkey, nat.nationkey,
   round(nat.cents / 100.0, 2) AS revenue,
-  round(nat.cents / CAST(reg.rcents AS DOUBLE), 6) AS share_of_region,
-  round(nat.cents / CAST(tot.gcents AS DOUBLE), 6) AS share_of_total
+  CAST((nat.cents // 100) * 1000000 // (reg.rcents // 100) AS BIGINT)
+    / 1000000.0 AS share_of_region,
+  CAST((nat.cents // 100) * 1000000 // (tot.gcents // 100) AS BIGINT)
+    / 1000000.0 AS share_of_total
 FROM nat JOIN reg ON nat.regionkey = reg.regionkey CROSS JOIN tot
 """,
     doc="ratio-to-report / contribution analysis: nation revenue as a "
@@ -4701,12 +4703,14 @@ def pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "regionkey",
             "nationkey",
             F.round(F.col("cents") / 100.0, 2).alias("revenue"),
-            F.round(F.col("cents") / F.col("rcents").cast("double"), 6).alias(
-                "share_of_region"
-            ),
-            F.round(F.col("cents") / F.col("gcents").cast("double"), 6).alias(
-                "share_of_total"
-            ),
+            (
+                F.expr("(cents div 100) * 1000000 div (rcents div 100)")
+                / 1000000.0
+            ).alias("share_of_region"),
+            (
+                F.expr("(cents div 100) * 1000000 div (gcents div 100)")
+                / 1000000.0
+            ).alias("share_of_total"),
         )
     )
 
@@ -4972,7 +4976,8 @@ g AS (
   WINDOW win AS (PARTITION BY event_type ORDER BY day
                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
 SELECT event_type, day, round(close_c / 100.0, 2) AS close,
-  round(coalesce(100.0 * sg / nullif(sg + sl, 0), 50.0), 4) AS rsi14
+  CAST(coalesce(sg * 1000000 // nullif(sg + sl, 0), 500000) AS BIGINT)
+    / 10000.0 AS rsi14
 FROM g WHERE n = 14
 """,
     doc="14-day RSI (SMA variant) per instrument: integer "
@@ -5007,12 +5012,14 @@ def rsi_14(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "day",
         F.round(F.col("close_c") / 100.0, 2).alias("close"),
-        F.round(
+        # gain/(gain+loss) is an integer ratio — ppm truncation, not
+        # round() (the half-boundary divergence class)
+        (
             F.coalesce(
-                100.0 * F.col("sg") / F.nullif(F.col("sg") + F.col("sl"), F.lit(0)),
-                F.lit(50.0),
-            ),
-            4,
+                F.expr("sg * 1000000 div nullif(sg + sl, 0)"),
+                F.lit(500000),
+            )
+            / 10000.0
         ).alias("rsi14"),
     )
 
@@ -5968,7 +5975,7 @@ g AS (
   WINDOW win AS (PARTITION BY event_type ORDER BY day
                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
 SELECT event_type, day, round(tr_c / 100.0, 2) AS true_range,
-  round(CAST(s AS DOUBLE) / (100.0 * n), 4) AS atr14
+  CAST(s * 10000 // (100 * n) AS BIGINT) / 10000.0 AS atr14
 FROM g WHERE n = 14
 """,
     doc="14-day average true range per instrument (the standard "
@@ -6002,9 +6009,9 @@ def atr_14(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "day",
         F.round(F.col("tr_c") / 100.0, 2).alias("true_range"),
-        F.round(F.col("s").cast("double") / (100.0 * F.col("n")), 4).alias(
-            "atr14"
-        ),
+        # s/1400 doesn't terminate (factor 7) — integer quantization,
+        # not round() (half-boundary divergence class)
+        (F.expr("s * 10000 div (100 * n)") / 10000.0).alias("atr14"),
     )
 
 
@@ -6020,8 +6027,8 @@ g AS (
   WINDOW win AS (PARTITION BY event_type ORDER BY day
                  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
 SELECT event_type, day, round(close_c / 100.0, 2) AS close,
-  round(coalesce(100.0 * (close_c - ll) / nullif(hh - ll, 0), 50.0), 4)
-    AS pct_k
+  CAST(coalesce((close_c - ll) * 1000000 // nullif(hh - ll, 0), 500000)
+       AS BIGINT) / 10000.0 AS pct_k
 FROM g WHERE n = 14
 """,
     doc="14-day stochastic oscillator %K per instrument: close "
@@ -6044,14 +6051,12 @@ def stochastic_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "day",
         F.round(F.col("close_c") / 100.0, 2).alias("close"),
-        F.round(
+        (
             F.coalesce(
-                100.0
-                * (F.col("close_c") - F.col("ll"))
-                / F.nullif(F.col("hh") - F.col("ll"), F.lit(0)),
-                F.lit(50.0),
-            ),
-            4,
+                F.expr("(close_c - ll) * 1000000 div nullif(hh - ll, 0)"),
+                F.lit(500000),
+            )
+            / 10000.0
         ).alias("pct_k"),
     )
 
@@ -6343,8 +6348,8 @@ SELECT event_type,
   CAST(date_diff('hour', lo, hi) + 1 AS BIGINT) AS expected_bars,
   CAST(observed AS BIGINT) AS observed_bars,
   CAST(date_diff('hour', lo, hi) + 1 - observed AS BIGINT) AS missing_bars,
-  round(observed / CAST(date_diff('hour', lo, hi) + 1 AS DOUBLE), 6)
-    AS coverage
+  CAST(observed * 1000000 // (date_diff('hour', lo, hi) + 1) AS BIGINT)
+    / 1000000.0 AS coverage
 FROM span
 """,
     doc="time-series completeness check per instrument: observed "
@@ -6369,9 +6374,14 @@ def bar_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected.alias("expected_bars"),
         F.col("observed").alias("observed_bars"),
         (expected - F.col("observed")).alias("missing_bars"),
-        F.round(F.col("observed") / expected.cast("double"), 6).alias(
-            "coverage"
-        ),
+        (
+            F.expr(
+                "observed * 1000000 div"
+                " (CAST((unix_seconds(hi) - unix_seconds(lo)) / 3600"
+                " AS BIGINT) + 1)"
+            )
+            / 1000000.0
+        ).alias("coverage"),
     )
 
 
