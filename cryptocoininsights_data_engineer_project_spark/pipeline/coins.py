@@ -364,7 +364,7 @@ class CoinWarehouse:
         content-preserving; tests assert row equality)."""
         return self._table(path).compact(target_files_per_bucket)
 
-    def vacuum(self, keep: int = 2) -> dict:
+    def vacuum(self, keep: int = 2, retain_seconds: float = 4 * 3600.0) -> dict:
         """Reclaim orphaned data files (crashed/lost-race commits) and
         superseded snapshots on both tables; ``keep`` is the reader
         retention window (manifest.vacuum)."""
@@ -372,7 +372,7 @@ class CoinWarehouse:
         for path in (self.dim_path, self.fact_path):
             if manifest.list_versions(self.spark, path):
                 out[os.path.basename(path)] = manifest.vacuum(
-                    self.spark, path, keep
+                    self.spark, path, keep, retain_seconds
                 )
         return out
 

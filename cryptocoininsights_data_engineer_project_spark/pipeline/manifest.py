@@ -49,6 +49,7 @@ from __future__ import annotations
 import json
 import os
 import posixpath
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -56,6 +57,13 @@ from pyspark.sql import types as T
 
 MANIFEST_DIR = "_manifests"
 STAGING_DIR = "_staging"
+
+
+class VacuumError(RuntimeError):
+    """A manifest inside the retention window could not be read.
+    Vacuum aborts rather than guessing: treating an unreadable retained
+    manifest as empty would classify every file it references as an
+    orphan and delete a live commit."""
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -161,6 +169,17 @@ def publish_manifest(
             return True
         except FileExistsError:
             return False
+        except OSError as e:
+            # EPERM/EOPNOTSUPP on link-less mounts (some NFS/FUSE):
+            # surface the requirement instead of crashing opaquely —
+            # the tmp file is cleaned up by the finally below.
+            raise OSError(
+                f"manifest CAS at {mdir} requires hard-link support "
+                f"(os.link failed: {e}); mount the table on a POSIX "
+                "filesystem or address it with a URI scheme "
+                "(hdfs://, s3a://) to use the Hadoop create-exclusive "
+                "path instead"
+            ) from e
         finally:
             os.unlink(tmp)
     fs, jp = _hadoop_fs(spark, final)
@@ -242,13 +261,36 @@ def snapshot_read(
     )
 
 
-def vacuum(spark: SparkSession, root: str, keep: int = 2) -> dict[str, int]:
+def vacuum(
+    spark: SparkSession,
+    root: str,
+    keep: int = 2,
+    retain_seconds: float = 4 * 3600.0,
+) -> dict[str, int]:
     """Reclaim space: delete data files referenced by NO retained
     manifest (commit-crash orphans and files superseded more than
     ``keep`` versions ago) plus manifests older than the newest
-    ``keep``. ``keep`` is the retention window — a reader holding a
-    snapshot older than ``keep`` commits can lose files mid-read, the
-    same time-travel-retention contract Delta/Iceberg document.
+    ``keep``. ``keep`` is the version retention window — a reader
+    holding a snapshot older than ``keep`` commits can lose files
+    mid-read, the same time-travel-retention contract Delta/Iceberg
+    document.
+
+    ``retain_seconds`` is the AGE guard (Delta's
+    ``deletedFileRetentionDuration``): an unreferenced file or staging
+    directory is only deleted if its modification time is older than
+    this threshold. This is what makes auto-vacuum safe next to an
+    in-flight commit — ``stage_commit_files`` renames fresh files into
+    live partition dirs BEFORE the manifest CAS publishes, so for a
+    moment a live-to-be file is "unreferenced"; the age gate leaves
+    any file younger than the longest plausible commit alone. Pass
+    ``retain_seconds=0`` only when no writer can be mid-commit (tests,
+    single-writer offline maintenance).
+
+    Raises :class:`VacuumError` if a manifest inside the ``keep``
+    window cannot be read: an unreadable retained manifest means its
+    file references are unknown, and deleting "orphans" under that
+    uncertainty could destroy a live commit.
+
     Returns {"data_files": n, "manifests": m} deleted."""
     versions = list_versions(spark, root)
     if not versions:
@@ -258,12 +300,21 @@ def vacuum(spark: SparkSession, root: str, keep: int = 2) -> dict[str, int]:
     for v in kept:
         m = read_manifest(spark, root, v)
         if m is None:
-            continue
+            # one re-read: a conditional-PUT store can expose a manifest
+            # name before its content settles
+            m = read_manifest(spark, root, v)
+        if m is None:
+            raise VacuumError(
+                f"retained manifest version {v} at {root} is unreadable; "
+                "aborting vacuum (its file references are unknown — "
+                "deleting orphans now could destroy a live commit)"
+            )
         for d, fl in m["partitions"].items():
             for f in fl:
                 live.add(posixpath.join(d, f) if d else f)
     fs, jroot = _hadoop_fs(spark, root)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
+    cutoff_ms = time.time() * 1000.0 - retain_seconds * 1000.0
     n_data = 0
     stack = [""]
     while stack:
@@ -278,16 +329,23 @@ def vacuum(spark: SparkSession, root: str, keep: int = 2) -> dict[str, int]:
             if st.isDirectory():
                 if name not in (MANIFEST_DIR, STAGING_DIR):
                     stack.append(child)
-            elif name.endswith(".parquet") and child not in live:
+            elif (
+                name.endswith(".parquet")
+                and child not in live
+                and st.getModificationTime() <= cutoff_ms
+            ):
                 fs.delete(st.getPath(), False)
                 n_data += 1
         # prune now-empty partition dirs (never the table root)
         if rel and not list(fs.listStatus(st_dir)):
             fs.delete(st_dir, False)
-    # stale staging dirs from crashed commits
+    # staging dirs from crashed commits — age-gated per token dir, so a
+    # commit still writing its staging files is never swept from under it
     jstag = jpath(os.path.join(root, STAGING_DIR))
     if fs.exists(jstag):
-        fs.delete(jstag, True)
+        for st in fs.listStatus(jstag):
+            if st.getModificationTime() <= cutoff_ms:
+                fs.delete(st.getPath(), True)
     for v in dropped:
         fs.delete(jpath(_manifest_path(root, v)), False)
     return {"data_files": n_data, "manifests": len(dropped)}
@@ -404,5 +462,7 @@ class SnapshotTable:
             f"lost the manifest CAS {self.max_retries} times at {self.path}"
         )
 
-    def vacuum(self, keep: int = 2) -> dict[str, int]:
-        return vacuum(self.spark, self.path, keep)
+    def vacuum(
+        self, keep: int = 2, retain_seconds: float = 4 * 3600.0
+    ) -> dict[str, int]:
+        return vacuum(self.spark, self.path, keep, retain_seconds)

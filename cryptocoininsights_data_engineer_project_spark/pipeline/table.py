@@ -301,5 +301,7 @@ class BucketedTable:
             f" at {self.path}"
         )
 
-    def vacuum(self, keep: int = 2) -> dict:
-        return manifest.vacuum(self.spark, self.path, keep)
+    def vacuum(
+        self, keep: int = 2, retain_seconds: float = 4 * 3600.0
+    ) -> dict:
+        return manifest.vacuum(self.spark, self.path, keep, retain_seconds)

@@ -169,6 +169,10 @@ def _twa_fold(prior, rows):
     if prior is not None:
         first_us, last_us, last_cents, num, n = prior
     else:
+        if not rows:
+            # empty batch before any state exists (reachable once a
+            # timeout mode fires the fn without data): no-op, no emit
+            return None, None
         first_us = None
     for tu, _eid, cents in rows:
         if first_us is None:
@@ -191,6 +195,8 @@ def make_twa_fn():
         (user_id,) = key
         prior = state.get if state.exists else None
         new_state, emit = _twa_fold(prior, _twa_collect_rows(pdfs))
+        if new_state is None:  # empty batch, no prior state: no-op
+            return
         state.update(new_state)
         if emit is not None:
             twa, n = emit
@@ -341,6 +347,8 @@ class TwaProcessor(StatefulProcessor):
             return
         prior = self.state.get() if self.state.exists() else None
         new_state, emit = _twa_fold(prior, batch_rows)
+        if new_state is None:  # empty batch, no prior state: no-op
+            return
         self.state.update(new_state)
         if emit is not None:
             twa, n = emit

@@ -246,7 +246,7 @@ def test_crash_mid_commit_leaves_table_intact(spark, raw_dir, tmp_path):
     assert sorted(map(str, wh.fact().collect())) == before_rows  # ...unseen
 
     # vacuum reclaims exactly the orphans
-    res = manifest.vacuum(spark, wh.fact_path, keep=2)
+    res = manifest.vacuum(spark, wh.fact_path, keep=2, retain_seconds=0)
     assert res["data_files"] == len(on_disk - live)
     assert sorted(map(str, wh.fact().collect())) == before_rows
 

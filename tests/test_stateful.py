@@ -479,3 +479,18 @@ def test_twa_processor_and_group_state_fn_share_fold(spark):
     # final value equals the closed-form LOCF integral
     twa = proc.state.v[3] / (100.0 * (proc.state.v[1] - proc.state.v[0]))
     assert round(twa, 6) == round((10.0 * 60 + 20.0 * 120) / 180, 6)
+
+
+def test_twa_fold_empty_batch_guard():
+    """An empty batch with no prior state is a no-op (None state, no
+    emit) — safe by construction for any future timeout mode that fires
+    the fn without data; with prior state an empty batch preserves it
+    and re-emits the running value."""
+    from cryptocoininsights_data_engineer_project_spark.streaming.stateful import _twa_fold
+
+    assert _twa_fold(None, []) == (None, None)
+
+    state, emit = _twa_fold(None, [(0, "e0", 100), (1_000_000, "e1", 300)])
+    assert emit == (1.0, 2)  # LOCF: 100 cents held over the whole 1 s
+    state2, emit2 = _twa_fold(state, [])
+    assert state2 == state and emit2 == emit

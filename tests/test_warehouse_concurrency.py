@@ -213,7 +213,7 @@ def test_streaming_candle_table_commits_atomically(spark, tmp_path):
     t.update(build)
     assert seen == [1]
     assert sorted(r.k for r in t.read().collect()) == ["e", "e2"]
-    t.vacuum(keep=1)
+    t.vacuum(keep=1, retain_seconds=0)
     assert sorted(r.k for r in t.read().collect()) == ["e", "e2"]
 
 
@@ -250,7 +250,7 @@ def test_time_travel_history_and_rollback(spark, raw_dir, tmp_path):
     assert [h["version"] for h in manifest.table_history(spark, wh.fact_path)] == [1, 2, 3]
 
     # retention: vacuum(keep=1) drops old manifests; reading them raises
-    manifest.vacuum(spark, wh.fact_path, keep=1)
+    manifest.vacuum(spark, wh.fact_path, keep=1, retain_seconds=0)
     with pytest.raises(KeyError, match="version 2"):
         manifest.read_version(spark, wh.fact_path, 2)
     assert sorted(map(str, wh.fact().collect())) == v1_rows
@@ -294,3 +294,180 @@ def test_txn_marker_makes_upserts_exactly_once(spark, tmp_path):
     assert t.upsert(b0_replay, txn=("q1", 0)) is False
     assert t.upsert(b0_replay, txn=("q2", 0)) is False
     assert sorted(r.id for r in t.read().collect()) == ["a", "b", "c"]
+
+
+# ---------------------------------------------------------------------------
+# Crash injection: kill the writer INSIDE the commit protocol — after
+# stage_commit_files has renamed fresh parquet files into live partition
+# directories, before publish_manifest's CAS. This is the exact window
+# where the files are physically present but referenced by no manifest,
+# so it is both the crash-safety proof and the reason vacuum's age gate
+# exists (a concurrent auto-vacuum must NOT treat a mid-commit file as
+# a dead orphan).
+# ---------------------------------------------------------------------------
+
+import glob
+
+from cryptocoininsights_data_engineer_project_spark.pipeline.table import BucketedTable
+
+
+class _InjectedCrash(Exception):
+    """Stands in for SIGKILL: the writer's process dies between staging
+    its data files and publishing its manifest."""
+
+
+def _crash_next_publishes(monkeypatch, n_crashes=1):
+    """Make the next ``n_crashes`` publish_manifest calls die before the
+    CAS; later calls go through. Patching the module attribute covers
+    every caller (table.py and coins.py resolve it at call time)."""
+    real = manifest.publish_manifest
+    calls = {"n": 0}
+
+    def crashing(spark, root, version, m):
+        calls["n"] += 1
+        if calls["n"] <= n_crashes:
+            raise _InjectedCrash(f"injected crash #{calls['n']}")
+        return real(spark, root, version, m)
+
+    monkeypatch.setattr(manifest, "publish_manifest", crashing)
+    return calls
+
+
+def _parquet_on_disk(path):
+    return {
+        os.path.relpath(p, path)
+        for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    }
+
+
+def test_upsert_crash_between_stage_and_cas(spark, tmp_path, monkeypatch):
+    """Writer dies after its files land in live partition dirs but
+    before the manifest CAS: readers keep seeing exactly the prior
+    snapshot, the default (age-gated) vacuum leaves the fresh files
+    alone — they could belong to an in-flight commit — and only an
+    explicit retain_seconds=0 maintenance vacuum reclaims them."""
+    t = BucketedTable(spark, str(tmp_path / "crash_upsert"), ["id"], n_buckets=4)
+    assert t.upsert(spark.createDataFrame([("a", 1.0), ("b", 2.0)], "id string, v double"))
+    before = sorted(map(str, t.read().collect()))
+    files_before = _parquet_on_disk(t.path)
+
+    _crash_next_publishes(monkeypatch)
+    with pytest.raises(_InjectedCrash):
+        t.upsert(spark.createDataFrame([("b", 9.0), ("c", 3.0)], "id string, v double"))
+
+    # no mixed version: reads are byte-identical to the pre-crash table
+    assert sorted(map(str, t.read().collect())) == before
+    orphans = _parquet_on_disk(t.path) - files_before
+    assert orphans  # the crashed commit's files ARE on disk...
+
+    # ...and the age-gated vacuum (auto-vacuum's shape) must NOT delete
+    # them: a file this young may belong to a commit that is still
+    # in flight. This is the round-5 advice scenario, inverted to green.
+    res = t.vacuum(keep=2)
+    assert res["data_files"] == 0
+    assert orphans <= _parquet_on_disk(t.path)
+
+    # offline maintenance (no writer can be mid-commit) reclaims them
+    res = t.vacuum(keep=2, retain_seconds=0)
+    assert res["data_files"] == len(orphans)
+    assert sorted(map(str, t.read().collect())) == before
+
+    # the writer's retry (process restart) lands cleanly afterwards
+    assert t.upsert(spark.createDataFrame([("b", 9.0), ("c", 3.0)], "id string, v double"))
+    assert sorted(r.id for r in t.read().collect()) == ["a", "b", "c"]
+    assert {r.v for r in t.read().where("id='b'").collect()} == {9.0}
+
+
+def test_compact_crash_between_stage_and_cas(spark, tmp_path, monkeypatch):
+    """Compaction dies mid-commit: the table keeps its pre-compact file
+    list and rows; the staged compacted files are vacuumable orphans; a
+    re-run compaction succeeds and preserves row content."""
+    t = BucketedTable(spark, str(tmp_path / "crash_compact"), ["id"], n_buckets=2)
+    # a 3-task stage write leaves multiple files per bucket dir -> compactable
+    stage0 = spark.createDataFrame(
+        [(f"k{i}", float(i)) for i in range(6)], "id string, v double"
+    ).repartition(3)
+    t.upsert(stage0)
+    assert any(
+        len(fl) > 1
+        for fl in manifest.latest_manifest(spark, t.path)[1]["partitions"].values()
+    )
+    rows_before = sorted(map(str, t.read().collect()))
+    files_before = _parquet_on_disk(t.path)
+
+    _crash_next_publishes(monkeypatch)
+    with pytest.raises(_InjectedCrash):
+        t.compact()
+    assert sorted(map(str, t.read().collect())) == rows_before
+    assert files_before <= _parquet_on_disk(t.path)  # nothing live deleted
+
+    t.vacuum(keep=len(t.history()), retain_seconds=0)  # reclaim staged output only
+    assert sorted(map(str, t.read().collect())) == rows_before
+
+    t.compact()
+    assert sorted(map(str, t.read().collect())) == rows_before
+
+
+def test_stream_replay_after_crash_txn_skip(spark, tmp_path, monkeypatch):
+    """foreachBatch replay semantics under a sink-side crash: micro-batch
+    N's upsert dies between stage and CAS (sink did NOT commit), the
+    restarted query re-delivers batch N and it must COMMIT (the txn
+    marker was never recorded); a second re-delivery after the
+    successful commit must SKIP. Exactly-once, not merely idempotent."""
+    t = BucketedTable(spark, str(tmp_path / "crash_replay"), ["id"], n_buckets=2)
+    ckpt = "ckpt-A"
+    assert t.upsert(
+        spark.createDataFrame([("a", 1.0)], "id string, v double"), txn=(ckpt, 0)
+    ) is True
+
+    batch1 = spark.createDataFrame([("a", 5.0), ("b", 2.0)], "id string, v double")
+    _crash_next_publishes(monkeypatch)
+    with pytest.raises(_InjectedCrash):
+        t.upsert(batch1, txn=(ckpt, 1))
+    # crash BEFORE the CAS: txn 1 is not recorded, table still at batch 0
+    assert sorted(map(str, t.read().collect())) == ["Row(id='a', v=1.0)"]
+
+    # restart replays batch 1 -> must apply (not be mistaken for done)
+    assert t.upsert(batch1, txn=(ckpt, 1)) is True
+    after = sorted(map(str, t.read().collect()))
+    assert after == ["Row(id='a', v=5.0)", "Row(id='b', v=2.0)"]
+
+    # duplicate delivery after the successful commit -> clean skip
+    assert t.upsert(batch1, txn=(ckpt, 1)) is False
+    assert sorted(map(str, t.read().collect())) == after
+
+
+def test_vacuum_aborts_on_unreadable_retained_manifest(spark, tmp_path):
+    """An unreadable manifest INSIDE the retention window means its
+    file references are unknown — vacuum must abort loudly, never
+    classify those files as orphans (round-5 advice: skipping the
+    manifest treated a live commit's files as dead)."""
+    t = BucketedTable(spark, str(tmp_path / "vac_abort"), ["id"], n_buckets=2)
+    t.upsert(spark.createDataFrame([("a", 1.0)], "id string, v double"))
+    t.upsert(spark.createDataFrame([("b", 2.0)], "id string, v double"))
+    newest = manifest.list_versions(spark, t.path)[-1]
+    mp = os.path.join(t.path, manifest.MANIFEST_DIR, f"m-{newest:012d}.json")
+    with open(mp, "wb") as f:
+        f.write(b"\x00 not json \x00")
+    with pytest.raises(manifest.VacuumError, match=f"version {newest}"):
+        t.vacuum(keep=2, retain_seconds=0)
+    # nothing was deleted: the older snapshot still reads completely
+    assert sorted(r.id for r in manifest.read_version(spark, t.path, newest - 1).collect()) == ["a"]
+
+
+def test_vacuum_age_gates_staging_dirs(spark, tmp_path):
+    """_staging token dirs are reclaimed per-dir and only past the age
+    threshold — a commit still writing its staging files is never swept
+    from under it (the old vacuum deleted _staging recursively)."""
+    t = BucketedTable(spark, str(tmp_path / "vac_staging"), ["id"], n_buckets=2)
+    t.upsert(spark.createDataFrame([("a", 1.0)], "id string, v double"))
+    young = os.path.join(t.path, manifest.STAGING_DIR, "tokenyoung")
+    os.makedirs(young)
+    with open(os.path.join(young, "part-0.parquet"), "wb") as f:
+        f.write(b"in-flight")
+    t.vacuum(keep=2)  # age-gated: the young staging dir survives
+    assert os.path.isdir(young)
+    five_hours_ago = __import__("time").time() - 5 * 3600
+    os.utime(young, (five_hours_ago, five_hours_ago))
+    t.vacuum(keep=2)  # now past the threshold: reclaimed
+    assert not os.path.exists(young)
