@@ -1,0 +1,393 @@
+"""Stdlib+numpy baseline JPEG (ITU-T T.81) decoder for the codec seam.
+
+The reference pipeline stores opaque media payloads and defers decode
+to downstream consumers (data-extract.py:10-46 ships raw API bytes to
+S3 unparsed); this engine's multimodal operators decode payloads on
+executors through a pluggable registry (operators/multimodal.py::
+register_decoder). PNG/WAV/Y4M decode with real bytes already; this
+module closes the one format gap a 100 TB image corpus actually hits:
+**baseline JFIF** — sequential DCT, Huffman entropy coding, 8-bit
+samples, grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 subsampling,
+restart markers, 0xFF00 byte stuffing. Progressive (SOF2), arithmetic
+coding, 12-bit, and hierarchical modes raise NotImplementedError and
+remain what a cluster swaps in a libjpeg-backed callable for.
+
+Decode stages, per the spec:
+  segment parse (DQT/SOF0/DHT/DRI/SOS, APPn/COM skipped)
+  -> canonical Huffman tables (counts-per-length + symbol list)
+  -> entropy-decode MCUs (DC size+amplitude with per-component
+     prediction; AC run/size with EOB and ZRL)
+  -> dezigzag -> dequantize -> 2-D IDCT (separable, float64)
+  -> level shift +128, clamp to [0, 255]
+  -> chroma upsample (sample replication) -> JFIF YCbCr -> RGB.
+
+Everything here is from the public spec; no external codec library.
+Performance note: numpy vectorizes the IDCT (one 8x8 matmul pair per
+block) but entropy decoding is inherently serial per scan — at corpus
+scale the parallelism comes from Spark (one payload per row, decoded
+executor-side inside mapInPandas batches), not from within one image.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag index -> natural (row-major v*8+u) index, T.81 Figure A.6
+ZIGZAG_TO_NATURAL = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# IDCT basis: _C[u, x] = c(u)/2 * cos((2x+1) u pi / 16); block idct is
+# _C.T @ F @ _C (A.3.3's definition, separably)
+_C = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0)
+            / 2.0
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+class JpegError(ValueError):
+    """Malformed or unsupported-by-spec-subset JPEG payload."""
+
+
+class _HuffTable:
+    """Canonical Huffman decode table from a DHT segment: 16 counts
+    per code length + symbols in code order (T.81 Annex C)."""
+
+    def __init__(self, counts: list[int], symbols: bytes):
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                self.lookup[(length, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; stops at any real marker (RSTn handled by the caller
+    via ``sync_restart``)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        if self.marker is not None:
+            # past a marker: the spec pads with 1-bits (F.2.2.5)
+            self.bits = (self.bits << 8) | 0xFF
+            self.nbits += 8
+            return
+        if self.pos >= len(self.data):
+            raise JpegError("truncated entropy-coded stream")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise JpegError("truncated entropy-coded stream")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed literal 0xFF
+            else:
+                self.marker = nxt
+                self.pos += 1
+                self.bits = (self.bits << 8) | 0xFF
+                self.nbits += 8
+                return
+        self.bits = (self.bits << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table: _HuffTable) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise JpegError("invalid Huffman code in entropy stream")
+
+    def sync_restart(self, expect: int) -> None:
+        """Consume the pending RSTn marker and realign to byte
+        boundary (F.2.1.3.1: restart resets DC prediction and the bit
+        stream is byte-aligned before the marker)."""
+        self.bits = 0
+        self.nbits = 0
+        if self.marker is None:
+            # marker not yet buffered: it must be next in the stream
+            if (
+                self.data[self.pos] != 0xFF
+                or (self.data[self.pos + 1] & 0xF8) != 0xD0
+            ):
+                raise JpegError("expected restart marker")
+            self.marker = self.data[self.pos + 1]
+            self.pos += 2
+        if self.marker != 0xD0 + expect:
+            raise JpegError(
+                f"restart marker out of order: got {self.marker:#x}, "
+                f"expected {0xD0 + expect:#x}"
+            )
+        self.marker = None
+
+
+def _extend(value: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map ``size`` received bits to the signed
+    coefficient amplitude."""
+    if size == 0:
+        return 0
+    if value < (1 << (size - 1)):
+        return value - (1 << size) + 1
+    return value
+
+
+class _Component:
+    __slots__ = ("cid", "h", "v", "tq", "td", "ta", "pred", "blocks_w", "blocks_h")
+
+    def __init__(self, cid: int, h: int, v: int, tq: int):
+        self.cid, self.h, self.v, self.tq = cid, h, v, tq
+        self.pred = 0
+
+
+def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline JPEG to (width, height, channels, pixels):
+    channels 1 (grayscale) or 3 (interleaved RGB, JFIF YCbCr
+    conversion), pixels row-major bytes. Raises JpegError on malformed
+    input and NotImplementedError for progressive/arithmetic/12-bit
+    streams (the registry seam: swap in libjpeg on a real cluster)."""
+    data = bytes(payload)
+    if data[:2] != b"\xff\xd8":
+        raise JpegError("missing SOI marker")
+    try:
+        return _parse_segments(data)
+    except (IndexError, struct.error) as e:
+        raise JpegError(f"truncated or malformed JPEG stream: {e}") from e
+
+
+def _parse_segments(data: bytes) -> tuple[int, int, int, bytes]:
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, _HuffTable] = {}
+    ac_tables: dict[int, _HuffTable] = {}
+    comps: list[_Component] = []
+    width = height = 0
+    restart_interval = 0
+
+    while True:
+        if data[pos] != 0xFF:
+            raise JpegError(f"expected marker at offset {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before any scan
+            raise JpegError("EOI before SOS: no image data")
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                n = 64 * (2 if pq else 1)
+                raw = seg[i : i + n]
+                vals = (
+                    struct.unpack(f">{64}H", raw) if pq else list(raw)
+                )
+                q = np.zeros(64, dtype=np.int32)
+                for z, v in enumerate(vals):
+                    q[ZIGZAG_TO_NATURAL[z]] = v
+                qtables[tq] = q.reshape(8, 8)
+                i += n
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                counts = list(seg[i + 1 : i + 17])
+                nsym = sum(counts)
+                symbols = seg[i + 17 : i + 17 + nsym]
+                table = _HuffTable(counts, symbols)
+                (ac_tables if tc else dc_tables)[th] = table
+                i += 17 + nsym
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            precision = seg[0]
+            if precision != 8:
+                raise NotImplementedError(
+                    f"{precision}-bit precision: baseline decoder is "
+                    "8-bit only (register a libjpeg-backed decoder)"
+                )
+            height, width = struct.unpack(">HH", seg[1:5])
+            nf = seg[5]
+            if nf not in (1, 3):
+                raise NotImplementedError(
+                    f"{nf}-component image: only grayscale/YCbCr here"
+                )
+            for c in range(nf):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(_Component(cid, hv >> 4, hv & 0x0F, tq))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"SOF marker {marker:#x} (progressive/arithmetic/"
+                "hierarchical): baseline sequential only — register a "
+                "libjpeg-backed decoder for these streams"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "non-interleaved multi-scan baseline not supported"
+                )
+            by_id = {c.cid: c for c in comps}
+            scan_order = []
+            for c in range(ns):
+                cid, tdta = seg[1 + 2 * c : 3 + 2 * c]
+                comp = by_id[cid]
+                comp.td, comp.ta = tdta >> 4, tdta & 0x0F
+                scan_order.append(comp)
+            pos = pos + seglen
+            return _decode_scan(
+                data,
+                pos,
+                width,
+                height,
+                scan_order,
+                qtables,
+                dc_tables,
+                ac_tables,
+                restart_interval,
+            )
+        # APPn / COM / anything else: skip
+        pos += seglen
+
+
+def _decode_scan(
+    data: bytes,
+    pos: int,
+    width: int,
+    height: int,
+    comps: list[_Component],
+    qtables: dict[int, np.ndarray],
+    dc_tables: dict[int, _HuffTable],
+    ac_tables: dict[int, _HuffTable],
+    restart_interval: int,
+) -> tuple[int, int, int, bytes]:
+    if width == 0 or height == 0:
+        raise JpegError("SOS before SOF: image dimensions unknown")
+    if len(comps) == 1:
+        # non-interleaved single-component scan: MCU = one data unit
+        # over the component's full-resolution block grid (F.2.1.2) —
+        # the declared sampling factors don't scale anything
+        comps[0].h = comps[0].v = 1
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    if any(hmax % c.h or vmax % c.v for c in comps):
+        raise NotImplementedError(
+            "fractional chroma sampling ratios: integer-ratio "
+            "subsampling only (4:4:4 / 4:2:2 / 4:2:0)"
+        )
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    planes = []
+    for c in comps:
+        c.blocks_w = mcus_x * c.h
+        c.blocks_h = mcus_y * c.v
+        planes.append(
+            np.zeros((c.blocks_h * 8, c.blocks_w * 8), dtype=np.float64)
+        )
+
+    reader = _BitReader(data, pos)
+    coeffs = np.zeros(64, dtype=np.int32)
+    rst_n = 0
+    mcus_since_restart = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcus_since_restart == restart_interval:
+                reader.sync_restart(rst_n)
+                rst_n = (rst_n + 1) & 7
+                mcus_since_restart = 0
+                for c in comps:
+                    c.pred = 0
+            for ci, c in enumerate(comps):
+                dct = dc_tables[c.td]
+                act = ac_tables[c.ta]
+                q = qtables[c.tq]
+                for by in range(c.v):
+                    for bx in range(c.h):
+                        coeffs[:] = 0
+                        size = reader.decode_symbol(dct)
+                        diff = _extend(reader.receive(size), size)
+                        c.pred += diff
+                        coeffs[0] = c.pred
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_symbol(act)
+                            run, ssss = rs >> 4, rs & 0x0F
+                            if ssss == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise JpegError("AC run past block end")
+                            coeffs[ZIGZAG_TO_NATURAL[k]] = _extend(
+                                reader.receive(ssss), ssss
+                            )
+                            k += 1
+                        block = _C.T @ (coeffs.reshape(8, 8) * q) @ _C
+                        y0 = (my * c.v + by) * 8
+                        x0 = (mx * c.h + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcus_since_restart += 1
+
+    samples = []
+    for ci, c in enumerate(comps):
+        p = np.clip(np.round(planes[ci]) + 128, 0, 255)
+        # upsample subsampled components by sample replication
+        if c.h != hmax or c.v != vmax:
+            p = np.repeat(np.repeat(p, vmax // c.v, axis=0), hmax // c.h, axis=1)
+        samples.append(p[:height, :width])
+
+    if len(samples) == 1:
+        return width, height, 1, samples[0].astype(np.uint8).tobytes()
+    y, cb, cr = samples
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [np.clip(np.round(ch), 0, 255) for ch in (r, g, b)], axis=-1
+    ).astype(np.uint8)
+    return width, height, 3, rgb.tobytes()

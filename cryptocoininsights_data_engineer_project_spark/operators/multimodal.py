@@ -2,13 +2,15 @@
 columns with typed metadata.
 
 Decode coverage: container-header parse (PNG IHDR, WAV fmt), 16-bit
-PCM SAMPLE decode (``decode_wav_frames``), and PNG PIXEL decode
-(``decode_png_pixels`` — stdlib zlib inflate + all five spec filters)
-are all REAL; no codec library needed. Only formats with genuinely
-external codecs (JPEG entropy coding, video) still raise in
-``decode_image`` — their Spark-side plumbing (schema contract, Arrow
-batch shapes, ``mapInPandas`` signatures, partitioning) is the same
-one the real paths use, so swapping in PIL/ffmpeg is one function.
+PCM SAMPLE decode (``decode_wav_frames``), PNG PIXEL decode
+(``decode_png_pixels`` — stdlib zlib inflate + all five spec filters),
+and baseline JPEG PIXEL decode (operators/jpegcodec.py — Huffman +
+dequant + IDCT per ITU-T T.81, grayscale and 4:4:4/4:2:2/4:2:0 YCbCr)
+are all REAL; no codec library needed. Only genuinely external codecs
+(progressive JPEG, compressed video) still raise in ``decode_image`` —
+their Spark-side plumbing (schema contract, Arrow batch shapes,
+``mapInPandas`` signatures, partitioning) is the same one the real
+paths use, so swapping in PIL/ffmpeg is one ``register_decoder`` call.
 
 Design for 100 TB: binary payloads ride in their own column so column
 pruning skips them unless a stage actually decodes; decode runs in
@@ -25,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .jpegcodec import decode_jpeg_pixels
 
 # Magic prefixes for cheap JVM-side format sniffing (hex of the first
 # bytes; real-world values the decoders route on).
@@ -306,7 +310,7 @@ def sniff_format(payload: bytes) -> str | None:
     return None
 
 
-DECODERS: dict = {"png": decode_png_pixels}
+DECODERS: dict = {"png": decode_png_pixels, "jpeg": decode_jpeg_pixels}
 
 
 def register_decoder(fmt: str, fn) -> None:
@@ -322,11 +326,12 @@ def decode_image(
 ) -> tuple[int, int, int, bytes]:
     """Image PIXEL decode through the codec registry. PNG decodes for
     REAL via the stdlib-only ``decode_png_pixels`` (DEFLATE is zlib;
-    filters per spec). Formats with no registered decoder raise
-    NotImplementedError naming the seam — JPEG's DCT entropy coding
-    and video codecs aren't in this container, so a real cluster
-    registers PIL/ffmpeg-backed callables instead of patching any
-    operator."""
+    filters per spec); baseline JPEG via ``jpegcodec.
+    decode_jpeg_pixels`` (Huffman + dequant + IDCT per T.81). Formats
+    with no registered decoder raise NotImplementedError naming the
+    seam — progressive JPEG and compressed video codecs aren't in this
+    container, so a real cluster registers PIL/ffmpeg-backed callables
+    instead of patching any operator."""
     b = bytes(payload)
     reg = DECODERS if decoders is None else decoders
     fmt = sniff_format(b)
@@ -1159,4 +1164,153 @@ SELECT doc_id AS asset_id, CAST({n} AS BIGINT) AS n_pixels,
         - (CAST(s AS DOUBLE) / {n}) * (CAST(s AS DOUBLE) / {n}), 6) AS var_level,
   CAST(grad AS BIGINT) AS grad_energy
 FROM st
+"""
+
+
+# ------------------------------------------------------------- jpeg pixels
+# Spec-exact baseline JPEG fixtures, the JPEG twin of the PNG family
+# above: the documents table becomes complete decodable JFIF payloads
+# CONSTRUCTED byte-exactly in SQL, decoded for real (Huffman + dequant
+# + IDCT, operators/jpegcodec.py) executor-side, and checked against a
+# closed-form DuckDB oracle that never touches a codec.
+#
+# Fixture design (what makes closed form possible without weakening
+# the decode): 16x8 grayscale, two 8x8 blocks, quant table all 8s, and
+# coefficients only in DCT slots whose basis values are exactly
+# +-sqrt(2)/2 — vertical frequency 4 (zigzag 10) and the (4,4) slot
+# (zigzag 39) — so dequantized-by-8 coefficients contribute exact
+# integers s(y)*ac and s(x)*s(y)*ac with s = [+,-,-,+,+,-,-,+]. The
+# entropy stream still exercises the REAL machinery: custom canonical
+# DHT tables, DC size+amplitude with cross-block prediction (block 2
+# stores a DIFFERENCE), AC run/size with a 9-skip, two ZRLs and a
+# 6-skip, EOB, and byte-exact bit packing (5 bytes per image, chosen
+# to be byte-aligned and 0xFF-free so the SQL needs no stuffing; the
+# decoder's unstuffing path is covered separately in tests).
+JPEG_W = 16
+JPEG_H = 8
+
+_JPEG_HEADER_HEX = (
+    "ffd8"  # SOI
+    + "ffdb" + "0043" + "00" + "08" * 64  # DQT: 8-bit table 0, all 8s
+    # SOF0: 8-bit, 8 rows, 16 cols, 1 component, h=v=1, quant table 0
+    + "ffc0" + "000b" + "08" + f"{JPEG_H:04x}" + f"{JPEG_W:04x}" + "01" + "011100"
+    # DHT DC class0: two len-2 codes: 00 -> category 6, 01 -> category 4
+    + "ffc4" + "0015" + "00" + "0002" + "00" * 14 + "0604"
+    # DHT AC class1: 00 -> (run 9, size 3); 010 -> EOB;
+    #                0110 -> ZRL; 0111 -> (run 6, size 3)
+    + "ffc4" + "0017" + "10" + "00010102" + "00" * 12 + "9300f063"
+    + "ffda" + "0008" + "01" + "0100" + "003f00"  # SOS: Ss=0 Se=63
+)
+
+
+def _synth_jpeg_hex_spark() -> str:
+    """Five entropy-coded bytes per document (see bit layout above):
+    byte0 = '00' + 6 bits of dc1      (cat-6 code + amplitude)
+    byte1 = '00' + 3 bits ac1 + '010' (run-9/size-3 code + amp + EOB)
+    byte2 = '01' + 4 bits diff + '01' (cat-4 code + amp + ZRL start)
+    byte3 = 0x99 constant             (ZRL tail + ZRL + run-6 start)
+    byte4 = '11' + 3 bits ac2 + '010' (run-6/size-3 tail + amp + EOB)
+    with dc1 in [32,63], diff in [8,15], ac1/ac2 in [4,7] — categories
+    are fixed so the layout is constant and only amplitudes vary."""
+    b0 = "lpad(hex(32 + doc_id % 32), 2, '0')"
+    b1 = "lpad(hex(34 + (doc_id % 4) * 8), 2, '0')"
+    b2 = "lpad(hex(97 + (doc_id % 8) * 4), 2, '0')"
+    b4 = "lpad(hex(226 + ((doc_id * 3) % 4) * 8), 2, '0')"
+    return (
+        f"concat('{_JPEG_HEADER_HEX}', {b0}, {b1}, {b2}, '99', {b4}, 'ffd9')"
+    )
+
+
+def synth_jpeg_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): complete decodable baseline JPEGs, one per
+    document, built JVM-side (concat/hex/unhex — no Python until the
+    decode itself)."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(f"unhex({_synth_jpeg_hex_spark()})").alias("payload"),
+    )
+
+
+_JPEG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("channels", T.LongType(), False),
+        T.StructField("n_pixels", T.LongType(), False),
+        T.StructField("pixel_sum", T.LongType(), False),
+        T.StructField("px_checksum", T.LongType(), False),
+        T.StructField("mean_ppm", T.LongType(), False),
+    ]
+)
+
+
+def decode_jpeg_stats(assets: DataFrame) -> DataFrame:
+    """Decode JPEG payloads to pixels executor-side and emit per-asset
+    statistics. ``px_checksum`` = sum(px[i] * (i+1)^2) over row-major
+    pixel order — a position-weighted sum that pins every pixel's
+    VALUE AND LOCATION (plain pixel_sum cancels the AC terms, so it
+    alone could not tell a correct IDCT from a DC-only one).
+    ``mean_ppm`` quantizes the mean by truncating integer arithmetic
+    (house rule: no float round on integer ratios).
+
+    Physical shape: mapInPandas straight over the asset scan — narrow
+    per-row transform, no shuffle, payload bytes move zero times."""
+
+    decoders = dict(DECODERS)  # snapshot rides the closure to executors
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _JPEG_STATS_SCHEMA}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, ch, px = decode_image(bytes(payload), decoders)
+                n = w * h * ch
+                s = 0
+                chk = 0
+                for i, v in enumerate(px):
+                    s += v
+                    chk += v * (i + 1) * (i + 1)
+                rows["asset_id"].append(int(aid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(ch)
+                rows["n_pixels"].append(w * h)
+                rows["pixel_sum"].append(s)
+                rows["px_checksum"].append(chk)
+                rows["mean_ppm"].append(s * 1_000_000 // n)
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _decode, schema=_JPEG_STATS_SCHEMA
+    )
+
+
+def jpeg_pixels_oracle_sql() -> str:
+    """Closed-form expected pixel stats from the fixture formula: the
+    oracle enumerates all 128 pixel positions and restates the decoded
+    value px(x, y) directly from the DCT math (see the fixture note),
+    with s(t) = +1 for t in {0,3,4,7} else -1."""
+    n = JPEG_W * JPEG_H
+    return f"""
+WITH px AS (
+  SELECT doc_id,
+    g.i AS i,
+    (CASE WHEN (g.i % {JPEG_W}) < 8
+      THEN 128 + (32 + doc_id % 32)
+         + (4 + doc_id % 4)
+           * (CASE WHEN (g.i // {JPEG_W}) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+      ELSE 128 + (32 + doc_id % 32) + (8 + doc_id % 8)
+         + (4 + (doc_id * 3) % 4)
+           * (CASE WHEN ((g.i % {JPEG_W}) - 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+           * (CASE WHEN (g.i // {JPEG_W}) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+     END) AS v
+  FROM documents, UNNEST(generate_series(0, {n - 1})) AS g(i)
+)
+SELECT doc_id AS asset_id,
+  CAST({JPEG_W} AS BIGINT) AS width, CAST({JPEG_H} AS BIGINT) AS height,
+  CAST(1 AS BIGINT) AS channels, CAST({n} AS BIGINT) AS n_pixels,
+  CAST(sum(v) AS BIGINT) AS pixel_sum,
+  CAST(sum(v * (i + 1) * (i + 1)) AS BIGINT) AS px_checksum,
+  CAST(sum(v) AS BIGINT) * 1000000 // {n} AS mean_ppm
+FROM px GROUP BY doc_id
 """

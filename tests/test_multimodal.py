@@ -342,12 +342,14 @@ def test_png_pixels_rejects_unsupported_shapes():
         multimodal.decode_png_pixels(broken)
 
 
-def test_decode_image_routes_png_and_gates_jpeg():
+def test_decode_image_routes_png_and_gates_unregistered():
     png = _encode_png(2, 2, 1, bytes([1, 2, 3, 4]), 0)
     w, h, c, px = multimodal.decode_image(png)
     assert (w, h, c, px) == (2, 2, 1, bytes([1, 2, 3, 4]))
+    # a format with no registered decoder (GIF's LZW isn't built in)
+    # still raises through the seam; JPEG now decodes for real
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\xff\xd8\xff\xe0 jpeg")
+        multimodal.decode_image(b"GIF89a lzw bits")
 
 
 def test_synth_png_assets_decode_on_spark(spark, sf_dir):
@@ -463,6 +465,7 @@ def test_codec_registry_jpeg_end_to_end(spark):
         v = len(b) % 251
         return 2, 2, 1, bytes([v, v + 1, v + 2, v + 3])
 
+    real_jpeg = multimodal.DECODERS["jpeg"]
     multimodal.register_decoder("jpeg", fake_jpeg)
     try:
         rows = [
@@ -484,11 +487,11 @@ def test_codec_registry_jpeg_end_to_end(spark):
                 abs(px[i + 1] - px[i]) for y in range(h) for i in (y * 2,)
             )
     finally:
-        del multimodal.DECODERS["jpeg"]
-    # after deregistration, JPEG is a loud gap again — and the error
-    # names the seam
+        multimodal.register_decoder("jpeg", real_jpeg)
+    # a format with no registered decoder is a loud gap — and the
+    # error names the seam
     with pytest.raises(NotImplementedError, match="register_decoder"):
-        multimodal.decode_image(b"\xff\xd8\xff\xe0junk")
+        multimodal.decode_image(b"GIF89a lzw bits")
 
 
 def test_png_filter_vectorization_matches_spec_reference():
