@@ -921,3 +921,117 @@ SELECT cl.cluster_id,
 FROM cl JOIN documents d ON d.doc_id = cl.doc_id
 GROUP BY cl.cluster_id
 """
+
+
+# ------------------------------------------------- perceptual image dedup
+def image_phash_pairs(
+    docs: DataFrame, max_hamming: int = None
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): near-duplicate IMAGE pairs by
+    average-hash over real decoded pixels — the multimodal/dedup
+    bridge. Pixels come from the PNG decode path (operators/
+    multimodal.py::synth_phash_png_assets -> ahash_chunks), candidates
+    from the same recall-lossless chunk banding as
+    ``simhash_hamming_pairs``: 4 chunks of 16 bits, so (pigeonhole)
+    any pair within Hamming distance 3 shares a full chunk verbatim
+    and grouping on (chunk_id, chunk_val) surfaces every qualifying
+    pair; only bucket members get pair-exploded and popcount-verified.
+
+    Scale note vs the 8-bit-chunk simhash tier: 16-bit chunks make
+    random bucket collisions ~256x rarer (n/65536 expected members),
+    which is the right trade for image corpora where the verify step
+    (4 xor+popcounts) is cheap but candidate volume is the cost. At
+    100 TB the hash pass is scan-speed mapInPandas; the only shuffle
+    is the bucket groupBy on (chunk_id, chunk_val).
+    """
+    from . import multimodal
+
+    if max_hamming is None:
+        max_hamming = multimodal.PHASH_MAX_HAMMING
+    chunks = multimodal.PHASH_CHUNKS
+    codes = multimodal.ahash_chunks(
+        multimodal.synth_phash_png_assets(docs)
+    ).withColumnRenamed("asset_id", "doc_id")
+    chunk_cols = [f"c{c}" for c in range(chunks)]
+    chunk_structs = [
+        F.struct(F.lit(c).alias("chunk_id"), F.col(f"c{c}").alias("chunk_val"))
+        for c in range(chunks)
+    ]
+    exploded = codes.select(
+        F.struct("doc_id", *chunk_cols).alias("ds"),
+        F.explode(F.array(*chunk_structs)).alias("ch"),
+    ).select("ds", F.col("ch.chunk_id"), F.col("ch.chunk_val"))
+    buckets = (
+        exploded.groupBy("chunk_id", "chunk_val")
+        .agg(F.sort_array(F.collect_set("ds")).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+    step = buckets.select("members", F.posexplode("members").alias("i", "a"))
+    pairs = step.select(
+        "a",
+        F.explode(F.expr("slice(members, i + 2, size(members))")).alias("b"),
+    )
+    hamming = " + ".join(
+        f"bit_count(a.c{c} ^ b.c{c})" for c in range(chunks)
+    )
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr(f"CAST({hamming} AS BIGINT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def image_phash_oracle_sql(max_hamming: int = None) -> str:
+    """DuckDB restates the decoded pixels from the fixture formula,
+    then computes aHash bits (integer-exact px*n > sum), chunk values,
+    and the banded pair join — semantically identical to the lossless
+    banding (any pair within the radius shares a chunk)."""
+    from . import multimodal
+
+    if max_hamming is None:
+        max_hamming = multimodal.PHASH_MAX_HAMMING
+    chunks = multimodal.PHASH_CHUNKS
+    cw = multimodal.PHASH_CHUNK_BITS
+    n = multimodal.PHASH_W * multimodal.PHASH_H
+    px = multimodal.phash_px_duck("g.j")
+    c_cols = ", ".join(
+        f"CAST(sum(bit << (j % {cw})) FILTER (WHERE j // {cw} = {c}) "
+        f"AS BIGINT) AS c{c}"
+        for c in range(chunks)
+    )
+    chunk_ids = ", ".join(f"({c})" for c in range(chunks))
+    chunk_case = " ".join(
+        f"WHEN {c} THEN c{c}" for c in range(chunks)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(a.c{c}, b.c{c}))" for c in range(chunks)
+    )
+    return f"""
+WITH px AS (
+  SELECT doc_id, g.j AS j, {px} AS v
+  FROM documents, UNNEST(generate_series(0, {n - 1})) AS g(j)
+),
+bits AS (
+  SELECT p.doc_id, p.j,
+         CASE WHEN p.v * {n} > t.s THEN 1 ELSE 0 END AS bit
+  FROM px p JOIN (SELECT doc_id, sum(v) AS s FROM px GROUP BY doc_id) t
+    USING (doc_id)
+),
+codes AS (SELECT doc_id, {c_cols} FROM bits GROUP BY doc_id),
+chunked AS (
+  SELECT doc_id, c.chunk_id,
+         CASE c.chunk_id {chunk_case} END AS chunk_val,
+         c0, c1, c2, c3
+  FROM codes, (VALUES {chunk_ids}) AS c(chunk_id)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST({ham} AS BIGINT) AS hamming
+FROM chunked a JOIN chunked b
+  ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+ AND a.doc_id < b.doc_id
+WHERE {ham} <= {max_hamming}
+"""

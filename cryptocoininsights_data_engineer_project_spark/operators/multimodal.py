@@ -1314,3 +1314,136 @@ SELECT doc_id AS asset_id,
   CAST(sum(v) AS BIGINT) * 1000000 // {n} AS mean_ppm
 FROM px GROUP BY doc_id
 """
+
+
+# --------------------------------------------------------- perceptual hash
+# Bridge between the multimodal and dedup stacks (VERDICT r5 #2): an
+# average-hash (aHash) over REAL decoded pixels, chunked for the same
+# recall-lossless Hamming banding dedup_simhash_pairs proved out. The
+# fixture family has a designed duplicate structure: doc_id//4 is a
+# "group" whose 8x8 base bit pattern comes from a hash formula, and
+# doc_id%4 picks a variant that flips 0/1/2/8 designated bits — so
+# variants 0/1/2 of a group are true near-dups (pairwise Hamming
+# 1/2/3) while variant 3 (8 flips) and cross-group pairs (~32 expected
+# bits apart) fall outside the radius. Both engines restate the PIXELS
+# from the same formula; hashes/bands/pairs are then each engine's own
+# arithmetic, so the whole encode->decode->hash->band->verify chain is
+# cross-checked.
+PHASH_W = 8
+PHASH_H = 8
+PHASH_CHUNKS = 4
+PHASH_CHUNK_BITS = 16
+PHASH_MAX_HAMMING = PHASH_CHUNKS - 1  # pigeonhole: banding is lossless
+
+_PHASH_RAW_LEN = PHASH_H * (1 + PHASH_W)
+_PHASH_IDAT_LEN = 2 + 5 + _PHASH_RAW_LEN + 4
+
+
+def _phash_px_spark(j: int) -> str:
+    """Pixel j (row-major) of the fixture: 200 * (base_bit XOR
+    flip_bit), XOR spelled (a + b) % 2 so both engines share it."""
+    base = f"(((doc_id div 4) * 2654435761 + {j} * 48271) % 97) % 2"
+    flip = (
+        f"(CASE WHEN doc_id % 4 = 1 AND {j} = 1 THEN 1 "
+        f"WHEN doc_id % 4 = 2 AND {j} IN (2, 3) THEN 1 "
+        f"WHEN doc_id % 4 = 3 AND {j} BETWEEN 4 AND 11 THEN 1 ELSE 0 END)"
+    )
+    return f"(200 * (({base} + {flip}) % 2))"
+
+
+def phash_px_duck(j: str = "g.j") -> str:
+    """Same pixel formula in DuckDB spelling (j an SQL expression)."""
+    base = f"(((doc_id // 4) * 2654435761 + {j} * 48271) % 97) % 2"
+    flip = (
+        f"(CASE WHEN doc_id % 4 = 1 AND {j} = 1 THEN 1 "
+        f"WHEN doc_id % 4 = 2 AND {j} IN (2, 3) THEN 1 "
+        f"WHEN doc_id % 4 = 3 AND {j} BETWEEN 4 AND 11 THEN 1 ELSE 0 END)"
+    )
+    return f"(200 * (({base} + {flip}) % 2))"
+
+
+def _synth_phash_png_hex_spark() -> str:
+    rows = []
+    for y in range(PHASH_H):
+        cells = ", ".join(
+            f"lpad(hex({_phash_px_spark(y * PHASH_W + x)}), 2, '0')"
+            for x in range(PHASH_W)
+        )
+        rows.append(f"concat('00', {cells})")
+    raw = f"concat({', '.join(rows)})"
+    lo, hi = _PHASH_RAW_LEN % 256, _PHASH_RAW_LEN // 256
+    clo, chi = 0xFF - lo, 0xFF - hi
+    stored = (
+        f"concat('7801', '01', '{lo:02x}{hi:02x}', "
+        f"'{clo:02x}{chi:02x}', {raw}, '00000000')"
+    )
+    return (
+        f"concat('{_PNG_SIG}', '{_IHDR}', lpad(hex({PHASH_W}), 8, '0'), "
+        f"lpad(hex({PHASH_H}), 8, '0'), '{_PNG_GREY_IHDR_TAIL}', "
+        f"'{_PHASH_IDAT_LEN:08x}', '49444154', {stored}, "
+        f"'00000000', '49454e44', '00000000')"
+    )
+
+
+def synth_phash_png_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): complete decodable 8x8 grey PNGs with the
+    designed near-duplicate structure, one per document."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(f"unhex({_synth_phash_png_hex_spark()})").alias("payload"),
+    )
+
+
+_AHASH_SCHEMA = T.StructType(
+    [T.StructField("asset_id", T.LongType(), False)]
+    + [
+        T.StructField(f"c{c}", T.LongType(), False)
+        for c in range(PHASH_CHUNKS)
+    ]
+)
+
+
+def ahash_chunks(assets: DataFrame) -> DataFrame:
+    """(asset_id, c0..c3): the 64-bit average-hash of each decoded
+    image, emitted as four 16-bit chunk values (bit j of the hash =
+    1 iff pixel j > image mean; chunk c holds bits 16c..16c+15).
+    Chunked representation serves two masters: it IS the banding key
+    downstream, and it sidesteps 64-bit sign issues a single BIGINT
+    code would have with bit 63.
+
+    Integer-exact threshold: px[j] > mean  <=>  px[j] * n > sum(px),
+    so no float appears and both engines agree bit-for-bit. Images of
+    any decodable size hash the same way (mean over all samples);
+    the fixture is 8x8 grey so j indexes pixels directly.
+
+    Physical shape: mapInPandas over the asset scan — narrow, no
+    shuffle, payload bytes move zero times (decode + 64-bit reduce per
+    row, Arrow-batched)."""
+
+    decoders = dict(DECODERS)
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in _AHASH_SCHEMA}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, ch, px = decode_image(bytes(payload), decoders)
+                a = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                n = a.size
+                bits = (a * n > a.sum()).astype(np.int64)
+                nb = min(n, PHASH_CHUNKS * PHASH_CHUNK_BITS)
+                code_bits = bits[:nb]
+                out["asset_id"].append(int(aid))
+                for c in range(PHASH_CHUNKS):
+                    lo = c * PHASH_CHUNK_BITS
+                    chunk = code_bits[lo : lo + PHASH_CHUNK_BITS]
+                    val = int(
+                        (chunk << np.arange(chunk.size, dtype=np.int64)).sum()
+                    )
+                    out[f"c{c}"].append(val)
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _hash, schema=_AHASH_SCHEMA
+    )

@@ -1054,6 +1054,26 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_image_phash",
+    dedup.image_phash_oracle_sql(),
+    doc="perceptual IMAGE dedup (VERDICT r5 #2), bridging the "
+    "multimodal and dedup stacks: spec-exact 8x8 PNGs with a designed "
+    "group/variant near-dup structure are decoded for REAL (stdlib "
+    "PNG path), average-hashed with an integer-exact threshold "
+    "(px*n > sum — no float), and paired via the same recall-lossless "
+    "chunk banding as dedup_simhash_pairs, widened to 16-bit chunks "
+    "(random bucket collisions ~256x rarer — the right trade when "
+    "verify is 4 xor+popcounts and candidate volume is the cost). "
+    "Pairs = variants 0/1/2 within each doc_id//4 group (Hamming "
+    "1/2/3); variant 3 (8 flips) and cross-group pairs fall outside. "
+    "The DuckDB oracle restates pixels from the fixture formula and "
+    "re-derives hash/bands/pairs in its own arithmetic",
+)
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.image_phash_pairs(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "dedup_ngram_jaccard",
     dedup.ngram_jaccard_oracle_sql(),
     doc="exact n-gram Jaccard over rare-shingle candidate pairs",

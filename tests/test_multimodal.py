@@ -511,3 +511,54 @@ def test_png_filter_vectorization_matches_spec_reference():
             gw, gh, gc, out = multimodal.decode_png_pixels(enc)
             assert (gw, gh, gc) == (w, h, ch)
             assert out == pix, f"filter {filt} ch {ch}"
+
+
+def test_image_phash_pairs_designed_structure(spark):
+    """The phash dedup bridge finds exactly the designed near-dup
+    structure: within each doc_id//4 group, variants 0/1/2 pair at
+    Hamming 1/2/3 (designed bit flips), variant 3 (8 flips) and
+    cross-group pairs stay out. Decode is the REAL PNG path; the hash
+    is computed from decoded bytes, not from the formula."""
+    from cryptocoininsights_data_engineer_project_spark.operators import dedup
+
+    docs = spark.range(16).withColumnRenamed("id", "doc_id")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.image_phash_pairs(docs).collect()
+    }
+    want = {}
+    for g in range(4):
+        b = 4 * g
+        want[(b, b + 1)] = 1      # variant 1 flips bit {1}
+        want[(b, b + 2)] = 2      # variant 2 flips bits {2,3}
+        want[(b + 1, b + 2)] = 3  # symmetric difference {1,2,3}
+    assert got == want
+
+    # the pair generation is banded (equi-join on chunk buckets), not
+    # an all-pairs product
+    plan = dedup.image_phash_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ahash_chunks_bits_match_decoded_pixels(spark):
+    """ahash_chunks recomputed by hand from the decoded fixture bytes:
+    bit j set iff pixel j > image mean (integer threshold)."""
+    from cryptocoininsights_data_engineer_project_spark.operators.multimodal import (
+        ahash_chunks,
+        decode_png_pixels,
+        synth_phash_png_assets,
+    )
+
+    docs = spark.range(7).withColumnRenamed("id", "doc_id")
+    assets = {r["asset_id"]: bytes(r["payload"]) for r in synth_phash_png_assets(docs).collect()}
+    got = {r["asset_id"]: r for r in ahash_chunks(synth_phash_png_assets(docs)).collect()}
+    for aid, payload in assets.items():
+        w, h, ch, px = decode_png_pixels(payload)
+        assert (w, h, ch) == (8, 8, 1)
+        n = len(px)
+        s = sum(px)
+        bits = [1 if px[j] * n > s else 0 for j in range(64)]
+        for c in range(4):
+            want = sum(bits[c * 16 + k] << k for k in range(16))
+            assert got[aid][f"c{c}"] == want, (aid, c)
