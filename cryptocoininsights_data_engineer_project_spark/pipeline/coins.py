@@ -103,11 +103,20 @@ METRIC_COLS = [  # data-transformation.py:58-59, exact order
 
 
 # ------------------------------------------------------------- S3/S4 scan
-def read_raw_json(spark: SparkSession, path: str, mode: str = "FAILFAST") -> DataFrame:
-    """Raw-layer scan: one JSON array per batch file (the shape
-    data-extract.py:29-33 writes). ``multiLine`` because each file is
-    a single JSON document, not JSON-lines. The glob replaces the
-    reference's list-bucket + startswith prefix filter
+def read_raw_json(
+    spark: SparkSession,
+    path: str,
+    mode: str = "FAILFAST",
+    lines: bool | None = None,
+) -> DataFrame:
+    """Raw-layer scan over BOTH raw shapes: one JSON array per batch
+    file (the shape data-extract.py:29-33 writes; ``multiLine`` since
+    each file is a single JSON document) or a ``raw_coins_batch{N}/``
+    directory of JSON-lines part files (the executor-parallel bulk
+    sink, sources/rest.py::write_raw_json_bulk). The shape is detected
+    from the path (a directory means part files); pass ``lines=`` to
+    override for non-local filesystems or mixed globs. The glob
+    replaces the reference's list-bucket + startswith prefix filter
     (data-transformation.py:27-33) — push the predicate into the
     listing, not a post-hoc loop.
 
@@ -117,9 +126,12 @@ def read_raw_json(spark: SparkSession, path: str, mode: str = "FAILFAST") -> Dat
     sensor timeout an hour later. Pass ``mode="PERMISSIVE"`` to get
     null-row salvage instead (streaming uses permissive so one bad
     file can't wedge the whole query)."""
+    if lines is None:
+        local = path[len("file:"):] if path.startswith("file:") else path
+        lines = "://" not in local and os.path.isdir(local)
     return (
         spark.read.schema(RAW_COIN_SCHEMA)
-        .option("multiLine", "true")
+        .option("multiLine", "false" if lines else "true")
         .option("mode", mode)
         .json(path)
         .withColumn(

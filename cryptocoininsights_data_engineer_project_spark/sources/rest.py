@@ -81,3 +81,24 @@ def write_raw_json(df: DataFrame, raw_dir: str, batch_id: int) -> str:
     with open(path, "w") as f:
         json.dump(payload, f, default=str)
     return path
+
+
+def write_raw_json_bulk(
+    df: DataFrame, raw_dir: str, batch_id: int, n_files: int | None = None
+) -> str:
+    """S2 at scale: the executor-parallel raw sink ``write_raw_json``'s
+    docstring promises. ``df.write.json`` emits JSON-lines part files
+    under ``raw_coins_batch{batch_id}/`` — every executor writes its
+    own partitions, nothing funnels through the driver, so the raw
+    layer has no bottleneck at 100 TB. ``n_files`` coalesces small
+    batches down (a one-page batch doesn't need 32 part files);
+    leave it None to keep the upstream parallelism.
+
+    Readable back by ``read_raw_json`` (it detects the directory shape
+    and switches off multiLine), with the same ``batch_id`` recovery —
+    the directory name carries the batch token the reference encoded
+    in its S3 key (data-extract.py:24-27)."""
+    path = os.path.join(raw_dir, f"raw_coins_batch{batch_id}")
+    writer = df.coalesce(n_files) if n_files else df
+    writer.write.mode("overwrite").json(path)
+    return path
