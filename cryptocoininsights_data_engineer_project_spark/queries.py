@@ -6626,6 +6626,25 @@ def ngram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "bpe_merges",
+    textops.bpe_merges_oracle_sql(),
+    doc="iterative BPE merge-table construction (VERDICT r5 #7) — the "
+    "tokenizer-adjacent primitive completing ngram_collocations' loop: "
+    "one corpus scan builds the weighted top-N vocabulary "
+    "(deterministic cut: count DESC, word ASC), then K=6 iterations of "
+    "pair-count argmax (tie-break pair_count DESC, lhs, rhs) + greedy-"
+    "leftmost merge over a double-delimited segmentation string, where "
+    "replace() semantics ARE BPE's within-step merge order. The vocab "
+    "frame is localCheckpointed so iterations never re-touch the "
+    "corpus; each argmax is a 1-row collect (the algorithm's "
+    "sequential state). DuckDB oracle = unrolled-iteration CTE chain "
+    "(the ema_macd pattern), re-deriving every step independently",
+)
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.bpe_merge_table(spark, _t(spark, sf_dir, "documents"))
+
+
+@_q(
     "corpus_diversity",
     """
 WITH c AS (

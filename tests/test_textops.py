@@ -180,3 +180,47 @@ def test_train_split_is_deterministic_and_total(spark):
     assert splits == {"train", "val", "test"}
     frac_train = sum(1 for _, _, s in ra if s == "train") / n
     assert 0.7 < frac_train < 0.9
+
+
+def test_bpe_merge_table_hand_computed(spark):
+    """BPE semantics pinned on a hand-traced corpus: overlap-counted
+    pair frequencies, deterministic tie-breaks, and greedy-leftmost
+    within-step merging (the 'aaaa' -> [aa][aa] case)."""
+    from cryptocoininsights_data_engineer_project_spark.operators.textops import bpe_merge_table
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa ab"), (2, "aaaa ab ab")],
+        "doc_id long, text string",
+    )
+    # vocab: aaaa x3, ab x3. Step 1 pairs: (a,a) f=3*3=9 (overlap
+    # counting inside aaaa), (a,b) f=3 -> merge (a,a) -> aaaa = [aa][aa]
+    # (greedy leftmost, NOT [a][aa][a]).
+    # Step 2 pairs: (aa,aa) f=3, (a,b) f=3 -> tie on f, lhs 'a' < 'aa'
+    # -> (a,b) wins. Step 3: (aa,aa) f=3 -> merge. Step 4: none left.
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["pair_count"], r["merged"])
+        for r in bpe_merge_table(spark, docs, n_words=10, steps=6)
+        .orderBy("step")
+        .collect()
+    ]
+    assert got == [
+        (1, "a", "a", 9, "aa"),
+        (2, "a", "b", 3, "ab"),
+        (3, "aa", "aa", 3, "aaaa"),
+    ]
+
+
+def test_bpe_replace_semantics_agree_with_duckdb():
+    """The operator's correctness leans on replace() being greedy-
+    leftmost non-overlapping in BOTH engines; pin that directly on the
+    double-delimited overlap case."""
+    import duckdb
+
+    s = "  a  a  a  a  "
+    want = "  aa  aa  "
+    assert s.replace(" a  a ", " aa ") == want  # the Spark-side claim...
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT replace(?, ' a  a ', ' aa ')", [s]
+    ).fetchone()[0]
+    assert got == want
