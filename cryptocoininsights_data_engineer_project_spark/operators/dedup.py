@@ -924,8 +924,11 @@ GROUP BY cl.cluster_id
 
 
 # ------------------------------------------------- perceptual image dedup
+PHASH_BUCKET_CAP = 64
+
+
 def image_phash_pairs(
-    docs: DataFrame, max_hamming: int = None
+    docs: DataFrame, max_hamming: int = None, bucket_cap: int = PHASH_BUCKET_CAP
 ) -> DataFrame:
     """(doc_a, doc_b, hamming): near-duplicate IMAGE pairs by
     average-hash over real decoded pixels — the multimodal/dedup
@@ -943,6 +946,16 @@ def image_phash_pairs(
     (4 xor+popcounts) is cheap but candidate volume is the cost. At
     100 TB the hash pass is scan-speed mapInPandas; the only shuffle
     is the bucket groupBy on (chunk_id, chunk_val).
+
+    ``bucket_cap`` is the skew guard (the banded analogue of
+    ``ngram_jaccard_pairs``'s document-frequency cap): a degenerate
+    corpus — e.g. millions of uniform images all hashing to the
+    all-zero code — would otherwise collect ONE O(n) member array on a
+    single executor and explode O(n^2) pairs. Buckets larger than the
+    cap are dropped wholesale (deterministically, mirrored in the
+    DuckDB oracle); a >cap bucket means >cap mutually-near-identical
+    images, which exact dedup (``exact_dedup_clusters`` on the pixel
+    hash) already collapses more cheaply than pairwise listing.
     """
     from . import multimodal
 
@@ -964,7 +977,9 @@ def image_phash_pairs(
     buckets = (
         exploded.groupBy("chunk_id", "chunk_val")
         .agg(F.sort_array(F.collect_set("ds")).alias("members"))
-        .filter(F.size("members") >= 2)
+        .filter(
+            (F.size("members") >= 2) & (F.size("members") <= bucket_cap)
+        )
     )
     step = buckets.select("members", F.posexplode("members").alias("i", "a"))
     pairs = step.select(
@@ -985,11 +1000,14 @@ def image_phash_pairs(
     )
 
 
-def image_phash_oracle_sql(max_hamming: int = None) -> str:
+def image_phash_oracle_sql(
+    max_hamming: int = None, bucket_cap: int = PHASH_BUCKET_CAP
+) -> str:
     """DuckDB restates the decoded pixels from the fixture formula,
     then computes aHash bits (integer-exact px*n > sum), chunk values,
     and the banded pair join — semantically identical to the lossless
-    banding (any pair within the radius shares a chunk)."""
+    banding (any pair within the radius shares a chunk), including the
+    same deterministic ``bucket_cap`` skew-guard drop."""
     from . import multimodal
 
     if max_hamming is None:
@@ -1027,10 +1045,17 @@ chunked AS (
          CASE c.chunk_id {chunk_case} END AS chunk_val,
          c0, c1, c2, c3
   FROM codes, (VALUES {chunk_ids}) AS c(chunk_id)
+),
+ok AS (
+  SELECT chunk_id, chunk_val FROM chunked
+  GROUP BY chunk_id, chunk_val
+  HAVING count(*) BETWEEN 2 AND {bucket_cap}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST({ham} AS BIGINT) AS hamming
-FROM chunked a JOIN chunked b
+FROM chunked a
+JOIN ok USING (chunk_id, chunk_val)
+JOIN chunked b
   ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
  AND a.doc_id < b.doc_id
 WHERE {ham} <= {max_hamming}

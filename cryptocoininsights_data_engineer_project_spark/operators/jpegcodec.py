@@ -207,6 +207,10 @@ def _parse_segments(data: bytes) -> tuple[int, int, int, bytes]:
     while True:
         if data[pos] != 0xFF:
             raise JpegError(f"expected marker at offset {pos}")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — the marker code is the byte after the LAST 0xFF
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI before any scan

@@ -127,8 +127,19 @@ def read_raw_json(
     null-row salvage instead (streaming uses permissive so one bad
     file can't wedge the whole query)."""
     if lines is None:
-        local = path[len("file:"):] if path.startswith("file:") else path
-        lines = "://" not in local and os.path.isdir(local)
+        # Shape-detect through the Hadoop FileSystem API so scheme-less
+        # paths resolve against the CLUSTER's default filesystem (HDFS/
+        # object store), not the driver's local disk — driver-local
+        # os.path.isdir would call a remote bulk-sink directory a file
+        # and misparse its JSON-lines parts. Globs (no single status)
+        # fall back to array-file shape; pass ``lines=`` to override.
+        from .manifest import _hadoop_fs
+
+        try:
+            fs, jp = _hadoop_fs(spark, path)
+            lines = fs.exists(jp) and fs.getFileStatus(jp).isDirectory()
+        except Exception:
+            lines = False
     return (
         spark.read.schema(RAW_COIN_SCHEMA)
         .option("multiLine", "false" if lines else "true")

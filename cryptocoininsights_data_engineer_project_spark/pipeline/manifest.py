@@ -170,9 +170,18 @@ def publish_manifest(
         except FileExistsError:
             return False
         except OSError as e:
-            # EPERM/EOPNOTSUPP on link-less mounts (some NFS/FUSE):
-            # surface the requirement instead of crashing opaquely —
-            # the tmp file is cleaned up by the finally below.
+            # Only EPERM/EOPNOTSUPP/ENOTSUP mean "this mount cannot
+            # hard-link" (some NFS/FUSE): surface that requirement.
+            # Anything else (ENOSPC/EIO/EACCES/…) is a real I/O failure
+            # and must propagate unwrapped so operators see the true
+            # cause. The tmp file is cleaned up by the finally below.
+            import errno as _errno
+
+            _linkless = {_errno.EPERM, _errno.EOPNOTSUPP}
+            if hasattr(_errno, "ENOTSUP"):
+                _linkless.add(_errno.ENOTSUP)
+            if e.errno not in _linkless:
+                raise
             raise OSError(
                 f"manifest CAS at {mdir} requires hard-link support "
                 f"(os.link failed: {e}); mount the table on a POSIX "
@@ -229,7 +238,16 @@ def stage_commit_files(
                 dst_dir = os.path.join(root, rel) if rel else root
                 fs.mkdirs(jpath(dst_dir))
                 new_name = f"{token}-{name}"
-                fs.rename(st.getPath(), jpath(os.path.join(dst_dir, new_name)))
+                dst = jpath(os.path.join(dst_dir, new_name))
+                # Hadoop rename signals failure by RETURN VALUE, not by
+                # raising; an unchecked False here would publish a
+                # manifest referencing a file that never landed.
+                if not fs.rename(st.getPath(), dst):
+                    raise IOError(
+                        f"stage_commit_files: rename of staged file "
+                        f"{st.getPath()} -> {dst} failed (destination "
+                        "dir removed by a concurrent process?)"
+                    )
                 out.setdefault(rel, []).append(new_name)
     fs.delete(jpath(tmp), True)
     return out
@@ -316,9 +334,14 @@ def vacuum(
     jpath = spark._jvm.org.apache.hadoop.fs.Path
     cutoff_ms = time.time() * 1000.0 - retain_seconds * 1000.0
     n_data = 0
-    stack = [""]
+    # stack entries carry the directory's mtime AS LISTED BY ITS PARENT
+    # (i.e. before this vacuum deleted anything inside it): the
+    # empty-dir prune below is age-gated on that, so a partition dir
+    # freshly mkdir'd by an in-flight stage_commit_files — momentarily
+    # empty between fs.mkdirs and its first rename — is never swept.
+    stack: list[tuple[str, float | None]] = [("", None)]
     while stack:
-        rel = stack.pop()
+        rel, dir_mtime = stack.pop()
         if rel in (MANIFEST_DIR, STAGING_DIR):
             continue
         st_dir = jpath(os.path.join(root, rel) if rel else root)
@@ -328,7 +351,7 @@ def vacuum(
             child = posixpath.join(rel, name) if rel else name
             if st.isDirectory():
                 if name not in (MANIFEST_DIR, STAGING_DIR):
-                    stack.append(child)
+                    stack.append((child, float(st.getModificationTime())))
             elif (
                 name.endswith(".parquet")
                 and child not in live
@@ -336,8 +359,14 @@ def vacuum(
             ):
                 fs.delete(st.getPath(), False)
                 n_data += 1
-        # prune now-empty partition dirs (never the table root)
-        if rel and not list(fs.listStatus(st_dir)):
+        # prune now-empty partition dirs (never the table root),
+        # age-gated like files (see stack comment above)
+        if (
+            rel
+            and dir_mtime is not None
+            and dir_mtime <= cutoff_ms
+            and not list(fs.listStatus(st_dir))
+        ):
             fs.delete(st_dir, False)
     # staging dirs from crashed commits — age-gated per token dir, so a
     # commit still writing its staging files is never swept from under it

@@ -323,6 +323,19 @@ def test_progressive_and_malformed_gates():
         decode_jpeg_pixels(ok[: len(ok) // 2])  # truncated mid-scan
 
 
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes.
+    Inject fill padding before DQT, DHT, SOF0 and SOS of a valid
+    stream; the decoder must skip the padding and decode unchanged."""
+    payload = _encode(8, 8, [(1, 1)], [8] * 64, lambda ci, b: [5] + [0] * 63)
+    want = decode_jpeg_pixels(payload)
+    padded = bytearray(payload)
+    for seg in (b"\xff\xdb", b"\xff\xc4", b"\xff\xc0", b"\xff\xda"):
+        at = bytes(padded).index(seg)
+        padded[at:at] = b"\xff" * 3  # three fill bytes, then the marker
+    assert decode_jpeg_pixels(bytes(padded)) == want
+
+
 def test_registry_routes_real_jpeg_decoder():
     payload = _encode(8, 8, [(1, 1)], [8] * 64, lambda ci, b: [5] + [0] * 63)
     w, h, ch, px = multimodal.decode_image(payload)

@@ -541,6 +541,31 @@ def test_image_phash_pairs_designed_structure(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_image_phash_bucket_cap_drops_degenerate_buckets(spark):
+    """The skew guard: each fixture group's 4 variants share chunks
+    1-3 verbatim (all designed flips land in chunk 0), so every
+    pair-producing bucket has exactly 4 members. bucket_cap=3 treats
+    those as degenerate and drops them wholesale — zero pairs, no
+    O(n^2) explosion; bucket_cap=4 readmits them and restores the full
+    designed result. Deterministic, and mirrored bit-for-bit by the
+    HAVING clause in image_phash_oracle_sql."""
+    from cryptocoininsights_data_engineer_project_spark.operators import dedup
+
+    docs = spark.range(16).withColumnRenamed("id", "doc_id")
+    assert dedup.image_phash_pairs(docs, bucket_cap=3).count() == 0
+    full = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.image_phash_pairs(docs, bucket_cap=4).collect()
+    }
+    want = {}
+    for g in range(4):
+        b = 4 * g
+        want[(b, b + 1)] = 1
+        want[(b, b + 2)] = 2
+        want[(b + 1, b + 2)] = 3
+    assert full == want
+
+
 def test_ahash_chunks_bits_match_decoded_pixels(spark):
     """ahash_chunks recomputed by hand from the decoded fixture bytes:
     bit j set iff pixel j > image mean (integer threshold)."""

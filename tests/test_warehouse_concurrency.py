@@ -455,6 +455,51 @@ def test_vacuum_aborts_on_unreadable_retained_manifest(spark, tmp_path):
     assert sorted(r.id for r in manifest.read_version(spark, t.path, newest - 1).collect()) == ["a"]
 
 
+def test_publish_manifest_rewraps_only_linkless_errno(
+    spark, tmp_path, monkeypatch
+):
+    """The os.link CAS fallback message is reserved for mounts that
+    genuinely cannot hard-link (EPERM/EOPNOTSUPP/ENOTSUP); a real I/O
+    failure (ENOSPC/EIO/...) must propagate unwrapped so operators see
+    the true cause instead of a misleading 'mount lacks hard links'."""
+    import errno
+
+    root = str(tmp_path / "errno_gate")
+
+    def _link_raises(code):
+        def link(src, dst):
+            raise OSError(code, os.strerror(code), dst)
+
+        return link
+
+    monkeypatch.setattr(os, "link", _link_raises(errno.ENOSPC))
+    with pytest.raises(OSError) as exc:
+        manifest.publish_manifest(spark, root, 1, {"partitions": {}, "schema": "{}"})
+    assert exc.value.errno == errno.ENOSPC
+    assert "hard-link" not in str(exc.value)
+
+    monkeypatch.setattr(os, "link", _link_raises(errno.EPERM))
+    with pytest.raises(OSError, match="hard-link support"):
+        manifest.publish_manifest(spark, root, 1, {"partitions": {}, "schema": "{}"})
+
+
+def test_vacuum_age_gates_empty_partition_dirs(spark, tmp_path):
+    """The empty-dir prune is age-gated like files: a partition dir
+    freshly mkdir'd by an in-flight stage_commit_files (momentarily
+    empty between fs.mkdirs and its first rename) survives vacuum; an
+    OLD empty dir is still reclaimed."""
+    t = BucketedTable(spark, str(tmp_path / "vac_emptydir"), ["id"], n_buckets=2)
+    t.upsert(spark.createDataFrame([("a", 1.0)], "id string, v double"))
+    fresh = os.path.join(t.path, "p_date=2099-01-01")
+    os.makedirs(fresh)
+    t.vacuum(keep=2)  # age-gated (4 h default)
+    assert os.path.isdir(fresh)  # young: an in-flight commit may own it
+    five_hours_ago = __import__("time").time() - 5 * 3600
+    os.utime(fresh, (five_hours_ago, five_hours_ago))
+    t.vacuum(keep=2)  # past the age threshold: reclaimed
+    assert not os.path.exists(fresh)
+
+
 def test_vacuum_age_gates_staging_dirs(spark, tmp_path):
     """_staging token dirs are reclaimed per-dir and only past the age
     threshold — a commit still writing its staging files is never swept
