@@ -22,7 +22,7 @@ DuckDB oracle can reproduce results bit-for-bit; each has a
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
@@ -998,6 +998,139 @@ def image_phash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def _phash_chunk_rows(codes: DataFrame) -> DataFrame:
+    """Flatten (doc_id, c0..c3) hash codes to 4 probe rows per image:
+    (doc_id, chunk_id, chunk_val, c0..c3) — chunk_val is the banding
+    key, the full code rides along for probe-time Hamming verify."""
+    from . import multimodal
+
+    chunks = multimodal.PHASH_CHUNKS
+    chunk_cols = [f"c{c}" for c in range(chunks)]
+    structs = [
+        F.struct(F.lit(c).alias("chunk_id"), F.col(f"c{c}").alias("chunk_val"))
+        for c in range(chunks)
+    ]
+    return codes.select(
+        "doc_id",
+        *chunk_cols,
+        F.explode(F.array(*structs)).alias("ch"),
+    ).select("doc_id", F.col("ch.chunk_id"), F.col("ch.chunk_val"), *chunk_cols)
+
+
+def write_phash_index(
+    docs: DataFrame,
+    path: str,
+    mode: str = "append",
+    bucket_cap: int | None = None,
+) -> None:
+    """Persist perceptual-hash band fingerprints as the cross-run
+    IMAGE dedup index (the phash mirror of
+    ``write_fingerprint_index``): 4 tiny rows per image — the pixels
+    are decoded ONCE, at index time, and never again.
+
+    Soundness is the same per-document argument as MinHash bands: an
+    image's aHash depends only on its own pixels, so chunk values
+    computed in different runs collide exactly as in one run.
+
+    ``bucket_cap`` (optional) drops chunk buckets with more than
+    ``cap`` members WITHIN the indexed corpus at write time — the
+    skew guard for degenerate corpora (millions of uniform images on
+    one chunk value), keeping every future probe join explosion-free.
+    Capped drops are per-write; buckets that only exceed the cap
+    across appends are the monitoring case (re-index to re-cap)."""
+    from . import multimodal
+
+    codes = multimodal.ahash_chunks(
+        multimodal.synth_phash_png_assets(docs)
+    ).withColumnRenamed("asset_id", "doc_id")
+    rows = _phash_chunk_rows(codes)
+    if bucket_cap is not None:
+        w = F.count(F.lit(1)).over(
+            Window.partitionBy("chunk_id", "chunk_val")
+        )
+        rows = rows.withColumn("__n", w).filter(
+            F.col("__n") <= bucket_cap
+        ).drop("__n")
+    rows.repartition("chunk_id", "chunk_val").write.mode(mode).parquet(path)
+
+
+def incremental_phash_pairs(
+    spark,
+    batch_docs: DataFrame,
+    index_path: str,
+    max_hamming: int = None,
+    bucket_cap: int = PHASH_BUCKET_CAP,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): near-duplicate image pairs for a NEW
+    batch — batch-vs-index collisions plus batch-internal collisions,
+    without re-decoding any indexed image (the phash mirror of
+    ``incremental_dedup_pairs``).
+
+    Union-equivalence (tested): on a corpus where no chunk bucket
+    exceeds ``bucket_cap``, index(A) then incremental(B) reports
+    exactly the B-involving subset of ``image_phash_pairs(A ∪ B)``,
+    because chunk fingerprints are per-image. The batch-internal path
+    applies the same bucket cap as the one-shot operator; the cross
+    probe relies on the index being written cap-clean
+    (``write_phash_index(bucket_cap=...)``) for its skew guard.
+
+    Physical shape: the batch decodes once (mapInPandas) into a
+    localCheckpointed 4-rows/image frame; the index side is a pure
+    parquet scan of hash rows — pixels never move. The probe is an
+    equi-join on (chunk_id, chunk_val); Hamming verifies from the
+    carried codes, 4 xor+popcounts per candidate."""
+    from . import multimodal
+
+    if max_hamming is None:
+        max_hamming = multimodal.PHASH_MAX_HAMMING
+    chunks = multimodal.PHASH_CHUNKS
+    codes = multimodal.ahash_chunks(
+        multimodal.synth_phash_png_assets(batch_docs)
+    ).withColumnRenamed("asset_id", "doc_id")
+    b = _phash_chunk_rows(codes).localCheckpoint()
+    idx = spark.read.parquet(index_path)
+    renames = dict(
+        [("doc_id", "batch_id")] + [(f"c{c}", f"b{c}") for c in range(chunks)]
+    )
+    bp = b.withColumnsRenamed(renames)
+    ham = " + ".join(f"bit_count(c{c} ^ b{c})" for c in range(chunks))
+    cross = (
+        idx.join(bp, ["chunk_id", "chunk_val"])
+        .filter(F.col("doc_id") != F.col("batch_id"))
+        .select(
+            F.least("doc_id", "batch_id").alias("doc_a"),
+            F.greatest("doc_id", "batch_id").alias("doc_b"),
+            F.expr(f"CAST({ham} AS BIGINT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    internal_buckets = (
+        b.groupBy("chunk_id", "chunk_val")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct("doc_id", *[f"c{c}" for c in range(chunks)]))
+            ).alias("members")
+        )
+        .filter(
+            (F.size("members") >= 2) & (F.size("members") <= bucket_cap)
+        )
+    )
+    step = internal_buckets.select(
+        "members", F.posexplode("members").alias("i", "a")
+    )
+    ipairs = step.select(
+        "a",
+        F.explode(F.expr("slice(members, i + 2, size(members))")).alias("b"),
+    )
+    iham = " + ".join(f"bit_count(a.c{c} ^ b.c{c})" for c in range(chunks))
+    internal = ipairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.expr(f"CAST({iham} AS BIGINT)").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+    return cross.unionByName(internal).distinct()
 
 
 def image_phash_oracle_sql(

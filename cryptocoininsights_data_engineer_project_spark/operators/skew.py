@@ -20,10 +20,75 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEFAULT_SALTS = 16
+
+
+def skewed_join_fixture(
+    spark: SparkSession,
+    n_fact: int,
+    n_keys: int,
+    hot_frac: float = 0.4,
+    hot_key: int = 7,
+    pad: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic (fact, dim) pair with one hot join key owning
+    ``hot_frac`` of the fact — the fixture behind the skewed-join A/B
+    (tests/test_skew_join.py, scripts/skew_ab.py). ``pad`` widens fact
+    rows with an opaque string so the hot shuffle partition crosses
+    byte thresholds at a chosen row count. The pad is INCOMPRESSIBLE
+    (per-row sha2 hex): shuffle blocks are lz4-compressed, so a
+    constant pad would vanish before AQE ever measured it — a real
+    wide fact row (urls, payloads) does not."""
+    fact = spark.range(n_fact).select(
+        F.when(F.col("id") < int(n_fact * hot_frac), F.lit(hot_key))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_keys)))
+        .alias("key"),
+        (F.col("id") % 1000).alias("v"),
+        *(
+            [
+                F.expr(
+                    "substring(repeat(sha2(cast(id AS string), 512), "
+                    f"{pad // 128 + 1}), 1, {pad})"
+                ).alias("pad")
+            ]
+            if pad
+            else []
+        ),
+    )
+    dim = spark.range(n_keys).select(
+        F.col("id").alias("key"), (F.col("id") * 2).alias("w")
+    )
+    return fact, dim
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Hot-key-safe equi-join: fact rows get a deterministic salt (hash
+    of all columns mod ``n_salts``), the dim side is replicated once
+    per salt value, and the join runs on (key, salt) — the hot key's
+    rows spread over ``n_salts`` shuffle partitions instead of one.
+
+    Output is row-for-row identical to ``fact.join(dim, key)``: every
+    fact row carries exactly ONE salt, so it meets each matching dim
+    row exactly once (the replication multiplies dim ×n_salts but each
+    copy matches a disjoint salt slice of the fact). Cost: the dim
+    side's shuffle volume ×n_salts — which is why AQE's skew split
+    (same splitting, no dim inflation, runtime-triggered) is preferred
+    whenever it can fire; see the decision rule in SCALE.md."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
+    f = fact.withColumn("__salt", salt)
+    # replicate dim via a narrow generator (no join, no BNLJ)
+    d = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("long"))
+    return f.join(d, [key, "__salt"]).drop("__salt")
 
 
 def salted_agg(

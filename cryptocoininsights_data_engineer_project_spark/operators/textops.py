@@ -758,13 +758,10 @@ def bpe_merge_table(
     )
 
 
-def bpe_merges_oracle_sql(
-    n_words: int = BPE_VOCAB_N, steps: int = BPE_STEPS
-) -> str:
-    """Unrolled-iteration oracle (the ema_macd pattern): K CTE blocks,
-    each re-deriving pair counts from the previous segmentation,
-    taking the same deterministically-tie-broken argmax, and applying
-    the same double-delimited replace."""
+def _bpe_merge_blocks(n_words: int, steps: int) -> list[str]:
+    """Shared CTE prefix (vocab → seg0 → {lst,pair,best,seg}×K) for
+    the merge-learning and encode oracles — both must see the exact
+    same deterministically-tie-broken merge sequence."""
     blocks = [
         "wc AS (SELECT w AS word, count(*) AS cnt FROM "
         f"(SELECT unnest({duck_tokens('text')}) AS w FROM documents) "
@@ -795,9 +792,99 @@ def bpe_merges_oracle_sql(
             "' ' || b.lhs || b.rhs || ' ') AS seg "
             f"FROM seg{p} s, best{i} b)"
         )
-        outs.append(
-            f"SELECT CAST({i} AS BIGINT) AS step, lhs, rhs, "
-            "CAST(f AS BIGINT) AS pair_count, lhs || rhs AS merged "
-            f"FROM best{i}"
-        )
+    return blocks
+
+
+def bpe_merges_oracle_sql(
+    n_words: int = BPE_VOCAB_N, steps: int = BPE_STEPS
+) -> str:
+    """Unrolled-iteration oracle (the ema_macd pattern): K CTE blocks,
+    each re-deriving pair counts from the previous segmentation,
+    taking the same deterministically-tie-broken argmax, and applying
+    the same double-delimited replace."""
+    blocks = _bpe_merge_blocks(n_words, steps)
+    outs = [
+        f"SELECT CAST({i} AS BIGINT) AS step, lhs, rhs, "
+        "CAST(f AS BIGINT) AS pair_count, lhs || rhs AS merged "
+        f"FROM best{i}"
+        for i in range(1, steps + 1)
+    ]
     return "WITH " + ",\n".join(blocks) + "\n" + "\nUNION ALL\n".join(outs)
+
+
+def bpe_encode_counts(
+    spark,
+    docs: DataFrame,
+    n_words: int = BPE_VOCAB_N,
+    steps: int = BPE_STEPS,
+) -> DataFrame:
+    """(doc_id, n_words, n_bpe): tokenize the corpus WITH the learned
+    merge table — the apply side that closes the tokenizer loop opened
+    by ``bpe_merge_table``. Every word is segmented to characters in
+    the same double-delimited representation, the K learned merges are
+    applied in order as literal replaces, and the per-word token count
+    is summed per document (n_bpe = what ``pack_sequences`` would pack
+    on under this tokenizer; n_words = the whitespace grain).
+
+    Physical shape: the LEARNING loop is ``bpe_merge_table``'s K tiny
+    jobs (one corpus scan total); the ENCODE pass is ONE narrow
+    corpus scan with zero shuffles — the merge table collects to the
+    driver (K rows, bounded by construction) and unrolls into a
+    literal replace chain inside a single higher-order aggregate, so
+    tokenization runs at scan speed entirely in codegen. At 100 TB the
+    per-doc counts stream straight into the pack/filter stages without
+    ever exploding a token row per word."""
+    merges = sorted(
+        bpe_merge_table(spark, docs, n_words, steps).collect(),
+        key=lambda r: r["step"],
+    )
+    chain = "concat('  ', regexp_replace(w, '(.)', '$1  '))"
+    for m in merges:
+        chain = f"replace({chain}, ' {m['lhs']}  {m['rhs']} ', ' {m['merged']} ')"
+    toks = f"filter({spark_tokens('text')}, w -> w <> '')"
+    return docs.select(
+        "doc_id",
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_words"),
+        F.expr(
+            f"aggregate({toks}, CAST(0 AS BIGINT), "
+            f"(a, w) -> a + size(split(trim({chain}), '  ')))"
+        ).alias("n_bpe"),
+    )
+
+
+def bpe_encode_oracle_sql(
+    n_words: int = BPE_VOCAB_N, steps: int = BPE_STEPS
+) -> str:
+    """Re-derives the identical merge sequence via the shared CTE
+    prefix, then applies it word-by-word: each enc{i} chains the
+    double-delimited replace against best{i} (1-row cross join), and
+    the per-doc aggregate LEFT JOINs back so token-free documents
+    surface (0, 0) exactly as the Spark fold does."""
+    blocks = _bpe_merge_blocks(n_words, steps)
+    blocks.append(
+        "wrds AS (SELECT doc_id, w FROM (SELECT doc_id, "
+        f"unnest({duck_tokens('text')}) AS w FROM documents) WHERE w <> '')"
+    )
+    blocks.append(
+        "enc0 AS (SELECT doc_id, '  ' || regexp_replace(w, '(.)', "
+        "'\\1  ', 'g') AS seg FROM wrds)"
+    )
+    for i in range(1, steps + 1):
+        blocks.append(
+            f"enc{i} AS (SELECT e.doc_id, replace(e.seg, "
+            "' ' || b.lhs || '  ' || b.rhs || ' ', "
+            "' ' || b.lhs || b.rhs || ' ') AS seg "
+            f"FROM enc{i - 1} e, best{i} b)"
+        )
+    blocks.append(
+        f"agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+        f"CAST(sum(len(string_split(trim(seg), '  '))) AS BIGINT) AS n_bpe "
+        f"FROM enc{steps} GROUP BY doc_id)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + "\nSELECT d.doc_id, coalesce(a.n_words, 0) AS n_words, "
+        "coalesce(a.n_bpe, 0) AS n_bpe "
+        "FROM documents d LEFT JOIN agg a USING (doc_id)"
+    )

@@ -566,6 +566,49 @@ def test_image_phash_bucket_cap_drops_degenerate_buckets(spark):
     assert full == want
 
 
+def test_incremental_phash_matches_one_shot(spark, tmp_path):
+    """index(A) + incremental(B) must equal the B-involving subset of
+    one-shot image_phash_pairs(A ∪ B) — the invariant that lets an
+    image pipeline dedup new batches against persisted hash rows
+    without re-DECODING any indexed image (mirror of the MinHash
+    cross-run test in test_packing_dedup.py)."""
+    from cryptocoininsights_data_engineer_project_spark.operators import dedup
+
+    docs = spark.range(16).withColumnRenamed("id", "doc_id")
+    a = docs.filter("doc_id % 2 = 0")
+    b = docs.filter("doc_id % 2 = 1")
+    idx = str(tmp_path / "phash_index")
+    dedup.write_phash_index(a, idx)
+
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.incremental_phash_pairs(spark, b, idx).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.image_phash_pairs(docs).collect()
+    }
+    b_ids = {r.doc_id for r in b.collect()}
+    want = {(x, y, h) for x, y, h in full if x in b_ids or y in b_ids}
+    assert got == want
+    assert len(got) > 0
+
+    # maintenance invariant: append B's fingerprints; index-time plus
+    # incremental reports reconstruct the full union pair set
+    dedup.write_phash_index(b, idx)
+    a_internal = {
+        (x, y, h) for x, y, h in full if x not in b_ids and y not in b_ids
+    }
+    assert a_internal | got == full
+
+    # cap-clean write: bucket_cap=1 drops A's shared-chunk buckets at
+    # index time (only never-colliding singletons remain), so a B
+    # probe surfaces zero cross pairs — the explosion-free guard
+    idx2 = str(tmp_path / "phash_index_capped")
+    dedup.write_phash_index(a, idx2, bucket_cap=1)
+    assert dedup.incremental_phash_pairs(spark, b, idx2).count() == 0
+
+
 def test_ahash_chunks_bits_match_decoded_pixels(spark):
     """ahash_chunks recomputed by hand from the decoded fixture bytes:
     bit j set iff pixel j > image mean (integer threshold)."""
