@@ -1,22 +1,28 @@
-"""Stdlib+numpy baseline JPEG (ITU-T T.81) decoder for the codec seam.
+"""Stdlib+numpy JPEG (ITU-T T.81) decoder for the codec seam.
 
 The reference pipeline stores opaque media payloads and defers decode
 to downstream consumers (data-extract.py:10-46 ships raw API bytes to
 S3 unparsed); this engine's multimodal operators decode payloads on
 executors through a pluggable registry (operators/multimodal.py::
 register_decoder). PNG/WAV/Y4M decode with real bytes already; this
-module closes the one format gap a 100 TB image corpus actually hits:
-**baseline JFIF** — sequential DCT, Huffman entropy coding, 8-bit
-samples, grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 subsampling,
-restart markers, 0xFF00 byte stuffing. Progressive (SOF2), arithmetic
-coding, 12-bit, and hierarchical modes raise NotImplementedError and
-remain what a cluster swaps in a libjpeg-backed callable for.
+module closes the format gaps a 100 TB image corpus actually hits:
+**baseline JFIF** (SOF0/1) — sequential DCT, Huffman entropy coding,
+8-bit samples, grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0
+subsampling, restart markers, 0xFF00 byte stuffing — and
+**progressive JFIF** (SOF2) — spectral selection (per-scan Ss..Se
+bands with EOB-run coding) and successive approximation (Ah/Al
+first + refinement scans for both DC and AC), the encoding most
+web-crawled JPEGs actually use. Arithmetic coding, 12-bit, and
+hierarchical modes raise NotImplementedError and remain what a
+cluster swaps in a libjpeg-backed callable for.
 
 Decode stages, per the spec:
-  segment parse (DQT/SOF0/DHT/DRI/SOS, APPn/COM skipped)
+  segment parse (DQT/SOF0/SOF2/DHT/DRI/SOS, APPn/COM skipped)
   -> canonical Huffman tables (counts-per-length + symbol list)
-  -> entropy-decode MCUs (DC size+amplitude with per-component
-     prediction; AC run/size with EOB and ZRL)
+  -> entropy-decode (baseline: one interleaved scan of DC size+
+     amplitude with per-component prediction and AC run/size with
+     EOB/ZRL; progressive: coefficients accumulate across scans —
+     G.1.2's DC/AC first and refinement procedures — until EOI)
   -> dezigzag -> dequantize -> 2-D IDCT (separable, float64)
   -> level shift +128, clamp to [0, 255]
   -> chroma upsample (sample replication) -> JFIF YCbCr -> RGB.
@@ -203,6 +209,9 @@ def _parse_segments(data: bytes) -> tuple[int, int, int, bytes]:
     comps: list[_Component] = []
     width = height = 0
     restart_interval = 0
+    progressive = False
+    coefs: list[np.ndarray] = []  # per-comp (blocks_h, blocks_w, 64)
+    any_scan = False
 
     while True:
         if data[pos] != 0xFF:
@@ -213,7 +222,9 @@ def _parse_segments(data: bytes) -> tuple[int, int, int, bytes]:
             pos += 1
         marker = data[pos + 1]
         pos += 2
-        if marker == 0xD9:  # EOI before any scan
+        if marker == 0xD9:  # EOI
+            if progressive and any_scan:
+                return _reconstruct(comps, coefs, qtables, width, height)
             raise JpegError("EOI before SOS: no image data")
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # parameterless
@@ -244,11 +255,12 @@ def _parse_segments(data: bytes) -> tuple[int, int, int, bytes]:
                 table = _HuffTable(counts, symbols)
                 (ac_tables if tc else dc_tables)[th] = table
                 i += 17 + nsym
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(
-                    f"{precision}-bit precision: baseline decoder is "
+                    f"{precision}-bit precision: this decoder is "
                     "8-bit only (register a libjpeg-backed decoder)"
                 )
             height, width = struct.unpack(">HH", seg[1:5])
@@ -260,20 +272,32 @@ def _parse_segments(data: bytes) -> tuple[int, int, int, bytes]:
             for c in range(nf):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append(_Component(cid, hv >> 4, hv & 0x0F, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            if progressive:
+                hmax = max(c.h for c in comps)
+                vmax = max(c.v for c in comps)
+                if any(hmax % c.h or vmax % c.v for c in comps):
+                    raise NotImplementedError(
+                        "fractional chroma sampling ratios: integer-"
+                        "ratio subsampling only (4:4:4 / 4:2:2 / 4:2:0)"
+                    )
+                mcus_x = -(-width // (8 * hmax))
+                mcus_y = -(-height // (8 * vmax))
+                for c in comps:
+                    c.blocks_w = mcus_x * c.h
+                    c.blocks_h = mcus_y * c.v
+                    coefs.append(
+                        np.zeros((c.blocks_h, c.blocks_w, 64), dtype=np.int32)
+                    )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"SOF marker {marker:#x} (progressive/arithmetic/"
-                "hierarchical): baseline sequential only — register a "
-                "libjpeg-backed decoder for these streams"
+                f"SOF marker {marker:#x} (arithmetic/hierarchical/"
+                "lossless): sequential + progressive Huffman only — "
+                "register a libjpeg-backed decoder for these streams"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
-            if ns != len(comps):
-                raise NotImplementedError(
-                    "non-interleaved multi-scan baseline not supported"
-                )
             by_id = {c.cid: c for c in comps}
             scan_order = []
             for c in range(ns):
@@ -281,18 +305,44 @@ def _parse_segments(data: bytes) -> tuple[int, int, int, bytes]:
                 comp = by_id[cid]
                 comp.td, comp.ta = tdta >> 4, tdta & 0x0F
                 scan_order.append(comp)
-            pos = pos + seglen
-            return _decode_scan(
+            if not progressive:
+                if ns != len(comps):
+                    raise NotImplementedError(
+                        "non-interleaved multi-scan baseline not supported"
+                    )
+                pos = pos + seglen
+                return _decode_scan(
+                    data,
+                    pos,
+                    width,
+                    height,
+                    scan_order,
+                    qtables,
+                    dc_tables,
+                    ac_tables,
+                    restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            pos = _decode_progressive_scan(
                 data,
-                pos,
-                width,
-                height,
+                pos + seglen,
+                comps,
                 scan_order,
-                qtables,
+                coefs,
+                ss,
+                se,
+                ah,
+                al,
                 dc_tables,
                 ac_tables,
                 restart_interval,
+                width,
+                height,
             )
+            any_scan = True
+            continue
         # APPn / COM / anything else: skip
         pos += seglen
 
@@ -377,10 +427,22 @@ def _decode_scan(
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcus_since_restart += 1
 
+    return _finish(planes, comps, hmax, vmax, width, height)
+
+
+def _finish(
+    planes: list[np.ndarray],
+    comps: list[_Component],
+    hmax: int,
+    vmax: int,
+    width: int,
+    height: int,
+) -> tuple[int, int, int, bytes]:
+    """Shared reconstruction tail: level shift + clamp, chroma
+    upsample by sample replication, JFIF YCbCr -> RGB."""
     samples = []
     for ci, c in enumerate(comps):
         p = np.clip(np.round(planes[ci]) + 128, 0, 255)
-        # upsample subsampled components by sample replication
         if c.h != hmax or c.v != vmax:
             p = np.repeat(np.repeat(p, vmax // c.v, axis=0), hmax // c.h, axis=1)
         samples.append(p[:height, :width])
@@ -395,3 +457,266 @@ def _decode_scan(
         [np.clip(np.round(ch), 0, 255) for ch in (r, g, b)], axis=-1
     ).astype(np.uint8)
     return width, height, 3, rgb.tobytes()
+
+
+# --------------------------------------------- progressive (SOF2) decode
+
+
+def _nonint_grid(c: _Component, width: int, height: int, hmax: int, vmax: int) -> tuple[int, int]:
+    """Block grid a NON-interleaved progressive scan iterates: ceil of
+    the component's true sample dimensions (T.81 A.2.2) — NOT padded
+    to MCU multiples like the interleaved coefficient array."""
+    cw = -(-width * c.h // hmax)
+    ch = -(-height * c.v // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _scan_end(reader: _BitReader, data: bytes) -> int:
+    """Byte offset of the next marker after a finished entropy scan
+    (skipping padding bits and stuffed 0xFF00s)."""
+    if reader.marker is not None:
+        return reader.pos - 2
+    p = reader.pos
+    while p + 1 < len(data) and not (data[p] == 0xFF and data[p + 1] != 0x00):
+        p += 1
+    return p
+
+
+def _decode_progressive_scan(
+    data: bytes,
+    pos: int,
+    comps: list[_Component],
+    scomps: list[_Component],
+    coefs: list[np.ndarray],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    dc_tables: dict[int, _HuffTable],
+    ac_tables: dict[int, _HuffTable],
+    restart_interval: int,
+    width: int,
+    height: int,
+) -> int:
+    """Decode ONE progressive scan into the coefficient accumulators,
+    returning the offset of the next marker. Implements T.81 G.1.2:
+    DC first/refine (Ss=0), AC first/refine (Ss>0, single component),
+    EOB-run coding, restart intervals."""
+    if not coefs:
+        raise JpegError("SOS before SOF2 in progressive stream")
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    reader = _BitReader(data, pos)
+    by_comp = {id(c): coefs[i] for i, c in enumerate(comps)}
+    for c in scomps:
+        c.pred = 0
+    rst_n = 0
+    since = 0
+    eobrun = 0
+
+    def _restart_due() -> bool:
+        return restart_interval and since == restart_interval
+
+    def _do_restart() -> None:
+        nonlocal since, rst_n, eobrun
+        reader.sync_restart(rst_n)
+        rst_n = (rst_n + 1) & 7
+        since = 0
+        eobrun = 0
+        for c in scomps:
+            c.pred = 0
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise JpegError("DC scan must have Se=0")
+        interleaved = len(scomps) > 1
+        if interleaved:
+            for _my in range(mcus_y):
+                for _mx in range(mcus_x):
+                    if _restart_due():
+                        _do_restart()
+                    for c in scomps:
+                        arr = by_comp[id(c)]
+                        for by in range(c.v):
+                            for bx in range(c.h):
+                                _dc_unit(
+                                    reader,
+                                    arr[_my * c.v + by, _mx * c.h + bx],
+                                    c,
+                                    dc_tables,
+                                    ah,
+                                    al,
+                                )
+                    since += 1
+        else:
+            c = scomps[0]
+            arr = by_comp[id(c)]
+            bw, bh = _nonint_grid(c, width, height, hmax, vmax)
+            for by in range(bh):
+                for bx in range(bw):
+                    if _restart_due():
+                        _do_restart()
+                    _dc_unit(reader, arr[by, bx], c, dc_tables, ah, al)
+                    since += 1
+    else:  # AC scan: exactly one component (B.2.3)
+        if len(scomps) != 1:
+            raise JpegError("progressive AC scan must be single-component")
+        if se > 63 or ss > se:
+            raise JpegError("bad spectral band")
+        c = scomps[0]
+        arr = by_comp[id(c)]
+        act = ac_tables[c.ta]
+        bw, bh = _nonint_grid(c, width, height, hmax, vmax)
+        for by in range(bh):
+            for bx in range(bw):
+                if _restart_due():
+                    _do_restart()
+                if ah == 0:
+                    eobrun = _ac_first(
+                        reader, arr[by, bx], act, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _ac_refine(
+                        reader, arr[by, bx], act, ss, se, al, eobrun
+                    )
+                since += 1
+    return _scan_end(reader, data)
+
+
+def _dc_unit(
+    reader: _BitReader,
+    cb: np.ndarray,
+    c: _Component,
+    dc_tables: dict[int, _HuffTable],
+    ah: int,
+    al: int,
+) -> None:
+    if ah == 0:  # first DC scan: baseline DIFF coding, point transform
+        size = reader.decode_symbol(dc_tables[c.td])
+        c.pred += _extend(reader.receive(size), size)
+        cb[0] = c.pred << al
+    else:  # refinement: one raw bit appends bit Al
+        if reader.read_bit():
+            cb[0] |= 1 << al
+
+
+
+def _ac_first(
+    reader: _BitReader,
+    cb: np.ndarray,
+    act: _HuffTable,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """G.1.2.2: first AC scan for a band — run/size with EOBn codes;
+    new coefficients arrive scaled by 2^Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.receive(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise JpegError("AC run past band end")
+        cb[ZIGZAG_TO_NATURAL[k]] = _extend(reader.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(
+    reader: _BitReader,
+    cb: np.ndarray,
+    act: _HuffTable,
+    ss: int,
+    se: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """G.1.2.3: AC refinement — newly-significant coefficients arrive
+    as ±2^Al; every already-nonzero coefficient in the band consumes a
+    correction bit IN THE ORDER VISITED (history coefficients inside
+    zero runs and EOB spans included)."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_symbol(act)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    # EOB span INCLUDES the current block: the tail
+                    # below still consumes this block's correction
+                    # bits, then decrements (G.1.2.3 — unlike the
+                    # first-scan EOB, which ends the block outright)
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise JpegError("AC refinement size must be 1")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                z = ZIGZAG_TO_NATURAL[k]
+                if cb[z] != 0:
+                    if reader.read_bit() and (cb[z] & p1) == 0:
+                        cb[z] += p1 if cb[z] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                cb[ZIGZAG_TO_NATURAL[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = ZIGZAG_TO_NATURAL[k]
+            if cb[z] != 0:
+                if reader.read_bit() and (cb[z] & p1) == 0:
+                    cb[z] += p1 if cb[z] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct(
+    comps: list[_Component],
+    coefs: list[np.ndarray],
+    qtables: dict[int, np.ndarray],
+    width: int,
+    height: int,
+) -> tuple[int, int, int, bytes]:
+    """Dequantize + IDCT every accumulated coefficient block (one
+    vectorized einsum per component) and hand off to the shared
+    reconstruction tail."""
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qtables[c.tq].astype(np.float64)
+        bh, bw = c.blocks_h, c.blocks_w
+        # coefficients were stored in NATURAL order during decode
+        # (written through ZIGZAG_TO_NATURAL), so a reshape dezigzags
+        nat = coefs[ci].reshape(bh, bw, 64).astype(np.float64)
+        deq = nat.reshape(bh, bw, 8, 8) * q[None, None, :, :]
+        blocks = np.einsum("ux,ijuv,vy->ijxy", _C, deq, _C)
+        plane = blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        planes.append(plane)
+    return _finish(planes, comps, hmax, vmax, width, height)

@@ -4,13 +4,15 @@ columns with typed metadata.
 Decode coverage: container-header parse (PNG IHDR, WAV fmt), 16-bit
 PCM SAMPLE decode (``decode_wav_frames``), PNG PIXEL decode
 (``decode_png_pixels`` — stdlib zlib inflate + all five spec filters),
-and baseline JPEG PIXEL decode (operators/jpegcodec.py — Huffman +
-dequant + IDCT per ITU-T T.81, grayscale and 4:4:4/4:2:2/4:2:0 YCbCr)
-are all REAL; no codec library needed. Only genuinely external codecs
-(progressive JPEG, compressed video) still raise in ``decode_image`` —
-their Spark-side plumbing (schema contract, Arrow batch shapes,
-``mapInPandas`` signatures, partitioning) is the same one the real
-paths use, so swapping in PIL/ffmpeg is one ``register_decoder`` call.
+and JPEG PIXEL decode (operators/jpegcodec.py — Huffman + dequant +
+IDCT per ITU-T T.81: baseline SOF0/1 AND progressive SOF2 with
+spectral selection + successive approximation, grayscale and
+4:4:4/4:2:2/4:2:0 YCbCr) are all REAL; no codec library needed. Only
+genuinely external codecs (arithmetic/12-bit JPEG, compressed video)
+still raise in ``decode_image`` — their Spark-side plumbing (schema
+contract, Arrow batch shapes, ``mapInPandas`` signatures,
+partitioning) is the same one the real paths use, so swapping in
+PIL/ffmpeg is one ``register_decoder`` call.
 
 Design for 100 TB: binary payloads ride in their own column so column
 pruning skips them unless a stage actually decodes; decode runs in
@@ -326,12 +328,13 @@ def decode_image(
 ) -> tuple[int, int, int, bytes]:
     """Image PIXEL decode through the codec registry. PNG decodes for
     REAL via the stdlib-only ``decode_png_pixels`` (DEFLATE is zlib;
-    filters per spec); baseline JPEG via ``jpegcodec.
-    decode_jpeg_pixels`` (Huffman + dequant + IDCT per T.81). Formats
-    with no registered decoder raise NotImplementedError naming the
-    seam — progressive JPEG and compressed video codecs aren't in this
-    container, so a real cluster registers PIL/ffmpeg-backed callables
-    instead of patching any operator."""
+    filters per spec); JPEG — baseline AND progressive — via
+    ``jpegcodec.decode_jpeg_pixels`` (Huffman + dequant + IDCT per
+    T.81). Formats with no registered decoder raise
+    NotImplementedError naming the seam — arithmetic-coded JPEG and
+    compressed video codecs aren't in this container, so a real
+    cluster registers PIL/ffmpeg-backed callables instead of patching
+    any operator."""
     b = bytes(payload)
     reg = DECODERS if decoders is None else decoders
     fmt = sniff_format(b)
@@ -1301,6 +1304,115 @@ WITH px AS (
            * (CASE WHEN (g.i // {JPEG_W}) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
       ELSE 128 + (32 + doc_id % 32) + (8 + doc_id % 8)
          + (4 + (doc_id * 3) % 4)
+           * (CASE WHEN ((g.i % {JPEG_W}) - 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+           * (CASE WHEN (g.i // {JPEG_W}) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+     END) AS v
+  FROM documents, UNNEST(generate_series(0, {n - 1})) AS g(i)
+)
+SELECT doc_id AS asset_id,
+  CAST({JPEG_W} AS BIGINT) AS width, CAST({JPEG_H} AS BIGINT) AS height,
+  CAST(1 AS BIGINT) AS channels, CAST({n} AS BIGINT) AS n_pixels,
+  CAST(sum(v) AS BIGINT) AS pixel_sum,
+  CAST(sum(v * (i + 1) * (i + 1)) AS BIGINT) AS px_checksum,
+  CAST(sum(v) AS BIGINT) * 1000000 // {n} AS mean_ppm
+FROM px GROUP BY doc_id
+"""
+
+
+# ----------------------------------------------------- progressive jpeg
+# The PROGRESSIVE (SOF2) twin of the baseline fixture family above —
+# same 16x8 grayscale geometry and exact-integer DCT slots, but the
+# coefficients arrive the way a web-crawled JPEG's do: a DC first scan
+# at successive-approximation precision Al=1, an AC spectral-selection
+# scan for band 1..63 (run/size with ZRL skips and EOB), and a DC
+# refinement scan appending the dropped bit (Ah=1, Al=0). Every scan's
+# entropy bytes are constructed in closed form; two parameter corners
+# produce a genuine 0xFF pad byte, emitted spec-exactly as a stuffed
+# ff00 (CASE branches in both engines), so the driver-checked fixture
+# also exercises unstuffing.
+#
+# Decoded pixels (exact integers, same basis argument as baseline):
+#   dc1 = 2*(16 + doc_id%16) + doc_id%2          (u1<<1 | refine bit)
+#   dc2 = dc1 - doc_id%2 + 2*(4 + doc_id%4) + (doc_id//4)%2
+#   left block:  px = 128 + dc1 + ac1 * s(y)
+#   right block: px = 128 + dc2 + ac2 * s(x-8) * s(y)
+# with ac1 = 4 + (doc_id//2)%4, ac2 = 4 + (doc_id*3)%4 and
+# s = [+,-,-,+,+,-,-,+].
+
+_JPEG_PROG_HEADER_HEX = (
+    "ffd8"  # SOI
+    + "ffdb" + "0043" + "00" + "08" * 64  # DQT: 8-bit table 0, all 8s
+    # SOF2 (progressive): 8-bit, 8 rows, 16 cols, 1 comp, h=v=1, tq 0
+    + "ffc2" + "000b" + "08" + f"{JPEG_H:04x}" + f"{JPEG_W:04x}" + "01" + "011100"
+    # DHT DC class0: '00' -> category 5, '01' -> category 3
+    + "ffc4" + "0015" + "00" + "0002" + "00" * 14 + "0503"
+    # DHT AC class1: '00' -> (run 9, size 3); '010' -> EOB;
+    #                '0110' -> ZRL; '0111' -> (run 6, size 3)
+    + "ffc4" + "0017" + "10" + "00010102" + "00" * 12 + "9300f063"
+)
+_SOS1_HEX = "ffda" + "0008" + "01" + "0100" + "000001"  # DC, Ah=0 Al=1
+_SOS2_HEX = "ffda" + "0008" + "01" + "0100" + "013f00"  # AC 1..63
+_SOS3_HEX = "ffda" + "0008" + "01" + "0100" + "000010"  # DC, Ah=1 Al=0
+
+
+def _synth_jpeg_prog_hex_spark() -> str:
+    """Entropy bytes per scan (bit layouts):
+    scan1 (12 bits + 4 pad): '00'+u1(5 bits, cat5) for block 1, then
+      '01'+d(3 bits, cat3) as the block-2 DIFF at Al=1 precision;
+      byte1 hits 0xFF when d=7 (pad 1111) -> stuffed ff00.
+    scan2 (26 bits + 6 pad): block1 '00'+ac1(3)+EOB('010') is exactly
+      one byte; block2 ZRL ZRL ('01100110' = 0x66) + '0111'+ac2(3) +
+      EOB -> byte 120+2*(ac2-4) then constant 0xBF.
+    scan3 (2 bits + 6 pad): raw refinement bits r1 r2; 0xFF when both
+      set -> stuffed ff00."""
+    b10 = "lpad(hex((16 + doc_id % 16) * 2), 2, '0')"
+    b11 = (
+        "CASE WHEN doc_id % 4 = 3 THEN 'ff00' "
+        "ELSE lpad(hex(143 + (4 + doc_id % 4) * 16), 2, '0') END"
+    )
+    b20 = "lpad(hex(34 + ((doc_id div 2) % 4) * 8), 2, '0')"
+    b22 = "lpad(hex(120 + ((doc_id * 3) % 4) * 2), 2, '0')"
+    b30 = (
+        "CASE WHEN doc_id % 2 = 1 AND (doc_id div 4) % 2 = 1 THEN 'ff00' "
+        "ELSE lpad(hex(63 + (doc_id % 2) * 128 + ((doc_id div 4) % 2) * 64), 2, '0') END"
+    )
+    return (
+        f"concat('{_JPEG_PROG_HEADER_HEX}', '{_SOS1_HEX}', {b10}, {b11}, "
+        f"'{_SOS2_HEX}', {b20}, '66', {b22}, 'bf', "
+        f"'{_SOS3_HEX}', {b30}, 'ffd9')"
+    )
+
+
+def synth_jpeg_progressive_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): complete decodable PROGRESSIVE JPEGs, one
+    per document, built JVM-side."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(f"unhex({_synth_jpeg_prog_hex_spark()})").alias("payload"),
+    )
+
+
+def jpeg_progressive_oracle_sql() -> str:
+    """Closed-form decoded-pixel stats for the progressive fixture —
+    same statistic family as ``jpeg_pixels_oracle_sql`` but with the
+    successive-approximation DC reconstruction stated explicitly."""
+    n = JPEG_W * JPEG_H
+    dc1 = "(2 * (16 + doc_id % 16) + doc_id % 2)"
+    dc2 = (
+        "(2 * (16 + doc_id % 16) + 2 * (4 + doc_id % 4) + (doc_id // 4) % 2)"
+    )
+    ac1 = "(4 + (doc_id // 2) % 4)"
+    ac2 = "(4 + (doc_id * 3) % 4)"
+    return f"""
+WITH px AS (
+  SELECT doc_id,
+    g.i AS i,
+    (CASE WHEN (g.i % {JPEG_W}) < 8
+      THEN 128 + {dc1}
+         + {ac1}
+           * (CASE WHEN (g.i // {JPEG_W}) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+      ELSE 128 + {dc2}
+         + {ac2}
            * (CASE WHEN ((g.i % {JPEG_W}) - 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
            * (CASE WHEN (g.i // {JPEG_W}) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
      END) AS v

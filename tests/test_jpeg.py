@@ -163,6 +163,224 @@ def _encode(
     return bytes(out)
 
 
+# ---------------------------------------- progressive (SOF2) test encoder
+
+
+def _sign_shift(v: int, al: int) -> int:
+    """AC point transform: divide by 2^Al truncating toward zero."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+def _encode_progressive(
+    width: int,
+    height: int,
+    comps: list[tuple[int, int]],
+    qtable: list[int],
+    block_coeffs,  # fn(ci, block_index) -> 64 natural-order ints
+    scans: list[tuple[list[int], int, int, int, int]],  # (comp_idxs, ss, se, ah, al)
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal progressive encoder, written from T.81 Annex G
+    independently of the decoder: spectral selection bands, successive
+    approximation (DC shift / AC magnitude-shift point transforms),
+    cross-block EOB runs with buffered refinement correction bits
+    (the libjpeg BE-buffer discipline), optional restarts."""
+    hmax = max(h for h, _ in comps)
+    vmax = max(v for _, v in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+
+    dc_syms = list(range(12))
+    ac_syms = sorted({(r << 4) | s for r in range(16) for s in range(11)} | {0x00, 0xF0})
+    dc_counts, dc_codes = _canonical(dc_syms)
+    ac_counts, ac_codes = _canonical(ac_syms)
+
+    # materialize every component's full (padded) coefficient grid once
+    grids = []
+    for ci, (h, v) in enumerate(comps):
+        bw, bh = mcus_x * h, mcus_y * v
+        grids.append(
+            [[list(block_coeffs(ci, by * bw + bx)) for bx in range(bw)] for by in range(bh)]
+        )
+
+    def nonint_grid(ci):
+        h, v = comps[ci]
+        cw = -(-width * h // hmax)
+        ch = -(-height * v // vmax)
+        return -(-cw // 8), -(-ch // 8)
+
+    out = bytearray(b"\xff\xd8")
+    zz_q = bytes(qtable[ZIGZAG_TO_NATURAL[z]] for z in range(64))
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([len(comps)])
+    for ci, (h, v) in enumerate(comps):
+        sof += bytes([ci + 1, (h << 4) | v, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    out += _dht(0, 0, dc_counts, dc_syms)
+    out += _dht(1, 0, ac_counts, ac_syms)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", restart_interval)
+
+    for comp_idxs, ss, se, ah, al in scans:
+        sos = bytes([len(comp_idxs)])
+        for ci in comp_idxs:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+        pk = _Packer()
+        rst = 0
+        since = 0
+        pred = {ci: 0 for ci in comp_idxs}
+        # EOB-run state: count + buffered refinement correction bits
+        eob_n = 0
+        eob_bits: list[int] = []
+
+        def flush_eob(pk=None):
+            nonlocal eob_n, eob_bits
+            if eob_n:
+                r = eob_n.bit_length() - 1
+                pk.put(*ac_codes[r << 4])
+                if r:
+                    pk.put(eob_n - (1 << r), r)
+                for b in eob_bits:
+                    pk.put(b, 1)
+            eob_n = 0
+            eob_bits = []
+
+        def do_restart():
+            nonlocal pk, rst, since, pred
+            flush_eob(pk)
+            pk.pad_to_byte()
+            out.extend(pk.out)
+            pk.__init__()
+            out.extend(bytes([0xFF, 0xD0 + rst]))
+            rst = (rst + 1) & 7
+            since = 0
+            pred = {ci: 0 for ci in comp_idxs}
+
+        def dc_unit(ci, zz):
+            nonlocal pred
+            if ah == 0:
+                v = zz[0] >> al  # arithmetic shift: DC point transform
+                diff = v - pred[ci]
+                pred[ci] = v
+                c = _category(diff)
+                pk.put(*dc_codes[c])
+                if c:
+                    pk.put(_amp_bits(diff, c), c)
+            else:
+                pk.put((zz[0] >> al) & 1, 1)
+
+        def ac_first_unit(zz):
+            nonlocal eob_n
+            band = [(_sign_shift(zz[k], al), k) for k in range(ss, se + 1)]
+            nz = [(v, k) for v, k in band if v != 0]
+            if not nz:
+                eob_n += 1
+                if eob_n == 0x7FFF:
+                    flush_eob(pk)
+                return
+            flush_eob(pk)
+            k = ss
+            for v, t in nz:
+                run = t - k
+                while run >= 16:
+                    pk.put(*ac_codes[0xF0])
+                    run -= 16
+                c = _category(v)
+                pk.put(*ac_codes[(run << 4) | c])
+                pk.put(_amp_bits(v, c), c)
+                k = t + 1
+            if k <= se:
+                eob_n += 1
+
+        def ac_refine_unit(zz):
+            nonlocal eob_n
+            hist = [_sign_shift(zz[k], al + 1) for k in range(ss, se + 1)]
+            cur = [_sign_shift(zz[k], al) for k in range(ss, se + 1)]
+            newly = [
+                i for i in range(len(cur)) if hist[i] == 0 and cur[i] != 0
+            ]
+            corr = lambda i: (abs(zz[ss + i]) >> al) & 1
+            if not newly:
+                eob_n += 1
+                eob_bits.extend(corr(i) for i in range(len(cur)) if hist[i] != 0)
+                if eob_n == 0x7FFF:
+                    flush_eob(pk)
+                return
+            flush_eob(pk)
+            i = 0
+            for t in newly:
+                # count zero-history positions between i and t, emitting
+                # buffered-in-place correction bits for nonzero history
+                run = sum(1 for j in range(i, t) if hist[j] == 0)
+                pending = list(range(i, t))
+                while run >= 16:
+                    pk.put(*ac_codes[0xF0])
+                    taken = 0
+                    while pending and taken < 16:
+                        j = pending.pop(0)
+                        if hist[j] == 0:
+                            taken += 1
+                        else:
+                            pk.put(corr(j), 1)
+                    run -= 16
+                pk.put(*ac_codes[(run << 4) | 1])
+                pk.put(1 if cur[t] > 0 else 0, 1)
+                for j in pending:
+                    if hist[j] != 0:
+                        pk.put(corr(j), 1)
+                i = t + 1
+            if i <= se - ss:
+                eob_n += 1
+                eob_bits.extend(
+                    corr(j) for j in range(i, se - ss + 1) if hist[j] != 0
+                )
+
+        if ss == 0:  # DC scan
+            if len(comp_idxs) > 1:  # interleaved MCU walk
+                for _my in range(mcus_y):
+                    for _mx in range(mcus_x):
+                        if restart_interval and since == restart_interval:
+                            do_restart()
+                        for ci in comp_idxs:
+                            h, v = comps[ci]
+                            for by in range(v):
+                                for bx in range(h):
+                                    zz_nat = grids[ci][_my * v + by][_mx * h + bx]
+                                    dc_unit(ci, zz_nat)
+                        since += 1
+            else:
+                ci = comp_idxs[0]
+                bw, bh = nonint_grid(ci)
+                for by in range(bh):
+                    for bx in range(bw):
+                        if restart_interval and since == restart_interval:
+                            do_restart()
+                        dc_unit(ci, grids[ci][by][bx])
+                        since += 1
+        else:  # AC scan: single component, zigzag band
+            ci = comp_idxs[0]
+            bw, bh = nonint_grid(ci)
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart_interval and since == restart_interval:
+                        do_restart()
+                    nat = grids[ci][by][bx]
+                    zz = [nat[ZIGZAG_TO_NATURAL[z]] for z in range(64)]
+                    if ah == 0:
+                        ac_first_unit(zz)
+                    else:
+                        ac_refine_unit(zz)
+                    since += 1
+        flush_eob(pk)
+        pk.pad_to_byte()
+        out.extend(pk.out)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _brute_block(coeffs, qtable):
     """T.81 A.3.3 IDCT straight from the definition + level shift."""
     out = [[0] * 8 for _ in range(8)]
@@ -309,18 +527,160 @@ def test_edge_blocks_cropped_not_padded():
     assert px[9 * 12 + 11] == 128 + 7
 
 
-def test_progressive_and_malformed_gates():
-    # progressive SOF2 -> NotImplementedError naming the seam
-    prog = bytearray(_encode(8, 8, [(1, 1)], [8] * 64, lambda ci, b: [3] + [0] * 63))
-    at = prog.index(b"\xff\xc0")
-    prog[at + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
-        decode_jpeg_pixels(bytes(prog))
+def test_arithmetic_and_malformed_gates():
+    # arithmetic coding (SOF9) -> NotImplementedError naming the seam
+    # (progressive SOF2 DECODES now; see the round-trip tests above)
+    arith = bytearray(_encode(8, 8, [(1, 1)], [8] * 64, lambda ci, b: [3] + [0] * 63))
+    at = arith.index(b"\xff\xc0")
+    arith[at + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg_pixels(bytes(arith))
+    # a baseline stream relabeled SOF2 is MALFORMED progressive (its
+    # single scan claims the full band with Se=63 from a DC scan) —
+    # loud JpegError, not a silent misdecode
+    mislabeled = bytearray(_encode(8, 8, [(1, 1)], [8] * 64, lambda ci, b: [3] + [0] * 63))
+    at = mislabeled.index(b"\xff\xc0")
+    mislabeled[at + 1] = 0xC2
+    with pytest.raises(JpegError, match="Se=0"):
+        decode_jpeg_pixels(bytes(mislabeled))
     with pytest.raises(JpegError):
         decode_jpeg_pixels(b"\x89PNG not a jpeg")
     ok = _encode(8, 8, [(1, 1)], [8] * 64, lambda ci, b: [3] + [0] * 63)
     with pytest.raises(JpegError):
         decode_jpeg_pixels(ok[: len(ok) // 2])  # truncated mid-scan
+
+
+def _rand_coeffs(seed, nblocks, spread=40):
+    import random
+
+    rng = random.Random(seed)
+    blocks = []
+    for _ in range(nblocks):
+        c = [0] * 64
+        c[0] = rng.randrange(-spread, spread)
+        for _k in range(rng.randrange(12)):
+            c[rng.randrange(1, 64)] = rng.randrange(-9, 10)
+        blocks.append(c)
+    return blocks
+
+
+def test_progressive_spectral_selection_matches_baseline():
+    """Spectral-selection-only script (DC scan + two AC band scans)
+    must reconstruct pixel-identically to the baseline encoding of the
+    SAME coefficients — progressive changes transmission order, not
+    content. Bands chosen so most blocks end early -> cross-block
+    EOB runs exercise the EOBn path."""
+    qtable = [8] * 64
+    blocks = _rand_coeffs(11, 6)
+    base = _encode(24, 16, [(1, 1)], qtable, lambda ci, b: blocks[b])
+    prog = _encode_progressive(
+        24,
+        16,
+        [(1, 1)],
+        qtable,
+        lambda ci, b: blocks[b],
+        scans=[([0], 0, 0, 0, 0), ([0], 1, 5, 0, 0), ([0], 6, 63, 0, 0)],
+    )
+    assert decode_jpeg_pixels(prog) == decode_jpeg_pixels(base)
+
+
+def test_progressive_successive_approximation_matches_baseline():
+    """Full SA script: DC and AC first scans at Al=1, then refinement
+    scans at Ah=1/Al=0 — exercises DC raw-bit refinement, AC
+    newly-significant insertion, correction bits inside runs and EOB
+    spans. Must equal the baseline decode bit-for-bit."""
+    qtable = [6] * 64
+    blocks = _rand_coeffs(23, 6)
+    base = _encode(24, 16, [(1, 1)], qtable, lambda ci, b: blocks[b])
+    prog = _encode_progressive(
+        24,
+        16,
+        [(1, 1)],
+        qtable,
+        lambda ci, b: blocks[b],
+        scans=[
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 63, 0, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ],
+    )
+    assert decode_jpeg_pixels(prog) == decode_jpeg_pixels(base)
+
+
+def test_progressive_color_420_and_banded_sa():
+    """Color 4:2:0 progressive: interleaved DC scan over all three
+    components, per-component AC band scans with a refinement pass on
+    Y. One 16x16 MCU so baseline and progressive block indices align."""
+    qtable = [8] * 64
+    blocks = {ci: _rand_coeffs(31 + ci, 4) for ci in range(3)}
+
+    def coeffs(ci, b):
+        return blocks[ci][b]
+
+    base = _encode(16, 16, [(2, 2), (1, 1), (1, 1)], qtable, coeffs)
+    prog = _encode_progressive(
+        16,
+        16,
+        [(2, 2), (1, 1), (1, 1)],
+        qtable,
+        coeffs,
+        scans=[
+            ([0, 1, 2], 0, 0, 0, 0),
+            ([0], 1, 63, 0, 1),
+            ([1], 1, 63, 0, 0),
+            ([2], 1, 63, 0, 0),
+            ([0], 1, 63, 1, 0),
+        ],
+    )
+    assert decode_jpeg_pixels(prog) == decode_jpeg_pixels(base)
+
+
+def test_progressive_restart_markers():
+    """DRI inside a progressive AC scan: restarts reset the EOB run
+    and byte-align mid-scan; result must still match baseline."""
+    qtable = [8] * 64
+    blocks = _rand_coeffs(47, 8)
+    base = _encode(32, 16, [(1, 1)], qtable, lambda ci, b: blocks[b])
+    prog = _encode_progressive(
+        32,
+        16,
+        [(1, 1)],
+        qtable,
+        lambda ci, b: blocks[b],
+        scans=[([0], 0, 0, 0, 0), ([0], 1, 63, 0, 0)],
+        restart_interval=3,
+    )
+    assert decode_jpeg_pixels(prog) == decode_jpeg_pixels(base)
+
+
+def test_progressive_brute_force_idct_oracle():
+    """Progressive decode against the O(N^4) definition IDCT — the
+    same independence argument as the baseline test, through the
+    accumulate-then-reconstruct path."""
+    qtable = [5] * 64
+    blocks = _rand_coeffs(59, 2)
+    prog = _encode_progressive(
+        16,
+        8,
+        [(1, 1)],
+        qtable,
+        lambda ci, b: blocks[b],
+        scans=[
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 20, 0, 0),
+            ([0], 21, 63, 0, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 21, 63, 1, 0),
+        ],
+    )
+    w, h, ch, px = decode_jpeg_pixels(prog)
+    assert (w, h, ch) == (16, 8, 1)
+    for b, coeffs in enumerate(blocks):
+        want = _brute_block(coeffs, qtable)
+        for y in range(8):
+            for x in range(8):
+                assert px[y * 16 + b * 8 + x] == want[y][x], (b, x, y)
 
 
 def test_fill_bytes_before_markers_are_skipped():
@@ -341,6 +701,56 @@ def test_registry_routes_real_jpeg_decoder():
     w, h, ch, px = multimodal.decode_image(payload)
     assert (w, h, ch) == (8, 8, 1)
     assert set(px) == {133}
+
+
+def test_progressive_sql_fixture_family_decodes_to_formula():
+    """The progressive registry fixture assembled in-process (same hex
+    the SQL builds) decodes to the closed-form pixel statement the
+    DuckDB oracle uses — successive-approximation DC reconstruction
+    included. Hits both ff00-stuffing corners (d=7 at doc_id%4==3;
+    r1=r2=1 at doc_id%2==1 and (doc_id//4)%2==1)."""
+    S = [1, -1, -1, 1, 1, -1, -1, 1]
+    for doc_id in list(range(0, 97, 13)) + [3, 7, 5, 13]:
+        u1 = 16 + doc_id % 16
+        d = 4 + doc_id % 4
+        ac1 = 4 + (doc_id // 2) % 4
+        ac2 = 4 + (doc_id * 3) % 4
+        r1 = doc_id % 2
+        r2 = (doc_id // 4) % 2
+        b10 = bytes([u1 * 2])
+        b11 = b"\xff\x00" if d == 7 else bytes([143 + d * 16])
+        b20 = bytes([34 + ((doc_id // 2) % 4) * 8])
+        b22 = bytes([120 + ((doc_id * 3) % 4) * 2])
+        b30 = (
+            b"\xff\x00"
+            if (r1 == 1 and r2 == 1)
+            else bytes([63 + r1 * 128 + r2 * 64])
+        )
+        payload = (
+            bytes.fromhex(multimodal._JPEG_PROG_HEADER_HEX)
+            + bytes.fromhex(multimodal._SOS1_HEX)
+            + b10
+            + b11
+            + bytes.fromhex(multimodal._SOS2_HEX)
+            + b20
+            + b"\x66"
+            + b22
+            + b"\xbf"
+            + bytes.fromhex(multimodal._SOS3_HEX)
+            + b30
+            + b"\xff\xd9"
+        )
+        w, h, ch, px = decode_jpeg_pixels(payload)
+        assert (w, h, ch) == (16, 8, 1)
+        dc1 = 2 * u1 + r1
+        dc2 = 2 * u1 + 2 * d + r2
+        for y in range(8):
+            for x in range(16):
+                if x < 8:
+                    want = 128 + dc1 + ac1 * S[y]
+                else:
+                    want = 128 + dc2 + ac2 * S[x - 8] * S[y]
+                assert px[y * 16 + x] == want, (doc_id, x, y)
 
 
 def test_sql_fixture_family_decodes_to_formula():
