@@ -1319,6 +1319,245 @@ FROM px GROUP BY doc_id
 """
 
 
+# ----------------------------------------------------------- mjpeg avi
+# REAL-codec video (VERDICT r6 #5): MJPEG inside a RIFF/AVI container
+# — every frame is a complete baseline JPEG, so the new T.81 decoder
+# composes with a RIFF chunk walker to give `multimodal_video_frames`
+# a real-codec sibling (Y4M stays as the codec-free oracle-friendly
+# form). The fixture AVI is spec-valid: RIFF('AVI ') with an hdrl
+# LIST (avih + strl{strh 'vids'/'MJPG' + strf BITMAPINFOHEADER}) and
+# a movi LIST of '00dc' chunks; frame t of doc d is the SAME
+# closed-form baseline JPEG family as `multimodal_jpeg_pixels` with
+# k = d + 11*t driving the five entropy bytes — so every size field
+# is constant and the whole container is SQL-constructible.
+
+AVI_FRAMES = 4
+
+
+def _le32(v: int) -> str:
+    return v.to_bytes(4, "little").hex()
+
+
+def _le16(v: int) -> str:
+    return v.to_bytes(2, "little").hex()
+
+
+def _avi_jpeg_len() -> int:
+    return len(_JPEG_HEADER_HEX) // 2 + 5 + 2  # header + entropy + EOI
+
+
+def _avi_mjpeg_header_hex() -> str:
+    """Constant RIFF/AVI prefix up to and including the movi LIST
+    header — all sizes closed-form because frame count and per-frame
+    JPEG length are fixture constants."""
+    jlen = _avi_jpeg_len()
+    pad = jlen & 1
+    chunk = 8 + jlen + pad  # '00dc' + size + body (+ even pad)
+    movi_body = 4 + AVI_FRAMES * chunk  # 'movi' + chunks
+    # strf: BITMAPINFOHEADER (40 bytes)
+    strf = (
+        _le32(40)
+        + _le32(JPEG_W)
+        + _le32(JPEG_H)
+        + _le16(1)  # planes
+        + _le16(24)  # bit count
+        + "4d4a5047"  # biCompression 'MJPG'
+        + _le32(JPEG_W * JPEG_H * 3)
+        + _le32(0) * 4
+    )
+    # strh: stream header (56 bytes)
+    strh = (
+        "76696473"  # fccType 'vids'
+        + "4d4a5047"  # fccHandler 'MJPG'
+        + _le32(0)  # flags
+        + _le16(0)
+        + _le16(0)  # priority, language
+        + _le32(0)  # initial frames
+        + _le32(1)  # scale
+        + _le32(25)  # rate: 25 fps
+        + _le32(0)  # start
+        + _le32(AVI_FRAMES)  # length
+        + _le32(jlen)  # suggested buffer
+        + _le32(0xFFFFFFFF)  # quality (-1)
+        + _le32(0)  # sample size
+        + _le16(0) * 4  # rcFrame
+    )
+    strl_body = "7374726c" + "73747268" + _le32(56) + strh + "73747266" + _le32(40) + strf
+    # avih: main header (56 bytes)
+    avih = (
+        _le32(40000)  # us per frame
+        + _le32(jlen * 25)  # max bytes/sec
+        + _le32(0)  # padding granularity
+        + _le32(0)  # flags (no idx1 chunk -> no AVIF_HASINDEX)
+        + _le32(AVI_FRAMES)
+        + _le32(0)  # initial frames
+        + _le32(1)  # streams
+        + _le32(jlen)  # suggested buffer
+        + _le32(JPEG_W)
+        + _le32(JPEG_H)
+        + _le32(0) * 4  # reserved
+    )
+    hdrl_body = "6864726c" + "61766968" + _le32(56) + avih + "4c495354" + _le32(len(strl_body) // 2) + strl_body
+    riff_body_len = (
+        4  # 'AVI '
+        + 8
+        + len(hdrl_body) // 2  # LIST hdrl
+        + 8
+        + movi_body  # LIST movi
+    )
+    return (
+        "52494646"  # RIFF
+        + _le32(riff_body_len)
+        + "41564920"  # 'AVI '
+        + "4c495354"
+        + _le32(len(hdrl_body) // 2)
+        + hdrl_body
+        + "4c495354"
+        + _le32(movi_body)
+        + "6d6f7669"  # 'movi'
+    )
+
+
+def _synth_avi_hex_spark() -> str:
+    """Header + AVI_FRAMES '00dc' chunks; frame t's five entropy bytes
+    come from the baseline formulas with k = doc_id + 11*t."""
+    jlen = _avi_jpeg_len()
+    pad = "00" if jlen & 1 else ""
+    parts = [f"'{_avi_mjpeg_header_hex()}'"]
+    for t in range(AVI_FRAMES):
+        k = f"(doc_id + {11 * t})"
+        b0 = f"lpad(hex(32 + {k} % 32), 2, '0')"
+        b1 = f"lpad(hex(34 + ({k} % 4) * 8), 2, '0')"
+        b2 = f"lpad(hex(97 + ({k} % 8) * 4), 2, '0')"
+        b4 = f"lpad(hex(226 + (({k} * 3) % 4) * 8), 2, '0')"
+        parts.append(f"'30306463{_le32(jlen)}{_JPEG_HEADER_HEX}'")
+        parts.append(f"{b0}, {b1}, {b2}, '99', {b4}, 'ffd9{pad}'")
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def synth_avi_mjpeg_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): complete spec-valid MJPEG AVIs, one per
+    document, built JVM-side."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(f"unhex({_synth_avi_hex_spark()})").alias("payload"),
+    )
+
+
+def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """(width, height, [frame grayscale/RGB pixel bytes]): walk the
+    RIFF chunk tree to the movi LIST and decode every video chunk
+    ('##dc'/'##db') with the real T.81 JPEG decoder."""
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    jpegs: list[bytes] = []
+
+    def walk(p: int, end: int) -> None:
+        while p + 8 <= end:
+            fourcc = b[p : p + 4]
+            size = int.from_bytes(b[p + 4 : p + 8], "little")
+            if fourcc == b"LIST":
+                walk(p + 12, p + 8 + size)
+            elif fourcc[2:4] in (b"dc", b"db"):
+                jpegs.append(b[p + 8 : p + 8 + size])
+            p += 8 + size + (size & 1)
+
+    walk(12, 8 + int.from_bytes(b[4:8], "little"))
+    if not jpegs:
+        raise ValueError("AVI contains no video chunks")
+    frames = []
+    w = h = 0
+    for j in jpegs:
+        fw, fh, _ch, px = decode_jpeg_pixels(j)
+        if w and (fw, fh) != (w, h):
+            raise ValueError("inconsistent frame dimensions in MJPEG stream")
+        w, h = fw, fh
+        frames.append(px)
+    return w, h, frames
+
+
+_MJPEG_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("pixel_sum", T.LongType(), False),
+        T.StructField("px_checksum", T.LongType(), False),
+        T.StructField("mean_ppm", T.LongType(), False),
+    ]
+)
+
+
+def sample_mjpeg_frames(assets: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Temporal sampling over REAL-codec video: keep every
+    ``stride``-th MJPEG frame, decode it (Huffman + dequant + IDCT),
+    emit per-frame stats with the position-weighted px_checksum
+    pinning every pixel. Same physical shape as the Y4M twin: one
+    mapInPandas pass, frames decoded and DROPPED executor-side before
+    any exchange — only sampled-frame STATISTICS ever shuffle, the
+    payload bytes move zero times."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _MJPEG_FRAME_SCHEMA}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, frames = decode_avi_mjpeg(bytes(payload))
+                n = w * h
+                for t in range(0, len(frames), stride):
+                    px = frames[t]
+                    s = 0
+                    chk = 0
+                    for i, v in enumerate(px):
+                        s += v
+                        chk += v * (i + 1) * (i + 1)
+                    rows["asset_id"].append(int(aid))
+                    rows["frame_idx"].append(t)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["pixel_sum"].append(s)
+                    rows["px_checksum"].append(chk)
+                    rows["mean_ppm"].append(s * 1_000_000 // n)
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _sample, schema=_MJPEG_FRAME_SCHEMA
+    )
+
+
+def avi_mjpeg_oracle_sql(stride: int = FRAME_STRIDE) -> str:
+    """Closed-form per-sampled-frame stats: the baseline-JPEG pixel
+    formula with k = doc_id + 11*t."""
+    n = JPEG_W * JPEG_H
+    kept = list(range(0, AVI_FRAMES, stride))
+    k = "(doc_id + 11 * t.t)"
+    return f"""
+WITH px AS (
+  SELECT doc_id, t.t AS frame_idx,
+    g.i AS i,
+    (CASE WHEN (g.i % {JPEG_W}) < 8
+      THEN 128 + (32 + {k} % 32)
+         + (4 + {k} % 4)
+           * (CASE WHEN (g.i // {JPEG_W}) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+      ELSE 128 + (32 + {k} % 32) + (8 + {k} % 8)
+         + (4 + ({k} * 3) % 4)
+           * (CASE WHEN ((g.i % {JPEG_W}) - 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+           * (CASE WHEN (g.i // {JPEG_W}) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+     END) AS v
+  FROM documents,
+       UNNEST(ARRAY{kept}) AS t(t),
+       UNNEST(generate_series(0, {n - 1})) AS g(i)
+)
+SELECT doc_id AS asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+  CAST({JPEG_W} AS BIGINT) AS width, CAST({JPEG_H} AS BIGINT) AS height,
+  CAST(sum(v) AS BIGINT) AS pixel_sum,
+  CAST(sum(v * (i + 1) * (i + 1)) AS BIGINT) AS px_checksum,
+  CAST(sum(v) AS BIGINT) * 1000000 // {n} AS mean_ppm
+FROM px GROUP BY doc_id, frame_idx
+"""
+
+
 # ----------------------------------------------------- progressive jpeg
 # The PROGRESSIVE (SOF2) twin of the baseline fixture family above —
 # same 16x8 grayscale geometry and exact-integer DCT slots, but the

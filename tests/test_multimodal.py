@@ -566,6 +566,61 @@ def test_image_phash_bucket_cap_drops_degenerate_buckets(spark):
     assert full == want
 
 
+def test_avi_mjpeg_walker_and_real_decode():
+    """The RIFF walker finds movi '00dc' chunks through the LIST tree,
+    each frame decodes via the real T.81 path, and malformed
+    containers fail loudly."""
+    import pytest as _pytest
+
+    doc_id = 5
+    jlen = multimodal._avi_jpeg_len()
+    payload = bytes.fromhex(multimodal._avi_mjpeg_header_hex())
+    for t in range(multimodal.AVI_FRAMES):
+        k = doc_id + 11 * t
+        ent = bytes(
+            [
+                32 + k % 32,
+                34 + (k % 4) * 8,
+                97 + (k % 8) * 4,
+                0x99,
+                226 + ((k * 3) % 4) * 8,
+            ]
+        )
+        payload += (
+            bytes.fromhex("30306463")
+            + jlen.to_bytes(4, "little")
+            + bytes.fromhex(multimodal._JPEG_HEADER_HEX)
+            + ent
+            + b"\xff\xd9"
+            + (b"\x00" if jlen & 1 else b"")
+        )
+    w, h, frames = multimodal.decode_avi_mjpeg(payload)
+    assert (w, h, len(frames)) == (16, 8, multimodal.AVI_FRAMES)
+    S = [1, -1, -1, 1, 1, -1, -1, 1]
+    for t, px in enumerate(frames):
+        k = doc_id + 11 * t
+        for y in range(8):
+            for x in range(16):
+                if x < 8:
+                    want = 128 + (32 + k % 32) + (4 + k % 4) * S[y]
+                else:
+                    want = (
+                        128
+                        + (32 + k % 32)
+                        + (8 + k % 8)
+                        + (4 + (k * 3) % 4) * S[x - 8] * S[y]
+                    )
+                assert px[y * 16 + x] == want, (t, x, y)
+    with _pytest.raises(ValueError, match="RIFF"):
+        multimodal.decode_avi_mjpeg(b"\x89PNG not an avi")
+    # a RIFF with no video chunks fails loudly, not silently empty
+    empty = (
+        b"RIFF" + (4).to_bytes(4, "little") + b"AVI "
+    )
+    with _pytest.raises(ValueError, match="no video"):
+        multimodal.decode_avi_mjpeg(empty)
+
+
 def test_incremental_phash_matches_one_shot(spark, tmp_path):
     """index(A) + incremental(B) must equal the B-involving subset of
     one-shot image_phash_pairs(A ∪ B) — the invariant that lets an
