@@ -888,3 +888,84 @@ def bpe_encode_oracle_sql(
         "coalesce(a.n_bpe, 0) AS n_bpe "
         "FROM documents d LEFT JOIN agg a USING (doc_id)"
     )
+
+
+def pack_sequences_bpe(
+    spark,
+    docs,
+    capacity: int = PACK_CAPACITY,
+    n_shards: int = PACK_SHARDS,
+    n_words: int = BPE_VOCAB_N,
+    steps: int = BPE_STEPS,
+):
+    """(doc_id, shard, pack_id, n_tokens): the packer driven by the
+    LEARNED tokenizer — n_tokens is ``bpe_encode_counts``'s n_bpe (the
+    real post-merge token count), not the whitespace proxy. This is
+    the literal closing of the tokenizer loop: learn merges → apply
+    them → pack training sequences on the true counts.
+
+    Physical shape: the encode pass is one narrow corpus scan (see
+    ``bpe_encode_counts``); packing is the same metadata-only
+    applyInPandas per shard. The only shuffle is the shard groupBy of
+    16-byte metadata rows."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    meta = bpe_encode_counts(spark, docs, n_words, steps).select(
+        "doc_id",
+        (F.col("doc_id") % n_shards).alias("shard"),
+        F.col("n_bpe").cast("int").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        packs = []
+        acc = 0
+        pid = -1
+        for tok in pdf["n_tokens"]:
+            if pid >= 0 and acc + tok <= capacity:
+                acc += tok
+            else:
+                pid += 1
+                acc = tok
+            packs.append(pid)
+        pdf["pack_id"] = packs
+        return pdf[["doc_id", "shard", "pack_id", "n_tokens"]]
+
+    return meta.groupBy("shard").applyInPandas(
+        lambda _, pdf: pack(pdf),
+        "doc_id long, shard long, pack_id long, n_tokens int",
+    )
+
+
+def pack_sequences_bpe_oracle_sql(
+    capacity: int = PACK_CAPACITY,
+    n_shards: int = PACK_SHARDS,
+    n_words: int = BPE_VOCAB_N,
+    steps: int = BPE_STEPS,
+) -> str:
+    """The recursive packer CTE over the bpe_encode oracle's counts —
+    merge derivation, encode, and greedy packing all re-stated in one
+    engine-portable statement."""
+    enc = bpe_encode_oracle_sql(n_words, steps)
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, doc_id % {n_shards} AS shard,
+         CAST(n_bpe AS INT) AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % {n_shards} ORDER BY doc_id) AS rn
+  FROM ({enc}) enc
+), r AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         n_tokens AS acc, CAST(0 AS BIGINT) AS pack_id
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN r.acc + t.n_tokens <= {capacity}
+              THEN r.acc + t.n_tokens ELSE t.n_tokens END,
+         CASE WHEN r.acc + t.n_tokens <= {capacity}
+              THEN r.pack_id ELSE r.pack_id + 1 END
+  FROM r JOIN t ON t.shard = r.shard AND t.rn = r.rn + 1
+)
+SELECT doc_id, shard, pack_id, n_tokens FROM r
+"""

@@ -6712,6 +6712,21 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "pack_sequences_bpe",
+    textops.pack_sequences_bpe_oracle_sql(),
+    doc="sequence packing on the LEARNED tokenizer's counts — the "
+    "literal closing of the tokenizer loop (learn merges → bpe_encode "
+    "applies them → pack on true n_bpe instead of the whitespace "
+    "proxy). Same greedy per-shard rule and metadata-only "
+    "applyInPandas as pack_sequences; the oracle chains merge "
+    "derivation, word-level encode, and the recursive packer CTE in "
+    "one statement (operators/textops.py::pack_sequences_bpe)",
+)
+def pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.pack_sequences_bpe(spark, _t(spark, sf_dir, "documents"))
+
+
+@_q(
     "corpus_diversity",
     """
 WITH c AS (
