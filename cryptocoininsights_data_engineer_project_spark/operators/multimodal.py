@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .gifcodec import decode_gif_pixels
 from .jpegcodec import decode_jpeg_pixels
 
 # Magic prefixes for cheap JVM-side format sniffing (hex of the first
@@ -312,7 +313,11 @@ def sniff_format(payload: bytes) -> str | None:
     return None
 
 
-DECODERS: dict = {"png": decode_png_pixels, "jpeg": decode_jpeg_pixels}
+DECODERS: dict = {
+    "png": decode_png_pixels,
+    "jpeg": decode_jpeg_pixels,
+    "gif": decode_gif_pixels,
+}
 
 
 def register_decoder(fmt: str, fn) -> None:
@@ -1248,8 +1253,9 @@ _JPEG_STATS_SCHEMA = T.StructType(
 )
 
 
-def decode_jpeg_stats(assets: DataFrame) -> DataFrame:
-    """Decode JPEG payloads to pixels executor-side and emit per-asset
+def decode_image_stats(assets: DataFrame) -> DataFrame:
+    """Decode image payloads (any registered format — JPEG, GIF, PNG)
+    to pixels executor-side and emit per-asset
     statistics. ``px_checksum`` = sum(px[i] * (i+1)^2) over row-major
     pixel order — a position-weighted sum that pins every pixel's
     VALUE AND LOCATION (plain pixel_sum cancels the AC terms, so it
@@ -1288,6 +1294,11 @@ def decode_jpeg_stats(assets: DataFrame) -> DataFrame:
     )
 
 
+# original (format-specific) name kept for callers predating the
+# GIF reuse
+decode_jpeg_stats = decode_image_stats
+
+
 def jpeg_pixels_oracle_sql() -> str:
     """Closed-form expected pixel stats from the fixture formula: the
     oracle enumerates all 128 pixel positions and restates the decoded
@@ -1315,6 +1326,90 @@ SELECT doc_id AS asset_id,
   CAST(sum(v) AS BIGINT) AS pixel_sum,
   CAST(sum(v * (i + 1) * (i + 1)) AS BIGINT) AS px_checksum,
   CAST(sum(v) AS BIGINT) * 1000000 // {n} AS mean_ppm
+FROM px GROUP BY doc_id
+"""
+
+
+# ------------------------------------------------------------ gif pixels
+# The GIF twin of the PNG/JPEG fixture families: complete spec-valid
+# GIF89a payloads constructed byte-exactly in SQL and decoded by the
+# REAL LZW decoder (operators/gifcodec.py). Closed form rides the
+# byte-aligned LZW corner: min_code_size=7 makes every code exactly 8
+# LSB-first bits, so CLEAR + 64 literal pixel codes + EOI are plain
+# bytes — while the decoder still runs its full variable-width
+# machinery (the dictionary grows 130→193 across the frame; width
+# bumps/compression are covered by the independent encoder round-trips
+# in tests/test_gif.py, same division of labor as JPEG's fixtures).
+GIF_W = 8
+GIF_H = 8
+_GIF_PAL_N = 128
+
+
+def _gif_pal(j: int) -> tuple[int, int, int]:
+    return (2 * j) % 256, (3 * j + 7) % 256, (5 * j + 11) % 256
+
+
+def _gif_header_hex() -> str:
+    pal = bytearray()
+    for j in range(_GIF_PAL_N):
+        pal += bytes(_gif_pal(j))
+    return (
+        "474946383961"  # GIF89a
+        + GIF_W.to_bytes(2, "little").hex()
+        + GIF_H.to_bytes(2, "little").hex()
+        + "f6"  # GCT flag, 8-bit resolution, size=6 -> 128 entries
+        + "0000"  # bg index, aspect
+        + pal.hex()
+        + "2c" + "00000000"  # image descriptor at (0,0)
+        + GIF_W.to_bytes(2, "little").hex()
+        + GIF_H.to_bytes(2, "little").hex()
+        + "00"  # no LCT, not interlaced
+        + "07"  # LZW min code size
+        + f"{GIF_W * GIF_H + 2:02x}"  # one sub-block: clear+pixels+eoi
+        + "80"  # CLEAR
+    )
+
+
+def _synth_gif_hex_spark() -> str:
+    idx = ", ".join(
+        f"lpad(hex((doc_id * 7 + {i * 13}) % {_GIF_PAL_N}), 2, '0')"
+        for i in range(GIF_W * GIF_H)
+    )
+    return f"concat('{_gif_header_hex()}', {idx}, '81', '00', '3b')"
+
+
+def synth_gif_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): complete decodable GIF89a images, one per
+    document, built JVM-side."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(f"unhex({_synth_gif_hex_spark()})").alias("payload"),
+    )
+
+
+def gif_pixels_oracle_sql() -> str:
+    """Closed-form decoded-pixel stats: pixel i's palette index is
+    (doc_id*7 + 13i) % 128 and the palette formula is restated per
+    channel; the position-weighted checksum runs over the interleaved
+    RGB byte stream exactly as the decoder emits it."""
+    n = GIF_W * GIF_H
+    j = f"((doc_id * 7 + 13 * g.i) % {_GIF_PAL_N})"
+    return f"""
+WITH px AS (
+  SELECT doc_id, g.i AS i,
+    (2 * {j}) % 256 AS r,
+    (3 * {j} + 7) % 256 AS gr,
+    (5 * {j} + 11) % 256 AS bl
+  FROM documents, UNNEST(generate_series(0, {n - 1})) AS g(i)
+)
+SELECT doc_id AS asset_id,
+  CAST({GIF_W} AS BIGINT) AS width, CAST({GIF_H} AS BIGINT) AS height,
+  CAST(3 AS BIGINT) AS channels, CAST({n} AS BIGINT) AS n_pixels,
+  CAST(sum(r + gr + bl) AS BIGINT) AS pixel_sum,
+  CAST(sum(r * (3*i + 1) * (3*i + 1)
+         + gr * (3*i + 2) * (3*i + 2)
+         + bl * (3*i + 3) * (3*i + 3)) AS BIGINT) AS px_checksum,
+  CAST(sum(r + gr + bl) AS BIGINT) * 1000000 // {3 * n} AS mean_ppm
 FROM px GROUP BY doc_id
 """
 
@@ -1444,10 +1539,11 @@ def synth_avi_mjpeg_assets(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, list[bytes]]:
-    """(width, height, [frame grayscale/RGB pixel bytes]): walk the
-    RIFF chunk tree to the movi LIST and decode every video chunk
-    ('##dc'/'##db') with the real T.81 JPEG decoder."""
+def avi_video_chunks(payload: bytes) -> list[bytes]:
+    """Walk the RIFF chunk tree and return every video chunk's bytes
+    ('##dc'/'##db' under the movi LIST) — container parse only, no
+    codec work, so a temporal sampler can SKIP frames before paying
+    any decode cost."""
     b = bytes(payload)
     if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
@@ -1466,6 +1562,13 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, list[bytes]]:
     walk(12, 8 + int.from_bytes(b[4:8], "little"))
     if not jpegs:
         raise ValueError("AVI contains no video chunks")
+    return jpegs
+
+
+def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """(width, height, [frame grayscale/RGB pixel bytes]): every video
+    chunk decoded with the real T.81 JPEG decoder."""
+    jpegs = avi_video_chunks(payload)
     frames = []
     w = h = 0
     for j in jpegs:
@@ -1492,21 +1595,29 @@ _MJPEG_FRAME_SCHEMA = T.StructType(
 
 def sample_mjpeg_frames(assets: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
     """Temporal sampling over REAL-codec video: keep every
-    ``stride``-th MJPEG frame, decode it (Huffman + dequant + IDCT),
-    emit per-frame stats with the position-weighted px_checksum
-    pinning every pixel. Same physical shape as the Y4M twin: one
-    mapInPandas pass, frames decoded and DROPPED executor-side before
-    any exchange — only sampled-frame STATISTICS ever shuffle, the
-    payload bytes move zero times."""
+    ``stride``-th MJPEG frame, decode ONLY those (the container walk
+    is codec-free, so skipped frames cost zero Huffman/IDCT work —
+    unlike raw-plane formats, sampling an MJPEG stream saves decode
+    CPU, not just bytes), emit per-frame stats with the
+    position-weighted px_checksum pinning every pixel. Same physical
+    shape as the Y4M twin: one mapInPandas pass, frames decoded and
+    dropped executor-side before any exchange — only sampled-frame
+    STATISTICS ever shuffle, the payload bytes move zero times."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: dict[str, list] = {f.name: [] for f in _MJPEG_FRAME_SCHEMA}
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                w, h, frames = decode_avi_mjpeg(bytes(payload))
-                n = w * h
-                for t in range(0, len(frames), stride):
-                    px = frames[t]
+                chunks = avi_video_chunks(bytes(payload))
+                w = h = 0
+                for t in range(0, len(chunks), stride):
+                    fw, fh, _ch, px = decode_jpeg_pixels(chunks[t])
+                    if w and (fw, fh) != (w, h):
+                        raise ValueError(
+                            "inconsistent frame dimensions in MJPEG stream"
+                        )
+                    w, h = fw, fh
+                    n = w * h
                     s = 0
                     chk = 0
                     for i, v in enumerate(px):

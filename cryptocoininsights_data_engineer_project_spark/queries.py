@@ -1274,7 +1274,27 @@ def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return multimodal.decode_jpeg_stats(multimodal.synth_jpeg_assets(docs))
+    return multimodal.decode_image_stats(multimodal.synth_jpeg_assets(docs))
+
+
+@_q(
+    "multimodal_gif_pixels",
+    multimodal.gif_pixels_oracle_sql(),
+    doc="REAL GIF pixel decode — the third web-image format after "
+    "PNG/JPEG, stdlib-only since GIF's sole compression is LZW "
+    "(operators/gifcodec.py: variable-width LSB-first codes, "
+    "dictionary growth, 12-bit cap + mid-stream Clear, KwKwK edge, "
+    "interlace, 87a/89a extensions). Fixtures are spec-valid GIF89a "
+    "payloads built byte-exactly in SQL on the byte-aligned LZW "
+    "corner (min_code_size=7 -> every code one byte); compression "
+    "and width bumps are covered by independent encoder round-trips "
+    "in tests/test_gif.py. One mapInPandas pass; oracle restates "
+    "palette and index formulas in closed form with the "
+    "position-weighted checksum over the interleaved RGB stream",
+)
+def multimodal_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_image_stats(multimodal.synth_gif_assets(docs))
 
 
 @_q(
@@ -1296,7 +1316,7 @@ def multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return multimodal.decode_jpeg_stats(
+    return multimodal.decode_image_stats(
         multimodal.synth_jpeg_progressive_assets(docs)
     )
 
