@@ -457,6 +457,57 @@ def _lsh_planes(
     ]
 
 
+def _sketch_band_rows(
+    e: DataFrame,
+    dim: int,
+    n_planes: int = LSH_PLANES,
+    n_bands: int = LSH_BANDS,
+    seed: int = LSH_SEED,
+) -> DataFrame:
+    """(vec_id, emb, band_id, band_val) hyperplane-LSH band rows from
+    a (vec_id, emb array<double>) frame — ONE vectorized mapInPandas
+    pass: a (rows x n_planes) BLAS matmul against the
+    broadcast-by-closure literal plane matrix, then integer band
+    packing. Per-row work is nanoseconds where the equivalent nested
+    HOF expression (transform over aggregate/zip_with) evaluates
+    interpreted, ~24x64 lambda steps per row. Summation-order caveat:
+    BLAS accumulates the sign dot in a different order than the
+    oracle's sequential fold; a sign flip needs |dot| under ~1e-13 of
+    the fold value — the same accepted ulp argument as
+    all_pairs_cosine_blas's rounding."""
+    import pandas as pd
+
+    planes = _lsh_planes(dim, n_planes, seed)
+    bb = n_planes // n_bands
+
+    def sketch(batches):
+        import numpy as np
+
+        H = np.array(planes).T  # (dim, n_planes)
+        weights = 1 << np.arange(bb - 1, -1, -1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["emb"].to_numpy())
+            bits_m = (m @ H) >= 0
+            out = {
+                "vec_id": np.tile(pdf["vec_id"].to_numpy(), n_bands),
+                "emb": list(pdf["emb"].to_numpy()) * n_bands,
+                "band_id": np.repeat(np.arange(n_bands), len(pdf)),
+                "band_val": np.concatenate(
+                    [
+                        bits_m[:, b * bb : (b + 1) * bb] @ weights
+                        for b in range(n_bands)
+                    ]
+                ),
+            }
+            yield pd.DataFrame(out)
+
+    return e.mapInPandas(
+        sketch, "vec_id long, emb array<double>, band_id long, band_val long"
+    )
+
+
 def hyperplane_lsh_pairs(
     embeddings: DataFrame,
     threshold: float,
@@ -489,47 +540,10 @@ def hyperplane_lsh_pairs(
     same Python constants — is reproduced bit-for-bit by the DuckDB
     oracle (``hyperplane_lsh_oracle_sql``)."""
     import pandas as pd
-    planes = _lsh_planes(dim, n_planes, seed)
-    bb = n_planes // n_bands
     e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-
-    # Sketching runs as ONE vectorized mapInPandas pass: a (rows x 24)
-    # BLAS matmul against the broadcast-by-closure plane matrix, then
-    # integer band packing — per-row work is nanoseconds where the
-    # equivalent nested HOF expression (transform over aggregate/
-    # zip_with) evaluates interpreted, ~24x64 lambda steps per row.
-    # Summation-order caveat: BLAS accumulates the sign dot in a
-    # different order than the oracle's sequential fold; a sign flip
-    # needs |dot| under ~1e-13 of the fold value — the same accepted
-    # ulp argument as all_pairs_cosine_blas's rounding.
-    def sketch(batches):
-        import numpy as np
-
-        H = np.array(planes).T  # (dim, n_planes)
-        weights = 1 << np.arange(bb - 1, -1, -1)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            m = np.stack(pdf["emb"].to_numpy())
-            bits_m = (m @ H) >= 0
-            out = {
-                "vec_id": np.tile(pdf["vec_id"].to_numpy(), n_bands),
-                "emb": list(pdf["emb"].to_numpy()) * n_bands,
-                "band_id": np.repeat(np.arange(n_bands), len(pdf)),
-                "band_val": np.concatenate(
-                    [
-                        bits_m[:, b * bb : (b + 1) * bb] @ weights
-                        for b in range(n_bands)
-                    ]
-                ),
-            }
-            yield pd.DataFrame(out)
-
-    exploded = e.mapInPandas(
-        sketch, "vec_id long, emb array<double>, band_id long, band_val long"
-    )
+    exploded = _sketch_band_rows(e, dim, n_planes, n_bands, seed)
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -620,6 +634,127 @@ cand AS (
   FROM cand JOIN n a ON a.vec_id = vec_a JOIN n b ON b.vec_id = vec_b
 )
 SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {threshold}
+"""
+
+
+def semantic_decontaminate(
+    embeddings: DataFrame,
+    threshold: float,
+    bench_mod: int = 17,
+    dim: int = 64,
+    n_planes: int = LSH_PLANES,
+    n_bands: int = LSH_BANDS,
+    seed: int = LSH_SEED,
+) -> DataFrame:
+    """(vec_id, n_bench_hits, max_cosine): corpus vectors semantically
+    too close to a held-out BENCHMARK set — the embedding-space twin
+    of ``dedup.decontaminate`` (which matches n-gram text verbatim;
+    this catches paraphrased/translated contamination that shares no
+    8-gram). Benchmark membership is the deterministic vec_id %
+    ``bench_mod`` == 0 slice, mirroring the text twin's convention.
+
+    Physical shape, built for the real asymmetry (benchmark sets are
+    thousands of vectors; the corpus is the 100 TB side):
+    - both sides sketch through the shared hyperplane band pass
+      (``_sketch_band_rows``, one narrow Arrow pass each);
+    - the BENCHMARK band rows broadcast — the corpus's only join is a
+      broadcast hash probe on (band_id, band_val): ZERO corpus
+      shuffle, no corpus-corpus candidate ever forms (unlike routing
+      this through ``hyperplane_lsh_pairs``, which would also bucket
+      and verify the corpus against itself);
+    - candidates dedupe per (corpus, bench) pair, verify with the
+      exact sequential-fold cosine (bit-identical to DuckDB's
+      list_dot_product), and aggregate per corpus vector.
+    Output is bounded by true contamination density."""
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    bands = _sketch_band_rows(e, dim, n_planes, n_bands, seed)
+    bench = bands.filter(F.col("vec_id") % bench_mod == 0).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("emb").alias("bench_emb"),
+        "band_id",
+        "band_val",
+    )
+    corp = bands.filter(F.col("vec_id") % bench_mod != 0)
+    dot = (
+        "aggregate(zip_with(emb, bench_emb, (x, y) -> x * y), "
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    nrm = (
+        "sqrt(aggregate(zip_with({v}, {v}, (x, y) -> x * y), "
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x))"
+    )
+    cand = (
+        corp.join(F.broadcast(bench), ["band_id", "band_val"])
+        .select("vec_id", "emb", "bench_id", "bench_emb")
+        .distinct()
+    )
+    scored = cand.select(
+        "vec_id",
+        "bench_id",
+        F.expr(
+            f"round({dot} / ({nrm.format(v='emb')} * "
+            f"{nrm.format(v='bench_emb')}), 6)"
+        ).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+    return scored.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_bench_hits"),
+        F.max("cosine").alias("max_cosine"),
+    )
+
+
+def semantic_decontaminate_oracle_sql(
+    threshold: float,
+    bench_mod: int = 17,
+    dim: int = 64,
+    n_planes: int = LSH_PLANES,
+    n_bands: int = LSH_BANDS,
+    seed: int = LSH_SEED,
+) -> str:
+    """Identical literal planes, banding, benchmark slice, fold
+    cosine, and per-corpus-vector aggregation."""
+    planes = _lsh_planes(dim, n_planes, seed)
+    bb = n_planes // n_bands
+    h_lit = (
+        "CAST(["
+        + ",".join("[" + ",".join(repr(v) for v in p) + "]" for p in planes)
+        + "] AS DOUBLE[][])"
+    )
+    band_selects = [
+        "SELECT vec_id, {b} AS band_id, {expr} AS band_val FROM bits".format(
+            b=b,
+            expr=" + ".join(
+                f"bits[{b * bb + j + 1}] * {1 << (bb - 1 - j)}"
+                for j in range(bb)
+            ),
+        )
+        for b in range(n_bands)
+    ]
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), bits AS (
+  SELECT vec_id,
+         list_transform({h_lit},
+           h -> CASE WHEN list_dot_product(emb, h) >= 0 THEN 1 ELSE 0 END) AS bits
+  FROM e
+), bands AS ({' UNION ALL '.join(band_selects)}),
+cand AS (
+  SELECT DISTINCT c.vec_id AS cid, b.vec_id AS bid
+  FROM bands c JOIN bands b
+    ON c.band_id = b.band_id AND c.band_val = b.band_val
+  WHERE c.vec_id % {bench_mod} <> 0 AND b.vec_id % {bench_mod} = 0
+), n AS (
+  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e
+), scored AS (
+  SELECT cid,
+         round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cosine
+  FROM cand JOIN n a ON a.vec_id = cid JOIN n b ON b.vec_id = bid
+)
+SELECT cid AS vec_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+       max(cosine) AS max_cosine
+FROM scored WHERE cosine >= {threshold} GROUP BY cid
 """
 
 

@@ -1812,6 +1812,28 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "decontaminate_semantic",
+    similarity.semantic_decontaminate_oracle_sql(threshold=0.45),
+    doc="EMBEDDING-space benchmark decontamination — the semantic twin "
+    "of the n-gram `decontaminate` (which only catches verbatim "
+    "8-gram overlap; this flags paraphrased/translated contamination). "
+    "Benchmark = the deterministic vec_id%17 slice; corpus vectors "
+    "with cosine >= 0.45 to any benchmark vector are reported with "
+    "hit count + max cosine. Physical shape exploits the real "
+    "asymmetry: the (small) benchmark's hyperplane band rows "
+    "BROADCAST, so the 100 TB corpus side is one narrow sketch pass + "
+    "a broadcast hash probe — zero corpus shuffle, and corpus-corpus "
+    "candidates never form (operators/similarity.py::"
+    "semantic_decontaminate). Oracle restates planes/banding/slice/"
+    "fold-cosine identically",
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semantic_decontaminate(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+@_q(
     "time_weighted_avg",
     """
 WITH e AS (
