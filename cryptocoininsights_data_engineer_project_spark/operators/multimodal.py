@@ -1330,6 +1330,150 @@ FROM px GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------- mu-law audio
+# G.711 mu-law — the telephony/voice-corpus companded format. The
+# expansion is pure integer arithmetic from the public spec, so the
+# decode is REAL (vectorized numpy in one Arrow pass) AND the DuckDB
+# oracle can restate it in closed form per byte: with u = 255 - b
+# (one's complement), e = (u >> 4) & 7, m = u & 15,
+#   magnitude = ((8m + 132) << e) - 132,   sample = sign ? -mag : mag
+# which pins the table's extremes: byte 0x00 -> -32124, 0x80 ->
+# +32124, 0xFF/0x7F -> 0.
+MULAW_N_SAMPLES = 64
+_MULAW_RIFF_SIZE = 4 + (8 + 16) + (8 + MULAW_N_SAMPLES)
+
+
+def _mulaw_header_hex() -> str:
+    return (
+        "52494646"  # RIFF
+        + _MULAW_RIFF_SIZE.to_bytes(4, "little").hex()
+        + "57415645"  # WAVE
+        + "666d7420" + "10000000"  # fmt , 16 bytes
+        + "0700"  # format tag 7 = mu-law
+        + "0100"  # 1 channel
+        + (8000).to_bytes(4, "little").hex()  # sample rate
+        + (8000).to_bytes(4, "little").hex()  # byte rate
+        + "0100"  # block align
+        + "0800"  # 8 bits per sample
+        + "64617461"  # data
+        + MULAW_N_SAMPLES.to_bytes(4, "little").hex()
+    )
+
+
+def _synth_mulaw_hex_spark() -> str:
+    data = (
+        f"array_join(transform(sequence(0, {MULAW_N_SAMPLES - 1}), i -> "
+        "lpad(hex((doc_id * 11 + i * 7) % 256), 2, '0')), '')"
+    )
+    return f"concat('{_mulaw_header_hex()}', {data})"
+
+
+def synth_mulaw_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): complete mu-law WAVs, one per document,
+    built JVM-side; data byte i is (doc_id*11 + 7i) % 256."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(f"unhex({_synth_mulaw_hex_spark()})").alias("payload"),
+    )
+
+
+_MULAW_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("pcm_sum", T.LongType(), False),
+        T.StructField("pcm_energy", T.LongType(), False),
+        T.StructField("pcm_min", T.LongType(), False),
+        T.StructField("pcm_max", T.LongType(), False),
+    ]
+)
+
+
+def mulaw_expand(u8):
+    """Vectorized G.711 mu-law expansion: uint8 numpy array ->
+    int32 linear samples (range ±32124)."""
+    import numpy as np
+
+    u = (~u8.astype(np.int32)) & 0xFF
+    e = (u >> 4) & 7
+    m = u & 0x0F
+    mag = (((m << 3) + 0x84) << e) - 0x84
+    return np.where(u & 0x80, -mag, mag)
+
+
+def decode_mulaw_stats(assets: DataFrame) -> DataFrame:
+    """Parse the WAV container (fmt must declare format tag 7, 8-bit),
+    expand every mu-law byte to its linear sample, and emit per-asset
+    stats over the decoded waveform. One narrow mapInPandas pass,
+    payload bytes never shuffle."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _MULAW_STATS_SCHEMA}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError("not a RIFF/WAVE payload")
+                p = 12
+                tag = None
+                data = None
+                while p + 8 <= len(b):
+                    cid = b[p : p + 4]
+                    sz = int.from_bytes(b[p + 4 : p + 8], "little")
+                    body = b[p + 8 : p + 8 + sz]
+                    if cid == b"fmt ":
+                        tag = int.from_bytes(body[0:2], "little")
+                        bits = int.from_bytes(body[14:16], "little")
+                    elif cid == b"data":
+                        data = body
+                    p += 8 + sz + (sz & 1)
+                if tag != 7 or bits != 8:
+                    raise ValueError(
+                        f"expected 8-bit mu-law (tag 7), got tag {tag}"
+                    )
+                if data is None:
+                    raise ValueError("WAV has no data chunk")
+                s = mulaw_expand(np.frombuffer(data, dtype=np.uint8))
+                rows["asset_id"].append(int(aid))
+                rows["n_samples"].append(len(s))
+                rows["pcm_sum"].append(int(s.sum()))
+                rows["pcm_energy"].append(int((s.astype(np.int64) ** 2).sum()))
+                rows["pcm_min"].append(int(s.min()))
+                rows["pcm_max"].append(int(s.max()))
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _decode, schema=_MULAW_STATS_SCHEMA
+    )
+
+
+def mulaw_oracle_sql() -> str:
+    """Closed-form per-sample expansion of the fixture bytes."""
+    n = MULAW_N_SAMPLES
+    u = f"(255 - (doc_id * 11 + g.i * 7) % 256)"
+    e = f"(({u} // 16) % 8)"
+    m = f"({u} % 16)"
+    p2 = (
+        "(CASE " + " ".join(f"WHEN {{e}} = {k} THEN {1 << k}" for k in range(8)) + " END)"
+    ).format(e=e)
+    mag = f"((({m} * 8 + 132) * {p2}) - 132)"
+    s = f"(CASE WHEN {u} >= 128 THEN -{mag} ELSE {mag} END)"
+    return f"""
+WITH sm AS (
+  SELECT doc_id, {s} AS s
+  FROM documents, UNNEST(generate_series(0, {n - 1})) AS g(i)
+)
+SELECT doc_id AS asset_id, CAST({n} AS BIGINT) AS n_samples,
+  CAST(sum(s) AS BIGINT) AS pcm_sum,
+  CAST(sum(s * s) AS BIGINT) AS pcm_energy,
+  CAST(min(s) AS BIGINT) AS pcm_min,
+  CAST(max(s) AS BIGINT) AS pcm_max
+FROM sm GROUP BY doc_id
+"""
+
+
 # ------------------------------------------------------------ gif pixels
 # The GIF twin of the PNG/JPEG fixture families: complete spec-valid
 # GIF89a payloads constructed byte-exactly in SQL and decoded by the

@@ -1043,6 +1043,25 @@ def multimodal_wav_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_wav_mulaw",
+    multimodal.mulaw_oracle_sql(),
+    doc="REAL G.711 mu-law audio decode — the companded telephony/"
+    "voice-corpus format next to linear PCM: spec-valid 8-bit mu-law "
+    "WAVs (format tag 7) built byte-exactly in SQL, the RIFF chunk "
+    "walk + integer expansion (((8m+132)<<e)-132, sign from the "
+    "complemented byte) vectorized in one Arrow mapInPandas pass, "
+    "per-asset waveform stats on exact integers. The oracle restates "
+    "the expansion per byte in closed form, pinning the table "
+    "extremes (0x00 -> -32124, 0x80 -> +32124, 0xFF -> 0) "
+    "(operators/multimodal.py::decode_mulaw_stats)",
+)
+def multimodal_wav_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.decode_mulaw_stats(
+        multimodal.synth_mulaw_assets(_t(spark, sf_dir, "documents"))
+    )
+
+
+@_q(
     "dedup_simhash_pairs",
     dedup.simhash_pairs_oracle_sql(),
     doc="SimHash Hamming-neighbor pairs: 8-bit chunk banding (recall-"

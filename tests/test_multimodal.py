@@ -566,6 +566,39 @@ def test_image_phash_bucket_cap_drops_degenerate_buckets(spark):
     assert full == want
 
 
+def test_mulaw_expansion_matches_spec_table():
+    """G.711 expansion over all 256 codes vs an independent scalar
+    restatement of the spec formula, plus the published extremes."""
+    import numpy as np
+
+    v = multimodal.mulaw_expand(
+        np.array([0x00, 0x80, 0xFF, 0x7F], dtype=np.uint8)
+    )
+    assert list(v) == [-32124, 32124, 0, 0]
+
+    def ref(b):
+        u = (~b) & 0xFF
+        mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+        return -mag if u & 0x80 else mag
+
+    allv = multimodal.mulaw_expand(np.arange(256, dtype=np.uint8))
+    assert [ref(b) for b in range(256)] == list(allv)
+
+
+def test_mulaw_decoder_rejects_non_mulaw_wav(spark):
+    """A 16-bit PCM WAV (format tag 1) through the mu-law decoder
+    fails loudly — silent misinterpretation of companded vs linear
+    bytes is the classic audio-corpus corruption."""
+    import pytest as _pytest
+
+    docs = spark.range(2).selectExpr(
+        "id * 3 + 1 AS doc_id", "'x' AS text"  # %3==1 -> WAV shape
+    )
+    pcm_assets = multimodal.synth_assets(docs)
+    with _pytest.raises(Exception, match="mu-law|tag"):
+        multimodal.decode_mulaw_stats(pcm_assets).collect()
+
+
 def test_avi_mjpeg_walker_and_real_decode():
     """The RIFF walker finds movi '00dc' chunks through the LIST tree,
     each frame decodes via the real T.81 path, and malformed
