@@ -132,9 +132,13 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray:
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def decode_gif_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode the first frame of a GIF to (width, height, 3, rgb
-    bytes). Raises GifError on malformed input."""
+def gif_image_blocks(payload: bytes) -> list[dict]:
+    """Walk the block stream and return every image block's parsed
+    pieces WITHOUT decoding any LZW data:
+    [{left, top, w, h, interlaced, palette, min_code, data}, ...].
+    Container parse only — the entry point that lets a temporal frame
+    sampler skip unsampled frames' decompression entirely (each GIF
+    frame's LZW stream is self-contained)."""
     b = bytes(payload)
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise GifError("missing GIF87a/89a signature")
@@ -150,13 +154,16 @@ def decode_gif_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             raise GifError("truncated global color table")
         p += 3 * n
 
+    blocks: list[dict] = []
     while True:
         if p >= len(b):
             raise GifError("missing trailer")
         block = b[p]
         p += 1
-        if block == 0x3B:  # trailer before any image
-            raise GifError("no image data before trailer")
+        if block == 0x3B:  # trailer
+            if not blocks:
+                raise GifError("no image data before trailer")
+            return blocks
         if block == 0x21:  # extension: label + sub-blocks
             if p >= len(b):
                 raise GifError("truncated extension")
@@ -164,7 +171,7 @@ def decode_gif_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             continue
         if block != 0x2C:
             raise GifError(f"unknown block introducer {block:#x}")
-        # image descriptor
+        left, top = _u16(b, p), _u16(b, p + 2)
         w, h = _u16(b, p + 4), _u16(b, p + 6)
         ipacked = b[p + 8]
         p += 9
@@ -182,21 +189,64 @@ def decode_gif_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         min_code = b[p]
         p += 1
         data, p = _collect_subblocks(b, p)
-        idx = _lzw_decode(data, min_code, w * h)
+        blocks.append(
+            {
+                "left": left,
+                "top": top,
+                "w": w,
+                "h": h,
+                "interlaced": bool(ipacked & 0x40),
+                "palette": palette,
+                "min_code": min_code,
+                "data": data,
+            }
+        )
 
-        if ipacked & 0x40:  # interlaced: 4-pass row order
-            rows = bytearray(w * h)
-            src = 0
-            for start, step in _INTERLACE_PASSES:
-                for y in range(start, h, step):
-                    rows[y * w : (y + 1) * w] = idx[src : src + w]
-                    src += w
-            idx = rows
 
-        npal = len(palette) // 3
-        rgb = bytearray(w * h * 3)
-        for i, ci in enumerate(idx):
-            if ci >= npal:
-                raise GifError(f"palette index {ci} out of range")
-            rgb[3 * i : 3 * i + 3] = palette[3 * ci : 3 * ci + 3]
-        return w, h, 3, bytes(rgb)
+def decode_gif_block(blk: dict) -> tuple[int, int, int, bytes]:
+    """LZW-decode one image block to (w, h, 3, rgb bytes)."""
+    w, h = blk["w"], blk["h"]
+    idx = _lzw_decode(blk["data"], blk["min_code"], w * h)
+    if blk["interlaced"]:  # 4-pass row order
+        rows = bytearray(w * h)
+        src = 0
+        for start, step in _INTERLACE_PASSES:
+            for y in range(start, h, step):
+                rows[y * w : (y + 1) * w] = idx[src : src + w]
+                src += w
+        idx = rows
+    palette = blk["palette"]
+    npal = len(palette) // 3
+    rgb = bytearray(w * h * 3)
+    for i, ci in enumerate(idx):
+        if ci >= npal:
+            raise GifError(f"palette index {ci} out of range")
+        rgb[3 * i : 3 * i + 3] = palette[3 * ci : 3 * ci + 3]
+    return w, h, 3, bytes(rgb)
+
+
+def decode_gif_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode the first frame of a GIF to (width, height, 3, rgb
+    bytes) — the still-image contract the pixel operators use.
+    Raises GifError on malformed input."""
+    return decode_gif_block(gif_image_blocks(payload)[0])
+
+
+def decode_gif_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """(width, height, [frame rgb bytes]): decode every frame of an
+    animated GIF. Full-canvas frames only — frames that cover a
+    sub-region (left/top offsets, smaller w/h) require disposal-method
+    compositing against prior frames and raise NotImplementedError
+    (the documented gate; a real cluster registers a PIL-backed
+    callable through the same seam)."""
+    blocks = gif_image_blocks(payload)
+    w, h = blocks[0]["w"], blocks[0]["h"]
+    frames = []
+    for blk in blocks:
+        if blk["left"] or blk["top"] or blk["w"] != w or blk["h"] != h:
+            raise NotImplementedError(
+                "partial-canvas animation frame: disposal compositing "
+                "not implemented (full-canvas frames only)"
+            )
+        frames.append(decode_gif_block(blk)[3])
+    return w, h, frames

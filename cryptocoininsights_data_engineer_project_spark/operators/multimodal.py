@@ -1493,7 +1493,7 @@ def _gif_pal(j: int) -> tuple[int, int, int]:
     return (2 * j) % 256, (3 * j + 7) % 256, (5 * j + 11) % 256
 
 
-def _gif_header_hex() -> str:
+def _gif_screen_hex() -> str:
     pal = bytearray()
     for j in range(_GIF_PAL_N):
         pal += bytes(_gif_pal(j))
@@ -1504,14 +1504,22 @@ def _gif_header_hex() -> str:
         + "f6"  # GCT flag, 8-bit resolution, size=6 -> 128 entries
         + "0000"  # bg index, aspect
         + pal.hex()
-        + "2c" + "00000000"  # image descriptor at (0,0)
-        + GIF_W.to_bytes(2, "little").hex()
-        + GIF_H.to_bytes(2, "little").hex()
-        + "00"  # no LCT, not interlaced
-        + "07"  # LZW min code size
-        + f"{GIF_W * GIF_H + 2:02x}"  # one sub-block: clear+pixels+eoi
-        + "80"  # CLEAR
     )
+
+
+_GIF_FRAME_PREFIX_HEX = (
+    "2c" + "00000000"  # image descriptor at (0,0)
+    + GIF_W.to_bytes(2, "little").hex()
+    + GIF_H.to_bytes(2, "little").hex()
+    + "00"  # no LCT, not interlaced
+    + "07"  # LZW min code size
+    + f"{GIF_W * GIF_H + 2:02x}"  # one sub-block: clear+pixels+eoi
+    + "80"  # CLEAR
+)
+
+
+def _gif_header_hex() -> str:
+    return _gif_screen_hex() + _GIF_FRAME_PREFIX_HEX
 
 
 def _synth_gif_hex_spark() -> str:
@@ -1555,6 +1563,103 @@ SELECT doc_id AS asset_id,
          + bl * (3*i + 3) * (3*i + 3)) AS BIGINT) AS px_checksum,
   CAST(sum(r + gr + bl) AS BIGINT) * 1000000 // {3 * n} AS mean_ppm
 FROM px GROUP BY doc_id
+"""
+
+
+# ----------------------------------------------------- animated gif
+# Temporal sampling over ANIMATED GIF — the palette-format video twin
+# of the MJPEG AVI sampler: every frame is a self-contained LZW
+# stream, so the container walk (gifcodec.gif_image_blocks) costs no
+# codec work and unsampled frames are never decompressed. Fixture:
+# GIF89a with AVI_FRAMES full-canvas frames, a Graphic Control
+# Extension before each (delay + disposal fields the walker must
+# skip), frame t's pixel indices (doc_id*7 + 13i + 29t) % 128.
+GIF_FRAMES = 4
+
+
+def _synth_gif_anim_hex_spark() -> str:
+    parts = [f"'{_gif_screen_hex()}'"]
+    for t in range(GIF_FRAMES):
+        # GCE: introducer/label/size, disposal=1, delay 10cs, no
+        # transparency, terminator — then the frame
+        parts.append(f"'21f90404000a0000{_GIF_FRAME_PREFIX_HEX}'")
+        idx = ", ".join(
+            f"lpad(hex((doc_id * 7 + {13 * i + 29 * t}) % {_GIF_PAL_N}), 2, '0')"
+            for i in range(GIF_W * GIF_H)
+        )
+        parts.append(f"{idx}, '81', '00'")
+    parts.append("'3b'")
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def synth_gif_anim_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): complete animated GIF89a clips, one per
+    document, built JVM-side."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(f"unhex({_synth_gif_anim_hex_spark()})").alias("payload"),
+    )
+
+
+def sample_gif_frames(assets: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Keep every ``stride``-th animated-GIF frame, LZW-decode ONLY
+    those (skipped frames cost a container walk, zero decompression),
+    and emit per-frame stats over the interleaved RGB bytes. One
+    mapInPandas pass; payload bytes never shuffle."""
+    from .gifcodec import decode_gif_block, gif_image_blocks
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _MJPEG_FRAME_SCHEMA}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                blocks = gif_image_blocks(bytes(payload))
+                for t in range(0, len(blocks), stride):
+                    w, h, _ch, px = decode_gif_block(blocks[t])
+                    n = w * h * 3
+                    s = 0
+                    chk = 0
+                    for i, v in enumerate(px):
+                        s += v
+                        chk += v * (i + 1) * (i + 1)
+                    rows["asset_id"].append(int(aid))
+                    rows["frame_idx"].append(t)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["pixel_sum"].append(s)
+                    rows["px_checksum"].append(chk)
+                    rows["mean_ppm"].append(s * 1_000_000 // n)
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _sample, schema=_MJPEG_FRAME_SCHEMA
+    )
+
+
+def gif_anim_oracle_sql(stride: int = FRAME_STRIDE) -> str:
+    """Closed-form per-sampled-frame stats over the interleaved RGB
+    stream: pixel i of frame t has palette index
+    (doc_id*7 + 13i + 29t) % 128."""
+    n = GIF_W * GIF_H
+    kept = list(range(0, GIF_FRAMES, stride))
+    j = f"((doc_id * 7 + 13 * g.i + 29 * t.t) % {_GIF_PAL_N})"
+    return f"""
+WITH px AS (
+  SELECT doc_id, t.t AS frame_idx, g.i AS i,
+    (2 * {j}) % 256 AS r,
+    (3 * {j} + 7) % 256 AS gr,
+    (5 * {j} + 11) % 256 AS bl
+  FROM documents,
+       UNNEST(ARRAY{kept}) AS t(t),
+       UNNEST(generate_series(0, {n - 1})) AS g(i)
+)
+SELECT doc_id AS asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+  CAST({GIF_W} AS BIGINT) AS width, CAST({GIF_H} AS BIGINT) AS height,
+  CAST(sum(r + gr + bl) AS BIGINT) AS pixel_sum,
+  CAST(sum(r * (3*i + 1) * (3*i + 1)
+         + gr * (3*i + 2) * (3*i + 2)
+         + bl * (3*i + 3) * (3*i + 3)) AS BIGINT) AS px_checksum,
+  CAST(sum(r + gr + bl) AS BIGINT) * 1000000 // {3 * n} AS mean_ppm
+FROM px GROUP BY doc_id, frame_idx
 """
 
 

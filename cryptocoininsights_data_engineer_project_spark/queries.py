@@ -1317,6 +1317,26 @@ def multimodal_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_gif_anim",
+    multimodal.gif_anim_oracle_sql(),
+    doc="temporal frame sampling over ANIMATED GIF — the palette-"
+    "format video twin of multimodal_video_mjpeg: spec-valid GIF89a "
+    "clips (4 full-canvas frames, a Graphic Control Extension before "
+    "each) built byte-exactly in SQL; the container walk is codec-"
+    "free, so every 2nd frame LZW-decodes and skipped frames cost "
+    "ZERO decompression (operators/gifcodec.py::gif_image_blocks + "
+    "decode_gif_block). Per-frame stats with the position-weighted "
+    "checksum; one mapInPandas pass, payloads never shuffle. "
+    "Partial-canvas frames (disposal compositing) are the documented "
+    "NotImplementedError gate",
+)
+def multimodal_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.sample_gif_frames(
+        multimodal.synth_gif_anim_assets(_t(spark, sf_dir, "documents"))
+    )
+
+
+@_q(
     "multimodal_jpeg_progressive",
     multimodal.jpeg_progressive_oracle_sql(),
     doc="REAL progressive (SOF2) JPEG pixel decode (VERDICT r6 #4): "

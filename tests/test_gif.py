@@ -227,6 +227,42 @@ def test_malformed_gates():
         decode_gif_pixels(ok[:13] + _palette(4) + b"\x3b")  # no image
 
 
+def test_animated_frames_decode_and_partial_canvas_gate():
+    """Multi-frame GIF: all frames decode in order through the block
+    walker; a frame with a sub-canvas descriptor (needs disposal
+    compositing) raises the documented gate."""
+    from cryptocoininsights_data_engineer_project_spark.operators.gifcodec import (
+        decode_gif_frames,
+    )
+
+    w, h = 6, 4
+    pal = _palette(8, seed=31)
+    frames_idx = [
+        bytes((t + x + y) % 8 for y in range(h) for x in range(w))
+        for t in range(3)
+    ]
+    # assemble a 3-frame GIF by splicing single-frame encodings
+    first = _encode_gif(w, h, pal, frames_idx[0], gce=True)
+    body = bytearray(first[:-1])  # drop trailer
+    for idx in frames_idx[1:]:
+        f = _encode_gif(w, h, pal, idx, gce=True, local_palette=True)
+        lsd_end = 13  # no GCT in local_palette form
+        body += f[lsd_end:-1]
+    body.append(0x3B)
+    gw, gh, frames = decode_gif_frames(bytes(body))
+    assert (gw, gh, len(frames)) == (w, h, 3)
+    for t, idx in enumerate(frames_idx):
+        assert frames[t] == _expected_rgb(pal, idx), t
+
+    # partial-canvas second frame -> NotImplementedError
+    partial = bytearray(bytes(body))
+    at = partial.index(b"\x2c", 20)  # first image descriptor
+    at2 = partial.index(b"\x2c", at + 1)
+    partial[at2 + 5 : at2 + 7] = (w - 2).to_bytes(2, "little")
+    with pytest.raises(NotImplementedError, match="partial-canvas"):
+        decode_gif_frames(bytes(partial))
+
+
 def test_registry_routes_gif_decoder():
     pal = _palette(4, seed=21)
     idx = bytes([2] * 24)
