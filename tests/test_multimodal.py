@@ -346,10 +346,11 @@ def test_decode_image_routes_png_and_gates_unregistered():
     png = _encode_png(2, 2, 1, bytes([1, 2, 3, 4]), 0)
     w, h, c, px = multimodal.decode_image(png)
     assert (w, h, c, px) == (2, 2, 1, bytes([1, 2, 3, 4]))
-    # a format with no registered decoder (GIF's LZW isn't built in)
-    # still raises through the seam; JPEG now decodes for real
+    # a format with no registered decoder still raises through the
+    # seam (Y4M is video-only — no entry in the image registry);
+    # JPEG and GIF now decode for real
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"GIF89a lzw bits")
+        multimodal.decode_image(b"YUV4MPEG2 W2 H2 F25:1 Cmono\n")
 
 
 def test_synth_png_assets_decode_on_spark(spark, sf_dir):
@@ -489,9 +490,10 @@ def test_codec_registry_jpeg_end_to_end(spark):
     finally:
         multimodal.register_decoder("jpeg", real_jpeg)
     # a format with no registered decoder is a loud gap — and the
-    # error names the seam
+    # error names the seam (GIF decodes for real now; Y4M stays a
+    # video-path format with no image-registry entry)
     with pytest.raises(NotImplementedError, match="register_decoder"):
-        multimodal.decode_image(b"GIF89a lzw bits")
+        multimodal.decode_image(b"YUV4MPEG2 W2 H2 F25:1 Cmono\n")
 
 
 def test_png_filter_vectorization_matches_spec_reference():
