@@ -1401,11 +1401,27 @@ def mulaw_expand(u8):
     return np.where(u & 0x80, -mag, mag)
 
 
-def decode_mulaw_stats(assets: DataFrame) -> DataFrame:
-    """Parse the WAV container (fmt must declare format tag 7, 8-bit),
-    expand every mu-law byte to its linear sample, and emit per-asset
-    stats over the decoded waveform. One narrow mapInPandas pass,
-    payload bytes never shuffle."""
+def alaw_expand(u8):
+    """Vectorized G.711 A-law expansion: uint8 numpy array -> int32
+    linear samples (range ±32256; minimum magnitude 8 — A-law has no
+    zero). Toggle 0x55, then segment 0 is linear ((m<<4)+8) and
+    segments 1-7 prepend the hidden 1 (((m<<4)+0x108) << (e-1));
+    sign bit SET means positive."""
+    import numpy as np
+
+    u = u8.astype(np.int32) ^ 0x55
+    e = (u >> 4) & 7
+    m = u & 0x0F
+    mag = np.where(e == 0, (m << 4) + 8, ((m << 4) + 0x108) << np.maximum(e - 1, 0))
+    return np.where(u & 0x80, mag, -mag)
+
+
+def _g711_stats(assets: DataFrame, want_tag: int, law_name: str, expand) -> DataFrame:
+    """Shared RIFF walk + companded-sample expansion + per-asset
+    stats: one narrow mapInPandas pass, payload bytes never shuffle.
+    The fmt chunk must declare the expected 8-bit G.711 format tag —
+    silently expanding linear PCM as companded bytes is the classic
+    audio-corpus corruption, so a mismatch fails loudly."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1429,13 +1445,14 @@ def decode_mulaw_stats(assets: DataFrame) -> DataFrame:
                     elif cid == b"data":
                         data = body
                     p += 8 + sz + (sz & 1)
-                if tag != 7 or bits != 8:
+                if tag != want_tag or bits != 8:
                     raise ValueError(
-                        f"expected 8-bit mu-law (tag 7), got tag {tag}"
+                        f"expected 8-bit {law_name} (tag {want_tag}), "
+                        f"got tag {tag}"
                     )
                 if data is None:
                     raise ValueError("WAV has no data chunk")
-                s = mulaw_expand(np.frombuffer(data, dtype=np.uint8))
+                s = expand(np.frombuffer(data, dtype=np.uint8))
                 rows["asset_id"].append(int(aid))
                 rows["n_samples"].append(len(s))
                 rows["pcm_sum"].append(int(s.sum()))
@@ -1447,6 +1464,67 @@ def decode_mulaw_stats(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         _decode, schema=_MULAW_STATS_SCHEMA
     )
+
+
+def decode_mulaw_stats(assets: DataFrame) -> DataFrame:
+    """G.711 mu-law (WAV format tag 7) decode + per-asset stats."""
+    return _g711_stats(assets, 7, "mu-law", mulaw_expand)
+
+
+def decode_alaw_stats(assets: DataFrame) -> DataFrame:
+    """G.711 A-law (WAV format tag 6) decode + per-asset stats."""
+    return _g711_stats(assets, 6, "A-law", alaw_expand)
+
+
+def _alaw_header_hex() -> str:
+    h = _mulaw_header_hex()
+    # identical layout; only the fmt tag differs (6 = A-law)
+    return h.replace("666d7420" + "10000000" + "0700", "666d7420" + "10000000" + "0600", 1)
+
+
+def _synth_alaw_hex_spark() -> str:
+    data = (
+        f"array_join(transform(sequence(0, {MULAW_N_SAMPLES - 1}), i -> "
+        "lpad(hex((doc_id * 13 + i * 5) % 256), 2, '0')), '')"
+    )
+    return f"concat('{_alaw_header_hex()}', {data})"
+
+
+def synth_alaw_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): complete A-law WAVs, one per document;
+    data byte i is (doc_id*13 + 5i) % 256."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(f"unhex({_synth_alaw_hex_spark()})").alias("payload"),
+    )
+
+
+def alaw_oracle_sql() -> str:
+    """Closed-form per-sample A-law expansion of the fixture bytes."""
+    n = MULAW_N_SAMPLES
+    u = f"xor((doc_id * 13 + g.i * 5) % 256, 85)"
+    e = f"(({u} // 16) % 8)"
+    m = f"({u} % 16)"
+    p2 = (
+        "(CASE " + " ".join(f"WHEN {{e}} = {k} THEN {1 << max(k - 1, 0)}" for k in range(8)) + " END)"
+    ).format(e=e)
+    mag = (
+        f"(CASE WHEN {e} = 0 THEN {m} * 16 + 8 "
+        f"ELSE ({m} * 16 + 264) * {p2} END)"
+    )
+    s = f"(CASE WHEN {u} >= 128 THEN {mag} ELSE -{mag} END)"
+    return f"""
+WITH sm AS (
+  SELECT doc_id, {s} AS s
+  FROM documents, UNNEST(generate_series(0, {n - 1})) AS g(i)
+)
+SELECT doc_id AS asset_id, CAST({n} AS BIGINT) AS n_samples,
+  CAST(sum(s) AS BIGINT) AS pcm_sum,
+  CAST(sum(s * s) AS BIGINT) AS pcm_energy,
+  CAST(min(s) AS BIGINT) AS pcm_min,
+  CAST(max(s) AS BIGINT) AS pcm_max
+FROM sm GROUP BY doc_id
+"""
 
 
 def mulaw_oracle_sql() -> str:

@@ -1062,6 +1062,23 @@ def multimodal_wav_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_wav_alaw",
+    multimodal.alaw_oracle_sql(),
+    doc="REAL G.711 A-law decode — the European half of the G.711 "
+    "pair (WAV format tag 6): toggle 0x55, segment-0 linear "
+    "(m<<4)+8, segments 1-7 with the hidden leading 1, sign bit SET "
+    "means positive. Same shared RIFF walk + vectorized Arrow pass "
+    "as mu-law; oracle restates the expansion per byte, pinning the "
+    "extremes ±32256 and the no-zero property (min magnitude 8) "
+    "(operators/multimodal.py::decode_alaw_stats)",
+)
+def multimodal_wav_alaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.decode_alaw_stats(
+        multimodal.synth_alaw_assets(_t(spark, sf_dir, "documents"))
+    )
+
+
+@_q(
     "dedup_simhash_pairs",
     dedup.simhash_pairs_oracle_sql(),
     doc="SimHash Hamming-neighbor pairs: 8-bit chunk banding (recall-"

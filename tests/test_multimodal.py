@@ -587,6 +587,43 @@ def test_mulaw_expansion_matches_spec_table():
     assert [ref(b) for b in range(256)] == list(allv)
 
 
+def test_alaw_expansion_matches_spec_table():
+    """A-law over all 256 codes vs an independent scalar restatement,
+    plus the extremes (±32256) and the no-zero property (min |s|=8)."""
+    import numpy as np
+
+    v = multimodal.alaw_expand(
+        np.array([0x55, 0xD5, 0x2A, 0xAA], dtype=np.uint8)
+    )
+    assert list(v) == [-8, 8, -32256, 32256]
+
+    def ref(b):
+        u = b ^ 0x55
+        e = (u >> 4) & 7
+        m = u & 0x0F
+        mag = (m << 4) + 8 if e == 0 else ((m << 4) + 0x108) << (e - 1)
+        return mag if u & 0x80 else -mag
+
+    allv = multimodal.alaw_expand(np.arange(256, dtype=np.uint8))
+    assert [ref(b) for b in range(256)] == list(allv)
+    assert min(abs(x) for x in allv) == 8  # A-law encodes no zero
+
+
+def test_cross_law_gate(spark):
+    """A mu-law WAV through the A-law decoder fails loudly (and vice
+    versa) — the two expansions disagree on every nontrivial byte, so
+    silent cross-decoding would corrupt the corpus undetectably."""
+    import pytest as _pytest
+
+    docs = spark.range(2).withColumnRenamed("id", "doc_id")
+    mu = multimodal.synth_mulaw_assets(docs)
+    al = multimodal.synth_alaw_assets(docs)
+    with _pytest.raises(Exception, match="A-law|tag"):
+        multimodal.decode_alaw_stats(mu).collect()
+    with _pytest.raises(Exception, match="mu-law|tag"):
+        multimodal.decode_mulaw_stats(al).collect()
+
+
 def test_mulaw_decoder_rejects_non_mulaw_wav(spark):
     """A 16-bit PCM WAV (format tag 1) through the mu-law decoder
     fails loudly — silent misinterpretation of companded vs linear
