@@ -20,11 +20,12 @@ Spec coverage (from the public GIF87a/89a specification):
      clear convention, and the KwKwK first-char edge case
   -> palette indexing -> interleaved RGB bytes.
 
-Only the FIRST image frame is decoded (the still-image contract the
-pixel operators use); animation = repeated image blocks, and a frame
-sampler would walk them exactly like the MJPEG AVI chunk walker.
-Transparency (GCE bit) is palette metadata, not pixel data — emitted
-pixels are the palette RGB, matching every mainstream still decode.
+The still-image contract (decode_gif_pixels) decodes the FIRST image
+frame; animated clips go through either gif_image_blocks (temporal
+sampling — skipped frames cost zero LZW work) or compose_gif_frames
+(full renderer semantics: partial-canvas frames composited onto the
+logical-screen canvas with GCE transparency and disposal methods
+0/1 leave, 2 restore-background, 3 restore-previous).
 """
 
 from __future__ import annotations
@@ -132,19 +133,25 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray:
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def gif_image_blocks(payload: bytes) -> list[dict]:
-    """Walk the block stream and return every image block's parsed
-    pieces WITHOUT decoding any LZW data:
-    [{left, top, w, h, interlaced, palette, min_code, data}, ...].
-    Container parse only — the entry point that lets a temporal frame
-    sampler skip unsampled frames' decompression entirely (each GIF
-    frame's LZW stream is self-contained)."""
+def parse_gif(payload: bytes) -> tuple[int, int, int, bytes | None, list[dict]]:
+    """Walk the block stream and return
+    ``(screen_w, screen_h, bg_index, gct, blocks)`` WITHOUT decoding
+    any LZW data. Each block dict carries
+    {left, top, w, h, interlaced, palette, min_code, data, disposal,
+    trans_idx}: the last two come from the Graphic Control Extension
+    preceding the image block (89a §23 — a GCE governs exactly the
+    next renderable block), defaulting to disposal 0 / no transparency
+    when absent. Container parse only — the entry point that lets a
+    temporal frame sampler skip unsampled frames' decompression
+    entirely (each GIF frame's LZW stream is self-contained)."""
     b = bytes(payload)
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise GifError("missing GIF87a/89a signature")
     if len(b) < 13:
         raise GifError("truncated logical screen descriptor")
+    screen_w, screen_h = _u16(b, 6), _u16(b, 8)
     packed = b[10]
+    bg_index = b[11]
     p = 13
     gct = None
     if packed & 0x80:
@@ -155,6 +162,8 @@ def gif_image_blocks(payload: bytes) -> list[dict]:
         p += 3 * n
 
     blocks: list[dict] = []
+    disposal = 0
+    trans_idx: int | None = None
     while True:
         if p >= len(b):
             raise GifError("missing trailer")
@@ -163,10 +172,14 @@ def gif_image_blocks(payload: bytes) -> list[dict]:
         if block == 0x3B:  # trailer
             if not blocks:
                 raise GifError("no image data before trailer")
-            return blocks
+            return screen_w, screen_h, bg_index, gct, blocks
         if block == 0x21:  # extension: label + sub-blocks
             if p >= len(b):
                 raise GifError("truncated extension")
+            if b[p] == 0xF9 and p + 5 < len(b) and b[p + 1] == 4:
+                gpacked = b[p + 2]
+                disposal = (gpacked >> 2) & 0x07
+                trans_idx = b[p + 5] if gpacked & 0x01 else None
             p = _skip_subblocks(b, p + 1)
             continue
         if block != 0x2C:
@@ -199,12 +212,23 @@ def gif_image_blocks(payload: bytes) -> list[dict]:
                 "palette": palette,
                 "min_code": min_code,
                 "data": data,
+                "disposal": disposal,
+                "trans_idx": trans_idx,
             }
         )
+        disposal = 0
+        trans_idx = None
 
 
-def decode_gif_block(blk: dict) -> tuple[int, int, int, bytes]:
-    """LZW-decode one image block to (w, h, 3, rgb bytes)."""
+def gif_image_blocks(payload: bytes) -> list[dict]:
+    """Image blocks only (see parse_gif) — the temporal-sampling
+    entry point that skips unsampled frames' decompression."""
+    return parse_gif(payload)[4]
+
+
+def _decode_block_indices(blk: dict) -> bytearray:
+    """LZW-decode one image block to its w*h palette INDICES (the
+    pre-palettization form compositing needs for transparency)."""
     w, h = blk["w"], blk["h"]
     idx = _lzw_decode(blk["data"], blk["min_code"], w * h)
     if blk["interlaced"]:  # 4-pass row order
@@ -215,6 +239,13 @@ def decode_gif_block(blk: dict) -> tuple[int, int, int, bytes]:
                 rows[y * w : (y + 1) * w] = idx[src : src + w]
                 src += w
         idx = rows
+    return idx
+
+
+def decode_gif_block(blk: dict) -> tuple[int, int, int, bytes]:
+    """LZW-decode one image block to (w, h, 3, rgb bytes)."""
+    w, h = blk["w"], blk["h"]
+    idx = _decode_block_indices(blk)
     palette = blk["palette"]
     npal = len(palette) // 3
     rgb = bytearray(w * h * 3)
@@ -232,21 +263,71 @@ def decode_gif_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     return decode_gif_block(gif_image_blocks(payload)[0])
 
 
+def compose_gif_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """(screen_w, screen_h, [canvas rgb bytes after each frame]):
+    REAL animated-GIF compositing, closing the round-6/7 gate —
+    partial-canvas frames (left/top offsets, sub-region w/h) are
+    drawn onto the logical-screen canvas honoring the Graphic
+    Control Extension's transparency index (transparent pixels leave
+    the underlying canvas visible) and disposal method between
+    frames: 0/1 leave the canvas, 2 restores the frame's rect to the
+    BACKGROUND color (logical screen descriptor's bg index into the
+    global color table — the deterministic spec reading; browsers
+    that composite onto a transparent page use clear instead), 3
+    restores the canvas as it was BEFORE the frame (89a §23). The
+    emitted frame list is the canvas AFTER each frame draws — what a
+    renderer displays. Frames are clipped to the canvas (malformed
+    oversize rects draw their visible part, the tolerant-renderer
+    convention). numpy throughout: palette gather + transparency
+    mask are vectorized, no per-pixel Python in the composite."""
+    import numpy as np
+
+    screen_w, screen_h, bg_index, gct, blocks = parse_gif(payload)
+    if gct is not None and 3 * bg_index + 3 <= len(gct):
+        bg_rgb = np.frombuffer(
+            gct[3 * bg_index : 3 * bg_index + 3], dtype=np.uint8
+        ).copy()
+    else:
+        bg_rgb = np.zeros(3, dtype=np.uint8)
+    canvas = np.broadcast_to(bg_rgb, (screen_h, screen_w, 3)).copy()
+    frames: list[bytes] = []
+    for blk in blocks:
+        bw, bh = blk["w"], blk["h"]
+        left, top = blk["left"], blk["top"]
+        idx = np.frombuffer(
+            bytes(_decode_block_indices(blk)), dtype=np.uint8
+        ).reshape(bh, bw)
+        pal = np.frombuffer(blk["palette"], dtype=np.uint8).reshape(-1, 3)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise GifError("palette index out of range")
+        # clip the frame rect to the canvas
+        vw = min(bw, screen_w - left)
+        vh = min(bh, screen_h - top)
+        if vw <= 0 or vh <= 0:
+            frames.append(canvas.tobytes())
+            continue
+        vis = idx[:vh, :vw]
+        region = canvas[top : top + vh, left : left + vw]
+        snapshot = region.copy() if blk["disposal"] == 3 else None
+        rgb = pal[vis]  # (vh, vw, 3) gather
+        t = blk["trans_idx"]
+        if t is not None:
+            mask = vis != t
+            region[mask] = rgb[mask]
+        else:
+            region[:, :] = rgb
+        frames.append(canvas.tobytes())
+        if blk["disposal"] == 2:
+            region[:, :] = bg_rgb
+        elif blk["disposal"] == 3:
+            region[:, :] = snapshot
+    return screen_w, screen_h, frames
+
+
 def decode_gif_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
     """(width, height, [frame rgb bytes]): decode every frame of an
-    animated GIF. Full-canvas frames only — frames that cover a
-    sub-region (left/top offsets, smaller w/h) require disposal-method
-    compositing against prior frames and raise NotImplementedError
-    (the documented gate; a real cluster registers a PIL-backed
-    callable through the same seam)."""
-    blocks = gif_image_blocks(payload)
-    w, h = blocks[0]["w"], blocks[0]["h"]
-    frames = []
-    for blk in blocks:
-        if blk["left"] or blk["top"] or blk["w"] != w or blk["h"] != h:
-            raise NotImplementedError(
-                "partial-canvas animation frame: disposal compositing "
-                "not implemented (full-canvas frames only)"
-            )
-        frames.append(decode_gif_block(blk)[3])
-    return w, h, frames
+    animated GIF with full disposal/transparency compositing — each
+    returned frame is the rendered logical-screen canvas. (Until
+    round 7 partial-canvas frames raised NotImplementedError; the
+    compositor above retires that gate.)"""
+    return compose_gif_frames(payload)

@@ -1741,6 +1741,141 @@ FROM px GROUP BY doc_id, frame_idx
 """
 
 
+# ------------------------------------------- animated gif compositing
+# Partial-canvas animation (the round-6/7 NotImplementedError gate,
+# now retired): frames that cover a sub-rect of the logical screen
+# composite onto the canvas with GCE transparency and disposal
+# methods. The fixture exercises every disposal path with a
+# closed-form answer:
+#   frame 0: full 8x8 canvas, disposal 1 (leave), idx = (7d+13i)%128
+#   frame 1: 4x4 at (1,2), disposal 3 (restore-previous),
+#            transparency index 84, idx = (5d+17p)%128 — transparent
+#            holes show frame 0 through
+#   frame 2: 3x3 at (4,4), disposal 2 (restore-background; frame 1's
+#            disposal already rewound its rect), idx = (3d+23p)%128
+#   frame 3: 2x8 column at (6,0), disposal 0 — draws over the
+#            background-restored cells at x=6, idx = (11d+31p)%128
+# so the canvas after each frame is a CASE expression over (x, y),
+# stated verbatim in the DuckDB oracle.
+
+_GIF_CMP_RECTS = (  # (left, top, w, h, disposal, trans_idx, mulA, mulB)
+    (0, 0, 8, 8, 1, None, 7, 13),
+    (1, 2, 4, 4, 3, 84, 5, 17),
+    (4, 4, 3, 3, 2, None, 3, 23),
+    (6, 0, 2, 8, 0, None, 11, 31),
+)
+
+
+def _synth_gif_composite_hex_spark() -> str:
+    parts = [f"'{_gif_screen_hex()}'"]
+    for left, top, w, h, disp, trans, a, b in _GIF_CMP_RECTS:
+        packed = (disp << 2) | (1 if trans is not None else 0)
+        gce = f"21f904{packed:02x}0a00{(trans or 0):02x}00"
+        desc = (
+            "2c"
+            + left.to_bytes(2, "little").hex()
+            + top.to_bytes(2, "little").hex()
+            + w.to_bytes(2, "little").hex()
+            + h.to_bytes(2, "little").hex()
+            + "00"  # no LCT, not interlaced
+            + "07"  # LZW min code size (byte-aligned codes)
+            + f"{w * h + 2:02x}"  # one sub-block: clear+pixels+eoi
+            + "80"  # CLEAR
+        )
+        parts.append(f"'{gce}{desc}'")
+        idx = ", ".join(
+            f"lpad(hex((doc_id * {a} + {b * p}) % {_GIF_PAL_N}), 2, '0')"
+            for p in range(w * h)
+        )
+        parts.append(f"{idx}, '81', '00'")
+    parts.append("'3b'")
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def synth_gif_composite_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): animated GIF89a clips whose frames cover
+    sub-rects of the canvas — transparency + all disposal methods."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(f"unhex({_synth_gif_composite_hex_spark()})").alias("payload"),
+    )
+
+
+def compose_gif_stats(assets: DataFrame) -> DataFrame:
+    """Render every animation frame through the disposal compositor
+    (operators/gifcodec.py::compose_gif_frames) and emit per-frame
+    stats of the full logical-screen canvas. One mapInPandas pass;
+    payload bytes never shuffle; stats are numpy-vectorized."""
+    import numpy as np
+
+    from .gifcodec import compose_gif_frames
+
+    def _compose(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _MJPEG_FRAME_SCHEMA}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, frames = compose_gif_frames(bytes(payload))
+                wts = (np.arange(w * h * 3, dtype=np.int64) + 1) ** 2
+                for t, frame in enumerate(frames):
+                    arr = np.frombuffer(frame, dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    s = int(arr.sum())
+                    rows["asset_id"].append(int(aid))
+                    rows["frame_idx"].append(t)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["pixel_sum"].append(s)
+                    rows["px_checksum"].append(int((arr * wts).sum()))
+                    rows["mean_ppm"].append(s * 1_000_000 // (w * h * 3))
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _compose, schema=_MJPEG_FRAME_SCHEMA
+    )
+
+
+def gif_composite_oracle_sql() -> str:
+    """Closed-form canvas state after each frame: rect membership and
+    the per-frame index formulas collapse compositing into one CASE
+    per frame (disposal 3 rewinds frame 1's rect before frame 2;
+    disposal 2 leaves background index 0 under frame 3)."""
+    n = GIF_W * GIF_H
+    f0 = f"((doc_id * 7 + 13 * (y.y * {GIF_W} + x.x)) % {_GIF_PAL_N})"
+    v1 = f"((doc_id * 5 + 17 * ((y.y - 2) * 4 + (x.x - 1))) % {_GIF_PAL_N})"
+    v2 = f"((doc_id * 3 + 23 * ((y.y - 4) * 3 + (x.x - 4))) % {_GIF_PAL_N})"
+    v3 = f"((doc_id * 11 + 31 * (y.y * 2 + (x.x - 6))) % {_GIF_PAL_N})"
+    in1 = "(x.x BETWEEN 1 AND 4 AND y.y BETWEEN 2 AND 5)"
+    in2 = "(x.x BETWEEN 4 AND 6 AND y.y BETWEEN 4 AND 6)"
+    in3 = "(x.x >= 6)"
+    ci = f"""CASE t.t
+      WHEN 0 THEN {f0}
+      WHEN 1 THEN CASE WHEN {in1} AND {v1} <> 84 THEN {v1} ELSE {f0} END
+      WHEN 2 THEN CASE WHEN {in2} THEN {v2} ELSE {f0} END
+      ELSE CASE WHEN {in3} THEN {v3} WHEN {in2} THEN 0 ELSE {f0} END
+    END"""
+    return f"""
+WITH px AS (
+  SELECT doc_id, t.t AS frame_idx, (y.y * {GIF_W} + x.x) AS i,
+    (2 * ({ci})) % 256 AS r,
+    (3 * ({ci}) + 7) % 256 AS gr,
+    (5 * ({ci}) + 11) % 256 AS bl
+  FROM documents,
+       UNNEST(generate_series(0, 3)) AS t(t),
+       UNNEST(generate_series(0, {GIF_H - 1})) AS y(y),
+       UNNEST(generate_series(0, {GIF_W - 1})) AS x(x)
+)
+SELECT doc_id AS asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+  CAST({GIF_W} AS BIGINT) AS width, CAST({GIF_H} AS BIGINT) AS height,
+  CAST(sum(r + gr + bl) AS BIGINT) AS pixel_sum,
+  CAST(sum(r * (3*i + 1) * (3*i + 1)
+         + gr * (3*i + 2) * (3*i + 2)
+         + bl * (3*i + 3) * (3*i + 3)) AS BIGINT) AS px_checksum,
+  CAST(sum(r + gr + bl) AS BIGINT) * 1000000 // {3 * n} AS mean_ppm
+FROM px GROUP BY doc_id, frame_idx
+"""
+
+
 # ----------------------------------------------------------- mjpeg avi
 # REAL-codec video (VERDICT r6 #5): MJPEG inside a RIFF/AVI container
 # — every frame is a complete baseline JPEG, so the new T.81 decoder

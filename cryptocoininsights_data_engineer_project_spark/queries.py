@@ -1354,6 +1354,30 @@ def multimodal_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_gif_composite",
+    multimodal.gif_composite_oracle_sql(),
+    doc="REAL animated-GIF disposal compositing — retires the round-7 "
+    "partial-canvas NotImplementedError gate: spec-valid GIF89a clips "
+    "whose frames cover sub-rects of the logical screen are rendered "
+    "onto the canvas honoring GCE transparency (holes show the prior "
+    "canvas through) and every disposal method — 1 leave, 3 restore-"
+    "previous, 2 restore-background, 0 unspecified (operators/"
+    "gifcodec.py::compose_gif_frames, numpy palette-gather + mask, no "
+    "per-pixel Python). Fixtures are built byte-exactly in SQL on the "
+    "byte-aligned LZW corner; the oracle states the canvas after each "
+    "frame as one CASE over (x, y) — disposal 3 provably rewinds "
+    "frame 1's rect, disposal 2 leaves background under frame 3 — "
+    "with the position-weighted checksum pinning value AND location. "
+    "Matches an independent per-pixel reference renderer in "
+    "tests/test_gif.py. One mapInPandas pass; payloads never shuffle",
+)
+def multimodal_gif_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.compose_gif_stats(
+        multimodal.synth_gif_composite_assets(_t(spark, sf_dir, "documents"))
+    )
+
+
+@_q(
     "multimodal_jpeg_progressive",
     multimodal.jpeg_progressive_oracle_sql(),
     doc="REAL progressive (SOF2) JPEG pixel decode (VERDICT r6 #4): "

@@ -254,13 +254,121 @@ def test_animated_frames_decode_and_partial_canvas_gate():
     for t, idx in enumerate(frames_idx):
         assert frames[t] == _expected_rgb(pal, idx), t
 
-    # partial-canvas second frame -> NotImplementedError
-    partial = bytearray(bytes(body))
-    at = partial.index(b"\x2c", 20)  # first image descriptor
-    at2 = partial.index(b"\x2c", at + 1)
-    partial[at2 + 5 : at2 + 7] = (w - 2).to_bytes(2, "little")
-    with pytest.raises(NotImplementedError, match="partial-canvas"):
-        decode_gif_frames(bytes(partial))
+
+# ------------------------------------------------- disposal compositing
+
+
+def _encode_anim(
+    screen_w: int,
+    screen_h: int,
+    gct: bytes,
+    bg_index: int,
+    frames: list[dict],
+) -> bytes:
+    """Independent animated-GIF assembler: each frame dict gives
+    {left, top, w, h, indices, disposal, trans_idx} and is emitted as
+    GCE + image descriptor + LZW data. Written from the 89a spec,
+    separately from the decoder."""
+    n = len(gct) // 3
+    size_bits = n.bit_length() - 2
+    min_code = max(2, (n - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    out += screen_w.to_bytes(2, "little") + screen_h.to_bytes(2, "little")
+    out += bytes([0x80 | size_bits, bg_index, 0])
+    out += gct
+    for f in frames:
+        t = f.get("trans_idx")
+        packed = (f.get("disposal", 0) << 2) | (1 if t is not None else 0)
+        out += bytes([0x21, 0xF9, 4, packed, 0x0A, 0x00, t or 0, 0x00])
+        out += bytes([0x2C])
+        out += f["left"].to_bytes(2, "little") + f["top"].to_bytes(2, "little")
+        out += f["w"].to_bytes(2, "little") + f["h"].to_bytes(2, "little")
+        out += bytes([0x00, min_code])
+        out += _subblocks(_lzw_encode(f["indices"], min_code))
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+def _reference_compose(
+    screen_w: int,
+    screen_h: int,
+    gct: bytes,
+    bg_index: int,
+    frames: list[dict],
+) -> list[bytes]:
+    """Per-pixel pure-Python renderer written from the spec —
+    independent of the numpy compositor under test."""
+    bg = gct[3 * bg_index : 3 * bg_index + 3]
+    canvas = [list(bg) for _ in range(screen_w * screen_h)]
+    out = []
+    for f in frames:
+        snap = [px[:] for px in canvas]
+        for y in range(f["h"]):
+            cy = f["top"] + y
+            if cy >= screen_h:
+                continue
+            for x in range(f["w"]):
+                cx = f["left"] + x
+                if cx >= screen_w:
+                    continue
+                ci = f["indices"][y * f["w"] + x]
+                if f.get("trans_idx") is not None and ci == f["trans_idx"]:
+                    continue
+                canvas[cy * screen_w + cx] = list(gct[3 * ci : 3 * ci + 3])
+        out.append(bytes(b for px in canvas for b in px))
+        d = f.get("disposal", 0)
+        if d in (2, 3):
+            for y in range(f["h"]):
+                cy = f["top"] + y
+                if cy >= screen_h:
+                    continue
+                for x in range(f["w"]):
+                    cx = f["left"] + x
+                    if cx >= screen_w:
+                        continue
+                    canvas[cy * screen_w + cx] = (
+                        list(bg) if d == 2 else snap[cy * screen_w + cx][:]
+                    )
+    return out
+
+
+def test_partial_canvas_disposal_compositing():
+    """The round-7 gate retired: partial-canvas frames composite onto
+    the logical screen with transparency and all disposal methods,
+    matching an independent per-pixel reference renderer — including
+    restore-to-background (2), restore-to-previous (3), transparent
+    holes showing the underlying canvas, and a frame rect that
+    overhangs the canvas edge (clipped)."""
+    from cryptocoininsights_data_engineer_project_spark.operators.gifcodec import (
+        compose_gif_frames,
+    )
+
+    rng = random.Random(77)
+    sw, sh = 10, 7
+    gct = _palette(16, seed=5)
+    frames = [
+        # full-canvas base, leave in place
+        dict(left=0, top=0, w=sw, h=sh, disposal=1, trans_idx=None,
+             indices=bytes(rng.randrange(16) for _ in range(sw * sh))),
+        # partial with transparency, restore-to-previous
+        dict(left=2, top=1, w=5, h=4, disposal=3, trans_idx=7,
+             indices=bytes(rng.randrange(16) for _ in range(5 * 4))),
+        # partial, restore-to-background
+        dict(left=4, top=3, w=3, h=3, disposal=2, trans_idx=None,
+             indices=bytes(rng.randrange(16) for _ in range(3 * 3))),
+        # overhangs the right/bottom edge -> clipped
+        dict(left=8, top=5, w=4, h=4, disposal=0, trans_idx=3,
+             indices=bytes(rng.randrange(16) for _ in range(4 * 4))),
+        # full-canvas with transparency over the post-disposal state
+        dict(left=0, top=0, w=sw, h=sh, disposal=0, trans_idx=0,
+             indices=bytes(rng.randrange(16) for _ in range(sw * sh))),
+    ]
+    payload = _encode_anim(sw, sh, gct, bg_index=9, frames=frames)
+    gw, gh, got = compose_gif_frames(payload)
+    want = _reference_compose(sw, sh, gct, bg_index=9, frames=frames)
+    assert (gw, gh, len(got)) == (sw, sh, len(frames))
+    for t, (g, w_) in enumerate(zip(got, want)):
+        assert g == w_, f"frame {t} composite mismatch"
 
 
 def test_registry_routes_gif_decoder():
