@@ -170,90 +170,54 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(_decode_batch, schema=_DECODED_SCHEMA)
 
 
-def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
-    """REAL PNG pixel decode, pure stdlib — PNG's only compression is
-    DEFLATE, and ``zlib`` ships with Python, so no codec library is
-    needed: walk the chunk stream, raw-inflate the concatenated IDAT
-    data (wbits=-15 skips the zlib wrapper, so checksums are tolerated
-    rather than required), then undo the per-scanline filter (all five:
-    None/Sub/Up/Average/Paeth, per the PNG spec's filter recurrences).
+def _png_unfilter(raw: bytes, off: int, n_rows: int, stride: int, bpp: int):
+    """Undo the per-scanline filter for one (sub-)image of ``n_rows``
+    scanlines of ``stride`` bytes starting at ``off`` in the inflated
+    stream; returns (ndarray (n_rows, stride) uint8, new offset).
 
-    Returns (width, height, channels, pixel_bytes) with pixel_bytes in
-    row-major interleaved order. Covers 8-bit greyscale / grey+alpha /
-    RGB / RGBA non-interlaced — the shapes a training pipeline emits;
-    palette, sub-byte depths, and Adam7 raise NotImplementedError.
-    Chunk CRCs are not verified (decode tolerance, standard practice
-    for data pipelines; integrity is the storage layer's job).
-    """
-    import struct
-    import zlib
-
-    b = bytes(payload)
-    if b[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG payload")
-    pos = 8
-    idat = b""
-    ihdr = None
-    while pos + 8 <= len(b):
-        ln = int.from_bytes(b[pos : pos + 4], "big")
-        typ = b[pos + 4 : pos + 8]
-        data = b[pos + 8 : pos + 8 + ln]
-        if typ == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif typ == b"IDAT":
-            idat += data
-        elif typ == b"IEND":
-            break
-        pos += 12 + ln  # length + type + data + crc
-    if ihdr is None or not idat:
-        raise ValueError("missing IHDR or IDAT")
-    w, h, depth, ctype, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or ctype not in (0, 2, 4, 6):
-        raise NotImplementedError(
-            f"PNG depth={depth} colortype={ctype} interlace={interlace}: "
-            "only 8-bit non-interlaced grey/RGB/alpha supported"
-        )
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
-    if len(idat) < 2 or (idat[0] & 0x0F) != 8 or (idat[1] & 0x20):
-        raise ValueError("unsupported zlib stream (preset dict or bad method)")
-    raw = zlib.decompressobj(wbits=-15).decompress(idat[2:])
-    stride = w * channels
-    need = h * (1 + stride)
-    if len(raw) < need:
-        raise ValueError(f"truncated pixel data: {len(raw)} < {need}")
-    # Filter reconstruction, numpy-vectorized where the recurrence
-    # allows (the r4 watch item: this was a pure-Python per-byte
-    # loop). Per filter: Up is element-wise over the previous ROW →
-    # one vectorized add; Sub is a per-channel-lane running sum →
-    # cumsum in uint64 then &0xFF (mod distributes over the sum, so
-    # one trailing mask equals the iterated mod); Average and Paeth
-    # genuinely depend on the RECONSTRUCTED left neighbor through a
-    # non-associative op (floor-average / predictor select), so they
-    # stay sequential per scanline — spec-inherent, not a shortcut.
+    Filter reconstruction, numpy-vectorized where the recurrence
+    allows (the r4 watch item: this was a pure-Python per-byte
+    loop). Per filter: Up is element-wise over the previous ROW →
+    one vectorized add; Sub is a per-channel-lane running sum →
+    cumsum in uint64 then &0xFF (mod distributes over the sum, so
+    one trailing mask equals the iterated mod); Average and Paeth
+    genuinely depend on the RECONSTRUCTED left neighbor through a
+    non-associative op (floor-average / predictor select), so they
+    stay sequential per scanline — spec-inherent, not a shortcut.
+    ``bpp`` is the spec's filter distance: bytes per complete pixel,
+    rounded UP to one (so sub-byte depths filter at distance 1)."""
     import numpy as np
 
-    bpp = channels  # bytes per pixel at depth 8
-    lines = np.frombuffer(raw[: h * (1 + stride)], dtype=np.uint8).reshape(
-        h, 1 + stride
+    need = n_rows * (1 + stride)
+    if len(raw) - off < need:
+        raise ValueError(
+            f"truncated pixel data: {len(raw) - off} < {need}"
+        )
+    lines = np.frombuffer(raw[off : off + need], dtype=np.uint8).reshape(
+        n_rows, 1 + stride
     )
     filters = lines[:, 0]
     bad = set(int(f) for f in np.unique(filters)) - {0, 1, 2, 3, 4}
     if bad:
         raise ValueError(f"invalid PNG filter type {bad.pop()}")
-    out = np.empty((h, stride), dtype=np.uint8)
+    out = np.empty((n_rows, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
+    for y in range(n_rows):
         f = int(filters[y])
         line = lines[y, 1:]
         if f == 0:  # None
             rec = line.copy()
         elif f == 1:  # Sub: per-lane cumulative sum mod 256
+            pad = (-stride) % bpp  # lanes need stride % bpp == 0
+            lanes = np.concatenate(
+                [line, np.zeros(pad, dtype=np.uint8)]
+            ) if pad else line
             rec = (
                 np.cumsum(
-                    line.reshape(-1, bpp).astype(np.uint64), axis=0
+                    lanes.reshape(-1, bpp).astype(np.uint64), axis=0
                 )
                 & 0xFF
-            ).astype(np.uint8).reshape(-1)
+            ).astype(np.uint8).reshape(-1)[:stride]
         elif f == 2:  # Up: element-wise over prev row (uint8 wraps)
             rec = line + prev
         elif f == 3:  # Average: sequential (floor-avg of recon left)
@@ -281,7 +245,133 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             rec[:] = rl
         out[y] = rec
         prev = rec
-    return w, h, channels, out.tobytes()
+    return out, off + need
+
+
+# Adam7 pass origins and steps: (x0, y0, dx, dy) per the PNG spec's
+# 8x8 scatter pattern; each pass is an independently-filtered
+# sub-image serialized in this order.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unpack_samples(rec, pw: int, channels: int, depth: int):
+    """(n_rows, stride_bytes) filtered-out bytes -> (n_rows,
+    pw*channels) uint8 SAMPLES: sub-byte depths unpack MSB-first with
+    row pad bits discarded; depth 16 chops to the high byte (libpng's
+    strip-16 convention — the 8-bit contract every downstream
+    operator uses)."""
+    import numpy as np
+
+    n_rows = rec.shape[0]
+    if depth == 8:
+        return rec.reshape(n_rows, pw * channels)
+    if depth == 16:
+        return rec.reshape(n_rows, pw * channels, 2)[:, :, 0]
+    bits = np.unpackbits(rec, axis=1)[:, : pw * channels * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    return (
+        (bits.reshape(n_rows, pw * channels, depth) * weights).sum(axis=2)
+    ).astype(np.uint8)
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL PNG pixel decode, pure stdlib — PNG's only compression is
+    DEFLATE, and ``zlib`` ships with Python, so no codec library is
+    needed: walk the chunk stream, raw-inflate the concatenated IDAT
+    data (wbits=-15 skips the zlib wrapper, so checksums are tolerated
+    rather than required), then undo the per-scanline filter (all five:
+    None/Sub/Up/Average/Paeth, per the PNG spec's filter recurrences).
+
+    Returns (width, height, channels, pixel_bytes) with pixel_bytes in
+    row-major interleaved order. Covers the FULL spec shape matrix
+    (round 7; previously 8-bit non-interlaced grey/RGB/alpha only):
+    grey at depths 1/2/4/8/16 (sub-byte samples scaled to 8-bit by the
+    exact 255/(2^d-1) expansion), palette (color type 3) at depths
+    1/2/4/8 expanded through PLTE to RGB, grey+alpha / RGB / RGBA at
+    8/16, and Adam7 interlace (each of the 7 passes an independently
+    filtered sub-image scattered into the canvas). Depth 16 chops to
+    the high byte (libpng strip-16), keeping the uint8 contract all
+    downstream operators share. tRNS is transparency metadata, not
+    pixel data — ignored, matching the GIF still-decode convention.
+    Chunk CRCs are not verified (decode tolerance, standard practice
+    for data pipelines; integrity is the storage layer's job).
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    b = bytes(payload)
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = b""
+    ihdr = None
+    plte = None
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    valid_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                    4: (8, 16), 6: (8, 16)}
+    if ctype not in valid_depths or depth not in valid_depths[ctype] or \
+            interlace not in (0, 1):
+        raise ValueError(
+            f"invalid PNG shape depth={depth} colortype={ctype} "
+            f"interlace={interlace}"
+        )
+    if ctype == 3:
+        if plte is None or len(plte) % 3 or not plte:
+            raise ValueError("palette image missing a valid PLTE chunk")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    if len(idat) < 2 or (idat[0] & 0x0F) != 8 or (idat[1] & 0x20):
+        raise ValueError("unsupported zlib stream (preset dict or bad method)")
+    raw = zlib.decompressobj(wbits=-15).decompress(idat[2:])
+    bpp = max(1, channels * depth // 8)  # filter distance, spec-rounded up
+
+    samples = np.empty((h, w, channels), dtype=np.uint8)
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    off = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass contributes no scanlines
+        stride = (pw * channels * depth + 7) // 8
+        rec, off = _png_unfilter(raw, off, ph, stride, bpp)
+        vals = _png_unpack_samples(rec, pw, channels, depth)
+        samples[y0::dy, x0::dx, :] = vals.reshape(ph, pw, channels)
+
+    if ctype == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = samples[:, :, 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of range")
+        return w, h, 3, pal[idx].tobytes()
+    if depth < 8:  # grey sub-byte: exact 255/(2^d - 1) expansion
+        scale = 255 // ((1 << depth) - 1)
+        samples = (samples.astype(np.uint16) * scale).astype(np.uint8)
+    return w, h, channels, samples.tobytes()
 
 
 # ------------------------------------------------------------ codec registry
@@ -873,6 +963,103 @@ SELECT doc_id AS asset_id,
   CAST(1 AS BIGINT) AS channels, CAST({n} AS BIGINT) AS n_pixels,
   CAST(sum(v) AS BIGINT) AS pixel_sum,
   round(CAST(sum(v) AS DOUBLE) / {n}, 6) AS mean_level
+FROM px GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------- palette + Adam7 png
+# Round 7: the PNG decoder covers the full spec shape matrix; this
+# fixture exercises the two genuinely new paths AT ONCE — 4-bit
+# PALETTE samples expanded through PLTE, serialized INTERLACED
+# (Adam7: seven independently-filtered sub-images scattered into the
+# canvas). The position-weighted checksum pins the scatter: a decoder
+# that read the passes in the wrong order would keep pixel_sum but
+# break px_checksum. Sample at canvas (x, y) is (doc_id + 5x + 9y)
+# mod 16; palette entry j is ((7j+3)%256, (11j+5)%256, (13j+2)%256).
+
+_PNG_PAL_N = 16
+
+
+def _png_pal_entry(j: int) -> tuple[int, int, int]:
+    return (7 * j + 3) % 256, (11 * j + 5) % 256, (13 * j + 2) % 256
+
+
+def _synth_png_palette_hex_spark() -> str:
+    w = h = 8
+    plte = bytearray()
+    for j in range(_PNG_PAL_N):
+        plte += bytes(_png_pal_entry(j))
+    parts: list[str] = []
+    raw_len = 0
+    for x0, y0, dx, dy in _ADAM7:
+        xs = list(range(x0, w, dx))
+        ys = list(range(y0, h, dy))
+        if not xs or not ys:
+            continue
+        for y in ys:
+            parts.append("'00'")  # filter None
+            raw_len += 1
+            for k in range(0, len(xs), 2):
+                a1 = 5 * xs[k] + 9 * y
+                if k + 1 < len(xs):
+                    a2 = 5 * xs[k + 1] + 9 * y
+                    parts.append(
+                        f"lpad(hex(((doc_id + {a1}) % 16) * 16"
+                        f" + (doc_id + {a2}) % 16), 2, '0')"
+                    )
+                else:  # odd pass width: low nibble is row padding
+                    parts.append(
+                        f"lpad(hex(((doc_id + {a1}) % 16) * 16), 2, '0')"
+                    )
+                raw_len += 1
+    idat_len = 2 + 5 + raw_len + 4  # zlib hdr + stored hdr + raw + adler
+    head = (
+        f"'{_PNG_SIG}', '0000000d', '49484452', "
+        f"'{w:08x}', '{h:08x}', '0403000001', '00000000', "
+        f"'{3 * _PNG_PAL_N:08x}', '504c5445', '{plte.hex()}', '00000000', "
+        f"'{idat_len:08x}', '49444154', '7801', '01', "
+        f"'{raw_len % 256:02x}{raw_len // 256:02x}', "
+        f"'{(0xFFFF - raw_len) % 256:02x}{(0xFFFF - raw_len) // 256:02x}'"
+    )
+    tail = "'00000000', '00000000', '00000000', '49454e44', '00000000'"
+    return f"concat({head}, {', '.join(parts)}, {tail})"
+
+
+def synth_png_palette_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): complete Adam7-interlaced 4-bit palette
+    PNGs, one per document, built JVM-side."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(f"unhex({_synth_png_palette_hex_spark()})").alias("payload"),
+    )
+
+
+def png_palette_oracle_sql() -> str:
+    """Closed-form decoded-pixel stats: the interlace pass order is a
+    pure permutation of scanline serialization, so the canvas formula
+    is stated directly at (x, y) and the position-weighted checksum
+    proves the scatter landed every pass at its spec offsets."""
+    w = h = 8
+    n = w * h
+    j = f"((doc_id + 5 * x.x + 9 * y.y) % {_PNG_PAL_N})"
+    return f"""
+WITH px AS (
+  SELECT doc_id, (y.y * {w} + x.x) AS i,
+    (7 * {j} + 3) % 256 AS r,
+    (11 * {j} + 5) % 256 AS gr,
+    (13 * {j} + 2) % 256 AS bl
+  FROM documents,
+       UNNEST(generate_series(0, {h - 1})) AS y(y),
+       UNNEST(generate_series(0, {w - 1})) AS x(x)
+)
+SELECT doc_id AS asset_id,
+  CAST({w} AS BIGINT) AS width, CAST({h} AS BIGINT) AS height,
+  CAST(3 AS BIGINT) AS channels, CAST({n} AS BIGINT) AS n_pixels,
+  CAST(sum(r + gr + bl) AS BIGINT) AS pixel_sum,
+  CAST(sum(r * (3*i + 1) * (3*i + 1)
+         + gr * (3*i + 2) * (3*i + 2)
+         + bl * (3*i + 3) * (3*i + 3)) AS BIGINT) AS px_checksum,
+  CAST(sum(r + gr + bl) AS BIGINT) * 1000000 // {3 * n} AS mean_ppm
 FROM px GROUP BY doc_id
 """
 

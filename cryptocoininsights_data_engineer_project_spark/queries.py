@@ -1293,6 +1293,29 @@ def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_png_palette",
+    multimodal.png_palette_oracle_sql(),
+    doc="REAL palette + Adam7-interlace PNG decode (round 7 — the "
+    "full spec shape matrix): spec-valid 4-bit PALETTE PNGs, "
+    "serialized INTERLACED (seven independently-filtered Adam7 "
+    "sub-images), built byte-exactly in SQL (stored-DEFLATE IDAT, "
+    "PLTE literal), decoded by the stdlib decoder's new sub-byte "
+    "unpack + PLTE expansion + pass-scatter paths (operators/"
+    "multimodal.py::decode_png_pixels) in one mapInPandas pass. The "
+    "position-weighted px_checksum pins the scatter — wrong pass "
+    "order keeps pixel_sum but breaks the checksum. Grey 1/2/4-bit "
+    "scaling, 16-bit chop, and every filter x shape combination are "
+    "covered by independent-encoder round-trips in "
+    "tests/test_multimodal.py",
+)
+def multimodal_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_image_stats(
+        multimodal.synth_png_palette_assets(docs)
+    )
+
+
+@_q(
     "multimodal_jpeg_pixels",
     multimodal.jpeg_pixels_oracle_sql(),
     doc="REAL baseline JPEG pixel decode (VERDICT r5 #1): a complete "

@@ -515,6 +515,197 @@ def test_png_filter_vectorization_matches_spec_reference():
             assert out == pix, f"filter {filt} ch {ch}"
 
 
+def _encode_png_full(
+    wd, ht, ctype, depth, samples, filt=0, interlace=False, plte=None
+):
+    """Independent full-matrix PNG encoder (test-only, written from
+    the spec separately from the decoder): palette/grey/color at any
+    legal depth, optional Adam7 serialization, any single filter type
+    applied at the spec's byte distance. ``samples`` is a row-major
+    list of per-pixel channel tuples of RAW sample values."""
+    import struct
+    import zlib
+
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    bpp = max(1, nch * depth // 8)
+
+    def pack_row(vals):
+        flat = [c for px in vals for c in px]
+        if depth == 8:
+            return bytes(flat)
+        if depth == 16:
+            return b"".join(v.to_bytes(2, "big") for v in flat)
+        out = bytearray()
+        acc = n = 0
+        for v in flat:
+            acc = (acc << depth) | v
+            n += depth
+            if n == 8:
+                out.append(acc)
+                acc = n = 0
+        if n:
+            out.append(acc << (8 - n))
+        return bytes(out)
+
+    def filter_row(line, prev):
+        if filt == 0:
+            return line
+        out = bytearray()
+        for i in range(len(line)):
+            a = line[i - bpp] if i >= bpp else 0
+            b_ = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if filt == 1:
+                pred = a
+            elif filt == 2:
+                pred = b_
+            elif filt == 3:
+                pred = (a + b_) >> 1
+            else:
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
+            out.append((line[i] - pred) & 255)
+        return bytes(out)
+
+    passes = (
+        ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+         (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+        if interlace
+        else ((0, 0, 1, 1),)
+    )
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        xs = list(range(x0, wd, dx))
+        ys = list(range(y0, ht, dy))
+        if not xs or not ys:
+            continue
+        prev = bytes((len(xs) * nch * depth + 7) // 8)
+        for y in ys:
+            line = pack_row([samples[y * wd + x] for x in xs])
+            raw += bytes([filt]) + filter_row(line, prev)
+            prev = line
+    z = zlib.compress(bytes(raw))
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out += (13).to_bytes(4, "big") + b"IHDR"
+    out += struct.pack(
+        ">IIBBBBB", wd, ht, depth, ctype, 0, 0, 1 if interlace else 0
+    )
+    out += b"\x00" * 4
+    if plte is not None:
+        out += len(plte).to_bytes(4, "big") + b"PLTE" + plte + b"\x00" * 4
+    out += len(z).to_bytes(4, "big") + b"IDAT" + z + b"\x00" * 4
+    out += (0).to_bytes(4, "big") + b"IEND" + b"\x00" * 4
+    return bytes(out)
+
+
+def test_png_full_shape_matrix_round_trip():
+    """Round 7: the full spec shape matrix — palette through PLTE,
+    grey sub-byte depths with exact 255/(2^d-1) expansion, 16-bit
+    high-byte chop, odd widths (row pad bits discarded) — against
+    the independent encoder, expected pixels computed from the raw
+    samples directly."""
+    import random
+
+    rng = random.Random(41)
+    # (ctype, depth) -> expected transform of one sample tuple
+    cases = [
+        (0, 1), (0, 2), (0, 4), (0, 8), (0, 16),
+        (2, 8), (2, 16), (3, 1), (3, 2), (3, 4), (3, 8),
+        (4, 8), (4, 16), (6, 8), (6, 16),
+    ]
+    for ctype, depth in cases:
+        wd, ht = 7, 5  # odd width exercises pad bits at depth < 8
+        nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+        hi = (1 << depth) - 1
+        samples = [
+            tuple(rng.randrange(hi + 1) for _ in range(nch))
+            for _ in range(wd * ht)
+        ]
+        plte = None
+        if ctype == 3:
+            npal = 1 << depth
+            plte = bytes(rng.randrange(256) for _ in range(3 * npal))
+        for filt in (0, 1, 2, 3, 4):
+            png = _encode_png_full(
+                wd, ht, ctype, depth, samples, filt=filt, plte=plte
+            )
+            w, h, ch, out = multimodal.decode_png_pixels(png)
+            if ctype == 3:
+                want = b"".join(
+                    plte[3 * px[0] : 3 * px[0] + 3] for px in samples
+                )
+                assert (w, h, ch) == (wd, ht, 3)
+            elif depth < 8:
+                scale = 255 // hi
+                want = bytes(c * scale for px in samples for c in px)
+                assert (w, h, ch) == (wd, ht, nch)
+            elif depth == 16:
+                want = bytes(c >> 8 for px in samples for c in px)
+                assert (w, h, ch) == (wd, ht, nch)
+            else:
+                want = bytes(c for px in samples for c in px)
+                assert (w, h, ch) == (wd, ht, nch)
+            assert out == want, f"ctype={ctype} depth={depth} filt={filt}"
+
+
+def test_png_adam7_interlace_round_trip():
+    """Adam7: all 7 passes independently filtered and scattered —
+    shapes chosen so some passes are empty (1-2 pixel edges) and
+    others multi-row; every color type, both byte and sub-byte."""
+    import random
+
+    rng = random.Random(43)
+    shapes = [(8, 8), (7, 5), (3, 3), (1, 1), (2, 9), (13, 4)]
+    for ctype, depth in [(0, 8), (2, 8), (3, 4), (6, 8), (0, 2), (2, 16)]:
+        nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+        hi = (1 << depth) - 1
+        for wd, ht in shapes:
+            samples = [
+                tuple(rng.randrange(hi + 1) for _ in range(nch))
+                for _ in range(wd * ht)
+            ]
+            plte = (
+                bytes(rng.randrange(256) for _ in range(3 * (1 << depth)))
+                if ctype == 3
+                else None
+            )
+            for filt in (0, 4):
+                png = _encode_png_full(
+                    wd, ht, ctype, depth, samples,
+                    filt=filt, interlace=True, plte=plte,
+                )
+                w, h, ch, out = multimodal.decode_png_pixels(png)
+                ni = _encode_png_full(
+                    wd, ht, ctype, depth, samples, filt=0, plte=plte
+                )
+                _, _, _, want = multimodal.decode_png_pixels(ni)
+                assert (w, h) == (wd, ht)
+                assert out == want, (
+                    f"adam7 ctype={ctype} depth={depth} {wd}x{ht} f={filt}"
+                )
+
+
+def test_png_palette_gates():
+    """Palette image without PLTE, or with an out-of-range index,
+    must fail loudly (ValueError), not decode garbage."""
+    import pytest as _pytest
+
+    samples = [(1,)] * 4
+    png = _encode_png_full(2, 2, 3, 8, samples, plte=bytes(6))
+    w, h, ch, out = multimodal.decode_png_pixels(png)
+    assert (w, h, ch) == (2, 2, 3)
+    # strip the PLTE chunk
+    at = png.index(b"PLTE") - 4
+    end = at + 4 + 4 + 6 + 4
+    with _pytest.raises(ValueError, match="PLTE"):
+        multimodal.decode_png_pixels(png[:at] + png[end:])
+    # index beyond the palette
+    bad = _encode_png_full(2, 2, 3, 8, [(5,)] * 4, plte=bytes(6))
+    with _pytest.raises(ValueError, match="palette index"):
+        multimodal.decode_png_pixels(bad)
+
+
 def test_image_phash_pairs_designed_structure(spark):
     """The phash dedup bridge finds exactly the designed near-dup
     structure: within each doc_id//4 group, variants 0/1/2 pair at
