@@ -1739,6 +1739,261 @@ FROM sm GROUP BY doc_id
 """
 
 
+# ----------------------------------------------------------- ima adpcm
+# IMA/DVI ADPCM (WAV format tag 0x11) — the third real audio codec
+# after the two G.711 laws, and the first ADAPTIVE one: each 4-bit
+# nibble is decoded through a predictor + step-size state machine
+# (89-entry step table, per-nibble index adaptation, int16 clamping).
+# Blocks are INDEPENDENT (each block header carries the initial
+# predictor and step index), which is exactly what makes the format
+# scale: a 100 TB audio corpus decodes block-parallel with no
+# cross-row state, while within a block the recurrence is inherently
+# sequential (the same honest-floor class as JPEG's Huffman stream).
+#
+# Fixture: mono, block_align=8 (4-byte header + 4 data bytes = 8
+# nibbles), ADPCM_BLOCKS blocks per doc. Block b of doc d:
+#   predictor = (97d + 13b) % 1024 - 512   (int16 LE, two's compl.)
+#   step idx  = (d + 7b) % 89
+#   data byte k = (37d + 11k + 53b) % 256  (low nibble first)
+# The oracle UNROLLS the 8-nibble recurrence as a chain of CTEs
+# carrying (predictor, index) — the same unrolled-CTE discipline as
+# bpe_merges — with the step table a DuckDB list literal.
+
+# canonical IMA step-size table (89 entries) and index adaptation,
+# from the public IMA ADPCM specification
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+)
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+ADPCM_BLOCK_ALIGN = 8
+ADPCM_BLOCKS = 2
+
+
+def adpcm_ima_decode(data: bytes, block_align: int):
+    """IMA ADPCM block stream -> int16 numpy samples. Each block:
+    4-byte header (int16 LE predictor emitted as sample 0, step
+    index, reserved) then (block_align-4)*2 nibbles, LOW nibble
+    first. The per-nibble recurrence (diff = step/8 + bit-selected
+    step/4, step/2, step; clamp predictor to int16; adapt index by
+    the 8-entry table, clamp to [0, 88]) is spec-sequential within a
+    block; blocks decode independently."""
+    import numpy as np
+
+    if block_align <= 4:
+        raise ValueError(f"bad ADPCM block_align {block_align}")
+    if len(data) % block_align:
+        raise ValueError(
+            f"ADPCM data {len(data)} not a multiple of block_align "
+            f"{block_align}"
+        )
+    out: list[int] = []
+    for off in range(0, len(data), block_align):
+        pred = int.from_bytes(data[off : off + 2], "little", signed=True)
+        idx = data[off + 2]
+        if idx > 88:
+            raise ValueError(f"ADPCM step index {idx} out of range")
+        out.append(pred)
+        for byte in data[off + 4 : off + block_align]:
+            for d in (byte & 0x0F, byte >> 4):
+                step = _IMA_STEP_TABLE[idx]
+                diff = step >> 3
+                if d & 4:
+                    diff += step
+                if d & 2:
+                    diff += step >> 1
+                if d & 1:
+                    diff += step >> 2
+                pred = pred - diff if d & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                out.append(pred)
+                idx = max(0, min(88, idx + _IMA_INDEX_TABLE[d & 7]))
+    return np.array(out, dtype=np.int16)
+
+
+_ADPCM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("pcm_sum", T.LongType(), False),
+        T.StructField("pcm_energy", T.LongType(), False),
+        T.StructField("pcm_checksum", T.LongType(), False),
+        T.StructField("pcm_min", T.LongType(), False),
+        T.StructField("pcm_max", T.LongType(), False),
+    ]
+)
+
+
+def decode_adpcm_stats(assets: DataFrame) -> DataFrame:
+    """IMA ADPCM WAV decode + per-asset stats, one narrow mapInPandas
+    pass (payloads never shuffle). The fmt chunk must declare tag
+    0x11 at 4 bits — expanding PCM or G.711 bytes as ADPCM nibbles is
+    silent corruption, so a mismatch fails loudly. ``pcm_checksum``
+    position-weights each sample (sum s*(i+1)^2), pinning the
+    predictor/step trajectory sample by sample, not just in
+    aggregate."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _ADPCM_STATS_SCHEMA}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError("not a RIFF/WAVE payload")
+                p = 12
+                tag = bits = align = None
+                data = None
+                while p + 8 <= len(b):
+                    cid = b[p : p + 4]
+                    sz = int.from_bytes(b[p + 4 : p + 8], "little")
+                    body = b[p + 8 : p + 8 + sz]
+                    if cid == b"fmt ":
+                        tag = int.from_bytes(body[0:2], "little")
+                        align = int.from_bytes(body[12:14], "little")
+                        bits = int.from_bytes(body[14:16], "little")
+                    elif cid == b"data":
+                        data = body
+                    p += 8 + sz + (sz & 1)
+                if tag != 0x11 or bits != 4:
+                    raise ValueError(
+                        f"expected 4-bit IMA ADPCM (tag 17), got tag "
+                        f"{tag} at {bits} bits"
+                    )
+                if data is None:
+                    raise ValueError("WAV has no data chunk")
+                s = adpcm_ima_decode(data, align).astype(np.int64)
+                w = (np.arange(len(s)) + 1) ** 2
+                rows["asset_id"].append(int(aid))
+                rows["n_samples"].append(len(s))
+                rows["pcm_sum"].append(int(s.sum()))
+                rows["pcm_energy"].append(int((s * s).sum()))
+                rows["pcm_checksum"].append(int((s * w).sum()))
+                rows["pcm_min"].append(int(s.min()))
+                rows["pcm_max"].append(int(s.max()))
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _decode, schema=_ADPCM_STATS_SCHEMA
+    )
+
+
+def _adpcm_header_hex() -> str:
+    n_data = ADPCM_BLOCKS * ADPCM_BLOCK_ALIGN
+    spb = (ADPCM_BLOCK_ALIGN - 4) * 2 + 1  # samples per block
+    return (
+        "52494646"  # RIFF
+        + (4 + 28 + 8 + n_data).to_bytes(4, "little").hex()
+        + "57415645"  # WAVE
+        + "666d7420" + "14000000"  # fmt , 20 bytes (cbSize extension)
+        + "1100"  # format tag 0x11 = IMA ADPCM
+        + "0100"  # 1 channel
+        + (8000).to_bytes(4, "little").hex()  # sample rate
+        + (8000 * ADPCM_BLOCK_ALIGN // spb).to_bytes(4, "little").hex()
+        + ADPCM_BLOCK_ALIGN.to_bytes(2, "little").hex()
+        + "0400"  # 4 bits per sample
+        + "0200"  # cbSize = 2
+        + spb.to_bytes(2, "little").hex()  # samples per block
+        + "64617461"  # data
+        + n_data.to_bytes(4, "little").hex()
+    )
+
+
+def _synth_adpcm_hex_spark() -> str:
+    parts = [f"'{_adpcm_header_hex()}'"]
+    for b in range(ADPCM_BLOCKS):
+        pred16 = (
+            f"((doc_id * 97 + {13 * b}) % 1024 - 512 + 65536) % 65536"
+        )
+        parts.append(f"lpad(hex(({pred16}) % 256), 2, '0')")
+        parts.append(f"lpad(hex(({pred16}) div 256), 2, '0')")
+        parts.append(f"lpad(hex((doc_id + {7 * b}) % 89), 2, '0')")
+        parts.append("'00'")  # reserved
+        for k in range(ADPCM_BLOCK_ALIGN - 4):
+            parts.append(
+                f"lpad(hex((doc_id * 37 + {11 * k + 53 * b}) % 256), 2, '0')"
+            )
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def synth_adpcm_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): complete IMA ADPCM WAVs, one per
+    document, built JVM-side."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(f"unhex({_synth_adpcm_hex_spark()})").alias("payload"),
+    )
+
+
+def adpcm_oracle_sql() -> str:
+    """The 8-nibble decode recurrence UNROLLED as a CTE chain (the
+    bpe_merges discipline): step s_j computes (p{j+1}, i{j+1}) from
+    (p{j}, i{j}) with the 89-entry step table as a list literal, so
+    DuckDB replays the exact predictor/step trajectory with no codec
+    and no recursion."""
+    step_list = "[" + ", ".join(str(v) for v in _IMA_STEP_TABLE) + "]"
+    idx_list = "[" + ", ".join(str(v) for v in _IMA_INDEX_TABLE) + "]"
+    n_nib = (ADPCM_BLOCK_ALIGN - 4) * 2
+    spb = n_nib + 1
+    ctes = [
+        "b AS (SELECT doc_id, t.b AS b, "
+        "(doc_id * 97 + 13 * t.b) % 1024 - 512 AS p0, "
+        "(doc_id + 7 * t.b) % 89 AS i0 FROM documents, "
+        f"UNNEST(generate_series(0, {ADPCM_BLOCKS - 1})) AS t(b))"
+    ]
+    prev = "b"
+    for j in range(n_nib):
+        k = j // 2
+        byte = f"((doc_id * 37 + 11 * {k} + 53 * b) % 256)"
+        d = f"({byte} % 16)" if j % 2 == 0 else f"({byte} // 16)"
+        carried = ", ".join(f"p{x}" for x in range(j + 1))
+        ctes.append(f"""s{j} AS (
+  SELECT doc_id, b, {carried},
+    GREATEST(-32768, LEAST(32767,
+      p{j} + CASE WHEN d >= 8 THEN -diff ELSE diff END)) AS p{j + 1},
+    GREATEST(0, LEAST(88,
+      i{j} + list_extract({idx_list}, (d % 8) + 1))) AS i{j + 1}
+  FROM (
+    SELECT *, (step // 8)
+      + CASE WHEN (d % 8) >= 4 THEN step ELSE 0 END
+      + CASE WHEN (d % 4) >= 2 THEN step // 2 ELSE 0 END
+      + CASE WHEN (d % 2) = 1 THEN step // 4 ELSE 0 END AS diff
+    FROM (
+      SELECT *, {d} AS d,
+        list_extract({step_list}, i{j} + 1) AS step
+      FROM {prev}
+    ) n{j}
+  ) m{j})""")
+        prev = f"s{j}"
+    sample_case = " ".join(
+        f"WHEN g.j = {j} THEN p{j}" for j in range(spb)
+    )
+    return f"""
+WITH {', '.join(ctes)},
+samples AS (
+  SELECT doc_id, b * {spb} + g.j AS i,
+    CASE {sample_case} END AS s
+  FROM {prev}, UNNEST(generate_series(0, {spb - 1})) AS g(j)
+)
+SELECT doc_id AS asset_id,
+  CAST({ADPCM_BLOCKS * spb} AS BIGINT) AS n_samples,
+  CAST(sum(s) AS BIGINT) AS pcm_sum,
+  CAST(sum(s * s) AS BIGINT) AS pcm_energy,
+  CAST(sum(s * (i + 1) * (i + 1)) AS BIGINT) AS pcm_checksum,
+  CAST(min(s) AS BIGINT) AS pcm_min,
+  CAST(max(s) AS BIGINT) AS pcm_max
+FROM samples GROUP BY doc_id
+"""
+
+
 # ------------------------------------------------------------ gif pixels
 # The GIF twin of the PNG/JPEG fixture families: complete spec-valid
 # GIF89a payloads constructed byte-exactly in SQL and decoded by the

@@ -1079,6 +1079,29 @@ def multimodal_wav_alaw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_wav_adpcm",
+    multimodal.adpcm_oracle_sql(),
+    doc="REAL IMA/DVI ADPCM decode (WAV tag 0x11) — the first "
+    "ADAPTIVE audio codec after the two G.711 laws: each 4-bit "
+    "nibble drives a predictor + step-size state machine (89-entry "
+    "step table, index adaptation, int16 clamping). Spec-valid "
+    "block-structured WAVs built byte-exactly in SQL (int16 LE "
+    "two's-complement block predictors included); blocks decode "
+    "independently (the property that makes the format "
+    "block-parallel at 100 TB) in one mapInPandas pass. The oracle "
+    "UNROLLS the 8-nibble recurrence as a CTE chain carrying "
+    "(predictor, index) with the step table a list literal — DuckDB "
+    "replays the exact trajectory, and pcm_checksum position-weights "
+    "every sample. Clamp extremes, nibble order, and fmt gating are "
+    "covered by spec-reference tests in tests/test_multimodal.py",
+)
+def multimodal_wav_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.decode_adpcm_stats(
+        multimodal.synth_adpcm_assets(_t(spark, sf_dir, "documents"))
+    )
+
+
+@_q(
     "dedup_simhash_pairs",
     dedup.simhash_pairs_oracle_sql(),
     doc="SimHash Hamming-neighbor pairs: 8-bit chunk banding (recall-"

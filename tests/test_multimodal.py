@@ -815,6 +815,103 @@ def test_cross_law_gate(spark):
         multimodal.decode_mulaw_stats(al).collect()
 
 
+def _ref_ima_adpcm(data, block_align):
+    """Independent scalar IMA ADPCM reference, written from the
+    public spec tables separately from the operator."""
+    steps = [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+        449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+        1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+        9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+        22385, 24623, 27086, 29794, 32767,
+    ]
+    adj = [-1, -1, -1, -1, 2, 4, 6, 8]
+    out = []
+    for off in range(0, len(data), block_align):
+        pred = int.from_bytes(data[off : off + 2], "little", signed=True)
+        idx = data[off + 2]
+        out.append(pred)
+        nibs = []
+        for byte in data[off + 4 : off + block_align]:
+            nibs += [byte & 15, byte >> 4]
+        for d in nibs:
+            st = steps[idx]
+            diff = st >> 3
+            if d & 1:
+                diff += st >> 2
+            if d & 2:
+                diff += st >> 1
+            if d & 4:
+                diff += st
+            pred = pred + (-diff if d & 8 else diff)
+            pred = min(32767, max(-32768, pred))
+            out.append(pred)
+            idx = min(88, max(0, idx + adj[d & 7]))
+    return out
+
+
+def test_adpcm_decode_matches_spec_reference():
+    """Random block streams, including clamp-extreme blocks (index
+    pinned at 0 and 88, predictor at the int16 rails), against the
+    independent scalar reference."""
+    import random
+
+    rng = random.Random(11)
+    for trial in range(20):
+        align = rng.choice([8, 12, 36])
+        blocks = rng.randrange(1, 5)
+        data = bytearray()
+        for _ in range(blocks):
+            if trial < 3:  # force the rails
+                pred = rng.choice([-32768, 32767, -32000, 32000])
+                idx = rng.choice([0, 88, 87, 1])
+            else:
+                pred = rng.randrange(-32768, 32768)
+                idx = rng.randrange(89)
+            data += pred.to_bytes(2, "little", signed=True)
+            data += bytes([idx, 0])
+            data += bytes(
+                rng.randrange(256) for _ in range(align - 4)
+            )
+        got = multimodal.adpcm_ima_decode(bytes(data), align)
+        want = _ref_ima_adpcm(bytes(data), align)
+        assert list(got) == want, f"trial {trial}"
+
+
+def test_adpcm_gates():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="block_align"):
+        multimodal.adpcm_ima_decode(b"\x00" * 8, 4)
+    with _pytest.raises(ValueError, match="multiple"):
+        multimodal.adpcm_ima_decode(b"\x00" * 9, 8)
+    with _pytest.raises(ValueError, match="step index"):
+        multimodal.adpcm_ima_decode(b"\x00\x00\x59\x00" + b"\x00" * 4, 8)
+
+
+def test_adpcm_decoder_rejects_pcm_and_g711(spark):
+    """Feeding linear-PCM or mu-law WAVs to the ADPCM reader must
+    fail loudly on the fmt tag — the silent-corruption gate."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.range(1, 3)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("text", F.lit("x"))
+    )
+    pcm = multimodal.synth_assets(docs).where("asset_id % 3 = 1")  # WAV rows
+    with _pytest.raises(Exception, match="expected 4-bit IMA ADPCM"):
+        multimodal.decode_adpcm_stats(pcm).collect()
+    mul = multimodal.synth_mulaw_assets(docs)
+    with _pytest.raises(Exception, match="expected 4-bit IMA ADPCM"):
+        multimodal.decode_adpcm_stats(mul).collect()
+
+
 def test_mulaw_decoder_rejects_non_mulaw_wav(spark):
     """A 16-bit PCM WAV (format tag 1) through the mu-law decoder
     fails loudly — silent misinterpretation of companded vs linear
