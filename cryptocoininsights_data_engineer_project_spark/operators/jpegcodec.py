@@ -12,9 +12,12 @@ subsampling, restart markers, 0xFF00 byte stuffing — and
 **progressive JFIF** (SOF2) — spectral selection (per-scan Ss..Se
 bands with EOB-run coding) and successive approximation (Ah/Al
 first + refinement scans for both DC and AC), the encoding most
-web-crawled JPEGs actually use. Arithmetic coding, 12-bit, and
-hierarchical modes raise NotImplementedError and remain what a
-cluster swaps in a libjpeg-backed callable for.
+web-crawled JPEGs actually use — plus **12-bit extended
+sequential** (SOF1, round 7): level shift 2048, clamp to 4095,
+high-byte chop to the uint8 contract. Arithmetic coding,
+hierarchical modes, and 12-bit progressive raise
+NotImplementedError and remain what a cluster swaps in a
+libjpeg-backed callable for.
 
 Decode stages, per the spec:
   segment parse (DQT/SOF0/SOF2/DHT/DRI/SOS, APPn/COM skipped)
@@ -189,9 +192,11 @@ class _Component:
 def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline JPEG to (width, height, channels, pixels):
     channels 1 (grayscale) or 3 (interleaved RGB, JFIF YCbCr
-    conversion), pixels row-major bytes. Raises JpegError on malformed
-    input and NotImplementedError for progressive/arithmetic/12-bit
-    streams (the registry seam: swap in libjpeg on a real cluster)."""
+    conversion), pixels row-major bytes (12-bit SOF1 samples are
+    chopped to their high byte). Raises JpegError on malformed input
+    and NotImplementedError for arithmetic/hierarchical/12-bit-
+    progressive streams (the registry seam: swap in libjpeg on a
+    real cluster)."""
     data = bytes(payload)
     if data[:2] != b"\xff\xd8":
         raise JpegError("missing SOI marker")
@@ -209,6 +214,7 @@ def _parse_segments(data: bytes) -> tuple[int, int, int, bytes]:
     comps: list[_Component] = []
     width = height = 0
     restart_interval = 0
+    precision = 8
     progressive = False
     coefs: list[np.ndarray] = []  # per-comp (blocks_h, blocks_w, 64)
     any_scan = False
@@ -258,10 +264,17 @@ def _parse_segments(data: bytes) -> tuple[int, int, int, bytes]:
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             progressive = marker == 0xC2
             precision = seg[0]
-            if precision != 8:
+            # SOF0 is 8-bit by definition; SOF1 (extended sequential)
+            # additionally allows 12-bit (T.81 Table B.2), which the
+            # sequential path decodes natively (round 7 — level shift
+            # 2048, clamp to 4095, high-byte chop to the uint8
+            # contract); 12-bit progressive stays gated.
+            allowed = (8, 12) if marker == 0xC1 else (8,)
+            if precision not in allowed:
                 raise NotImplementedError(
-                    f"{precision}-bit precision: this decoder is "
-                    "8-bit only (register a libjpeg-backed decoder)"
+                    f"{precision}-bit precision on SOF{marker - 0xC0}: "
+                    "8-bit (SOF0/SOF2) or 8/12-bit (SOF1) only — "
+                    "register a libjpeg-backed decoder for the rest"
                 )
             height, width = struct.unpack(">HH", seg[1:5])
             nf = seg[5]
@@ -321,6 +334,7 @@ def _parse_segments(data: bytes) -> tuple[int, int, int, bytes]:
                     dc_tables,
                     ac_tables,
                     restart_interval,
+                    precision,
                 )
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ahal = seg[3 + 2 * ns]
@@ -357,6 +371,7 @@ def _decode_scan(
     dc_tables: dict[int, _HuffTable],
     ac_tables: dict[int, _HuffTable],
     restart_interval: int,
+    precision: int = 8,
 ) -> tuple[int, int, int, bytes]:
     if width == 0 or height == 0:
         raise JpegError("SOS before SOF: image dimensions unknown")
@@ -427,7 +442,7 @@ def _decode_scan(
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcus_since_restart += 1
 
-    return _finish(planes, comps, hmax, vmax, width, height)
+    return _finish(planes, comps, hmax, vmax, width, height, precision)
 
 
 def _finish(
@@ -437,24 +452,34 @@ def _finish(
     vmax: int,
     width: int,
     height: int,
+    precision: int = 8,
 ) -> tuple[int, int, int, bytes]:
-    """Shared reconstruction tail: level shift + clamp, chroma
-    upsample by sample replication, JFIF YCbCr -> RGB."""
+    """Shared reconstruction tail: level shift + clamp at the SOF
+    precision, chroma upsample by sample replication, JFIF
+    YCbCr -> RGB (color math at full precision around the precision
+    midpoint), then the high-byte chop for 12-bit (libjpeg strip
+    convention — keeps the uint8 contract all operators share)."""
+    mid = float(1 << (precision - 1))
+    top = float((1 << precision) - 1)
+    chop = precision - 8
     samples = []
     for ci, c in enumerate(comps):
-        p = np.clip(np.round(planes[ci]) + 128, 0, 255)
+        p = np.clip(np.round(planes[ci]) + mid, 0, top)
         if c.h != hmax or c.v != vmax:
             p = np.repeat(np.repeat(p, vmax // c.v, axis=0), hmax // c.h, axis=1)
         samples.append(p[:height, :width])
 
     if len(samples) == 1:
-        return width, height, 1, samples[0].astype(np.uint8).tobytes()
+        out = samples[0].astype(np.int32) >> chop
+        return width, height, 1, out.astype(np.uint8).tobytes()
     y, cb, cr = samples
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+    r = y + 1.402 * (cr - mid)
+    g = y - 0.344136 * (cb - mid) - 0.714136 * (cr - mid)
+    b = y + 1.772 * (cb - mid)
     rgb = np.stack(
-        [np.clip(np.round(ch), 0, 255) for ch in (r, g, b)], axis=-1
+        [np.clip(np.round(ch), 0, top).astype(np.int32) >> chop
+         for ch in (r, g, b)],
+        axis=-1,
     ).astype(np.uint8)
     return width, height, 3, rgb.tobytes()
 
@@ -719,4 +744,5 @@ def _reconstruct(
         blocks = np.einsum("ux,ijuv,vy->ijxy", _C, deq, _C)
         plane = blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         planes.append(plane)
+    # progressive (SOF2) is gated to 8-bit precision at SOF parse
     return _finish(planes, comps, hmax, vmax, width, height)

@@ -1169,12 +1169,18 @@ _Y4M_HDR_HEX = "595556344d50454732205734204832204632353a3120436d6f6e6f0a"
 _Y4M_FRAME_HEX = "4652414d450a"  # "FRAME\n"
 
 
-def decode_y4m(payload: bytes) -> tuple[int, int, list[bytes]]:
+def decode_y4m_planes(
+    payload: bytes,
+) -> tuple[int, int, str, list[tuple[bytes, bytes, bytes]]]:
     """REAL Y4M video decode, pure stdlib: parse the stream-header
     parameters (W/H/C tags, space-separated), then split fixed-size
-    frames at each FRAME marker. Mono (luma-only) streams decode to
-    W*H bytes per frame; chroma-subsampled variants (C420 etc.) raise
-    until needed — the container stays codec-free either way."""
+    frames at each FRAME marker into (Y, U, V) planes. Supported
+    colorspaces (round 7 — previously mono only): mono (empty chroma
+    planes), C444 (full chroma), C422 (half-width), and the C420
+    family (420jpeg/420mpeg2/420paldv — identical plane SIZES,
+    differing only in siting metadata irrelevant to byte split).
+    Returns (width, height, colorspace, frames). The container stays
+    codec-free: frame extraction is byte arithmetic."""
     b = bytes(payload)
     nl = b.find(b"\n")
     if nl < 0 or not b.startswith(b"YUV4MPEG2"):
@@ -1190,10 +1196,25 @@ def decode_y4m(payload: bytes) -> tuple[int, int, list[bytes]]:
             cspace = tag[1:].decode()
     if not w or not h:
         raise ValueError("missing W/H in Y4M header")
-    if cspace != "mono":
-        raise NotImplementedError(f"Y4M colorspace {cspace}: only mono luma here")
-    fsize = w * h
-    frames = []
+    if cspace == "mono":
+        csize = 0
+    elif cspace == "444":
+        csize = w * h
+    elif cspace == "422":
+        if w % 2:
+            raise ValueError(f"C422 needs even width, got {w}")
+        csize = (w // 2) * h
+    elif cspace.startswith("420"):
+        if w % 2 or h % 2:
+            raise ValueError(f"C420 needs even dimensions, got {w}x{h}")
+        csize = (w // 2) * (h // 2)
+    else:
+        raise NotImplementedError(
+            f"Y4M colorspace {cspace}: mono/444/422/420 family only"
+        )
+    ysize = w * h
+    fsize = ysize + 2 * csize
+    frames: list[tuple[bytes, bytes, bytes]] = []
     pos = nl + 1
     while pos < len(b):
         fnl = b.find(b"\n", pos)
@@ -1202,9 +1223,22 @@ def decode_y4m(payload: bytes) -> tuple[int, int, list[bytes]]:
         start = fnl + 1
         if start + fsize > len(b):
             raise ValueError("truncated frame payload")
-        frames.append(b[start : start + fsize])
+        frames.append(
+            (
+                b[start : start + ysize],
+                b[start + ysize : start + ysize + csize],
+                b[start + ysize + csize : start + fsize],
+            )
+        )
         pos = start + fsize
-    return w, h, frames
+    return w, h, cspace, frames
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Luma-plane view of decode_y4m_planes — the original mono
+    contract the frame-sampling operators use."""
+    w, h, _cspace, frames = decode_y4m_planes(payload)
+    return w, h, [y for y, _u, _v in frames]
 
 
 def _synth_y4m_hex_spark() -> str:
@@ -1286,6 +1320,132 @@ SELECT doc_id AS asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
   CAST(s AS BIGINT) AS pixel_sum,
   round(CAST(s AS DOUBLE) / {n}, 6) AS mean_luma
 FROM px
+"""
+
+
+# ------------------------------------------------------------ chroma video
+# Y4M COLOR decode (round 7 — previously mono-gated): C420 planes
+# split per frame, every stride-th frame reduced to per-plane stats.
+# Chroma formulas are distinct from luma's so a decoder that
+# misplaced a plane boundary breaks u_sum/v_sum, and the
+# position-weighted checksum over the concatenated Y+U+V stream pins
+# byte order across all three planes.
+
+_Y4M_420_HDR_HEX = (
+    f"YUV4MPEG2 W{VIDEO_W} H{VIDEO_H} F25:1 C420jpeg\n".encode().hex()
+)
+
+_CHROMA_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("y_sum", T.LongType(), False),
+        T.StructField("u_sum", T.LongType(), False),
+        T.StructField("v_sum", T.LongType(), False),
+        T.StructField("yuv_checksum", T.LongType(), False),
+    ]
+)
+
+
+def _synth_y4m_420_hex_spark() -> str:
+    n_c = (VIDEO_W // 2) * (VIDEO_H // 2)
+    frames = []
+    for t in range(VIDEO_FRAMES):
+        cells = [
+            f"lpad(hex((doc_id * 7 + {i + 11 * t}) % 256), 2, '0')"
+            for i in range(VIDEO_W * VIDEO_H)
+        ]
+        cells += [
+            f"lpad(hex((doc_id * 5 + {3 * j + 17 * t}) % 256), 2, '0')"
+            for j in range(n_c)
+        ]
+        cells += [
+            f"lpad(hex((doc_id * 11 + {7 * j + 23 * t}) % 256), 2, '0')"
+            for j in range(n_c)
+        ]
+        frames.append(f"'{_Y4M_FRAME_HEX}', {', '.join(cells)}")
+    return f"concat('{_Y4M_420_HDR_HEX}', {', '.join(frames)})"
+
+
+def synth_y4m_420_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): complete decodable C420 Y4M clips, one
+    per document, built JVM-side."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(f"unhex({_synth_y4m_420_hex_spark()})").alias("payload"),
+    )
+
+
+def sample_video_chroma(
+    assets: DataFrame, stride: int = FRAME_STRIDE
+) -> DataFrame:
+    """Keep every ``stride``-th frame of a color Y4M clip and emit
+    per-plane sums plus the position-weighted checksum over the
+    concatenated Y+U+V bytes. One mapInPandas pass; payloads never
+    shuffle."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                f.name: [] for f in _CHROMA_FRAME_SCHEMA
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, _cs, frames = decode_y4m_planes(bytes(payload))
+                for t in range(0, len(frames), stride):
+                    y, u, v = frames[t]
+                    cat = np.frombuffer(
+                        y + u + v, dtype=np.uint8
+                    ).astype(np.int64)
+                    wts = (np.arange(len(cat)) + 1) ** 2
+                    rows["asset_id"].append(int(aid))
+                    rows["frame_idx"].append(t)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["y_sum"].append(sum(y))
+                    rows["u_sum"].append(sum(u))
+                    rows["v_sum"].append(sum(v))
+                    rows["yuv_checksum"].append(int((cat * wts).sum()))
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _sample, schema=_CHROMA_FRAME_SCHEMA
+    )
+
+
+def video_chroma_oracle_sql(stride: int = FRAME_STRIDE) -> str:
+    """Closed-form per-plane stats: position p < nY is luma, then U
+    then V, each with its own formula — one CASE restates the exact
+    concatenated byte stream the decoder emits."""
+    n_y = VIDEO_W * VIDEO_H
+    n_c = (VIDEO_W // 2) * (VIDEO_H // 2)
+    total = n_y + 2 * n_c
+    kept = list(range(0, VIDEO_FRAMES, stride))
+    val = f"""CASE
+      WHEN g.p < {n_y} THEN (doc_id * 7 + g.p + 11 * t.t) % 256
+      WHEN g.p < {n_y + n_c}
+        THEN (doc_id * 5 + 3 * (g.p - {n_y}) + 17 * t.t) % 256
+      ELSE (doc_id * 11 + 7 * (g.p - {n_y + n_c}) + 23 * t.t) % 256
+    END"""
+    return f"""
+WITH px AS (
+  SELECT doc_id, t.t AS frame_idx, g.p AS p, {val} AS v
+  FROM documents,
+       UNNEST(ARRAY{kept}) AS t(t),
+       UNNEST(generate_series(0, {total - 1})) AS g(p)
+)
+SELECT doc_id AS asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+  CAST({VIDEO_W} AS BIGINT) AS width, CAST({VIDEO_H} AS BIGINT) AS height,
+  CAST(sum(CASE WHEN p < {n_y} THEN v ELSE 0 END) AS BIGINT) AS y_sum,
+  CAST(sum(CASE WHEN p >= {n_y} AND p < {n_y + n_c} THEN v ELSE 0 END)
+    AS BIGINT) AS u_sum,
+  CAST(sum(CASE WHEN p >= {n_y + n_c} THEN v ELSE 0 END) AS BIGINT)
+    AS v_sum,
+  CAST(sum(v * (p + 1) * (p + 1)) AS BIGINT) AS yuv_checksum
+FROM px GROUP BY doc_id, frame_idx
 """
 
 

@@ -1482,6 +1482,27 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_video_chroma",
+    multimodal.video_chroma_oracle_sql(),
+    doc="Y4M COLOR decode (round 7 — retires the mono-only gate): "
+    "spec-valid C420 clips built byte-exactly in SQL split into "
+    "(Y, U, V) planes per frame (operators/multimodal.py::"
+    "decode_y4m_planes — C444/C422/C420-family plane arithmetic), "
+    "every 2nd frame sampled to per-plane sums. Chroma formulas "
+    "differ from luma's, so a misplaced plane boundary breaks "
+    "u_sum/v_sum, and the position-weighted checksum over the "
+    "concatenated Y+U+V stream pins byte order across planes. One "
+    "mapInPandas pass, payloads never shuffle; 422/444 splits and "
+    "odd-dimension gates covered in tests/test_multimodal.py",
+)
+def multimodal_video_chroma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.sample_video_chroma(
+        multimodal.synth_y4m_420_assets(docs)
+    )
+
+
+@_q(
     "multimodal_video_mjpeg",
     multimodal.avi_mjpeg_oracle_sql(),
     doc="REAL-CODEC video decode (VERDICT r6 #5): MJPEG in a "

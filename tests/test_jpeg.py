@@ -81,27 +81,32 @@ def _encode(
     qtable: list[int],  # 64 natural-order values
     block_coeffs,  # fn(ci, block_index) -> 64 natural-order ints
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Minimal baseline encoder: quantized coefficients in, JFIF bytes
     out. Walks MCUs exactly as F.2.1.2 prescribes (interleaved when
-    Ns > 1), with DC prediction, ZRL/EOB, optional restart markers."""
+    Ns > 1), with DC prediction, ZRL/EOB, optional restart markers.
+    precision=12 emits an SOF1 (extended sequential) frame with the
+    wider magnitude-category symbol sets the 12-bit range needs."""
     hmax = max(h for h, _ in comps)
     vmax = max(v for _, v in comps)
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))
 
-    dc_syms = list(range(12))
-    ac_syms = sorted({(r << 4) | s for r in range(16) for s in range(11)} | {0x00, 0xF0})
+    dc_syms = list(range(16 if precision == 12 else 12))
+    ac_hi = 15 if precision == 12 else 11
+    ac_syms = sorted({(r << 4) | s for r in range(16) for s in range(ac_hi)} | {0x00, 0xF0})
     dc_counts, dc_codes = _canonical(dc_syms)
     ac_counts, ac_codes = _canonical(ac_syms)
 
     out = bytearray(b"\xff\xd8")
     zz_q = bytes(qtable[ZIGZAG_TO_NATURAL[z]] for z in range(64))
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
-    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([len(comps)])
+    sof = bytes([precision]) + struct.pack(">HH", height, width) + bytes([len(comps)])
     for ci, (h, v) in enumerate(comps):
         sof += bytes([ci + 1, (h << 4) | v, 0])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    sof_marker = b"\xff\xc1" if precision == 12 else b"\xff\xc0"
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
     out += _dht(0, 0, dc_counts, dc_syms)
     out += _dht(1, 0, ac_counts, ac_syms)
     if restart_interval:
@@ -428,6 +433,58 @@ def test_grayscale_random_coefficients_match_definition_idct():
             for x in range(8):
                 got = px[(by * 8 + y) * 24 + bx * 8 + x]
                 assert got == want[y][x], (bi, x, y)
+
+
+def test_12bit_extended_sequential_matches_definition_idct():
+    """Round 7: SOF1 at 12-bit precision — level shift 2048, clamp to
+    4095, high-byte chop — against the definition IDCT; coefficient
+    magnitudes chosen to exercise categories beyond the 8-bit range
+    (amplitudes > 1023, DC diffs spanning the 12-bit swing)."""
+    import random
+
+    rng = random.Random(9)
+    qtable = [rng.randint(1, 16) for _ in range(64)]
+    blocks = []
+    for _ in range(6):
+        c = [0] * 64
+        c[0] = rng.randint(-1500, 1500)
+        for zz in rng.sample(range(1, 64), 7):
+            c[ZIGZAG_TO_NATURAL[zz]] = rng.choice([-1, 1]) * rng.randint(
+                200, 3000
+            )
+        blocks.append(c)
+    payload = _encode(
+        24, 16, [(1, 1)], qtable, lambda ci, b: blocks[b], precision=12
+    )
+    assert b"\xff\xc1" in payload and b"\xff\xc0" not in payload[2:]  # SOF1
+    w, h, ch, px = decode_jpeg_pixels(payload)
+    assert (w, h, ch) == (24, 16, 1)
+    for bi, coeffs in enumerate(blocks):
+        # definition IDCT at 12-bit: shift 2048, clamp 4095, chop >> 4
+        want = [[0] * 8 for _ in range(8)]
+        for y in range(8):
+            for x in range(8):
+                sacc = 0.0
+                for v in range(8):
+                    for u in range(8):
+                        cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                        sacc += (
+                            cu * cv * coeffs[v * 8 + u] * qtable[v * 8 + u]
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * y + 1) * v * math.pi / 16)
+                        )
+                want[y][x] = min(4095, max(0, round(sacc / 4) + 2048)) >> 4
+        bx, by = bi % 3, bi // 3
+        for y in range(8):
+            for x in range(8):
+                got = px[(by * 8 + y) * 24 + bx * 8 + x]
+                assert got == want[y][x], (bi, x, y)
+    # 12-bit on SOF0 must stay gated
+    bad = bytearray(payload)
+    bad[bad.index(b"\xff\xc1")+1] = 0xC0
+    with pytest.raises(NotImplementedError, match="12-bit precision on SOF0"):
+        decode_jpeg_pixels(bytes(bad))
 
 
 def test_color_420_subsampling_and_ycbcr():

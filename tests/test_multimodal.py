@@ -409,12 +409,46 @@ def test_decode_y4m_parses_real_stream():
 def test_decode_y4m_rejects_bad_streams():
     with pytest.raises(ValueError):
         multimodal.decode_y4m(b"not a video")
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_y4m(b"YUV4MPEG2 W2 H2 C420jpeg\nFRAME\n" + bytes(6))
+    with pytest.raises(NotImplementedError):  # exotic colorspace
+        multimodal.decode_y4m(b"YUV4MPEG2 W2 H2 C411\nFRAME\n" + bytes(6))
+    with pytest.raises(ValueError):  # C420 needs even dims
+        multimodal.decode_y4m(b"YUV4MPEG2 W3 H2 C420jpeg\nFRAME\n" + bytes(9))
     with pytest.raises(ValueError):  # truncated frame
         multimodal.decode_y4m(b"YUV4MPEG2 W2 H2 Cmono\nFRAME\n" + bytes(2))
     with pytest.raises(ValueError):  # missing FRAME marker
         multimodal.decode_y4m(b"YUV4MPEG2 W2 H2 Cmono\nBOGUS\n" + bytes(4))
+
+
+def test_decode_y4m_chroma_planes():
+    """Round 7: C420/C422/C444 split into exact (Y, U, V) planes;
+    the default colorspace when the C tag is absent is 420jpeg; the
+    mono view returns luma only."""
+    y = bytes(range(16))  # 4x4
+    u420, v420 = bytes([100, 101, 102, 103]), bytes([200, 201, 202, 203])
+    clip = b"YUV4MPEG2 W4 H4 F25:1 C420jpeg\nFRAME\n" + y + u420 + v420
+    w, h, cs, frames = multimodal.decode_y4m_planes(clip)
+    assert (w, h, cs) == (4, 4, "420jpeg")
+    assert frames == [(y, u420, v420)]
+    # default colorspace = 420jpeg
+    w, h, cs, frames = multimodal.decode_y4m_planes(
+        b"YUV4MPEG2 W4 H4\nFRAME\n" + y + u420 + v420
+    )
+    assert cs == "420jpeg" and frames == [(y, u420, v420)]
+    # 422: half-width chroma; 444: full planes; two frames each
+    u422, v422 = bytes(range(50, 58)), bytes(range(60, 68))
+    clip422 = (
+        b"YUV4MPEG2 W4 H4 C422\n"
+        + b"FRAME\n" + y + u422 + v422
+        + b"FRAME\n" + y[::-1] + v422 + u422
+    )
+    _, _, cs, frames = multimodal.decode_y4m_planes(clip422)
+    assert cs == "422" and len(frames) == 2
+    assert frames[1] == (y[::-1], v422, u422)
+    u444 = bytes(range(16, 32))
+    clip444 = b"YUV4MPEG2 W4 H4 C444\nFRAME\n" + y + u444 + y
+    assert multimodal.decode_y4m_planes(clip444)[3] == [(y, u444, y)]
+    # mono view of a color stream = luma plane
+    assert multimodal.decode_y4m(clip)[2] == [y]
 
 
 def test_sample_video_frames_stride(spark, sf_dir):
