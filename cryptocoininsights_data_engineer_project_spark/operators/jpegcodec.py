@@ -181,6 +181,102 @@ def _extend(value: int, size: int) -> int:
     return value
 
 
+def decode_jpeg_lossless(payload: bytes):
+    """Decode a LOSSLESS (SOF3) JPEG to (width, height, channels,
+    samples) with samples an int32 ndarray of shape (h, w, channels)
+    holding the exact reconstructed values at full precision (2-16
+    bits, point transform applied) — the DICOM/medical contract where
+    chopping to 8 bits would defeat the format's purpose. Raises
+    JpegError if the payload is not an SOF3 stream."""
+    data = bytes(payload)
+    if data[:2] != b"\xff\xd8":
+        raise JpegError("missing SOI marker")
+    try:
+        out = _parse_segments(data, raw_lossless=True)
+    except (IndexError, struct.error) as e:
+        raise JpegError(f"truncated or malformed JPEG stream: {e}") from e
+    if not isinstance(out[3], np.ndarray):
+        raise JpegError("not a lossless (SOF3) JPEG stream")
+    return out
+
+
+def _decode_lossless_scan(
+    data: bytes,
+    pos: int,
+    width: int,
+    height: int,
+    comps: list[_Component],
+    dc_tables: dict[int, _HuffTable],
+    restart_interval: int,
+    precision: int,
+    pred_sel: int,
+    pt: int,
+) -> np.ndarray:
+    """Lossless (SOF3) scan per T.81 Annex H: each sample is a
+    Huffman-coded DIFF (DC-style SSSS category + amplitude bits;
+    SSSS=16 means diff=32768 with no extra bits) added to a
+    prediction in modulo-65536 arithmetic. Predictors 1-7 (H.1.2.1):
+    Ra, Rb, Rc, Ra+Rb-Rc, Ra+((Rb-Rc)>>1), Rb+((Ra-Rc)>>1),
+    (Ra+Rb)>>1. Boundary rules (H.1.2.2): the first sample at the
+    start of the scan — and of each restart interval — is predicted
+    with 2^(P-Pt-1); the remainder of that line uses Ra; the first
+    sample of subsequent lines uses Rb. Prediction runs in the
+    point-transformed domain; the output is shifted left by Pt.
+    Components are sample-interleaved when Ns > 1 (all 1x1)."""
+    if not 1 <= pred_sel <= 7:
+        raise JpegError(f"bad lossless predictor selector {pred_sel}")
+    ncomp = len(comps)
+    reader = _BitReader(data, pos)
+    planes = np.zeros((ncomp, height, width), dtype=np.int32)
+    default = 1 << (precision - pt - 1)
+    rst_n = 0
+    since = 0
+    seg_y, seg_x = 0, 0  # where the current restart segment began
+    for y in range(height):
+        for x in range(width):
+            if restart_interval and since == restart_interval:
+                reader.sync_restart(rst_n)
+                rst_n = (rst_n + 1) & 7
+                since = 0
+                seg_y, seg_x = y, x
+            for ci, c in enumerate(comps):
+                p = planes[ci]
+                if (y, x) == (seg_y, seg_x):
+                    px = default
+                elif y == seg_y:
+                    px = int(p[y, x - 1])  # rest of the first line: Ra
+                elif x == 0:
+                    px = int(p[y - 1, 0])  # line starts: Rb
+                else:
+                    ra = int(p[y, x - 1])
+                    rb = int(p[y - 1, x])
+                    rc = int(p[y - 1, x - 1])
+                    if pred_sel == 1:
+                        px = ra
+                    elif pred_sel == 2:
+                        px = rb
+                    elif pred_sel == 3:
+                        px = rc
+                    elif pred_sel == 4:
+                        px = ra + rb - rc
+                    elif pred_sel == 5:
+                        px = ra + ((rb - rc) >> 1)
+                    elif pred_sel == 6:
+                        px = rb + ((ra - rc) >> 1)
+                    else:
+                        px = (ra + rb) >> 1
+                ssss = reader.decode_symbol(dc_tables[c.td])
+                if ssss == 16:
+                    diff = 32768
+                elif ssss > 16:
+                    raise JpegError(f"bad lossless SSSS {ssss}")
+                else:
+                    diff = _extend(reader.receive(ssss), ssss)
+                p[y, x] = (px + diff) & 0xFFFF
+            since += 1
+    return (planes << pt).transpose(1, 2, 0)
+
+
 class _Component:
     __slots__ = ("cid", "h", "v", "tq", "td", "ta", "pred", "blocks_w", "blocks_h")
 
@@ -206,7 +302,7 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         raise JpegError(f"truncated or malformed JPEG stream: {e}") from e
 
 
-def _parse_segments(data: bytes) -> tuple[int, int, int, bytes]:
+def _parse_segments(data: bytes, raw_lossless: bool = False):
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     dc_tables: dict[int, _HuffTable] = {}
@@ -216,6 +312,7 @@ def _parse_segments(data: bytes) -> tuple[int, int, int, bytes]:
     restart_interval = 0
     precision = 8
     progressive = False
+    lossless = False
     coefs: list[np.ndarray] = []  # per-comp (blocks_h, blocks_w, 64)
     any_scan = False
 
@@ -301,10 +398,27 @@ def _parse_segments(data: bytes) -> tuple[int, int, int, bytes]:
                     coefs.append(
                         np.zeros((c.blocks_h, c.blocks_w, 64), dtype=np.int32)
                     )
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC3:  # SOF3: lossless sequential Huffman
+            lossless = True
+            precision = seg[0]
+            if not 2 <= precision <= 16:
+                raise JpegError(f"bad lossless precision {precision}")
+            height, width = struct.unpack(">HH", seg[1:5])
+            nf = seg[5]
+            if nf > 4:
+                raise JpegError(f"{nf} components exceeds T.81 limit")
+            for c in range(nf):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(_Component(cid, hv >> 4, hv & 0x0F, tq))
+            if any(c.h != 1 or c.v != 1 for c in comps):
+                raise NotImplementedError(
+                    "lossless with subsampled components: 1x1 "
+                    "sampling only (the common DICOM/raw shape)"
+                )
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"SOF marker {marker:#x} (arithmetic/hierarchical/"
-                "lossless): sequential + progressive Huffman only — "
+                f"SOF marker {marker:#x} (arithmetic/hierarchical): "
+                "sequential + progressive + lossless Huffman only — "
                 "register a libjpeg-backed decoder for these streams"
             )
         elif marker == 0xDD:  # DRI
@@ -318,6 +432,28 @@ def _parse_segments(data: bytes) -> tuple[int, int, int, bytes]:
                 comp = by_id[cid]
                 comp.td, comp.ta = tdta >> 4, tdta & 0x0F
                 scan_order.append(comp)
+            if lossless:
+                pred_sel = seg[1 + 2 * ns]  # Ss = predictor selector
+                pt = seg[3 + 2 * ns] & 0x0F  # Al = point transform
+                samples = _decode_lossless_scan(
+                    data,
+                    pos + seglen,
+                    width,
+                    height,
+                    scan_order,
+                    dc_tables,
+                    restart_interval,
+                    precision,
+                    pred_sel,
+                    pt,
+                )
+                if raw_lossless:
+                    return width, height, len(scan_order), samples
+                if precision > 8:  # high-byte chop, the uint8 contract
+                    px = (samples >> (precision - 8)).astype(np.uint8)
+                else:
+                    px = (samples << (8 - precision)).astype(np.uint8)
+                return width, height, len(scan_order), px.tobytes()
             if not progressive:
                 if ns != len(comps):
                     raise NotImplementedError(

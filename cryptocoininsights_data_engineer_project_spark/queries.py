@@ -1448,6 +1448,31 @@ def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_jpeg_lossless",
+    multimodal.lossless_oracle_sql(),
+    doc="REAL lossless (SOF3) JPEG decode — the DICOM/medical format "
+    "whose contract is EXACT 16-bit reconstruction, not DCT "
+    "approximation: Huffman-coded DIFFs (SSSS category + amplitude, "
+    "the bare-32768 escape) added to predictor selections 1-7 with "
+    "T.81 H.1.2.2 boundary rules in modulo-65536 arithmetic "
+    "(operators/jpegcodec.py::decode_jpeg_lossless). Fixtures ride a "
+    "byte-aligned entropy corner (all 17 SSSS symbols at code length "
+    "8, diffs pinned to category 8) built byte-exactly in SQL; "
+    "predictor 1 makes every sample a prefix sum the oracle restates "
+    "with plain SQL sums — no codec on the DuckDB side. Predictors "
+    "2-7, point transforms, color interleave, restarts, and the "
+    "SSSS=16 escape are covered by independent-encoder round trips "
+    "in tests/test_jpeg.py. One mapInPandas pass; payloads never "
+    "shuffle",
+)
+def multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_lossless_stats(
+        multimodal.synth_lossless_assets(docs)
+    )
+
+
+@_q(
     "multimodal_image_resize",
     multimodal.png_resize_oracle_sql(),
     doc="decode + nearest-neighbor RESIZE in one mapInPandas pass — "

@@ -843,3 +843,185 @@ def test_sql_fixture_family_decodes_to_formula():
                 else:
                     want = 128 + dc1 + diff + ac2 * S[x - 8] * S[y]
                 assert px[y * 16 + x] == want, (doc_id, x, y)
+
+
+# ------------------------------------------------- lossless (SOF3) tests
+
+
+def _encode_lossless(
+    width: int,
+    height: int,
+    ncomp: int,
+    reduced,  # fn(ci, y, x) -> reduced-domain sample value
+    precision: int,
+    pred_sel: int,
+    pt: int = 0,
+    restart_interval: int = 0,
+) -> bytes:
+    """Independent lossless encoder written from T.81 Annex H:
+    predictor selection + boundary rules + modulo-65536 DIFF with
+    DC-style SSSS categories (16 -> bare 32768). Restart intervals
+    reset prediction as at scan start."""
+    syms = list(range(17))
+    counts, codes = _canonical(syms)
+    out = bytearray(b"\xff\xd8")
+    sof = bytes([precision]) + struct.pack(">HH", height, width) + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+    out += _dht(0, 0, counts, syms)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", restart_interval)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([pred_sel, 0, pt])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    default = 1 << (precision - pt - 1)
+    planes = [[[0] * width for _ in range(height)] for _ in range(ncomp)]
+    pk = _Packer()
+    rst = 0
+    since = 0
+    seg = (0, 0)
+    for y in range(height):
+        for x in range(width):
+            if restart_interval and since == restart_interval:
+                pk.pad_to_byte()
+                out += bytes(pk.out)
+                pk = _Packer()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                since = 0
+                seg = (y, x)
+            for ci in range(ncomp):
+                p = planes[ci]
+                if (y, x) == seg:
+                    pred = default
+                elif y == seg[0]:
+                    pred = p[y][x - 1]
+                elif x == 0:
+                    pred = p[y - 1][0]
+                else:
+                    ra, rb, rc = p[y][x - 1], p[y - 1][x], p[y - 1][x - 1]
+                    pred = [
+                        None, ra, rb, rc, ra + rb - rc,
+                        ra + ((rb - rc) >> 1), rb + ((ra - rc) >> 1),
+                        (ra + rb) >> 1,
+                    ][pred_sel]
+                v = reduced(ci, y, x)
+                p[y][x] = v
+                d = (v - pred) & 0xFFFF
+                if d > 32768:
+                    d -= 65536
+                if d == 32768:
+                    pk.put(*codes[16])
+                else:
+                    c = _category(d)
+                    pk.put(*codes[c])
+                    if c:
+                        pk.put(_amp_bits(d, c), c)
+            since += 1
+    pk.pad_to_byte()
+    out += bytes(pk.out)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_lossless_all_predictors_exact():
+    """SOF3 round trip at 16-bit: every predictor 1-7 reconstructs
+    the exact sample array (that's the format's whole point)."""
+    import random
+
+    from cryptocoininsights_data_engineer_project_spark.operators.jpegcodec import (
+        decode_jpeg_lossless,
+    )
+
+    rng = random.Random(3)
+    w, h = 9, 6
+    vals = [
+        [rng.randrange(1 << 16) for _ in range(w)] for _ in range(h)
+    ]
+    for pred_sel in range(1, 8):
+        payload = _encode_lossless(
+            w, h, 1, lambda ci, y, x: vals[y][x], 16, pred_sel
+        )
+        gw, gh, ch, samples = decode_jpeg_lossless(payload)
+        assert (gw, gh, ch) == (w, h, 1)
+        got = samples[:, :, 0].tolist()
+        assert got == vals, f"predictor {pred_sel}"
+
+
+def test_lossless_point_transform_precision_and_color():
+    """12-bit with Pt=2 (prediction in the reduced domain, output
+    shifted back), and a 3-component sample-interleaved scan."""
+    import random
+
+    from cryptocoininsights_data_engineer_project_spark.operators.jpegcodec import (
+        decode_jpeg_lossless,
+    )
+
+    rng = random.Random(5)
+    w, h, pt = 7, 5, 2
+    vals = [
+        [[rng.randrange(1 << 10) for _ in range(3)] for _ in range(w)]
+        for _ in range(h)
+    ]
+    payload = _encode_lossless(
+        w, h, 3, lambda ci, y, x: vals[y][x][ci], 12, 4, pt=pt
+    )
+    gw, gh, ch, samples = decode_jpeg_lossless(payload)
+    assert (gw, gh, ch) == (w, h, 3)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(3):
+                assert samples[y, x, ci] == vals[y][x][ci] << pt
+
+
+def test_lossless_restart_and_ssss16():
+    """Restart intervals reset prediction (row-aligned, the
+    well-defined placement); the SSSS=16 bare-32768 escape decodes
+    (first sample 0 against the 32768 default prediction)."""
+    import random
+
+    from cryptocoininsights_data_engineer_project_spark.operators.jpegcodec import (
+        decode_jpeg_lossless,
+    )
+
+    rng = random.Random(7)
+    w, h = 8, 6
+    vals = [[rng.randrange(1 << 16) for _ in range(w)] for _ in range(h)]
+    vals[0][0] = 0  # diff vs default 32768 -> (0-32768)&0xFFFF == 32768
+    payload = _encode_lossless(
+        w, h, 1, lambda ci, y, x: vals[y][x], 16, 2, restart_interval=2 * w
+    )
+    assert b"\xff\xd0" in payload  # a restart marker actually landed
+    gw, gh, ch, samples = decode_jpeg_lossless(payload)
+    assert samples[:, :, 0].tolist() == vals
+
+
+def test_lossless_pixel_contract_chops():
+    """decode_jpeg_pixels on an SOF3 stream honors the uint8
+    contract: high-byte chop for P>8, shift up for P<8; and
+    decode_jpeg_lossless rejects baseline streams."""
+    import pytest as _pytest
+
+    from cryptocoininsights_data_engineer_project_spark.operators.jpegcodec import (
+        decode_jpeg_lossless,
+        decode_jpeg_pixels,
+    )
+
+    w, h = 4, 3
+    vals = [[(y * w + x) * 1111 for x in range(w)] for y in range(h)]
+    payload = _encode_lossless(w, h, 1, lambda ci, y, x: vals[y][x], 16, 1)
+    gw, gh, ch, px = decode_jpeg_pixels(payload)
+    assert (gw, gh, ch) == (w, h, 1)
+    assert list(px) == [vals[y][x] >> 8 for y in range(h) for x in range(w)]
+    # 4-bit precision scales up into the byte range
+    small = _encode_lossless(w, h, 1, lambda ci, y, x: (y + x) % 16, 4, 1)
+    _, _, _, px4 = decode_jpeg_pixels(small)
+    assert list(px4) == [((y + x) % 16) << 4 for y in range(h) for x in range(w)]
+    qtable = [8] * 64
+    base = _encode(8, 8, [(1, 1)], qtable, lambda ci, b: [4] + [0] * 63)
+    with _pytest.raises(Exception, match="not a lossless"):
+        decode_jpeg_lossless(base)
