@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .bitmap import decode_bmp_pixels, decode_tiff_pixels
 from .gifcodec import decode_gif_pixels
 from .jpegcodec import decode_jpeg_pixels
 
@@ -391,6 +392,9 @@ _MAGIC = [
     (b"RIFF", "riff"),  # WAV container (decode_wav_frames handles PCM)
     (b"GIF8", "gif"),
     (b"YUV4MPEG2", "y4m"),
+    (b"BM", "bmp"),
+    (b"II*\x00", "tiff"),
+    (b"MM\x00*", "tiff"),
 ]
 
 
@@ -407,6 +411,8 @@ DECODERS: dict = {
     "png": decode_png_pixels,
     "jpeg": decode_jpeg_pixels,
     "gif": decode_gif_pixels,
+    "bmp": decode_bmp_pixels,
+    "tiff": decode_tiff_pixels,
 }
 
 
@@ -2834,6 +2840,201 @@ WITH px AS (
 )
 SELECT doc_id AS asset_id,
   CAST({JPEG_W} AS BIGINT) AS width, CAST({JPEG_H} AS BIGINT) AS height,
+  CAST(1 AS BIGINT) AS channels, CAST({n} AS BIGINT) AS n_pixels,
+  CAST(sum(v) AS BIGINT) AS pixel_sum,
+  CAST(sum(v * (i + 1) * (i + 1)) AS BIGINT) AS px_checksum,
+  CAST(sum(v) AS BIGINT) * 1000000 // {n} AS mean_ppm
+FROM px GROUP BY doc_id
+"""
+
+
+# ----------------------------------------------------------- bmp / tiff
+# The last two raster formats of the matrix (operators/bitmap.py):
+# BMP exercising the REAL RLE8 compression path (run pairs + EOL/EOB
+# escapes, bottom-up row order), TIFF exercising PackBits and
+# multi-strip assembly. Both fixtures are byte-exact SQL with
+# constant layouts (only pixel values vary per doc, so every offset
+# in the container is a literal).
+
+BMP_W = 6
+BMP_H = 4
+_BMP_PAL_N = 16
+
+
+def _bmp_pal_entry(j: int) -> tuple[int, int, int]:
+    """(R, G, B) of palette entry j (stored BGR0 in the file)."""
+    return (7 * j + 4) % 256, (5 * j + 2) % 256, (3 * j + 1) % 256
+
+
+def _bmp_header_hex() -> str:
+    data_off = 14 + 40 + 4 * _BMP_PAL_N
+    # stream: rows 0-2 are 3 run pairs + EOL, row 3 ends with EOB
+    stream_len = BMP_H * (3 * 2 + 2)
+    pal = bytearray()
+    for j in range(_BMP_PAL_N):
+        r, g, b = _bmp_pal_entry(j)
+        pal += bytes([b, g, r, 0])
+    import struct as _s
+
+    hdr = b"BM" + _s.pack(
+        "<IHHI", data_off + stream_len, 0, 0, data_off
+    )
+    dib = _s.pack(
+        "<IiiHHIIiiII",
+        40, BMP_W, BMP_H, 1, 8, 1, stream_len, 0, 0, _BMP_PAL_N, 0,
+    )
+    return (hdr + dib + pal).hex()
+
+
+def _synth_bmp_hex_spark() -> str:
+    parts = [f"'{_bmp_header_hex()}'"]
+    for sy in range(BMP_H):  # stored bottom-up rows
+        for r in range(BMP_W // 2):
+            parts.append("'02'")  # run of 2
+            parts.append(
+                f"lpad(hex((doc_id * 3 + {2 * r + 5 * sy}) % "
+                f"{_BMP_PAL_N}), 2, '0')"
+            )
+        parts.append("'0001'" if sy == BMP_H - 1 else "'0000'")
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def synth_bmp_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): complete RLE8 BMPs, one per document,
+    built JVM-side."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(f"unhex({_synth_bmp_hex_spark()})").alias("payload"),
+    )
+
+
+def bmp_pixels_oracle_sql() -> str:
+    """Closed-form decoded-pixel stats: output pixel (x, y) came from
+    stored bottom-up row sy = H-1-y, run r = x/2, palette index
+    (3d + 2r + 5sy) mod 16 — the RLE run structure and the row flip
+    are both visible in the formula, and the position-weighted
+    checksum pins them."""
+    n = BMP_W * BMP_H
+    j = (
+        f"((doc_id * 3 + 2 * (x.x // 2) + 5 * ({BMP_H - 1} - y.y))"
+        f" % {_BMP_PAL_N})"
+    )
+    return f"""
+WITH px AS (
+  SELECT doc_id, (y.y * {BMP_W} + x.x) AS i,
+    (7 * {j} + 4) % 256 AS r,
+    (5 * {j} + 2) % 256 AS gr,
+    (3 * {j} + 1) % 256 AS bl
+  FROM documents,
+       UNNEST(generate_series(0, {BMP_H - 1})) AS y(y),
+       UNNEST(generate_series(0, {BMP_W - 1})) AS x(x)
+)
+SELECT doc_id AS asset_id,
+  CAST({BMP_W} AS BIGINT) AS width, CAST({BMP_H} AS BIGINT) AS height,
+  CAST(3 AS BIGINT) AS channels, CAST({n} AS BIGINT) AS n_pixels,
+  CAST(sum(r + gr + bl) AS BIGINT) AS pixel_sum,
+  CAST(sum(r * (3*i + 1) * (3*i + 1)
+         + gr * (3*i + 2) * (3*i + 2)
+         + bl * (3*i + 3) * (3*i + 3)) AS BIGINT) AS px_checksum,
+  CAST(sum(r + gr + bl) AS BIGINT) * 1000000 // {3 * n} AS mean_ppm
+FROM px GROUP BY doc_id
+"""
+
+
+TIFF_W = 6
+TIFF_H = 4
+_TIFF_RPS = 2  # rows per strip -> 2 strips
+
+
+def _tiff_layout() -> tuple[int, list[int], int]:
+    """(strip_len, strip_offsets, ifd_offset) — constant because run
+    structure is fixed; only byte VALUES vary per doc."""
+    strip_len = (1 + TIFF_W) + 2 * 2  # literal row + two repeat runs
+    offsets = [8, 8 + strip_len]
+    return strip_len, offsets, 8 + 2 * strip_len
+
+
+def _tiff_header_hex() -> str:
+    import struct as _s
+
+    strip_len, offsets, ifd = _tiff_layout()
+    n_entries = 9
+    arrays_off = ifd + 2 + 12 * n_entries + 4
+    ent = b""
+
+    def entry(tag, typ, count, value) -> bytes:
+        raw = _s.pack("<HHI", tag, typ, count)
+        if typ == 3 and count == 1:
+            return raw + _s.pack("<HH", value, 0)
+        return raw + _s.pack("<I", value)
+
+    ent += entry(256, 3, 1, TIFF_W)
+    ent += entry(257, 3, 1, TIFF_H)
+    ent += entry(258, 3, 1, 8)
+    ent += entry(259, 3, 1, 32773)
+    ent += entry(262, 3, 1, 1)
+    ent += entry(273, 4, 2, arrays_off)  # strip offsets array
+    ent += entry(277, 3, 1, 1)
+    ent += entry(278, 3, 1, _TIFF_RPS)
+    ent += entry(279, 4, 2, arrays_off + 8)  # strip byte counts
+    ifd_block = (
+        _s.pack("<H", n_entries) + ent + _s.pack("<I", 0)
+        + _s.pack("<II", *offsets)
+        + _s.pack("<II", strip_len, strip_len)
+    )
+    return ifd_block.hex()
+
+
+def _synth_tiff_hex_spark() -> str:
+    import struct as _s
+
+    head = b"II*\x00" + _s.pack("<I", _tiff_layout()[2])
+    parts = [f"'{head.hex()}'"]
+    for s in range(2):
+        y_lit = 2 * s  # even row: literal PackBits run
+        parts.append(f"'{TIFF_W - 1:02x}'")
+        for x in range(TIFF_W):
+            parts.append(
+                f"lpad(hex((doc_id * 7 + {13 * x + 29 * y_lit}) % 256), "
+                "2, '0')"
+            )
+        y_rep = 2 * s + 1  # odd row: two repeat runs of 3 (header 0xFE)
+        for r in range(2):
+            parts.append("'fe'")
+            parts.append(
+                f"lpad(hex((doc_id * 11 + {17 * r + 29 * y_rep}) % 256), "
+                "2, '0')"
+            )
+    parts.append(f"'{_tiff_header_hex()}'")
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def synth_tiff_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): complete PackBits TIFFs (two strips), one
+    per document, built JVM-side."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(f"unhex({_synth_tiff_hex_spark()})").alias("payload"),
+    )
+
+
+def tiff_pixels_oracle_sql() -> str:
+    """Closed-form grey stats: even rows are PackBits literal runs
+    (value varies per x), odd rows are two repeat-runs of 3 (value
+    varies per x/3) — the compression structure is the formula."""
+    n = TIFF_W * TIFF_H
+    v = f"""(CASE WHEN y.y % 2 = 0
+      THEN (doc_id * 7 + 13 * x.x + 29 * y.y) % 256
+      ELSE (doc_id * 11 + 17 * (x.x // 3) + 29 * y.y) % 256 END)"""
+    return f"""
+WITH px AS (
+  SELECT doc_id, (y.y * {TIFF_W} + x.x) AS i, {v} AS v
+  FROM documents,
+       UNNEST(generate_series(0, {TIFF_H - 1})) AS y(y),
+       UNNEST(generate_series(0, {TIFF_W - 1})) AS x(x)
+)
+SELECT doc_id AS asset_id,
+  CAST({TIFF_W} AS BIGINT) AS width, CAST({TIFF_H} AS BIGINT) AS height,
   CAST(1 AS BIGINT) AS channels, CAST({n} AS BIGINT) AS n_pixels,
   CAST(sum(v) AS BIGINT) AS pixel_sum,
   CAST(sum(v * (i + 1) * (i + 1)) AS BIGINT) AS px_checksum,

@@ -1448,6 +1448,44 @@ def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_bmp_pixels",
+    multimodal.bmp_pixels_oracle_sql(),
+    doc="REAL BMP decode through the RLE8 compression path "
+    "(operators/bitmap.py::decode_bmp_pixels — run pairs, EOL/EOB "
+    "escapes, absolute-mode word padding, bottom-up row order, "
+    "BGR palette): spec-valid RLE8 BMPs built byte-exactly in SQL, "
+    "decoded in one mapInPandas pass. The oracle states pixel (x,y) "
+    "from the run structure AND the bottom-up flip (stored row "
+    "H-1-y), so a decoder that forgot the flip or misread a run "
+    "breaks the position-weighted checksum. Uncompressed "
+    "24/32-bit, top-down rows, and delta escapes covered by "
+    "independent-encoder tests in tests/test_bitmap.py",
+)
+def multimodal_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_image_stats(multimodal.synth_bmp_assets(docs))
+
+
+@_q(
+    "multimodal_tiff_pixels",
+    multimodal.tiff_pixels_oracle_sql(),
+    doc="REAL TIFF decode through PackBits compression and "
+    "multi-strip assembly (operators/bitmap.py::decode_tiff_pixels "
+    "— II/MM byte orders, IFD walk with offset-resolved value "
+    "arrays, RowsPerStrip segmentation, photometric 0/1/2/3): "
+    "spec-valid two-strip PackBits TIFFs built byte-exactly in SQL "
+    "with literal-run rows interleaved with repeat-run rows, so the "
+    "closed-form oracle IS the compression structure. Big-endian, "
+    "RGB, palette ColorMap, and WhiteIsZero inversion covered by "
+    "independent-encoder tests in tests/test_bitmap.py. One "
+    "mapInPandas pass; payloads never shuffle",
+)
+def multimodal_tiff_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_image_stats(multimodal.synth_tiff_assets(docs))
+
+
+@_q(
     "multimodal_jpeg_lossless",
     multimodal.lossless_oracle_sql(),
     doc="REAL lossless (SOF3) JPEG decode — the DICOM/medical format "
