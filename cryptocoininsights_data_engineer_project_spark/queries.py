@@ -38,6 +38,7 @@ from .operators import (
     similarity,
     sketch,
     textops,
+    webarchive,
 )
 from .functions.hashing import spark_hash64
 from .functions.textnorm import duck_norm, duck_tokens, spark_tokens
@@ -1445,6 +1446,45 @@ def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_stats(
         multimodal.synth_jpeg_progressive_assets(docs)
     )
+
+
+@_q(
+    "warc_extract",
+    webarchive.warc_oracle_sql(),
+    doc="WARC record extraction — the Common-Crawl ingestion step a "
+    "100 TB text pipeline starts with: spec-valid two-record WARC/1.0 "
+    "archives (warcinfo + HTTP response) built byte-exactly in SQL, "
+    "split into records (version line, case-insensitive header "
+    "block, exact Content-Length body, CRLF CRLF separators) with "
+    "the HTTP/1.x envelope peeled off responses (operators/"
+    "webarchive.py::parse_warc + split_http_response). One "
+    "mapInPandas pass, archives never shuffle; the oracle restates "
+    "envelope constants and the per-position entity formula",
+)
+def warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return webarchive.warc_response_stats(
+        webarchive.synth_warc_assets(docs)
+    )
+
+
+@_q(
+    "text_gunzip",
+    webarchive.gunzip_oracle_sql(),
+    doc="Concatenated-gzip member split + inflate (RFC 1952) — the "
+    "compression WARC crawls actually wrap every record in: member "
+    "boundaries found the spec-true way (DEFLATE self-termination), "
+    "optional header fields walked (the fixture's second member "
+    "carries FNAME), ISIZE trailer cross-checked against inflated "
+    "length (operators/webarchive.py::gunzip_members). Stored-"
+    "DEFLATE fixtures built byte-exactly in SQL; position-weighted "
+    "checksum pins content and member order. Real zlib-compressed "
+    "members, FEXTRA/FHCRC, and corruption gates covered in "
+    "tests/test_webarchive.py",
+)
+def text_gunzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return webarchive.gunzip_stats(webarchive.synth_gzip_assets(docs))
 
 
 @_q(
