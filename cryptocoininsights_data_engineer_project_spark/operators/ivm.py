@@ -15,7 +15,7 @@ need sketches (HLL, KLL) merged the same way — the CMS in
 operators/sketch.py shows the shape.
 
 Equivalence (refresh-per-batch == one full recompute) is asserted in
-tests/test_ivm.py over multi-batch runs, including re-delivery of the
+tests/test_layout_ivm.py over multi-batch runs, including re-delivery of the
 same delta (idempotence requires an upstream dedupe, exactly like the
 MERGE path — documented, not hidden).
 """

@@ -1,0 +1,433 @@
+"""Unit tests for operators/webarchive.py — gzip member splitting,
+WARC record parsing, HTTP envelope peeling, and the Spark operators.
+
+Fixtures here are built independently of the module's own synth
+helpers wherever the claim under test is spec conformance: real
+zlib-DEFLATE members come from ``gzip.compress`` / ``zlib.compressobj``
+(the reference implementation), header-flag walks are hand-assembled
+per RFC 1952 §2.3, and WARC records are hand-assembled per ISO 28500.
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+import zlib
+
+import pytest
+
+from cryptocoininsights_data_engineer_project_spark.operators.webarchive import (
+    GzipError,
+    WarcError,
+    gunzip_members,
+    gunzip_stats,
+    parse_warc,
+    split_http_response,
+    synth_gzip_assets,
+    synth_warc_assets,
+    warc_response_stats,
+)
+
+
+# ------------------------------------------------------------ gzip builders
+
+
+def make_member(
+    body: bytes,
+    *,
+    fextra: bytes | None = None,
+    fname: bytes | None = None,
+    fcomment: bytes | None = None,
+    fhcrc: bool = False,
+    level: int = 6,
+    isize_override: int | None = None,
+) -> bytes:
+    """Hand-assemble one RFC 1952 member with REAL zlib DEFLATE data
+    and any combination of the optional header fields."""
+    flg = (
+        (0x04 if fextra is not None else 0)
+        | (0x08 if fname is not None else 0)
+        | (0x10 if fcomment is not None else 0)
+        | (0x02 if fhcrc else 0)
+    )
+    hdr = b"\x1f\x8b\x08" + bytes([flg]) + b"\x00\x00\x00\x00\x00\x03"
+    if fextra is not None:
+        hdr += struct.pack("<H", len(fextra)) + fextra
+    if fname is not None:
+        hdr += fname + b"\x00"
+    if fcomment is not None:
+        hdr += fcomment + b"\x00"
+    if fhcrc:
+        hdr += struct.pack("<H", zlib.crc32(hdr) & 0xFFFF)
+    co = zlib.compressobj(level, zlib.DEFLATED, -15)
+    deflated = co.compress(body) + co.flush()
+    isize = len(body) & 0xFFFFFFFF if isize_override is None else isize_override
+    trailer = struct.pack("<II", zlib.crc32(body) & 0xFFFFFFFF, isize)
+    return hdr + deflated + trailer
+
+
+# ------------------------------------------------------- gunzip_members OK
+
+
+def test_real_deflate_single_member_matches_stdlib():
+    body = b"the quick brown fox " * 200  # compressible: real Huffman blocks
+    blob = gzip.compress(body, compresslevel=9)  # stdlib is the reference
+    assert gunzip_members(blob) == [body]
+
+
+def test_real_deflate_incompressible_body():
+    # pseudo-random bytes force stored/least-compressed DEFLATE paths
+    body = bytes((i * 197 + 13) % 256 for i in range(5000))
+    assert gunzip_members(make_member(body)) == [body]
+
+
+def test_concatenated_members_order_preserved():
+    bodies = [f"member-{i}".encode() * (i + 1) for i in range(5)]
+    blob = b"".join(make_member(x) for x in bodies)
+    assert gunzip_members(blob) == bodies
+
+
+def test_mixed_stdlib_and_handmade_members():
+    blob = gzip.compress(b"alpha") + make_member(b"beta", fname=b"b.txt")
+    assert gunzip_members(blob) == [b"alpha", b"beta"]
+
+
+def test_empty_stream_yields_no_members():
+    assert gunzip_members(b"") == []
+
+
+def test_empty_body_member():
+    assert gunzip_members(make_member(b"")) == [b""]
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {"fextra": b"AB\x04\x00data"},
+        {"fname": b"archive.warc"},
+        {"fcomment": b"a comment"},
+        {"fhcrc": True},
+        {
+            "fextra": b"XY\x02\x00ok",
+            "fname": b"n",
+            "fcomment": b"c",
+            "fhcrc": True,
+        },
+    ],
+    ids=["fextra", "fname", "fcomment", "fhcrc", "all-four"],
+)
+def test_optional_header_fields_walked(kw):
+    body = b"header-field walk body " * 40
+    assert gunzip_members(make_member(body, **kw)) == [body]
+    # and stdlib agrees the member is well-formed
+    assert gzip.decompress(make_member(body, **kw)) == body
+
+
+def test_header_fields_on_second_member():
+    blob = make_member(b"first") + make_member(
+        b"second", fextra=b"ZZ\x01\x00!", fname=b"f", fhcrc=True
+    )
+    assert gunzip_members(blob) == [b"first", b"second"]
+
+
+def test_isize_is_mod_2_32():
+    # RFC 1952: ISIZE is the input size modulo 2^32 — a member whose
+    # trailer already encodes the wrapped value must pass the check.
+    body = b"x" * 10
+    blob = make_member(body, isize_override=(len(body) + 2**32) & 0xFFFFFFFF)
+    assert gunzip_members(blob) == [body]
+
+
+# ---------------------------------------------------- gunzip_members gates
+
+
+def test_bad_magic_raises():
+    with pytest.raises(GzipError, match="magic"):
+        gunzip_members(b"PK\x03\x04" + b"\x00" * 20)
+
+
+def test_bad_magic_in_second_member_reports_offset():
+    first = make_member(b"ok")
+    with pytest.raises(GzipError, match=f"magic at {len(first)}"):
+        gunzip_members(first + b"\x00\x01" + b"\x00" * 20)
+
+
+def test_non_deflate_method_raises():
+    blob = bytearray(make_member(b"x"))
+    blob[2] = 7  # CM=7 is reserved
+    with pytest.raises(GzipError, match="method 7"):
+        gunzip_members(bytes(blob))
+
+
+def test_truncated_fixed_header_raises():
+    with pytest.raises(GzipError, match="truncated gzip header"):
+        gunzip_members(b"\x1f\x8b\x08\x00\x00")
+
+
+def test_truncated_fextra_length_raises():
+    blob = b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\x03" + b"\x05"
+    with pytest.raises(GzipError, match="FEXTRA"):
+        gunzip_members(blob)
+
+
+def test_fextra_length_past_end_raises():
+    # XLEN says 200 bytes follow; only 2 do → p jumps past len(b)
+    blob = (
+        b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\x03"
+        + struct.pack("<H", 200)
+        + b"ab"
+    )
+    with pytest.raises(GzipError, match="truncated gzip header fields"):
+        gunzip_members(blob)
+
+
+def test_unterminated_fname_raises():
+    blob = b"\x1f\x8b\x08\x08\x00\x00\x00\x00\x00\x03" + b"no-nul-here"
+    with pytest.raises(GzipError, match="FNAME"):
+        gunzip_members(blob)
+
+
+def test_unterminated_fcomment_raises():
+    blob = b"\x1f\x8b\x08\x10\x00\x00\x00\x00\x00\x03" + b"no-nul"
+    with pytest.raises(GzipError, match="FCOMMENT"):
+        gunzip_members(blob)
+
+
+def test_garbage_deflate_raises():
+    blob = (
+        b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\x03"
+        + b"\xff\xfe\xfd\xfc" * 4
+        + b"\x00" * 8
+    )
+    with pytest.raises(GzipError, match="deflate"):
+        gunzip_members(blob)
+
+
+def test_truncated_deflate_stream_raises():
+    full = make_member(b"truncate me please " * 50)
+    with pytest.raises(GzipError, match="did not terminate"):
+        gunzip_members(full[: len(full) - 30])
+
+
+def test_truncated_trailer_raises():
+    full = make_member(b"body")
+    with pytest.raises(GzipError, match="trailer"):
+        gunzip_members(full[:-3])
+
+
+def test_isize_mismatch_raises():
+    blob = make_member(b"twelve bytes", isize_override=999)
+    with pytest.raises(GzipError, match="ISIZE 999"):
+        gunzip_members(blob)
+
+
+def test_first_member_error_even_if_rest_valid():
+    bad = make_member(b"a", isize_override=5)
+    with pytest.raises(GzipError):
+        gunzip_members(bad + make_member(b"b"))
+
+
+# ------------------------------------------------------------- WARC builders
+
+
+def make_record(
+    headers: list[tuple[str, str]], body: bytes, version: str = "WARC/1.0"
+) -> bytes:
+    head = "".join(f"{n}: {v}\r\n" for n, v in headers)
+    return f"{version}\r\n{head}\r\n".encode() + body + b"\r\n\r\n"
+
+
+def test_parse_warc_basic_record():
+    body = b"hello warc"
+    rec = make_record(
+        [("WARC-Type", "resource"), ("Content-Length", str(len(body)))],
+        body,
+    )
+    out = parse_warc(rec)
+    assert len(out) == 1
+    assert out[0]["version"] == "WARC/1.0"
+    assert out[0]["headers"]["warc-type"] == "resource"
+    assert out[0]["body"] == body
+
+
+def test_parse_warc_11_version_and_multi_record_order():
+    recs = [
+        make_record(
+            [("WARC-Type", "request"), ("Content-Length", str(len(b)))],
+            b,
+            version="WARC/1.1",
+        )
+        for b in (b"one", b"two two", b"three three three")
+    ]
+    out = parse_warc(b"".join(recs))
+    assert [r["body"] for r in out] == [b"one", b"two two", b"three three three"]
+    assert all(r["version"] == "WARC/1.1" for r in out)
+
+
+def test_parse_warc_case_mixed_headers_lowercased():
+    body = b"x" * 7
+    rec = make_record(
+        [
+            ("wArC-tYpE", "response"),
+            ("CONTENT-LENGTH", str(len(body))),
+            ("WARC-Target-URI", "http://e.com/"),
+        ],
+        body,
+    )
+    h = parse_warc(rec)[0]["headers"]
+    assert h["warc-type"] == "response"
+    assert h["content-length"] == str(len(body))
+    assert h["warc-target-uri"] == "http://e.com/"
+
+
+def test_parse_warc_body_may_contain_crlf_crlf():
+    # Content-Length is authoritative: separators inside the body must
+    # not end the record early.
+    body = b"part1\r\n\r\npart2"
+    rec = make_record([("Content-Length", str(len(body)))], body)
+    out = parse_warc(rec)
+    assert out[0]["body"] == body
+
+
+def test_parse_warc_missing_content_length_raises():
+    rec = make_record([("WARC-Type", "resource")], b"")
+    # strip the body framing so only the header defect is in play
+    with pytest.raises(WarcError, match="Content-Length"):
+        parse_warc(rec)
+
+
+def test_parse_warc_bad_version_line_raises():
+    with pytest.raises(WarcError, match="version"):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+
+
+def test_parse_warc_missing_version_terminator_raises():
+    with pytest.raises(WarcError, match="version line terminator"):
+        parse_warc(b"WARC/1.0")
+
+
+def test_parse_warc_unterminated_header_block_raises():
+    with pytest.raises(WarcError, match="unterminated"):
+        parse_warc(b"WARC/1.0\r\nContent-Length: 3\r\n")
+
+
+def test_parse_warc_malformed_header_line_raises():
+    with pytest.raises(WarcError, match="malformed header line"):
+        parse_warc(b"WARC/1.0\r\nno-colon-here\r\n\r\n\r\n\r\n")
+
+
+def test_parse_warc_truncated_body_raises():
+    rec = make_record([("Content-Length", "100")], b"short")
+    with pytest.raises(WarcError, match="truncated"):
+        parse_warc(rec)
+
+
+def test_parse_warc_missing_record_separator_raises():
+    body = b"abc"
+    rec = make_record([("Content-Length", str(len(body)))], body)
+    with pytest.raises(WarcError, match="separator"):
+        parse_warc(rec[:-4] + b"\r\n")  # only one CRLF, not two
+
+
+# -------------------------------------------------------- HTTP envelope
+
+
+def test_split_http_response_basic():
+    body = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"X-Mixed-CASE: yes\r\n\r\n<html>hi</html>"
+    )
+    status, headers, entity = split_http_response(body)
+    assert status == 200
+    assert headers["content-type"] == "text/html"
+    assert headers["x-mixed-case"] == "yes"
+    assert entity == b"<html>hi</html>"
+
+
+def test_split_http_response_status_line_only():
+    status, headers, entity = split_http_response(b"HTTP/1.0 404\r\n\r\ngone")
+    assert status == 404
+    assert headers == {}
+    assert entity == b"gone"
+
+
+def test_split_http_response_missing_terminator_raises():
+    with pytest.raises(WarcError, match="terminator"):
+        split_http_response(b"HTTP/1.1 200 OK\r\nNo-End: true")
+
+
+def test_split_http_response_bad_status_line_raises():
+    with pytest.raises(WarcError, match="status line"):
+        split_http_response(b"ICY 200 OK\r\n\r\nbody")
+
+
+# --------------------------------------------------- spark-side operators
+
+
+def _docs(spark, n=6):
+    return spark.range(n).selectExpr("id AS doc_id")
+
+
+def test_gunzip_stats_matches_python_decode(spark):
+    assets = synth_gzip_assets(_docs(spark))
+    got = {
+        (r.asset_id, r.member_idx): (r.n_bytes, r.byte_sum, r.byte_checksum)
+        for r in gunzip_stats(assets).collect()
+    }
+    # independent expectation: run the pure-python decoder driver-side
+    # on the same payloads and recompute the stats
+    for row in assets.collect():
+        members = gunzip_members(bytes(row.payload))
+        assert len(members) == 2
+        for m, body in enumerate(members):
+            want = (
+                len(body),
+                sum(body),
+                sum(v * (i + 1) * (i + 1) for i, v in enumerate(body)),
+            )
+            assert got[(row.asset_id, m)] == want
+
+
+def test_warc_response_stats_matches_python_decode(spark):
+    assets = synth_warc_assets(_docs(spark))
+    rows = warc_response_stats(assets).collect()
+    # 2 records per archive: warcinfo then response
+    by_key = {(r.asset_id, r.record_idx): r for r in rows}
+    for arow in assets.collect():
+        recs = parse_warc(bytes(arow.payload))
+        assert [r["headers"]["warc-type"] for r in recs] == [
+            "warcinfo",
+            "response",
+        ]
+        info = by_key[(arow.asset_id, 0)]
+        assert (info.warc_type, info.status, info.entity_sum) == (
+            "warcinfo",
+            None,
+            0,
+        )
+        status, _hh, entity = split_http_response(recs[1]["body"])
+        resp = by_key[(arow.asset_id, 1)]
+        assert resp.status == status == 200
+        assert resp.url == f"http://example.com/doc/{arow.asset_id}"
+        assert resp.entity_len == len(entity)
+        assert resp.entity_sum == sum(entity)
+        assert resp.content_length == int(recs[1]["headers"]["content-length"])
+
+
+def test_gunzip_stats_on_real_deflate_archives(spark):
+    # the registry fixture uses stored-DEFLATE; prove the operator is
+    # codec-complete by feeding real zlib-compressed members through
+    # the same mapInPandas path.
+    bodies = {i: (f"doc {i} ".encode() * (10 + i)) for i in range(4)}
+    pdf_rows = [
+        (i, gzip.compress(bodies[i]) + make_member(bodies[i][::-1], fname=b"r"))
+        for i in range(4)
+    ]
+    assets = spark.createDataFrame(pdf_rows, "asset_id LONG, payload BINARY")
+    got = {
+        (r.asset_id, r.member_idx): (r.n_bytes, r.byte_sum)
+        for r in gunzip_stats(assets).collect()
+    }
+    for i, body in bodies.items():
+        assert got[(i, 0)] == (len(body), sum(body))
+        assert got[(i, 1)] == (len(body), sum(body[::-1]))
