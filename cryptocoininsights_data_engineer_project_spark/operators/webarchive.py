@@ -349,6 +349,192 @@ FROM body
 """
 
 
+# ---------------------------------------------------- HTML text extraction
+
+from html.parser import HTMLParser  # noqa: E402
+
+_SKIP_CONTENT = frozenset({"script", "style"})
+
+
+class _TextExtractor(HTMLParser):
+    """Visible-text extractor: drops tags, <script>/<style> content,
+    comments, and declarations; decodes character references (the
+    parser's convert_charrefs). Every tag boundary becomes a
+    whitespace boundary — the conservative choice for the downstream
+    lang-id / quality / dedup features, where an occasional mid-word
+    split from an inline tag is acceptable noise but silently gluing
+    two block elements' words together is not."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.chunks: list[str] = []
+        self._skip: str | None = None
+
+    def handle_starttag(self, tag, attrs):  # noqa: D102
+        if tag in _SKIP_CONTENT:
+            self._skip = tag
+        self.chunks.append(" ")
+
+    def handle_endtag(self, tag):  # noqa: D102
+        if self._skip == tag:
+            self._skip = None
+        self.chunks.append(" ")
+
+    def handle_data(self, data):  # noqa: D102
+        if self._skip is None:
+            self.chunks.append(data)
+
+
+def html_to_text(html: str) -> str:
+    """HTML → whitespace-normalized visible text (stdlib html.parser;
+    no external extractor library): script/style/comment content
+    dropped, entities and numeric character references decoded, all
+    whitespace runs collapsed to single spaces. Malformed trailing
+    markup degrades gracefully (an unclosed <script> swallows the
+    tail, matching CDATA semantics). Tested in
+    tests/test_webarchive.py."""
+    p = _TextExtractor()
+    p.feed(html)
+    p.close()
+    return " ".join("".join(p.chunks).split())
+
+
+_HTML_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("record_idx", T.LongType(), False),
+        T.StructField("url", T.StringType(), True),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("n_chars", T.LongType(), False),
+    ]
+)
+
+
+def warc_html_text(assets: DataFrame) -> DataFrame:
+    """WARC archives → one row of extracted visible text per HTML
+    response record: parse_warc → split_http_response →
+    html_to_text, fused in ONE mapInPandas pass (the archive payload
+    never shuffles; only the extracted text — the column the
+    lang-id → quality → dedup chain consumes — leaves the scan
+    stage). Non-response records and non-HTML content types are
+    skipped executor-side, so crawler metadata never inflates the
+    output."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _HTML_TEXT_SCHEMA}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for i, rec in enumerate(parse_warc(bytes(payload))):
+                    if rec["headers"].get("warc-type") != "response":
+                        continue
+                    _status, hh, entity = split_http_response(rec["body"])
+                    if "html" not in hh.get("content-type", ""):
+                        continue
+                    text = html_to_text(
+                        entity.decode("utf-8", errors="replace")
+                    )
+                    rows["asset_id"].append(int(aid))
+                    rows["record_idx"].append(i)
+                    rows["url"].append(
+                        rec["headers"].get("warc-target-uri")
+                    )
+                    rows["text"].append(text)
+                    rows["n_chars"].append(len(text))
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _extract, schema=_HTML_TEXT_SCHEMA
+    )
+
+
+HTML_WORDS = 12
+_CRLF = "char(13), char(10)"
+
+
+def _synth_html_sql() -> str:
+    """SQL string expression for a spec-valid HTML page whose visible
+    text has the closed form 'Doc d Title & d w0..w11 Tail C' with
+    w_i = chr(97 + (7d + 5i) mod 26) and C = chr(65 + 3d mod 26).
+    The page carries every strip hazard: a <script> with <, &&, and a
+    fake '<p>' inside a string (CDATA), a <style> block, an HTML
+    comment, an inline <b> split, a named entity (&amp;) and a
+    numeric character reference (&#NN;)."""
+    words = ", ' ', ".join(
+        f"char(97 + (doc_id * 7 + {5 * i}) % 26)" for i in range(HTML_WORDS)
+    )
+    return (
+        "concat('<!DOCTYPE html><html><head><title>Doc ', "
+        "cast(doc_id AS string), "
+        "'</title><script type=\"text/javascript\">"
+        "if (a < 1 && b > 2) { x = \"<p>not text</p>\"; }"
+        "</script><style>p::before { content: \"skip\"; }</style>"
+        "</head><body><!-- leaked comment words must not appear -->"
+        "<h1>Title &amp; <b>', cast(doc_id AS string), '</b></h1><p>', "
+        + words
+        + ", '</p><p>Tail &#', cast(65 + (doc_id * 3) % 26 AS string), "
+        "';</p></body></html>')"
+    )
+
+
+def synth_warc_html_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): two-record WARC/1.0 archives — warcinfo
+    followed by an HTTP 200 text/html response whose entity is the
+    synthetic HTML page — built JVM-side (all-ASCII, so character
+    length == byte length and Content-Length can be computed with
+    SQL length())."""
+    http = docs.select(
+        "doc_id",
+        F.expr(
+            f"concat('HTTP/1.1 200 OK', {_CRLF}, "
+            f"'Content-Type: text/html; charset=utf-8', {_CRLF}, {_CRLF}, "
+            f"{_synth_html_sql()})"
+        ).alias("hp"),
+    )
+    info_body = _WARCINFO_BODY.decode("latin-1")
+    return http.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(
+            "encode(concat("
+            f"'WARC/1.0', {_CRLF}, 'WARC-Type: warcinfo', {_CRLF}, "
+            f"'Content-Length: {len(_WARCINFO_BODY)}', {_CRLF}, {_CRLF}, "
+            f"'{info_body}', {_CRLF}, {_CRLF}, "
+            f"'WARC/1.0', {_CRLF}, 'WARC-Type: response', {_CRLF}, "
+            "'WARC-Target-URI: http://example.com/doc/', "
+            f"cast(doc_id AS string), {_CRLF}, "
+            "'Content-Length: ', cast(length(hp) AS string), "
+            f"{_CRLF}, {_CRLF}, hp, {_CRLF}, {_CRLF}"
+            "), 'UTF-8')"
+        ).alias("payload"),
+    )
+
+
+def html_text_oracle_sql() -> str:
+    """Closed form: the extractor's output is exactly
+    'Doc d Title & d w0 .. w11 Tail C' — the oracle restates the
+    word formula and the entity decodes, with no HTML on the DuckDB
+    side at all (tag stripping is what the Spark side is being
+    tested on)."""
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+    string_agg(chr(CAST(97 + (doc_id * 7 + 5 * g.i) % 26 AS INTEGER)), ' ' ORDER BY g.i)
+      AS words
+  FROM documents, UNNEST(generate_series(0, {HTML_WORDS - 1})) AS g(i)
+  GROUP BY doc_id
+),
+t AS (
+  SELECT d.doc_id,
+    'Doc ' || d.doc_id || ' Title & ' || d.doc_id || ' ' || w.words
+      || ' Tail ' || chr(CAST(65 + (d.doc_id * 3) % 26 AS INTEGER)) AS text
+  FROM documents d JOIN w ON d.doc_id = w.doc_id
+)
+SELECT doc_id AS asset_id, CAST(1 AS BIGINT) AS record_idx,
+  'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+  text, CAST(length(text) AS BIGINT) AS n_chars
+FROM t
+"""
+
+
 GZIP_BODY_N = 20
 GZIP_MEMBERS = 2
 

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators import dedup, textops
+from ..operators import dedup, textops, webarchive
 from ..functions.hashing import spark_hash64
 
 TRAIN_BUCKETS = 10  # md5 % 10: 8 train / 1 val / 1 test
@@ -248,3 +248,35 @@ def extend_training_corpus(
         )
     )
     return packs, stats
+
+
+def docs_from_warc(assets: DataFrame, *, source: str = "warc") -> DataFrame:
+    """WARC archives → a documents-shaped frame the corpus pipeline
+    consumes: (doc_id, text, lang, source, n_chars), one row per HTML
+    response record (webarchive.warc_html_text — parse, envelope
+    peel, and tag strip fused in one mapInPandas pass; the archive
+    payload never leaves the scan stage).
+
+    ``lang`` is NULL: crawls carry no trusted language label, and the
+    pipeline's gate classifies from the text itself
+    (textops.corpus_filter's lang_pred), so the label column is
+    metadata only. ``doc_id`` is the asset id — callers ingesting
+    multi-response archives should re-key before the pipeline (the
+    synthetic fixtures are one response per archive)."""
+    return webarchive.warc_html_text(assets).select(
+        F.col("asset_id").alias("doc_id"),
+        "text",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(source).alias("source"),
+        "n_chars",
+    )
+
+
+def prepare_corpus_from_warc(
+    assets: DataFrame, benchmark: DataFrame, **kwargs
+) -> tuple[DataFrame, DataFrame]:
+    """End-to-end Common-Crawl shape: WARC archives in, training
+    packs out — docs_from_warc feeding prepare_training_corpus
+    unchanged (same stats frame, same pack-atomic split). Composition
+    pinned in tests/test_webarchive.py."""
+    return prepare_training_corpus(docs_from_warc(assets), benchmark, **kwargs)

@@ -1488,6 +1488,31 @@ def text_gunzip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "html_text_extract",
+    webarchive.html_text_oracle_sql(),
+    doc="HTML → visible text — the step between warc_extract and the "
+    "lang-id/quality/dedup chain in a Common-Crawl pipeline: "
+    "spec-valid WARC archives whose response entity is an HTML page "
+    "carrying every strip hazard (script CDATA with < && and a fake "
+    "'<p>' in a string literal, style block, HTML comment, inline "
+    "<b> split, named entity, numeric character reference) built "
+    "byte-exactly in SQL; parse_warc → split_http_response → "
+    "html_to_text (stdlib html.parser) fused in ONE mapInPandas "
+    "pass, so the archive payload never shuffles and only the "
+    "extracted text column leaves the scan (operators/webarchive.py"
+    "::warc_html_text). Non-response records and non-HTML content "
+    "types skipped executor-side. The oracle restates the visible "
+    "text closed-form with no HTML on the DuckDB side; parser edge "
+    "cases in tests/test_webarchive.py",
+)
+def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return webarchive.warc_html_text(
+        webarchive.synth_warc_html_assets(docs)
+    )
+
+
+@_q(
     "multimodal_bmp_pixels",
     multimodal.bmp_pixels_oracle_sql(),
     doc="REAL BMP decode through the RLE8 compression path "

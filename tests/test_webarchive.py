@@ -15,16 +15,20 @@ import struct
 import zlib
 
 import pytest
+from pyspark.sql import functions as F
 
 from cryptocoininsights_data_engineer_project_spark.operators.webarchive import (
     GzipError,
     WarcError,
     gunzip_members,
     gunzip_stats,
+    html_to_text,
     parse_warc,
     split_http_response,
     synth_gzip_assets,
     synth_warc_assets,
+    synth_warc_html_assets,
+    warc_html_text,
     warc_response_stats,
 )
 
@@ -412,6 +416,140 @@ def test_warc_response_stats_matches_python_decode(spark):
         assert resp.entity_len == len(entity)
         assert resp.entity_sum == sum(entity)
         assert resp.content_length == int(recs[1]["headers"]["content-length"])
+
+
+# ----------------------------------------------------- HTML text extraction
+
+
+def test_html_to_text_strips_tags_and_collapses_whitespace():
+    assert (
+        html_to_text("<html><body><p>Hello\n\n  <b>world</b>!</p></body></html>")
+        == "Hello world !"
+    )
+
+
+def test_html_to_text_drops_script_and_style_content():
+    page = (
+        "<head><script>if (a < 1 && b) { x = '<p>fake</p>'; }</script>"
+        "<style>p { color: red; }</style></head><body>kept</body>"
+    )
+    assert html_to_text(page) == "kept"
+
+
+def test_html_to_text_drops_comments_and_doctype():
+    assert html_to_text("<!DOCTYPE html><!-- secret words -->visible") == "visible"
+
+
+def test_html_to_text_decodes_entities_and_charrefs():
+    assert html_to_text("<p>A &amp; B &#67; &lt;tag&gt; &quot;q&quot;</p>") == (
+        'A & B C <tag> "q"'
+    )
+
+
+def test_html_to_text_tag_boundary_is_whitespace_boundary():
+    # pinned semantics: every tag boundary separates tokens — block
+    # elements never glue ("one</p><p>two"), inline splits accepted
+    assert html_to_text("one</p><p>two") == "one two"
+    assert html_to_text("fo<b>o</b>") == "fo o"
+
+
+def test_html_to_text_unclosed_script_swallows_tail():
+    # CDATA semantics: without </script> the rest of the page is
+    # script data — graceful degradation, not an exception
+    assert html_to_text("before<script>var x = 1; <p>gone</p>") == "before"
+
+
+def test_html_to_text_nested_same_tag_after_skip():
+    # skip flag clears on the matching end tag; later content returns
+    assert html_to_text("<style>a{}</style>one<style>b{}</style>two") == "one two"
+
+
+def test_warc_html_text_matches_python_composition(spark):
+    assets = synth_warc_html_assets(_docs(spark))
+    got = {r.asset_id: r for r in warc_html_text(assets).collect()}
+    for arow in assets.collect():
+        recs = parse_warc(bytes(arow.payload))
+        # record 0 is warcinfo → skipped; record 1 is the HTML response
+        assert len(recs) == 2
+        _status, hh, entity = split_http_response(recs[1]["body"])
+        assert "html" in hh["content-type"]
+        want = html_to_text(entity.decode("utf-8"))
+        r = got[arow.asset_id]
+        assert (r.record_idx, r.text, r.n_chars) == (1, want, len(want))
+        assert r.url == f"http://example.com/doc/{arow.asset_id}"
+
+
+def test_warc_html_text_skips_non_html_responses(spark):
+    body = b"HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n\r\n{}"
+    rec = make_record(
+        [
+            ("WARC-Type", "response"),
+            ("Content-Length", str(len(body))),
+        ],
+        body,
+    )
+    assets = spark.createDataFrame([(1, rec)], "asset_id LONG, payload BINARY")
+    assert warc_html_text(assets).count() == 0
+
+
+def test_docs_from_warc_feeds_corpus_pipeline(spark):
+    from cryptocoininsights_data_engineer_project_spark.pipeline.corpus import (
+        docs_from_warc,
+        prepare_corpus_from_warc,
+    )
+
+    assets = synth_warc_html_assets(_docs(spark, 40))
+    docs = docs_from_warc(assets)
+    assert docs.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    rows = docs.collect()
+    assert len(rows) == 40
+    assert all(r.source == "warc" and r.n_chars == len(r.text) for r in rows)
+
+    # end-to-end: WARC in, packs out. Half the synthetic pages rank
+    # 'unknown' (random letters, no stopwords) → gate on that class;
+    # the benchmark is DISJOINT text (the corpus-subset case is
+    # already pinned in tests/test_corpus_pipeline.py).
+    benchmark = spark.createDataFrame(
+        [(9001, "zz qq xx vv kk jj ww uu yy tt")], ["doc_id", "text"]
+    )
+    packs, stats = prepare_corpus_from_warc(
+        assets, benchmark, lang="unknown", min_quality=0.1
+    )
+    st = {r.stage: r.n for r in stats.collect()}
+    assert st["input"] == 40
+
+    # manual composition of the standalone operators over the same docs
+    from cryptocoininsights_data_engineer_project_spark.operators import (
+        dedup,
+        textops,
+    )
+
+    gate = textops.corpus_filter(docs, lang="unknown", min_quality=0.1)
+    kept = {r.doc_id for r in gate.filter("keep").select("doc_id").collect()}
+    survivors = docs.filter(F.col("doc_id").isin(kept))
+    labels, _ = dedup.connected_components(
+        dedup.minhash_candidate_pairs(survivors)
+    )
+    non_canon = {
+        r.doc_id
+        for r in labels.filter("doc_id != cluster_id").select("doc_id").collect()
+    }
+    contaminated = {
+        r.doc_id
+        for r in dedup.decontaminate(
+            survivors.filter(~F.col("doc_id").isin(non_canon)), benchmark
+        )
+        .select("doc_id")
+        .collect()
+    }
+    expect = kept - non_canon - contaminated
+    got = {r.doc_id for r in packs.select("doc_id").collect()}
+    assert got == expect and len(got) > 0
+    assert set(packs.select("split").distinct().toPandas()["split"]) <= {
+        "train",
+        "val",
+        "test",
+    }
 
 
 def test_gunzip_stats_on_real_deflate_archives(spark):
