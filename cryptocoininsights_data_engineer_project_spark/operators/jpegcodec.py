@@ -14,9 +14,11 @@ bands with EOB-run coding) and successive approximation (Ah/Al
 first + refinement scans for both DC and AC), the encoding most
 web-crawled JPEGs actually use — plus **12-bit extended
 sequential** (SOF1, round 7): level shift 2048, clamp to 4095,
-high-byte chop to the uint8 contract. Arithmetic coding,
-hierarchical modes, and 12-bit progressive raise
-NotImplementedError and remain what a cluster swaps in a
+high-byte chop to the uint8 contract — plus **arithmetic-coded
+sequential** (SOF9, round 8): the Annex D/F QM-coder with the
+F.1.4 DC/AC statistical models and DAC conditioning. Progressive/
+lossless arithmetic, hierarchical modes, and 12-bit progressive
+raise NotImplementedError and remain what a cluster swaps in a
 libjpeg-backed callable for.
 
 Decode stages, per the spec:
@@ -313,6 +315,9 @@ def _parse_segments(data: bytes, raw_lossless: bool = False):
     precision = 8
     progressive = False
     lossless = False
+    arith = False
+    dc_cond: dict[int, tuple[int, int]] = {}  # DAC: table id -> (L, U)
+    ac_cond: dict[int, int] = {}  # DAC: table id -> Kx
     coefs: list[np.ndarray] = []  # per-comp (blocks_h, blocks_w, 64)
     any_scan = False
 
@@ -358,19 +363,22 @@ def _parse_segments(data: bytes, raw_lossless: bool = False):
                 table = _HuffTable(counts, symbols)
                 (ac_tables if tc else dc_tables)[th] = table
                 i += 17 + nsym
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/1 sequential, SOF2 progressive (Huffman);
+            # SOF9 extended sequential (arithmetic)
             progressive = marker == 0xC2
+            arith = marker == 0xC9
             precision = seg[0]
-            # SOF0 is 8-bit by definition; SOF1 (extended sequential)
-            # additionally allows 12-bit (T.81 Table B.2), which the
-            # sequential path decodes natively (round 7 — level shift
-            # 2048, clamp to 4095, high-byte chop to the uint8
-            # contract); 12-bit progressive stays gated.
-            allowed = (8, 12) if marker == 0xC1 else (8,)
+            # SOF0 is 8-bit by definition; SOF1/SOF9 (extended
+            # sequential) additionally allow 12-bit (T.81 Table B.2),
+            # which the sequential path decodes natively (round 7 —
+            # level shift 2048, clamp to 4095, high-byte chop to the
+            # uint8 contract); 12-bit progressive stays gated.
+            allowed = (8, 12) if marker in (0xC1, 0xC9) else (8,)
             if precision not in allowed:
                 raise NotImplementedError(
                     f"{precision}-bit precision on SOF{marker - 0xC0}: "
-                    "8-bit (SOF0/SOF2) or 8/12-bit (SOF1) only — "
+                    "8-bit (SOF0/SOF2) or 8/12-bit (SOF1/SOF9) only — "
                     "register a libjpeg-backed decoder for the rest"
                 )
             height, width = struct.unpack(">HH", seg[1:5])
@@ -415,12 +423,28 @@ def _parse_segments(data: bytes, raw_lossless: bool = False):
                     "lossless with subsampled components: 1x1 "
                     "sampling only (the common DICOM/raw shape)"
                 )
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"SOF marker {marker:#x} (arithmetic/hierarchical): "
-                "sequential + progressive + lossless Huffman only — "
-                "register a libjpeg-backed decoder for these streams"
+                f"SOF marker {marker:#x} (progressive/lossless "
+                "arithmetic, hierarchical): sequential + progressive "
+                "+ lossless Huffman and sequential arithmetic (SOF9) "
+                "only — register a libjpeg-backed decoder for these"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            i = 0
+            while i < len(seg):
+                tc, tb = seg[i] >> 4, seg[i] & 0x0F
+                cs = seg[i + 1]
+                if tc == 0:
+                    low, up = cs & 0x0F, cs >> 4
+                    if low > up:
+                        raise JpegError(f"DAC DC bounds L={low} > U={up}")
+                    dc_cond[tb] = (low, up)
+                else:
+                    if not 1 <= cs <= 63:
+                        raise JpegError(f"DAC AC Kx={cs} out of range")
+                    ac_cond[tb] = cs
+                i += 2
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
@@ -454,6 +478,23 @@ def _parse_segments(data: bytes, raw_lossless: bool = False):
                 else:
                     px = (samples << (8 - precision)).astype(np.uint8)
                 return width, height, len(scan_order), px.tobytes()
+            if arith:
+                if ns != len(comps):
+                    raise NotImplementedError(
+                        "non-interleaved multi-scan arithmetic not supported"
+                    )
+                return _decode_arith_scan(
+                    data,
+                    pos + seglen,
+                    width,
+                    height,
+                    scan_order,
+                    qtables,
+                    dc_cond,
+                    ac_cond,
+                    restart_interval,
+                    precision,
+                )
             if not progressive:
                 if ns != len(comps):
                     raise NotImplementedError(
@@ -855,6 +896,341 @@ def _ac_refine(
             k += 1
         eobrun -= 1
     return eobrun
+
+
+# ------------------------------------------- arithmetic (SOF9) decode
+# T.81's second entropy coder: the adaptive binary arithmetic coder of
+# Annexes D (encode) / F.2 (decode) — the QM-coder — driving the
+# DC/AC statistical models of §F.1.4. Everything below is from the
+# published spec: the 113-row probability-estimation state machine
+# (Table D.3), the conditional-exchange interval arithmetic, 0xFF00
+# byte stuffing with zero-fill past the terminating marker, the
+# 5-category DC conditioning on the previous DIFF (DAC L/U bounds),
+# and the AC low/high spectral split at Kx. The companion encoder in
+# tests/test_jpeg_arith.py is written independently from the encoder
+# annex so round-trips cross-check both directions.
+
+# Table D.3: (Qe, next-index-MPS, next-index-LPS, switch-MPS) — plus
+# a 114th non-adaptive entry (index 113) the AC sign decision uses
+# (F.1.4.3.1: fixed Qe, no estimation).
+_ARITH_QE = (
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1),
+    (0x5A1D, 113, 113, 0),  # fixed ~equiprobable bin (AC sign)
+)
+
+# a statistics bin is one byte: (estimation-state index << 1) | MPS
+_FIXED_BIN = bytearray([113 << 1])
+
+DC_STAT_BINS = 49  # 5 conditioning classes x 4 + X1..X15 + M2..M15
+AC_STAT_BINS = 245  # 63 x (EOB, nonzero, X1) + 2 x (X2..X15, M2..M15)
+
+
+class _ArithDecoder:
+    """QM decoder in the value-window formulation: ``a`` is the
+    current interval size in (0, 0x10000], ``v`` the code value
+    within it; the MPS owns the lower [0, a-Qe) subinterval and the
+    LPS the upper [a-Qe, a), with T.81's conditional exchange when
+    the MPS subinterval shrinks below Qe. Renormalization doubles
+    both until a >= 0x8000, pulling code bits MSB-first from the
+    entropy segment (0xFF00 unstuffed; on the terminating marker the
+    decoder zero-fills, per F.2.2.3's "pushed out" convention)."""
+
+    __slots__ = ("data", "pos", "a", "v", "_cur", "_nbits", "_ended")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self._cur = 0
+        self._nbits = 0
+        self._ended = False
+        self.a = 0x10000
+        v = 0
+        for _ in range(16):
+            v = (v << 1) | self._bit()
+        self.v = v
+
+    def _next_byte(self) -> int:
+        if self._ended:
+            return 0
+        d, p = self.data, self.pos
+        if p >= len(d):
+            self._ended = True
+            return 0
+        b = d[p]
+        if b != 0xFF:
+            self.pos = p + 1
+            return b
+        if p + 1 < len(d) and d[p + 1] == 0x00:
+            self.pos = p + 2  # stuffed zero: data byte is 0xFF
+            return 0xFF
+        self._ended = True  # marker: entropy data ends here
+        return 0
+
+    def _bit(self) -> int:
+        if self._nbits == 0:
+            self._cur = self._next_byte()
+            self._nbits = 8
+        self._nbits -= 1
+        return (self._cur >> self._nbits) & 1
+
+    def marker_scan_pos(self) -> int:
+        """Byte offset of the marker that ended (or will end) this
+        entropy segment: the next 0xFF not followed by a stuffed 0."""
+        d = self.data
+        p = self.pos
+        while p < len(d):
+            if d[p] == 0xFF and (p + 1 >= len(d) or d[p + 1] != 0x00):
+                return p
+            p += 1
+        return len(d)
+
+    def decode(self, bins: bytearray, idx: int) -> int:
+        st = bins[idx]
+        state = st >> 1
+        mps = st & 1
+        qe, nmps, nlps, switch = _ARITH_QE[state]
+        bottom = self.a - qe
+        if self.v < bottom:
+            if bottom >= 0x8000:  # fast path: no renorm, no estimation
+                self.a = bottom
+                return mps
+            if bottom < qe:  # conditional exchange: lower half is LPS
+                d = mps ^ 1
+                if switch:
+                    mps ^= 1
+                bins[idx] = (nlps << 1) | mps
+            else:
+                d = mps
+                bins[idx] = (nmps << 1) | mps
+            self.a = bottom
+        else:
+            self.v -= bottom
+            self.a = qe
+            if bottom < qe:  # conditional exchange: upper half is MPS
+                d = mps
+                bins[idx] = (nmps << 1) | mps
+            else:
+                d = mps ^ 1
+                if switch:
+                    mps ^= 1
+                bins[idx] = (nlps << 1) | mps
+        a = self.a
+        v = self.v
+        while a < 0x8000:
+            a <<= 1
+            v = (v << 1) | self._bit()
+        self.a = a
+        self.v = v
+        return d
+
+
+def _arith_dc_diff(
+    dec: _ArithDecoder, bins: bytearray, ctx: int, cond: tuple[int, int]
+) -> tuple[int, int]:
+    """Decode one DC DIFF per F.1.4.1/F.1.4.4.1: returns (diff,
+    next conditioning offset). ``ctx`` is the conditioning offset
+    established by the PREVIOUS diff of this component (0 zero /
+    4,8 small +- / 12,16 large +-); ``cond`` the DAC (L, U)."""
+    low, up = cond
+    if dec.decode(bins, ctx) == 0:
+        return 0, 0
+    sign = dec.decode(bins, ctx + 1)
+    st = ctx + 2 + sign  # SP / SN
+    m = dec.decode(bins, st)
+    if m:
+        st = 20  # X1 (shared across conditioning classes)
+        while dec.decode(bins, st):
+            m <<= 1
+            if m == 0x8000:
+                raise JpegError("arithmetic DC magnitude overflow")
+            st += 1
+    # F.1.4.4.1.2: classify THIS diff's category for the next block
+    if m < (1 << low) >> 1:
+        nctx = 0
+    elif m > (1 << up) >> 1:
+        nctx = 12 + 4 * sign
+    else:
+        nctx = 4 + 4 * sign
+    v = m
+    st += 14  # mantissa bins parallel the magnitude bins
+    mm = m >> 1
+    while mm:
+        if dec.decode(bins, st):
+            v |= mm
+        mm >>= 1
+    v += 1
+    return (-v if sign else v), nctx
+
+
+def _arith_ac_block(
+    dec: _ArithDecoder,
+    bins: bytearray,
+    coeffs: np.ndarray,
+    kx: int,
+) -> None:
+    """Decode one block's AC coefficients per F.1.4.2/F.1.4.3:
+    per-k (EOB?, nonzero?, X1) bin trios, fixed-bin sign, and the
+    magnitude-category chains split low/high at Kx."""
+    k = 1
+    while k <= 63:
+        st = 3 * (k - 1)
+        if dec.decode(bins, st):  # EOB
+            return
+        while dec.decode(bins, st + 1) == 0:
+            st += 3
+            k += 1
+            if k > 63:
+                raise JpegError("arithmetic AC run past block end")
+        sign = dec.decode(_FIXED_BIN, 0)
+        st += 2  # X1 for this k
+        m = dec.decode(bins, st)
+        if m:
+            if dec.decode(bins, st):
+                m = 2
+                st = 189 if k <= kx else 217  # X2, low/high band
+                while dec.decode(bins, st):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise JpegError(
+                            "arithmetic AC magnitude overflow"
+                        )
+                    st += 1
+        v = m
+        st += 14
+        mm = m >> 1
+        while mm:
+            if dec.decode(bins, st):
+                v |= mm
+            mm >>= 1
+        v += 1
+        coeffs[ZIGZAG_TO_NATURAL[k]] = -v if sign else v
+        k += 1
+
+
+def _decode_arith_scan(
+    data: bytes,
+    pos: int,
+    width: int,
+    height: int,
+    comps: list["_Component"],
+    qtables: dict[int, np.ndarray],
+    dc_cond: dict[int, tuple[int, int]],
+    ac_cond: dict[int, int],
+    restart_interval: int,
+    precision: int = 8,
+) -> tuple[int, int, int, bytes]:
+    """Sequential-DCT arithmetic scan (the SOF9 twin of
+    ``_decode_scan``): same MCU walk, dequant, IDCT, and
+    reconstruction tail; only the entropy layer differs. At a restart
+    marker ALL statistics areas, conditioning contexts, and DC
+    predictions reset and the decoder re-initializes after the
+    marker (F.1.4.4.3)."""
+    if width == 0 or height == 0:
+        raise JpegError("SOS before SOF: image dimensions unknown")
+    if len(comps) == 1:
+        comps[0].h = comps[0].v = 1
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    if any(hmax % c.h or vmax % c.v for c in comps):
+        raise NotImplementedError(
+            "fractional chroma sampling ratios: integer-ratio "
+            "subsampling only (4:4:4 / 4:2:2 / 4:2:0)"
+        )
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    planes = []
+    for c in comps:
+        c.blocks_w = mcus_x * c.h
+        c.blocks_h = mcus_y * c.v
+        planes.append(
+            np.zeros((c.blocks_h * 8, c.blocks_w * 8), dtype=np.float64)
+        )
+
+    def fresh_stats():
+        dc_bins = {c.td: bytearray(DC_STAT_BINS) for c in comps}
+        ac_bins = {c.ta: bytearray(AC_STAT_BINS) for c in comps}
+        for c in comps:
+            c.pred = 0
+        return dc_bins, ac_bins, [0] * len(comps)
+
+    dec = _ArithDecoder(data, pos)
+    dc_bins, ac_bins, dc_ctx = fresh_stats()
+    coeffs = np.zeros(64, dtype=np.int32)
+    rst_n = 0
+    mcus_since_restart = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcus_since_restart == restart_interval:
+                mpos = dec.marker_scan_pos()
+                if (
+                    mpos + 1 >= len(data)
+                    or data[mpos] != 0xFF
+                    or data[mpos + 1] != 0xD0 + rst_n
+                ):
+                    raise JpegError(
+                        f"expected RST{rst_n} at offset {mpos}"
+                    )
+                dec = _ArithDecoder(data, mpos + 2)
+                dc_bins, ac_bins, dc_ctx = fresh_stats()
+                rst_n = (rst_n + 1) & 7
+                mcus_since_restart = 0
+            for ci, c in enumerate(comps):
+                cond = dc_cond.get(c.td, (0, 1))
+                kx = ac_cond.get(c.ta, 5)
+                q = qtables[c.tq]
+                for by in range(c.v):
+                    for bx in range(c.h):
+                        coeffs[:] = 0
+                        diff, dc_ctx[ci] = _arith_dc_diff(
+                            dec, dc_bins[c.td], dc_ctx[ci], cond
+                        )
+                        c.pred += diff
+                        coeffs[0] = c.pred
+                        _arith_ac_block(dec, ac_bins[c.ta], coeffs, kx)
+                        block = _C.T @ (coeffs.reshape(8, 8) * q) @ _C
+                        y0 = (my * c.v + by) * 8
+                        x0 = (mx * c.h + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcus_since_restart += 1
+
+    return _finish(planes, comps, hmax, vmax, width, height, precision)
 
 
 def _reconstruct(

@@ -1683,6 +1683,81 @@ FROM px GROUP BY doc_id
 """
 
 
+# ------------------------------------------------- arithmetic-coded jpeg
+# SOF9 (extended sequential, arithmetic) fixture: the QM-coded
+# entropy segment is a CONSTANT — arithmetic coding is history-
+# dependent bit arithmetic, so per-document variation cannot be
+# spliced into the code stream the way the byte-aligned Huffman
+# fixtures do it. Variation rides the DEQUANTIZATION instead: the
+# constant stream codes four DC-only blocks (diffs +8, +8, -16, +24
+# under default L=0/U=1 conditioning — exercising zero/small/large
+# context classes and sign), and the per-document DQT scales them.
+# DC-only blocks make the IDCT exact: every sample in block b is
+# 128 + dc_b * q0 / 8 (dc multiples of 8 keep it integral), so the
+# oracle is closed-form per block. The 5-byte code stream below is
+# regenerated and asserted byte-identical from the independent
+# Annex-D encoder in tests/test_jpeg_arith.py, which also covers
+# adaptation, conditional exchange, restarts, DAC conditioning, and
+# byte stuffing; a real-world SOF9 stream exercises the same decoder
+# (operators/jpegcodec.py::_decode_arith_scan).
+JPEG_ARITH_W = 16
+JPEG_ARITH_H = 16
+JPEG_ARITH_BLOB_HEX = "cf01344148"
+_JPEG_ARITH_QMOD = 13  # q0 = 1 + doc_id % 13
+
+_JPEG_ARITH_PRE_HEX = "ffd8" + "ffdb" + "0043" + "00"  # SOI + DQT to q[0]
+_JPEG_ARITH_POST_HEX = (
+    "08" * 63  # rest of the quant table (unused: AC all zero)
+    # SOF9: 8-bit, 16x16, 1 component, h=v=1, quant table 0
+    + "ffc9" + "000b" + "08" + f"{JPEG_ARITH_H:04x}" + f"{JPEG_ARITH_W:04x}"
+    + "01" + "011100"
+    + "ffcc" + "0006" + "00101005"  # DAC: DC L=0 U=1, AC Kx=5
+    + "ffda" + "0008" + "01" + "0100" + "003f00"  # SOS
+    + JPEG_ARITH_BLOB_HEX
+    + "ffd9"
+)
+
+
+def synth_jpeg_arith_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): complete decodable SOF9 arithmetic JPEGs,
+    one per document — constant QM code stream, document-varying
+    quantization (q0 = 1 + doc_id mod 13)."""
+    q0 = f"lpad(hex(1 + doc_id % {_JPEG_ARITH_QMOD}), 2, '0')"
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(
+            f"unhex(concat('{_JPEG_ARITH_PRE_HEX}', {q0}, "
+            f"'{_JPEG_ARITH_POST_HEX}'))"
+        ).alias("payload"),
+    )
+
+
+def jpeg_arith_oracle_sql() -> str:
+    """Closed form: block (by, bx) decodes uniformly to
+    128 + q0 * m(by, bx) with m = [[1, 2], [0, 3]] (the cumulative DC
+    levels 8, 16, 0, 24 divided by the IDCT's 8)."""
+    n = JPEG_ARITH_W * JPEG_ARITH_H
+    w = JPEG_ARITH_W
+    return f"""
+WITH px AS (
+  SELECT doc_id, g.i AS i,
+    128 + (1 + doc_id % {_JPEG_ARITH_QMOD}) *
+      (CASE WHEN (g.i // {w}) < 8 AND (g.i % {w}) < 8 THEN 1
+            WHEN (g.i // {w}) < 8 THEN 2
+            WHEN (g.i % {w}) < 8 THEN 0
+            ELSE 3 END) AS v
+  FROM documents, UNNEST(generate_series(0, {n - 1})) AS g(i)
+)
+SELECT doc_id AS asset_id,
+  CAST({w} AS BIGINT) AS width, CAST({JPEG_ARITH_H} AS BIGINT) AS height,
+  CAST(1 AS BIGINT) AS channels, CAST({n} AS BIGINT) AS n_pixels,
+  CAST(sum(v) AS BIGINT) AS pixel_sum,
+  CAST(sum(v * (i + 1) * (i + 1)) AS BIGINT) AS px_checksum,
+  CAST(sum(v) AS BIGINT) * 1000000 // {n} AS mean_ppm
+FROM px GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------- mu-law audio
 # G.711 mu-law — the telephony/voice-corpus companded format. The
 # expansion is pure integer arithmetic from the public spec, so the

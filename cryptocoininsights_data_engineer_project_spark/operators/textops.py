@@ -945,10 +945,17 @@ def pack_sequences_bpe_oracle_sql(
 ) -> str:
     """The recursive packer CTE over the bpe_encode oracle's counts —
     merge derivation, encode, and greedy packing all re-stated in one
-    engine-portable statement."""
+    engine-portable statement.
+
+    ``t`` is MATERIALIZED (Postgres-style CTE hint, DuckDB honors
+    it): without it the recursive packer join re-evaluates the whole
+    BPE encode (corpus × words × K merge replaces) once per recursion
+    depth — ~6,250 re-encodes of 50k docs at sf1, which is why the
+    round-7 sweep recorded this oracle as sf1-bound (>10 min). With
+    the counts pinned once, sf1 finishes in ~19 s measured."""
     enc = bpe_encode_oracle_sql(n_words, steps)
     return f"""
-WITH RECURSIVE t AS (
+WITH RECURSIVE t AS MATERIALIZED (
   SELECT doc_id, doc_id % {n_shards} AS shard,
          CAST(n_bpe AS INT) AS n_tokens,
          row_number() OVER (PARTITION BY doc_id % {n_shards} ORDER BY doc_id) AS rn

@@ -1576,6 +1576,32 @@ def multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_jpeg_arith",
+    multimodal.jpeg_arith_oracle_sql(),
+    doc="REAL arithmetic-coded (SOF9) JPEG decode — T.81's second "
+    "entropy coder, closing the last in-scope T.81 gate: the Annex "
+    "D/F QM-coder (113-state probability estimation, conditional "
+    "exchange, 0xFF00 stuffing) under the F.1.4 DC/AC statistical "
+    "models with DAC conditioning (operators/jpegcodec.py::"
+    "_decode_arith_scan). Arithmetic code streams are history-"
+    "dependent, so the fixture rides a constant QM segment (four "
+    "DC-only blocks through the zero/small/large conditioning "
+    "classes) with per-document DEQUANTIZATION carrying the "
+    "variation — DC-only blocks make every pixel 128 + dc*q0/8 "
+    "exactly, which the oracle restates per block with no codec. "
+    "Adaptation, color, restarts, nondefault DAC, 12-bit, and byte "
+    "stuffing are covered by independent Annex-D encoder round "
+    "trips in tests/test_jpeg_arith.py. One mapInPandas pass; "
+    "payloads never shuffle",
+)
+def multimodal_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_image_stats(
+        multimodal.synth_jpeg_arith_assets(docs)
+    )
+
+
+@_q(
     "multimodal_image_resize",
     multimodal.png_resize_oracle_sql(),
     doc="decode + nearest-neighbor RESIZE in one mapInPandas pass — "

@@ -585,11 +585,12 @@ def test_edge_blocks_cropped_not_padded():
 
 
 def test_arithmetic_and_malformed_gates():
-    # arithmetic coding (SOF9) -> NotImplementedError naming the seam
-    # (progressive SOF2 DECODES now; see the round-trip tests above)
+    # progressive-arithmetic (SOF10) -> NotImplementedError naming the
+    # seam (sequential-arithmetic SOF9 DECODES now — see
+    # tests/test_jpeg_arith.py; progressive SOF2 decodes too)
     arith = bytearray(_encode(8, 8, [(1, 1)], [8] * 64, lambda ci, b: [3] + [0] * 63))
     at = arith.index(b"\xff\xc0")
-    arith[at + 1] = 0xC9
+    arith[at + 1] = 0xCA
     with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg_pixels(bytes(arith))
     # a baseline stream relabeled SOF2 is MALFORMED progressive (its
