@@ -535,6 +535,67 @@ FROM t
 """
 
 
+WARC_MULTI_RECORDS = 16
+WARC_MULTI_BODY_N = 8
+
+
+def synth_warc_multi_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): MULTI-record archives — the real WARC
+    shape, where one crawl file carries a long run of records —
+    ``WARC_MULTI_RECORDS`` HTTP responses per archive, record i's
+    8-byte entity varying by (doc, i, position). Built JVM-side with
+    a higher-order ``aggregate`` over a record-index sequence, so the
+    whole archive assembles inside codegen with no Python and no
+    per-record rows: volume scales as docs x records without an
+    explode."""
+    head = _HTTP_HEAD.decode("latin-1")
+    clen = len(_HTTP_HEAD) + WARC_MULTI_BODY_N
+    body = ", ".join(
+        f"char(97 + (doc_id * 5 + i * 3 + {j}) % 26)"
+        for j in range(WARC_MULTI_BODY_N)
+    )
+    rec = (
+        f"concat(acc, 'WARC/1.0', {_CRLF}, "
+        f"'WARC-Type: response', {_CRLF}, "
+        "'WARC-Target-URI: http://example.com/doc/', "
+        f"cast(doc_id AS string), '/', cast(i AS string), {_CRLF}, "
+        f"'Content-Length: {clen}', {_CRLF}, {_CRLF}, "
+        f"'{head}', {body}, {_CRLF}, {_CRLF})"
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(
+            f"encode(aggregate(sequence(0, {WARC_MULTI_RECORDS - 1}), "
+            f"'', (acc, i) -> {rec}), 'UTF-8')"
+        ).alias("payload"),
+    )
+
+
+def warc_multi_oracle_sql() -> str:
+    """Closed form per (doc, record): entity byte j is
+    97 + (5d + 3i + j) mod 26; envelope lengths are constants."""
+    clen = len(_HTTP_HEAD) + WARC_MULTI_BODY_N
+    return f"""
+WITH b AS (
+  SELECT doc_id, r.i AS i,
+    sum(97 + (doc_id * 5 + r.i * 3 + j.j) % 26) AS s
+  FROM documents,
+       UNNEST(generate_series(0, {WARC_MULTI_RECORDS - 1})) AS r(i),
+       UNNEST(generate_series(0, {WARC_MULTI_BODY_N - 1})) AS j(j)
+  GROUP BY doc_id, r.i
+)
+SELECT doc_id AS asset_id, CAST(i AS BIGINT) AS record_idx,
+  'response' AS warc_type,
+  'http://example.com/doc/' || CAST(doc_id AS VARCHAR) || '/'
+    || CAST(i AS VARCHAR) AS url,
+  CAST(200 AS BIGINT) AS status,
+  CAST({clen} AS BIGINT) AS content_length,
+  CAST({WARC_MULTI_BODY_N} AS BIGINT) AS entity_len,
+  CAST(s AS BIGINT) AS entity_sum
+FROM b
+"""
+
+
 GZIP_BODY_N = 20
 GZIP_MEMBERS = 2
 

@@ -1513,6 +1513,27 @@ def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "warc_multirecord",
+    webarchive.warc_multi_oracle_sql(),
+    doc="WARC extraction at the REAL archive shape — one crawl file "
+    "carrying a long run of records (16 HTTP responses per archive "
+    "here, so record volume scales as docs x 16: 80k records at "
+    "sf0.1, 800k at sf1): archives assemble JVM-side via a "
+    "higher-order aggregate over the record-index sequence (no "
+    "Python, no per-record explode), then split/peel in the same "
+    "single mapInPandas pass as warc_extract — the plan has ZERO "
+    "exchanges, so archive payloads never shuffle at any volume "
+    "(asserted in tests/test_webarchive.py). Oracle restates the "
+    "per-(doc, record, position) entity formula",
+)
+def warc_multirecord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return webarchive.warc_response_stats(
+        webarchive.synth_warc_multi_assets(docs)
+    )
+
+
+@_q(
     "multimodal_bmp_pixels",
     multimodal.bmp_pixels_oracle_sql(),
     doc="REAL BMP decode through the RLE8 compression path "

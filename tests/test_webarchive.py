@@ -11,6 +11,7 @@ per RFC 1952 §2.3, and WARC records are hand-assembled per ISO 28500.
 from __future__ import annotations
 
 import gzip
+import re
 import struct
 import zlib
 
@@ -550,6 +551,86 @@ def test_docs_from_warc_feeds_corpus_pipeline(spark):
         "val",
         "test",
     }
+
+
+# ------------------------------------------------- volume / plan shape
+
+
+def test_multirecord_archives_match_python_decode(spark):
+    from cryptocoininsights_data_engineer_project_spark.operators.webarchive import (
+        WARC_MULTI_RECORDS,
+        synth_warc_multi_assets,
+    )
+
+    assets = synth_warc_multi_assets(_docs(spark, 8))
+    got = {
+        (r.asset_id, r.record_idx): (r.url, r.entity_len, r.entity_sum)
+        for r in warc_response_stats(assets).collect()
+    }
+    assert len(got) == 8 * WARC_MULTI_RECORDS
+    for arow in assets.collect():
+        recs = parse_warc(bytes(arow.payload))
+        assert len(recs) == WARC_MULTI_RECORDS
+        for i, rec in enumerate(recs):
+            _status, _hh, entity = split_http_response(rec["body"])
+            assert got[(arow.asset_id, i)] == (
+                f"http://example.com/doc/{arow.asset_id}/{i}",
+                len(entity),
+                sum(entity),
+            )
+
+
+def test_warc_volume_walk_stays_executor_side(spark):
+    # the real-archive shape at volume: thousands of multi-record
+    # archives through the one-pass walk — record count scales as
+    # docs x records with NO exchange anywhere in the plan, so the
+    # payload bytes provably never shuffle regardless of volume
+    import contextlib
+    import io
+
+    from cryptocoininsights_data_engineer_project_spark.operators.webarchive import (
+        WARC_MULTI_RECORDS,
+        synth_warc_multi_assets,
+    )
+
+    n = 4000
+    out = warc_response_stats(
+        synth_warc_multi_assets(_docs(spark, n))
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    agg = out.groupBy().agg(
+        F.count("*").alias("n"), F.sum("entity_len").alias("s")
+    ).collect()[0]
+    assert agg.n == n * WARC_MULTI_RECORDS
+    assert agg.s == n * WARC_MULTI_RECORDS * 8
+
+
+def test_registry_warc_plans_have_no_shuffle(spark):
+    # every webarchive registry query: one parquet scan, one
+    # mapInPandas, zero exchanges before it (payloads never shuffle)
+    import contextlib
+    import io
+
+    from cryptocoininsights_data_engineer_project_spark.queries import REGISTRY
+
+    for name in (
+        "warc_extract",
+        "warc_multirecord",
+        "html_text_extract",
+        "text_gunzip",
+    ):
+        df = REGISTRY[name].fn(spark, "/root/testdata/sf0.001")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, name
+        assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, name
 
 
 def test_gunzip_stats_on_real_deflate_archives(spark):
