@@ -15,9 +15,10 @@ first + refinement scans for both DC and AC), the encoding most
 web-crawled JPEGs actually use — plus **12-bit extended
 sequential** (SOF1, round 7): level shift 2048, clamp to 4095,
 high-byte chop to the uint8 contract — plus **arithmetic-coded
-sequential** (SOF9, round 8): the Annex D/F QM-coder with the
-F.1.4 DC/AC statistical models and DAC conditioning. Progressive/
-lossless arithmetic, hierarchical modes, and 12-bit progressive
+sequential AND progressive** (SOF9/SOF10, round 8): the Annex
+D/F QM-coder with the F.1.4 DC/AC statistical models, DAC
+conditioning, and G.2's successive-approximation decision models.
+Lossless arithmetic, hierarchical modes, and 12-bit progressive
 raise NotImplementedError and remain what a cluster swaps in a
 libjpeg-backed callable for.
 
@@ -363,11 +364,11 @@ def _parse_segments(data: bytes, raw_lossless: bool = False):
                 table = _HuffTable(counts, symbols)
                 (ac_tables if tc else dc_tables)[th] = table
                 i += 17 + nsym
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
             # SOF0/1 sequential, SOF2 progressive (Huffman);
-            # SOF9 extended sequential (arithmetic)
-            progressive = marker == 0xC2
-            arith = marker == 0xC9
+            # SOF9 extended sequential, SOF10 progressive (arithmetic)
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
             precision = seg[0]
             # SOF0 is 8-bit by definition; SOF1/SOF9 (extended
             # sequential) additionally allow 12-bit (T.81 Table B.2),
@@ -423,12 +424,13 @@ def _parse_segments(data: bytes, raw_lossless: bool = False):
                     "lossless with subsampled components: 1x1 "
                     "sampling only (the common DICOM/raw shape)"
                 )
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"SOF marker {marker:#x} (progressive/lossless "
-                "arithmetic, hierarchical): sequential + progressive "
-                "+ lossless Huffman and sequential arithmetic (SOF9) "
-                "only — register a libjpeg-backed decoder for these"
+                f"SOF marker {marker:#x} (lossless arithmetic, "
+                "hierarchical): sequential + progressive + lossless "
+                "Huffman and sequential + progressive arithmetic "
+                "(SOF9/SOF10) only — register a libjpeg-backed "
+                "decoder for these streams"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             i = 0
@@ -478,6 +480,25 @@ def _parse_segments(data: bytes, raw_lossless: bool = False):
                 else:
                     px = (samples << (8 - precision)).astype(np.uint8)
                 return width, height, len(scan_order), px.tobytes()
+            if arith and progressive:
+                pos = _decode_progressive_arith_scan(
+                    data,
+                    pos + seglen,
+                    comps,
+                    scan_order,
+                    coefs,
+                    seg[1 + 2 * ns],
+                    seg[2 + 2 * ns],
+                    seg[3 + 2 * ns] >> 4,
+                    seg[3 + 2 * ns] & 0x0F,
+                    dc_cond,
+                    ac_cond,
+                    restart_interval,
+                    width,
+                    height,
+                )
+                any_scan = True
+                continue
             if arith:
                 if ns != len(comps):
                     raise NotImplementedError(
@@ -1104,20 +1125,26 @@ def _arith_ac_block(
     bins: bytearray,
     coeffs: np.ndarray,
     kx: int,
+    ss: int = 1,
+    se: int = 63,
+    al: int = 0,
 ) -> None:
     """Decode one block's AC coefficients per F.1.4.2/F.1.4.3:
     per-k (EOB?, nonzero?, X1) bin trios, fixed-bin sign, and the
-    magnitude-category chains split low/high at Kx."""
-    k = 1
-    while k <= 63:
+    magnitude-category chains split low/high at Kx. ``ss/se/al``
+    generalize the same model to a progressive band's first scan
+    (G.2.3: identical statistics, coefficients arrive scaled by
+    2^Al); the sequential scan is the (1, 63, 0) instance."""
+    k = ss
+    while k <= se:
         st = 3 * (k - 1)
         if dec.decode(bins, st):  # EOB
             return
         while dec.decode(bins, st + 1) == 0:
             st += 3
             k += 1
-            if k > 63:
-                raise JpegError("arithmetic AC run past block end")
+            if k > se:
+                raise JpegError("arithmetic AC run past band end")
         sign = dec.decode(_FIXED_BIN, 0)
         st += 2  # X1 for this k
         m = dec.decode(bins, st)
@@ -1140,7 +1167,47 @@ def _arith_ac_block(
                 v |= mm
             mm >>= 1
         v += 1
-        coeffs[ZIGZAG_TO_NATURAL[k]] = -v if sign else v
+        coeffs[ZIGZAG_TO_NATURAL[k]] = (-v if sign else v) << al
+        k += 1
+
+
+def _arith_ac_refine_block(
+    dec: _ArithDecoder,
+    bins: bytearray,
+    coeffs: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+) -> None:
+    """G.2.4 (jdarith's Figure G.10 reading): AC successive-
+    approximation refinement — per k an EOB decision only past the
+    previous scans' last nonzero index (kex), a correction decision
+    at the trio's third bin for already-nonzero coefficients, a
+    newly-significant decision at the second bin with a fixed-bin
+    sign for zeros."""
+    kex = se
+    while kex > 0 and coeffs[ZIGZAG_TO_NATURAL[kex]] == 0:
+        kex -= 1
+    p1 = 1 << al
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex and dec.decode(bins, st):  # EOB
+            return
+        while True:
+            nat = ZIGZAG_TO_NATURAL[k]
+            cur = coeffs[nat]
+            if cur:
+                if dec.decode(bins, st + 2):
+                    coeffs[nat] = cur - p1 if cur < 0 else cur + p1
+                break
+            if dec.decode(bins, st + 1):
+                coeffs[nat] = -p1 if dec.decode(_FIXED_BIN, 0) else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise JpegError("arithmetic AC refinement past band end")
         k += 1
 
 
@@ -1231,6 +1298,127 @@ def _decode_arith_scan(
             mcus_since_restart += 1
 
     return _finish(planes, comps, hmax, vmax, width, height, precision)
+
+
+def _decode_progressive_arith_scan(
+    data: bytes,
+    pos: int,
+    comps: list["_Component"],
+    scomps: list["_Component"],
+    coefs: list[np.ndarray],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    dc_cond: dict[int, tuple[int, int]],
+    ac_cond: dict[int, int],
+    restart_interval: int,
+    width: int,
+    height: int,
+) -> int:
+    """Decode ONE progressive-arithmetic (SOF10) scan into the
+    coefficient accumulators, returning the next-marker offset —
+    the QM twin of ``_decode_progressive_scan``. T.81 G.2: DC first
+    scans reuse the sequential DC model with DIFFs scaled by 2^Al,
+    DC refinements are one fixed-bin decision per block, AC first
+    scans reuse the sequential AC model over [Ss, Se], AC
+    refinements follow ``_arith_ac_refine_block``. Statistics areas
+    initialize per scan and at every restart marker."""
+    if not coefs:
+        raise JpegError("SOS before SOF in progressive stream")
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    by_comp = {id(c): coefs[i] for i, c in enumerate(comps)}
+
+    def fresh():
+        for c in scomps:
+            c.pred = 0
+        return (
+            _ArithDecoder(data, pos_holder[0]),
+            {c.td: bytearray(DC_STAT_BINS) for c in scomps},
+            {c.ta: bytearray(AC_STAT_BINS) for c in scomps},
+            [0] * len(scomps),
+        )
+
+    pos_holder = [pos]
+    dec, dc_bins, ac_bins, dc_ctx = fresh()
+    rst_n = 0
+    since = 0
+
+    def maybe_restart():
+        nonlocal dec, dc_bins, ac_bins, dc_ctx, rst_n, since
+        if restart_interval and since == restart_interval:
+            mpos = dec.marker_scan_pos()
+            if (
+                mpos + 1 >= len(data)
+                or data[mpos] != 0xFF
+                or data[mpos + 1] != 0xD0 + rst_n
+            ):
+                raise JpegError(f"expected RST{rst_n} at offset {mpos}")
+            pos_holder[0] = mpos + 2
+            dec, dc_bins, ac_bins, dc_ctx = fresh()
+            rst_n = (rst_n + 1) & 7
+            since = 0
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise JpegError("DC scan must have Se=0")
+
+        def dc_unit(ci, c, cb):
+            if ah == 0:
+                diff, dc_ctx[ci] = _arith_dc_diff(
+                    dec, dc_bins[c.td], dc_ctx[ci], dc_cond.get(c.td, (0, 1))
+                )
+                c.pred += diff
+                cb[0] = c.pred << al
+            elif dec.decode(_FIXED_BIN, 0):
+                cb[0] |= 1 << al
+
+        if len(scomps) > 1:  # interleaved
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    maybe_restart()
+                    for ci, c in enumerate(scomps):
+                        arr = by_comp[id(c)]
+                        for by in range(c.v):
+                            for bx in range(c.h):
+                                dc_unit(
+                                    ci, c, arr[my * c.v + by, mx * c.h + bx]
+                                )
+                    since += 1
+        else:
+            c = scomps[0]
+            arr = by_comp[id(c)]
+            bw, bh = _nonint_grid(c, width, height, hmax, vmax)
+            for by in range(bh):
+                for bx in range(bw):
+                    maybe_restart()
+                    dc_unit(0, c, arr[by, bx])
+                    since += 1
+    else:  # AC scan: single component (B.2.3)
+        if len(scomps) != 1:
+            raise JpegError("progressive AC scan must be single-component")
+        if se > 63 or ss > se:
+            raise JpegError("bad spectral band")
+        c = scomps[0]
+        arr = by_comp[id(c)]
+        kx = ac_cond.get(c.ta, 5)
+        bw, bh = _nonint_grid(c, width, height, hmax, vmax)
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart()
+                if ah == 0:
+                    _arith_ac_block(
+                        dec, ac_bins[c.ta], arr[by, bx], kx, ss, se, al
+                    )
+                else:
+                    _arith_ac_refine_block(
+                        dec, ac_bins[c.ta], arr[by, bx], ss, se, al
+                    )
+                since += 1
+    return dec.marker_scan_pos()
 
 
 def _reconstruct(

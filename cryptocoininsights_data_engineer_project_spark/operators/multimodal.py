@@ -1758,6 +1758,67 @@ FROM px GROUP BY doc_id
 """
 
 
+# SOF10 (progressive, arithmetic) sibling: four constant scans — DC
+# first at Al=1, AC first over the (all-zero) 1..63 band, DC
+# refinement delivering bit 0 (DC values 5, 2, 9, 7 make the refine
+# bits 1, 0, 1, 1 — real corrections, not padding), AC refinement
+# EOBs — with per-document variation again riding the DQT: q0 = 8 *
+# (1 + doc_id mod 13) keeps pixel = 128 + dc * (1 + doc_id mod 13)
+# integral. Stream regenerated from the independent G.2 encoder in
+# tests/test_jpeg_arith.py.
+JPEG_ARITHP_DCS = (5, 2, 9, 7)
+_JPEG_ARITHP_PRE_HEX = "ffd8ffdb004300"
+_JPEG_ARITHP_POST_HEX = (
+    "08" * 63
+    + "ffca" + "000b" + "08" + "0010" + "0010" + "01" + "011100"
+    + "ffda" + "0008" + "01" + "0100" + "000001" + "c5e8"  # DC first Al=1
+    + "ffda" + "0008" + "01" + "0100" + "013f00" + "c0"  # AC first (EOBs)
+    + "ffda" + "0008" + "01" + "0100" + "000010" + "d0"  # DC refine
+    + "ffda" + "0008" + "01" + "0100" + "013f10" + "c0"  # AC refine (EOBs)
+    + "ffd9"
+)
+
+
+def synth_jpeg_arithp_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): complete decodable SOF10 progressive-
+    arithmetic JPEGs — constant four-scan QM stream, document-varying
+    quantization (q0 = 8 * (1 + doc_id mod 13))."""
+    q0 = f"lpad(hex(8 * (1 + doc_id % {_JPEG_ARITH_QMOD})), 2, '0')"
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(
+            f"unhex(concat('{_JPEG_ARITHP_PRE_HEX}', {q0}, "
+            f"'{_JPEG_ARITHP_POST_HEX}'))"
+        ).alias("payload"),
+    )
+
+
+def jpeg_arithp_oracle_sql() -> str:
+    """Closed form: block b decodes uniformly to
+    128 + dcs[b] * (1 + doc_id mod 13)."""
+    n = JPEG_ARITH_W * JPEG_ARITH_H
+    w = JPEG_ARITH_W
+    d = JPEG_ARITHP_DCS
+    return f"""
+WITH px AS (
+  SELECT doc_id, g.i AS i,
+    128 + (1 + doc_id % {_JPEG_ARITH_QMOD}) *
+      (CASE WHEN (g.i // {w}) < 8 AND (g.i % {w}) < 8 THEN {d[0]}
+            WHEN (g.i // {w}) < 8 THEN {d[1]}
+            WHEN (g.i % {w}) < 8 THEN {d[2]}
+            ELSE {d[3]} END) AS v
+  FROM documents, UNNEST(generate_series(0, {n - 1})) AS g(i)
+)
+SELECT doc_id AS asset_id,
+  CAST({w} AS BIGINT) AS width, CAST({JPEG_ARITH_H} AS BIGINT) AS height,
+  CAST(1 AS BIGINT) AS channels, CAST({n} AS BIGINT) AS n_pixels,
+  CAST(sum(v) AS BIGINT) AS pixel_sum,
+  CAST(sum(v * (i + 1) * (i + 1)) AS BIGINT) AS px_checksum,
+  CAST(sum(v) AS BIGINT) * 1000000 // {n} AS mean_ppm
+FROM px GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------- mu-law audio
 # G.711 mu-law — the telephony/voice-corpus companded format. The
 # expansion is pure integer arithmetic from the public spec, so the

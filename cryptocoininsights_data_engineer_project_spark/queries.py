@@ -1623,6 +1623,31 @@ def multimodal_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_jpeg_arith_progressive",
+    multimodal.jpeg_arithp_oracle_sql(),
+    doc="REAL progressive-arithmetic (SOF10) JPEG decode — T.81 G.2: "
+    "the QM coder driving successive-approximation scans "
+    "(operators/jpegcodec.py::_decode_progressive_arith_scan): DC "
+    "first at Al=1, AC first over the band, a DC refinement scan "
+    "whose fixed-bin correction bits are REAL (DC values 5/2/9/7 "
+    "make them 1/0/1/1), and an AC refinement with per-block EOB "
+    "decisions — four constant QM segments with per-document "
+    "dequantization carrying the variation, each scan initializing "
+    "fresh statistics areas per the spec. Spectral selection, "
+    "banded SA, interleaved color, kex refinement horizons, and "
+    "restarts covered by independent G.2 encoder round trips in "
+    "tests/test_jpeg_arith.py. One mapInPandas pass",
+)
+def multimodal_jpeg_arith_progressive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_image_stats(
+        multimodal.synth_jpeg_arithp_assets(docs)
+    )
+
+
+@_q(
     "multimodal_image_resize",
     multimodal.png_resize_oracle_sql(),
     doc="decode + nearest-neighbor RESIZE in one mapInPandas pass — "

@@ -585,12 +585,12 @@ def test_edge_blocks_cropped_not_padded():
 
 
 def test_arithmetic_and_malformed_gates():
-    # progressive-arithmetic (SOF10) -> NotImplementedError naming the
-    # seam (sequential-arithmetic SOF9 DECODES now — see
-    # tests/test_jpeg_arith.py; progressive SOF2 decodes too)
+    # lossless-arithmetic (SOF11) -> NotImplementedError naming the
+    # seam (sequential/progressive arithmetic SOF9/SOF10 DECODE now —
+    # see tests/test_jpeg_arith.py; progressive SOF2 decodes too)
     arith = bytearray(_encode(8, 8, [(1, 1)], [8] * 64, lambda ci, b: [3] + [0] * 63))
     at = arith.index(b"\xff\xc0")
-    arith[at + 1] = 0xCA
+    arith[at + 1] = 0xCB
     with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg_pixels(bytes(arith))
     # a baseline stream relabeled SOF2 is MALFORMED progressive (its

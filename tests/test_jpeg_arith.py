@@ -28,6 +28,7 @@ from cryptocoininsights_data_engineer_project_spark.operators.jpegcodec import (
     decode_jpeg_pixels,
 )
 from tests.test_jpeg import _encode as huffman_encode
+from tests.test_jpeg import _encode_progressive as huffman_encode_progressive
 
 
 # ------------------------------------------------------------- QM encoder
@@ -264,6 +265,240 @@ def encode_arith(
     return bytes(out)
 
 
+# ----------------------------------------- progressive (SOF10) encoder
+
+
+def encode_arith_progressive(
+    width: int,
+    height: int,
+    comps: list[tuple[int, int]],
+    qtable: list[int],
+    block_coeffs,
+    scans: list[tuple[list[int], int, int, int, int]],
+    restart_interval: int = 0,
+) -> bytes:
+    """SOF10 twin of tests/test_jpeg.py::_encode_progressive — same
+    scan-script shape, QM entropy layer per T.81 G.2. The encoder
+    tracks the DECODER-visible coefficient state per block so
+    refinement decisions (correction bits, newly-significant, EOB
+    horizon kex) mirror what the decoder will see; scans must form a
+    proper successive-approximation cascade (Ah of a refinement ==
+    Al of the prior scan for that band)."""
+    hmax = max(h for h, _ in comps)
+    vmax = max(v for _, v in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+
+    grids = []
+    state = []  # decoder-visible accumulated coefficients
+    for ci, (h, v) in enumerate(comps):
+        bw, bh = mcus_x * h, mcus_y * v
+        grids.append(
+            [
+                [list(block_coeffs(ci, by * bw + bx)) for bx in range(bw)]
+                for by in range(bh)
+            ]
+        )
+        state.append([[[0] * 64 for _ in range(bw)] for _ in range(bh)])
+
+    def nonint_grid(ci):
+        h, v = comps[ci]
+        cw = -(-width * h // hmax)
+        ch = -(-height * v // vmax)
+        return -(-cw // 8), -(-ch // 8)
+
+    out = bytearray(b"\xff\xd8")
+    zz_q = bytes(qtable[ZIGZAG_TO_NATURAL[z]] for z in range(64))
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
+    sof = bytes([8]) + struct.pack(">HH", height, width)
+    sof += bytes([len(comps)])
+    for ci, (h, v) in enumerate(comps):
+        sof += bytes([ci + 1, (h << 4) | v, 0])
+    out += b"\xff\xca" + struct.pack(">H", 2 + len(sof)) + sof  # SOF10
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    def sar(v, n):  # arithmetic shift of a signed value (G.1.2.1)
+        return v >> n
+
+    for comp_idxs, ss, se, ah, al in scans:
+        sos = bytes([len(comp_idxs)])
+        for ci in comp_idxs:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+        def fresh():
+            return (
+                ArithEncoder(),
+                bytearray(DC_STAT_BINS),
+                bytearray(AC_STAT_BINS),
+                {ci: 0 for ci in comp_idxs},
+                {ci: 0 for ci in comp_idxs},
+            )
+
+        enc, dc_bins, ac_bins, pred, ctxs = fresh()
+        rst = 0
+        since = 0
+
+        def maybe_restart():
+            nonlocal enc, dc_bins, ac_bins, pred, ctxs, rst, since
+            if restart_interval and since == restart_interval:
+                out.extend(enc.flush())
+                out.extend(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) & 7
+                enc, dc_bins, ac_bins, pred, ctxs = fresh()
+                since = 0
+
+        def dc_unit(ci, by, bx):
+            coeffs = grids[ci][by][bx]
+            st = state[ci][by][bx]
+            if ah == 0:
+                val = sar(coeffs[0], al)
+                diff = val - pred[ci]
+                pred[ci] = val
+                ctxs[ci] = _encode_dc(enc, dc_bins, ctxs[ci], (0, 1), diff)
+                st[0] = val << al
+            else:
+                bit = sar(coeffs[0], al) & 1
+                enc.encode(_FIXED, 0, bit)
+                if bit:
+                    st[0] |= 1 << al
+
+        def ac_first_unit(ci, by, bx):
+            coeffs = grids[ci][by][bx]
+            st_blk = state[ci][by][bx]
+            zz = [coeffs[ZIGZAG_TO_NATURAL[z]] for z in range(64)]
+
+            def tval(k):
+                v = zz[k]
+                t = (-v if v < 0 else v) >> al
+                return -t if v < 0 else t
+
+            last = max(
+                (k for k in range(ss, se + 1) if tval(k)), default=ss - 1
+            )
+            k = ss
+            while k <= last:
+                st = 3 * (k - 1)
+                enc.encode(ac_bins, st, 0)  # not EOB
+                while tval(k) == 0:
+                    enc.encode(ac_bins, st + 1, 0)
+                    st += 3
+                    k += 1
+                enc.encode(ac_bins, st + 1, 1)
+                v = tval(k)
+                sign = 1 if v < 0 else 0
+                enc.encode(_FIXED, 0, sign)
+                v1 = (-v if sign else v) - 1
+                st += 2
+                if v1 == 0:
+                    enc.encode(ac_bins, st, 0)
+                    m = 0
+                else:
+                    enc.encode(ac_bins, st, 1)
+                    m = 1 << (v1.bit_length() - 1)
+                    if m == 1:
+                        enc.encode(ac_bins, st, 0)
+                    else:
+                        enc.encode(ac_bins, st, 1)
+                        st = 189 if k <= 5 else 217
+                        mm = 2
+                        while mm < m:
+                            enc.encode(ac_bins, st, 1)
+                            mm <<= 1
+                            st += 1
+                        enc.encode(ac_bins, st, 0)
+                st += 14
+                mm = m >> 1
+                while mm:
+                    enc.encode(ac_bins, st, 1 if v1 & mm else 0)
+                    mm >>= 1
+                st_blk[ZIGZAG_TO_NATURAL[k]] = v << al
+                k += 1
+            if last < se:
+                enc.encode(ac_bins, 3 * (last + 1 - 1), 1)  # EOB
+
+        def ac_refine_unit(ci, by, bx):
+            coeffs = grids[ci][by][bx]
+            st_blk = state[ci][by][bx]
+            p1 = 1 << al
+
+            def tmag(k):
+                v = coeffs[ZIGZAG_TO_NATURAL[k]]
+                return (-v if v < 0 else v) >> al
+
+            kex = se
+            while kex > 0 and st_blk[ZIGZAG_TO_NATURAL[kex]] == 0:
+                kex -= 1
+            k = ss
+            while k <= se:
+                st = 3 * (k - 1)
+                if k > kex:
+                    if not any(
+                        st_blk[ZIGZAG_TO_NATURAL[j]] or tmag(j)
+                        for j in range(k, se + 1)
+                    ):
+                        enc.encode(ac_bins, st, 1)  # EOB
+                        return
+                    enc.encode(ac_bins, st, 0)
+                while True:
+                    nat = ZIGZAG_TO_NATURAL[k]
+                    cur = st_blk[nat]
+                    if cur:
+                        bit = tmag(k) & 1
+                        enc.encode(ac_bins, st + 2, bit)
+                        if bit:
+                            st_blk[nat] = cur - p1 if cur < 0 else cur + p1
+                        break
+                    if tmag(k):
+                        enc.encode(ac_bins, st + 1, 1)
+                        sign = 1 if coeffs[nat] < 0 else 0
+                        enc.encode(_FIXED, 0, sign)
+                        st_blk[nat] = -p1 if sign else p1
+                        break
+                    enc.encode(ac_bins, st + 1, 0)
+                    st += 3
+                    k += 1
+                k += 1
+
+        if ss == 0:
+            if len(comp_idxs) > 1:  # interleaved DC
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        maybe_restart()
+                        for ci in comp_idxs:
+                            h, v = comps[ci]
+                            for by in range(v):
+                                for bx in range(h):
+                                    dc_unit(
+                                        ci, my * v + by, mx * h + bx
+                                    )
+                        since += 1
+            else:
+                ci = comp_idxs[0]
+                bw, bh = nonint_grid(ci)
+                for by in range(bh):
+                    for bx in range(bw):
+                        maybe_restart()
+                        dc_unit(ci, by, bx)
+                        since += 1
+        else:
+            ci = comp_idxs[0]
+            bw, bh = nonint_grid(ci)
+            for by in range(bh):
+                for bx in range(bw):
+                    maybe_restart()
+                    if ah == 0:
+                        ac_first_unit(ci, by, bx)
+                    else:
+                        ac_refine_unit(ci, by, bx)
+                    since += 1
+        out.extend(enc.flush())
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # -------------------------------------------------------- raw coder tests
 
 
@@ -478,6 +713,96 @@ def test_large_magnitudes_exercise_deep_chains():
     assert a == b
 
 
+# ------------------------------------------- progressive round-trips
+
+
+def _cached(gen):
+    cache = {}
+
+    def coeffs(ci, b):
+        if (ci, b) not in cache:
+            cache[(ci, b)] = gen(ci, b)
+        return cache[(ci, b)]
+
+    return coeffs
+
+
+def _twin(width, height, hv, q, coeffs, scans, **kw):
+    a = _pixels(encode_arith_progressive(width, height, hv, q, coeffs, scans, **kw))
+    b = _pixels(
+        huffman_encode_progressive(width, height, hv, q, coeffs, scans, **kw)
+    )
+    assert a == b
+    return a
+
+
+def test_progressive_arith_spectral_selection():
+    coeffs = _cached(_rand_coeffs(21))
+    scans = [([0], 0, 0, 0, 0), ([0], 1, 5, 0, 0), ([0], 6, 63, 0, 0)]
+    _twin(24, 16, [(1, 1)], [8] * 64, coeffs, scans)
+
+
+def test_progressive_arith_successive_approximation():
+    coeffs = _cached(_rand_coeffs(22))
+    scans = [
+        ([0], 0, 0, 0, 1),
+        ([0], 1, 63, 0, 1),
+        ([0], 0, 0, 1, 0),
+        ([0], 1, 63, 1, 0),
+    ]
+    _twin(16, 16, [(1, 1)], [8] * 64, coeffs, scans)
+
+
+def test_progressive_arith_banded_sa_color_420():
+    coeffs = _cached(_rand_coeffs(23, spread=25))
+    scans = [
+        ([0, 1, 2], 0, 0, 0, 1),  # interleaved DC first
+        ([0], 1, 5, 0, 2),
+        ([0], 6, 63, 0, 1),
+        ([1], 1, 63, 0, 1),
+        ([2], 1, 63, 0, 1),
+        ([0, 1, 2], 0, 0, 1, 0),  # DC refine
+        ([0], 1, 5, 2, 1),
+        ([0], 1, 5, 1, 0),
+        ([0], 6, 63, 1, 0),
+        ([1], 1, 63, 1, 0),
+        ([2], 1, 63, 1, 0),
+    ]
+    got = _twin(32, 16, [(2, 2), (1, 1), (1, 1)], [4] * 64, coeffs, scans)
+    assert got[2] == 3
+
+
+def test_progressive_arith_restart_markers():
+    coeffs = _cached(_rand_coeffs(24))
+    scans = [
+        ([0], 0, 0, 0, 1),
+        ([0], 1, 63, 0, 0),
+        ([0], 0, 0, 1, 0),
+    ]
+    blob = encode_arith_progressive(
+        48, 16, [(1, 1)], [8] * 64, coeffs, scans, restart_interval=2
+    )
+    assert b"\xff\xd0" in blob
+    a = _pixels(blob)
+    b = _pixels(
+        huffman_encode_progressive(
+            48, 16, [(1, 1)], [8] * 64, coeffs, scans, restart_interval=2
+        )
+    )
+    assert a == b
+
+
+def test_progressive_arith_matches_sequential_arith():
+    # full-band single-scan progressive == sequential on same coeffs
+    coeffs = _cached(_rand_coeffs(25))
+    scans = [([0], 0, 0, 0, 0), ([0], 1, 63, 0, 0)]
+    a = _pixels(
+        encode_arith_progressive(16, 8, [(1, 1)], [8] * 64, coeffs, scans)
+    )
+    b = _pixels(encode_arith(16, 8, [(1, 1)], [8] * 64, coeffs))
+    assert a == b
+
+
 def test_registry_fixture_blob_matches_independent_encoder():
     # the constant QM segment embedded in operators/multimodal.py must
     # be exactly what the independent Annex-D encoder produces for the
@@ -515,17 +840,65 @@ def test_registry_fixture_decodes_to_block_formula():
             assert (blk == 128 + q0 * m).all()
 
 
+def test_progressive_registry_fixture_matches_independent_encoder():
+    from cryptocoininsights_data_engineer_project_spark.operators import (
+        multimodal,
+    )
+
+    dcs = multimodal.JPEG_ARITHP_DCS
+
+    def coeffs(ci, b):
+        return [dcs[b]] + [0] * 63
+
+    scans = [
+        ([0], 0, 0, 0, 1),
+        ([0], 1, 63, 0, 0),
+        ([0], 0, 0, 1, 0),
+        ([0], 1, 63, 1, 0),
+    ]
+    blob = encode_arith_progressive(16, 16, [(1, 1)], [8] * 64, coeffs, scans)
+    pre = bytes.fromhex(multimodal._JPEG_ARITHP_PRE_HEX)
+    post = bytes.fromhex(multimodal._JPEG_ARITHP_POST_HEX)
+    assert blob == pre + bytes([8]) + post
+
+
+def test_progressive_registry_fixture_decodes_to_block_formula():
+    import numpy as np
+
+    from cryptocoininsights_data_engineer_project_spark.operators import (
+        multimodal,
+    )
+
+    pre = bytes.fromhex(multimodal._JPEG_ARITHP_PRE_HEX)
+    post = bytes.fromhex(multimodal._JPEG_ARITHP_POST_HEX)
+    dcs = multimodal.JPEG_ARITHP_DCS
+    for doc_id in (0, 5, 18):
+        scale = 1 + doc_id % 13
+        w, h, ch, px = decode_jpeg_pixels(pre + bytes([8 * scale]) + post)
+        assert (w, h, ch) == (16, 16, 1)
+        a = np.frombuffer(bytes(px), dtype=np.uint8).reshape(16, 16)
+        for b, (by, bx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            blk = a[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            assert (blk == 128 + dcs[b] * scale).all()
+
+
 def test_gates_still_loud():
-    # progressive arithmetic (SOF10) and hierarchical stay gated
+    # lossless arithmetic (SOF11) and hierarchical stay gated
     blob = bytearray(
         encode_arith(8, 8, [(1, 1)], [8] * 64, lambda ci, b: [3] + [0] * 63)
     )
     at = blob.index(b"\xff\xc9")
-    blob[at + 1] = 0xCA
+    blob[at + 1] = 0xCB
     with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg_pixels(bytes(blob))
     blob[at + 1] = 0xCD
     with pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(bytes(blob))
+    # a sequential-arith stream relabeled progressive-arith is
+    # MALFORMED (its interleaved full-band scan violates G.2) —
+    # loud JpegError, not a silent misdecode
+    blob[at + 1] = 0xCA
+    with pytest.raises(JpegError):
         decode_jpeg_pixels(bytes(blob))
 
 
