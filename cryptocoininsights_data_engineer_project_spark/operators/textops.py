@@ -974,3 +974,68 @@ WITH RECURSIVE t AS MATERIALIZED (
 )
 SELECT doc_id, shard, pack_id, n_tokens FROM r
 """
+
+
+# ------------------------------------------------------ URL normalization
+# The crawl-pipeline verb between WARC ingestion and URL-level dedup:
+# two crawls of the same page differ by scheme/host case, an explicit
+# default port, query-parameter order, and a fragment — none of which
+# change the resource. Canonicalization rules (RFC 3986 §6.2.2-6.2.3
+# syntax-based + the standard crawler extensions):
+#   scheme and host lowercased; default port stripped (http:80,
+#   https:443; others kept); fragment dropped; query parameters
+#   sorted bytewise (ampersand-split); path and query VALUES kept
+#   case-intact (they are case-sensitive per the RFC).
+# Pure JVM string expressions — runs at scan speed, zero shuffles —
+# with the DuckDB oracle restating the identical rules.
+
+
+def _url_parts(col: str) -> tuple[str, str, str, str]:
+    """Engine-shared regex pulls: (scheme, authority, path, query) —
+    regexp_extract has identical semantics in Spark and DuckDB for
+    these patterns."""
+    return (
+        f"lower(regexp_extract({col}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))",
+        f"regexp_extract({col}, '^[^:]+://([^/?#]*)', 1)",
+        f"regexp_extract({col}, '^[^:]+://[^/?#]*([^?#]*)', 1)",
+        f"regexp_extract({col}, '[?]([^#]*)', 1)",
+    )
+
+
+def _url_norm_expr(col: str, host: str, port: str, qsorted: str) -> str:
+    """Shared normalization skeleton; callers supply the engine
+    spelling of host, port-after-colon, and sorted-query."""
+    scheme, auth, path, q = _url_parts(col)
+    norm_port = (
+        f"CASE WHEN {port} = '' THEN '' "
+        f"WHEN {scheme} = 'http' AND {port} = '80' THEN '' "
+        f"WHEN {scheme} = 'https' AND {port} = '443' THEN '' "
+        f"ELSE concat(':', {port}) END"
+    )
+    norm_q = f"CASE WHEN {q} = '' THEN '' ELSE concat('?', {qsorted}) END"
+    return f"concat({scheme}, '://', {host}, {norm_port}, {path}, {norm_q})"
+
+
+def url_normalize(urls: DataFrame, col: str = "url") -> DataFrame:
+    """(..., url_norm, host): append the canonical URL and its
+    lowercased host. One narrow projection — no Python, no shuffle."""
+    _scheme, auth, _path, q = _url_parts(col)
+    host = f"lower(substring_index({auth}, ':', 1))"
+    port = (
+        f"CASE WHEN instr({auth}, ':') > 0 "
+        f"THEN substring_index({auth}, ':', -1) ELSE '' END"
+    )
+    qsorted = f"array_join(array_sort(split({q}, '&')), '&')"
+    return urls.withColumn(
+        "url_norm", F.expr(_url_norm_expr(col, host, port, qsorted))
+    ).withColumn("host", F.expr(host))
+
+
+def url_norm_oracle_exprs(col: str) -> tuple[str, str]:
+    """(url_norm, host) as DuckDB SQL — the same rules, DuckDB
+    spellings (split_part / list_sort / array_to_string)."""
+    _scheme, auth, _path, q = _url_parts(col)
+    host = f"lower(split_part({auth}, ':', 1))"
+    port = f"split_part({auth}, ':', 2)"
+    qsorted = f"array_to_string(list_sort(string_split({q}, '&')), '&')"
+    return _url_norm_expr(col, host, port, qsorted), host

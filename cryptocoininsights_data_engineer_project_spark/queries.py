@@ -1288,6 +1288,53 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.token_count(_t(spark, sf_dir, "documents"))
 
 
+# messy-URL fixture shared by the url_normalize query and its oracle:
+# mixed-case scheme/host, an explicit default port on every third doc
+# (an :8080 to KEEP on the next third), unsorted query params, and a
+# fragment — each hazard varying by doc_id so no single rule can be
+# skipped without a hash mismatch.
+_URL_FIXTURE_SQL = (
+    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || "
+    "'://WWW.ExAmple' || CAST(doc_id % 7 AS VARCHAR) || '.CoM' || "
+    "(CASE WHEN doc_id % 3 = 0 THEN "
+    "   (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) "
+    " WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END) || "
+    "'/Path/' || CAST(doc_id AS VARCHAR) || "
+    "'?z=26&a=' || CAST(doc_id % 5 AS VARCHAR) || '&m=13' || "
+    "'#Frag' || CAST(doc_id AS VARCHAR)"
+)
+
+
+def _url_norm_oracle() -> str:
+    norm, host = textops.url_norm_oracle_exprs("url")
+    return f"""
+WITH u AS (SELECT doc_id, {_URL_FIXTURE_SQL} AS url FROM documents)
+SELECT doc_id, {norm} AS url_norm, {host} AS host FROM u
+"""
+
+
+@_q(
+    "url_normalize",
+    _url_norm_oracle(),
+    doc="URL canonicalization — the crawl-pipeline verb between WARC "
+    "ingestion and URL-level dedup (RFC 3986 syntax-based "
+    "normalization + crawler extensions: lowercase scheme/host, "
+    "strip default ports http:80/https:443 but KEEP :8080, drop "
+    "fragments, sort query parameters, leave path/value case "
+    "intact): pure JVM string expressions over a messy-URL fixture "
+    "whose hazards vary per doc (operators/textops.py::"
+    "url_normalize). Zero shuffles, scan-speed; BOTH engines "
+    "normalize the same messy URLs independently — the oracle "
+    "applies the DuckDB spelling of the same rules, not a "
+    "pre-normalized answer",
+)
+def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    urls = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_URL_FIXTURE_SQL.replace('AS VARCHAR', 'AS string')} AS url"
+    )
+    return textops.url_normalize(urls).select("doc_id", "url_norm", "host")
+
+
 @_q(
     "multimodal_meta",
     multimodal.multimodal_meta_oracle_sql(),

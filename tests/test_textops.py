@@ -224,3 +224,28 @@ def test_bpe_replace_semantics_agree_with_duckdb():
         "SELECT replace(?, ' a  a ', ' aa ')", [s]
     ).fetchone()[0]
     assert got == want
+
+
+def test_url_normalize_rules(spark):
+    from cryptocoininsights_data_engineer_project_spark.operators.textops import (
+        url_normalize,
+    )
+
+    cases = [
+        # (input, expected canonical)
+        ("HTTP://WWW.EXAMPLE.COM:80/Path?b=2&a=1#x", "http://www.example.com/Path?a=1&b=2"),
+        ("https://Example.com:443/", "https://example.com/"),
+        ("https://example.com:8443/a", "https://example.com:8443/a"),
+        ("http://example.com:8080/a?z=1", "http://example.com:8080/a?z=1"),
+        ("http://EXAMPLE.com", "http://example.com"),
+        ("FTP://Host.Net:21/file", "ftp://host.net:21/file"),  # non-http port kept
+        ("http://h.io/p/q?c=3&b=2&a=1#frag", "http://h.io/p/q?a=1&b=2&c=3"),
+        ("http://h.io/CaseSensitive/Path", "http://h.io/CaseSensitive/Path"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], ["doc_id", "url"]
+    )
+    got = {r.doc_id: (r.url_norm, r.host) for r in url_normalize(df).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i][0] == want, (u, got[i][0], want)
+    assert got[0][1] == "www.example.com"
