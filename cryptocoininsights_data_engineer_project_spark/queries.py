@@ -31,6 +31,7 @@ from .operators import (
     asof,
     dedup,
     fuzzy,
+    graph,
     layout,
     merge,
     multimodal,
@@ -1333,6 +1334,46 @@ def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", f"{_URL_FIXTURE_SQL.replace('AS VARCHAR', 'AS string')} AS url"
     )
     return textops.url_normalize(urls).select("doc_id", "url_norm", "host")
+
+
+_PR_HOSTS = 24
+_PR_EDGES_SQL = (
+    f"SELECT doc_id % {_PR_HOSTS} AS src, "
+    f"(doc_id * 7 + 3) % {_PR_HOSTS} AS dst FROM documents "
+    "UNION ALL "
+    f"SELECT doc_id % {_PR_HOSTS} AS src, "
+    f"(doc_id * 11 + 5) % {_PR_HOSTS} AS dst FROM documents"
+)
+
+
+@_q(
+    "pagerank_hosts",
+    graph.pagerank_oracle_sql(_PR_EDGES_SQL, _PR_HOSTS, 4),
+    doc="PageRank host authority — the canonical crawl-prioritization "
+    "/ corpus-quality-weighting graph signal (Page et al. 1999): 4 "
+    "damped iterations over the host link graph derived from the "
+    "documents table, computed in INTEGER ppb (truncating-division "
+    "contributions — float PageRank sums in data-dependent order "
+    "and would differ cross-engine in the last ulps; house rule). "
+    "Physical shape (operators/graph.py::pagerank): edges "
+    "materialize once, each round is one rank⋈edges equi-join (the "
+    "rank side is |hosts|-sized — AQE broadcasts it) + one groupBy "
+    "dst, ranks localCheckpoint per round so lineage stays flat. "
+    "Oracle is the unrolled 4-round CTE chain with identical "
+    "integer arithmetic",
+)
+def pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.selectExpr(
+        f"doc_id % {_PR_HOSTS} AS src",
+        f"(doc_id * 7 + 3) % {_PR_HOSTS} AS dst",
+    ).unionAll(
+        docs.selectExpr(
+            f"doc_id % {_PR_HOSTS} AS src",
+            f"(doc_id * 11 + 5) % {_PR_HOSTS} AS dst",
+        )
+    )
+    return graph.pagerank(edges, _PR_HOSTS, 4)
 
 
 @_q(

@@ -1,0 +1,69 @@
+"""Integer-ppb PageRank: hand-checkable graphs + mass accounting."""
+
+from __future__ import annotations
+
+from cryptocoininsights_data_engineer_project_spark.operators.graph import (
+    PPB,
+    pagerank,
+)
+
+
+def _ranks(spark, edges, n, iters=4):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {
+        r.node: r.rank_ppb
+        for r in pagerank(df, n, iterations=iters).collect()
+    }
+
+
+def test_cycle_stays_uniform(spark):
+    # a 4-cycle is vertex-transitive: every iteration maps the uniform
+    # vector to itself (up to the shared truncation), so all nodes tie
+    got = _ranks(spark, [(0, 1), (1, 2), (2, 3), (3, 0)], 4)
+    assert len(set(got.values())) == 1
+    assert abs(got[0] - PPB // 4) <= 4  # truncation drift only
+
+
+def test_star_core_outranks_leaves(spark):
+    # 1,2,3 all point at 0; 0 points back at 1 only. The 0<->1 pair
+    # forms a 2-cycle whose mass oscillates between them per
+    # iteration, but both always dwarf the teleport-only leaves.
+    got = _ranks(spark, [(1, 0), (2, 0), (3, 0), (0, 1)], 4)
+    assert got[2] == got[3]  # symmetric leaves tie exactly
+    assert min(got[0], got[1]) > 5 * got[2]
+
+
+def test_mass_conserved_within_truncation(spark):
+    # each node drops < outdeg ppb per iteration to truncation, plus
+    # the teleport rounding: total stays within a tight bound of PPB
+    edges = [(i, (i * 3 + 1) % 7) for i in range(7)] + [
+        (i, (i + 2) % 7) for i in range(7)
+    ]
+    got = _ranks(spark, edges, 7, iters=6)
+    total = sum(got.values())
+    assert PPB - 600 <= total <= PPB
+
+
+def test_duplicate_edges_collapse(spark):
+    # the edge list dedupes: repeating an edge must not double its flow
+    a = _ranks(spark, [(0, 1), (1, 0)], 2)
+    b = _ranks(spark, [(0, 1), (0, 1), (1, 0), (1, 0)], 2)
+    assert a == b
+
+
+def test_matches_python_reference(spark):
+    # independent driver-side reference of the same integer recurrence
+    edges = sorted({(i % 5, (i * 7 + 3) % 5) for i in range(40)})
+    n, iters = 5, 4
+    outdeg: dict[int, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    ranks = {v: PPB // n for v in range(n)}
+    teleport = (PPB - 85 * PPB // 100) // n
+    for _ in range(iters):
+        inflow = {v: 0 for v in range(n)}
+        for s, d in edges:
+            inflow[d] += ranks[s] // outdeg[s]
+        ranks = {v: teleport + 85 * inflow[v] // 100 for v in range(n)}
+    got = _ranks(spark, edges, n, iters)
+    assert got == ranks
