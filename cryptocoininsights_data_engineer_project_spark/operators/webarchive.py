@@ -535,6 +535,139 @@ FROM t
 """
 
 
+# ------------------------------------------------------- link extraction
+
+
+class _LinkExtractor(HTMLParser):
+    """Collect <a href> values in document order (the crawl-frontier /
+    link-graph primitive). Anchors without href (named anchors) are
+    skipped; nothing else in the page is touched."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[str] = []
+
+    def handle_starttag(self, tag, attrs):  # noqa: D102
+        if tag == "a":
+            for name, value in attrs:
+                if name == "href" and value is not None:
+                    self.links.append(value)
+                    break
+
+
+def html_links(html: str) -> list[str]:
+    """HTML → ordered list of <a href> targets (stdlib html.parser).
+    Tested in tests/test_webarchive.py."""
+    p = _LinkExtractor()
+    p.feed(html)
+    p.close()
+    return p.links
+
+
+_LINK_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("base_url", T.StringType(), True),
+        T.StructField("link_idx", T.LongType(), False),
+        T.StructField("href", T.StringType(), False),
+    ]
+)
+
+
+def warc_html_links(assets: DataFrame) -> DataFrame:
+    """WARC archives → one row per outgoing link of each HTML
+    response record: (asset_id, base_url = WARC-Target-URI,
+    link_idx, href) — parse, envelope peel, and anchor walk fused in
+    the same single mapInPandas pass as the text extractor; the
+    link-graph edge list leaves the scan, the archive bytes never
+    do."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _LINK_SCHEMA}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for rec in parse_warc(bytes(payload)):
+                    if rec["headers"].get("warc-type") != "response":
+                        continue
+                    _status, hh, entity = split_http_response(rec["body"])
+                    if "html" not in hh.get("content-type", ""):
+                        continue
+                    base = rec["headers"].get("warc-target-uri")
+                    for i, href in enumerate(
+                        html_links(entity.decode("utf-8", errors="replace"))
+                    ):
+                        rows["asset_id"].append(int(aid))
+                        rows["base_url"].append(base)
+                        rows["link_idx"].append(i)
+                        rows["href"].append(href)
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _extract, schema=_LINK_SCHEMA
+    )
+
+
+LINK_HOSTS = 9
+
+
+def synth_warc_linked_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): WARC response archives whose HTML pages
+    carry a deterministic link structure over ``LINK_HOSTS`` hosts —
+    page at host d%9 links to hosts (3d+1)%9 and (5d+2)%9 (plus a
+    relative link and a no-href anchor that extraction must skip)."""
+    html = (
+        "concat('<html><body><h1>Page ', cast(doc_id AS string), "
+        "'</h1><a name=\"top\">anchor</a>"
+        "<p><a href=\"http://h', "
+        f"cast((doc_id * 3 + 1) % {LINK_HOSTS} AS string), "
+        "'.net/x\">one</a></p>"
+        "<p><a href=\"http://h', "
+        f"cast((doc_id * 5 + 2) % {LINK_HOSTS} AS string), "
+        "'.net/y\">two</a></p>"
+        "<a href=\"/relative/path\">rel</a>"
+        "</body></html>')"
+    )
+    http = docs.select(
+        "doc_id",
+        F.expr(
+            f"concat('HTTP/1.1 200 OK', {_CRLF}, "
+            f"'Content-Type: text/html', {_CRLF}, {_CRLF}, {html})"
+        ).alias("hp"),
+    )
+    return http.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(
+            "encode(concat("
+            f"'WARC/1.0', {_CRLF}, 'WARC-Type: response', {_CRLF}, "
+            f"'WARC-Target-URI: http://h', cast(doc_id % {LINK_HOSTS} "
+            f"AS string), '.net/doc/', cast(doc_id AS string), {_CRLF}, "
+            "'Content-Length: ', cast(length(hp) AS string), "
+            f"{_CRLF}, {_CRLF}, hp, {_CRLF}, {_CRLF}"
+            "), 'UTF-8')"
+        ).alias("payload"),
+    )
+
+
+def html_links_oracle_sql() -> str:
+    """Closed form: three links per page in document order — two
+    absolute (the formula hosts) and the relative one; the no-href
+    anchor contributes nothing."""
+    h = LINK_HOSTS
+    return f"""
+SELECT doc_id AS asset_id,
+  'http://h' || CAST(doc_id % {h} AS VARCHAR) || '.net/doc/'
+    || CAST(doc_id AS VARCHAR) AS base_url,
+  CAST(l.i AS BIGINT) AS link_idx,
+  CASE l.i
+    WHEN 0 THEN 'http://h' || CAST((doc_id * 3 + 1) % {h} AS VARCHAR)
+      || '.net/x'
+    WHEN 1 THEN 'http://h' || CAST((doc_id * 5 + 2) % {h} AS VARCHAR)
+      || '.net/y'
+    ELSE '/relative/path' END AS href
+FROM documents, UNNEST(generate_series(0, 2)) AS l(i)
+"""
+
+
 WARC_MULTI_RECORDS = 16
 WARC_MULTI_BODY_N = 8
 

@@ -1377,6 +1377,82 @@ def pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "html_link_extract",
+    webarchive.html_links_oracle_sql(),
+    doc="Outgoing-link extraction from WARC HTML responses — the "
+    "crawl-frontier / link-graph primitive: <a href> targets in "
+    "document order (named anchors without href skipped, relative "
+    "links kept as found) via stdlib html.parser, fused into the "
+    "same single mapInPandas pass as the text extractor "
+    "(operators/webarchive.py::warc_html_links) — the edge list "
+    "leaves the scan, the archive bytes never do. Oracle restates "
+    "the fixture's per-page link formula",
+)
+def html_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return webarchive.warc_html_links(
+        webarchive.synth_warc_linked_assets(docs)
+    )
+
+
+def _link_pr_oracle() -> str:
+    h = webarchive.LINK_HOSTS
+    edges_sql = (
+        f"SELECT doc_id % {h} AS src, (doc_id * 3 + 1) % {h} AS dst "
+        "FROM documents "
+        f"UNION ALL SELECT doc_id % {h}, (doc_id * 5 + 2) % {h} "
+        "FROM documents"
+    )
+    return graph.pagerank_oracle_sql(edges_sql, h, 4)
+
+
+@_q(
+    "warc_link_pagerank",
+    _link_pr_oracle(),
+    doc="The composed crawl-graph pipeline: WARC archives → HTML "
+    "link extraction → absolute-link host edges → integer-ppb "
+    "PageRank — raw crawl bytes in, host authority out, each stage "
+    "the already-oracle-checked operator (warc_html_links, the "
+    "url host pull, graph.pagerank). Host→node-id mapping is a "
+    "row_number over the DISTINCT host table (bounded here; at "
+    "crawl scale that table is big and the id assignment goes "
+    "through the distributed prefix scan instead — documented "
+    "seam). The oracle re-derives the same edges closed-form and "
+    "runs the same unrolled integer recurrence",
+)
+def warc_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    links = webarchive.warc_html_links(
+        webarchive.synth_warc_linked_assets(docs)
+    )
+    auth = "regexp_extract({c}, '^[^:]+://([^/?#]*)', 1)"
+    edges_h = links.filter(F.col("href").startswith("http://")).selectExpr(
+        f"lower(substring_index({auth.format(c='base_url')}, ':', 1))"
+        " AS src_host",
+        f"lower(substring_index({auth.format(c='href')}, ':', 1))"
+        " AS dst_host",
+    )
+    hosts = (
+        edges_h.selectExpr("src_host AS host")
+        .unionByName(edges_h.selectExpr("dst_host AS host"))
+        .distinct()
+    )
+    ids = hosts.withColumn(
+        "node", F.row_number().over(Window.orderBy("host")) - 1
+    )
+    edges = (
+        edges_h.join(ids.withColumnRenamed("host", "src_host"), "src_host")
+        .withColumnRenamed("node", "src")
+        .join(ids.withColumnRenamed("host", "dst_host"), "dst_host")
+        .withColumnRenamed("node", "dst")
+        .select("src", "dst")
+    )
+    return graph.pagerank(edges, webarchive.LINK_HOSTS, 4)
+
+
+@_q(
     "multimodal_meta",
     multimodal.multimodal_meta_oracle_sql(),
     doc="binary-column metadata projection (no decode needed here; "

@@ -650,3 +650,54 @@ def test_gunzip_stats_on_real_deflate_archives(spark):
     for i, body in bodies.items():
         assert got[(i, 0)] == (len(body), sum(body))
         assert got[(i, 1)] == (len(body), sum(body[::-1]))
+
+
+# ------------------------------------------------------- link extraction
+
+
+def test_html_links_order_and_skips():
+    from cryptocoininsights_data_engineer_project_spark.operators.webarchive import (
+        html_links,
+    )
+
+    page = (
+        '<html><body><a name="top">no href</a>'
+        '<a href="http://a.com/1">one</a>'
+        '<p><a class="x" href="/rel">two</a></p>'
+        '<a href="">empty</a>'
+        "<a>bare</a>"
+        '<A HREF="http://B.com/2">case</A>'
+        '<script>var s = \'<a href="http://fake.com">\';</script>'
+        "</body></html>"
+    )
+    # attribute values kept verbatim; tag/attr NAMES are
+    # case-insensitive; empty href is a real (self) reference;
+    # anchors inside script CDATA are not markup
+    assert html_links(page) == [
+        "http://a.com/1",
+        "/rel",
+        "",
+        "http://B.com/2",
+    ]
+
+
+def test_warc_html_links_matches_python(spark):
+    from cryptocoininsights_data_engineer_project_spark.operators.webarchive import (
+        html_links,
+        synth_warc_linked_assets,
+        warc_html_links,
+    )
+
+    assets = synth_warc_linked_assets(_docs(spark, 12))
+    got = {}
+    for r in warc_html_links(assets).collect():
+        got.setdefault(r.asset_id, []).append((r.link_idx, r.href, r.base_url))
+    for arow in assets.collect():
+        recs = parse_warc(bytes(arow.payload))
+        _s, _h, entity = split_http_response(recs[0]["body"])
+        want = html_links(entity.decode())
+        rows = sorted(got[arow.asset_id])
+        assert [h for _i, h, _b in rows] == want
+        assert len(want) == 3 and want[2] == "/relative/path"
+        base = recs[0]["headers"]["warc-target-uri"]
+        assert all(b == base for _i, _h, b in rows)
