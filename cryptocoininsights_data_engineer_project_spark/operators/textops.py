@@ -1039,3 +1039,91 @@ def url_norm_oracle_exprs(col: str) -> tuple[str, str]:
     port = f"split_part({auth}, ':', 2)"
     qsorted = f"array_to_string(list_sort(string_split({q}, '&')), '&')"
     return _url_norm_expr(col, host, port, qsorted), host
+
+
+# ------------------------------------------------ boilerplate line removal
+# The C4/CCNet preprocessing step this family still lacked: lines that
+# recur across many documents (navigation, cookie banners, footers)
+# are template boilerplate, not content — C4 drops lines seen >= 3
+# times in the corpus (Raffel et al. 2020 §2.2, public method). The
+# operator is corpus-global: a line's document frequency decides its
+# fate everywhere at once.
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame, min_docs: int = 50, col: str = "text"
+) -> DataFrame:
+    """(doc_id, clean_text, n_kept, n_dropped): drop every line that
+    occurs in >= ``min_docs`` DISTINCT documents, preserving the
+    surviving lines' original order.
+
+    Physical shape: one explode → one (line, doc) distinct-count
+    aggregation (map-side combine absorbs the within-doc repeats) →
+    LEFT ANTI join of the line rows against the boilerplate set —
+    at crawl scale the boilerplate set is the long tail's head and
+    too big to broadcast, so the anti-join shuffles on the line
+    hash; AQE broadcast-converts when it is small. Reassembly is a
+    per-doc collect_list + array_sort on the carried position — the
+    only per-doc state is the doc's own lines. Documents whose every
+    line was boilerplate surface with empty clean_text via the
+    right-side join back to the doc list."""
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split(F.col(col), "\n")).alias("pos", "line")
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(boiler, "line", "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, line))),"
+            " x -> x.line), '\\n')"
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = docs.select(
+        "doc_id",
+        F.expr(f"size(split({col}, '\\n'))").alias("n_lines"),
+    )
+    return totals.join(reassembled, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+
+
+def boilerplate_oracle_sql(min_docs: int = 50, source_sql: str = "documents") -> str:
+    """DuckDB twin over the same (doc_id, text) source: split with
+    ordinality, document-frequency gate, order-preserving
+    reassembly."""
+    return f"""
+WITH src AS (SELECT doc_id, text FROM ({source_sql})),
+lines AS (
+  SELECT doc_id, g.i AS pos, parts[g.i + 1] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM src),
+       UNNEST(generate_series(0, len(parts) - 1)) AS g(i)
+),
+boiler AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING count(DISTINCT doc_id) >= {min_docs}
+),
+kept AS (
+  SELECT l.* FROM lines l ANTI JOIN boiler b ON l.line = b.line
+),
+re AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_lines FROM src)
+SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+  CAST(t.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
+FROM tot t LEFT JOIN re r ON t.doc_id = r.doc_id
+"""

@@ -1336,6 +1336,45 @@ def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.url_normalize(urls).select("doc_id", "url_norm", "host")
 
 
+# synthetic line structure for the boilerplate query: a nav line every
+# doc shares, the real (single-line) document text, a footer shared by
+# a third of the corpus, and a per-doc unique marker line.
+_BOILER_DUCK_SRC = (
+    "SELECT doc_id, 'nav home about contact' || chr(10) || text "
+    "|| chr(10) || 'footer copyright class ' "
+    "|| CAST(doc_id % 3 AS VARCHAR) "
+    "|| chr(10) || 'doc marker ' || CAST(doc_id AS VARCHAR) AS text "
+    "FROM documents"
+)
+_BOILER_SPARK_SRC = (
+    "concat('nav home about contact', char(10), text, char(10), "
+    "'footer copyright class ', cast(doc_id % 3 AS string), "
+    "char(10), 'doc marker ', cast(doc_id AS string))"
+)
+
+
+@_q(
+    "boilerplate_lines",
+    textops.boilerplate_oracle_sql(50, _BOILER_DUCK_SRC),
+    doc="C4-style line-level boilerplate removal (Raffel et al. 2020 "
+    "§2.2): lines recurring in >= 50 distinct documents (nav bars, "
+    "cookie banners, footers) are template, not content — dropped "
+    "corpus-globally while each document's surviving lines keep "
+    "their order (operators/textops.py::remove_boilerplate_lines: "
+    "explode → distinct-doc-count gate → ANTI join on the line — "
+    "shuffled on the line hash at crawl scale, AQE-broadcast when "
+    "small → per-doc position-sorted reassembly). The fixture "
+    "wraps each doc in an all-corpus nav line, a one-third-corpus "
+    "footer, and a unique marker, so the gate must drop exactly "
+    "the first two",
+)
+def boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_BOILER_SPARK_SRC} AS text"
+    )
+    return textops.remove_boilerplate_lines(docs, min_docs=50)
+
+
 _PR_HOSTS = 24
 _PR_EDGES_SQL = (
     f"SELECT doc_id % {_PR_HOSTS} AS src, "

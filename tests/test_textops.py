@@ -249,3 +249,33 @@ def test_url_normalize_rules(spark):
     for i, (u, want) in enumerate(cases):
         assert got[i][0] == want, (u, got[i][0], want)
     assert got[0][1] == "www.example.com"
+
+
+def test_remove_boilerplate_lines(spark):
+    from cryptocoininsights_data_engineer_project_spark.operators.textops import (
+        remove_boilerplate_lines,
+    )
+
+    boiler = "subscribe now"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{boiler}\nalpha\nbeta"),
+            (1, f"gamma\n{boiler}\ndelta\n{boiler}"),  # repeats within doc
+            (2, f"{boiler}"),  # all-boilerplate doc
+            (3, "epsilon\nzeta"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+        for r in remove_boilerplate_lines(docs, min_docs=3).collect()
+    }
+    # "subscribe now" appears in 3 DISTINCT docs (doc 1's repeat
+    # counts once) -> dropped everywhere; order preserved
+    assert got[0] == ("alpha\nbeta", 2, 1)
+    assert got[1] == ("gamma\ndelta", 2, 2)
+    assert got[2] == ("", 0, 1)
+    assert got[3] == ("epsilon\nzeta", 2, 0)
+    # below the distinct-doc threshold nothing is dropped
+    kept_all = remove_boilerplate_lines(docs, min_docs=4).collect()
+    assert all(r.n_dropped == 0 for r in kept_all)
