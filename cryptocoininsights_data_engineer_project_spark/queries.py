@@ -1336,6 +1336,21 @@ def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.url_normalize(urls).select("doc_id", "url_norm", "host")
 
 
+@_q(
+    "chunk_documents",
+    textops.chunk_documents_oracle_sql(),
+    doc="RAG-style document chunking — fixed-size token windows "
+    "(32) with overlap (8) so no answer span straddles a boundary "
+    "unseen: chunk count is closed-form integer math, so the "
+    "operator is one sequence() explode + slice per chunk, all JVM "
+    "array expressions, zero Python, fan-out ceil(n/stride) per "
+    "doc (operators/textops.py::chunk_documents). The retrieval-"
+    "side sibling of pack_sequences",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.chunk_documents(_t(spark, sf_dir, "documents"))
+
+
 # synthetic line structure for the boilerplate query: a nav line every
 # doc shares, the real (single-line) document text, a footer shared by
 # a third of the corpus, and a per-doc unique marker line.
