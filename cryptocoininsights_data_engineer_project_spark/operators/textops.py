@@ -1195,3 +1195,73 @@ SELECT doc_id, CAST(g.i AS BIGINT) AS chunk_idx,
     AS n_tokens
 FROM t, UNNEST(generate_series(0, n_chunks - 1)) AS g(i)
 """
+
+
+# ---------------------------------------------------------- robots filter
+# Crawl-frontier URL filtering per the Robots Exclusion Protocol
+# (RFC 9309 §2.2.2): among all rules whose path is a prefix of the
+# URL's path, the LONGEST match decides; on equal length the less
+# restrictive (Allow) rule wins; no match means allowed. The
+# verdict encodes as one integer per candidate — priority =
+# 2*len(rule_path) + is_allow — so the argmax is a plain MAX and
+# the allow bit is its parity: no window, no struct ordering, one
+# equi-join on host + one aggregation.
+
+
+def robots_filter(urls: DataFrame, rules: DataFrame) -> DataFrame:
+    """(doc_id, url, allowed): apply robots rules to URLs.
+
+    ``urls``: (doc_id, url); ``rules``: (host, rule_path, is_allow).
+    The rules side is per-host and small relative to the frontier —
+    broadcast it (AQE does when sizes allow; at planet scale it is
+    still only hosts x rules). Matching shuffles nothing on the URL
+    side beyond the host join."""
+    auth = "regexp_extract(url, '^[^:]+://([^/?#]*)', 1)"
+    u = urls.selectExpr(
+        "doc_id",
+        "url",
+        f"lower(substring_index({auth}, ':', 1)) AS host",
+        "regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1) AS path",
+    )
+    cand = (
+        u.join(rules, "host")
+        .filter(F.expr("startswith(path, rule_path)"))
+        .groupBy("doc_id", "url")
+        .agg(
+            F.max(
+                F.expr(
+                    "2 * length(rule_path) + CAST(is_allow AS INT)"
+                )
+            ).alias("pri")
+        )
+    )
+    return u.join(cand, ["doc_id", "url"], "left").select(
+        "doc_id",
+        "url",
+        F.coalesce(F.expr("pri % 2 = 1"), F.lit(True)).alias("allowed"),
+    )
+
+
+def robots_oracle_sql(urls_sql: str, rules_sql: str) -> str:
+    """DuckDB twin over the same (doc_id, url) and (host, rule_path,
+    is_allow) sources — identical priority encoding."""
+    return f"""
+WITH u AS (
+  SELECT doc_id, url,
+    lower(split_part(regexp_extract(url, '^[^:]+://([^/?#]*)', 1),
+          ':', 1)) AS host,
+    regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1) AS path
+  FROM ({urls_sql})
+),
+r AS (SELECT * FROM ({rules_sql})),
+cand AS (
+  SELECT u.doc_id, u.url,
+    max(2 * length(r.rule_path) + CAST(r.is_allow AS INT)) AS pri
+  FROM u JOIN r ON u.host = r.host
+  WHERE starts_with(u.path, r.rule_path)
+  GROUP BY u.doc_id, u.url
+)
+SELECT u.doc_id, u.url,
+  coalesce(c.pri % 2 = 1, TRUE) AS allowed
+FROM u LEFT JOIN cand c ON u.doc_id = c.doc_id AND u.url = c.url
+"""

@@ -307,3 +307,33 @@ def test_chunk_documents_windows(spark):
     assert got[2][0][1] == 32 and len(got[2]) == 1
     with _pytest.raises(ValueError):
         chunk_documents(docs, size=8, overlap=8)
+
+
+def test_robots_filter_longest_match_semantics(spark):
+    from cryptocoininsights_data_engineer_project_spark.operators.textops import (
+        robots_filter,
+    )
+
+    urls = spark.createDataFrame(
+        [
+            (0, "http://a.com/free"),               # no rule matches
+            (1, "http://a.com/private/x"),          # disallow /private
+            (2, "http://a.com/private/open/x"),     # allow overrides (longer)
+            (3, "http://a.com/priv"),               # prefix of rule != match
+            (4, "http://b.com/private/x"),          # other host: no rules
+            (5, "HTTP://A.COM:80/private/x"),       # host case/port folded
+            (6, "http://a.com/dual"),               # equal-length tie -> allow
+        ],
+        ["doc_id", "url"],
+    )
+    rules = spark.createDataFrame(
+        [
+            ("a.com", "/private", False),
+            ("a.com", "/private/open", True),
+            ("a.com", "/dual", False),
+            ("a.com", "/dual", True),
+        ],
+        ["host", "rule_path", "is_allow"],
+    )
+    got = {r.doc_id: r.allowed for r in robots_filter(urls, rules).collect()}
+    assert got == {0: True, 1: False, 2: True, 3: True, 4: True, 5: False, 6: True}
