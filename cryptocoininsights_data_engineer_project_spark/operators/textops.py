@@ -1129,74 +1129,6 @@ FROM tot t LEFT JOIN re r ON t.doc_id = r.doc_id
 """
 
 
-# ------------------------------------------------------ document chunking
-# The retrieval-side sibling of pack_sequences: RAG corpora split
-# documents into fixed-size token windows with overlap so no answer
-# span straddles a chunk boundary unseen. Pure JVM array expressions
-# (split → sequence explode → slice) — zero Python, one narrow
-# explode whose fan-out is ceil(n/stride) per doc.
-CHUNK_SIZE = 32
-CHUNK_OVERLAP = 8
-
-
-def chunk_documents(
-    docs: DataFrame,
-    size: int = CHUNK_SIZE,
-    overlap: int = CHUNK_OVERLAP,
-    col: str = "text",
-) -> DataFrame:
-    """(doc_id, chunk_idx, chunk_text, n_tokens): overlapping token
-    windows — chunk i covers tokens [i*stride, i*stride + size) with
-    stride = size - overlap; a document of <= size tokens is one
-    chunk; the last chunk may be short but is never empty. Chunk
-    count is closed-form integer math, so the explode is a
-    sequence() — no iterative splitting, no UDF."""
-    if not 0 <= overlap < size:
-        raise ValueError(f"need 0 <= overlap < size, got {overlap}/{size}")
-    stride = size - overlap
-    toks = f"split({col}, ' ')"
-    n = f"size({toks})"
-    n_chunks = (
-        f"CASE WHEN {n} <= {size} THEN 1 "
-        f"ELSE ({n} - {size} + {stride} - 1) div {stride} + 1 END"
-    )
-    return docs.selectExpr(
-        "doc_id", f"{toks} AS toks", f"{n_chunks} AS n_chunks"
-    ).selectExpr(
-        "doc_id",
-        "posexplode(sequence(0, n_chunks - 1)) AS (chunk_idx, i)",
-        "toks",
-    ).selectExpr(
-        "doc_id",
-        "CAST(chunk_idx AS BIGINT) AS chunk_idx",
-        f"array_join(slice(toks, i * {stride} + 1, {size}), ' ')"
-        " AS chunk_text",
-        f"CAST(size(slice(toks, i * {stride} + 1, {size})) AS BIGINT)"
-        " AS n_tokens",
-    )
-
-
-def chunk_documents_oracle_sql(
-    size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP
-) -> str:
-    stride = size - overlap
-    return f"""
-WITH t AS (
-  SELECT doc_id, string_split(text, ' ') AS toks,
-    CASE WHEN len(string_split(text, ' ')) <= {size} THEN 1
-         ELSE (len(string_split(text, ' ')) - {size} + {stride} - 1)
-              // {stride} + 1 END AS n_chunks
-  FROM documents
-)
-SELECT doc_id, CAST(g.i AS BIGINT) AS chunk_idx,
-  array_to_string(toks[g.i * {stride} + 1 : g.i * {stride} + {size}], ' ')
-    AS chunk_text,
-  CAST(len(toks[g.i * {stride} + 1 : g.i * {stride} + {size}]) AS BIGINT)
-    AS n_tokens
-FROM t, UNNEST(generate_series(0, n_chunks - 1)) AS g(i)
-"""
-
-
 # ---------------------------------------------------------- robots filter
 # Crawl-frontier URL filtering per the Robots Exclusion Protocol
 # (RFC 9309 §2.2.2): among all rules whose path is a prefix of the

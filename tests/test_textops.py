@@ -281,34 +281,6 @@ def test_remove_boilerplate_lines(spark):
     assert all(r.n_dropped == 0 for r in kept_all)
 
 
-def test_chunk_documents_windows(spark):
-    from cryptocoininsights_data_engineer_project_spark.operators.textops import (
-        chunk_documents,
-    )
-    import pytest as _pytest
-
-    words = " ".join(f"w{i}" for i in range(50))
-    docs = spark.createDataFrame(
-        [(0, words), (1, "solo"), (2, " ".join(f"x{i}" for i in range(32)))],
-        ["doc_id", "text"],
-    )
-    got = {}
-    for r in chunk_documents(docs, size=32, overlap=8).collect():
-        got.setdefault(r.doc_id, {})[r.chunk_idx] = (r.chunk_text, r.n_tokens)
-    # doc 0: 50 tokens, stride 24 -> chunks at 0 (32 toks) and 24 (26 toks)
-    assert set(got[0]) == {0, 1}
-    assert got[0][0][1] == 32 and got[0][0][0].startswith("w0 w1 ")
-    assert got[0][1][1] == 26 and got[0][1][0].startswith("w24 ")
-    assert got[0][1][0].endswith("w49")
-    # overlap: chunk 1 re-covers tokens 24..31
-    assert "w31" in got[0][0][0] and "w31" in got[0][1][0]
-    # short docs are exactly one chunk
-    assert got[1] == {0: ("solo", 1)}
-    assert got[2][0][1] == 32 and len(got[2]) == 1
-    with _pytest.raises(ValueError):
-        chunk_documents(docs, size=8, overlap=8)
-
-
 def test_robots_filter_longest_match_semantics(spark):
     from cryptocoininsights_data_engineer_project_spark.operators.textops import (
         robots_filter,
