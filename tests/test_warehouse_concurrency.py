@@ -516,3 +516,54 @@ def test_vacuum_age_gates_staging_dirs(spark, tmp_path):
     os.utime(young, (five_hours_ago, five_hours_ago))
     t.vacuum(keep=2)  # now past the threshold: reclaimed
     assert not os.path.exists(young)
+
+
+def test_snapshot_diff_cdc_between_versions(spark, tmp_path):
+    """snapshot_diff derives a Delta-CDF-style change feed from two
+    manifests: inserts/deletes/updates classified, unchanged rows
+    carried through rewritten bucket files suppressed, and partitions
+    whose file lists are identical pruned before any I/O."""
+    t = BucketedTable(spark, str(tmp_path / "cdc"), ["id"], n_buckets=8)
+    t.upsert(
+        spark.createDataFrame(
+            [("a", 1.0), ("b", 2.0), ("c", 3.0), ("d", 4.0)],
+            "id string, v double",
+        )
+    )
+    v1 = manifest.list_versions(spark, t.path)[-1]
+    # update b, insert e (bucket rewrites carry a/c/d along unchanged
+    # whenever they share a bucket with a touched key)
+    t.upsert(
+        spark.createDataFrame(
+            [("b", 20.0), ("e", 5.0)], "id string, v double"
+        )
+    )
+    v2 = manifest.list_versions(spark, t.path)[-1]
+
+    diff = manifest.snapshot_diff(spark, t.path, v1, v2, keys=["id"])
+    got = {
+        r.id: (r.change_type, r.old, r.new)
+        for r in diff.drop("bucket").collect()
+    }
+    assert set(got) == {"b", "e"}
+    assert got["e"][0] == "insert" and got["e"][1] is None
+    assert got["e"][2].v == 5.0
+    assert got["b"][0] == "update"
+    assert (got["b"][1].v, got["b"][2].v) == (2.0, 20.0)
+
+    # delete path: GDPR delete of c, diff v2 -> v3
+    t.delete_keys(spark.createDataFrame([("c",)], "id string"))
+    v3 = manifest.list_versions(spark, t.path)[-1]
+    d2 = manifest.snapshot_diff(spark, t.path, v2, v3, keys=["id"])
+    rows = d2.collect()
+    assert [(r.id, r.change_type) for r in rows] == [("c", "delete")]
+    assert rows[0].old.v == 3.0 and rows[0].new is None
+
+    # identical versions diff to empty (also: self-diff prunes ALL
+    # partitions, so the scan side is empty before the join)
+    assert manifest.snapshot_diff(spark, t.path, v2, v2, keys=["id"]).count() == 0
+
+    # vacuumed version raises loudly
+    t.vacuum(keep=1, retain_seconds=0)
+    with pytest.raises(KeyError, match=f"version {v1}"):
+        manifest.snapshot_diff(spark, t.path, v1, v3, keys=["id"])
