@@ -427,7 +427,10 @@ def snapshot_diff(
     """Change-data feed between two retained versions: one row per
     changed key with ``change_type`` in {insert, delete, update} plus
     null-safe ``old``/``new`` structs of the non-key columns (the
-    Delta CDF shape, derived rather than logged).
+    Delta CDF shape, derived rather than logged). This is the
+    PHYSICAL counterpart of the registry's `snapshot_diff` query
+    (queries.py — a logical full-outer diff of two temporal cuts):
+    same verdict semantics, but here the manifests prune the scans.
 
     Scale shape — the manifest does the heavy lifting BEFORE any I/O:
     data files are immutable and manifests carry per-partition file

@@ -1336,6 +1336,55 @@ def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.url_normalize(urls).select("doc_id", "url_norm", "host")
 
 
+_ROBOTS_URLS_SQL = (
+    "SELECT doc_id, 'http://h' || CAST(doc_id % 9 AS VARCHAR) "
+    "|| '.net' || "
+    "CASE doc_id % 4 WHEN 0 THEN '/public/doc/' "
+    "WHEN 1 THEN '/private/doc/' WHEN 2 THEN '/private/open/doc/' "
+    "ELSE '/tmp/' END || CAST(doc_id AS VARCHAR) AS url FROM documents"
+)
+_ROBOTS_RULES_SQL = (
+    "SELECT 'h' || CAST(g.i AS VARCHAR) || '.net' AS host, "
+    "v.rule_path, v.is_allow "
+    "FROM UNNEST(generate_series(0, 8)) AS g(i), "
+    "(VALUES ('/private', FALSE), ('/private/open', TRUE), "
+    "('/tmp', FALSE)) AS v(rule_path, is_allow)"
+)
+
+
+@_q(
+    "robots_filter",
+    textops.robots_oracle_sql(_ROBOTS_URLS_SQL, _ROBOTS_RULES_SQL),
+    doc="Robots Exclusion Protocol URL filtering (RFC 9309 §2.2.2) — "
+    "the crawl-frontier gate: among prefix-matching rules the "
+    "LONGEST wins, Allow beats Disallow on ties, no match means "
+    "allowed. The verdict encodes as max(2*len + is_allow) so the "
+    "longest-match argmax is a plain integer MAX and the allow bit "
+    "its parity — one host equi-join (rules side broadcastable: "
+    "hosts x rules) + one aggregation, no window "
+    "(operators/textops.py::robots_filter). Fixture paths hit all "
+    "four verdict shapes: no-match, disallow, allow-override of a "
+    "shorter disallow, second disallow",
+)
+def robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.selectExpr(
+        "doc_id",
+        "concat('http://h', cast(doc_id % 9 AS string), '.net', "
+        "CASE doc_id % 4 WHEN 0 THEN '/public/doc/' "
+        "WHEN 1 THEN '/private/doc/' WHEN 2 THEN '/private/open/doc/' "
+        "ELSE '/tmp/' END, cast(doc_id AS string)) AS url",
+    )
+    rules = spark.range(9).selectExpr(
+        "concat('h', cast(id AS string), '.net') AS host"
+    ).selectExpr(
+        "host",
+        "stack(3, '/private', false, '/private/open', true, "
+        "'/tmp', false) AS (rule_path, is_allow)",
+    )
+    return textops.robots_filter(urls, rules)
+
+
 # synthetic line structure for the boilerplate query: a nav line every
 # doc shares, the real (single-line) document text, a footer shared by
 # a third of the corpus, and a per-doc unique marker line.
