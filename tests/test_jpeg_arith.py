@@ -913,3 +913,21 @@ def test_dac_validation():
     blob[at + 5] = 0  # Kx = 0 out of range
     with pytest.raises(JpegError, match="Kx"):
         decode_jpeg_pixels(bytes(blob))
+
+
+def test_raw_coder_roundtrip_property():
+    # hypothesis sweep: arbitrary bit sequences against 1-8 contexts
+    # must round-trip exactly with lockstep estimation state
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        bits=st.lists(st.integers(0, 1), min_size=0, max_size=600),
+        nbins=st.integers(1, 8),
+    )
+    def run(bits, nbins):
+        if bits:
+            _roundtrip_bits(bits, nbins=nbins)
+
+    run()
