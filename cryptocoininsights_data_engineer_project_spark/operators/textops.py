@@ -1067,15 +1067,28 @@ def remove_boilerplate_lines(
     only per-doc state is the doc's own lines. Documents whose every
     line was boilerplate surface with empty clean_text via the
     right-side join back to the doc list."""
-    lines = docs.select(
-        "doc_id", F.posexplode(F.split(F.col(col), "\n")).alias("pos", "line")
-    )
+    lines = _doc_lines(docs, col)
     boiler = (
         lines.groupBy("line")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= min_docs)
         .select("line")
     )
+    return _strip_lines(docs, lines, boiler, col)
+
+
+def _doc_lines(docs: DataFrame, col: str) -> DataFrame:
+    return docs.select(
+        "doc_id", F.posexplode(F.split(F.col(col), "\n")).alias("pos", "line")
+    )
+
+
+def _strip_lines(
+    docs: DataFrame, lines: DataFrame, boiler: DataFrame, col: str
+) -> DataFrame:
+    """Shared tail of the boilerplate family: ANTI join the line rows
+    against the boilerplate set, order-preserving per-doc reassembly,
+    empty-survivor documents surfaced via the doc-list join back."""
     kept = lines.join(boiler, "line", "left_anti")
     reassembled = kept.groupBy("doc_id").agg(
         F.expr(
@@ -1096,6 +1109,73 @@ def remove_boilerplate_lines(
         .cast("long")
         .alias("n_dropped"),
     )
+
+
+def write_line_frequency_index(
+    docs: DataFrame, path: str, mode: str = "append", col: str = "text"
+) -> None:
+    """Persist a batch's per-line distinct-document counts as the
+    cross-run boilerplate index: (line, nd) — the line-frequency
+    sibling of dedup.write_fingerprint_index. Distinct-doc counts
+    over DISJOINT batches (fresh doc_ids per batch, the same
+    contract the dedup index assumes) are additive, so the index is
+    mergeable by a plain SUM at probe time; ``mode="append"`` makes
+    maintenance one cheap aggregated write per batch."""
+    nd = (
+        _doc_lines(docs, col)
+        .groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+    )
+    nd.repartition("line").write.mode(mode).parquet(path)
+
+
+def incremental_boilerplate_lines(
+    spark,
+    batch_docs: DataFrame,
+    index_path: str,
+    min_docs: int = 50,
+    col: str = "text",
+    update_index: bool = True,
+) -> DataFrame:
+    """Clean a NEW batch against corpus-global line frequencies
+    without re-reading indexed text: a line is boilerplate when its
+    batch count PLUS the index's summed count reaches ``min_docs``.
+    Incremental stance matches extend_training_corpus: already-packed
+    documents are never re-opened, so a line that crosses the
+    threshold only as of this batch is stripped from this batch
+    onward (the one-shot union run would also have stripped it from
+    earlier docs — the standard trade-off, documented not hidden).
+    The batch's own counts are appended to the index afterwards,
+    keeping the invariant for the next batch.
+
+    Probe cost: batch lines + one aggregated index scan of (line,
+    nd) rows — the indexed corpus's TEXT is never touched."""
+    lines = _doc_lines(batch_docs, col)
+    batch_nd = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    idx_nd = (
+        spark.read.parquet(index_path)
+        .groupBy("line")
+        .agg(F.sum("nd").alias("nd"))
+    )
+    total = (
+        batch_nd.unionByName(idx_nd)
+        .groupBy("line")
+        .agg(F.sum("nd").alias("nd_total"))
+    )
+    # PIN the boilerplate set before touching the index: the output
+    # plan reads index_path lazily, and appending first would double-
+    # count this batch when the caller finally acts on the result
+    boiler = (
+        total.filter(F.col("nd_total") >= min_docs)
+        .select("line")
+        .localCheckpoint()
+    )
+    out = _strip_lines(batch_docs, lines, boiler, col)
+    if update_index:
+        write_line_frequency_index(batch_docs, index_path, mode="append", col=col)
+    return out
 
 
 def boilerplate_oracle_sql(min_docs: int = 50, source_sql: str = "documents") -> str:

@@ -309,3 +309,62 @@ def test_robots_filter_longest_match_semantics(spark):
     )
     got = {r.doc_id: r.allowed for r in robots_filter(urls, rules).collect()}
     assert got == {0: True, 1: False, 2: True, 3: True, 4: True, 5: False, 6: True}
+
+
+def test_incremental_boilerplate_equals_one_shot(spark, tmp_path):
+    """Two batches through the line-frequency index must clean the
+    SECOND batch exactly as a one-shot run over the union would —
+    including lines that cross the threshold only because of counts
+    contributed by the first (indexed, never re-read) batch."""
+    from cryptocoininsights_data_engineer_project_spark.operators.textops import (
+        incremental_boilerplate_lines,
+        remove_boilerplate_lines,
+        write_line_frequency_index,
+    )
+
+    boiler = "subscribe to our newsletter"
+    batch1 = spark.createDataFrame(
+        [(i, f"{boiler}\nunique one {i}") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    # in batch 2 alone the boiler line appears only twice (< threshold);
+    # with batch 1's indexed counts it crosses min_docs=5
+    batch2 = spark.createDataFrame(
+        [
+            (10, f"{boiler}\nunique two 10"),
+            (11, f"keep me\n{boiler}"),
+            (12, "no boiler here"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "line_idx")
+    write_line_frequency_index(batch1, idx, mode="overwrite")
+
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+        for r in incremental_boilerplate_lines(
+            spark, batch2, idx, min_docs=5
+        ).collect()
+    }
+    one_shot = remove_boilerplate_lines(
+        batch1.unionByName(batch2), min_docs=5
+    )
+    want = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+        for r in one_shot.collect()
+        if r.doc_id >= 10
+    }
+    assert got == want
+    assert got[10] == ("unique two 10", 1, 1)
+    assert got[11] == ("keep me", 1, 1)
+    assert got[12] == ("no boiler here", 1, 0)
+
+    # the invariant held: batch 2's counts were appended, so a THIRD
+    # batch sees nd(boiler) = 6 and a lone occurrence is stripped
+    batch3 = spark.createDataFrame(
+        [(20, f"tail doc\n{boiler}")], ["doc_id", "text"]
+    )
+    got3 = incremental_boilerplate_lines(
+        spark, batch3, idx, min_docs=5, update_index=False
+    ).collect()[0]
+    assert (got3.clean_text, got3.n_dropped) == ("tail doc", 1)
