@@ -1277,3 +1277,86 @@ SELECT u.doc_id, u.url,
   coalesce(c.pri % 2 = 1, TRUE) AS allowed
 FROM u LEFT JOIN cand c ON u.doc_id = c.doc_id AND u.url = c.url
 """
+
+
+# -------------------------------------------------------- robots.txt parse
+# The missing half of robots_filter: real crawls fetch robots.txt
+# BODIES, not rule frames. Parsing is per-host (robots.txt is capped
+# at 500 KiB by RFC 9309 §2.4) so the work is bounded per row; the
+# frame of parsed rules is exactly what robots_filter consumes.
+
+
+def parse_robots_txt(txt: str, agent: str = "*") -> list[tuple[str, bool]]:
+    """RFC 9309 §2.2.1 group selection + rule extraction for one
+    product token: groups open with consecutive User-agent lines;
+    the crawler obeys the group(s) naming its token (case-
+    insensitive exact match), falling back to the ``*`` group(s)
+    only when no named group exists. Comments (#) stripped, empty
+    Disallow means no rule (allow-all), unknown directives ignored
+    (sitemap etc.), rules from multiple matching groups combine.
+    Returns [(rule_path, is_allow), ...]."""
+    agent = agent.lower()
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, bool]] = []
+    in_agents = True
+    for raw in txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_agents:  # a new group begins
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+                in_agents = True
+            cur_agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            in_agents = False
+            if value:  # empty Disallow/Allow carries no rule
+                cur_rules.append((value, field == "allow"))
+        # other fields (sitemap, crawl-delay, ...) are non-normative
+    if cur_agents:
+        groups.append((cur_agents, cur_rules))
+    named = [r for agents, rules in groups if agent in agents for r in rules]
+    if any(agent in agents for agents, _ in groups):
+        return named
+    return [r for agents, rules in groups if "*" in agents for r in rules]
+
+
+def parse_robots(
+    robots: DataFrame, agent: str = "*"
+) -> DataFrame:
+    """(host, rule_path, is_allow): parse a frame of fetched
+    robots.txt bodies — (host, robots_txt) — into the rules frame
+    ``robots_filter`` consumes. One mapInPandas pass; per-row work
+    bounded by the RFC's 500 KiB file cap, output rows bounded by
+    rule counts (hosts x rules — the broadcastable side)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("host", T.StringType(), False),
+            T.StructField("rule_path", T.StringType(), False),
+            T.StructField("is_allow", T.BooleanType(), False),
+        ]
+    )
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"host": [], "rule_path": [], "is_allow": []}
+            for host, txt in zip(pdf["host"], pdf["robots_txt"]):
+                for path, allow in parse_robots_txt(str(txt), agent):
+                    rows["host"].append(host)
+                    rows["rule_path"].append(path)
+                    rows["is_allow"].append(allow)
+            yield pd.DataFrame(rows)
+
+    return robots.select("host", "robots_txt").mapInPandas(
+        _parse, schema=schema
+    )

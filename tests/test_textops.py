@@ -368,3 +368,71 @@ def test_incremental_boilerplate_equals_one_shot(spark, tmp_path):
         spark, batch3, idx, min_docs=5, update_index=False
     ).collect()[0]
     assert (got3.clean_text, got3.n_dropped) == ("tail doc", 1)
+
+
+def test_parse_robots_txt_group_semantics():
+    from cryptocoininsights_data_engineer_project_spark.operators.textops import (
+        parse_robots_txt,
+    )
+
+    txt = """# global rules
+User-agent: *
+Disallow: /private
+Allow: /private/open
+
+User-agent: graftbot
+User-agent: otherbot
+Disallow: /graft-only
+Crawl-delay: 10
+
+User-agent: emptybot
+Disallow:
+"""
+    # named group wins over * entirely (RFC 9309 group selection)
+    assert parse_robots_txt(txt, "graftbot") == [("/graft-only", False)]
+    assert parse_robots_txt(txt, "GRAFTBOT") == [("/graft-only", False)]
+    assert parse_robots_txt(txt, "otherbot") == [("/graft-only", False)]
+    # unnamed agents fall back to the * group
+    assert parse_robots_txt(txt, "randombot") == [
+        ("/private", False),
+        ("/private/open", True),
+    ]
+    # empty Disallow = allow-all: named group exists but has no rules
+    assert parse_robots_txt(txt, "emptybot") == []
+    # malformed/empty bodies parse to no rules
+    assert parse_robots_txt("", "any") == []
+    assert parse_robots_txt("garbage without colon\n###", "any") == []
+
+
+def test_parse_robots_feeds_robots_filter(spark):
+    from cryptocoininsights_data_engineer_project_spark.operators.textops import (
+        parse_robots,
+        robots_filter,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nDisallow: /private\nAllow: /private/open\n"),
+            ("b.com", "User-agent: graftbot\nDisallow: /\n"),
+        ],
+        ["host", "robots_txt"],
+    )
+    rules = parse_robots(robots, agent="graftbot")
+    got_rules = {(r.host, r.rule_path, r.is_allow) for r in rules.collect()}
+    # a.com has no graftbot group -> * rules; b.com blocks graftbot fully
+    assert got_rules == {
+        ("a.com", "/private", False),
+        ("a.com", "/private/open", True),
+        ("b.com", "/", False),
+    }
+    urls = spark.createDataFrame(
+        [
+            (0, "http://a.com/private/x"),
+            (1, "http://a.com/private/open/x"),
+            (2, "http://b.com/anything"),
+            (3, "http://c.com/no-robots"),
+        ],
+        ["doc_id", "url"],
+    )
+    got = {r.doc_id: r.allowed for r in robots_filter(urls, rules).collect()}
+    assert got == {0: False, 1: True, 2: False, 3: True}
