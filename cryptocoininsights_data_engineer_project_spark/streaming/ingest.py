@@ -376,3 +376,37 @@ def stream_candles_to_bucketed_table(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_warc_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming face of the crawl front door: WARC archive rows
+    (asset_id, payload) land as parquet files; each micro-batch runs
+    the SAME fused parse→envelope-peel→HTML-strip pass the batch
+    query uses (operators/webarchive.py::warc_html_text — stateless
+    mapInPandas, so it lifts to Structured Streaming unchanged) and
+    appends extracted text to ``out_dir``. File-source checkpointing
+    gives exactly-once per input file; a crashed run resumes from
+    the checkpoint without re-emitting. Returns the started query
+    (AvailableNow by default: drain-and-stop, the scheduled-ingest
+    shape)."""
+    from ..operators import webarchive
+
+    stream = spark.readStream.schema("asset_id long, payload binary").parquet(
+        src_dir
+    )
+    texts = webarchive.warc_html_text(stream)
+    writer = (
+        texts.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -397,3 +397,44 @@ def test_stream_candles_bucketed_table(spark, dirs, sf_dir, tmp_path):
     )
     q2.awaitTermination(300)
     assert snap() == expect
+
+
+def test_stream_warc_ingest_exactly_once(spark, tmp_path):
+    """The WARC→text extractor lifts to Structured Streaming
+    unchanged: streamed output equals the batch query on the same
+    archives, and a second run over the same checkpoint emits ONLY
+    newly-arrived files (exactly-once per file)."""
+    from cryptocoininsights_data_engineer_project_spark.operators.webarchive import (
+        synth_warc_html_assets,
+        warc_html_text,
+    )
+    from cryptocoininsights_data_engineer_project_spark.streaming.ingest import (
+        stream_warc_ingest,
+    )
+
+    src = str(tmp_path / "warc_src")
+    out = str(tmp_path / "warc_out")
+    ckpt = str(tmp_path / "warc_ckpt")
+
+    docs1 = spark.range(6).selectExpr("id AS doc_id")
+    synth_warc_html_assets(docs1).write.mode("append").parquet(src)
+    q = stream_warc_ingest(spark, src, out, ckpt)
+    q.awaitTermination()
+
+    got1 = spark.read.parquet(out)
+    want1 = warc_html_text(synth_warc_html_assets(docs1))
+    assert sorted(map(str, got1.collect())) == sorted(map(str, want1.collect()))
+
+    # second batch of archives arrives; only its rows are appended
+    docs2 = spark.range(6, 10).selectExpr("id AS doc_id")
+    synth_warc_html_assets(docs2).write.mode("append").parquet(src)
+    q = stream_warc_ingest(spark, src, out, ckpt)
+    q.awaitTermination()
+
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 10
+    assert got2.select("asset_id").distinct().count() == 10
+    # replaying with nothing new is a clean no-op
+    q = stream_warc_ingest(spark, src, out, ckpt)
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == 10
