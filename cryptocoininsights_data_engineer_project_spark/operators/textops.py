@@ -1360,3 +1360,103 @@ def parse_robots(
     return robots.select("host", "robots_txt").mapInPandas(
         _parse, schema=schema
     )
+
+
+# ----------------------------------------------------- n-gram language ID
+# The brief's language-ID verb names the N-GRAM heuristic specifically
+# (Cavnar & Trenkle 1994, the public method): character-trigram
+# profiles per language, documents classified by profile overlap.
+# Profiles train IN-QUERY from the corpus's declared labels — the
+# self-contained form whose DuckDB twin restates training AND
+# classification. lang_id (stopword lexicons) stays as the cheap
+# zero-shuffle sibling.
+NGRAM_LANG_K = 40
+_LANG_TIE = ("en", "es", "fr", "de", "zh")
+
+
+def _lang_code_case(col: str = "lang") -> str:
+    cases = " ".join(
+        f"WHEN '{lg}' THEN {len(_LANG_TIE) - i}"
+        for i, lg in enumerate(_LANG_TIE)
+    )
+    return f"CASE {col} {cases} ELSE 0 END"
+
+
+def lang_id_ngram(docs: DataFrame, k: int = NGRAM_LANG_K) -> DataFrame:
+    """(doc_id, lang_pred): classify by overlap with per-language
+    top-``k`` character-trigram profiles trained from the corpus's
+    declared labels. Scoring is the integer hit count (membership in
+    the profile set), argmax tie-broken by the fixed language
+    precedence via one integer encode (cnt * 8 + code) under max_by —
+    no window over docs. Physical shape: one trigram explode feeds
+    BOTH training (per-lang counts → per-lang rank cut; the profile
+    table is |langs| x k rows — broadcast) and classification (hits
+    join + per-doc aggregate); docs with zero profile hits surface as
+    'unknown' via the doc-list left join."""
+    from pyspark.sql import Window as W
+
+    tri_expr = (
+        "CASE WHEN length(text) < 3 THEN array() "
+        "ELSE transform(sequence(1, length(text) - 2), "
+        "i -> substring(text, i, 3)) END"
+    )
+    tri = docs.select(
+        "doc_id", "lang", F.explode(F.expr(tri_expr)).alias("tri")
+    )
+    prof = (
+        tri.groupBy("lang", "tri")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("lang").orderBy(F.desc("c"), F.asc("tri"))
+            ),
+        )
+        .filter(F.col("rk") <= k)
+        .select(F.col("lang").alias("plang"), "tri")
+    )
+    hits = (
+        tri.select("doc_id", "tri")
+        .join(prof, "tri")
+        .groupBy("doc_id", "plang")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pred = hits.groupBy("doc_id").agg(
+        F.expr(
+            f"max_by(plang, cnt * 8 + {_lang_code_case('plang')})"
+        ).alias("lang_pred")
+    )
+    return docs.select("doc_id").join(pred, "doc_id", "left").select(
+        "doc_id", F.coalesce("lang_pred", F.lit("unknown")).alias("lang_pred")
+    )
+
+
+def lang_id_ngram_oracle_sql(k: int = NGRAM_LANG_K) -> str:
+    return f"""
+WITH tri AS (
+  SELECT doc_id, lang, substr(text, g.i, 3) AS tri
+  FROM documents,
+       UNNEST(generate_series(1, greatest(length(text) - 2, 0))) AS g(i)
+),
+cnts AS (
+  SELECT lang, tri, count(*) AS c FROM tri GROUP BY lang, tri
+),
+prof AS (
+  SELECT lang AS plang, tri FROM (
+    SELECT lang, tri,
+      row_number() OVER (PARTITION BY lang ORDER BY c DESC, tri) AS rk
+    FROM cnts) WHERE rk <= {k}
+),
+hits AS (
+  SELECT t.doc_id, p.plang, count(*) AS cnt
+  FROM tri t JOIN prof p ON t.tri = p.tri
+  GROUP BY t.doc_id, p.plang
+),
+pred AS (
+  SELECT doc_id,
+    arg_max(plang, cnt * 8 + {_lang_code_case('plang')}) AS lang_pred
+  FROM hits GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(p.lang_pred, 'unknown') AS lang_pred
+FROM documents d LEFT JOIN pred p USING (doc_id)
+"""

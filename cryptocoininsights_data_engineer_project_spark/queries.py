@@ -1284,6 +1284,29 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.quality_score(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "lang_id_ngram",
+    textops.lang_id_ngram_oracle_sql(),
+    doc="Character-trigram language ID (Cavnar & Trenkle 1994) — the "
+    "n-gram heuristic the LLM-pipeline brief names: per-language "
+    "top-40 trigram profiles trained IN-QUERY from the corpus's "
+    "declared labels, documents classified by integer profile-hit "
+    "counts with a fixed-precedence tie-break folded into one "
+    "max_by encode (no doc-level window). One trigram explode "
+    "feeds both training and classification; the profile table is "
+    "|langs| x 40 rows — broadcast side of the hits join. The "
+    "stopword lang_id stays as the zero-shuffle cheap sibling; "
+    "lang_confusion_matrix evaluates either against the labels. "
+    "Honesty note: the driver corpus's languages share ONE "
+    "synthetic vocabulary, so there the classifier only beats "
+    "chance (32% vs 20%, diagonal-dominant); on a genuinely "
+    "separable corpus it recovers labels — pinned in "
+    "tests/test_textops.py (operators/textops.py::lang_id_ngram)",
+)
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.lang_id_ngram(_t(spark, sf_dir, "documents"))
+
+
 @_q("token_count", textops.token_count_oracle_sql(), doc="whitespace + BPE-ish token counts")
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.token_count(_t(spark, sf_dir, "documents"))

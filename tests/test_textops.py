@@ -436,3 +436,37 @@ def test_parse_robots_feeds_robots_filter(spark):
     )
     got = {r.doc_id: r.allowed for r in robots_filter(urls, rules).collect()}
     assert got == {0: False, 1: True, 2: False, 3: True}
+
+
+def test_lang_id_ngram_separable_corpus(spark):
+    """On a corpus whose languages actually differ (distinct character
+    distributions), the trigram classifier must recover the labels —
+    the registry fixture's languages share one synthetic vocabulary,
+    so there it only beats chance (documented)."""
+    from cryptocoininsights_data_engineer_project_spark.operators.textops import (
+        lang_id_ngram,
+    )
+
+    samples = {
+        "en": "the quick brown fox jumps over the lazy dog and runs away with things",
+        "es": "el rapido zorro marron salta sobre el perro perezoso y corre con cosas",
+        "fr": "le renard brun rapide saute par dessus le chien paresseux et court avec",
+        "de": "der schnelle braune fuchs springt uber den faulen hund und rennt damit weg",
+    }
+    rows = []
+    i = 0
+    for lang, base in samples.items():
+        words = base.split()
+        for r in range(6):  # six docs per language, rotated phrasing
+            rot = words[r:] + words[:r]
+            rows.append((i, " ".join(rot), lang))
+            i += 1
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    pred = {r.doc_id: r.lang_pred for r in lang_id_ngram(docs, k=40).collect()}
+    correct = sum(1 for did, text, lang in rows if pred[did] == lang)
+    assert correct >= 22, f"only {correct}/24 recovered"
+    # a doc too short for any trigram classifies as unknown
+    tiny = spark.createDataFrame([(99, "ab", "en")], ["doc_id", "text", "lang"])
+    both = docs.unionByName(tiny)
+    p2 = {r.doc_id: r.lang_pred for r in lang_id_ngram(both).collect()}
+    assert p2[99] == "unknown"
