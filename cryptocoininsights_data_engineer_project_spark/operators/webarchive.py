@@ -139,7 +139,15 @@ def parse_warc(payload: bytes) -> list[dict]:
         headers = _parse_headers(b[nl + 2 : hdr_end])
         if "content-length" not in headers:
             raise WarcError("WARC record missing Content-Length")
-        clen = int(headers["content-length"])
+        try:
+            clen = int(headers["content-length"])
+        except ValueError as e:
+            raise WarcError(
+                f"non-numeric Content-Length "
+                f"{headers['content-length'][:20]!r}"
+            ) from e
+        if clen < 0:
+            raise WarcError(f"negative Content-Length {clen}")
         body_start = hdr_end + 4
         body = b[body_start : body_start + clen]
         if len(body) < clen:

@@ -701,3 +701,83 @@ def test_warc_html_links_matches_python(spark):
         assert len(want) == 3 and want[2] == "/relative/path"
         base = recs[0]["headers"]["warc-target-uri"]
         assert all(b == base for _i, _h, b in rows)
+
+
+# ------------------------------------------------------------ fuzz
+
+
+def test_gunzip_fuzz_never_crashes_untyped():
+    # arbitrary bytes must either decode or raise GzipError — no
+    # IndexError/struct.error/zlib.error may escape the gate layer
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=250, deadline=None)
+    @given(st.binary(max_size=120))
+    def run(blob):
+        try:
+            gunzip_members(blob)
+        except GzipError:
+            pass
+
+    run()
+
+
+def test_gunzip_fuzz_valid_members_with_junk_tail():
+    # a valid member followed by corrupted bytes: the first member
+    # decodes before the error surfaces (error names the offset)
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.binary(min_size=1, max_size=40), st.binary(min_size=1, max_size=20))
+    def run(body, junk):
+        blob = make_member(body) + junk
+        try:
+            out = gunzip_members(blob)
+            # junk happened to parse as members; first must be intact
+            assert out[0] == body
+        except GzipError:
+            pass
+
+    run()
+
+
+def test_parse_warc_fuzz_never_crashes_untyped():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=250, deadline=None)
+    @given(st.binary(max_size=150))
+    def run(blob):
+        try:
+            parse_warc(blob)
+        except WarcError:
+            pass
+
+    run()
+
+
+def test_parse_warc_content_length_gates():
+    # found by the fuzz: non-numeric / negative Content-Length must be
+    # WarcError, not a bare stdlib ValueError escaping the gate layer
+    with pytest.raises(WarcError, match="non-numeric"):
+        parse_warc(b"WARC/1.0\r\nContent-Length: abc\r\n\r\n\r\n\r\n")
+    with pytest.raises(WarcError, match="negative"):
+        parse_warc(b"WARC/1.0\r\nContent-Length: -5\r\n\r\n\r\n\r\n")
+
+
+def test_html_to_text_fuzz_total():
+    # html.parser is a recovering parser: any unicode input must
+    # produce SOME string, never raise
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=250, deadline=None)
+    @given(st.text(max_size=200))
+    def run(s):
+        out = html_to_text(s)
+        assert isinstance(out, str)
+        assert "  " not in out  # whitespace normalization holds
+
+    run()
