@@ -71,8 +71,17 @@ def prepare_training_corpus(
     n_shards: int = textops.PACK_SHARDS,
     staging_dir: str | None = None,
     index_dir: str | None = None,
+    boilerplate_min_docs: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the full corpus-preparation pipeline.
+
+    ``boilerplate_min_docs``: when set, a C4-style line-level
+    boilerplate pass (textops.remove_boilerplate_lines) runs FIRST —
+    lines recurring in that many distinct documents are stripped
+    before the quality gate scores the text, exactly where C4 places
+    it; documents whose every line was boilerplate arrive at the
+    gate with empty text and fail it naturally. Document count is
+    unchanged, so the lineage stats keep their shape.
 
     ``index_dir``: when given, the surviving corpus's MinHash band
     fingerprints are written there (overwrite — this is the initial
@@ -90,6 +99,20 @@ def prepare_training_corpus(
       after decontamination, and packs formed. Lazy until acted on.
     """
     docs = docs.select("doc_id", "text", "lang", "source", "n_chars")
+
+    # 0. optional boilerplate strip (C4 §2.2 ordering: before scoring)
+    if boilerplate_min_docs is not None:
+        cleaned = textops.remove_boilerplate_lines(
+            docs, min_docs=boilerplate_min_docs
+        ).select("doc_id", F.col("clean_text").alias("text"))
+        docs = _materialize(
+            docs.drop("text", "n_chars")
+            .join(cleaned, "doc_id")
+            .withColumn("n_chars", F.length("text"))
+            .select("doc_id", "text", "lang", "source", "n_chars"),
+            staging_dir,
+            "boilerplate_clean",
+        )
 
     # 1. fused gate: language + quality + exact-dup canonicalization in
     #    ONE corpus scan (keep = lang match ∧ quality ≥ τ ∧ is-canon)

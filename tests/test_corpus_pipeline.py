@@ -169,3 +169,51 @@ def test_incremental_extension_matches_full_rebuild(spark, sf_dir, tmp_path):
 
     st = {r["stage"]: r["n"] for r in stats.collect()}
     assert st["batch_input"] >= st["after_quality_gate"] >= st["after_near_dup"]
+
+
+def test_boilerplate_stage_equals_manual_pre_strip(spark, sf_dir):
+    """prepare_training_corpus(boilerplate_min_docs=N) must equal
+    stripping boilerplate by hand and running the pipeline on the
+    cleaned text — stage 0 composes, not approximates."""
+    docs, benchmark = _frames(spark, sf_dir)
+    # inject shared nav/footer lines so the stage has work to do
+    wrapped = docs.withColumn(
+        "text",
+        F.expr(
+            "concat('nav home about', char(10), text, char(10), "
+            "'footer ', cast(doc_id % 2 AS string))"
+        ),
+    ).withColumn("n_chars", F.length("text"))
+
+    packs_a, stats_a = prepare_training_corpus(
+        wrapped, benchmark, boilerplate_min_docs=50
+    )
+
+    from cryptocoininsights_data_engineer_project_spark.operators.textops import (
+        remove_boilerplate_lines,
+    )
+
+    manual = (
+        wrapped.drop("text", "n_chars")
+        .join(
+            remove_boilerplate_lines(wrapped, min_docs=50).select(
+                "doc_id", F.col("clean_text").alias("text")
+            ),
+            "doc_id",
+        )
+        .withColumn("n_chars", F.length("text"))
+    )
+    packs_b, stats_b = prepare_training_corpus(manual, benchmark)
+
+    assert sorted(map(str, packs_a.collect())) == sorted(
+        map(str, packs_b.collect())
+    )
+    sa = {r.stage: r.n for r in stats_a.collect()}
+    sb = {r.stage: r.n for r in stats_b.collect()}
+    assert sa == sb
+    # and the stripped lines really were removed before the gate:
+    # the wrapped corpus WITHOUT the stage scores differently
+    packs_c, _ = prepare_training_corpus(wrapped, benchmark)
+    assert sorted(map(str, packs_a.collect())) != sorted(
+        map(str, packs_c.collect())
+    )
