@@ -1,0 +1,58 @@
+"""Artifact-lockstep meta-test: the generated catalogs and the README
+count must match the LIVE registry — the recurring round-end drift
+class (round 7: README said 220 while the registry held 222, and
+QUERIES.md/PLANS.md stopped 9 entries short).
+
+Mid-round, while queries are still being added ahead of the final
+regeneration (house rule: regenerate LAST), export
+``SPARK_GRAFT_SKIP_LOCKSTEP=1`` to skip; the final freeze run must
+pass it un-skipped."""
+
+from __future__ import annotations
+
+import os
+import re
+from pathlib import Path
+
+import pytest
+
+from cryptocoininsights_data_engineer_project_spark.queries import REGISTRY
+
+REPO = Path(__file__).resolve().parent.parent
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SKIP_LOCKSTEP") == "1",
+    reason="mid-round: registry ahead of generated artifacts by design",
+)
+
+
+def test_queries_md_matches_registry():
+    names = set(
+        re.findall(r"^### `([a-z0-9_]+)`", (REPO / "QUERIES.md").read_text(), re.M)
+    )
+    assert names == set(REGISTRY), (
+        f"QUERIES.md drift: missing {sorted(set(REGISTRY) - names)}, "
+        f"stale {sorted(names - set(REGISTRY))} — run scripts/gen_queries_md.py"
+    )
+
+
+def test_plans_md_matches_registry():
+    text = (REPO / "PLANS.md").read_text()
+    names = set(re.findall(r"^\| `([a-z0-9_]+)`", text, re.M))
+    assert names == set(REGISTRY), (
+        f"PLANS.md drift: missing {sorted(set(REGISTRY) - names)}, "
+        f"stale {sorted(names - set(REGISTRY))} — run scripts/gen_plans.py"
+    )
+
+
+def test_readme_count_matches_registry():
+    m = re.search(
+        r"(\d+) named queries, (\d+) with DuckDB oracle",
+        (REPO / "README.md").read_text(),
+    )
+    assert m, "README registry-count line missing"
+    n_oracle = sum(1 for s in REGISTRY.values() if s.oracle)
+    assert (int(m.group(1)), int(m.group(2))) == (len(REGISTRY), n_oracle), (
+        f"README says {m.group(0)!r}; registry holds "
+        f"{len(REGISTRY)}/{n_oracle}"
+    )
