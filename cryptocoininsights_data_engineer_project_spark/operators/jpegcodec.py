@@ -433,6 +433,8 @@ def _parse_segments(data: bytes, raw_lossless: bool = False):
                 "decoder for these streams"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            if len(seg) % 2:
+                raise JpegError(f"odd DAC segment length {len(seg)}")
             i = 0
             while i < len(seg):
                 tc, tb = seg[i] >> 4, seg[i] & 0x0F

@@ -990,55 +990,68 @@ SELECT doc_id, shard, pack_id, n_tokens FROM r
 # with the DuckDB oracle restating the identical rules.
 
 
-def _url_parts(col: str) -> tuple[str, str, str, str]:
-    """Engine-shared regex pulls: (scheme, authority, path, query) —
-    regexp_extract has identical semantics in Spark and DuckDB for
-    these patterns."""
-    return (
-        f"lower(regexp_extract({col}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))",
-        f"regexp_extract({col}, '^[^:]+://([^/?#]*)', 1)",
-        f"regexp_extract({col}, '^[^:]+://[^/?#]*([^?#]*)', 1)",
-        f"regexp_extract({col}, '[?]([^#]*)', 1)",
-    )
+# host: optional userinfo stripped, bracketed IPv6 literals kept
+# whole; port: trailing :digits of the authority only (so userinfo
+# colons and IPv6 colons never masquerade as ports); query: the '?'
+# must precede any '#' (a '?' inside the fragment is fragment text)
+_URL_HOST_RE = r"^(?:[^@]*@)?(\[[^\]]*\]|[^:]*)"
+_URL_PORT_RE = r":([0-9]+)$"
+_URL_QUERY_RE = r"^[^#]*?[?]([^#]*)"
 
 
-def _url_norm_expr(col: str, host: str, port: str, qsorted: str) -> str:
-    """Shared normalization skeleton; callers supply the engine
-    spelling of host, port-after-colon, and sorted-query."""
-    scheme, auth, path, q = _url_parts(col)
+def _url_parts(col: str, esc) -> tuple[str, str, str, str, str, str]:
+    """Engine-shared regex pulls: (scheme, authority, host, port,
+    path, query). ``esc`` is the engine's string-literal escaper
+    (_spark_re / _duck_re) — the PATTERNS are identical, so both
+    engines run the same extraction rules by construction."""
+    scheme = f"lower(regexp_extract({col}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    auth = f"regexp_extract({col}, '^[^:]+://([^/?#]*)', 1)"
+    host = f"lower(regexp_extract({auth}, '{esc(_URL_HOST_RE)}', 1))"
+    port = f"regexp_extract({auth}, '{esc(_URL_PORT_RE)}', 1)"
+    path = f"regexp_extract({col}, '^[^:]+://[^/?#]*([^?#]*)', 1)"
+    q = f"regexp_extract({col}, '{esc(_URL_QUERY_RE)}', 1)"
+    return scheme, auth, host, port, path, q
+
+
+def _url_norm_expr(col: str, esc, qsorted) -> str:
+    """Shared normalization skeleton; ``qsorted`` supplies the engine
+    spelling of the sorted query (the one piece regex can't do)."""
+    scheme, _auth, host, port, path, q = _url_parts(col, esc)
     norm_port = (
         f"CASE WHEN {port} = '' THEN '' "
         f"WHEN {scheme} = 'http' AND {port} = '80' THEN '' "
         f"WHEN {scheme} = 'https' AND {port} = '443' THEN '' "
         f"ELSE concat(':', {port}) END"
     )
-    norm_q = f"CASE WHEN {q} = '' THEN '' ELSE concat('?', {qsorted}) END"
+    norm_q = f"CASE WHEN {q} = '' THEN '' ELSE concat('?', {qsorted(q)}) END"
     return f"concat({scheme}, '://', {host}, {norm_port}, {path}, {norm_q})"
+
+
+def spark_url_host(col: str) -> str:
+    """The ONE Spark spelling of URL→host (userinfo stripped, IPv6
+    brackets kept) — shared by url_normalize, robots_filter, and the
+    link-graph queries so the rules cannot drift apart."""
+    return _url_parts(col, _spark_re)[2]
 
 
 def url_normalize(urls: DataFrame, col: str = "url") -> DataFrame:
     """(..., url_norm, host): append the canonical URL and its
     lowercased host. One narrow projection — no Python, no shuffle."""
-    _scheme, auth, _path, q = _url_parts(col)
-    host = f"lower(substring_index({auth}, ':', 1))"
-    port = (
-        f"CASE WHEN instr({auth}, ':') > 0 "
-        f"THEN substring_index({auth}, ':', -1) ELSE '' END"
-    )
-    qsorted = f"array_join(array_sort(split({q}, '&')), '&')"
+    qsorted = lambda q: f"array_join(array_sort(split({q}, '&')), '&')"  # noqa: E731
     return urls.withColumn(
-        "url_norm", F.expr(_url_norm_expr(col, host, port, qsorted))
-    ).withColumn("host", F.expr(host))
+        "url_norm", F.expr(_url_norm_expr(col, _spark_re, qsorted))
+    ).withColumn("host", F.expr(spark_url_host(col)))
 
 
 def url_norm_oracle_exprs(col: str) -> tuple[str, str]:
-    """(url_norm, host) as DuckDB SQL — the same rules, DuckDB
-    spellings (split_part / list_sort / array_to_string)."""
-    _scheme, auth, _path, q = _url_parts(col)
-    host = f"lower(split_part({auth}, ':', 1))"
-    port = f"split_part({auth}, ':', 2)"
-    qsorted = f"array_to_string(list_sort(string_split({q}, '&')), '&')"
-    return _url_norm_expr(col, host, port, qsorted), host
+    """(url_norm, host) as DuckDB SQL — the same extraction patterns
+    verbatim (DuckDB literals are escape-free), DuckDB spellings only
+    for the list sort."""
+    qsorted = lambda q: f"array_to_string(list_sort(string_split({q}, '&')), '&')"  # noqa: E731
+    return (
+        _url_norm_expr(col, _duck_re, qsorted),
+        _url_parts(col, _duck_re)[2],
+    )
 
 
 # ------------------------------------------------ boilerplate line removal
@@ -1071,7 +1084,9 @@ def remove_boilerplate_lines(
     boiler = (
         lines.groupBy("line")
         .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= min_docs)
+        # blank lines are document STRUCTURE (paragraph breaks), not
+        # template content — never boilerplate candidates
+        .filter((F.col("nd") >= min_docs) & (F.col("line") != ""))
         .select("line")
     )
     return _strip_lines(docs, lines, boiler, col)
@@ -1168,13 +1183,17 @@ def incremental_boilerplate_lines(
     # plan reads index_path lazily, and appending first would double-
     # count this batch when the caller finally acts on the result
     boiler = (
-        total.filter(F.col("nd_total") >= min_docs)
+        total.filter(
+            (F.col("nd_total") >= min_docs) & (F.col("line") != "")
+        )
         .select("line")
         .localCheckpoint()
     )
     out = _strip_lines(batch_docs, lines, boiler, col)
     if update_index:
-        write_line_frequency_index(batch_docs, index_path, mode="append", col=col)
+        # write the ALREADY-AGGREGATED batch counts (recomputing them
+        # from the text would double the probe's dominant scan cost)
+        batch_nd.repartition("line").write.mode("append").parquet(index_path)
     return out
 
 
@@ -1190,7 +1209,7 @@ lines AS (
        UNNEST(generate_series(0, len(parts) - 1)) AS g(i)
 ),
 boiler AS (
-  SELECT line FROM lines GROUP BY line
+  SELECT line FROM lines WHERE line <> '' GROUP BY line
   HAVING count(DISTINCT doc_id) >= {min_docs}
 ),
 kept AS (
@@ -1220,24 +1239,57 @@ FROM tot t LEFT JOIN re r ON t.doc_id = r.doc_id
 # equi-join on host + one aggregation.
 
 
+def _rule_pattern_expr(rule: str, esc) -> str:
+    """SQL expression turning a robots rule path into an anchored
+    regex implementing RFC 9309 §2.2.3's two special characters:
+    '*' matches any octet run, a trailing '$' anchors the end;
+    everything else is literal (regex metacharacters escaped, the
+    chain identical in both engines since replace() is). A mid-rule
+    '$' is literal per the RFC."""
+    anchored = f"right({rule}, 1) = '$'"
+    base = (
+        f"CASE WHEN {anchored} "
+        f"THEN substr({rule}, 1, length({rule}) - 1) ELSE {rule} END"
+    )
+    e = base
+    pairs = [
+        ("\\", "\\\\"), (".", "\\."), ("+", "\\+"), ("?", "\\?"),
+        ("(", "\\("), (")", "\\)"), ("[", "\\["), ("]", "\\]"),
+        ("{", "\\{"), ("}", "\\}"), ("|", "\\|"), ("^", "\\^"),
+        ("$", "\\$"),
+    ]
+    for a, b in pairs:
+        e = f"replace({e}, '{esc(a)}', '{esc(b)}')"
+    e = f"replace({e}, '*', '.*')"
+    return (
+        f"concat('^', {e}, "
+        f"CASE WHEN {anchored} THEN '$' ELSE '' END)"
+    )
+
+
 def robots_filter(urls: DataFrame, rules: DataFrame) -> DataFrame:
     """(doc_id, url, allowed): apply robots rules to URLs.
 
     ``urls``: (doc_id, url); ``rules``: (host, rule_path, is_allow).
-    The rules side is per-host and small relative to the frontier —
-    broadcast it (AQE does when sizes allow; at planet scale it is
-    still only hosts x rules). Matching shuffles nothing on the URL
-    side beyond the host join."""
-    auth = "regexp_extract(url, '^[^:]+://([^/?#]*)', 1)"
+    Rule paths honor RFC 9309 §2.2.3's special characters: '*'
+    wildcards and a trailing '$' end-anchor (compiled to anchored
+    regexes identically on both engines); plain paths behave as
+    prefixes exactly as before. Most-specific match = longest RULE
+    TEXT (the Googlebot convention — wildcards count), Allow beats
+    Disallow on ties. The rules side is per-host and small relative
+    to the frontier — broadcast it (AQE does when sizes allow; at
+    planet scale it is still only hosts x rules). Matching shuffles
+    nothing on the URL side beyond the host join."""
     u = urls.selectExpr(
         "doc_id",
         "url",
-        f"lower(substring_index({auth}, ':', 1)) AS host",
+        f"{spark_url_host('url')} AS host",
         "regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1) AS path",
     )
+    pattern = _rule_pattern_expr("rule_path", _spark_re)
     cand = (
-        u.join(rules, "host")
-        .filter(F.expr("startswith(path, rule_path)"))
+        u.join(rules.filter(F.col("rule_path") != ""), "host")
+        .filter(F.expr(f"path rlike {pattern}"))
         .groupBy("doc_id", "url")
         .agg(
             F.max(
@@ -1260,17 +1312,16 @@ def robots_oracle_sql(urls_sql: str, rules_sql: str) -> str:
     return f"""
 WITH u AS (
   SELECT doc_id, url,
-    lower(split_part(regexp_extract(url, '^[^:]+://([^/?#]*)', 1),
-          ':', 1)) AS host,
+    {_url_parts('url', _duck_re)[2]} AS host,
     regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1) AS path
   FROM ({urls_sql})
 ),
-r AS (SELECT * FROM ({rules_sql})),
+r AS (SELECT * FROM ({rules_sql}) WHERE rule_path <> ''),
 cand AS (
   SELECT u.doc_id, u.url,
     max(2 * length(r.rule_path) + CAST(r.is_allow AS INT)) AS pri
   FROM u JOIN r ON u.host = r.host
-  WHERE starts_with(u.path, r.rule_path)
+  WHERE regexp_matches(u.path, {_rule_pattern_expr('r.rule_path', _duck_re)})
   GROUP BY u.doc_id, u.url
 )
 SELECT u.doc_id, u.url,
@@ -1382,6 +1433,19 @@ def _lang_code_case(col: str = "lang") -> str:
     return f"CASE {col} {cases} ELSE 0 END"
 
 
+def _lang_argmax_key(cnt: str, lang: str) -> str:
+    """Total-order tie-break key (ASC = winner): highest count, then
+    highest precedence code, then lexicographically smallest language
+    — the string tail makes the order TOTAL for any label set, not
+    just the precedence list (review finding: two unlisted languages
+    with equal counts were a nondeterministic max_by coin flip)."""
+    score = f"({cnt} * 8 + {_lang_code_case(lang)})"
+    return (
+        f"concat(lpad(cast(1000000000 - {score} AS string), 12, '0'), "
+        f"{lang})"
+    )
+
+
 def lang_id_ngram(docs: DataFrame, k: int = NGRAM_LANG_K) -> DataFrame:
     """(doc_id, lang_pred): classify by overlap with per-language
     top-``k`` character-trigram profiles trained from the corpus's
@@ -1423,7 +1487,7 @@ def lang_id_ngram(docs: DataFrame, k: int = NGRAM_LANG_K) -> DataFrame:
     )
     pred = hits.groupBy("doc_id").agg(
         F.expr(
-            f"max_by(plang, cnt * 8 + {_lang_code_case('plang')})"
+            f"min_by(plang, {_lang_argmax_key('cnt', 'plang')})"
         ).alias("lang_pred")
     )
     return docs.select("doc_id").join(pred, "doc_id", "left").select(
@@ -1454,7 +1518,7 @@ hits AS (
 ),
 pred AS (
   SELECT doc_id,
-    arg_max(plang, cnt * 8 + {_lang_code_case('plang')}) AS lang_pred
+    arg_min(plang, {_lang_argmax_key('cnt', 'plang').replace("AS string", "AS VARCHAR")}) AS lang_pred
   FROM hits GROUP BY doc_id
 )
 SELECT d.doc_id, coalesce(p.lang_pred, 'unknown') AS lang_pred

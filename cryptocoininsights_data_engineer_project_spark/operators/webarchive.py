@@ -407,6 +407,29 @@ def html_to_text(html: str) -> str:
     return " ".join("".join(p.chunks).split())
 
 
+_CHARSET_RE = None  # compiled lazily executor-side
+
+
+def _decode_entity(headers: dict[str, str], entity: bytes) -> str:
+    """Decode an HTTP entity honoring the Content-Type charset
+    parameter (review finding: UTF-8-only decode mangles Latin-1 /
+    Shift-JIS crawls into U+FFFD exactly where the text column
+    matters). Unknown or missing charset labels fall back to UTF-8
+    with replacement — tolerant, never raising."""
+    global _CHARSET_RE
+    import re as _re
+
+    if _CHARSET_RE is None:
+        _CHARSET_RE = _re.compile(r"charset=\"?([A-Za-z0-9_.:-]+)", _re.I)
+    m = _CHARSET_RE.search(headers.get("content-type", ""))
+    if m:
+        try:
+            return entity.decode(m.group(1), errors="replace")
+        except LookupError:
+            pass  # unrecognized label: crawler-tolerant fallback
+    return entity.decode("utf-8", errors="replace")
+
+
 _HTML_TEXT_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType(), False),
@@ -438,9 +461,7 @@ def warc_html_text(assets: DataFrame) -> DataFrame:
                     _status, hh, entity = split_http_response(rec["body"])
                     if "html" not in hh.get("content-type", ""):
                         continue
-                    text = html_to_text(
-                        entity.decode("utf-8", errors="replace")
-                    )
+                    text = html_to_text(_decode_entity(hh, entity))
                     rows["asset_id"].append(int(aid))
                     rows["record_idx"].append(i)
                     rows["url"].append(
@@ -602,7 +623,7 @@ def warc_html_links(assets: DataFrame) -> DataFrame:
                         continue
                     base = rec["headers"].get("warc-target-uri")
                     for i, href in enumerate(
-                        html_links(entity.decode("utf-8", errors="replace"))
+                        html_links(_decode_entity(hh, entity))
                     ):
                         rows["asset_id"].append(int(aid))
                         rows["base_url"].append(base)

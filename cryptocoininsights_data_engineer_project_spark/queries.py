@@ -1469,7 +1469,8 @@ _PR_EDGES_SQL = (
     "Physical shape (operators/graph.py::pagerank): edges "
     "materialize once, each round is one rank⋈edges equi-join (the "
     "rank side is |hosts|-sized — AQE broadcasts it) + one groupBy "
-    "dst, ranks localCheckpoint per round so lineage stays flat. "
+    "dst; ranks re-checkpoint on a cadence (none needed at K=4 — "
+    "the run plans as one shallow tree). "
     "Oracle is the unrolled 4-round CTE chain with identical "
     "integer arithmetic",
 )
@@ -1538,12 +1539,9 @@ def warc_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     links = webarchive.warc_html_links(
         webarchive.synth_warc_linked_assets(docs)
     )
-    auth = "regexp_extract({c}, '^[^:]+://([^/?#]*)', 1)"
     edges_h = links.filter(F.col("href").startswith("http://")).selectExpr(
-        f"lower(substring_index({auth.format(c='base_url')}, ':', 1))"
-        " AS src_host",
-        f"lower(substring_index({auth.format(c='href')}, ':', 1))"
-        " AS dst_host",
+        f"{textops.spark_url_host('base_url')} AS src_host",
+        f"{textops.spark_url_host('href')} AS dst_host",
     )
     hosts = (
         edges_h.selectExpr("src_host AS host")

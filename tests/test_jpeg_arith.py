@@ -931,3 +931,17 @@ def test_raw_coder_roundtrip_property():
             _roundtrip_bits(bits, nbins=nbins)
 
     run()
+
+
+def test_odd_dac_segment_raises_jpeg_error():
+    blob = bytearray(
+        encode_arith(
+            8, 8, [(1, 1)], [8] * 64, lambda ci, b: [3] + [0] * 63,
+            dac={"ac": 5},
+        )
+    )
+    at = blob.index(b"\xff\xcc")
+    # shrink the declared segment to an odd payload length
+    blob[at + 2 : at + 4] = (3).to_bytes(2, "big")
+    with pytest.raises(JpegError, match="odd DAC"):
+        decode_jpeg_pixels(bytes(blob[: at + 5]) + bytes(blob[at + 6 :]))

@@ -781,3 +781,19 @@ def test_html_to_text_fuzz_total():
         assert "  " not in out  # whitespace normalization holds
 
     run()
+
+
+def test_warc_html_text_honors_content_type_charset(spark):
+    # review finding: a Latin-1 page must not dissolve into U+FFFD
+    html = "<p>café touché</p>".encode("iso-8859-1")
+    body = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=iso-8859-1"
+        b"\r\n\r\n" + html
+    )
+    rec = make_record(
+        [("WARC-Type", "response"), ("Content-Length", str(len(body)))],
+        body,
+    )
+    assets = spark.createDataFrame([(1, rec)], "asset_id LONG, payload BINARY")
+    row = warc_html_text(assets).collect()[0]
+    assert row.text == "café touché"
