@@ -811,3 +811,173 @@ SELECT doc_id AS asset_id, CAST(member_idx AS BIGINT) AS member_idx,
   CAST(sum(v * (i + 1) * (i + 1)) AS BIGINT) AS byte_checksum
 FROM b GROUP BY doc_id, member_idx
 """
+
+
+# ------------------------------------------------------------ tar shards
+# The OTHER dominant training-corpus container: WebDataset-style TAR
+# shards (multimodal samples as adjacent members of a POSIX ustar
+# archive). Byte arithmetic only — 512-byte headers, octal size
+# fields, header checksum, block padding — so like gzip/WARC the
+# decode is real and stdlib-free.
+
+
+class TarError(ValueError):
+    """Malformed ustar archive structure."""
+
+
+def _tar_octal(field: bytes) -> int:
+    s = field.split(b"\x00", 1)[0].strip(b" ")
+    if not s:
+        return 0
+    try:
+        return int(s, 8)
+    except ValueError as e:
+        raise TarError(f"non-octal field {field!r}") from e
+
+
+def parse_tar(payload: bytes) -> list[dict]:
+    """Split a POSIX ustar archive into members:
+    [{name, size, typeflag, body}, ...]. Each member is a 512-byte
+    header (name, octal size, checksum over the header with the
+    checksum field blanked to spaces — verified) followed by the
+    body padded to a 512 boundary; the archive ends at two zero
+    blocks (or cleanly at end-of-bytes, the tolerant-reader
+    convention for concatenated shards)."""
+    b = bytes(payload)
+    out: list[dict] = []
+    pos = 0
+    while pos + 512 <= len(b):
+        hdr = b[pos : pos + 512]
+        if hdr == b"\x00" * 512:  # end-of-archive marker
+            break
+        declared = _tar_octal(hdr[148:156])
+        actual = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+        if declared != actual:
+            raise TarError(
+                f"header checksum {declared} != computed {actual} "
+                f"at offset {pos}"
+            )
+        size = _tar_octal(hdr[124:136])
+        name = hdr[0:100].split(b"\x00", 1)[0].decode("latin-1")
+        typeflag = chr(hdr[156]) if hdr[156] else "0"
+        body = b[pos + 512 : pos + 512 + size]
+        if len(body) < size:
+            raise TarError(f"truncated member body for {name!r}")
+        out.append(
+            {"name": name, "size": size, "typeflag": typeflag, "body": body}
+        )
+        pos += 512 + ((size + 511) // 512) * 512
+    return out
+
+
+_TAR_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("member_idx", T.LongType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("byte_sum", T.LongType(), False),
+    ]
+)
+
+
+def tar_member_stats(assets: DataFrame) -> DataFrame:
+    """Split TAR shards into members and emit per-member stats — the
+    WebDataset ingestion step: one mapInPandas pass, shard payloads
+    never shuffle; downstream samplers join on (asset_id, name)
+    groups (a WebDataset sample = adjacent members sharing a stem)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _TAR_SCHEMA}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for i, m in enumerate(parse_tar(bytes(payload))):
+                    rows["asset_id"].append(int(aid))
+                    rows["member_idx"].append(i)
+                    rows["name"].append(m["name"])
+                    rows["n_bytes"].append(m["size"])
+                    rows["byte_sum"].append(sum(m["body"]))
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _extract, schema=_TAR_SCHEMA
+    )
+
+
+TAR_BODY_N = 8
+
+
+def _tar_header_parts() -> tuple[bytes, bytes]:
+    """Constant header bytes around the two variable fields (name
+    and checksum): returns (after-name-to-checksum, after-checksum)."""
+    mid = bytearray()
+    mid += b"0000644\x00"  # mode
+    mid += b"0000000\x00" * 2  # uid, gid
+    mid += f"{TAR_BODY_N:011o}\x00".encode()  # size
+    mid += b"00000000000\x00"  # mtime
+    tail = bytearray()
+    tail += b"0"  # typeflag: regular file
+    tail += bytes(100)  # linkname
+    tail += b"ustar\x0000"  # magic + version (POSIX)
+    tail += bytes(32) + bytes(32)  # uname, gname
+    tail += b"0000000\x00" * 2  # devmajor, devminor
+    tail += bytes(155) + bytes(12)  # prefix + pad to 512
+    return bytes(mid), bytes(tail)
+
+
+def synth_tar_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): one-member ustar shards built byte-exactly
+    in SQL — member name 'doc<id>.txt', 8 formula body bytes, the
+    header CHECKSUM computed in SQL (constant byte sum + the ascii
+    digits of doc_id, rendered as 6 octal digits)."""
+    mid, tail = _tar_header_parts()
+    name_const = b"doc"
+    name_suffix = b".txt"
+    # checksum = sum over header with chksum field as 8 spaces
+    base = (
+        sum(name_const) + sum(name_suffix) + sum(mid) + 8 * 0x20 + sum(tail)
+    )
+    digitsum = (
+        "aggregate(sequence(1, length(cast(doc_id AS string))), 0, "
+        "(a, i) -> a + ascii(substring(cast(doc_id AS string), i, 1)))"
+    )
+    total = f"({base} + {digitsum})"
+    oct6 = ", ".join(
+        f"cast(({total} div {8 ** k}) % 8 AS string)" for k in range(5, -1, -1)
+    )
+    body = ", ".join(
+        f"char(97 + (doc_id * 3 + {j}) % 26)" for j in range(TAR_BODY_N)
+    )
+    name_pad = 100 - len(name_const) - len(name_suffix)  # minus digits
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(
+            "unhex(concat("
+            f"hex(encode(concat('doc', cast(doc_id AS string), '.txt'), 'UTF-8')), "
+            f"repeat('00', {name_pad} - length(cast(doc_id AS string))), "
+            f"'{mid.hex()}', "
+            f"hex(encode(concat({oct6}), 'UTF-8')), '0020', "
+            f"'{tail.hex()}', "
+            f"hex(encode(concat({body}), 'UTF-8')), "
+            f"repeat('00', 512 - {TAR_BODY_N}), "
+            f"repeat('00', 1024)"
+            "))"
+        ).alias("payload"),
+    )
+
+
+def tar_oracle_sql() -> str:
+    """Closed form: one member per shard, name from doc_id, byte sum
+    from the per-position formula."""
+    return f"""
+WITH b AS (
+  SELECT doc_id, sum(97 + (doc_id * 3 + j.j) % 26) AS s
+  FROM documents, UNNEST(generate_series(0, {TAR_BODY_N - 1})) AS j(j)
+  GROUP BY doc_id
+)
+SELECT doc_id AS asset_id, CAST(0 AS BIGINT) AS member_idx,
+  'doc' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+  CAST({TAR_BODY_N} AS BIGINT) AS n_bytes,
+  CAST(s AS BIGINT) AS byte_sum
+FROM b
+"""

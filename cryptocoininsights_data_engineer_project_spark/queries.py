@@ -1807,6 +1807,27 @@ def warc_multirecord(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "tar_extract",
+    webarchive.tar_oracle_sql(),
+    doc="POSIX ustar shard extraction — the WebDataset container "
+    "multimodal training corpora actually ship in (samples = "
+    "adjacent members of a TAR shard): 512-byte headers, octal "
+    "size fields, the header CHECKSUM verified against the "
+    "blanked-field sum, block padding, end-of-archive zero blocks "
+    "(operators/webarchive.py::parse_tar — byte arithmetic only, "
+    "stdlib-free, cross-checked against stdlib tarfile output both "
+    "directions in tests/test_webarchive.py). Fixtures build "
+    "spec-valid shards byte-exactly in SQL, including the checksum "
+    "(constant header sum + the ascii digits of doc_id rendered as "
+    "6 octal digits). One mapInPandas pass; shard payloads never "
+    "shuffle",
+)
+def tar_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return webarchive.tar_member_stats(webarchive.synth_tar_assets(docs))
+
+
+@_q(
     "multimodal_bmp_pixels",
     multimodal.bmp_pixels_oracle_sql(),
     doc="REAL BMP decode through the RLE8 compression path "

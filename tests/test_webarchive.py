@@ -797,3 +797,95 @@ def test_warc_html_text_honors_content_type_charset(spark):
     assets = spark.createDataFrame([(1, rec)], "asset_id LONG, payload BINARY")
     row = warc_html_text(assets).collect()[0]
     assert row.text == "café touché"
+
+
+# ------------------------------------------------------------- tar shards
+
+
+def _stdlib_tar(members):
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for name, data in members:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(data)
+            ti.mtime = 0
+            tf.addfile(ti, __import__("io").BytesIO(data))
+    return buf.getvalue()
+
+
+def test_parse_tar_matches_stdlib_encoder():
+    from cryptocoininsights_data_engineer_project_spark.operators.webarchive import (
+        parse_tar,
+    )
+
+    members = [
+        ("a.txt", b"hello world"),
+        ("dir/nested.bin", bytes(range(256)) * 3),
+        ("empty", b""),
+        ("exactly512", bytes(512)),
+    ]
+    ms = parse_tar(_stdlib_tar(members))
+    assert [(m["name"], m["body"]) for m in ms] == members
+    assert all(m["typeflag"] == "0" for m in ms)
+
+
+def test_parse_tar_concatenated_shards():
+    from cryptocoininsights_data_engineer_project_spark.operators.webarchive import (
+        parse_tar,
+    )
+
+    # two shards glued end-to-end... the first's zero-block terminator
+    # ends the walk (the WebDataset convention is one shard per file)
+    one = _stdlib_tar([("x", b"1")])
+    two = _stdlib_tar([("y", b"2")])
+    assert [m["name"] for m in parse_tar(one + two)] == ["x"]
+
+    def strip_term(blob):  # drop terminator + stdlib's 10240-recordsize pad
+        end = len(blob.rstrip(b"\x00"))
+        return blob[: ((end + 511) // 512) * 512]
+
+    stripped = strip_term(one) + strip_term(two)
+    assert [m["name"] for m in parse_tar(stripped)] == ["x", "y"]
+
+
+def test_parse_tar_gates():
+    from cryptocoininsights_data_engineer_project_spark.operators.webarchive import (
+        TarError,
+        parse_tar,
+    )
+
+    good = bytearray(_stdlib_tar([("a", b"abc")]))
+    bad = bytearray(good)
+    bad[0] ^= 0xFF  # corrupt the name -> checksum mismatch
+    with pytest.raises(TarError, match="checksum"):
+        parse_tar(bytes(bad))
+    bad2 = bytearray(good)
+    bad2[124:136] = b"zzzzzzzzzzz\x00"  # non-octal size
+    with pytest.raises(TarError, match="non-octal|checksum"):
+        parse_tar(bytes(bad2))
+    with pytest.raises(TarError, match="truncated"):
+        parse_tar(bytes(good[:514]))  # body cut off mid-member
+
+
+def test_synth_tar_fixture_is_stdlib_readable(spark):
+    import io
+    import tarfile
+
+    from cryptocoininsights_data_engineer_project_spark.operators.webarchive import (
+        synth_tar_assets,
+        tar_member_stats,
+    )
+
+    assets = synth_tar_assets(_docs(spark, 7))
+    for row in assets.collect():
+        with tarfile.open(fileobj=io.BytesIO(bytes(row.payload))) as tf:
+            names = tf.getnames()
+            assert names == [f"doc{row.asset_id}.txt"]
+            data = tf.extractfile(names[0]).read()
+            assert len(data) == 8
+    got = {r.asset_id: r.byte_sum for r in tar_member_stats(assets).collect()}
+    for d in range(7):
+        assert got[d] == sum(97 + (d * 3 + j) % 26 for j in range(8))
