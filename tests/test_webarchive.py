@@ -889,3 +889,47 @@ def test_synth_tar_fixture_is_stdlib_readable(spark):
     got = {r.asset_id: r.byte_sum for r in tar_member_stats(assets).collect()}
     for d in range(7):
         assert got[d] == sum(97 + (d * 3 + j) % 26 for j in range(8))
+
+
+def test_parse_tar_fuzz_never_crashes_untyped():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cryptocoininsights_data_engineer_project_spark.operators.webarchive import (
+        TarError,
+        parse_tar,
+    )
+
+    @settings(max_examples=250, deadline=None)
+    @given(st.binary(max_size=1100))
+    def run(blob):
+        try:
+            parse_tar(blob)
+        except TarError:
+            pass
+
+    run()
+
+
+def test_parse_tar_fuzz_valid_member_then_junk():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cryptocoininsights_data_engineer_project_spark.operators.webarchive import (
+        TarError,
+        parse_tar,
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.binary(min_size=1, max_size=60), st.binary(min_size=512, max_size=700))
+    def run(body, junk):
+        blob = _stdlib_tar([("f", body)])
+        end = len(blob.rstrip(b"\x00"))
+        blob = blob[: ((end + 511) // 512) * 512] + junk
+        try:
+            ms = parse_tar(blob)
+            assert ms[0]["body"] == body  # first member intact regardless
+        except TarError:
+            pass
+
+    run()
