@@ -27,7 +27,6 @@ DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as a ratio
 
 def pagerank(
     edges: DataFrame,
-    n_nodes: int,
     iterations: int = 4,
     checkpoint_every: int = 5,
 ) -> DataFrame:
@@ -45,24 +44,40 @@ def pagerank(
     patch); nodes with no inbound links still receive the teleport
     term via the left join.
 
+    Node identity is the edge key itself — host string, url hash,
+    any equality-comparable type. The node frame is derived FROM the
+    edges (``src ∪ dst`` distinct) rather than ``spark.range(N)``,
+    so no dense 0..N-1 id assignment exists anywhere: the web-scale
+    alternative (a ``row_number`` over all distinct hosts) is a
+    single-partition sort over 10⁸–10⁹ rows. N itself — only needed
+    for the two teleport constants — is one counted scalar.
+
     Physical shape: the edge list materializes ONCE (localCheckpoint
     — each round joins it, and an unpinned plan would re-derive the
-    edges from the corpus every iteration); per round: one equi-join
-    of the (|nodes|-sized) rank table onto the edges and one groupBy
-    dst — the rank side is the small one, AQE broadcast-converts it
-    when |nodes| allows, else it's a co-partitioned shuffle join. The
-    driver never sees per-node data; K is a parameter, so lineage
-    stays bounded without iteration-count surprises. Ranks
-    re-checkpoint every ``checkpoint_every`` rounds: each skipped
-    checkpoint saves one job's scheduling round-trip (~0.5 s
-    measured at fixture scale), while the cadence still bounds plan
-    depth for long runs — a K<=4 call plans as one shallow tree."""
+    edges from the corpus every iteration); the node frame likewise
+    (it seeds every round's left join and the count() already runs a
+    job). Per round: one equi-join of the (|nodes|-sized) rank table
+    onto the edges and one groupBy dst — the rank side is the small
+    one, AQE broadcast-converts it when |nodes| allows, else it's a
+    co-partitioned shuffle join. The driver never sees per-node data;
+    K is a parameter, so lineage stays bounded without
+    iteration-count surprises. Ranks re-checkpoint every
+    ``checkpoint_every`` rounds: each skipped checkpoint saves one
+    job's scheduling round-trip (~0.5 s measured at fixture scale),
+    while the cadence still bounds plan depth for long runs — a K<=4
+    call plans as one shallow tree."""
     e = edges.select("src", "dst").distinct().localCheckpoint()
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    nodes = e.sparkSession.range(n_nodes).selectExpr("id AS node")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()  # one scalar: the teleport denominator
     base = PPB // n_nodes
     teleport = (PPB - (DAMP_NUM * PPB) // DAMP_DEN) // n_nodes
-    ranks = nodes.select("node", F.lit(base).alias("rank_ppb"))
+    ranks = nodes.select("node", F.lit(base).cast("long").alias("rank_ppb"))
     for i in range(1, iterations + 1):
         contrib = (
             e.join(ranks, e.src == ranks.node)
@@ -88,18 +103,21 @@ def pagerank(
     return ranks
 
 
-def pagerank_oracle_sql(
-    edges_sql: str, n_nodes: int, iterations: int = 4
-) -> str:
+def pagerank_oracle_sql(edges_sql: str, iterations: int = 4) -> str:
     """Unrolled-iteration DuckDB twin (the ema_macd pattern): one CTE
-    block per round, identical integer arithmetic."""
-    base = PPB // n_nodes
-    teleport = (PPB - (DAMP_NUM * PPB) // DAMP_DEN) // n_nodes
+    block per round, identical integer arithmetic. Mirrors the
+    operator exactly: the node set is src ∪ dst from the edges (no
+    generate_series — node identity is the edge key, any type), and
+    the two teleport constants divide by the counted |nodes| (DuckDB
+    ``//`` and Python ``//`` agree on positive BIGINTs)."""
+    damp_ppb = (DAMP_NUM * PPB) // DAMP_DEN
     blocks = [
         f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
         "od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
-        f"n AS (SELECT unnest(generate_series(0, {n_nodes - 1})) AS node)",
-        f"r0 AS (SELECT node, CAST({base} AS BIGINT) AS rank_ppb FROM n)",
+        "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"k AS (SELECT CAST({PPB} // count(*) AS BIGINT) AS base, "
+        f"CAST({PPB - damp_ppb} // count(*) AS BIGINT) AS tele FROM n)",
+        "r0 AS (SELECT node, (SELECT base FROM k) AS rank_ppb FROM n)",
     ]
     for i in range(1, iterations + 1):
         p = i - 1
@@ -110,7 +128,7 @@ def pagerank_oracle_sql(
             "JOIN od ON e.src = od.src GROUP BY e.dst)"
         )
         blocks.append(
-            f"r{i} AS (SELECT n.node, CAST({teleport} "
+            f"r{i} AS (SELECT n.node, CAST((SELECT tele FROM k) "
             f"+ ({DAMP_NUM} * coalesce(c.inflow, 0)) // {DAMP_DEN} "
             f"AS BIGINT) AS rank_ppb "
             f"FROM n LEFT JOIN c{i} c ON n.node = c.node)"

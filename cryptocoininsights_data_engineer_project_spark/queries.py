@@ -1459,7 +1459,7 @@ _PR_EDGES_SQL = (
 
 @_q(
     "pagerank_hosts",
-    graph.pagerank_oracle_sql(_PR_EDGES_SQL, _PR_HOSTS, 4),
+    graph.pagerank_oracle_sql(_PR_EDGES_SQL, 4),
     doc="PageRank host authority — the canonical crawl-prioritization "
     "/ corpus-quality-weighting graph signal (Page et al. 1999): 4 "
     "damped iterations over the host link graph derived from the "
@@ -1470,9 +1470,12 @@ _PR_EDGES_SQL = (
     "materialize once, each round is one rank⋈edges equi-join (the "
     "rank side is |hosts|-sized — AQE broadcasts it) + one groupBy "
     "dst; ranks re-checkpoint on a cadence (none needed at K=4 — "
-    "the run plans as one shallow tree). "
+    "the run plans as one shallow tree). The node frame derives "
+    "from the edges (src ∪ dst distinct) — no dense-id assignment "
+    "and no spark.range(N) exists anywhere, so nothing sorts the "
+    "host universe on one partition. "
     "Oracle is the unrolled 4-round CTE chain with identical "
-    "integer arithmetic",
+    "integer arithmetic over the same edge-derived node set",
 )
 def pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -1485,7 +1488,7 @@ def pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(doc_id * 11 + 5) % {_PR_HOSTS} AS dst",
         )
     )
-    return graph.pagerank(edges, _PR_HOSTS, 4)
+    return graph.pagerank(edges, 4)
 
 
 @_q(
@@ -1510,12 +1513,14 @@ def html_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _link_pr_oracle() -> str:
     h = webarchive.LINK_HOSTS
     edges_sql = (
-        f"SELECT doc_id % {h} AS src, (doc_id * 3 + 1) % {h} AS dst "
+        f"SELECT 'h' || CAST(doc_id % {h} AS VARCHAR) || '.net' AS src, "
+        f"'h' || CAST((doc_id * 3 + 1) % {h} AS VARCHAR) || '.net' AS dst "
         "FROM documents "
-        f"UNION ALL SELECT doc_id % {h}, (doc_id * 5 + 2) % {h} "
+        f"UNION ALL SELECT 'h' || CAST(doc_id % {h} AS VARCHAR) || '.net', "
+        f"'h' || CAST((doc_id * 5 + 2) % {h} AS VARCHAR) || '.net' "
         "FROM documents"
     )
-    return graph.pagerank_oracle_sql(edges_sql, h, 4)
+    return graph.pagerank_oracle_sql(edges_sql, 4)
 
 
 @_q(
@@ -1525,40 +1530,24 @@ def _link_pr_oracle() -> str:
     "link extraction → absolute-link host edges → integer-ppb "
     "PageRank — raw crawl bytes in, host authority out, each stage "
     "the already-oracle-checked operator (warc_html_links, the "
-    "url host pull, graph.pagerank). Host→node-id mapping is a "
-    "row_number over the DISTINCT host table (bounded here; at "
-    "crawl scale that table is big and the id assignment goes "
-    "through the distributed prefix scan instead — documented "
-    "seam). The oracle re-derives the same edges closed-form and "
-    "runs the same unrolled integer recurrence",
+    "url host pull, graph.pagerank). Node identity IS the host "
+    "string — no dense host→id assignment exists (the old "
+    "row_number-over-distinct-hosts was a single-partition sort "
+    "over the host universe; at crawl scale that's 10⁸–10⁹ rows "
+    "through one task). The oracle re-derives the same host-string "
+    "edges closed-form and runs the same unrolled integer "
+    "recurrence keyed by host",
 )
 def warc_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = _t(spark, sf_dir, "documents")
     links = webarchive.warc_html_links(
         webarchive.synth_warc_linked_assets(docs)
     )
-    edges_h = links.filter(F.col("href").startswith("http://")).selectExpr(
-        f"{textops.spark_url_host('base_url')} AS src_host",
-        f"{textops.spark_url_host('href')} AS dst_host",
+    edges = links.filter(F.col("href").startswith("http://")).selectExpr(
+        f"{textops.spark_url_host('base_url')} AS src",
+        f"{textops.spark_url_host('href')} AS dst",
     )
-    hosts = (
-        edges_h.selectExpr("src_host AS host")
-        .unionByName(edges_h.selectExpr("dst_host AS host"))
-        .distinct()
-    )
-    ids = hosts.withColumn(
-        "node", F.row_number().over(Window.orderBy("host")) - 1
-    )
-    edges = (
-        edges_h.join(ids.withColumnRenamed("host", "src_host"), "src_host")
-        .withColumnRenamed("node", "src")
-        .join(ids.withColumnRenamed("host", "dst_host"), "dst_host")
-        .withColumnRenamed("node", "dst")
-        .select("src", "dst")
-    )
-    return graph.pagerank(edges, webarchive.LINK_HOSTS, 4)
+    return graph.pagerank(edges, 4)
 
 
 @_q(

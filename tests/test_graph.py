@@ -9,11 +9,15 @@ from cryptocoininsights_data_engineer_project_spark.operators.graph import (
 
 
 def _ranks(spark, edges, n, iters=4):
+    # n is the expected node count — every test graph covers all its
+    # nodes as edge endpoints, so the edge-derived node frame equals
+    # range(n); the assertion pins that assumption.
     df = spark.createDataFrame(edges, ["src", "dst"])
-    return {
-        r.node: r.rank_ppb
-        for r in pagerank(df, n, iterations=iters).collect()
+    got = {
+        r.node: r.rank_ppb for r in pagerank(df, iterations=iters).collect()
     }
+    assert set(got) == set(range(n))
+    return got
 
 
 def test_cycle_stays_uniform(spark):

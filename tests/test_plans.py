@@ -129,6 +129,18 @@ def test_no_nested_loop_joins(spark, name):
     assert _nodes(p, "CartesianProduct") == 0, name
 
 
+@pytest.mark.parametrize("name", ["pagerank_hosts", "warc_link_pagerank"])
+def test_pagerank_has_no_window_sort(spark, name):
+    """The pagerank queries must not contain a WindowExec anywhere:
+    the retired host→id assignment was a partition-less
+    row_number().over(Window.orderBy(host)) — a single task sorting
+    the whole host universe (10⁸–10⁹ rows at crawl scale). Node
+    identity is now the edge key itself, so no Window (and no dense
+    id) belongs in either plan."""
+    p = _plan(spark, name)
+    assert _nodes(p, "Window") == 0, name
+
+
 def test_bloom_filter_injects_on_shuffle_join(spark):
     """Runtime bloom-filter pruning: when the selective side can't
     broadcast, its join keys reach the big side's scan as a
