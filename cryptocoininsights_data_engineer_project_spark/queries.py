@@ -3222,16 +3222,38 @@ def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "approx_distinct",
-    None,  # HLL sketches differ across engines — rows-only check
-    doc="A2b: approx_count_distinct (HyperLogLog++) — the at-scale "
-    "form of distinct counting; no oracle (sketch values are "
-    "engine-specific by construction)",
+    """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS est_within_bound
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="A2b: approx_count_distinct (HyperLogLog++, rsd=0.02) — the "
+    "at-scale form of distinct counting. The HLL estimate itself is "
+    "engine-specific (sketch hash functions differ), so the query "
+    "emits the accuracy CONTRACT instead of the raw estimate: "
+    "est_within_bound := |estimate − exact| ≤ max(3·rsd·exact, 8), "
+    "computed in-query against the exact distinct count. The oracle "
+    "states exact counts plus TRUE — any group where Spark's sketch "
+    "drifts outside 3σ of its configured relative standard "
+    "deviation hash-mismatches. HLL merge is a register-wise max, "
+    "so the estimate is partitioning- and order-independent: the "
+    "boolean is deterministic, not flaky",
 )
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("est"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    ).select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("est") - F.col("exact_parts"))
+            <= F.greatest(
+                F.ceil(F.col("exact_parts") * 3 * 0.02), F.lit(8)
+            )
+        ).alias("est_within_bound"),
     )
 
 
