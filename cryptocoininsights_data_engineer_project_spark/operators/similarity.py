@@ -1061,34 +1061,48 @@ def kmeans_assign(
     k: int = 8,
     max_iters: int = 5,
 ) -> DataFrame:
-    """(vec_id, centroid_id, dist): coarse-quantizer training — the
-    part ``ivf_topk`` takes as given (its ``label`` column). Lloyd's
-    algorithm, shuffle-free:
+    """(vec_id, centroid_id, dist_micro2): coarse-quantizer training —
+    the part ``ivf_topk`` takes as given (its ``label`` column).
+    Lloyd's algorithm, shuffle-free AND engine-exact:
 
+    - quantization: each component becomes an int64 micro-unit,
+      ``floor(x * 1e6)``, computed JVM-side — the same double input
+      bits give the same integer in any engine, and from there every
+      distance, sum, and centroid is INTEGER arithmetic: argmin ties,
+      means (truncating division), and the output d2 are
+      order-independent and bit-identical to the DuckDB oracle
+      (house rule — float Lloyd's sums in partition order and would
+      drift in the last ulps);
     - init: k deterministic seed vectors — the k smallest by
-      xxhash64(vec_id), a uniform sample that needs no id contiguity;
-    - per iteration: centroids broadcast as one numpy array; a single
-      ``mapInPandas`` pass assigns every vector (vectorized argmin of
-      squared distance, ties to the lowest centroid id) and emits only
-      per-partition PARTIAL SUMS — k x (64 + 1) floats per partition,
-      regardless of data size. The driver combines the k x P partials,
-      forms new means (empty clusters keep their old centroid), and
-      checks movement — no shuffle, no join, no extra convergence job;
-    - final pass: same broadcast-assign, emitting the assignment rows.
+      md5-of-id (spark_hash64, the cross-engine hash), a uniform
+      sample that needs no id contiguity;
+    - per iteration: centroids broadcast as one numpy int64 array; a
+      single ``mapInPandas`` pass assigns every vector (vectorized
+      argmin of integer squared distance, ties to the lowest centroid
+      id) and emits only per-partition PARTIAL SUMS — k x (dim + 1)
+      int64 per partition, regardless of data size. The driver
+      combines the k x P partials, forms new means by truncating
+      integer division (empty clusters keep their old centroid), and
+      checks movement — no shuffle, no join, no extra convergence
+      job;
+    - final pass: same broadcast-assign, emitting the assignment rows
+      with the exact integer squared distance in micro² units.
 
     At 100 TB each iteration is one scan at memory bandwidth with
-    k*65*P floats of driver traffic; the old crossJoin+window form
-    amplified the data k-fold through a shuffle per iteration.
-    Iterative and therefore not SQL-expressible in one query — the
-    driver records a rows-only check for the registry entry; unit
-    tests assert the invariants (determinism, all-assigned,
-    objective non-increasing).
+    k*(dim+1)*P int64 of driver traffic; the old crossJoin+window
+    form amplified the data k-fold through a shuffle per iteration.
+    The iterations unroll into the oracle as one CTE block per round
+    (``kmeans_oracle_sql``) — same seeds, same integer recurrence.
     """
     import numpy as np
     import pandas as pd
 
     n = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        "vec_id",
+        F.expr(
+            "transform(cast(embedding AS array<double>), "
+            "x -> cast(floor(x * 1000000) AS bigint))"
+        ).alias("q"),
     ).localCheckpoint()
     # Seed selection must not assume contiguous 0-based vec_ids: hash-
     # rank the ids and take the k smallest — a deterministic uniform
@@ -1096,16 +1110,17 @@ def kmeans_assign(
     # top-k, no global sort shuffle). With fewer than k vectors we
     # train that many centroids; every array below is sized from the
     # ACTUAL seed count, never the requested k.
+    h = F.expr(spark_hash64("CAST(vec_id AS STRING)"))
     seeds = (
-        n.withColumn("__h", F.xxhash64("vec_id"))
+        n.withColumn("__h", h)
         .orderBy("__h", "vec_id")
         .limit(k)
-        .select("emb")
+        .select("q")
         .collect()
     )
     if not seeds:
         raise ValueError("kmeans_assign: embeddings input is empty")
-    cents = np.stack([r.emb for r in seeds])
+    cents = np.stack([np.asarray(r.q, dtype=np.int64) for r in seeds])
     k = cents.shape[0]
     sc = embeddings.sparkSession.sparkContext
 
@@ -1115,12 +1130,12 @@ def kmeans_assign(
         def partial_sums(batches):
             c = bc.value
             kk, dim = c.shape
-            sums = np.zeros((kk, dim))
+            sums = np.zeros((kk, dim), dtype=np.int64)
             counts = np.zeros(kk, dtype=np.int64)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                m = np.stack(pdf["emb"].to_numpy())
+                m = np.stack(pdf["q"].to_numpy()).astype(np.int64)
                 d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(-1)
                 cid = d2.argmin(1)  # ties -> lowest centroid id
                 np.add.at(sums, cid, m)
@@ -1134,16 +1149,20 @@ def kmeans_assign(
             )
 
         partials = n.mapInPandas(
-            partial_sums, "cid long, s array<double>, cnt long"
+            partial_sums, "cid long, s array<long>, cnt long"
         ).collect()
         sums = np.zeros_like(cents)
         counts = np.zeros(k, dtype=np.int64)
         for r in partials:
-            sums[r.cid] += np.asarray(r.s)
+            sums[r.cid] += np.asarray(r.s, dtype=np.int64)
             counts[r.cid] += r.cnt
         new_cents = cents.copy()  # empty clusters keep their centroid
         nonempty = counts > 0
-        new_cents[nonempty] = sums[nonempty] / counts[nonempty, None]
+        # truncating (toward-zero) division — matches DuckDB BIGINT //
+        # and Spark div; numpy // floors, so route through abs
+        new_cents[nonempty] = np.sign(sums[nonempty]) * (
+            np.abs(sums[nonempty]) // counts[nonempty, None]
+        )
         moved = not np.array_equal(new_cents, cents)
         cents = new_cents
         if not moved:
@@ -1156,20 +1175,85 @@ def kmeans_assign(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            m = np.stack(pdf["emb"].to_numpy())
+            m = np.stack(pdf["q"].to_numpy()).astype(np.int64)
             d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(-1)
             cid = d2.argmin(1)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
                     "centroid_id": cid,
-                    "dist": _round_half_away(
-                        np.sqrt(d2[np.arange(len(cid)), cid]), 6
-                    ),
+                    "dist_micro2": d2[np.arange(len(cid)), cid],
                 }
             )
 
-    return n.mapInPandas(assign, "vec_id long, centroid_id long, dist double")
+    return n.mapInPandas(
+        assign, "vec_id long, centroid_id long, dist_micro2 long"
+    )
+
+
+def kmeans_oracle_sql(k: int = 8, max_iters: int = 5) -> str:
+    """DuckDB twin of :func:`kmeans_assign` — the Lloyd's rounds
+    unrolled as a CTE chain over the SAME integer-micro recurrence:
+    floor(x*1e6) quantization, md5-seeded init, integer squared
+    distances (exact: |q| <= ~6e5 so every dot-product term and sum
+    stays far below 2^53 — DuckDB's double list_dot_product is exact
+    on them), truncating-division means, ties to the lowest cid.
+    Early convergence on the Spark side is idempotent here: once
+    centroids are a fixed point, every further unrolled round
+    reproduces them."""
+    from ..functions.hashing import duck_hash64
+
+    dh = duck_hash64("CAST(vec_id AS VARCHAR)")
+    d2 = (
+        "CAST(v.qq - 2 * list_dot_product(v.q, c.cent) "
+        "+ list_dot_product(c.cent, c.cent) AS BIGINT)"
+    )
+    ctes = [
+        "e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), "
+        "x -> CAST(floor(x * 1000000) AS BIGINT)) AS q FROM embeddings)",
+        "v AS (SELECT vec_id, q, "
+        "CAST(list_dot_product(q, q) AS BIGINT) AS qq FROM e)",
+        f"seed_sel AS (SELECT vec_id, q FROM v ORDER BY {dh}, vec_id "
+        f"LIMIT {k})",
+        f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY {dh}, vec_id) "
+        "- 1 AS BIGINT) AS cid, q AS cent FROM seed_sel)",
+    ]
+    prev = "c0"
+    for i in range(1, max_iters + 1):
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, q, cid FROM ("
+            "SELECT v.vec_id, v.q, c.cid, "
+            f"row_number() OVER (PARTITION BY v.vec_id "
+            f"ORDER BY {d2} ASC, c.cid ASC) AS rn "
+            f"FROM v CROSS JOIN {prev} c) WHERE rn = 1)"
+        )
+        # truncating mean per component; empty clusters keep their
+        # previous centroid via the left join
+        ctes.append(
+            f"m{i} AS (SELECT cid, array_agg(cm ORDER BY i) AS cent "
+            "FROM (SELECT cid, i, "
+            "CASE WHEN sum(q[i]) < 0 THEN -((-sum(q[i])) // count(*)) "
+            "ELSE sum(q[i]) // count(*) END AS cm "
+            f"FROM a{i}, UNNEST(generate_series(1, len(q))) AS g(i) "
+            "GROUP BY cid, i) GROUP BY cid)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT p.cid, coalesce(m.cent, p.cent) AS cent "
+            f"FROM {prev} p LEFT JOIN m{i} m ON p.cid = m.cid)"
+        )
+        prev = f"c{i}"
+    ctes.append(
+        "af AS (SELECT vec_id, cid, d2 FROM ("
+        f"SELECT v.vec_id, c.cid, {d2} AS d2, "
+        f"row_number() OVER (PARTITION BY v.vec_id "
+        f"ORDER BY {d2} ASC, c.cid ASC) AS rn "
+        f"FROM v CROSS JOIN {prev} c) WHERE rn = 1)"
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + " SELECT vec_id, cid AS centroid_id, d2 AS dist_micro2 FROM af"
+    )
 
 
 def ivf_topk_oracle_sql(

@@ -3211,10 +3211,17 @@ def geomean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "similarity_kmeans_ivf",
-    None,  # iterative (Lloyd's) — not single-query SQL; rows-only check
-    doc="IVF coarse-quantizer training: k-means over DataFrames "
-    "(broadcast-centroid assign + grouped mean update); iterative, "
-    "so rows-only check — invariants unit-tested",
+    similarity.kmeans_oracle_sql(k=8, max_iters=3),
+    doc="IVF coarse-quantizer training: shuffle-free Lloyd's over "
+    "mapInPandas partial sums — and fully oracle-backed, because "
+    "the whole recurrence runs in INTEGER micro-units "
+    "(floor(x*1e6) quantization, integer squared distances, "
+    "truncating-division means, md5-seeded init): "
+    "order-independent, so the unrolled-CTE DuckDB twin "
+    "(operators/similarity.py::kmeans_oracle_sql) matches "
+    "bit-for-bit despite the iterative shape. Output is "
+    "(vec_id, centroid_id, dist_micro2) with the exact integer "
+    "squared distance",
 )
 def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_assign(_t(spark, sf_dir, "embeddings"), k=8, max_iters=3)

@@ -1,4 +1,5 @@
-"""k-means IVF quantizer invariants (iterative op — no SQL oracle)."""
+"""k-means IVF quantizer invariants (the full cross-engine check is
+the unrolled-CTE oracle in tests/test_oracle_parity.py)."""
 
 from __future__ import annotations
 
@@ -21,7 +22,7 @@ def test_kmeans_assignment_invariants(spark, sf_dir):
     clusters = {r["centroid_id"] for r in rows}
     assert len(clusters) >= 4
     assert all(0 <= c < 8 for c in clusters)
-    assert all(r["dist"] >= 0 for r in rows)
+    assert all(r["dist_micro2"] >= 0 for r in rows)
 
 
 def test_kmeans_deterministic(spark, sf_dir):
@@ -35,12 +36,12 @@ def test_kmeans_improves_over_init(spark, sf_dir):
     em = table(spark, sf_dir, "embeddings")
     d0 = (
         kmeans_assign(em, k=8, max_iters=0)
-        .agg(F.sum(F.col("dist") * F.col("dist")))
+        .agg(F.sum("dist_micro2"))
         .first()[0]
     )
     d3 = (
         kmeans_assign(em, k=8, max_iters=3)
-        .agg(F.sum(F.col("dist") * F.col("dist")))
+        .agg(F.sum("dist_micro2"))
         .first()[0]
     )
     assert d3 <= d0  # Lloyd's objective is non-increasing
