@@ -9711,6 +9711,40 @@ def duplicate_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "dedup_incremental",
+    f"""
+WITH {dedup._minhash_cte_chain()}
+SELECT doc_a, doc_b FROM cand
+WHERE doc_a % 3 = 0 OR doc_b % 3 = 0
+""",
+    doc="Incremental cross-run dedup, driver-checkable: the 100 TB "
+    "operating mode where already-ingested text is fingerprinted "
+    "ONCE and every new batch probes the persisted band index "
+    "instead of re-reading petabytes. Fixture: docs with "
+    "doc_id % 3 != 0 are the indexed prior corpus "
+    "(operators/dedup.py::write_fingerprint_index — band rows only, "
+    "no text), docs with doc_id % 3 = 0 arrive as the new batch "
+    "(incremental_dedup_pairs: index-probe equi-join on "
+    "(band_id, band_hash) + batch-internal banding, one batch scan). "
+    "The oracle states the union-equivalence invariant directly: "
+    "one-shot MinHash banding over the WHOLE corpus, restricted to "
+    "pairs that involve a batch document — per-document band "
+    "fingerprints mean batching can neither create nor destroy "
+    "collisions, so both sides are equal by construction and any "
+    "drift in the index write/probe path hash-mismatches",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.filter(F.expr("doc_id % 3 != 0"))
+    batch = docs.filter(F.expr("doc_id % 3 = 0"))
+    idx_path = tempfile.mkdtemp(prefix="sparkgraft_dedup_idx_")
+    dedup.write_fingerprint_index(seen, idx_path, mode="overwrite")
+    return dedup.incremental_dedup_pairs(spark, batch, idx_path)
+
+
 # ---------------------------------------------------------------- exports
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
