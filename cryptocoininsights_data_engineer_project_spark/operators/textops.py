@@ -1495,11 +1495,16 @@ def lang_id_ngram(docs: DataFrame, k: int = NGRAM_LANG_K) -> DataFrame:
     )
 
 
-def lang_id_ngram_oracle_sql(k: int = NGRAM_LANG_K) -> str:
+def lang_id_ngram_oracle_sql(
+    k: int = NGRAM_LANG_K, source_sql: str = "documents"
+) -> str:
+    """``source_sql`` lets a fixture CTE stand in for the documents
+    table (same pattern as the URL fixture queries)."""
     return f"""
-WITH tri AS (
+WITH src AS (SELECT * FROM ({source_sql})),
+tri AS (
   SELECT doc_id, lang, substr(text, g.i, 3) AS tri
-  FROM documents,
+  FROM src,
        UNNEST(generate_series(1, greatest(length(text) - 2, 0))) AS g(i)
 ),
 cnts AS (
@@ -1522,5 +1527,5 @@ pred AS (
   FROM hits GROUP BY doc_id
 )
 SELECT d.doc_id, coalesce(p.lang_pred, 'unknown') AS lang_pred
-FROM documents d LEFT JOIN pred p USING (doc_id)
+FROM src d LEFT JOIN pred p USING (doc_id)
 """
