@@ -981,3 +981,285 @@ SELECT doc_id AS asset_id, CAST(0 AS BIGINT) AS member_idx,
   CAST(s AS BIGINT) AS byte_sum
 FROM b
 """
+
+
+# ------------------------------------------------------------- zip shards
+# TAR's sibling container: ZIP archives (PKWARE APPNOTE) — the shape
+# HuggingFace dataset downloads and WebDataset's zip variant ship in.
+# The walk is central-directory-driven (the authoritative member list
+# per spec), every structural invariant is verified (signatures,
+# local/central name agreement, sizes, CRC-32 of the inflated body),
+# and both compression methods that matter are decoded: 0 = stored
+# and 8 = DEFLATE (raw, via zlib with a negative window — the same
+# inflate the PNG decoder rides).
+
+
+class ZipError(ValueError):
+    """Malformed ZIP archive structure."""
+
+
+def parse_zip(payload: bytes) -> list[dict]:
+    """Split a ZIP archive into members in central-directory order:
+    [{name, method, body}, ...].
+
+    End-of-central-directory is located by backwards signature scan
+    within the spec's maximum tail (22-byte record + 65535-byte
+    comment); multi-disk archives and encrypted members are rejected;
+    each member's local header must agree with its central entry on
+    the name; stored members must satisfy csize == usize; DEFLATE
+    members inflate as raw streams; and the decompressed body must
+    match both the declared uncompressed size and the CRC-32."""
+    b = bytes(payload)
+    pos = b.rfind(b"PK\x05\x06", max(0, len(b) - 65557))
+    if pos < 0:
+        raise ZipError("missing end-of-central-directory signature")
+    if pos + 22 > len(b):
+        raise ZipError("truncated end-of-central-directory record")
+    disk, cd_disk, n_disk, n_total, cd_size, cd_off, _clen = struct.unpack(
+        "<HHHHIIH", b[pos + 4 : pos + 22]
+    )
+    if disk != 0 or cd_disk != 0 or n_disk != n_total:
+        raise ZipError("multi-disk archives unsupported")
+    if cd_off + cd_size > len(b):
+        raise ZipError("central directory out of range")
+    out: list[dict] = []
+    p = cd_off
+    for _ in range(n_total):
+        if p + 46 > len(b):
+            raise ZipError("truncated central-directory entry")
+        if b[p : p + 4] != b"PK\x01\x02":
+            raise ZipError(f"bad central-directory signature at {p}")
+        (
+            _vmade,
+            _vneed,
+            flags,
+            method,
+            _mtime,
+            _mdate,
+            crc,
+            csize,
+            usize,
+            nlen,
+            elen,
+            clen,
+            _dno,
+            _iattr,
+            _eattr,
+            lfh_off,
+        ) = struct.unpack("<HHHHHHIIIHHHHHII", b[p + 4 : p + 46])
+        name = b[p + 46 : p + 46 + nlen]
+        if len(name) < nlen:
+            raise ZipError("truncated member name")
+        p += 46 + nlen + elen + clen
+        if flags & 0x1:
+            raise ZipError(f"encrypted member {name!r}")
+        if method not in (0, 8):
+            raise ZipError(f"unsupported compression method {method}")
+        lp = lfh_off
+        if lp + 30 > len(b):
+            raise ZipError("truncated local file header")
+        if b[lp : lp + 4] != b"PK\x03\x04":
+            raise ZipError(f"bad local-header signature at {lp}")
+        lnlen, lelen = struct.unpack("<HH", b[lp + 26 : lp + 30])
+        lname = b[lp + 30 : lp + 30 + lnlen]
+        if lname != name:
+            raise ZipError(
+                f"local/central name mismatch: {lname!r} != {name!r}"
+            )
+        data_start = lp + 30 + lnlen + lelen
+        data = b[data_start : data_start + csize]
+        if len(data) < csize:
+            raise ZipError(f"truncated member data for {name!r}")
+        if method == 0:
+            if csize != usize:
+                raise ZipError(f"stored-member size mismatch for {name!r}")
+            body = data
+        else:
+            try:
+                d = zlib.decompressobj(-15)  # raw DEFLATE
+                body = d.decompress(data) + d.flush()
+            except zlib.error as e:
+                raise ZipError(f"bad DEFLATE stream in {name!r}: {e}") from e
+        if len(body) != usize:
+            raise ZipError(
+                f"inflated size {len(body)} != declared {usize} "
+                f"for {name!r}"
+            )
+        if zlib.crc32(body) & 0xFFFFFFFF != crc:
+            raise ZipError(f"CRC-32 mismatch for {name!r}")
+        out.append(
+            {"name": name.decode("latin-1"), "method": method, "body": body}
+        )
+    return out
+
+
+_ZIP_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("member_idx", T.LongType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("method", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("byte_sum", T.LongType(), False),
+    ]
+)
+
+
+def zip_member_stats(assets: DataFrame) -> DataFrame:
+    """Split ZIP shards into members and emit per-member stats —
+    same contract as ``tar_member_stats``: one mapInPandas pass,
+    shard payloads never shuffle; a CRC or structure violation fails
+    the task loudly (quarantine upstream, not silently here)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _ZIP_SCHEMA}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for i, m in enumerate(parse_zip(bytes(payload))):
+                    rows["asset_id"].append(int(aid))
+                    rows["member_idx"].append(i)
+                    rows["name"].append(m["name"])
+                    rows["method"].append(m["method"])
+                    rows["n_bytes"].append(len(m["body"]))
+                    rows["byte_sum"].append(sum(m["body"]))
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _extract, schema=_ZIP_SCHEMA
+    )
+
+
+ZIP_BODY_N = 8
+
+
+def _le_hex_expr(expr: str, nbytes: int) -> str:
+    """Spark SQL hex string (little-endian) of an integer expression."""
+    parts = ", ".join(
+        f"lpad(hex((({expr}) div {256 ** i}) % 256), 2, '0')"
+        for i in range(nbytes)
+    )
+    return f"concat({parts})"
+
+
+def _le_hex_const(value: int, nbytes: int) -> str:
+    return "".join(f"{(value >> (8 * i)) & 0xFF:02x}" for i in range(nbytes))
+
+
+def synth_zip_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): two-member ZIP shards built byte-exactly
+    in SQL — 'doc<id>.txt' STORED and 'doc<id>.bin' DEFLATE (a raw
+    final stored-DEFLATE block, the same SQL-buildable stream shape
+    the PNG fixtures use), each with its real CRC-32 computed by
+    Spark's crc32() inside the plan, full central directory, and
+    end-of-central-directory record. stdlib ``zipfile`` opens these
+    verbatim (tests)."""
+    n = "(7 + length(cast(doc_id AS string)))"  # member name length
+    name_txt = "concat('doc', cast(doc_id AS string), '.txt')"
+    name_bin = "concat('doc', cast(doc_id AS string), '.bin')"
+    body_a = "concat(" + ", ".join(
+        f"char(97 + (doc_id * 5 + {j}) % 26)" for j in range(ZIP_BODY_N)
+    ) + ")"
+    body_b = "concat(" + ", ".join(
+        f"char(97 + (doc_id * 7 + {j} + 2) % 26)" for j in range(ZIP_BODY_N)
+    ) + ")"
+    crc_a = f"crc32(encode({body_a}, 'UTF-8'))"
+    crc_b = f"crc32(encode({body_b}, 'UTF-8'))"
+    defl_n = ZIP_BODY_N + 5  # stored-DEFLATE block: 1 + 2 + 2 + body
+    lfh2_off = f"(30 + {ZIP_BODY_N} + {n})"
+    cd_off = f"(65 + 2 * {ZIP_BODY_N} + 2 * {n})"
+    cd_size = f"(92 + 2 * {n})"
+    usize4 = _le_hex_const(ZIP_BODY_N, 4)
+    # stored-DEFLATE stream header: final stored block, LEN, ~LEN
+    defl_hdr = "01" + _le_hex_const(ZIP_BODY_N, 2) + _le_hex_const(
+        ZIP_BODY_N ^ 0xFFFF, 2
+    )
+
+    def le(v: int) -> bytes:  # 2-byte little-endian, for header consts
+        return struct.pack("<H", v)
+
+    # fixed header prefixes, built with struct so every field is the
+    # spec's width: (version 20, flags 0, method, time 0, date
+    # 1980-01-01 = 0x0021)
+    lfh_pre = {
+        m: (b"PK\x03\x04" + le(20) + le(0) + le(m) + le(0) + le(0x21)).hex()
+        for m in (0, 8)
+    }
+    cdfh_pre = {
+        m: (
+            b"PK\x01\x02" + le(20) + le(20) + le(0) + le(m) + le(0) + le(0x21)
+        ).hex()
+        for m in (0, 8)
+    }
+    # extra-len, comment-len, disk#, internal attrs (2 bytes each) +
+    # external attrs (4 bytes), all zero
+    cdfh_mid = (le(0) * 4 + b"\x00" * 4).hex()
+    eocd_pre = (b"PK\x05\x06" + le(0) + le(0) + le(2) + le(2)).hex()
+    pieces = [
+        # ---- local header 1: stored
+        f"'{lfh_pre[0]}'",
+        _le_hex_expr(crc_a, 4),
+        f"'{usize4}{usize4}'",
+        _le_hex_expr(n, 2),
+        "'0000'",
+        f"hex(encode({name_txt}, 'UTF-8'))",
+        f"hex(encode({body_a}, 'UTF-8'))",
+        # ---- local header 2: DEFLATE
+        f"'{lfh_pre[8]}'",
+        _le_hex_expr(crc_b, 4),
+        f"'{_le_hex_const(defl_n, 4)}{usize4}'",
+        _le_hex_expr(n, 2),
+        "'0000'",
+        f"hex(encode({name_bin}, 'UTF-8'))",
+        f"'{defl_hdr}'",
+        f"hex(encode({body_b}, 'UTF-8'))",
+        # ---- central directory entry 1
+        f"'{cdfh_pre[0]}'",
+        _le_hex_expr(crc_a, 4),
+        f"'{usize4}{usize4}'",
+        _le_hex_expr(n, 2),
+        f"'{cdfh_mid}{_le_hex_const(0, 4)}'",  # lens/disk/attrs + offset
+        f"hex(encode({name_txt}, 'UTF-8'))",
+        # ---- central directory entry 2
+        f"'{cdfh_pre[8]}'",
+        _le_hex_expr(crc_b, 4),
+        f"'{_le_hex_const(defl_n, 4)}{usize4}'",
+        _le_hex_expr(n, 2),
+        f"'{cdfh_mid}'",
+        _le_hex_expr(lfh2_off, 4),
+        f"hex(encode({name_bin}, 'UTF-8'))",
+        # ---- end of central directory
+        f"'{eocd_pre}'",
+        _le_hex_expr(cd_size, 4),
+        _le_hex_expr(cd_off, 4),
+        "'0000'",
+    ]
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr("unhex(concat(" + ", ".join(pieces) + "))").alias("payload"),
+    )
+
+
+def zip_oracle_sql() -> str:
+    """Closed form: two members per shard (stored then DEFLATE), names
+    from doc_id, byte sums from the per-position formulas."""
+    return f"""
+WITH b0 AS (
+  SELECT doc_id, sum(97 + (doc_id * 5 + j.j) % 26) AS s
+  FROM documents, UNNEST(generate_series(0, {ZIP_BODY_N - 1})) AS j(j)
+  GROUP BY doc_id
+), b1 AS (
+  SELECT doc_id, sum(97 + (doc_id * 7 + j.j + 2) % 26) AS s
+  FROM documents, UNNEST(generate_series(0, {ZIP_BODY_N - 1})) AS j(j)
+  GROUP BY doc_id
+)
+SELECT doc_id AS asset_id, CAST(0 AS BIGINT) AS member_idx,
+  'doc' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+  CAST(0 AS BIGINT) AS method,
+  CAST({ZIP_BODY_N} AS BIGINT) AS n_bytes, CAST(s AS BIGINT) AS byte_sum
+FROM b0
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT),
+  'doc' || CAST(doc_id AS VARCHAR) || '.bin',
+  CAST(8 AS BIGINT), CAST({ZIP_BODY_N} AS BIGINT), CAST(s AS BIGINT)
+FROM b1
+"""

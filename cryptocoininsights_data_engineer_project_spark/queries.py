@@ -1894,6 +1894,29 @@ def tar_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "zip_extract",
+    webarchive.zip_oracle_sql(),
+    doc="ZIP shard extraction (PKWARE APPNOTE) — TAR's sibling "
+    "container and the shape HuggingFace dataset downloads ship "
+    "in: central-directory-driven member walk with every "
+    "structural invariant verified (signatures, local/central "
+    "name agreement, declared sizes, CRC-32 of the inflated "
+    "body), STORED and raw-DEFLATE members both decoded "
+    "(operators/webarchive.py::parse_zip; cross-checked against "
+    "stdlib zipfile both directions in tests/test_webarchive.py, "
+    "hypothesis-fuzzed to raise only ZipError). Fixtures build "
+    "spec-valid two-member archives byte-exactly in SQL — real "
+    "CRC-32s via Spark's crc32() inside the plan, a stored-"
+    "DEFLATE stream for the method-8 member — that stdlib "
+    "zipfile itself opens. One mapInPandas pass; shard payloads "
+    "never shuffle",
+)
+def zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return webarchive.zip_member_stats(webarchive.synth_zip_assets(docs))
+
+
+@_q(
     "multimodal_bmp_pixels",
     multimodal.bmp_pixels_oracle_sql(),
     doc="REAL BMP decode through the RLE8 compression path "

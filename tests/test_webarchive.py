@@ -623,6 +623,8 @@ def test_registry_warc_plans_have_no_shuffle(spark):
         "warc_multirecord",
         "html_text_extract",
         "text_gunzip",
+        "tar_extract",
+        "zip_extract",
     ):
         df = REGISTRY[name].fn(spark, "/root/testdata/sf0.001")
         buf = io.StringIO()
@@ -930,6 +932,165 @@ def test_parse_tar_fuzz_valid_member_then_junk():
             ms = parse_tar(blob)
             assert ms[0]["body"] == body  # first member intact regardless
         except TarError:
+            pass
+
+    run()
+
+
+# ------------------------------------------------------------- zip shards
+
+
+def _stdlib_zip(members, compress=False):
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    mode = zipfile.ZIP_DEFLATED if compress else zipfile.ZIP_STORED
+    with zipfile.ZipFile(buf, "w", compression=mode) as zf:
+        for name, data in members:
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+def test_parse_zip_matches_stdlib_encoder():
+    from cryptocoininsights_data_engineer_project_spark.operators.webarchive import (
+        parse_zip,
+    )
+
+    members = [
+        ("a.txt", b"hello world"),
+        ("dir/nested.bin", bytes(range(256)) * 3),
+        ("empty", b""),
+    ]
+    for compress in (False, True):
+        ms = parse_zip(_stdlib_zip(members, compress=compress))
+        assert [(m["name"], m["body"]) for m in ms] == members
+        want = 8 if compress else 0
+        # zipfile stores empty members uncompressed either way
+        assert all(
+            m["method"] == (want if m["body"] else m["method"])
+            for m in ms
+        )
+
+
+def test_parse_zip_gates():
+    import struct
+
+    from cryptocoininsights_data_engineer_project_spark.operators.webarchive import (
+        ZipError,
+        parse_zip,
+    )
+
+    good = _stdlib_zip([("a.txt", b"abcdefgh")])
+    with pytest.raises(ZipError, match="end-of-central-directory"):
+        parse_zip(good[: good.rfind(b"PK\x05\x06")])
+    bad = bytearray(good)
+    bad[30 + 5] ^= 0xFF  # flip a body byte under the stored member
+    with pytest.raises(ZipError, match="CRC-32"):
+        parse_zip(bytes(bad))
+    bad2 = bytearray(good)
+    bad2[0] ^= 0xFF  # local signature
+    with pytest.raises(ZipError, match="local-header signature"):
+        parse_zip(bytes(bad2))
+    # encrypted flag set in the central entry
+    cd = good.rfind(b"PK\x01\x02")
+    bad3 = bytearray(good)
+    bad3[cd + 8 : cd + 10] = struct.pack("<H", 0x1)
+    with pytest.raises(ZipError, match="encrypted"):
+        parse_zip(bytes(bad3))
+    # unsupported method in the central entry
+    bad4 = bytearray(good)
+    bad4[cd + 10 : cd + 12] = struct.pack("<H", 12)  # bzip2
+    with pytest.raises(ZipError, match="unsupported compression"):
+        parse_zip(bytes(bad4))
+
+
+def test_synth_zip_fixture_is_stdlib_readable(spark):
+    import io
+    import zipfile
+
+    from cryptocoininsights_data_engineer_project_spark.operators.webarchive import (
+        synth_zip_assets,
+        zip_member_stats,
+    )
+
+    assets = synth_zip_assets(_docs(spark, 7))
+    for row in assets.collect():
+        with zipfile.ZipFile(io.BytesIO(bytes(row.payload))) as zf:
+            assert zf.testzip() is None  # stdlib verifies every CRC
+            names = zf.namelist()
+            assert names == [
+                f"doc{row.asset_id}.txt",
+                f"doc{row.asset_id}.bin",
+            ]
+            infos = zf.infolist()
+            assert [i.compress_type for i in infos] == [0, 8]
+            a = zf.read(names[0])
+            b = zf.read(names[1])
+        d = row.asset_id
+        assert a == bytes(97 + (d * 5 + j) % 26 for j in range(8))
+        assert b == bytes(97 + (d * 7 + j + 2) % 26 for j in range(8))
+    got = {
+        (r.asset_id, r.member_idx): (r.name, r.method, r.n_bytes, r.byte_sum)
+        for r in zip_member_stats(assets).collect()
+    }
+    for d in range(7):
+        assert got[(d, 0)] == (
+            f"doc{d}.txt", 0, 8, sum(97 + (d * 5 + j) % 26 for j in range(8))
+        )
+        assert got[(d, 1)] == (
+            f"doc{d}.bin", 8, 8,
+            sum(97 + (d * 7 + j + 2) % 26 for j in range(8)),
+        )
+
+
+def test_parse_zip_fuzz_never_crashes_untyped():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cryptocoininsights_data_engineer_project_spark.operators.webarchive import (
+        ZipError,
+        parse_zip,
+    )
+
+    @settings(max_examples=250, deadline=None)
+    @given(st.binary(max_size=1100))
+    def run(blob):
+        try:
+            parse_zip(blob)
+        except ZipError:
+            pass
+
+    run()
+
+
+def test_parse_zip_fuzz_valid_archive_with_mutations():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cryptocoininsights_data_engineer_project_spark.operators.webarchive import (
+        ZipError,
+        parse_zip,
+    )
+
+    base = _stdlib_zip([("x.txt", b"payload bytes"), ("y", b"12")], True)
+
+    @settings(max_examples=250, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=len(base) - 1),
+        st.integers(min_value=1, max_value=255),
+    )
+    def run(i, x):
+        blob = bytearray(base)
+        blob[i] ^= x
+        try:
+            ms = parse_zip(bytes(blob))
+            # a surviving parse must still produce internally
+            # consistent members
+            for m in ms:
+                assert isinstance(m["name"], str)
+                assert m["method"] in (0, 8)
+        except ZipError:
             pass
 
     run()
