@@ -17,10 +17,11 @@ sequential** (SOF1, round 7): level shift 2048, clamp to 4095,
 high-byte chop to the uint8 contract — plus **arithmetic-coded
 sequential AND progressive** (SOF9/SOF10, round 8): the Annex
 D/F QM-coder with the F.1.4 DC/AC statistical models, DAC
-conditioning, and G.2's successive-approximation decision models.
-Lossless arithmetic, hierarchical modes, and 12-bit progressive
-raise NotImplementedError and remain what a cluster swaps in a
-libjpeg-backed callable for.
+conditioning, and G.2's successive-approximation decision models —
+plus **lossless arithmetic** (SOF11, round 9): the Annex H 2-D
+statistical model over the same QM coder. Hierarchical modes and
+12-bit progressive raise NotImplementedError and remain what a
+cluster swaps in a libjpeg-backed callable for.
 
 Decode stages, per the spec:
   segment parse (DQT/SOF0/SOF2/DHT/DRI/SOS, APPn/COM skipped)
@@ -185,12 +186,13 @@ def _extend(value: int, size: int) -> int:
 
 
 def decode_jpeg_lossless(payload: bytes):
-    """Decode a LOSSLESS (SOF3) JPEG to (width, height, channels,
+    """Decode a LOSSLESS (SOF3 Huffman or SOF11 arithmetic) JPEG to
+    (width, height, channels,
     samples) with samples an int32 ndarray of shape (h, w, channels)
     holding the exact reconstructed values at full precision (2-16
     bits, point transform applied) — the DICOM/medical contract where
     chopping to 8 bits would defeat the format's purpose. Raises
-    JpegError if the payload is not an SOF3 stream."""
+    JpegError if the payload is not a lossless stream."""
     data = bytes(payload)
     if data[:2] != b"\xff\xd8":
         raise JpegError("missing SOI marker")
@@ -199,8 +201,44 @@ def decode_jpeg_lossless(payload: bytes):
     except (IndexError, struct.error) as e:
         raise JpegError(f"truncated or malformed JPEG stream: {e}") from e
     if not isinstance(out[3], np.ndarray):
-        raise JpegError("not a lossless (SOF3) JPEG stream")
+        raise JpegError("not a lossless (SOF3/SOF11) JPEG stream")
     return out
+
+
+def _ll_predict(
+    p: np.ndarray,
+    y: int,
+    x: int,
+    seg_y: int,
+    seg_x: int,
+    default: int,
+    pred_sel: int,
+) -> int:
+    """H.1.2.1 predictors 1-7 with H.1.2.2 boundary rules: the first
+    sample of the scan/restart segment predicts 2^(P-Pt-1); the rest
+    of that line uses Ra; later line starts use Rb."""
+    if (y, x) == (seg_y, seg_x):
+        return default
+    if y == seg_y:
+        return int(p[y, x - 1])  # rest of the first line: Ra
+    if x == 0:
+        return int(p[y - 1, 0])  # line starts: Rb
+    ra = int(p[y, x - 1])
+    rb = int(p[y - 1, x])
+    rc = int(p[y - 1, x - 1])
+    if pred_sel == 1:
+        return ra
+    if pred_sel == 2:
+        return rb
+    if pred_sel == 3:
+        return rc
+    if pred_sel == 4:
+        return ra + rb - rc
+    if pred_sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if pred_sel == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1
 
 
 def _decode_lossless_scan(
@@ -244,30 +282,7 @@ def _decode_lossless_scan(
                 seg_y, seg_x = y, x
             for ci, c in enumerate(comps):
                 p = planes[ci]
-                if (y, x) == (seg_y, seg_x):
-                    px = default
-                elif y == seg_y:
-                    px = int(p[y, x - 1])  # rest of the first line: Ra
-                elif x == 0:
-                    px = int(p[y - 1, 0])  # line starts: Rb
-                else:
-                    ra = int(p[y, x - 1])
-                    rb = int(p[y - 1, x])
-                    rc = int(p[y - 1, x - 1])
-                    if pred_sel == 1:
-                        px = ra
-                    elif pred_sel == 2:
-                        px = rb
-                    elif pred_sel == 3:
-                        px = rc
-                    elif pred_sel == 4:
-                        px = ra + rb - rc
-                    elif pred_sel == 5:
-                        px = ra + ((rb - rc) >> 1)
-                    elif pred_sel == 6:
-                        px = rb + ((ra - rc) >> 1)
-                    else:
-                        px = (ra + rb) >> 1
+                px = _ll_predict(p, y, x, seg_y, seg_x, default, pred_sel)
                 ssss = reader.decode_symbol(dc_tables[c.td])
                 if ssss == 16:
                     diff = 32768
@@ -277,6 +292,150 @@ def _decode_lossless_scan(
                     diff = _extend(reader.receive(ssss), ssss)
                 p[y, x] = (px + diff) & 0xFFFF
             since += 1
+    return (planes << pt).transpose(1, 2, 0)
+
+
+# Lossless arithmetic (SOF11) statistical model, T.81 Annex H.1.4:
+# the two-dimensional extension of the F.1.4.1 DC model. The current
+# DIFF is conditioned on the classifications of Da (the diff coded
+# for the sample to the left) and Db (the diff coded for the sample
+# above), each into five categories {0, +S, -S, +L, -L} using the
+# DAC (L, U) thresholds applied to the diff's magnitude category —
+# exactly the F.1.4.4.1.2 classification the sequential DC model
+# applies to its previous diff. 5 x 5 contexts x 4 decision bins
+# (zero, sign, SP, SN) = 100, plus TWO magnitude-category/mantissa
+# chains of 29 bins each (X2..X16 + one mantissa bin per category),
+# selected by whether Db classifies large: 158 bins total.
+# Conformance note: T.81 has no public reference implementation of
+# this mode (libjpeg never shipped it); the context ordering here
+# (ctx = 4*(5*classify(Db) + classify(Da)), chains at 100/129) is
+# this module's documented reading of H.1.4, pinned by the
+# independent Annex-H encoder round-trips in
+# tests/test_jpeg_lossless_arith.py — the same discipline the
+# SOF9/SOF10 QM paths use.
+LL_STAT_BINS = 158
+
+
+def _ll_class(d: int, low: int, up: int) -> int:
+    """Classify a coded DIFF into {0: zero, 1: +S, 2: -S, 3: +L,
+    4: -L} via the magnitude category m = 2^floor(log2(|d| - 1))
+    against the DAC thresholds — F.1.4.4.1.2 with sign kept."""
+    if d == 0:
+        return 0
+    sign = 1 if d < 0 else 0
+    v1 = (-d if sign else d) - 1
+    m = 0 if v1 == 0 else 1 << (v1.bit_length() - 1)
+    if m < (1 << low) >> 1:
+        return 0
+    if m > (1 << up) >> 1:
+        return 3 + sign
+    return 1 + sign
+
+
+def _arith_ll_diff(
+    dec: "_ArithDecoder", bins: bytearray, ca: int, cb: int
+) -> int:
+    """Decode one lossless DIFF under context (ca, cb) — the
+    F.1.4.4.1 decision sequence (zero? sign? magnitude category,
+    mantissa) with the chain selected by Db's class."""
+    base = 4 * (5 * cb + ca)
+    if dec.decode(bins, base) == 0:
+        return 0
+    sign = dec.decode(bins, base + 1)
+    st = base + 2 + sign  # SP / SN
+    m = dec.decode(bins, st)
+    if m:
+        st = 100 if cb < 3 else 129
+        while dec.decode(bins, st):
+            m <<= 1
+            if m == 0x8000:
+                raise JpegError("arithmetic lossless magnitude overflow")
+            st += 1
+    v = m
+    st += 14  # one mantissa bin per magnitude category
+    mm = m >> 1
+    while mm:
+        if dec.decode(bins, st):
+            v |= mm
+        mm >>= 1
+    v += 1
+    return -v if sign else v
+
+
+def _decode_lossless_arith_scan(
+    data: bytes,
+    pos: int,
+    width: int,
+    height: int,
+    comps: list["_Component"],
+    dc_cond: dict[int, tuple[int, int]],
+    restart_interval: int,
+    precision: int,
+    pred_sel: int,
+    pt: int,
+) -> np.ndarray:
+    """Lossless arithmetic (SOF11) scan: the same H.1.2 prediction,
+    boundary rules, and modulo-65536 reconstruction as the Huffman
+    scan — only the entropy layer differs (QM decisions under the
+    Annex-H 2-D statistical model above). Diffs decode as signed
+    16-bit values; Da/Db condition each sample from the diffs coded
+    for its left and upper neighbours (zero at segment boundaries).
+    Restart markers reset the decoder, every statistics area, the
+    prediction, and the diff history (the F.1.4.4.3 convention)."""
+    if not 1 <= pred_sel <= 7:
+        raise JpegError(f"bad lossless predictor selector {pred_sel}")
+    ncomp = len(comps)
+    planes = np.zeros((ncomp, height, width), dtype=np.int32)
+    default = 1 << (precision - pt - 1)
+
+    def fresh():
+        bins = {c.td: bytearray(LL_STAT_BINS) for c in comps}
+        # per-component diff history: previous line + current line
+        prev = [[0] * width for _ in range(ncomp)]
+        cur = [[0] * width for _ in range(ncomp)]
+        return bins, prev, cur
+
+    dec = _ArithDecoder(data, pos)
+    bins, prev_d, cur_d = fresh()
+    rst_n = 0
+    since = 0
+    seg_y, seg_x = 0, 0
+    for y in range(height):
+        for x in range(width):
+            if restart_interval and since == restart_interval:
+                mpos = dec.marker_scan_pos()
+                if (
+                    mpos + 1 >= len(data)
+                    or data[mpos] != 0xFF
+                    or data[mpos + 1] != 0xD0 + rst_n
+                ):
+                    raise JpegError(f"expected RST{rst_n} at offset {mpos}")
+                dec = _ArithDecoder(data, mpos + 2)
+                bins, prev_d, cur_d = fresh()
+                rst_n = (rst_n + 1) & 7
+                since = 0
+                seg_y, seg_x = y, x
+            for ci, c in enumerate(comps):
+                p = planes[ci]
+                px = _ll_predict(p, y, x, seg_y, seg_x, default, pred_sel)
+                low, up = dc_cond.get(c.td, (0, 1))
+                da = 0 if (y, x) == (seg_y, seg_x) or (
+                    y > seg_y and x == 0
+                ) else cur_d[ci][x - 1]
+                db = 0 if y == seg_y else prev_d[ci][x]
+                diff = _arith_ll_diff(
+                    dec,
+                    bins[c.td],
+                    _ll_class(da, low, up),
+                    _ll_class(db, low, up),
+                )
+                cur_d[ci][x] = diff
+                p[y, x] = (px + diff) & 0xFFFF
+            since += 1
+        # the line's diffs become next line's Db history — but only
+        # within the current restart segment (fresh() re-created the
+        # lists at a restart, so swapping here is segment-local)
+        prev_d, cur_d = cur_d, prev_d
     return (planes << pt).transpose(1, 2, 0)
 
 
@@ -293,7 +452,7 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     channels 1 (grayscale) or 3 (interleaved RGB, JFIF YCbCr
     conversion), pixels row-major bytes (12-bit SOF1 samples are
     chopped to their high byte). Raises JpegError on malformed input
-    and NotImplementedError for arithmetic/hierarchical/12-bit-
+    and NotImplementedError for hierarchical/12-bit-
     progressive streams (the registry seam: swap in libjpeg on a
     real cluster)."""
     data = bytes(payload)
@@ -316,6 +475,7 @@ def _parse_segments(data: bytes, raw_lossless: bool = False):
     precision = 8
     progressive = False
     lossless = False
+    ll_arith = False
     arith = False
     dc_cond: dict[int, tuple[int, int]] = {}  # DAC: table id -> (L, U)
     ac_cond: dict[int, int] = {}  # DAC: table id -> Kx
@@ -407,8 +567,9 @@ def _parse_segments(data: bytes, raw_lossless: bool = False):
                     coefs.append(
                         np.zeros((c.blocks_h, c.blocks_w, 64), dtype=np.int32)
                     )
-        elif marker == 0xC3:  # SOF3: lossless sequential Huffman
+        elif marker in (0xC3, 0xCB):  # SOF3/SOF11: lossless sequential
             lossless = True
+            ll_arith = marker == 0xCB
             precision = seg[0]
             if not 2 <= precision <= 16:
                 raise JpegError(f"bad lossless precision {precision}")
@@ -424,13 +585,13 @@ def _parse_segments(data: bytes, raw_lossless: bool = False):
                     "lossless with subsampled components: 1x1 "
                     "sampling only (the common DICOM/raw shape)"
                 )
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"SOF marker {marker:#x} (lossless arithmetic, "
-                "hierarchical): sequential + progressive + lossless "
-                "Huffman and sequential + progressive arithmetic "
-                "(SOF9/SOF10) only — register a libjpeg-backed "
-                "decoder for these streams"
+                f"SOF marker {marker:#x} (hierarchical): sequential "
+                "+ progressive + lossless Huffman and sequential + "
+                "progressive + lossless arithmetic (SOF9/SOF10/SOF11) "
+                "only — register a libjpeg-backed decoder for these "
+                "streams"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             if len(seg) % 2:
@@ -463,18 +624,32 @@ def _parse_segments(data: bytes, raw_lossless: bool = False):
             if lossless:
                 pred_sel = seg[1 + 2 * ns]  # Ss = predictor selector
                 pt = seg[3 + 2 * ns] & 0x0F  # Al = point transform
-                samples = _decode_lossless_scan(
-                    data,
-                    pos + seglen,
-                    width,
-                    height,
-                    scan_order,
-                    dc_tables,
-                    restart_interval,
-                    precision,
-                    pred_sel,
-                    pt,
-                )
+                if ll_arith:
+                    samples = _decode_lossless_arith_scan(
+                        data,
+                        pos + seglen,
+                        width,
+                        height,
+                        scan_order,
+                        dc_cond,
+                        restart_interval,
+                        precision,
+                        pred_sel,
+                        pt,
+                    )
+                else:
+                    samples = _decode_lossless_scan(
+                        data,
+                        pos + seglen,
+                        width,
+                        height,
+                        scan_order,
+                        dc_tables,
+                        restart_interval,
+                        precision,
+                        pred_sel,
+                        pt,
+                    )
                 if raw_lossless:
                     return width, height, len(scan_order), samples
                 if precision > 8:  # high-byte chop, the uint8 contract

@@ -3449,3 +3449,74 @@ def ahash_chunks(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         _hash, schema=_AHASH_SCHEMA
     )
+
+
+# -------------------------------------------- lossless-arithmetic jpeg
+# SOF11 (lossless arithmetic) fixture — closes the last non-
+# hierarchical T.81 mode (round 9): the QM entropy stream is a
+# CONSTANT (arithmetic streams cannot be spliced), and per-document
+# variation rides the POINT TRANSFORM instead: Al is a plain SOS
+# header byte outside the entropy segment, and because the scan's
+# diffs are differences of samples, the default-prediction term
+# 2^(P-Pt-1) cancels out of every diff — one stream serves every Pt.
+# Decoded sample (y, x) = 128 + A(y, x) << pt with pt = doc_id % 3
+# and A the fixed pattern below (its diffs exercise zero, both
+# signs, and multi-category magnitudes across the 2-D contexts).
+# The stream is regenerated and asserted byte-identical from the
+# independent Annex-H encoder in tests/test_jpeg_lossless_arith.py.
+JPEG_LLA_W = 8
+JPEG_LLA_H = 4
+JPEG_LLA_BLOB_HEX = "fce73c09042302f359713233d4504404b66d9f6cfbc8"
+
+
+def _jpeg_lla_a(y: int, x: int) -> int:
+    """The fixture's sample offset pattern (full-precision domain:
+    sample = 128 + A << pt)."""
+    return ((x * 5 + y * 11) % 23) - 7
+
+
+_JPEG_LLA_PRE_HEX = (
+    "ffd8"
+    # SOF11: 8-bit, H x W, 1 component, h=v=1
+    + "ffcb" + "000b" + "08" + f"{JPEG_LLA_H:04x}" + f"{JPEG_LLA_W:04x}"
+    + "01" + "011100"
+    + "ffda" + "0008" + "01" + "0100" + "0100"  # SOS to Ss=1, Se=0, Ah=0
+)
+_JPEG_LLA_POST_HEX = JPEG_LLA_BLOB_HEX + "ffd9"
+
+
+def synth_jpeg_lossless_arith_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): complete decodable SOF11 lossless-
+    arithmetic JPEGs — constant QM stream, document-varying point
+    transform (Al = doc_id mod 3, the final SOS header byte)."""
+    al = "lpad(hex(doc_id % 3), 2, '0')"
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(
+            f"unhex(concat('{_JPEG_LLA_PRE_HEX}', {al}, "
+            f"'{_JPEG_LLA_POST_HEX}'))"
+        ).alias("payload"),
+    )
+
+
+def jpeg_lossless_arith_oracle_sql() -> str:
+    """Closed form over the fixed pattern: sample (y, x) =
+    128 + (((x*5 + y*11) mod 23) - 7) * 2^(doc_id mod 3)."""
+    w, h = JPEG_LLA_W, JPEG_LLA_H
+    n = w * h
+    return f"""
+WITH smp AS (
+  SELECT doc_id, g.i AS i,
+    128 + (((g.i % {w}) * 5 + (g.i // {w}) * 11) % 23 - 7) *
+      (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END) AS s
+  FROM documents, UNNEST(generate_series(0, {n - 1})) AS g(i)
+)
+SELECT doc_id AS asset_id,
+  CAST({w} AS BIGINT) AS width, CAST({h} AS BIGINT) AS height,
+  CAST(1 AS BIGINT) AS channels,
+  CAST(sum(s) AS BIGINT) AS sample_sum,
+  CAST(sum(s * (i + 1) * (i + 1)) AS BIGINT) AS sample_checksum,
+  CAST(min(s) AS BIGINT) AS sample_min,
+  CAST(max(s) AS BIGINT) AS sample_max
+FROM smp GROUP BY doc_id
+"""

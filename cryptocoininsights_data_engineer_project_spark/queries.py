@@ -1980,6 +1980,36 @@ def multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_jpeg_lossless_arith",
+    multimodal.jpeg_lossless_arith_oracle_sql(),
+    doc="REAL lossless-arithmetic (SOF11) JPEG decode — the last "
+    "non-hierarchical T.81 mode, closing the round-8 gate: QM "
+    "decisions under the Annex-H 2-D statistical model (the DIFF "
+    "conditioned on classifications of the left AND upper "
+    "neighbours' diffs, 158 bins, two Db-selected magnitude "
+    "chains) feeding the same H.1.2 predictors / boundary rules / "
+    "modulo-65536 reconstruction as the Huffman lossless path "
+    "(operators/jpegcodec.py::_decode_lossless_arith_scan). "
+    "Verified by exact-source round trips against the independent "
+    "Annex-H encoder (tests/test_jpeg_lossless_arith.py — "
+    "predictors 1-7, point transforms, restarts, color interleave, "
+    "16-bit wrap, DAC conditioning; lossless has ground truth, so "
+    "round trips check the WHOLE pipeline). Fixture: constant QM "
+    "stream, per-document variation rides the point transform "
+    "(Al is a header byte outside the entropy segment and the "
+    "default-prediction term cancels out of every diff). One "
+    "mapInPandas pass; payloads never shuffle",
+)
+def multimodal_jpeg_lossless_arith(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_lossless_stats(
+        multimodal.synth_jpeg_lossless_arith_assets(docs)
+    )
+
+
+@_q(
     "multimodal_jpeg_arith",
     multimodal.jpeg_arith_oracle_sql(),
     doc="REAL arithmetic-coded (SOF9) JPEG decode — T.81's second "

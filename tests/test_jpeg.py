@@ -585,13 +585,18 @@ def test_edge_blocks_cropped_not_padded():
 
 
 def test_arithmetic_and_malformed_gates():
-    # lossless-arithmetic (SOF11) -> NotImplementedError naming the
-    # seam (sequential/progressive arithmetic SOF9/SOF10 DECODE now —
-    # see tests/test_jpeg_arith.py; progressive SOF2 decodes too)
+    # a baseline stream relabeled SOF11 is MALFORMED lossless (its
+    # DCT SOS carries Ss=0, not a 1-7 predictor selector) — SOF11
+    # DECODES now (tests/test_jpeg_lossless_arith.py), so the gate
+    # became a loud structure error, not NotImplementedError
     arith = bytearray(_encode(8, 8, [(1, 1)], [8] * 64, lambda ci, b: [3] + [0] * 63))
     at = arith.index(b"\xff\xc0")
     arith[at + 1] = 0xCB
-    with pytest.raises(NotImplementedError, match="arithmetic"):
+    with pytest.raises(JpegError, match="predictor"):
+        decode_jpeg_pixels(bytes(arith))
+    # hierarchical stays gated
+    arith[at + 1] = 0xCE
+    with pytest.raises(NotImplementedError, match="hierarchical"):
         decode_jpeg_pixels(bytes(arith))
     # a baseline stream relabeled SOF2 is MALFORMED progressive (its
     # single scan claims the full band with Se=63 from a DC scan) —

@@ -883,13 +883,15 @@ def test_progressive_registry_fixture_decodes_to_block_formula():
 
 
 def test_gates_still_loud():
-    # lossless arithmetic (SOF11) and hierarchical stay gated
+    # SOF11 decodes now (tests/test_jpeg_lossless_arith.py): a DCT
+    # stream relabeled SOF11 is malformed LOSSLESS (Ss=0 is not a
+    # predictor) — loud JpegError; hierarchical stays gated
     blob = bytearray(
         encode_arith(8, 8, [(1, 1)], [8] * 64, lambda ci, b: [3] + [0] * 63)
     )
     at = blob.index(b"\xff\xc9")
     blob[at + 1] = 0xCB
-    with pytest.raises(NotImplementedError, match="arithmetic"):
+    with pytest.raises(JpegError, match="predictor"):
         decode_jpeg_pixels(bytes(blob))
     blob[at + 1] = 0xCD
     with pytest.raises(NotImplementedError):
