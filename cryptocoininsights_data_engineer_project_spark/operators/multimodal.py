@@ -3520,3 +3520,124 @@ SELECT doc_id AS asset_id,
   CAST(max(s) AS BIGINT) AS sample_max
 FROM smp GROUP BY doc_id
 """
+
+
+# ------------------------------------------------------------------ flac
+# FLAC (RFC 9639) fixture — the archival lossless audio format,
+# completing the audio matrix (WAV carries PCM/mu-law/A-law/ADPCM).
+# A complete spec-valid single-frame mono 8-bit stream is built
+# byte-exactly in SQL: constant STREAMINFO + frame header (CRC-8
+# precomputed — the header is constant), a VERBATIM subframe whose
+# 16 samples are the per-document formula bytes, and the REAL frame
+# CRC-16 computed INSIDE the plan by folding the sample bytes
+# through the 0x8005 polynomial with a nested higher-order
+# aggregate, seeded with the CRC state after the constant prefix.
+# The decoder verifies both CRCs, so a wrong fold (or a wrong
+# decoder) fails loudly. Rice/FIXED/LPC subframes, stereo
+# decorrelation modes, partitions, escapes, and wasted bits are
+# covered by independent-encoder round trips in tests/test_flac.py.
+FLAC_N_SAMPLES = 16
+_FLAC_HEAD_HEX = (
+    "664c6143800000220010001000000000000001f4007000000010"
+    + "00" * 16  # STREAMINFO MD5 unset
+)
+_FLAC_FRAME_PRE_HEX = "fff86402000f4902"  # header + CRC-8 + VERBATIM hdr
+_FLAC_CRC16_SEED = 54261  # CRC-16 state after the constant prefix
+
+
+def _flac_sample_byte(j: str) -> str:
+    return f"((doc_id * 37 + ({j}) * 11) % 256)"
+
+
+def synth_flac_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): complete decodable FLAC streams, one per
+    document — mono, 8-bit, 16 VERBATIM samples from the formula,
+    frame CRC-16 folded in-plan."""
+    crc16 = (
+        f"aggregate(sequence(0, {FLAC_N_SAMPLES - 1}), "
+        f"CAST({_FLAC_CRC16_SEED} AS BIGINT), "
+        f"(c, j) -> aggregate(sequence(1, 8), "
+        f"c ^ ({_flac_sample_byte('j')} * 256), "
+        "(s, k) -> CAST(if(s >= 32768, ((s * 2) % 65536) ^ 32773, "
+        "(s * 2) % 65536) AS BIGINT)))"
+    )
+    samples = ", ".join(
+        f"lpad(hex({_flac_sample_byte(str(j))}), 2, '0')"
+        for j in range(FLAC_N_SAMPLES)
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(
+            f"unhex(concat('{_FLAC_HEAD_HEX}', '{_FLAC_FRAME_PRE_HEX}', "
+            f"{samples}, lpad(hex({crc16}), 4, '0')))"
+        ).alias("payload"),
+    )
+
+
+_FLAC_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("sample_rate", T.LongType(), False),
+        T.StructField("channels", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("peak_min", T.LongType(), False),
+        T.StructField("peak_max", T.LongType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+    ]
+)
+
+
+def decode_flac_stats(assets: DataFrame) -> DataFrame:
+    """FLAC decode + per-asset sample stats — the same sample-grain
+    contract as the WAV queries (peaks, rms over an exact integer
+    sum of squares, half-away 6dp rounding). One mapInPandas pass;
+    payloads never shuffle."""
+    import math
+
+    from .flaccodec import decode_flac
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _FLAC_STATS_SCHEMA}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                rate, ch, _bps, samples = decode_flac(bytes(payload))
+                flat = samples.reshape(-1).astype(np.int64)
+                ssq = int((flat**2).sum())
+                rms = math.sqrt(ssq / len(flat))
+                rows["asset_id"].append(int(aid))
+                rows["sample_rate"].append(rate)
+                rows["channels"].append(ch)
+                rows["n_samples"].append(samples.shape[0])
+                rows["peak_min"].append(int(flat.min()))
+                rows["peak_max"].append(int(flat.max()))
+                rows["rms"].append(math.floor(rms * 1e6 + 0.5) / 1e6)
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _decode, schema=_FLAC_STATS_SCHEMA
+    )
+
+
+def flac_pcm_oracle_sql() -> str:
+    """Closed form: sample j = signed((doc_id*37 + j*11) mod 256) —
+    the oracle states the waveform, so any mis-read in the bit-level
+    decode (or a CRC fold that silently diverged) breaks the match."""
+    n = FLAC_N_SAMPLES
+    return f"""
+WITH s AS (
+  SELECT doc_id, (doc_id * 37 + g.j * 11) % 256 AS u
+  FROM documents, UNNEST(generate_series(0, {n - 1})) AS g(j)
+), v AS (
+  SELECT doc_id, CASE WHEN u >= 128 THEN u - 256 ELSE u END AS v FROM s
+)
+SELECT doc_id AS asset_id,
+  CAST(8000 AS BIGINT) AS sample_rate,
+  CAST(1 AS BIGINT) AS channels,
+  CAST({n} AS BIGINT) AS n_samples,
+  CAST(min(v) AS BIGINT) AS peak_min,
+  CAST(max(v) AS BIGINT) AS peak_max,
+  round(sqrt(sum(CAST(v AS BIGINT) * v) / {n}.0), 6) AS rms
+FROM v GROUP BY doc_id
+"""

@@ -1980,6 +1980,29 @@ def multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_flac_pcm",
+    multimodal.flac_pcm_oracle_sql(),
+    doc="REAL FLAC decode (RFC 9639) — the archival lossless audio "
+    "format, completing the audio matrix beyond WAV's "
+    "PCM/mu-law/A-law/ADPCM: bit-level frame parsing, all four "
+    "subframe types (CONSTANT/VERBATIM/FIXED 0-4/LPC), partitioned "
+    "Rice residuals with the escape hatch, left/right/mid-side "
+    "stereo decorrelation, wasted bits, and BOTH frame CRCs "
+    "verified (operators/flaccodec.py). Fixtures build spec-valid "
+    "streams byte-exactly in SQL with the real frame CRC-16 folded "
+    "in-plan (nested higher-order aggregate over the 0x8005 "
+    "polynomial); independent-encoder round trips to exact source "
+    "samples cover every subframe/stereo/partition shape "
+    "(tests/test_flac.py — lossless has ground truth). Output is "
+    "the WAV queries' sample-grain contract (peaks, exact-integer "
+    "rms). One mapInPandas pass; payloads never shuffle",
+)
+def multimodal_flac_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_flac_stats(multimodal.synth_flac_assets(docs))
+
+
+@_q(
     "multimodal_jpeg_lossless_arith",
     multimodal.jpeg_lossless_arith_oracle_sql(),
     doc="REAL lossless-arithmetic (SOF11) JPEG decode — the last "
