@@ -1263,3 +1263,176 @@ SELECT doc_id, CAST(1 AS BIGINT),
   CAST(8 AS BIGINT), CAST({ZIP_BODY_N} AS BIGINT), CAST(s AS BIGINT)
 FROM b1
 """
+
+
+# -------------------------------------------------------- tfrecord shards
+# The THIRD training-shard container (tar = WebDataset, zip =
+# HuggingFace downloads, TFRecord = the TensorFlow ecosystem's
+# shape): length-prefixed records, each framed as
+#   uint64le length | uint32le masked_crc32c(length bytes)
+#   | payload | uint32le masked_crc32c(payload)
+# with CRC-32C (Castagnoli, reflected, init/xorout 0xFFFFFFFF) and
+# TensorFlow's rotate-and-add masking. Pure byte arithmetic +
+# integer CRC folds — stdlib-free like the tar walk; the CRC-32C
+# implementation is anchored to the public check value
+# crc32c(b"123456789") == 0xE3069283 in tests/test_webarchive.py.
+
+
+class TfrecordError(ValueError):
+    """Malformed TFRecord framing or checksum."""
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    """CRC-32C (Castagnoli), reflected form, init/xorout 0xFFFFFFFF."""
+    c = crc ^ 0xFFFFFFFF
+    for b in data:
+        c ^= b
+        for _ in range(8):
+            c = (c >> 1) ^ (0x82F63B78 if c & 1 else 0)
+    return c ^ 0xFFFFFFFF
+
+
+def _tf_mask(crc: int) -> int:
+    """TensorFlow's CRC masking: rotate right 15, add a constant."""
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def parse_tfrecord(payload: bytes) -> list[bytes]:
+    """Split a TFRecord stream into record payloads, verifying BOTH
+    masked CRCs (length and data) of every record."""
+    b = bytes(payload)
+    out: list[bytes] = []
+    pos = 0
+    while pos < len(b):
+        if pos + 12 > len(b):
+            raise TfrecordError(f"truncated record header at {pos}")
+        ln = int.from_bytes(b[pos : pos + 8], "little")
+        want = int.from_bytes(b[pos + 8 : pos + 12], "little")
+        if _tf_mask(crc32c(b[pos : pos + 8])) != want:
+            raise TfrecordError(f"length CRC mismatch at {pos}")
+        data = b[pos + 12 : pos + 12 + ln]
+        if len(data) < ln:
+            raise TfrecordError(f"truncated record data at {pos}")
+        fpos = pos + 12 + ln
+        if fpos + 4 > len(b):
+            raise TfrecordError(f"truncated data CRC at {pos}")
+        wantd = int.from_bytes(b[fpos : fpos + 4], "little")
+        if _tf_mask(crc32c(data)) != wantd:
+            raise TfrecordError(f"data CRC mismatch at {pos}")
+        out.append(data)
+        pos = fpos + 4
+    return out
+
+
+_TFREC_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("record_idx", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("byte_sum", T.LongType(), False),
+    ]
+)
+
+
+def tfrecord_stats(assets: DataFrame) -> DataFrame:
+    """Split TFRecord shards and emit per-record stats — same
+    contract as the tar/zip walks: one mapInPandas pass, shard
+    payloads never shuffle, CRC violations fail the task loudly."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _TFREC_SCHEMA}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for i, rec in enumerate(parse_tfrecord(bytes(payload))):
+                    rows["asset_id"].append(int(aid))
+                    rows["record_idx"].append(i)
+                    rows["n_bytes"].append(len(rec))
+                    rows["byte_sum"].append(sum(rec))
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _extract, schema=_TFREC_SCHEMA
+    )
+
+
+TFREC_BODY_N = 8
+# masked CRC-32C of the constant length field (8 as uint64le):
+_TFREC_LEN_CRC_HEX = None  # filled below at import
+
+
+def _le_bytes_hex(value: int, nbytes: int) -> str:
+    return "".join(f"{(value >> (8 * i)) & 0xFF:02x}" for i in range(nbytes))
+
+
+_TFREC_LEN_HEX = _le_bytes_hex(TFREC_BODY_N, 8)
+_TFREC_LEN_CRC_HEX = _le_bytes_hex(
+    _tf_mask(crc32c(bytes([TFREC_BODY_N]) + bytes(7))), 4
+)
+
+
+def _tfrec_byte(rec: int, j: str) -> str:
+    return f"((doc_id * {5 + 2 * rec} + ({j}) * 3 + {rec * 7}) % 256)"
+
+
+def _sql_crc32c_masked(byte_expr_of_j: str, n: int) -> str:
+    """Spark SQL: masked CRC-32C over n formula bytes, folded in-plan
+    (nested higher-order aggregate — the reflected 0x82F63B78 bit
+    recurrence), then TensorFlow-masked. All BIGINT arithmetic."""
+    fold = (
+        f"aggregate(sequence(0, {n - 1}), CAST(4294967295 AS BIGINT), "
+        f"(c, j) -> aggregate(sequence(1, 8), c ^ {byte_expr_of_j}, "
+        "(s, k) -> CAST(if(s % 2 = 1, (s div 2) ^ 2197175160, s div 2) "
+        "AS BIGINT)))"
+    )
+    crc = f"({fold} ^ 4294967295)"
+    return (
+        f"(((({crc} div 32768) | (({crc} * 131072) % 4294967296)) "
+        f"+ 2726488792) % 4294967296)"
+    )
+
+
+def synth_tfrecord_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): two-record TFRecord shards built
+    byte-exactly in SQL — constant length framing (length CRC is a
+    Python-computed constant) and BOTH per-record data CRC-32Cs
+    folded in-plan from the same formulas the oracle states."""
+    pieces = []
+    for rec in range(2):
+        body = ", ".join(
+            f"lpad(hex({_tfrec_byte(rec, str(j))}), 2, '0')"
+            for j in range(TFREC_BODY_N)
+        )
+        crc = _sql_crc32c_masked(_tfrec_byte(rec, "j"), TFREC_BODY_N)
+        crc_le = ", ".join(
+            f"lpad(hex(({crc} div {256 ** i}) % 256), 2, '0')"
+            for i in range(4)
+        )
+        pieces.append(f"'{_TFREC_LEN_HEX}{_TFREC_LEN_CRC_HEX}'")
+        pieces.append(body)
+        pieces.append(crc_le)
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr("unhex(concat(" + ", ".join(pieces) + "))").alias("payload"),
+    )
+
+
+def tfrecord_oracle_sql() -> str:
+    """Closed form: two records per shard, byte sums from the
+    per-position formulas."""
+    n = TFREC_BODY_N
+    return f"""
+WITH b0 AS (
+  SELECT doc_id, sum((doc_id * 5 + j.j * 3) % 256) AS s
+  FROM documents, UNNEST(generate_series(0, {n - 1})) AS j(j)
+  GROUP BY doc_id
+), b1 AS (
+  SELECT doc_id, sum((doc_id * 7 + j.j * 3 + 7) % 256) AS s
+  FROM documents, UNNEST(generate_series(0, {n - 1})) AS j(j)
+  GROUP BY doc_id
+)
+SELECT doc_id AS asset_id, CAST(0 AS BIGINT) AS record_idx,
+  CAST({n} AS BIGINT) AS n_bytes, CAST(s AS BIGINT) AS byte_sum FROM b0
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT), CAST({n} AS BIGINT), CAST(s AS BIGINT)
+FROM b1
+"""

@@ -1917,6 +1917,28 @@ def zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "tfrecord_extract",
+    webarchive.tfrecord_oracle_sql(),
+    doc="TFRecord shard extraction — the third training-shard "
+    "container (tar = WebDataset, zip = HuggingFace downloads, "
+    "TFRecord = the TensorFlow ecosystem): uint64le length framing "
+    "with TensorFlow's masked CRC-32C on BOTH the length and the "
+    "payload, every checksum verified "
+    "(operators/webarchive.py::parse_tfrecord — the Castagnoli "
+    "CRC is anchored to the public check value "
+    "crc32c('123456789') = 0xE3069283 in tests). Fixtures build "
+    "two-record shards byte-exactly in SQL with the REAL masked "
+    "data CRC-32C folded in-plan via a nested higher-order "
+    "aggregate over the reflected 0x82F63B78 recurrence — the "
+    "decoder verifies it, so a wrong fold fails loudly. One "
+    "mapInPandas pass; shard payloads never shuffle",
+)
+def tfrecord_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return webarchive.tfrecord_stats(webarchive.synth_tfrecord_assets(docs))
+
+
+@_q(
     "multimodal_bmp_pixels",
     multimodal.bmp_pixels_oracle_sql(),
     doc="REAL BMP decode through the RLE8 compression path "

@@ -625,6 +625,7 @@ def test_registry_warc_plans_have_no_shuffle(spark):
         "text_gunzip",
         "tar_extract",
         "zip_extract",
+        "tfrecord_extract",
     ):
         df = REGISTRY[name].fn(spark, "/root/testdata/sf0.001")
         buf = io.StringIO()
@@ -1091,6 +1092,101 @@ def test_parse_zip_fuzz_valid_archive_with_mutations():
                 assert isinstance(m["name"], str)
                 assert m["method"] in (0, 8)
         except ZipError:
+            pass
+
+    run()
+
+
+# ---------------------------------------------------------- tfrecord shards
+
+
+def _tfrec(datas):
+    import struct
+
+    from cryptocoininsights_data_engineer_project_spark.operators.webarchive import (
+        _tf_mask,
+        crc32c,
+    )
+
+    out = bytearray()
+    for data in datas:
+        ln = struct.pack("<Q", len(data))
+        out += ln + struct.pack("<I", _tf_mask(crc32c(ln)))
+        out += data + struct.pack("<I", _tf_mask(crc32c(data)))
+    return bytes(out)
+
+
+def test_crc32c_public_check_value():
+    # the Castagnoli polynomial's published check value — the one
+    # external anchor every CRC-32C implementation must hit
+    from cryptocoininsights_data_engineer_project_spark.operators.webarchive import (
+        crc32c,
+    )
+
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+
+
+def test_parse_tfrecord_roundtrip_and_gates():
+    from cryptocoininsights_data_engineer_project_spark.operators.webarchive import (
+        TfrecordError,
+        parse_tfrecord,
+    )
+
+    datas = [b"hello world", b"", bytes(range(256)) * 2]
+    assert parse_tfrecord(_tfrec(datas)) == datas
+    good = bytearray(_tfrec([b"abcdefgh"]))
+    bad = bytearray(good)
+    bad[12] ^= 0xFF  # payload byte -> data CRC mismatch
+    with pytest.raises(TfrecordError, match="data CRC"):
+        parse_tfrecord(bytes(bad))
+    bad2 = bytearray(good)
+    bad2[0] ^= 0x01  # length byte -> length CRC mismatch
+    with pytest.raises(TfrecordError, match="length CRC"):
+        parse_tfrecord(bytes(bad2))
+    with pytest.raises(TfrecordError, match="truncated"):
+        parse_tfrecord(bytes(good[:-2]))
+
+
+def test_synth_tfrecord_fixture_parses_with_verified_crcs(spark):
+    from cryptocoininsights_data_engineer_project_spark.operators.webarchive import (
+        parse_tfrecord,
+        synth_tfrecord_assets,
+        tfrecord_stats,
+    )
+
+    assets = synth_tfrecord_assets(_docs(spark, 7))
+    for row in assets.collect():
+        recs = parse_tfrecord(bytes(row.payload))  # verifies all CRCs
+        d = row.asset_id
+        assert recs[0] == bytes((d * 5 + j * 3) % 256 for j in range(8))
+        assert recs[1] == bytes((d * 7 + j * 3 + 7) % 256 for j in range(8))
+    got = {
+        (r.asset_id, r.record_idx): r.byte_sum
+        for r in tfrecord_stats(assets).collect()
+    }
+    for d in range(7):
+        assert got[(d, 0)] == sum((d * 5 + j * 3) % 256 for j in range(8))
+        assert got[(d, 1)] == sum(
+            (d * 7 + j * 3 + 7) % 256 for j in range(8)
+        )
+
+
+def test_parse_tfrecord_fuzz_never_crashes_untyped():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cryptocoininsights_data_engineer_project_spark.operators.webarchive import (
+        TfrecordError,
+        parse_tfrecord,
+    )
+
+    @settings(max_examples=250, deadline=None)
+    @given(st.binary(max_size=600))
+    def run(blob):
+        try:
+            parse_tfrecord(blob)
+        except TfrecordError:
             pass
 
     run()
