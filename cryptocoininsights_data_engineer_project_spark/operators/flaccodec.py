@@ -251,8 +251,11 @@ def decode_flac(payload: bytes):
         raise FlacError("missing STREAMINFO block")
     rate, channels, bps, total = si
     chans: list[list[int]] = [[] for _ in range(channels)]
-    while pos < len(b):
-        pos = _frame(b, pos, si, chans)
+    try:
+        while pos < len(b):
+            pos = _frame(b, pos, si, chans)
+    except IndexError as e:
+        raise FlacError(f"truncated FLAC stream: {e}") from e
     n = len(chans[0])
     if total and n != total:
         raise FlacError(
@@ -324,6 +327,8 @@ def _frame(b: bytes, pos: int, si, chans) -> int:
     if bps != bps_si:
         raise FlacError("frame sample size differs from STREAMINFO")
     hdr_end = br.byte  # CRC-8 is byte-aligned here
+    if hdr_end + 1 > len(b):
+        raise FlacError("truncated frame header CRC-8")
     if _crc8(b[pos:hdr_end]) != b[hdr_end]:
         raise FlacError(f"frame header CRC-8 mismatch at {pos}")
     br = _Bits(b, hdr_end + 1)

@@ -75,6 +75,11 @@ def pagerank(
         .localCheckpoint()
     )
     n_nodes = nodes.count()  # one scalar: the teleport denominator
+    if n_nodes == 0:
+        raise ValueError(
+            "pagerank: empty edge frame — no nodes to rank "
+            "(upstream filter removed every link?)"
+        )
     base = PPB // n_nodes
     teleport = (PPB - (DAMP_NUM * PPB) // DAMP_DEN) // n_nodes
     ranks = nodes.select("node", F.lit(base).cast("long").alias("rank_ppb"))

@@ -3580,9 +3580,9 @@ _FLAC_STATS_SCHEMA = T.StructType(
         T.StructField("sample_rate", T.LongType(), False),
         T.StructField("channels", T.LongType(), False),
         T.StructField("n_samples", T.LongType(), False),
-        T.StructField("peak_min", T.LongType(), False),
-        T.StructField("peak_max", T.LongType(), False),
-        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("peak_min", T.LongType(), True),
+        T.StructField("peak_max", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
     ]
 )
 
@@ -3604,15 +3604,20 @@ def decode_flac_stats(assets: DataFrame) -> DataFrame:
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 rate, ch, _bps, samples = decode_flac(bytes(payload))
                 flat = samples.reshape(-1).astype(np.int64)
-                ssq = int((flat**2).sum())
-                rms = math.sqrt(ssq / len(flat))
                 rows["asset_id"].append(int(aid))
                 rows["sample_rate"].append(rate)
                 rows["channels"].append(ch)
                 rows["n_samples"].append(samples.shape[0])
-                rows["peak_min"].append(int(flat.min()))
-                rows["peak_max"].append(int(flat.max()))
-                rows["rms"].append(math.floor(rms * 1e6 + 0.5) / 1e6)
+                if len(flat):
+                    ssq = int((flat**2).sum())
+                    rms = math.sqrt(ssq / len(flat))
+                    rows["peak_min"].append(int(flat.min()))
+                    rows["peak_max"].append(int(flat.max()))
+                    rows["rms"].append(math.floor(rms * 1e6 + 0.5) / 1e6)
+                else:  # metadata-only stream (total_samples unknown/0)
+                    rows["peak_min"].append(None)
+                    rows["peak_max"].append(None)
+                    rows["rms"].append(None)
             yield pd.DataFrame(rows)
 
     return assets.select("asset_id", "payload").mapInPandas(

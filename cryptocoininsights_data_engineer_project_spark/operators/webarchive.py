@@ -1356,16 +1356,9 @@ def tfrecord_stats(assets: DataFrame) -> DataFrame:
 
 
 TFREC_BODY_N = 8
+_TFREC_LEN_HEX = _le_hex_const(TFREC_BODY_N, 8)
 # masked CRC-32C of the constant length field (8 as uint64le):
-_TFREC_LEN_CRC_HEX = None  # filled below at import
-
-
-def _le_bytes_hex(value: int, nbytes: int) -> str:
-    return "".join(f"{(value >> (8 * i)) & 0xFF:02x}" for i in range(nbytes))
-
-
-_TFREC_LEN_HEX = _le_bytes_hex(TFREC_BODY_N, 8)
-_TFREC_LEN_CRC_HEX = _le_bytes_hex(
+_TFREC_LEN_CRC_HEX = _le_hex_const(
     _tf_mask(crc32c(bytes([TFREC_BODY_N]) + bytes(7))), 4
 )
 

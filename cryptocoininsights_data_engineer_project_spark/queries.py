@@ -9910,12 +9910,20 @@ WHERE doc_a % 3 = 0 OR doc_b % 3 = 0
     "drift in the index write/probe path hash-mismatches",
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
     import tempfile
 
     docs = _t(spark, sf_dir, "documents")
     seen = docs.filter(F.expr("doc_id % 3 != 0"))
     batch = docs.filter(F.expr("doc_id % 3 = 0"))
-    idx_path = tempfile.mkdtemp(prefix="sparkgraft_dedup_idx_")
+    # deterministic per-corpus index location + overwrite: repeated
+    # invocations (sweeps, bench, plan dumps) reuse one directory
+    # instead of accumulating orphaned temp dirs
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    idx_path = os.path.join(
+        tempfile.gettempdir(), f"sparkgraft_dedup_idx_{tag}"
+    )
     dedup.write_fingerprint_index(seen, idx_path, mode="overwrite")
     return dedup.incremental_dedup_pairs(spark, batch, idx_path)
 

@@ -326,3 +326,46 @@ def test_fixture_matches_registry_formula(spark):
             u = (d * 37 + j * 11) % 256
             want.append(u - 256 if u >= 128 else u)
         assert samples[:, 0].tolist() == want
+
+
+def test_truncation_at_every_boundary_is_typed():
+    # every prefix of a valid stream must raise FlacError (never an
+    # untyped IndexError) — the contract the zip/tar/tfrecord
+    # siblings are fuzzed for
+    chans = [_grid(90, 12, -300, 300)]
+    good = encode_flac(chans)
+    for cut in range(len(good)):
+        try:
+            decode_flac(good[:cut])
+        except FlacError:
+            pass
+
+
+def test_fuzz_never_crashes_untyped():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=250, deadline=None)
+    @given(st.binary(max_size=400))
+    def run(blob):
+        try:
+            decode_flac(b"fLaC" + blob)
+        except FlacError:
+            pass
+
+    run()
+
+
+def test_metadata_only_stream_decodes_to_zero_samples():
+    # STREAMINFO with total_samples = 0 ("unknown") and no frames is
+    # spec-valid; the stats operator emits NULL peaks/rms for it
+    chans = [_grid(91, 8, -100, 100)]
+    blob = bytearray(encode_flac(chans))
+    meta = bytes(blob[: 4 + 4 + 34])
+    meta = bytearray(meta)
+    # zero the 36-bit total-samples field (last 4.5 bytes before MD5)
+    meta[8 + 13] &= 0xF0
+    for i in range(14, 18):
+        meta[8 + i] = 0
+    _, nch, _, samples = decode_flac(bytes(meta))
+    assert samples.shape == (0, 1)

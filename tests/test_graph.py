@@ -71,3 +71,11 @@ def test_matches_python_reference(spark):
         ranks = {v: teleport + 85 * inflow[v] // 100 for v in range(n)}
     got = _ranks(spark, edges, n, iters)
     assert got == ranks
+
+
+def test_empty_edges_raise_typed_error(spark):
+    import pytest
+
+    df = spark.createDataFrame([], "src string, dst string")
+    with pytest.raises(ValueError, match="empty edge frame"):
+        pagerank(df, iterations=2)
