@@ -19,9 +19,10 @@ sequential AND progressive** (SOF9/SOF10, round 8): the Annex
 D/F QM-coder with the F.1.4 DC/AC statistical models, DAC
 conditioning, and G.2's successive-approximation decision models —
 plus **lossless arithmetic** (SOF11, round 9): the Annex H 2-D
-statistical model over the same QM coder. Hierarchical modes and
-12-bit progressive raise NotImplementedError and remain what a
-cluster swaps in a libjpeg-backed callable for.
+statistical model over the same QM coder — and **12-bit
+progressive** (SOF2/SOF10, round 9) through the shared
+reconstruction tail. Hierarchical modes raise NotImplementedError
+and remain what a cluster swaps in a libjpeg-backed callable for.
 
 Decode stages, per the spec:
   segment parse (DQT/SOF0/SOF2/DHT/DRI/SOS, APPn/COM skipped)
@@ -452,9 +453,8 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     channels 1 (grayscale) or 3 (interleaved RGB, JFIF YCbCr
     conversion), pixels row-major bytes (12-bit SOF1 samples are
     chopped to their high byte). Raises JpegError on malformed input
-    and NotImplementedError for hierarchical/12-bit-
-    progressive streams (the registry seam: swap in libjpeg on a
-    real cluster)."""
+    and NotImplementedError for hierarchical streams (the registry
+    seam: swap in libjpeg on a real cluster)."""
     data = bytes(payload)
     if data[:2] != b"\xff\xd8":
         raise JpegError("missing SOI marker")
@@ -493,7 +493,9 @@ def _parse_segments(data: bytes, raw_lossless: bool = False):
         pos += 2
         if marker == 0xD9:  # EOI
             if progressive and any_scan:
-                return _reconstruct(comps, coefs, qtables, width, height)
+                return _reconstruct(
+                    comps, coefs, qtables, width, height, precision
+                )
             raise JpegError("EOI before SOS: no image data")
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # parameterless
@@ -530,17 +532,18 @@ def _parse_segments(data: bytes, raw_lossless: bool = False):
             progressive = marker in (0xC2, 0xCA)
             arith = marker in (0xC9, 0xCA)
             precision = seg[0]
-            # SOF0 is 8-bit by definition; SOF1/SOF9 (extended
-            # sequential) additionally allow 12-bit (T.81 Table B.2),
-            # which the sequential path decodes natively (round 7 —
-            # level shift 2048, clamp to 4095, high-byte chop to the
-            # uint8 contract); 12-bit progressive stays gated.
-            allowed = (8, 12) if marker in (0xC1, 0xC9) else (8,)
+            # SOF0 is 8-bit by definition (T.81 Table B.2);
+            # SOF1/SOF9 (extended sequential) and SOF2/SOF10
+            # (progressive, round 9) additionally allow 12-bit —
+            # level shift 2048, clamp to 4095, high-byte chop to
+            # the uint8 contract, all through the shared _finish.
+            allowed = (8,) if marker == 0xC0 else (8, 12)
             if precision not in allowed:
                 raise NotImplementedError(
                     f"{precision}-bit precision on SOF{marker - 0xC0}: "
-                    "8-bit (SOF0/SOF2) or 8/12-bit (SOF1/SOF9) only — "
-                    "register a libjpeg-backed decoder for the rest"
+                    "8-bit (SOF0) or 8/12-bit (SOF1/SOF2/SOF9/SOF10) "
+                    "only — register a libjpeg-backed decoder for the "
+                    "rest"
                 )
             height, width = struct.unpack(">HH", seg[1:5])
             nf = seg[5]
@@ -1604,6 +1607,7 @@ def _reconstruct(
     qtables: dict[int, np.ndarray],
     width: int,
     height: int,
+    precision: int = 8,
 ) -> tuple[int, int, int, bytes]:
     """Dequantize + IDCT every accumulated coefficient block (one
     vectorized einsum per component) and hand off to the shared
@@ -1621,5 +1625,4 @@ def _reconstruct(
         blocks = np.einsum("ux,ijuv,vy->ijxy", _C, deq, _C)
         plane = blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         planes.append(plane)
-    # progressive (SOF2) is gated to 8-bit precision at SOF parse
-    return _finish(planes, comps, hmax, vmax, width, height)
+    return _finish(planes, comps, hmax, vmax, width, height, precision)

@@ -184,6 +184,7 @@ def _encode_progressive(
     block_coeffs,  # fn(ci, block_index) -> 64 natural-order ints
     scans: list[tuple[list[int], int, int, int, int]],  # (comp_idxs, ss, se, ah, al)
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Minimal progressive encoder, written from T.81 Annex G
     independently of the decoder: spectral selection bands, successive
@@ -195,8 +196,9 @@ def _encode_progressive(
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))
 
-    dc_syms = list(range(12))
-    ac_syms = sorted({(r << 4) | s for r in range(16) for s in range(11)} | {0x00, 0xF0})
+    dc_syms = list(range(12 if precision == 8 else 16))
+    max_s = 11 if precision == 8 else 15
+    ac_syms = sorted({(r << 4) | s for r in range(16) for s in range(max_s)} | {0x00, 0xF0})
     dc_counts, dc_codes = _canonical(dc_syms)
     ac_counts, ac_codes = _canonical(ac_syms)
 
@@ -217,7 +219,7 @@ def _encode_progressive(
     out = bytearray(b"\xff\xd8")
     zz_q = bytes(qtable[ZIGZAG_TO_NATURAL[z]] for z in range(64))
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
-    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([len(comps)])
+    sof = bytes([precision]) + struct.pack(">HH", height, width) + bytes([len(comps)])
     for ci, (h, v) in enumerate(comps):
         sof += bytes([ci + 1, (h << 4) | v, 0])
     out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
@@ -1031,3 +1033,54 @@ def test_lossless_pixel_contract_chops():
     base = _encode(8, 8, [(1, 1)], qtable, lambda ci, b: [4] + [0] * 63)
     with _pytest.raises(Exception, match="not a lossless"):
         decode_jpeg_lossless(base)
+
+
+def test_12bit_progressive_matches_12bit_sequential():
+    """Round 9: 12-bit SOF2 — the same coefficient grids decoded
+    through the progressive scan script and the extended-sequential
+    SOF1 twin must reconstruct identical 12-bit-chopped pixels."""
+    import random
+
+    rng = random.Random(29)
+    cache = {}
+
+    def coeffs(ci, b):
+        if (ci, b) not in cache:
+            c = [0] * 64
+            c[0] = rng.randint(-1800, 1800)  # full 12-bit DC swing
+            for _ in range(8):
+                c[rng.randint(1, 63)] = rng.randint(-300, 300)
+            cache[(ci, b)] = c
+        return cache[(ci, b)]
+
+    q = [4] * 64
+    scans = [
+        ([0], 0, 0, 0, 1),  # DC first at Al=1
+        ([0], 1, 5, 0, 1),  # low AC band first
+        ([0], 6, 63, 0, 0),  # high AC band
+        ([0], 0, 0, 1, 0),  # DC refinement
+        ([0], 1, 5, 1, 0),  # AC refinement
+    ]
+    prog = decode_jpeg_pixels(
+        _encode_progressive(16, 16, [(1, 1)], q, coeffs, scans, precision=12)
+    )
+    seq = decode_jpeg_pixels(
+        _encode(16, 16, [(1, 1)], q, coeffs, precision=12)
+    )
+    assert prog == seq
+    # color + subsampling at 12-bit through the progressive path
+    scans3 = [
+        ([0, 1, 2], 0, 0, 0, 0),
+        ([0], 1, 63, 0, 0),
+        ([1], 1, 63, 0, 0),
+        ([2], 1, 63, 0, 0),
+    ]
+    prog3 = decode_jpeg_pixels(
+        _encode_progressive(
+            16, 16, [(2, 2), (1, 1), (1, 1)], q, coeffs, scans3, precision=12
+        )
+    )
+    seq3 = decode_jpeg_pixels(
+        _encode(16, 16, [(2, 2), (1, 1), (1, 1)], q, coeffs, precision=12)
+    )
+    assert prog3 == seq3

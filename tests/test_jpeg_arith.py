@@ -276,6 +276,7 @@ def encode_arith_progressive(
     block_coeffs,
     scans: list[tuple[list[int], int, int, int, int]],
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """SOF10 twin of tests/test_jpeg.py::_encode_progressive — same
     scan-script shape, QM entropy layer per T.81 G.2. The encoder
@@ -310,7 +311,7 @@ def encode_arith_progressive(
     out = bytearray(b"\xff\xd8")
     zz_q = bytes(qtable[ZIGZAG_TO_NATURAL[z]] for z in range(64))
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
-    sof = bytes([8]) + struct.pack(">HH", height, width)
+    sof = bytes([precision]) + struct.pack(">HH", height, width)
     sof += bytes([len(comps)])
     for ci, (h, v) in enumerate(comps):
         sof += bytes([ci + 1, (h << 4) | v, 0])
@@ -947,3 +948,37 @@ def test_odd_dac_segment_raises_jpeg_error():
     blob[at + 2 : at + 4] = (3).to_bytes(2, "big")
     with pytest.raises(JpegError, match="odd DAC"):
         decode_jpeg_pixels(bytes(blob[: at + 5]) + bytes(blob[at + 6 :]))
+
+
+def test_12bit_progressive_arith_matches_huffman_progressive():
+    """Round 9: 12-bit SOF10 — same grids through the QM progressive
+    path and the 12-bit Huffman progressive twin."""
+    rng = random.Random(31)
+    cache = {}
+
+    def coeffs(ci, b):
+        if (ci, b) not in cache:
+            c = [0] * 64
+            c[0] = rng.randint(-1500, 1500)
+            for _ in range(6):
+                c[rng.randint(1, 63)] = rng.randint(-200, 200)
+            cache[(ci, b)] = c
+        return cache[(ci, b)]
+
+    q = [4] * 64
+    scans = [
+        ([0], 0, 0, 0, 1),
+        ([0], 1, 63, 0, 0),
+        ([0], 0, 0, 1, 0),
+    ]
+    a = _pixels(
+        encode_arith_progressive(
+            16, 16, [(1, 1)], q, coeffs, scans, precision=12
+        )
+    )
+    b = _pixels(
+        huffman_encode_progressive(
+            16, 16, [(1, 1)], q, coeffs, scans, precision=12
+        )
+    )
+    assert a == b
