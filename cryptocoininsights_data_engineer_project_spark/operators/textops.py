@@ -1529,3 +1529,52 @@ pred AS (
 SELECT d.doc_id, coalesce(p.lang_pred, 'unknown') AS lang_pred
 FROM src d LEFT JOIN pred p USING (doc_id)
 """
+
+
+# ------------------------------------------------------ NFC normalization
+def nfc_normalize_docs(docs):
+    """(doc_id, raw_text, nfc_text): Unicode NFC normalization — the
+    canonicalization pass that belongs BEFORE hashing, dedup, and
+    tokenization in a text pipeline (the same visible string can
+    arrive precomposed, decomposed, or with non-canonically ordered
+    combining marks, and every downstream fingerprint would treat
+    them as different documents).
+
+    No JVM builtin exists for Unicode normalization, so this is a
+    legitimate Python surface: one Arrow-batched ``mapInPandas``
+    pass over ``unicodedata.normalize`` (CPython's implementation of
+    UAX #15), raw text passed through so the changed/length columns
+    compute JVM-side afterwards with no re-join. The DuckDB oracle
+    runs utf8proc's ``nfc_normalize`` — two independent
+    implementations of the same algorithm, agreement checked across
+    composition, canonical reordering, singleton (ANGSTROM), and
+    Hangul-jamo shapes in tests/test_textops.py."""
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("raw_text", T.StringType(), True),
+            T.StructField("nfc_text", T.StringType(), True),
+        ]
+    )
+
+    def _norm(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_text": pdf["text"],
+                    "nfc_text": [
+                        None
+                        if t is None
+                        else unicodedata.normalize("NFC", t)
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(_norm, schema)

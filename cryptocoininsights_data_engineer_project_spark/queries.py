@@ -1384,6 +1384,71 @@ def lang_id_ngram_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Unicode-hazard fixture shared by text_nfc_normalize and its oracle:
+# one of five canonical-equivalence shapes per doc — decomposed e+´
+# (composes), precomposed é (already NFC), a+´+dot-below in
+# NON-canonical combining order (reorders then composes), the
+# ANGSTROM SIGN singleton (maps to Å), and Hangul jamo (composes to
+# a syllable) — prepended to a slice of the real text. The same
+# UTF-8 bytes are built from hex in both engines.
+_NFC_SEG_HEXES = ("65cc81", "c3a9", "61cc81cca3", "e284ab", "e18480e185a1")
+
+
+def _nfc_fixture(decode_fn: str) -> str:
+    arms = " ".join(
+        f"WHEN {i} THEN {decode_fn.format(hex=h)}"
+        for i, h in enumerate(_NFC_SEG_HEXES)
+    )
+    return (
+        f"(CASE doc_id % {len(_NFC_SEG_HEXES)} {arms} END) "
+        "|| ' ' || substr(text, 1, 40)"
+    )
+
+
+@_q(
+    "text_nfc_normalize",
+    f"""
+WITH f AS (
+  SELECT doc_id,
+    {_nfc_fixture("decode(from_hex('{hex}'))")} AS raw_text
+  FROM documents
+)
+SELECT doc_id, raw_text, nfc_normalize(raw_text) AS nfc_text,
+  nfc_normalize(raw_text) != raw_text AS changed,
+  CAST(length(raw_text) AS BIGINT) AS n_cp_raw,
+  CAST(length(nfc_normalize(raw_text)) AS BIGINT) AS n_cp_nfc
+FROM f
+""",
+    doc="Unicode NFC normalization (UAX #15) — the canonicalization "
+    "pass that belongs BEFORE hashing/dedup/tokenization: the same "
+    "visible string arrives precomposed, decomposed, or with "
+    "non-canonically ordered combining marks, and every downstream "
+    "fingerprint would split them. No JVM builtin exists, so this "
+    "is a legitimate Arrow surface: one mapInPandas pass over "
+    "CPython's unicodedata (operators/textops.py::"
+    "nfc_normalize_docs), raw text passed through so "
+    "changed/codepoint columns compute JVM-side with no re-join. "
+    "The oracle runs DuckDB's utf8proc nfc_normalize — an "
+    "INDEPENDENT implementation of the same algorithm — over a "
+    "fixture that hits composition, canonical reordering, the "
+    "ANGSTROM singleton, and Hangul-jamo composition per doc",
+)
+def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fixture = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        _nfc_fixture("decode(unhex('{hex}'), 'UTF-8')") + " AS text",
+    )
+    out = textops.nfc_normalize_docs(fixture)
+    return out.select(
+        "doc_id",
+        "raw_text",
+        "nfc_text",
+        (F.col("nfc_text") != F.col("raw_text")).alias("changed"),
+        F.length("raw_text").cast("long").alias("n_cp_raw"),
+        F.length("nfc_text").cast("long").alias("n_cp_nfc"),
+    )
+
+
 @_q("token_count", textops.token_count_oracle_sql(), doc="whitespace + BPE-ish token counts")
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.token_count(_t(spark, sf_dir, "documents"))

@@ -571,3 +571,36 @@ def test_lang_id_ngram_unlisted_language_ties_deterministic(spark):
     # identical text trains identical profiles for both labels ->
     # every doc ties -> lexicographic winner 'it' everywhere
     assert set(first.values()) == {"it"}
+
+
+def test_nfc_normalize_shapes_and_nulls(spark):
+    """The Arrow NFC pass must agree with utf8proc (the oracle's
+    implementation) on every canonical-equivalence shape, pass NULL
+    through, and leave already-NFC text byte-identical."""
+    import duckdb
+
+    from cryptocoininsights_data_engineer_project_spark.operators.textops import (
+        nfc_normalize_docs,
+    )
+
+    cases = [
+        "é",            # decomposed -> composes
+        "é",              # precomposed, unchanged
+        "ạ́",      # non-canonical order -> reorder+compose
+        "Å",              # ANGSTROM singleton
+        "가",       # Hangul jamo -> syllable
+        "plain",
+        None,
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.nfc_text for r in nfc_normalize_docs(docs).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(cases):
+        if t is None:
+            assert got[i] is None
+            continue
+        want = con.execute("SELECT nfc_normalize(?)", [t]).fetchone()[0]
+        assert got[i] == want, (i, t)
+    assert got[1] == "é" and got[5] == "plain"
