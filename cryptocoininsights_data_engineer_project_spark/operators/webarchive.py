@@ -1429,3 +1429,134 @@ UNION ALL
 SELECT doc_id, CAST(1 AS BIGINT), CAST({n} AS BIGINT), CAST(s AS BIGINT)
 FROM b1
 """
+
+
+# ------------------------------------------------------------- sitemaps
+# The crawl-DISCOVERY side of the robots family (sitemaps.org
+# protocol, referenced by RFC 9309's Sitemap directive): <urlset>
+# leaf sitemaps enumerate fetchable URLs with optional lastmod /
+# priority, and <sitemapindex> files fan out to child sitemaps.
+# Parsing runs entirely JVM-side through Spark 4's native from_xml
+# — no Python, no UDF; the XML never leaves codegen.
+
+SITEMAP_URLS_PER_DOC = 3
+_SITEMAP_SCHEMA = (
+    "url ARRAY<STRUCT<loc: STRING, lastmod: STRING, priority: DOUBLE>>, "
+    "sitemap ARRAY<STRUCT<loc: STRING, lastmod: STRING>>"
+)
+
+
+def synth_sitemap_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, xml): spec-shaped sitemap documents — every fifth
+    doc is a <sitemapindex> pointing at two child sitemaps, the rest
+    are <urlset> leaves with three <url> entries (lastmod on all,
+    priority only on the first — absent-field handling is part of
+    the contract)."""
+    k = SITEMAP_URLS_PER_DOC
+    host = "concat('http://h', cast(doc_id % 9 AS string), '.net')"
+    lastmod = (
+        "concat('2024-', lpad(cast(1 + doc_id % 12 AS string), 2, '0'), "
+        "'-', lpad(cast(1 + (doc_id * 3 + {i}) % 28 AS string), 2, '0'))"
+    )
+    urls = "".join(
+        "concat('<url><loc>', "
+        + host
+        + f", '/page/', cast(doc_id AS string), '/{i}</loc>"
+        f"<lastmod>', {lastmod.format(i=i)}, '</lastmod>'"
+        + (
+            ", '<priority>0.', cast(1 + doc_id % 9 AS string), "
+            "'</priority>'"
+            if i == 0
+            else ""
+        )
+        + ", '</url>'), "
+        for i in range(k)
+    )
+    urlset = (
+        "concat('<urlset xmlns=\"http://www.sitemaps.org/schemas/"
+        f"sitemap/0.9\">', {urls}'</urlset>')"
+    )
+    children = "".join(
+        "concat('<sitemap><loc>', "
+        + host
+        + f", '/sitemap-', cast(doc_id AS string), '-{i}.xml</loc>"
+        f"<lastmod>', {lastmod.format(i=i)}, '</lastmod></sitemap>'), "
+        for i in range(2)
+    )
+    index = (
+        "concat('<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/"
+        f"sitemap/0.9\">', {children}'</sitemapindex>')"
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(
+            "concat('<?xml version=\"1.0\" encoding=\"UTF-8\"?>', "
+            f"CASE WHEN doc_id % 5 = 0 THEN {index} ELSE {urlset} END)"
+        ).alias("xml"),
+    )
+
+
+def sitemap_entries(assets: DataFrame) -> DataFrame:
+    """(asset_id, kind, entry_idx, loc, lastmod, priority): one row
+    per sitemap entry in document order — 'url' rows from leaf
+    urlsets, 'sitemap' rows from index files (priority NULL there;
+    the spec defines none). Pure from_xml + array transform +
+    posexplode: zero Python, zero shuffle."""
+    parsed = assets.select(
+        "asset_id",
+        F.expr(f"from_xml(xml, '{_SITEMAP_SCHEMA}')").alias("p"),
+    )
+    entries = parsed.select(
+        "asset_id",
+        F.when(F.expr("p.url IS NOT NULL"), F.lit("url"))
+        .otherwise(F.lit("sitemap"))
+        .alias("kind"),
+        F.expr(
+            "coalesce("
+            "transform(p.url, x -> struct(x.loc AS loc, "
+            "x.lastmod AS lastmod, x.priority AS priority)), "
+            "transform(p.sitemap, x -> struct(x.loc AS loc, "
+            "x.lastmod AS lastmod, CAST(NULL AS DOUBLE) AS priority)))"
+        ).alias("es"),
+    )
+    return entries.select(
+        "asset_id",
+        "kind",
+        F.posexplode("es").alias("entry_idx", "e"),
+    ).select(
+        "asset_id",
+        "kind",
+        F.col("entry_idx").cast("long").alias("entry_idx"),
+        F.col("e.loc").alias("loc"),
+        F.col("e.lastmod").alias("lastmod"),
+        F.col("e.priority").alias("priority"),
+    )
+
+
+def sitemap_oracle_sql() -> str:
+    """Closed form: the fixture's entry grid restated per doc class."""
+    k = SITEMAP_URLS_PER_DOC
+    host = "'http://h' || CAST(doc_id % 9 AS VARCHAR) || '.net'"
+    lastmod = (
+        "'2024-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || "
+        "'-' || lpad(CAST(1 + (doc_id * 3 + g.i) % 28 AS VARCHAR), 2, '0')"
+    )
+    return f"""
+SELECT doc_id AS asset_id, 'url' AS kind,
+  CAST(g.i AS BIGINT) AS entry_idx,
+  {host} || '/page/' || CAST(doc_id AS VARCHAR) || '/'
+    || CAST(g.i AS VARCHAR) AS loc,
+  {lastmod} AS lastmod,
+  CASE WHEN g.i = 0
+    THEN CAST('0.' || CAST(1 + doc_id % 9 AS VARCHAR) AS DOUBLE)
+    ELSE NULL END AS priority
+FROM documents, UNNEST(generate_series(0, {k - 1})) AS g(i)
+WHERE doc_id % 5 != 0
+UNION ALL
+SELECT doc_id, 'sitemap', CAST(g.i AS BIGINT),
+  {host} || '/sitemap-' || CAST(doc_id AS VARCHAR) || '-'
+    || CAST(g.i AS VARCHAR) || '.xml',
+  {lastmod}, NULL
+FROM documents, UNNEST(generate_series(0, 1)) AS g(i)
+WHERE doc_id % 5 = 0
+"""

@@ -1982,6 +1982,26 @@ def zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "sitemap_extract",
+    webarchive.sitemap_oracle_sql(),
+    doc="Sitemap parsing (sitemaps.org protocol, the RFC 9309 "
+    "Sitemap directive's target) — the crawl-DISCOVERY primitive "
+    "pairing robots_filter: <urlset> leaves yield (loc, lastmod, "
+    "priority) per URL in document order, <sitemapindex> files "
+    "yield their child-sitemap fan-out. Parsing is Spark 4's "
+    "native from_xml + array transform + posexplode — entirely "
+    "JVM-side, zero Python, zero shuffle "
+    "(operators/webarchive.py::sitemap_entries). Fixture mixes "
+    "both document kinds and exercises absent-optional-field "
+    "handling (priority only on the first URL); the oracle "
+    "restates the entry grid closed-form",
+)
+def sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return webarchive.sitemap_entries(webarchive.synth_sitemap_assets(docs))
+
+
+@_q(
     "tfrecord_extract",
     webarchive.tfrecord_oracle_sql(),
     doc="TFRecord shard extraction — the third training-shard "

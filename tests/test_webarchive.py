@@ -1190,3 +1190,54 @@ def test_parse_tfrecord_fuzz_never_crashes_untyped():
             pass
 
     run()
+
+
+# --------------------------------------------------------------- sitemaps
+
+
+def test_sitemap_entries_shapes_and_malformed(spark):
+    from cryptocoininsights_data_engineer_project_spark.operators.webarchive import (
+        sitemap_entries,
+    )
+
+    urlset = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>http://a.net/x</loc><lastmod>2024-01-01</lastmod>"
+        "<priority>0.5</priority></url>"
+        "<url><loc>http://a.net/y</loc></url></urlset>"
+    )
+    index = (
+        '<?xml version="1.0"?><sitemapindex>'
+        "<sitemap><loc>http://a.net/s1.xml</loc></sitemap></sitemapindex>"
+    )
+    assets = spark.createDataFrame(
+        [(0, urlset), (1, index), (2, "not xml at all <<<")],
+        "asset_id long, xml string",
+    )
+    rows = sitemap_entries(assets).collect()
+    got = {(r.asset_id, r.entry_idx): r for r in rows}
+    assert got[(0, 0)].loc == "http://a.net/x"
+    assert got[(0, 0)].priority == 0.5
+    assert got[(0, 1)].lastmod is None and got[(0, 1)].priority is None
+    assert got[(1, 0)].kind == "sitemap"
+    assert got[(1, 0)].loc == "http://a.net/s1.xml"
+    # malformed XML parses to null arrays -> contributes zero rows
+    # (quarantine upstream by anti-joining extracted asset_ids)
+    assert all(r.asset_id != 2 for r in rows)
+
+
+def test_sitemap_plan_is_jvm_only(spark):
+    # from_xml + transform + posexplode: no Python workers, no
+    # exchange before the explode
+    import contextlib
+    import io
+
+    from cryptocoininsights_data_engineer_project_spark.queries import REGISTRY
+
+    df = REGISTRY["sitemap_extract"].fn(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
