@@ -152,13 +152,22 @@ def parse_warc(payload: bytes) -> list[dict]:
         body = b[body_start : body_start + clen]
         if len(body) < clen:
             raise WarcError("truncated WARC record body")
-        records.append(
-            {"version": version, "headers": headers, "body": body}
-        )
+        rec_start = pos
         pos = body_start + clen
         if b[pos : pos + 4] != b"\r\n\r\n":
             raise WarcError("missing WARC record separator")
         pos += 4
+        records.append(
+            {
+                "version": version,
+                "headers": headers,
+                "body": body,
+                # byte range of the framed record (incl. separator) —
+                # the capture-index fields (warc_record_index)
+                "offset": rec_start,
+                "nbytes": pos - rec_start,
+            }
+        )
     return records
 
 
@@ -1559,4 +1568,168 @@ SELECT doc_id, 'sitemap', CAST(g.i AS BIGINT),
   {lastmod}, NULL
 FROM documents, UNNEST(generate_series(0, 1)) AS g(i)
 WHERE doc_id % 5 = 0
+"""
+
+
+# -------------------------------------------------- warc random access
+# The capture-index primitive (the role CDX files play for Common
+# Crawl): a 100 TB archive store is NOT re-parsed per lookup — each
+# archive is walked ONCE to index every record's (offset, nbytes)
+# byte range, and every later fetch is a ranged read of exactly one
+# record. parse_warc already computes the framing; it now reports
+# each record's byte range so the index is a side effect of the
+# walk, not a second pass.
+
+# constant per-record byte length of the synth_warc_multi_assets
+# fixture, excluding the doc_id and record-index digit counts —
+# derived from the same literals the fixture concatenates
+WARC_MULTI_REC_CONST = (
+    len("WARC/1.0\r\n")
+    + len("WARC-Type: response\r\n")
+    + len("WARC-Target-URI: http://example.com/doc/")
+    + len("/")  # between doc and record index (digits counted apart)
+    + len("\r\n")
+    + len("Content-Length: ")
+    + len(str(len(_HTTP_HEAD) + WARC_MULTI_BODY_N))
+    + len("\r\n\r\n")
+    + len(_HTTP_HEAD)
+    + WARC_MULTI_BODY_N
+    + len("\r\n\r\n")
+)
+
+_WARC_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("record_idx", T.LongType(), False),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("rec_bytes", T.LongType(), False),
+        T.StructField("warc_type", T.StringType(), True),
+        T.StructField("target_uri", T.StringType(), True),
+    ]
+)
+
+
+def warc_record_index(assets: DataFrame) -> DataFrame:
+    """(asset_id, record_idx, offset, rec_bytes, warc_type,
+    target_uri): the byte-range capture index of every record in
+    every archive — built in the same single parse walk the
+    extractors use (payloads never shuffle; the index rows are tiny).
+    In production this table is written next to the archive store
+    and every record access becomes one ranged GET."""
+
+    def _index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _WARC_INDEX_SCHEMA}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for i, rec in enumerate(parse_warc(bytes(payload))):
+                    rows["asset_id"].append(int(aid))
+                    rows["record_idx"].append(i)
+                    rows["offset"].append(rec["offset"])
+                    rows["rec_bytes"].append(rec["nbytes"])
+                    rows["warc_type"].append(rec["headers"].get("warc-type"))
+                    rows["target_uri"].append(
+                        rec["headers"].get("warc-target-uri")
+                    )
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _index, schema=_WARC_INDEX_SCHEMA
+    )
+
+
+def warc_index_oracle_sql() -> str:
+    """Closed form over the multi-record fixture: record k's length is
+    CONST + digits(doc_id) + digits(k), so offsets are the prefix sum
+    k*(CONST + digits(doc_id) + 1) + max(0, k - 10) (indexes 10-15
+    carry one extra digit)."""
+    c = WARC_MULTI_REC_CONST
+    n = WARC_MULTI_RECORDS
+    dd = "length(CAST(doc_id AS VARCHAR))"
+    return f"""
+SELECT doc_id AS asset_id, CAST(g.k AS BIGINT) AS record_idx,
+  CAST(g.k * ({c} + {dd} + 1) + greatest(0, g.k - 10) AS BIGINT)
+    AS offset,
+  CAST({c} + {dd} + (CASE WHEN g.k < 10 THEN 1 ELSE 2 END) AS BIGINT)
+    AS rec_bytes,
+  'response' AS warc_type,
+  'http://example.com/doc/' || CAST(doc_id AS VARCHAR) || '/'
+    || CAST(g.k AS VARCHAR) AS target_uri
+FROM documents, UNNEST(generate_series(0, {n - 1})) AS g(k)
+"""
+
+
+def warc_fetch_record(assets: DataFrame, pick_expr: str) -> DataFrame:
+    """(asset_id, record_idx, target_uri, entity_len, entity_sum):
+    random access into archives — slice ONE record's byte range
+    (``pick_expr`` chooses the record index; the (offset, nbytes)
+    arithmetic stands in for the persisted index lookup, exactly the
+    values ``warc_record_index`` emits) with a JVM substr, then
+    parse ONLY that slice. The other records' bytes are never
+    parsed — the archive behaves like a random-access store, which
+    is the entire point of indexing 100 TB of WARCs."""
+    c = WARC_MULTI_REC_CONST
+    dd = "length(cast(asset_id AS string))"
+    off = f"(record_idx * ({c} + {dd} + 1) + greatest(0, record_idx - 10))"
+    ln = f"({c} + {dd} + (CASE WHEN record_idx < 10 THEN 1 ELSE 2 END))"
+    sliced = assets.selectExpr(
+        "asset_id",
+        f"CAST({pick_expr} AS BIGINT) AS record_idx",
+        "payload",
+    ).selectExpr(
+        "asset_id",
+        "record_idx",
+        f"substring(payload, CAST({off} + 1 AS INT), "
+        f"CAST({ln} AS INT)) AS rec",
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("record_idx", T.LongType(), False),
+            T.StructField("target_uri", T.StringType(), True),
+            T.StructField("entity_len", T.LongType(), False),
+            T.StructField("entity_sum", T.LongType(), False),
+        ]
+    )
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in schema}
+            for aid, ridx, rec in zip(
+                pdf["asset_id"], pdf["record_idx"], pdf["rec"]
+            ):
+                recs = parse_warc(bytes(rec))
+                if len(recs) != 1:
+                    raise WarcError(
+                        f"byte-range slice held {len(recs)} records"
+                    )
+                _status, _hh, entity = split_http_response(recs[0]["body"])
+                rows["asset_id"].append(int(aid))
+                rows["record_idx"].append(int(ridx))
+                rows["target_uri"].append(
+                    recs[0]["headers"].get("warc-target-uri")
+                )
+                rows["entity_len"].append(len(entity))
+                rows["entity_sum"].append(sum(entity))
+            yield pd.DataFrame(rows)
+
+    return sliced.mapInPandas(_parse, schema=schema)
+
+
+def warc_fetch_oracle_sql() -> str:
+    """Closed form: the picked record's entity is _HTTP_HEAD's tail
+    formula — 8 bytes 97 + (doc*5 + k*3 + j) % 26."""
+    n = WARC_MULTI_BODY_N
+    return f"""
+WITH pick AS (
+  SELECT doc_id, doc_id % {WARC_MULTI_RECORDS} AS k FROM documents
+)
+SELECT doc_id AS asset_id, CAST(k AS BIGINT) AS record_idx,
+  'http://example.com/doc/' || CAST(doc_id AS VARCHAR) || '/'
+    || CAST(k AS VARCHAR) AS target_uri,
+  CAST({n} AS BIGINT) AS entity_len,
+  CAST((SELECT sum(97 + (doc_id * 5 + k * 3 + j.j) % 26)
+        FROM UNNEST(generate_series(0, {n - 1})) AS j(j)) AS BIGINT)
+    AS entity_sum
+FROM pick
 """

@@ -1982,6 +1982,50 @@ def zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "warc_index_build",
+    webarchive.warc_index_oracle_sql(),
+    doc="WARC capture-index construction — the role CDX files play "
+    "for Common Crawl: every record's (offset, rec_bytes) byte "
+    "range plus type and target URI, emitted by the SAME single "
+    "parse walk the extractors use "
+    "(operators/webarchive.py::warc_record_index; parse_warc now "
+    "reports each record's framed byte range). At 100 TB this "
+    "index is written once next to the archive store and every "
+    "later record access is a ranged GET — archives are never "
+    "re-parsed per lookup. Oracle states the fixture's offsets in "
+    "closed form (prefix sums of the per-record length formula), "
+    "so an off-by-one anywhere in the framing walk hash-mismatches",
+)
+def warc_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return webarchive.warc_record_index(
+        webarchive.synth_warc_multi_assets(docs)
+    )
+
+
+@_q(
+    "warc_fetch_record",
+    webarchive.warc_fetch_oracle_sql(),
+    doc="WARC random access — the consumer side of "
+    "warc_index_build: pick one record per archive (doc_id mod 16), "
+    "slice EXACTLY its indexed byte range with a JVM substring, and "
+    "parse only that slice (a guard raises if the range frames "
+    "anything but one record). The other 15 records' bytes are "
+    "never parsed: the archive behaves as a random-access store, "
+    "which is the entire point of indexing 100 TB of WARCs — in "
+    "production the slice is a ranged GET using the persisted "
+    "index's (offset, rec_bytes). Oracle states the picked "
+    "record's entity closed-form",
+)
+def warc_fetch_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return webarchive.warc_fetch_record(
+        webarchive.synth_warc_multi_assets(docs),
+        f"asset_id % {webarchive.WARC_MULTI_RECORDS}",
+    )
+
+
+@_q(
     "sitemap_extract",
     webarchive.sitemap_oracle_sql(),
     doc="Sitemap parsing (sitemaps.org protocol, the RFC 9309 "

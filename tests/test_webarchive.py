@@ -626,6 +626,8 @@ def test_registry_warc_plans_have_no_shuffle(spark):
         "tar_extract",
         "zip_extract",
         "tfrecord_extract",
+        "warc_index_build",
+        "warc_fetch_record",
     ):
         df = REGISTRY[name].fn(spark, "/root/testdata/sf0.001")
         buf = io.StringIO()
@@ -1241,3 +1243,33 @@ def test_sitemap_plan_is_jvm_only(spark):
     plan = buf.getvalue()
     assert "Exchange" not in plan
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_warc_record_byte_ranges_slice_standalone():
+    # every (offset, nbytes) reported by parse_warc must frame a
+    # standalone parseable record equal to the original
+    from cryptocoininsights_data_engineer_project_spark.operators.webarchive import (
+        parse_warc,
+    )
+
+    def rec(uri, body):
+        head = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + b"WARC-Target-URI: " + uri + b"\r\n"
+            + b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        )
+        return head + body + b"\r\n\r\n"
+
+    blob = b"".join(
+        rec(f"http://x/{i}".encode(), bytes([i]) * (i * 7 % 23))
+        for i in range(9)
+    )
+    recs = parse_warc(blob)
+    assert sum(r["nbytes"] for r in recs) == len(blob)
+    pos = 0
+    for r in recs:
+        assert r["offset"] == pos
+        sl = blob[r["offset"] : r["offset"] + r["nbytes"]]
+        again = parse_warc(sl)
+        assert len(again) == 1 and again[0]["body"] == r["body"]
+        pos += r["nbytes"]
