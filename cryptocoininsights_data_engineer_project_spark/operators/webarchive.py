@@ -1016,8 +1016,11 @@ def parse_zip(payload: bytes) -> list[dict]:
     comment); multi-disk archives and encrypted members are rejected;
     each member's local header must agree with its central entry on
     the name; stored members must satisfy csize == usize; DEFLATE
-    members inflate as raw streams; and the decompressed body must
-    match both the declared uncompressed size and the CRC-32."""
+    members inflate as raw streams, bzip2 (method 12) as complete
+    bz2 streams, and LZMA (method 14) through the APPNOTE
+    version/properties header into a raw LZMA1 stream — all stdlib;
+    and the decompressed body must match both the declared
+    uncompressed size and the CRC-32."""
     b = bytes(payload)
     pos = b.rfind(b"PK\x05\x06", max(0, len(b) - 65557))
     if pos < 0:
@@ -1062,7 +1065,7 @@ def parse_zip(payload: bytes) -> list[dict]:
         p += 46 + nlen + elen + clen
         if flags & 0x1:
             raise ZipError(f"encrypted member {name!r}")
-        if method not in (0, 8):
+        if method not in (0, 8, 12, 14):
             raise ZipError(f"unsupported compression method {method}")
         lp = lfh_off
         if lp + 30 > len(b):
@@ -1083,12 +1086,51 @@ def parse_zip(payload: bytes) -> list[dict]:
             if csize != usize:
                 raise ZipError(f"stored-member size mismatch for {name!r}")
             body = data
-        else:
+        elif method == 8:
             try:
                 d = zlib.decompressobj(-15)  # raw DEFLATE
                 body = d.decompress(data) + d.flush()
             except zlib.error as e:
                 raise ZipError(f"bad DEFLATE stream in {name!r}: {e}") from e
+        elif method == 12:  # bzip2 — a complete bz2 stream
+            import bz2
+
+            try:
+                body = bz2.decompress(data)
+            except (OSError, ValueError) as e:
+                raise ZipError(f"bad bzip2 stream in {name!r}: {e}") from e
+        else:  # 14: LZMA — APPNOTE 5.8.8 version/props header + raw LZMA1
+            import lzma
+
+            if len(data) < 4:
+                raise ZipError(f"truncated LZMA header in {name!r}")
+            psize = int.from_bytes(data[2:4], "little")
+            props = data[4 : 4 + psize]
+            if psize != 5 or len(props) < 5:
+                raise ZipError(f"bad LZMA properties in {name!r}")
+            p0 = props[0]
+            if p0 >= 9 * 5 * 5:
+                raise ZipError(f"bad LZMA property byte in {name!r}")
+            lc, rem = p0 % 9, p0 // 9
+            lp, pb = rem % 5, rem // 5
+            filters = [
+                {
+                    "id": lzma.FILTER_LZMA1,
+                    "dict_size": max(
+                        4096, int.from_bytes(props[1:5], "little")
+                    ),
+                    "lc": lc,
+                    "lp": lp,
+                    "pb": pb,
+                }
+            ]
+            try:
+                d = lzma.LZMADecompressor(
+                    format=lzma.FORMAT_RAW, filters=filters
+                )
+                body = d.decompress(data[4 + psize :], max_length=usize)
+            except lzma.LZMAError as e:
+                raise ZipError(f"bad LZMA stream in {name!r}: {e}") from e
         if len(body) != usize:
             raise ZipError(
                 f"inflated size {len(body)} != declared {usize} "

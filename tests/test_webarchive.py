@@ -1273,3 +1273,29 @@ def test_warc_record_byte_ranges_slice_standalone():
         again = parse_warc(sl)
         assert len(again) == 1 and again[0]["body"] == r["body"]
         pos += r["nbytes"]
+
+
+def test_parse_zip_bzip2_and_lzma_members():
+    # methods 12/14 through stdlib-written archives, plus gates
+    import io
+    import zipfile
+
+    from cryptocoininsights_data_engineer_project_spark.operators.webarchive import (
+        ZipError,
+        parse_zip,
+    )
+
+    for comp, want in [(zipfile.ZIP_BZIP2, 12), (zipfile.ZIP_LZMA, 14)]:
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", compression=comp) as z:
+            z.writestr("x.bin", bytes(range(256)) * 5)
+            z.writestr("y.txt", b"repetitive " * 40)
+        ms = parse_zip(buf.getvalue())
+        assert [m["method"] for m in ms] == [want, want]
+        assert ms[0]["body"] == bytes(range(256)) * 5
+        assert ms[1]["body"] == b"repetitive " * 40
+        # corrupt a compressed byte -> typed error (stream or CRC)
+        blob = bytearray(buf.getvalue())
+        blob[40] ^= 0xFF
+        with pytest.raises(ZipError):
+            parse_zip(bytes(blob))
