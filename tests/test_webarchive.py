@@ -1003,7 +1003,7 @@ def test_parse_zip_gates():
         parse_zip(bytes(bad3))
     # unsupported method in the central entry
     bad4 = bytearray(good)
-    bad4[cd + 10 : cd + 12] = struct.pack("<H", 12)  # bzip2
+    bad4[cd + 10 : cd + 12] = struct.pack("<H", 98)  # PPMd
     with pytest.raises(ZipError, match="unsupported compression"):
         parse_zip(bytes(bad4))
 
@@ -1294,8 +1294,10 @@ def test_parse_zip_bzip2_and_lzma_members():
         assert [m["method"] for m in ms] == [want, want]
         assert ms[0]["body"] == bytes(range(256)) * 5
         assert ms[1]["body"] == b"repetitive " * 40
-        # corrupt a compressed byte -> typed error (stream or CRC)
+        # corrupt a compressed byte (past the LZMA props header,
+        # whose dict-size field does not affect small-stream output)
+        # -> typed error (stream or CRC)
         blob = bytearray(buf.getvalue())
-        blob[40] ^= 0xFF
+        blob[60] ^= 0xFF
         with pytest.raises(ZipError):
             parse_zip(bytes(blob))
