@@ -588,13 +588,19 @@ def _parse_segments(data: bytes, raw_lossless: bool = False):
                     "lossless with subsampled components: 1x1 "
                     "sampling only (the common DICOM/raw shape)"
                 )
+        elif marker == 0xDE:  # DHP: hierarchical stream
+            raise NotImplementedError(
+                "hierarchical (DHP) stream: decode via "
+                "decode_jpeg_hierarchical — decode_jpeg_pixels would "
+                "silently return only the reduced-resolution first "
+                "frame"
+            )
         elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"SOF marker {marker:#x} (hierarchical): sequential "
-                "+ progressive + lossless Huffman and sequential + "
-                "progressive + lossless arithmetic (SOF9/SOF10/SOF11) "
-                "only — register a libjpeg-backed decoder for these "
-                "streams"
+                f"differential SOF marker {marker:#x} outside a "
+                "hierarchy is malformed; hierarchical streams decode "
+                "via decode_jpeg_hierarchical (sequential Huffman "
+                "frames), other differential modes stay gated"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             if len(seg) % 2:
@@ -750,6 +756,7 @@ def _decode_scan(
     ac_tables: dict[int, _HuffTable],
     restart_interval: int,
     precision: int = 8,
+    raw_planes: bool = False,
 ) -> tuple[int, int, int, bytes]:
     if width == 0 or height == 0:
         raise JpegError("SOS before SOF: image dimensions unknown")
@@ -820,6 +827,11 @@ def _decode_scan(
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcus_since_restart += 1
 
+    if raw_planes:
+        # hierarchical caller: signed IDCT planes (no level shift /
+        # clamp — those happen on the accumulated reference) + the
+        # byte offset where the entropy scan ended
+        return planes, _scan_end(reader, data)
     return _finish(planes, comps, hmax, vmax, width, height, precision)
 
 
@@ -1626,3 +1638,233 @@ def _reconstruct(
         plane = blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         planes.append(plane)
     return _finish(planes, comps, hmax, vmax, width, height, precision)
+
+
+# ------------------------------------------------- hierarchical (Annex J)
+# The pyramid mode: a DHP segment declares the full-resolution frame,
+# a first NON-differential frame decodes at (possibly) reduced
+# resolution, and each later DIFFERENTIAL frame (SOF5 here) adds a
+# correction image to the reference — optionally after an EXP marker
+# doubles the reference horizontally/vertically with the Annex-J
+# bilinear filter (even samples copied, odd samples (a+b+1)>>1, edge
+# repeated). Scope: sequential HUFFMAN frames with 1x1 sampling —
+# the DICOM/archival shape; progressive/arithmetic/lossless frames
+# inside a hierarchy raise NotImplementedError. Convention notes
+# (documented, mirrored by the independent encoder in
+# tests/test_jpeg_hierarchical.py): each stage's output is rounded
+# and clamped to [0, 2^P - 1] before becoming the next reference;
+# differential frames apply no level shift.
+
+
+def _expand_ref(p: np.ndarray, eh: int, ev: int) -> np.ndarray:
+    """J.1.1.2 reference expansion: double along each requested axis
+    — even outputs copy inputs, odd outputs interpolate
+    (a + b + 1) >> 1, the final odd sample repeating the edge."""
+    if eh:
+        h, w = p.shape
+        out = np.zeros((h, 2 * w), dtype=p.dtype)
+        out[:, 0::2] = p
+        if w > 1:
+            out[:, 1 : 2 * w - 1 : 2] = (p[:, :-1] + p[:, 1:] + 1) >> 1
+        out[:, 2 * w - 1] = p[:, -1]
+        p = out
+    if ev:
+        h, w = p.shape
+        out = np.zeros((2 * h, w), dtype=p.dtype)
+        out[0::2, :] = p
+        if h > 1:
+            out[1 : 2 * h - 1 : 2, :] = (p[:-1, :] + p[1:, :] + 1) >> 1
+        out[2 * h - 1, :] = p[-1, :]
+        p = out
+    return p
+
+
+def decode_jpeg_hierarchical(payload: bytes):
+    """Decode a HIERARCHICAL (DHP) JPEG to (width, height, channels,
+    samples) with samples an int32 ndarray of shape (h, w, channels)
+    at full precision (2-12 bit DCT range) — the progressive-
+    transmission / DICOM pyramid contract. Raises JpegError if the
+    stream carries no DHP segment."""
+    data = bytes(payload)
+    if data[:2] != b"\xff\xd8":
+        raise JpegError("missing SOI marker")
+    try:
+        return _decode_hier(data)
+    except (IndexError, struct.error) as e:
+        raise JpegError(f"truncated or malformed JPEG stream: {e}") from e
+
+
+def _decode_hier(data: bytes):
+    qtables: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, _HuffTable] = {}
+    ac_tables: dict[int, _HuffTable] = {}
+    restart_interval = 0
+    precision = None
+    full_w = full_h = None
+    ncomp = None
+    refs: list[np.ndarray] | None = None
+    pending_exp = (0, 0)
+    frame = None  # (differential, fw, fh, comps) awaiting its SOS
+    pos = 2
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            raise JpegError(f"expected marker at offset {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            if refs is None:
+                raise JpegError("EOI before any hierarchical frame")
+            if refs[0].shape != (full_h, full_w):
+                raise JpegError(
+                    f"final reference {refs[0].shape} != DHP "
+                    f"{(full_h, full_w)}"
+                )
+            top = (1 << precision) - 1
+            out = np.stack(
+                [np.clip(r, 0, top).astype(np.int32) for r in refs],
+                axis=-1,
+            )
+            return full_w, full_h, ncomp, out
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                n = 64 * (2 if pq else 1)
+                raw = seg[i : i + n]
+                vals = struct.unpack(">64H", raw) if pq else list(raw)
+                q = np.zeros(64, dtype=np.int32)
+                for z, v in enumerate(vals):
+                    q[ZIGZAG_TO_NATURAL[z]] = v
+                qtables[tq] = q.reshape(8, 8)
+                i += n
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                counts = list(seg[i + 1 : i + 17])
+                nsym = sum(counts)
+                symbols = seg[i + 17 : i + 17 + nsym]
+                (ac_tables if tc else dc_tables)[th] = _HuffTable(
+                    counts, symbols
+                )
+                i += 17 + nsym
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDE:  # DHP
+            if full_w is not None:
+                raise JpegError("multiple DHP segments")
+            precision = seg[0]
+            if not 2 <= precision <= 12:
+                raise NotImplementedError(
+                    f"{precision}-bit hierarchical: DCT precisions only"
+                )
+            full_h, full_w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            for c in range(ncomp):
+                hv = seg[7 + 3 * c]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "hierarchical with subsampled components: "
+                        "1x1 sampling only"
+                    )
+        elif marker == 0xDF:  # EXP
+            pending_exp = (seg[0] >> 4, seg[0] & 0x0F)
+            if pending_exp not in ((0, 1), (1, 0), (1, 1)):
+                raise JpegError(f"bad EXP fields {seg[0]:#x}")
+        elif marker in (0xC0, 0xC1, 0xC5):
+            if full_w is None:
+                raise JpegError(
+                    "hierarchical frame before DHP — use "
+                    "decode_jpeg_pixels for non-hierarchical streams"
+                )
+            differential = marker == 0xC5
+            if seg[0] != precision:
+                raise JpegError(
+                    f"frame precision {seg[0]} != DHP {precision}"
+                )
+            fh, fw = struct.unpack(">HH", seg[1:5])
+            if seg[5] != ncomp:
+                raise JpegError("frame component count != DHP")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "hierarchical with subsampled components: "
+                        "1x1 sampling only"
+                    )
+                comps.append(_Component(cid, 1, 1, tq))
+            if differential and refs is None:
+                raise JpegError("differential frame with no reference")
+            if not differential and refs is not None:
+                raise NotImplementedError(
+                    "multiple non-differential hierarchical frames"
+                )
+            if pending_exp != (0, 0):
+                if refs is None:
+                    raise JpegError("EXP before any reference exists")
+                refs = [
+                    _expand_ref(r, pending_exp[0], pending_exp[1])
+                    for r in refs
+                ]
+                pending_exp = (0, 0)
+            if refs is not None:
+                if refs[0].shape[0] < fh or refs[0].shape[1] < fw:
+                    raise JpegError(
+                        f"reference {refs[0].shape} smaller than "
+                        f"frame {(fh, fw)}"
+                    )
+                refs = [r[:fh, :fw] for r in refs]
+            frame = (differential, fw, fh, comps)
+        elif marker in (0xC2, 0xC3, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"SOF marker {marker:#x} inside a hierarchy: "
+                "sequential Huffman frames (SOF0/SOF1/SOF5) only"
+            )
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise JpegError("SOS with no pending hierarchical frame")
+            differential, fw, fh, comps = frame
+            ns = seg[0]
+            by_id = {c.cid: c for c in comps}
+            scan_order = []
+            for c in range(ns):
+                cid, tdta = seg[1 + 2 * c : 3 + 2 * c]
+                comp = by_id[cid]
+                comp.td, comp.ta = tdta >> 4, tdta & 0x0F
+                scan_order.append(comp)
+            planes, scan_end = _decode_scan(
+                data,
+                pos + seglen,
+                fw,
+                fh,
+                scan_order,
+                qtables,
+                dc_tables,
+                ac_tables,
+                restart_interval,
+                precision,
+                raw_planes=True,
+            )
+            top = (1 << precision) - 1
+            rounded = [
+                np.round(p[:fh, :fw]).astype(np.int64) for p in planes
+            ]
+            if differential:
+                refs = [
+                    np.clip(r + d, 0, top) for r, d in zip(refs, rounded)
+                ]
+            else:
+                mid = 1 << (precision - 1)
+                refs = [np.clip(d + mid, 0, top) for d in rounded]
+            frame = None
+            pos = scan_end
+            continue
+        pos += seglen
+    raise JpegError("missing EOI marker")

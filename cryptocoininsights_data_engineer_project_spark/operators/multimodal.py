@@ -3646,3 +3646,166 @@ SELECT doc_id AS asset_id,
   round(sqrt(sum(CAST(v AS BIGINT) * v) / {n}.0), 6) AS rms
 FROM v GROUP BY doc_id
 """
+
+
+# ------------------------------------------------- hierarchical jpeg
+# Hierarchical (Annex J) fixture — the pyramid decode end-to-end:
+# 12-bit DHP at 16x16, an 8x8 NON-differential base frame (one
+# DC-only block), EXP(1,1) doubling, and a 16x16 SOF5 differential
+# frame (four DC-only blocks) adding per-block corrections. The
+# entropy layer rides the byte-aligned Huffman corner the SOF3
+# fixture proved (all DC categories at code length 8, category-8
+# amplitudes, single-byte EOB), so the five per-document amplitude
+# bytes splice into otherwise CONSTANT framing. With q=8 a DC-only
+# block reconstructs uniformly to its (category-8) DC value, so the
+# oracle is closed form per block: 2048 + base + prefix-sum of the
+# four signed corrections. Full shape coverage (odd dims,
+# anisotropic EXP, multi-level, color, same-resolution refinement)
+# lives in tests/test_jpeg_hierarchical.py round trips.
+JPEG_HIER_W = 16
+JPEG_HIER_H = 16
+
+
+def _hier_fixture_parts() -> tuple[str, str, str, str]:
+    """(pre, mid1, mid2, post) constant hex around the five amp
+    bytes: pre + ampB + mid1 + ampD0 + '00'... assembled in SQL."""
+    import struct as _s
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + _s.pack(">H", 2 + len(body)) + body
+
+    dqt = seg(0xDB, b"\x00" + bytes([8] * 64))
+    dhp = seg(
+        0xDE,
+        bytes([12]) + _s.pack(">HH", JPEG_HIER_H, JPEG_HIER_W)
+        + b"\x01" + bytes([1, 0x11, 0]),
+    )
+    dht_dc = seg(
+        0xC4,
+        bytes([0x00]) + bytes([0] * 7 + [17] + [0] * 8)
+        + bytes(range(17)),
+    )
+    dht_ac = seg(
+        0xC4, bytes([0x10]) + bytes([0] * 7 + [1] + [0] * 8) + b"\x00"
+    )
+    sof_base = seg(
+        0xC1, bytes([12]) + _s.pack(">HH", 8, 8) + b"\x01"
+        + bytes([1, 0x11, 0])
+    )
+    sos = seg(0xDA, b"\x01" + bytes([1, 0x00]) + bytes([0, 63, 0]))
+    exp = seg(0xDF, b"\x11")
+    sof_diff = seg(
+        0xC5,
+        bytes([12]) + _s.pack(">HH", JPEG_HIER_H, JPEG_HIER_W)
+        + b"\x01" + bytes([1, 0x11, 0]),
+    )
+    pre = (b"\xff\xd8" + dqt + dhp + dht_dc + dht_ac + sof_base
+           + sos + b"\x08").hex()
+    # after base amp: EOB, then EXP + diff frame headers, then the
+    # first diff block's category byte
+    mid = (b"\x00" + exp + sof_diff + sos + b"\x08").hex()
+    # between diff amp bytes: EOB + next category byte
+    sep = (b"\x00" + b"\x08").hex()
+    post = (b"\x00" + b"\xff\xd9").hex()
+    return pre, mid, sep, post
+
+
+_JPEG_HIER_PRE, _JPEG_HIER_MID, _JPEG_HIER_SEP, _JPEG_HIER_POST = (
+    _hier_fixture_parts()
+)
+
+# the four signed category-8 diff-frame DC DIFFs (per doc): sign
+# pattern -, +, -, + with magnitudes 128 + (doc_id * m) % 100
+_JPEG_HIER_MULTS = (3, 7, 11, 13)
+
+
+def synth_jpeg_hier_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): complete decodable hierarchical JPEGs —
+    constant framing, five per-document amplitude bytes (base DC +
+    four differential DC diffs, alternating sign)."""
+    amp_base = "lpad(hex(128 + doc_id % 100), 2, '0')"
+    amps = []
+    for i, m in enumerate(_JPEG_HIER_MULTS):
+        mag = f"(128 + (doc_id * {m}) % 100)"
+        # category-8 amplitude bits: v for positive, v + 255 negative
+        amps.append(
+            f"lpad(hex({mag}), 2, '0')"
+            if i % 2
+            else f"lpad(hex(255 - {mag}), 2, '0')"
+        )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(
+            f"unhex(concat('{_JPEG_HIER_PRE}', {amp_base}, "
+            f"'{_JPEG_HIER_MID}', {amps[0]}, "
+            f"'{_JPEG_HIER_SEP}', {amps[1]}, "
+            f"'{_JPEG_HIER_SEP}', {amps[2]}, "
+            f"'{_JPEG_HIER_SEP}', {amps[3]}, "
+            f"'{_JPEG_HIER_POST}'))"
+        ).alias("payload"),
+    )
+
+
+def decode_hier_stats(assets: DataFrame) -> DataFrame:
+    """Hierarchical decode + per-asset full-precision sample stats —
+    the same contract as decode_lossless_stats. One mapInPandas
+    pass; payloads never shuffle."""
+    from .jpegcodec import decode_jpeg_hierarchical
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                f.name: [] for f in _LOSSLESS_STATS_SCHEMA
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, ch, samples = decode_jpeg_hierarchical(bytes(payload))
+                flat = samples.reshape(-1).astype(np.int64)
+                wts = (np.arange(len(flat)) + 1) ** 2
+                rows["asset_id"].append(int(aid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(ch)
+                rows["sample_sum"].append(int(flat.sum()))
+                rows["sample_checksum"].append(int((flat * wts).sum()))
+                rows["sample_min"].append(int(flat.min()))
+                rows["sample_max"].append(int(flat.max()))
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _decode, schema=_LOSSLESS_STATS_SCHEMA
+    )
+
+
+def jpeg_hier_oracle_sql() -> str:
+    """Closed form: base is uniform 2048 + B (DC-only, q=8, the EXP
+    of a uniform plane is itself), and diff block k adds the prefix
+    sum of the alternating-sign corrections."""
+    w, h = JPEG_HIER_W, JPEG_HIER_H
+    n = w * h
+    b = "(128 + doc_id % 100)"
+    d = [
+        f"({'-' if i % 2 == 0 else ''}(128 + (doc_id * {m}) % 100))"
+        for i, m in enumerate(_JPEG_HIER_MULTS)
+    ]
+    c = [d[0]]
+    for i in (1, 2, 3):
+        c.append(f"({c[i - 1]} + {d[i]})")
+    return f"""
+WITH px AS (
+  SELECT doc_id, g.i AS i,
+    2048 + {b} + (CASE ((g.i // {w}) // 8) * 2 + ((g.i % {w}) // 8)
+      WHEN 0 THEN {c[0]} WHEN 1 THEN {c[1]}
+      WHEN 2 THEN {c[2]} ELSE {c[3]} END) AS v
+  FROM documents, UNNEST(generate_series(0, {n - 1})) AS g(i)
+)
+SELECT doc_id AS asset_id,
+  CAST({w} AS BIGINT) AS width, CAST({h} AS BIGINT) AS height,
+  CAST(1 AS BIGINT) AS channels,
+  CAST(sum(v) AS BIGINT) AS sample_sum,
+  CAST(sum(v * (i + 1) * (i + 1)) AS BIGINT) AS sample_checksum,
+  CAST(min(v) AS BIGINT) AS sample_min,
+  CAST(max(v) AS BIGINT) AS sample_max
+FROM px GROUP BY doc_id
+"""

@@ -2131,6 +2131,37 @@ def multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_jpeg_hierarchical",
+    multimodal.jpeg_hier_oracle_sql(),
+    doc="REAL hierarchical (Annex J) JPEG decode — the pyramid mode "
+    "and the LAST T.81 operating mode this engine gated: DHP "
+    "full-resolution declaration, a reduced-resolution "
+    "non-differential base frame, EXP reference expansion (the "
+    "(a+b+1)>>1 bilinear doubling), and SOF5 differential frames "
+    "adding corrections to the reference "
+    "(operators/jpegcodec.py::decode_jpeg_hierarchical; sequential "
+    "Huffman frames with 1x1 sampling — progressive/arithmetic/"
+    "lossless frames inside a hierarchy stay gated loudly, and the "
+    "flat decoder refuses DHP streams instead of silently "
+    "returning the low-res base). Verified against an independent "
+    "encoder + a separate definition-IDCT pyramid evaluator across "
+    "odd dims, anisotropic EXP, multi-level, color, 12-bit, and "
+    "same-resolution refinement (tests/test_jpeg_hierarchical.py). "
+    "Fixture: 12-bit two-level pyramid on the byte-aligned Huffman "
+    "corner, five per-doc amplitude bytes in constant framing; "
+    "DC-only blocks make every pixel closed-form. One mapInPandas "
+    "pass; payloads never shuffle",
+)
+def multimodal_jpeg_hierarchical(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_hier_stats(
+        multimodal.synth_jpeg_hier_assets(docs)
+    )
+
+
+@_q(
     "multimodal_flac_pcm",
     multimodal.flac_pcm_oracle_sql(),
     doc="REAL FLAC decode (RFC 9639) — the archival lossless audio "

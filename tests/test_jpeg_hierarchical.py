@@ -1,0 +1,336 @@
+"""Hierarchical (Annex J) JPEG: independent encoder + reference
+pyramid math vs the decoder.
+
+Same discipline as the other JPEG suites: the encoder below emits
+DHP / EXP / SOF0-SOF1 / SOF5 framing independently of the decoder,
+and the EXPECTED image is computed by a separate O(N^4)
+definition-IDCT pyramid (math.cos loops, python ints for the
+expansion filter) — so framing, entropy coding, reference
+expansion, and differential accumulation are all cross-checked.
+The stage conventions (round + clamp to [0, 2^P - 1] per stage,
+no level shift in differential frames, (a+b+1)>>1 expansion) are
+shared by construction and documented at
+jpegcodec.decode_jpeg_hierarchical.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import pytest
+
+from cryptocoininsights_data_engineer_project_spark.operators.jpegcodec import (
+    ZIGZAG_TO_NATURAL,
+    JpegError,
+    decode_jpeg_hierarchical,
+    decode_jpeg_pixels,
+)
+from tests.test_jpeg import _amp_bits, _canonical, _category, _dht, _Packer
+
+# ------------------------------------------------------------- encoder
+
+
+def _scan_bytes(comps_n, w, h, block_coeffs, dc_codes, ac_codes):
+    pk = _Packer()
+    pred = [0] * comps_n
+    counters = [0] * comps_n
+    bw, bh = -(-w // 8), -(-h // 8)
+    for _my in range(bh):
+        for _mx in range(bw):
+            for ci in range(comps_n):
+                coeffs = block_coeffs(ci, counters[ci])
+                counters[ci] += 1
+                diff = coeffs[0] - pred[ci]
+                pred[ci] = coeffs[0]
+                c = _category(diff)
+                pk.put(*dc_codes[c])
+                if c:
+                    pk.put(_amp_bits(diff, c), c)
+                zz = [coeffs[ZIGZAG_TO_NATURAL[z]] for z in range(64)]
+                k = 1
+                while k < 64:
+                    run = 0
+                    while k < 64 and zz[k] == 0:
+                        run += 1
+                        k += 1
+                    if k == 64:
+                        pk.put(*ac_codes[0x00])
+                        break
+                    while run >= 16:
+                        pk.put(*ac_codes[0xF0])
+                        run -= 16
+                    c = _category(zz[k])
+                    pk.put(*ac_codes[(run << 4) | c])
+                    pk.put(_amp_bits(zz[k], c), c)
+                    k += 1
+            # 1x1 sampling: one block per component per MCU
+    pk.pad_to_byte()
+    return bytes(pk.out)
+
+
+def encode_hierarchical(full_w, full_h, ncomp, qtable, precision, stages):
+    """DHP + frame sequence. ``stages``: list of dicts with keys
+    diff (bool), w, h, exp ((eh, ev) or None), coeffs
+    (fn(ci, block_idx) -> 64 natural-order ints)."""
+    dc_syms = list(range(16))
+    ac_syms = sorted(
+        {(r << 4) | s for r in range(16) for s in range(15)}
+        | {0x00, 0xF0}
+    )
+    dc_counts, dc_codes = _canonical(dc_syms)
+    ac_counts, ac_codes = _canonical(ac_syms)
+
+    out = bytearray(b"\xff\xd8")
+    zz_q = bytes(qtable[ZIGZAG_TO_NATURAL[z]] for z in range(64))
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
+    dhp = bytes([precision]) + struct.pack(">HH", full_h, full_w)
+    dhp += bytes([ncomp])
+    for ci in range(ncomp):
+        dhp += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xde" + struct.pack(">H", 2 + len(dhp)) + dhp
+    out += _dht(0, 0, dc_counts, dc_syms)
+    out += _dht(1, 0, ac_counts, ac_syms)
+    for st in stages:
+        if st.get("exp"):
+            eh, ev = st["exp"]
+            out += b"\xff\xdf" + struct.pack(">H", 3) + bytes(
+                [(eh << 4) | ev]
+            )
+        sof = bytes([precision]) + struct.pack(">HH", st["h"], st["w"])
+        sof += bytes([ncomp])
+        for ci in range(ncomp):
+            sof += bytes([ci + 1, 0x11, 0])
+        marker = (
+            b"\xff\xc5"
+            if st["diff"]
+            else (b"\xff\xc1" if precision != 8 else b"\xff\xc0")
+        )
+        out += marker + struct.pack(">H", 2 + len(sof)) + sof
+        sos = bytes([ncomp])
+        for ci in range(ncomp):
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([0, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        out += _scan_bytes(
+            ncomp, st["w"], st["h"], st["coeffs"], dc_codes, ac_codes
+        )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------- reference pyramid math
+
+
+def _brute_raw(coeffs, qtable):
+    """A.3.3 IDCT from the definition — signed, no shift, no clamp."""
+    out = [[0] * 8 for _ in range(8)]
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                for u in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu
+                        * cv
+                        * coeffs[v * 8 + u]
+                        * qtable[v * 8 + u]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            out[y][x] = round(s / 4)
+    return out
+
+
+def _frame_plane(w, h, ci, coeffs_fn, qtable):
+    bw, bh = -(-w // 8), -(-h // 8)
+    plane = [[0] * (bw * 8) for _ in range(bh * 8)]
+    counters = 0
+    for by in range(bh):
+        for bx in range(bw):
+            blk = _brute_raw(coeffs_fn(ci, by * bw + bx), qtable)
+            for y in range(8):
+                for x in range(8):
+                    plane[by * 8 + y][bx * 8 + x] = blk[y][x]
+            counters += 1
+    return [row[:w] for row in plane[:h]]
+
+
+def _expand_py(p, eh, ev):
+    if eh:
+        out = []
+        for row in p:
+            r = []
+            for i, v in enumerate(row):
+                r.append(v)
+                nxt = row[i + 1] if i + 1 < len(row) else v
+                r.append((v + nxt + 1) >> 1)
+            out.append(r)
+        p = out
+    if ev:
+        out = []
+        for i, row in enumerate(p):
+            out.append(list(row))
+            nxt = p[i + 1] if i + 1 < len(p) else row
+            out.append([(a + b + 1) >> 1 for a, b in zip(row, nxt)])
+        p = out
+    return p
+
+
+def _expected(full_w, full_h, ncomp, qtable, precision, stages):
+    top = (1 << precision) - 1
+    mid = 1 << (precision - 1)
+    refs = None
+    for st in stages:
+        if st.get("exp"):
+            refs = [_expand_py(r, *st["exp"]) for r in refs]
+        planes = [
+            _frame_plane(st["w"], st["h"], ci, st["coeffs"], qtable)
+            for ci in range(ncomp)
+        ]
+        if st["diff"]:
+            refs = [
+                [
+                    [
+                        min(top, max(0, refs[ci][y][x] + planes[ci][y][x]))
+                        for x in range(st["w"])
+                    ]
+                    for y in range(st["h"])
+                ]
+                for ci in range(ncomp)
+            ]
+        else:
+            refs = [
+                [
+                    [
+                        min(top, max(0, planes[ci][y][x] + mid))
+                        for x in range(st["w"])
+                    ]
+                    for y in range(st["h"])
+                ]
+                for ci in range(ncomp)
+            ]
+    return refs
+
+
+def _grids(seed, spread=60):
+    import random
+
+    rng = random.Random(seed)
+    cache = {}
+
+    def coeffs(ci, b):
+        if (ci, b) not in cache:
+            c = [0] * 64
+            c[0] = rng.randint(-spread * 4, spread * 4)
+            for _ in range(5):
+                c[rng.randint(1, 63)] = rng.randint(-spread, spread)
+            cache[(ci, b)] = c
+        return cache[(ci, b)]
+
+    return coeffs
+
+
+def _check(full_w, full_h, ncomp, qtable, precision, stages):
+    blob = encode_hierarchical(
+        full_w, full_h, ncomp, qtable, precision, stages
+    )
+    w, h, ch, samples = decode_jpeg_hierarchical(blob)
+    assert (w, h, ch) == (full_w, full_h, ncomp)
+    want = _expected(full_w, full_h, ncomp, qtable, precision, stages)
+    for ci in range(ncomp):
+        got = samples[:, :, ci].tolist()
+        assert got == want[ci], f"component {ci}"
+
+
+# --------------------------------------------------------------- tests
+
+
+def test_two_level_pyramid_grayscale():
+    q = [8] * 64
+    co = _grids(1)
+    cd = _grids(2, spread=10)
+    stages = [
+        {"diff": False, "w": 8, "h": 8, "coeffs": co},
+        {"diff": True, "w": 16, "h": 16, "exp": (1, 1), "coeffs": cd},
+    ]
+    _check(16, 16, 1, q, 8, stages)
+
+
+def test_three_level_pyramid_odd_dims():
+    # full 13x11: base ceil/4 = 4x3, expand twice with edge cropping
+    q = [6] * 64
+    stages = [
+        {"diff": False, "w": 4, "h": 3, "coeffs": _grids(3)},
+        {"diff": True, "w": 7, "h": 6, "exp": (1, 1), "coeffs": _grids(4, 8)},
+        {"diff": True, "w": 13, "h": 11, "exp": (1, 1), "coeffs": _grids(5, 8)},
+    ]
+    _check(13, 11, 1, q, 8, stages)
+
+
+def test_anisotropic_expansion():
+    # horizontal-only then vertical-only expansion
+    q = [8] * 64
+    stages = [
+        {"diff": False, "w": 8, "h": 16, "coeffs": _grids(6)},
+        {"diff": True, "w": 16, "h": 16, "exp": (1, 0), "coeffs": _grids(7, 9)},
+    ]
+    _check(16, 16, 1, q, 8, stages)
+    stages = [
+        {"diff": False, "w": 16, "h": 8, "coeffs": _grids(8)},
+        {"diff": True, "w": 16, "h": 16, "exp": (0, 1), "coeffs": _grids(9, 9)},
+    ]
+    _check(16, 16, 1, q, 8, stages)
+
+
+def test_color_pyramid_and_same_resolution_correction():
+    # 3 components, plus a correction frame at the SAME resolution
+    # (no EXP): quality refinement, not resolution growth
+    q = [8] * 64
+    stages = [
+        {"diff": False, "w": 8, "h": 8, "coeffs": _grids(10)},
+        {"diff": True, "w": 8, "h": 8, "coeffs": _grids(11, 12)},
+        {"diff": True, "w": 16, "h": 16, "exp": (1, 1), "coeffs": _grids(12, 12)},
+    ]
+    _check(16, 16, 3, q, 8, stages)
+
+
+def test_12bit_pyramid():
+    q = [4] * 64
+    stages = [
+        {"diff": False, "w": 8, "h": 8, "coeffs": _grids(13, 200)},
+        {"diff": True, "w": 16, "h": 16, "exp": (1, 1), "coeffs": _grids(14, 40)},
+    ]
+    _check(16, 16, 1, q, 12, stages)
+
+
+def test_gates_and_routing():
+    q = [8] * 64
+    blob = encode_hierarchical(
+        16, 16, 1, q, 8,
+        [
+            {"diff": False, "w": 8, "h": 8, "coeffs": _grids(20)},
+            {"diff": True, "w": 16, "h": 16, "exp": (1, 1), "coeffs": _grids(21, 9)},
+        ],
+    )
+    # the flat decoder refuses hierarchical streams loudly
+    with pytest.raises(NotImplementedError, match="hierarchical"):
+        decode_jpeg_pixels(blob)
+    # a differential frame with no reference is malformed
+    bad = bytearray(blob)
+    at = bad.index(b"\xff\xc1") if b"\xff\xc1" in bad else bad.index(b"\xff\xc0")
+    # remove the base frame by renaming its SOF to a COM segment
+    bad[at + 1] = 0xFE
+    with pytest.raises(JpegError):
+        decode_jpeg_hierarchical(bytes(bad))
+    # truncation stays typed
+    with pytest.raises(JpegError):
+        decode_jpeg_hierarchical(blob[: len(blob) // 2])
+    # non-hierarchical stream into the hierarchical decoder
+    from tests.test_jpeg import _encode
+
+    flat = _encode(8, 8, [(1, 1)], q, _grids(22))
+    with pytest.raises(JpegError, match="before DHP"):
+        decode_jpeg_hierarchical(flat)
