@@ -199,7 +199,7 @@ def decode_jpeg_lossless(payload: bytes):
         raise JpegError("missing SOI marker")
     try:
         out = _parse_segments(data, raw_lossless=True)
-    except (IndexError, struct.error) as e:
+    except (IndexError, KeyError, struct.error) as e:
         raise JpegError(f"truncated or malformed JPEG stream: {e}") from e
     if not isinstance(out[3], np.ndarray):
         raise JpegError("not a lossless (SOF3/SOF11) JPEG stream")
@@ -460,8 +460,41 @@ def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         raise JpegError("missing SOI marker")
     try:
         return _parse_segments(data)
-    except (IndexError, struct.error) as e:
+    except (IndexError, KeyError, struct.error) as e:
         raise JpegError(f"truncated or malformed JPEG stream: {e}") from e
+
+
+def _parse_dqt(seg: bytes, qtables: dict[int, np.ndarray]) -> None:
+    """B.2.4.1 quantization-table segment: 8- or 16-bit entries in
+    zigzag order. Shared by the flat and hierarchical walkers."""
+    i = 0
+    while i < len(seg):
+        pq, tq = seg[i] >> 4, seg[i] & 0x0F
+        i += 1
+        n = 64 * (2 if pq else 1)
+        raw = seg[i : i + n]
+        vals = struct.unpack(">64H", raw) if pq else list(raw)
+        q = np.zeros(64, dtype=np.int32)
+        for z, v in enumerate(vals):
+            q[ZIGZAG_TO_NATURAL[z]] = v
+        qtables[tq] = q.reshape(8, 8)
+        i += n
+
+
+def _parse_dht(
+    seg: bytes,
+    dc_tables: dict[int, "_HuffTable"],
+    ac_tables: dict[int, "_HuffTable"],
+) -> None:
+    """B.2.4.2 Huffman-table segment. Shared by both walkers."""
+    i = 0
+    while i < len(seg):
+        tc, th = seg[i] >> 4, seg[i] & 0x0F
+        counts = list(seg[i + 1 : i + 17])
+        nsym = sum(counts)
+        symbols = seg[i + 17 : i + 17 + nsym]
+        (ac_tables if tc else dc_tables)[th] = _HuffTable(counts, symbols)
+        i += 17 + nsym
 
 
 def _parse_segments(data: bytes, raw_lossless: bool = False):
@@ -502,30 +535,9 @@ def _parse_segments(data: bytes, raw_lossless: bool = False):
         seglen = struct.unpack(">H", data[pos : pos + 2])[0]
         seg = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
-            i = 0
-            while i < len(seg):
-                pq, tq = seg[i] >> 4, seg[i] & 0x0F
-                i += 1
-                n = 64 * (2 if pq else 1)
-                raw = seg[i : i + n]
-                vals = (
-                    struct.unpack(f">{64}H", raw) if pq else list(raw)
-                )
-                q = np.zeros(64, dtype=np.int32)
-                for z, v in enumerate(vals):
-                    q[ZIGZAG_TO_NATURAL[z]] = v
-                qtables[tq] = q.reshape(8, 8)
-                i += n
+            _parse_dqt(seg, qtables)
         elif marker == 0xC4:  # DHT
-            i = 0
-            while i < len(seg):
-                tc, th = seg[i] >> 4, seg[i] & 0x0F
-                counts = list(seg[i + 1 : i + 17])
-                nsym = sum(counts)
-                symbols = seg[i + 17 : i + 17 + nsym]
-                table = _HuffTable(counts, symbols)
-                (ac_tables if tc else dc_tables)[th] = table
-                i += 17 + nsym
+            _parse_dht(seg, dc_tables, ac_tables)
         elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
             # SOF0/1 sequential, SOF2 progressive (Huffman);
             # SOF9 extended sequential, SOF10 progressive (arithmetic)
@@ -1690,7 +1702,7 @@ def decode_jpeg_hierarchical(payload: bytes):
         raise JpegError("missing SOI marker")
     try:
         return _decode_hier(data)
-    except (IndexError, struct.error) as e:
+    except (IndexError, KeyError, struct.error) as e:
         raise JpegError(f"truncated or malformed JPEG stream: {e}") from e
 
 
@@ -1709,6 +1721,8 @@ def _decode_hier(data: bytes):
     while pos + 1 < len(data):
         if data[pos] != 0xFF:
             raise JpegError(f"expected marker at offset {pos}")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # B.1.1.2 fill bytes before the marker code
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -1730,29 +1744,9 @@ def _decode_hier(data: bytes):
         seglen = struct.unpack(">H", data[pos : pos + 2])[0]
         seg = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
-            i = 0
-            while i < len(seg):
-                pq, tq = seg[i] >> 4, seg[i] & 0x0F
-                i += 1
-                n = 64 * (2 if pq else 1)
-                raw = seg[i : i + n]
-                vals = struct.unpack(">64H", raw) if pq else list(raw)
-                q = np.zeros(64, dtype=np.int32)
-                for z, v in enumerate(vals):
-                    q[ZIGZAG_TO_NATURAL[z]] = v
-                qtables[tq] = q.reshape(8, 8)
-                i += n
+            _parse_dqt(seg, qtables)
         elif marker == 0xC4:  # DHT
-            i = 0
-            while i < len(seg):
-                tc, th = seg[i] >> 4, seg[i] & 0x0F
-                counts = list(seg[i + 1 : i + 17])
-                nsym = sum(counts)
-                symbols = seg[i + 17 : i + 17 + nsym]
-                (ac_tables if tc else dc_tables)[th] = _HuffTable(
-                    counts, symbols
-                )
-                i += 17 + nsym
+            _parse_dht(seg, dc_tables, ac_tables)
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDE:  # DHP
@@ -1774,8 +1768,9 @@ def _decode_hier(data: bytes):
                     )
         elif marker == 0xDF:  # EXP
             pending_exp = (seg[0] >> 4, seg[0] & 0x0F)
-            if pending_exp not in ((0, 1), (1, 0), (1, 1)):
+            if pending_exp[0] > 1 or pending_exp[1] > 1:
                 raise JpegError(f"bad EXP fields {seg[0]:#x}")
+            # (0, 0) is syntactically valid per B.3.3: a no-op
         elif marker in (0xC0, 0xC1, 0xC5):
             if full_w is None:
                 raise JpegError(
@@ -1832,6 +1827,11 @@ def _decode_hier(data: bytes):
                 raise JpegError("SOS with no pending hierarchical frame")
             differential, fw, fh, comps = frame
             ns = seg[0]
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "non-interleaved hierarchical scans: every frame "
+                    "must code all its components in one scan here"
+                )
             by_id = {c.cid: c for c in comps}
             scan_order = []
             for c in range(ns):

@@ -1111,24 +1111,27 @@ def parse_zip(payload: bytes) -> list[dict]:
             p0 = props[0]
             if p0 >= 9 * 5 * 5:
                 raise ZipError(f"bad LZMA property byte in {name!r}")
-            lc, rem = p0 % 9, p0 // 9
-            lp, pb = rem % 5, rem // 5
+            lit_ctx, rem = p0 % 9, p0 // 9
+            lit_pos, pos_bits = rem % 5, rem // 5
             filters = [
                 {
                     "id": lzma.FILTER_LZMA1,
                     "dict_size": max(
                         4096, int.from_bytes(props[1:5], "little")
                     ),
-                    "lc": lc,
-                    "lp": lp,
-                    "pb": pb,
+                    "lc": lit_ctx,
+                    "lp": lit_pos,
+                    "pb": pos_bits,
                 }
             ]
             try:
                 d = lzma.LZMADecompressor(
                     format=lzma.FORMAT_RAW, filters=filters
                 )
-                body = d.decompress(data[4 + psize :], max_length=usize)
+                # usize + 1 cap: a stream inflating PAST the declared
+                # size must fail the size check below, not be silently
+                # truncated to a CRC-colliding prefix
+                body = d.decompress(data[4 + psize :], max_length=usize + 1)
             except lzma.LZMAError as e:
                 raise ZipError(f"bad LZMA stream in {name!r}: {e}") from e
         if len(body) != usize:

@@ -334,3 +334,37 @@ def test_gates_and_routing():
     flat = _encode(8, 8, [(1, 1)], q, _grids(22))
     with pytest.raises(JpegError, match="before DHP"):
         decode_jpeg_hierarchical(flat)
+
+
+def test_fill_bytes_noop_exp_and_scan_coverage_gates():
+    q = [8] * 64
+    stages = [
+        {"diff": False, "w": 8, "h": 8, "coeffs": _grids(30)},
+        {"diff": True, "w": 16, "h": 16, "exp": (1, 1), "coeffs": _grids(31, 9)},
+    ]
+    blob = encode_hierarchical(16, 16, 1, q, 8, stages)
+    base = decode_jpeg_hierarchical(blob)[3]
+    # B.1.1.2 fill bytes before a marker are legal padding
+    at = blob.index(b"\xff\xde")
+    padded = blob[:at] + b"\xff\xff\xff" + blob[at:]
+    assert (decode_jpeg_hierarchical(padded)[3] == base).all()
+    # EXP(0, 0) is a syntactically valid no-op
+    at = blob.index(b"\xff\xdf")
+    noop = bytearray(blob)
+    noop[at + 4] = 0x00  # Eh=Ev=0 ... but then dims mismatch; instead
+    # insert an EXTRA no-op EXP before the real one
+    noop = blob[:at] + b"\xff\xdf\x00\x03\x00" + blob[at:]
+    assert (decode_jpeg_hierarchical(bytes(noop))[3] == base).all()
+    # a scan not covering every frame component gates loudly:
+    # shrink the declared scan component count to 0 of 1
+    ssos = blob.index(b"\xff\xda", blob.index(b"\xff\xc5"))
+    bad = bytearray(blob)
+    bad[ssos + 4] = 0  # Ns = 0 != frame's 1 component
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        decode_jpeg_hierarchical(bytes(bad))
+    # undefined Huffman slot surfaces typed, not KeyError
+    at = blob.index(b"\xff\xda")
+    bad = bytearray(blob)
+    bad[at + 5] = 0x55  # td=5/ta=5: tables never defined
+    with pytest.raises(JpegError):
+        decode_jpeg_hierarchical(bytes(bad))
