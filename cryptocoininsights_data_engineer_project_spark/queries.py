@@ -2026,6 +2026,81 @@ def warc_fetch_record(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "crawl_frontier",
+    f"""
+WITH pr AS (SELECT * FROM ({_link_pr_oracle()}) t),
+u AS (
+  SELECT doc_id AS aid, g.i AS ei,
+    'http://h' || CAST(doc_id % 9 AS VARCHAR) || '.net/page/'
+      || CAST(doc_id AS VARCHAR) || '/' || CAST(g.i AS VARCHAR) AS url,
+    'h' || CAST(doc_id % 9 AS VARCHAR) || '.net' AS host
+  FROM documents, UNNEST(generate_series(0, 2)) AS g(i)
+  WHERE doc_id % 5 != 0
+)
+SELECT u.aid AS asset_id, CAST(u.ei AS BIGINT) AS entry_idx,
+  u.url, u.host,
+  CASE WHEN (u.aid % 9) % 2 = 1 THEN TRUE
+       ELSE substr(CAST(u.aid AS VARCHAR), 1, 1) = '1' END AS allowed,
+  pr.rank_ppb
+FROM u JOIN pr ON pr.node = u.host
+""",
+    doc="The COMPOSED crawl-frontier pipeline — discovery to "
+    "prioritized fetch queue, every stage the already-oracle-"
+    "checked operator: sitemap_extract's urlset entries supply the "
+    "candidate URLs (sitemapindex docs contribute none), "
+    "robots_filter gates them per RFC 9309 longest-match (even-"
+    "digit hosts Disallow /page with an Allow /page/1 override — "
+    "both verdict shapes live in the output), and the host-"
+    "authority PageRank from the WARC link graph attaches the "
+    "fetch priority (rank_ppb), exactly the signal crawl "
+    "schedulers order on. One broadcastable rules join + one "
+    "|hosts|-sized authority join onto the frontier scan; the "
+    "oracle restates every stage closed-form over the same "
+    "fixtures",
+)
+def crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    links = webarchive.warc_html_links(
+        webarchive.synth_warc_linked_assets(docs)
+    )
+    edges = links.filter(F.col("href").startswith("http://")).selectExpr(
+        f"{textops.spark_url_host('base_url')} AS src",
+        f"{textops.spark_url_host('href')} AS dst",
+    )
+    pr = graph.pagerank(edges, 4).withColumnRenamed("node", "host")
+    urls = (
+        webarchive.sitemap_entries(webarchive.synth_sitemap_assets(docs))
+        .filter(F.col("kind") == "url")
+        .selectExpr(
+            "asset_id * 10 + entry_idx AS doc_id",
+            "asset_id",
+            "entry_idx",
+            "loc AS url",
+        )
+    )
+    rules = (
+        spark.range(9)
+        .selectExpr(
+            "concat('h', cast(id AS string), '.net') AS host",
+            "stack(2, '/page', id % 2 = 1, "
+            "CASE WHEN id % 2 = 0 THEN '/page/1' ELSE '' END, true) "
+            "AS (rule_path, is_allow)",
+        )
+    )
+    verdict = textops.robots_filter(
+        urls.select("doc_id", "url"), rules
+    )
+    return (
+        urls.join(verdict, ["doc_id", "url"])
+        .withColumn("host", F.expr(textops.spark_url_host("url")))
+        .join(pr, "host")
+        .select(
+            "asset_id", "entry_idx", "url", "host", "allowed", "rank_ppb"
+        )
+    )
+
+
+@_q(
     "sitemap_extract",
     webarchive.sitemap_oracle_sql(),
     doc="Sitemap parsing (sitemaps.org protocol, the RFC 9309 "
