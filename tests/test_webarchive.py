@@ -1301,3 +1301,46 @@ def test_parse_zip_bzip2_and_lzma_members():
         blob[60] ^= 0xFF
         with pytest.raises(ZipError):
             parse_zip(bytes(blob))
+
+
+def test_persisted_index_drives_ranged_fetch(spark, tmp_path):
+    """The production flow: the capture index is WRITTEN once, read
+    back later, and its (offset, rec_bytes) ranges slice records out
+    of the archives with a JVM substring — every slice parses
+    standalone and matches the direct walk."""
+    from cryptocoininsights_data_engineer_project_spark.operators.webarchive import (
+        parse_warc,
+        split_http_response,
+        synth_warc_multi_assets,
+        warc_record_index,
+    )
+
+    assets = synth_warc_multi_assets(_docs(spark, 5)).localCheckpoint()
+    idx_path = str(tmp_path / "warc_index")
+    warc_record_index(assets).write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+    # keep records 3 and 12 of each archive (one single- and one
+    # double-digit index: both offset-formula branches)
+    picked = idx.filter(F.col("record_idx").isin(3, 12))
+    sliced = picked.join(assets, "asset_id").selectExpr(
+        "asset_id",
+        "record_idx",
+        "target_uri",
+        "substring(payload, CAST(offset + 1 AS INT), "
+        "CAST(rec_bytes AS INT)) AS rec",
+    )
+    rows = sliced.collect()
+    assert len(rows) == 10
+    direct = {
+        r.asset_id: parse_warc(bytes(r.payload))
+        for r in assets.collect()
+    }
+    for r in rows:
+        recs = parse_warc(bytes(r.rec))
+        assert len(recs) == 1
+        want = direct[r.asset_id][r.record_idx]
+        assert recs[0]["headers"] == want["headers"]
+        assert recs[0]["body"] == want["body"]
+        assert r.target_uri == want["headers"]["warc-target-uri"]
+        _s, _h, entity = split_http_response(recs[0]["body"])
+        assert len(entity) == 8
