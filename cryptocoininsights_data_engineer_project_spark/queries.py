@@ -2090,8 +2090,16 @@ def crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict = textops.robots_filter(
         urls.select("doc_id", "url"), rules
     )
+    # the composite key is reversible, so the frontier columns come
+    # straight back out of the verdict — no second sitemap parse and
+    # no self-join of the URL frame
     return (
-        urls.join(verdict, ["doc_id", "url"])
+        verdict.selectExpr(
+            "doc_id div 10 AS asset_id",
+            "doc_id % 10 AS entry_idx",
+            "url",
+            "allowed",
+        )
         .withColumn("host", F.expr(textops.spark_url_host("url")))
         .join(pr, "host")
         .select(
