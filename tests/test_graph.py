@@ -79,3 +79,41 @@ def test_empty_edges_raise_typed_error(spark):
     df = spark.createDataFrame([], "src string, dst string")
     with pytest.raises(ValueError, match="empty edge frame"):
         pagerank(df, iterations=2)
+
+
+def test_crawl_authority_probe_equals_inline(spark):
+    """The persisted authority table (crawl_authority: PageRank
+    upserted into a BucketedTable keyed on host, read back through a
+    manifest snapshot) must return exactly the ranks the inline
+    computation produces — and stay identical after a second upsert
+    of the same build (merge idempotence)."""
+    from pyspark.sql import functions as F
+
+    from cryptocoininsights_data_engineer_project_spark import queries
+    from cryptocoininsights_data_engineer_project_spark.operators import (
+        textops,
+        webarchive,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = queries._t(spark, sf, "documents")
+    links = webarchive.warc_html_links(
+        webarchive.synth_warc_linked_assets(docs)
+    )
+    edges = links.filter(F.col("href").startswith("http://")).selectExpr(
+        f"{textops.spark_url_host('base_url')} AS src",
+        f"{textops.spark_url_host('href')} AS dst",
+    )
+    inline = {
+        r.node: r.rank_ppb for r in pagerank(edges, 4).collect()
+    }
+    probe1 = {
+        r.host: r.rank_ppb
+        for r in queries.crawl_authority(spark, sf, docs).collect()
+    }
+    probe2 = {
+        r.host: r.rank_ppb
+        for r in queries.crawl_authority(spark, sf, docs).collect()
+    }
+    assert probe1 == inline
+    assert probe2 == inline

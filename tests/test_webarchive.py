@@ -634,7 +634,14 @@ def test_registry_warc_plans_have_no_shuffle(spark):
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         plan = buf.getvalue()
-        assert "Exchange" not in plan, name
+        if name == "warc_fetch_record":
+            # consumes the persisted capture index: the tiny index
+            # rows BROADCAST to the archives — still zero shuffle
+            # exchanges, so payload bytes provably never move
+            assert re.findall(r"\(\d+\) Exchange\b", plan) == [], name
+            assert "BroadcastExchange" in plan, name
+        else:
+            assert "Exchange" not in plan, name
         assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, name
 
 
@@ -1344,3 +1351,36 @@ def test_persisted_index_drives_ranged_fetch(spark, tmp_path):
         assert r.target_uri == want["headers"]["warc-target-uri"]
         _s, _h, entity = split_http_response(recs[0]["body"])
         assert len(entity) == 8
+
+def test_cdxj_lines_render_interop_format(spark):
+    """CDXJ rendering of index rows: SURT key, fixed timestamp, JSON
+    with url/offset/length/filename — checked against independently
+    composed strings."""
+    import json
+
+    from cryptocoininsights_data_engineer_project_spark.operators.webarchive import (
+        cdxj_lines,
+        synth_warc_multi_assets,
+        warc_record_index,
+    )
+
+    idx = warc_record_index(synth_warc_multi_assets(_docs(spark, 3)))
+    rows = {
+        (r.asset_id, r.record_idx): r.cdxj
+        for r in cdxj_lines(idx).collect()
+    }
+    direct = {
+        (r.asset_id, r.record_idx): (r.offset, r.rec_bytes, r.target_uri)
+        for r in idx.collect()
+    }
+    assert len(rows) == len(direct)
+    for (aid, k), line in rows.items():
+        off, ln, uri = direct[(aid, k)]
+        surt, ts, js = line.split(" ", 2)
+        assert surt == f"com,example)/doc/{aid}/{k}"
+        assert ts == "20260101000000"
+        meta = json.loads(js)
+        assert meta["url"] == uri
+        assert int(meta["offset"]) == off
+        assert int(meta["length"]) == ln
+        assert meta["filename"] == f"archive-{aid}.warc"
