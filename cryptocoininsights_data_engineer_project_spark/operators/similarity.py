@@ -26,6 +26,7 @@ the last bit before the final rounding.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -465,47 +466,51 @@ def _sketch_band_rows(
     seed: int = LSH_SEED,
 ) -> DataFrame:
     """(vec_id, emb, band_id, band_val) hyperplane-LSH band rows from
-    a (vec_id, emb array<double>) frame — ONE vectorized mapInPandas
-    pass: a (rows x n_planes) BLAS matmul against the
+    a (vec_id, emb array<double>) frame. The sketch is ONE vectorized
+    Arrow pass — a (rows x n_planes) BLAS matmul against the
     broadcast-by-closure literal plane matrix, then integer band
-    packing. Per-row work is nanoseconds where the equivalent nested
-    HOF expression (transform over aggregate/zip_with) evaluates
-    interpreted, ~24x64 lambda steps per row. Summation-order caveat:
+    packing — but shaped so the VECTORS never cross the Python
+    boundary: a scalar pandas_udf maps emb -> the n_bands packed band
+    values (5000 x 64 doubles in, 5000 x 6 longs out), and the
+    n_bands-factor row replication happens JVM-side via posexplode
+    with emb just projected through. The prior mapInPandas form
+    Arrow-serialized every vector back OUT of Python n_bands times
+    (r10 profile: 30% of this stage's wall at sf0.1). Per-row Python
+    work stays nanoseconds vs the interpreted ~24x64 lambda steps of
+    the equivalent nested HOF expression. Summation-order caveat:
     BLAS accumulates the sign dot in a different order than the
     oracle's sequential fold; a sign flip needs |dot| under ~1e-13 of
     the fold value — the same accepted ulp argument as
     all_pairs_cosine_blas's rounding."""
-    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
     planes = _lsh_planes(dim, n_planes, seed)
     bb = n_planes // n_bands
 
-    def sketch(batches):
+    @pandas_udf("array<long>")
+    def band_vals(emb: pd.Series) -> pd.Series:
         import numpy as np
 
         H = np.array(planes).T  # (dim, n_planes)
         weights = 1 << np.arange(bb - 1, -1, -1)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            m = np.stack(pdf["emb"].to_numpy())
-            bits_m = (m @ H) >= 0
-            out = {
-                "vec_id": np.tile(pdf["vec_id"].to_numpy(), n_bands),
-                "emb": list(pdf["emb"].to_numpy()) * n_bands,
-                "band_id": np.repeat(np.arange(n_bands), len(pdf)),
-                "band_val": np.concatenate(
-                    [
-                        bits_m[:, b * bb : (b + 1) * bb] @ weights
-                        for b in range(n_bands)
-                    ]
-                ),
-            }
-            yield pd.DataFrame(out)
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(emb.to_numpy())
+        bits_m = (m @ H) >= 0
+        vals = np.stack(
+            [
+                bits_m[:, b * bb : (b + 1) * bb] @ weights
+                for b in range(n_bands)
+            ],
+            axis=1,
+        )  # (rows, n_bands)
+        return pd.Series(list(vals))
 
-    return e.mapInPandas(
-        sketch, "vec_id long, emb array<double>, band_id long, band_val long"
-    )
+    return e.withColumn("bv", band_vals("emb")).select(
+        "vec_id",
+        "emb",
+        F.posexplode("bv").alias("band_id", "band_val"),
+    ).withColumn("band_id", F.col("band_id").cast("long"))
 
 
 def hyperplane_lsh_pairs(
@@ -539,42 +544,64 @@ def hyperplane_lsh_pairs(
     The whole pipeline — planes included, inlined as literals from the
     same Python constants — is reproduced bit-for-bit by the DuckDB
     oracle (``hyperplane_lsh_oracle_sql``)."""
-    import pandas as pd
     e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     exploded = _sketch_band_rows(e, dim, n_planes, n_bands, seed)
 
-    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    # verify runs in applyInArrow, not applyInPandas: the vectors
+    # arrive as one contiguous Arrow list buffer that reshapes to the
+    # (rows x dim) matrix with zero per-row object conversion (pandas
+    # boxes each array — r10 profile: the boxing alone ~2x'd this
+    # stage's wall). Survivor selection masks the cosine matrix
+    # in-place instead of materializing all O(k²) upper-triangle index
+    # arrays: the pre-filter keeps everything within 1e-6 of the
+    # threshold (strictly wider than the round-half-away boundary of
+    # 5e-7), and the exact round-then-compare — identical arithmetic
+    # to the oracle — runs only on candidates.
+    def score_bucket(_key, tbl):
         import numpy as np
+        import pyarrow as pa
 
-        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
-            {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+        sch = pa.schema(
+            [
+                ("vec_a", pa.int64()),
+                ("vec_b", pa.int64()),
+                ("cosine", pa.float64()),
+            ]
         )
-        if len(pdf) < 2:
-            return empty
-        ids = pdf["vec_id"].to_numpy()
-        m = np.stack(pdf["emb"].to_numpy())
+        n = tbl.num_rows
+        if n < 2:
+            return pa.Table.from_arrays(
+                [
+                    pa.array([], pa.int64()),
+                    pa.array([], pa.int64()),
+                    pa.array([], pa.float64()),
+                ],
+                schema=sch,
+            )
+        ids = tbl.column("vec_id").to_numpy()
+        m = np.asarray(
+            tbl.column("emb").combine_chunks().flatten(), dtype=np.float64
+        ).reshape(n, -1)
         nrm = np.sqrt(np.einsum("ij,ij->i", m, m))
         cos = (m @ m.T) / np.outer(nrm, nrm)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        ia, ib, c = ids[iu], ids[ju], _round_half_away(cos[iu, ju], 6)
+        iu, ju = np.nonzero(np.triu(cos >= threshold - 1e-6, k=1))
+        c = _round_half_away(cos[iu, ju], 6)
         keep = c >= threshold
-        ia, ib, c = ia[keep], ib[keep], c[keep]
-        return pd.DataFrame(
-            {
-                "vec_a": np.minimum(ia, ib),
-                "vec_b": np.maximum(ia, ib),
-                "cosine": c,
-            }
+        ia, ib, c = ids[iu][keep], ids[ju][keep], c[keep]
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.minimum(ia, ib)),
+                pa.array(np.maximum(ia, ib)),
+                pa.array(c),
+            ],
+            schema=sch,
         )
 
     return (
         exploded.groupBy("band_id", "band_val")
-        .applyInPandas(
-            lambda _, pdf: score_bucket(pdf),
-            "vec_a long, vec_b long, cosine double",
-        )
+        .applyInArrow(score_bucket, "vec_a long, vec_b long, cosine double")
         .distinct()
     )
 

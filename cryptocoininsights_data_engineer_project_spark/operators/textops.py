@@ -662,12 +662,20 @@ def hash_embed_docs(
     )
     from .similarity import dot_expr
 
-    dot = dot_expr("raw", "raw")
-    return arr.filter(F.expr(f"{dot} > 0")).select(
-        "doc_id",
-        F.expr(f"transform(raw, v -> round(v / sqrt({dot}), 6))").alias(
-            "embedding"
-        ),
+    # the squared norm is a named column computed ONCE: inlining the
+    # 64-element fold into the transform lambda re-evaluates it per
+    # element (65 folds/doc — r10 profile: ~30% of this operator's
+    # wall at sf0.1); the filter between the projections keeps
+    # CollapseProject from undoing the hoist
+    return (
+        arr.withColumn("n2", F.expr(dot_expr("raw", "raw")))
+        .filter("n2 > 0")
+        .select(
+            "doc_id",
+            F.expr("transform(raw, v -> round(v / sqrt(n2), 6))").alias(
+                "embedding"
+            ),
+        )
     )
 
 
