@@ -3552,15 +3552,9 @@ def _flac_sample_byte(j: str) -> str:
 def synth_flac_assets(docs: DataFrame) -> DataFrame:
     """(asset_id, payload): complete decodable FLAC streams, one per
     document — mono, 8-bit, 16 VERBATIM samples from the formula,
-    frame CRC-16 folded in-plan."""
-    crc16 = (
-        f"aggregate(sequence(0, {FLAC_N_SAMPLES - 1}), "
-        f"CAST({_FLAC_CRC16_SEED} AS BIGINT), "
-        f"(c, j) -> aggregate(sequence(1, 8), "
-        f"c ^ ({_flac_sample_byte('j')} * 256), "
-        "(s, k) -> CAST(if(s >= 32768, ((s * 2) % 65536) ^ 32773, "
-        "(s * 2) % 65536) AS BIGINT)))"
-    )
+    frame CRC-16 folded in-plan (the same fold feeds the Ogg
+    encapsulation below via _flac_crc16_sql)."""
+    crc16 = _flac_crc16_sql()
     samples = ", ".join(
         f"lpad(hex({_flac_sample_byte(str(j))}), 2, '0')"
         for j in range(FLAC_N_SAMPLES)
@@ -4160,4 +4154,219 @@ SELECT doc_id AS asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
   CAST(sum(val * (i + 1) * (i + 1)) AS BIGINT) AS px_checksum,
   CAST(sum(val) AS BIGINT) * 1000000 // {n} AS mean_ppm
 FROM px GROUP BY doc_id, frame_idx
+"""
+
+
+# ------------------------------------------------------------- flac-in-ogg
+# Ogg encapsulation of the FLAC fixture (VERDICT r9 #6): the RFC 3533
+# page walk is the missing container between "archive shard" (tar/
+# zip/tfrecord) and "audio codec" (flaccodec) — web audio ships as
+# FLAC-in-Ogg / Vorbis / Opus on this exact grammar. The fixture is
+# a complete two-page stream per document: page 0 (bos) carries the
+# constant FLAC-in-Ogg mapping packet (0x7F 'FLAC' v1.0, zero extra
+# headers, native fLaC + STREAMINFO), page 1 (eos, granule = the
+# 16-sample count) carries one native frame whose 16 VERBATIM sample
+# bytes are the per-document formula. BOTH checksums that protect the
+# varying bytes are folded in-plan: the FLAC frame CRC-16 (0x8005)
+# exactly as in synth_flac_assets, and the page's RFC 3533 CRC-32
+# (0x04C11DB7, MSB-first, zeroed-CRC-field) — seeded with the Python-
+# computed state after the constant page prefix, folding the 16
+# sample bytes and then the two in-plan CRC-16 bytes (the CRC of a
+# CRC). The decoder verifies all three checksums, so a wrong fold
+# anywhere fails loudly.
+
+_OGG_FLAC_SERIAL = 1
+_OGG_CONSTS: dict | None = None
+
+
+def _ogg_fixture_consts() -> dict:
+    """Constant fixture bytes + the in-plan CRC-32 seed, derived (not
+    hand-typed) from oggcodec.ogg_crc at first use."""
+    global _OGG_CONSTS
+    if _OGG_CONSTS is not None:
+        return _OGG_CONSTS
+    from .oggcodec import ogg_crc
+
+    head = bytes.fromhex(_FLAC_HEAD_HEX)  # fLaC + STREAMINFO (42 bytes)
+    pkt0 = (
+        bytes([0x7F]) + b"FLAC" + bytes([1, 0])
+        + (0).to_bytes(2, "big") + head
+    )
+    p0 = bytearray(
+        b"OggS" + b"\x00" + b"\x02"
+        + (0).to_bytes(8, "little")
+        + _OGG_FLAC_SERIAL.to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + bytes([1, len(pkt0)])
+        + pkt0
+    )
+    p0[22:26] = ogg_crc(bytes(p0)).to_bytes(4, "little")
+
+    frame_pre = bytes.fromhex(_FLAC_FRAME_PRE_HEX)
+    frame_len = len(frame_pre) + FLAC_N_SAMPLES + 2
+    hdr1 = (
+        b"OggS" + b"\x00" + b"\x04"
+        + FLAC_N_SAMPLES.to_bytes(8, "little")
+        + _OGG_FLAC_SERIAL.to_bytes(4, "little")
+        + (1).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + bytes([1, frame_len])
+    )
+    # CRC-32 state after everything constant: zeroed-CRC header,
+    # lacing, and the frame's constant prefix — the plan folds only
+    # the 16 formula bytes and the two CRC-16 bytes
+    seed32 = ogg_crc(bytes(hdr1) + frame_pre)
+    _OGG_CONSTS = {
+        "page0_hex": bytes(p0).hex(),
+        # page-1 header splits around the CRC field (offset 22..26)
+        "p1_pre_crc_hex": bytes(hdr1[:22]).hex(),
+        "p1_post_crc_hex": bytes(hdr1[26:]).hex() + frame_pre.hex(),
+        "crc32_seed": seed32,
+    }
+    return _OGG_CONSTS
+
+
+def _flac_crc16_sql() -> str:
+    """The in-plan FLAC frame CRC-16 fold (0x8005), identical to the
+    one synth_flac_assets inlines."""
+    return (
+        f"aggregate(sequence(0, {FLAC_N_SAMPLES - 1}), "
+        f"CAST({_FLAC_CRC16_SEED} AS BIGINT), "
+        f"(c, j) -> aggregate(sequence(1, 8), "
+        f"c ^ ({_flac_sample_byte('j')} * 256), "
+        "(s, k) -> CAST(if(s >= 32768, ((s * 2) % 65536) ^ 32773, "
+        "(s * 2) % 65536) AS BIGINT)))"
+    )
+
+
+def synth_ogg_flac_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): complete FLAC-in-Ogg streams, one per
+    document, built byte-exactly JVM-side — both in-plan CRCs
+    materialized ONCE as named columns (the CRC-16 feeds both the
+    frame bytes and the page CRC-32 fold)."""
+    from .oggcodec import OGG_CRC_POLY
+
+    c = _ogg_fixture_consts()
+    byte_j = (
+        f"CASE WHEN j < {FLAC_N_SAMPLES} THEN {_flac_sample_byte('j')} "
+        f"WHEN j = {FLAC_N_SAMPLES} THEN c16 div 256 "
+        "ELSE c16 % 256 END"
+    )
+    crc32 = (
+        f"aggregate(sequence(0, {FLAC_N_SAMPLES + 1}), "
+        f"CAST({c['crc32_seed']} AS BIGINT), "
+        f"(c32, j) -> aggregate(sequence(1, 8), "
+        f"c32 ^ (({byte_j}) * {1 << 24}), "
+        f"(s, k) -> CAST(if(s >= {1 << 31}, "
+        f"((s * 2) % {1 << 32}) ^ {OGG_CRC_POLY}, "
+        f"(s * 2) % {1 << 32}) AS BIGINT)))"
+    )
+    le32 = (
+        "concat(lpad(hex(c32 % 256), 2, '0'), "
+        "lpad(hex((c32 div 256) % 256), 2, '0'), "
+        "lpad(hex((c32 div 65536) % 256), 2, '0'), "
+        "lpad(hex((c32 div 16777216) % 256), 2, '0'))"
+    )
+    samples = ", ".join(
+        f"lpad(hex({_flac_sample_byte(str(j))}), 2, '0')"
+        for j in range(FLAC_N_SAMPLES)
+    )
+    return (
+        docs.select(
+            F.col("doc_id"),
+            F.expr(_flac_crc16_sql()).alias("c16"),
+        )
+        .withColumn("c32", F.expr(crc32))
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            F.expr(
+                f"unhex(concat('{c['page0_hex']}', "
+                f"'{c['p1_pre_crc_hex']}', {le32}, "
+                f"'{c['p1_post_crc_hex']}', "
+                f"{samples}, lpad(hex(c16), 4, '0')))"
+            ).alias("payload"),
+        )
+    )
+
+
+_OGG_FLAC_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_pages", T.LongType(), False),
+        T.StructField("n_packets", T.LongType(), False),
+        T.StructField("sample_rate", T.LongType(), False),
+        T.StructField("channels", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("peak_min", T.LongType(), True),
+        T.StructField("peak_max", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def ogg_flac_stats(assets: DataFrame) -> DataFrame:
+    """Ogg page walk (every page CRC verified) -> packet reassembly
+    -> native FLAC reconstruction -> full FLAC decode (both frame
+    CRCs verified) -> the WAV-family sample stats. One mapInPandas
+    pass; payloads never shuffle."""
+    import math
+
+    from .flaccodec import decode_flac
+    from .oggcodec import flac_from_ogg
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _OGG_FLAC_SCHEMA}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                n_pages, n_packets, native = flac_from_ogg(bytes(payload))
+                rate, ch, _bps, samples = decode_flac(native)
+                flat = samples.reshape(-1).astype(np.int64)
+                rows["asset_id"].append(int(aid))
+                rows["n_pages"].append(n_pages)
+                rows["n_packets"].append(n_packets)
+                rows["sample_rate"].append(rate)
+                rows["channels"].append(ch)
+                rows["n_samples"].append(samples.shape[0])
+                if len(flat):
+                    ssq = int((flat**2).sum())
+                    rms = math.sqrt(ssq / len(flat))
+                    rows["peak_min"].append(int(flat.min()))
+                    rows["peak_max"].append(int(flat.max()))
+                    rows["rms"].append(math.floor(rms * 1e6 + 0.5) / 1e6)
+                else:
+                    rows["peak_min"].append(None)
+                    rows["peak_max"].append(None)
+                    rows["rms"].append(None)
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _decode, schema=_OGG_FLAC_SCHEMA
+    )
+
+
+def ogg_flac_oracle_sql() -> str:
+    """Closed form: the identical waveform as flac_pcm_oracle_sql
+    (the encapsulation must be byte-transparent) plus the container
+    facts — 2 pages, 2 packets."""
+    n = FLAC_N_SAMPLES
+    return f"""
+WITH s AS (
+  SELECT doc_id, (doc_id * 37 + g.j * 11) % 256 AS u
+  FROM documents, UNNEST(generate_series(0, {n - 1})) AS g(j)
+), v AS (
+  SELECT doc_id, CASE WHEN u >= 128 THEN u - 256 ELSE u END AS v FROM s
+)
+SELECT doc_id AS asset_id,
+  CAST(2 AS BIGINT) AS n_pages,
+  CAST(2 AS BIGINT) AS n_packets,
+  CAST(8000 AS BIGINT) AS sample_rate,
+  CAST(1 AS BIGINT) AS channels,
+  CAST({n} AS BIGINT) AS n_samples,
+  CAST(min(v) AS BIGINT) AS peak_min,
+  CAST(max(v) AS BIGINT) AS peak_max,
+  round(sqrt(sum(CAST(v AS BIGINT) * v) / {n}.0), 6) AS rms
+FROM v GROUP BY doc_id
 """

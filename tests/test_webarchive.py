@@ -626,6 +626,7 @@ def test_registry_warc_plans_have_no_shuffle(spark):
         "tar_extract",
         "zip_extract",
         "tfrecord_extract",
+        "ogg_extract",
         "warc_index_build",
         "warc_fetch_record",
     ):
