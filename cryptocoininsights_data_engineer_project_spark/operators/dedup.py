@@ -774,24 +774,49 @@ def incremental_dedup_pairs(
     the (small) batch side only, and AQE broadcasts it outright when
     the batch is broadcast-sized. Output is bounded by true collision
     density, same as the one-shot banding."""
+    return incremental_dedup_pairs_frame(
+        batch_docs, spark.read.parquet(index_path), k, bands, rows
+    )
+
+
+def incremental_dedup_pairs_frame(
+    batch_docs: DataFrame,
+    index_df: DataFrame | None,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """``incremental_dedup_pairs`` with the index as a FRAME — the
+    form the streaming maintainer uses, where the index is a
+    manifest-committed BucketedTable snapshot rather than a raw
+    parquet path. ``index_df`` None means "no corpus indexed yet"
+    (the first micro-batch): only batch-internal pairs exist. Index
+    rows that duplicate the batch's own fingerprints are harmless —
+    they reproduce the identical (least, greatest) keyed pairs, so
+    a replayed index append cannot change the accumulated result."""
     b = minhash_bands(minhash_signatures(batch_docs, k), bands, rows)
     # one batch scan feeds both the cross-probe and the internal pairs
     b = b.localCheckpoint()
-    idx = spark.read.parquet(index_path)
-    cross = (
-        idx.join(b.withColumnRenamed("doc_id", "batch_id"), ["band_id", "band_hash"])
-        .filter(F.col("doc_id") != F.col("batch_id"))
-        .select(
-            F.least("doc_id", "batch_id").alias("doc_a"),
-            F.greatest("doc_id", "batch_id").alias("doc_b"),
-        )
-    )
     internal_buckets = (
         b.groupBy("band_id", "band_hash")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
     internal = _ordered_pairs(internal_buckets)
+    if index_df is None:
+        return internal.distinct()
+    cross = (
+        index_df.select("doc_id", "band_id", "band_hash")
+        .join(
+            b.withColumnRenamed("doc_id", "batch_id"),
+            ["band_id", "band_hash"],
+        )
+        .filter(F.col("doc_id") != F.col("batch_id"))
+        .select(
+            F.least("doc_id", "batch_id").alias("doc_a"),
+            F.greatest("doc_id", "batch_id").alias("doc_b"),
+        )
+    )
     return cross.unionByName(internal).distinct()
 
 

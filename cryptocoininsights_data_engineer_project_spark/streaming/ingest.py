@@ -410,3 +410,78 @@ def stream_warc_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_incremental_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    n_buckets: int = 8,
+):
+    """Streaming face of cross-run dedup (VERDICT r9 #7) — the
+    operating mode a 100 TB ingest actually runs: documents arrive as
+    parquet files of (doc_id, text); each micro-batch
+
+    1. PROBES the persisted fingerprint index with
+       ``operators/dedup.py::incremental_dedup_pairs_frame`` — new
+       near-duplicate pairs are batch-vs-index collisions plus
+       batch-internal collisions; already-indexed text is NEVER
+       re-read, and
+
+    2. APPENDS the batch's own band fingerprints to the index, so
+       later batches (and later runs) dedup against everything seen.
+
+    Both sinks are manifest-committed BucketedTables under
+    ``table_root`` (/pairs keyed (doc_a, doc_b); /bands keyed
+    (doc_id, band_id), the per-document fingerprint grain), each
+    upsert carrying a txn marker (checkpoint incarnation, batch id):
+    a replayed micro-batch — crash anywhere between the two sink
+    commits and the checkpoint commit — is SKIPPED at whichever
+    manifest already recorded it, so the pipeline is exactly-once,
+    not merely merge-idempotent (though it is that too: pairs merge
+    on their own key, and a double-appended fingerprint reproduces
+    identical keyed pairs — tests pin both properties).
+
+    The accumulated pairs table provably equals the one-shot
+    ``minhash_candidate_pairs`` over all delivered documents
+    (union-equivalence: band fingerprints are per-document, so
+    batching can neither create nor destroy collisions). Returns the
+    started query (AvailableNow by default)."""
+    from ..operators.dedup import incremental_dedup_pairs_frame, minhash_bands, minhash_signatures
+    from ..pipeline.table import BucketedTable
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    bands_tbl = BucketedTable(
+        spark, table_root + "/bands", ["doc_id", "band_id"],
+        n_buckets=n_buckets,
+    )
+    pairs_tbl = BucketedTable(
+        spark, table_root + "/pairs", ["doc_a", "doc_b"],
+        n_buckets=n_buckets,
+    )
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        docs = batch_df.localCheckpoint()  # stable across both uses
+        pairs = incremental_dedup_pairs_frame(docs, bands_tbl.read())
+        pairs_tbl.upsert(pairs, txn=(checkpoint_dir + "#pairs", batch_id))
+        bands_tbl.upsert(
+            minhash_bands(minhash_signatures(docs)),
+            txn=(checkpoint_dir + "#bands", batch_id),
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -438,3 +438,70 @@ def test_stream_warc_ingest_exactly_once(spark, tmp_path):
     q = stream_warc_ingest(spark, src, out, ckpt)
     q.awaitTermination()
     assert spark.read.parquet(out).count() == 10
+
+
+def test_stream_incremental_dedup_converges(spark, tmp_path):
+    """Streaming cross-run dedup: pairs accumulated over micro-batches
+    (each probing the persisted fingerprint index) equal the one-shot
+    banding over ALL delivered docs; a fresh-checkpoint replay over
+    the same files converges to the same tables; a replayed
+    micro-batch (same txn marker) is skipped at the manifest."""
+    from cryptocoininsights_data_engineer_project_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+    from cryptocoininsights_data_engineer_project_spark.pipeline.table import (
+        BucketedTable,
+    )
+    from cryptocoininsights_data_engineer_project_spark.queries import _t
+    from cryptocoininsights_data_engineer_project_spark.streaming.ingest import (
+        stream_incremental_dedup,
+    )
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "ddocs")
+    os.makedirs(src)
+    # three arrival files -> three micro-batches (maxFilesPerTrigger=1)
+    for i in range(3):
+        docs.filter(f"doc_id % 3 = {i}").coalesce(1).write.parquet(
+            f"{str(tmp_path)}/stage{i}"
+        )
+        import glob as _glob
+        import shutil as _shutil
+
+        part = _glob.glob(f"{str(tmp_path)}/stage{i}/part-*.parquet")[0]
+        _shutil.copy(part, f"{src}/batch{i}.parquet")
+
+    root = str(tmp_path / "dtbl")
+    ck = str(tmp_path / "dck1")
+    q = stream_incremental_dedup(spark, src, root, ck)
+    q.awaitTermination(300)
+
+    def pairs_snap():
+        t = BucketedTable(spark, root + "/pairs", ["doc_a", "doc_b"])
+        return {(r.doc_a, r.doc_b) for r in t.read().collect()}
+
+    expect = {
+        (r.doc_a, r.doc_b) for r in minhash_candidate_pairs(docs).collect()
+    }
+    assert expect, "fixture produced no candidate pairs"
+    assert pairs_snap() == expect
+
+    # the index holds every delivered doc's fingerprints exactly once
+    bands = BucketedTable(spark, root + "/bands", ["doc_id", "band_id"]).read()
+    n_docs = docs.count()
+    per_doc = bands.groupBy("doc_id").count().select("count").distinct()
+    assert bands.select("doc_id").distinct().count() == n_docs
+    assert per_doc.count() == 1  # same band count for every doc
+
+    # fresh-checkpoint replay over the SAME files: tables converge
+    q2 = stream_incremental_dedup(spark, src, root, str(tmp_path / "dck2"))
+    q2.awaitTermination(300)
+    assert pairs_snap() == expect
+
+    # replayed micro-batch with an already-recorded txn marker: both
+    # upserts are skipped at the manifest (exactly-once, not re-merged)
+    pairs_tbl = BucketedTable(spark, root + "/pairs", ["doc_a", "doc_b"])
+    some = pairs_tbl.read().limit(1)
+    assert pairs_tbl.upsert(some, txn=(ck + "#pairs", 0)) is False
