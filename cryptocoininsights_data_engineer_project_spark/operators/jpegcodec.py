@@ -253,7 +253,9 @@ def _decode_lossless_scan(
     precision: int,
     pred_sel: int,
     pt: int,
-) -> np.ndarray:
+    differential: bool = False,
+    return_end: bool = False,
+):
     """Lossless (SOF3) scan per T.81 Annex H: each sample is a
     Huffman-coded DIFF (DC-style SSSS category + amplitude bits;
     SSSS=16 means diff=32768 with no extra bits) added to a
@@ -264,8 +266,21 @@ def _decode_lossless_scan(
     with 2^(P-Pt-1); the remainder of that line uses Ra; the first
     sample of subsequent lines uses Rb. Prediction runs in the
     point-transformed domain; the output is shifted left by Pt.
-    Components are sample-interleaved when Ns > 1 (all 1x1)."""
-    if not 1 <= pred_sel <= 7:
+    Components are sample-interleaved when Ns > 1 (all 1x1).
+
+    ``differential`` selects predictor 0 — Table H.1's "no
+    prediction (differential coding only)": the coded diffs ARE the
+    output values (mod 2^16, still point-transformed), the
+    correction signal a hierarchical SOF7 frame adds to its
+    reference. Differential frames shall use Ss = 0 and
+    non-differential frames shall not (H.1.2.1)."""
+    if differential != (pred_sel == 0):
+        raise JpegError(
+            f"predictor {pred_sel} invalid for "
+            f"{'differential' if differential else 'non-differential'} "
+            "lossless frame (T.81 Table H.1)"
+        )
+    if not 0 <= pred_sel <= 7:
         raise JpegError(f"bad lossless predictor selector {pred_sel}")
     ncomp = len(comps)
     reader = _BitReader(data, pos)
@@ -283,7 +298,12 @@ def _decode_lossless_scan(
                 seg_y, seg_x = y, x
             for ci, c in enumerate(comps):
                 p = planes[ci]
-                px = _ll_predict(p, y, x, seg_y, seg_x, default, pred_sel)
+                if differential:
+                    px = 0
+                else:
+                    px = _ll_predict(
+                        p, y, x, seg_y, seg_x, default, pred_sel
+                    )
                 ssss = reader.decode_symbol(dc_tables[c.td])
                 if ssss == 16:
                     diff = 32768
@@ -293,7 +313,10 @@ def _decode_lossless_scan(
                     diff = _extend(reader.receive(ssss), ssss)
                 p[y, x] = (px + diff) & 0xFFFF
             since += 1
-    return (planes << pt).transpose(1, 2, 0)
+    out = ((planes << pt) & 0xFFFF).transpose(1, 2, 0)
+    if return_end:
+        return out, _scan_end(reader, data)
+    return out
 
 
 # Lossless arithmetic (SOF11) statistical model, T.81 Annex H.1.4:
@@ -769,6 +792,7 @@ def _decode_scan(
     restart_interval: int,
     precision: int = 8,
     raw_planes: bool = False,
+    differential: bool = False,
 ) -> tuple[int, int, int, bytes]:
     if width == 0 or height == 0:
         raise JpegError("SOS before SOF: image dimensions unknown")
@@ -815,8 +839,16 @@ def _decode_scan(
                         coeffs[:] = 0
                         size = reader.decode_symbol(dct)
                         diff = _extend(reader.receive(size), size)
-                        c.pred += diff
-                        coeffs[0] = c.pred
+                        if differential:
+                            # T.81 F.1.1.5.1: in differential frames
+                            # the DC prediction is always ZERO — each
+                            # block's DC is coded directly, no DPCM
+                            # chain (round-10 conformance fix; the
+                            # round-9 SOF5 path chained here)
+                            coeffs[0] = diff
+                        else:
+                            c.pred += diff
+                            coeffs[0] = c.pred
                         k = 1
                         while k < 64:
                             rs = reader.decode_symbol(act)
@@ -924,11 +956,14 @@ def _decode_progressive_scan(
     restart_interval: int,
     width: int,
     height: int,
+    differential: bool = False,
 ) -> int:
     """Decode ONE progressive scan into the coefficient accumulators,
     returning the offset of the next marker. Implements T.81 G.1.2:
     DC first/refine (Ss=0), AC first/refine (Ss>0, single component),
-    EOB-run coding, restart intervals."""
+    EOB-run coding, restart intervals. ``differential`` (SOF6 inside
+    a hierarchy) switches the DC first scan to PRED = 0 per
+    F.1.1.5.1; AC semantics are unchanged."""
     if not coefs:
         raise JpegError("SOS before SOF2 in progressive stream")
     hmax = max(c.h for c in comps)
@@ -975,6 +1010,7 @@ def _decode_progressive_scan(
                                     dc_tables,
                                     ah,
                                     al,
+                                    differential,
                                 )
                     since += 1
         else:
@@ -985,7 +1021,10 @@ def _decode_progressive_scan(
                 for bx in range(bw):
                     if _restart_due():
                         _do_restart()
-                    _dc_unit(reader, arr[by, bx], c, dc_tables, ah, al)
+                    _dc_unit(
+                        reader, arr[by, bx], c, dc_tables, ah, al,
+                        differential,
+                    )
                     since += 1
     else:  # AC scan: exactly one component (B.2.3)
         if len(scomps) != 1:
@@ -1019,12 +1058,22 @@ def _dc_unit(
     dc_tables: dict[int, _HuffTable],
     ah: int,
     al: int,
+    differential: bool = False,
 ) -> None:
     if ah == 0:  # first DC scan: baseline DIFF coding, point transform
         size = reader.decode_symbol(dc_tables[c.td])
-        c.pred += _extend(reader.receive(size), size)
-        cb[0] = c.pred << al
-    else:  # refinement: one raw bit appends bit Al
+        diff = _extend(reader.receive(size), size)
+        if differential:
+            # T.81 F.1.1.5.1: DC prediction is zero in differential
+            # frames — SOF6 scans code each block's DC directly
+            cb[0] = diff << al
+        else:
+            c.pred += diff
+            cb[0] = c.pred << al
+    else:  # refinement: one raw bit appends bit Al — the bitwise OR
+        # is two's-complement-correct for negative DCs as well (the
+        # first scan stored an arithmetic-shift approximation), so
+        # the same line serves differential frames' signed DCs
         if reader.read_bit():
             cb[0] |= 1 << al
 
@@ -1638,6 +1687,18 @@ def _reconstruct(
     reconstruction tail."""
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
+    planes = _coef_planes(comps, coefs, qtables)
+    return _finish(planes, comps, hmax, vmax, width, height, precision)
+
+
+def _coef_planes(
+    comps: list[_Component],
+    coefs: list[np.ndarray],
+    qtables: dict[int, np.ndarray],
+) -> list[np.ndarray]:
+    """Accumulated progressive coefficients -> signed spatial planes
+    (no level shift / clamp — shared by the flat reconstruction and
+    the hierarchical SOF6 frame finalizer)."""
     planes = []
     for ci, c in enumerate(comps):
         q = qtables[c.tq].astype(np.float64)
@@ -1647,9 +1708,8 @@ def _reconstruct(
         nat = coefs[ci].reshape(bh, bw, 64).astype(np.float64)
         deq = nat.reshape(bh, bw, 8, 8) * q[None, None, :, :]
         blocks = np.einsum("ux,ijuv,vy->ijxy", _C, deq, _C)
-        plane = blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
-        planes.append(plane)
-    return _finish(planes, comps, hmax, vmax, width, height, precision)
+        planes.append(blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+    return planes
 
 
 # ------------------------------------------------- hierarchical (Annex J)
@@ -1716,8 +1776,35 @@ def _decode_hier(data: bytes):
     ncomp = None
     refs: list[np.ndarray] | None = None
     pending_exp = (0, 0)
-    frame = None  # (differential, fw, fh, comps) awaiting its SOS
+    # single-scan frame awaiting its SOS:
+    # ("seq" | "lossless", differential, fw, fh, comps)
+    frame = None
+    # multi-scan progressive frame (SOF2/SOF6) accumulating
+    # coefficients until the next frame-level marker
+    prog: dict | None = None
     pos = 2
+
+    def _finalize_prog():
+        """Reconstruct a pending progressive frame: dequantize + IDCT
+        the accumulated coefficients and fold the signed planes into
+        the reference pyramid — differential frames ADD (SOF6),
+        non-differential frames level-shift (SOF2 as first frame)."""
+        nonlocal refs, prog
+        if prog is None:
+            return
+        top = (1 << precision) - 1
+        planes = _coef_planes(prog["comps"], prog["coefs"], qtables)
+        rounded = [
+            np.round(pl[: prog["fh"], : prog["fw"]]).astype(np.int64)
+            for pl in planes
+        ]
+        if prog["differential"]:
+            refs = [np.clip(r + d, 0, top) for r, d in zip(refs, rounded)]
+        else:
+            mid = 1 << (precision - 1)
+            refs = [np.clip(d + mid, 0, top) for d in rounded]
+        prog = None
+
     while pos + 1 < len(data):
         if data[pos] != 0xFF:
             raise JpegError(f"expected marker at offset {pos}")
@@ -1726,6 +1813,7 @@ def _decode_hier(data: bytes):
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            _finalize_prog()
             if refs is None:
                 raise JpegError("EOI before any hierarchical frame")
             if refs[0].shape != (full_h, full_w):
@@ -1767,17 +1855,19 @@ def _decode_hier(data: bytes):
                         "1x1 sampling only"
                     )
         elif marker == 0xDF:  # EXP
+            _finalize_prog()
             pending_exp = (seg[0] >> 4, seg[0] & 0x0F)
             if pending_exp[0] > 1 or pending_exp[1] > 1:
                 raise JpegError(f"bad EXP fields {seg[0]:#x}")
             # (0, 0) is syntactically valid per B.3.3: a no-op
-        elif marker in (0xC0, 0xC1, 0xC5):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6, 0xC7):
+            _finalize_prog()
             if full_w is None:
                 raise JpegError(
                     "hierarchical frame before DHP — use "
                     "decode_jpeg_pixels for non-hierarchical streams"
                 )
-            differential = marker == 0xC5
+            differential = marker in (0xC5, 0xC6, 0xC7)
             if seg[0] != precision:
                 raise JpegError(
                     f"frame precision {seg[0]} != DHP {precision}"
@@ -1815,22 +1905,72 @@ def _decode_hier(data: bytes):
                         f"frame {(fh, fw)}"
                     )
                 refs = [r[:fh, :fw] for r in refs]
-            frame = (differential, fw, fh, comps)
-        elif marker in (0xC2, 0xC3, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
+            if marker in (0xC2, 0xC6):  # (differential) progressive
+                bw_, bh_ = -(-fw // 8), -(-fh // 8)
+                for c in comps:
+                    c.blocks_w, c.blocks_h = bw_, bh_
+                prog = {
+                    "differential": differential,
+                    "fw": fw,
+                    "fh": fh,
+                    "comps": comps,
+                    "coefs": [
+                        np.zeros((bh_, bw_, 64), dtype=np.int32)
+                        for _ in comps
+                    ],
+                }
+                frame = None
+            elif marker == 0xC7:  # differential lossless
+                frame = ("lossless", True, fw, fh, comps)
+            else:
+                frame = ("seq", differential, fw, fh, comps)
+        elif marker in (0xC3, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"SOF marker {marker:#x} inside a hierarchy: "
-                "sequential Huffman frames (SOF0/SOF1/SOF5) only"
+                f"SOF marker {marker:#x} inside a hierarchy: Huffman "
+                "sequential (SOF0/SOF1, differential SOF5), "
+                "differential progressive (SOF6), and differential "
+                "lossless (SOF7) frames are implemented; "
+                "non-differential lossless and every arithmetic frame "
+                "type (SOF3/SOF9-SOF11/SOF13-SOF15) stay gated"
             )
         elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            if prog is not None:  # one scan of a progressive frame
+                by_id = {c.cid: c for c in prog["comps"]}
+                scomps = []
+                for c in range(ns):
+                    cid, tdta = seg[1 + 2 * c : 3 + 2 * c]
+                    comp = by_id[cid]
+                    comp.td, comp.ta = tdta >> 4, tdta & 0x0F
+                    scomps.append(comp)
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+                pos = _decode_progressive_scan(
+                    data,
+                    pos + seglen,
+                    prog["comps"],
+                    scomps,
+                    prog["coefs"],
+                    ss,
+                    se,
+                    ah,
+                    al,
+                    dc_tables,
+                    ac_tables,
+                    restart_interval,
+                    prog["fw"],
+                    prog["fh"],
+                    differential=prog["differential"],
+                )
+                continue
             if frame is None:
                 raise JpegError("SOS with no pending hierarchical frame")
-            differential, fw, fh, comps = frame
-            ns = seg[0]
+            kind, differential, fw, fh, comps = frame
             if ns != len(comps):
                 raise NotImplementedError(
-                    "non-interleaved hierarchical scans: every frame "
-                    "must code all its components in one scan here"
+                    "non-interleaved hierarchical scans: every "
+                    "single-scan frame must code all its components "
+                    "in one scan here (progressive frames may split)"
                 )
             by_id = {c.cid: c for c in comps}
             scan_order = []
@@ -1839,6 +1979,33 @@ def _decode_hier(data: bytes):
                 comp = by_id[cid]
                 comp.td, comp.ta = tdta >> 4, tdta & 0x0F
                 scan_order.append(comp)
+            if kind == "lossless":  # SOF7: H.2 differential coding
+                pred_sel = seg[1 + 2 * ns]  # Ss: shall be 0 (Table H.1)
+                pt = seg[3 + 2 * ns] & 0x0F  # Al = point transform
+                samples, scan_end = _decode_lossless_scan(
+                    data,
+                    pos + seglen,
+                    fw,
+                    fh,
+                    scan_order,
+                    dc_tables,
+                    restart_interval,
+                    precision,
+                    pred_sel,
+                    pt,
+                    differential=True,
+                    return_end=True,
+                )
+                # J: differential lossless corrections accumulate in
+                # modulo-2^16 arithmetic; the EOI clamp produces the
+                # final [0, 2^P - 1] output
+                refs = [
+                    (r + samples[:, :, ci].astype(np.int64)) & 0xFFFF
+                    for ci, r in enumerate(refs)
+                ]
+                frame = None
+                pos = scan_end
+                continue
             planes, scan_end = _decode_scan(
                 data,
                 pos + seglen,
@@ -1851,6 +2018,7 @@ def _decode_hier(data: bytes):
                 restart_interval,
                 precision,
                 raw_planes=True,
+                differential=differential,
             )
             top = (1 << precision) - 1
             rounded = [

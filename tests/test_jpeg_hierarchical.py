@@ -31,7 +31,9 @@ from tests.test_jpeg import _amp_bits, _canonical, _category, _dht, _Packer
 # ------------------------------------------------------------- encoder
 
 
-def _scan_bytes(comps_n, w, h, block_coeffs, dc_codes, ac_codes):
+def _scan_bytes(
+    comps_n, w, h, block_coeffs, dc_codes, ac_codes, differential=False
+):
     pk = _Packer()
     pred = [0] * comps_n
     counters = [0] * comps_n
@@ -41,8 +43,13 @@ def _scan_bytes(comps_n, w, h, block_coeffs, dc_codes, ac_codes):
             for ci in range(comps_n):
                 coeffs = block_coeffs(ci, counters[ci])
                 counters[ci] += 1
-                diff = coeffs[0] - pred[ci]
-                pred[ci] = coeffs[0]
+                if differential:
+                    # T.81 F.1.1.5.1: DC prediction is zero in
+                    # differential frames — code the DC directly
+                    diff = coeffs[0]
+                else:
+                    diff = coeffs[0] - pred[ci]
+                    pred[ci] = coeffs[0]
                 c = _category(diff)
                 pk.put(*dc_codes[c])
                 if c:
@@ -69,10 +76,91 @@ def _scan_bytes(comps_n, w, h, block_coeffs, dc_codes, ac_codes):
     return bytes(pk.out)
 
 
+def _prog_dc_scan(comps_n, w, h, block_coeffs, dc_codes, differential,
+                  ah, al):
+    """Progressive DC scan bytes (first scan at point transform Al,
+    or one-bit refinement when Ah > 0) — PRED = 0 in differential
+    frames per F.1.1.5.1."""
+    pk = _Packer()
+    pred = [0] * comps_n
+    bw, bh = -(-w // 8), -(-h // 8)
+    for b in range(bw * bh):
+        for ci in range(comps_n):
+            dc = block_coeffs(ci, b)[0]
+            if ah == 0:
+                v = dc >> al  # arithmetic shift: DC point transform
+                if differential:
+                    diff = v
+                else:
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                c = _category(diff)
+                pk.put(*dc_codes[c])
+                if c:
+                    pk.put(_amp_bits(diff, c), c)
+            else:
+                pk.put((dc >> al) & 1, 1)
+    pk.pad_to_byte()
+    return bytes(pk.out)
+
+
+def _prog_ac_scan(ci, w, h, block_coeffs, ac_codes):
+    """Progressive AC first scan (Ss=1..63, no SA) for one component:
+    per-block run/size coding, single-block EOB0 terminators."""
+    pk = _Packer()
+    bw, bh = -(-w // 8), -(-h // 8)
+    for b in range(bw * bh):
+        coeffs = block_coeffs(ci, b)
+        zz = [coeffs[ZIGZAG_TO_NATURAL[z]] for z in range(64)]
+        k = 1
+        while k < 64:
+            run = 0
+            while k < 64 and zz[k] == 0:
+                run += 1
+                k += 1
+            if k == 64:
+                pk.put(*ac_codes[0x00])  # EOB0: this block only
+                break
+            while run >= 16:
+                pk.put(*ac_codes[0xF0])
+                run -= 16
+            c = _category(zz[k])
+            pk.put(*ac_codes[(run << 4) | c])
+            pk.put(_amp_bits(zz[k], c), c)
+            k += 1
+    pk.pad_to_byte()
+    return bytes(pk.out)
+
+
+def _ll_scan_bytes(comps_n, w, h, samples_fn, dc_codes):
+    """Differential lossless (SOF7) scan bytes: every sample's diff
+    coded directly (predictor 0 — Table H.1 'no prediction'),
+    sample-interleaved."""
+    pk = _Packer()
+    for y in range(h):
+        for x in range(w):
+            for ci in range(comps_n):
+                diff = samples_fn(ci, y, x)
+                c = _category(diff)
+                pk.put(*dc_codes[c])
+                if c:
+                    pk.put(_amp_bits(diff, c), c)
+    pk.pad_to_byte()
+    return bytes(pk.out)
+
+
 def encode_hierarchical(full_w, full_h, ncomp, qtable, precision, stages):
     """DHP + frame sequence. ``stages``: list of dicts with keys
-    diff (bool), w, h, exp ((eh, ev) or None), coeffs
-    (fn(ci, block_idx) -> 64 natural-order ints)."""
+    diff (bool), w, h, exp ((eh, ev) or None), and per mode:
+
+    - mode "seq" (default): coeffs (fn(ci, block_idx) -> 64
+      natural-order ints) — SOF0/SOF1 or differential SOF5;
+    - mode "prog": same coeffs, coded as SOF2/SOF6 progressive —
+      a DC scan then one AC scan per component, or an explicit
+      "scans" list of (ss, se, ah, al) tuples (DC first/refine and
+      AC first supported);
+    - mode "lossless": samples (fn(ci, y, x) -> signed diff in the
+      point-transformed domain) + optional pt — differential SOF7."""
     dc_syms = list(range(16))
     ac_syms = sorted(
         {(r << 4) | s for r in range(16) for s in range(15)}
@@ -91,7 +179,16 @@ def encode_hierarchical(full_w, full_h, ncomp, qtable, precision, stages):
     out += b"\xff\xde" + struct.pack(">H", 2 + len(dhp)) + dhp
     out += _dht(0, 0, dc_counts, dc_syms)
     out += _dht(1, 0, ac_counts, ac_syms)
+
+    def emit_sos(comp_ids, tail):
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes(tail)
+        out.extend(b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos)
+
     for st in stages:
+        mode = st.get("mode", "seq")
         if st.get("exp"):
             eh, ev = st["exp"]
             out += b"\xff\xdf" + struct.pack(">H", 3) + bytes(
@@ -101,20 +198,50 @@ def encode_hierarchical(full_w, full_h, ncomp, qtable, precision, stages):
         sof += bytes([ncomp])
         for ci in range(ncomp):
             sof += bytes([ci + 1, 0x11, 0])
-        marker = (
-            b"\xff\xc5"
-            if st["diff"]
-            else (b"\xff\xc1" if precision != 8 else b"\xff\xc0")
-        )
+        if mode == "lossless":
+            assert st["diff"], "SOF7 is differential by definition"
+            marker = b"\xff\xc7"
+        elif mode == "prog":
+            marker = b"\xff\xc6" if st["diff"] else b"\xff\xc2"
+        else:
+            marker = (
+                b"\xff\xc5"
+                if st["diff"]
+                else (b"\xff\xc1" if precision != 8 else b"\xff\xc0")
+            )
         out += marker + struct.pack(">H", 2 + len(sof)) + sof
-        sos = bytes([ncomp])
-        for ci in range(ncomp):
-            sos += bytes([ci + 1, 0x00])
-        sos += bytes([0, 63, 0])
-        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
-        out += _scan_bytes(
-            ncomp, st["w"], st["h"], st["coeffs"], dc_codes, ac_codes
-        )
+        if mode == "seq":
+            emit_sos(range(ncomp), [0, 63, 0])
+            out += _scan_bytes(
+                ncomp, st["w"], st["h"], st["coeffs"], dc_codes,
+                ac_codes, differential=st["diff"],
+            )
+        elif mode == "prog":
+            scans = st.get(
+                "scans",
+                [(0, 0, 0, 0)] + [(1, 63, 0, 0, ci) for ci in range(ncomp)],
+            )
+            for sc in scans:
+                ss, se, ah, al = sc[:4]
+                if ss == 0:
+                    emit_sos(range(ncomp), [0, 0, (ah << 4) | al])
+                    out += _prog_dc_scan(
+                        ncomp, st["w"], st["h"], st["coeffs"],
+                        dc_codes, st["diff"], ah, al,
+                    )
+                else:
+                    ci = sc[4] if len(sc) > 4 else 0
+                    assert (ah, al) == (0, 0), "AC SA not in this encoder"
+                    emit_sos([ci], [ss, se, 0])
+                    out += _prog_ac_scan(
+                        ci, st["w"], st["h"], st["coeffs"], ac_codes
+                    )
+        else:  # lossless differential
+            pt = st.get("pt", 0)
+            emit_sos(range(ncomp), [0, 0, pt])  # Ss=0: predictor 0
+            out += _ll_scan_bytes(
+                ncomp, st["w"], st["h"], st["samples"], dc_codes
+            )
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -186,6 +313,23 @@ def _expected(full_w, full_h, ncomp, qtable, precision, stages):
     for st in stages:
         if st.get("exp"):
             refs = [_expand_py(r, *st["exp"]) for r in refs]
+        if st.get("mode") == "lossless":
+            # differential lossless correction: modulo-2^16 add of the
+            # point-transformed diffs (J); clamp happens only at EOI
+            pt = st.get("pt", 0)
+            refs = [
+                [
+                    [
+                        (refs[ci][y][x]
+                         + ((st["samples"](ci, y, x) << pt) & 0xFFFF))
+                        & 0xFFFF
+                        for x in range(st["w"])
+                    ]
+                    for y in range(st["h"])
+                ]
+                for ci in range(ncomp)
+            ]
+            continue
         planes = [
             _frame_plane(st["w"], st["h"], ci, st["coeffs"], qtable)
             for ci in range(ncomp)
@@ -212,7 +356,11 @@ def _expected(full_w, full_h, ncomp, qtable, precision, stages):
                 ]
                 for ci in range(ncomp)
             ]
-    return refs
+    # final EOI clamp (a no-op for DCT-final pyramids, which clamp
+    # per stage; meaningful after a mod-2^16 lossless correction)
+    return [
+        [[min(top, max(0, v)) for v in row] for row in r] for r in refs
+    ]
 
 
 def _grids(seed, spread=60):
@@ -367,4 +515,178 @@ def test_fill_bytes_noop_exp_and_scan_coverage_gates():
     bad = bytearray(blob)
     bad[at + 5] = 0x55  # td=5/ta=5: tables never defined
     with pytest.raises(JpegError):
+        decode_jpeg_hierarchical(bytes(bad))
+
+
+# --------------------------- differential progressive / lossless frames
+
+
+def test_sof6_differential_progressive_pyramid():
+    """SOF6: a progressive correction frame (DC scan + AC scan,
+    multiple SOS per frame) accumulated into the pyramid — decoded
+    pixels match the definition-IDCT reference, proving PRED = 0 DC
+    coding and multi-scan coefficient accumulation inside the
+    hierarchy walker."""
+    q = [6] * 64
+    stages = [
+        {"diff": False, "w": 8, "h": 8, "coeffs": _grids(40, 150)},
+        {"diff": True, "w": 16, "h": 16, "exp": (1, 1),
+         "mode": "prog", "coeffs": _grids(41, 30)},
+    ]
+    _check(16, 16, 1, q, 8, stages)
+
+
+def test_sof6_successive_approximation_dc():
+    """SOF6 with successive approximation on the DC band: first scan
+    at Al=1, a refinement scan appending the dropped bit, then the AC
+    band — the signed differential DC reconstructs exactly through
+    the two's-complement refinement OR."""
+    q = [5] * 64
+    stages = [
+        {"diff": False, "w": 8, "h": 8, "coeffs": _grids(42, 120)},
+        {"diff": True, "w": 16, "h": 16, "exp": (1, 1), "mode": "prog",
+         "coeffs": _grids(43, 25),
+         "scans": [(0, 0, 0, 1), (0, 0, 1, 0), (1, 63, 0, 0, 0)]},
+    ]
+    _check(16, 16, 1, q, 8, stages)
+
+
+def test_sof6_color_pyramid():
+    q = [7] * 64
+    stages = [
+        {"diff": False, "w": 8, "h": 8, "coeffs": _grids(44, 100)},
+        {"diff": True, "w": 16, "h": 16, "exp": (1, 1), "mode": "prog",
+         "coeffs": _grids(45, 20)},
+    ]
+    _check(16, 16, 3, q, 8, stages)
+
+
+def test_sof6_then_sof5_mixed_corrections():
+    """Progressive and sequential differential frames mix freely in
+    one pyramid: SOF6 at 16x16, then a same-resolution SOF5
+    refinement pass."""
+    q = [6] * 64
+    stages = [
+        {"diff": False, "w": 8, "h": 8, "coeffs": _grids(46, 150)},
+        {"diff": True, "w": 16, "h": 16, "exp": (1, 1), "mode": "prog",
+         "coeffs": _grids(47, 25)},
+        {"diff": True, "w": 16, "h": 16, "coeffs": _grids(48, 9)},
+    ]
+    _check(16, 16, 1, q, 8, stages)
+
+
+def test_sof7_lossless_differential_correction():
+    """SOF7: a lossless differential frame adds its coded diffs in
+    mod-2^16 arithmetic (Table H.1 predictor 0 — no prediction)."""
+    import random
+
+    rng = random.Random(50)
+    diffs = {
+        (ci, y, x): rng.randint(-40, 40)
+        for ci in range(1) for y in range(16) for x in range(16)
+    }
+    q = [6] * 64
+    stages = [
+        {"diff": False, "w": 8, "h": 8, "coeffs": _grids(51, 150)},
+        {"diff": True, "w": 16, "h": 16, "exp": (1, 1),
+         "mode": "lossless",
+         "samples": lambda ci, y, x: diffs[(ci, y, x)]},
+    ]
+    _check(16, 16, 1, q, 8, stages)
+
+
+def test_sof7_point_transform():
+    import random
+
+    rng = random.Random(52)
+    diffs = {
+        (ci, y, x): rng.randint(-15, 15)
+        for ci in range(1) for y in range(8) for x in range(8)
+    }
+    q = [6] * 64
+    stages = [
+        {"diff": False, "w": 8, "h": 8, "coeffs": _grids(53, 100)},
+        {"diff": True, "w": 8, "h": 8, "mode": "lossless", "pt": 2,
+         "samples": lambda ci, y, x: diffs[(ci, y, x)]},
+    ]
+    _check(8, 8, 1, q, 8, stages)
+
+
+def test_sof7_makes_pyramid_lossless():
+    """THE Annex-J use case: a final SOF7 frame codes exactly
+    target - reference, making the whole lossy pyramid reconstruct
+    the target image bit-exactly."""
+    import random
+
+    rng = random.Random(54)
+    target = [[rng.randint(0, 255) for _ in range(16)] for _ in range(16)]
+    q = [10] * 64
+    lossy_stages = [
+        {"diff": False, "w": 8, "h": 8, "coeffs": _grids(55, 150)},
+        {"diff": True, "w": 16, "h": 16, "exp": (1, 1),
+         "coeffs": _grids(56, 20)},
+    ]
+    ref = _expected(16, 16, 1, q, 8, lossy_stages)[0]
+
+    def corr(ci, y, x):
+        d = target[y][x] - ref[y][x]
+        return d  # in [-255, 255]: category <= 9, no mod wrap needed
+
+    stages = lossy_stages + [
+        {"diff": True, "w": 16, "h": 16, "mode": "lossless",
+         "samples": corr},
+    ]
+    blob = encode_hierarchical(16, 16, 1, q, 8, stages)
+    _w, _h, _ch, samples = decode_jpeg_hierarchical(blob)
+    assert samples[:, :, 0].tolist() == target
+
+
+def test_sof2_first_frame_in_pyramid():
+    """A NON-differential progressive first frame (SOF2 inside a
+    hierarchy) level-shifts like any first frame."""
+    q = [6] * 64
+    stages = [
+        {"diff": False, "w": 8, "h": 8, "mode": "prog",
+         "coeffs": _grids(57, 150)},
+        {"diff": True, "w": 16, "h": 16, "exp": (1, 1),
+         "coeffs": _grids(58, 9)},
+    ]
+    _check(16, 16, 1, q, 8, stages)
+
+
+def test_remaining_hierarchy_gates():
+    """Non-differential lossless and arithmetic frame types inside a
+    hierarchy stay loudly gated; SOF7 with a nonzero predictor
+    selector is malformed."""
+    q = [8] * 64
+    stages = [
+        {"diff": False, "w": 8, "h": 8, "coeffs": _grids(60)},
+        {"diff": True, "w": 8, "h": 8, "coeffs": _grids(61, 9)},
+    ]
+    blob = encode_hierarchical(8, 8, 1, q, 8, stages)
+    # relabel the differential SOF5 as arithmetic differential SOF13
+    at = blob.index(b"\xff\xc5")
+    bad = bytearray(blob)
+    bad[at + 1] = 0xCD
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg_hierarchical(bytes(bad))
+    # ... and as non-differential lossless SOF3
+    bad = bytearray(blob)
+    bad[at + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg_hierarchical(bytes(bad))
+    # SOF7 whose SOS carries predictor selector 1: Table H.1 violation
+    import random
+
+    rng = random.Random(62)
+    stages_ll = [
+        {"diff": False, "w": 8, "h": 8, "coeffs": _grids(63)},
+        {"diff": True, "w": 8, "h": 8, "mode": "lossless",
+         "samples": lambda ci, y, x: rng.randint(-5, 5)},
+    ]
+    blob = encode_hierarchical(8, 8, 1, q, 8, stages_ll)
+    at = blob.index(b"\xff\xda", blob.index(b"\xff\xc7"))
+    bad = bytearray(blob)
+    bad[at + 7] = 1  # Ss: predictor selector (ff da len2 ns cid tdta Ss)
+    with pytest.raises(JpegError, match="predictor"):
         decode_jpeg_hierarchical(bytes(bad))
