@@ -1216,8 +1216,16 @@ def synth_zip_assets(docs: DataFrame) -> DataFrame:
     body_b = "concat(" + ", ".join(
         f"char(97 + (doc_id * 7 + {j} + 2) % 26)" for j in range(ZIP_BODY_N)
     ) + ")"
-    crc_a = f"crc32(encode({body_a}, 'UTF-8'))"
-    crc_b = f"crc32(encode({body_b}, 'UTF-8'))"
+    # bodies and their CRC-32s materialize once as named columns
+    # (each is referenced 2-3 times downstream — ADVICE r9); the
+    # final projection references only the column names
+    staged_cols = {
+        "body_a": body_a,
+        "body_b": body_b,
+        "crc_a": f"crc32(encode({body_a}, 'UTF-8'))",
+        "crc_b": f"crc32(encode({body_b}, 'UTF-8'))",
+    }
+    body_a, body_b, crc_a, crc_b = "body_a", "body_b", "crc_a", "crc_b"
     defl_n = ZIP_BODY_N + 5  # stored-DEFLATE block: 1 + 2 + 2 + body
     lfh2_off = f"(30 + {ZIP_BODY_N} + {n})"
     cd_off = f"(65 + 2 * {ZIP_BODY_N} + 2 * {n})"
@@ -1287,7 +1295,11 @@ def synth_zip_assets(docs: DataFrame) -> DataFrame:
         _le_hex_expr(cd_off, 4),
         "'0000'",
     ]
-    return docs.select(
+    staged = docs.select(
+        F.col("doc_id"),
+        *[F.expr(e).alias(a) for a, e in staged_cols.items()],
+    )
+    return staged.select(
         F.col("doc_id").alias("asset_id"),
         F.expr("unhex(concat(" + ", ".join(pieces) + "))").alias("payload"),
     )
@@ -1443,21 +1455,34 @@ def synth_tfrecord_assets(docs: DataFrame) -> DataFrame:
     byte-exactly in SQL — constant length framing (length CRC is a
     Python-computed constant) and BOTH per-record data CRC-32Cs
     folded in-plan from the same formulas the oracle states."""
+    # each masked CRC fold is materialized ONCE as a named column —
+    # inlining it into the four little-endian byte expressions made
+    # Spark evaluate the 8x8-bit fold four times per record
+    # (ADVICE r9); multi-referenced non-cheap aliases survive
+    # CollapseProject, so the named column is evaluated once
+    staged = docs.select(
+        F.col("doc_id"),
+        *[
+            F.expr(
+                _sql_crc32c_masked(_tfrec_byte(rec, "j"), TFREC_BODY_N)
+            ).alias(f"crc{rec}")
+            for rec in range(2)
+        ],
+    )
     pieces = []
     for rec in range(2):
         body = ", ".join(
             f"lpad(hex({_tfrec_byte(rec, str(j))}), 2, '0')"
             for j in range(TFREC_BODY_N)
         )
-        crc = _sql_crc32c_masked(_tfrec_byte(rec, "j"), TFREC_BODY_N)
         crc_le = ", ".join(
-            f"lpad(hex(({crc} div {256 ** i}) % 256), 2, '0')"
+            f"lpad(hex((crc{rec} div {256 ** i}) % 256), 2, '0')"
             for i in range(4)
         )
         pieces.append(f"'{_TFREC_LEN_HEX}{_TFREC_LEN_CRC_HEX}'")
         pieces.append(body)
         pieces.append(crc_le)
-    return docs.select(
+    return staged.select(
         F.col("doc_id").alias("asset_id"),
         F.expr("unhex(concat(" + ", ".join(pieces) + "))").alias("payload"),
     )

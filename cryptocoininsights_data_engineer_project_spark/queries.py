@@ -3827,7 +3827,8 @@ def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT l_returnflag,
        count(DISTINCT l_partkey) AS exact_parts,
-       TRUE AS est_within_bound
+       TRUE AS est_within_bound,
+       CAST(0 AS BIGINT) AS err_over_bound
 FROM lineitem GROUP BY l_returnflag
 """,
     doc="A2b: approx_count_distinct (HyperLogLog++, rsd=0.02) — the "
@@ -3835,12 +3836,18 @@ FROM lineitem GROUP BY l_returnflag
     "engine-specific (sketch hash functions differ), so the query "
     "emits the accuracy CONTRACT instead of the raw estimate: "
     "est_within_bound := |estimate − exact| ≤ max(3·rsd·exact, 8), "
-    "computed in-query against the exact distinct count. The oracle "
-    "states exact counts plus TRUE — any group where Spark's sketch "
-    "drifts outside 3σ of its configured relative standard "
-    "deviation hash-mismatches. HLL merge is a register-wise max, "
-    "so the estimate is partitioning- and order-independent: the "
-    "boolean is deterministic, not flaky",
+    "computed in-query against the exact distinct count, plus "
+    "err_over_bound := the error's excess OVER that bound (0 under "
+    "the contract) — so if the contract ever breaks, the mismatch "
+    "is diagnosable from the query output itself, not just a hash "
+    "delta (ADVICE r9). This is a PROBABILISTIC contract pinned per "
+    "Spark version: a 3σ bound holds for this data at every tested "
+    "scale under Spark 4.1's sketch hashing; an estimate "
+    "legitimately outside it at an untested scale or after a Spark "
+    "upgrade surfaces here as a measured regression, by design. "
+    "HLL merge is a register-wise max, so the estimate is "
+    "partitioning- and order-independent: the columns are "
+    "deterministic, not flaky",
 )
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -3856,6 +3863,13 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.ceil(F.col("exact_parts") * 3 * 0.02), F.lit(8)
             )
         ).alias("est_within_bound"),
+        F.greatest(
+            F.abs(F.col("est") - F.col("exact_parts"))
+            - F.greatest(
+                F.ceil(F.col("exact_parts") * 3 * 0.02), F.lit(8)
+            ),
+            F.lit(0),
+        ).cast("long").alias("err_over_bound"),
     )
 
 
