@@ -62,6 +62,11 @@ def main() -> None:
     )
 
     _textops.repetition_score(tiny).write.format("noop").mode("overwrite").save()
+    # feature-hashing embedding shapes: md5-hash explode + per-cell
+    # sum + map_from_entries + the 64-wide transform / norm fold —
+    # compiled once here so the text->vector queries bill their scan,
+    # not the kernel compile
+    _textops.hash_embed_docs(tiny).write.format("noop").mode("overwrite").save()
     # simhash shapes: the 32-wide CASE-sum aggregate + 32-term code
     # reassembly is the single most expensive codegen compile in the
     # registry (~7 s measured); chunk-band explode + popcount verify

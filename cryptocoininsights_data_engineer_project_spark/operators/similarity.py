@@ -585,16 +585,37 @@ def hyperplane_lsh_pairs(
             tbl.column("emb").combine_chunks().flatten(), dtype=np.float64
         ).reshape(n, -1)
         nrm = np.sqrt(np.einsum("ij,ij->i", m, m))
-        cos = (m @ m.T) / np.outer(nrm, nrm)
-        iu, ju = np.nonzero(np.triu(cos >= threshold - 1e-6, k=1))
-        c = _round_half_away(cos[iu, ju], 6)
-        keep = c >= threshold
-        ia, ib, c = ids[iu][keep], ids[ju][keep], c[keep]
+        # row-tiled verify: a degenerate mega-bucket (the synthetic
+        # corpus's head-dominated vectors put >50% of docs in one
+        # band value at every scale) would otherwise materialize a
+        # k x k cosine matrix in one task — ~5 GB at sf1. Tiles keep
+        # peak memory at tile x k while computing the IDENTICAL
+        # floating-point expression dot(i,j) / (nrm_i * nrm_j) — each
+        # cosine is an independent length-dim BLAS dot, so tiling
+        # changes no summation order and the output is bit-identical
+        # to the untiled form (and to the oracle's spelling).
+        tile = 2048
+        out_a, out_b, out_c = [], [], []
+        for lo in range(0, n - 1, tile):
+            hi = min(lo + tile, n)
+            cos = (m[lo:hi] @ m.T) / np.outer(nrm[lo:hi], nrm)
+            cand = cos >= threshold - 1e-6
+            # upper triangle in GLOBAL indices: j > i
+            ii, jj = np.nonzero(cand)
+            keep_ut = jj > ii + lo
+            ii, jj = ii[keep_ut], jj[keep_ut]
+            c = _round_half_away(cos[ii, jj], 6)
+            keep = c >= threshold
+            ii, jj, c = ii[keep], jj[keep], c[keep]
+            ia, ib = ids[ii + lo], ids[jj]
+            out_a.append(np.minimum(ia, ib))
+            out_b.append(np.maximum(ia, ib))
+            out_c.append(c)
         return pa.Table.from_arrays(
             [
-                pa.array(np.minimum(ia, ib)),
-                pa.array(np.maximum(ia, ib)),
-                pa.array(c),
+                pa.array(np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)),
+                pa.array(np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)),
+                pa.array(np.concatenate(out_c) if out_c else np.array([], dtype=np.float64)),
             ],
             schema=sch,
         )
