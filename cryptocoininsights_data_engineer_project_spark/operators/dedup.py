@@ -796,7 +796,19 @@ def incremental_dedup_pairs_frame(
     a replayed index append cannot change the accumulated result."""
     b = minhash_bands(minhash_signatures(batch_docs, k), bands, rows)
     # one batch scan feeds both the cross-probe and the internal pairs
-    b = b.localCheckpoint()
+    return incremental_pairs_from_bands(b.localCheckpoint(), index_df)
+
+
+def incremental_pairs_from_bands(
+    batch_bands: DataFrame, index_df: DataFrame | None
+) -> DataFrame:
+    """The probe core over ALREADY-FINGERPRINTED batch band rows
+    (doc_id, band_id, band_hash) — the streaming maintainer computes
+    the bands once, probes here, and appends the SAME frame to the
+    index, so no micro-batch fingerprints its documents twice.
+    ``batch_bands`` should be materialized (localCheckpoint) by the
+    caller when it feeds both this probe and an index append."""
+    b = batch_bands
     internal_buckets = (
         b.groupBy("band_id", "band_hash")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))

@@ -3660,38 +3660,58 @@ JPEG_HIER_W = 16
 JPEG_HIER_H = 16
 
 
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    """One marker segment: FF <marker> <2-byte length> <body> — the
+    shared builder for every byte-aligned hierarchical fixture."""
+    import struct as _s
+
+    return bytes([0xFF, marker]) + _s.pack(">H", 2 + len(body)) + body
+
+
+def _hier_shared_segs(
+    full_w: int, full_h: int, base_w: int, base_h: int
+) -> dict[str, bytes]:
+    """The framing every hierarchical fixture shares: q=8 DQT, 12-bit
+    1-component DHP, the all-length-8 DC/AC Huffman tables
+    (byte-aligned category+amplitude coding), the SOF1 base frame and
+    its full-band SOS. A single source of truth — the SOF5/SOF6/SOF7
+    fixtures differ only in their correction-frame segments."""
+    import struct as _s
+
+    def frame_body(w, h):
+        return bytes([12]) + _s.pack(">HH", h, w) + b"\x01" + bytes(
+            [1, 0x11, 0]
+        )
+
+    return {
+        "dqt": _jpeg_seg(0xDB, b"\x00" + bytes([8] * 64)),
+        "dhp": _jpeg_seg(0xDE, frame_body(full_w, full_h)),
+        "dht_dc": _jpeg_seg(
+            0xC4,
+            bytes([0x00]) + bytes([0] * 7 + [17] + [0] * 8)
+            + bytes(range(17)),
+        ),
+        "dht_ac": _jpeg_seg(
+            0xC4, bytes([0x10]) + bytes([0] * 7 + [1] + [0] * 8) + b"\x00"
+        ),
+        "sof_base": _jpeg_seg(0xC1, frame_body(base_w, base_h)),
+        "sos_full": _jpeg_seg(
+            0xDA, b"\x01" + bytes([1, 0x00]) + bytes([0, 63, 0])
+        ),
+        "frame_body": frame_body,
+    }
+
+
 def _hier_fixture_parts() -> tuple[str, str, str, str]:
     """(pre, mid1, mid2, post) constant hex around the five amp
     bytes: pre + ampB + mid1 + ampD0 + '00'... assembled in SQL."""
-    import struct as _s
-
-    def seg(marker, body):
-        return bytes([0xFF, marker]) + _s.pack(">H", 2 + len(body)) + body
-
-    dqt = seg(0xDB, b"\x00" + bytes([8] * 64))
-    dhp = seg(
-        0xDE,
-        bytes([12]) + _s.pack(">HH", JPEG_HIER_H, JPEG_HIER_W)
-        + b"\x01" + bytes([1, 0x11, 0]),
-    )
-    dht_dc = seg(
-        0xC4,
-        bytes([0x00]) + bytes([0] * 7 + [17] + [0] * 8)
-        + bytes(range(17)),
-    )
-    dht_ac = seg(
-        0xC4, bytes([0x10]) + bytes([0] * 7 + [1] + [0] * 8) + b"\x00"
-    )
-    sof_base = seg(
-        0xC1, bytes([12]) + _s.pack(">HH", 8, 8) + b"\x01"
-        + bytes([1, 0x11, 0])
-    )
-    sos = seg(0xDA, b"\x01" + bytes([1, 0x00]) + bytes([0, 63, 0]))
-    exp = seg(0xDF, b"\x11")
-    sof_diff = seg(
-        0xC5,
-        bytes([12]) + _s.pack(">HH", JPEG_HIER_H, JPEG_HIER_W)
-        + b"\x01" + bytes([1, 0x11, 0]),
+    g = _hier_shared_segs(JPEG_HIER_W, JPEG_HIER_H, 8, 8)
+    dqt, dhp = g["dqt"], g["dhp"]
+    dht_dc, dht_ac = g["dht_dc"], g["dht_ac"]
+    sof_base, sos = g["sof_base"], g["sos_full"]
+    exp = _jpeg_seg(0xDF, b"\x11")
+    sof_diff = _jpeg_seg(
+        0xC5, g["frame_body"](JPEG_HIER_W, JPEG_HIER_H)
     )
     pre = (b"\xff\xd8" + dqt + dhp + dht_dc + dht_ac + sof_base
            + sos + b"\x08").hex()
@@ -3772,19 +3792,21 @@ def decode_hier_stats(assets: DataFrame) -> DataFrame:
     )
 
 
-def jpeg_hier_oracle_sql() -> str:
-    """Closed form: base is uniform 2048 + B (DC-only, q=8, the EXP
-    of a uniform plane is itself), and diff block k adds its coded
-    correction d[k] DIRECTLY — T.81 F.1.1.5.1 sets the DC prediction
-    to zero in differential frames (the round-9 oracle took prefix
-    sums because the decoder then chained DPCM across diff blocks;
-    the round-10 conformance fix changed both sides)."""
+def _hier_dc_blocks_oracle_sql(mults: tuple[int, ...]) -> str:
+    """Shared closed form for the SOF5 and SOF6 pyramids (they differ
+    only in the correction multipliers): base is uniform 2048 + B
+    (DC-only, q=8, the EXP of a uniform plane is itself), and diff
+    block k adds its coded correction d[k] DIRECTLY — T.81 F.1.1.5.1
+    sets the DC prediction to zero in differential frames (the
+    round-9 oracle took prefix sums because the decoder then chained
+    DPCM across diff blocks; the round-10 conformance fix changed
+    both sides)."""
     w, h = JPEG_HIER_W, JPEG_HIER_H
     n = w * h
     b = "(128 + doc_id % 100)"
     d = [
         f"({'-' if i % 2 == 0 else ''}(128 + (doc_id * {m}) % 100))"
-        for i, m in enumerate(_JPEG_HIER_MULTS)
+        for i, m in enumerate(mults)
     ]
     return f"""
 WITH px AS (
@@ -3803,6 +3825,11 @@ SELECT doc_id AS asset_id,
   CAST(max(v) AS BIGINT) AS sample_max
 FROM px GROUP BY doc_id
 """
+
+
+def jpeg_hier_oracle_sql() -> str:
+    """SOF5 pyramid oracle — the shared DC-blocks closed form."""
+    return _hier_dc_blocks_oracle_sql(_JPEG_HIER_MULTS)
 
 
 # ------------------------------------------------------- apng compositing
@@ -3863,6 +3890,11 @@ def parse_apng_frames(b: bytes):
     while pos + 8 <= len(b):
         ln = int.from_bytes(b[pos : pos + 4], "big")
         typ = b[pos + 4 : pos + 8]
+        if pos + 12 + ln > len(b):
+            raise ValueError(
+                f"truncated {typ.decode('latin-1')} chunk at offset "
+                f"{pos}: declares {ln} bytes"
+            )
         data = b[pos + 8 : pos + 8 + ln]
         if typ == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
@@ -4389,38 +4421,16 @@ def _hier6_fixture_parts() -> tuple[str, str, str, str]:
     a DC scan (four PRED=0 category-8 diffs) then an AC scan (four
     EOB0 bytes). Returns (pre, mid, sep, post) hex around the five
     per-document amplitude bytes."""
-    import struct as _s
-
-    def seg(marker, body):
-        return bytes([0xFF, marker]) + _s.pack(">H", 2 + len(body)) + body
-
-    dqt = seg(0xDB, b"\x00" + bytes([8] * 64))
-    dhp = seg(
-        0xDE,
-        bytes([12]) + _s.pack(">HH", JPEG_HIER_H, JPEG_HIER_W)
-        + b"\x01" + bytes([1, 0x11, 0]),
+    g = _hier_shared_segs(JPEG_HIER_W, JPEG_HIER_H, 8, 8)
+    dqt, dhp = g["dqt"], g["dhp"]
+    dht_dc, dht_ac = g["dht_dc"], g["dht_ac"]
+    sof_base, sos_full = g["sof_base"], g["sos_full"]
+    exp = _jpeg_seg(0xDF, b"\x11")
+    sof6 = _jpeg_seg(0xC6, g["frame_body"](JPEG_HIER_W, JPEG_HIER_H))
+    sos_dc = _jpeg_seg(0xDA, b"\x01" + bytes([1, 0x00]) + bytes([0, 0, 0]))
+    sos_ac = _jpeg_seg(
+        0xDA, b"\x01" + bytes([1, 0x00]) + bytes([1, 63, 0])
     )
-    dht_dc = seg(
-        0xC4,
-        bytes([0x00]) + bytes([0] * 7 + [17] + [0] * 8)
-        + bytes(range(17)),
-    )
-    dht_ac = seg(
-        0xC4, bytes([0x10]) + bytes([0] * 7 + [1] + [0] * 8) + b"\x00"
-    )
-    sof_base = seg(
-        0xC1, bytes([12]) + _s.pack(">HH", 8, 8) + b"\x01"
-        + bytes([1, 0x11, 0])
-    )
-    sos_full = seg(0xDA, b"\x01" + bytes([1, 0x00]) + bytes([0, 63, 0]))
-    exp = seg(0xDF, b"\x11")
-    sof6 = seg(
-        0xC6,
-        bytes([12]) + _s.pack(">HH", JPEG_HIER_H, JPEG_HIER_W)
-        + b"\x01" + bytes([1, 0x11, 0]),
-    )
-    sos_dc = seg(0xDA, b"\x01" + bytes([1, 0x00]) + bytes([0, 0, 0]))
-    sos_ac = seg(0xDA, b"\x01" + bytes([1, 0x00]) + bytes([1, 63, 0]))
     pre = (b"\xff\xd8" + dqt + dhp + dht_dc + dht_ac + sof_base
            + sos_full + b"\x08").hex()
     # after the base amp byte: EOB, EXP, SOF6, its DC-scan SOS, and
@@ -4459,33 +4469,11 @@ def synth_jpeg_hier6_assets(docs: DataFrame) -> DataFrame:
 
 
 def jpeg_hier6_oracle_sql() -> str:
-    """Closed form: 2048 + base + the block's own coded correction —
-    the PRED=0 rule makes each SOF6 DC diff independent (a decoder
-    that chained DPCM across diff blocks would shear blocks 1-3)."""
-    w, h = JPEG_HIER_W, JPEG_HIER_H
-    n = w * h
-    b = "(128 + doc_id % 100)"
-    d = [
-        f"({'-' if i % 2 == 0 else ''}(128 + (doc_id * {m}) % 100))"
-        for i, m in enumerate(_JPEG_H6_MULTS)
-    ]
-    return f"""
-WITH px AS (
-  SELECT doc_id, g.i AS i,
-    2048 + {b} + (CASE ((g.i // {w}) // 8) * 2 + ((g.i % {w}) // 8)
-      WHEN 0 THEN {d[0]} WHEN 1 THEN {d[1]}
-      WHEN 2 THEN {d[2]} ELSE {d[3]} END) AS v
-  FROM documents, UNNEST(generate_series(0, {n - 1})) AS g(i)
-)
-SELECT doc_id AS asset_id,
-  CAST({w} AS BIGINT) AS width, CAST({h} AS BIGINT) AS height,
-  CAST(1 AS BIGINT) AS channels,
-  CAST(sum(v) AS BIGINT) AS sample_sum,
-  CAST(sum(v * (i + 1) * (i + 1)) AS BIGINT) AS sample_checksum,
-  CAST(min(v) AS BIGINT) AS sample_min,
-  CAST(max(v) AS BIGINT) AS sample_max
-FROM px GROUP BY doc_id
-"""
+    """SOF6 pyramid oracle — the shared DC-blocks closed form with
+    this fixture's multipliers; the PRED=0 rule makes each coded DC
+    diff independent (a decoder that chained DPCM across diff blocks
+    would shear blocks 1-3 and hash-mismatch)."""
+    return _hier_dc_blocks_oracle_sql(_JPEG_H6_MULTS)
 
 
 JPEG_H7_W = 8
@@ -4497,37 +4485,15 @@ def _hier7_fixture_parts() -> tuple[str, str, str]:
     differential LOSSLESS frame (predictor 0, Pt=0) whose 64 diffs
     are category-8 amplitude bytes. Returns (pre, sep, post) hex
     around the 65 per-document amplitude bytes."""
-    import struct as _s
-
-    def seg(marker, body):
-        return bytes([0xFF, marker]) + _s.pack(">H", 2 + len(body)) + body
-
-    dqt = seg(0xDB, b"\x00" + bytes([8] * 64))
-    dhp = seg(
-        0xDE,
-        bytes([12]) + _s.pack(">HH", JPEG_H7_H, JPEG_H7_W)
-        + b"\x01" + bytes([1, 0x11, 0]),
-    )
-    dht_dc = seg(
-        0xC4,
-        bytes([0x00]) + bytes([0] * 7 + [17] + [0] * 8)
-        + bytes(range(17)),
-    )
-    dht_ac = seg(
-        0xC4, bytes([0x10]) + bytes([0] * 7 + [1] + [0] * 8) + b"\x00"
-    )
-    sof_base = seg(
-        0xC1, bytes([12]) + _s.pack(">HH", JPEG_H7_H, JPEG_H7_W)
-        + b"\x01" + bytes([1, 0x11, 0])
-    )
-    sos_full = seg(0xDA, b"\x01" + bytes([1, 0x00]) + bytes([0, 63, 0]))
-    sof7 = seg(
-        0xC7,
-        bytes([12]) + _s.pack(">HH", JPEG_H7_H, JPEG_H7_W)
-        + b"\x01" + bytes([1, 0x11, 0]),
-    )
+    g = _hier_shared_segs(JPEG_H7_W, JPEG_H7_H, JPEG_H7_W, JPEG_H7_H)
+    dqt, dhp = g["dqt"], g["dhp"]
+    dht_dc, dht_ac = g["dht_dc"], g["dht_ac"]
+    sof_base, sos_full = g["sof_base"], g["sos_full"]
+    sof7 = _jpeg_seg(0xC7, g["frame_body"](JPEG_H7_W, JPEG_H7_H))
     # Ss = 0: predictor 0, Table H.1's differential "no prediction"
-    sos_ll = seg(0xDA, b"\x01" + bytes([1, 0x00]) + bytes([0, 0, 0]))
+    sos_ll = _jpeg_seg(
+        0xDA, b"\x01" + bytes([1, 0x00]) + bytes([0, 0, 0])
+    )
     pre = (b"\xff\xd8" + dqt + dhp + dht_dc + dht_ac + sof_base
            + sos_full + b"\x08").hex()
     mid = (b"\x00" + sof7 + sos_ll + b"\x08").hex()

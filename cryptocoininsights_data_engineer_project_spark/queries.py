@@ -81,9 +81,15 @@ def _scratch_path(kind: str, sf_dir: str) -> str:
     plan dumps overwrite instead of accumulating orphans."""
     global _SCRATCH_ROOT
     if _SCRATCH_ROOT is None:
+        import atexit
+        import shutil
         import tempfile
 
         _SCRATCH_ROOT = tempfile.mkdtemp(prefix="sparkgraft_scratch_")
+        # bound /tmp growth on shared hosts: the root dies with the
+        # process that owns it (ignore_errors — executors may still
+        # hold files open on unclean shutdown)
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
     import hashlib
     import os
 

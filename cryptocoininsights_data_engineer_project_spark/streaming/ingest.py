@@ -449,7 +449,11 @@ def stream_incremental_dedup(
     (union-equivalence: band fingerprints are per-document, so
     batching can neither create nor destroy collisions). Returns the
     started query (AvailableNow by default)."""
-    from ..operators.dedup import incremental_dedup_pairs_frame, minhash_bands, minhash_signatures
+    from ..operators.dedup import (
+        incremental_pairs_from_bands,
+        minhash_bands,
+        minhash_signatures,
+    )
     from ..pipeline.table import BucketedTable
 
     stream = (
@@ -469,13 +473,14 @@ def stream_incremental_dedup(
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        docs = batch_df.localCheckpoint()  # stable across both uses
-        pairs = incremental_dedup_pairs_frame(docs, bands_tbl.read())
+        # fingerprint the batch ONCE: the checkpointed band rows feed
+        # the index probe AND the index append
+        bands = minhash_bands(
+            minhash_signatures(batch_df)
+        ).localCheckpoint()
+        pairs = incremental_pairs_from_bands(bands, bands_tbl.read())
         pairs_tbl.upsert(pairs, txn=(checkpoint_dir + "#pairs", batch_id))
-        bands_tbl.upsert(
-            minhash_bands(minhash_signatures(docs)),
-            txn=(checkpoint_dir + "#bands", batch_id),
-        )
+        bands_tbl.upsert(bands, txn=(checkpoint_dir + "#bands", batch_id))
 
     writer = (
         stream.writeStream.foreachBatch(_batch)

@@ -283,3 +283,19 @@ def test_parse_reports_shape():
     assert (w, h, depth, ctype, interlace) == (5, 3, 8, 6, 0)
     assert [f["w"] for f in parsed] == [f["w"] for f in frames]
     assert [f["dispose"] for f in parsed] == [f["dispose"] for f in frames]
+
+
+def test_truncated_chunk_raises_typed_error():
+    """A payload cut mid-chunk (or a length field past the buffer)
+    raises the module's typed ValueError, not struct.error / a
+    misleading zlib message."""
+    rng = random.Random(77)
+    payload = encode_apng(4, 4, _rand_frames(4, 4, 2, rng))
+    i = payload.index(b"fcTL")
+    with pytest.raises(ValueError, match="truncated fcTL"):
+        compose_apng_frames(payload[: i + 10])
+    # corrupt a length field to exceed the buffer
+    bad = bytearray(payload)
+    bad[i - 4 : i] = (10**6).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="truncated"):
+        compose_apng_frames(bytes(bad))
