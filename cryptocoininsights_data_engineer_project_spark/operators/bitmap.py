@@ -39,13 +39,22 @@ class TiffError(ValueError):
     """Malformed or unsupported TIFF payload."""
 
 
-def _rle8_decode(data: bytes, w: int, h: int) -> bytearray:
+def _rle8_decode(
+    data: bytes, w: int, h: int, into: bytearray | None = None
+) -> bytearray:
     """BI_RLE8 per the Windows spec: (count, index) run pairs;
-    count 0 escapes to EOL (00), EOB (01), delta (02 dx dy — skipped
-    cells keep index 0, the common renderer convention), or absolute
-    mode (n literal indices padded to a 16-bit boundary). Rows are
-    stored bottom-up like uncompressed BMP; the caller flips."""
-    out = bytearray(w * h)  # skipped cells default to palette index 0
+    count 0 escapes to EOL (00), EOB (01), delta (02 dx dy), or
+    absolute mode (n literal indices padded to a 16-bit boundary).
+    Rows are stored bottom-up like uncompressed BMP; the caller
+    flips.
+
+    ``into`` is the INITIAL canvas the stream paints over: for still
+    BMPs it is None and skipped cells keep index 0 (the common
+    renderer convention); for MS-RLE video frames it is the previous
+    frame's canvas — delta/EOL/EOB skips RETAIN prior pixels, which
+    is exactly the codec's temporal prediction (the skip IS the
+    inter-frame reference)."""
+    out = bytearray(w * h) if into is None else into
     x = y = 0
     pos = 0
     while True:

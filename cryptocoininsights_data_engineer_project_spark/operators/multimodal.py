@@ -4555,3 +4555,298 @@ SELECT doc_id AS asset_id,
   CAST(max(v) AS BIGINT) AS sample_max
 FROM px GROUP BY doc_id
 """
+
+
+# ------------------------------------------------------- ms-rle video
+# INTER-FRAME video (round 10, extending the APNG inter-frame work
+# to the video container): Microsoft RLE8 video ('MRLE' in AVI,
+# biCompression = BI_RLE8) is a real shipped codec whose temporal
+# prediction is the SKIP — delta escapes (00 02 dx dy), end-of-line,
+# and early end-of-bitmap leave every skipped pixel holding the
+# PREVIOUS frame's value, so each video chunk paints a sparse update
+# over the running canvas. The frame grammar is the public Windows
+# BI_RLE8 spec the BMP still decoder (operators/bitmap.py) already
+# implements; video reuses it with the previous canvas as the
+# initial buffer. This narrows the remaining video seam to
+# motion-VECTOR codecs (MPEG-family motion compensation).
+
+RLE_W = 8
+RLE_H = 8
+RLE_FRAMES = 4
+_RLE_PAL_N = 128
+
+
+def _mrle_frame_sql_parts(d: str = "doc_id") -> list[list[str]]:
+    """Per-frame lists of SQL hex pieces (constants quoted, formula
+    bytes as lpad(hex(..)) expressions), in STORED (bottom-up) row
+    order:
+
+    - frame 0: full repaint — one absolute-mode run per row;
+    - frame 1: a 4x4 patch at stored (2..5, 2..5) reached by delta
+      escapes — every pixel outside the patch is RETAINED;
+    - frame 2: encoded runs repaint the bottom two stored rows (two
+      runs each), everything above retained incl. frame 1's patch;
+    - frame 3: one row (stored y=7) with a mid-row delta skip — a
+      temporal hole INSIDE a repainted row."""
+    def amp(expr: str) -> str:
+        return f"lpad(hex({expr}), 2, '0')"
+
+    f0: list[str] = []
+    for y in range(RLE_H):
+        f0.append("'0008'")  # absolute mode, 8 literals
+        for x in range(RLE_W):
+            f0.append(amp(f"({d} * 7 + {13 * (y * RLE_W + x)}) % {_RLE_PAL_N}"))
+        f0.append("'0000'")  # EOL
+    f0.append("'0001'")  # EOB
+
+    f1: list[str] = ["'00020202'"]  # delta to (2, 2)
+    for j in range(4):
+        f1.append("'0004'")
+        for i in range(4):
+            f1.append(amp(f"({d} * 5 + {17 * (j * 4 + i)}) % {_RLE_PAL_N}"))
+        if j < 3:
+            f1.append("'0000'")      # EOL -> (0, y+1)
+            f1.append("'00020200'")  # delta right 2 -> (2, y+1)
+    f1.append("'0001'")
+
+    f2: list[str] = []
+    for y in range(2):
+        f2.append("'05'")
+        f2.append(amp(f"({d} * 3 + {23 * y}) % {_RLE_PAL_N}"))
+        f2.append("'03'")
+        f2.append(amp(f"({d} * 3 + {23 * y + 50}) % {_RLE_PAL_N}"))
+        f2.append("'0000'")
+    f2.append("'0001'")
+
+    f3: list[str] = ["'00020007'"]  # delta to (0, 7)
+    f3.append("'02'")
+    f3.append(amp(f"({d} * 11 + 31) % {_RLE_PAL_N}"))
+    f3.append("'00020300'")  # skip 3 pixels: temporal hole mid-row
+    f3.append("'03'")
+    f3.append(amp(f"({d} * 11 + 62) % {_RLE_PAL_N}"))
+    f3.append("'0001'")
+    return [f0, f1, f2, f3]
+
+
+def _mrle_frame_lens() -> list[int]:
+    """Constant per-frame byte lengths (every formula piece is one
+    byte), derived from the same part lists the builder emits."""
+    lens = []
+    for parts in _mrle_frame_sql_parts():
+        n = 0
+        for p in parts:
+            n += (len(p) - 2) // 2 if p.startswith("'") else 1
+        lens.append(n)
+    return lens
+
+
+def _mrle_palette_hex() -> str:
+    """128 RGBQUAD entries (B, G, R, reserved) with the shared
+    formula palette r=(2j)%256, g=(3j+7)%256, b=(5j+11)%256."""
+    out = []
+    for j in range(_RLE_PAL_N):
+        out.append(
+            f"{(5 * j + 11) % 256:02x}{(3 * j + 7) % 256:02x}"
+            f"{(2 * j) % 256:02x}00"
+        )
+    return "".join(out)
+
+
+def _avi_mrle_header_hex() -> str:
+    """RIFF/AVI prefix for the MS-RLE fixture: 8-bit palettized
+    stream (biCompression=1 BI_RLE8, 128-entry palette in strf),
+    per-frame chunk sizes from the constant frame lengths."""
+    lens = _mrle_frame_lens()
+    movi_body = 4 + sum(8 + ln + (ln & 1) for ln in lens)
+    pal = _mrle_palette_hex()
+    strf = (
+        _le32(40)
+        + _le32(RLE_W)
+        + _le32(RLE_H)
+        + _le16(1)   # planes
+        + _le16(8)   # bit count: palettized
+        + _le32(1)   # biCompression = BI_RLE8
+        + _le32(RLE_W * RLE_H)
+        + _le32(0) * 2
+        + _le32(_RLE_PAL_N)  # biClrUsed
+        + _le32(0)
+        + pal
+    )
+    strf_len = 40 + _RLE_PAL_N * 4
+    strh = (
+        "76696473"  # 'vids'
+        + "4d524c45"  # fccHandler 'MRLE'
+        + _le32(0)
+        + _le16(0) + _le16(0)
+        + _le32(0)
+        + _le32(1)
+        + _le32(25)
+        + _le32(0)
+        + _le32(RLE_FRAMES)
+        + _le32(max(lens))
+        + _le32(0xFFFFFFFF)
+        + _le32(0)
+        + _le16(0) * 4
+    )
+    strl_body = (
+        "7374726c" + "73747268" + _le32(56) + strh
+        + "73747266" + _le32(strf_len) + strf
+    )
+    avih = (
+        _le32(40000)
+        + _le32(sum(lens) * 25)
+        + _le32(0)
+        + _le32(0)
+        + _le32(RLE_FRAMES)
+        + _le32(0)
+        + _le32(1)
+        + _le32(max(lens))
+        + _le32(RLE_W)
+        + _le32(RLE_H)
+        + _le32(0) * 4
+    )
+    hdrl_body = (
+        "6864726c" + "61766968" + _le32(56) + avih
+        + "4c495354" + _le32(len(strl_body) // 2) + strl_body
+    )
+    riff_body_len = 4 + 8 + len(hdrl_body) // 2 + 8 + movi_body
+    return (
+        "52494646" + _le32(riff_body_len) + "41564920"
+        + "4c495354" + _le32(len(hdrl_body) // 2) + hdrl_body
+        + "4c495354" + _le32(movi_body) + "6d6f7669"
+    )
+
+
+def synth_avi_mrle_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): complete MS-RLE AVI clips, one per
+    document, built byte-exactly JVM-side — spec-valid RIFF tree
+    with an 8-bit BI_RLE8 stream and a 128-entry palette."""
+    pieces = [f"'{_avi_mrle_header_hex()}'"]
+    for ln, parts in zip(_mrle_frame_lens(), _mrle_frame_sql_parts()):
+        pieces.append(f"'30306463{_le32(ln)}'")  # '00dc' + size
+        pieces.extend(parts)
+        if ln & 1:
+            pieces.append("'00'")  # RIFF even padding
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr("unhex(concat(" + ", ".join(pieces) + "))").alias("payload"),
+    )
+
+
+def compose_mrle_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """REAL MS-RLE video decode: walk the AVI video chunks and run
+    each BI_RLE8 stream over the RUNNING canvas (operators/bitmap.py
+    ::_rle8_decode with ``into`` = the previous frame) — skipped
+    pixels are temporal references. Returns (w, h, [per-frame
+    palette indices in DISPLAY (top-down) row order])."""
+    from .bitmap import _rle8_decode
+
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    # dimensions from the avih main header (dwWidth/dwHeight at body
+    # offsets +32/+36)
+    at = b.find(b"avih")
+    if at < 0:
+        raise ValueError("AVI missing avih main header")
+    w = int.from_bytes(b[at + 40 : at + 44], "little")
+    h = int.from_bytes(b[at + 44 : at + 48], "little")
+    if not (0 < w <= 4096 and 0 < h <= 4096):
+        raise ValueError(f"implausible AVI dimensions {w}x{h}")
+    canvas = bytearray(w * h)
+    out: list[bytes] = []
+    for chunk in avi_video_chunks(b):
+        canvas = _rle8_decode(bytes(chunk), w, h, into=canvas)
+        # bottom-up storage -> display order
+        disp = bytearray(w * h)
+        for y in range(h):
+            disp[y * w : (y + 1) * w] = canvas[(h - 1 - y) * w : (h - y) * w]
+        out.append(bytes(disp))
+    return w, h, out
+
+
+def compose_mrle_stats(assets: DataFrame) -> DataFrame:
+    """Render every MS-RLE frame over the running canvas and emit
+    per-frame stats of the palette-mapped RGB canvas (display
+    order). One mapInPandas pass; payloads never shuffle."""
+    import numpy as np
+
+    pal = np.zeros((_RLE_PAL_N, 3), dtype=np.int64)
+    for j in range(_RLE_PAL_N):
+        pal[j] = ((2 * j) % 256, (3 * j + 7) % 256, (5 * j + 11) % 256)
+
+    def _compose(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _MJPEG_FRAME_SCHEMA}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, frames = compose_mrle_frames(bytes(payload))
+                wts = (np.arange(w * h * 3, dtype=np.int64) + 1) ** 2
+                for t, frame in enumerate(frames):
+                    idx = np.frombuffer(frame, dtype=np.uint8)
+                    rgb = pal[idx].reshape(-1)
+                    s = int(rgb.sum())
+                    rows["asset_id"].append(int(aid))
+                    rows["frame_idx"].append(t)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["pixel_sum"].append(s)
+                    rows["px_checksum"].append(int((rgb * wts).sum()))
+                    rows["mean_ppm"].append(s * 1_000_000 // (w * h * 3))
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _compose, schema=_MJPEG_FRAME_SCHEMA
+    )
+
+
+def mrle_oracle_sql() -> str:
+    """Closed-form canvas after each frame in STORED coords (x, y;
+    y=0 is the bottom row), flipped to display order for the
+    position-weighted checksum: frame 0 paints idx0 everywhere;
+    frame 1 paints a 4x4 patch and RETAINS the rest; frame 2
+    repaints the bottom two stored rows; frame 3 repaints stored row
+    7 with a 3-pixel temporal hole showing frame 0 through."""
+    w, h = RLE_W, RLE_H
+    n = w * h * 3
+    idx0 = f"((doc_id * 7 + 13 * (y.y * {w} + x.x)) % {_RLE_PAL_N})"
+    in1 = "(x.x BETWEEN 2 AND 5 AND y.y BETWEEN 2 AND 5)"
+    idx1 = f"((doc_id * 5 + 17 * ((y.y - 2) * 4 + (x.x - 2))) % {_RLE_PAL_N})"
+    idx2 = (
+        f"(CASE WHEN x.x < 5 THEN (doc_id * 3 + 23 * y.y) % {_RLE_PAL_N} "
+        f"ELSE (doc_id * 3 + 23 * y.y + 50) % {_RLE_PAL_N} END)"
+    )
+    a3 = f"((doc_id * 11 + 31) % {_RLE_PAL_N})"
+    b3 = f"((doc_id * 11 + 62) % {_RLE_PAL_N})"
+    c0 = idx0
+    c1 = f"(CASE WHEN {in1} THEN {idx1} ELSE {c0} END)"
+    c2 = f"(CASE WHEN y.y <= 1 THEN {idx2} ELSE {c1} END)"
+    c3 = (
+        f"(CASE WHEN y.y = 7 THEN "
+        f"(CASE WHEN x.x <= 1 THEN {a3} WHEN x.x >= 5 THEN {b3} "
+        f"ELSE {c0} END) ELSE {c2} END)"
+    )
+    ci = (
+        f"(CASE t.t WHEN 0 THEN {c0} WHEN 1 THEN {c1} "
+        f"WHEN 2 THEN {c2} ELSE {c3} END)"
+    )
+    return f"""
+WITH px AS (
+  SELECT doc_id, t.t AS frame_idx,
+    (({h - 1} - y.y) * {w} + x.x) AS i,
+    (2 * ({ci})) % 256 AS r,
+    (3 * ({ci}) + 7) % 256 AS g,
+    (5 * ({ci}) + 11) % 256 AS b
+  FROM documents,
+       UNNEST(generate_series(0, {RLE_FRAMES - 1})) AS t(t),
+       UNNEST(generate_series(0, {h - 1})) AS y(y),
+       UNNEST(generate_series(0, {w - 1})) AS x(x)
+)
+SELECT doc_id AS asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+  CAST({w} AS BIGINT) AS width, CAST({h} AS BIGINT) AS height,
+  CAST(sum(r + g + b) AS BIGINT) AS pixel_sum,
+  CAST(sum(r * (3*i + 1) * (3*i + 1)
+         + g * (3*i + 2) * (3*i + 2)
+         + b * (3*i + 3) * (3*i + 3)) AS BIGINT) AS px_checksum,
+  CAST(sum(r + g + b) AS BIGINT) * 1000000 // {n} AS mean_ppm
+FROM px GROUP BY doc_id, frame_idx
+"""

@@ -2610,6 +2610,36 @@ def multimodal_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_video_mrle",
+    multimodal.mrle_oracle_sql(),
+    doc="REAL INTER-FRAME video decode — Microsoft RLE8 video "
+    "('MRLE' in AVI, biCompression=BI_RLE8), the shipped codec whose "
+    "temporal prediction is the SKIP: delta escapes, end-of-line, "
+    "and early end-of-bitmap leave skipped pixels holding the "
+    "PREVIOUS frame's value, so each chunk paints a sparse update "
+    "over the running canvas "
+    "(operators/multimodal.py::compose_mrle_frames reusing the BMP "
+    "BI_RLE8 walk with the prior canvas as the initial buffer — the "
+    "same spec, video semantics). Fixture clips are spec-valid "
+    "8-bit palettized AVIs built byte-exactly in SQL: a full "
+    "repaint, a delta-addressed 4x4 patch retaining everything "
+    "else, a two-row run repaint, and a row with a mid-row 3-pixel "
+    "temporal hole showing frame 0 through. Oracle states the "
+    "canvas after each frame closed-form over the bottom-up->display "
+    "flip, position-weighted checksum pinning value AND location; "
+    "independent encoder + per-pixel reference compositor in "
+    "tests/test_mrle.py. With APNG, the remaining video seam "
+    "narrows to motion-VECTOR codecs. One mapInPandas pass; "
+    "payloads never shuffle",
+)
+def multimodal_video_mrle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.compose_mrle_stats(
+        multimodal.synth_avi_mrle_assets(docs)
+    )
+
+
+@_q(
     "multimodal_pixel_features",
     multimodal.pixel_features_oracle_sql(),
     doc="REAL image feature extraction over decoded pixels: luma "
