@@ -344,3 +344,32 @@ def test_registry_fixture_matches_python_mirror(spark):
         # and the whole page-1 CRC verifies against the independent CRC
         pages = parse_ogg_pages(got[doc])
         assert len(pages) == 2 and pages[1]["eos"]
+
+
+def test_flac_in_ogg_with_header_packets():
+    """n_headers > 0: metadata-block header packets between the
+    mapping packet and the audio packets reassemble into a valid
+    native stream (STREAMINFO loses its last-block flag, the PADDING
+    block carries it)."""
+    from cryptocoininsights_data_engineer_project_spark.operators.flaccodec import (
+        decode_flac,
+    )
+
+    native = _native_flac(13)
+    streaminfo = bytearray(native[:42])
+    assert streaminfo[4] == 0x80  # last-block flag on STREAMINFO
+    streaminfo[4] = 0x00  # more metadata follows
+    padding = bytes([0x81, 0, 0, 4]) + bytes(4)  # last=1, type 1, 4 bytes
+    mapping = (
+        bytes([0x7F]) + b"FLAC" + bytes([1, 0])
+        + (1).to_bytes(2, "big") + bytes(streaminfo)
+    )
+    frame = native[42:]
+    blob = pack_stream([mapping, padding, frame], rng=random.Random(8))
+    n_pages, n_packets, got = flac_from_ogg(blob)
+    assert n_packets == 3
+    rate, ch, _bps, smp = decode_flac(got)
+    want = [(13 * 37 + j * 11) % 256 for j in range(16)]
+    want = [v - 256 if v >= 128 else v for v in want]
+    assert (rate, ch) == (8000, 1)
+    assert list(smp[:, 0]) == want
