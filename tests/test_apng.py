@@ -299,3 +299,40 @@ def test_truncated_chunk_raises_typed_error():
     bad[i - 4 : i] = (10**6).to_bytes(4, "big")
     with pytest.raises(ValueError, match="truncated"):
         compose_apng_frames(bytes(bad))
+
+
+def test_apng_fuzz_never_crashes_untyped():
+    """Arbitrary PNG-signed bytes and mutations of a valid animation
+    must decode or raise the module's typed ValueError — zlib/struct/
+    numpy errors may not escape."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rng = random.Random(31)
+    seedblob = encode_apng(5, 4, _rand_frames(5, 4, 2, rng), seed=31)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=150))
+    def run(blob):
+        try:
+            compose_apng_frames(b"\x89PNG\r\n\x1a\n" + blob)
+        except ValueError:
+            pass
+
+    run()
+
+    @settings(max_examples=250, deadline=None)
+    @given(
+        st.integers(8, len(seedblob) - 1),
+        st.integers(1, 255),
+        st.integers(8, len(seedblob)),
+    )
+    def mutate(pos, xor, cut):
+        blob = bytearray(seedblob)
+        blob[pos] ^= xor
+        try:
+            compose_apng_frames(bytes(blob[:cut]))
+        except ValueError:
+            pass
+
+    mutate()

@@ -208,3 +208,36 @@ def test_truncated_frame_stream_raises_typed():
     f0 = _encode_rle8_frame(up, 4, 4, rng)
     with pytest.raises(BmpError):
         compose_mrle_frames(_avi([f0[:-2]], 4, 4))  # EOB cut off
+
+
+def test_mrle_fuzz_never_crashes_untyped():
+    """Mutations of a valid clip must decode or raise ValueError /
+    BmpError — nothing untyped escapes the container or RLE walk."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cryptocoininsights_data_engineer_project_spark.operators.bitmap import (
+        BmpError,
+    )
+
+    rng = random.Random(41)
+    updates = _rand_updates(5, 4, 3, rng)
+    seedblob = _avi(
+        [_encode_rle8_frame(u, 5, 4, rng) for u in updates], 5, 4
+    )
+
+    @settings(max_examples=250, deadline=None)
+    @given(
+        st.integers(0, len(seedblob) - 1),
+        st.integers(1, 255),
+        st.integers(0, len(seedblob)),
+    )
+    def mutate(pos, xor, cut):
+        blob = bytearray(seedblob)
+        blob[pos] ^= xor
+        try:
+            compose_mrle_frames(bytes(blob[:cut]))
+        except (ValueError, BmpError):
+            pass
+
+    mutate()

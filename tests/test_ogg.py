@@ -373,3 +373,57 @@ def test_flac_in_ogg_with_header_packets():
     want = [v - 256 if v >= 128 else v for v in want]
     assert (rate, ch) == (8000, 1)
     assert list(smp[:, 0]) == want
+
+
+def test_parse_ogg_fuzz_never_crashes_untyped():
+    """Arbitrary bytes — and mutations of a valid stream — must parse
+    or raise OggError; no IndexError/struct.error escapes the gate
+    layer."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rng = random.Random(21)
+    seedblob = pack_stream(
+        [bytes(rng.randrange(256) for _ in range(30)), b"xy"], rng=rng
+    )
+
+    @settings(max_examples=250, deadline=None)
+    @given(st.binary(max_size=150))
+    def run(blob):
+        try:
+            ogg_packets(parse_ogg_pages(blob))
+        except OggError:
+            pass
+
+    run()
+
+    @settings(max_examples=250, deadline=None)
+    @given(
+        st.integers(0, len(seedblob) - 1),
+        st.integers(1, 255),
+        st.integers(0, len(seedblob)),
+    )
+    def mutate(pos, xor, cut):
+        blob = bytearray(seedblob)
+        blob[pos] ^= xor
+        try:
+            ogg_packets(parse_ogg_pages(bytes(blob[:cut])))
+        except OggError:
+            pass
+
+    mutate()
+
+
+def test_flac_from_ogg_fuzz_typed():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=120))
+    def run(blob):
+        try:
+            flac_from_ogg(b"OggS" + blob)
+        except OggError:
+            pass
+
+    run()
