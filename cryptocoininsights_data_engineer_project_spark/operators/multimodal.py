@@ -3897,10 +3897,14 @@ def parse_apng_frames(b: bytes):
             )
         data = b[pos + 8 : pos + 8 + ln]
         if typ == b"IHDR":
+            if len(data) != 13:
+                raise ValueError(f"IHDR length {len(data)} != 13")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif typ == b"acTL":
             n_frames = int.from_bytes(data[:4], "big")
         elif typ == b"fcTL":
+            if len(data) != 26:
+                raise ValueError(f"fcTL length {len(data)} != 26")
             (seq, fw, fh, fx, fy, _dn, _dd, disp, blend) = struct.unpack(
                 ">IIIIIHHBB", data
             )
@@ -3982,7 +3986,10 @@ def compose_apng_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
         data = bytes(fr["data"])
         if len(data) < 2 or (data[0] & 0x0F) != 8 or (data[1] & 0x20):
             raise ValueError("unsupported zlib stream in frame data")
-        raw = zlib.decompressobj(wbits=-15).decompress(data[2:])
+        try:
+            raw = zlib.decompressobj(wbits=-15).decompress(data[2:])
+        except zlib.error as e:
+            raise ValueError(f"corrupt DEFLATE in frame {k}: {e}") from e
         stride = fw * channels
         rec, _off = _png_unfilter(raw, 0, fh, stride, bpp)
         src = rec.reshape(fh, fw, channels)
