@@ -35,6 +35,15 @@ from ..functions.hashing import spark_hash64
 # Query set: every 100th vector. Scale-factor-proportional (50 queries
 # at sf0.01) and deterministic.
 QUERY_MODULUS = 100
+# Fixed-size audit query set for the offline eval queries
+# (ann_recall_at_5 / ndcg_at_5): the EVAL_QUERIES vec_ids with the
+# LARGEST portable md5 hash of vec_id — descending, so it is disjoint
+# by construction from the k-means seed selection (which takes the
+# smallest). |queries| is constant in corpus size, so the exact-cosine
+# baseline inside the audits costs O(EVAL_QUERIES * n) — linear in the
+# corpus — instead of the O(n^2 / modulus) the modulus sample gave
+# (measured 11-14x at 10x data in the r10 sf1 sweep before this bound).
+EVAL_QUERIES = 64
 TOP_K = 5
 # Same k as the exact baseline so recall@k is the clean headline metric
 # (tests/test_similarity.py pins the floors).
@@ -76,10 +85,31 @@ def _with_norms(embeddings: DataFrame) -> DataFrame:
     return e.withColumn("nrm", F.expr(f"sqrt({dot_expr('emb', 'emb')})"))
 
 
+def _query_sample(
+    n: DataFrame, query_modulus: int, query_limit: int | None
+) -> DataFrame:
+    """The query subset of a vector frame. ``query_limit`` set → the
+    fixed-size md5-top-N sample (constant |queries| in corpus size;
+    Spark plans the orderBy+limit as TakeOrderedAndProject, a
+    distributed partial top-k over (hash, id) — never a global sort).
+    ``query_limit`` None → the scale-proportional every-modulus-th
+    sample the serving-path registry queries keep."""
+    if query_limit is None:
+        return n.filter(F.col("vec_id") % query_modulus == 0)
+    h = F.expr(spark_hash64("CAST(vec_id AS STRING)"))
+    return (
+        n.withColumn("__qh", h)
+        .orderBy(F.col("__qh").desc(), F.col("vec_id").asc())
+        .limit(query_limit)
+        .drop("__qh")
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     k: int = TOP_K,
     query_modulus: int = QUERY_MODULUS,
+    query_limit: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
@@ -88,7 +118,7 @@ def cosine_topk(
     deterministic tiebreaker so results are reproducible across engines.
     """
     n = _with_norms(embeddings)
-    q = n.filter(F.col("vec_id") % query_modulus == 0).select(
+    q = _query_sample(n, query_modulus, query_limit).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
@@ -112,8 +142,20 @@ def cosine_topk(
     )
 
 
+def _query_sample_sql(query_modulus: int, query_limit: int | None) -> str:
+    """DuckDB tail clause selecting the identical query subset."""
+    if query_limit is None:
+        return f"WHERE vec_id % {query_modulus} = 0"
+    from ..functions.hashing import duck_hash64
+
+    dh = duck_hash64("CAST(vec_id AS VARCHAR)")
+    return f"ORDER BY {dh} DESC, vec_id LIMIT {query_limit}"
+
+
 def cosine_topk_oracle_sql(
-    k: int = TOP_K, query_modulus: int = QUERY_MODULUS
+    k: int = TOP_K,
+    query_modulus: int = QUERY_MODULUS,
+    query_limit: int | None = None,
 ) -> str:
     return f"""
 WITH e AS (
@@ -122,7 +164,7 @@ WITH e AS (
   SELECT vec_id, emb, label, sqrt(list_dot_product(emb, emb)) AS nrm FROM e
 ), q AS (
   SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm FROM n
-  WHERE vec_id % {query_modulus} = 0
+  {_query_sample_sql(query_modulus, query_limit)}
 ), scored AS (
   SELECT query_id, n.vec_id AS neighbor_id,
          round(list_dot_product(q_emb, emb) / (q_nrm * nrm), 6) AS cosine
@@ -230,6 +272,7 @@ def ivf_trained_topk(
     n_clusters: int = IVF_KCLUSTERS,
     n_iters: int = IVF_ITERS,
     nprobe: int = IVF_NPROBE,
+    query_limit: int | None = None,
 ) -> DataFrame:
     """IVF top-k over a quantizer trained END-TO-END in the query:
     deterministic seeds → ``n_iters`` unrolled Lloyd's iterations →
@@ -263,7 +306,7 @@ def ivf_trained_topk(
     cents = _train_centroids(vecs, n_clusters, n_iters)
     assigned = _ivf_assign(vecs, cents).withColumn("nrm", F.expr("sqrt(vv)"))
 
-    q = vecs.filter(F.col("vec_id") % query_modulus == 0).select(
+    q = _query_sample(vecs, query_modulus, query_limit).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
         F.col("vv").alias("q_vv"),
@@ -310,6 +353,7 @@ def ivf_trained_oracle_sql(
     n_clusters: int = IVF_KCLUSTERS,
     n_iters: int = IVF_ITERS,
     nprobe: int = IVF_NPROBE,
+    query_limit: int | None = None,
 ) -> str:
     """DuckDB twin of ``ivf_trained_topk`` — the Lloyd's iterations are
     unrolled as a CTE chain generated from the same constants."""
@@ -347,7 +391,7 @@ def ivf_trained_oracle_sql(
     )
     ctes.append(
         f"q AS (SELECT vec_id AS query_id, emb AS q_emb, vv AS q_vv, sqrt(vv) AS q_nrm "
-        f"FROM v WHERE vec_id % {query_modulus} = 0)"
+        f"FROM v {_query_sample_sql(query_modulus, query_limit)})"
     )
     qd2 = "q.q_vv - 2 * list_dot_product(q.q_emb, c.cent) + list_dot_product(c.cent, c.cent)"
     ctes.append(

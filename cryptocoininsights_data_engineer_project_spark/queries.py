@@ -6911,8 +6911,8 @@ def rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "ann_recall_at_5",
     f"""
-WITH exact AS ({similarity.cosine_topk_oracle_sql()}),
-approx AS ({similarity.ivf_trained_oracle_sql()}),
+WITH exact AS ({similarity.cosine_topk_oracle_sql(query_limit=similarity.EVAL_QUERIES)}),
+approx AS ({similarity.ivf_trained_oracle_sql(query_limit=similarity.EVAL_QUERIES)}),
 hits AS (
   SELECT e.query_id, count(a.neighbor_id) AS n_matched
   FROM exact e LEFT JOIN approx a
@@ -6929,14 +6929,20 @@ FROM hits
     "suite, tests/test_similarity.py::test_ann_recall_floors) "
     "certifies the recall arithmetic. Per-query hit counts from one "
     "equi-join of two top-5 lists; corpus-level recall is their "
-    "mean. The exact baseline costs one corpus scan per query "
-    "batch — run it on a sample in production; the IVF side is the "
-    "serving path",
+    "mean. The query set is the FIXED-SIZE md5-top-N audit sample "
+    "(similarity.EVAL_QUERIES, constant in corpus size), so the "
+    "exact baseline costs O(|sample| * n) — linear in the corpus — "
+    "not the O(n^2/modulus) a scale-proportional sample gives; the "
+    "IVF side is the serving path",
 )
 def ann_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    exact = similarity.cosine_topk(emb).select("query_id", "neighbor_id")
-    approx = similarity.ivf_trained_topk(emb).select(
+    exact = similarity.cosine_topk(
+        emb, query_limit=similarity.EVAL_QUERIES
+    ).select("query_id", "neighbor_id")
+    approx = similarity.ivf_trained_topk(
+        emb, query_limit=similarity.EVAL_QUERIES
+    ).select(
         F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
     )
     hits = (
@@ -7321,8 +7327,8 @@ def _ndcg_side_sql(src_cte: str) -> str:
 @_q(
     "ndcg_at_5",
     f"""
-WITH exact5 AS ({similarity.cosine_topk_oracle_sql()}),
-approx5 AS ({similarity.ivf_trained_oracle_sql()}),
+WITH exact5 AS ({similarity.cosine_topk_oracle_sql(query_limit=similarity.EVAL_QUERIES)}),
+approx5 AS ({similarity.ivf_trained_oracle_sql(query_limit=similarity.EVAL_QUERIES)}),
 ideal AS ({_ndcg_side_sql('exact5')}),
 got AS ({_ndcg_side_sql('approx5')})
 SELECT ideal.query_id,
@@ -7337,7 +7343,9 @@ FROM ideal LEFT JOIN got ON ideal.query_id = got.query_id
     "position-sorted gain list, so the 5-term float sum is "
     "bit-identical on both engines (a plain SUM() would be "
     "order-nondeterministic). Composed entirely from the two "
-    "oracle-checked retrievers",
+    "oracle-checked retrievers over the fixed-size md5-top-N audit "
+    "sample (similarity.EVAL_QUERIES — constant in corpus size, so "
+    "the exact-ideal side stays linear in the corpus)",
 )
 def ndcg_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -7362,10 +7370,10 @@ def ndcg_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dcg")
         )
 
-    ideal = dcg(similarity.cosine_topk(emb))
-    got = dcg(similarity.ivf_trained_topk(emb)).withColumnRenamed(
-        "dcg", "got_dcg"
-    )
+    ideal = dcg(similarity.cosine_topk(emb, query_limit=similarity.EVAL_QUERIES))
+    got = dcg(
+        similarity.ivf_trained_topk(emb, query_limit=similarity.EVAL_QUERIES)
+    ).withColumnRenamed("dcg", "got_dcg")
     return ideal.join(got, "query_id", "left").select(
         "query_id",
         F.round(
