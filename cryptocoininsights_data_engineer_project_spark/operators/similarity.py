@@ -38,8 +38,10 @@ QUERY_MODULUS = 100
 # Fixed-size audit query set for the offline eval queries
 # (ann_recall_at_5 / ndcg_at_5): the EVAL_QUERIES vec_ids with the
 # LARGEST portable md5 hash of vec_id — descending, so it is disjoint
-# by construction from the k-means seed selection (which takes the
-# smallest). |queries| is constant in corpus size, so the exact-cosine
+# from the k-means seed selection (which takes the smallest) whenever
+# the corpus has >= EVAL_QUERIES + n_clusters rows; on a smaller
+# fixture the sets can overlap, which is harmless (a seed vector can
+# still serve as a query). |queries| is constant in corpus size, so the exact-cosine
 # baseline inside the audits costs O(EVAL_QUERIES * n) — linear in the
 # corpus — instead of the O(n^2 / modulus) the modulus sample gave
 # (measured 11-14x at 10x data in the r10 sf1 sweep before this bound).

@@ -90,3 +90,79 @@ def test_ivf_trained_probes_bound_candidates(spark, sf_dir):
     per_q = out.groupBy("query_id").count().collect()
     assert all(r["count"] <= 3 for r in per_q)
     assert len(per_q) >= 1
+
+
+def test_eval_sample_fixed_size_disjoint_and_plan(spark):
+    """Pin the md5-top-N audit sample primitive (``_query_sample`` with
+    ``query_limit`` set) directly, not only through the two registry
+    audits that use it:
+
+    (1) fixed size at two scales — |queries| is constant in corpus
+        size, the property that made ann_recall_at_5/ndcg_at_5 linear;
+    (2) disjoint from the k-means seed selection whenever the corpus
+        has >= EVAL_QUERIES + n_clusters rows (both rank the same
+        portable hash; queries take the top, seeds the bottom);
+    (3) planned as TakeOrderedAndProject — a distributed partial
+        top-k — with no global Sort node anywhere in the plan.
+    """
+    import contextlib
+    import io
+    import re
+
+    from pyspark.sql import functions as F
+
+    from cryptocoininsights_data_engineer_project_spark.functions.hashing import spark_hash64
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        em = _t(spark, sf, "embeddings")
+        n = similarity._with_norms(em)
+        q = similarity._query_sample(
+            n, similarity.QUERY_MODULUS, similarity.EVAL_QUERIES
+        )
+        qids = {r.vec_id for r in q.select("vec_id").collect()}
+        assert len(qids) == similarity.EVAL_QUERIES
+
+        # disjointness precondition holds on both fixtures
+        assert em.count() >= similarity.EVAL_QUERIES + similarity.IVF_KCLUSTERS
+        h = F.expr(spark_hash64("CAST(vec_id AS STRING)"))
+        seeds = {
+            r.vec_id
+            for r in em.withColumn("__h", h)
+            .orderBy("__h", "vec_id")
+            .limit(similarity.IVF_KCLUSTERS)
+            .select("vec_id")
+            .collect()
+        }
+        assert not (qids & seeds)
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            q.explain("formatted")
+        plan = buf.getvalue()
+        assert "TakeOrderedAndProject" in plan
+        assert not re.findall(r"\(\d+\) Sort\b", plan)
+
+
+def test_ann_recall_floor_on_eval_sample(spark):
+    """The shipped audit metrics (ann_recall_at_5 / ndcg_at_5) run over
+    the md5-top-64 eval sample, not the modulus sample the serving-path
+    floors cover — pin a recall floor on the eval sample too so a
+    regression visible only there cannot pass the suite.
+
+    Measured 2026-08-15 at sf0.01: ivf_trained recall@5 = 0.628 on the
+    eval sample (floor set a notch under to absorb knob tuning)."""
+    em = _t(spark, "/root/testdata/sf0.01", "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(
+            em, query_limit=similarity.EVAL_QUERIES
+        ).collect()
+    }
+    assert len(exact) == similarity.EVAL_QUERIES * similarity.TOP_K
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_trained_topk(
+            em, query_limit=similarity.EVAL_QUERIES
+        ).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.55
