@@ -395,6 +395,7 @@ _MAGIC = [
     (b"BM", "bmp"),
     (b"II*\x00", "tiff"),
     (b"MM\x00*", "tiff"),
+    (b"\x00\x00\x01\xb3", "mpeg1video"),
 ]
 
 
@@ -4574,8 +4575,8 @@ FROM px GROUP BY doc_id
 # over the running canvas. The frame grammar is the public Windows
 # BI_RLE8 spec the BMP still decoder (operators/bitmap.py) already
 # implements; video reuses it with the previous canvas as the
-# initial buffer. This narrows the remaining video seam to
-# motion-VECTOR codecs (MPEG-family motion compensation).
+# initial buffer. The motion-VECTOR seam this left open is closed by
+# the MPEG-1 section below (operators/mpegcodec.py).
 
 RLE_W = 8
 RLE_H = 8
@@ -4856,4 +4857,526 @@ SELECT doc_id AS asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
          + b * (3*i + 3) * (3*i + 3)) AS BIGINT) AS px_checksum,
   CAST(sum(r + g + b) AS BIGINT) * 1000000 // {n} AS mean_ppm
 FROM px GROUP BY doc_id, frame_idx
+"""
+
+
+# ------------------------------------------------------ mpeg-1 video
+# MOTION-COMPENSATED video (round 12, closing the seam the MS-RLE
+# comment above names): a real MPEG-1 (ISO/IEC 11172-2) elementary
+# stream per document, decoded by operators/mpegcodec.py. Frame 0 is
+# an I-picture (four slices, per-slice DC predictor chains); frame 1
+# is a P-picture exercising every P macroblock class — MC+coded with
+# ESCAPE-coded DCT residual (DC + the exactly-representable vertical-
+# frequency-4 slot), MC-not-coded, a SKIPPED macroblock, and a
+# half-pel vector; frame 2 chains a second P-picture with an
+# intra-in-P repaint, a no-MC chroma residual, a skip, and a vertical
+# half-pel vector. The bit layout is CONSTANT across documents (fixed
+# VLC choices); only amplitude fields vary, so the whole stream is
+# SQL-buildable and every reconstructed plane has a closed form. The
+# same layout is emitted twice from one spec: as Spark SQL hex pieces
+# (the fixture) and as plain bytes (pinned byte-equal to the
+# independent mpegcodec.encode_mpeg1 syntax writer in
+# tests/test_multimodal_mpeg.py).
+
+MPEG_W = 32
+MPEG_H = 32
+MPEG_FRAMES = 3
+_MPEG_QSCALE = 5
+
+# Per-document amplitude parameters: value = base + scale*((doc*a+b)%mod)
+_MPEG_PARAMS: dict[str, tuple[int, int, int, int, int]] = {}
+for _m in range(4):
+    for _k in range(4):
+        _MPEG_PARAMS[f"e{_m}{_k}"] = (3 + 2 * (4 * _m + _k), 5 * (4 * _m + _k + 1), 16, 0, 1)
+    _MPEG_PARAMS[f"c0{_m}"] = (7, 3 * _m + 1, 8, 0, 1)
+    _MPEG_PARAMS[f"c1{_m}"] = (11, 5 * _m + 2, 8, 0, 1)
+for _k in range(4):
+    _MPEG_PARAMS[f"g{_k}"] = (5 + 2 * _k, 7 * _k + 3, 16, 0, 1)
+_MPEG_PARAMS["h0"] = (13, 3, 8, 0, 1)
+_MPEG_PARAMS["h1"] = (3, 5, 8, 0, 1)
+_MPEG_PARAMS["Ldc"] = (1, 0, 8, 16, 4)   # escape DC level, frame 1
+_MPEG_PARAMS["Lac"] = (1, 0, 2, 8, 4)    # escape AC level, frame 1
+_MPEG_PARAMS["Lcb"] = (1, 0, 16, 16, 2)  # escape Cb level, frame 2
+del _m, _k
+
+
+def _mpeg_param(name: str, doc) -> int | str:
+    """Parameter value: int for an int doc_id, dialect-shared SQL
+    (valid in Spark AND DuckDB) for a string doc_id expression."""
+    a, b, mod, base, scale = _MPEG_PARAMS[name]
+    if isinstance(doc, int):
+        return base + scale * ((doc * a + b) % mod)
+    expr = f"(({doc}) * {a} + {b}) % {mod}"
+    if base == 0 and scale == 1:
+        return f"({expr})"
+    return f"({base} + {scale} * ({expr}))"
+
+
+def _mpeg_ops(doc) -> list[tuple]:
+    """The complete bitstream as ('b', constant-bits) / ('s', value,
+    nbits) ops — the ONE spec both the SQL fixture and the byte-level
+    encoder-equality test are derived from. VLC codewords here mirror
+    mpegcodec's tables; agreement is pinned byte-for-byte against
+    encode_mpeg1 in tests."""
+    P = lambda n: _mpeg_param(n, doc)  # noqa: E731
+    num = isinstance(doc, int)
+
+    def add(x, k):
+        return x + k if num else f"({x} + {k})"
+
+    def rsub(k, x):
+        return k - x if num else f"({k} - {x})"
+
+    ops: list[tuple] = []
+
+    def b(bits: str):
+        ops.append(("b", bits))
+
+    def u(value: int, n: int):
+        b(format(value, f"0{n}b"))
+
+    def s(value, n: int):
+        ops.append(("s", value, n))
+
+    def start(code: int):
+        b("0" * 23 + "1")
+        u(code, 8)
+
+    def align():
+        total = 0
+        for op in ops:
+            total += len(op[1]) if op[0] == "b" else op[2]
+        if total % 8:
+            b("0" * (8 - total % 8))
+
+    # sequence header (default matrices: residuals are non-intra W=16,
+    # intra blocks are DC-only, so neither matrix is consulted)
+    start(0xB3)
+    u(MPEG_W, 12)
+    u(MPEG_H, 12)
+    u(1, 4)        # pel aspect 1.0
+    u(3, 4)        # 25 fps
+    u(0x3FFFF, 18)  # variable bit rate
+    b("1")
+    u(16, 10)      # vbv_buffer_size
+    b("000")       # constrained / load intra / load non-intra
+    # GOP
+    start(0xB8)
+    u(0, 25)
+    b("10")        # closed_gop, !broken_link
+    align()
+    # ---- frame 0: I-picture, four slices (one per macroblock)
+    start(0x00)
+    u(0, 10)
+    u(1, 3)
+    u(0xFFFF, 16)
+    b("0")
+    align()
+    for m in range(4):
+        start(1 + m // 2)          # slice_vertical_position
+        u(_MPEG_QSCALE, 5)
+        b("0")
+        b("1" if m % 2 == 0 else "011")  # MBA increment 1 / 2
+        b("1")                     # macroblock_type: intra
+        b("1110"); s(add(P(f"e{m}0"), 16), 5); b("10")  # Y0: size-5 +
+        b("1110"); s(rsub(15, P(f"e{m}1")), 5); b("10")  # Y1: size-5 -
+        b("1110"); s(add(P(f"e{m}2"), 16), 5); b("10")
+        b("1110"); s(rsub(15, P(f"e{m}3")), 5); b("10")
+        b("1110"); s(add(P(f"c0{m}"), 8), 4); b("10")   # Cb: size-4 +
+        b("1110"); s(rsub(7, P(f"c1{m}")), 4); b("10")  # Cr: size-4 -
+        align()
+    # ---- frame 1: P-picture, one slice
+    start(0x00)
+    u(1, 10)
+    u(2, 3)
+    u(0xFFFF, 16)
+    b("0")         # full_pel_forward_vector
+    u(1, 3)        # forward_f_code
+    b("0")
+    align()
+    start(0x01)
+    u(_MPEG_QSCALE, 5)
+    b("0")
+    # MB0: MC+coded, mv (4,2) halfpel; residual on Y0 (escape-coded)
+    b("1")         # inc 1
+    b("1")         # type: MC, coded
+    b("000011" "0")  # motion_code +4
+    b("001" "0")     # motion_code +2
+    b("1010")        # cbp = 32 (Y0 only)
+    b("000001"); u(0, 6); s(P("Ldc"), 8)   # escape run 0, DC level
+    b("000001"); u(9, 6); s(P("Lac"), 8)   # escape run 9 -> zigzag 10
+    b("10")          # EOB
+    # MB1: MC not coded, mv (-4,6): deltas from (4,2) are (-8,+4)
+    b("1")
+    b("001")
+    b("000001011" "1")  # -8
+    b("000011" "0")     # +4
+    # MB2 skipped; MB3: MC not coded, mv (-3,0) (predictor reset by skip)
+    b("011")  # inc 2
+    b("001")
+    b("0001" "1")  # -3
+    b("1")         # 0
+    align()
+    # ---- frame 2: P-picture, one slice
+    start(0x00)
+    u(2, 10)
+    u(2, 3)
+    u(0xFFFF, 16)
+    b("0")
+    u(1, 3)
+    b("0")
+    align()
+    start(0x01)
+    u(_MPEG_QSCALE, 5)
+    b("0")
+    # MB0: intra-in-P repaint
+    b("1")
+    b("00011")
+    b("1110"); s(add(P("g0"), 16), 5); b("10")
+    b("1110"); s(rsub(15, P("g1")), 5); b("10")
+    b("1110"); s(add(P("g2"), 16), 5); b("10")
+    b("1110"); s(rsub(15, P("g3")), 5); b("10")
+    b("1110"); s(add(P("h0"), 8), 4); b("10")
+    b("1110"); s(rsub(7, P("h1")), 4); b("10")
+    # MB1: no-MC coded, Cb-only residual (escape-coded)
+    b("1")
+    b("01")
+    b("01001")       # cbp = 2 (Cb)
+    b("000001"); u(0, 6); s(P("Lcb"), 8)
+    b("10")
+    # MB2 skipped; MB3: MC not coded, mv (0,-2)
+    b("011")
+    b("001")
+    b("1")          # 0
+    b("001" "1")    # -2
+    align()
+    start(0xB7)
+    return ops
+
+
+def _mpeg_pack(ops: list[tuple]):
+    """Pack the op stream to bytes. Int-valued syms -> ``bytes``;
+    string-valued syms -> Spark SQL hex pieces (constant runs as
+    quoted literals, symbol-carrying bytes as lpad(hex(..))
+    expressions) for ``unhex(concat(...))``."""
+    bits: list = []
+    sql_mode = False
+    for op in ops:
+        if op[0] == "b":
+            bits.extend(1 if ch == "1" else 0 for ch in op[1])
+        else:
+            _, val, n = op
+            if isinstance(val, str):
+                sql_mode = True
+            for j in range(n):
+                bits.append((val, n, j))
+    if len(bits) % 8:
+        raise AssertionError("mpeg fixture stream is not byte-aligned")
+    if not sql_mode:
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for k, bit in enumerate(bits[i : i + 8]):
+                if isinstance(bit, tuple):
+                    val, n, j = bit
+                    bit = (val >> (n - 1 - j)) & 1
+                byte |= bit << (7 - k)
+            out.append(byte)
+        return bytes(out)
+    pieces: list[str] = []
+    lit = ""
+    for i in range(0, len(bits), 8):
+        chunk = bits[i : i + 8]
+        const = 0
+        terms: list[str] = []
+        k = 0
+        while k < 8:
+            bit = chunk[k]
+            if isinstance(bit, int):
+                const |= bit << (7 - k)
+                k += 1
+                continue
+            val, n, j0 = bit
+            k1 = k
+            j1 = j0
+            while (
+                k1 + 1 < 8
+                and isinstance(chunk[k1 + 1], tuple)
+                and chunk[k1 + 1][0] is val
+                and chunk[k1 + 1][2] == j1 + 1
+            ):
+                k1 += 1
+                j1 += 1
+            expr = val if isinstance(val, str) else str(val)
+            shift_down = n - 1 - j1
+            if shift_down:
+                expr = f"(({expr}) div {1 << shift_down})"
+            expr = f"(({expr}) % {1 << (j1 - j0 + 1)})"
+            up = 7 - k1
+            if up:
+                expr = f"({expr} * {1 << up})"
+            terms.append(expr)
+            k = k1 + 1
+        if not terms:
+            lit += f"{const:02x}"
+            continue
+        if lit:
+            pieces.append(f"'{lit}'")
+            lit = ""
+        pieces.append(
+            "lpad(hex(" + " + ".join([str(const)] + terms) + "), 2, '0')"
+        )
+    if lit:
+        pieces.append(f"'{lit}'")
+    return pieces
+
+
+def mpeg_payload_bytes(doc_id: int) -> bytes:
+    """The fixture payload for one document, built in Python from the
+    same op spec the SQL builder uses (test hook)."""
+    return _mpeg_pack(_mpeg_ops(doc_id))
+
+
+def synth_mpeg_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): complete MPEG-1 video elementary streams,
+    one per document, built byte-exactly JVM-side."""
+    pieces = _mpeg_pack(_mpeg_ops("doc_id"))
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr("unhex(concat(" + ", ".join(pieces) + "))").alias("payload"),
+    )
+
+
+_MPEG_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("y_sum", T.LongType(), False),
+        T.StructField("y_checksum", T.LongType(), False),
+        T.StructField("cb_sum", T.LongType(), False),
+        T.StructField("cb_checksum", T.LongType(), False),
+        T.StructField("cr_sum", T.LongType(), False),
+        T.StructField("cr_checksum", T.LongType(), False),
+        T.StructField("y_mean_ppm", T.LongType(), False),
+    ]
+)
+
+
+def compose_mpeg_stats(assets: DataFrame) -> DataFrame:
+    """REAL MPEG-1 decode (mpegcodec.decode_mpeg1: slice/macroblock
+    VLCs, motion compensation incl. half-pel, residual IDCT) and
+    per-frame plane statistics. Position-weighted checksums pin every
+    sample's VALUE and LOCATION on both the luma and chroma planes —
+    a motion vector applied one pixel off, or to the wrong frame,
+    changes the checksum even where plane SUMS cancel. One
+    mapInPandas pass; payload bytes never shuffle."""
+    import numpy as np
+
+    from .mpegcodec import decode_mpeg1
+
+    def _compose(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        wts_y = (np.arange(MPEG_W * MPEG_H, dtype=np.int64) + 1) ** 2
+        wts_c = (np.arange(MPEG_W * MPEG_H // 4, dtype=np.int64) + 1) ** 2
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _MPEG_FRAME_SCHEMA}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, frames = decode_mpeg1(bytes(payload))
+                for t, (y, cb, cr) in enumerate(frames):
+                    yf = y.astype(np.int64).reshape(-1)
+                    bf = cb.astype(np.int64).reshape(-1)
+                    rf = cr.astype(np.int64).reshape(-1)
+                    rows["asset_id"].append(int(aid))
+                    rows["frame_idx"].append(t)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["y_sum"].append(int(yf.sum()))
+                    rows["y_checksum"].append(int((yf * wts_y).sum()))
+                    rows["cb_sum"].append(int(bf.sum()))
+                    rows["cb_checksum"].append(int((bf * wts_c).sum()))
+                    rows["cr_sum"].append(int(rf.sum()))
+                    rows["cr_checksum"].append(int((rf * wts_c).sum()))
+                    rows["y_mean_ppm"].append(
+                        int(yf.sum()) * 1_000_000 // (w * h)
+                    )
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _compose, schema=_MPEG_FRAME_SCHEMA
+    )
+
+
+def mpeg_oracle_sql() -> str:
+    """Closed-form per-frame plane values, composed the way the
+    decoder composes them: frame 0 = per-slice DC chains (flat 8x8
+    blocks), frame 1 = frame 0 sampled at the motion offsets (+ the
+    escape-coded residual on MB0's Y0, + half-pel averaging on MB3),
+    frame 2 = frame 1 re-sampled (intra repaint on MB0, Cb residual
+    on MB1, skip on MB2, vertical half-pel on MB3). Motion composes
+    by SUBSTITUTING shifted coordinates into the previous frame's
+    expression generator, so the SQL mirrors the recursion of
+    prediction itself. All values stay inside [90, 250] by parameter
+    construction (pinned in tests), so the decoder's clamp is never
+    load-bearing and the closed form needs no LEAST/GREATEST.
+
+    Residual math: escape level L dequantizes (non-intra, W=16,
+    qscale 5) to 10L+5 — odd, so the DC-only IDCT never lands on an
+    exact rounding half; the two-coefficient Y0 block keeps
+    (d - a) % 8 == 0 and (d + a) % 8 == 2 by pinning both levels to
+    the same residue class mod 4, so round-to-nearest equals the
+    truncating (x + 4) // 8 on both engines."""
+    P = lambda n: _mpeg_param(n, "doc_id")  # noqa: E731
+
+    def v_chain(e0, e1, e2, e3):
+        # per-block flat values of one intra macroblock's luma chain
+        return [
+            f"(144 + {e0})",
+            f"(128 + {e0} - {e1})",
+            f"(144 + {e0} - {e1} + {e2})",
+            f"(128 + {e0} - {e1} + {e2} - {e3})",
+        ]
+
+    def quad(x, y, lo_lo, lo_hi, hi_lo, hi_hi, half: int):
+        """CASE on the (x, y) quadrant at the given half size."""
+        return (
+            f"(CASE WHEN ({y}) < {half} THEN "
+            f"(CASE WHEN ({x}) < {half} THEN {lo_lo} ELSE {lo_hi} END) "
+            f"ELSE (CASE WHEN ({x}) < {half} THEN {hi_lo} ELSE {hi_hi} END) "
+            f"END)"
+        )
+
+    def y0(x, y):
+        mbs = []
+        for mb in range(4):
+            chain = v_chain(*(P(f"e{mb}{k}") for k in range(4)))
+            mbs.append(
+                quad(f"({x}) % 16", f"({y}) % 16",
+                     chain[0], chain[1], chain[2], chain[3], 8)
+            )
+        return quad(x, y, mbs[0], mbs[1], mbs[2], mbs[3], 16)
+
+    def cb0(x, y):
+        return quad(x, y, *(f"(136 + {P(f'c0{mb}')})" for mb in range(4)),
+                    half=8)
+
+    def cr0(x, y):
+        return quad(x, y, *(f"(120 - {P(f'c1{mb}')})" for mb in range(4)),
+                    half=8)
+
+    def sh(x, k):
+        return f"(({x}) + {k})" if k >= 0 else f"(({x}) - {-k})"
+
+    def avg2(a, b):
+        return f"(({a} + {b} + 1) // 2)"
+
+    d_rec = f"(10 * {P('Ldc')} + 5)"
+    a_rec = f"(10 * {P('Lac')} + 5)"
+
+    def resid(y):
+        # IDCT of {DC=d, zigzag10=a}: (d + s(y)*a + 4) // 8 with
+        # s(y) = +--++--+ selected by parity of (y+1) // 2
+        s_pos = f"(((({y}) + 1) // 2) % 2) = 0"
+        return (
+            f"((({d_rec}) + (CASE WHEN {s_pos} THEN {a_rec} "
+            f"ELSE -{a_rec} END) + 4) // 8)"
+        )
+
+    def y1(x, y):
+        mb0 = (
+            f"(CASE WHEN ({x}) < 8 AND ({y}) < 8 "
+            f"THEN ({y0(sh(x, 2), sh(y, 1))} + {resid(y)}) "
+            f"ELSE {y0(sh(x, 2), sh(y, 1))} END)"
+        )
+        mb1 = y0(sh(x, -2), sh(y, 3))
+        mb2 = y0(x, y)
+        mb3 = avg2(y0(sh(x, -2), y), y0(sh(x, -1), y))
+        return quad(x, y, mb0, mb1, mb2, mb3, 16)
+
+    def c1(c0_fn, x, y):
+        # chroma of the same vectors: mv/2 truncated toward zero
+        mb0 = avg2(c0_fn(sh(x, 1), y), c0_fn(sh(x, 1), sh(y, 1)))
+        mb1 = avg2(c0_fn(sh(x, -1), sh(y, 1)), c0_fn(sh(x, -1), sh(y, 2)))
+        mb2 = c0_fn(x, y)
+        mb3 = avg2(c0_fn(sh(x, -1), y), c0_fn(x, y))
+        return quad(x, y, mb0, mb1, mb2, mb3, 8)
+
+    def cb1(x, y):
+        return c1(cb0, x, y)
+
+    def cr1(x, y):
+        return c1(cr0, x, y)
+
+    def y2(x, y):
+        chain = v_chain(*(P(f"g{k}") for k in range(4)))
+        mb0 = quad(x, y, chain[0], chain[1], chain[2], chain[3], 8)
+        return quad(x, y, mb0, y1(x, y), y1(x, y), y1(x, sh(y, -1)), 16)
+
+    cb_add = f"((10 * {P('Lcb')} + 9) // 8)"
+
+    def cb2(x, y):
+        return quad(
+            x, y,
+            f"(136 + {P('h0')})",
+            f"({cb1(x, y)} + {cb_add})",
+            cb1(x, y),
+            avg2(cb1(x, sh(y, -1)), cb1(x, y)),
+            8,
+        )
+
+    def cr2(x, y):
+        return quad(
+            x, y,
+            f"(120 - {P('h1')})",
+            cr1(x, y),
+            cr1(x, y),
+            avg2(cr1(x, sh(y, -1)), cr1(x, y)),
+            8,
+        )
+
+    yv = (
+        f"(CASE t.t WHEN 0 THEN {y0('x.x', 'y.y')} "
+        f"WHEN 1 THEN {y1('x.x', 'y.y')} ELSE {y2('x.x', 'y.y')} END)"
+    )
+    bv = (
+        f"(CASE t.t WHEN 0 THEN {cb0('x.x', 'y.y')} "
+        f"WHEN 1 THEN {cb1('x.x', 'y.y')} ELSE {cb2('x.x', 'y.y')} END)"
+    )
+    rv = (
+        f"(CASE t.t WHEN 0 THEN {cr0('x.x', 'y.y')} "
+        f"WHEN 1 THEN {cr1('x.x', 'y.y')} ELSE {cr2('x.x', 'y.y')} END)"
+    )
+    w, h = MPEG_W, MPEG_H
+    cw, ch_ = w // 2, h // 2
+    return f"""
+WITH ypx AS (
+  SELECT doc_id, t.t AS frame_idx, (y.y * {w} + x.x) AS i, {yv} AS v
+  FROM documents,
+       UNNEST(generate_series(0, {MPEG_FRAMES - 1})) AS t(t),
+       UNNEST(generate_series(0, {h - 1})) AS y(y),
+       UNNEST(generate_series(0, {w - 1})) AS x(x)
+), cpx AS (
+  SELECT doc_id, t.t AS frame_idx, (y.y * {cw} + x.x) AS j,
+         {bv} AS b, {rv} AS r
+  FROM documents,
+       UNNEST(generate_series(0, {MPEG_FRAMES - 1})) AS t(t),
+       UNNEST(generate_series(0, {ch_ - 1})) AS y(y),
+       UNNEST(generate_series(0, {cw - 1})) AS x(x)
+), ya AS (
+  SELECT doc_id, frame_idx, CAST(sum(v) AS BIGINT) AS y_sum,
+         CAST(sum(v * (i + 1) * (i + 1)) AS BIGINT) AS y_checksum
+  FROM ypx GROUP BY doc_id, frame_idx
+), ca AS (
+  SELECT doc_id, frame_idx,
+         CAST(sum(b) AS BIGINT) AS cb_sum,
+         CAST(sum(b * (j + 1) * (j + 1)) AS BIGINT) AS cb_checksum,
+         CAST(sum(r) AS BIGINT) AS cr_sum,
+         CAST(sum(r * (j + 1) * (j + 1)) AS BIGINT) AS cr_checksum
+  FROM cpx GROUP BY doc_id, frame_idx
+)
+SELECT ya.doc_id AS asset_id, CAST(ya.frame_idx AS BIGINT) AS frame_idx,
+  CAST({w} AS BIGINT) AS width, CAST({h} AS BIGINT) AS height,
+  y_sum, y_checksum, cb_sum, cb_checksum, cr_sum, cr_checksum,
+  y_sum * 1000000 // {w * h} AS y_mean_ppm
+FROM ya JOIN ca ON ya.doc_id = ca.doc_id AND ya.frame_idx = ca.frame_idx
 """

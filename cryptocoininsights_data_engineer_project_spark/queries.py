@@ -2628,14 +2628,51 @@ def multimodal_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "canvas after each frame closed-form over the bottom-up->display "
     "flip, position-weighted checksum pinning value AND location; "
     "independent encoder + per-pixel reference compositor in "
-    "tests/test_mrle.py. With APNG, the remaining video seam "
-    "narrows to motion-VECTOR codecs. One mapInPandas pass; "
+    "tests/test_mrle.py. The motion-VECTOR seam this left open "
+    "is closed by multimodal_video_mpeg. One mapInPandas pass; "
     "payloads never shuffle",
 )
 def multimodal_video_mrle(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return multimodal.compose_mrle_stats(
         multimodal.synth_avi_mrle_assets(docs)
+    )
+
+
+@_q(
+    "multimodal_video_mpeg",
+    multimodal.mpeg_oracle_sql(),
+    doc="REAL MOTION-COMPENSATED video decode — MPEG-1 video "
+    "(ISO/IEC 11172-2) elementary streams decoded for real by "
+    "operators/mpegcodec.py: sequence/GOP/picture/slice headers, "
+    "macroblock-address / macroblock-type / coded-block-pattern / "
+    "motion-code / dct-coefficient VLC tables, integer AND half-pel "
+    "forward motion vectors with differential predictors and the "
+    "modulo wrap, escape-coded residual levels, MPEG-1 mismatch "
+    "control (oddification), and the IDCT basis shared with the "
+    "JPEG decoder. This closes the motion-VECTOR seam the MRLE/APNG "
+    "inter-frame work left open. Fixture: one spec-valid stream per "
+    "document built byte-exactly in SQL (constant VLC layout, "
+    "formula amplitude fields) — an I-picture with four per-slice "
+    "DC-prediction chains, then two P-pictures exercising every P "
+    "macroblock class: MC+coded with an escape-coded two-coefficient "
+    "DCT residual, MC-not-coded, SKIPPED (co-located copy), "
+    "half-pel vectors on both axes, intra-in-P repaint, and a no-MC "
+    "chroma residual. The SQL-built bytes are pinned byte-equal to "
+    "the independent mpegcodec.encode_mpeg1 syntax writer and the "
+    "closed-form oracle composes motion by substituting shifted "
+    "coordinates into the previous frame's expression "
+    "(tests/test_multimodal_mpeg.py, tests/test_mpeg.py). "
+    "Position-weighted checksums on all three planes pin every "
+    "sample's value AND location. One mapInPandas pass; payload "
+    "bytes never shuffle. B-pictures gate loudly (MpegUnsupported); "
+    "a real cluster registers an ffmpeg-backed decoder via "
+    "multimodal.register_decoder",
+)
+def multimodal_video_mpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.compose_mpeg_stats(
+        multimodal.synth_mpeg_assets(docs)
     )
 
 
