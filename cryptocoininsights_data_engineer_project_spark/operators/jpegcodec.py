@@ -21,8 +21,12 @@ conditioning, and G.2's successive-approximation decision models —
 plus **lossless arithmetic** (SOF11, round 9): the Annex H 2-D
 statistical model over the same QM coder — and **12-bit
 progressive** (SOF2/SOF10, round 9) through the shared
-reconstruction tail. Hierarchical modes raise NotImplementedError
-and remain what a cluster swaps in a libjpeg-backed callable for.
+reconstruction tail — and **hierarchical (Annex J) pyramids** via
+decode_jpeg_hierarchical, where as of round 12 EVERY T.81 frame
+type decodes: Huffman sequential/progressive/lossless (SOF0-SOF3,
+differential SOF5-SOF7) and arithmetic sequential/progressive/
+lossless (SOF9-SOF11, differential SOF13-SOF15). No T.81 operating
+mode remains gated.
 
 Decode stages, per the spec:
   segment parse (DQT/SOF0/SOF2/DHT/DRI/SOS, APPn/COM skipped)
@@ -397,16 +401,28 @@ def _decode_lossless_arith_scan(
     precision: int,
     pred_sel: int,
     pt: int,
+    differential: bool = False,
+    return_end: bool = False,
 ) -> np.ndarray:
-    """Lossless arithmetic (SOF11) scan: the same H.1.2 prediction,
+    """Lossless arithmetic (SOF11, differential SOF15) scan: the
+    same H.1.2 prediction,
     boundary rules, and modulo-65536 reconstruction as the Huffman
     scan — only the entropy layer differs (QM decisions under the
     Annex-H 2-D statistical model above). Diffs decode as signed
     16-bit values; Da/Db condition each sample from the diffs coded
     for its left and upper neighbours (zero at segment boundaries).
     Restart markers reset the decoder, every statistics area, the
-    prediction, and the diff history (the F.1.4.4.3 convention)."""
-    if not 1 <= pred_sel <= 7:
+    prediction, and the diff history (the F.1.4.4.3 convention).
+    ``differential`` selects predictor 0 (Table H.1: the coded diffs
+    ARE the corrections, accumulated mod 65536 by the hierarchical
+    caller); the Da/Db conditioning still runs on the coded diffs."""
+    if differential != (pred_sel == 0):
+        raise JpegError(
+            f"lossless predictor selector {pred_sel} invalid for a "
+            f"{'differential' if differential else 'non-differential'} "
+            "frame (H.1.2.1 / Table H.1)"
+        )
+    if not 0 <= pred_sel <= 7:
         raise JpegError(f"bad lossless predictor selector {pred_sel}")
     ncomp = len(comps)
     planes = np.zeros((ncomp, height, width), dtype=np.int32)
@@ -441,7 +457,11 @@ def _decode_lossless_arith_scan(
                 seg_y, seg_x = y, x
             for ci, c in enumerate(comps):
                 p = planes[ci]
-                px = _ll_predict(p, y, x, seg_y, seg_x, default, pred_sel)
+                px = (
+                    0
+                    if differential
+                    else _ll_predict(p, y, x, seg_y, seg_x, default, pred_sel)
+                )
                 low, up = dc_cond.get(c.td, (0, 1))
                 da = 0 if (y, x) == (seg_y, seg_x) or (
                     y > seg_y and x == 0
@@ -460,7 +480,10 @@ def _decode_lossless_arith_scan(
         # within the current restart segment (fresh() re-created the
         # lists at a restart, so swapping here is segment-local)
         prev_d, cur_d = cur_d, prev_d
-    return (planes << pt).transpose(1, 2, 0)
+    out = (planes << pt).transpose(1, 2, 0)
+    if return_end:
+        return out, dec.marker_scan_pos()
+    return out
 
 
 class _Component:
@@ -634,8 +657,8 @@ def _parse_segments(data: bytes, raw_lossless: bool = False):
             raise NotImplementedError(
                 f"differential SOF marker {marker:#x} outside a "
                 "hierarchy is malformed; hierarchical streams decode "
-                "via decode_jpeg_hierarchical (sequential Huffman "
-                "frames), other differential modes stay gated"
+                "via decode_jpeg_hierarchical (every T.81 frame type, "
+                "Huffman and arithmetic)"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             if len(seg) % 2:
@@ -1475,13 +1498,19 @@ def _decode_arith_scan(
     ac_cond: dict[int, int],
     restart_interval: int,
     precision: int = 8,
+    raw_planes: bool = False,
+    differential: bool = False,
 ) -> tuple[int, int, int, bytes]:
     """Sequential-DCT arithmetic scan (the SOF9 twin of
     ``_decode_scan``): same MCU walk, dequant, IDCT, and
     reconstruction tail; only the entropy layer differs. At a restart
     marker ALL statistics areas, conditioning contexts, and DC
     predictions reset and the decoder re-initializes after the
-    marker (F.1.4.4.3)."""
+    marker (F.1.4.4.3). ``differential`` (SOF13 inside a hierarchy):
+    DC prediction is zero — the coded DIFF is the coefficient, same
+    F.1.1.5.1 rule as the Huffman twin; the conditioning context
+    still tracks the previous diff. ``raw_planes`` returns signed
+    IDCT planes + the scan-end offset for the hierarchical walker."""
     if width == 0 or height == 0:
         raise JpegError("SOS before SOF: image dimensions unknown")
     if len(comps) == 1:
@@ -1541,8 +1570,11 @@ def _decode_arith_scan(
                         diff, dc_ctx[ci] = _arith_dc_diff(
                             dec, dc_bins[c.td], dc_ctx[ci], cond
                         )
-                        c.pred += diff
-                        coeffs[0] = c.pred
+                        if differential:
+                            coeffs[0] = diff
+                        else:
+                            c.pred += diff
+                            coeffs[0] = c.pred
                         _arith_ac_block(dec, ac_bins[c.ta], coeffs, kx)
                         block = _C.T @ (coeffs.reshape(8, 8) * q) @ _C
                         y0 = (my * c.v + by) * 8
@@ -1550,6 +1582,8 @@ def _decode_arith_scan(
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcus_since_restart += 1
 
+    if raw_planes:
+        return planes, dec.marker_scan_pos()
     return _finish(planes, comps, hmax, vmax, width, height, precision)
 
 
@@ -1568,8 +1602,10 @@ def _decode_progressive_arith_scan(
     restart_interval: int,
     width: int,
     height: int,
+    differential: bool = False,
 ) -> int:
-    """Decode ONE progressive-arithmetic (SOF10) scan into the
+    """Decode ONE progressive-arithmetic (SOF10, differential
+    SOF14) scan into the
     coefficient accumulators, returning the next-marker offset —
     the QM twin of ``_decode_progressive_scan``. T.81 G.2: DC first
     scans reuse the sequential DC model with DIFFs scaled by 2^Al,
@@ -1624,8 +1660,13 @@ def _decode_progressive_arith_scan(
                 diff, dc_ctx[ci] = _arith_dc_diff(
                     dec, dc_bins[c.td], dc_ctx[ci], dc_cond.get(c.td, (0, 1))
                 )
-                c.pred += diff
-                cb[0] = c.pred << al
+                if differential:
+                    # F.1.1.5.1 twin: prediction is zero in
+                    # differential frames
+                    cb[0] = diff << al
+                else:
+                    c.pred += diff
+                    cb[0] = c.pred << al
             elif dec.decode(_FIXED_BIN, 0):
                 cb[0] |= 1 << al
 
@@ -1720,8 +1761,11 @@ def _coef_planes(
 # doubles the reference horizontally/vertically with the Annex-J
 # bilinear filter (even samples copied, odd samples (a+b+1)>>1, edge
 # repeated). Scope: sequential HUFFMAN frames with 1x1 sampling —
-# the DICOM/archival shape; progressive/arithmetic/lossless frames
-# inside a hierarchy raise NotImplementedError. Convention notes
+# the DICOM/archival shape. Round 9 added differential progressive
+# (SOF6) and differential lossless (SOF7); round 12 added every
+# arithmetic frame type (SOF9-SOF11, SOF13-SOF15) and the SOF3
+# non-differential lossless base — all of Table B.1's frame types
+# now decode inside a pyramid. Convention notes
 # (documented, mirrored by the independent encoder in
 # tests/test_jpeg_hierarchical.py): each stage's output is rounded
 # and clamped to [0, 2^P - 1] before becoming the next reference;
@@ -1770,6 +1814,8 @@ def _decode_hier(data: bytes):
     qtables: dict[int, np.ndarray] = {}
     dc_tables: dict[int, _HuffTable] = {}
     ac_tables: dict[int, _HuffTable] = {}
+    dc_cond: dict[int, tuple[int, int]] = {}
+    ac_cond: dict[int, int] = {}
     restart_interval = 0
     precision = None
     full_w = full_h = None
@@ -1777,7 +1823,7 @@ def _decode_hier(data: bytes):
     refs: list[np.ndarray] | None = None
     pending_exp = (0, 0)
     # single-scan frame awaiting its SOS:
-    # ("seq" | "lossless", differential, fw, fh, comps)
+    # ("seq" | "lossless", differential, fw, fh, comps, arith)
     frame = None
     # multi-scan progressive frame (SOF2/SOF6) accumulating
     # coefficients until the next frame-level marker
@@ -1835,6 +1881,23 @@ def _decode_hier(data: bytes):
             _parse_dqt(seg, qtables)
         elif marker == 0xC4:  # DHT
             _parse_dht(seg, dc_tables, ac_tables)
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            if len(seg) % 2:
+                raise JpegError(f"odd DAC segment length {len(seg)}")
+            i = 0
+            while i < len(seg):
+                tc, tb = seg[i] >> 4, seg[i] & 0x0F
+                cs = seg[i + 1]
+                if tc == 0:
+                    low, up = cs & 0x0F, cs >> 4
+                    if low > up:
+                        raise JpegError(f"DAC DC bounds L={low} > U={up}")
+                    dc_cond[tb] = (low, up)
+                else:
+                    if not 1 <= cs <= 63:
+                        raise JpegError(f"DAC AC Kx={cs} out of range")
+                    ac_cond[tb] = cs
+                i += 2
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDE:  # DHP
@@ -1860,14 +1923,16 @@ def _decode_hier(data: bytes):
             if pending_exp[0] > 1 or pending_exp[1] > 1:
                 raise JpegError(f"bad EXP fields {seg[0]:#x}")
             # (0, 0) is syntactically valid per B.3.3: a no-op
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6, 0xC7):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             _finalize_prog()
             if full_w is None:
                 raise JpegError(
                     "hierarchical frame before DHP — use "
                     "decode_jpeg_pixels for non-hierarchical streams"
                 )
-            differential = marker in (0xC5, 0xC6, 0xC7)
+            differential = marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF)
+            arith = marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
             if seg[0] != precision:
                 raise JpegError(
                     f"frame precision {seg[0]} != DHP {precision}"
@@ -1905,12 +1970,13 @@ def _decode_hier(data: bytes):
                         f"frame {(fh, fw)}"
                     )
                 refs = [r[:fh, :fw] for r in refs]
-            if marker in (0xC2, 0xC6):  # (differential) progressive
+            if marker in (0xC2, 0xC6, 0xCA, 0xCE):  # progressive
                 bw_, bh_ = -(-fw // 8), -(-fh // 8)
                 for c in comps:
                     c.blocks_w, c.blocks_h = bw_, bh_
                 prog = {
                     "differential": differential,
+                    "arith": arith,
                     "fw": fw,
                     "fh": fh,
                     "comps": comps,
@@ -1920,19 +1986,10 @@ def _decode_hier(data: bytes):
                     ],
                 }
                 frame = None
-            elif marker == 0xC7:  # differential lossless
-                frame = ("lossless", True, fw, fh, comps)
+            elif marker in (0xC3, 0xC7, 0xCB, 0xCF):  # lossless
+                frame = ("lossless", differential, fw, fh, comps, arith)
             else:
-                frame = ("seq", differential, fw, fh, comps)
-        elif marker in (0xC3, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(
-                f"SOF marker {marker:#x} inside a hierarchy: Huffman "
-                "sequential (SOF0/SOF1, differential SOF5), "
-                "differential progressive (SOF6), and differential "
-                "lossless (SOF7) frames are implemented; "
-                "non-differential lossless and every arithmetic frame "
-                "type (SOF3/SOF9-SOF11/SOF13-SOF15) stay gated"
-            )
+                frame = ("seq", differential, fw, fh, comps, arith)
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             if prog is not None:  # one scan of a progressive frame
@@ -1945,27 +2002,46 @@ def _decode_hier(data: bytes):
                     scomps.append(comp)
                 ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
                 ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
-                pos = _decode_progressive_scan(
-                    data,
-                    pos + seglen,
-                    prog["comps"],
-                    scomps,
-                    prog["coefs"],
-                    ss,
-                    se,
-                    ah,
-                    al,
-                    dc_tables,
-                    ac_tables,
-                    restart_interval,
-                    prog["fw"],
-                    prog["fh"],
-                    differential=prog["differential"],
-                )
+                if prog["arith"]:
+                    pos = _decode_progressive_arith_scan(
+                        data,
+                        pos + seglen,
+                        prog["comps"],
+                        scomps,
+                        prog["coefs"],
+                        ss,
+                        se,
+                        ah,
+                        al,
+                        dc_cond,
+                        ac_cond,
+                        restart_interval,
+                        prog["fw"],
+                        prog["fh"],
+                        differential=prog["differential"],
+                    )
+                else:
+                    pos = _decode_progressive_scan(
+                        data,
+                        pos + seglen,
+                        prog["comps"],
+                        scomps,
+                        prog["coefs"],
+                        ss,
+                        se,
+                        ah,
+                        al,
+                        dc_tables,
+                        ac_tables,
+                        restart_interval,
+                        prog["fw"],
+                        prog["fh"],
+                        differential=prog["differential"],
+                    )
                 continue
             if frame is None:
                 raise JpegError("SOS with no pending hierarchical frame")
-            kind, differential, fw, fh, comps = frame
+            kind, differential, fw, fh, comps, arith = frame
             if ns != len(comps):
                 raise NotImplementedError(
                     "non-interleaved hierarchical scans: every "
@@ -1979,47 +2055,75 @@ def _decode_hier(data: bytes):
                 comp = by_id[cid]
                 comp.td, comp.ta = tdta >> 4, tdta & 0x0F
                 scan_order.append(comp)
-            if kind == "lossless":  # SOF7: H.2 differential coding
-                pred_sel = seg[1 + 2 * ns]  # Ss: shall be 0 (Table H.1)
+            if kind == "lossless":  # SOF3/SOF7/SOF11/SOF15
+                pred_sel = seg[1 + 2 * ns]  # Ss (0 iff differential)
                 pt = seg[3 + 2 * ns] & 0x0F  # Al = point transform
-                samples, scan_end = _decode_lossless_scan(
+                decode_ll = (
+                    _decode_lossless_arith_scan if arith
+                    else _decode_lossless_scan
+                )
+                samples, scan_end = decode_ll(
                     data,
                     pos + seglen,
                     fw,
                     fh,
                     scan_order,
-                    dc_tables,
+                    dc_cond if arith else dc_tables,
                     restart_interval,
                     precision,
                     pred_sel,
                     pt,
-                    differential=True,
+                    differential=differential,
                     return_end=True,
                 )
-                # J: differential lossless corrections accumulate in
-                # modulo-2^16 arithmetic; the EOI clamp produces the
-                # final [0, 2^P - 1] output
-                refs = [
-                    (r + samples[:, :, ci].astype(np.int64)) & 0xFFFF
-                    for ci, r in enumerate(refs)
-                ]
+                if differential:
+                    # J: differential lossless corrections accumulate
+                    # in modulo-2^16 arithmetic; the EOI clamp
+                    # produces the final [0, 2^P - 1] output
+                    refs = [
+                        (r + samples[:, :, ci].astype(np.int64)) & 0xFFFF
+                        for ci, r in enumerate(refs)
+                    ]
+                else:
+                    # lossless base frame: absolute full-precision
+                    # samples become the reference directly
+                    refs = [
+                        samples[:, :, ci].astype(np.int64)
+                        for ci in range(len(comps))
+                    ]
                 frame = None
                 pos = scan_end
                 continue
-            planes, scan_end = _decode_scan(
-                data,
-                pos + seglen,
-                fw,
-                fh,
-                scan_order,
-                qtables,
-                dc_tables,
-                ac_tables,
-                restart_interval,
-                precision,
-                raw_planes=True,
-                differential=differential,
-            )
+            if arith:
+                planes, scan_end = _decode_arith_scan(
+                    data,
+                    pos + seglen,
+                    fw,
+                    fh,
+                    scan_order,
+                    qtables,
+                    dc_cond,
+                    ac_cond,
+                    restart_interval,
+                    precision,
+                    raw_planes=True,
+                    differential=differential,
+                )
+            else:
+                planes, scan_end = _decode_scan(
+                    data,
+                    pos + seglen,
+                    fw,
+                    fh,
+                    scan_order,
+                    qtables,
+                    dc_tables,
+                    ac_tables,
+                    restart_interval,
+                    precision,
+                    raw_planes=True,
+                    differential=differential,
+                )
             top = (1 << precision) - 1
             rounded = [
                 np.round(p[:fh, :fw]).astype(np.int64) for p in planes

@@ -21,12 +21,17 @@ import struct
 import pytest
 
 from cryptocoininsights_data_engineer_project_spark.operators.jpegcodec import (
+    AC_STAT_BINS,
+    DC_STAT_BINS,
+    LL_STAT_BINS,
     ZIGZAG_TO_NATURAL,
     JpegError,
     decode_jpeg_hierarchical,
     decode_jpeg_pixels,
 )
 from tests.test_jpeg import _amp_bits, _canonical, _category, _dht, _Packer
+from tests.test_jpeg_arith import ArithEncoder, _encode_ac, _encode_dc
+from tests.test_jpeg_lossless_arith import _classify, _encode_ll_diff, _predict
 
 # ------------------------------------------------------------- encoder
 
@@ -149,6 +154,106 @@ def _ll_scan_bytes(comps_n, w, h, samples_fn, dc_codes):
     return bytes(pk.out)
 
 
+def _arith_seq_scan(comps_n, w, h, block_coeffs, differential):
+    """QM twin of _scan_bytes: one interleaved sequential-arithmetic
+    scan, PRED = 0 in differential frames. All components share table
+    0, so statistics bins are shared across components (the decoder
+    keys bins by table destination) while DC contexts stay
+    per-component."""
+    enc = ArithEncoder()
+    dc_bins = bytearray(DC_STAT_BINS)
+    ac_bins = bytearray(AC_STAT_BINS)
+    pred = [0] * comps_n
+    ctxs = [0] * comps_n
+    counters = [0] * comps_n
+    bw, bh = -(-w // 8), -(-h // 8)
+    for _b in range(bw * bh):
+        for ci in range(comps_n):
+            coeffs = block_coeffs(ci, counters[ci])
+            counters[ci] += 1
+            if differential:
+                diff = coeffs[0]
+            else:
+                diff = coeffs[0] - pred[ci]
+                pred[ci] = coeffs[0]
+            ctxs[ci] = _encode_dc(enc, dc_bins, ctxs[ci], (0, 1), diff)
+            zz = [coeffs[ZIGZAG_TO_NATURAL[z]] for z in range(64)]
+            _encode_ac(enc, ac_bins, zz, 5)
+    return enc.flush()
+
+
+def _arith_prog_dc_scan(comps_n, w, h, block_coeffs, differential, ah, al):
+    enc = ArithEncoder()
+    bins = bytearray(DC_STAT_BINS)
+    fixed = bytearray([113 << 1])
+    pred = [0] * comps_n
+    ctxs = [0] * comps_n
+    bw, bh = -(-w // 8), -(-h // 8)
+    for b in range(bw * bh):
+        for ci in range(comps_n):
+            dc = block_coeffs(ci, b)[0]
+            if ah == 0:
+                v = dc >> al
+                if differential:
+                    diff = v
+                else:
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                ctxs[ci] = _encode_dc(enc, bins, ctxs[ci], (0, 1), diff)
+            else:
+                enc.encode(fixed, 0, (dc >> al) & 1)
+    return enc.flush()
+
+
+def _arith_prog_ac_scan(ci, w, h, block_coeffs):
+    """AC first scan over the full band (Ss=1, Se=63, Al=0): the G.2
+    model coincides with the sequential AC model there, so the
+    sequential encoder path is the correct byte generator."""
+    enc = ArithEncoder()
+    bins = bytearray(AC_STAT_BINS)
+    bw, bh = -(-w // 8), -(-h // 8)
+    for b in range(bw * bh):
+        coeffs = block_coeffs(ci, b)
+        zz = [coeffs[ZIGZAG_TO_NATURAL[z]] for z in range(64)]
+        _encode_ac(enc, bins, zz, 5)
+    return enc.flush()
+
+
+def _arith_ll_scan(comps_n, w, h, samples_fn, differential,
+                   pred_sel=1, pt=0, precision=8):
+    """Annex-H scan bytes for the hierarchy: differential (SOF15,
+    predictor 0 — samples_fn returns the signed diff) or
+    non-differential (SOF11 base — samples_fn returns the ABSOLUTE
+    point-transformed sample; diffs computed against predictor
+    ``pred_sel`` with the H.1.2 boundary rules, wrapped to signed
+    16-bit as the decoder's mod-65536 reconstruction expects)."""
+    enc = ArithEncoder()
+    bins = bytearray(LL_STAT_BINS)
+    prev = [[0] * w for _ in range(comps_n)]
+    cur = [[0] * w for _ in range(comps_n)]
+    planes = [[[0] * w for _ in range(h)] for _ in range(comps_n)]
+    default = 1 << (precision - pt - 1)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(comps_n):
+                if differential:
+                    diff = samples_fn(ci, y, x)
+                else:
+                    v = samples_fn(ci, y, x) & 0xFFFF
+                    px = _predict(planes[ci], y, x, 0, 0, default, pred_sel)
+                    diff = ((v - px + 0x8000) & 0xFFFF) - 0x8000
+                    planes[ci][y][x] = v
+                da = 0 if (y, x) == (0, 0) or (y > 0 and x == 0) \
+                    else cur[ci][x - 1]
+                db = 0 if y == 0 else prev[ci][x]
+                _encode_ll_diff(
+                    enc, bins, _classify(da, 0, 1), _classify(db, 0, 1), diff
+                )
+                cur[ci][x] = diff
+        prev, cur = cur, prev
+    return enc.flush()
+
+
 def encode_hierarchical(full_w, full_h, ncomp, qtable, precision, stages):
     """DHP + frame sequence. ``stages``: list of dicts with keys
     diff (bool), w, h, exp ((eh, ev) or None), and per mode:
@@ -189,6 +294,7 @@ def encode_hierarchical(full_w, full_h, ncomp, qtable, precision, stages):
 
     for st in stages:
         mode = st.get("mode", "seq")
+        arith = st.get("arith", False)
         if st.get("exp"):
             eh, ev = st["exp"]
             out += b"\xff\xdf" + struct.pack(">H", 3) + bytes(
@@ -199,10 +305,18 @@ def encode_hierarchical(full_w, full_h, ncomp, qtable, precision, stages):
         for ci in range(ncomp):
             sof += bytes([ci + 1, 0x11, 0])
         if mode == "lossless":
-            assert st["diff"], "SOF7 is differential by definition"
-            marker = b"\xff\xc7"
+            if arith:
+                marker = b"\xff\xcf" if st["diff"] else b"\xff\xcb"
+            else:
+                assert st["diff"], "Huffman lossless here is SOF7 only"
+                marker = b"\xff\xc7"
         elif mode == "prog":
-            marker = b"\xff\xc6" if st["diff"] else b"\xff\xc2"
+            if arith:
+                marker = b"\xff\xce" if st["diff"] else b"\xff\xca"
+            else:
+                marker = b"\xff\xc6" if st["diff"] else b"\xff\xc2"
+        elif arith:
+            marker = b"\xff\xcd" if st["diff"] else b"\xff\xc9"
         else:
             marker = (
                 b"\xff\xc5"
@@ -212,10 +326,16 @@ def encode_hierarchical(full_w, full_h, ncomp, qtable, precision, stages):
         out += marker + struct.pack(">H", 2 + len(sof)) + sof
         if mode == "seq":
             emit_sos(range(ncomp), [0, 63, 0])
-            out += _scan_bytes(
-                ncomp, st["w"], st["h"], st["coeffs"], dc_codes,
-                ac_codes, differential=st["diff"],
-            )
+            if arith:
+                out += _arith_seq_scan(
+                    ncomp, st["w"], st["h"], st["coeffs"],
+                    differential=st["diff"],
+                )
+            else:
+                out += _scan_bytes(
+                    ncomp, st["w"], st["h"], st["coeffs"], dc_codes,
+                    ac_codes, differential=st["diff"],
+                )
         elif mode == "prog":
             scans = st.get(
                 "scans",
@@ -225,23 +345,47 @@ def encode_hierarchical(full_w, full_h, ncomp, qtable, precision, stages):
                 ss, se, ah, al = sc[:4]
                 if ss == 0:
                     emit_sos(range(ncomp), [0, 0, (ah << 4) | al])
-                    out += _prog_dc_scan(
-                        ncomp, st["w"], st["h"], st["coeffs"],
-                        dc_codes, st["diff"], ah, al,
-                    )
+                    if arith:
+                        out += _arith_prog_dc_scan(
+                            ncomp, st["w"], st["h"], st["coeffs"],
+                            st["diff"], ah, al,
+                        )
+                    else:
+                        out += _prog_dc_scan(
+                            ncomp, st["w"], st["h"], st["coeffs"],
+                            dc_codes, st["diff"], ah, al,
+                        )
                 else:
                     ci = sc[4] if len(sc) > 4 else 0
                     assert (ah, al) == (0, 0), "AC SA not in this encoder"
+                    if not arith and (ss, se) != (1, 63):
+                        pass  # Huffman AC scans accept any band
+                    if arith:
+                        assert (ss, se) == (1, 63), (
+                            "arith AC scans: full band only here"
+                        )
                     emit_sos([ci], [ss, se, 0])
-                    out += _prog_ac_scan(
-                        ci, st["w"], st["h"], st["coeffs"], ac_codes
-                    )
-        else:  # lossless differential
+                    if arith:
+                        out += _arith_prog_ac_scan(
+                            ci, st["w"], st["h"], st["coeffs"]
+                        )
+                    else:
+                        out += _prog_ac_scan(
+                            ci, st["w"], st["h"], st["coeffs"], ac_codes
+                        )
+        else:  # lossless
             pt = st.get("pt", 0)
-            emit_sos(range(ncomp), [0, 0, pt])  # Ss=0: predictor 0
-            out += _ll_scan_bytes(
-                ncomp, st["w"], st["h"], st["samples"], dc_codes
-            )
+            pred_sel = 0 if st["diff"] else st.get("pred_sel", 1)
+            emit_sos(range(ncomp), [pred_sel, 0, pt])
+            if arith:
+                out += _arith_ll_scan(
+                    ncomp, st["w"], st["h"], st["samples"], st["diff"],
+                    pred_sel=pred_sel, pt=pt, precision=precision,
+                )
+            else:
+                out += _ll_scan_bytes(
+                    ncomp, st["w"], st["h"], st["samples"], dc_codes
+                )
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -655,25 +799,22 @@ def test_sof2_first_frame_in_pyramid():
 
 
 def test_remaining_hierarchy_gates():
-    """Non-differential lossless and arithmetic frame types inside a
-    hierarchy stay loudly gated; SOF7 with a nonzero predictor
-    selector is malformed."""
+    """Round 12 flipped the SOF3/SOF9-SOF11/SOF13-SOF15 hierarchy
+    gates to decode paths (tests/test_jpeg_hier_arith.py); what stays
+    malformed: SOF7 with a nonzero predictor selector (Table H.1),
+    and a second non-differential frame."""
     q = [8] * 64
     stages = [
         {"diff": False, "w": 8, "h": 8, "coeffs": _grids(60)},
         {"diff": True, "w": 8, "h": 8, "coeffs": _grids(61, 9)},
     ]
     blob = encode_hierarchical(8, 8, 1, q, 8, stages)
-    # relabel the differential SOF5 as arithmetic differential SOF13
+    # relabel the differential SOF5 as NON-differential SOF0: a second
+    # non-differential frame in one pyramid is gated
     at = blob.index(b"\xff\xc5")
     bad = bytearray(blob)
-    bad[at + 1] = 0xCD
-    with pytest.raises(NotImplementedError, match="SOF"):
-        decode_jpeg_hierarchical(bytes(bad))
-    # ... and as non-differential lossless SOF3
-    bad = bytearray(blob)
-    bad[at + 1] = 0xC3
-    with pytest.raises(NotImplementedError, match="SOF"):
+    bad[at + 1] = 0xC0
+    with pytest.raises(NotImplementedError, match="non-differential"):
         decode_jpeg_hierarchical(bytes(bad))
     # SOF7 whose SOS carries predictor selector 1: Table H.1 violation
     import random
