@@ -1120,14 +1120,39 @@ def incremental_phash_pairs(
     carried codes, 4 xor+popcounts per candidate."""
     from . import multimodal
 
-    if max_hamming is None:
-        max_hamming = multimodal.PHASH_MAX_HAMMING
-    chunks = multimodal.PHASH_CHUNKS
     codes = multimodal.ahash_chunks(
         multimodal.synth_phash_png_assets(batch_docs)
     ).withColumnRenamed("asset_id", "doc_id")
     b = _phash_chunk_rows(codes).localCheckpoint()
-    idx = spark.read.parquet(index_path)
+    return incremental_phash_pairs_frame(
+        b, spark.read.parquet(index_path), max_hamming, bucket_cap
+    )
+
+
+def incremental_phash_pairs_frame(
+    batch_rows: DataFrame,
+    index_rows: DataFrame | None,
+    max_hamming: int = None,
+    bucket_cap: int = PHASH_BUCKET_CAP,
+) -> DataFrame:
+    """Frame-level core of ``incremental_phash_pairs`` (the phash
+    mirror of ``incremental_pairs_from_bands``): both sides are
+    already (doc_id, chunk_id, chunk_val, c0..c3) rows — the batch's
+    freshly decoded, the index's persisted — so the streaming
+    foreachBatch twin can probe a BucketedTable read with the same
+    plan the path-based form uses. ``index_rows`` None (no index
+    yet): batch-internal collisions only."""
+    from . import multimodal
+
+    if max_hamming is None:
+        max_hamming = multimodal.PHASH_MAX_HAMMING
+    chunks = multimodal.PHASH_CHUNKS
+    b = batch_rows
+    if index_rows is None:
+        return _phash_internal_pairs(b, chunks, max_hamming, bucket_cap)
+    idx = index_rows.select(
+        "doc_id", "chunk_id", "chunk_val", *[f"c{c}" for c in range(chunks)]
+    )
     renames = dict(
         [("doc_id", "batch_id")] + [(f"c{c}", f"b{c}") for c in range(chunks)]
     )
@@ -1143,6 +1168,15 @@ def incremental_phash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+    internal = _phash_internal_pairs(b, chunks, max_hamming, bucket_cap)
+    return cross.unionByName(internal).distinct()
+
+
+def _phash_internal_pairs(
+    b: DataFrame, chunks: int, max_hamming: int, bucket_cap: int
+) -> DataFrame:
+    """Batch-internal chunk collisions (same bucket walk as the
+    one-shot operator, incl. the bucket-cap skew guard)."""
     internal_buckets = (
         b.groupBy("chunk_id", "chunk_val")
         .agg(
@@ -1162,12 +1196,11 @@ def incremental_phash_pairs(
         F.explode(F.expr("slice(members, i + 2, size(members))")).alias("b"),
     )
     iham = " + ".join(f"bit_count(a.c{c} ^ b.c{c})" for c in range(chunks))
-    internal = ipairs.select(
+    return ipairs.select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
         F.expr(f"CAST({iham} AS BIGINT)").alias("hamming"),
-    ).filter(F.col("hamming") <= max_hamming)
-    return cross.unionByName(internal).distinct()
+    ).filter(F.col("hamming") <= max_hamming).distinct()
 
 
 def image_phash_oracle_sql(

@@ -490,3 +490,81 @@ def stream_incremental_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_incremental_image_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    n_buckets: int = 8,
+):
+    """Streaming cross-run IMAGE dedup (VERDICT r11 #4) — the phash
+    mirror of ``stream_incremental_dedup``: image-bearing document
+    rows arrive as parquet files; each micro-batch
+
+    1. decodes the batch's images ONCE (mapInPandas aHash), flattens
+       to 4 chunk rows per image, and PROBES the persisted phash
+       index (``operators/dedup.py::incremental_phash_pairs_frame``)
+       — new near-duplicate pairs are batch-vs-index chunk collisions
+       plus batch-internal collisions, Hamming-verified from the
+       carried codes; indexed images are never re-decoded, and
+
+    2. APPENDS the batch's chunk rows to the index, so later batches
+       (and later runs) dedup against every image seen.
+
+    Both sinks are manifest-committed BucketedTables (/pairs keyed
+    (doc_a, doc_b); /codes keyed (doc_id, chunk_id) — 4 tiny rows per
+    image, the same persisted grain ``write_phash_index`` uses), each
+    upsert carrying a txn marker (checkpoint incarnation, batch id):
+    a replayed micro-batch is SKIPPED at whichever manifest already
+    recorded it — exactly-once, not merely merge-idempotent. The
+    accumulated pairs table equals the one-shot ``image_phash_pairs``
+    over all delivered documents whenever no chunk bucket exceeds the
+    cap (chunk fingerprints are per-image, so batching neither
+    creates nor destroys collisions) — pinned in
+    tests/test_streaming.py. Returns the started query (AvailableNow
+    by default)."""
+    from ..operators import multimodal
+    from ..operators.dedup import (
+        _phash_chunk_rows,
+        incremental_phash_pairs_frame,
+    )
+    from ..pipeline.table import BucketedTable
+
+    stream = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    codes_tbl = BucketedTable(
+        spark, table_root + "/codes", ["doc_id", "chunk_id"],
+        n_buckets=n_buckets,
+    )
+    pairs_tbl = BucketedTable(
+        spark, table_root + "/pairs", ["doc_a", "doc_b"],
+        n_buckets=n_buckets,
+    )
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # decode the batch ONCE: the checkpointed chunk rows feed the
+        # index probe AND the index append — pixels never re-read
+        codes = multimodal.ahash_chunks(
+            multimodal.synth_phash_png_assets(batch_df)
+        ).withColumnRenamed("asset_id", "doc_id")
+        rows = _phash_chunk_rows(codes).localCheckpoint()
+        pairs = incremental_phash_pairs_frame(rows, codes_tbl.read())
+        pairs_tbl.upsert(pairs, txn=(checkpoint_dir + "#pairs", batch_id))
+        codes_tbl.upsert(rows, txn=(checkpoint_dir + "#codes", batch_id))
+
+    writer = (
+        stream.writeStream.foreachBatch(_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -505,3 +505,75 @@ def test_stream_incremental_dedup_converges(spark, tmp_path):
     pairs_tbl = BucketedTable(spark, root + "/pairs", ["doc_a", "doc_b"])
     some = pairs_tbl.read().limit(1)
     assert pairs_tbl.upsert(some, txn=(ck + "#pairs", 0)) is False
+
+
+def test_stream_incremental_image_dedup_converges(spark, tmp_path):
+    """Streaming cross-run IMAGE dedup (the phash mirror): pairs
+    accumulated over micro-batches equal the one-shot
+    ``image_phash_pairs`` over ALL delivered docs; the codes index
+    holds exactly 4 chunk rows per image; a fresh-checkpoint replay
+    converges; a replayed txn marker is skipped at the manifest."""
+    from cryptocoininsights_data_engineer_project_spark.operators.dedup import (
+        image_phash_pairs,
+    )
+    from cryptocoininsights_data_engineer_project_spark.pipeline.table import (
+        BucketedTable,
+    )
+    from cryptocoininsights_data_engineer_project_spark.queries import _t
+    from cryptocoininsights_data_engineer_project_spark.streaming.ingest import (
+        stream_incremental_image_dedup,
+    )
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents").select("doc_id")
+    src = str(tmp_path / "idocs")
+    os.makedirs(src)
+    for i in range(3):
+        docs.filter(f"doc_id % 3 = {i}").coalesce(1).write.parquet(
+            f"{str(tmp_path)}/istage{i}"
+        )
+        import glob as _glob
+        import shutil as _shutil
+
+        part = _glob.glob(f"{str(tmp_path)}/istage{i}/part-*.parquet")[0]
+        _shutil.copy(part, f"{src}/batch{i}.parquet")
+
+    root = str(tmp_path / "itbl")
+    ck = str(tmp_path / "ick1")
+    q = stream_incremental_image_dedup(spark, src, root, ck)
+    q.awaitTermination(300)
+
+    def pairs_snap():
+        t = BucketedTable(spark, root + "/pairs", ["doc_a", "doc_b"])
+        return {
+            (r.doc_a, r.doc_b, r.hamming) for r in t.read().collect()
+        }
+
+    expect = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in image_phash_pairs(docs).collect()
+    }
+    assert expect, "fixture produced no phash pairs"
+    assert pairs_snap() == expect
+
+    # index: every delivered image exactly once, 4 chunk rows each
+    codes = BucketedTable(
+        spark, root + "/codes", ["doc_id", "chunk_id"]
+    ).read()
+    n_docs = docs.count()
+    assert codes.count() == 4 * n_docs
+    assert codes.select("doc_id").distinct().count() == n_docs
+
+    # fresh-checkpoint replay over the SAME files converges
+    q2 = stream_incremental_image_dedup(
+        spark, src, root, str(tmp_path / "ick2")
+    )
+    q2.awaitTermination(300)
+    assert pairs_snap() == expect
+    assert BucketedTable(
+        spark, root + "/codes", ["doc_id", "chunk_id"]
+    ).read().count() == 4 * n_docs
+
+    # replayed micro-batch with a recorded txn marker: skipped
+    pairs_tbl = BucketedTable(spark, root + "/pairs", ["doc_a", "doc_b"])
+    some = pairs_tbl.read().limit(1)
+    assert pairs_tbl.upsert(some, txn=(ck + "#pairs", 0)) is False
