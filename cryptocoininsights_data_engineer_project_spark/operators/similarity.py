@@ -1542,3 +1542,577 @@ def probe_ivf_index(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------- ivf-pq
+# The FAISS IVFPQ composition (VERDICT r11 #6): coarse IVF cells prune
+# WHERE to look, product-quantized RESIDUAL codes compress WHAT is
+# scanned there — probes read nprobe cells and rank candidates by
+# asymmetric distance against per-(query, cell) lookup tables, then
+# exact-rerank a shortlist. In-query form below (oracle-backed
+# registry entry `similarity_ivfpq`); persisted form in
+# build_ivfpq_index / probe_ivfpq_index.
+
+
+def _residual_subvectors(res: DataFrame, m: int, dsub: int) -> DataFrame:
+    """(vec_id, cid, s, semb, svv): residual subvectors — one
+    generator explode, no shuffle."""
+    return (
+        res.select(
+            "vec_id",
+            "cid",
+            F.expr(
+                f"explode(transform(sequence(0, {m - 1}), "
+                f"s -> named_struct('s', s, "
+                f"'semb', slice(remb, s * {dsub} + 1, {dsub}))))"
+            ).alias("x"),
+        )
+        .select(
+            "vec_id", "cid",
+            F.col("x.s").alias("s"), F.col("x.semb").alias("semb"),
+        )
+        .withColumn("svv", F.expr(dot_expr("semb", "semb")))
+    )
+
+
+def _train_pq_codebook(
+    res: DataFrame, rsub: DataFrame, m: int, dsub: int, n_codes: int
+) -> DataFrame:
+    """(pqid, s, cent): the shared residual codebook — seeds are the
+    residual subvectors of the n_codes smallest-md5 vec_ids (the PQ
+    recipe of pq_adc_topk, run on residuals), then ONE Lloyd's update
+    with means rounded to 6 decimals so both engines hand encoding
+    identical codebooks. Returns a localCheckpointed m*n_codes-row
+    frame (training lineage ends here)."""
+    h = F.expr(spark_hash64("CAST(vec_id AS STRING)"))
+    seeds = res.withColumn("__h", h).orderBy("__h", "vec_id").limit(n_codes)
+    w_seed = Window.orderBy("__h", "vec_id")  # n_codes rows
+    cb0 = (
+        seeds.select(
+            (F.row_number().over(w_seed) - 1).cast("long").alias("pqid"),
+            "remb",
+        )
+        .select(
+            "pqid",
+            F.expr(
+                f"explode(transform(sequence(0, {m - 1}), "
+                f"s -> named_struct('s', s, "
+                f"'cent', slice(remb, s * {dsub} + 1, {dsub}))))"
+            ).alias("x"),
+        )
+        .select("pqid", F.col("x.s").alias("s"), F.col("x.cent").alias("cent"))
+    )
+    a0 = _assign_pq(rsub, cb0)
+    return (
+        a0.select("s", "pqid", F.posexplode("semb").alias("idx", "v"))
+        .groupBy("s", "pqid", "idx")
+        .agg(F.round(F.avg("v"), 6).alias("v"))
+        .groupBy("s", "pqid")
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "v"))).alias("ps"))
+        .select("s", "pqid", F.expr("transform(ps, p -> p.v)").alias("cent"))
+        .localCheckpoint()
+    )
+
+
+def _assign_pq(rsub: DataFrame, cb: DataFrame) -> DataFrame:
+    """Nearest codebook entry per (vector, subspace) on the residual
+    (ties to the lowest pqid); the codebook broadcasts."""
+    cc = cb.withColumn("cc", F.expr(dot_expr("cent", "cent")))
+    d = rsub.join(F.broadcast(cc), "s").withColumn(
+        "d2", F.expr(f"svv - 2 * ({dot_expr('semb', 'cent')}) + cc")
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy(
+        F.col("d2").asc(), F.col("pqid").asc()
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "s", "semb", "svv", "pqid")
+    )
+
+
+def _ivfpq_parts(
+    embeddings: DataFrame,
+    n_clusters: int,
+    n_iters: int,
+    m: int,
+    dsub: int,
+    n_codes: int,
+):
+    """Shared training pipeline: (cents, res, codes, codebook) — the
+    coarse quantizer, per-vector residuals, PQ codes, and the trained
+    residual codebook. Used by the in-query operator and the
+    persisted-index build so a probe of a fresh index reproduces the
+    in-query result exactly."""
+    vecs = _ivf_vecs(embeddings)
+    cents = _train_centroids(vecs, n_clusters, n_iters)
+    assigned = _ivf_assign(vecs, cents)
+    res = assigned.join(
+        F.broadcast(cents.select("cid", "cent")), "cid"
+    ).select(
+        "vec_id", "cid", "emb", "vv",
+        F.expr("zip_with(emb, cent, (x, c) -> x - c)").alias("remb"),
+    )
+    rsub = _residual_subvectors(res, m, dsub)
+    codebook = _train_pq_codebook(res, rsub, m, dsub, n_codes)
+    codes = _assign_pq(rsub, codebook).select("vec_id", "cid", "s", "pqid")
+    return cents, res, codes, codebook
+
+
+def _ivfpq_rank(
+    queries: DataFrame,
+    cents: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    full_vecs: DataFrame,
+    k: int,
+    nprobe: int,
+    m: int,
+    dsub: int,
+    rerank: int,
+) -> DataFrame:
+    """Probe + ADC + exact rerank over already-trained parts.
+    ``queries``: (query_id, q_emb, q_vv, q_nrm). ``full_vecs``:
+    (neighbor_id, n_emb, n_nrm) for the rerank stage."""
+    qd = queries.crossJoin(F.broadcast(cents)).withColumn(
+        "d2", F.expr(f"q_vv - 2 * ({dot_expr('q_emb', 'cent')}) + cc")
+    )
+    w_p = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("cid").asc()
+    )
+    probes = (
+        qd.withColumn("rn", F.row_number().over(w_p))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            "query_id", "cid",
+            F.expr("zip_with(q_emb, cent, (x, c) -> x - c)").alias("qremb"),
+        )
+    )
+    q_rsub = (
+        probes.select(
+            "query_id", "cid",
+            F.expr(
+                f"explode(transform(sequence(0, {m - 1}), "
+                f"s -> named_struct('s', s, "
+                f"'semb', slice(qremb, s * {dsub} + 1, {dsub}))))"
+            ).alias("x"),
+        )
+        .select(
+            "query_id", "cid",
+            F.col("x.s").alias("s"), F.col("x.semb").alias("q_semb"),
+        )
+        .withColumn("q_svv", F.expr(dot_expr("q_semb", "q_semb")))
+    )
+    cc = codebook.withColumn("cc", F.expr(dot_expr("cent", "cent")))
+    # per-(query, probed-cell) ADC lookup table: tiny
+    # (|queries| * nprobe * m * n_codes) — broadcast; integer micros
+    # make the m-partial sum associativity-proof across engines
+    lut = q_rsub.join(F.broadcast(cc), "s").select(
+        "query_id", "cid", "s", "pqid",
+        F.expr(
+            f"CAST(round((q_svv - 2 * ({dot_expr('q_semb', 'cent')}) + cc)"
+            " * 1000000, 0) AS BIGINT)"
+        ).alias("pd2_micro"),
+    )
+    pairs = (
+        codes.join(F.broadcast(lut), ["cid", "s", "pqid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd2_micro").alias("d2_micro"))
+    )
+    w_r = Window.partitionBy("query_id").orderBy(
+        F.col("d2_micro").asc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        pairs.withColumn("rn", F.row_number().over(w_r))
+        .filter(F.col("rn") <= rerank)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qv = queries.select(
+        "query_id", F.col("q_emb").alias("qq_emb"), "q_nrm"
+    )
+    rescored = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(full_vecs, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.expr(dot_expr("qq_emb", "n_emb"))
+                / (F.col("q_nrm") * F.col("n_nrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rn", F.row_number().over(w_k))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    k: int = PQ_TOP_K,
+    query_modulus: int = QUERY_MODULUS,
+    n_clusters: int = IVF_KCLUSTERS,
+    n_iters: int = IVF_ITERS,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    dsub: int = PQ_DSUB,
+    n_codes: int = PQ_K,
+    rerank: int = PQ_RERANK,
+    query_limit: int | None = None,
+) -> DataFrame:
+    """IVF-PQ ANN trained END-TO-END in the query: deterministic
+    Lloyd's coarse quantizer (shared with similarity_ivf_trained) →
+    per-vector residuals → shared residual codebook (the pq_adc_topk
+    recipe on residuals) → nprobe-cell probes ranked by integer-micro
+    ADC against per-(query, cell) LUTs → exact cosine re-rank of the
+    shortlist. Output (query_id, neighbor_id, cosine) like every ANN
+    entry; every step engine-portable (``ivfpq_oracle_sql``).
+
+    Scale shape: this is the FAISS IVFPQ layout — candidates are
+    bounded by the probed cells (nprobe/n_clusters of the corpus) AND
+    scanned in compressed form (m code ids per vector, the LUT join
+    replacing full-precision math); the only full-vector touches are
+    the rerank shortlist. The persisted twin (build_ivfpq_index /
+    probe_ivfpq_index) partitions codes by cell so probes prune at
+    the file listing."""
+    cents, res, codes, codebook = _ivfpq_parts(
+        embeddings, n_clusters, n_iters, m, dsub, n_codes
+    )
+    vecs = _ivf_vecs(embeddings)
+    q = _query_sample(
+        vecs.withColumn("nrm", F.expr("sqrt(vv)")), query_modulus, query_limit
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("vv").alias("q_vv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    full_vecs = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("n_emb"),
+        F.expr("sqrt(vv)").alias("n_nrm"),
+    )
+    return _ivfpq_rank(
+        q, cents, codes, codebook, full_vecs, k, nprobe, m, dsub, rerank
+    )
+
+
+def ivfpq_oracle_sql(
+    k: int = PQ_TOP_K,
+    query_modulus: int = QUERY_MODULUS,
+    n_clusters: int = IVF_KCLUSTERS,
+    n_iters: int = IVF_ITERS,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    dsub: int = PQ_DSUB,
+    n_codes: int = PQ_K,
+    rerank: int = PQ_RERANK,
+    query_limit: int | None = None,
+) -> str:
+    """DuckDB twin of ``ivfpq_topk``: the ivf_trained training chain,
+    residuals via element-wise list_zip subtraction (IEEE doubles —
+    identical inputs, identical outputs), the PQ codebook recipe on
+    residuals, per-(query, cell) LUTs with integer-micro partials,
+    and the same shortlist→exact-re-rank."""
+    from ..functions.hashing import duck_hash64
+
+    dh = duck_hash64("CAST(vec_id AS VARCHAR)")
+    d2 = (
+        "v.vv - 2 * list_dot_product(v.emb, c.cent) "
+        "+ list_dot_product(c.cent, c.cent)"
+    )
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+        "v AS (SELECT vec_id, emb, list_dot_product(emb, emb) AS vv FROM e)",
+        f"seed_sel AS (SELECT vec_id, emb FROM v ORDER BY {dh}, vec_id LIMIT {n_clusters})",
+        f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY {dh}, vec_id) - 1 AS BIGINT) AS cid, "
+        "emb AS cent FROM seed_sel)",
+    ]
+    prev = "c0"
+    for i in range(1, n_iters + 1):
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, emb, vv, cid FROM ("
+            f"SELECT v.vec_id, v.emb, v.vv, c.cid, "
+            f"row_number() OVER (PARTITION BY v.vec_id ORDER BY {d2} ASC, c.cid ASC) AS rn "
+            f"FROM v CROSS JOIN {prev} c) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"c{i} AS (SELECT cid, array_agg(av ORDER BY i) AS cent FROM ("
+            f"SELECT cid, i, round(avg(emb[i]), 6) AS av "
+            f"FROM a{i}, UNNEST(generate_series(1, len(emb))) AS g(i) "
+            f"GROUP BY cid, i) GROUP BY cid)"
+        )
+        prev = f"c{i}"
+    ctes.append(
+        f"af AS (SELECT vec_id, emb, vv, cid FROM ("
+        f"SELECT v.vec_id, v.emb, v.vv, c.cid, "
+        f"row_number() OVER (PARTITION BY v.vec_id ORDER BY {d2} ASC, c.cid ASC) AS rn "
+        f"FROM v CROSS JOIN {prev} c) WHERE rn = 1)"
+    )
+    # residuals + residual subvectors
+    ctes.append(
+        f"r AS (SELECT a.vec_id, a.cid, "
+        f"list_transform(list_zip(a.emb, c.cent), p -> p[1] - p[2]) AS remb "
+        f"FROM af a JOIN {prev} c ON a.cid = c.cid)"
+    )
+    sub_slice = f"remb[g.s * {dsub} + 1 : (g.s + 1) * {dsub}]"
+    ctes.append(
+        f"rsub AS (SELECT vec_id, cid, g.s AS s, {sub_slice} AS semb, "
+        f"list_dot_product({sub_slice}, {sub_slice}) AS svv "
+        f"FROM r, UNNEST(generate_series(0, {m - 1})) AS g(s))"
+    )
+    # PQ codebook on residuals: seed + one rounded Lloyd's update
+    ctes.append(
+        f"pqseeds AS (SELECT CAST(row_number() OVER (ORDER BY {dh}, vec_id) - 1 AS BIGINT) "
+        f"AS pqid, remb FROM (SELECT r.remb, r.vec_id FROM r "
+        f"ORDER BY {duck_hash64('CAST(r.vec_id AS VARCHAR)')}, r.vec_id LIMIT {n_codes}))"
+    )
+    cb_slice = f"remb[g.s * {dsub} + 1 : (g.s + 1) * {dsub}]"
+    ctes.append(
+        f"cb0 AS (SELECT pqid, g.s AS s, {cb_slice} AS cent "
+        f"FROM pqseeds, UNNEST(generate_series(0, {m - 1})) AS g(s))"
+    )
+    pd2 = (
+        "a.svv - 2 * list_dot_product(a.semb, c.cent) "
+        "+ list_dot_product(c.cent, c.cent)"
+    )
+    ctes.append(
+        f"pa0 AS (SELECT vec_id, cid, s, semb, pqid FROM ("
+        f"SELECT a.vec_id, a.cid, a.s, a.semb, c.pqid, "
+        f"row_number() OVER (PARTITION BY a.vec_id, a.s ORDER BY {pd2} ASC, c.pqid ASC) AS rn "
+        f"FROM rsub a JOIN cb0 c ON a.s = c.s) WHERE rn = 1)"
+    )
+    ctes.append(
+        f"cb1 AS (SELECT s, pqid, array_agg(av ORDER BY i) AS cent FROM ("
+        f"SELECT s, pqid, i, round(avg(semb[i]), 6) AS av "
+        f"FROM pa0, UNNEST(generate_series(1, {dsub})) AS g(i) "
+        f"GROUP BY s, pqid, i) GROUP BY s, pqid)"
+    )
+    ctes.append(
+        f"codes AS (SELECT vec_id, cid, s, pqid FROM ("
+        f"SELECT a.vec_id, a.cid, a.s, c.pqid, "
+        f"row_number() OVER (PARTITION BY a.vec_id, a.s ORDER BY {pd2} ASC, c.pqid ASC) AS rn "
+        f"FROM rsub a JOIN cb1 c ON a.s = c.s) WHERE rn = 1)"
+    )
+    # queries, probes, per-(query, cell) residual LUT
+    ctes.append(
+        f"q AS (SELECT vec_id AS query_id, emb AS q_emb, vv AS q_vv, "
+        f"sqrt(vv) AS q_nrm FROM v {_query_sample_sql(query_modulus, query_limit)})"
+    )
+    qd2 = (
+        "q.q_vv - 2 * list_dot_product(q.q_emb, c.cent) "
+        "+ list_dot_product(c.cent, c.cent)"
+    )
+    ctes.append(
+        f"probe AS (SELECT query_id, cid, "
+        f"list_transform(list_zip(q_emb, cent), p -> p[1] - p[2]) AS qremb FROM ("
+        f"SELECT q.query_id, q.q_emb, c.cid, c.cent, "
+        f"row_number() OVER (PARTITION BY q.query_id ORDER BY {qd2} ASC, c.cid ASC) AS rn "
+        f"FROM q CROSS JOIN {prev} c) WHERE rn <= {nprobe})"
+    )
+    q_slice = f"qremb[g.s * {dsub} + 1 : (g.s + 1) * {dsub}]"
+    ctes.append(
+        f"qrsub AS (SELECT query_id, cid, g.s AS s, {q_slice} AS q_semb, "
+        f"list_dot_product({q_slice}, {q_slice}) AS q_svv "
+        f"FROM probe, UNNEST(generate_series(0, {m - 1})) AS g(s))"
+    )
+    ctes.append(
+        "lut AS (SELECT u.query_id, u.cid, u.s, c.pqid, "
+        "CAST(round((u.q_svv - 2 * list_dot_product(u.q_semb, c.cent) "
+        "+ list_dot_product(c.cent, c.cent)) * 1000000, 0) AS BIGINT) AS pd2_micro "
+        "FROM qrsub u JOIN cb1 c ON u.s = c.s)"
+    )
+    ctes.append(
+        "pairs AS (SELECT l.query_id, x.vec_id, sum(l.pd2_micro) AS d2_micro "
+        "FROM codes x JOIN lut l ON x.cid = l.cid AND x.s = l.s AND x.pqid = l.pqid "
+        "WHERE x.vec_id != l.query_id GROUP BY l.query_id, x.vec_id)"
+    )
+    ctes.append(
+        f"shortlist AS (SELECT query_id, vec_id AS neighbor_id FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY d2_micro ASC, vec_id ASC) AS rn FROM pairs) WHERE rn <= {rerank})"
+    )
+    ctes.append(
+        "vn AS (SELECT vec_id, emb, sqrt(vv) AS nrm FROM v)"
+    )
+    ctes.append(
+        "rescored AS (SELECT s.query_id, s.neighbor_id, "
+        "round(list_dot_product(q.emb, x.emb) / (q.nrm * x.nrm), 6) AS cosine "
+        "FROM shortlist s JOIN vn q ON q.vec_id = s.query_id "
+        "JOIN vn x ON x.vec_id = s.neighbor_id)"
+    )
+    ctes.append(
+        "ranked AS (SELECT *, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn "
+        "FROM rescored)"
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT query_id, neighbor_id, cosine FROM ranked WHERE rn <= {k}"
+    )
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    index_dir: str,
+    n_clusters: int = IVF_KCLUSTERS,
+    n_iters: int = IVF_ITERS,
+    m: int = PQ_M,
+    dsub: int = PQ_DSUB,
+    n_codes: int = PQ_K,
+) -> None:
+    """Persist an IVF-PQ index: the coarse quantizer and residual
+    codebook train once; the corpus writes PARTITIONED BY cell id
+    with each vector's m PQ codes packed as an array (the compressed
+    scan payload) plus its full vector and norm (the rerank payload —
+    a real deployment could split these into separate files; one
+    table keeps the probe single-scan here). Probes after that read
+    ONLY the nprobe cells they need (partition pruning, verified by
+    inputFiles inspection in tests/test_ivf_index.py)."""
+    cents, res, codes, codebook = _ivfpq_parts(
+        embeddings, n_clusters, n_iters, m, dsub, n_codes
+    )
+    packed = (
+        codes.groupBy("vec_id", "cid")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("s", "pqid"))).alias("ps")
+        )
+        .select(
+            "vec_id", "cid",
+            F.expr("transform(ps, p -> p.pqid)").alias("pq_codes"),
+        )
+    )
+    vecs = _ivf_vecs(embeddings)
+    full = vecs.select("vec_id", "emb", F.expr("sqrt(vv)").alias("nrm"))
+    packed.join(full, "vec_id").select(
+        "vec_id", "emb", "nrm", "pq_codes", "cid"
+    ).write.partitionBy("cid").mode("overwrite").parquet(
+        f"{index_dir}/corpus"
+    )
+    cents.select("cid", "cent", "cc").write.mode("overwrite").parquet(
+        f"{index_dir}/centroids"
+    )
+    codebook.write.mode("overwrite").parquet(f"{index_dir}/codebook")
+
+
+def probe_ivfpq_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = PQ_TOP_K,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    dsub: int = PQ_DSUB,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """Serve top-k from a persisted IVF-PQ index: nprobe cells per
+    query (tiny centroid table), partition-pruned scan of ONLY those
+    cells, ADC ranking of the packed codes against broadcast
+    per-(query, cell) LUTs, exact cosine re-rank of the shortlist.
+    Scoring matches ``ivfpq_topk`` expression-for-expression, so a
+    probe of a freshly built index returns exactly the in-query
+    result (pinned in tests). ``queries``: (query_id, q_emb
+    double[])."""
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    codebook = spark.read.parquet(f"{index_dir}/codebook")
+    q = queries.select(
+        "query_id",
+        "q_emb",
+        F.expr(dot_expr("q_emb", "q_emb")).alias("q_vv"),
+    ).withColumn("q_nrm", F.expr("sqrt(q_vv)"))
+    qd = q.crossJoin(F.broadcast(cents)).withColumn(
+        "d2", F.expr(f"q_vv - 2 * ({dot_expr('q_emb', 'cent')}) + cc")
+    )
+    w_p = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("cid").asc()
+    )
+    probes = (
+        qd.withColumn("rn", F.row_number().over(w_p))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q_emb", "q_vv", "q_nrm", "cid", "cent")
+        .localCheckpoint()  # one probe assignment for cid-list + join
+    )
+    cell_ids = [r["cid"] for r in probes.select("cid").distinct().collect()]
+    corpus = spark.read.parquet(f"{index_dir}/corpus").filter(
+        F.col("cid").isin(cell_ids)
+    )
+    # unpack codes to (vec_id, cid, s, pqid) rows — cheap integer rows
+    codes = corpus.select(
+        "vec_id", "cid", F.posexplode("pq_codes").alias("s", "pqid")
+    )
+    q_rsub = (
+        probes.select(
+            "query_id", "cid",
+            F.expr("zip_with(q_emb, cent, (x, c) -> x - c)").alias("qremb"),
+        )
+        .select(
+            "query_id", "cid",
+            F.expr(
+                f"explode(transform(sequence(0, {m - 1}), "
+                f"s -> named_struct('s', s, "
+                f"'semb', slice(qremb, s * {dsub} + 1, {dsub}))))"
+            ).alias("x"),
+        )
+        .select(
+            "query_id", "cid",
+            F.col("x.s").alias("s"), F.col("x.semb").alias("q_semb"),
+        )
+        .withColumn("q_svv", F.expr(dot_expr("q_semb", "q_semb")))
+    )
+    cc = codebook.withColumn("cc", F.expr(dot_expr("cent", "cent")))
+    lut = q_rsub.join(F.broadcast(cc), "s").select(
+        "query_id", "cid", "s", "pqid",
+        F.expr(
+            f"CAST(round((q_svv - 2 * ({dot_expr('q_semb', 'cent')}) + cc)"
+            " * 1000000, 0) AS BIGINT)"
+        ).alias("pd2_micro"),
+    )
+    pairs = (
+        codes.join(F.broadcast(lut), ["cid", "s", "pqid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd2_micro").alias("d2_micro"))
+    )
+    w_r = Window.partitionBy("query_id").orderBy(
+        F.col("d2_micro").asc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        pairs.withColumn("rn", F.row_number().over(w_r))
+        .filter(F.col("rn") <= rerank)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qv = probes.select("query_id", F.col("q_emb").alias("qq_emb"), "q_nrm").distinct()
+    nv = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    rescored = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.expr(dot_expr("qq_emb", "n_emb"))
+                / (F.col("q_nrm") * F.col("n_nrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rn", F.row_number().over(w_k))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )

@@ -1300,6 +1300,30 @@ def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(_t(spark, sf_dir, "embeddings"))
 
 
+@_q(
+    "similarity_ivfpq",
+    similarity.ivfpq_oracle_sql(),
+    doc="IVF-PQ composed ANN — the FAISS IVFPQ layout, trained "
+    "END-TO-END in the query: the deterministic Lloyd's coarse "
+    "quantizer (shared with similarity_ivf_trained) prunes WHERE to "
+    "look (nprobe of 16 cells per query), a 16-entry residual "
+    "codebook per 8 subspaces compresses WHAT is scanned there "
+    "(operators/similarity.py::ivfpq_topk) — candidates rank by "
+    "integer-micro asymmetric distance against broadcast "
+    "per-(query, cell) lookup tables over the packed codes, then an "
+    "80-wide shortlist re-ranks by exact cosine. Residuals are "
+    "element-wise IEEE subtractions of the rounded centroids, so the "
+    "whole pipeline — both trainings included — has an exact DuckDB "
+    "twin. The persisted form (build_ivfpq_index/probe_ivfpq_index) "
+    "partitions packed codes by cell so probes prune at the file "
+    "listing and returns exactly the in-query result "
+    "(tests/test_ivf_index.py); recall@5 floor pinned in "
+    "tests/test_similarity.py",
+)
+def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivfpq_topk(_t(spark, sf_dir, "embeddings"))
+
+
 @_q("lang_id", textops.lang_id_oracle_sql(), doc="language-ID stopword heuristic")
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.lang_id(_t(spark, sf_dir, "documents"))

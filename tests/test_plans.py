@@ -85,6 +85,7 @@ BNLJ_ALLOWED = {
     "similarity_topk",
     "similarity_ivf_trained",
     "similarity_ivf",
+    "similarity_ivfpq",  # broadcast centroid/codebook cross joins
     "high_low_24h",
     "tfidf_top_terms",
     "q22_dormant_value",

@@ -166,3 +166,22 @@ def test_ann_recall_floor_on_eval_sample(spark):
         ).collect()
     }
     assert len(approx & exact) / len(exact) >= 0.55
+
+
+def test_ivfpq_recall_floor(spark):
+    """similarity_ivfpq must actually find neighbors: recall@5 vs the
+    exact baseline at default knobs. Measured 2026-08-15 at sf0.01:
+    0.68 — matching ivf_trained's pruning-only 0.68 and under pq's
+    compression-only 0.80, as expected: IVFPQ pays both
+    approximations but the exact re-rank recovers most of the PQ
+    loss. Floor a notch under."""
+    em = _t(spark, "/root/testdata/sf0.01", "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(em).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivfpq_topk(em).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.6
