@@ -38,6 +38,15 @@ class GzipError(ValueError):
     """Malformed gzip member stream."""
 
 
+class ZstdUnsupported(NotImplementedError):
+    """Zstandard-compressed input (ZIP method 93 / .warc.zst): zstd is
+    not in the Python 3.11 stdlib (``compression.zstd`` lands in
+    3.14). The LOUD seam a real cluster fills by installing the
+    ``zstandard`` wheel and decompressing before the walk — the same
+    register-a-codec discipline as multimodal.register_decoder; no
+    operator silently skips zstd members."""
+
+
 class WarcError(ValueError):
     """Malformed WARC record structure."""
 
@@ -124,6 +133,16 @@ def parse_warc(payload: bytes) -> list[dict]:
     a CRLF-terminated header block, exactly Content-Length body
     bytes, then the CRLF CRLF record separator."""
     b = bytes(payload)
+    if b[:4] == b"\x28\xb5\x2f\xfd" or (
+        len(b) >= 4 and b[1:4] == b"\x2a\x4d\x18" and (b[0] & 0xF0) == 0x50
+    ):
+        # .warc.zst: a Zstandard frame, or the 0x184D2A5x skippable
+        # frame that carries the warc-zstd dictionary (iipc spec)
+        raise ZstdUnsupported(
+            "Zstandard-compressed WARC (.warc.zst): install the "
+            "zstandard wheel on a real cluster and inflate before "
+            "parse_warc — gzip (.warc.gz) decodes natively"
+        )
     records: list[dict] = []
     pos = 0
     while pos < len(b):
@@ -1065,6 +1084,12 @@ def parse_zip(payload: bytes) -> list[dict]:
         p += 46 + nlen + elen + clen
         if flags & 0x1:
             raise ZipError(f"encrypted member {name!r}")
+        if method == 93:  # APPNOTE 4.4.5: Zstandard
+            raise ZstdUnsupported(
+                f"ZIP member {name!r} uses method 93 (Zstandard); "
+                "install the zstandard wheel on a real cluster — "
+                "stdlib covers stored/DEFLATE/bzip2/LZMA only"
+            )
         if method not in (0, 8, 12, 14):
             raise ZipError(f"unsupported compression method {method}")
         lp = lfh_off

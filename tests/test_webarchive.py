@@ -1385,3 +1385,43 @@ def test_cdxj_lines_render_interop_format(spark):
         assert int(meta["offset"]) == off
         assert int(meta["length"]) == ln
         assert meta["filename"] == f"archive-{aid}.warc"
+
+
+def test_zstd_gates_loudly():
+    """ZIP method 93 and .warc.zst inputs raise the TYPED seam error
+    (ZstdUnsupported is a NotImplementedError) — never a silent skip
+    or an untyped parse failure."""
+    import struct
+
+    import pytest
+
+    from cryptocoininsights_data_engineer_project_spark.operators.webarchive import (
+        ZstdUnsupported,
+        parse_warc,
+        parse_zip,
+    )
+
+    # zstd frame magic and the warc-zstd skippable dictionary frame
+    with pytest.raises(ZstdUnsupported, match="zstandard wheel"):
+        parse_warc(b"\x28\xb5\x2f\xfd" + b"\x00" * 16)
+    with pytest.raises(ZstdUnsupported, match="warc-zstd|zstandard"):
+        parse_warc(b"\x5d\x2a\x4d\x18" + struct.pack("<I", 4) + b"dict")
+
+    # minimal central directory declaring method 93
+    name = b"a.txt"
+    lfh = (
+        b"PK\x03\x04" + struct.pack(
+            "<HHHHHIIIHH", 20, 0, 93, 0, 0, 0, 4, 4, len(name), 0
+        ) + name + b"zstd"
+    )
+    cdh = (
+        b"PK\x01\x02" + struct.pack(
+            "<HHHHHHIIIHHHHHII",
+            20, 20, 0, 93, 0, 0, 0, 4, 4, len(name), 0, 0, 0, 0, 0, 0,
+        ) + name
+    )
+    eocd = b"PK\x05\x06" + struct.pack(
+        "<HHHHIIH", 0, 0, 1, 1, len(cdh), len(lfh), 0
+    )
+    with pytest.raises(ZstdUnsupported, match="method 93"):
+        parse_zip(lfh + cdh + eocd)
