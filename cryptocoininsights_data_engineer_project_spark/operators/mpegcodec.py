@@ -1,10 +1,13 @@
 """MPEG-1 video (ISO/IEC 11172-2) elementary-stream decoder subset +
 syntax-level encoder — the motion-COMPENSATED video seam (VERDICT r10
-item 2 / r11 item 1): I- and P-pictures, 4:2:0 macroblocks, integer
-AND half-pel forward motion vectors, skipped macroblocks, intra
-macroblocks inside P-pictures, DCT residuals with the full run-level
-VLC table incl. escape coding, quantizer-scale updates, custom quant
-matrices, and MPEG-1 mismatch control (oddification).
+item 2 / r11 item 1): I-, P-, AND B-pictures, 4:2:0 macroblocks,
+integer and half-pel forward/backward motion vectors, interpolated
+(bidirectional) prediction, skipped macroblocks (P zero-vector copy
+and B repeat-previous-prediction semantics), intra macroblocks inside
+P/B-pictures, DCT residuals with the full run-level VLC table incl.
+escape coding, quantizer-scale updates, custom quant matrices,
+MPEG-1 mismatch control (oddification), and coding-order -> display-
+order frame reordering.
 
 This closes the inter-frame class the reference pipeline would hand
 to ffmpeg: MS-RLE/APNG (rounds 9-10) covered temporal SKIP deltas;
@@ -15,8 +18,20 @@ Spec fidelity notes (all public, ISO/IEC 11172-2:1993):
 - start codes / picture & slice headers per 2.4.2-2.4.3;
 - macroblock_address_increment per Table B.1 (incl. escape +33 and
   macroblock_stuffing);
-- macroblock_type per Tables B.2a (I) and B.2b (P); B- and
+- macroblock_type per Tables B.2a (I), B.2b (P), and B.2c (B);
   D-pictures gate LOUDLY (MpegUnsupported names the seam);
+- B-picture semantics per 2.4.4.3: separate forward/backward vector
+  predictors reset at slice start and at intra macroblocks, retained
+  across macroblocks that code only the other direction; a SKIPPED
+  B macroblock repeats the PREVIOUS macroblock's prediction mode and
+  reconstructed vectors (unlike P's zero-vector co-located copy) and
+  may not follow an intra macroblock; interpolated prediction
+  averages the two single-direction predictions with (f+b+1)>>1
+  after each side's own half-pel interpolation (2.4.4.4);
+- display reordering: decoding a reference (I/P) picture emits the
+  previously pending reference, B pictures emit immediately, and the
+  last pending reference flushes at sequence end — coding order
+  I P B B ... comes out in display order I B B P ...;
 - motion codes per Table B.4 (same codewords as B.1 with a trailing
   sign bit), reconstruction with the modulo wrap of 2.4.4.2 and the
   full_pel doubling; half-pel interpolation is the spec's "//"
@@ -78,7 +93,7 @@ class MpegError(ValueError):
 
 
 class MpegUnsupported(NotImplementedError):
-    """Valid MPEG-1 syntax outside the implemented subset (B/D
+    """Valid MPEG-1 syntax outside the implemented subset (D
     pictures). The seam a real cluster fills by registering an
     ffmpeg-backed decoder (multimodal.register_decoder)."""
 
@@ -151,6 +166,22 @@ _MBTYPE_P: dict[str, tuple[int, int, int, int]] = {
     "00010": (1, 1, 1, 0),    # MC, coded, quant
     "00001": (1, 0, 1, 0),    # no MC, coded, quant
     "000001": (1, 0, 0, 1),   # intra, quant
+}
+
+# Table B.2c — macroblock_type for B-pictures.
+# flags: (quant, motion_forward, motion_backward, pattern, intra)
+_MBTYPE_B: dict[str, tuple[int, int, int, int, int]] = {
+    "10": (0, 1, 1, 0, 0),      # interpolated, not coded
+    "11": (0, 1, 1, 1, 0),      # interpolated, coded
+    "010": (0, 0, 1, 0, 0),     # backward, not coded
+    "011": (0, 0, 1, 1, 0),     # backward, coded
+    "0010": (0, 1, 0, 0, 0),    # forward, not coded
+    "0011": (0, 1, 0, 1, 0),    # forward, coded
+    "00011": (0, 0, 0, 0, 1),   # intra
+    "00010": (1, 1, 1, 1, 0),   # interpolated, coded, quant
+    "000011": (1, 1, 0, 1, 0),  # forward, coded, quant
+    "000010": (1, 0, 1, 1, 0),  # backward, coded, quant
+    "000001": (1, 0, 0, 0, 1),  # intra, quant
 }
 
 # Table B.3 — coded_block_pattern (bit 32 = Y0 ... bit 1 = Cr).
@@ -280,6 +311,7 @@ _MBA_FULL_DEC = {
 }
 _MBTYPE_I_DEC = dict(_MBTYPE_I)
 _MBTYPE_P_DEC = dict(_MBTYPE_P)
+_MBTYPE_B_DEC = dict(_MBTYPE_B)
 _CBP_DEC = _prefix_decoder(_CBP_CODES)
 _DC_LUMA_DEC = _prefix_decoder(_DC_SIZE_LUMA)
 _DC_CHROMA_DEC = _prefix_decoder(_DC_SIZE_CHROMA)
@@ -619,11 +651,13 @@ def _decode_motion(r: _BitReader, f_code: int, pred: int) -> int:
 
 
 def decode_mpeg1(payload: bytes):
-    """Decode an MPEG-1 video elementary stream (I/P pictures) to
+    """Decode an MPEG-1 video elementary stream (I/P/B pictures) to
     ``(width, height, frames)`` with each frame a tuple of numpy
-    uint8 planes ``(Y, Cb, Cr)`` at 4:2:0 sizes, in coding (= display
-    for I/P-only streams) order. B- and D-pictures raise
-    MpegUnsupported naming the seam."""
+    uint8 planes ``(Y, Cb, Cr)`` at 4:2:0 sizes, in DISPLAY order
+    (a reference picture emits the previously pending reference, B
+    pictures emit immediately, the last reference flushes at sequence
+    end — identical to coding order for I/P-only streams).
+    D-pictures raise MpegUnsupported naming the seam."""
     b = bytes(payload)
     r = _BitReader(b)
     code = r.next_start_code()
@@ -632,7 +666,11 @@ def decode_mpeg1(payload: bytes):
     seq = _parse_sequence_header(r)
     w, h = seq.width, seq.height
     cw, ch_ = (w + 1) // 2, (h + 1) // 2
-    prev: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+    # ref_old = older reference (B's forward side), ref_new = most
+    # recently decoded reference (P's forward side, B's backward side;
+    # pending display until the next reference or sequence end).
+    ref_old: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+    ref_new: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
     frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     while True:
         code = r.next_start_code()
@@ -645,31 +683,88 @@ def decode_mpeg1(payload: bytes):
         r.read(10)  # temporal_reference
         ptype = r.read(3)
         r.read(16)  # vbv_delay
+        full_pel = full_pel_b = False
+        f_code = b_code = 1
         if ptype == 1:
-            full_pel, f_code = False, 1
+            pass
         elif ptype == 2:
             full_pel = bool(r.read_bit())
             f_code = r.read(3)
             if f_code == 0:
                 raise MpegError("forward_f_code 0 is forbidden")
-        elif ptype in (3, 4):
+        elif ptype == 3:
+            full_pel = bool(r.read_bit())
+            f_code = r.read(3)
+            full_pel_b = bool(r.read_bit())
+            b_code = r.read(3)
+            if f_code == 0 or b_code == 0:
+                raise MpegError("f_code 0 is forbidden")
+        elif ptype == 4:
             raise MpegUnsupported(
-                "B- and D-pictures are outside the implemented MPEG-1 "
-                "subset; register an ffmpeg-backed decoder via "
+                "D-pictures are outside the implemented MPEG-1 subset; "
+                "register an ffmpeg-backed decoder via "
                 "multimodal.register_decoder on a real cluster"
             )
         else:
             raise MpegError(f"invalid picture_coding_type {ptype}")
         while r.read_bit():
             r.read(8)  # extra_information_picture
-        if ptype == 2 and prev is None:
+        if ptype == 2 and ref_new is None:
             raise MpegError("P-picture with no reference frame")
+        if ptype == 3 and (ref_old is None or ref_new is None):
+            raise MpegError("B-picture without two reference frames")
         # picture reconstruction buffers
         y = np.zeros((seq.mb_height * 16, seq.mb_width * 16), dtype=np.int64)
         cb = np.zeros((seq.mb_height * 8, seq.mb_width * 8), dtype=np.int64)
         cr = np.zeros_like(cb)
         n_mbs = seq.mb_width * seq.mb_height
         decoded = np.zeros(n_mbs, dtype=bool)
+
+        def _mc_pred(ref, mbx, mby, rx, ry):
+            """One direction's (Y, Cb, Cr) macroblock prediction; the
+            chroma vector is the luma reconstruction /2 truncated
+            toward zero, applied in chroma half-pel units (2.4.4.2)."""
+            ry_, rcb, rcr = ref
+            crx, cry = _trunc_div2(rx), _trunc_div2(ry)
+            return (
+                _predict(ry_, mbx, mby, 16, rx, ry),
+                _predict(rcb, mbx // 2, mby // 2, 8, crx, cry),
+                _predict(rcr, mbx // 2, mby // 2, 8, crx, cry),
+            )
+
+        def _combine(mbx, mby, use_f, use_b, vf, vb):
+            """Prediction per 2.4.4.4: each used direction half-pel
+            interpolates on its own reference, then interpolated
+            macroblocks average the two with (f + b + 1) >> 1."""
+            if use_f:
+                pf = _mc_pred(ref_old if ptype == 3 else ref_new,
+                              mbx, mby, *vf)
+                if not use_b:
+                    return pf
+            if use_b:
+                pb = _mc_pred(ref_new, mbx, mby, *vb)
+                if not use_f:
+                    return pb
+            return tuple((a + b_ + 1) >> 1 for a, b_ in zip(pf, pb))
+
+        def _paint(mbx, mby, pred, cbp, qscale):
+            pred_y, pred_cb, pred_cr = pred
+            for i in range(4):
+                bx, by = (i & 1) * 8, (i >> 1) * 8
+                base = pred_y[by : by + 8, bx : bx + 8]
+                if cbp & (32 >> i):
+                    base = base + _decode_non_intra_block(r, seq, qscale)
+                y[mby + by : mby + by + 8, mbx + bx : mbx + bx + 8] = (
+                    np.clip(base, 0, 255)
+                )
+            if cbp & 2:
+                pred_cb = pred_cb + _decode_non_intra_block(r, seq, qscale)
+            if cbp & 1:
+                pred_cr = pred_cr + _decode_non_intra_block(r, seq, qscale)
+            cx, cy = mbx // 2, mby // 2
+            cb[cy : cy + 8, cx : cx + 8] = np.clip(pred_cb, 0, 255)
+            cr[cy : cy + 8, cx : cx + 8] = np.clip(pred_cr, 0, 255)
+
         # slices
         while True:
             save = r.pos
@@ -684,7 +779,12 @@ def decode_mpeg1(payload: bytes):
             while r.read_bit():
                 r.read(8)  # extra_information_slice
             dc_pred = [1024, 1024, 1024]
-            mv_pred = [0, 0]
+            mv_pred = [0, 0]       # forward predictor (coded domain)
+            mv_pred_b = [0, 0]     # backward predictor (B only)
+            # previous macroblock's prediction, for B skips:
+            # (use_fwd, use_bwd, (rxf, ryf), (rxb, ryb)); None after
+            # an intra macroblock (skip may not follow intra in B)
+            last_b_mode = None
             first_in_slice = True
             while not r.at_start_code():
                 inc = 0
@@ -705,24 +805,51 @@ def decode_mpeg1(payload: bytes):
                 if mb_addr >= n_mbs:
                     raise MpegError("macroblock address beyond picture")
                 for sk in skipped:
-                    if ptype != 2:
+                    if ptype == 1:
                         raise MpegError("skipped macroblock in an I-picture")
-                    _copy_mb(y, cb, cr, prev, sk, seq.mb_width)
+                    if ptype == 2:
+                        # zero-vector co-located copy; resets predictors
+                        _copy_mb(y, cb, cr, ref_new, sk, seq.mb_width)
+                        mv_pred = [0, 0]
+                    else:
+                        # B: repeat the previous macroblock's prediction
+                        # mode and vectors; predictors unchanged
+                        if last_b_mode is None:
+                            raise MpegError(
+                                "skipped B macroblock follows an intra "
+                                "macroblock"
+                            )
+                        uf, ub, vf, vb = last_b_mode
+                        skx = (sk % seq.mb_width) * 16
+                        sky = (sk // seq.mb_width) * 16
+                        _paint(skx, sky, _combine(skx, sky, uf, ub, vf, vb),
+                               0, qscale)
                     decoded[sk] = True
-                    mv_pred = [0, 0]
                     dc_pred = [1024, 1024, 1024]
                 mbx = (mb_addr % seq.mb_width) * 16
                 mby = (mb_addr // seq.mb_width) * 16
-                ttable = _MBTYPE_I_DEC if ptype == 1 else _MBTYPE_P_DEC
-                quant, fwd, pattern, intra = r.decode_prefix(
-                    ttable, "macroblock_type"
-                )
+                if ptype == 1:
+                    quant, fwd, pattern, intra = r.decode_prefix(
+                        _MBTYPE_I_DEC, "macroblock_type"
+                    )
+                    bwd = 0
+                elif ptype == 2:
+                    quant, fwd, pattern, intra = r.decode_prefix(
+                        _MBTYPE_P_DEC, "macroblock_type"
+                    )
+                    bwd = 0
+                else:
+                    quant, fwd, bwd, pattern, intra = r.decode_prefix(
+                        _MBTYPE_B_DEC, "macroblock_type"
+                    )
                 if quant:
                     qscale = r.read(5)
                     if qscale == 0:
                         raise MpegError("quantizer_scale 0 is forbidden")
                 if intra:
                     mv_pred = [0, 0]
+                    mv_pred_b = [0, 0]
+                    last_b_mode = None
                     for i in range(4):
                         bx = mbx + (i & 1) * 8
                         by = mby + (i >> 1) * 8
@@ -735,51 +862,52 @@ def decode_mpeg1(payload: bytes):
                     cr[cy : cy + 8, cx : cx + 8] = np.clip(blk, 0, 255)
                 else:
                     dc_pred = [1024, 1024, 1024]
+                    rx = ry = rxb = ryb = 0
                     if fwd:
                         mv_pred[0] = _decode_motion(r, f_code, mv_pred[0])
                         mv_pred[1] = _decode_motion(r, f_code, mv_pred[1])
                         rx, ry = mv_pred
                         if full_pel:
                             rx, ry = rx * 2, ry * 2
-                    else:
+                    elif ptype == 2:
+                        # P: a non-MC macroblock resets the predictor
+                        # and predicts at zero; in B the predictor is
+                        # RETAINED across backward-only macroblocks
                         mv_pred = [0, 0]
-                        rx = ry = 0
+                    if bwd:
+                        mv_pred_b[0] = _decode_motion(r, b_code, mv_pred_b[0])
+                        mv_pred_b[1] = _decode_motion(r, b_code, mv_pred_b[1])
+                        rxb, ryb = mv_pred_b
+                        if full_pel_b:
+                            rxb, ryb = rxb * 2, ryb * 2
                     cbp = r.decode_prefix(_CBP_DEC, "coded_block_pattern") if pattern else 0
-                    py_, pcb, pcr = prev
-                    pred_y = _predict(py_, mbx, mby, 16, rx, ry)
-                    crx = _trunc_div2(rx)
-                    cry = _trunc_div2(ry)
-                    pred_cb = _predict(pcb, mbx // 2, mby // 2, 8, crx, cry)
-                    pred_cr = _predict(pcr, mbx // 2, mby // 2, 8, crx, cry)
-                    for i in range(4):
-                        bx, by = (i & 1) * 8, (i >> 1) * 8
-                        base = pred_y[by : by + 8, bx : bx + 8]
-                        if cbp & (32 >> i):
-                            base = base + _decode_non_intra_block(r, seq, qscale)
-                        y[mby + by : mby + by + 8, mbx + bx : mbx + bx + 8] = (
-                            np.clip(base, 0, 255)
-                        )
-                    if cbp & 2:
-                        pred_cb = pred_cb + _decode_non_intra_block(r, seq, qscale)
-                    if cbp & 1:
-                        pred_cr = pred_cr + _decode_non_intra_block(r, seq, qscale)
-                    cx, cy = mbx // 2, mby // 2
-                    cb[cy : cy + 8, cx : cx + 8] = np.clip(pred_cb, 0, 255)
-                    cr[cy : cy + 8, cx : cx + 8] = np.clip(pred_cr, 0, 255)
+                    use_f = bool(fwd) or ptype == 2
+                    pred = _combine(mbx, mby, use_f, bool(bwd),
+                                    (rx, ry), (rxb, ryb))
+                    if ptype == 3:
+                        last_b_mode = (use_f, bool(bwd), (rx, ry), (rxb, ryb))
+                    _paint(mbx, mby, pred, cbp, qscale)
                 decoded[mb_addr] = True
-        if ptype == 2 and not decoded.all():
+        if not decoded.all():
             # trailing skipped MBs are illegal (last MB of a slice must
             # be coded); anything undecoded means a malformed stream
-            raise MpegError("picture does not cover every macroblock")
-        if ptype == 1 and not decoded.all():
-            raise MpegError("I-picture with uncoded macroblocks")
+            raise MpegError(
+                "I-picture with uncoded macroblocks" if ptype == 1
+                else "picture does not cover every macroblock"
+            )
         frame = (
             y[:h, :w].astype(np.uint8),
             cb[:ch_, :cw].astype(np.uint8),
             cr[:ch_, :cw].astype(np.uint8),
         )
-        frames.append(frame)
-        prev = frame
+        if ptype == 3:
+            frames.append(frame)  # B displays immediately
+        else:
+            if ref_new is not None:
+                frames.append(ref_new)  # pending reference displays now
+            ref_old, ref_new = ref_new, frame
+    if ref_new is not None:
+        frames.append(ref_new)  # flush the last reference
     if not frames:
         raise MpegError("sequence contains no pictures")
     return w, h, frames
@@ -814,14 +942,16 @@ class IntraMB:
 @dataclass
 class InterMB:
     """Predicted macroblock. ``mv`` is the RECONSTRUCTED forward
-    vector in half-pel units (None = no-MC); ``blocks`` maps block
-    index 0..5 to a list of (run, level) residual pairs (empty dict =
-    not coded)."""
+    vector in half-pel units (None = no-MC in P / no forward in B);
+    ``mv_b`` the reconstructed backward vector (B-pictures only; both
+    set = interpolated). ``blocks`` maps block index 0..5 to a list of
+    (run, level) residual pairs (empty dict = not coded)."""
 
     mv: tuple[int, int] | None = None
     blocks: dict[int, list[tuple[int, int]]] = field(default_factory=dict)
     new_qscale: int | None = None
     force_escape: bool = False  # escape-code every residual pair
+    mv_b: tuple[int, int] | None = None
 
 
 @dataclass
@@ -831,13 +961,15 @@ class SkipMB:
 
 @dataclass
 class PictureSpec:
-    ptype: int  # 1 = I, 2 = P
+    ptype: int  # 1 = I, 2 = P, 3 = B
     # slices: list of lists of MBs, concatenated in address order
     slices: list[list[object]]
     qscale: int = 8
     full_pel: bool = False
     f_code: int = 1
     temporal_reference: int = 0
+    full_pel_b: bool = False  # B only: backward vector full-pel flag
+    b_code: int = 1           # B only: backward_f_code
 
 
 @dataclass
@@ -952,9 +1084,12 @@ def encode_mpeg1(spec: SequenceSpec) -> bytes:
         wtr.put_uint(pic.temporal_reference, 10)
         wtr.put_uint(pic.ptype, 3)
         wtr.put_uint(0xFFFF, 16)  # vbv_delay
-        if pic.ptype == 2:
+        if pic.ptype in (2, 3):
             wtr.put("1" if pic.full_pel else "0")
             wtr.put_uint(pic.f_code, 3)
+        if pic.ptype == 3:
+            wtr.put("1" if pic.full_pel_b else "0")
+            wtr.put_uint(pic.b_code, 3)
         wtr.put("0")  # extra_bit_picture
         wtr.byte_align()
         addr = -1
@@ -970,11 +1105,14 @@ def encode_mpeg1(spec: SequenceSpec) -> bytes:
             wtr.put_uint(pic.qscale, 5)
             wtr.put("0")  # extra_bit_slice
             mv_pred = [0, 0]
+            mv_pred_b = [0, 0]
             pred_addr = (svp - 1) * mb_width - 1
             for mb in sl:
                 addr += 1
                 if isinstance(mb, SkipMB):
-                    mv_pred = [0, 0]  # skips reset the MV predictor
+                    if pic.ptype == 2:
+                        mv_pred = [0, 0]  # P skips reset the predictor
+                    # B skips leave both predictors unchanged
                     continue
                 inc = addr - pred_addr
                 pred_addr = addr
@@ -991,6 +1129,7 @@ def encode_mpeg1(spec: SequenceSpec) -> bytes:
                         wtr.put_uint(mb.new_qscale, 5)
                         qscale = mb.new_qscale
                     mv_pred = [0, 0]
+                    mv_pred_b = [0, 0]
                     for i in range(6):
                         _encode_dc(wtr, mb.dc_diffs[i], 0 if i < 4 else i - 3)
                         for zz_idx in sorted(mb.ac[i]):
@@ -1005,27 +1144,51 @@ def encode_mpeg1(spec: SequenceSpec) -> bytes:
                             )
                         wtr.put(EOB)
                 elif isinstance(mb, InterMB):
-                    if pic.ptype != 2:
+                    if pic.ptype == 1:
                         raise ValueError("InterMB in an I-picture")
                     coded = bool(mb.blocks)
-                    if mb.mv is not None and coded:
-                        wtr.put("00010" if mb.new_qscale else "1")
-                    elif mb.mv is not None:
-                        wtr.put("001")
-                        if mb.new_qscale:
-                            raise ValueError("MC-not-coded cannot requant")
-                    elif coded:
-                        wtr.put("00001" if mb.new_qscale else "01")
-                    else:
-                        raise ValueError(
-                            "no-MC not-coded macroblock must be a SkipMB"
-                        )
+                    if pic.ptype == 2:
+                        if mb.mv_b is not None:
+                            raise ValueError(
+                                "backward vector in a P-picture"
+                            )
+                        if mb.mv is not None and coded:
+                            wtr.put("00010" if mb.new_qscale else "1")
+                        elif mb.mv is not None:
+                            wtr.put("001")
+                            if mb.new_qscale:
+                                raise ValueError("MC-not-coded cannot requant")
+                        elif coded:
+                            wtr.put("00001" if mb.new_qscale else "01")
+                        else:
+                            raise ValueError(
+                                "no-MC not-coded macroblock must be a SkipMB"
+                            )
+                    else:  # B-picture, Table B.2c
+                        f_, b_ = mb.mv is not None, mb.mv_b is not None
+                        if not (f_ or b_):
+                            raise ValueError(
+                                "B macroblock needs at least one vector"
+                            )
+                        if mb.new_qscale and not coded:
+                            raise ValueError("not-coded cannot requant")
+                        if f_ and b_:
+                            code = ("00010" if mb.new_qscale
+                                    else ("11" if coded else "10"))
+                        elif f_:
+                            code = ("000011" if mb.new_qscale
+                                    else ("0011" if coded else "0010"))
+                        else:
+                            code = ("000010" if mb.new_qscale
+                                    else ("011" if coded else "010"))
+                        wtr.put(code)
                     if mb.new_qscale:
                         wtr.put_uint(mb.new_qscale, 5)
                         qscale = mb.new_qscale
-                    if mb.mv is not None:
-                        want = list(mb.mv)
-                        if pic.full_pel:
+
+                    def _put_vector(want_mv, pred, full_pel, f_code):
+                        want = list(want_mv)
+                        if full_pel:
                             if want[0] % 2 or want[1] % 2:
                                 raise ValueError(
                                     "full-pel picture requires even vectors"
@@ -1033,11 +1196,17 @@ def encode_mpeg1(spec: SequenceSpec) -> bytes:
                             want = [want[0] // 2, want[1] // 2]
                         for axis in (0, 1):
                             _encode_motion(
-                                wtr, want[axis] - mv_pred[axis], pic.f_code
+                                wtr, want[axis] - pred[axis], f_code
                             )
-                            mv_pred[axis] = want[axis]
-                    else:
+                            pred[axis] = want[axis]
+
+                    if mb.mv is not None:
+                        _put_vector(mb.mv, mv_pred, pic.full_pel, pic.f_code)
+                    elif pic.ptype == 2:
                         mv_pred = [0, 0]
+                    if mb.mv_b is not None:
+                        _put_vector(mb.mv_b, mv_pred_b, pic.full_pel_b,
+                                    pic.b_code)
                     if coded:
                         cbp = 0
                         for i in mb.blocks:

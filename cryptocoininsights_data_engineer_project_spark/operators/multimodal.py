@@ -5380,3 +5380,350 @@ SELECT ya.doc_id AS asset_id, CAST(ya.frame_idx AS BIGINT) AS frame_idx,
   y_sum * 1000000 // {w * h} AS y_mean_ppm
 FROM ya JOIN ca ON ya.doc_id = ca.doc_id AND ya.frame_idx = ca.frame_idx
 """
+
+
+# ------------------------------------------------- mpeg-1 B-pictures
+# BIDIRECTIONAL prediction (round 12, closing the B-picture gate the
+# I/P query above used to name): coding order I(tref 0) P(tref 2)
+# B(tref 1) — the decoder must REORDER to display order I B P. The
+# B-picture exercises every non-intra B macroblock class reachable in
+# a 2x2-macroblock frame: INTERPOLATED (forward+backward average,
+# integer fwd vector from the I reference + integer bwd vector from
+# the FUTURE P reference), BACKWARD-only with an escape-coded DCT
+# residual, SKIPPED (B semantics: repeat the previous macroblock's
+# prediction mode and vectors — NOT P's zero-vector copy), and
+# FORWARD-only half-pel whose motion delta is coded against the
+# predictor RETAINED across the backward-only macroblock (the B
+# predictor rule P-pictures don't have). Same discipline as the I/P
+# query: constant VLC layout, SQL-buildable amplitude fields, bytes
+# pinned byte-equal to mpegcodec.encode_mpeg1, closed-form oracle.
+
+_MPEG_B_PARAMS: dict[str, tuple[int, int, int, int, int]] = {}
+for _m in range(4):
+    for _k in range(4):
+        _MPEG_B_PARAMS[f"f{_m}{_k}"] = (
+            5 + 2 * (4 * _m + _k), 7 * (4 * _m + _k + 1), 16, 0, 1
+        )
+    _MPEG_B_PARAMS[f"d0{_m}"] = (7, 3 * _m + 2, 8, 0, 1)
+    _MPEG_B_PARAMS[f"d1{_m}"] = (11, 5 * _m + 3, 8, 0, 1)
+for _k in range(4):
+    _MPEG_B_PARAMS[f"gb{_k}"] = (5 + 2 * _k, 7 * _k + 5, 16, 0, 1)
+_MPEG_B_PARAMS["hb0"] = (13, 4, 8, 0, 1)
+_MPEG_B_PARAMS["hb1"] = (3, 6, 8, 0, 1)
+_MPEG_B_PARAMS["Lb"] = (1, 0, 8, 8, 2)  # escape DC level, B residual
+del _m, _k
+
+
+def _mpeg_b_param(name: str, doc) -> int | str:
+    a, b, mod, base, scale = _MPEG_B_PARAMS[name]
+    if isinstance(doc, int):
+        return base + scale * ((doc * a + b) % mod)
+    expr = f"(({doc}) * {a} + {b}) % {mod}"
+    if base == 0 and scale == 1:
+        return f"({expr})"
+    return f"({base} + {scale} * ({expr}))"
+
+
+def _mpeg_b_ops(doc) -> list[tuple]:
+    """Bitstream ops for the I-P-B sequence (same op convention as
+    _mpeg_ops; agreement with encode_mpeg1 pinned byte-for-byte in
+    tests/test_multimodal_mpeg.py)."""
+    P = lambda n: _mpeg_b_param(n, doc)  # noqa: E731
+    num = isinstance(doc, int)
+
+    def add(x, k):
+        return x + k if num else f"({x} + {k})"
+
+    def rsub(k, x):
+        return k - x if num else f"({k} - {x})"
+
+    ops: list[tuple] = []
+
+    def b(bits: str):
+        ops.append(("b", bits))
+
+    def u(value: int, n: int):
+        b(format(value, f"0{n}b"))
+
+    def s(value, n: int):
+        ops.append(("s", value, n))
+
+    def start(code: int):
+        b("0" * 23 + "1")
+        u(code, 8)
+
+    def align():
+        total = 0
+        for op in ops:
+            total += len(op[1]) if op[0] == "b" else op[2]
+        if total % 8:
+            b("0" * (8 - total % 8))
+
+    # sequence + GOP headers (default matrices)
+    start(0xB3)
+    u(MPEG_W, 12)
+    u(MPEG_H, 12)
+    u(1, 4)
+    u(3, 4)
+    u(0x3FFFF, 18)
+    b("1")
+    u(16, 10)
+    b("000")
+    start(0xB8)
+    u(0, 25)
+    b("10")
+    align()
+    # ---- coding frame 0: I-picture (tref 0), four slices
+    start(0x00)
+    u(0, 10)
+    u(1, 3)
+    u(0xFFFF, 16)
+    b("0")
+    align()
+    for m in range(4):
+        start(1 + m // 2)
+        u(_MPEG_QSCALE, 5)
+        b("0")
+        b("1" if m % 2 == 0 else "011")
+        b("1")
+        b("1110"); s(add(P(f"f{m}0"), 16), 5); b("10")
+        b("1110"); s(rsub(15, P(f"f{m}1")), 5); b("10")
+        b("1110"); s(add(P(f"f{m}2"), 16), 5); b("10")
+        b("1110"); s(rsub(15, P(f"f{m}3")), 5); b("10")
+        b("1110"); s(add(P(f"d0{m}"), 8), 4); b("10")
+        b("1110"); s(rsub(7, P(f"d1{m}")), 4); b("10")
+        align()
+    # ---- coding frame 1: P-picture (tref 2 — the FUTURE reference)
+    start(0x00)
+    u(2, 10)
+    u(2, 3)
+    u(0xFFFF, 16)
+    b("0")
+    u(1, 3)
+    b("0")
+    align()
+    start(0x01)
+    u(_MPEG_QSCALE, 5)
+    b("0")
+    # MB0: MC not coded, mv (4,0) -> samples I at (x+2, y)
+    b("1")
+    b("001")
+    b("000011" "0")
+    b("1")
+    # MB1: intra-in-P repaint
+    b("1")
+    b("00011")
+    b("1110"); s(add(P("gb0"), 16), 5); b("10")
+    b("1110"); s(rsub(15, P("gb1")), 5); b("10")
+    b("1110"); s(add(P("gb2"), 16), 5); b("10")
+    b("1110"); s(rsub(15, P("gb3")), 5); b("10")
+    b("1110"); s(add(P("hb0"), 8), 4); b("10")
+    b("1110"); s(rsub(7, P("hb1")), 4); b("10")
+    # MB2 skipped (co-located copy of I); MB3: MC not coded, mv (0,-4)
+    b("011")
+    b("001")
+    b("1")
+    b("000011" "1")
+    align()
+    # ---- coding frame 2: B-picture (tref 1 — displays BETWEEN them)
+    start(0x00)
+    u(1, 10)
+    u(3, 3)
+    u(0xFFFF, 16)
+    b("0")         # full_pel_forward_vector
+    u(1, 3)        # forward_f_code
+    b("0")         # full_pel_backward_vector
+    u(1, 3)        # backward_f_code
+    b("0")
+    align()
+    start(0x01)
+    u(_MPEG_QSCALE, 5)
+    b("0")
+    # MB0: interpolated, not coded; fwd (2,0) from I, bwd (0,2) from P
+    b("1")
+    b("10")
+    b("001" "0")   # fwd h +2
+    b("1")         # fwd v 0
+    b("1")         # bwd h 0
+    b("001" "0")   # bwd v +2
+    # MB1: backward-only, coded; bwd (0,0) (deltas 0,-2 from pred),
+    # escape-coded DC residual on Y0
+    b("1")
+    b("011")
+    b("1")         # bwd h delta 0
+    b("001" "1")   # bwd v delta -2
+    b("1010")      # cbp = 32 (Y0)
+    b("000001"); u(0, 6); s(P("Lb"), 8)
+    b("10")
+    # MB2 skipped: repeats MB1's backward (0,0) prediction
+    # MB3: forward-only half-pel (-3,0); delta -5 from the RETAINED
+    # forward predictor (2,0)
+    b("011")
+    b("0010")
+    b("0000101" "1")  # fwd h delta -5
+    b("1")            # fwd v delta 0
+    align()
+    start(0xB7)
+    return ops
+
+
+def mpeg_b_payload_bytes(doc_id: int) -> bytes:
+    """The B-picture fixture payload for one document (test hook)."""
+    return _mpeg_pack(_mpeg_b_ops(doc_id))
+
+
+def synth_mpeg_b_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): MPEG-1 elementary streams with a
+    bidirectionally-predicted B-picture, built byte-exactly JVM-side."""
+    pieces = _mpeg_pack(_mpeg_b_ops("doc_id"))
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr("unhex(concat(" + ", ".join(pieces) + "))").alias("payload"),
+    )
+
+
+def mpeg_b_oracle_sql() -> str:
+    """Closed-form per-frame plane values in DISPLAY order: frame 0 =
+    the I-picture's DC chains, frame 2 = the P-picture (motion
+    substitution into the I expressions + intra repaint + skip),
+    frame 1 = the B-picture composed from BOTH: interpolated
+    macroblock = (fwd + bwd + 1) // 2 of the I- and P-expressions at
+    their motion offsets, backward macroblocks substitute into the
+    FUTURE frame's expression, the skip repeats the backward
+    co-located sample, and the forward half-pel macroblock averages
+    two shifted I samples. Escape DC residual dequantizes (non-intra,
+    W=16, qscale 5) to 10L+5 — odd, so the flat IDCT is never an
+    exact rounding half and round-to-nearest equals (10L+9)//8 on
+    both engines. All values stay inside [90, 250] by parameter
+    construction (pinned in tests): the decoder clamp is never
+    load-bearing."""
+    P = lambda n: _mpeg_b_param(n, "doc_id")  # noqa: E731
+
+    def v_chain(e0, e1, e2, e3):
+        return [
+            f"(144 + {e0})",
+            f"(128 + {e0} - {e1})",
+            f"(144 + {e0} - {e1} + {e2})",
+            f"(128 + {e0} - {e1} + {e2} - {e3})",
+        ]
+
+    def quad(x, y, lo_lo, lo_hi, hi_lo, hi_hi, half: int):
+        return (
+            f"(CASE WHEN ({y}) < {half} THEN "
+            f"(CASE WHEN ({x}) < {half} THEN {lo_lo} ELSE {lo_hi} END) "
+            f"ELSE (CASE WHEN ({x}) < {half} THEN {hi_lo} ELSE {hi_hi} END) "
+            f"END)"
+        )
+
+    def sh(x, k):
+        return f"(({x}) + {k})" if k >= 0 else f"(({x}) - {-k})"
+
+    def avg2(a, b):
+        return f"(({a} + {b} + 1) // 2)"
+
+    def yi(x, y):
+        mbs = []
+        for mb in range(4):
+            chain = v_chain(*(P(f"f{mb}{k}") for k in range(4)))
+            mbs.append(
+                quad(f"({x}) % 16", f"({y}) % 16",
+                     chain[0], chain[1], chain[2], chain[3], 8)
+            )
+        return quad(x, y, mbs[0], mbs[1], mbs[2], mbs[3], 16)
+
+    def cbi(x, y):
+        return quad(x, y, *(f"(136 + {P(f'd0{mb}')})" for mb in range(4)),
+                    half=8)
+
+    def cri(x, y):
+        return quad(x, y, *(f"(120 - {P(f'd1{mb}')})" for mb in range(4)),
+                    half=8)
+
+    def yp(x, y):
+        chain = v_chain(*(P(f"gb{k}") for k in range(4)))
+        mb1 = quad(f"({x}) % 16", y, chain[0], chain[1], chain[2],
+                   chain[3], 8)
+        return quad(x, y, yi(sh(x, 2), y), mb1, yi(x, y),
+                    yi(x, sh(y, -2)), 16)
+
+    def cbp_(x, y):
+        return quad(x, y, cbi(sh(x, 1), y), f"(136 + {P('hb0')})",
+                    cbi(x, y), cbi(x, sh(y, -1)), 8)
+
+    def crp(x, y):
+        return quad(x, y, cri(sh(x, 1), y), f"(120 - {P('hb1')})",
+                    cri(x, y), cri(x, sh(y, -1)), 8)
+
+    resid = f"((10 * {P('Lb')} + 9) // 8)"
+
+    def yb(x, y):
+        mb0 = avg2(yi(sh(x, 1), y), yp(x, sh(y, 1)))
+        mb1 = (
+            f"(CASE WHEN ({x}) < 24 AND ({y}) < 8 "
+            f"THEN ({yp(x, y)} + {resid}) ELSE {yp(x, y)} END)"
+        )
+        mb3 = avg2(yi(sh(x, -2), y), yi(sh(x, -1), y))
+        return quad(x, y, mb0, mb1, yp(x, y), mb3, 16)
+
+    def cb_b(x, y):
+        mb0 = avg2(
+            avg2(cbi(x, y), cbi(sh(x, 1), y)),
+            avg2(cbp_(x, y), cbp_(x, sh(y, 1))),
+        )
+        mb3 = avg2(cbi(sh(x, -1), y), cbi(x, y))
+        return quad(x, y, mb0, cbp_(x, y), cbp_(x, y), mb3, 8)
+
+    def cr_b(x, y):
+        mb0 = avg2(
+            avg2(cri(x, y), cri(sh(x, 1), y)),
+            avg2(crp(x, y), crp(x, sh(y, 1))),
+        )
+        mb3 = avg2(cri(sh(x, -1), y), cri(x, y))
+        return quad(x, y, mb0, crp(x, y), crp(x, y), mb3, 8)
+
+    yv = (
+        f"(CASE t.t WHEN 0 THEN {yi('x.x', 'y.y')} "
+        f"WHEN 1 THEN {yb('x.x', 'y.y')} ELSE {yp('x.x', 'y.y')} END)"
+    )
+    bv = (
+        f"(CASE t.t WHEN 0 THEN {cbi('x.x', 'y.y')} "
+        f"WHEN 1 THEN {cb_b('x.x', 'y.y')} ELSE {cbp_('x.x', 'y.y')} END)"
+    )
+    rv = (
+        f"(CASE t.t WHEN 0 THEN {cri('x.x', 'y.y')} "
+        f"WHEN 1 THEN {cr_b('x.x', 'y.y')} ELSE {crp('x.x', 'y.y')} END)"
+    )
+    w, h = MPEG_W, MPEG_H
+    cw, ch_ = w // 2, h // 2
+    return f"""
+WITH ypx AS (
+  SELECT doc_id, t.t AS frame_idx, (y.y * {w} + x.x) AS i, {yv} AS v
+  FROM documents,
+       UNNEST(generate_series(0, {MPEG_FRAMES - 1})) AS t(t),
+       UNNEST(generate_series(0, {h - 1})) AS y(y),
+       UNNEST(generate_series(0, {w - 1})) AS x(x)
+), cpx AS (
+  SELECT doc_id, t.t AS frame_idx, (y.y * {cw} + x.x) AS j,
+         {bv} AS b, {rv} AS r
+  FROM documents,
+       UNNEST(generate_series(0, {MPEG_FRAMES - 1})) AS t(t),
+       UNNEST(generate_series(0, {ch_ - 1})) AS y(y),
+       UNNEST(generate_series(0, {cw - 1})) AS x(x)
+), ya AS (
+  SELECT doc_id, frame_idx, CAST(sum(v) AS BIGINT) AS y_sum,
+         CAST(sum(v * (i + 1) * (i + 1)) AS BIGINT) AS y_checksum
+  FROM ypx GROUP BY doc_id, frame_idx
+), ca AS (
+  SELECT doc_id, frame_idx,
+         CAST(sum(b) AS BIGINT) AS cb_sum,
+         CAST(sum(b * (j + 1) * (j + 1)) AS BIGINT) AS cb_checksum,
+         CAST(sum(r) AS BIGINT) AS cr_sum,
+         CAST(sum(r * (j + 1) * (j + 1)) AS BIGINT) AS cr_checksum
+  FROM cpx GROUP BY doc_id, frame_idx
+)
+SELECT ya.doc_id AS asset_id, CAST(ya.frame_idx AS BIGINT) AS frame_idx,
+  CAST({w} AS BIGINT) AS width, CAST({h} AS BIGINT) AS height,
+  y_sum, y_checksum, cb_sum, cb_checksum, cr_sum, cr_checksum,
+  y_sum * 1000000 // {w * h} AS y_mean_ppm
+FROM ya JOIN ca ON ya.doc_id = ca.doc_id AND ya.frame_idx = ca.frame_idx
+"""

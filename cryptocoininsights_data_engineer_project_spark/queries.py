@@ -2689,14 +2689,49 @@ def multimodal_video_mrle(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(tests/test_multimodal_mpeg.py, tests/test_mpeg.py). "
     "Position-weighted checksums on all three planes pin every "
     "sample's value AND location. One mapInPandas pass; payload "
-    "bytes never shuffle. B-pictures gate loudly (MpegUnsupported); "
-    "a real cluster registers an ffmpeg-backed decoder via "
-    "multimodal.register_decoder",
+    "bytes never shuffle. B-pictures are exercised by "
+    "multimodal_video_mpeg_b; D-pictures gate loudly "
+    "(MpegUnsupported) — a real cluster registers an ffmpeg-backed "
+    "decoder via multimodal.register_decoder",
 )
 def multimodal_video_mpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return multimodal.compose_mpeg_stats(
         multimodal.synth_mpeg_assets(docs)
+    )
+
+
+@_q(
+    "multimodal_video_mpeg_b",
+    multimodal.mpeg_b_oracle_sql(),
+    doc="BIDIRECTIONAL MPEG-1 prediction — B-pictures "
+    "(ISO/IEC 11172-2 Table B.2c), completing the I/P/B picture-type "
+    "grid: coding order I(tref 0) P(tref 2) B(tref 1), which the "
+    "decoder must REORDER to display order I B P (a reference "
+    "picture emits the previously pending reference, B emits "
+    "immediately, the last reference flushes at sequence end). The "
+    "B-picture exercises every non-intra B macroblock class "
+    "reachable in a 2x2-macroblock frame: INTERPOLATED "
+    "((fwd + bwd + 1) >> 1 of the I- and P-predictions at their own "
+    "motion offsets), BACKWARD-only with an escape-coded DCT "
+    "residual sampling the FUTURE reference, SKIPPED with B "
+    "semantics (repeat the previous macroblock's prediction mode "
+    "and vectors — not P's zero-vector copy), and FORWARD-only "
+    "half-pel whose motion delta is coded against the predictor "
+    "RETAINED across the backward-only macroblock (the B predictor "
+    "rule P-pictures don't have). Fixture streams are SQL-built "
+    "byte-exactly and pinned byte-equal to the independent "
+    "mpegcodec.encode_mpeg1 syntax writer; the closed-form oracle "
+    "composes both references by coordinate substitution "
+    "(tests/test_multimodal_mpeg.py, tests/test_mpeg.py). "
+    "Position-weighted checksums on all three planes pin every "
+    "sample's value AND location. One mapInPandas pass; payload "
+    "bytes never shuffle",
+)
+def multimodal_video_mpeg_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.compose_mpeg_stats(
+        multimodal.synth_mpeg_b_assets(docs)
     )
 
 

@@ -275,17 +275,150 @@ def test_quantizer_update_mid_slice():
     assert (y1[16:24, 16:24] == np.clip(y0[16:24, 16:24] + hi, 0, 255)).all()
 
 
-def test_b_picture_gates_loudly():
+def pic_p_simple(temporal_reference=2):
+    """P-picture whose every macroblock differs from the I reference
+    (so B tests can tell the two references apart)."""
+    return m.PictureSpec(ptype=2, qscale=5, slices=[[
+        m.InterMB(mv=(0, 0), blocks={0: [(0, 10)]}),
+        m.InterMB(mv=(-2, 0)),
+        m.InterMB(mv=(0, 0), blocks={0: [(0, 20)]}),
+        m.InterMB(mv=(0, -2)),
+    ]], temporal_reference=temporal_reference)
+
+
+def test_b_picture_modes_and_display_reorder():
+    """One B-picture exercising every non-intra B macroblock class —
+    interpolated (fwd+bwd average), backward-only with an escape-coded
+    residual, skipped (repeat previous prediction), and forward-only
+    half-pel whose delta proves the forward predictor is RETAINED
+    across a backward-only macroblock — checked against reference
+    prediction math over the decoded I and P planes. Coding order
+    I P B must come out in display order I B P."""
+    pic_b = m.PictureSpec(ptype=3, qscale=5, slices=[[
+        m.InterMB(mv=(2, 0), mv_b=(0, 2)),   # interpolated, not coded
+        m.InterMB(mv_b=(0, 0), blocks={0: [(0, 12)]}, force_escape=True),
+        m.SkipMB(),                          # repeats backward (0, 0)
+        m.InterMB(mv=(-3, 0)),               # fwd half-pel; delta -5 from
+                                             # the RETAINED predictor (2,0)
+    ]], temporal_reference=1)
+    data = m.encode_mpeg1(
+        m.SequenceSpec(32, 32, [pic_i(), pic_p_simple(), pic_b])
+    )
+    _, _, frames = m.decode_mpeg1(data)
+    assert len(frames) == 3
+    yI, cbI, crI = (p.astype(np.int64) for p in frames[0])
+    yB, cbB, crB = (p.astype(np.int64) for p in frames[1])
+    yP, cbP, crP = (p.astype(np.int64) for p in frames[2])
+    # display order: frame 2 is the P picture (I + residual on MB0 Y0)
+    add = round(deq_non_intra(10) / 8)
+    assert (yP[:8, :8] == np.clip(yI[:8, :8] + add, 0, 255)).all()
+    # MB0: interpolated = (fwd + bwd + 1) >> 1, per plane
+    f_y = predict(yI, 0, 0, 16, 2, 0)
+    b_y = predict(yP, 0, 0, 16, 0, 2)
+    assert (yB[:16, :16] == (f_y + b_y + 1) >> 1).all()
+    f_c = predict(cbI, 0, 0, 8, 1, 0)   # chroma fwd: 2/2=1 -> half-pel x
+    b_c = predict(cbP, 0, 0, 8, 0, 1)
+    assert (cbB[:8, :8] == (f_c + b_c + 1) >> 1).all()
+    f_c = predict(crI, 0, 0, 8, 1, 0)
+    b_c = predict(crP, 0, 0, 8, 0, 1)
+    assert (crB[:8, :8] == (f_c + b_c + 1) >> 1).all()
+    # MB1: backward-only + escape residual on Y0
+    d = deq_non_intra(12)
+    assert d == 125
+    res = int(np.rint(d / 8))
+    assert (yB[:8, 16:24] == np.clip(yP[:8, 16:24] + res, 0, 255)).all()
+    assert (yB[8:16, 16:32] == yP[8:16, 16:32]).all()
+    assert (cbB[:8, 8:16] == cbP[:8, 8:16]).all()
+    # MB2: skipped -> repeats backward (0,0): the P plane, NOT the I
+    assert (yB[16:32, :16] == yP[16:32, :16]).all()
+    assert (yP[16:24, :8] != yI[16:24, :8]).any()  # the two refs differ
+    # MB3: forward-only half-pel from the I reference
+    assert (yB[16:32, 16:32] == predict(yI, 16, 16, 16, -3, 0)).all()
+    assert (cbB[8:16, 8:16] == predict(cbI, 8, 8, 8, -1, 0)).all()
+
+
+def test_b_intra_resets_both_predictors():
+    """An intra macroblock inside a B-picture resets the forward AND
+    backward vector predictors; the following macroblocks' deltas are
+    coded from zero again."""
+    pic_b = m.PictureSpec(ptype=3, qscale=5, slices=[[
+        m.InterMB(mv=(2, 0), mv_b=(0, 2)),
+        intra(22, -20, 18, -18, 11, -11),
+        m.InterMB(mv=(2, 0)),     # delta +2 from the RESET predictor
+        m.InterMB(mv_b=(0, -2)),  # delta -2 from the RESET predictor
+    ]], temporal_reference=1)
+    data = m.encode_mpeg1(
+        m.SequenceSpec(32, 32, [pic_i(), pic_p_simple(), pic_b])
+    )
+    _, _, frames = m.decode_mpeg1(data)
+    yI = frames[0][0].astype(np.int64)
+    yB = frames[1][0].astype(np.int64)
+    yP = frames[2][0].astype(np.int64)
+    assert (yB[:8, 16:24] == 150).all()  # intra chain from 128
+    assert (yB[16:32, :16] == predict(yI, 0, 16, 16, 2, 0)).all()
+    assert (yB[16:32, 16:32] == predict(yP, 16, 16, 16, 0, -2)).all()
+
+
+def test_b_full_pel_backward_and_b_code():
+    """full_pel_backward_vector doubles the coded backward vector and
+    backward_f_code=2 appends a residual bit — independent of the
+    forward side's settings."""
+    pic_b = m.PictureSpec(ptype=3, qscale=5, full_pel_b=True, b_code=2,
+                          slices=[[
+                              m.InterMB(mv_b=(4, 2)),
+                              m.InterMB(mv_b=(0, 2)),
+                              m.InterMB(mv_b=(0, 0)),
+                              m.InterMB(mv_b=(-4, 0)),
+                          ]], temporal_reference=1)
+    data = m.encode_mpeg1(
+        m.SequenceSpec(32, 32, [pic_i(), pic_p_simple(), pic_b])
+    )
+    _, _, frames = m.decode_mpeg1(data)
+    yB = frames[1][0].astype(np.int64)
+    yP = frames[2][0].astype(np.int64)
+    assert (yB[:16, :16] == predict(yP, 0, 0, 16, 4, 2)).all()
+    assert (yB[:16, 16:32] == predict(yP, 16, 0, 16, 0, 2)).all()
+    assert (yB[16:32, :16] == yP[16:32, :16]).all()
+    assert (yB[16:32, 16:32] == predict(yP, 16, 16, 16, -4, 0)).all()
+
+
+def test_b_without_two_references_raises():
+    pic_b = m.PictureSpec(ptype=3, qscale=5, slices=[[
+        m.InterMB(mv=(0, 0), mv_b=(0, 0)),
+        m.InterMB(mv=(0, 0)),
+        m.InterMB(mv=(0, 0)),
+        m.InterMB(mv=(0, 0)),
+    ]], temporal_reference=0)
+    data = m.encode_mpeg1(m.SequenceSpec(32, 32, [pic_i(), pic_b]))
+    with pytest.raises(m.MpegError, match="two reference frames"):
+        m.decode_mpeg1(data)
+
+
+def test_b_skip_after_intra_raises():
+    pic_b = m.PictureSpec(ptype=3, qscale=5, slices=[[
+        intra(22, -20, 18, -18, 11, -11),
+        m.SkipMB(),
+        m.InterMB(mv=(0, 0)),
+        m.InterMB(mv=(0, 0)),
+    ]], temporal_reference=1)
+    data = m.encode_mpeg1(
+        m.SequenceSpec(32, 32, [pic_i(), pic_p_simple(), pic_b])
+    )
+    with pytest.raises(m.MpegError, match="follows an intra"):
+        m.decode_mpeg1(data)
+
+
+def test_d_picture_gates_loudly():
     data = bytearray(m.encode_mpeg1(m.SequenceSpec(32, 32, [pic_i()])))
     # patch picture_coding_type (3 bits after the 10-bit temporal
-    # reference) from I (001) to B (011): byte layout of the picture
+    # reference) from I (001) to D (100): byte layout of the picture
     # header puts ptype in bits 10..12 after the start code.
     at = bytes(data).find(b"\x00\x00\x01\x00")
     assert at >= 0
     hdr = int.from_bytes(data[at + 4 : at + 6], "big")
-    hdr = (hdr & ~(0b111 << 3)) | (0b011 << 3)
+    hdr = (hdr & ~(0b111 << 3)) | (0b100 << 3)
     data[at + 4 : at + 6] = hdr.to_bytes(2, "big")
-    with pytest.raises(m.MpegUnsupported, match="B- and D-pictures"):
+    with pytest.raises(m.MpegUnsupported, match="D-pictures"):
         m.decode_mpeg1(bytes(data))
 
 

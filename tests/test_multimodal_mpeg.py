@@ -120,3 +120,100 @@ def test_decoded_planes_match_reference_composition(spark):
         # frame 2 MB2 skipped, MB3 mv (0,-2)
         assert (y2[16:32, :16] == y1[16:32, :16]).all()
         assert (y2[16:32, 16:32] == y1[15:31, 16:32]).all()
+
+
+# ----------------------------------------------- B-picture fixture
+
+
+def _encoder_spec_b(d: int) -> m.SequenceSpec:
+    """multimodal_video_mpeg_b's content restated through the
+    encoder's API (independent spelling; see _encoder_spec)."""
+    P = lambda n: mm._mpeg_b_param(n, d)  # noqa: E731
+
+    def intra(p0, p1, p2, p3, c0, c1):
+        return m.IntraMB(dc_diffs=(
+            16 + P(p0), -(16 + P(p1)), 16 + P(p2), -(16 + P(p3)),
+            8 + P(c0), -(8 + P(c1)),
+        ))
+
+    pic_i = m.PictureSpec(ptype=1, qscale=5, temporal_reference=0, slices=[
+        [intra(f"f{mb}0", f"f{mb}1", f"f{mb}2", f"f{mb}3",
+               f"d0{mb}", f"d1{mb}")]
+        for mb in range(4)
+    ])
+    pic_p = m.PictureSpec(ptype=2, qscale=5, temporal_reference=2, slices=[[
+        m.InterMB(mv=(4, 0)),
+        intra("gb0", "gb1", "gb2", "gb3", "hb0", "hb1"),
+        m.SkipMB(),
+        m.InterMB(mv=(0, -4)),
+    ]])
+    pic_b = m.PictureSpec(ptype=3, qscale=5, temporal_reference=1, slices=[[
+        m.InterMB(mv=(2, 0), mv_b=(0, 2)),
+        m.InterMB(mv_b=(0, 0), blocks={0: [(0, P("Lb"))]},
+                  force_escape=True),
+        m.SkipMB(),
+        m.InterMB(mv=(-3, 0)),
+    ]])
+    return m.SequenceSpec(32, 32, [pic_i, pic_p, pic_b])
+
+
+def test_b_fixture_bytes_equal_independent_encoder():
+    for d in range(24):
+        assert mm.mpeg_b_payload_bytes(d) == m.encode_mpeg1(_encoder_spec_b(d))
+
+
+def test_b_spark_built_payload_equals_python_bytes(spark):
+    docs = _t(spark, SF, "documents").limit(8)
+    rows = mm.synth_mpeg_b_assets(docs).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert bytes(r.payload) == mm.mpeg_b_payload_bytes(r.asset_id)
+
+
+def test_b_no_clamp_precondition():
+    for d in range(0, 1680, 7):
+        _, _, frames = m.decode_mpeg1(mm.mpeg_b_payload_bytes(d))
+        for planes in frames:
+            for p in planes:
+                assert 1 <= int(p.min()) and int(p.max()) <= 254, d
+
+
+def test_b_query_plan_zero_exchange(spark):
+    df = REGISTRY["multimodal_video_mpeg_b"].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+    assert "Scan parquet" in plan
+
+
+def test_b_decoded_planes_match_reference_composition(spark):
+    """Display order is I B P; the B frame (index 1) is verified
+    against straight-numpy predictions over the decoded I (index 0)
+    and P (index 2) planes — interpolated average, backward residual,
+    B-skip repeat, and forward half-pel."""
+    docs = _t(spark, SF, "documents").limit(3)
+    for r in mm.synth_mpeg_b_assets(docs).collect():
+        _, _, frames = m.decode_mpeg1(bytes(r.payload))
+        assert len(frames) == 3
+        yI = frames[0][0].astype(np.int64)
+        yB = frames[1][0].astype(np.int64)
+        yP = frames[2][0].astype(np.int64)
+        # display reorder sanity: frame 2 is the P picture (its MB0
+        # samples the I frame at (x+2, y))
+        assert (yP[:16, :16] == yI[:16, 2:18]).all()
+        # B MB0 interpolated: fwd (2,0) from I, bwd (0,2) from P
+        f = yI[:16, 1:17]
+        b = yP[1:17, :16]
+        assert (yB[:16, :16] == (f + b + 1) >> 1).all()
+        # B MB1: backward co-located + flat escape residual on Y0
+        resid = (10 * mm._mpeg_b_param("Lb", int(r.asset_id)) + 9) // 8
+        assert (yB[:8, 16:24] == yP[:8, 16:24] + resid).all()
+        assert (yB[8:16, 16:32] == yP[8:16, 16:32]).all()
+        # B MB2 skipped: repeats MB1's backward (0,0) -> the P plane
+        assert (yB[16:32, :16] == yP[16:32, :16]).all()
+        # B MB3: forward half-pel (-3,0) from the I reference
+        a = yI[16:32, 14:30]
+        c = yI[16:32, 15:31]
+        assert (yB[16:32, 16:32] == (a + c + 1) >> 1).all()
