@@ -4772,6 +4772,73 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "corpus_mix_temperature",
+    """
+WITH counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source),
+w AS (
+  SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM counts),
+t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tot_n, CAST(sum(w) AS BIGINT) AS tot_w
+  FROM w),
+rates AS (
+  SELECT w.source,
+         least(1000000,
+               ((t.tot_n // 2) * w.w * 1000000) // (t.tot_w * w.n))
+           AS keep_ppm
+  FROM w, t)
+SELECT d.doc_id, d.source, r.keep_ppm
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE CAST(CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      % 1000000 AS BIGINT) < r.keep_ppm
+""",
+    doc="temperature-weighted corpus mixing — the multinomial source "
+    "reweighting LLM training mixes apply (mT5/GPT style): sampling "
+    "share of source i is n_i^alpha / sum_j n_j^alpha with alpha = "
+    "1/2, UPWEIGHTING small high-value sources relative to raw "
+    "proportion, at a target budget of half the corpus. All "
+    "arithmetic stays integer-exact cross-engine: w_i = "
+    "floor(sqrt(n_i)) (IEEE sqrt is correctly rounded, so floor "
+    "agrees on both engines), keep rate = min(1e6 ppm, "
+    "(N*w_i*1e6) div (W*n_i)) in BIGINT (exact while n*sqrt(n)*1e6 "
+    "< 2^63, i.e. to ~10^10 docs/source; beyond that move the ppm "
+    "scale down), and the keep decision is the same portable "
+    "md5-bucket-vs-ppm rule as stratified_sample/train_split — no "
+    "rand(), reproducible across engines, runs, and cluster sizes. "
+    "Plan: per-source counts are a tiny aggregate, totals a 1-row "
+    "cross join, both broadcast back onto ONE corpus scan — no "
+    "corpus-sized shuffle at any step",
+)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("w", F.expr("CAST(floor(sqrt(n)) AS BIGINT)"))
+        .localCheckpoint()  # |sources| rows; one corpus scan total
+    )
+    totals = counts.agg(
+        F.sum("n").alias("tot_n"), F.sum("w").alias("tot_w")
+    )
+    rates = counts.join(F.broadcast(totals)).select(
+        "source",
+        F.expr(
+            "least(CAST(1000000 AS BIGINT), "
+            "((tot_n div 2) * w * 1000000) div (tot_w * n))"
+        ).alias("keep_ppm"),
+    )
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) % 1000000"
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(bucket < F.col("keep_ppm"))
+        .select("doc_id", "source", "keep_ppm")
+    )
+
+
+@_q(
     "embedding_quantize",
     """
 WITH e AS (
