@@ -144,6 +144,97 @@ def cosine_topk(
     )
 
 
+def sq8_topk(
+    embeddings: DataFrame,
+    k: int = TOP_K,
+    query_modulus: int = QUERY_MODULUS,
+    query_limit: int | None = None,
+) -> DataFrame:
+    """Scalar-quantized (SQ8) top-k cosine — the 4x-compressed ANN
+    serving path next to PQ: every vector is quantized to int8 codes
+    (per-vector symmetric scale max|x|/127, round-half-away — the
+    embedding_quantize convention, pinned cross-engine) and ALL
+    scoring runs on the integer codes. For cosine the per-vector
+    scales cancel exactly, so SQ8 cosine IS the cosine of the integer
+    code vectors — no dequantization anywhere. Every intermediate is
+    an integer-valued double far below 2^53 (|dot| <= 64 * 127^2), so
+    both engines compute bit-identical scores before the final
+    division/sqrt, which are IEEE-identical on identical inputs.
+
+    Output: (query_id, neighbor_id, qcosine) with qcosine rounded to
+    6 decimals; ties (common after quantization) break on neighbor_id.
+
+    Scale shape: same as cosine_topk — the |queries|-row side
+    broadcasts onto one corpus scan; with query_limit set the query
+    side is a TakeOrderedAndProject partial top-k, and the whole
+    operator is O(|queries| * n). At 100 TB the int8 codes are the
+    column you SHIP to the serving tier: 4x less IO than float32, and
+    this operator is the exact scoring those codes support."""
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    s = e.withColumn(
+        "scale", F.expr("array_max(transform(emb, v -> abs(v))) / 127.0")
+    )
+    z = s.select(
+        "vec_id", F.expr("transform(emb, x -> round(x / scale))").alias("q")
+    )
+    n = z.withColumn("qn", F.expr(f"sqrt({dot_expr('q', 'q')})"))
+    q = _query_sample(n, query_modulus, query_limit).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("qn").alias("q_qn"),
+    )
+    pairs = F.broadcast(q).join(n, F.col("query_id") != F.col("vec_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            F.expr(dot_expr("qq", "q")) / (F.col("q_qn") * F.col("qn")), 6
+        ).alias("qcosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "qcosine")
+    )
+
+
+def sq8_topk_oracle_sql(
+    k: int = TOP_K,
+    query_modulus: int = QUERY_MODULUS,
+    query_limit: int | None = None,
+) -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), s AS (
+  SELECT vec_id, emb,
+         list_max(list_transform(emb, v -> abs(v))) / 127.0 AS scale
+  FROM e
+), z AS (
+  SELECT vec_id, list_transform(emb, x -> round(x / scale)) AS q FROM s
+), n AS (
+  SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS qn FROM z
+), qs AS (
+  SELECT vec_id AS query_id, q AS qq, qn AS q_qn FROM n
+  {_query_sample_sql(query_modulus, query_limit)}
+), scored AS (
+  SELECT query_id, n.vec_id AS neighbor_id,
+         round(list_dot_product(qq, q) / (q_qn * qn), 6) AS qcosine
+  FROM qs JOIN n ON query_id != n.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY qcosine DESC, neighbor_id
+  ) AS rn FROM scored
+)
+SELECT query_id, neighbor_id, qcosine FROM ranked WHERE rn <= {k}
+"""
+
+
 def _query_sample_sql(query_modulus: int, query_limit: int | None) -> str:
     """DuckDB tail clause selecting the identical query subset."""
     if query_limit is None:

@@ -1259,6 +1259,29 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "similarity_sq8",
+    similarity.sq8_topk_oracle_sql(query_limit=similarity.EVAL_QUERIES),
+    doc="scalar-quantized (SQ8) cosine top-k — the 4x-compressed ANN "
+    "serving path next to PQ/IVF-PQ: int8 codes (per-vector "
+    "symmetric scale, the embedding_quantize rounding convention) "
+    "score WITHOUT dequantization — for cosine the scales cancel, so "
+    "SQ8 cosine is exactly the cosine of the integer code vectors. "
+    "Every score is integer-exact in double (|dot| <= 64*127^2 << "
+    "2^53) before one IEEE division, so the engines agree bit-for-"
+    "bit. Runs on the fixed md5-top-64 eval sample: O(64*n), the "
+    "scale-safe audit shape — query side TakeOrderedAndProject + "
+    "broadcast onto one corpus scan. Recall floor vs the exact "
+    "baseline pinned in tests/test_similarity.py "
+    "(operators/similarity.py::sq8_topk)",
+)
+def similarity_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.sq8_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_limit=similarity.EVAL_QUERIES,
+    )
+
+
+@_q(
     "similarity_ivf_trained",
     similarity.ivf_trained_oracle_sql(),
     doc="IVF top-k with the coarse quantizer trained IN the query "

@@ -185,3 +185,24 @@ def test_ivfpq_recall_floor(spark):
         for r in similarity.ivfpq_topk(em).collect()
     }
     assert len(got & exact) / len(exact) >= 0.6
+
+
+def test_sq8_recall_floor(spark):
+    """SQ8 keeps cosine ranking almost intact — per-vector scales
+    cancel, so the only loss is int8 rounding of directions. Measured
+    2026-08-16 at sf0.01 on the eval sample: recall@5 = 0.99 vs the
+    exact float baseline. Floor a notch under."""
+    em = _t(spark, "/root/testdata/sf0.01", "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(
+            em, query_limit=similarity.EVAL_QUERIES
+        ).collect()
+    }
+    sq8 = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.sq8_topk(
+            em, query_limit=similarity.EVAL_QUERIES
+        ).collect()
+    }
+    assert len(sq8 & exact) / len(exact) >= 0.95
