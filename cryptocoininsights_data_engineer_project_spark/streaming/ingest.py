@@ -568,3 +568,105 @@ def stream_incremental_image_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# Portable md5 ppm bucket — MUST stay spelled identically to the
+# corpus_mix_temperature registry query (tests pin stream == one-shot,
+# so drift between the two spellings fails the suite).
+_MIX_BUCKET_PPM = (
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+    " AS BIGINT) % 1000000"
+)
+
+
+def stream_corpus_mix(
+    spark: SparkSession,
+    docs_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    n_buckets: int = 8,
+):
+    """Streaming face of temperature-weighted corpus mixing
+    (corpus_mix_temperature): documents arrive as parquet files of
+    (doc_id, source); each micro-batch APPENDS the per-document
+    DETERMINISTIC part of the mix decision — (doc_id, source,
+    md5-bucket ppm) — to a persisted assignment table keyed by
+    doc_id.
+
+    The mix's keep RATES are corpus-GLOBAL (n_i^alpha over final
+    per-source counts), so they cannot be finalized mid-stream
+    without re-deciding earlier documents every time the counts
+    move. The split is therefore: the stream materializes the
+    per-doc part incrementally (each document's text/bytes are
+    touched exactly once); ``corpus_mix_selection`` LATE-BINDS the
+    global part — it derives counts FROM the assignment table, so
+    the selection over everything delivered so far equals the
+    one-shot registry query over the same documents (pinned in
+    tests/test_streaming.py).
+
+    Assignment rows are keyed, so a fresh-checkpoint replay over the
+    same files converges to the identical table; the txn marker makes
+    a replayed micro-batch exactly-once at the manifest (the
+    stream_incremental_dedup discipline)."""
+    from ..pipeline.table import BucketedTable
+
+    stream = (
+        spark.readStream.schema("doc_id long, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    assign_tbl = BucketedTable(
+        spark, table_root + "/assign", ["doc_id"], n_buckets=n_buckets
+    )
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        assign = batch_df.select(
+            "doc_id",
+            "source",
+            F.expr(_MIX_BUCKET_PPM).alias("bucket_ppm"),
+        )
+        assign_tbl.upsert(assign, txn=(checkpoint_dir + "#assign", batch_id))
+
+    writer = (
+        stream.writeStream.foreachBatch(_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def corpus_mix_selection(spark: SparkSession, table_root: str) -> DataFrame:
+    """The late-bound selection over a stream_corpus_mix assignment
+    table: derive per-source counts from the assignments themselves
+    (so replay/double-delivery cannot skew them — rows are keyed by
+    doc_id), compute the alpha = 1/2 temperature rates with the same
+    integer-exact arithmetic as corpus_mix_temperature, and keep
+    exactly the documents the one-shot query would keep. One scan of
+    the assignment table; counts/rates are tiny broadcasts."""
+    from ..pipeline.table import BucketedTable
+
+    assign = BucketedTable(spark, table_root + "/assign", ["doc_id"]).read()
+    counts = (
+        assign.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("w", F.expr("CAST(floor(sqrt(n)) AS BIGINT)"))
+        .localCheckpoint()
+    )
+    totals = counts.agg(F.sum("n").alias("tot_n"), F.sum("w").alias("tot_w"))
+    rates = counts.join(F.broadcast(totals)).select(
+        "source",
+        F.expr(
+            "least(CAST(1000000 AS BIGINT), "
+            "((tot_n div 2) * w * 1000000) div (tot_w * n))"
+        ).alias("keep_ppm"),
+    )
+    return (
+        assign.join(F.broadcast(rates), "source")
+        .filter(F.col("bucket_ppm") < F.col("keep_ppm"))
+        .select("doc_id", "source", "keep_ppm")
+    )

@@ -577,3 +577,67 @@ def test_stream_incremental_image_dedup_converges(spark, tmp_path):
     pairs_tbl = BucketedTable(spark, root + "/pairs", ["doc_a", "doc_b"])
     some = pairs_tbl.read().limit(1)
     assert pairs_tbl.upsert(some, txn=(ck + "#pairs", 0)) is False
+
+
+def test_stream_corpus_mix_equals_one_shot(spark, tmp_path):
+    """Streaming temperature mix: the late-bound selection over the
+    assignment table accumulated across micro-batches equals the
+    one-shot corpus_mix_temperature over ALL delivered docs; a
+    fresh-checkpoint replay converges (keyed assignments); a replayed
+    txn marker is skipped at the manifest."""
+    from cryptocoininsights_data_engineer_project_spark.pipeline.table import (
+        BucketedTable,
+    )
+    from cryptocoininsights_data_engineer_project_spark.queries import (
+        REGISTRY,
+        _t,
+    )
+    from cryptocoininsights_data_engineer_project_spark.streaming.ingest import (
+        corpus_mix_selection,
+        stream_corpus_mix,
+    )
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "source"
+    )
+    src = str(tmp_path / "mdocs")
+    os.makedirs(src)
+    for i in range(3):
+        docs.filter(f"doc_id % 3 = {i}").coalesce(1).write.parquet(
+            f"{str(tmp_path)}/mstage{i}"
+        )
+        import glob as _glob
+        import shutil as _shutil
+
+        part = _glob.glob(f"{str(tmp_path)}/mstage{i}/part-*.parquet")[0]
+        _shutil.copy(part, f"{src}/batch{i}.parquet")
+
+    root = str(tmp_path / "mixtbl")
+    ck = str(tmp_path / "mck1")
+    q = stream_corpus_mix(spark, src, root, ck)
+    q.awaitTermination(300)
+
+    def snap():
+        return {
+            (r.doc_id, r.source, r.keep_ppm)
+            for r in corpus_mix_selection(spark, root).collect()
+        }
+
+    expect = {
+        (r.doc_id, r.source, r.keep_ppm)
+        for r in REGISTRY["corpus_mix_temperature"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert expect, "one-shot mix kept nothing"
+    assert snap() == expect
+
+    # fresh-checkpoint replay over the SAME files: converges (keyed)
+    q2 = stream_corpus_mix(spark, src, root, str(tmp_path / "mck2"))
+    q2.awaitTermination(300)
+    assert snap() == expect
+
+    # replayed micro-batch txn marker: skipped at the manifest
+    assign_tbl = BucketedTable(spark, root + "/assign", ["doc_id"])
+    some = assign_tbl.read().limit(1)
+    assert assign_tbl.upsert(some, txn=(ck + "#assign", 0)) is False
