@@ -143,3 +143,136 @@ def pagerank_oracle_sql(edges_sql: str, iterations: int = 4) -> str:
         + ",\n".join(blocks)
         + f"\nSELECT node, rank_ppb FROM r{iterations}"
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """(node, hub_ppb, auth_ppb): ``iterations`` rounds of HITS
+    (Kleinberg 1999, the public algorithm) over a directed edge list
+    — the hub/authority complement to :func:`pagerank`: PageRank
+    measures WHERE quality flows, HITS separates pages that POINT AT
+    quality (hubs — link directories, sitemaps, curated lists a
+    crawler should expand first) from pages quality points at
+    (authorities). Per round:
+
+        auth_raw(v) = sum over u->v of hub(u)     then L1-normalize
+        hub_raw(u)  = sum over u->v of auth(v)    then L1-normalize
+
+    All arithmetic is integer ppb (the pagerank house rule — float
+    HITS sums in data-dependent order and drifts cross-engine):
+    scores start at PPB div N, and each normalization is
+
+        score = (raw * 1000) div (total div 1_000_000)
+
+    i.e. raw * PPB / total with every intermediate bounded by
+    1000 * PPB * max_degree — exact in int64 while max degree is
+    below ~9e6 (cap the degree upstream beyond that), and defined
+    while total >= 1e6, which holds for any non-empty graph here
+    since mass starts at ~PPB and flows along at least one edge.
+    Truncating division is order-independent and bit-identical on
+    both engines.
+
+    Physical shape mirrors pagerank: edges and nodes materialize
+    once; each round is two |nodes|-sized-side equi-joins onto the
+    edges (AQE broadcast-converts them when |nodes| allows), two
+    groupBys, and two 1-row total aggregates broadcast back. Scores
+    re-checkpoint on a cadence to bound plan depth."""
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        raise ValueError(
+            "hits: empty edge frame — no nodes to score "
+            "(upstream filter removed every link?)"
+        )
+
+    def _l1_normalize(raw: DataFrame) -> DataFrame:
+        """(node, raw) -> (node, score) with total mass ~PPB; nodes
+        missing from raw (no contributing edges) score 0."""
+        total = raw.agg(F.sum("raw").alias("t"))
+        scored = raw.join(F.broadcast(total)).select(
+            "node",
+            F.expr(f"(raw * 1000) div (t div {PPB // 1000})").alias("score"),
+        )
+        return nodes.join(scored, "node", "left").select(
+            "node", F.coalesce("score", F.lit(0)).cast("long").alias("score")
+        )
+
+    hub = nodes.select(
+        "node", F.lit(PPB // n_nodes).cast("long").alias("score")
+    )
+    auth = None
+    for i in range(1, iterations + 1):
+        a_raw = (
+            e.join(hub, e.src == hub.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("score").alias("raw"))
+        )
+        auth = _l1_normalize(a_raw)
+        h_raw = (
+            e.join(auth, e.dst == auth.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("score").alias("raw"))
+        )
+        hub = _l1_normalize(h_raw)
+        if i % checkpoint_every == 0 and i < iterations:
+            hub = hub.localCheckpoint()
+            auth = auth.localCheckpoint()
+    return (
+        nodes.join(hub.withColumnRenamed("score", "hub_ppb"), "node")
+        .join(auth.withColumnRenamed("score", "auth_ppb"), "node")
+        .select("node", "hub_ppb", "auth_ppb")
+    )
+
+
+def hits_oracle_sql(edges_sql: str, iterations: int = 3) -> str:
+    """Unrolled-iteration DuckDB twin of :func:`hits` — identical
+    integer arithmetic, one authority + one hub CTE block per round
+    with their 1-row totals (the pagerank_oracle_sql pattern)."""
+    m = PPB // 1000  # the div-1e6 normalization denominator scale
+    blocks = [
+        f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"k AS (SELECT CAST({PPB} // count(*) AS BIGINT) AS base FROM n)",
+        "h0 AS (SELECT node, (SELECT base FROM k) AS score FROM n)",
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        blocks.append(
+            f"ar{i} AS (SELECT e.dst AS node, sum(h.score) AS raw "
+            f"FROM e JOIN h{p} h ON e.src = h.node GROUP BY e.dst)"
+        )
+        blocks.append(f"at{i} AS (SELECT sum(raw) AS t FROM ar{i})")
+        blocks.append(
+            f"a{i} AS (SELECT n.node, CAST(coalesce("
+            f"(a.raw * 1000) // ((SELECT t FROM at{i}) // {m}), 0) "
+            f"AS BIGINT) AS score "
+            f"FROM n LEFT JOIN ar{i} a ON n.node = a.node)"
+        )
+        blocks.append(
+            f"hr{i} AS (SELECT e.src AS node, sum(a.score) AS raw "
+            f"FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src)"
+        )
+        blocks.append(f"ht{i} AS (SELECT sum(raw) AS t FROM hr{i})")
+        blocks.append(
+            f"h{i} AS (SELECT n.node, CAST(coalesce("
+            f"(h.raw * 1000) // ((SELECT t FROM ht{i}) // {m}), 0) "
+            f"AS BIGINT) AS score "
+            f"FROM n LEFT JOIN hr{i} h ON n.node = h.node)"
+        )
+    k = iterations
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + f"\nSELECT n.node, h{k}.score AS hub_ppb, a{k}.score AS auth_ppb"
+        f"\nFROM n JOIN h{k} ON n.node = h{k}.node"
+        f" JOIN a{k} ON n.node = a{k}.node"
+    )

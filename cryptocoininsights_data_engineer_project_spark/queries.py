@@ -1711,6 +1711,37 @@ def pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "hits_hosts",
+    graph.hits_oracle_sql(_PR_EDGES_SQL, 3),
+    doc="HITS hubs & authorities (Kleinberg 1999) over the same host "
+    "link graph as pagerank_hosts — the crawl-frontier complement: "
+    "PageRank measures where quality FLOWS, HITS separates pages "
+    "that POINT AT quality (hubs: directories, sitemaps, curated "
+    "lists a crawler expands first) from the pages quality points "
+    "at (authorities). 3 mutual-reinforcement rounds, all integer "
+    "ppb with L1 normalization as (raw*1000) div (total div 1e6) — "
+    "truncating division is order-independent, so the iterative "
+    "float-unsafe algorithm is fully oracle-backed by an unrolled "
+    "CTE chain with identical arithmetic "
+    "(operators/graph.py::hits). Physical shape mirrors pagerank: "
+    "edges/nodes materialize once, per round two |hosts|-sized-side "
+    "joins + two groupBys + two 1-row total broadcasts",
+)
+def hits_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.selectExpr(
+        f"doc_id % {_PR_HOSTS} AS src",
+        f"(doc_id * 7 + 3) % {_PR_HOSTS} AS dst",
+    ).unionAll(
+        docs.selectExpr(
+            f"doc_id % {_PR_HOSTS} AS src",
+            f"(doc_id * 11 + 5) % {_PR_HOSTS} AS dst",
+        )
+    )
+    return graph.hits(edges, 3)
+
+
+@_q(
     "html_link_extract",
     webarchive.html_links_oracle_sql(),
     doc="Outgoing-link extraction from WARC HTML responses — the "

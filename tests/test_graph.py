@@ -117,3 +117,31 @@ def test_crawl_authority_probe_equals_inline(spark):
     }
     assert probe1 == inline
     assert probe2 == inline
+
+
+def test_hits_hand_graph(spark):
+    """HITS on a hand-reasoned 3-node graph (1->2, 1->3, 2->3):
+    node 1 is the pure hub (points at everything, nothing points at
+    it), node 3 the pure authority; mutual reinforcement must rank
+    hub(1) > hub(2) > hub(3) = 0 and auth(3) > auth(2) > auth(1) = 0,
+    and each normalized mass stays within truncation of PPB."""
+    from cryptocoininsights_data_engineer_project_spark.operators.graph import (
+        PPB,
+        hits,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+    rows = {r.node: (r.hub_ppb, r.auth_ppb) for r in hits(edges, 3).collect()}
+    assert set(rows) == {1, 2, 3}
+    hub = {k: v[0] for k, v in rows.items()}
+    auth = {k: v[1] for k, v in rows.items()}
+    assert hub[1] > hub[2] > hub[3] == 0
+    assert auth[3] > auth[2] > auth[1] == 0
+    # L1 mass conservation: the normalization denominator truncates
+    # (total div 1e6), biasing each round's mass up by at most
+    # 1e6/total — <= 0.1% per round while total >= PPB, identical on
+    # both engines (the oracle-parity sweep pins exact agreement)
+    assert abs(sum(hub.values()) - PPB) < PPB // 500
+    assert abs(sum(auth.values()) - PPB) < PPB // 500
