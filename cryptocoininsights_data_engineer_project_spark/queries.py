@@ -4893,6 +4893,83 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "corpus_datacard",
+    """
+WITH by_src AS (
+  SELECT source,
+    count(*) AS n_docs,
+    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+    CAST(sum(n_chars) AS BIGINT) // count(*) AS mean_chars,
+    round(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars), 4)
+      AS p50_chars,
+    round(percentile_cont(0.95) WITHIN GROUP (ORDER BY n_chars), 4)
+      AS p95_chars,
+    count(DISTINCT lang) AS n_langs,
+    CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) * 1000000
+         // count(*) AS BIGINT) AS short_ppm
+  FROM documents GROUP BY source),
+lang_share AS (
+  SELECT source, lang, count(*) AS n,
+    row_number() OVER (
+      PARTITION BY source ORDER BY count(*) DESC, lang
+    ) AS rn
+  FROM documents GROUP BY source, lang)
+SELECT b.source, n_docs, total_chars, mean_chars, p50_chars, p95_chars,
+  n_langs, l.lang AS top_lang,
+  CAST(l.n * 1000000 // b.n_docs AS BIGINT) AS top_lang_ppm, short_ppm
+FROM by_src b JOIN lang_share l ON b.source = l.source AND l.rn = 1
+""",
+    doc="per-source corpus DATA CARD — the release-notes table every "
+    "published training corpus ships (doc counts, char volume, "
+    "exact length percentiles, language spread, dominant language "
+    "share, short-doc contamination ppm): one grouped aggregate per "
+    "grain (source; source×lang for the dominant-language argmax "
+    "via a deterministic lang tie-break), joined at |sources| rows. "
+    "Integer ppm shares by truncating division (house rule); "
+    "percentile_cont == Spark's exact interpolating percentile on "
+    "the identical sorted multiset. At 100 TB both aggregates are "
+    "map-side-combinable on tiny key spaces, and the exact "
+    "percentile is the only sort — per source, over values already "
+    "co-located by the aggregate shuffle",
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    by_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.expr("sum(n_chars) div count(*)").alias("mean_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5D)"), 4).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.95D)"), 4).alias("p95_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.expr(
+            "sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) * 1000000 "
+            "div count(*)"
+        ).alias("short_ppm"),
+    )
+    lang_w = Window.partitionBy("source").orderBy(
+        F.col("n").desc(), F.col("lang").asc()
+    )
+    top_lang = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(lang_w))
+        .filter(F.col("rn") == 1)
+    )
+    return by_src.join(top_lang, "source").select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "mean_chars",
+        "p50_chars",
+        "p95_chars",
+        "n_langs",
+        F.col("lang").alias("top_lang"),
+        F.expr("n * 1000000 div n_docs").alias("top_lang_ppm"),
+        "short_ppm",
+    )
+
+
+@_q(
     "embedding_quantize",
     """
 WITH e AS (
