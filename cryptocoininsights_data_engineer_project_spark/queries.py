@@ -10659,6 +10659,81 @@ def duplicate_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "source_overlap_matrix",
+    f"""
+WITH fps AS (
+  SELECT DISTINCT source, md5({duck_norm("text")}) AS fp FROM documents),
+per_src AS (
+  SELECT source, count(*) AS n_fps FROM fps GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*) AS shared_fps
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT s.source_a, s.source_b, s.shared_fps,
+  pa.n_fps AS a_fps, pb.n_fps AS b_fps,
+  CAST(s.shared_fps * 1000000 // least(pa.n_fps, pb.n_fps) AS BIGINT)
+    AS overlap_ppm
+FROM shared s
+JOIN per_src pa ON s.source_a = pa.source
+JOIN per_src pb ON s.source_b = pb.source
+""",
+    doc="cross-source exact-duplicate OVERLAP MATRIX — the 'source B "
+    "is a scrape of source A' detector a corpus audit runs before "
+    "choosing mix weights (within-source dup rate is "
+    "duplicate_rate_by_source; this is the BETWEEN-source "
+    "contamination: shared normalized-content fingerprints per "
+    "source pair, overlap containment ppm of the smaller side). "
+    "Shape: distinct (source, fingerprint) projection — ONE shuffle "
+    "on the fingerprint — then a self-equi-join on fingerprint "
+    "whose per-key fan-out is bounded by the number of SOURCES "
+    "sharing that content (<= |sources| per key, not corpus-sized), "
+    "plus two broadcast joins of the |sources|-row totals. Integer "
+    "ppm by truncating division",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.textnorm import spark_norm
+
+    fps = (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.md5(F.expr(spark_norm("text"))).alias("fp"))
+        .distinct()
+    )
+    per_src = fps.groupBy("source").agg(F.count(F.lit(1)).alias("n_fps"))
+    a = fps.alias("a")
+    b = fps.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+    pa = per_src.selectExpr("source AS source_a", "n_fps AS a_fps")
+    pb = per_src.selectExpr("source AS source_b", "n_fps AS b_fps")
+    return (
+        shared.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_fps",
+            "a_fps",
+            "b_fps",
+            F.expr(
+                "CAST(shared_fps * 1000000 div least(a_fps, b_fps)"
+                " AS BIGINT)"
+            ).alias("overlap_ppm"),
+        )
+    )
+
+
+@_q(
     "dedup_incremental",
     f"""
 WITH {dedup._minhash_cte_chain()}
