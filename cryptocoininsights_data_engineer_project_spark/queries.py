@@ -10670,26 +10670,29 @@ shared AS (
          count(*) AS shared_fps
   FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
   GROUP BY a.source, b.source)
-SELECT s.source_a, s.source_b, s.shared_fps,
+SELECT pa.source AS source_a, pb.source AS source_b,
+  CAST(coalesce(s.shared_fps, 0) AS BIGINT) AS shared_fps,
   pa.n_fps AS a_fps, pb.n_fps AS b_fps,
-  CAST(s.shared_fps * 1000000 // least(pa.n_fps, pb.n_fps) AS BIGINT)
-    AS overlap_ppm
-FROM shared s
-JOIN per_src pa ON s.source_a = pa.source
-JOIN per_src pb ON s.source_b = pb.source
+  CAST(coalesce(s.shared_fps, 0) * 1000000
+       // least(pa.n_fps, pb.n_fps) AS BIGINT) AS overlap_ppm
+FROM per_src pa
+JOIN per_src pb ON pa.source < pb.source
+LEFT JOIN shared s
+  ON s.source_a = pa.source AND s.source_b = pb.source
 """,
     doc="cross-source exact-duplicate OVERLAP MATRIX — the 'source B "
     "is a scrape of source A' detector a corpus audit runs before "
     "choosing mix weights (within-source dup rate is "
     "duplicate_rate_by_source; this is the BETWEEN-source "
-    "contamination: shared normalized-content fingerprints per "
-    "source pair, overlap containment ppm of the smaller side). "
-    "Shape: distinct (source, fingerprint) projection — ONE shuffle "
-    "on the fingerprint — then a self-equi-join on fingerprint "
-    "whose per-key fan-out is bounded by the number of SOURCES "
-    "sharing that content (<= |sources| per key, not corpus-sized), "
-    "plus two broadcast joins of the |sources|-row totals. Integer "
-    "ppm by truncating division",
+    "contamination: the FULL source-pair matrix — shared "
+    "normalized-content fingerprints per pair incl. clean zeros, "
+    "overlap containment ppm of the smaller side). Shape: distinct "
+    "(source, fingerprint) projection — ONE shuffle on the "
+    "fingerprint — then a self-equi-join on fingerprint whose "
+    "per-key fan-out is bounded by the number of SOURCES sharing "
+    "that content (<= |sources| per key, not corpus-sized), left-"
+    "joined onto the |sources|^2/2 pair frame built from broadcast "
+    "totals. Integer ppm by truncating division",
 )
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.textnorm import spark_norm
@@ -10716,18 +10719,22 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pa = per_src.selectExpr("source AS source_a", "n_fps AS a_fps")
     pb = per_src.selectExpr("source AS source_b", "n_fps AS b_fps")
+    pair_frame = pa.join(
+        F.broadcast(pb), F.col("source_a") < F.col("source_b")
+    )
     return (
-        shared.join(F.broadcast(pa), "source_a")
-        .join(F.broadcast(pb), "source_b")
+        pair_frame.join(shared, ["source_a", "source_b"], "left")
         .select(
             "source_a",
             "source_b",
-            "shared_fps",
+            F.coalesce("shared_fps", F.lit(0)).cast("bigint").alias(
+                "shared_fps"
+            ),
             "a_fps",
             "b_fps",
             F.expr(
-                "CAST(shared_fps * 1000000 div least(a_fps, b_fps)"
-                " AS BIGINT)"
+                "CAST(coalesce(shared_fps, 0) * 1000000"
+                " div least(a_fps, b_fps) AS BIGINT)"
             ).alias("overlap_ppm"),
         )
     )
