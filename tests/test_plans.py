@@ -115,6 +115,10 @@ BNLJ_ALLOWED = {
     "basket_affinity_lift",  # 1-row basket-count scalar onto the pair table
     "attribution_linear",  # 1-row credit-total scalar onto the channel rollup
     "volatility_regimes",  # 1-row tercile-threshold scalar onto the vol table
+    "corpus_mix_temperature",  # 1-row totals scalar onto the rate table
+    "hits_hosts",  # two 1-row L1-mass scalars per HITS round
+    "similarity_sq8",  # broadcast 64-row query set, cosine_topk's non-equi shape
+    "source_overlap_matrix",  # |sources|x|sources| pair frame (both sides tiny)
 }
 
 
