@@ -1586,3 +1586,136 @@ def nfc_normalize_docs(docs):
             )
 
     return docs.select("doc_id", "text").mapInPandas(_norm, schema)
+
+
+# ------------------------------------------------------- WordPiece
+WP_VOCAB_N = 16       # multi-char pieces in the learned vocabulary
+WP_PIECE_LENS = (2, 3, 4)
+WP_MAX_WORD = 16      # fold unroll bound; corpus max word length is 8
+                      # (pinned in tests) — production sets this to the
+                      # tokenizer's max-chars-per-word (HF uses 100)
+
+
+def wordpiece_vocab(spark, docs: DataFrame, n: int = WP_VOCAB_N) -> DataFrame:
+    """(piece, tf): the top-``n`` multi-character substrings (lengths
+    2..4) of corpus words by TOTAL frequency (word frequency summed
+    over every occurrence position), deterministic tie-break on the
+    piece itself — the greedy-subword vocabulary WordPiece-style
+    tokenizers select before encoding. All single characters are
+    implicitly in the vocabulary (the encoder's ELSE-advance-1), so
+    segmentation is total without an explicit char list."""
+    toks = f"filter({spark_tokens('text')}, w -> w <> '')"
+    wf = (
+        docs.select(F.explode(F.expr(toks)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    cand = (
+        wf.select(
+            "w", "f", F.explode(F.lit(list(WP_PIECE_LENS))).alias("l")
+        )
+        # guard BEFORE sequence(): Spark's sequence(1, 0) is the
+        # DESCENDING [1, 0], not empty (DuckDB's generate_series(1, 0)
+        # is empty) — short words would leak truncated pieces
+        .filter(F.expr("length(w) >= l"))
+        .select(
+            "w", "f", "l",
+            F.explode(F.expr("sequence(1, length(w) - l + 1)")).alias("p"),
+        )
+        .select(F.expr("substring(w, p, l)").alias("piece"), "f")
+        .groupBy("piece")
+        .agg(F.sum("f").alias("tf"))
+    )
+    return cand.orderBy(F.col("tf").desc(), F.col("piece").asc()).limit(n)
+
+
+def wordpiece_encode_counts(
+    spark, docs: DataFrame, n: int = WP_VOCAB_N
+) -> DataFrame:
+    """(doc_id, n_words, n_wordpiece): greedy longest-match-first
+    subword encoding — the WordPiece/BERT-family apply pass next to
+    ``bpe_encode_counts``'s merge-replay: at each cursor position take
+    the LONGEST vocabulary piece that matches (4 > 3 > 2), else emit
+    one single-character token and advance 1.
+
+    Physical shape mirrors bpe_encode_counts: vocabulary learning is
+    a few tiny jobs ending in a TakeOrderedAndProject top-n; the
+    n-row vocab collects to the driver (bounded by construction) and
+    unrolls into literal IN-lists inside ONE codegen'd fold —
+    `aggregate(sequence(1, WP_MAX_WORD), (pos, cnt), ...)` advances
+    the cursor by the matched length per step — nested inside the
+    per-document aggregate over the token array. The encode pass is
+    one narrow corpus scan, zero shuffles, no token explode."""
+    pieces = [r["piece"] for r in wordpiece_vocab(spark, docs, n).collect()]
+    branches = []
+    for length in sorted(WP_PIECE_LENS, reverse=True):
+        of_len = sorted(p for p in pieces if len(p) == length)
+        if of_len:
+            in_list = ", ".join(f"'{p}'" for p in of_len)
+            branches.append(
+                f"WHEN substring(w, acc.p, {length}) IN ({in_list}) "
+                f"THEN {length}"
+            )
+    step = "CASE " + " ".join(branches) + " ELSE 1 END" if branches else "1"
+    fold = (
+        f"aggregate(sequence(1, {WP_MAX_WORD}), "
+        "named_struct('p', 1, 'c', CAST(0 AS BIGINT)), "
+        "(acc, i) -> IF(acc.p > length(w), acc, "
+        f"named_struct('p', acc.p + ({step}), 'c', acc.c + CAST(1 AS BIGINT))), "
+        "acc -> acc.c)"
+    )
+    toks = f"filter({spark_tokens('text')}, w -> w <> '')"
+    return docs.select(
+        "doc_id",
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_words"),
+        F.expr(
+            f"aggregate({toks}, CAST(0 AS BIGINT), (a, w) -> a + {fold})"
+        ).alias("n_wordpiece"),
+    )
+
+
+def wordpiece_encode_oracle_sql(n: int = WP_VOCAB_N) -> str:
+    """DuckDB twin: derives the identical vocabulary (same frequency
+    definition, same (tf DESC, piece) order), then encodes every
+    DISTINCT word with a recursive cursor CTE whose per-step advance
+    is the max matching piece length (greedy longest-match), and
+    joins the per-word counts back onto the corpus tokens. Words
+    terminate at pos > length(word), so each contributes exactly one
+    terminal row; empty documents surface (0, 0) via the LEFT JOIN
+    exactly as the Spark fold does."""
+    lens = ", ".join(str(x) for x in WP_PIECE_LENS)
+    return f"""
+WITH RECURSIVE wrds AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest({duck_tokens("text")}) AS w FROM documents)
+  WHERE w <> ''
+), wf AS (
+  SELECT w, count(*) AS f FROM wrds GROUP BY w
+), cand AS (
+  SELECT substring(wf.w, p.p, l.l) AS piece, CAST(sum(wf.f) AS BIGINT) AS tf
+  FROM wf, (SELECT unnest([{lens}]) AS l) l,
+       UNNEST(generate_series(1, length(wf.w) - l.l + 1)) AS p(p)
+  GROUP BY 1
+), v AS (
+  SELECT piece FROM cand ORDER BY tf DESC, piece LIMIT {n}
+), step AS (
+  SELECT w, 1 AS pos, CAST(0 AS BIGINT) AS cnt FROM wf
+  UNION ALL
+  SELECT w,
+    pos + coalesce((SELECT max(length(v.piece)) FROM v
+                    WHERE v.piece = substring(step.w, step.pos,
+                                              length(v.piece))), 1),
+    cnt + 1
+  FROM step WHERE pos <= length(w)
+), wcnt AS (
+  SELECT w, cnt FROM step WHERE pos > length(w)
+), agg AS (
+  SELECT wrds.doc_id, count(*) AS n_words,
+         CAST(sum(wcnt.cnt) AS BIGINT) AS n_wordpiece
+  FROM wrds JOIN wcnt ON wrds.w = wcnt.w GROUP BY wrds.doc_id
+)
+SELECT d.doc_id,
+  coalesce(a.n_words, 0) AS n_words,
+  coalesce(a.n_wordpiece, 0) AS n_wordpiece
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""

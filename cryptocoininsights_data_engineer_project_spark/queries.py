@@ -8362,6 +8362,33 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "wordpiece_encode",
+    textops.wordpiece_encode_oracle_sql(),
+    doc="greedy longest-match-first subword tokenization — the "
+    "WordPiece/BERT-family encoder next to bpe_encode's merge "
+    "replay: a 16-piece vocabulary of the highest-total-frequency "
+    "2-4 char substrings is learned in-query (deterministic "
+    "(tf DESC, piece) order), then each word is segmented by "
+    "repeatedly taking the LONGEST matching piece at the cursor "
+    "(else one char token, advance 1). Physical shape mirrors "
+    "bpe_encode: learning ends in a TakeOrderedAndProject top-16 "
+    "whose rows collect to the driver (bounded by construction) and "
+    "unroll into literal IN-lists inside ONE codegen'd cursor fold "
+    "(aggregate over sequence(1,16) carrying (pos, count)) nested "
+    "in the per-doc aggregate — the encode pass is one narrow "
+    "corpus scan, zero shuffles, no token explode. Oracle derives "
+    "the identical vocab and encodes every DISTINCT word with a "
+    "recursive cursor CTE whose per-step advance is the max "
+    "matching piece length "
+    "(operators/textops.py::wordpiece_encode_counts)",
+)
+def wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.wordpiece_encode_counts(
+        spark, _t(spark, sf_dir, "documents")
+    )
+
+
+@_q(
     "pack_sequences_bpe",
     textops.pack_sequences_bpe_oracle_sql(),
     doc="sequence packing on the LEARNED tokenizer's counts — the "
