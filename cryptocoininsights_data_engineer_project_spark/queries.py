@@ -7352,7 +7352,7 @@ def _mmr_oracle_sql(cand_k: int = _MMR_CANDS, m: int = _MMR_PICKS) -> str:
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
 q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm FROM n
-      WHERE vec_id % 100 = 0),
+      {similarity._query_sample_sql(100, similarity.EVAL_QUERIES)}),
 scored AS (
   SELECT query_id, n.vec_id AS nid,
     round(list_dot_product(q_emb, emb) / (q_nrm * nrm), 6) AS rel,
@@ -7400,13 +7400,20 @@ WHERE last = 1
     "once so pairwise sims are plain dot folds; every score is the "
     "same IEEE expression both engines compute, and argmax ties "
     "break on neighbor id via lexicographic struct max. Oracle is a "
-    "recursive CTE over the identical algebra",
+    "recursive CTE over the identical algebra. Queries are the fixed "
+    "md5-top-64 eval sample (the ann_recall_at_5 discipline): "
+    "|queries| constant in corpus size keeps the candidate scoring "
+    "O(64*n) — the round-12 sf1 sweep measured the previous "
+    "modulus sample at 48x wall for 10x data (O(n^2/100)) and this "
+    "fix retired it",
 )
 def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = similarity._ivf_vecs(_t(spark, sf_dir, "embeddings")).withColumn(
         "nrm", F.expr("sqrt(vv)")
     )
-    q = n.filter(F.col("vec_id") % 100 == 0).select(
+    q = similarity._query_sample(
+        n, similarity.QUERY_MODULUS, similarity.EVAL_QUERIES
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
