@@ -1251,11 +1251,21 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "similarity_topk",
-    similarity.cosine_topk_oracle_sql(),
-    doc="brute-force cosine top-k (exact ANN baseline), broadcast queries",
+    similarity.cosine_topk_oracle_sql(query_limit=similarity.EVAL_QUERIES),
+    doc="brute-force cosine top-k (exact ANN baseline), broadcast "
+    "queries. Queries are the fixed md5-top-64 eval sample (the "
+    "ann_recall_at_5 discipline): brute force is inherently O(|q|*n), "
+    "so a scale-proportional query set made the registry entry "
+    "O(n^2/100) — the round-12 sf1 sweep measured 60x wall at 10x "
+    "data before this fix, 4x after. The modulus-sample variant "
+    "stays available via cosine_topk(query_limit=None) for callers "
+    "that want corpus-proportional query batches",
 )
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"))
+    return similarity.cosine_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_limit=similarity.EVAL_QUERIES,
+    )
 
 
 @_q(
