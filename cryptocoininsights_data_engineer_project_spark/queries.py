@@ -4903,6 +4903,49 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "eval_holdout",
+    """
+WITH ranked AS (
+  SELECT doc_id, source,
+    row_number() OVER (
+      PARTITION BY source
+      ORDER BY CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) DESC, doc_id
+    ) AS rn
+  FROM documents)
+SELECT doc_id, source, CAST(rn AS BIGINT) AS holdout_rank
+FROM ranked WHERE rn <= 8
+""",
+    doc="deterministic per-source eval holdout — EXACTLY k=8 docs per "
+    "source, selected by portable md5-hash order with doc_id "
+    "tie-break (the eval-set constructor next to train_split's "
+    "global buckets and stratified_sample's rate-based downsample: "
+    "rates give BINOMIAL per-stratum counts, an eval set wants an "
+    "exact k). No rand(), no ordering dependence — the same k docs "
+    "on every engine, run, and cluster size, and the set is STABLE "
+    "under corpus growth except when a new doc's hash enters the "
+    "top-k of its source. Shape: one Window top-k per source over a "
+    "24-byte projection; at 100 TB pre-gate the corpus with a "
+    "hash-threshold prefilter (the corpus_mix_temperature ppm rule) "
+    "so the window sees ~k*safety rows per source instead of all",
+)
+def eval_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    h = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
+    w = Window.partitionBy("source").orderBy(
+        h.desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 8)
+        .select("doc_id", "source", F.col("rn").cast("bigint").alias("holdout_rank"))
+    )
+
+
+@_q(
     "corpus_datacard",
     """
 WITH by_src AS (
