@@ -604,3 +604,56 @@ def test_nfc_normalize_shapes_and_nulls(spark):
         want = con.execute("SELECT nfc_normalize(?)", [t]).fetchone()[0]
         assert got[i] == want, (i, t)
     assert got[1] == "é" and got[5] == "plain"
+
+
+def test_wordpiece_greedy_longest_match_hand_corpus(spark):
+    """WordPiece primitives on a hand-built corpus: the vocabulary
+    must rank pieces by total frequency with the piece itself as the
+    tie-break, exclude truncated pieces from words shorter than the
+    piece length (the Spark sequence(1,0)-descends trap), and the
+    encoder must take the LONGEST matching piece at each cursor —
+    'abcd' segments as [abc][d] when 'abc' outranks 'ab', never
+    [ab][cd]."""
+    from cryptocoininsights_data_engineer_project_spark.operators.textops import (
+        wordpiece_encode_counts,
+        wordpiece_vocab,
+    )
+
+    # 'abc' appears as a substring of every doc's word; 'a' is a
+    # whole 1-char word that must NOT leak into the 2+-char vocab
+    docs = spark.createDataFrame(
+        [(0, "abcd abcd a"), (1, "abcd xy a")],
+        "doc_id long, text string",
+    )
+    vocab = {r.piece: r.tf for r in wordpiece_vocab(spark, docs, n=4).collect()}
+    assert all(2 <= len(p) <= 4 for p in vocab), vocab
+    assert "a" not in vocab  # short-word truncation guard
+    # 'abcd' occurs 3x as a word, so all its substrings carry tf=3;
+    # the top-4 under (tf DESC, piece ASC) is the alphabetical head
+    # of the tf-3 tie group — 'xy' (tf=1) must NOT make the cut
+    assert vocab == {"ab": 3, "abc": 3, "abcd": 3, "bc": 3}
+    got = {
+        r.doc_id: (r.n_words, r.n_wordpiece)
+        for r in wordpiece_encode_counts(spark, docs, n=4).collect()
+    }
+    # doc 0: abcd -> [abcd] (longest match wins over abc/ab) = 1 token
+    # x2 words, plus 'a' -> 1 char token: 2*1 + 1 = 3
+    assert got[0] == (3, 3)
+    # doc 1: abcd=1, xy (out of vocab) = 2 char tokens, a=1
+    assert got[1] == (3, 4)
+
+    # force the longest-match tiebreak: drop 'abcd' from the vocab by
+    # shrinking n so only the highest-frequency pieces survive, then
+    # 'abcd' must segment [abc][d] (greedy 3 beats 2), not [ab][cd]
+    docs2 = spark.createDataFrame(
+        [(0, "abc abc abcd")], "doc_id long, text string"
+    )
+    v2 = {r.piece for r in wordpiece_vocab(spark, docs2, n=2).collect()}
+    assert "abc" in v2 and "abcd" not in v2
+    got2 = {
+        r.doc_id: (r.n_words, r.n_wordpiece)
+        for r in wordpiece_encode_counts(spark, docs2, n=2).collect()
+    }
+    # abc -> [abc]; abcd -> [abc][d] = 2 tokens (if [ab][cd] it'd
+    # also be 2 — so pin via the 3-word total AND a 5-char word)
+    assert got2[0] == (3, 1 + 1 + 2)
