@@ -7255,6 +7255,85 @@ def rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ranked_list_sql(src: str) -> str:
+    """Rank a (query_id, neighbor_id, cosine) top-k list by its own
+    output ordering — deterministic on both engines because the
+    rounded cosine and the neighbor_id tie-break are the list's own
+    sort key."""
+    return (
+        f"SELECT query_id, neighbor_id, row_number() OVER ("
+        f"PARTITION BY query_id ORDER BY cosine DESC, neighbor_id"
+        f") AS rk FROM {src}"
+    )
+
+
+@_q(
+    "ann_recall_curve",
+    f"""
+WITH exact AS ({similarity.cosine_topk_oracle_sql(query_limit=similarity.EVAL_QUERIES)}),
+approx AS ({similarity.ivf_trained_oracle_sql(query_limit=similarity.EVAL_QUERIES)}),
+er AS ({_ranked_list_sql('exact')}),
+ar AS ({_ranked_list_sql('approx')}),
+pairs AS (
+  SELECT greatest(er.rk, ar.rk) AS g
+  FROM er JOIN ar ON er.query_id = ar.query_id
+   AND er.neighbor_id = ar.neighbor_id),
+ks AS (SELECT unnest([1, 2, 3, 4, 5]) AS k)
+SELECT CAST(ks.k AS BIGINT) AS k,
+  CAST(count(pairs.g) AS BIGINT) AS n_matched,
+  round(count(pairs.g) / ({similarity.EVAL_QUERIES} * 1.0 * ks.k), 6)
+    AS recall_at_k
+FROM ks LEFT JOIN pairs ON pairs.g <= ks.k
+GROUP BY ks.k
+""",
+    doc="the full recall@k CURVE (k = 1..5) of trained-IVF against "
+    "the exact baseline in ONE query — generalizing ann_recall_at_5 "
+    "from a point to the curve an ANN evaluation actually plots "
+    "(how fast does the serving path saturate?). A matched "
+    "(query, neighbor) pair contributes to every k >= "
+    "greatest(exact_rank, approx_rank), so the curve is one "
+    "equi-join of the two 64-query top-5 lists + a 5-row k-frame "
+    "range join (tiny, broadcast). Ranks are re-derived from each "
+    "list's own output ordering (rounded cosine DESC, neighbor_id) "
+    "— deterministic and identical cross-engine. Query set is the "
+    "fixed md5-top-64 eval sample: O(64*n) total",
+)
+def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    er = similarity.cosine_topk(
+        emb, query_limit=similarity.EVAL_QUERIES
+    ).withColumn("rk", F.row_number().over(w))
+    ar = (
+        similarity.ivf_trained_topk(emb, query_limit=similarity.EVAL_QUERIES)
+        .withColumn("a_rk", F.row_number().over(w))
+        .select(
+            F.col("query_id").alias("a_qid"),
+            F.col("neighbor_id").alias("a_nid"),
+            "a_rk",
+        )
+    )
+    pairs = er.join(
+        ar,
+        (er.query_id == ar.a_qid) & (er.neighbor_id == ar.a_nid),
+    ).select(F.greatest("rk", "a_rk").alias("g"))
+    ks = spark.range(1, 6).select(F.col("id").alias("k"))
+    return (
+        F.broadcast(ks)
+        .join(pairs, F.col("g") <= F.col("k"), "left")
+        .groupBy("k")
+        .agg(
+            F.count("g").alias("n_matched"),
+            F.round(
+                F.count("g") / (similarity.EVAL_QUERIES * 1.0 * F.col("k")),
+                6,
+            ).alias("recall_at_k"),
+        )
+    )
+
+
 @_q(
     "ann_recall_at_5",
     f"""

@@ -119,6 +119,7 @@ BNLJ_ALLOWED = {
     "hits_hosts",  # two 1-row L1-mass scalars per HITS round
     "similarity_sq8",  # broadcast 64-row query set, cosine_topk's non-equi shape
     "source_overlap_matrix",  # |sources|x|sources| pair frame (both sides tiny)
+    "ann_recall_curve",  # 5-row k-frame range join + cosine_topk's shapes
 }
 
 
