@@ -206,3 +206,23 @@ def test_sq8_recall_floor(spark):
         ).collect()
     }
     assert len(sq8 & exact) / len(exact) >= 0.95
+
+
+def test_recall_curve_consistent_with_point_audit(spark):
+    """ann_recall_curve must agree with ann_recall_at_5 at k=5 (total
+    matched pairs equal the sum of the point audit's per-query hits)
+    and matched counts must be non-decreasing in k."""
+    from cryptocoininsights_data_engineer_project_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    curve = {
+        r.k: r.n_matched
+        for r in REGISTRY["ann_recall_curve"].fn(spark, sf).collect()
+    }
+    assert sorted(curve) == [1, 2, 3, 4, 5]
+    assert all(curve[k] <= curve[k + 1] for k in range(1, 5))
+    point_total = sum(
+        r.n_matched
+        for r in REGISTRY["ann_recall_at_5"].fn(spark, sf).collect()
+    )
+    assert curve[5] == point_total
