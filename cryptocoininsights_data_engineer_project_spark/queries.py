@@ -2759,7 +2759,17 @@ def multimodal_video_mrle(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decoder via multimodal.register_decoder",
 )
 def multimodal_video_mpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # repartition the 8-byte doc_id frame BEFORE payload synthesis:
+    # the fixture corpus is one parquet partition, which would
+    # serialize the (CPU-heavy) per-document decode onto one worker —
+    # a fixture artifact, not a production shape (real video corpora
+    # span many objects). Payload bytes are created AND decoded in
+    # the same task; the one Exchange carries only doc_id (plan-
+    # asserted in tests/test_multimodal_mpeg.py). Measured at sf0.1:
+    # 8.0 s -> 1.3 s warm.
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return multimodal.compose_mpeg_stats(
         multimodal.synth_mpeg_assets(docs)
     )
@@ -2793,7 +2803,12 @@ def multimodal_video_mpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bytes never shuffle",
 )
 def multimodal_video_mpeg_b(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # same doc_id-only pre-synthesis repartition as
+    # multimodal_video_mpeg (fixture is one parquet partition;
+    # payloads never shuffle)
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return multimodal.compose_mpeg_stats(
         multimodal.synth_mpeg_b_assets(docs)
     )

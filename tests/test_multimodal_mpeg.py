@@ -88,15 +88,22 @@ def test_no_clamp_precondition():
                 assert 1 <= int(p.min()) and int(p.max()) <= 254, d
 
 
-def test_mpeg_query_plan_zero_exchange(spark):
-    """Payload bytes never shuffle: synth + decode + stats is one
-    scan-side mapInPandas pipeline with zero Exchange nodes."""
+def test_mpeg_query_plan_payloads_never_shuffle(spark):
+    """Payload bytes never shuffle: the ONLY Exchange is the
+    pre-synthesis repartition of the 8-byte doc_id frame (the
+    fixture corpus is one parquet partition — without it the
+    per-document decode serializes onto one worker); synthesis and
+    decode run in the same task after it."""
     df = REGISTRY["multimodal_video_mpeg"].fn(spark, SF)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    # the Exchange's input schema is doc_id alone — no payload column
+    # exists yet at that point in the plan
+    m = re.search(r"\(\d+\) Exchange\nInput \[1\]: \[doc_id#\d+L?\]", plan)
+    assert m, plan[:2000]
     assert "Scan parquet" in plan
 
 
@@ -178,13 +185,15 @@ def test_b_no_clamp_precondition():
                 assert 1 <= int(p.min()) and int(p.max()) <= 254, d
 
 
-def test_b_query_plan_zero_exchange(spark):
+def test_b_query_plan_payloads_never_shuffle(spark):
     df = REGISTRY["multimodal_video_mpeg_b"].fn(spark, SF)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    m = re.search(r"\(\d+\) Exchange\nInput \[1\]: \[doc_id#\d+L?\]", plan)
+    assert m, plan[:2000]
     assert "Scan parquet" in plan
 
 
