@@ -4918,6 +4918,98 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "corpus_mix_report",
+    """
+WITH counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source),
+w AS (
+  SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM counts),
+t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tot_n, CAST(sum(w) AS BIGINT) AS tot_w
+  FROM w),
+rates AS (
+  SELECT w.source, w.n, w.w, t.tot_w,
+         least(1000000,
+               ((t.tot_n // 2) * w.w * 1000000) // (t.tot_w * w.n))
+           AS keep_ppm
+  FROM w, t),
+kept AS (
+  SELECT d.source, count(*) AS n_kept
+  FROM documents d JOIN rates r ON d.source = r.source
+  WHERE CAST(CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+        AS BIGINT) % 1000000 AS BIGINT) < r.keep_ppm
+  GROUP BY d.source),
+tk AS (SELECT CAST(sum(n_kept) AS BIGINT) AS tot_kept FROM kept)
+SELECT r.source, r.n AS n_docs,
+  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+  CAST(r.w * 1000000 // r.tot_w AS BIGINT) AS target_share_ppm,
+  CAST(coalesce(k.n_kept, 0) * 1000000 // tk.tot_kept AS BIGINT)
+    AS achieved_share_ppm
+FROM rates r LEFT JOIN kept k ON r.source = k.source, tk
+""",
+    doc="the mix AUDIT every sampled-corpus release publishes next to "
+    "corpus_mix_temperature's per-doc decisions: per source, the "
+    "TARGET share (w_i/W in ppm — the temperature-weighted "
+    "multinomial the mix aims at) against the ACHIEVED share of "
+    "what the deterministic md5-ppm rule actually kept, plus raw "
+    "kept counts. Achieved deviates from target exactly where the "
+    "min(1, rate) clamp binds (small sources whose full stratum is "
+    "kept) and by hash-sampling variance elsewhere — the two "
+    "effects a mix report exists to make visible. Same one-scan + "
+    "broadcast-rates shape as the mix itself, ending in "
+    "|sources|-row aggregates; integer ppm by truncating division",
+)
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("w", F.expr("CAST(floor(sqrt(n)) AS BIGINT)"))
+        .localCheckpoint()
+    )
+    totals = counts.agg(
+        F.sum("n").alias("tot_n"), F.sum("w").alias("tot_w")
+    )
+    rates = counts.join(F.broadcast(totals)).select(
+        "source",
+        "n",
+        "w",
+        "tot_w",
+        F.expr(
+            "least(CAST(1000000 AS BIGINT), "
+            "((tot_n div 2) * w * 1000000) div (tot_w * n))"
+        ).alias("keep_ppm"),
+    )
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) % 1000000"
+    )
+    kept = (
+        d.join(F.broadcast(rates.select("source", "keep_ppm")), "source")
+        .filter(bucket < F.col("keep_ppm"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .localCheckpoint()  # |sources| rows; feeds the total AND the report
+    )
+    tot_kept = kept.agg(F.sum("n_kept").alias("tot_kept"))
+    return (
+        rates.join(kept, "source", "left")
+        .join(F.broadcast(tot_kept))
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.expr("CAST(w * 1000000 div tot_w AS BIGINT)").alias(
+                "target_share_ppm"
+            ),
+            F.expr(
+                "CAST(coalesce(n_kept, 0) * 1000000 div tot_kept AS BIGINT)"
+            ).alias("achieved_share_ppm"),
+        )
+    )
+
+
+@_q(
     "eval_holdout",
     """
 WITH ranked AS (

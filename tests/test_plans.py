@@ -116,6 +116,7 @@ BNLJ_ALLOWED = {
     "attribution_linear",  # 1-row credit-total scalar onto the channel rollup
     "volatility_regimes",  # 1-row tercile-threshold scalar onto the vol table
     "corpus_mix_temperature",  # 1-row totals scalar onto the rate table
+    "corpus_mix_report",  # 1-row totals + 1-row kept-total scalars
     "hits_hosts",  # two 1-row L1-mass scalars per HITS round
     "similarity_sq8",  # broadcast 64-row query set, cosine_topk's non-equi shape
     "source_overlap_matrix",  # |sources|x|sources| pair frame (both sides tiny)
