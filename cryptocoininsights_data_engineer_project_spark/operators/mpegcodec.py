@@ -784,7 +784,10 @@ def decode_mpeg1(payload: bytes):
             # previous macroblock's prediction, for B skips:
             # (use_fwd, use_bwd, (rxf, ryf), (rxb, ryb)); None after
             # an intra macroblock (skip may not follow intra in B)
+            # and at slice start (predictors reset per slice) — the
+            # skip-error message below names which cause applies
             last_b_mode = None
+            last_b_none_cause = "slice start (predictors reset per slice)"
             first_in_slice = True
             while not r.at_start_code():
                 inc = 0
@@ -816,8 +819,8 @@ def decode_mpeg1(payload: bytes):
                         # mode and vectors; predictors unchanged
                         if last_b_mode is None:
                             raise MpegError(
-                                "skipped B macroblock follows an intra "
-                                "macroblock"
+                                "skipped B macroblock follows "
+                                + last_b_none_cause
                             )
                         uf, ub, vf, vb = last_b_mode
                         skx = (sk % seq.mb_width) * 16
@@ -850,6 +853,7 @@ def decode_mpeg1(payload: bytes):
                     mv_pred = [0, 0]
                     mv_pred_b = [0, 0]
                     last_b_mode = None
+                    last_b_none_cause = "an intra macroblock"
                     for i in range(4):
                         bx = mbx + (i & 1) * 8
                         by = mby + (i >> 1) * 8

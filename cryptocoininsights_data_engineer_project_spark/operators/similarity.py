@@ -47,6 +47,15 @@ QUERY_MODULUS = 100
 # (measured 11-14x at 10x data in the r10 sf1 sweep before this bound).
 EVAL_QUERIES = 64
 TOP_K = 5
+# Cap on the held-out benchmark slice semantic_decontaminate collects
+# to the driver: real benchmark suites are a few thousand items no
+# matter how big the corpus is, so the collected set must be constant
+# in corpus size (the SCALE.md fixed-sample house rule). 256 keeps the
+# closure ~128 KiB of doubles; it exceeds the % 17 slice at the driver
+# SFs (29 members at sf0.01, 117 at sf0.1 — results unchanged there)
+# and binds at the derived sf1 (~1.2k slice members) and beyond, which
+# is the point: the collect stops growing with the corpus.
+BENCH_LIMIT = 256
 # Same k as the exact baseline so recall@k is the clean headline metric
 # (tests/test_similarity.py pins the floors).
 IVF_TOP_K = 5
@@ -176,8 +185,16 @@ def sq8_topk(
     s = e.withColumn(
         "scale", F.expr("array_max(transform(emb, v -> abs(v))) / 127.0")
     )
+    # scale = 0 means the all-zero vector: its codes are all zero by
+    # definition. Guarding here (both spellings) keeps the degenerate
+    # case engine-portable — IEEE x/0 diverges across engines (Spark
+    # NaN/Inf vs DuckDB NULL).
     z = s.select(
-        "vec_id", F.expr("transform(emb, x -> round(x / scale))").alias("q")
+        "vec_id",
+        F.expr(
+            "transform(emb, x -> CASE WHEN scale = 0D THEN 0D"
+            " ELSE round(x / scale) END)"
+        ).alias("q"),
     )
     n = z.withColumn("qn", F.expr(f"sqrt({dot_expr('q', 'q')})"))
     q = _query_sample(n, query_modulus, query_limit).select(
@@ -190,7 +207,10 @@ def sq8_topk(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         F.round(
-            F.expr(dot_expr("qq", "q")) / (F.col("q_qn") * F.col("qn")), 6
+            F.when(F.col("q_qn") * F.col("qn") == 0, F.lit(0.0)).otherwise(
+                F.expr(dot_expr("qq", "q")) / (F.col("q_qn") * F.col("qn"))
+            ),
+            6,
         ).alias("qcosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -216,7 +236,9 @@ WITH e AS (
          list_max(list_transform(emb, v -> abs(v))) / 127.0 AS scale
   FROM e
 ), z AS (
-  SELECT vec_id, list_transform(emb, x -> round(x / scale)) AS q FROM s
+  SELECT vec_id, list_transform(emb,
+           x -> CASE WHEN scale = 0 THEN 0.0 ELSE round(x / scale) END) AS q
+  FROM s
 ), n AS (
   SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS qn FROM z
 ), qs AS (
@@ -224,7 +246,8 @@ WITH e AS (
   {_query_sample_sql(query_modulus, query_limit)}
 ), scored AS (
   SELECT query_id, n.vec_id AS neighbor_id,
-         round(list_dot_product(qq, q) / (q_qn * qn), 6) AS qcosine
+         round(CASE WHEN q_qn * qn = 0 THEN 0.0
+               ELSE list_dot_product(qq, q) / (q_qn * qn) END, 6) AS qcosine
   FROM qs JOIN n ON query_id != n.vec_id
 ), ranked AS (
   SELECT *, row_number() OVER (
@@ -826,6 +849,7 @@ def semantic_decontaminate(
     embeddings: DataFrame,
     threshold: float,
     bench_mod: int = 17,
+    bench_limit: int = BENCH_LIMIT,
     dim: int = 64,
     n_planes: int = LSH_PLANES,
     n_bands: int = LSH_BANDS,
@@ -835,23 +859,28 @@ def semantic_decontaminate(
     too close to a held-out BENCHMARK set — the embedding-space twin
     of ``dedup.decontaminate`` (which matches n-gram text verbatim;
     this catches paraphrased/translated contamination that shares no
-    8-gram). Benchmark membership is the deterministic vec_id %
-    ``bench_mod`` == 0 slice, mirroring the text twin's convention.
+    8-gram). Benchmark membership is the vec_id % ``bench_mod`` == 0
+    slice (the text twin's convention) CAPPED at ``bench_limit``
+    vectors by portable md5 order — the house fixed-sample rule
+    (SCALE.md): real benchmark sets are a few thousand items no
+    matter how big the corpus is, so the held-out set must not grow
+    with the corpus. (Spark plans the cap as TakeOrderedAndProject —
+    a distributed partial top-k, never a global sort.)
 
-    Physical shape, built for the real asymmetry (benchmark sets are
-    thousands of vectors BY DEFINITION; the corpus is the 100 TB
-    side): the benchmark slice collects ONCE to the driver and rides
-    the closure — embeddings, norms, and pre-packed band values — so
-    the whole probe is ONE narrow Arrow pass over the corpus with
-    ZERO shuffles, zero joins, zero broadcast exchanges. Per batch:
-    the corpus sketches against the literal planes (one BLAS matmul),
-    the band-collision candidate mask is a vectorized (batch x bench
-    x n_bands) compare, and the survivors verify with a single
-    corpus x bench dgemm — per-pair work is a few FLOPs at memory
-    bandwidth. Semantics are identical to the per-pair banded join
-    this replaced (measured 4-6 s -> sub-second at sf0.1: the join
-    form exploded ~1k candidate ROWS per corpus vector because 3-bit
-    bands barely filter, then paid a 64-term fold per row).
+    Physical shape, built for that asymmetry (benchmark bounded, the
+    corpus is the 100 TB side): the benchmark slice collects ONCE to
+    the driver — at most ``bench_limit`` rows, constant in corpus
+    size — and rides the closure as embeddings, norms, and pre-packed
+    band values, so the whole probe is ONE narrow Arrow pass over the
+    corpus with ZERO shuffles, zero joins, zero broadcast exchanges.
+    Per batch: the corpus sketches against the literal planes (one
+    BLAS matmul), the band-collision candidate mask is a vectorized
+    (batch x bench x n_bands) compare, and the survivors verify with
+    a single corpus x bench dgemm — per-pair work is a few FLOPs at
+    memory bandwidth. Semantics are identical to the per-pair banded
+    join this replaced (measured 4-6 s -> sub-second at sf0.1: the
+    join form exploded ~1k candidate ROWS per corpus vector because
+    3-bit bands barely filter, then paid a 64-term fold per row).
     Output is bounded by true contamination density."""
     import pandas as pd
 
@@ -860,7 +889,15 @@ def semantic_decontaminate(
     e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    bench_rows = e.filter(F.col("vec_id") % bench_mod == 0).collect()
+    h = F.expr(spark_hash64("CAST(vec_id AS STRING)"))
+    bench_rows = (
+        e.filter(F.col("vec_id") % bench_mod == 0)
+        .withColumn("__qh", h)
+        .orderBy(F.col("__qh").desc(), F.col("vec_id").asc())
+        .limit(bench_limit)
+        .drop("__qh")
+        .collect()
+    )
     import numpy as np
 
     B = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in bench_rows])
@@ -915,13 +952,17 @@ def semantic_decontaminate(
 def semantic_decontaminate_oracle_sql(
     threshold: float,
     bench_mod: int = 17,
+    bench_limit: int = BENCH_LIMIT,
     dim: int = 64,
     n_planes: int = LSH_PLANES,
     n_bands: int = LSH_BANDS,
     seed: int = LSH_SEED,
 ) -> str:
-    """Identical literal planes, banding, benchmark slice, fold
-    cosine, and per-corpus-vector aggregation."""
+    """Identical literal planes, banding, capped benchmark slice,
+    fold cosine, and per-corpus-vector aggregation."""
+    from ..functions.hashing import duck_hash64
+
+    dh = duck_hash64("CAST(vec_id AS VARCHAR)")
     planes = _lsh_planes(dim, n_planes, seed)
     bb = n_planes // n_bands
     h_lit = (
@@ -948,11 +989,16 @@ WITH e AS (
            h -> CASE WHEN list_dot_product(emb, h) >= 0 THEN 1 ELSE 0 END) AS bits
   FROM e
 ), bands AS ({' UNION ALL '.join(band_selects)}),
+bench AS (
+  SELECT vec_id FROM e WHERE vec_id % {bench_mod} = 0
+  ORDER BY {dh} DESC, vec_id LIMIT {bench_limit}
+),
 cand AS (
   SELECT DISTINCT c.vec_id AS cid, b.vec_id AS bid
   FROM bands c JOIN bands b
     ON c.band_id = b.band_id AND c.band_val = b.band_val
-  WHERE c.vec_id % {bench_mod} <> 0 AND b.vec_id % {bench_mod} = 0
+  WHERE c.vec_id % {bench_mod} <> 0
+    AND b.vec_id IN (SELECT vec_id FROM bench)
 ), n AS (
   SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e
 ), scored AS (

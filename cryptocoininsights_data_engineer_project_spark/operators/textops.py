@@ -1591,9 +1591,12 @@ def nfc_normalize_docs(docs):
 # ------------------------------------------------------- WordPiece
 WP_VOCAB_N = 16       # multi-char pieces in the learned vocabulary
 WP_PIECE_LENS = (2, 3, 4)
-WP_MAX_WORD = 16      # fold unroll bound; corpus max word length is 8
-                      # (pinned in tests) — production sets this to the
-                      # tokenizer's max-chars-per-word (HF uses 100)
+WP_MAX_WORD = 16      # fold unroll bound — production sets this to the
+                      # tokenizer's max-chars-per-word (HF uses 100). A
+                      # word longer than this FAILS LOUDLY in the fold's
+                      # terminal lambda (raise_error) instead of being
+                      # silently undercounted; tests pin both the loud
+                      # path and that the test corpus stays under it.
 
 
 def wordpiece_vocab(spark, docs: DataFrame, n: int = WP_VOCAB_N) -> DataFrame:
@@ -1662,7 +1665,15 @@ def wordpiece_encode_counts(
         "named_struct('p', 1, 'c', CAST(0 AS BIGINT)), "
         "(acc, i) -> IF(acc.p > length(w), acc, "
         f"named_struct('p', acc.p + ({step}), 'c', acc.c + CAST(1 AS BIGINT))), "
-        "acc -> acc.c)"
+        # terminal lambda: a cursor still inside the word after
+        # WP_MAX_WORD steps means the word is longer than the unroll
+        # bound — fail loudly rather than silently undercount (the
+        # DuckDB oracle's recursive CTE counts the full word, so a
+        # silent truncation here would be a parity divergence that
+        # only surfaces on data with a long word).
+        "acc -> IF(acc.p > length(w), acc.c, "
+        "CAST(raise_error(concat('wordpiece_encode: word exceeds "
+        f"WP_MAX_WORD={WP_MAX_WORD} chars: ', w)) AS BIGINT)))"
     )
     toks = f"filter({spark_tokens('text')}, w -> w <> '')"
     return docs.select(

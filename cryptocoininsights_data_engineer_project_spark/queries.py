@@ -3253,10 +3253,13 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="EMBEDDING-space benchmark decontamination — the semantic twin "
     "of the n-gram `decontaminate` (which only catches verbatim "
     "8-gram overlap; this flags paraphrased/translated contamination). "
-    "Benchmark = the deterministic vec_id%17 slice; corpus vectors "
-    "with cosine >= 0.45 to any benchmark vector are reported with "
-    "hit count + max cosine. Physical shape exploits the real "
-    "asymmetry: the (small-by-definition) benchmark collects once "
+    "Benchmark = the deterministic vec_id%17 slice CAPPED at "
+    "BENCH_LIMIT=256 vectors by portable md5 order (the SCALE.md "
+    "fixed-sample rule: the held-out set must not grow with the "
+    "corpus); corpus vectors with cosine >= 0.45 to any benchmark "
+    "vector are reported with hit count + max cosine. Physical "
+    "shape exploits the real asymmetry: the now-bounded benchmark "
+    "collects once (<= 256 rows, constant in corpus size) "
     "into the closure — embeddings, norms, packed band values — so "
     "the 100 TB corpus side is ONE narrow Arrow pass: vectorized "
     "band-collision mask + one corpus x bench dgemm per batch, ZERO "
@@ -4863,7 +4866,7 @@ t AS (
 rates AS (
   SELECT w.source,
          least(1000000,
-               ((t.tot_n // 2) * w.w * 1000000) // (t.tot_w * w.n))
+               (((t.tot_n // 2) * 1000000) // w.n) * w.w // t.tot_w)
            AS keep_ppm
   FROM w, t)
 SELECT d.doc_id, d.source, r.keep_ppm
@@ -4879,9 +4882,12 @@ WHERE CAST(CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGI
     "arithmetic stays integer-exact cross-engine: w_i = "
     "floor(sqrt(n_i)) (IEEE sqrt is correctly rounded, so floor "
     "agrees on both engines), keep rate = min(1e6 ppm, "
-    "(N*w_i*1e6) div (W*n_i)) in BIGINT (exact while n*sqrt(n)*1e6 "
-    "< 2^63, i.e. to ~10^10 docs/source; beyond that move the ppm "
-    "scale down), and the keep decision is the same portable "
+    "(((N div 2)*1e6) div n_i) * w_i div W) in BIGINT — the division "
+    "by n_i happens BEFORE the w_i multiply, so the largest "
+    "intermediate is (N div 2)*1e6 (safe to N ~ 1.8e13 docs, i.e. "
+    "past the 100 TB corpus this engine targets; the naive "
+    "N*w*1e6 ordering wraps silently at ~5e8 docs/source), and the "
+    "keep decision is the same portable "
     "md5-bucket-vs-ppm rule as stratified_sample/train_split — no "
     "rand(), reproducible across engines, runs, and cluster sizes. "
     "Plan: per-source counts are a tiny aggregate, totals a 1-row "
@@ -4903,7 +4909,7 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.expr(
             "least(CAST(1000000 AS BIGINT), "
-            "((tot_n div 2) * w * 1000000) div (tot_w * n))"
+            "(((tot_n div 2) * 1000000) div n) * w div tot_w)"
         ).alias("keep_ppm"),
     )
     bucket = F.expr(
@@ -4930,7 +4936,7 @@ t AS (
 rates AS (
   SELECT w.source, w.n, w.w, t.tot_w,
          least(1000000,
-               ((t.tot_n // 2) * w.w * 1000000) // (t.tot_w * w.n))
+               (((t.tot_n // 2) * 1000000) // w.n) * w.w // t.tot_w)
            AS keep_ppm
   FROM w, t),
 kept AS (
@@ -4977,7 +4983,7 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tot_w",
         F.expr(
             "least(CAST(1000000 AS BIGINT), "
-            "((tot_n div 2) * w * 1000000) div (tot_w * n))"
+            "(((tot_n div 2) * 1000000) div n) * w div tot_w)"
         ).alias("keep_ppm"),
     )
     bucket = F.expr(
@@ -7385,12 +7391,14 @@ pairs AS (
   SELECT greatest(er.rk, ar.rk) AS g
   FROM er JOIN ar ON er.query_id = ar.query_id
    AND er.neighbor_id = ar.neighbor_id),
-ks AS (SELECT unnest([1, 2, 3, 4, 5]) AS k)
+ks AS (SELECT unnest([1, 2, 3, 4, 5]) AS k),
+nq AS (SELECT least({similarity.EVAL_QUERIES}, count(*)) AS n_queries
+       FROM embeddings)
 SELECT CAST(ks.k AS BIGINT) AS k,
   CAST(count(pairs.g) AS BIGINT) AS n_matched,
-  round(count(pairs.g) / ({similarity.EVAL_QUERIES} * 1.0 * ks.k), 6)
+  round(count(pairs.g) / (any_value(nq.n_queries) * 1.0 * ks.k), 6)
     AS recall_at_k
-FROM ks LEFT JOIN pairs ON pairs.g <= ks.k
+FROM ks CROSS JOIN nq LEFT JOIN pairs ON pairs.g <= ks.k
 GROUP BY ks.k
 """,
     doc="the full recall@k CURVE (k = 1..5) of trained-IVF against "
@@ -7403,7 +7411,11 @@ GROUP BY ks.k
     "range join (tiny, broadcast). Ranks are re-derived from each "
     "list's own output ordering (rounded cosine DESC, neighbor_id) "
     "— deterministic and identical cross-engine. Query set is the "
-    "fixed md5-top-64 eval sample: O(64*n) total",
+    "fixed md5-top-64 eval sample: O(64*n) total. The recall "
+    "denominator is the ACTUAL query-sample size "
+    "least(EVAL_QUERIES, |embeddings|) — one count-only scan, "
+    "broadcast — not the raw constant, so the metric stays honest "
+    "on a corpus smaller than the sample cap",
 )
 def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -7426,7 +7438,16 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ar,
         (er.query_id == ar.a_qid) & (er.neighbor_id == ar.a_nid),
     ).select(F.greatest("rk", "a_rk").alias("g"))
-    ks = spark.range(1, 6).select(F.col("id").alias("k"))
+    nq = emb.agg(
+        F.least(
+            F.lit(similarity.EVAL_QUERIES), F.count(F.lit(1))
+        ).alias("n_queries")
+    )
+    ks = (
+        spark.range(1, 6)
+        .select(F.col("id").alias("k"))
+        .crossJoin(F.broadcast(nq))
+    )
     return (
         F.broadcast(ks)
         .join(pairs, F.col("g") <= F.col("k"), "left")
@@ -7434,7 +7455,8 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("g").alias("n_matched"),
             F.round(
-                F.count("g") / (similarity.EVAL_QUERIES * 1.0 * F.col("k")),
+                F.count("g")
+                / (F.first("n_queries") * 1.0 * F.col("k")),
                 6,
             ).alias("recall_at_k"),
         )

@@ -662,7 +662,7 @@ def corpus_mix_selection(spark: SparkSession, table_root: str) -> DataFrame:
         "source",
         F.expr(
             "least(CAST(1000000 AS BIGINT), "
-            "((tot_n div 2) * w * 1000000) div (tot_w * n))"
+            "(((tot_n div 2) * 1000000) div n) * w div tot_w)"
         ).alias("keep_ppm"),
     )
     return (

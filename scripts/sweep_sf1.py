@@ -18,6 +18,16 @@ Results stream to .sweep_sf1/results.jsonl (one JSON object per query,
 append-mode so an interrupted sweep resumes with --resume).
 
 Usage: python scripts/sweep_sf1.py [--resume] [--only name1,name2]
+       python scripts/sweep_sf1.py --check
+
+--check is the RATIO GATE (VERDICT r12 item 2): it re-reads the
+recorded results.jsonl and fails (exit 1) when any swept query
+exceeds RATIO_GATE x wall at 10x data without a named adjudication in
+ADJUDICATED, or recorded a parity failure/error. The first two
+registry quadratics were caught only because someone happened to run
+the sweep and read the table; the gate makes the next super-linear
+regression a CI failure instead of an archaeology find.
+tests/test_sweep_gate.py runs the gate on the committed record.
 """
 
 from __future__ import annotations
@@ -48,6 +58,81 @@ ORACLE_EXCLUDED = {"dedup_text_embedding", "dedup_embedding", "fuzzy_name_match"
 # Hard per-side budget; a genuine linear query finishes far inside it.
 TIMEOUT_S = 900
 
+# --check gate: a linear query lands <= ~10x at 10x data (shared-VM
+# wobble included); anything past this needs a NAMED adjudication.
+RATIO_GATE = 12.0
+
+# The adjudicated super-linear movers — each must name its reason, and
+# the reason class must be one a reviewer can verify from the record
+# itself (output growth is in the JSONL's rows columns; documented
+# quadratics carry the engine-only parity marker).
+ADJUDICATED = {
+    "fuzzy_name_match": (
+        "output-proportional: sf1 derivation manufactures near-dup "
+        "cliques — 32x wall tracks 53x output rows (SCALE.md)"
+    ),
+    "basket_affinity_lift": (
+        "output-proportional: pair-grain output grows with basket "
+        "co-occurrence density, 2 -> 20 rows at 10x data (SCALE.md)"
+    ),
+    "dedup_embedding": (
+        "documented quadratic verification baseline for the LSH "
+        "default (engine-only oracle row, SCALE.md)"
+    ),
+    "dedup_text_embedding": (
+        "documented quadratic verification baseline for the LSH "
+        "default (engine-only oracle row, SCALE.md)"
+    ),
+}
+
+
+def check(records: list[dict]) -> list[str]:
+    """The ratio gate over a sweep record. Returns problem strings
+    (empty = green). Pure function of the parsed JSONL so the test
+    suite can gate the committed record and unit-test the failure
+    modes without running a sweep."""
+    problems = []
+    for r in records:
+        name = r.get("name", "?")
+        if "error" in r:
+            problems.append(f"{name}: sweep errored: {r['error'][:120]}")
+            continue
+        parity = r.get("parity")
+        if parity != "pass" and not (
+            isinstance(parity, str) and parity.startswith("engine-only")
+        ):
+            problems.append(f"{name}: parity not green: {parity!r}")
+        ratio = r.get("ratio") or 0.0
+        if ratio > RATIO_GATE and name not in ADJUDICATED:
+            problems.append(
+                f"{name}: sf1/sf0.1 wall ratio {ratio} exceeds the "
+                f"{RATIO_GATE}x gate with no adjudication — either fix "
+                "the super-linear plan or add a NAMED entry to "
+                "ADJUDICATED with a verifiable reason"
+            )
+    return problems
+
+
+def run_check() -> None:
+    if not os.path.exists(OUT):
+        print(f"no sweep record at {OUT}; run the sweep first")
+        sys.exit(2)
+    with open(OUT) as f:
+        records = [json.loads(line) for line in f if line.strip()]
+    stale = [n for n in ADJUDICATED if n not in {r.get("name") for r in records}]
+    problems = check(records)
+    problems += [f"ADJUDICATED entry {n} not in the sweep record" for n in stale]
+    if problems:
+        print(f"RATIO GATE: {len(problems)} problem(s)")
+        for p in problems:
+            print(" -", p)
+        sys.exit(1)
+    n_adj = sum(1 for r in records if r.get("name") in ADJUDICATED)
+    print(
+        f"RATIO GATE: green — {len(records)} queries, "
+        f"{n_adj} adjudicated, gate {RATIO_GATE}x"
+    )
+
 
 class _Cancel(Exception):
     pass
@@ -74,6 +159,9 @@ def _run_spark_side(spark, fn, sf_dir: str, name: str):
 
 
 def main() -> None:
+    if "--check" in sys.argv:
+        run_check()
+        return
     resume = "--resume" in sys.argv
     only = None
     for i, a in enumerate(sys.argv):

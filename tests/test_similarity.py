@@ -226,3 +226,80 @@ def test_recall_curve_consistent_with_point_audit(spark):
         for r in REGISTRY["ann_recall_at_5"].fn(spark, sf).collect()
     )
     assert curve[5] == point_total
+
+
+def test_sq8_zero_vector_portable(spark):
+    """An all-zero embedding must not poison sq8 scores with IEEE
+    division-by-zero artifacts (Spark NaN/Inf vs DuckDB NULL — the
+    cross-engine divergence the scale/denominator guards close): codes
+    are defined as all-zero, every pair involving the zero vector
+    scores exactly 0.0, and no score is NaN/Inf/NULL anywhere."""
+    import math
+
+    rows = [
+        (0, [0.0] * 4),
+        (1, [1.0, 2.0, -3.0, 4.0]),
+        (2, [-1.0, 2.0, 3.0, -4.0]),
+        (3, [2.0, 2.0, 2.0, 2.0]),
+    ]
+    e = spark.createDataFrame(
+        [(i, v, "x") for i, v in rows],
+        "vec_id long, embedding array<double>, label string",
+    )
+    out = similarity.sq8_topk(e, k=3, query_modulus=1).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.qcosine is not None
+        assert math.isfinite(r.qcosine), r
+        if r.query_id == 0 or r.neighbor_id == 0:
+            assert r.qcosine == 0.0, r
+
+    # DuckDB twin on the identical rows: same guard, same zeros
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"vec_id": [i for i, _ in rows],
+         "embedding": [v for _, v in rows],
+         "label": ["x"] * len(rows)}
+    )
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    sql = similarity.sq8_topk_oracle_sql(k=3, query_modulus=1)
+    duck = con.execute(sql).fetchall()
+    dvals = {(int(a), int(b)): float(c) for a, b, c in duck}
+    svals = {(r.query_id, r.neighbor_id): r.qcosine for r in out}
+    assert dvals == svals
+
+
+def test_semantic_decontaminate_bench_cap(spark):
+    """The held-out benchmark slice semantic_decontaminate collects is
+    CAPPED at bench_limit by portable md5 order (the SCALE.md
+    fixed-sample house rule — the collect must not grow with the
+    corpus): a cap at exactly the slice size reproduces the uncapped
+    behavior, and a smaller cap yields a subset of the uncapped hits
+    with no larger per-vector hit counts."""
+    e = _t(spark, SF_DIR, "embeddings")
+    n_slice = e.filter("vec_id % 17 = 0").count()
+    assert 0 < n_slice < similarity.BENCH_LIMIT  # default cap is slack here
+
+    full = {
+        r.vec_id: (r.n_bench_hits, r.max_cosine)
+        for r in similarity.semantic_decontaminate(
+            e, threshold=0.45, bench_limit=n_slice
+        ).collect()
+    }
+    default = {
+        r.vec_id: (r.n_bench_hits, r.max_cosine)
+        for r in similarity.semantic_decontaminate(e, threshold=0.45).collect()
+    }
+    assert full == default  # slack cap ≡ whole slice
+
+    capped = {
+        r.vec_id: r.n_bench_hits
+        for r in similarity.semantic_decontaminate(
+            e, threshold=0.45, bench_limit=max(1, n_slice // 4)
+        ).collect()
+    }
+    assert set(capped) <= set(full)
+    assert all(capped[v] <= full[v][0] for v in capped)

@@ -657,3 +657,36 @@ def test_wordpiece_greedy_longest_match_hand_corpus(spark):
     # abc -> [abc]; abcd -> [abc][d] = 2 tokens (if [ab][cd] it'd
     # also be 2 — so pin via the 3-word total AND a 5-char word)
     assert got2[0] == (3, 1 + 1 + 2)
+
+
+def test_wordpiece_long_word_fails_loudly(spark):
+    """A word longer than WP_MAX_WORD must RAISE from the fold's
+    terminal lambda, not be silently undercounted — silent truncation
+    would diverge from the DuckDB oracle's recursive CTE (which counts
+    the full word) only on data containing a long word."""
+    import pytest
+
+    from cryptocoininsights_data_engineer_project_spark.operators.textops import (
+        WP_MAX_WORD,
+        wordpiece_encode_counts,
+    )
+
+    # worst case is a word that matches NO vocab piece (1-char advance
+    # per fold step): 16 distinct chars fits exactly in 16 steps...
+    import string
+
+    w16 = string.ascii_lowercase[:WP_MAX_WORD]
+    ok = spark.createDataFrame(
+        [(0, f"zz zz {w16}")], "doc_id long, text string"
+    )
+    got = wordpiece_encode_counts(spark, ok, n=1).collect()
+    assert got[0].n_words == 3
+    assert got[0].n_wordpiece == 1 + 1 + WP_MAX_WORD  # [zz][zz] + 16 chars
+
+    # ...and 17 distinct chars must raise, not return 16
+    w17 = string.ascii_lowercase[: WP_MAX_WORD + 1]
+    bad = spark.createDataFrame(
+        [(0, f"zz zz {w17}")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="WP_MAX_WORD"):
+        wordpiece_encode_counts(spark, bad, n=1).collect()
