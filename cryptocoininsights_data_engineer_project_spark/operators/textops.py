@@ -1730,3 +1730,335 @@ SELECT d.doc_id,
   coalesce(a.n_wordpiece, 0) AS n_wordpiece
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
+
+
+# ---------------------------------------------------- Unigram LM
+# The third production tokenizer class next to BPE (merge replay) and
+# WordPiece (greedy longest-match): SentencePiece-style unigram, here
+# in its deterministic hard-EM (Viterbi-EM) form so every quantity is
+# an INTEGER and both engines agree bit-for-bit. Seed vocabulary =
+# substring frequencies over the bounded word vocabulary; each EM
+# round Viterbi-segments the word vocabulary under the current scores
+# (objective: fewest pieces, then highest total score — the integer
+# lexicographic stand-in for max sum-log-p that keeps the DP exact
+# cross-engine) and re-estimates every piece's score as its usage
+# count. Single-character pieces are never pruned (SentencePiece
+# keeps the character set for the same totality reason); characters
+# unseen at training encode as score-0 singles (the UNK convention).
+UNI_VOCAB_WORDS = 150   # word vocabulary the EM trains over (BPE's cut)
+UNI_PIECES_N = 24       # multi-char seed pieces kept (lengths 2..4)
+UNI_EM_STEPS = 2        # hard-EM re-estimation rounds
+UNI_MAX_WORD = 16       # DP unroll bound; longer words FAIL LOUDLY
+UNI_PIECE_LENS = (1, 2, 3, 4)
+
+
+def _uni_viterbi(word: str, scores: dict[str, int]):
+    """(n_tokens, total_score, 'p1 p2 ... ') — the exact mirror of the
+    unrolled SQL DP: candidates are the <=4 suffix pieces at each
+    position (multi-char only if in the vocabulary; single char always,
+    score 0 when unknown), best by (tokens ASC, score DESC, len DESC).
+    One candidate per length, so the argmin is unique."""
+    n = len(word)
+    dp = [(0, 0, "")]
+    for i in range(1, n + 1):
+        cands = []
+        for ln in UNI_PIECE_LENS:
+            if ln > i:
+                continue
+            piece = word[i - ln:i]
+            sc = scores.get(piece)
+            if sc is None:
+                if ln != 1:
+                    continue
+                sc = 0
+            t0, s0, seg0 = dp[i - ln]
+            cands.append((t0 + 1, -(s0 + sc), -ln, seg0 + piece + " "))
+        t, ns, _, seg = min(cands)
+        dp.append((t, -ns, seg))
+    return dp[n]
+
+
+def unigram_train(spark, docs: DataFrame) -> dict[str, int]:
+    """piece -> integer score, the trained unigram-LM vocabulary.
+
+    Physical shape (the bpe_merge_table pattern): ONE distributed
+    corpus scan builds the weighted word vocabulary — the only
+    data-scale-dependent stage, a token count with map-side combine at
+    100 TB — cut to the top UNI_VOCAB_WORDS by (count DESC, word ASC).
+    The cut is bounded by a PARAMETER, so the EM iterations run
+    driver-local on the collected rows exactly like real SentencePiece
+    trainers iterate in memory over their (suffix-array-derived) seed.
+    All arithmetic is integer: seed scores are substring frequencies,
+    EM re-scores are Viterbi usage counts."""
+    vocab_rows = (
+        docs.select(F.explode(F.expr(spark_tokens("text"))).alias("w"))
+        .filter("w <> ''")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(UNI_VOCAB_WORDS)
+        .collect()
+    )
+    vocab = [(r["w"], int(r["cnt"])) for r in vocab_rows]
+    for w, _ in vocab:
+        if len(w) > UNI_MAX_WORD:
+            raise ValueError(
+                f"unigram_train: vocabulary word exceeds "
+                f"UNI_MAX_WORD={UNI_MAX_WORD} chars: {w!r}"
+            )
+    seed1: dict[str, int] = {}
+    seedm: dict[str, int] = {}
+    for word, cnt in vocab:
+        for ln in UNI_PIECE_LENS:
+            tgt = seed1 if ln == 1 else seedm
+            for p in range(len(word) - ln + 1):
+                piece = word[p:p + ln]
+                tgt[piece] = tgt.get(piece, 0) + cnt
+    top_m = sorted(seedm.items(), key=lambda kv: (-kv[1], kv[0]))
+    scores = dict(seed1)
+    scores.update(dict(top_m[:UNI_PIECES_N]))
+    chars = set(seed1)
+    for _ in range(UNI_EM_STEPS):
+        usage: dict[str, int] = {}
+        for word, cnt in vocab:
+            _, _, seg = _uni_viterbi(word, scores)
+            for piece in seg.split():
+                usage[piece] = usage.get(piece, 0) + cnt
+        scores = {c: usage.get(c, 0) for c in chars}
+        for piece, u in usage.items():
+            if len(piece) > 1:
+                scores[piece] = u
+    return scores
+
+
+def unigram_vocab(spark, docs: DataFrame) -> DataFrame:
+    """(piece, score): the trained unigram vocabulary as a DataFrame
+    (bounded by parameters: <= |charset| + UNI_PIECES_N rows)."""
+    scores = unigram_train(spark, docs)
+    return spark.createDataFrame(
+        sorted(scores.items()), "piece string, score bigint"
+    )
+
+
+def _uni_score_maps(scores: dict[str, int]) -> dict[int, str]:
+    """Per-length literal map expressions (smaller maps = fewer string
+    compares per element_at probe in the encode fold)."""
+    out = {}
+    for ln in UNI_PIECE_LENS:
+        items = sorted(
+            (p, s) for p, s in scores.items() if len(p) == ln
+        )
+        if items:
+            body = ", ".join(
+                f"'{p}', CAST({s} AS BIGINT)" for p, s in items
+            )
+            out[ln] = f"map({body})"
+    return out
+
+
+def unigram_encode_counts(spark, docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, n_unigram): Viterbi-encode the corpus with
+    the trained unigram vocabulary — the apply pass next to
+    bpe_encode_counts (merge replay) and wordpiece_encode_counts
+    (greedy). At each cursor position the DP considers the <=4
+    suffix pieces ending there and keeps the lexicographic best
+    (fewest tokens, then highest score, then longest piece).
+
+    Physical shape: training is unigram_train's one corpus scan +
+    driver-local EM; the ENCODE pass is ONE narrow corpus scan with
+    zero shuffles — the trained scores unroll into literal per-length
+    maps inside a single codegen'd DP fold (array-of-structs dp,
+    array_min for the argmin, struct comparison is lexicographic),
+    nested in the per-document aggregate over the token array. Words
+    longer than UNI_MAX_WORD raise from the terminal lambda (the
+    wordpiece_encode loud-fail convention)."""
+    scores = unigram_train(spark, docs)
+    maps = _uni_score_maps(scores)
+
+    def cand(ln: int) -> str:
+        prev = f"element_at(acc, i - {ln - 1})"
+        piece = f"substring(w, i - {ln - 1}, {ln})"
+        if ln == 1:
+            sc = (
+                f"coalesce(element_at({maps[1]}, {piece}), "
+                "CAST(0 AS BIGINT))"
+            )
+            return (
+                f"named_struct('t', {prev}.t + CAST(1 AS BIGINT), "
+                f"'ns', {prev}.ns - {sc}, 'nl', -1)"
+            )
+        if ln not in maps:
+            return "NULL"
+        m = maps[ln]
+        return (
+            f"IF(i >= {ln} AND element_at({m}, {piece}) IS NOT NULL, "
+            f"named_struct('t', {prev}.t + CAST(1 AS BIGINT), "
+            f"'ns', {prev}.ns - element_at({m}, {piece}), 'nl', {-ln}), "
+            "NULL)"
+        )
+
+    # dp entries are (t, ns=-score, nl=-len): array_min's struct
+    # comparison IS the (tokens ASC, score DESC, len DESC) objective;
+    # NULL candidates (no piece of that length) are skipped by
+    # array_min.
+    step = (
+        "array_min(array("
+        + ", ".join(cand(ln) for ln in (4, 3, 2, 1))
+        + "))"
+    )
+    fold = (
+        f"aggregate(sequence(1, {UNI_MAX_WORD}), "
+        "array(named_struct('t', CAST(0 AS BIGINT), "
+        "'ns', CAST(0 AS BIGINT), 'nl', 0)), "
+        "(acc, i) -> IF(i > length(w), acc, "
+        f"concat(acc, array({step}))), "
+        "acc -> IF(size(acc) = length(w) + 1, element_at(acc, -1).t, "
+        "CAST(raise_error(concat('unigram_encode: word exceeds "
+        f"UNI_MAX_WORD={UNI_MAX_WORD} chars: ', w)) AS BIGINT)))"
+    )
+    toks = f"filter({spark_tokens('text')}, w -> w <> '')"
+    return docs.select(
+        "doc_id",
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_words"),
+        F.expr(
+            f"aggregate({toks}, CAST(0 AS BIGINT), (a, w) -> a + {fold})"
+        ).alias("n_unigram"),
+    )
+
+
+def _uni_train_blocks() -> list[str]:
+    """Shared CTE prefix deriving the trained scores table sc{K} —
+    the SQL restatement of unigram_train: same word-vocabulary cut,
+    same substring seed, same per-round Viterbi DP (unrolled over
+    positions 1..UNI_MAX_WORD) and usage re-scoring."""
+    lens = ", ".join(str(x) for x in UNI_PIECE_LENS)
+    blocks = [
+        "uwc AS (SELECT w AS word, count(*) AS cnt FROM "
+        f"(SELECT unnest({duck_tokens('text')}) AS w FROM documents) "
+        "WHERE w <> '' GROUP BY 1)",
+        "uvocab AS (SELECT word, cnt FROM uwc "
+        f"ORDER BY cnt DESC, word LIMIT {UNI_VOCAB_WORDS})",
+        "useedpos AS (SELECT substring(word, p.p, l.l) AS piece, l.l, cnt "
+        f"FROM uvocab, (SELECT unnest([{lens}]) AS l) l, "
+        "UNNEST(generate_series(1, length(word) - l.l + 1)) AS p(p))",
+        "useed1 AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS score "
+        "FROM useedpos WHERE l = 1 GROUP BY 1)",
+        "useedm AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS score "
+        "FROM useedpos WHERE l > 1 GROUP BY 1 "
+        f"ORDER BY score DESC, piece LIMIT {UNI_PIECES_N})",
+        "sc0 AS (SELECT * FROM useed1 UNION ALL SELECT * FROM useedm)",
+    ]
+    for k in range(1, UNI_EM_STEPS + 1):
+        blocks += _uni_dp_blocks(
+            f"e{k}", "uvocab", f"sc{k - 1}", with_seg=True, keep_cnt=True
+        )
+        blocks.append(
+            f"e{k}v AS (SELECT word, cnt, seg FROM e{k}d{UNI_MAX_WORD} "
+            "WHERE pos = length(word))"
+        )
+        blocks.append(
+            f"u{k} AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS score "
+            "FROM (SELECT cnt, unnest(string_split(trim(seg), ' ')) AS "
+            f"piece FROM e{k}v) GROUP BY 1)"
+        )
+        blocks.append(
+            f"sc{k} AS (SELECT s1.piece, "
+            f"CAST(coalesce(u.score, 0) AS BIGINT) AS score "
+            f"FROM useed1 s1 LEFT JOIN u{k} u USING (piece) "
+            f"UNION ALL SELECT piece, score FROM u{k} "
+            "WHERE length(piece) > 1)"
+        )
+    return blocks
+
+
+def _uni_dp_blocks(
+    prefix: str,
+    src_cte: str,
+    scores_cte: str,
+    with_seg: bool,
+    keep_cnt: bool,
+) -> list[str]:
+    """Position-unrolled Viterbi DP: {prefix}d{i} holds the best
+    (t, s[, seg]) at every position <= i for every word; candidates at
+    position i extend the <=4 positions behind it, best per word by
+    (t ASC, s DESC, piece-length DESC) — the exact objective of the
+    Spark fold's array_min over (t, ns, nl) structs."""
+    lens = ", ".join(str(x) for x in UNI_PIECE_LENS)
+    cnt = "cnt, " if keep_cnt else ""
+    seg0 = ", '' AS seg" if with_seg else ""
+    seg_sel = ", seg" if with_seg else ""
+    blocks = [
+        f"{prefix}d0 AS MATERIALIZED (SELECT word, {cnt}0 AS pos, "
+        f"CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS s{seg0} "
+        f"FROM {src_cte})"
+    ]
+    for i in range(1, UNI_MAX_WORD + 1):
+        seg_new = (
+            f", d.seg || substring(d.word, {i} - l.l + 1, l.l) || ' ' AS seg"
+            if with_seg
+            else ""
+        )
+        blocks.append(
+            f"{prefix}c{i} AS (SELECT d.word, {('d.cnt, ' if keep_cnt else '')}"
+            "d.t + 1 AS t, d.s + coalesce(v.score, 0) AS s, l.l AS l"
+            f"{seg_new} "
+            f"FROM {prefix}d{i - 1} d "
+            f"JOIN (SELECT unnest([{lens}]) AS l) l "
+            f"ON d.pos = {i} - l.l AND length(d.word) >= {i} "
+            f"LEFT JOIN {scores_cte} v "
+            f"ON v.piece = substring(d.word, {i} - l.l + 1, l.l) "
+            "WHERE l.l = 1 OR v.piece IS NOT NULL)"
+        )
+        blocks.append(
+            f"{prefix}d{i} AS MATERIALIZED (SELECT word, {cnt}pos, t, s{seg_sel} "
+            f"FROM {prefix}d{i - 1} UNION ALL "
+            f"SELECT word, {cnt}{i} AS pos, t, s{seg_sel} FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY word "
+            f"ORDER BY t, s DESC, l DESC) AS rn FROM {prefix}c{i}) "
+            "WHERE rn = 1)"
+        )
+    return blocks
+
+
+def unigram_vocab_oracle_sql() -> str:
+    """The training chain alone: the final scores table."""
+    return (
+        "WITH "
+        + ",\n".join(_uni_train_blocks())
+        + f"\nSELECT piece, score FROM sc{UNI_EM_STEPS}"
+    )
+
+
+def unigram_encode_oracle_sql() -> str:
+    """Training chain + the same DP over the corpus' DISTINCT words
+    under the final scores, joined back per document; token-free
+    documents surface (0, 0) via the LEFT JOIN exactly as the Spark
+    fold does. (Words longer than UNI_MAX_WORD silently drop here —
+    the Spark side raises first on the same data, the
+    wordpiece_encode loud-engine convention.)"""
+    blocks = _uni_train_blocks()
+    blocks.append(
+        "uwrds AS (SELECT doc_id, w FROM (SELECT doc_id, "
+        f"unnest({duck_tokens('text')}) AS w FROM documents) "
+        "WHERE w <> '')"
+    )
+    blocks.append("udw AS (SELECT DISTINCT w AS word FROM uwrds)")
+    blocks += _uni_dp_blocks(
+        "x", "udw", f"sc{UNI_EM_STEPS}", with_seg=False, keep_cnt=False
+    )
+    blocks.append(
+        f"uwt AS (SELECT word, t FROM xd{UNI_MAX_WORD} "
+        "WHERE pos = length(word))"
+    )
+    blocks.append(
+        "uagg AS (SELECT uwrds.doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+        "CAST(sum(uwt.t) AS BIGINT) AS n_unigram "
+        "FROM uwrds JOIN uwt ON uwrds.w = uwt.word GROUP BY uwrds.doc_id)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + "\nSELECT d.doc_id, coalesce(a.n_words, 0) AS n_words, "
+        "coalesce(a.n_unigram, 0) AS n_unigram "
+        "FROM documents d LEFT JOIN uagg a ON d.doc_id = a.doc_id"
+    )

@@ -690,3 +690,82 @@ def test_wordpiece_long_word_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="WP_MAX_WORD"):
         wordpiece_encode_counts(spark, bad, n=1).collect()
+
+
+def test_unigram_viterbi_beats_greedy_hand_corpus(spark):
+    """Pin the property that makes Unigram-LM a distinct tokenizer
+    class: the Viterbi DP finds the GLOBALLY fewest-token
+    segmentation where greedy longest-match gets trapped. Vocab
+    {'ab', 'bcd', chars}: greedy on 'abcd' takes [ab][c][d] = 3
+    tokens; the DP must find [a][bcd] = 2."""
+    from cryptocoininsights_data_engineer_project_spark.operators.textops import (
+        _uni_viterbi,
+        unigram_encode_counts,
+        unigram_train,
+    )
+
+    scores = {"ab": 10, "bcd": 5, "a": 3, "b": 3, "c": 3, "d": 3}
+    t, s, seg = _uni_viterbi("abcd", scores)
+    assert t == 2 and seg == "a bcd "
+    assert s == 3 + 5
+
+    # end-to-end through training: corpus makes 'bcd' survive EM
+    docs = spark.createDataFrame(
+        [(0, "bcd bcd bcd abcd"), (1, "bcd ab ab")],
+        "doc_id long, text string",
+    )
+    trained = unigram_train(spark, docs)
+    assert trained["bcd"] > 0  # used by Viterbi → survives re-scoring
+    got = {
+        r.doc_id: (r.n_words, r.n_unigram)
+        for r in unigram_encode_counts(spark, docs).collect()
+    }
+    # doc0: bcd=1 x3, abcd=1 ('abcd' itself is a length-4 seed piece
+    # of the vocab word) => 4; doc1: bcd=1, ab=1 x2 => 3
+    assert got[0] == (4, 4)
+    assert got[1] == (3, 3)
+
+
+def test_unigram_tiebreaks_and_unk(spark):
+    """Equal token counts break on higher score then longer piece;
+    characters absent from the vocabulary encode as score-0 singles
+    (UNK), never an error."""
+    from cryptocoininsights_data_engineer_project_spark.operators.textops import (
+        _uni_viterbi,
+    )
+
+    # 'abcd': [ab][cd] (score 12) must beat [abc][d] (score 11) at
+    # equal token count 2
+    t, s, seg = _uni_viterbi(
+        "abcd", {"ab": 6, "cd": 6, "abc": 8, "a": 1, "b": 1, "c": 1, "d": 3}
+    )
+    assert (t, seg) == (2, "ab cd ")
+    # equal count AND score: longer piece wins the final tiebreak
+    t2, s2, seg2 = _uni_viterbi("abc", {"ab": 4, "c": 2, "bc": 2, "a": 4})
+    # [ab][c] = (2, 6); [a][bc] = (2, 6) — tie → compare last piece
+    # length via nl: larger l at the LAST position wins ([a][bc])
+    assert t2 == 2 and s2 == 6 and seg2 == "a bc "
+    # UNK: 'xyz' with none of x/y/z in vocab → 3 score-0 singles
+    t3, s3, seg3 = _uni_viterbi("xyz", {"ab": 4})
+    assert (t3, s3, seg3) == (3, 0, "x y z ")
+
+
+def test_unigram_long_word_fails_loudly(spark):
+    """Words beyond UNI_MAX_WORD raise from the encode fold's
+    terminal lambda (the wordpiece_encode loud-fail convention), and
+    from the trainer when they reach the word vocabulary."""
+    import string
+
+    import pytest
+
+    from cryptocoininsights_data_engineer_project_spark.operators.textops import (
+        UNI_MAX_WORD,
+        unigram_encode_counts,
+    )
+
+    w17 = string.ascii_lowercase[: UNI_MAX_WORD + 1]
+    bad = spark.createDataFrame(
+        [(0, f"zz zz {w17}")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="UNI_MAX_WORD"):
+        unigram_encode_counts(spark, bad).collect()
