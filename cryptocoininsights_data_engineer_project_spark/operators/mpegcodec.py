@@ -18,8 +18,10 @@ Spec fidelity notes (all public, ISO/IEC 11172-2:1993):
 - start codes / picture & slice headers per 2.4.2-2.4.3;
 - macroblock_address_increment per Table B.1 (incl. escape +33 and
   macroblock_stuffing);
-- macroblock_type per Tables B.2a (I), B.2b (P), and B.2c (B);
-  D-pictures gate LOUDLY (MpegUnsupported names the seam);
+- macroblock_type per Tables B.2a (I), B.2b (P), B.2c (B), and
+  B.2d (D: the single code '1'); D-pictures decode as DC-only intra
+  pictures with the end_of_macroblock bit (2.4.4.4) and may not mix
+  with I/P/B in one sequence;
 - B-picture semantics per 2.4.4.3: separate forward/backward vector
   predictors reset at slice start and at intra macroblocks, retained
   across macroblocks that code only the other direction; a SKIPPED
@@ -93,9 +95,10 @@ class MpegError(ValueError):
 
 
 class MpegUnsupported(NotImplementedError):
-    """Valid MPEG-1 syntax outside the implemented subset (D
-    pictures). The seam a real cluster fills by registering an
-    ffmpeg-backed decoder (multimodal.register_decoder)."""
+    """Valid MPEG-1 syntax outside the implemented subset. Every
+    picture-type grid cell now decodes natively (I/P/B rounds 10-12,
+    D round 13); the class remains the loud-gate type for any future
+    out-of-subset syntax and for the register_decoder seam."""
 
 
 # ------------------------------------------------------------------ tables
@@ -566,6 +569,20 @@ def _decode_intra_block(r: _BitReader, seq: _SeqState, qscale: int,
     return _idct(coeffs.reshape(8, 8))
 
 
+def _decode_intra_dc_block(r: _BitReader, dc_pred: list[int],
+                           comp: int) -> np.ndarray:
+    """D-picture block (11172-2 2.4.4.4): dct_dc_size + differential
+    ONLY — no AC coefficients, no EOB. A DC-only block reconstructs
+    flat, so the IDCT collapses to dc / 8 (exact: intra DC is a
+    multiple of 8)."""
+    table = _DC_LUMA_DEC if comp == 0 else _DC_CHROMA_DEC
+    size = r.decode_prefix(table, "dct_dc_size")
+    diff = _dc_extend(r.read(size), size) if size else 0
+    dc = dc_pred[comp] + diff * 8
+    dc_pred[comp] = dc
+    return np.full((8, 8), _clamp_coef(dc) // 8, dtype=np.int64)
+
+
 def _decode_non_intra_block(r: _BitReader, seq: _SeqState,
                             qscale: int) -> np.ndarray:
     coeffs = np.zeros(64, dtype=np.int64)
@@ -657,7 +674,8 @@ def decode_mpeg1(payload: bytes):
     (a reference picture emits the previously pending reference, B
     pictures emit immediately, the last reference flushes at sequence
     end — identical to coding order for I/P-only streams).
-    D-pictures raise MpegUnsupported naming the seam."""
+    D-pictures (DC-only intra, picture_coding_type 4) decode too;
+    per 11172-2 they may not share a sequence with I/P/B pictures."""
     b = bytes(payload)
     r = _BitReader(b)
     code = r.next_start_code()
@@ -672,6 +690,7 @@ def decode_mpeg1(payload: bytes):
     ref_old: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
     ref_new: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
     frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    ptypes_seen: set[int] = set()
     while True:
         code = r.next_start_code()
         if code is None or code == SEQ_END:
@@ -700,15 +719,20 @@ def decode_mpeg1(payload: bytes):
             if f_code == 0 or b_code == 0:
                 raise MpegError("f_code 0 is forbidden")
         elif ptype == 4:
-            raise MpegUnsupported(
-                "D-pictures are outside the implemented MPEG-1 subset; "
-                "register an ffmpeg-backed decoder via "
-                "multimodal.register_decoder on a real cluster"
-            )
+            # D-pictures (11172-2 2.4.4.4): DC-only intra pictures with
+            # no motion parameters; a sequence carrying them may carry
+            # ONLY them (enforced below at the macroblock level via the
+            # ref-frame checks and here by the mixing guard)
+            pass
         else:
             raise MpegError(f"invalid picture_coding_type {ptype}")
         while r.read_bit():
             r.read(8)  # extra_information_picture
+        ptypes_seen.add(ptype)
+        if 4 in ptypes_seen and ptypes_seen != {4}:
+            raise MpegError(
+                "D-pictures may not share a sequence with I/P/B pictures"
+            )
         if ptype == 2 and ref_new is None:
             raise MpegError("P-picture with no reference frame")
         if ptype == 3 and (ref_old is None or ref_new is None):
@@ -808,8 +832,12 @@ def decode_mpeg1(payload: bytes):
                 if mb_addr >= n_mbs:
                     raise MpegError("macroblock address beyond picture")
                 for sk in skipped:
-                    if ptype == 1:
-                        raise MpegError("skipped macroblock in an I-picture")
+                    if ptype in (1, 4):
+                        raise MpegError(
+                            "skipped macroblock in an I-picture"
+                            if ptype == 1
+                            else "skipped macroblock in a D-picture"
+                        )
                     if ptype == 2:
                         # zero-vector co-located copy; resets predictors
                         _copy_mb(y, cb, cr, ref_new, sk, seq.mb_width)
@@ -831,7 +859,15 @@ def decode_mpeg1(payload: bytes):
                     dc_pred = [1024, 1024, 1024]
                 mbx = (mb_addr % seq.mb_width) * 16
                 mby = (mb_addr // seq.mb_width) * 16
-                if ptype == 1:
+                if ptype == 4:
+                    # Table B.2d: the single macroblock_type code '1'
+                    if not r.read_bit():
+                        raise MpegError(
+                            "macroblock_type in a D-picture must be '1'"
+                        )
+                    quant = fwd = bwd = pattern = 0
+                    intra = 1
+                elif ptype == 1:
                     quant, fwd, pattern, intra = r.decode_prefix(
                         _MBTYPE_I_DEC, "macroblock_type"
                     )
@@ -857,13 +893,25 @@ def decode_mpeg1(payload: bytes):
                     for i in range(4):
                         bx = mbx + (i & 1) * 8
                         by = mby + (i >> 1) * 8
-                        blk = _decode_intra_block(r, seq, qscale, dc_pred, 0)
+                        blk = (
+                            _decode_intra_dc_block(r, dc_pred, 0)
+                            if ptype == 4
+                            else _decode_intra_block(r, seq, qscale, dc_pred, 0)
+                        )
                         y[by : by + 8, bx : bx + 8] = np.clip(blk, 0, 255)
                     cx, cy = mbx // 2, mby // 2
-                    blk = _decode_intra_block(r, seq, qscale, dc_pred, 1)
+                    if ptype == 4:
+                        blk = _decode_intra_dc_block(r, dc_pred, 1)
+                    else:
+                        blk = _decode_intra_block(r, seq, qscale, dc_pred, 1)
                     cb[cy : cy + 8, cx : cx + 8] = np.clip(blk, 0, 255)
-                    blk = _decode_intra_block(r, seq, qscale, dc_pred, 2)
+                    if ptype == 4:
+                        blk = _decode_intra_dc_block(r, dc_pred, 2)
+                    else:
+                        blk = _decode_intra_block(r, seq, qscale, dc_pred, 2)
                     cr[cy : cy + 8, cx : cx + 8] = np.clip(blk, 0, 255)
+                    if ptype == 4 and not r.read_bit():
+                        raise MpegError("end_of_macroblock must be '1'")
                 else:
                     dc_pred = [1024, 1024, 1024]
                     rx = ry = rxb = ryb = 0
@@ -904,8 +952,8 @@ def decode_mpeg1(payload: bytes):
             cb[:ch_, :cw].astype(np.uint8),
             cr[:ch_, :cw].astype(np.uint8),
         )
-        if ptype == 3:
-            frames.append(frame)  # B displays immediately
+        if ptype in (3, 4):
+            frames.append(frame)  # B/D display immediately
         else:
             if ref_new is not None:
                 frames.append(ref_new)  # pending reference displays now
@@ -1125,6 +1173,17 @@ def encode_mpeg1(spec: SequenceSpec) -> bytes:
                     inc -= 33
                 wtr.put(_MBA_CODES[inc])
                 if isinstance(mb, IntraMB):
+                    if pic.ptype == 4:
+                        if mb.new_qscale:
+                            raise ValueError("D macroblocks cannot requant")
+                        if any(mb.ac[i] for i in range(6)):
+                            raise ValueError("D blocks are DC-only")
+                        wtr.put("1")  # Table B.2d: the single type code
+                        for i in range(6):
+                            _encode_dc(wtr, mb.dc_diffs[i],
+                                       0 if i < 4 else i - 3)
+                        wtr.put("1")  # end_of_macroblock
+                        continue
                     if pic.ptype == 1:
                         wtr.put("01" if mb.new_qscale else "1")
                     else:

@@ -5727,3 +5727,501 @@ SELECT ya.doc_id AS asset_id, CAST(ya.frame_idx AS BIGINT) AS frame_idx,
   y_sum * 1000000 // {w * h} AS y_mean_ppm
 FROM ya JOIN ca ON ya.doc_id = ca.doc_id AND ya.frame_idx = ca.frame_idx
 """
+
+
+# ------------------------------------------------------ mpeg-1 audio
+# The AUDIO half of ISO/IEC 11172 (layer I and the low-rate layer II
+# table class), pairing the round-12 video half: a real MPEG-1 audio
+# elementary stream per document, decoded by operators/mpaudiocodec.py
+# down to exact INTEGER subband numerators (sample = 2*sf*q/steps —
+# q = code - 2^(nb-1) + offset is the whole bit-layer's output, so
+# the oracle can state every sample in closed form with zero float
+# drift). The bit LAYOUT is constant across documents (fixed
+# allocations, fixed scfsi pattern); only scalefactor indices and
+# sample codes carry doc_id, so the stream is SQL-buildable with the
+# same _mpeg_pack machinery as the video fixture, and the identical
+# ops emit plain bytes for the byte-equality pin in
+# tests/test_mpaudio.py. Scalefactor indices stay on the idx%3==0
+# power-of-two lattice (multiples of 3) so dequantized floats are
+# exact dyadic multiples of 1/steps.
+MPA_FRAMES = 2
+# layer I: four coded subbands (alloc a -> nb = a+1 bits)
+_MPA_L1_ALLOC = [1, 2, 3, 7]          # nb = 2, 3, 4, 8
+_MPA_L1_A = [7, 11, 13, 17]           # code = (doc*A + K) % 2^nb
+_MPA_L1_B = [3, 5, 7, 11]             # K = g*B + f*F
+_MPA_L1_F = [1, 2, 3, 5]
+# layer II (32 kHz, 48 kbps mono -> low-rate table, sblimit 12):
+# five coded subbands spanning every code class — the three GROUPED
+# ladders (3/5/9 steps) and two ungrouped (15, 31)
+_MPA_L2_ALLOC = [1, 2, 3, 4, 5]       # steps 3, 5, 9, 15, 31
+_MPA_L2_STEPS = [3, 5, 9, 15, 31]
+_MPA_L2_SCFSI = [0, 1, 2, 3, 0]
+_MPA_L2_A = [7, 11, 13, 17, 19]
+_MPA_L2_B = [3, 5, 7, 11, 13]
+_MPA_L2_E = [1, 2, 3, 4, 5]
+_MPA_L2_F = [2, 3, 5, 7, 11]
+
+
+def _mpa_code(doc, a: int, k: int, mod: int):
+    """(doc*a + k) % mod — int for int doc, shared-dialect SQL for a
+    string doc expression."""
+    if isinstance(doc, int):
+        return (doc * a + k) % mod
+    return f"((({doc}) * {a} + {k}) % {mod})"
+
+
+def _mpa_scf(doc, k: int):
+    """Scalefactor index 3*((doc + k) % 4) — the power-of-two lattice
+    {0, 3, 6, 9}."""
+    if isinstance(doc, int):
+        return 3 * ((doc + k) % 4)
+    return f"(3 * ((({doc}) + {k}) % 4))"
+
+
+def _mpa_header_bits(layer: int) -> str:
+    """Constant 32-bit header: MPEG-1, given layer, no CRC, 32 kHz,
+    mono; layer I at 64 kbps (frame = 96 bytes), layer II at 48 kbps
+    (frame = 216 bytes)."""
+    bits = "1" * 12 + "1"                      # sync + ID
+    bits += "11" if layer == 1 else "10"       # layer code
+    bits += "1"                                # protection_bit (no CRC)
+    bits += "0010"                             # bitrate_index 2
+    bits += "10"                               # sampling 32 kHz
+    bits += "0" + "0"                          # padding, private
+    bits += "11" + "00"                        # single_channel, mode_ext
+    bits += "0" + "0" + "00"                   # copyright, original, emph
+    return bits
+
+
+def _mpa_l1_ops(doc) -> list[tuple]:
+    """Two layer-I frames as _mpeg_pack ops."""
+    ops: list[tuple] = []
+    for f in range(MPA_FRAMES):
+        bits_used = 32 + 32 * 4
+        ops.append(("b", _mpa_header_bits(1)))
+        for sb in range(32):
+            a = _MPA_L1_ALLOC[sb] if sb < len(_MPA_L1_ALLOC) else 0
+            ops.append(("b", format(a, "04b")))
+        for sb in range(len(_MPA_L1_ALLOC)):
+            ops.append(("s", _mpa_scf(doc, sb + f), 6))
+            bits_used += 6
+        for g in range(12):
+            for sb, alloc in enumerate(_MPA_L1_ALLOC):
+                nb = alloc + 1
+                k = g * _MPA_L1_B[sb] + f * _MPA_L1_F[sb]
+                ops.append(("s", _mpa_code(doc, _MPA_L1_A[sb], k, 1 << nb), nb))
+                bits_used += nb
+        pad = 96 * 8 - bits_used
+        ops.append(("b", "0" * pad))
+    return ops
+
+
+def _mpa_l2_ops(doc) -> list[tuple]:
+    """Two layer-II frames as _mpeg_pack ops (grouped + ungrouped
+    codes, all four scfsi patterns)."""
+    from .mpaudiocodec import _L2_GROUP_BITS, _L2_NB
+
+    ops: list[tuple] = []
+    for f in range(MPA_FRAMES):
+        bits_used = 32 + 12 * 4
+        ops.append(("b", _mpa_header_bits(2)))
+        for sb in range(12):
+            a = _MPA_L2_ALLOC[sb] if sb < len(_MPA_L2_ALLOC) else 0
+            ops.append(("b", format(a, "04b")))
+        for sb, si in enumerate(_MPA_L2_SCFSI):
+            ops.append(("b", format(si, "02b")))
+            bits_used += 2
+        n_scf = {0: 3, 1: 2, 2: 1, 3: 2}
+        for sb, si in enumerate(_MPA_L2_SCFSI):
+            for j in range(n_scf[si]):
+                ops.append(("s", _mpa_scf(doc, 2 * sb + 3 * j + f), 6))
+                bits_used += 6
+        for g in range(12):
+            for sb, steps in enumerate(_MPA_L2_STEPS):
+                ks = [
+                    g * _MPA_L2_B[sb] + i * _MPA_L2_E[sb] + f * _MPA_L2_F[sb]
+                    for i in range(3)
+                ]
+                if steps in _L2_GROUP_BITS:
+                    cs = [
+                        _mpa_code(doc, _MPA_L2_A[sb], k, steps) for k in ks
+                    ]
+                    if isinstance(doc, int):
+                        v = cs[0] + steps * cs[1] + steps * steps * cs[2]
+                    else:
+                        v = (
+                            f"({cs[0]} + {steps} * {cs[1]} + "
+                            f"{steps * steps} * {cs[2]})"
+                        )
+                    nbits = _L2_GROUP_BITS[steps]
+                    ops.append(("s", v, nbits))
+                    bits_used += nbits
+                else:
+                    nb = _L2_NB.get(steps, steps.bit_length())
+                    for k in ks:
+                        ops.append(
+                            ("s", _mpa_code(doc, _MPA_L2_A[sb], k, steps), nb)
+                        )
+                        bits_used += nb
+        pad = 216 * 8 - bits_used
+        ops.append(("b", "0" * pad))
+    return ops
+
+
+def synth_mpeg_audio_assets(docs: DataFrame, layer: int) -> DataFrame:
+    """(asset_id, payload): complete MPEG-1 audio elementary streams
+    (two frames), built byte-exactly JVM-side."""
+    ops = _mpa_l1_ops("doc_id") if layer == 1 else _mpa_l2_ops("doc_id")
+    pieces = _mpeg_pack(ops)
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr("unhex(concat(" + ", ".join(pieces) + "))").alias("payload"),
+    )
+
+
+_MPA_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("layer", T.LongType(), False),
+        T.StructField("sample_rate", T.LongType(), False),
+        T.StructField("sb", T.LongType(), False),
+        T.StructField("steps", T.LongType(), False),
+        T.StructField("scf0", T.LongType(), True),
+        T.StructField("scf1", T.LongType(), True),
+        T.StructField("scf2", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("q_min", T.LongType(), False),
+        T.StructField("q_max", T.LongType(), False),
+        T.StructField("q_sum", T.LongType(), False),
+        T.StructField("q_energy", T.LongType(), False),
+    ]
+)
+
+
+def decode_mpeg_audio_stats(assets: DataFrame) -> DataFrame:
+    """REAL MPEG-1 audio frame decode (mpaudiocodec: header, bit
+    allocations, scfsi/scalefactors, grouped and ungrouped sample
+    codes) and per-(frame, subband) integer-numerator statistics —
+    q_min/max/sum/energy pin every sample's exact requantized value.
+    One mapInPandas pass; payload bytes never shuffle."""
+    from .mpaudiocodec import decode_mpeg_audio
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _MPA_STATS_SCHEMA}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for fi, fr in enumerate(decode_mpeg_audio(bytes(payload))):
+                    for sb in range(32):
+                        if not fr.alloc[sb]:
+                            continue
+                        q = fr.qnum[:, sb]
+                        scf = fr.scf[sb]
+                        rows["asset_id"].append(int(aid))
+                        rows["frame_idx"].append(fi)
+                        rows["layer"].append(fr.layer)
+                        rows["sample_rate"].append(fr.sample_rate)
+                        rows["sb"].append(sb)
+                        rows["steps"].append(fr.steps[sb])
+                        rows["scf0"].append(scf[0])
+                        rows["scf1"].append(scf[1] if len(scf) > 1 else None)
+                        rows["scf2"].append(scf[2] if len(scf) > 2 else None)
+                        rows["n_samples"].append(len(q))
+                        rows["q_min"].append(int(q.min()))
+                        rows["q_max"].append(int(q.max()))
+                        rows["q_sum"].append(int(q.sum()))
+                        rows["q_energy"].append(int((q * q).sum()))
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _decode, schema=_MPA_STATS_SCHEMA
+    )
+
+
+def mpeg_audio_oracle_sql(layer: int) -> str:
+    """Closed form: q(sb, s) = ((doc*A + K) % steps_or_2^nb) -
+    2^(nb-1) + offset — the oracle restates the requantization
+    numerators (and the scfsi-expanded scalefactor indices) directly
+    from the fixture formulas, so a mis-read allocation, a grouped
+    code unpacked in the wrong radix order, or an offset applied to
+    the wrong ladder breaks the match."""
+    parts = []
+    if layer == 1:
+        for f in range(MPA_FRAMES):
+            for sb, alloc in enumerate(_MPA_L1_ALLOC):
+                nb = alloc + 1
+                q = (
+                    f"(((doc_id * {_MPA_L1_A[sb]} + g.g * {_MPA_L1_B[sb]}"
+                    f" + {f * _MPA_L1_F[sb]}) % {1 << nb})"
+                    f" - {1 << (nb - 1)} + 1)"
+                )
+                scf0 = f"(3 * ((doc_id + {sb + f}) % 4))"
+                parts.append(
+                    f"SELECT doc_id AS asset_id, CAST({f} AS BIGINT) AS frame_idx, "
+                    f"CAST(1 AS BIGINT) AS layer, CAST(32000 AS BIGINT) AS sample_rate, "
+                    f"CAST({sb} AS BIGINT) AS sb, CAST({(1 << nb) - 1} AS BIGINT) AS steps, "
+                    f"CAST({scf0} AS BIGINT) AS scf0, "
+                    "CAST(NULL AS BIGINT) AS scf1, CAST(NULL AS BIGINT) AS scf2, "
+                    "CAST(12 AS BIGINT) AS n_samples, "
+                    f"CAST(min({q}) AS BIGINT) AS q_min, CAST(max({q}) AS BIGINT) AS q_max, "
+                    f"CAST(sum({q}) AS BIGINT) AS q_sum, "
+                    f"CAST(sum({q} * {q}) AS BIGINT) AS q_energy "
+                    "FROM documents, UNNEST(generate_series(0, 11)) AS g(g) "
+                    "GROUP BY doc_id"
+                )
+    else:
+        from .mpaudiocodec import _L2_NB, _L2_OFFSET
+
+        n_scf = {0: 3, 1: 2, 2: 1, 3: 2}
+        for f in range(MPA_FRAMES):
+            for sb, steps in enumerate(_MPA_L2_STEPS):
+                nb = _L2_NB.get(steps, steps.bit_length())
+                off = _L2_OFFSET.get(steps, 1)
+                # s = 3g + i; K = g*B + i*E + f*F
+                k = (
+                    f"((g.s // 3) * {_MPA_L2_B[sb]} + (g.s % 3) * "
+                    f"{_MPA_L2_E[sb]} + {f * _MPA_L2_F[sb]})"
+                )
+                q = (
+                    f"(((doc_id * {_MPA_L2_A[sb]} + {k}) % {steps})"
+                    f" - {1 << (nb - 1)} + {off})"
+                )
+                si = _MPA_L2_SCFSI[sb]
+                field = lambda j: f"(3 * ((doc_id + {2 * sb + 3 * j + f}) % 4))"  # noqa: E731
+                if si == 0:
+                    s0, s1, s2 = field(0), field(1), field(2)
+                elif si == 1:
+                    s0 = s1 = field(0)
+                    s2 = field(1)
+                elif si == 2:
+                    s0 = s1 = s2 = field(0)
+                else:
+                    s0 = field(0)
+                    s1 = s2 = field(1)
+                parts.append(
+                    f"SELECT doc_id AS asset_id, CAST({f} AS BIGINT) AS frame_idx, "
+                    f"CAST(2 AS BIGINT) AS layer, CAST(32000 AS BIGINT) AS sample_rate, "
+                    f"CAST({sb} AS BIGINT) AS sb, CAST({steps} AS BIGINT) AS steps, "
+                    f"CAST({s0} AS BIGINT) AS scf0, CAST({s1} AS BIGINT) AS scf1, "
+                    f"CAST({s2} AS BIGINT) AS scf2, "
+                    "CAST(36 AS BIGINT) AS n_samples, "
+                    f"CAST(min({q}) AS BIGINT) AS q_min, CAST(max({q}) AS BIGINT) AS q_max, "
+                    f"CAST(sum({q}) AS BIGINT) AS q_sum, "
+                    f"CAST(sum({q} * {q}) AS BIGINT) AS q_energy "
+                    "FROM documents, UNNEST(generate_series(0, 35)) AS g(s) "
+                    "GROUP BY doc_id"
+                )
+    return "\nUNION ALL\n".join(parts)
+
+
+# --------------------------------------------------- mpeg-1 D-pictures
+# The last MPEG-1 picture-type grid cell (11172-2 2.4.4.4): DC-only
+# intra pictures for fast-forward trick modes — two D-frames per
+# document, 2 slices x 2 macroblocks each, every block a single
+# dct_dc_size + differential (no AC, no EOB) followed by the
+# end_of_macroblock bit. Luma diffs stay on the size-5 lattice
+# (|d| in 16..31) and chroma on size-4 (8..15), alternating sign so
+# the DC predictor chains stay well inside [68, 188] — the clamp is
+# never load-bearing. Same one-spec-two-emitters discipline as the
+# I/P/B fixture: ops -> SQL hex pieces AND int-mode bytes, pinned
+# byte-equal to the independent encode_mpeg1 syntax writer.
+
+
+def _mpeg_d_pv(doc, a: int, k: int, mod: int):
+    if isinstance(doc, int):
+        return (doc * a + k) % mod
+    return f"((({doc}) * {a} + {k}) % {mod})"
+
+
+def _mpeg_d_diffs(doc):
+    """Per (frame, mb): luma [(sign, p16expr) x4] with p in 0..15 and
+    chroma {cb: (sign, p8expr), cr: (sign, p8expr)} with p in 0..7 —
+    the ONE spec the ops builder, the encoder-equality test, and the
+    closed-form oracle all derive from."""
+    out = []
+    for f in range(2):
+        per_mb = []
+        for m in range(4):
+            luma = []
+            for k in range(4):
+                sign = 1 if k % 2 == 0 else -1
+                a = 3 + 2 * (16 * f + 4 * m + k)
+                kk = 7 * (4 * f + m) + 3 * k + 1
+                luma.append((sign, _mpeg_d_pv(doc, a, kk, 16)))
+            cb_sign = 1 if m % 2 == 0 else -1
+            cb = (cb_sign, _mpeg_d_pv(doc, 5 + 2 * (8 * f + 2 * m), 3 * m + f + 1, 8))
+            cr = (-cb_sign, _mpeg_d_pv(doc, 5 + 2 * (8 * f + 2 * m + 1), 3 * m + f + 2, 8))
+            per_mb.append((luma, cb, cr))
+        out.append(per_mb)
+    return out
+
+
+def _mpeg_d_ops(doc) -> list[tuple]:
+    num = isinstance(doc, int)
+    diffs = _mpeg_d_diffs(doc)
+    ops: list[tuple] = []
+
+    def b(bits: str):
+        ops.append(("b", bits))
+
+    def u(value: int, n: int):
+        b(format(value, f"0{n}b"))
+
+    def s(value, n: int):
+        ops.append(("s", value, n))
+
+    def start(code: int):
+        b("0" * 23 + "1")
+        u(code, 8)
+
+    def align():
+        total = sum(
+            len(op[1]) if op[0] == "b" else op[2] for op in ops
+        )
+        if total % 8:
+            b("0" * (8 - total % 8))
+
+    def dc(sign: int, p, amp_bits: int, base: int):
+        # positive diff base+p -> amplitude base+p; negative -(base+p)
+        # -> amplitude (2^size - 1) - (base + p)
+        if sign > 0:
+            v = p + base if num else f"({p} + {base})"
+        else:
+            hi = (1 << amp_bits) - 1 - base
+            v = hi - p if num else f"({hi} - {p})"
+        s(v, amp_bits)
+
+    start(0xB3)
+    u(MPEG_W, 12)
+    u(MPEG_H, 12)
+    u(1, 4)
+    u(3, 4)
+    u(0x3FFFF, 18)
+    b("1")
+    u(16, 10)
+    b("000")
+    start(0xB8)
+    u(0, 25)
+    b("10")
+    align()
+    for f in range(2):
+        start(0x00)
+        u(f, 10)       # temporal_reference
+        u(4, 3)        # picture_coding_type: D
+        u(0xFFFF, 16)  # vbv_delay
+        b("0")         # extra_bit_picture
+        align()
+        for sl in range(2):
+            start(1 + sl)
+            u(_MPEG_QSCALE, 5)
+            b("0")
+            for j in range(2):
+                m = 2 * sl + j
+                luma, cb, cr = diffs[f][m]
+                b("1")  # macroblock_address_increment 1
+                b("1")  # macroblock_type (Table B.2d)
+                for sign, p in luma:
+                    b("1110")  # luma dct_dc_size 5
+                    dc(sign, p, 5, 16)
+                b("1110")      # chroma dct_dc_size 4
+                dc(cb[0], cb[1], 4, 8)
+                b("1110")
+                dc(cr[0], cr[1], 4, 8)
+                b("1")  # end_of_macroblock
+            align()
+    start(0xB7)  # sequence_end_code
+    return ops
+
+
+def synth_mpeg_d_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): two-frame D-picture MPEG-1 streams."""
+    pieces = _mpeg_pack(_mpeg_d_ops("doc_id"))
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr("unhex(concat(" + ", ".join(pieces) + "))").alias("payload"),
+    )
+
+
+def mpeg_d_oracle_sql() -> str:
+    """Closed-form plane values: every block is flat at its DC chain
+    value (DC-only IDCT == dc/8 exactly), predictors chain through
+    both macroblocks of a slice and reset per slice."""
+    diffs = _mpeg_d_diffs("doc_id")
+
+    def term(sign: int, p, base: int) -> str:
+        return f"{'+' if sign > 0 else '-'} ({base} + {p}) "
+
+    def quad(x, y, cells: list[str], half: int) -> str:
+        return (
+            f"(CASE WHEN ({y}) < {half} THEN "
+            f"(CASE WHEN ({x}) < {half} THEN {cells[0]} ELSE {cells[1]} END) "
+            f"ELSE (CASE WHEN ({x}) < {half} THEN {cells[2]} ELSE {cells[3]} END) "
+            f"END)"
+        )
+
+    y_frames, cb_frames, cr_frames = [], [], []
+    for f in range(2):
+        mb_y_blocks: list[list[str]] = []
+        mb_cb: list[str] = []
+        mb_cr: list[str] = []
+        for sl in range(2):
+            chain_y = "128 "
+            chain_cb = "128 "
+            chain_cr = "128 "
+            for j in range(2):
+                m = 2 * sl + j
+                luma, cb, cr = diffs[f][m]
+                blocks = []
+                for sign, p in luma:
+                    chain_y += term(sign, p, 16)
+                    blocks.append(f"({chain_y})")
+                mb_y_blocks.append(blocks)
+                chain_cb += term(cb[0], cb[1], 8)
+                chain_cr += term(cr[0], cr[1], 8)
+                mb_cb.append(f"({chain_cb})")
+                mb_cr.append(f"({chain_cr})")
+        y_mb_cells = [
+            quad("(x.x) % 16", "(y.y) % 16", mb_y_blocks[m], 8)
+            for m in range(4)
+        ]
+        y_frames.append(quad("x.x", "y.y", y_mb_cells, 16))
+        cb_frames.append(quad("x.x", "y.y", mb_cb, 8))
+        cr_frames.append(quad("x.x", "y.y", mb_cr, 8))
+
+    yv = f"(CASE t.t WHEN 0 THEN {y_frames[0]} ELSE {y_frames[1]} END)"
+    bv = f"(CASE t.t WHEN 0 THEN {cb_frames[0]} ELSE {cb_frames[1]} END)"
+    rv = f"(CASE t.t WHEN 0 THEN {cr_frames[0]} ELSE {cr_frames[1]} END)"
+    w, h = MPEG_W, MPEG_H
+    cw, ch_ = w // 2, h // 2
+    return f"""
+WITH ypx AS (
+  SELECT doc_id, t.t AS frame_idx, (y.y * {w} + x.x) AS i, {yv} AS v
+  FROM documents,
+       UNNEST(generate_series(0, 1)) AS t(t),
+       UNNEST(generate_series(0, {h - 1})) AS y(y),
+       UNNEST(generate_series(0, {w - 1})) AS x(x)
+), cpx AS (
+  SELECT doc_id, t.t AS frame_idx, (y.y * {cw} + x.x) AS j,
+         {bv} AS b, {rv} AS r
+  FROM documents,
+       UNNEST(generate_series(0, 1)) AS t(t),
+       UNNEST(generate_series(0, {ch_ - 1})) AS y(y),
+       UNNEST(generate_series(0, {cw - 1})) AS x(x)
+), ya AS (
+  SELECT doc_id, frame_idx, CAST(sum(v) AS BIGINT) AS y_sum,
+         CAST(sum(v * (i + 1) * (i + 1)) AS BIGINT) AS y_checksum
+  FROM ypx GROUP BY doc_id, frame_idx
+), ca AS (
+  SELECT doc_id, frame_idx,
+         CAST(sum(b) AS BIGINT) AS cb_sum,
+         CAST(sum(b * (j + 1) * (j + 1)) AS BIGINT) AS cb_checksum,
+         CAST(sum(r) AS BIGINT) AS cr_sum,
+         CAST(sum(r * (j + 1) * (j + 1)) AS BIGINT) AS cr_checksum
+  FROM cpx GROUP BY doc_id, frame_idx
+)
+SELECT ya.doc_id AS asset_id, CAST(ya.frame_idx AS BIGINT) AS frame_idx,
+  CAST({w} AS BIGINT) AS width, CAST({h} AS BIGINT) AS height,
+  y_sum, y_checksum, cb_sum, cb_checksum, cr_sum, cr_checksum,
+  y_sum * 1000000 // {w * h} AS y_mean_ppm
+FROM ya JOIN ca ON ya.doc_id = ca.doc_id AND ya.frame_idx = ca.frame_idx
+"""

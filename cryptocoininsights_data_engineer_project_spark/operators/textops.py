@@ -281,6 +281,41 @@ SELECT doc_id, min({duck_hash64('shingle')}) AS fingerprint FROM sh GROUP BY doc
 
 
 # ------------------------------------------------------------ corpus filter
+def corpus_doc_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang_pred, quality, fingerprint): the PER-DOCUMENT
+    (set-independent) half of ``corpus_filter`` — one narrow scan, no
+    shuffle. Shared by the batch filter (which adds the global
+    canon-by-fingerprint window) and the streaming corpus pipeline
+    (which persists these rows per micro-batch and late-binds the
+    global decisions at selection time)."""
+    stop = _in_list(QUALITY_STOPWORDS)
+    toks = spark_tokens("text")
+    feats = docs.selectExpr(
+        "doc_id",
+        *[
+            f"size(filter({toks}, t -> t IN ({_in_list(words)}))) AS n_{lg}"
+            for lg, words in STOPWORDS.items()
+        ],
+        f"CAST(size({toks}) AS BIGINT) AS n_tokens",
+        f"CAST(size(regexp_extract_all(text, '{_spark_re(PUNCT_RE)}', 0)) AS DOUBLE)"
+        f" / length(text) AS punct_ratio",
+        f"CAST(size(filter({toks}, t -> t IN ({stop}))) AS DOUBLE)"
+        f" / size({toks}) AS stop_ratio",
+        f"md5({spark_norm('text')}) AS fingerprint",
+    )
+    return feats.select(
+        "doc_id",
+        F.expr(_argmax_case(list(STOPWORDS))).alias("lang_pred"),
+        F.least(
+            F.lit(1.0),
+            0.5 * F.least(F.col("stop_ratio") * 10, F.lit(1.0))
+            + 0.3 * (1 - F.col("punct_ratio"))
+            + 0.2 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0)),
+        ).alias("quality"),
+        "fingerprint",
+    )
+
+
 def corpus_filter(docs: DataFrame, lang: str = "en", min_quality: float = 0.5) -> DataFrame:
     """(doc_id, lang_pred, quality, n_copies, keep): the end-to-end
     training-corpus filter — language gate + quality gate + exact-dup
@@ -298,32 +333,7 @@ def corpus_filter(docs: DataFrame, lang: str = "en", min_quality: float = 0.5) -
     """
     from pyspark.sql import Window
 
-    stop = _in_list(QUALITY_STOPWORDS)
-    toks = spark_tokens("text")
-    feats = docs.selectExpr(
-        "doc_id",
-        *[
-            f"size(filter({toks}, t -> t IN ({_in_list(words)}))) AS n_{lg}"
-            for lg, words in STOPWORDS.items()
-        ],
-        f"CAST(size({toks}) AS BIGINT) AS n_tokens",
-        f"CAST(size(regexp_extract_all(text, '{_spark_re(PUNCT_RE)}', 0)) AS DOUBLE)"
-        f" / length(text) AS punct_ratio",
-        f"CAST(size(filter({toks}, t -> t IN ({stop}))) AS DOUBLE)"
-        f" / size({toks}) AS stop_ratio",
-        f"md5({spark_norm('text')}) AS fingerprint",
-    )
-    scored = feats.select(
-        "doc_id",
-        F.expr(_argmax_case(list(STOPWORDS))).alias("lang_pred"),
-        F.least(
-            F.lit(1.0),
-            0.5 * F.least(F.col("stop_ratio") * 10, F.lit(1.0))
-            + 0.3 * (1 - F.col("punct_ratio"))
-            + 0.2 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0)),
-        ).alias("quality"),
-        "fingerprint",
-    )
+    scored = corpus_doc_features(docs)
     w = Window.partitionBy("fingerprint")
     return (
         scored.withColumn("keep_id", F.min("doc_id").over(w))
@@ -545,14 +555,32 @@ def pack_sequences(
     DuckDB oracle: per-shard recursive CTE carrying (acc, pack) —
     identical greedy rule, engine-portable.
     """
-    import pandas as pd
-
     from pyspark.sql import functions as F
 
     meta = docs.select(
         "doc_id",
-        (F.col("doc_id") % n_shards).alias("shard"),
         F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    return pack_sequences_from_meta(meta, capacity=capacity, n_shards=n_shards)
+
+
+def pack_sequences_from_meta(
+    meta,
+    capacity: int = PACK_CAPACITY,
+    n_shards: int = PACK_SHARDS,
+):
+    """The packing stage proper, over (doc_id, n_tokens) METADATA —
+    split out so callers that already persisted per-doc token counts
+    (the streaming corpus pipeline's late-bound selection) pack
+    without touching text. Same greedy rule, same applyInPandas."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    meta = meta.select(
+        "doc_id",
+        (F.col("doc_id") % n_shards).alias("shard"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -2815,6 +2815,88 @@ def multimodal_video_mpeg_b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_video_mpeg_d",
+    multimodal.mpeg_d_oracle_sql(),
+    doc="MPEG-1 D-PICTURES (ISO/IEC 11172-2 2.4.4.4) — the last "
+    "picture-type grid cell after rounds 10-12's I/P/B: DC-only "
+    "intra pictures (the fast-forward trick-mode class), each "
+    "block a single dct_dc_size + differential with NO AC and NO "
+    "EOB, closed by the end_of_macroblock bit unique to the type. "
+    "Two D-frames per document, 2 slices x 2 macroblocks, DC "
+    "predictors chaining through each slice on the fixed size-5 "
+    "luma / size-4 chroma lattices; the decoder enforces the "
+    "spec's D-only-sequence rule and skip prohibition. A DC-only "
+    "block reconstructs flat (IDCT == dc/8 exactly), so the oracle "
+    "states every plane value in closed form. Fixture ops emit the "
+    "SQL hex fixture AND int-mode bytes pinned byte-equal to the "
+    "independent encode_mpeg1 syntax writer, which learned the "
+    "D-syntax path too (tests/test_mpeg.py). One mapInPandas pass; "
+    "payload bytes never shuffle",
+)
+def multimodal_video_mpeg_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return multimodal.compose_mpeg_stats(multimodal.synth_mpeg_d_assets(docs))
+
+
+@_q(
+    "multimodal_audio_mpeg_l1",
+    multimodal.mpeg_audio_oracle_sql(layer=1),
+    doc="MPEG-1 AUDIO Layer I (ISO/IEC 11172-3) — the audio half of "
+    "ISO/IEC 11172 next to the round-12 video half: a real two-frame "
+    "elementary stream per document (header, 4-bit subband "
+    "allocations over nb = alloc+1 code widths 2/3/4/8, 6-bit "
+    "scalefactors on the power-of-two idx%3==0 lattice, 12 granules "
+    "x 1 sample/subband), decoded by operators/mpaudiocodec.py down "
+    "to EXACT INTEGER requantization numerators — the spec formula "
+    "s''' = C(s''+D) collapses to 2*(code - 2^(nb-1) + 1)/steps, so "
+    "q_min/max/sum/energy pin every sample with zero float drift. "
+    "Fixture streams are SQL-built byte-exactly with the video "
+    "fixture's bit-packer and pinned byte-equal to the same ops in "
+    "int mode (tests/test_mpaudio.py); the oracle restates the "
+    "numerators and scalefactors in closed form. One mapInPandas "
+    "pass; payload bytes never shuffle. PCM synthesis windowing "
+    "gates loudly on the unbundled Table 3-C.3 "
+    "(mpaudiocodec.register_synthesis_window)",
+)
+def multimodal_audio_mpeg_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return multimodal.decode_mpeg_audio_stats(
+        multimodal.synth_mpeg_audio_assets(docs, layer=1)
+    )
+
+
+@_q(
+    "multimodal_audio_mpeg_l2",
+    multimodal.mpeg_audio_oracle_sql(layer=2),
+    doc="MPEG-1 AUDIO Layer II — the production broadcast codec "
+    "class over Layer I's frame skeleton: 32 kHz / 48 kbps mono "
+    "selects the low-rate allocation table (Annex 3-B.2c/d, nbal=4, "
+    "one shared quantization ladder), and the fixture's five coded "
+    "subbands span every code class — all three GROUPED ladders "
+    "(steps 3/5/9 pack three samples into one 5/7/10-bit word, "
+    "unpacked little-endian in radix `steps`), two ungrouped "
+    "(15/31), and all four scfsi scalefactor-sharing patterns. Same "
+    "exact-integer contract as Layer I (q = code - 2^(nb-1) + "
+    "offset, offset 1/2/4 by ladder); high-rate tables 3-B.2a/b "
+    "gate loudly by name. Oracle restates grouped-radix unpacking, "
+    "offsets, and scfsi expansion in closed form "
+    "(operators/mpaudiocodec.py; tests/test_mpaudio.py pins "
+    "byte-equality, formula equivalence, and the matrixing stage)",
+)
+def multimodal_audio_mpeg_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return multimodal.decode_mpeg_audio_stats(
+        multimodal.synth_mpeg_audio_assets(docs, layer=2)
+    )
+
+
+@_q(
     "multimodal_pixel_features",
     multimodal.pixel_features_oracle_sql(),
     doc="REAL image feature extraction over decoded pixels: luma "

@@ -1,0 +1,179 @@
+"""MPEG-1 audio (ISO/IEC 11172-3 layer I/II): fixture byte-equality
+between the SQL bit-packer and int-mode ops, decoder-vs-closed-form
+equivalence, the exact-integer dequantization contract, the normative
+matrixing stage, and every loud gate."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from cryptocoininsights_data_engineer_project_spark.operators import multimodal as M
+from cryptocoininsights_data_engineer_project_spark.operators import mpaudiocodec as A
+
+
+def _payload(doc: int, layer: int) -> bytes:
+    ops = M._mpa_l1_ops(doc) if layer == 1 else M._mpa_l2_ops(doc)
+    return M._mpeg_pack(ops)
+
+
+def test_sql_fixture_bytes_equal_int_mode(spark):
+    """The SQL hex pieces and the int-mode packer must emit the SAME
+    stream — the pin that makes the SQL fixture trustworthy."""
+    docs = spark.createDataFrame([(3,), (12,)], "doc_id long")
+    got = {
+        r.asset_id: bytes(r.payload)
+        for r in M.synth_mpeg_audio_assets(docs, layer=1).collect()
+    }
+    assert got[3] == _payload(3, 1) and got[12] == _payload(12, 1)
+    got2 = {
+        r.asset_id: bytes(r.payload)
+        for r in M.synth_mpeg_audio_assets(docs, layer=2).collect()
+    }
+    assert got2[3] == _payload(3, 2) and got2[12] == _payload(12, 2)
+    assert len(got[3]) == 2 * 96 and len(got2[3]) == 2 * 216
+
+
+def test_decoder_matches_closed_form():
+    for doc in (0, 7, 41):
+        frames = A.decode_mpeg_audio(_payload(doc, 1))
+        assert len(frames) == M.MPA_FRAMES
+        for f, fr in enumerate(frames):
+            assert fr.layer == 1 and fr.sample_rate == 32000
+            for sb, alloc in enumerate(M._MPA_L1_ALLOC):
+                nb = alloc + 1
+                for g in range(12):
+                    c = (
+                        doc * M._MPA_L1_A[sb]
+                        + g * M._MPA_L1_B[sb]
+                        + f * M._MPA_L1_F[sb]
+                    ) % (1 << nb)
+                    assert fr.qnum[g, sb] == c - (1 << (nb - 1)) + 1
+        frames2 = A.decode_mpeg_audio(_payload(doc, 2))
+        for f, fr in enumerate(frames2):
+            assert fr.layer == 2
+            for sb, steps in enumerate(M._MPA_L2_STEPS):
+                nb = A._L2_NB.get(steps, steps.bit_length())
+                off = A._L2_OFFSET.get(steps, 1)
+                for s in range(36):
+                    g, i = divmod(s, 3)
+                    c = (
+                        doc * M._MPA_L2_A[sb]
+                        + g * M._MPA_L2_B[sb]
+                        + i * M._MPA_L2_E[sb]
+                        + f * M._MPA_L2_F[sb]
+                    ) % steps
+                    assert fr.qnum[s, sb] == c - (1 << (nb - 1)) + off
+
+
+def test_dequantize_exact_dyadic():
+    """On the idx%3==0 scalefactor lattice every dequantized value is
+    exactly 2*sf*q/steps: value*steps must reproduce 2*sf*q with zero
+    float error (sf a power of two, q a small integer)."""
+    fr = A.decode_mpeg_audio(_payload(9, 2))[0]
+    vals = A.dequantize(fr)
+    for sb, steps in enumerate(M._MPA_L2_STEPS):
+        for s in range(36):
+            part = s // 12
+            sf = A.scalefactor(fr.scf[sb][part])
+            assert sf == 2.0 * 2.0 ** (-fr.scf[sb][part] // 3)
+            assert vals[s, sb] * steps == 2.0 * sf * fr.qnum[s, sb]
+
+
+def test_scfsi_expansion():
+    """All four sharing patterns: the expanded per-part indices must
+    follow the transmitted-field order of the spec."""
+    doc, f = 5, 1
+    fr = A.decode_mpeg_audio(_payload(doc, 2))[f]
+    fld = lambda sb, j: 3 * ((doc + 2 * sb + 3 * j + f) % 4)  # noqa: E731
+    assert fr.scf[0] == [fld(0, 0), fld(0, 1), fld(0, 2)]  # scfsi 0
+    assert fr.scf[1] == [fld(1, 0), fld(1, 0), fld(1, 1)]  # scfsi 1
+    assert fr.scf[2] == [fld(2, 0)] * 3                    # scfsi 2
+    assert fr.scf[3] == [fld(3, 0), fld(3, 1), fld(3, 1)]  # scfsi 3
+
+
+def test_matrixing_is_the_normative_cosine_bank():
+    """Vectorized matrixing == the literal spec double loop, and the
+    DC property: V[16] (i = 16 -> cos((32)(2k+1)pi/64) = 0 except...)
+    checked numerically against the direct form."""
+    rng = np.random.default_rng(7)
+    s = rng.standard_normal(32)
+    v = A.matrixing(s)
+    direct = np.array(
+        [
+            sum(
+                math.cos((16 + i) * (2 * k + 1) * math.pi / 64) * s[k]
+                for k in range(32)
+            )
+            for i in range(64)
+        ]
+    )
+    assert np.allclose(v, direct, atol=1e-12)
+    # mirror symmetry of the bank: V[16+j] = -V[16-j] holds for the
+    # cosine arguments ((32+2j)(2k+1)pi/64 vs (32-2j)(2k+1)pi/64)
+    assert np.allclose(v[16 + 1 : 32], -v[1:16][::-1], atol=1e-12)
+    assert abs(v[16]) < 1e-12
+
+
+def test_synthesis_gates_without_window_and_runs_with_one():
+    fr = A.decode_mpeg_audio(_payload(4, 1))[0]
+    vals = A.dequantize(fr)
+    assert A._SYNTHESIS_WINDOW is None
+    with pytest.raises(NotImplementedError, match="3-C.3"):
+        A.synthesize(vals)
+    try:
+        # a registered window (here: a simple sine prototype) unlocks
+        # the full FIFO+window pipeline; pin shape and the zero-input
+        # -> zero-output property
+        w = np.sin(np.arange(512) * math.pi / 512)
+        A.register_synthesis_window(w)
+        pcm = A.synthesize(vals)
+        assert pcm.shape == vals.shape
+        assert np.allclose(A.synthesize(np.zeros((5, 32))), 0.0)
+        with pytest.raises(A.MpegAudioError):
+            A.register_synthesis_window(np.zeros(100))
+    finally:
+        A._SYNTHESIS_WINDOW = None
+
+
+def test_loud_gates():
+    good = bytearray(_payload(1, 1))
+    # stereo mode: flip mode bits (byte 3, bits 7..6) to 00
+    b = bytearray(good)
+    b[3] &= 0b00111111
+    with pytest.raises(A.MpegAudioError, match="single_channel"):
+        A.decode_mpeg_audio(bytes(b))
+    # layer III code
+    b = bytearray(good)
+    b[1] = (b[1] & ~0b110) | 0b010
+    with pytest.raises(A.MpegAudioError, match="Layer III"):
+        A.decode_mpeg_audio(bytes(b))
+    # free-format bitrate
+    b = bytearray(good)
+    b[2] &= 0x0F
+    with pytest.raises(A.MpegAudioError, match="free-format"):
+        A.decode_mpeg_audio(bytes(b))
+    # bad sync
+    with pytest.raises(A.MpegAudioError, match="syncword"):
+        A.decode_mpeg_audio(b"\x12\x34\x56\x78" * 30)
+    # layer II high-rate table gates BY NAME
+    ops = M._mpa_l2_ops(1)
+    hdr = list(M._mpa_header_bits(2))
+    hdr[16:20] = list("0100")  # bitrate_index 4 = 64 kbps -> high-rate
+    ops[0] = ("b", "".join(hdr))
+    # keep total length consistent: 64k frame = 288 bytes, pad more
+    pad_bits = (288 - 216) * 8
+    ops.append(("b", "0" * pad_bits))
+    with pytest.raises(NotImplementedError, match="3-B.2a/2b"):
+        A.decode_mpeg_audio(M._mpeg_pack(ops))
+
+
+def test_layer1_forbidden_alloc():
+    ops = M._mpa_l1_ops(1)
+    # first alloc nibble follows the 32-bit header: ops[1] is sb0
+    assert ops[1] == ("b", format(M._MPA_L1_ALLOC[0], "04b"))
+    ops[1] = ("b", "1111")
+    with pytest.raises(A.MpegAudioError, match="forbidden"):
+        A.decode_mpeg_audio(M._mpeg_pack(ops))

@@ -408,18 +408,73 @@ def test_b_skip_after_intra_raises():
         m.decode_mpeg1(data)
 
 
-def test_d_picture_gates_loudly():
-    data = bytearray(m.encode_mpeg1(m.SequenceSpec(32, 32, [pic_i()])))
-    # patch picture_coding_type (3 bits after the 10-bit temporal
-    # reference) from I (001) to D (100): byte layout of the picture
-    # header puts ptype in bits 10..12 after the start code.
-    at = bytes(data).find(b"\x00\x00\x01\x00")
-    assert at >= 0
-    hdr = int.from_bytes(data[at + 4 : at + 6], "big")
-    hdr = (hdr & ~(0b111 << 3)) | (0b100 << 3)
-    data[at + 4 : at + 6] = hdr.to_bytes(2, "big")
-    with pytest.raises(m.MpegUnsupported, match="D-pictures"):
-        m.decode_mpeg1(bytes(data))
+def _d_mb(dcs):
+    return m.IntraMB(dc_diffs=dcs, ac=[{} for _ in range(6)])
+
+
+def _d_pic(tref, slices):
+    return m.PictureSpec(ptype=4, temporal_reference=tref, slices=slices)
+
+
+def test_d_picture_roundtrip():
+    """D-pictures decode (round 13, closing the picture-type grid):
+    DC-only blocks reconstruct flat, predictors chain within a slice
+    and reset between slices, end_of_macroblock is consumed."""
+    spec = m.SequenceSpec(
+        32, 32,
+        [
+            _d_pic(0, [
+                [_d_mb([20, -18, 22, -19, 9, -8]),
+                 _d_mb([17, -16, 18, -17, 8, -7])],
+                [_d_mb([21, -20, 23, -22, 10, -9]),
+                 _d_mb([16, -15, 17, -16, 7, -6])],
+            ]),
+            _d_pic(1, [
+                [_d_mb([24, -21, 25, -23, 11, -10]),
+                 _d_mb([18, -17, 19, -18, 9, -8])],
+                [_d_mb([22, -19, 20, -18, 12, -11]),
+                 _d_mb([17, -15, 16, -14, 8, -6])],
+            ]),
+        ],
+    )
+    w, h, frames = m.decode_mpeg1(m.encode_mpeg1(spec))
+    assert (w, h, len(frames)) == (32, 32, 2)
+    y0 = frames[0][0]
+    # MB0 chain: 128+20, -18, +22, -19
+    assert y0[0, 0] == 148 and y0[0, 8] == 130
+    assert y0[8, 0] == 152 and y0[8, 8] == 133
+    # MB1 continues the slice chain from 133
+    assert y0[0, 16] == 133 + 17
+    # slice 2 resets the predictor: MB2 starts from 128 again
+    assert y0[16, 0] == 128 + 21
+    # flat blocks
+    assert (y0[0:8, 0:8] == 148).all()
+    # chroma predictors are per-component
+    assert frames[0][1][0, 0] == 137 and frames[0][2][0, 0] == 120
+
+
+def test_d_picture_guards():
+    d = _d_pic(0, [[_d_mb([20, -18, 22, -19, 9, -8])] * 2] * 2)
+    # D may not mix with I/P/B in one sequence
+    data = m.encode_mpeg1(m.SequenceSpec(32, 32, [pic_i(), d]))
+    with pytest.raises(m.MpegError, match="may not share"):
+        m.decode_mpeg1(data)
+    # the encoder refuses AC coefficients in D macroblocks
+    bad = m.IntraMB(dc_diffs=[20, -18, 22, -19, 9, -8],
+                    ac=[{2: 3}] + [{} for _ in range(5)])
+    with pytest.raises(ValueError, match="DC-only"):
+        m.encode_mpeg1(m.SequenceSpec(32, 32, [_d_pic(0, [[bad] * 2] * 2)]))
+    # skipped macroblocks are forbidden in D-pictures: a mid-slice
+    # SkipMB writes an address increment of 2, whose hole only a skip
+    # could paint — the decoder must reject it
+    mbs = [_d_mb([20, -18, 22, -19, 9, -8]), m.SkipMB(),
+           _d_mb([17, -16, 18, -17, 8, -7])]
+    sl2 = [_d_mb([21, -20, 23, -22, 10, -9])]
+    spec = m.SequenceSpec(
+        48, 32, [_d_pic(0, [mbs, sl2 * 3])]
+    )
+    with pytest.raises(m.MpegError, match="skipped macroblock in a D"):
+        m.decode_mpeg1(m.encode_mpeg1(spec))
 
 
 def test_malformed_streams_raise():

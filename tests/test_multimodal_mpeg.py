@@ -226,3 +226,47 @@ def test_b_decoded_planes_match_reference_composition(spark):
         a = yI[16:32, 14:30]
         c = yI[16:32, 15:31]
         assert (yB[16:32, 16:32] == (a + c + 1) >> 1).all()
+
+
+def test_d_fixture_bytes_equal_encoder(spark):
+    """The D-picture SQL fixture == int-mode ops == the independent
+    encode_mpeg1 syntax writer, for several documents (the same
+    one-spec-two-emitters pin as the I/P/B fixture)."""
+    from cryptocoininsights_data_engineer_project_spark.operators import (
+        mpegcodec as m,
+        multimodal as M,
+    )
+
+    def dspec(doc):
+        diffs = M._mpeg_d_diffs(doc)
+        pics = []
+        for f in range(2):
+            slices = []
+            for sl in range(2):
+                mbs = []
+                for j in range(2):
+                    luma, cb, cr = diffs[f][2 * sl + j]
+                    dcs = [s * (16 + p) for s, p in luma] + [
+                        cb[0] * (8 + cb[1]),
+                        cr[0] * (8 + cr[1]),
+                    ]
+                    mbs.append(
+                        m.IntraMB(dc_diffs=dcs, ac=[{} for _ in range(6)])
+                    )
+                slices.append(mbs)
+            pics.append(
+                m.PictureSpec(
+                    ptype=4, temporal_reference=f, slices=slices, qscale=5
+                )
+            )
+        return m.SequenceSpec(width=32, height=32, pictures=pics)
+
+    docs = spark.createDataFrame([(2,), (9,)], "doc_id long")
+    got = {
+        r.asset_id: bytes(r.payload)
+        for r in M.synth_mpeg_d_assets(docs).collect()
+    }
+    for doc in (2, 9):
+        ints = M._mpeg_pack(M._mpeg_d_ops(doc))
+        enc = m.encode_mpeg1(dspec(doc))
+        assert got[doc] == ints == enc
