@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import json
 import re
 import sys
 
@@ -66,6 +67,24 @@ else joins broadcast.
 """
 
 
+def source_fingerprint(spec) -> str:
+    """sha256 over (function source, oracle SQL) — recorded to
+    .plans_src_hashes.json at generation time so tests/test_lockstep.py
+    can detect a query whose implementation changed after the last
+    PLANS.md regeneration without re-running explain()."""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(spec.fn)
+    except OSError:
+        src = repr(spec.fn)
+    h = hashlib.sha256()
+    h.update(src.encode())
+    h.update((spec.oracle or "").encode())
+    return h.hexdigest()
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -110,7 +129,12 @@ def main() -> None:
                 (str(c[k]) if c[k] else "") for k, _ in COLS
             )
             f.write(f"| `{name}` | {cells} |\n")
-    print(f"wrote PLANS.md with {len(rows)} rows")
+    with open("/root/repo/.plans_src_hashes.json", "w") as f:
+        json.dump(
+            {n: source_fingerprint(REGISTRY[n]) for n in sorted(REGISTRY)},
+            f, indent=0, sort_keys=True,
+        )
+    print(f"wrote PLANS.md with {len(rows)} rows + source snapshot")
 
 
 if __name__ == "__main__":

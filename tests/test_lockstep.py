@@ -56,3 +56,49 @@ def test_readme_count_matches_registry():
         f"README says {m.group(0)!r}; registry holds "
         f"{len(REGISTRY)}/{n_oracle}"
     )
+
+
+def test_queries_md_content_matches_registry_docs():
+    """CONTENT lockstep (VERDICT r12 item 6), not just names: the
+    committed QUERIES.md must be byte-identical to what the generator
+    would write from the live registry docs — an edited docstring
+    with a skipped regen is a red test, not a drift found at
+    round-end."""
+    expected_entries = []
+    for name in sorted(REGISTRY):
+        spec = REGISTRY[name]
+        tag = "oracle" if spec.oracle else "rows-only"
+        doc = " ".join((spec.doc or "").split())
+        expected_entries.append(f"\n### `{name}`  <sub>{tag}</sub>\n\n{doc}\n")
+    text = (REPO / "QUERIES.md").read_text()
+    body = text[text.index("\n### ") :] if "\n### " in text else ""
+    assert body == "".join(expected_entries), (
+        "QUERIES.md content drift — run scripts/gen_queries_md.py"
+    )
+
+
+def test_plans_md_rows_match_source_snapshot():
+    """PLANS.md rows are explain() output — too expensive to recompute
+    in a unit test — so gen_plans.py records a source fingerprint of
+    every query (function source + oracle SQL) at generation time.
+    This test recomputes the fingerprints from the LIVE registry: any
+    query whose implementation changed since the last gen_plans run
+    fails here until the plan row is regenerated."""
+    import json
+
+    snap_path = REPO / ".plans_src_hashes.json"
+    assert snap_path.exists(), (
+        ".plans_src_hashes.json missing — run scripts/gen_plans.py"
+    )
+    snap = json.loads(snap_path.read_text())
+    from scripts.gen_plans import source_fingerprint  # type: ignore
+
+    live = {n: source_fingerprint(REGISTRY[n]) for n in REGISTRY}
+    stale = sorted(
+        n for n in live if snap.get(n) != live[n]
+    )
+    missing = sorted(set(snap) - set(live))
+    assert not stale and not missing, (
+        f"PLANS.md stale for {stale[:10]} (changed source), "
+        f"dangling snapshot rows {missing[:10]} — run scripts/gen_plans.py"
+    )
