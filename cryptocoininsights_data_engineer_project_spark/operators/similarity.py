@@ -62,6 +62,11 @@ IVF_TOP_K = 5
 
 # Number of triangle-join blocks for exact all-pairs scoring.
 ALL_PAIRS_BLOCKS = 8
+# Registry default cap on the exact all-pairs verification baseline
+# (dedup_embedding): md5-top-N sampled-block mode — O(cap^2) constant
+# in corpus size (slack at every driver SF, binding from the derived
+# sf1 up). The uncapped exact form stays available (max_vectors=None).
+ALL_PAIRS_CAP = 4096
 
 
 def _round_half_away(x, decimals: int = 6):
@@ -256,6 +261,15 @@ WITH e AS (
 )
 SELECT query_id, neighbor_id, qcosine FROM ranked WHERE rn <= {k}
 """
+
+
+def duck_hash64_vec_id() -> str:
+    """The portable md5 order key over vec_id, for oracle sample
+    CTEs (the DuckDB spelling of ``spark_hash64`` on the same
+    string)."""
+    from ..functions.hashing import duck_hash64
+
+    return duck_hash64("CAST(vec_id AS VARCHAR)")
 
 
 def _query_sample_sql(query_modulus: int, query_limit: int | None) -> str:
@@ -1501,8 +1515,17 @@ def all_pairs_cosine_blas(
     embeddings: DataFrame,
     threshold: float,
     n_blocks: int = ALL_PAIRS_BLOCKS,
+    max_vectors: int | None = None,
 ) -> DataFrame:
     """Exact cosine near-duplicate pairs via per-block-pair BLAS.
+
+    ``max_vectors`` set → SAMPLED-BLOCK mode (the registry default,
+    VERDICT r12 item 8): the exact all-pairs verification runs over
+    the md5-top-``max_vectors`` sample (TakeOrderedAndProject — the
+    fixed-sample house rule), so the quadratic cost is CONSTANT in
+    corpus size instead of O(n^2): the recall-measurement semantics a
+    verification baseline exists for survive on a bounded panel.
+    ``None`` keeps the full exact form (tests, small corpora).
 
     Same triangle block decomposition as ``all_pairs_cosine``, but the
     quadratic pair space NEVER materializes as Spark rows: vectors are
@@ -1526,6 +1549,14 @@ def all_pairs_cosine_blas(
     n = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
+    if max_vectors is not None:
+        h = F.expr(spark_hash64("CAST(vec_id AS STRING)"))
+        n = (
+            n.withColumn("__qh", h)
+            .orderBy(F.col("__qh").desc(), F.col("vec_id").asc())
+            .limit(max_vectors)
+            .drop("__qh")
+        )
     spark = embeddings.sparkSession
     # role table: block g acts as side 'a' in pairs (g, j>=g) and side
     # 'b' in pairs (i<g, g) — a tiny broadcast join, no lambda codegen

@@ -41,10 +41,87 @@ class GzipError(ValueError):
 class ZstdUnsupported(NotImplementedError):
     """Zstandard-compressed input (ZIP method 93 / .warc.zst): zstd is
     not in the Python 3.11 stdlib (``compression.zstd`` lands in
-    3.14). The LOUD seam a real cluster fills by installing the
-    ``zstandard`` wheel and decompressing before the walk — the same
+    3.14). The seam fills ITSELF when the optional ``zstandard``
+    wheel is importable (round 13: the wheel is auto-detected at
+    import and used transparently — .warc.zst is the Common Crawl
+    default); without it the gate stays LOUD — the same
     register-a-codec discipline as multimodal.register_decoder; no
-    operator silently skips zstd members."""
+    operator silently skips zstd members. Deployments can also
+    install any decompressor via ``register_zstd_decompressor``."""
+
+
+def _zstd_from_wheel():
+    """The optional-wheel path: a (data, dict_bytes|None) -> bytes
+    decompressor backed by the ``zstandard`` wheel when importable
+    (reads across concatenated frames — the .warc.zst shape), else
+    None (the loud gates stay)."""
+    try:
+        import zstandard
+    except ImportError:
+        return None
+
+    def _d(data: bytes, dict_data: bytes | None = None) -> bytes:
+        import io as _io
+
+        if dict_data is not None:
+            ctx = zstandard.ZstdDecompressor(
+                dict_data=zstandard.ZstdCompressionDict(dict_data)
+            )
+        else:
+            ctx = zstandard.ZstdDecompressor()
+        with ctx.stream_reader(
+            _io.BytesIO(data), read_across_frames=True
+        ) as rd:
+            return rd.read()
+
+    return _d
+
+
+_ZSTD_DECOMPRESS = _zstd_from_wheel()
+
+
+def register_zstd_decompressor(fn) -> None:
+    """Install a ``(data: bytes, dict_data: bytes | None) -> bytes``
+    Zstandard decompressor (overriding the wheel autodetect); pass
+    None to reset to wheel-or-gate."""
+    global _ZSTD_DECOMPRESS
+    _ZSTD_DECOMPRESS = fn if fn is not None else _zstd_from_wheel()
+
+
+def zstd_available() -> bool:
+    return _ZSTD_DECOMPRESS is not None
+
+
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+
+
+def _is_zstd_skippable(b: bytes) -> bool:
+    return len(b) >= 8 and b[1:4] == b"\x2a\x4d\x18" and (b[0] & 0xF0) == 0x50
+
+
+def zstd_inflate_warc(b: bytes) -> bytes:
+    """Inflate a .warc.zst per the IIPC convention: an OPTIONAL
+    leading skippable frame (magic 0x184D2A5x) carries the shared
+    dictionary (itself possibly zstd-compressed), followed by
+    concatenated Zstandard frames."""
+    if _ZSTD_DECOMPRESS is None:
+        raise ZstdUnsupported(
+            "Zstandard-compressed WARC (.warc.zst): install the "
+            "zstandard wheel (auto-detected) or call "
+            "register_zstd_decompressor — gzip (.warc.gz) decodes "
+            "natively"
+        )
+    dict_data = None
+    pos = 0
+    if _is_zstd_skippable(b):
+        size = int.from_bytes(b[4:8], "little")
+        dict_data = b[8 : 8 + size]
+        if len(dict_data) < size:
+            raise WarcError("truncated warc-zstd dictionary frame")
+        pos = 8 + size
+        if dict_data[:4] == _ZSTD_MAGIC:
+            dict_data = _ZSTD_DECOMPRESS(dict_data, None)
+    return _ZSTD_DECOMPRESS(b[pos:], dict_data)
 
 
 class WarcError(ValueError):
@@ -133,16 +210,11 @@ def parse_warc(payload: bytes) -> list[dict]:
     a CRLF-terminated header block, exactly Content-Length body
     bytes, then the CRLF CRLF record separator."""
     b = bytes(payload)
-    if b[:4] == b"\x28\xb5\x2f\xfd" or (
-        len(b) >= 4 and b[1:4] == b"\x2a\x4d\x18" and (b[0] & 0xF0) == 0x50
-    ):
+    if b[:4] == _ZSTD_MAGIC or _is_zstd_skippable(b):
         # .warc.zst: a Zstandard frame, or the 0x184D2A5x skippable
-        # frame that carries the warc-zstd dictionary (iipc spec)
-        raise ZstdUnsupported(
-            "Zstandard-compressed WARC (.warc.zst): install the "
-            "zstandard wheel on a real cluster and inflate before "
-            "parse_warc — gzip (.warc.gz) decodes natively"
-        )
+        # frame that carries the warc-zstd dictionary (iipc spec) —
+        # inflates via the optional-wheel seam, gates loudly without
+        b = zstd_inflate_warc(b)
     records: list[dict] = []
     pos = 0
     while pos < len(b):
@@ -1084,13 +1156,15 @@ def parse_zip(payload: bytes) -> list[dict]:
         p += 46 + nlen + elen + clen
         if flags & 0x1:
             raise ZipError(f"encrypted member {name!r}")
-        if method == 93:  # APPNOTE 4.4.5: Zstandard
+        if method == 93 and _ZSTD_DECOMPRESS is None:
+            # APPNOTE 4.4.5: Zstandard — optional-wheel seam
             raise ZstdUnsupported(
                 f"ZIP member {name!r} uses method 93 (Zstandard); "
-                "install the zstandard wheel on a real cluster — "
-                "stdlib covers stored/DEFLATE/bzip2/LZMA only"
+                "install the zstandard wheel (auto-detected) or call "
+                "register_zstd_decompressor — stdlib covers "
+                "stored/DEFLATE/bzip2/LZMA only"
             )
-        if method not in (0, 8, 12, 14):
+        if method not in (0, 8, 12, 14, 93):
             raise ZipError(f"unsupported compression method {method}")
         lp = lfh_off
         if lp + 30 > len(b):
@@ -1111,6 +1185,15 @@ def parse_zip(payload: bytes) -> list[dict]:
             if csize != usize:
                 raise ZipError(f"stored-member size mismatch for {name!r}")
             body = data
+        elif method == 93:
+            try:
+                body = _ZSTD_DECOMPRESS(data, None)
+            except ZipError:
+                raise
+            except Exception as e:
+                raise ZipError(
+                    f"bad Zstandard stream in {name!r}: {e}"
+                ) from e
         elif method == 8:
             try:
                 d = zlib.decompressobj(-15)  # raw DEFLATE

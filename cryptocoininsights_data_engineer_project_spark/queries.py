@@ -3219,9 +3219,13 @@ def asof_prev_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "dedup_embedding",
-    """
-WITH e AS (
+    f"""
+WITH e0 AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), e AS (
+  SELECT vec_id, emb FROM e0
+  ORDER BY {similarity.duck_hash64_vec_id()} DESC, vec_id
+  LIMIT {similarity.ALL_PAIRS_CAP}
 ), n AS (
   SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e
 )
@@ -3230,17 +3234,25 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) >= 0.45
 """,
-    doc="embedding-cosine near-duplicate pairs, EXACT oracle twin — "
-    "quadratic by construction; use dedup_embedding_lsh as the default "
-    "entry point at scale and keep this form for verification/recall "
-    "measurement. Per-block-pair BLAS matmul via applyInPandas — the "
-    "quadratic pair space never materializes as rows "
-    "(similarity.all_pairs_cosine_blas; the pure-JVM triangle join is "
-    "all_pairs_cosine, ~14x slower measured)",
+    doc="embedding-cosine near-duplicate pairs, EXACT verification "
+    "baseline for dedup_embedding_lsh (the sub-quadratic default "
+    "entry point at scale) — registry default is SAMPLED-BLOCK mode "
+    "(VERDICT r12 item 8): exact all-pairs over the md5-top-4096 "
+    "sample (ALL_PAIRS_CAP), so the quadratic verification cost is "
+    "CONSTANT in corpus size; slack at every driver SF (<= 2000 "
+    "vectors — results identical to the uncapped form there), "
+    "binding from sf1 up, where recall measurement on a fixed panel "
+    "is exactly what a verification baseline is for. Per-block-pair "
+    "BLAS matmul via applyInPandas — the pair space never "
+    "materializes as rows (similarity.all_pairs_cosine_blas; the "
+    "pure-JVM triangle join is all_pairs_cosine, ~14x slower "
+    "measured; max_vectors=None keeps the uncapped exact form)",
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.all_pairs_cosine_blas(
-        _t(spark, sf_dir, "embeddings"), threshold=0.45
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.45,
+        max_vectors=similarity.ALL_PAIRS_CAP,
     )
 
 

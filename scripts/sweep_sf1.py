@@ -77,7 +77,9 @@ ADJUDICATED = {
     ),
     "dedup_embedding": (
         "documented quadratic verification baseline for the LSH "
-        "default (engine-only oracle row, SCALE.md)"
+        "default (engine-only oracle row, SCALE.md); round 13 capped "
+        "the registry default at ALL_PAIRS_CAP=4096 sampled-block "
+        "mode — expect the next sweep to re-class it constant"
     ),
     "dedup_text_embedding": (
         "documented quadratic verification baseline for the LSH "

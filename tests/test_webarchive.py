@@ -1425,3 +1425,119 @@ def test_zstd_gates_loudly():
     )
     with pytest.raises(ZstdUnsupported, match="method 93"):
         parse_zip(lfh + cdh + eocd)
+
+
+def test_zstd_seam_decodes_when_registered():
+    """The optional-wheel seam (VERDICT r12 item 7): with a registered
+    decompressor the SAME inputs that gate loudly above decode — warc
+    .zst (including the IIPC skippable dictionary frame, and a
+    zstd-compressed dictionary) through parse_warc, and ZIP method 93
+    members through parse_zip. The container (zstandard wheel absent)
+    exercises the plumbing with a deterministic fake; a wheel install
+    swaps in real zstd with zero code changes."""
+    import struct
+
+    import pytest
+
+    from cryptocoininsights_data_engineer_project_spark.operators import (
+        webarchive as W,
+    )
+
+    body = b"hello zstd world"
+    warc = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: resource\r\n"
+        + f"Content-Length: {len(body)}\r\n\r\n".encode()
+        + body
+        + b"\r\n\r\n"
+    )
+    MAGIC = b"\x28\xb5\x2f\xfd"
+
+    # deterministic fake: "frame" = magic + 4-byte length + plaintext;
+    # a dict prepends its bytes (so dictionary routing is observable)
+    def fake(data, dict_data=None):
+        assert data[:4] == MAGIC, "fake decompressor fed a non-frame"
+        n = int.from_bytes(data[4:8], "little")
+        out = data[8 : 8 + n]
+        return (dict_data or b"") + out
+
+    def frame(payload: bytes) -> bytes:
+        return MAGIC + struct.pack("<I", len(payload)) + payload
+
+    try:
+        W.register_zstd_decompressor(fake)
+        assert W.zstd_available()
+        # plain frame
+        recs = W.parse_warc(frame(warc))
+        assert len(recs) == 1 and recs[0]["body"] == body
+        # skippable dictionary frame: dict carries the WARC prefix,
+        # the data frame the rest
+        head, tail = warc[:10], warc[10:]
+        skippable = b"\x5d\x2a\x4d\x18" + struct.pack("<I", len(head)) + head
+        recs = W.parse_warc(skippable + frame(tail))
+        assert recs[0]["body"] == body
+        # zstd-compressed dictionary (nested frame) also inflates
+        cdict = frame(head)
+        skippable2 = (
+            b"\x5d\x2a\x4d\x18" + struct.pack("<I", len(cdict)) + cdict
+        )
+        recs = W.parse_warc(skippable2 + frame(tail))
+        assert recs[0]["body"] == body
+
+        # ZIP method 93 member decodes through the same seam
+        name = b"a.txt"
+        data = frame(b"zstd!")
+        crc = __import__("zlib").crc32(b"zstd!")
+        lfh = (
+            b"PK\x03\x04"
+            + struct.pack(
+                "<HHHHHIIIHH", 20, 0, 93, 0, 0, crc, len(data), 5,
+                len(name), 0
+            )
+            + name
+            + data
+        )
+        cdh = (
+            b"PK\x01\x02"
+            + struct.pack(
+                "<HHHHHHIIIHHHHHII",
+                20, 20, 0, 93, 0, 0, crc, len(data), 5, len(name),
+                0, 0, 0, 0, 0, 0,
+            )
+            + name
+        )
+        eocd = b"PK\x05\x06" + struct.pack(
+            "<HHHHIIH", 0, 0, 1, 1, len(cdh), len(lfh), 0
+        )
+        members = W.parse_zip(lfh + cdh + eocd)
+        assert members[0]["body"] == b"zstd!"
+        assert members[0]["method"] == 93
+    finally:
+        W.register_zstd_decompressor(None)  # reset to wheel-or-gate
+
+    # after reset (wheel absent in this container) the gate is loud again
+    if not W.zstd_available():
+        with pytest.raises(W.ZstdUnsupported):
+            W.parse_warc(frame(warc))
+
+
+def test_zstd_wheel_roundtrip():
+    """Real-wheel integration: skips cleanly in this stdlib-only
+    container, runs wherever the zstandard wheel is installed."""
+    import pytest
+
+    zstandard = pytest.importorskip("zstandard")
+    from cryptocoininsights_data_engineer_project_spark.operators import (
+        webarchive as W,
+    )
+
+    body = b"x" * 100
+    warc = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\n"
+        + f"Content-Length: {len(body)}\r\n\r\n".encode()
+        + body
+        + b"\r\n\r\n"
+    )
+    comp = zstandard.ZstdCompressor().compress(warc)
+    recs = W.parse_warc(comp)
+    assert recs[0]["body"] == body
