@@ -575,6 +575,58 @@ def decontaminate(
     )
 
 
+def contamination_report(
+    corpus: DataFrame, benchmark: DataFrame, w: int = 6
+) -> DataFrame:
+    """(bench_doc_id, n_corpus_docs, n_hits) — the TRANSPOSE of
+    ``decontaminate``: per held-out benchmark document, how many
+    corpus documents share at least one word ``w``-gram with it and
+    the total count of shared (corpus doc, shingle) matches. This is
+    the audit a benchmark OWNER publishes (which eval items leaked
+    into the training corpus, and how badly) next to the corpus-side
+    drop list decontaminate produces.
+
+    Same physical shape as decontaminate — the benchmark shingle set
+    broadcasts WITH its doc identity (still bounded: |bench| x
+    shingles/doc rows), the corpus scans once, and the join output is
+    bounded by true contamination density; the final aggregate groups
+    the tiny matched subset by benchmark doc."""
+    sh_c = shingle_docs(corpus, w)
+    sh_b = shingle_docs(benchmark, w).select(
+        F.col("doc_id").alias("bench_doc_id"), "shingle"
+    )
+    return (
+        sh_c.join(F.broadcast(sh_b), "shingle")
+        .groupBy("bench_doc_id")
+        .agg(
+            F.countDistinct("doc_id").alias("n_corpus_docs"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+    )
+
+
+def contamination_report_oracle_sql(
+    corpus_pred: str, benchmark_pred: str, w: int = 6
+) -> str:
+    """DuckDB twin over the `documents` view split by two predicates."""
+    parts = " || ' ' || ".join(f"ws[i + {j}]" for j in range(w))
+    return f"""
+WITH toks AS (SELECT doc_id, {duck_tokens('text')} AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, {parts} AS shingle
+  FROM toks, UNNEST(generate_series(1, len(ws) - {w - 1})) AS g(i)
+  WHERE len(ws) >= {w}
+),
+sh_c AS (SELECT doc_id, shingle FROM sh WHERE {corpus_pred}),
+sh_b AS (SELECT doc_id AS bench_doc_id, shingle FROM sh WHERE {benchmark_pred})
+SELECT bench_doc_id,
+  CAST(count(DISTINCT sh_c.doc_id) AS BIGINT) AS n_corpus_docs,
+  CAST(count(*) AS BIGINT) AS n_hits
+FROM sh_c JOIN sh_b USING (shingle)
+GROUP BY bench_doc_id
+"""
+
+
 def decontaminate_oracle_sql(
     corpus_pred: str, benchmark_pred: str, w: int = 6
 ) -> str:

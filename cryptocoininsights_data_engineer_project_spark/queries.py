@@ -4131,6 +4131,50 @@ def similarity_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "topic_mix_report",
+    f"""
+WITH a AS ({similarity.kmeans_oracle_sql(k=8, max_iters=3)}),
+t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM a)
+SELECT centroid_id,
+  CAST(count(*) AS BIGINT) AS n_vectors,
+  CAST(count(*) * 1000000 // any_value(t.total) AS BIGINT) AS share_ppm,
+  CAST(sum(dist_micro2) // count(*) AS BIGINT) AS mean_dist_micro2
+FROM a CROSS JOIN t
+GROUP BY centroid_id
+""",
+    doc="semantic TOPIC-MIX audit — the embedding-space sibling of "
+    "corpus_mix_report: cluster the corpus with the in-query-trained "
+    "integer-exact k-means (the similarity_kmeans_ivf coarse "
+    "quantizer) and report per-cluster membership, share in integer "
+    "ppm, and mean integer squared distance (cluster tightness) — "
+    "the composition report a data-mixing pipeline reads to see "
+    "WHAT the corpus is about, not just where it came from. "
+    "Composes the verified Lloyd's assignment with an 8-row "
+    "aggregate; the oracle nests the full unrolled-CTE k-means twin. "
+    "One corpus scan (the training pass) + the assign pass; the "
+    "report itself is k rows",
+)
+def topic_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = similarity.kmeans_assign(
+        _t(spark, sf_dir, "embeddings"), k=8, max_iters=3
+    )
+    totals = a.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        a.crossJoin(F.broadcast(totals))
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.expr(
+                "CAST(count(1) * 1000000 div first(total) AS BIGINT)"
+            ).alias("share_ppm"),
+            F.expr(
+                "CAST(sum(dist_micro2) div count(1) AS BIGINT)"
+            ).alias("mean_dist_micro2"),
+        )
+    )
+
+
+@_q(
     "approx_distinct",
     """
 SELECT l_returnflag,
@@ -4855,6 +4899,29 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.decontaminate(
+        docs.filter(F.col("doc_id") >= 20),
+        docs.filter(F.col("doc_id") < 20),
+        w=6,
+    )
+
+
+@_q(
+    "contamination_report",
+    dedup.contamination_report_oracle_sql(
+        corpus_pred="doc_id >= 20", benchmark_pred="doc_id < 20", w=6
+    ),
+    doc="the benchmark OWNER's side of decontamination — the "
+    "transpose of `decontaminate`: per held-out benchmark document, "
+    "how many corpus documents share a word 6-gram with it and the "
+    "total shared-shingle hit count (which eval items leaked, and how "
+    "badly — the audit published next to the corpus-side drop list). "
+    "Same broadcast-probe shape: benchmark shingles broadcast WITH "
+    "their doc identity, ONE corpus scan, output bounded by true "
+    "contamination density (operators/dedup.py::contamination_report)",
+)
+def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.contamination_report(
         docs.filter(F.col("doc_id") >= 20),
         docs.filter(F.col("doc_id") < 20),
         w=6,

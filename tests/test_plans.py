@@ -121,6 +121,7 @@ BNLJ_ALLOWED = {
     "similarity_sq8",  # broadcast 64-row query set, cosine_topk's non-equi shape
     "source_overlap_matrix",  # |sources|x|sources| pair frame (both sides tiny)
     "ann_recall_curve",  # 5-row k-frame range join + cosine_topk's shapes
+    "topic_mix_report",  # 1-row vector-total scalar onto the k-row cluster rollup
 }
 
 
