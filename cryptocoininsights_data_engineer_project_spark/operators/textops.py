@@ -872,18 +872,25 @@ def bpe_encode_counts(
         bpe_merge_table(spark, docs, n_words, steps).collect(),
         key=lambda r: r["step"],
     )
-    chain = "concat('  ', regexp_replace(w, '(.)', '$1  '))"
-    for m in merges:
-        chain = f"replace({chain}, ' {m['lhs']}  {m['rhs']} ', ' {m['merged']} ')"
     toks = f"filter({spark_tokens('text')}, w -> w <> '')"
+    per_word = _bpe_word_count_expr(merges)
     return docs.select(
         "doc_id",
         F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_words"),
         F.expr(
-            f"aggregate({toks}, CAST(0 AS BIGINT), "
-            f"(a, w) -> a + size(split(trim({chain}), '  ')))"
+            f"aggregate({toks}, CAST(0 AS BIGINT), (a, w) -> a + {per_word})"
         ).alias("n_bpe"),
     )
+
+
+def _bpe_word_count_expr(merges) -> str:
+    """Per-word BPE token count as one expression over ``w`` — the
+    learned merge table unrolled into a literal replace chain (shared
+    by bpe_encode_counts and the single-scan tokenizer_counts)."""
+    chain = "concat('  ', regexp_replace(w, '(.)', '$1  '))"
+    for m in merges:
+        chain = f"replace({chain}, ' {m['lhs']}  {m['rhs']} ', ' {m['merged']} ')"
+    return f"size(split(trim({chain}), '  '))"
 
 
 def bpe_encode_oracle_sql(
@@ -1678,6 +1685,21 @@ def wordpiece_encode_counts(
     per-document aggregate over the token array. The encode pass is
     one narrow corpus scan, zero shuffles, no token explode."""
     pieces = [r["piece"] for r in wordpiece_vocab(spark, docs, n).collect()]
+    fold = _wp_word_count_expr(pieces)
+    toks = f"filter({spark_tokens('text')}, w -> w <> '')"
+    return docs.select(
+        "doc_id",
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_words"),
+        F.expr(
+            f"aggregate({toks}, CAST(0 AS BIGINT), (a, w) -> a + {fold})"
+        ).alias("n_wordpiece"),
+    )
+
+
+def _wp_word_count_expr(pieces: list[str]) -> str:
+    """Per-word WordPiece token count as one cursor-fold expression
+    over ``w`` (shared by wordpiece_encode_counts and the single-scan
+    tokenizer_counts)."""
     branches = []
     for length in sorted(WP_PIECE_LENS, reverse=True):
         of_len = sorted(p for p in pieces if len(p) == length)
@@ -1688,7 +1710,7 @@ def wordpiece_encode_counts(
                 f"THEN {length}"
             )
     step = "CASE " + " ".join(branches) + " ELSE 1 END" if branches else "1"
-    fold = (
+    return (
         f"aggregate(sequence(1, {WP_MAX_WORD}), "
         "named_struct('p', 1, 'c', CAST(0 AS BIGINT)), "
         "(acc, i) -> IF(acc.p > length(w), acc, "
@@ -1702,14 +1724,6 @@ def wordpiece_encode_counts(
         "acc -> IF(acc.p > length(w), acc.c, "
         "CAST(raise_error(concat('wordpiece_encode: word exceeds "
         f"WP_MAX_WORD={WP_MAX_WORD} chars: ', w)) AS BIGINT)))"
-    )
-    toks = f"filter({spark_tokens('text')}, w -> w <> '')"
-    return docs.select(
-        "doc_id",
-        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_words"),
-        F.expr(
-            f"aggregate({toks}, CAST(0 AS BIGINT), (a, w) -> a + {fold})"
-        ).alias("n_wordpiece"),
     )
 
 
@@ -1901,6 +1915,21 @@ def unigram_encode_counts(spark, docs: DataFrame) -> DataFrame:
     longer than UNI_MAX_WORD raise from the terminal lambda (the
     wordpiece_encode loud-fail convention)."""
     scores = unigram_train(spark, docs)
+    fold = _uni_word_count_expr(scores)
+    toks = f"filter({spark_tokens('text')}, w -> w <> '')"
+    return docs.select(
+        "doc_id",
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_words"),
+        F.expr(
+            f"aggregate({toks}, CAST(0 AS BIGINT), (a, w) -> a + {fold})"
+        ).alias("n_unigram"),
+    )
+
+
+def _uni_word_count_expr(scores: dict[str, int]) -> str:
+    """Per-word Unigram-LM Viterbi token count as one DP-fold
+    expression over ``w`` (shared by unigram_encode_counts and the
+    single-scan tokenizer_counts)."""
     maps = _uni_score_maps(scores)
 
     def cand(ln: int) -> str:
@@ -1934,7 +1963,7 @@ def unigram_encode_counts(spark, docs: DataFrame) -> DataFrame:
         + ", ".join(cand(ln) for ln in (4, 3, 2, 1))
         + "))"
     )
-    fold = (
+    return (
         f"aggregate(sequence(1, {UNI_MAX_WORD}), "
         "array(named_struct('t', CAST(0 AS BIGINT), "
         "'ns', CAST(0 AS BIGINT), 'nl', 0)), "
@@ -1944,12 +1973,39 @@ def unigram_encode_counts(spark, docs: DataFrame) -> DataFrame:
         "CAST(raise_error(concat('unigram_encode: word exceeds "
         f"UNI_MAX_WORD={UNI_MAX_WORD} chars: ', w)) AS BIGINT)))"
     )
+
+
+def tokenizer_counts(spark, docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, n_bpe, n_wordpiece, n_unigram): all THREE
+    trained tokenizers applied in ONE corpus scan — the three encode
+    passes are per-word expression folds over the same token array,
+    so they belong in the same projection — round 13: one text read
+    instead of three. Measured NEUTRAL at sf0.1 (per-token fold CPU
+    dominates there and the text sits in page cache: bpe 1.4 + wp
+    1.4 + uni 4.0 s separately vs 7.0 s fused), but at 100 TB the
+    scan is the I/O-bound term and 3x text reads are real money.
+    Training still runs per tokenizer (bounded driver-side work +
+    tiny jobs)."""
+    merges = sorted(
+        bpe_merge_table(spark, docs).collect(), key=lambda r: r["step"]
+    )
+    pieces = [r["piece"] for r in wordpiece_vocab(spark, docs).collect()]
+    scores = unigram_train(spark, docs)
     toks = f"filter({spark_tokens('text')}, w -> w <> '')"
+    bpe = _bpe_word_count_expr(merges)
+    wp = _wp_word_count_expr(pieces)
+    uni = _uni_word_count_expr(scores)
     return docs.select(
         "doc_id",
         F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_words"),
         F.expr(
-            f"aggregate({toks}, CAST(0 AS BIGINT), (a, w) -> a + {fold})"
+            f"aggregate({toks}, CAST(0 AS BIGINT), (a, w) -> a + {bpe})"
+        ).alias("n_bpe"),
+        F.expr(
+            f"aggregate({toks}, CAST(0 AS BIGINT), (a, w) -> a + {wp})"
+        ).alias("n_wordpiece"),
+        F.expr(
+            f"aggregate({toks}, CAST(0 AS BIGINT), (a, w) -> a + {uni})"
         ).alias("n_unigram"),
     )
 

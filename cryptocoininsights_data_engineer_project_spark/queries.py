@@ -8893,9 +8893,14 @@ FROM j GROUP BY source
     "Unigram-LM Viterbi): the standard tokenizer-selection metric "
     "(lower fertility = fewer training tokens for the same text = "
     "cheaper pretraining; per-SOURCE fertility also flags domains "
-    "a vocabulary serves badly). Composes the three encode passes "
-    "— each ONE zero-shuffle corpus scan — joined on doc_id with a "
-    "tiny per-source aggregate on top; the oracle nests all three "
+    "a vocabulary serves badly). All three encoders apply in ONE "
+    "corpus scan (textops.tokenizer_counts: the three per-word "
+    "expression folds share the same projection — round 13 fused "
+    "the former 3-scan composition; measured NEUTRAL at sf0.1, "
+    "where per-token fold CPU dominates and the text fits in page "
+    "cache, but at 100 TB it is one text read instead of three), "
+    "joined to the tiny per-source aggregate on top; the "
+    "oracle nests all three "
     "encoders' full CTE chains (merge derivation + replay; vocab + "
     "recursive cursor; hard-EM + unrolled Viterbi DP) as "
     "subqueries of one statement. Measured on this corpus: "
@@ -8904,19 +8909,8 @@ FROM j GROUP BY source
 )
 def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    b = textops.bpe_encode_counts(spark, docs)
-    wp = textops.wordpiece_encode_counts(spark, docs).select(
-        "doc_id", "n_wordpiece"
-    )
-    un = textops.unigram_encode_counts(spark, docs).select(
-        "doc_id", "n_unigram"
-    )
-    j = (
-        docs.select("doc_id", "source")
-        .join(b, "doc_id")
-        .join(wp, "doc_id")
-        .join(un, "doc_id")
-    )
+    counts = textops.tokenizer_counts(spark, docs)
+    j = docs.select("doc_id", "source").join(counts, "doc_id")
     return j.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.expr(
