@@ -116,17 +116,21 @@ def _steps_nb_offset_l2(alloc: int) -> tuple[int, int, int]:
 class AudioFrame:
     """One decoded frame held in exact integer form.
 
-    qnum[g, sb] (layer I: g in 0..11) / qnum[s, sb] (layer II:
-    s in 0..35) is the integer numerator q; the dequantized sample is
-    2 * sf * q / steps[sb] with sf = 2.0 * 2**(-scf_idx/3).
-    scf[sb] is the per-part scalefactor index list (layer I: 1 part,
-    layer II: 3 parts after scfsi expansion); alloc[sb] = 0 means the
-    subband is not coded (qnum column is zero, steps 0)."""
+    All per-subband state is PER CHANNEL (round 13 added independent
+    stereo/dual_channel): alloc[ch][sb], scf[ch][sb] (layer I: 1
+    part, layer II: 3 parts after scfsi expansion), scfsi[ch][sb],
+    steps[ch][sb]. qnum[s, ch, sb] (layer I: s in 0..11, layer II:
+    0..35) is the integer numerator q; the dequantized sample is
+    2 * sf * q / steps with sf = 2.0 * 2**(-scf_idx/3).
+    alloc[ch][sb] = 0 means the subband is not coded in that channel
+    (qnum slice zero, steps 0)."""
 
-    def __init__(self, layer, sample_rate, bitrate, alloc, scfsi, scf, steps, qnum):
+    def __init__(self, layer, sample_rate, bitrate, channels,
+                 alloc, scfsi, scf, steps, qnum):
         self.layer = layer
         self.sample_rate = sample_rate
         self.bitrate = bitrate
+        self.channels = channels
         self.alloc = alloc
         self.scfsi = scfsi
         self.scf = scf
@@ -160,116 +164,139 @@ def _parse_header(b: bytes, pos: int):
         raise MpegAudioError("reserved sampling_frequency")
     if bitrate_index in (0, 15):
         raise MpegAudioError("free-format/forbidden bitrate not in subset")
-    if mode != 3:
-        raise MpegAudioError(
-            "only single_channel streams supported (stereo modes gate)"
+    if mode == 1:
+        raise NotImplementedError(
+            "joint_stereo (intensity coding, mode 01) is outside the "
+            "implemented subset — stereo/dual_channel decode as two "
+            "independent channels; single_channel is complete"
         )
+    nch = 1 if mode == 3 else 2
     rate = _SAMPLING[sampling_index]
     kbps = (_BITRATE_L1 if layer == 1 else _BITRATE_L2)[bitrate_index]
     if layer == 1:
         frame_bytes = 4 * (12 * kbps * 1000 // rate + padding)
     else:
         frame_bytes = 144 * kbps * 1000 // rate + padding
-    return layer, protection, rate, kbps, frame_bytes
+    return layer, protection, rate, kbps, nch, frame_bytes
 
 
-def _decode_frame_l1(br: _Bits, rate: int, kbps: int) -> AudioFrame:
-    alloc = []
-    for _sb in range(32):
-        a = br.read(4)
-        if a == 15:
-            raise MpegAudioError("layer I allocation 15 is forbidden")
-        alloc.append(a)
-    scf = [[br.read(6)] if alloc[sb] else [] for sb in range(32)]
-    steps = [0] * 32
-    qnum = np.zeros((12, 32), dtype=np.int64)
-    meta = {}
+def _decode_frame_l1(br: _Bits, rate: int, kbps: int, nch: int) -> AudioFrame:
+    alloc = [[0] * 32 for _ in range(nch)]
     for sb in range(32):
-        if alloc[sb]:
-            meta[sb] = _steps_nb_offset_l1(alloc[sb])
-            steps[sb] = meta[sb][0]
+        for ch in range(nch):
+            a = br.read(4)
+            if a == 15:
+                raise MpegAudioError("layer I allocation 15 is forbidden")
+            alloc[ch][sb] = a
+    scf = [[[] for _ in range(32)] for _ in range(nch)]
+    for sb in range(32):
+        for ch in range(nch):
+            if alloc[ch][sb]:
+                scf[ch][sb] = [br.read(6)]
+    steps = [[0] * 32 for _ in range(nch)]
+    meta = {}
+    for ch in range(nch):
+        for sb in range(32):
+            if alloc[ch][sb]:
+                meta[(ch, sb)] = _steps_nb_offset_l1(alloc[ch][sb])
+                steps[ch][sb] = meta[(ch, sb)][0]
+    qnum = np.zeros((12, nch, 32), dtype=np.int64)
     for g in range(12):
         for sb in range(32):
-            if not alloc[sb]:
-                continue
-            st, nb, off = meta[sb]
-            c = br.read(nb)
-            qnum[g, sb] = c - (1 << (nb - 1)) + off
-    return AudioFrame(1, rate, kbps, alloc, None, scf, steps, qnum)
+            for ch in range(nch):
+                if not alloc[ch][sb]:
+                    continue
+                st, nb, off = meta[(ch, sb)]
+                c = br.read(nb)
+                qnum[g, ch, sb] = c - (1 << (nb - 1)) + off
+    return AudioFrame(
+        1, rate, kbps, nch, alloc, None, scf, steps, qnum
+    )
 
 
-def _decode_frame_l2(br: _Bits, rate: int, kbps: int) -> AudioFrame:
-    key = (rate, kbps)
+def _decode_frame_l2(br: _Bits, rate: int, kbps: int, nch: int) -> AudioFrame:
+    key = (rate, kbps // nch)
     if key not in _L2_LOW_RATE_SBLIMIT:
         raise NotImplementedError(
-            f"layer II (rate={rate}, {kbps} kbps/ch) selects a high-rate "
-            "allocation table (ISO/IEC 11172-3 Annex 3-B.2a/2b) — only "
-            "the low-rate table class (3-B.2c/2d) is implemented"
+            f"layer II (rate={rate}, {kbps // nch} kbps/ch) selects a "
+            "high-rate allocation table (ISO/IEC 11172-3 Annex "
+            "3-B.2a/2b) — only the low-rate table class (3-B.2c/2d) is "
+            "implemented"
         )
     sblimit = _L2_LOW_RATE_SBLIMIT[key]
-    alloc = [0] * 32
+    alloc = [[0] * 32 for _ in range(nch)]
     for sb in range(sblimit):
-        a = br.read(4)
-        if a == 15:
-            raise MpegAudioError("layer II allocation 15 is forbidden")
-        alloc[sb] = a
-    scfsi = [br.read(2) if alloc[sb] else None for sb in range(sblimit)]
-    scfsi += [None] * (32 - sblimit)
-    scf: list[list[int]] = []
-    for sb in range(32):
-        if sb >= sblimit or not alloc[sb]:
-            scf.append([])
-            continue
-        si = scfsi[sb]
-        if si == 0:
-            a, b, c = br.read(6), br.read(6), br.read(6)
-        elif si == 1:
-            a = b = br.read(6)
-            c = br.read(6)
-        elif si == 2:
-            a = b = c = br.read(6)
-        else:
-            a = br.read(6)
-            b = c = br.read(6)
-        scf.append([a, b, c])
-    steps = [0] * 32
+        for ch in range(nch):
+            a = br.read(4)
+            if a == 15:
+                raise MpegAudioError("layer II allocation 15 is forbidden")
+            alloc[ch][sb] = a
+    scfsi = [[None] * 32 for _ in range(nch)]
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if alloc[ch][sb]:
+                scfsi[ch][sb] = br.read(2)
+    scf = [[[] for _ in range(32)] for _ in range(nch)]
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if not alloc[ch][sb]:
+                continue
+            si = scfsi[ch][sb]
+            if si == 0:
+                a, b, c = br.read(6), br.read(6), br.read(6)
+            elif si == 1:
+                a = b = br.read(6)
+                c = br.read(6)
+            elif si == 2:
+                a = b = c = br.read(6)
+            else:
+                a = br.read(6)
+                b = c = br.read(6)
+            scf[ch][sb] = [a, b, c]
+    steps = [[0] * 32 for _ in range(nch)]
     meta = {}
-    for sb in range(sblimit):
-        if alloc[sb]:
-            meta[sb] = _steps_nb_offset_l2(alloc[sb])
-            steps[sb] = meta[sb][0]
-    qnum = np.zeros((36, 32), dtype=np.int64)
+    for ch in range(nch):
+        for sb in range(sblimit):
+            if alloc[ch][sb]:
+                meta[(ch, sb)] = _steps_nb_offset_l2(alloc[ch][sb])
+                steps[ch][sb] = meta[(ch, sb)][0]
+    qnum = np.zeros((36, nch, 32), dtype=np.int64)
     for g in range(12):
         for sb in range(sblimit):
-            if not alloc[sb]:
-                continue
-            st, nb, off = meta[sb]
-            if st in _L2_GROUP_BITS:
-                v = br.read(_L2_GROUP_BITS[st])
-                if v >= st * st * st:
-                    raise MpegAudioError(
-                        f"grouped code {v} out of range for steps {st}"
-                    )
-                codes = (v % st, (v // st) % st, v // (st * st))
-            else:
-                codes = (br.read(nb), br.read(nb), br.read(nb))
-            for i, c in enumerate(codes):
-                qnum[3 * g + i, sb] = c - (1 << (nb - 1)) + off
-    return AudioFrame(2, rate, kbps, alloc, scfsi, scf, steps, qnum)
+            for ch in range(nch):
+                if not alloc[ch][sb]:
+                    continue
+                st, nb, off = meta[(ch, sb)]
+                if st in _L2_GROUP_BITS:
+                    v = br.read(_L2_GROUP_BITS[st])
+                    if v >= st * st * st:
+                        raise MpegAudioError(
+                            f"grouped code {v} out of range for steps {st}"
+                        )
+                    codes = (v % st, (v // st) % st, v // (st * st))
+                else:
+                    codes = (br.read(nb), br.read(nb), br.read(nb))
+                for i, c in enumerate(codes):
+                    qnum[3 * g + i, ch, sb] = c - (1 << (nb - 1)) + off
+    return AudioFrame(
+        2, rate, kbps, nch, alloc, scfsi, scf, steps, qnum
+    )
 
 
 def decode_mpeg_audio(payload: bytes) -> list[AudioFrame]:
     """All frames of an MPEG-1 audio elementary stream (layer I or II
-    per frame header). Zero padding after the last frame is ignored
-    (fixture frames are padded to the header-implied slot count, like
-    real ancillary-data regions)."""
+    per frame header; single_channel, stereo, or dual_channel — the
+    two-channel modes decode as independent channels, channel-major
+    inner loops per 11172-3 2.4.1.5/2.4.1.6). Zero padding after the
+    last frame is ignored (fixture frames are padded to the
+    header-implied slot count, like real ancillary-data regions)."""
     frames: list[AudioFrame] = []
     pos = 0
     n = len(payload)
     while pos + 4 <= n:
         if payload[pos] == 0 and not any(payload[pos:]):
             break  # trailing pad
-        layer, protection, rate, kbps, frame_bytes = _parse_header(
+        layer, protection, rate, kbps, nch, frame_bytes = _parse_header(
             payload, pos
         )
         if pos + frame_bytes > n:
@@ -280,9 +307,9 @@ def decode_mpeg_audio(payload: bytes) -> list[AudioFrame]:
         if not protection:
             br.read(16)  # crc_check (not verified in the subset)
         if layer == 1:
-            frames.append(_decode_frame_l1(br, rate, kbps))
+            frames.append(_decode_frame_l1(br, rate, kbps, nch))
         else:
-            frames.append(_decode_frame_l2(br, rate, kbps))
+            frames.append(_decode_frame_l2(br, rate, kbps, nch))
         pos += frame_bytes
     if not frames:
         raise MpegAudioError("no audio frames found")
@@ -299,21 +326,25 @@ def scalefactor(idx: int) -> float:
 
 
 def dequantize(frame: AudioFrame) -> np.ndarray:
-    """float64 subband samples: 2 * sf * q / steps, part-wise
-    scalefactors for layer II (parts of 12 samples)."""
+    """float64 subband samples (n_samples, channels, 32):
+    2 * sf * q / steps, part-wise scalefactors for layer II (parts
+    of 12 samples), independently per channel."""
     out = np.zeros(frame.qnum.shape, dtype=np.float64)
-    for sb in range(32):
-        if not frame.alloc[sb]:
-            continue
-        st = frame.steps[sb]
-        if frame.layer == 1:
-            sf = scalefactor(frame.scf[sb][0])
-            out[:, sb] = 2.0 * sf * frame.qnum[:, sb] / st
-        else:
-            for part in range(3):
-                sf = scalefactor(frame.scf[sb][part])
-                sl = slice(12 * part, 12 * (part + 1))
-                out[sl, sb] = 2.0 * sf * frame.qnum[sl, sb] / st
+    for ch in range(frame.channels):
+        for sb in range(32):
+            if not frame.alloc[ch][sb]:
+                continue
+            st = frame.steps[ch][sb]
+            if frame.layer == 1:
+                sf = scalefactor(frame.scf[ch][sb][0])
+                out[:, ch, sb] = 2.0 * sf * frame.qnum[:, ch, sb] / st
+            else:
+                for part in range(3):
+                    sf = scalefactor(frame.scf[ch][sb][part])
+                    sl = slice(12 * part, 12 * (part + 1))
+                    out[sl, ch, sb] = (
+                        2.0 * sf * frame.qnum[sl, ch, sb] / st
+                    )
     return out
 
 

@@ -5885,6 +5885,7 @@ _MPA_STATS_SCHEMA = T.StructType(
         T.StructField("frame_idx", T.LongType(), False),
         T.StructField("layer", T.LongType(), False),
         T.StructField("sample_rate", T.LongType(), False),
+        T.StructField("channel", T.LongType(), False),
         T.StructField("sb", T.LongType(), False),
         T.StructField("steps", T.LongType(), False),
         T.StructField("scf0", T.LongType(), True),
@@ -5912,25 +5913,31 @@ def decode_mpeg_audio_stats(assets: DataFrame) -> DataFrame:
             rows: dict[str, list] = {f.name: [] for f in _MPA_STATS_SCHEMA}
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 for fi, fr in enumerate(decode_mpeg_audio(bytes(payload))):
-                    for sb in range(32):
-                        if not fr.alloc[sb]:
-                            continue
-                        q = fr.qnum[:, sb]
-                        scf = fr.scf[sb]
-                        rows["asset_id"].append(int(aid))
-                        rows["frame_idx"].append(fi)
-                        rows["layer"].append(fr.layer)
-                        rows["sample_rate"].append(fr.sample_rate)
-                        rows["sb"].append(sb)
-                        rows["steps"].append(fr.steps[sb])
-                        rows["scf0"].append(scf[0])
-                        rows["scf1"].append(scf[1] if len(scf) > 1 else None)
-                        rows["scf2"].append(scf[2] if len(scf) > 2 else None)
-                        rows["n_samples"].append(len(q))
-                        rows["q_min"].append(int(q.min()))
-                        rows["q_max"].append(int(q.max()))
-                        rows["q_sum"].append(int(q.sum()))
-                        rows["q_energy"].append(int((q * q).sum()))
+                    for ch in range(fr.channels):
+                        for sb in range(32):
+                            if not fr.alloc[ch][sb]:
+                                continue
+                            q = fr.qnum[:, ch, sb]
+                            scf = fr.scf[ch][sb]
+                            rows["asset_id"].append(int(aid))
+                            rows["frame_idx"].append(fi)
+                            rows["layer"].append(fr.layer)
+                            rows["sample_rate"].append(fr.sample_rate)
+                            rows["channel"].append(ch)
+                            rows["sb"].append(sb)
+                            rows["steps"].append(fr.steps[ch][sb])
+                            rows["scf0"].append(scf[0])
+                            rows["scf1"].append(
+                                scf[1] if len(scf) > 1 else None
+                            )
+                            rows["scf2"].append(
+                                scf[2] if len(scf) > 2 else None
+                            )
+                            rows["n_samples"].append(len(q))
+                            rows["q_min"].append(int(q.min()))
+                            rows["q_max"].append(int(q.max()))
+                            rows["q_sum"].append(int(q.sum()))
+                            rows["q_energy"].append(int((q * q).sum()))
             yield pd.DataFrame(rows)
 
     return assets.select("asset_id", "payload").mapInPandas(
@@ -5959,6 +5966,7 @@ def mpeg_audio_oracle_sql(layer: int) -> str:
                 parts.append(
                     f"SELECT doc_id AS asset_id, CAST({f} AS BIGINT) AS frame_idx, "
                     f"CAST(1 AS BIGINT) AS layer, CAST(32000 AS BIGINT) AS sample_rate, "
+                    "CAST(0 AS BIGINT) AS channel, "
                     f"CAST({sb} AS BIGINT) AS sb, CAST({(1 << nb) - 1} AS BIGINT) AS steps, "
                     f"CAST({scf0} AS BIGINT) AS scf0, "
                     "CAST(NULL AS BIGINT) AS scf1, CAST(NULL AS BIGINT) AS scf2, "
@@ -6001,6 +6009,7 @@ def mpeg_audio_oracle_sql(layer: int) -> str:
                 parts.append(
                     f"SELECT doc_id AS asset_id, CAST({f} AS BIGINT) AS frame_idx, "
                     f"CAST(2 AS BIGINT) AS layer, CAST(32000 AS BIGINT) AS sample_rate, "
+                    "CAST(0 AS BIGINT) AS channel, "
                     f"CAST({sb} AS BIGINT) AS sb, CAST({steps} AS BIGINT) AS steps, "
                     f"CAST({s0} AS BIGINT) AS scf0, CAST({s1} AS BIGINT) AS scf1, "
                     f"CAST({s2} AS BIGINT) AS scf2, "
@@ -6225,3 +6234,99 @@ SELECT ya.doc_id AS asset_id, CAST(ya.frame_idx AS BIGINT) AS frame_idx,
   y_sum * 1000000 // {w * h} AS y_mean_ppm
 FROM ya JOIN ca ON ya.doc_id = ca.doc_id AND ya.frame_idx = ca.frame_idx
 """
+
+
+# ----------------------------------------- mpeg-1 audio, stereo mode
+# Independent two-channel decode (mode '00'): the allocation is
+# deliberately ASYMMETRIC between channels — ch0 codes sb0(2b)+sb1(3b),
+# ch1 codes sb0(4b) only — so a decoder that transposes the
+# channel-major inner loops (alloc, scalefactors, or samples) lands on
+# wrong widths immediately and the closed-form oracle mismatches.
+# Layer I at 128 kbps total / 32 kHz -> 192-byte frames.
+_MPA_ST_ALLOC = [
+    {0: 1, 1: 2},   # ch0: sb0 nb=2, sb1 nb=3
+    {0: 3},         # ch1: sb0 nb=4
+]
+_MPA_ST_A = {(0, 0): 7, (0, 1): 11, (1, 0): 13}
+_MPA_ST_B = {(0, 0): 3, (0, 1): 5, (1, 0): 7}
+_MPA_ST_F = {(0, 0): 1, (0, 1): 2, (1, 0): 3}
+
+
+def _mpa_st_ops(doc) -> list[tuple]:
+    """Two layer-I STEREO frames as _mpeg_pack ops."""
+    ops: list[tuple] = []
+    for f in range(MPA_FRAMES):
+        hdr = list(_mpa_header_bits(1))
+        hdr[16:20] = list("0100")  # bitrate_index 4 = 128 kbps total
+        hdr[24:26] = list("00")    # mode: stereo
+        ops.append(("b", "".join(hdr)))
+        bits_used = 32 + 32 * 2 * 4
+        for sb in range(32):
+            for ch in range(2):
+                ops.append(
+                    ("b", format(_MPA_ST_ALLOC[ch].get(sb, 0), "04b"))
+                )
+        for sb in range(2):
+            for ch in range(2):
+                if sb in _MPA_ST_ALLOC[ch]:
+                    ops.append(("s", _mpa_scf(doc, 2 * sb + ch + f), 6))
+                    bits_used += 6
+        for g in range(12):
+            for sb in range(2):
+                for ch in range(2):
+                    if sb not in _MPA_ST_ALLOC[ch]:
+                        continue
+                    nb = _MPA_ST_ALLOC[ch][sb] + 1
+                    k = (
+                        g * _MPA_ST_B[(ch, sb)]
+                        + f * _MPA_ST_F[(ch, sb)]
+                    )
+                    ops.append(
+                        ("s", _mpa_code(doc, _MPA_ST_A[(ch, sb)], k, 1 << nb), nb)
+                    )
+                    bits_used += nb
+        pad = 192 * 8 - bits_used
+        ops.append(("b", "0" * pad))
+    return ops
+
+
+def synth_mpeg_audio_stereo_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): two-frame stereo layer-I streams."""
+    pieces = _mpeg_pack(_mpa_st_ops("doc_id"))
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr("unhex(concat(" + ", ".join(pieces) + "))").alias("payload"),
+    )
+
+
+def mpeg_audio_stereo_oracle_sql() -> str:
+    """Closed form per (frame, channel, subband), asymmetric
+    allocation included."""
+    parts = []
+    for f in range(MPA_FRAMES):
+        for ch in range(2):
+            for sb, alloc in _MPA_ST_ALLOC[ch].items():
+                nb = alloc + 1
+                q = (
+                    f"(((doc_id * {_MPA_ST_A[(ch, sb)]} + g.g * "
+                    f"{_MPA_ST_B[(ch, sb)]} + {f * _MPA_ST_F[(ch, sb)]})"
+                    f" % {1 << nb}) - {1 << (nb - 1)} + 1)"
+                )
+                scf0 = f"(3 * ((doc_id + {2 * sb + ch + f}) % 4))"
+                parts.append(
+                    f"SELECT doc_id AS asset_id, CAST({f} AS BIGINT) AS frame_idx, "
+                    "CAST(1 AS BIGINT) AS layer, CAST(32000 AS BIGINT) AS sample_rate, "
+                    f"CAST({ch} AS BIGINT) AS channel, "
+                    f"CAST({sb} AS BIGINT) AS sb, "
+                    f"CAST({(1 << nb) - 1} AS BIGINT) AS steps, "
+                    f"CAST({scf0} AS BIGINT) AS scf0, "
+                    "CAST(NULL AS BIGINT) AS scf1, CAST(NULL AS BIGINT) AS scf2, "
+                    "CAST(12 AS BIGINT) AS n_samples, "
+                    f"CAST(min({q}) AS BIGINT) AS q_min, "
+                    f"CAST(max({q}) AS BIGINT) AS q_max, "
+                    f"CAST(sum({q}) AS BIGINT) AS q_sum, "
+                    f"CAST(sum({q} * {q}) AS BIGINT) AS q_energy "
+                    "FROM documents, UNNEST(generate_series(0, 11)) AS g(g) "
+                    "GROUP BY doc_id"
+                )
+    return "\nUNION ALL\n".join(parts)

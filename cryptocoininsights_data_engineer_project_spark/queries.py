@@ -2897,6 +2897,31 @@ def multimodal_audio_mpeg_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_audio_mpeg_stereo",
+    multimodal.mpeg_audio_stereo_oracle_sql(),
+    doc="MPEG-1 audio STEREO (mode 00) — two independent channels "
+    "with deliberately ASYMMETRIC allocation (ch0 codes sb0+sb1 at "
+    "2/3 bits, ch1 codes sb0 only at 4 bits): the channel-major "
+    "inner loops of 11172-3 (allocation, scalefactors, samples all "
+    "interleave per subband) are exactly what a transposed decoder "
+    "gets wrong, and the per-(frame, channel, subband) integer "
+    "numerator stats pin them; joint_stereo (intensity, mode 01) "
+    "gates loudly by name. Same exact-integer contract and "
+    "one-mapInPandas shape as the mono queries "
+    "(operators/mpaudiocodec.py; tests/test_mpaudio.py)",
+)
+def multimodal_audio_mpeg_stereo(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return multimodal.decode_mpeg_audio_stats(
+        multimodal.synth_mpeg_audio_stereo_assets(docs)
+    )
+
+
+@_q(
     "multimodal_pixel_features",
     multimodal.pixel_features_oracle_sql(),
     doc="REAL image feature extraction over decoded pixels: luma "

@@ -50,7 +50,7 @@ def test_decoder_matches_closed_form():
                         + g * M._MPA_L1_B[sb]
                         + f * M._MPA_L1_F[sb]
                     ) % (1 << nb)
-                    assert fr.qnum[g, sb] == c - (1 << (nb - 1)) + 1
+                    assert fr.qnum[g, 0, sb] == c - (1 << (nb - 1)) + 1
         frames2 = A.decode_mpeg_audio(_payload(doc, 2))
         for f, fr in enumerate(frames2):
             assert fr.layer == 2
@@ -65,7 +65,7 @@ def test_decoder_matches_closed_form():
                         + i * M._MPA_L2_E[sb]
                         + f * M._MPA_L2_F[sb]
                     ) % steps
-                    assert fr.qnum[s, sb] == c - (1 << (nb - 1)) + off
+                    assert fr.qnum[s, 0, sb] == c - (1 << (nb - 1)) + off
 
 
 def test_dequantize_exact_dyadic():
@@ -77,9 +77,9 @@ def test_dequantize_exact_dyadic():
     for sb, steps in enumerate(M._MPA_L2_STEPS):
         for s in range(36):
             part = s // 12
-            sf = A.scalefactor(fr.scf[sb][part])
-            assert sf == 2.0 * 2.0 ** (-fr.scf[sb][part] // 3)
-            assert vals[s, sb] * steps == 2.0 * sf * fr.qnum[s, sb]
+            sf = A.scalefactor(fr.scf[0][sb][part])
+            assert sf == 2.0 * 2.0 ** (-fr.scf[0][sb][part] // 3)
+            assert vals[s, 0, sb] * steps == 2.0 * sf * fr.qnum[s, 0, sb]
 
 
 def test_scfsi_expansion():
@@ -88,10 +88,10 @@ def test_scfsi_expansion():
     doc, f = 5, 1
     fr = A.decode_mpeg_audio(_payload(doc, 2))[f]
     fld = lambda sb, j: 3 * ((doc + 2 * sb + 3 * j + f) % 4)  # noqa: E731
-    assert fr.scf[0] == [fld(0, 0), fld(0, 1), fld(0, 2)]  # scfsi 0
-    assert fr.scf[1] == [fld(1, 0), fld(1, 0), fld(1, 1)]  # scfsi 1
-    assert fr.scf[2] == [fld(2, 0)] * 3                    # scfsi 2
-    assert fr.scf[3] == [fld(3, 0), fld(3, 1), fld(3, 1)]  # scfsi 3
+    assert fr.scf[0][0] == [fld(0, 0), fld(0, 1), fld(0, 2)]  # scfsi 0
+    assert fr.scf[0][1] == [fld(1, 0), fld(1, 0), fld(1, 1)]  # scfsi 1
+    assert fr.scf[0][2] == [fld(2, 0)] * 3                    # scfsi 2
+    assert fr.scf[0][3] == [fld(3, 0), fld(3, 1), fld(3, 1)]  # scfsi 3
 
 
 def test_matrixing_is_the_normative_cosine_bank():
@@ -119,7 +119,7 @@ def test_matrixing_is_the_normative_cosine_bank():
 
 def test_synthesis_gates_without_window_and_runs_with_one():
     fr = A.decode_mpeg_audio(_payload(4, 1))[0]
-    vals = A.dequantize(fr)
+    vals = A.dequantize(fr)[:, 0, :]
     assert A._SYNTHESIS_WINDOW is None
     with pytest.raises(NotImplementedError, match="3-C.3"):
         A.synthesize(vals)
@@ -140,10 +140,10 @@ def test_synthesis_gates_without_window_and_runs_with_one():
 
 def test_loud_gates():
     good = bytearray(_payload(1, 1))
-    # stereo mode: flip mode bits (byte 3, bits 7..6) to 00
+    # joint stereo (intensity, mode 01) gates loudly by name
     b = bytearray(good)
-    b[3] &= 0b00111111
-    with pytest.raises(A.MpegAudioError, match="single_channel"):
+    b[3] = (b[3] & 0b00111111) | 0b01000000
+    with pytest.raises(NotImplementedError, match="joint_stereo"):
         A.decode_mpeg_audio(bytes(b))
     # layer III code
     b = bytearray(good)
@@ -177,3 +177,40 @@ def test_layer1_forbidden_alloc():
     ops[1] = ("b", "1111")
     with pytest.raises(A.MpegAudioError, match="forbidden"):
         A.decode_mpeg_audio(M._mpeg_pack(ops))
+
+
+def test_stereo_independent_channels(spark):
+    """Independent stereo (mode 00): channel-major interleaved
+    allocation / scalefactor / sample loops with ASYMMETRIC
+    allocation between channels; byte-equality of SQL and int-mode
+    fixtures; unallocated (ch, sb) slices stay zero."""
+    doc = 11
+    b = M._mpeg_pack(M._mpa_st_ops(doc))
+    assert len(b) == 2 * 192
+    docs = spark.createDataFrame([(doc,)], "doc_id long")
+    got = {
+        r.asset_id: bytes(r.payload)
+        for r in M.synth_mpeg_audio_stereo_assets(docs).collect()
+    }
+    assert got[doc] == b
+
+    frames = A.decode_mpeg_audio(b)
+    assert len(frames) == 2
+    for f, fr in enumerate(frames):
+        assert fr.channels == 2
+        for ch in range(2):
+            for sb, alloc in M._MPA_ST_ALLOC[ch].items():
+                nb = alloc + 1
+                for g in range(12):
+                    c = (
+                        doc * M._MPA_ST_A[(ch, sb)]
+                        + g * M._MPA_ST_B[(ch, sb)]
+                        + f * M._MPA_ST_F[(ch, sb)]
+                    ) % (1 << nb)
+                    assert fr.qnum[g, ch, sb] == c - (1 << (nb - 1)) + 1
+                assert fr.scf[ch][sb] == [
+                    3 * ((doc + 2 * sb + ch + f) % 4)
+                ]
+        # ch1 does not code sb1; ch0 does — asymmetry observable
+        assert fr.alloc[0][1] != 0 and fr.alloc[1][1] == 0
+        assert fr.qnum[:, 1, 1].sum() == 0
