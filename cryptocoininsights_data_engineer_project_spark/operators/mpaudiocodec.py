@@ -81,6 +81,20 @@ _L2_LOW_RATE_SBLIMIT = {
 }
 
 
+def _crc16_mpa(bits: list[int]) -> int:
+    """11172-3 2.4.3.1 CRC check: polynomial X^16 + X^15 + X^2 + 1
+    (0x8005), initial state 0xFFFF, fed MSB-first with the PROTECTED
+    bits (header bits 16..31, then the layer's side information:
+    layer I allocation bits, layer II allocation + scfsi bits)."""
+    crc = 0xFFFF
+    for bit in bits:
+        top = (crc >> 15) & 1
+        crc = (crc << 1) & 0xFFFF
+        if top ^ bit:
+            crc ^= 0x8005
+    return crc
+
+
 class _Bits:
     """MSB-first bit reader (the flaccodec._Bits shape)."""
 
@@ -283,13 +297,49 @@ def _decode_frame_l2(br: _Bits, rate: int, kbps: int, nch: int) -> AudioFrame:
     )
 
 
+def _frame_bit(body: bytes, p: int) -> int:
+    return (body[p >> 3] >> (7 - (p & 7))) & 1
+
+
+def _protected_side_bits(body: bytes, layer: int, rate: int,
+                         kbps: int, nch: int, start: int) -> list[int]:
+    """The side-information bits the frame CRC covers, starting at bit
+    ``start`` (just after the 16-bit crc_check field): layer I — all
+    allocation nibbles; layer II — allocation nibbles + the scfsi
+    pairs of coded subbands."""
+    bits: list[int] = []
+    if layer == 1:
+        n_alloc_bits = 32 * nch * 4
+        bits += [_frame_bit(body, start + i) for i in range(n_alloc_bits)]
+        return bits
+    sblimit = _L2_LOW_RATE_SBLIMIT.get((rate, kbps // nch))
+    if sblimit is None:
+        return bits  # the table gate raises before CRC matters
+    allocs = []
+    p = start
+    for _sb in range(sblimit):
+        for _ch in range(nch):
+            nib = [_frame_bit(body, p + i) for i in range(4)]
+            bits += nib
+            allocs.append(nib[0] * 8 + nib[1] * 4 + nib[2] * 2 + nib[3])
+            p += 4
+    for a in allocs:
+        if a:
+            bits += [_frame_bit(body, p), _frame_bit(body, p + 1)]
+        p += 2 if a else 0
+    return bits
+
+
 def decode_mpeg_audio(payload: bytes) -> list[AudioFrame]:
     """All frames of an MPEG-1 audio elementary stream (layer I or II
     per frame header; single_channel, stereo, or dual_channel — the
     two-channel modes decode as independent channels, channel-major
-    inner loops per 11172-3 2.4.1.5/2.4.1.6). Zero padding after the
-    last frame is ignored (fixture frames are padded to the
-    header-implied slot count, like real ancillary-data regions)."""
+    inner loops per 11172-3 2.4.1.5/2.4.1.6). Protected frames
+    (protection_bit 0) have their CRC-16 VERIFIED over header bits
+    16..31 + the layer's side information (2.4.3.1); a mismatch
+    raises. Zero padding after the last frame is ignored (fixture
+    frames are padded to the header-implied slot count, like real
+    ancillary-data regions)."""
     frames: list[AudioFrame] = []
     pos = 0
     n = len(payload)
@@ -305,7 +355,17 @@ def decode_mpeg_audio(payload: bytes) -> list[AudioFrame]:
         br = _Bits(body)
         br.pos = 32
         if not protection:
-            br.read(16)  # crc_check (not verified in the subset)
+            crc_stored = br.read(16)
+            covered = [_frame_bit(body, i) for i in range(16, 32)]
+            covered += _protected_side_bits(
+                body, layer, rate, kbps, nch, br.pos
+            )
+            crc = _crc16_mpa(covered)
+            if crc != crc_stored:
+                raise MpegAudioError(
+                    f"frame CRC mismatch: stored {crc_stored:#06x}, "
+                    f"computed {crc:#06x}"
+                )
         if layer == 1:
             frames.append(_decode_frame_l1(br, rate, kbps, nch))
         else:

@@ -3666,7 +3666,8 @@ GROUP BY doc_id
     "per-doc sum is order-independent across engines, and the whole "
     "thing derives from ONE token explode (tf feeds both the vocab "
     "aggregate and the scoring join — same reuse discipline as "
-    "tfidf_top_terms)",
+    "tfidf_top_terms); ppl_buckets turns the score into CCNet's "
+    "head/middle/tail partition",
 )
 def unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -3694,6 +3695,109 @@ def unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("cross_entropy"),
         )
+    )
+
+
+@_q(
+    "ppl_buckets",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({duck_tokens('text')}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term != '' GROUP BY 1, 2
+), vocab AS (
+  SELECT term, CAST(sum(tf) AS BIGINT) AS tt FROM tf GROUP BY term
+), n AS (SELECT CAST(sum(tt) AS BIGINT) AS n_total FROM vocab),
+surprisal AS (
+  SELECT term,
+    CAST(round((ln(CAST(n_total AS DOUBLE)) - ln(CAST(tt AS DOUBLE))) * 1000000, 0)
+         AS BIGINT) AS s_micro
+  FROM vocab CROSS JOIN n
+), ce AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+    CAST(sum(tf * s_micro) // sum(tf) AS BIGINT) AS ce_micro
+  FROM tf JOIN surprisal USING (term)
+  GROUP BY doc_id
+), vc AS (
+  SELECT ce_micro,
+    sum(count(*)) OVER (ORDER BY ce_micro ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(count(*)) OVER () AS total
+  FROM ce GROUP BY 1
+), th AS (
+  SELECT min(CASE WHEN cum * 3 >= total THEN ce_micro END) AS t1,
+    min(CASE WHEN cum * 3 >= 2 * total THEN ce_micro END) AS t2
+  FROM vc)
+SELECT ce.doc_id, ce.n_tokens, ce.ce_micro,
+  CASE WHEN ce.ce_micro <= th.t1 THEN 'head'
+       WHEN ce.ce_micro <= th.t2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM ce CROSS JOIN th
+""",
+    doc="CCNet's head/middle/tail corpus partition: per-doc unigram-LM "
+    "cross-entropy (the unigram_logppl score, held as an EXACT "
+    "integer micro value — truncating division, no float re-ranking "
+    "ambiguity) bucketed by the corpus-wide DISCRETE terciles — head "
+    "= most fluent third, the slice CCNet feeds to training first; "
+    "tail = the candidates for dropping or re-review. Thresholds "
+    "come from a value-grain count table (the volatility_regimes / "
+    "winsorize discipline: integer-decided memberships, "
+    "order-independent) broadcast back onto the per-doc scores; one "
+    "token explode total",
+)
+def ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(spark_tokens("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("tt"))
+    n = vocab.agg(F.sum("tt").alias("n_total"))
+    surprisal = vocab.join(F.broadcast(n)).select(
+        "term",
+        F.expr(
+            "CAST(round((ln(CAST(n_total AS DOUBLE)) - ln(CAST(tt AS DOUBLE)))"
+            " * 1000000, 0) AS BIGINT)"
+        ).alias("s_micro"),
+    )
+    ce = (
+        tf.join(surprisal, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.expr(
+                "CAST(sum(tf * s_micro) div sum(tf) AS BIGINT)"
+            ).alias("ce_micro"),
+        )
+        .localCheckpoint()  # terciles and the labeling both read it
+    )
+    vc = ce.groupBy("ce_micro").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = Window.orderBy("ce_micro").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy()
+    cum = vc.select(
+        "ce_micro",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wt).alias("total"),
+    )
+    th = cum.agg(
+        F.min(
+            F.when(F.col("cum") * 3 >= F.col("total"), F.col("ce_micro"))
+        ).alias("t1"),
+        F.min(
+            F.when(
+                F.col("cum") * 3 >= 2 * F.col("total"), F.col("ce_micro")
+            )
+        ).alias("t2"),
+    )
+    return ce.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "n_tokens",
+        "ce_micro",
+        F.when(F.col("ce_micro") <= F.col("t1"), F.lit("head"))
+        .when(F.col("ce_micro") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
     )
 
 

@@ -214,3 +214,67 @@ def test_stereo_independent_channels(spark):
         # ch1 does not code sb1; ch0 does — asymmetry observable
         assert fr.alloc[0][1] != 0 and fr.alloc[1][1] == 0
         assert fr.qnum[:, 1, 1].sum() == 0
+
+
+def test_protected_frame_crc():
+    """protection_bit = 0 frames verify the 11172-3 2.4.3.1 CRC-16
+    (poly 0x8005, init 0xFFFF, header bits 16..31 + side info): a
+    correctly-stamped frame decodes, a corrupted allocation nibble or
+    a wrong stored CRC raises. The reference CRC here is an
+    independent table-free restatement of the spec definition."""
+
+    def ref_crc(bits):
+        crc = 0xFFFF
+        for bit in bits:
+            fb = ((crc >> 15) & 1) ^ bit
+            crc = (crc << 1) & 0xFFFF
+            if fb:
+                crc ^= 0x8005
+        return crc
+
+    # build a protected layer-I mono frame: header with protection
+    # bit 0, 16-bit crc, then the standard fixture side info/samples
+    ops = M._mpa_l1_ops(7)
+    hdr = list(M._mpa_header_bits(1))
+    hdr[15] = "0"  # protection_bit: CRC present
+    # assemble the unprotected body AFTER the header to compute CRC
+    body_ops = ops[1:]  # alloc..samples..pad of frame 0 + frame 1
+    # frame 1 must be patched identically; simplest: single frame
+    f0_end = None
+    total = 0
+    for i, op in enumerate(body_ops):
+        total += len(op[1]) if op[0] == "b" else op[2]
+        if total == 96 * 8 - 32:
+            f0_end = i + 1
+            break
+    body_ops = body_ops[:f0_end]
+    # protected bits: header[16:32] + 128 allocation bits
+    hdr_bits = [int(c) for c in hdr[16:]]
+    alloc_bits = []
+    for op in body_ops:
+        if op[0] == "b" and len(alloc_bits) < 128:
+            alloc_bits += [int(c) for c in op[1]]
+    alloc_bits = alloc_bits[:128]
+    crc = ref_crc(hdr_bits + alloc_bits)
+    assert crc == A._crc16_mpa(hdr_bits + alloc_bits)
+    frame_ops = (
+        [("b", "".join(hdr)), ("b", format(crc, "016b"))]
+        + body_ops[:-1]
+        # 16 CRC bits displaced the pad: shrink it
+        + [("b", body_ops[-1][1][:-16])]
+    )
+    data = M._mpeg_pack(frame_ops)
+    assert len(data) == 96
+    fr = A.decode_mpeg_audio(data)
+    assert len(fr) == 1 and fr[0].layer == 1
+
+    # corrupt one allocation nibble -> CRC mismatch raises
+    bad = bytearray(data)
+    bad[6] ^= 0x10  # inside the allocation region
+    with pytest.raises(A.MpegAudioError, match="CRC mismatch"):
+        A.decode_mpeg_audio(bytes(bad))
+    # corrupt the stored CRC itself
+    bad2 = bytearray(data)
+    bad2[4] ^= 0xFF
+    with pytest.raises(A.MpegAudioError, match="CRC mismatch"):
+        A.decode_mpeg_audio(bytes(bad2))

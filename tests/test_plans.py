@@ -122,6 +122,7 @@ BNLJ_ALLOWED = {
     "source_overlap_matrix",  # |sources|x|sources| pair frame (both sides tiny)
     "ann_recall_curve",  # 5-row k-frame range join + cosine_topk's shapes
     "topic_mix_report",  # 1-row vector-total scalar onto the k-row cluster rollup
+    "ppl_buckets",  # 1-row tercile-threshold scalar onto the per-doc scores
 }
 
 
