@@ -10938,6 +10938,157 @@ def candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "corpus_mix_epochs",
+    """
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+w AS (
+  SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM counts),
+t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tot_n, CAST(sum(w) AS BIGINT) AS tot_w
+  FROM w),
+tgt AS (
+  SELECT w.source, w.n,
+         (((t.tot_n // 2) * 1000000) // t.tot_w) * w.w // 1000000
+           AS target_docs
+  FROM w, t)
+SELECT source, n AS n_docs, CAST(target_docs AS BIGINT) AS target_docs,
+  CAST(least(4000000, (target_docs * 1000000) // n) AS BIGINT)
+    AS epochs_ppm,
+  CAST(greatest(0, target_docs - 4 * n) AS BIGINT) AS unmet_docs
+FROM tgt
+""",
+    doc="data-constrained mixing audit (the Muennighoff et al. "
+    "repeat-data rule): the temperature mix's TARGET doc count per "
+    "source (alpha=1/2 share of a half-corpus budget) implies a "
+    "repeat factor for small sources — epochs_ppm = target/n in "
+    "integer ppm, CAPPED at 4 epochs (the scaling-law point where "
+    "repeated data's value decays to ~zero), and unmet_docs = the "
+    "part of the target the cap leaves unfilled (the shortfall a "
+    "mix designer must cover from elsewhere). Integer-exact "
+    "arithmetic end-to-end (the corpus_mix_temperature overflow-safe "
+    "division order); per-source aggregate + 1-row totals, no "
+    "corpus-sized shuffle",
+)
+def corpus_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("source")
+    counts = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("w", F.expr("CAST(floor(sqrt(n)) AS BIGINT)"))
+        .localCheckpoint()
+    )
+    totals = counts.agg(
+        F.sum("n").alias("tot_n"), F.sum("w").alias("tot_w")
+    )
+    tgt = counts.join(F.broadcast(totals)).select(
+        "source",
+        "n",
+        F.expr(
+            "(((tot_n div 2) * 1000000) div tot_w) * w div 1000000"
+        ).alias("target_docs"),
+    )
+    return tgt.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("target_docs").cast("long"),
+        F.expr(
+            "CAST(least(CAST(4000000 AS BIGINT), "
+            "(target_docs * 1000000) div n) AS BIGINT)"
+        ).alias("epochs_ppm"),
+        F.expr(
+            "CAST(greatest(CAST(0 AS BIGINT), target_docs - 4 * n) "
+            "AS BIGINT)"
+        ).alias("unmet_docs"),
+    )
+
+
+@_q(
+    "length_bucket_efficiency",
+    f"""
+WITH d AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+b AS (
+  SELECT doc_id, n_tokens,
+    CAST(CASE WHEN n_tokens <= 1 THEN 1
+         ELSE 1 << length(bin(n_tokens - 1))
+         END AS BIGINT) AS bucket_len
+  FROM d),
+agg AS (
+  SELECT bucket_len, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_tokens) AS BIGINT) AS real_tokens,
+    CAST(count(*) * bucket_len AS BIGINT) AS padded_tokens
+  FROM b GROUP BY 1),
+t AS (
+  SELECT CAST(max(n_tokens) AS BIGINT) AS max_len,
+    CAST(sum(n_tokens) AS BIGINT) AS tot_real,
+    CAST(count(*) AS BIGINT) AS tot_docs
+  FROM d)
+SELECT agg.bucket_len, agg.n_docs, agg.real_tokens, agg.padded_tokens,
+  CAST(agg.padded_tokens - agg.real_tokens AS BIGINT) AS pad_waste,
+  (agg.padded_tokens - agg.real_tokens) * 1000000 // agg.padded_tokens
+    AS waste_ppm,
+  (t.tot_docs * t.max_len - t.tot_real) * 1000000
+    // (t.tot_docs * t.max_len) AS unbucketed_waste_ppm
+FROM agg CROSS JOIN t
+""",
+    doc="sequence-LENGTH-bucketed batching audit — the padding-waste "
+    "report behind bucketed batch samplers (batch docs of similar "
+    "length together, pad each batch only to its bucket's power-of-2 "
+    "boundary): per bucket, real vs padded tokens and the waste in "
+    "integer ppm, against the UNBUCKETED baseline (every doc padded "
+    "to the corpus max — the naive collator) carried as a constant "
+    "column for the comparison the report exists to make. "
+    "Power-of-2 bucket edges via INTEGER bit-length math — "
+    "1 << length(bin(n-1)), the smallest power of two >= count, "
+    "with no float log whose rounding could misbucket an exact "
+    "power of two; one narrow scan + |buckets| rows out",
+)
+def length_bucket_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "CAST(size(split(text, ' ')) AS BIGINT)"
+        ).alias("n_tokens"),
+    )
+    b = d.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            "CAST(CASE WHEN n_tokens <= 1 THEN 1 "
+            "ELSE shiftleft(CAST(1 AS BIGINT), length(bin(n_tokens - 1))) "
+            "END AS BIGINT)"
+        ).alias("bucket_len"),
+    ).localCheckpoint()  # bucket rollup and corpus totals both read it
+    agg = b.groupBy("bucket_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("real_tokens"),
+        (F.count(F.lit(1)) * F.col("bucket_len")).alias("padded_tokens"),
+    )
+    t = b.agg(
+        F.max("n_tokens").alias("max_len"),
+        F.sum("n_tokens").alias("tot_real"),
+        F.count(F.lit(1)).alias("tot_docs"),
+    )
+    return agg.crossJoin(F.broadcast(t)).select(
+        "bucket_len",
+        "n_docs",
+        "real_tokens",
+        "padded_tokens",
+        (F.col("padded_tokens") - F.col("real_tokens")).alias("pad_waste"),
+        F.expr(
+            "(padded_tokens - real_tokens) * 1000000 div padded_tokens"
+        ).alias("waste_ppm"),
+        F.expr(
+            "(tot_docs * max_len - tot_real) * 1000000 "
+            "div (tot_docs * max_len)"
+        ).alias("unbucketed_waste_ppm"),
+    )
+
+
+@_q(
     "pack_efficiency",
     f"""
 WITH packs AS ({textops.pack_sequences_oracle_sql()}),
