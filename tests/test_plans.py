@@ -123,6 +123,8 @@ BNLJ_ALLOWED = {
     "ann_recall_curve",  # 5-row k-frame range join + cosine_topk's shapes
     "topic_mix_report",  # 1-row vector-total scalar onto the k-row cluster rollup
     "ppl_buckets",  # 1-row tercile-threshold scalar onto the per-doc scores
+    "corpus_mix_epochs",  # 1-row totals scalar onto the |sources| rate table
+    "length_bucket_efficiency",  # 1-row corpus-max/total scalar onto buckets
 }
 
 
