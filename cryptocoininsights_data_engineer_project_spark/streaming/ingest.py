@@ -855,3 +855,42 @@ def select_training_corpus(
     return packs.withColumn(
         "split", _split_col("concat(shard, ':', pack_id)")
     )
+
+
+def stream_warc_to_corpus_docs(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    source: str = "warc",
+    available_now: bool = True,
+):
+    """The crawl front door emitting DOCUMENTS-shaped rows: WARC
+    archive rows stream in, the fused parse→peel→strip pass runs per
+    micro-batch (stream_warc_ingest's stage), and the output lands in
+    the (doc_id, text, lang, source, n_chars) shape
+    ``stream_training_corpus`` consumes — chaining the two streams
+    over a directory is the end-to-end Common-Crawl-to-training-packs
+    path, batch-pinned in tests against
+    pipeline/corpus.py::prepare_corpus_from_warc."""
+    from ..operators import webarchive
+
+    stream = spark.readStream.schema("asset_id long, payload binary").parquet(
+        src_dir
+    )
+    docs = webarchive.warc_html_text(stream).select(
+        F.col("asset_id").alias("doc_id"),
+        "text",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(source).alias("source"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    writer = (
+        docs.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -703,3 +703,67 @@ def test_stream_training_corpus_equals_one_shot(spark, tmp_path):
     )
     q2.awaitTermination(300)
     assert snap() == expect
+
+
+def test_warc_to_training_corpus_stream(spark, tmp_path):
+    """The full web-scale path as TWO chained streams: WARC archives
+    -> (stream_warc_to_corpus_docs) -> documents-shaped parquet ->
+    (stream_training_corpus) -> metadata/fingerprint tables, whose
+    late-bound selection equals the one-shot
+    prepare_corpus_from_warc over the same archives."""
+    from cryptocoininsights_data_engineer_project_spark.operators.webarchive import (
+        synth_warc_html_assets,
+    )
+    from cryptocoininsights_data_engineer_project_spark.pipeline.corpus import (
+        prepare_corpus_from_warc,
+    )
+    from cryptocoininsights_data_engineer_project_spark.queries import _t
+    from cryptocoininsights_data_engineer_project_spark.streaming.ingest import (
+        select_training_corpus,
+        stream_training_corpus,
+        stream_warc_to_corpus_docs,
+    )
+
+    assets_src = str(tmp_path / "wsrc")
+    docs_dir = str(tmp_path / "wdocs")
+    table_root = str(tmp_path / "wtbl")
+
+    base = spark.range(40).selectExpr("id AS doc_id")
+    assets = synth_warc_html_assets(base)
+    # two arrival waves exercise both streams' checkpointing
+    assets.filter("asset_id % 2 = 0").write.mode("append").parquet(assets_src)
+    q = stream_warc_to_corpus_docs(
+        spark, assets_src, docs_dir, str(tmp_path / "wck1")
+    )
+    q.awaitTermination(300)
+    benchmark = (
+        _t(spark, "/root/testdata/sf0.001", "documents")
+        .filter("doc_id % 17 = 0")
+        .select("doc_id", "text")
+    )
+    q = stream_training_corpus(
+        spark, docs_dir, benchmark, table_root, str(tmp_path / "wck2")
+    )
+    q.awaitTermination(300)
+
+    assets.filter("asset_id % 2 = 1").write.mode("append").parquet(assets_src)
+    q = stream_warc_to_corpus_docs(
+        spark, assets_src, docs_dir, str(tmp_path / "wck1")
+    )
+    q.awaitTermination(300)
+    q = stream_training_corpus(
+        spark, docs_dir, benchmark, table_root, str(tmp_path / "wck2")
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.doc_id, r.shard, r.pack_id, r.n_tokens, r.split)
+        for r in select_training_corpus(spark, table_root).collect()
+    }
+    packs, _stats = prepare_corpus_from_warc(assets, benchmark)
+    want = {
+        (r.doc_id, r.shard, r.pack_id, r.n_tokens, r.split)
+        for r in packs.collect()
+    }
+    assert want, "one-shot WARC pipeline packed nothing"
+    assert got == want
