@@ -278,3 +278,38 @@ def test_protected_frame_crc():
     bad2[4] ^= 0xFF
     with pytest.raises(A.MpegAudioError, match="CRC mismatch"):
         A.decode_mpeg_audio(bytes(bad2))
+
+
+def test_mpaudio_fuzz_never_crashes_untyped():
+    """Mutation fuzzing (the APNG/FLAC/MRLE discipline that caught
+    untyped escapes in earlier codecs): random mutations of valid
+    layer I/II/stereo frames, random prefixes behind a syncword, and
+    raw noise must only ever raise the TYPED errors (MpegAudioError /
+    NotImplementedError) — never IndexError/struct.error/etc."""
+    import random
+
+    rng = random.Random(1311)
+    seeds = [
+        M._mpeg_pack(M._mpa_l1_ops(3)),
+        M._mpeg_pack(M._mpa_l2_ops(3)),
+        M._mpeg_pack(M._mpa_st_ops(3)),
+    ]
+
+    def try_decode(b: bytes):
+        try:
+            A.decode_mpeg_audio(b)
+        except (A.MpegAudioError, NotImplementedError):
+            pass
+
+    for _ in range(400):
+        base = bytearray(rng.choice(seeds))
+        for _k in range(rng.randint(1, 6)):
+            base[rng.randrange(len(base))] = rng.randrange(256)
+        try_decode(bytes(base))
+    for _ in range(200):
+        try_decode(bytes(rng.randrange(256) for _ in range(rng.randint(0, 120))))
+        # keep the syncword so parsing enters the frame body
+        blob = bytearray(rng.randrange(256) for _ in range(rng.randint(4, 200)))
+        blob[0] = 0xFF
+        blob[1] = 0xFD
+        try_decode(bytes(blob))

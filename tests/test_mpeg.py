@@ -483,3 +483,37 @@ def test_malformed_streams_raise():
     data = m.encode_mpeg1(m.SequenceSpec(32, 32, [pic_i()]))
     with pytest.raises(m.MpegError, match="truncated|no pictures|start"):
         m.decode_mpeg1(data[: len(data) // 2])
+
+
+def test_mpeg_video_fuzz_never_crashes_untyped():
+    """Mutation fuzzing over all four picture-type streams (I/P/B/D):
+    random byte mutations and truncations must only raise the typed
+    MpegError/MpegUnsupported family — never IndexError or a numpy
+    shape error. (The audio twin lives in tests/test_mpaudio.py.)"""
+    import random
+
+    from cryptocoininsights_data_engineer_project_spark.operators import (
+        multimodal as MM,
+    )
+
+    rng = random.Random(1312)
+    seeds = [
+        MM._mpeg_pack(MM._mpeg_ops(3)),
+        MM._mpeg_pack(MM._mpeg_b_ops(3)),
+        MM._mpeg_pack(MM._mpeg_d_ops(3)),
+    ]
+
+    def try_decode(b: bytes):
+        try:
+            m.decode_mpeg1(b)
+        except (m.MpegError, m.MpegUnsupported):
+            pass
+
+    for _ in range(300):
+        base = bytearray(rng.choice(seeds))
+        for _k in range(rng.randint(1, 5)):
+            base[rng.randrange(len(base))] = rng.randrange(256)
+        try_decode(bytes(base))
+    for _ in range(100):
+        base = bytearray(rng.choice(seeds))
+        try_decode(bytes(base[: rng.randrange(len(base))]))
