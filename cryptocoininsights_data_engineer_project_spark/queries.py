@@ -2754,9 +2754,9 @@ def multimodal_video_mrle(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Position-weighted checksums on all three planes pin every "
     "sample's value AND location. One mapInPandas pass; payload "
     "bytes never shuffle. B-pictures are exercised by "
-    "multimodal_video_mpeg_b; D-pictures gate loudly "
-    "(MpegUnsupported) — a real cluster registers an ffmpeg-backed "
-    "decoder via multimodal.register_decoder",
+    "multimodal_video_mpeg_b; D-pictures decode too "
+    "(multimodal_video_mpeg_d, round 13) — the I/P/B/D "
+    "picture-type grid is complete",
 )
 def multimodal_video_mpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition the 8-byte doc_id frame BEFORE payload synthesis:
