@@ -6330,3 +6330,140 @@ def mpeg_audio_stereo_oracle_sql() -> str:
                     "GROUP BY doc_id"
                 )
     return "\nUNION ALL\n".join(parts)
+
+
+# ------------------------------------------ mpeg audio inside WAV
+# WAVE_FORMAT_MPEG (fmt tag 0x0050, Microsoft mmreg.h MPEG1WAVEFORMAT):
+# the container x codec DISPATCH case — a RIFF/WAVE file whose data
+# chunk carries MPEG-1 audio frames. The container walk reuses the
+# G.711 RIFF discipline; the codec is operators/mpaudiocodec.py; the
+# fmt extension's fwHeadLayer field is CROSS-CHECKED against the
+# frames' own headers (a mismatched declaration fails loudly — the
+# classic transcoding-corruption class), while the remaining
+# extension fields (bitrate hint, mode, PTS) are advisory metadata
+# the self-describing frames supersede.
+_WAV_MPEG_DATA_BYTES = 2 * 96  # the 2-frame layer-I stream
+
+
+def _wav_mpeg_header_hex() -> str:
+    riff_size = 4 + (8 + 40) + (8 + _WAV_MPEG_DATA_BYTES)
+    ext = (
+        (1).to_bytes(2, "little")        # fwHeadLayer: ACM_MPEG_LAYER1
+        + (64000).to_bytes(4, "little")  # dwHeadBitrate
+        + (8).to_bytes(2, "little")      # fwHeadMode: SINGLECHANNEL
+        + (1).to_bytes(2, "little")      # fwHeadModeExt
+        + (1).to_bytes(2, "little")      # wHeadEmphasis (none)
+        + (16).to_bytes(2, "little")     # fwHeadFlags: ID_MPEG1
+        + (0).to_bytes(4, "little")      # dwPTSLow
+        + (0).to_bytes(4, "little")      # dwPTSHigh
+    )
+    return (
+        "52494646"
+        + riff_size.to_bytes(4, "little").hex()
+        + "57415645"
+        + "666d7420" + (40).to_bytes(4, "little").hex()
+        + (0x0050).to_bytes(2, "little").hex()  # WAVE_FORMAT_MPEG
+        + (1).to_bytes(2, "little").hex()       # channels
+        + (32000).to_bytes(4, "little").hex()   # samples/sec
+        + (8000).to_bytes(4, "little").hex()    # avg bytes/sec
+        + (96).to_bytes(2, "little").hex()      # block align = frame
+        + (0).to_bytes(2, "little").hex()       # bits/sample: 0 (coded)
+        + (22).to_bytes(2, "little").hex()      # cbSize
+        + ext.hex()
+        + "64617461"
+        + _WAV_MPEG_DATA_BYTES.to_bytes(4, "little").hex()
+    )
+
+
+def synth_wav_mpeg_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): RIFF/WAVE files whose data chunk is the
+    two-frame layer-I MPEG stream (the multimodal_audio_mpeg_l1
+    fixture bytes inside the container)."""
+    pieces = _mpeg_pack(_mpa_l1_ops("doc_id"))
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(
+            "unhex(concat('" + _wav_mpeg_header_hex() + "', "
+            + ", ".join(pieces)
+            + "))"
+        ).alias("payload"),
+    )
+
+
+def decode_wav_mpeg_stats(assets: DataFrame) -> DataFrame:
+    """RIFF walk + WAVE_FORMAT_MPEG dispatch into the MPEG audio
+    decoder, emitting the same per-(frame, channel, subband) integer
+    stats as the elementary-stream queries. Loud on: wrong fmt tag,
+    missing data chunk, or an fmt fwHeadLayer that contradicts the
+    frames' own headers."""
+    from .mpaudiocodec import decode_mpeg_audio
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _MPA_STATS_SCHEMA}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError("not a RIFF/WAVE payload")
+                p = 12
+                tag = None
+                head_layer = None
+                data = None
+                while p + 8 <= len(b):
+                    cid = b[p : p + 4]
+                    sz = int.from_bytes(b[p + 4 : p + 8], "little")
+                    body = b[p + 8 : p + 8 + sz]
+                    if cid == b"fmt ":
+                        tag = int.from_bytes(body[0:2], "little")
+                        if sz >= 40:
+                            head_layer = int.from_bytes(
+                                body[18:20], "little"
+                            )
+                    elif cid == b"data":
+                        data = body
+                    p += 8 + sz + (sz & 1)
+                if tag != 0x0050:
+                    raise ValueError(
+                        f"expected WAVE_FORMAT_MPEG (0x0050), got {tag}"
+                    )
+                if data is None:
+                    raise ValueError("WAV has no data chunk")
+                frames = decode_mpeg_audio(data)
+                if head_layer is not None and any(
+                    fr.layer != head_layer for fr in frames
+                ):
+                    raise ValueError(
+                        f"fmt fwHeadLayer {head_layer} contradicts the "
+                        f"frames' own layer {frames[0].layer}"
+                    )
+                for fi, fr in enumerate(frames):
+                    for ch in range(fr.channels):
+                        for sb in range(32):
+                            if not fr.alloc[ch][sb]:
+                                continue
+                            q = fr.qnum[:, ch, sb]
+                            scf = fr.scf[ch][sb]
+                            rows["asset_id"].append(int(aid))
+                            rows["frame_idx"].append(fi)
+                            rows["layer"].append(fr.layer)
+                            rows["sample_rate"].append(fr.sample_rate)
+                            rows["channel"].append(ch)
+                            rows["sb"].append(sb)
+                            rows["steps"].append(fr.steps[ch][sb])
+                            rows["scf0"].append(scf[0])
+                            rows["scf1"].append(
+                                scf[1] if len(scf) > 1 else None
+                            )
+                            rows["scf2"].append(
+                                scf[2] if len(scf) > 2 else None
+                            )
+                            rows["n_samples"].append(len(q))
+                            rows["q_min"].append(int(q.min()))
+                            rows["q_max"].append(int(q.max()))
+                            rows["q_sum"].append(int(q.sum()))
+                            rows["q_energy"].append(int((q * q).sum()))
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _decode, schema=_MPA_STATS_SCHEMA
+    )

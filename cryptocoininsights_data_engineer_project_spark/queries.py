@@ -2922,6 +2922,31 @@ def multimodal_audio_mpeg_stereo(
 
 
 @_q(
+    "multimodal_wav_mpeg",
+    multimodal.mpeg_audio_oracle_sql(layer=1),
+    doc="MPEG audio INSIDE WAV (fmt tag 0x0050, WAVE_FORMAT_MPEG / "
+    "MPEG1WAVEFORMAT) — the container x codec DISPATCH case: the "
+    "RIFF walk (the G.711 container discipline) routes the data "
+    "chunk into the mpaudiocodec frame decoder, and the fmt "
+    "extension's fwHeadLayer declaration is CROSS-CHECKED against "
+    "the frames' own headers — a transcode that left a stale fmt "
+    "declaration fails loudly instead of mis-decoding. Same "
+    "per-(frame, channel, subband) integer-numerator stats and the "
+    "SAME closed-form oracle as multimodal_audio_mpeg_l1 (the "
+    "container must be perfectly transparent — any re-framing bug "
+    "in the walk breaks the hash). One mapInPandas pass "
+    "(operators/multimodal.py::decode_wav_mpeg_stats)",
+)
+def multimodal_wav_mpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return multimodal.decode_wav_mpeg_stats(
+        multimodal.synth_wav_mpeg_assets(docs)
+    )
+
+
+@_q(
     "multimodal_pixel_features",
     multimodal.pixel_features_oracle_sql(),
     doc="REAL image feature extraction over decoded pixels: luma "

@@ -313,3 +313,52 @@ def test_mpaudio_fuzz_never_crashes_untyped():
         blob[0] = 0xFF
         blob[1] = 0xFD
         try_decode(bytes(blob))
+
+
+def test_wav_mpeg_dispatch_guards(spark):
+    """WAVE_FORMAT_MPEG dispatch: byte-level container checks — a
+    wrong fmt tag, a stale fwHeadLayer declaration, and a missing
+    data chunk each fail loudly; the happy path round-trips the same
+    frames as the bare elementary stream."""
+    doc = 6
+    docs = spark.createDataFrame([(doc,)], "doc_id long")
+    wav = bytes(
+        M.synth_wav_mpeg_assets(docs).collect()[0].payload
+    )
+    hdr = bytes.fromhex(M._wav_mpeg_header_hex())
+    assert wav == hdr + _payload(doc, 1)
+
+    rows = M.decode_wav_mpeg_stats(
+        spark.createDataFrame([(doc, bytearray(wav))],
+                              "asset_id long, payload binary")
+    ).collect()
+    bare = M.decode_mpeg_audio_stats(
+        spark.createDataFrame([(doc, bytearray(_payload(doc, 1)))],
+                              "asset_id long, payload binary")
+    ).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, bare))
+
+    import pytest
+
+    def run(b):
+        return M.decode_wav_mpeg_stats(
+            spark.createDataFrame([(1, bytearray(b))],
+                                  "asset_id long, payload binary")
+        ).collect()
+
+    # stale fwHeadLayer: declare layer 2 over layer-I frames
+    bad = bytearray(wav)
+    bad[20 + 18] = 2  # fmt body starts at 20; ext layer at +18
+    with pytest.raises(Exception, match="contradicts"):
+        run(bytes(bad))
+    # wrong fmt tag
+    bad2 = bytearray(wav)
+    bad2[20] = 1  # WAVE_FORMAT_PCM
+    with pytest.raises(Exception, match="0x0050|expected WAVE_FORMAT"):
+        run(bytes(bad2))
+    # data chunk renamed away
+    bad3 = bytearray(wav)
+    at = bytes(wav).find(b"data")
+    bad3[at:at+4] = b"junk"
+    with pytest.raises(Exception, match="no data chunk"):
+        run(bytes(bad3))
