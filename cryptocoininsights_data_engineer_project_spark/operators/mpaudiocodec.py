@@ -77,7 +77,9 @@ _L2_LOW_RATE_SBLIMIT = {
     (32000, 32): 12,
     (32000, 48): 12,
     (48000, 32): 8,
+    (48000, 48): 8,
     (44100, 32): 8,
+    (44100, 48): 8,
 }
 
 
@@ -222,6 +224,13 @@ def _decode_frame_l1(br: _Bits, rate: int, kbps: int, nch: int) -> AudioFrame:
                     continue
                 st, nb, off = meta[(ch, sb)]
                 c = br.read(nb)
+                if c == (1 << nb) - 1:
+                    # 11172-3 layer I: steps = 2^nb - 1, so the
+                    # all-ones code is forbidden (mirrors alloc == 15)
+                    raise MpegAudioError(
+                        f"layer I all-ones sample code ({nb} bits) is "
+                        "forbidden"
+                    )
                 qnum[g, ch, sb] = c - (1 << (nb - 1)) + off
     return AudioFrame(
         1, rate, kbps, nch, alloc, None, scf, steps, qnum

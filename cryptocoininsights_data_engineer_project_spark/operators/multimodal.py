@@ -5809,7 +5809,11 @@ def _mpa_l1_ops(doc) -> list[tuple]:
             for sb, alloc in enumerate(_MPA_L1_ALLOC):
                 nb = alloc + 1
                 k = g * _MPA_L1_B[sb] + f * _MPA_L1_F[sb]
-                ops.append(("s", _mpa_code(doc, _MPA_L1_A[sb], k, 1 << nb), nb))
+                # mod steps = 2^nb - 1: ISO 11172-3 layer I forbids the
+                # all-ones code (valid codes 0 .. 2^nb - 2)
+                ops.append(
+                    ("s", _mpa_code(doc, _MPA_L1_A[sb], k, (1 << nb) - 1), nb)
+                )
                 bits_used += nb
         pad = 96 * 8 - bits_used
         ops.append(("b", "0" * pad))
@@ -5959,7 +5963,7 @@ def mpeg_audio_oracle_sql(layer: int) -> str:
                 nb = alloc + 1
                 q = (
                     f"(((doc_id * {_MPA_L1_A[sb]} + g.g * {_MPA_L1_B[sb]}"
-                    f" + {f * _MPA_L1_F[sb]}) % {1 << nb})"
+                    f" + {f * _MPA_L1_F[sb]}) % {(1 << nb) - 1})"
                     f" - {1 << (nb - 1)} + 1)"
                 )
                 scf0 = f"(3 * ((doc_id + {sb + f}) % 4))"
@@ -6282,7 +6286,13 @@ def _mpa_st_ops(doc) -> list[tuple]:
                         + f * _MPA_ST_F[(ch, sb)]
                     )
                     ops.append(
-                        ("s", _mpa_code(doc, _MPA_ST_A[(ch, sb)], k, 1 << nb), nb)
+                        (
+                            "s",
+                            _mpa_code(
+                                doc, _MPA_ST_A[(ch, sb)], k, (1 << nb) - 1
+                            ),
+                            nb,
+                        )
                     )
                     bits_used += nb
         pad = 192 * 8 - bits_used
@@ -6310,7 +6320,7 @@ def mpeg_audio_stereo_oracle_sql() -> str:
                 q = (
                     f"(((doc_id * {_MPA_ST_A[(ch, sb)]} + g.g * "
                     f"{_MPA_ST_B[(ch, sb)]} + {f * _MPA_ST_F[(ch, sb)]})"
-                    f" % {1 << nb}) - {1 << (nb - 1)} + 1)"
+                    f" % {(1 << nb) - 1}) - {1 << (nb - 1)} + 1)"
                 )
                 scf0 = f"(3 * ((doc_id + {2 * sb + ch + f}) % 4))"
                 parts.append(
@@ -6412,6 +6422,11 @@ def decode_wav_mpeg_stats(assets: DataFrame) -> DataFrame:
                 while p + 8 <= len(b):
                     cid = b[p : p + 4]
                     sz = int.from_bytes(b[p + 4 : p + 8], "little")
+                    if p + 8 + sz > len(b):
+                        raise ValueError(
+                            f"RIFF chunk {cid!r} declares {sz} bytes but "
+                            f"only {len(b) - p - 8} remain"
+                        )
                     body = b[p + 8 : p + 8 + sz]
                     if cid == b"fmt ":
                         tag = int.from_bytes(body[0:2], "little")
@@ -6429,12 +6444,16 @@ def decode_wav_mpeg_stats(assets: DataFrame) -> DataFrame:
                 if data is None:
                     raise ValueError("WAV has no data chunk")
                 frames = decode_mpeg_audio(data)
+                # fwHeadLayer is an ACM FLAGS field (LAYER1=1, LAYER2=2,
+                # LAYER3=4, combinable): test the frame's bit, don't
+                # compare for equality
                 if head_layer is not None and any(
-                    fr.layer != head_layer for fr in frames
+                    not (head_layer & (1 << (fr.layer - 1)))
+                    for fr in frames
                 ):
                     raise ValueError(
-                        f"fmt fwHeadLayer {head_layer} contradicts the "
-                        f"frames' own layer {frames[0].layer}"
+                        f"fmt fwHeadLayer flags {head_layer:#x} exclude "
+                        f"the frames' own layer {frames[0].layer}"
                     )
                 for fi, fr in enumerate(frames):
                     for ch in range(fr.channels):

@@ -80,6 +80,45 @@ def _zstd_from_wheel():
 _ZSTD_DECOMPRESS = _zstd_from_wheel()
 
 
+class BrotliUnsupported(NotImplementedError):
+    """Brotli-compressed HTTP entity (``Content-Encoding: br`` — a
+    large fraction of Common Crawl responses): brotli is not in the
+    Python stdlib. The seam fills ITSELF when the optional
+    ``brotli`` or ``brotlicffi`` wheel is importable (auto-detected
+    at import, the zstd-seam discipline at webarchive.py:41); without
+    a wheel the gate stays LOUD — no operator silently skips a
+    brotli entity. Deployments can also install any decompressor via
+    ``register_brotli_decompressor``."""
+
+
+def _brotli_from_wheel():
+    """Optional-wheel path: a (data) -> bytes brotli decompressor
+    backed by the ``brotli`` (or ``brotlicffi``) wheel when
+    importable, else None (the loud gate stays)."""
+    for mod in ("brotli", "brotlicffi"):
+        try:
+            m = __import__(mod)
+        except ImportError:
+            continue
+        return m.decompress
+    return None
+
+
+_BROTLI_DECOMPRESS = _brotli_from_wheel()
+
+
+def register_brotli_decompressor(fn) -> None:
+    """Install a ``(data: bytes) -> bytes`` brotli decompressor
+    (overriding the wheel autodetect); pass None to reset to
+    wheel-or-gate."""
+    global _BROTLI_DECOMPRESS
+    _BROTLI_DECOMPRESS = fn if fn is not None else _brotli_from_wheel()
+
+
+def brotli_available() -> bool:
+    return _BROTLI_DECOMPRESS is not None
+
+
 def register_zstd_decompressor(fn) -> None:
     """Install a ``(data: bytes, dict_data: bytes | None) -> bytes``
     Zstandard decompressor (overriding the wheel autodetect); pass
@@ -99,6 +138,13 @@ def _is_zstd_skippable(b: bytes) -> bool:
     return len(b) >= 8 and b[1:4] == b"\x2a\x4d\x18" and (b[0] & 0xF0) == 0x50
 
 
+def _is_zstd_dictionary_frame(b: bytes) -> bool:
+    """The warc-zstd spec reserves 0x184D2A5D/0x184D2A5E specifically
+    for the shared dictionary; other skippable magics (0x184D2A50..5F)
+    are ordinary metadata frames to be skipped, not dictionaries."""
+    return _is_zstd_skippable(b) and b[0] in (0x5D, 0x5E)
+
+
 def zstd_inflate_warc(b: bytes) -> bytes:
     """Inflate a .warc.zst per the IIPC convention: an OPTIONAL
     leading skippable frame (magic 0x184D2A5x) carries the shared
@@ -113,12 +159,18 @@ def zstd_inflate_warc(b: bytes) -> bytes:
         )
     dict_data = None
     pos = 0
-    if _is_zstd_skippable(b):
-        size = int.from_bytes(b[4:8], "little")
-        dict_data = b[8 : 8 + size]
-        if len(dict_data) < size:
-            raise WarcError("truncated warc-zstd dictionary frame")
-        pos = 8 + size
+    while _is_zstd_skippable(b[pos:]):
+        is_dict = _is_zstd_dictionary_frame(b[pos:])
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise WarcError("truncated warc-zstd skippable frame")
+        pos += 8 + size
+        if not is_dict:
+            continue  # ordinary skippable metadata frame
+        if size == 0:
+            raise WarcError("empty warc-zstd dictionary frame")
+        dict_data = body
         if dict_data[:4] == _ZSTD_MAGIC:
             dict_data = _ZSTD_DECOMPRESS(dict_data, None)
     return _ZSTD_DECOMPRESS(b[pos:], dict_data)
@@ -510,15 +562,56 @@ def html_to_text(html: str) -> str:
 _CHARSET_RE = None  # compiled lazily executor-side
 
 
+def decode_content_encoding(headers: dict[str, str], entity: bytes) -> bytes:
+    """Undo the HTTP ``Content-Encoding`` of a WARC response entity:
+    identity/missing passes through; gzip/x-gzip and deflate decode
+    via stdlib zlib; br routes through the brotli optional-wheel seam
+    (LOUD BrotliUnsupported without a wheel or registered
+    decompressor); zstd reuses the .warc.zst seam. An unrecognized
+    token raises — a silently-skipped encoding would surface as
+    garbage text in the corpus chain."""
+    enc = headers.get("content-encoding", "identity").strip().lower()
+    if enc in ("", "identity"):
+        return entity
+    if enc in ("gzip", "x-gzip"):
+        return b"".join(gunzip_members(entity))
+    if enc == "deflate":
+        try:  # zlib-wrapped (RFC 9110's meaning)
+            return zlib.decompress(entity)
+        except zlib.error:  # raw-deflate servers exist in every crawl
+            return zlib.decompress(entity, wbits=-15)
+    if enc == "br":
+        if _BROTLI_DECOMPRESS is None:
+            raise BrotliUnsupported(
+                "Content-Encoding: br entity: install the brotli (or "
+                "brotlicffi) wheel (auto-detected) or call "
+                "register_brotli_decompressor — gzip/deflate decode "
+                "natively"
+            )
+        return _BROTLI_DECOMPRESS(entity)
+    if enc == "zstd":
+        if _ZSTD_DECOMPRESS is None:
+            raise ZstdUnsupported(
+                "Content-Encoding: zstd entity: install the zstandard "
+                "wheel (auto-detected) or call "
+                "register_zstd_decompressor"
+            )
+        return _ZSTD_DECOMPRESS(entity, None)
+    raise WarcError(f"unrecognized Content-Encoding {enc!r}")
+
+
 def _decode_entity(headers: dict[str, str], entity: bytes) -> str:
-    """Decode an HTTP entity honoring the Content-Type charset
-    parameter (review finding: UTF-8-only decode mangles Latin-1 /
-    Shift-JIS crawls into U+FFFD exactly where the text column
-    matters). Unknown or missing charset labels fall back to UTF-8
-    with replacement — tolerant, never raising."""
+    """Decode an HTTP entity honoring Content-Encoding (gzip/deflate
+    native, br/zstd via the optional-wheel seams) and then the
+    Content-Type charset parameter (review finding: UTF-8-only decode
+    mangles Latin-1 / Shift-JIS crawls into U+FFFD exactly where the
+    text column matters). Unknown or missing charset labels fall back
+    to UTF-8 with replacement — tolerant, never raising; a PRESENT
+    but undecodable Content-Encoding, by contrast, raises loudly."""
     global _CHARSET_RE
     import re as _re
 
+    entity = decode_content_encoding(headers, entity)
     if _CHARSET_RE is None:
         _CHARSET_RE = _re.compile(r"charset=\"?([A-Za-z0-9_.:-]+)", _re.I)
     m = _CHARSET_RE.search(headers.get("content-type", ""))

@@ -3745,17 +3745,19 @@ surprisal AS (
   FROM tf JOIN surprisal USING (term)
   GROUP BY doc_id
 ), vc AS (
-  SELECT ce_micro,
-    sum(count(*)) OVER (ORDER BY ce_micro ROWS UNBOUNDED PRECEDING) AS cum,
+  SELECT ce_micro // 10000 AS ce_centi,
+    sum(count(*)) OVER (ORDER BY ce_micro // 10000
+                        ROWS UNBOUNDED PRECEDING) AS cum,
     sum(count(*)) OVER () AS total
   FROM ce GROUP BY 1
 ), th AS (
-  SELECT min(CASE WHEN cum * 3 >= total THEN ce_micro END) AS t1,
-    min(CASE WHEN cum * 3 >= 2 * total THEN ce_micro END) AS t2
+  SELECT min(CASE WHEN cum * 3 >= total THEN ce_centi END) AS t1,
+    min(CASE WHEN cum * 3 >= 2 * total THEN ce_centi END) AS t2
   FROM vc)
 SELECT ce.doc_id, ce.n_tokens, ce.ce_micro,
-  CASE WHEN ce.ce_micro <= th.t1 THEN 'head'
-       WHEN ce.ce_micro <= th.t2 THEN 'middle' ELSE 'tail' END AS bucket
+  CASE WHEN ce.ce_micro // 10000 <= th.t1 THEN 'head'
+       WHEN ce.ce_micro // 10000 <= th.t2 THEN 'middle' ELSE 'tail'
+  END AS bucket
 FROM ce CROSS JOIN th
 """,
     doc="CCNet's head/middle/tail corpus partition: per-doc unigram-LM "
@@ -3766,8 +3768,13 @@ FROM ce CROSS JOIN th
     "tail = the candidates for dropping or re-review. Thresholds "
     "come from a value-grain count table (the volatility_regimes / "
     "winsorize discipline: integer-decided memberships, "
-    "order-independent) broadcast back onto the per-doc scores; one "
-    "token explode total",
+    "order-independent) at CENTI-NAT grain (ce_micro div 10000) — "
+    "micro-nat scores are near-unique per doc, so the grain table "
+    "would be corpus-sized and its unpartitioned cumulative window "
+    "a single-task linear stage; the 0.01-nat quantization bounds "
+    "it by the score RANGE (a few hundred rows at any corpus size) "
+    "— broadcast back onto the per-doc scores; one token explode "
+    "total",
 )
 def ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -3795,23 +3802,27 @@ def ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # terciles and the labeling both read it
     )
-    vc = ce.groupBy("ce_micro").agg(F.count(F.lit(1)).alias("cnt"))
-    wc = Window.orderBy("ce_micro").rowsBetween(
+    # centi-nat grain: the count table is bounded by the score RANGE
+    # (~hundreds of grains), so the unpartitioned cumulative window is
+    # a constant-size single task, not a corpus-sized one
+    grain = F.expr("ce_micro div 10000").alias("ce_centi")
+    vc = ce.groupBy(grain).agg(F.count(F.lit(1)).alias("cnt"))
+    wc = Window.orderBy("ce_centi").rowsBetween(
         Window.unboundedPreceding, 0
     )
     wt = Window.partitionBy()
     cum = vc.select(
-        "ce_micro",
+        "ce_centi",
         F.sum("cnt").over(wc).alias("cum"),
         F.sum("cnt").over(wt).alias("total"),
     )
     th = cum.agg(
         F.min(
-            F.when(F.col("cum") * 3 >= F.col("total"), F.col("ce_micro"))
+            F.when(F.col("cum") * 3 >= F.col("total"), F.col("ce_centi"))
         ).alias("t1"),
         F.min(
             F.when(
-                F.col("cum") * 3 >= 2 * F.col("total"), F.col("ce_micro")
+                F.col("cum") * 3 >= 2 * F.col("total"), F.col("ce_centi")
             )
         ).alias("t2"),
     )
@@ -3819,8 +3830,8 @@ def ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         "ce_micro",
-        F.when(F.col("ce_micro") <= F.col("t1"), F.lit("head"))
-        .when(F.col("ce_micro") <= F.col("t2"), F.lit("middle"))
+        F.when(F.expr("ce_micro div 10000") <= F.col("t1"), F.lit("head"))
+        .when(F.expr("ce_micro div 10000") <= F.col("t2"), F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )

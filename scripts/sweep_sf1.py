@@ -76,10 +76,11 @@ ADJUDICATED = {
         "co-occurrence density, 2 -> 20 rows at 10x data (SCALE.md)"
     ),
     "dedup_embedding": (
-        "documented quadratic verification baseline for the LSH "
-        "default (engine-only oracle row, SCALE.md); round 13 capped "
-        "the registry default at ALL_PAIRS_CAP=4096 sampled-block "
-        "mode — expect the next sweep to re-class it constant"
+        "oracle twin is deliberately quadratic (engine-only parity "
+        "marker, SCALE.md); the ENGINE side has been constant since "
+        "the ALL_PAIRS_CAP=4096 sampled-block default — the sweep "
+        "record reads 0.54x at 10x data. The entry stays only for "
+        "the oracle-side marker"
     ),
     "dedup_text_embedding": (
         "documented quadratic verification baseline for the LSH "

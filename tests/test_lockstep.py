@@ -102,3 +102,23 @@ def test_plans_md_rows_match_source_snapshot():
         f"PLANS.md stale for {stale[:10]} (changed source), "
         f"dangling snapshot rows {missing[:10]} — run scripts/gen_plans.py"
     )
+
+
+def test_scale_md_gates():
+    """SCALE.md's named-gate list is a GENERATED block (VERDICT r13
+    'What's wrong': gate claims went stale two rounds running — the
+    D-pictures/zstd row outlived both features). The committed block
+    must equal what scripts/gen_gates.py would write from the live
+    raise sites."""
+    from scripts.gen_gates import BEGIN, END, render_block
+
+    doc = (REPO / "SCALE.md").read_text()
+    assert BEGIN in doc and END in doc, (
+        "SCALE.md gates block missing — run scripts/gen_gates.py"
+    )
+    committed = doc.split(BEGIN, 1)[1].split(END, 1)[0]
+    expected = render_block().split(BEGIN, 1)[1].split(END, 1)[0]
+    assert committed == expected, (
+        "SCALE.md named-gate block drifted from the source raise "
+        "sites — run scripts/gen_gates.py"
+    )

@@ -49,7 +49,7 @@ def test_decoder_matches_closed_form():
                         doc * M._MPA_L1_A[sb]
                         + g * M._MPA_L1_B[sb]
                         + f * M._MPA_L1_F[sb]
-                    ) % (1 << nb)
+                    ) % ((1 << nb) - 1)  # all-ones code is forbidden
                     assert fr.qnum[g, 0, sb] == c - (1 << (nb - 1)) + 1
         frames2 = A.decode_mpeg_audio(_payload(doc, 2))
         for f, fr in enumerate(frames2):
@@ -179,6 +179,34 @@ def test_layer1_forbidden_alloc():
         A.decode_mpeg_audio(M._mpeg_pack(ops))
 
 
+def test_layer1_forbidden_all_ones_code():
+    """steps = 2^nb - 1 (11172-3 layer I): the all-ones sample code is
+    out of range and must be rejected, mirroring alloc == 15."""
+    ops = M._mpa_l1_ops(1)
+    # header + 32 alloc nibbles + 4 scf fields -> first sample op
+    first_sample = 1 + 32 + len(M._MPA_L1_ALLOC)
+    code, nb = ops[first_sample][1], ops[first_sample][2]
+    assert isinstance(code, int) and code < (1 << nb) - 1
+    ops[first_sample] = ("b", "1" * nb)
+    with pytest.raises(A.MpegAudioError, match="all-ones"):
+        A.decode_mpeg_audio(M._mpeg_pack(ops))
+
+
+def test_l2_48k_48kbps_selects_low_rate_table():
+    """(48000, 48) and (44100, 48) kbps/ch are LOW-RATE combos
+    (table 3-B.2c, sblimit 8) per the 11172-3 table selection — they
+    must decode, not gate as high-rate."""
+    hdr = list(M._mpa_header_bits(2))
+    hdr[16:20] = list("0010")  # bitrate_index 2 = 48 kbps
+    hdr[20:22] = list("01")    # sampling 48 kHz
+    bits = "".join(hdr) + "0" * (8 * 4)  # 8 alloc nibbles, all zero
+    frame = 144 * 48 * 1000 // 48000  # 144 bytes
+    bits += "0" * (frame * 8 - len(bits))
+    (fr,) = A.decode_mpeg_audio(M._mpeg_pack([("b", bits)]))
+    assert fr.layer == 2 and fr.sample_rate == 48000
+    assert all(a == 0 for a in fr.alloc[0])
+
+
 def test_stereo_independent_channels(spark):
     """Independent stereo (mode 00): channel-major interleaved
     allocation / scalefactor / sample loops with ASYMMETRIC
@@ -206,7 +234,7 @@ def test_stereo_independent_channels(spark):
                         doc * M._MPA_ST_A[(ch, sb)]
                         + g * M._MPA_ST_B[(ch, sb)]
                         + f * M._MPA_ST_F[(ch, sb)]
-                    ) % (1 << nb)
+                    ) % ((1 << nb) - 1)  # all-ones code is forbidden
                     assert fr.qnum[g, ch, sb] == c - (1 << (nb - 1)) + 1
                 assert fr.scf[ch][sb] == [
                     3 * ((doc + 2 * sb + ch + f) % 4)
@@ -346,11 +374,27 @@ def test_wav_mpeg_dispatch_guards(spark):
                                   "asset_id long, payload binary")
         ).collect()
 
-    # stale fwHeadLayer: declare layer 2 over layer-I frames
+    # stale fwHeadLayer: declare layer 2 (only) over layer-I frames
     bad = bytearray(wav)
     bad[20 + 18] = 2  # fmt body starts at 20; ext layer at +18
-    with pytest.raises(Exception, match="contradicts"):
+    with pytest.raises(Exception, match="exclude"):
         run(bytes(bad))
+    # fwHeadLayer is an ACM FLAGS field: LAYER1|LAYER2 = 0x0003 is a
+    # legal declaration for layer-I frames and must be accepted
+    multi = bytearray(wav)
+    multi[20 + 18] = 3
+    strip = lambda rs: sorted(  # noqa: E731  (run() pins asset_id=1)
+        str({k: v for k, v in r.asDict().items() if k != "asset_id"})
+        for r in rs
+    )
+    assert strip(run(bytes(multi))) == strip(rows)
+    # a chunk whose declared size overruns the payload fails loudly
+    # instead of silently truncating
+    short = bytearray(wav)
+    at_data = bytes(wav).find(b"data")
+    short[at_data + 4 : at_data + 8] = (2**31).to_bytes(4, "little")
+    with pytest.raises(Exception, match="declares"):
+        run(bytes(short))
     # wrong fmt tag
     bad2 = bytearray(wav)
     bad2[20] = 1  # WAVE_FORMAT_PCM

@@ -1483,6 +1483,28 @@ def test_zstd_seam_decodes_when_registered():
         )
         recs = W.parse_warc(skippable2 + frame(tail))
         assert recs[0]["body"] == body
+        # an ORDINARY skippable metadata frame (magic 0x184D2A50, not
+        # the reserved dictionary magics 5D/5E) is skipped, not fed to
+        # the dictionary path
+        meta_frame = b"\x50\x2a\x4d\x18" + struct.pack("<I", 4) + b"meta"
+        recs = W.parse_warc(meta_frame + frame(warc))
+        assert recs[0]["body"] == body
+        # a size-0 ordinary skippable frame is also fine
+        recs = W.parse_warc(
+            b"\x5f\x2a\x4d\x18" + struct.pack("<I", 0) + frame(warc)
+        )
+        assert recs[0]["body"] == body
+        # metadata frame THEN dictionary frame: both honored
+        skippable3 = (
+            b"\x5e\x2a\x4d\x18" + struct.pack("<I", len(head)) + head
+        )
+        recs = W.parse_warc(meta_frame + skippable3 + frame(tail))
+        assert recs[0]["body"] == body
+        # an EMPTY dictionary frame gates loudly instead of erroring
+        # inside the decompressor's dict constructor
+        empty_dict = b"\x5d\x2a\x4d\x18" + struct.pack("<I", 0)
+        with pytest.raises(W.WarcError, match="empty warc-zstd dict"):
+            W.zstd_inflate_warc(empty_dict + frame(warc))
 
         # ZIP method 93 member decodes through the same seam
         name = b"a.txt"
