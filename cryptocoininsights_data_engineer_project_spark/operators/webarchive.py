@@ -119,6 +119,24 @@ def brotli_available() -> bool:
     return _BROTLI_DECOMPRESS is not None
 
 
+def _codec_snapshot() -> tuple:
+    """Capture the driver-registered optional codecs for shipment into
+    Spark python workers: the module globals set by
+    ``register_zstd_decompressor`` / ``register_brotli_decompressor``
+    exist only in the DRIVER process — a worker re-imports this module
+    and re-runs the wheel autodetect, silently losing a registered
+    codec. Every archive-walking operator closure captures this
+    snapshot at plan-build time and reinstalls it worker-side, so a
+    driver registration behaves identically in local and cluster
+    mode."""
+    return (_BROTLI_DECOMPRESS, _ZSTD_DECOMPRESS)
+
+
+def _install_codecs(snap: tuple) -> None:
+    global _BROTLI_DECOMPRESS, _ZSTD_DECOMPRESS
+    _BROTLI_DECOMPRESS, _ZSTD_DECOMPRESS = snap
+
+
 def register_zstd_decompressor(fn) -> None:
     """Install a ``(data: bytes, dict_data: bytes | None) -> bytes``
     Zstandard decompressor (overriding the wheel autodetect); pass
@@ -362,7 +380,10 @@ def warc_response_stats(assets: DataFrame) -> DataFrame:
     types, whose bodies are crawler metadata). One narrow
     mapInPandas pass; archives never shuffle."""
 
+    snap = _codec_snapshot()
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _install_codecs(snap)
         for pdf in batches:
             rows: dict[str, list] = {f.name: [] for f in _WARC_SCHEMA}
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
@@ -644,7 +665,10 @@ def warc_html_text(assets: DataFrame) -> DataFrame:
     skipped executor-side, so crawler metadata never inflates the
     output."""
 
+    snap = _codec_snapshot()
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _install_codecs(snap)
         for pdf in batches:
             rows: dict[str, list] = {f.name: [] for f in _HTML_TEXT_SCHEMA}
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
@@ -804,7 +828,10 @@ def warc_html_links(assets: DataFrame) -> DataFrame:
     link-graph edge list leaves the scan, the archive bytes never
     do."""
 
+    snap = _codec_snapshot()
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _install_codecs(snap)
         for pdf in batches:
             rows: dict[str, list] = {f.name: [] for f in _LINK_SCHEMA}
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
@@ -1366,7 +1393,10 @@ def zip_member_stats(assets: DataFrame) -> DataFrame:
     shard payloads never shuffle; a CRC or structure violation fails
     the task loudly (quarantine upstream, not silently here)."""
 
+    snap = _codec_snapshot()
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _install_codecs(snap)
         for pdf in batches:
             rows: dict[str, list] = {f.name: [] for f in _ZIP_SCHEMA}
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
@@ -1888,7 +1918,10 @@ def warc_record_index(assets: DataFrame) -> DataFrame:
     In production this table is written next to the archive store
     and every record access becomes one ranged GET."""
 
+    snap = _codec_snapshot()
+
     def _index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _install_codecs(snap)
         for pdf in batches:
             rows: dict[str, list] = {f.name: [] for f in _WARC_INDEX_SCHEMA}
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
@@ -1993,7 +2026,10 @@ def warc_fetch_record(assets: DataFrame, index: DataFrame) -> DataFrame:
         ]
     )
 
+    snap = _codec_snapshot()
+
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _install_codecs(snap)
         for pdf in batches:
             rows: dict[str, list] = {f.name: [] for f in schema}
             for aid, ridx, rec in zip(

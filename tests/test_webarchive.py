@@ -1563,3 +1563,201 @@ def test_zstd_wheel_roundtrip():
     comp = zstandard.ZstdCompressor().compress(warc)
     recs = W.parse_warc(comp)
     assert recs[0]["body"] == body
+
+
+def test_content_encoding_dispatch():
+    """decode_content_encoding: identity/missing pass through, gzip
+    and both deflate flavors decode via stdlib, br/zstd gate loudly
+    without a wheel, and an unrecognized token raises (a skipped
+    encoding would surface as garbage text downstream)."""
+    import gzip as _gzip
+    import zlib as _zlib
+
+    import pytest
+
+    from cryptocoininsights_data_engineer_project_spark.operators import (
+        webarchive as W,
+    )
+
+    body = b"<html><body>hello encodings</body></html>"
+    assert W.decode_content_encoding({}, body) == body
+    assert (
+        W.decode_content_encoding({"content-encoding": "identity"}, body)
+        == body
+    )
+    assert (
+        W.decode_content_encoding(
+            {"content-encoding": "gzip"}, _gzip.compress(body)
+        )
+        == body
+    )
+    # deflate: zlib-wrapped (RFC 9110) and the raw-deflate servers
+    # every crawl meets
+    assert (
+        W.decode_content_encoding(
+            {"content-encoding": "deflate"}, _zlib.compress(body)
+        )
+        == body
+    )
+    raw = _zlib.compressobj(wbits=-15)
+    assert (
+        W.decode_content_encoding(
+            {"content-encoding": "deflate"},
+            raw.compress(body) + raw.flush(),
+        )
+        == body
+    )
+    with pytest.raises(W.WarcError, match="unrecognized Content-Encoding"):
+        W.decode_content_encoding({"content-encoding": "compress"}, body)
+    if not W.brotli_available():
+        with pytest.raises(W.BrotliUnsupported, match="brotli"):
+            W.decode_content_encoding({"content-encoding": "br"}, body)
+    if not W.zstd_available():
+        with pytest.raises(W.ZstdUnsupported, match="zstandard"):
+            W.decode_content_encoding({"content-encoding": "zstd"}, body)
+
+
+def test_brotli_seam_decodes_when_registered(spark):
+    """The brotli optional-wheel seam (VERDICT r13 item 4, the zstd
+    seam pattern): with a registered decompressor a Content-Encoding:
+    br HTML entity flows through the full WARC → html text chain; a
+    reset restores the loud gate."""
+    import struct
+
+    import pytest
+
+    from cryptocoininsights_data_engineer_project_spark.operators import (
+        webarchive as W,
+    )
+
+    html = b"<html><body><p>brotli text path</p></body></html>"
+    MAGIC = b"FAKEBR"
+
+    def fake(data):
+        assert data[:6] == MAGIC, "fake brotli fed a non-frame"
+        n = int.from_bytes(data[6:10], "little")
+        return data[10 : 10 + n]
+
+    def frame(payload: bytes) -> bytes:
+        return MAGIC + struct.pack("<I", len(payload)) + payload
+
+    entity = frame(html)
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=utf-8\r\n"
+        b"Content-Encoding: br\r\n\r\n" + entity
+    )
+    warc = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://example.test/br\r\n"
+        + f"Content-Length: {len(http)}\r\n\r\n".encode()
+        + http
+        + b"\r\n\r\n"
+    )
+    assets = spark.createDataFrame(
+        [(1, bytearray(warc))], "asset_id long, payload binary"
+    )
+    try:
+        W.register_brotli_decompressor(fake)
+        assert W.brotli_available()
+        rows = W.warc_html_text(assets).collect()
+        assert len(rows) == 1 and "brotli text path" in rows[0].text
+        # direct seam check too
+        assert (
+            W.decode_content_encoding({"content-encoding": "br"}, entity)
+            == html
+        )
+    finally:
+        W.register_brotli_decompressor(None)
+    if not W.brotli_available():
+        with pytest.raises(W.BrotliUnsupported):
+            W.decode_content_encoding({"content-encoding": "br"}, entity)
+
+
+def test_brotli_wheel_roundtrip():
+    """Real-wheel integration: skips cleanly in this container, runs
+    wherever the brotli wheel is installed."""
+    import pytest
+
+    brotli = pytest.importorskip("brotli")
+    from cryptocoininsights_data_engineer_project_spark.operators import (
+        webarchive as W,
+    )
+
+    body = b"brotli wheel roundtrip " * 20
+    assert (
+        W.decode_content_encoding(
+            {"content-encoding": "br"}, brotli.compress(body)
+        )
+        == body
+    )
+
+
+def test_gzip_entity_through_html_chain(spark):
+    """Content-Encoding: gzip entities (native path, no wheel) decode
+    inside warc_html_text — the common crawl shape."""
+    import gzip as _gzip
+
+    from cryptocoininsights_data_engineer_project_spark.operators import (
+        webarchive as W,
+    )
+
+    html = b"<html><body><p>gzip entity text</p></body></html>"
+    entity = _gzip.compress(html)
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + entity
+    )
+    warc = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://example.test/gz\r\n"
+        + f"Content-Length: {len(http)}\r\n\r\n".encode()
+        + http
+        + b"\r\n\r\n"
+    )
+    assets = spark.createDataFrame(
+        [(1, bytearray(warc))], "asset_id long, payload binary"
+    )
+    rows = W.warc_html_text(assets).collect()
+    assert len(rows) == 1 and "gzip entity text" in rows[0].text
+
+
+def test_zstd_registration_reaches_executors(spark):
+    """register_zstd_decompressor on the DRIVER must take effect
+    inside Spark python workers: the codec snapshot rides the operator
+    closure (module globals do not cross the process boundary). A
+    .warc.zst asset flows through warc_response_stats end-to-end."""
+    import struct
+
+    from cryptocoininsights_data_engineer_project_spark.operators import (
+        webarchive as W,
+    )
+
+    body = b"executor-side zstd"
+    warc = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: resource\r\n"
+        + f"Content-Length: {len(body)}\r\n\r\n".encode()
+        + body
+        + b"\r\n\r\n"
+    )
+    MAGIC = b"\x28\xb5\x2f\xfd"
+
+    def fake(data, dict_data=None):
+        assert data[:4] == MAGIC
+        n = int.from_bytes(data[4:8], "little")
+        return (dict_data or b"") + data[8 : 8 + n]
+
+    frame = MAGIC + struct.pack("<I", len(warc)) + warc
+    assets = spark.createDataFrame(
+        [(1, bytearray(frame))], "asset_id long, payload binary"
+    )
+    try:
+        W.register_zstd_decompressor(fake)
+        rows = W.warc_response_stats(assets).collect()
+        assert len(rows) == 1 and rows[0].content_length == len(body)
+    finally:
+        W.register_zstd_decompressor(None)
