@@ -931,6 +931,209 @@ def bpe_encode_oracle_sql(
     )
 
 
+# ---------------------------------------------------- byte-level BPE
+# The production GPT-class variant (VERDICT r13 item 8): merges are
+# learned over the UTF-8 BYTES of each word, not its characters, so
+# multi-byte codepoints decompose (é = C3 A9 can merge with its
+# neighbors byte-wise) and any input is representable from a 256-entry
+# base alphabet — no <unk>. Pre-tokenization stays word-bounded, as in
+# GPT-2 (merges never cross pre-token boundaries); the byte-to-unicode
+# printable table of the reference implementation is an ENCODING
+# convenience, not semantics — the house representation is uppercase
+# hex byte pairs (hex(encode(w)) agrees bit-for-bit between Spark and
+# DuckDB), which keeps the whole pipeline in the same double-delimited
+# string machinery as character BPE.
+
+
+def bpe_bytes_merge_table(
+    spark,
+    docs: DataFrame,
+    n_words: int = BPE_VOCAB_N,
+    steps: int = BPE_STEPS,
+) -> DataFrame:
+    """(step, lhs, rhs, pair_count, merged): the first ``steps``
+    BYTE-LEVEL BPE merges — symbols are uppercase hex byte pairs of
+    the word's UTF-8 encoding. Same physical shape as
+    ``bpe_merge_table``: one corpus scan cuts the weighted top-N word
+    vocabulary; the K merge iterations run driver-local on the
+    parameter-bounded rows. Tie-breaks are deterministic in the hex
+    alphabet ([0-9A-F], ASCII order — identical in Python, Spark, and
+    DuckDB)."""
+    vocab_rows = (
+        docs.select(F.explode(F.expr(spark_tokens("text"))).alias("w"))
+        .filter("w <> ''")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(n_words)
+        .collect()
+    )
+    segs = [
+        (
+            int(r["cnt"]),
+            "  "
+            + "".join(
+                f"{byte:02X}  " for byte in r["w"].encode("utf-8")
+            ),
+        )
+        for r in vocab_rows
+    ]
+    merges = []
+    for step in range(1, steps + 1):
+        freqs: dict[tuple[str, str], int] = {}
+        for cnt, seg in segs:
+            syms = seg.strip().split("  ")
+            for a, b in zip(syms, syms[1:]):
+                freqs[(a, b)] = freqs.get((a, b), 0) + cnt
+        if not freqs:
+            break
+        (lhs, rhs), f = min(
+            freqs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, lhs, rhs, f, lhs + rhs))
+        segs = [
+            (cnt, seg.replace(f" {lhs}  {rhs} ", f" {lhs}{rhs} "))
+            for cnt, seg in segs
+        ]
+    return spark.createDataFrame(
+        merges,
+        "step bigint, lhs string, rhs string, pair_count bigint, merged string",
+    )
+
+
+def _bpe_bytes_merge_blocks(n_words: int, steps: int) -> list[str]:
+    """Shared CTE prefix for the byte-level merge/encode oracles —
+    identical to ``_bpe_merge_blocks`` except seg0 segments the
+    word's UTF-8 bytes as hex pairs."""
+    blocks = [
+        "bwc AS (SELECT w AS word, count(*) AS cnt FROM "
+        f"(SELECT unnest({duck_tokens('text')}) AS w FROM documents) "
+        "WHERE w <> '' GROUP BY 1)",
+        f"bvocab AS (SELECT word, cnt FROM bwc "
+        f"ORDER BY cnt DESC, word LIMIT {n_words})",
+        "bseg0 AS (SELECT cnt, '  ' || regexp_replace(hex(encode(word)), "
+        "'(..)', '\\1  ', 'g') AS seg FROM bvocab)",
+    ]
+    for i in range(1, steps + 1):
+        p = i - 1
+        blocks.append(
+            f"blst{i} AS (SELECT cnt, string_split(trim(seg), '  ') AS lst "
+            f"FROM bseg{p})"
+        )
+        blocks.append(
+            f"bpair{i} AS (SELECT lst[g.i] AS lhs, lst[g.i + 1] AS rhs, "
+            f"sum(cnt) AS f FROM blst{i}, "
+            "UNNEST(generate_series(1, len(lst) - 1)) AS g(i) GROUP BY 1, 2)"
+        )
+        blocks.append(
+            f"bbest{i} AS (SELECT lhs, rhs, f FROM bpair{i} "
+            "ORDER BY f DESC, lhs, rhs LIMIT 1)"
+        )
+        blocks.append(
+            f"bseg{i} AS (SELECT s.cnt, replace(s.seg, "
+            "' ' || b.lhs || '  ' || b.rhs || ' ', "
+            "' ' || b.lhs || b.rhs || ' ') AS seg "
+            f"FROM bseg{p} s, bbest{i} b)"
+        )
+    return blocks
+
+
+def bpe_bytes_merges_oracle_sql(
+    n_words: int = BPE_VOCAB_N, steps: int = BPE_STEPS
+) -> str:
+    blocks = _bpe_bytes_merge_blocks(n_words, steps)
+    outs = [
+        f"SELECT CAST({i} AS BIGINT) AS step, lhs, rhs, "
+        "CAST(f AS BIGINT) AS pair_count, lhs || rhs AS merged "
+        f"FROM bbest{i}"
+        for i in range(1, steps + 1)
+    ]
+    return "WITH " + ",\n".join(blocks) + "\n" + "\nUNION ALL\n".join(outs)
+
+
+def _bpe_bytes_word_count_expr(merges) -> str:
+    """Per-word byte-level BPE token count as one expression over
+    ``w`` (the same unrolled replace-chain shape as
+    ``_bpe_word_count_expr``, over hex byte pairs)."""
+    chain = (
+        "concat('  ', regexp_replace(hex(encode(w, 'utf-8')), "
+        "'(..)', '$1  '))"
+    )
+    for m in merges:
+        chain = (
+            f"replace({chain}, ' {m['lhs']}  {m['rhs']} ', ' {m['merged']} ')"
+        )
+    return f"size(split(trim({chain}), '  '))"
+
+
+def bpe_bytes_encode_counts(
+    spark,
+    docs: DataFrame,
+    n_words: int = BPE_VOCAB_N,
+    steps: int = BPE_STEPS,
+) -> DataFrame:
+    """(doc_id, n_words, n_bytes, n_bpe_bytes): tokenize the corpus
+    with the learned BYTE-level merge table. n_bytes (the UTF-8 length
+    of the word stream) is the un-merged floor — byte-BPE fertility is
+    bounded above by bytes/word and below by 1. Physical shape =
+    ``bpe_encode_counts``: the bounded merge table unrolls into a
+    literal replace chain inside one codegen'd fold; ONE narrow corpus
+    scan, zero shuffles."""
+    merges = sorted(
+        bpe_bytes_merge_table(spark, docs, n_words, steps).collect(),
+        key=lambda r: r["step"],
+    )
+    toks = f"filter({spark_tokens('text')}, w -> w <> '')"
+    per_word = _bpe_bytes_word_count_expr(merges)
+    return docs.select(
+        "doc_id",
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_words"),
+        F.expr(
+            f"aggregate({toks}, CAST(0 AS BIGINT), "
+            "(a, w) -> a + length(encode(w, 'utf-8')))"
+        ).alias("n_bytes"),
+        F.expr(
+            f"aggregate({toks}, CAST(0 AS BIGINT), (a, w) -> a + {per_word})"
+        ).alias("n_bpe_bytes"),
+    )
+
+
+def bpe_bytes_encode_oracle_sql(
+    n_words: int = BPE_VOCAB_N, steps: int = BPE_STEPS
+) -> str:
+    blocks = _bpe_bytes_merge_blocks(n_words, steps)
+    blocks.append(
+        "bwrds AS (SELECT doc_id, w FROM (SELECT doc_id, "
+        f"unnest({duck_tokens('text')}) AS w FROM documents) WHERE w <> '')"
+    )
+    blocks.append(
+        "benc0 AS (SELECT doc_id, octet_length(encode(w)) AS nb, "
+        "'  ' || regexp_replace(hex(encode(w)), '(..)', '\\1  ', 'g') "
+        "AS seg FROM bwrds)"
+    )
+    for i in range(1, steps + 1):
+        blocks.append(
+            f"benc{i} AS (SELECT e.doc_id, e.nb, replace(e.seg, "
+            "' ' || b.lhs || '  ' || b.rhs || ' ', "
+            "' ' || b.lhs || b.rhs || ' ') AS seg "
+            f"FROM benc{i - 1} e, bbest{i} b)"
+        )
+    blocks.append(
+        "bagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+        "CAST(sum(nb) AS BIGINT) AS n_bytes, "
+        "CAST(sum(len(string_split(trim(seg), '  '))) AS BIGINT) "
+        f"AS n_bpe_bytes FROM benc{steps} GROUP BY doc_id)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + "\nSELECT d.doc_id, coalesce(a.n_words, 0) AS n_words, "
+        "coalesce(a.n_bytes, 0) AS n_bytes, "
+        "coalesce(a.n_bpe_bytes, 0) AS n_bpe_bytes "
+        "FROM documents d LEFT JOIN bagg a USING (doc_id)"
+    )
+
+
 def pack_sequences_bpe(
     spark,
     docs,
@@ -1995,23 +2198,29 @@ def _uni_word_count_expr(scores: dict[str, int]) -> str:
 
 
 def tokenizer_counts(spark, docs: DataFrame) -> DataFrame:
-    """(doc_id, n_words, n_bpe, n_wordpiece, n_unigram): all THREE
-    trained tokenizers applied in ONE corpus scan — the three encode
-    passes are per-word expression folds over the same token array,
-    so they belong in the same projection — round 13: one text read
-    instead of three. Measured NEUTRAL at sf0.1 (per-token fold CPU
-    dominates there and the text sits in page cache: bpe 1.4 + wp
-    1.4 + uni 4.0 s separately vs 7.0 s fused), but at 100 TB the
-    scan is the I/O-bound term and 3x text reads are real money.
+    """(doc_id, n_words, n_bpe, n_wordpiece, n_unigram, n_bpe_bytes):
+    all FOUR trained tokenizers applied in ONE corpus scan — the
+    encode passes are per-word expression folds over the same token
+    array, so they belong in the same projection — round 13 fused the
+    first three (one text read instead of three), round 14 adds the
+    byte-level BPE fold. Measured NEUTRAL at sf0.1 (per-token fold
+    CPU dominates there and the text sits in page cache: bpe 1.4 +
+    wp 1.4 + uni 4.0 s separately vs 7.0 s fused), but at 100 TB the
+    scan is the I/O-bound term and Nx text reads are real money.
     Training still runs per tokenizer (bounded driver-side work +
     tiny jobs)."""
     merges = sorted(
         bpe_merge_table(spark, docs).collect(), key=lambda r: r["step"]
     )
+    bmerges = sorted(
+        bpe_bytes_merge_table(spark, docs).collect(),
+        key=lambda r: r["step"],
+    )
     pieces = [r["piece"] for r in wordpiece_vocab(spark, docs).collect()]
     scores = unigram_train(spark, docs)
     toks = f"filter({spark_tokens('text')}, w -> w <> '')"
     bpe = _bpe_word_count_expr(merges)
+    bpb = _bpe_bytes_word_count_expr(bmerges)
     wp = _wp_word_count_expr(pieces)
     uni = _uni_word_count_expr(scores)
     return docs.select(
@@ -2026,6 +2235,9 @@ def tokenizer_counts(spark, docs: DataFrame) -> DataFrame:
         F.expr(
             f"aggregate({toks}, CAST(0 AS BIGINT), (a, w) -> a + {uni})"
         ).alias("n_unigram"),
+        F.expr(
+            f"aggregate({toks}, CAST(0 AS BIGINT), (a, w) -> a + {bpb})"
+        ).alias("n_bpe_bytes"),
     )
 
 

@@ -8956,6 +8956,49 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "bpe_bytes_merges",
+    textops.bpe_bytes_merges_oracle_sql(),
+    doc="BYTE-level BPE merge-table construction — the production "
+    "GPT-class variant (VERDICT r13 item 8): merges are learned over "
+    "the UTF-8 BYTES of each word (symbols = uppercase hex byte "
+    "pairs, hex(encode(w)) bit-identical in Spark and DuckDB), so "
+    "multi-byte codepoints decompose byte-wise and any input is "
+    "representable from the 256-entry base alphabet — no <unk>. "
+    "Pre-tokenization stays word-bounded as in GPT-2 (merges never "
+    "cross pre-token boundaries). Same physical shape as bpe_merges: "
+    "ONE corpus scan cuts the weighted top-150 word vocabulary, the "
+    "parameter-bounded rows collect, K=6 argmax+replace iterations "
+    "run driver-local; tie-breaks deterministic in the hex alphabet. "
+    "Oracle = unrolled-iteration CTE chain "
+    "(operators/textops.py::bpe_bytes_merge_table)",
+)
+def bpe_bytes_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.bpe_bytes_merge_table(
+        spark, _t(spark, sf_dir, "documents")
+    )
+
+
+@_q(
+    "bpe_bytes_encode",
+    textops.bpe_bytes_encode_oracle_sql(),
+    doc="apply the learned BYTE-level merge table: per doc, every "
+    "word's UTF-8 bytes are hex-pair-segmented in the double-"
+    "delimited representation and the K=6 learned merges replay in "
+    "order as literal replaces; output (doc_id, n_words, n_bytes, "
+    "n_bpe_bytes) adds the un-merged byte floor so bytes-per-token "
+    "compression is readable directly. Physical shape = bpe_encode: "
+    "learning is bounded driver-side work, encoding is ONE narrow "
+    "corpus scan with the merge chain unrolled into a codegen'd "
+    "fold — zero shuffles, no token explode "
+    "(operators/textops.py::bpe_bytes_encode_counts)",
+)
+def bpe_bytes_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.bpe_bytes_encode_counts(
+        spark, _t(spark, sf_dir, "documents")
+    )
+
+
+@_q(
     "wordpiece_encode",
     textops.wordpiece_encode_oracle_sql(),
     doc="greedy longest-match-first subword tokenization — the "
@@ -9038,39 +9081,50 @@ def unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH b AS ({textops.bpe_encode_oracle_sql()}),
 wp AS ({textops.wordpiece_encode_oracle_sql()}),
 un AS ({textops.unigram_encode_oracle_sql()}),
+bb AS ({textops.bpe_bytes_encode_oracle_sql()}),
 j AS (
-  SELECT d.source, b.n_words, b.n_bpe, wp.n_wordpiece, un.n_unigram
+  SELECT d.source, b.n_words, b.n_bpe, wp.n_wordpiece, un.n_unigram,
+         bb.n_bpe_bytes
   FROM documents d JOIN b ON d.doc_id = b.doc_id
   JOIN wp ON d.doc_id = wp.doc_id
-  JOIN un ON d.doc_id = un.doc_id)
+  JOIN un ON d.doc_id = un.doc_id
+  JOIN bb ON d.doc_id = bb.doc_id)
 SELECT source, count(*) AS n_docs,
   CAST(sum(n_bpe) * 1000000 // sum(n_words) AS BIGINT)
     AS bpe_fertility_ppm,
   CAST(sum(n_wordpiece) * 1000000 // sum(n_words) AS BIGINT)
     AS wordpiece_fertility_ppm,
   CAST(sum(n_unigram) * 1000000 // sum(n_words) AS BIGINT)
-    AS unigram_fertility_ppm
+    AS unigram_fertility_ppm,
+  CAST(sum(n_bpe_bytes) * 1000000 // sum(n_words) AS BIGINT)
+    AS bpe_bytes_fertility_ppm
 FROM j GROUP BY source
 """,
     doc="tokenizer FERTILITY comparison — tokens-per-word in integer "
-    "ppm, per source, for ALL THREE in-query-trained tokenizers "
+    "ppm, per source, for ALL FOUR in-query-trained tokenizers "
     "(BPE merge replay vs WordPiece greedy longest-match vs "
-    "Unigram-LM Viterbi): the standard tokenizer-selection metric "
+    "Unigram-LM Viterbi vs byte-level BPE): the standard "
+    "tokenizer-selection metric "
     "(lower fertility = fewer training tokens for the same text = "
     "cheaper pretraining; per-SOURCE fertility also flags domains "
-    "a vocabulary serves badly). All three encoders apply in ONE "
-    "corpus scan (textops.tokenizer_counts: the three per-word "
+    "a vocabulary serves badly). All four encoders apply in ONE "
+    "corpus scan (textops.tokenizer_counts: the per-word "
     "expression folds share the same projection — round 13 fused "
-    "the former 3-scan composition; measured NEUTRAL at sf0.1, "
+    "the former 3-scan composition, round 14 added the byte fold; "
+    "measured NEUTRAL at sf0.1, "
     "where per-token fold CPU dominates and the text fits in page "
-    "cache, but at 100 TB it is one text read instead of three), "
+    "cache, but at 100 TB it is one text read instead of four), "
     "joined to the tiny per-source aggregate on top; the "
-    "oracle nests all three "
-    "encoders' full CTE chains (merge derivation + replay; vocab + "
+    "oracle nests all four "
+    "encoders' full CTE chains (merge derivation + replay, char and "
+    "byte; vocab + "
     "recursive cursor; hard-EM + unrolled Viterbi DP) as "
     "subqueries of one statement. Measured on this corpus: "
-    "Unigram's DP beats both greedy families (~3.37 vs WordPiece "
-    "~3.51 vs BPE ~3.87 tokens/word at sf0.01)",
+    "Unigram's DP beats the greedy families (~3.37 vs WordPiece "
+    "~3.51 vs BPE ~3.87 tokens/word at sf0.01); byte-BPE reads "
+    "higher per WORD because its 6-merge budget starts from bytes, "
+    "not chars — the comparable figure is its bytes/token "
+    "compression",
 )
 def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -9087,6 +9141,9 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(sum(n_unigram) * 1000000 div sum(n_words) AS BIGINT)"
         ).alias("unigram_fertility_ppm"),
+        F.expr(
+            "CAST(sum(n_bpe_bytes) * 1000000 div sum(n_words) AS BIGINT)"
+        ).alias("bpe_bytes_fertility_ppm"),
     )
 
 
