@@ -6,14 +6,13 @@ Scope (each limit gates LOUDLY, the house convention):
 
 * Layer I — complete: header, 4-bit allocations (nbits = alloc + 1),
   6-bit scalefactors, 12 granules x 1 sample/subband requantization.
-* Layer II — the low-rate allocation-table class (11172-3 Annex 3-B
-  tables 2c/2d: nbal = 4 for every coded subband, one shared
-  quantization ladder 3,5,9,15,...,16383): header, allocations,
-  scfsi, 1-3 scalefactors per coded subband, 12 granules x 3
-  samples, including the GROUPED codes (steps 3/5/9 pack three
-  samples into one 5/7/10-bit word, v = c0 + steps*c1 + steps^2*c2).
-  The high-rate tables 3-B.2a/b (per-subband quantization menus)
-  raise NotImplementedError naming the table.
+* Layer II — ALL FOUR allocation tables (11172-3 Annex 3-B: the
+  low-rate 2c/2d shared ladder AND the high-rate 2a/2b per-subband
+  menus with 4/4/3/2-bit allocation fields, selected by the 2.4.2.6
+  rule): header, allocations, scfsi, 1-3 scalefactors per coded
+  subband, 12 granules x 3 samples, including the GROUPED codes
+  (steps 3/5/9 pack three samples into one 5/7/10-bit word,
+  v = c0 + steps*c1 + steps^2*c2).
 * Requantization is held in EXACT INTEGER form: the spec formula
   s''' = C * (s'' + D) with C = 2^nb / steps and D * 2^(nb-1)
   an integer offset o (o = 1 for steps = 2^nb - 1; o = 1, 2, 4 for
@@ -31,8 +30,10 @@ Scope (each limit gates LOUDLY, the house convention):
   NotImplementedError naming the table unless a window is registered
   via register_synthesis_window() (the multimodal.register_decoder
   seam pattern). Nothing upstream of windowing is gated.
-* Single-channel streams only (the fixtures' shape); stereo modes
-  raise (intensity/ms handling would be untested guesswork).
+* All channel modes: single_channel, stereo and dual_channel (two
+  independent channels), and joint_stereo (mode 01) — intensity
+  bands at/above the mode_extension bound share one allocation and
+  one set of sample codes under per-channel scalefactors.
 
 Reference parity note: the reference pipeline (coininsights.py) has
 no media path at all — this module belongs to the beyond-reference
@@ -70,9 +71,8 @@ _L2_GROUP_BITS = {3: 5, 5: 7, 9: 10}
 _L2_NB = {3: 2, 5: 3, 9: 4}
 _L2_OFFSET = {3: 1, 5: 2, 9: 4}
 
-# Layer II table selection (11172-3 table 3-B.2 choice): this module
-# implements only the low-rate class; the supported (sampling_rate,
-# kbps-per-channel) combos map to their sblimit.
+# Layer II table selection (11172-3 table 3-B.2 choice): low-rate
+# (sampling_rate, kbps-per-channel) combos map to their sblimit.
 _L2_LOW_RATE_SBLIMIT = {
     (32000, 32): 12,
     (32000, 48): 12,
@@ -81,6 +81,51 @@ _L2_LOW_RATE_SBLIMIT = {
     (44100, 32): 8,
     (44100, 48): 8,
 }
+
+# High-rate tables 3-B.2a (sblimit 27) / 3-B.2b (sblimit 30):
+# per-subband allocation-field widths and quantization menus. Four
+# menu classes; every step count is either a grouped class (3/5/9) or
+# 2^nb - 1 (ungrouped) — the requantization path is shared with the
+# low-rate ladder.
+_L2_HI_NBAL_A = [4] * 3 + [4] * 8 + [3] * 12 + [2] * 4          # 27 sb
+_L2_HI_NBAL_B = [4] * 3 + [4] * 8 + [3] * 12 + [2] * 7          # 30 sb
+_L2_HI_MENU_0_2 = [
+    3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191, 16383,
+    32767, 65535,
+]
+_L2_HI_MENU_3_10 = [
+    3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191, 65535,
+]
+_L2_HI_MENU_11_22 = [3, 5, 7, 9, 15, 31, 65535]
+_L2_HI_MENU_23_UP = [3, 5, 65535]
+
+
+def _l2_hi_steps(sb: int, alloc: int) -> int:
+    """Steps for allocation code ``alloc`` in high-rate subband
+    ``sb`` (tables 2a/2b share the menus; 2b only extends the 2-bit
+    class to subband 29)."""
+    if sb <= 2:
+        menu = _L2_HI_MENU_0_2
+    elif sb <= 10:
+        menu = _L2_HI_MENU_3_10
+    elif sb <= 22:
+        menu = _L2_HI_MENU_11_22
+    else:
+        menu = _L2_HI_MENU_23_UP
+    return menu[alloc - 1]
+
+
+def _l2_table_select(rate: int, kbps_ch: int) -> tuple[str, int]:
+    """The 11172-3 2.4.2.6 table choice (the dist10 II_pick_table
+    rule): returns (table_id, sblimit) with table_id in
+    {'a', 'b', 'c', 'd'}."""
+    if (rate == 48000 and kbps_ch >= 56) or 56 <= kbps_ch <= 80:
+        return "a", 27
+    if rate != 48000 and kbps_ch >= 96:
+        return "b", 30
+    if rate != 32000 and kbps_ch <= 48:
+        return "c", 8
+    return "d", 12
 
 
 def _crc16_mpa(bits: list[int]) -> int:
@@ -121,8 +166,11 @@ def _steps_nb_offset_l1(alloc: int) -> tuple[int, int, int]:
     return (1 << nb) - 1, nb, 1
 
 
-def _steps_nb_offset_l2(alloc: int) -> tuple[int, int, int]:
-    steps = _L2_STEPS[alloc - 1]
+def _steps_nb_offset_l2(steps: int) -> tuple[int, int, int]:
+    """(steps, nb, offset) for a layer II step count: the grouped
+    classes (3/5/9) carry their table offsets; every other menu entry
+    is 2^nb - 1 with offset 1 — shared across the low-rate ladder and
+    the high-rate menus."""
     if steps in _L2_NB:
         return steps, _L2_NB[steps], _L2_OFFSET[steps]
     nb = steps.bit_length()  # steps = 2^nb - 1
@@ -180,30 +228,44 @@ def _parse_header(b: bytes, pos: int):
         raise MpegAudioError("reserved sampling_frequency")
     if bitrate_index in (0, 15):
         raise MpegAudioError("free-format/forbidden bitrate not in subset")
-    if mode == 1:
-        raise NotImplementedError(
-            "joint_stereo (intensity coding, mode 01) is outside the "
-            "implemented subset — stereo/dual_channel decode as two "
-            "independent channels; single_channel is complete"
-        )
     nch = 1 if mode == 3 else 2
+    # joint_stereo (mode 01): intensity coding — subbands at or above
+    # the bound (mode_extension: 4, 8, 12, 16) carry ONE shared
+    # allocation and ONE set of sample codes, but per-channel
+    # scalefactors (11172-3 2.4.1.5/2.4.1.6, layers I/II meaning of
+    # mode_extension). bound = 32 means "no intensity bands" —
+    # identical bit layout to independent stereo.
+    mode_ext = (h >> 4) & 3
+    bound = 4 * (mode_ext + 1) if mode == 1 else 32
     rate = _SAMPLING[sampling_index]
     kbps = (_BITRATE_L1 if layer == 1 else _BITRATE_L2)[bitrate_index]
     if layer == 1:
         frame_bytes = 4 * (12 * kbps * 1000 // rate + padding)
     else:
         frame_bytes = 144 * kbps * 1000 // rate + padding
-    return layer, protection, rate, kbps, nch, frame_bytes
+    return layer, protection, rate, kbps, nch, bound, frame_bytes
 
 
-def _decode_frame_l1(br: _Bits, rate: int, kbps: int, nch: int) -> AudioFrame:
+def _decode_frame_l1(
+    br: _Bits, rate: int, kbps: int, nch: int, bound: int = 32
+) -> AudioFrame:
     alloc = [[0] * 32 for _ in range(nch)]
     for sb in range(32):
-        for ch in range(nch):
+        if sb < bound:
+            for ch in range(nch):
+                a = br.read(4)
+                if a == 15:
+                    raise MpegAudioError(
+                        "layer I allocation 15 is forbidden"
+                    )
+                alloc[ch][sb] = a
+        else:
+            # intensity band (joint_stereo): ONE shared allocation
             a = br.read(4)
             if a == 15:
                 raise MpegAudioError("layer I allocation 15 is forbidden")
-            alloc[ch][sb] = a
+            for ch in range(nch):
+                alloc[ch][sb] = a
     scf = [[[] for _ in range(32)] for _ in range(nch)]
     for sb in range(32):
         for ch in range(nch):
@@ -219,7 +281,8 @@ def _decode_frame_l1(br: _Bits, rate: int, kbps: int, nch: int) -> AudioFrame:
     qnum = np.zeros((12, nch, 32), dtype=np.int64)
     for g in range(12):
         for sb in range(32):
-            for ch in range(nch):
+            chans = range(nch) if sb < bound else range(1)
+            for ch in chans:
                 if not alloc[ch][sb]:
                     continue
                 st, nb, off = meta[(ch, sb)]
@@ -231,29 +294,54 @@ def _decode_frame_l1(br: _Bits, rate: int, kbps: int, nch: int) -> AudioFrame:
                         f"layer I all-ones sample code ({nb} bits) is "
                         "forbidden"
                     )
-                qnum[g, ch, sb] = c - (1 << (nb - 1)) + off
+                q = c - (1 << (nb - 1)) + off
+                if sb < bound:
+                    qnum[g, ch, sb] = q
+                else:  # intensity: one code, both channels
+                    for c2 in range(nch):
+                        qnum[g, c2, sb] = q
     return AudioFrame(
         1, rate, kbps, nch, alloc, None, scf, steps, qnum
     )
 
 
-def _decode_frame_l2(br: _Bits, rate: int, kbps: int, nch: int) -> AudioFrame:
-    key = (rate, kbps // nch)
-    if key not in _L2_LOW_RATE_SBLIMIT:
-        raise NotImplementedError(
-            f"layer II (rate={rate}, {kbps // nch} kbps/ch) selects a "
-            "high-rate allocation table (ISO/IEC 11172-3 Annex "
-            "3-B.2a/2b) — only the low-rate table class (3-B.2c/2d) is "
-            "implemented"
-        )
-    sblimit = _L2_LOW_RATE_SBLIMIT[key]
+def _decode_frame_l2(
+    br: _Bits, rate: int, kbps: int, nch: int, bound: int = 32
+) -> AudioFrame:
+    table, sblimit = _l2_table_select(rate, kbps // nch)
+    if table in ("a", "b"):
+        nbal = _L2_HI_NBAL_A if table == "a" else _L2_HI_NBAL_B
+
+        def steps_of(sb: int, a: int) -> int:
+            return _l2_hi_steps(sb, a)
+
+    else:
+        nbal = [4] * sblimit
+
+        def steps_of(sb: int, a: int) -> int:
+            if a == 15:
+                raise MpegAudioError(
+                    "layer II allocation 15 is forbidden (low-rate "
+                    "ladder has 14 entries)"
+                )
+            return _L2_STEPS[a - 1]
+
     alloc = [[0] * 32 for _ in range(nch)]
     for sb in range(sblimit):
-        for ch in range(nch):
-            a = br.read(4)
-            if a == 15:
-                raise MpegAudioError("layer II allocation 15 is forbidden")
-            alloc[ch][sb] = a
+        if sb < bound:
+            for ch in range(nch):
+                alloc[ch][sb] = br.read(nbal[sb])
+        else:
+            # intensity band (joint_stereo): ONE shared allocation
+            a = br.read(nbal[sb])
+            for ch in range(nch):
+                alloc[ch][sb] = a
+    # validate every nonzero code against its menu (low-rate forbids
+    # 15; every high-rate menu exactly fills its field width)
+    for ch in range(nch):
+        for sb in range(sblimit):
+            if alloc[ch][sb]:
+                steps_of(sb, alloc[ch][sb])
     scfsi = [[None] * 32 for _ in range(nch)]
     for sb in range(sblimit):
         for ch in range(nch):
@@ -281,12 +369,15 @@ def _decode_frame_l2(br: _Bits, rate: int, kbps: int, nch: int) -> AudioFrame:
     for ch in range(nch):
         for sb in range(sblimit):
             if alloc[ch][sb]:
-                meta[(ch, sb)] = _steps_nb_offset_l2(alloc[ch][sb])
+                meta[(ch, sb)] = _steps_nb_offset_l2(
+                    steps_of(sb, alloc[ch][sb])
+                )
                 steps[ch][sb] = meta[(ch, sb)][0]
     qnum = np.zeros((36, nch, 32), dtype=np.int64)
     for g in range(12):
         for sb in range(sblimit):
-            for ch in range(nch):
+            chans = range(nch) if sb < bound else range(1)
+            for ch in chans:
                 if not alloc[ch][sb]:
                     continue
                 st, nb, off = meta[(ch, sb)]
@@ -300,7 +391,12 @@ def _decode_frame_l2(br: _Bits, rate: int, kbps: int, nch: int) -> AudioFrame:
                 else:
                     codes = (br.read(nb), br.read(nb), br.read(nb))
                 for i, c in enumerate(codes):
-                    qnum[3 * g + i, ch, sb] = c - (1 << (nb - 1)) + off
+                    q = c - (1 << (nb - 1)) + off
+                    if sb < bound:
+                        qnum[3 * g + i, ch, sb] = q
+                    else:  # intensity: one triplet, both channels
+                        for c2 in range(nch):
+                            qnum[3 * g + i, c2, sb] = q
     return AudioFrame(
         2, rate, kbps, nch, alloc, scfsi, scf, steps, qnum
     )
@@ -311,31 +407,45 @@ def _frame_bit(body: bytes, p: int) -> int:
 
 
 def _protected_side_bits(body: bytes, layer: int, rate: int,
-                         kbps: int, nch: int, start: int) -> list[int]:
+                         kbps: int, nch: int, bound: int,
+                         start: int) -> list[int]:
     """The side-information bits the frame CRC covers, starting at bit
     ``start`` (just after the 16-bit crc_check field): layer I — all
-    allocation nibbles; layer II — allocation nibbles + the scfsi
-    pairs of coded subbands."""
+    allocation fields; layer II — allocation fields + the scfsi pairs
+    of coded subbands. Intensity bands (sb >= bound in joint_stereo)
+    carry one shared allocation but per-channel scfsi."""
     bits: list[int] = []
     if layer == 1:
-        n_alloc_bits = 32 * nch * 4
+        n_alloc_bits = sum(
+            (nch if sb < bound else 1) * 4 for sb in range(32)
+        )
         bits += [_frame_bit(body, start + i) for i in range(n_alloc_bits)]
         return bits
-    sblimit = _L2_LOW_RATE_SBLIMIT.get((rate, kbps // nch))
-    if sblimit is None:
-        return bits  # the table gate raises before CRC matters
-    allocs = []
+    table, sblimit = _l2_table_select(rate, kbps // nch)
+    if table in ("a", "b"):
+        nbal = _L2_HI_NBAL_A if table == "a" else _L2_HI_NBAL_B
+    else:
+        nbal = [4] * sblimit
+    alloc_by = [[0] * sblimit for _ in range(nch)]
     p = start
-    for _sb in range(sblimit):
-        for _ch in range(nch):
-            nib = [_frame_bit(body, p + i) for i in range(4)]
-            bits += nib
-            allocs.append(nib[0] * 8 + nib[1] * 4 + nib[2] * 2 + nib[3])
-            p += 4
-    for a in allocs:
-        if a:
-            bits += [_frame_bit(body, p), _frame_bit(body, p + 1)]
-        p += 2 if a else 0
+    for sb in range(sblimit):
+        n_fields = nch if sb < bound else 1
+        vals = []
+        for _ in range(n_fields):
+            v = 0
+            for i in range(nbal[sb]):
+                b = _frame_bit(body, p + i)
+                bits.append(b)
+                v = (v << 1) | b
+            vals.append(v)
+            p += nbal[sb]
+        for ch in range(nch):
+            alloc_by[ch][sb] = vals[ch] if sb < bound else vals[0]
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if alloc_by[ch][sb]:
+                bits += [_frame_bit(body, p), _frame_bit(body, p + 1)]
+                p += 2
     return bits
 
 
@@ -355,8 +465,8 @@ def decode_mpeg_audio(payload: bytes) -> list[AudioFrame]:
     while pos + 4 <= n:
         if payload[pos] == 0 and not any(payload[pos:]):
             break  # trailing pad
-        layer, protection, rate, kbps, nch, frame_bytes = _parse_header(
-            payload, pos
+        layer, protection, rate, kbps, nch, bound, frame_bytes = (
+            _parse_header(payload, pos)
         )
         if pos + frame_bytes > n:
             raise MpegAudioError("frame extends past payload")
@@ -367,7 +477,7 @@ def decode_mpeg_audio(payload: bytes) -> list[AudioFrame]:
             crc_stored = br.read(16)
             covered = [_frame_bit(body, i) for i in range(16, 32)]
             covered += _protected_side_bits(
-                body, layer, rate, kbps, nch, br.pos
+                body, layer, rate, kbps, nch, bound, br.pos
             )
             crc = _crc16_mpa(covered)
             if crc != crc_stored:
@@ -376,9 +486,9 @@ def decode_mpeg_audio(payload: bytes) -> list[AudioFrame]:
                     f"computed {crc:#06x}"
                 )
         if layer == 1:
-            frames.append(_decode_frame_l1(br, rate, kbps, nch))
+            frames.append(_decode_frame_l1(br, rate, kbps, nch, bound))
         else:
-            frames.append(_decode_frame_l2(br, rate, kbps, nch))
+            frames.append(_decode_frame_l2(br, rate, kbps, nch, bound))
         pos += frame_bytes
     if not frames:
         raise MpegAudioError("no audio frames found")

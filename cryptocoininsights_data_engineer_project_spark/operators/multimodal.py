@@ -6342,6 +6342,302 @@ def mpeg_audio_stereo_oracle_sql() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+# ----------------------------------- mpeg-1 audio: JOINT stereo (L1)
+# mode 01 (11172-3 2.4.1.5): subbands at or above the mode_extension
+# bound carry ONE shared allocation and ONE set of sample codes but
+# per-channel scalefactors — the intensity-stereo bit layout round 13
+# gated. Fixture: bound 8 (mode_ext 01), asymmetric independent
+# allocations below the bound (ch1 skips sb1 entirely), two intensity
+# subbands above it.
+_MPA_JS_BOUND = 8
+_MPA_JS_IND = {0: {0: 1, 1: 2}, 1: {0: 3}}  # sb -> {ch: alloc}
+_MPA_JS_INT = {8: 2, 9: 7}                  # sb -> shared alloc
+_MPA_JS_A_IND = {(0, 0): 7, (0, 1): 11, (1, 0): 13}
+_MPA_JS_B_IND = {(0, 0): 3, (0, 1): 5, (1, 0): 7}
+_MPA_JS_F_IND = {(0, 0): 1, (0, 1): 2, (1, 0): 3}
+_MPA_JS_A_INT = {8: 17, 9: 19}
+_MPA_JS_B_INT = {8: 11, 9: 13}
+_MPA_JS_F_INT = {8: 5, 9: 7}
+
+
+def _mpa_js_header_bits() -> str:
+    hdr = list(_mpa_header_bits(1))
+    hdr[16:20] = list("0100")  # bitrate_index 4 = 128 kbps total
+    hdr[24:26] = list("01")    # joint_stereo
+    hdr[26:28] = list("01")    # mode_extension 01 -> bound 8
+    return "".join(hdr)
+
+
+def _mpa_js_ops(doc) -> list[tuple]:
+    """Two layer-I JOINT-stereo frames as _mpeg_pack ops."""
+    ops: list[tuple] = []
+    for f in range(MPA_FRAMES):
+        ops.append(("b", _mpa_js_header_bits()))
+        bits_used = 32
+        for sb in range(32):
+            if sb < _MPA_JS_BOUND:
+                for ch in range(2):
+                    a = _MPA_JS_IND.get(sb, {}).get(ch, 0)
+                    ops.append(("b", format(a, "04b")))
+                    bits_used += 4
+            else:
+                ops.append(("b", format(_MPA_JS_INT.get(sb, 0), "04b")))
+                bits_used += 4
+        for sb in range(32):
+            for ch in range(2):
+                coded = (
+                    _MPA_JS_IND.get(sb, {}).get(ch, 0)
+                    if sb < _MPA_JS_BOUND
+                    else _MPA_JS_INT.get(sb, 0)
+                )
+                if coded:
+                    ops.append(("s", _mpa_scf(doc, 2 * sb + ch + f), 6))
+                    bits_used += 6
+        for g in range(12):
+            for sb in range(32):
+                if sb < _MPA_JS_BOUND:
+                    for ch in range(2):
+                        a = _MPA_JS_IND.get(sb, {}).get(ch, 0)
+                        if not a:
+                            continue
+                        nb = a + 1
+                        k = (
+                            g * _MPA_JS_B_IND[(sb, ch)]
+                            + f * _MPA_JS_F_IND[(sb, ch)]
+                        )
+                        ops.append(
+                            (
+                                "s",
+                                _mpa_code(
+                                    doc,
+                                    _MPA_JS_A_IND[(sb, ch)],
+                                    k,
+                                    (1 << nb) - 1,
+                                ),
+                                nb,
+                            )
+                        )
+                        bits_used += nb
+                elif _MPA_JS_INT.get(sb, 0):
+                    a = _MPA_JS_INT[sb]
+                    nb = a + 1
+                    k = g * _MPA_JS_B_INT[sb] + f * _MPA_JS_F_INT[sb]
+                    ops.append(
+                        (
+                            "s",
+                            _mpa_code(
+                                doc, _MPA_JS_A_INT[sb], k, (1 << nb) - 1
+                            ),
+                            nb,
+                        )
+                    )
+                    bits_used += nb
+        ops.append(("b", "0" * (192 * 8 - bits_used)))
+    return ops
+
+
+def synth_mpeg_audio_js_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): two-frame joint-stereo layer-I streams."""
+    pieces = _mpeg_pack(_mpa_js_ops("doc_id"))
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr("unhex(concat(" + ", ".join(pieces) + "))").alias("payload"),
+    )
+
+
+def mpeg_audio_js_oracle_sql() -> str:
+    """Closed form per (frame, channel, subband): independent bands
+    use per-(sb, ch) constants; intensity bands state the SAME q for
+    both channels (one transmitted code) under per-channel
+    scalefactors — a decoder that reads the shared code per channel,
+    or shares the scalefactors, breaks the match."""
+    parts = []
+    for f in range(MPA_FRAMES):
+        for sb, chs in sorted(_MPA_JS_IND.items()):
+            for ch, alloc in sorted(chs.items()):
+                nb = alloc + 1
+                q = (
+                    f"(((doc_id * {_MPA_JS_A_IND[(sb, ch)]} + g.g * "
+                    f"{_MPA_JS_B_IND[(sb, ch)]} + "
+                    f"{f * _MPA_JS_F_IND[(sb, ch)]})"
+                    f" % {(1 << nb) - 1}) - {1 << (nb - 1)} + 1)"
+                )
+                parts.append(
+                    _mpa_js_part_sql(f, ch, sb, nb, q)
+                )
+        for sb, alloc in sorted(_MPA_JS_INT.items()):
+            nb = alloc + 1
+            q = (
+                f"(((doc_id * {_MPA_JS_A_INT[sb]} + g.g * "
+                f"{_MPA_JS_B_INT[sb]} + {f * _MPA_JS_F_INT[sb]})"
+                f" % {(1 << nb) - 1}) - {1 << (nb - 1)} + 1)"
+            )
+            for ch in range(2):  # one code, two channels, own scf
+                parts.append(_mpa_js_part_sql(f, ch, sb, nb, q))
+    return "\nUNION ALL\n".join(parts)
+
+
+def _mpa_js_part_sql(f: int, ch: int, sb: int, nb: int, q: str) -> str:
+    scf0 = f"(3 * ((doc_id + {2 * sb + ch + f}) % 4))"
+    return (
+        f"SELECT doc_id AS asset_id, CAST({f} AS BIGINT) AS frame_idx, "
+        "CAST(1 AS BIGINT) AS layer, CAST(32000 AS BIGINT) AS sample_rate, "
+        f"CAST({ch} AS BIGINT) AS channel, "
+        f"CAST({sb} AS BIGINT) AS sb, "
+        f"CAST({(1 << nb) - 1} AS BIGINT) AS steps, "
+        f"CAST({scf0} AS BIGINT) AS scf0, "
+        "CAST(NULL AS BIGINT) AS scf1, CAST(NULL AS BIGINT) AS scf2, "
+        "CAST(12 AS BIGINT) AS n_samples, "
+        f"CAST(min({q}) AS BIGINT) AS q_min, "
+        f"CAST(max({q}) AS BIGINT) AS q_max, "
+        f"CAST(sum({q}) AS BIGINT) AS q_sum, "
+        f"CAST(sum({q} * {q}) AS BIGINT) AS q_energy "
+        "FROM documents, UNNEST(generate_series(0, 11)) AS g(g) "
+        "GROUP BY doc_id"
+    )
+
+
+# ------------------------------ mpeg-1 audio: layer II HIGH-RATE (2a)
+# 48 kHz / 96 kbps mono selects Annex table 3-B.2a (sblimit 27) per
+# the 11172-3 2.4.2.6 rule: per-subband allocation-field widths
+# (4/4/3/2) and per-class quantization MENUS instead of the low-rate
+# shared ladder. Fixture codes six subbands spanning all four menu
+# classes — grouped steps 3/5/9, ungrouped 7/31, and the 16-bit
+# 65535 ladder top — plus all four scfsi patterns.
+_MPA_HR_ALLOC = {0: 2, 1: 1, 4: 4, 5: 2, 12: 6, 24: 3}
+# steps: sb0 -> 7, sb1 -> 3, sb4 -> 9, sb5 -> 5, sb12 -> 31,
+# sb24 -> 65535 (from the 3-B.2a menus)
+_MPA_HR_SCFSI = {0: 0, 1: 1, 4: 2, 5: 3, 12: 0, 24: 1}
+_MPA_HR_A = {0: 7, 1: 11, 4: 13, 5: 17, 12: 19, 24: 23}
+_MPA_HR_B = {0: 3, 1: 5, 4: 7, 5: 11, 12: 13, 24: 17}
+_MPA_HR_E = {0: 1, 1: 2, 4: 3, 5: 4, 12: 5, 24: 6}
+_MPA_HR_F = {0: 2, 1: 3, 4: 5, 5: 7, 12: 11, 24: 13}
+
+
+def _mpa_l2hr_ops(doc) -> list[tuple]:
+    """Two layer-II table-2a frames as _mpeg_pack ops."""
+    from .mpaudiocodec import _L2_GROUP_BITS, _L2_HI_NBAL_A, _l2_hi_steps
+
+    ops: list[tuple] = []
+    for f in range(MPA_FRAMES):
+        hdr = list(_mpa_header_bits(2))
+        hdr[16:20] = list("0110")  # bitrate_index 6 = 96 kbps
+        hdr[20:22] = list("01")    # sampling 48 kHz
+        ops.append(("b", "".join(hdr)))
+        bits_used = 32
+        for sb in range(27):
+            nbal = _L2_HI_NBAL_A[sb]
+            ops.append(
+                ("b", format(_MPA_HR_ALLOC.get(sb, 0), f"0{nbal}b"))
+            )
+            bits_used += nbal
+        n_scf = {0: 3, 1: 2, 2: 1, 3: 2}
+        for sb in sorted(_MPA_HR_ALLOC):
+            ops.append(("b", format(_MPA_HR_SCFSI[sb], "02b")))
+            bits_used += 2
+        for sb in sorted(_MPA_HR_ALLOC):
+            for j in range(n_scf[_MPA_HR_SCFSI[sb]]):
+                ops.append(("s", _mpa_scf(doc, 2 * sb + 3 * j + f), 6))
+                bits_used += 6
+        for g in range(12):
+            for sb in sorted(_MPA_HR_ALLOC):
+                steps = _l2_hi_steps(sb, _MPA_HR_ALLOC[sb])
+                ks = [
+                    g * _MPA_HR_B[sb] + i * _MPA_HR_E[sb]
+                    + f * _MPA_HR_F[sb]
+                    for i in range(3)
+                ]
+                if steps in _L2_GROUP_BITS:
+                    cs = [
+                        _mpa_code(doc, _MPA_HR_A[sb], k, steps) for k in ks
+                    ]
+                    if isinstance(doc, int):
+                        v = cs[0] + steps * cs[1] + steps * steps * cs[2]
+                    else:
+                        v = (
+                            f"({cs[0]} + {steps} * {cs[1]} + "
+                            f"{steps * steps} * {cs[2]})"
+                        )
+                    nbits = _L2_GROUP_BITS[steps]
+                    ops.append(("s", v, nbits))
+                    bits_used += nbits
+                else:
+                    nb = steps.bit_length()
+                    for k in ks:
+                        ops.append(
+                            ("s", _mpa_code(doc, _MPA_HR_A[sb], k, steps), nb)
+                        )
+                        bits_used += nb
+        ops.append(("b", "0" * (288 * 8 - bits_used)))
+    return ops
+
+
+def synth_mpeg_audio_l2hr_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): two-frame high-rate layer-II streams."""
+    pieces = _mpeg_pack(_mpa_l2hr_ops("doc_id"))
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr("unhex(concat(" + ", ".join(pieces) + "))").alias("payload"),
+    )
+
+
+def mpeg_audio_l2hr_oracle_sql() -> str:
+    """Closed form per (frame, subband) over the 3-B.2a menus — a
+    decoder that reads the wrong field width for a 3/2-bit class, or
+    the low-rate ladder instead of the per-class menu, breaks the
+    match."""
+    from .mpaudiocodec import _L2_NB, _L2_OFFSET, _l2_hi_steps
+
+    n_scf = {0: 3, 1: 2, 2: 1, 3: 2}
+    parts = []
+    for f in range(MPA_FRAMES):
+        for sb in sorted(_MPA_HR_ALLOC):
+            steps = _l2_hi_steps(sb, _MPA_HR_ALLOC[sb])
+            nb = _L2_NB.get(steps, steps.bit_length())
+            off = _L2_OFFSET.get(steps, 1)
+            k = (
+                f"((g.s // 3) * {_MPA_HR_B[sb]} + (g.s % 3) * "
+                f"{_MPA_HR_E[sb]} + {f * _MPA_HR_F[sb]})"
+            )
+            q = (
+                f"(((doc_id * {_MPA_HR_A[sb]} + {k}) % {steps})"
+                f" - {1 << (nb - 1)} + {off})"
+            )
+            si = _MPA_HR_SCFSI[sb]
+            field = lambda j: (  # noqa: E731
+                f"(3 * ((doc_id + {2 * sb + 3 * j + f}) % 4))"
+            )
+            if si == 0:
+                s0, s1, s2 = field(0), field(1), field(2)
+            elif si == 1:
+                s0 = s1 = field(0)
+                s2 = field(1)
+            elif si == 2:
+                s0 = s1 = s2 = field(0)
+            else:
+                s0 = field(0)
+                s1 = s2 = field(1)
+            parts.append(
+                f"SELECT doc_id AS asset_id, CAST({f} AS BIGINT) AS frame_idx, "
+                "CAST(2 AS BIGINT) AS layer, "
+                "CAST(48000 AS BIGINT) AS sample_rate, "
+                "CAST(0 AS BIGINT) AS channel, "
+                f"CAST({sb} AS BIGINT) AS sb, "
+                f"CAST({steps} AS BIGINT) AS steps, "
+                f"CAST({s0} AS BIGINT) AS scf0, "
+                f"CAST({s1} AS BIGINT) AS scf1, "
+                f"CAST({s2} AS BIGINT) AS scf2, "
+                "CAST(36 AS BIGINT) AS n_samples, "
+                f"CAST(min({q}) AS BIGINT) AS q_min, "
+                f"CAST(max({q}) AS BIGINT) AS q_max, "
+                f"CAST(sum({q}) AS BIGINT) AS q_sum, "
+                f"CAST(sum({q} * {q}) AS BIGINT) AS q_energy "
+                "FROM documents, UNNEST(generate_series(0, 35)) AS g(s) "
+                "GROUP BY doc_id"
+            )
+    return "\nUNION ALL\n".join(parts)
+
+
 # ------------------------------------------ mpeg audio inside WAV
 # WAVE_FORMAT_MPEG (fmt tag 0x0050, Microsoft mmreg.h MPEG1WAVEFORMAT):
 # the container x codec DISPATCH case — a RIFF/WAVE file whose data

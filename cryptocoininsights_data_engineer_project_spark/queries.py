@@ -2881,8 +2881,9 @@ def multimodal_audio_mpeg_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unpacked little-endian in radix `steps`), two ungrouped "
     "(15/31), and all four scfsi scalefactor-sharing patterns. Same "
     "exact-integer contract as Layer I (q = code - 2^(nb-1) + "
-    "offset, offset 1/2/4 by ladder); high-rate tables 3-B.2a/b "
-    "gate loudly by name. Oracle restates grouped-radix unpacking, "
+    "offset, offset 1/2/4 by ladder); the high-rate tables 3-B.2a/b "
+    "decode too (multimodal_audio_mpeg_l2_hr). Oracle restates "
+    "grouped-radix unpacking, "
     "offsets, and scfsi expansion in closed form "
     "(operators/mpaudiocodec.py; tests/test_mpaudio.py pins "
     "byte-equality, formula equivalence, and the matrixing stage)",
@@ -2905,8 +2906,7 @@ def multimodal_audio_mpeg_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "inner loops of 11172-3 (allocation, scalefactors, samples all "
     "interleave per subband) are exactly what a transposed decoder "
     "gets wrong, and the per-(frame, channel, subband) integer "
-    "numerator stats pin them; joint_stereo (intensity, mode 01) "
-    "gates loudly by name. Same exact-integer contract and "
+    "numerator stats pin them. Same exact-integer contract and "
     "one-mapInPandas shape as the mono queries "
     "(operators/mpaudiocodec.py; tests/test_mpaudio.py)",
 )
@@ -2918,6 +2918,59 @@ def multimodal_audio_mpeg_stereo(
     )
     return multimodal.decode_mpeg_audio_stats(
         multimodal.synth_mpeg_audio_stereo_assets(docs)
+    )
+
+
+@_q(
+    "multimodal_audio_mpeg_js",
+    multimodal.mpeg_audio_js_oracle_sql(),
+    doc="MPEG-1 audio JOINT stereo (intensity coding, mode 01 — "
+    "round 13's named gate, closed): subbands at or above the "
+    "mode_extension bound carry ONE shared allocation and ONE set "
+    "of sample codes but PER-CHANNEL scalefactors (11172-3 "
+    "2.4.1.5). Fixture: bound 8, asymmetric independent "
+    "allocations below it (ch1 skips sb1), two intensity subbands "
+    "above it — the oracle states the SAME integer numerators for "
+    "both channels of an intensity band under different "
+    "scalefactors, so a decoder that re-reads the shared code per "
+    "channel, or shares the scalefactors, breaks the match. Same "
+    "exact-integer contract and one-mapInPandas shape as the other "
+    "mpeg-audio queries (operators/mpaudiocodec.py)",
+)
+def multimodal_audio_mpeg_js(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return multimodal.decode_mpeg_audio_stats(
+        multimodal.synth_mpeg_audio_js_assets(docs)
+    )
+
+
+@_q(
+    "multimodal_audio_mpeg_l2_hr",
+    multimodal.mpeg_audio_l2hr_oracle_sql(),
+    doc="MPEG-1 audio layer II HIGH-RATE table class (Annex 3-B.2a — "
+    "round 13's named gate, closed): 48 kHz / 96 kbps mono selects "
+    "sblimit 27 with per-subband allocation-field widths (4/4/3/2 "
+    "bits) and per-class quantization MENUS replacing the low-rate "
+    "shared ladder; table choice follows the 11172-3 2.4.2.6 rule "
+    "(the dist10 II_pick_table logic). Fixture codes six subbands "
+    "spanning all four menu classes — grouped 3/5/9, ungrouped "
+    "7/31, and the 16-bit 65535 ladder top — plus all four scfsi "
+    "patterns; a decoder reading the wrong field width for a "
+    "3/2-bit class, or the low-rate ladder, breaks the match "
+    "(operators/mpaudiocodec.py::_l2_table_select, _l2_hi_steps)",
+)
+def multimodal_audio_mpeg_l2_hr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return multimodal.decode_mpeg_audio_stats(
+        multimodal.synth_mpeg_audio_l2hr_assets(docs)
     )
 
 

@@ -140,11 +140,6 @@ def test_synthesis_gates_without_window_and_runs_with_one():
 
 def test_loud_gates():
     good = bytearray(_payload(1, 1))
-    # joint stereo (intensity, mode 01) gates loudly by name
-    b = bytearray(good)
-    b[3] = (b[3] & 0b00111111) | 0b01000000
-    with pytest.raises(NotImplementedError, match="joint_stereo"):
-        A.decode_mpeg_audio(bytes(b))
     # layer III code
     b = bytearray(good)
     b[1] = (b[1] & ~0b110) | 0b010
@@ -158,16 +153,41 @@ def test_loud_gates():
     # bad sync
     with pytest.raises(A.MpegAudioError, match="syncword"):
         A.decode_mpeg_audio(b"\x12\x34\x56\x78" * 30)
-    # layer II high-rate table gates BY NAME
-    ops = M._mpa_l2_ops(1)
-    hdr = list(M._mpa_header_bits(2))
-    hdr[16:20] = list("0100")  # bitrate_index 4 = 64 kbps -> high-rate
-    ops[0] = ("b", "".join(hdr))
-    # keep total length consistent: 64k frame = 288 bytes, pad more
-    pad_bits = (288 - 216) * 8
-    ops.append(("b", "0" * pad_bits))
-    with pytest.raises(NotImplementedError, match="3-B.2a/2b"):
-        A.decode_mpeg_audio(M._mpeg_pack(ops))
+
+
+def test_l2_table_select_is_the_dist10_rule():
+    """The 11172-3 2.4.2.6 table choice over every implemented
+    (sampling, kbps/ch) pair, spot-checked against the published
+    selection logic."""
+    assert A._l2_table_select(48000, 56) == ("a", 27)
+    assert A._l2_table_select(48000, 192) == ("a", 27)
+    assert A._l2_table_select(44100, 56) == ("a", 27)
+    assert A._l2_table_select(44100, 80) == ("a", 27)
+    assert A._l2_table_select(32000, 64) == ("a", 27)
+    assert A._l2_table_select(44100, 96) == ("b", 30)
+    assert A._l2_table_select(32000, 96) == ("b", 30)
+    assert A._l2_table_select(44100, 32) == ("c", 8)
+    assert A._l2_table_select(48000, 48) == ("c", 8)
+    assert A._l2_table_select(32000, 32) == ("d", 12)
+    assert A._l2_table_select(32000, 48) == ("d", 12)
+
+
+def test_l2_high_rate_menus_are_the_spec_tables():
+    """Table 3-B.2a/2b menu structure: field widths 4/4/3/2, every
+    menu entry either a grouped class (3/5/9) or 2^nb - 1, and the
+    per-class ladders match the published tables."""
+    assert len(A._L2_HI_NBAL_A) == 27 and len(A._L2_HI_NBAL_B) == 30
+    assert A._L2_HI_NBAL_A == A._L2_HI_NBAL_B[:27]
+    assert A._l2_hi_steps(0, 1) == 3 and A._l2_hi_steps(0, 2) == 7
+    assert A._l2_hi_steps(0, 15) == 65535
+    assert A._l2_hi_steps(3, 2) == 5 and A._l2_hi_steps(3, 15) == 65535
+    assert A._l2_hi_steps(11, 7) == 65535
+    assert A._l2_hi_steps(23, 1) == 3 and A._l2_hi_steps(23, 3) == 65535
+    for sb in range(30):
+        nbal = A._L2_HI_NBAL_B[sb]
+        for a in range(1, (1 << nbal)):
+            st = A._l2_hi_steps(sb, a)
+            assert st in (3, 5, 9) or (st + 1) & st == 0  # 2^nb - 1
 
 
 def test_layer1_forbidden_alloc():
@@ -406,3 +426,87 @@ def test_wav_mpeg_dispatch_guards(spark):
     bad3[at:at+4] = b"junk"
     with pytest.raises(Exception, match="no data chunk"):
         run(bytes(bad3))
+
+
+def test_joint_stereo_intensity_decode(spark):
+    """mode 01: byte-equality of SQL and int-mode fixtures; below the
+    bound channels decode independently (asymmetric allocation);
+    AT/above the bound one transmitted code lands in BOTH channels
+    while scalefactors stay per-channel."""
+    doc = 9
+    b = M._mpeg_pack(M._mpa_js_ops(doc))
+    assert len(b) == 2 * 192
+    docs = spark.createDataFrame([(doc,)], "doc_id long")
+    got = {
+        r.asset_id: bytes(r.payload)
+        for r in M.synth_mpeg_audio_js_assets(docs).collect()
+    }
+    assert got[doc] == b
+
+    frames = A.decode_mpeg_audio(b)
+    assert len(frames) == 2
+    for f, fr in enumerate(frames):
+        assert fr.channels == 2
+        # independent band: asymmetric (ch1 skips sb1)
+        assert fr.alloc[0][1] != 0 and fr.alloc[1][1] == 0
+        for (sb, ch), a_const in M._MPA_JS_A_IND.items():
+            alloc = M._MPA_JS_IND[sb][ch]
+            nb = alloc + 1
+            for g in range(12):
+                c = (
+                    doc * a_const
+                    + g * M._MPA_JS_B_IND[(sb, ch)]
+                    + f * M._MPA_JS_F_IND[(sb, ch)]
+                ) % ((1 << nb) - 1)
+                assert fr.qnum[g, ch, sb] == c - (1 << (nb - 1)) + 1
+        # intensity bands: SAME numerators both channels, OWN scf
+        for sb, alloc in M._MPA_JS_INT.items():
+            nb = alloc + 1
+            assert fr.alloc[0][sb] == fr.alloc[1][sb] == alloc
+            for g in range(12):
+                c = (
+                    doc * M._MPA_JS_A_INT[sb]
+                    + g * M._MPA_JS_B_INT[sb]
+                    + f * M._MPA_JS_F_INT[sb]
+                ) % ((1 << nb) - 1)
+                q = c - (1 << (nb - 1)) + 1
+                assert fr.qnum[g, 0, sb] == q == fr.qnum[g, 1, sb]
+            assert fr.scf[0][sb] == [3 * ((doc + 2 * sb + 0 + f) % 4)]
+            assert fr.scf[1][sb] == [3 * ((doc + 2 * sb + 1 + f) % 4)]
+
+
+def test_l2_high_rate_decode(spark):
+    """Table 3-B.2a: byte-equality of fixtures; per-subband field
+    widths and menus decode to the closed form across all four menu
+    classes including the 16-bit 65535 ladder top."""
+    doc = 5
+    b = M._mpeg_pack(M._mpa_l2hr_ops(doc))
+    assert len(b) == 2 * 288
+    docs = spark.createDataFrame([(doc,)], "doc_id long")
+    got = {
+        r.asset_id: bytes(r.payload)
+        for r in M.synth_mpeg_audio_l2hr_assets(docs).collect()
+    }
+    assert got[doc] == b
+
+    frames = A.decode_mpeg_audio(b)
+    assert len(frames) == 2
+    for f, fr in enumerate(frames):
+        assert fr.layer == 2 and fr.sample_rate == 48000
+        assert fr.channels == 1
+        coded = [sb for sb in range(32) if fr.alloc[0][sb]]
+        assert coded == sorted(M._MPA_HR_ALLOC)
+        for sb, alloc in M._MPA_HR_ALLOC.items():
+            steps = A._l2_hi_steps(sb, alloc)
+            assert fr.steps[0][sb] == steps
+            nb = A._L2_NB.get(steps, steps.bit_length())
+            off = A._L2_OFFSET.get(steps, 1)
+            for s in range(36):
+                g, i = divmod(s, 3)
+                c = (
+                    doc * M._MPA_HR_A[sb]
+                    + g * M._MPA_HR_B[sb]
+                    + i * M._MPA_HR_E[sb]
+                    + f * M._MPA_HR_F[sb]
+                ) % steps
+                assert fr.qnum[s, 0, sb] == c - (1 << (nb - 1)) + off
