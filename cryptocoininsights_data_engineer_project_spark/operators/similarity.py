@@ -1649,12 +1649,30 @@ def build_ivf_index(
     )
 
 
+def assign_to_index(spark, index_dir: str, embeddings: DataFrame) -> DataFrame:
+    """Assign NEW vectors to a persisted IVF index's cells: the
+    centroid table is read once (k rows, broadcast by _ivf_assign) and
+    the assignment is the exact expression build/probe use — so an
+    appended vector lands in the same cell a one-shot rebuild with
+    these centroids would put it. Returns (vec_id, emb, nrm, cid), the
+    persisted-corpus row shape. The streaming maintenance path
+    (streaming/ingest.py::stream_incremental_similarity) calls this
+    per micro-batch."""
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    return (
+        _ivf_assign(_ivf_vecs(embeddings), cents)
+        .withColumn("nrm", F.expr("sqrt(vv)"))
+        .select("vec_id", "emb", "nrm", "cid")
+    )
+
+
 def probe_ivf_index(
     spark,
     index_dir: str,
     queries: DataFrame,
     k: int = IVF_TOP_K,
     nprobe: int = IVF_NPROBE,
+    delta: DataFrame | None = None,
 ) -> DataFrame:
     """Serve top-k from a persisted IVF index: score the query batch
     against the (tiny) centroid table, keep the nprobe nearest cells
@@ -1692,6 +1710,17 @@ def probe_ivf_index(
     corpus = spark.read.parquet(f"{index_dir}/corpus").filter(
         F.col("cid").isin(cell_ids)
     )
+    if delta is not None:
+        # streaming-appended vectors (stream_incremental_similarity):
+        # the base corpus partition-prunes; the DELTA is a plain scan
+        # with the cid predicate pushed — bounded by the re-index
+        # cadence (the FAISS/Lucene base+delta serving shape), and
+        # compactable into the partitioned base per cell
+        corpus = corpus.unionByName(
+            delta.select("vec_id", "emb", "nrm", "cid").filter(
+                F.col("cid").isin(cell_ids)
+            )
+        )
     cand = corpus.join(F.broadcast(probes), "cid").filter(
         F.col("query_id") != F.col("vec_id")
     )

@@ -693,6 +693,66 @@ def warc_html_text(assets: DataFrame) -> DataFrame:
     )
 
 
+_DOC_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("record_idx", T.LongType(), False),
+        T.StructField("url", T.StringType(), True),
+        T.StructField("doc_format", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("n_chars", T.LongType(), False),
+    ]
+)
+
+
+def warc_doc_text(assets: DataFrame) -> DataFrame:
+    """WARC archives → one row of extracted text per TEXT-CARRYING
+    response record, HTML and PDF both (VERDICT r13 item 1: the
+    corpus chain previously dropped every PDF response): the same
+    single fused mapInPandas pass as warc_html_text, with
+    application/pdf entities routed through operators/pdftext.py
+    (pages joined by newlines — one document per response, the
+    corpus grain). Content-Encoding is undone before either
+    extractor. Other content types skip executor-side."""
+    from .pdftext import pdf_text
+
+    snap = _codec_snapshot()
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _install_codecs(snap)
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _DOC_TEXT_SCHEMA}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for i, rec in enumerate(parse_warc(bytes(payload))):
+                    if rec["headers"].get("warc-type") != "response":
+                        continue
+                    _status, hh, entity = split_http_response(rec["body"])
+                    ctype = hh.get("content-type", "")
+                    if "html" in ctype:
+                        fmt = "html"
+                        text = html_to_text(_decode_entity(hh, entity))
+                    elif "application/pdf" in ctype:
+                        fmt = "pdf"
+                        text = "\n".join(
+                            pdf_text(decode_content_encoding(hh, entity))
+                        )
+                    else:
+                        continue
+                    rows["asset_id"].append(int(aid))
+                    rows["record_idx"].append(i)
+                    rows["url"].append(
+                        rec["headers"].get("warc-target-uri")
+                    )
+                    rows["doc_format"].append(fmt)
+                    rows["text"].append(text)
+                    rows["n_chars"].append(len(text))
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _extract, schema=_DOC_TEXT_SCHEMA
+    )
+
+
 HTML_WORDS = 12
 _CRLF = "char(13), char(10)"
 

@@ -275,10 +275,13 @@ def extend_training_corpus(
 
 def docs_from_warc(assets: DataFrame, *, source: str = "warc") -> DataFrame:
     """WARC archives → a documents-shaped frame the corpus pipeline
-    consumes: (doc_id, text, lang, source, n_chars), one row per HTML
-    response record (webarchive.warc_html_text — parse, envelope
-    peel, and tag strip fused in one mapInPandas pass; the archive
-    payload never leaves the scan stage).
+    consumes: (doc_id, text, lang, source, n_chars), one row per
+    text-carrying response record — HTML (tag strip) AND PDF
+    (operators/pdftext.py; round 14 — PDFs were previously dropped)
+    — via webarchive.warc_doc_text: parse, envelope peel,
+    content-encoding undo, and format-dispatched extraction fused in
+    one mapInPandas pass; the archive payload never leaves the scan
+    stage.
 
     ``lang`` is NULL: crawls carry no trusted language label, and the
     pipeline's gate classifies from the text itself
@@ -286,7 +289,7 @@ def docs_from_warc(assets: DataFrame, *, source: str = "warc") -> DataFrame:
     metadata only. ``doc_id`` is the asset id — callers ingesting
     multi-response archives should re-key before the pipeline (the
     synthetic fixtures are one response per archive)."""
-    return webarchive.warc_html_text(assets).select(
+    return webarchive.warc_doc_text(assets).select(
         F.col("asset_id").alias("doc_id"),
         "text",
         F.lit(None).cast("string").alias("lang"),

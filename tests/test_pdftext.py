@@ -1,0 +1,215 @@
+"""PDF text extraction (operators/pdftext.py): fixture byte-equality
+between the SQL hex pieces and the int-mode emitter, extractor vs
+closed form, the literal-string escape grammar, FlateDecode, the page
+tree walk, every loud gate, and the WARC chain wiring."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from cryptocoininsights_data_engineer_project_spark.operators import (
+    pdftext as P,
+)
+
+
+def build_pdf(contents_list, *, flate=False, extra_trailer="",
+              filter_name="FlateDecode", decode_parms="",
+              length_override=None):
+    """Independent spec-true builder (NOT the module's emitter) so
+    the extractor is tested against a second implementation."""
+    objs = [b"<< /Type /Catalog /Pages 2 0 R >>"]
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(len(contents_list)))
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {len(contents_list)} >>"
+        .encode()
+    )
+    for i, c in enumerate(contents_list):
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /Contents {4 + 2 * i} 0 R >>"
+            .encode()
+        )
+        data = zlib.compress(c) if flate else c
+        f = f" /Filter /{filter_name}".encode() if flate else b""
+        declared = len(data) if length_override is None else length_override
+        objs.append(
+            b"<< /Length " + str(declared).encode() + f
+            + decode_parms.encode() + b" >>\nstream\n" + data
+            + b"\nendstream"
+        )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for n, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_off = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R{extra_trailer} >>"
+        f"\nstartxref\n{xref_off}\n%%EOF\n".encode()
+    )
+    return bytes(out)
+
+
+def test_sql_fixture_bytes_equal_int_mode(spark):
+    docs = spark.createDataFrame([(3,), (42,), (117,)], "doc_id long")
+    got = {
+        r.asset_id: bytes(r.payload)
+        for r in P.synth_pdf_assets(docs).collect()
+    }
+    for d in (3, 42, 117):
+        assert got[d] == P.synth_pdf_bytes(d)
+    # constant layout: every document has the same byte length
+    assert len({len(v) for v in got.values()}) == 1
+
+
+def test_fixture_text_closed_form():
+    for d in (0, 9, 31337):
+        pages = P.pdf_text(P.synth_pdf_bytes(d))
+        words = " ".join(
+            chr(97 + (d * 7 + 5 * i) % 26) for i in range(P.PDF_WORDS)
+        )
+        assert pages == [
+            f"Doc {d:08d} Title {words}",
+            f"Tail {chr(65 + (d * 3) % 26)}",
+        ]
+
+
+def test_flate_decode_and_second_builder():
+    c1 = b"BT /F1 12 Tf 72 720 Td (Doc 42 Title) Tj 0 -14 Td (hello) Tj (!) Tj ET"
+    c2 = b"BT 72 720 Td [(T)-120(ail \\()] TJ 0 -14 Td <4A4B> Tj T* (oct\\101) Tj ET"
+    want = ["Doc 42 Title hello!", "Tail ( JK octA"]
+    assert P.pdf_text(build_pdf([c1, c2])) == want
+    assert P.pdf_text(build_pdf([c1, c2], flate=True)) == want
+
+
+def test_escape_grammar():
+    c = (
+        b"BT (a\\nb\\tc) Tj T* (nest (inner) out) Tj T* "
+        b"(cont\\\ninued) Tj T* (\\101\\10\\7) Tj T* <414> Tj ET"
+    )
+    pages = P.pdf_text(build_pdf([c]))
+    # octal \101='A', \10='\x08', \7='\x07'; odd hex digit pads 0:
+    # <414> = 0x41 0x40 = 'A@'
+    assert pages == ["a\nb\tc nest (inner) out continued A\x08\x07 A@"]
+
+
+def test_nested_page_tree():
+    """Pages under intermediate /Pages nodes come out depth-first."""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R 6 0 R] /Count 2 >>",
+        b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 3 0 R /Contents 5 0 R >>",
+        b"<< /Length 14 >>\nstream\nBT (p1) Tj ET\nendstream",
+        b"<< /Type /Page /Parent 2 0 R /Contents 7 0 R >>",
+        b"<< /Length 14 >>\nstream\nBT (p2) Tj ET\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for n, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_off = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode() + b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_off}\n%%EOF\n".encode()
+    )
+    assert P.pdf_text(bytes(out)) == ["p1", "p2"]
+
+
+def test_loud_gates():
+    base = build_pdf([b"BT (x) Tj ET"])
+    # encryption
+    enc = build_pdf([b"BT (x) Tj ET"], extra_trailer=" /Encrypt 9 0 R")
+    with pytest.raises(NotImplementedError, match="encrypted PDF"):
+        P.pdf_text(enc)
+    # xref stream: startxref pointing at an object header
+    bad = base.replace(b"xref\n0 ", b"9 0 obj\n<< /Type /XRef >>\n0 ")
+    with pytest.raises(
+        (NotImplementedError, P.PdfError)
+    ):
+        P.pdf_text(bad)
+    # a clean synthetic xref-stream shape gates BY NAME
+    stream_xref = base[: base.rfind(b"startxref")] + (
+        b"startxref\n9\n%%EOF\n"  # offset 9 = "1 0 obj" header
+    )
+    with pytest.raises(NotImplementedError, match="cross-reference stream"):
+        P.pdf_text(stream_xref)
+    # unknown filter
+    lzw = build_pdf([b"BT (x) Tj ET"], flate=True, filter_name="LZWDecode")
+    with pytest.raises(NotImplementedError, match="LZWDecode"):
+        P.pdf_text(lzw)
+    # FlateDecode + predictors
+    parms = build_pdf(
+        [b"BT (x) Tj ET"], flate=True,
+        decode_parms=" /DecodeParms << /Predictor 12 >>",
+    )
+    with pytest.raises(NotImplementedError, match="DecodeParms"):
+        P.pdf_text(parms)
+    # not a PDF
+    with pytest.raises(P.PdfError, match="%PDF-"):
+        P.pdf_text(b"GIF89a not a pdf")
+    # missing startxref
+    with pytest.raises(P.PdfError, match="startxref"):
+        P.pdf_text(b"%PDF-1.4\njunk\n%%EOF\n")
+    # stream whose declared /Length overruns the file
+    trunc = build_pdf([b"BT (x) Tj ET"], length_override=99999)
+    with pytest.raises(P.PdfError, match="truncated"):
+        P.pdf_text(trunc)
+
+
+def test_warc_doc_text_extracts_html_and_pdf(spark):
+    """The fused WARC extractor: one archive carrying an HTML page, a
+    gzip-encoded PDF, and an image — two text rows out, the image
+    skipped, Content-Encoding undone before the PDF parser."""
+    import gzip
+
+    from cryptocoininsights_data_engineer_project_spark.operators import (
+        webarchive as W,
+    )
+
+    html = b"<html><body><p>html doc text</p></body></html>"
+    pdf = build_pdf([b"BT (pdf doc text) Tj ET"])
+
+    def rec(url, ctype, entity, enc=None):
+        hh = f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+        if enc:
+            hh += f"Content-Encoding: {enc}\r\n"
+        http = hh.encode() + b"\r\n" + entity
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + f"WARC-Target-URI: {url}\r\n".encode()
+            + f"Content-Length: {len(http)}\r\n\r\n".encode()
+            + http + b"\r\n\r\n"
+        )
+
+    warc = (
+        rec("http://x.test/a.html", "text/html", html)
+        + rec("http://x.test/b.pdf", "application/pdf",
+              gzip.compress(pdf), enc="gzip")
+        + rec("http://x.test/c.png", "image/png", b"\x89PNG fake")
+    )
+    assets = spark.createDataFrame(
+        [(1, bytearray(warc))], "asset_id long, payload binary"
+    )
+    rows = sorted(W.warc_doc_text(assets).collect(), key=lambda r: r.record_idx)
+    assert [r.doc_format for r in rows] == ["html", "pdf"]
+    assert "html doc text" in rows[0].text
+    assert rows[1].text == "pdf doc text"
+
+    from cryptocoininsights_data_engineer_project_spark.pipeline.corpus import (
+        docs_from_warc,
+    )
+
+    docs = docs_from_warc(assets)
+    texts = {r.text for r in docs.collect()}
+    assert any("pdf doc text" in t for t in texts)
+    assert any("html doc text" in t for t in texts)
