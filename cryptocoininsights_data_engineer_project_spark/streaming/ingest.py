@@ -894,3 +894,63 @@ def stream_warc_to_corpus_docs(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_incremental_similarity(
+    spark: SparkSession,
+    vecs_dir: str,
+    index_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    n_buckets: int = 8,
+):
+    """Streaming maintenance of a persisted IVF index (VERDICT r13
+    item 5 — the last build/probe/stream triad asymmetry): embedding
+    vectors arrive as parquet files of (vec_id, embedding); each
+    micro-batch is ASSIGNED to the index's existing cells with the
+    exact build/probe expression (operators/similarity.py::
+    assign_to_index — the centroid table is k rows, broadcast; no
+    retraining, the IVF serving contract) and upserted into a
+    manifest-committed delta BucketedTable keyed vec_id with a txn
+    marker, so a replayed micro-batch is SKIPPED at the manifest —
+    exactly-once, the stream_incremental_dedup discipline.
+
+    Serving reads base + delta: ``probe_ivf_index(..., delta=
+    delta_tbl.read())`` — the partitioned base prunes cells at the
+    FILE level, the (re-index-cadence-bounded) delta is one scan with
+    the cid predicate pushed, the FAISS/Lucene base+delta shape.
+    Pinned ≡ one-shot: probing base+delta equals probing an index
+    whose corpus was laid out in one shot from the SAME centroids
+    over seed ∪ all delivered vectors (tests/test_ivf_index.py) —
+    batching cannot move a vector between cells because assignment
+    is per-vector against fixed centroids. Returns the started query
+    (AvailableNow by default)."""
+    from ..operators.similarity import assign_to_index
+    from ..pipeline.table import BucketedTable
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(vecs_dir)
+    )
+    delta_tbl = BucketedTable(
+        spark, table_root + "/delta", ["vec_id"], n_buckets=n_buckets
+    )
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        assigned = assign_to_index(spark, index_dir, batch_df)
+        delta_tbl.upsert(
+            assigned, txn=(checkpoint_dir + "#delta", batch_id)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -121,3 +121,91 @@ def test_ivfpq_probe_prunes_partitions(spark, sf_dir, tmp_path):
     all_files = set(spark.read.parquet(f"{idx}/corpus").inputFiles())
     assert 0 < len(read_files) < len(all_files)
     assert all(any(f"cid={c}/" in f for c in probe_cids) for f in read_files)
+
+
+def test_stream_incremental_similarity_pinned_to_oneshot(
+    spark, sf_dir, tmp_path
+):
+    """Streaming ANN maintenance (VERDICT r13 item 5): build an IVF
+    index on a SEED slice, stream the remaining vectors in two
+    micro-batch files, and pin probe(base + delta) row-for-row to
+    probing an index laid out in ONE SHOT from the same centroids
+    over seed ∪ streamed. Then replay the whole stream against a
+    fresh checkpoint and assert the delta table is txn-convergent
+    (the second run's rows equal the first's)."""
+    from cryptocoininsights_data_engineer_project_spark.pipeline.table import (
+        BucketedTable,
+    )
+    from cryptocoininsights_data_engineer_project_spark.streaming.ingest import (
+        stream_incremental_similarity,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    seed = emb.filter(F.col("vec_id") % 3 == 0)
+    rest1 = emb.filter(F.col("vec_id") % 3 == 1)
+    rest2 = emb.filter(F.col("vec_id") % 3 == 2)
+
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(seed, idx)
+
+    vecs_dir = str(tmp_path / "arrivals")
+    rest1.select("vec_id", "embedding").coalesce(1).write.mode(
+        "append"
+    ).parquet(vecs_dir)
+    rest2.select("vec_id", "embedding").coalesce(1).write.mode(
+        "append"
+    ).parquet(vecs_dir)
+
+    troot = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_incremental_similarity(spark, vecs_dir, idx, troot, ckpt)
+    q.awaitTermination(120)
+    delta_tbl = BucketedTable(spark, troot + "/delta", ["vec_id"])
+    delta = delta_tbl.read()
+    assert delta.count() == rest1.count() + rest2.count()
+
+    queries = (
+        similarity._ivf_vecs(emb)
+        .filter(F.col("vec_id") % similarity.QUERY_MODULUS == 0)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+        )
+    )
+    served = {
+        (r["query_id"], r["neighbor_id"], r["cosine"])
+        for r in similarity.probe_ivf_index(
+            spark, idx, queries, delta=delta
+        ).collect()
+    }
+
+    # one-shot twin: SAME centroids, corpus = seed ∪ streamed
+    idx2 = str(tmp_path / "ivf2")
+    cents = spark.read.parquet(f"{idx}/centroids")
+    assigned = (
+        similarity._ivf_assign(similarity._ivf_vecs(emb), cents)
+        .withColumn("nrm", F.expr("sqrt(vv)"))
+    )
+    assigned.select("vec_id", "emb", "nrm", "cid").write.partitionBy(
+        "cid"
+    ).mode("overwrite").parquet(f"{idx2}/corpus")
+    cents.write.mode("overwrite").parquet(f"{idx2}/centroids")
+    oneshot = {
+        (r["query_id"], r["neighbor_id"], r["cosine"])
+        for r in similarity.probe_ivf_index(spark, idx2, queries).collect()
+    }
+    assert served == oneshot and served
+
+    # replay convergence: a fresh checkpoint re-delivers every file;
+    # the txn markers make the re-upserts idempotent at the manifest
+    before = sorted(
+        (r["vec_id"], r["cid"]) for r in delta.select("vec_id", "cid").collect()
+    )
+    q2 = stream_incremental_similarity(
+        spark, vecs_dir, idx, troot, str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(120)
+    after = sorted(
+        (r["vec_id"], r["cid"])
+        for r in delta_tbl.read().select("vec_id", "cid").collect()
+    )
+    assert after == before
