@@ -58,6 +58,9 @@ _BITRATE_L1 = [
 _BITRATE_L2 = [
     None, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384,
 ]
+_BITRATE_L3 = [
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+]
 _SAMPLING = {0: 44100, 1: 48000, 2: 32000}
 
 # Layer II low-rate ladder (Annex 3-B tables 2c/2d): alloc value ->
@@ -216,7 +219,7 @@ def _parse_header(b: bytes, pos: int):
     elif layer_code == 2:
         layer = 2
     elif layer_code == 1:
-        raise MpegAudioError("Layer III is outside the 11172-3 subset here")
+        layer = 3
     else:
         raise MpegAudioError("reserved layer code")
     protection = (h >> 16) & 1
@@ -238,10 +241,12 @@ def _parse_header(b: bytes, pos: int):
     mode_ext = (h >> 4) & 3
     bound = 4 * (mode_ext + 1) if mode == 1 else 32
     rate = _SAMPLING[sampling_index]
-    kbps = (_BITRATE_L1 if layer == 1 else _BITRATE_L2)[bitrate_index]
+    kbps = {1: _BITRATE_L1, 2: _BITRATE_L2, 3: _BITRATE_L3}[layer][
+        bitrate_index
+    ]
     if layer == 1:
         frame_bytes = 4 * (12 * kbps * 1000 // rate + padding)
-    else:
+    else:  # layers II and III share the 144-coefficient frame size
         frame_bytes = 144 * kbps * 1000 // rate + padding
     return layer, protection, rate, kbps, nch, bound, frame_bytes
 
@@ -421,6 +426,11 @@ def _protected_side_bits(body: bytes, layer: int, rate: int,
         )
         bits += [_frame_bit(body, start + i) for i in range(n_alloc_bits)]
         return bits
+    if layer == 3:
+        # the CRC covers the whole fixed-size side information
+        # (2.4.1.7): 9 + 5/3 + 4*nch scfsi + 2 * 59 * nch granule bits
+        n_side = 9 + (5 if nch == 1 else 3) + 4 * nch + 118 * nch
+        return [_frame_bit(body, start + i) for i in range(n_side)]
     table, sblimit = _l2_table_select(rate, kbps // nch)
     if table in ("a", "b"):
         nbal = _L2_HI_NBAL_A if table == "a" else _L2_HI_NBAL_B
@@ -460,6 +470,7 @@ def decode_mpeg_audio(payload: bytes) -> list[AudioFrame]:
     frames are padded to the header-implied slot count, like real
     ancillary-data regions)."""
     frames: list[AudioFrame] = []
+    l3_infos: list[tuple] = []
     pos = 0
     n = len(payload)
     while pos + 4 <= n:
@@ -485,11 +496,21 @@ def decode_mpeg_audio(payload: bytes) -> list[AudioFrame]:
                     f"frame CRC mismatch: stored {crc_stored:#06x}, "
                     f"computed {crc:#06x}"
                 )
+        if (l3_infos and layer != 3) or (frames and layer == 3):
+            raise MpegAudioError("mixed layer-III / layer-I/II stream")
         if layer == 1:
             frames.append(_decode_frame_l1(br, rate, kbps, nch, bound))
-        else:
+        elif layer == 2:
             frames.append(_decode_frame_l2(br, rate, kbps, nch, bound))
+        else:  # layer III: reservoir spans frames — decode after walk
+            l3_infos.append(
+                (pos, frame_bytes, protection, rate, kbps, nch)
+            )
         pos += frame_bytes
+    if l3_infos:
+        from .mp3codec import decode_mp3_frames
+
+        return decode_mp3_frames(payload, l3_infos)
     if not frames:
         raise MpegAudioError("no audio frames found")
     return frames

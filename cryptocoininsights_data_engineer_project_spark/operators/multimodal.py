@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -6634,6 +6635,168 @@ def mpeg_audio_l2hr_oracle_sql() -> str:
                 f"CAST(sum({q} * {q}) AS BIGINT) AS q_energy "
                 "FROM documents, UNNEST(generate_series(0, 35)) AS g(s) "
                 "GROUP BY doc_id"
+            )
+    return "\nUNION ALL\n".join(parts)
+
+
+# ------------------------------------------- mpeg-1 audio layer III
+# MP3 (VERDICT r13 item 2): two-frame mono streams whose integer
+# FREQUENCY LINES are SQL-stated — the fixture confines every
+# big-values pair to Huffman table 1's (1, 1) entry (code '000',
+# 3 bits — the mpegcodec one-length-class VLC discipline), so only
+# the per-pair SIGN bits and the 8-bit global_gain carry doc_id and
+# the bit layout stays constant. 4 pairs per granule -> lines
+# 0..7 = ±1 by closed form, 8..575 zero region.
+MP3_PAIRS = 4
+
+
+def _mp3_header_bits() -> str:
+    """MPEG-1 layer III, no CRC, 96 kbps, 48 kHz, mono: 288-byte
+    frames."""
+    return (
+        "1" * 12 + "1" + "01" + "1" + "0111" + "01"
+        + "0" + "0" + "11" + "00" + "0" + "0" + "00"
+    )
+
+
+def _mp3_gain(doc, g: int, f: int):
+    if isinstance(doc, int):
+        return (doc * 5 + 2 * g + f) % 256
+    return f"((({doc}) * 5 + {2 * g + f}) % 256)"
+
+
+def _mp3_sx(doc, p: int, g: int, f: int):
+    if isinstance(doc, int):
+        return (doc + 3 * p + 5 * g + 7 * f) % 2
+    return f"((({doc}) + {3 * p + 5 * g + 7 * f}) % 2)"
+
+
+def _mp3_sy(doc, p: int, g: int, f: int):
+    if isinstance(doc, int):
+        return (doc * 3 + p + 2 * g + f) % 2
+    return f"((({doc}) * 3 + {p + 2 * g + f}) % 2)"
+
+
+def _mpa_l3_ops(doc) -> list[tuple]:
+    """Two layer-III frames as _mpeg_pack ops."""
+    ops: list[tuple] = []
+    for f in range(MPA_FRAMES):
+        ops.append(("b", _mp3_header_bits()))
+        bits_used = 32
+        # side info (mono, 136 bits): main_data_begin 0, scfsi 0
+        ops.append(("b", "0" * 9 + "0" * 5 + "0000"))
+        bits_used += 18
+        for g in range(2):
+            ops.append(("b", format(5 * MP3_PAIRS, "012b")))
+            ops.append(("b", format(MP3_PAIRS, "09b")))
+            ops.append(("s", _mp3_gain(doc, g, f), 8))
+            # scalefac_compress 0, wsf 0, tables 1/1/1, r0 15, r1 5,
+            # preflag/scalefac_scale/count1table 0
+            ops.append(
+                ("b", "0000" + "0" + "00001" * 3 + "1111" + "101" + "000")
+            )
+            bits_used += 12 + 9 + 8 + 4 + 1 + 15 + 4 + 3 + 3
+        for g in range(2):
+            for p in range(MP3_PAIRS):
+                ops.append(("b", "000"))  # table 1 (1,1) code
+                ops.append(("s", _mp3_sx(doc, p, g, f), 1))
+                ops.append(("s", _mp3_sy(doc, p, g, f), 1))
+                bits_used += 5
+        ops.append(("b", "0" * (288 * 8 - bits_used)))
+    return ops
+
+
+def synth_mpeg_audio_l3_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): two-frame layer-III streams."""
+    pieces = _mpeg_pack(_mpa_l3_ops("doc_id"))
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr("unhex(concat(" + ", ".join(pieces) + "))").alias("payload"),
+    )
+
+
+_MP3_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("granule", T.LongType(), False),
+        T.StructField("channel", T.LongType(), False),
+        T.StructField("big_values", T.LongType(), False),
+        T.StructField("global_gain", T.LongType(), False),
+        T.StructField("n_nonzero", T.LongType(), False),
+        T.StructField("line_sum", T.LongType(), False),
+        T.StructField("line_energy", T.LongType(), False),
+        T.StructField("line_checksum", T.LongType(), False),
+    ]
+)
+
+
+def decode_mpeg_l3_stats(assets: DataFrame) -> DataFrame:
+    """Layer III streams → per-(frame, granule, channel) INTEGER
+    frequency-line stats (the spec's is[i] before any float stage):
+    position-weighted checksum pins both values and positions. One
+    mapInPandas pass; payload bytes never shuffle."""
+    from .mpaudiocodec import decode_mpeg_audio
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _MP3_STATS_SCHEMA}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for fi, fr in enumerate(decode_mpeg_audio(bytes(payload))):
+                    for g in range(2):
+                        for ch in range(fr.channels):
+                            gi = fr.granules[g][ch]
+                            ln = gi.lines
+                            idx = np.arange(1, 577, dtype=np.int64)
+                            rows["asset_id"].append(int(aid))
+                            rows["frame_idx"].append(fi)
+                            rows["granule"].append(g)
+                            rows["channel"].append(ch)
+                            rows["big_values"].append(gi.big_values)
+                            rows["global_gain"].append(gi.global_gain)
+                            rows["n_nonzero"].append(
+                                int((ln != 0).sum())
+                            )
+                            rows["line_sum"].append(int(ln.sum()))
+                            rows["line_energy"].append(
+                                int((ln * ln).sum())
+                            )
+                            rows["line_checksum"].append(
+                                int((ln * idx * idx).sum())
+                            )
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _decode, schema=_MP3_STATS_SCHEMA
+    )
+
+
+def mpeg_audio_l3_oracle_sql() -> str:
+    """Closed form per (frame, granule): lines 2p / 2p+1 are
+    (1 - 2*sign) by the fixture's sign formulas — a decoder that
+    mis-walks the side info, the reservoir offset, a Huffman code,
+    or a sign bit breaks the match."""
+    parts = []
+    for f in range(MPA_FRAMES):
+        for g in range(2):
+            sx = f"((doc_id + 3 * p.p + {5 * g + 7 * f}) % 2)"
+            sy = f"((doc_id * 3 + p.p + {2 * g + f}) % 2)"
+            vx = f"(1 - 2 * {sx})"
+            vy = f"(1 - 2 * {sy})"
+            parts.append(
+                f"SELECT doc_id AS asset_id, CAST({f} AS BIGINT) AS frame_idx, "
+                f"CAST({g} AS BIGINT) AS granule, "
+                "CAST(0 AS BIGINT) AS channel, "
+                f"CAST({MP3_PAIRS} AS BIGINT) AS big_values, "
+                f"CAST({_mp3_gain('doc_id', g, f)} AS BIGINT) AS global_gain, "
+                f"CAST({2 * MP3_PAIRS} AS BIGINT) AS n_nonzero, "
+                f"CAST(sum({vx} + {vy}) AS BIGINT) AS line_sum, "
+                f"CAST({2 * MP3_PAIRS} AS BIGINT) AS line_energy, "
+                f"CAST(sum({vx} * (2 * p.p + 1) * (2 * p.p + 1) + "
+                f"{vy} * (2 * p.p + 2) * (2 * p.p + 2)) AS BIGINT) "
+                "AS line_checksum "
+                f"FROM documents, UNNEST(generate_series(0, {MP3_PAIRS - 1}))"
+                " AS p(p) GROUP BY doc_id"
             )
     return "\nUNION ALL\n".join(parts)
 

@@ -3000,6 +3000,38 @@ def multimodal_audio_mpeg_l2_hr(
 
 
 @_q(
+    "multimodal_audio_mp3",
+    multimodal.mpeg_audio_l3_oracle_sql(),
+    doc="MP3 — MPEG-1 audio Layer III (round 13's biggest named "
+    "audio gap, closed at the BIT layer): side information parse "
+    "(main_data_begin, scfsi, per-granule part2_3_length / "
+    "big_values / table_select / regions), the bit RESERVOIR "
+    "(main data located back inside earlier frames' slots), "
+    "scalefactor decode (slen pairs, scfsi copy groups), and the "
+    "big-values + count1 Huffman stage over the bundled Table "
+    "3-B.7 subset (tables 0-3 + count1 A/B, structural Kraft/"
+    "prefix invariants pinned in tests) — decoded to the spec's "
+    "INTEGER frequency lines is[0..575], the exact-integer "
+    "contract of the L1/L2 queries (floats start strictly after "
+    "this output: x^(4/3) requantization and the hybrid "
+    "IMDCT/synthesis sit behind the register seam). Fixture "
+    "confines every pair to table 1's (1,1) entry (one-length-"
+    "class VLC, the mpegcodec discipline) so only sign bits and "
+    "global_gain carry doc_id; the oracle states every line's "
+    "sign and position in closed form "
+    "(operators/mp3codec.py; loud gates: short/mixed blocks, "
+    "linbits/ESC tables, reservoir overrun)",
+)
+def multimodal_audio_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return multimodal.decode_mpeg_l3_stats(
+        multimodal.synth_mpeg_audio_l3_assets(docs)
+    )
+
+
+@_q(
     "multimodal_wav_mpeg",
     multimodal.mpeg_audio_oracle_sql(layer=1),
     doc="MPEG audio INSIDE WAV (fmt tag 0x0050, WAVE_FORMAT_MPEG / "

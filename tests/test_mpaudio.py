@@ -140,10 +140,10 @@ def test_synthesis_gates_without_window_and_runs_with_one():
 
 def test_loud_gates():
     good = bytearray(_payload(1, 1))
-    # layer III code
+    # reserved layer code (00)
     b = bytearray(good)
-    b[1] = (b[1] & ~0b110) | 0b010
-    with pytest.raises(A.MpegAudioError, match="Layer III"):
+    b[1] &= ~0b110
+    with pytest.raises(A.MpegAudioError, match="reserved layer"):
         A.decode_mpeg_audio(bytes(b))
     # free-format bitrate
     b = bytearray(good)
