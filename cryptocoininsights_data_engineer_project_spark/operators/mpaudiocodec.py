@@ -473,6 +473,20 @@ def decode_mpeg_audio(payload: bytes) -> list[AudioFrame]:
     l3_infos: list[tuple] = []
     pos = 0
     n = len(payload)
+    if payload[:3] == b"ID3" and n >= 10:
+        # ID3v2 envelope (the shape crawled MP3s actually arrive in):
+        # 10-byte header, 28-bit SYNCSAFE size, optional 10-byte
+        # footer (flag bit 4). Tag content is metadata, not audio —
+        # skip it; a lying size still fails loudly at the syncword.
+        if any(b & 0x80 for b in payload[6:10]):
+            raise MpegAudioError("ID3v2 size bytes must be syncsafe")
+        size = (
+            (payload[6] << 21) | (payload[7] << 14)
+            | (payload[8] << 7) | payload[9]
+        )
+        pos = 10 + size + (10 if payload[5] & 0x10 else 0)
+        if pos >= n:
+            raise MpegAudioError("ID3v2 tag extends past payload")
     while pos + 4 <= n:
         if payload[pos] == 0 and not any(payload[pos:]):
             break  # trailing pad

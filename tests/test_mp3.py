@@ -289,3 +289,27 @@ def test_mutation_fuzz_never_crashes_untyped():
             A.decode_mpeg_audio(bytes(mut))
         except (A.MpegAudioError, NotImplementedError):
             pass
+
+
+def test_id3v2_envelope_skipped():
+    """Crawled MP3s arrive wrapped in an ID3v2 tag: the syncsafe-size
+    envelope (with and without the footer flag) is skipped before the
+    frame walk; a non-syncsafe size and an overrunning tag gate."""
+    audio = _payload(7)
+    body = b"TIT2\x00\x00\x00\x05\x00\x00\x00song"
+    tag = b"ID3\x04\x00\x00" + bytes(
+        [len(body) >> 21 & 0x7F, len(body) >> 14 & 0x7F,
+         len(body) >> 7 & 0x7F, len(body) & 0x7F]
+    ) + body
+    frames = A.decode_mpeg_audio(tag + audio)
+    assert len(frames) == 2 and frames[0].layer == 3
+    # footer flag adds 10 bytes after the tag body
+    tagf = b"ID3\x04\x00\x10" + tag[6:10] + body + b"3DI" + b"\x00" * 7
+    assert len(A.decode_mpeg_audio(tagf + audio)) == 2
+    # works for layer I/II streams too
+    l1 = M._mpeg_pack(M._mpa_l1_ops(3))
+    assert len(A.decode_mpeg_audio(tag + l1)) == 2
+    with pytest.raises(A.MpegAudioError, match="syncsafe"):
+        A.decode_mpeg_audio(b"ID3\x04\x00\x00\x00\x00\x00\x80" + audio)
+    with pytest.raises(A.MpegAudioError, match="extends past"):
+        A.decode_mpeg_audio(b"ID3\x04\x00\x00\x7f\x7f\x7f\x7f" + audio)
