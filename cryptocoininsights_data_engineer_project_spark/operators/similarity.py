@@ -1666,6 +1666,34 @@ def assign_to_index(spark, index_dir: str, embeddings: DataFrame) -> DataFrame:
     )
 
 
+def compact_ivf_delta(spark, index_dir: str, delta: DataFrame) -> int:
+    """Fold streamed delta rows (vec_id, emb, nrm, cid — the
+    stream_incremental_similarity table) into the partitioned base
+    corpus, rewriting ONLY the cells the delta touches (dynamic
+    partition overwrite — untouched cell directories are not
+    rewritten): the periodic re-index step that keeps the
+    pushed-predicate delta scan bounded. Returns the number of cells
+    rewritten. After compaction the caller truncates/retires the
+    delta table; probe(base') ≡ probe(base, delta) because both
+    sides carry exactly the same (vec_id, emb, nrm, cid) rows."""
+    cells = [r["cid"] for r in delta.select("cid").distinct().collect()]
+    if not cells:
+        return 0
+    base = spark.read.parquet(f"{index_dir}/corpus").filter(
+        F.col("cid").isin(cells)
+    )
+    merged = base.unionByName(
+        delta.select("vec_id", "emb", "nrm", "cid")
+    ).localCheckpoint()  # sever self-read-overwrite lineage
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cid")
+        .parquet(f"{index_dir}/corpus")
+    )
+    return len(cells)
+
+
 def probe_ivf_index(
     spark,
     index_dir: str,

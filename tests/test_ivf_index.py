@@ -209,3 +209,39 @@ def test_stream_incremental_similarity_pinned_to_oneshot(
         for r in delta_tbl.read().select("vec_id", "cid").collect()
     )
     assert after == before
+
+
+def test_compact_ivf_delta(spark, sf_dir, tmp_path):
+    """Folding the streamed delta into the base rewrites only touched
+    cells and leaves probe results identical to base+delta serving."""
+    emb = table(spark, sf_dir, "embeddings")
+    seed = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(seed, idx)
+    delta = similarity.assign_to_index(spark, idx, rest).localCheckpoint()
+
+    queries = (
+        similarity._ivf_vecs(emb)
+        .filter(F.col("vec_id") % similarity.QUERY_MODULUS == 0)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+        )
+    )
+    with_delta = {
+        tuple(r)
+        for r in similarity.probe_ivf_index(
+            spark, idx, queries, delta=delta
+        ).collect()
+    }
+    n = similarity.compact_ivf_delta(spark, idx, delta)
+    assert n == delta.select("cid").distinct().count() > 0
+    compacted = {
+        tuple(r)
+        for r in similarity.probe_ivf_index(spark, idx, queries).collect()
+    }
+    assert compacted == with_delta and compacted
+    # base now holds every vector exactly once
+    base = spark.read.parquet(f"{idx}/corpus")
+    assert base.count() == emb.count()
+    assert base.select("vec_id").distinct().count() == emb.count()
