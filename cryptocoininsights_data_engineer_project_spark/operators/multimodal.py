@@ -6945,3 +6945,133 @@ def decode_wav_mpeg_stats(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         _decode, schema=_MPA_STATS_SCHEMA
     )
+
+
+# --------------------------------------- mp3 inside WAV (tag 0x0055)
+# WAVE_FORMAT_MPEGLAYER3 (mmreg.h MPEGLAYER3WAVEFORMAT): the way MP3
+# audio actually ships inside RIFF containers. The 12-byte extension
+# declares wID/fdwFlags/nBlockSize/nFramesPerBlock/nCodecDelay;
+# nBlockSize is CROSS-CHECKED against the frames' own header-implied
+# size (the stale-declaration class the 0x0050 query pins for L1).
+_WAV_MP3_DATA_BYTES = 2 * 288  # the 2-frame layer-III stream
+
+
+def _wav_mp3_header_hex() -> str:
+    riff_size = 4 + (8 + 30) + (8 + _WAV_MP3_DATA_BYTES)
+    ext = (
+        (1).to_bytes(2, "little")         # wID: MPEGLAYER3_ID_MPEG
+        + (0).to_bytes(4, "little")       # fdwFlags
+        + (288).to_bytes(2, "little")     # nBlockSize = frame bytes
+        + (1).to_bytes(2, "little")       # nFramesPerBlock
+        + (0).to_bytes(2, "little")       # nCodecDelay
+    )
+    return (
+        "52494646"
+        + riff_size.to_bytes(4, "little").hex()
+        + "57415645"
+        + "666d7420" + (30).to_bytes(4, "little").hex()
+        + (0x0055).to_bytes(2, "little").hex()  # WAVE_FORMAT_MPEGLAYER3
+        + (1).to_bytes(2, "little").hex()       # channels
+        + (48000).to_bytes(4, "little").hex()   # samples/sec
+        + (12000).to_bytes(4, "little").hex()   # avg bytes/sec (96 kbps)
+        + (1).to_bytes(2, "little").hex()       # block align (streamed)
+        + (0).to_bytes(2, "little").hex()       # bits/sample: 0 (coded)
+        + (12).to_bytes(2, "little").hex()      # cbSize
+        + ext.hex()
+        + "64617461"
+        + _WAV_MP3_DATA_BYTES.to_bytes(4, "little").hex()
+    )
+
+
+def synth_wav_mp3_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): RIFF/WAVE files whose data chunk is the
+    two-frame layer-III stream (the multimodal_audio_mp3 fixture
+    bytes inside the container)."""
+    pieces = _mpeg_pack(_mpa_l3_ops("doc_id"))
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(
+            "unhex(concat('" + _wav_mp3_header_hex() + "', "
+            + ", ".join(pieces)
+            + "))"
+        ).alias("payload"),
+    )
+
+
+def decode_wav_mp3_stats(assets: DataFrame) -> DataFrame:
+    """RIFF walk + WAVE_FORMAT_MPEGLAYER3 dispatch into the layer III
+    decoder, emitting the same per-(frame, granule, channel) integer
+    frequency-line stats as the elementary-stream query. Loud on:
+    wrong fmt tag, missing data chunk, chunk-size overrun, or an
+    nBlockSize declaration that contradicts the frames' own
+    header-implied size."""
+    from .mpaudiocodec import decode_mpeg_audio
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _MP3_STATS_SCHEMA}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError("not a RIFF/WAVE payload")
+                p = 12
+                tag = None
+                block_size = None
+                data = None
+                while p + 8 <= len(b):
+                    cid = b[p : p + 4]
+                    sz = int.from_bytes(b[p + 4 : p + 8], "little")
+                    if p + 8 + sz > len(b):
+                        raise ValueError(
+                            f"RIFF chunk {cid!r} declares {sz} bytes but "
+                            f"only {len(b) - p - 8} remain"
+                        )
+                    body = b[p + 8 : p + 8 + sz]
+                    if cid == b"fmt ":
+                        tag = int.from_bytes(body[0:2], "little")
+                        # WAVEFORMATEX is 18 bytes; MPEGLAYER3WAVEFORMAT
+                        # ext: wID[18:20] fdwFlags[20:24] nBlockSize[24:26]
+                        if sz >= 26:
+                            block_size = int.from_bytes(
+                                body[24:26], "little"
+                            )
+                    elif cid == b"data":
+                        data = body
+                    p += 8 + sz + (sz & 1)
+                if tag != 0x0055:
+                    raise ValueError(
+                        f"expected WAVE_FORMAT_MPEGLAYER3 (0x0055), got {tag}"
+                    )
+                if data is None:
+                    raise ValueError("WAV has no data chunk")
+                frames = decode_mpeg_audio(data)
+                for fr in frames:
+                    implied = 144 * fr.bitrate * 1000 // fr.sample_rate
+                    if block_size not in (None, 0, 1, implied):
+                        raise ValueError(
+                            f"fmt nBlockSize {block_size} contradicts the "
+                            f"frames' header-implied size {implied}"
+                        )
+                for fi, fr in enumerate(frames):
+                    for g in range(2):
+                        for ch in range(fr.channels):
+                            gi = fr.granules[g][ch]
+                            ln = gi.lines
+                            idx = np.arange(1, 577, dtype=np.int64)
+                            rows["asset_id"].append(int(aid))
+                            rows["frame_idx"].append(fi)
+                            rows["granule"].append(g)
+                            rows["channel"].append(ch)
+                            rows["big_values"].append(gi.big_values)
+                            rows["global_gain"].append(gi.global_gain)
+                            rows["n_nonzero"].append(int((ln != 0).sum()))
+                            rows["line_sum"].append(int(ln.sum()))
+                            rows["line_energy"].append(int((ln * ln).sum()))
+                            rows["line_checksum"].append(
+                                int((ln * idx * idx).sum())
+                            )
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _decode, schema=_MP3_STATS_SCHEMA
+    )

@@ -3032,6 +3032,29 @@ def multimodal_audio_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_wav_mp3",
+    multimodal.mpeg_audio_l3_oracle_sql(),
+    doc="MP3 INSIDE WAV (fmt tag 0x0055, WAVE_FORMAT_MPEGLAYER3 / "
+    "MPEGLAYER3WAVEFORMAT) — the container x codec dispatch case "
+    "for Layer III, completing the 0x0050 (L1/L2) pair: the RIFF "
+    "walk routes the data chunk into the mp3codec bit-layer "
+    "decoder, and the fmt extension's nBlockSize declaration is "
+    "CROSS-CHECKED against the frames' own header-implied size "
+    "(144 * bitrate / rate) — a stale transcode declaration fails "
+    "loudly. Same closed-form integer frequency-line oracle as the "
+    "bare elementary stream, so any container re-framing bug "
+    "breaks the hash (operators/multimodal.py::decode_wav_mp3_stats)",
+)
+def multimodal_wav_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return multimodal.decode_wav_mp3_stats(
+        multimodal.synth_wav_mp3_assets(docs)
+    )
+
+
+@_q(
     "multimodal_wav_mpeg",
     multimodal.mpeg_audio_oracle_sql(layer=1),
     doc="MPEG audio INSIDE WAV (fmt tag 0x0050, WAVE_FORMAT_MPEG / "

@@ -313,3 +313,48 @@ def test_id3v2_envelope_skipped():
         A.decode_mpeg_audio(b"ID3\x04\x00\x00\x00\x00\x00\x80" + audio)
     with pytest.raises(A.MpegAudioError, match="extends past"):
         A.decode_mpeg_audio(b"ID3\x04\x00\x00\x7f\x7f\x7f\x7f" + audio)
+
+
+def test_wav_mp3_dispatch_guards(spark):
+    """WAVE_FORMAT_MPEGLAYER3 dispatch: the happy path round-trips
+    the same frames as the bare elementary stream; a wrong fmt tag, a
+    contradicting nBlockSize, and a missing data chunk fail loudly."""
+    doc = 6
+    docs = spark.createDataFrame([(doc,)], "doc_id long")
+    wav = bytes(M.synth_wav_mp3_assets(docs).collect()[0].payload)
+    hdr = bytes.fromhex(M._wav_mp3_header_hex())
+    assert wav == hdr + _payload(doc)
+
+    rows = M.decode_wav_mp3_stats(
+        spark.createDataFrame([(doc, bytearray(wav))],
+                              "asset_id long, payload binary")
+    ).collect()
+    bare = M.decode_mpeg_l3_stats(
+        spark.createDataFrame([(doc, bytearray(_payload(doc)))],
+                              "asset_id long, payload binary")
+    ).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, bare))
+
+    def run(b):
+        return M.decode_wav_mp3_stats(
+            spark.createDataFrame([(1, bytearray(b))],
+                                  "asset_id long, payload binary")
+        ).collect()
+
+    # stale nBlockSize declaration (fmt body starts at byte 20;
+    # nBlockSize at body[24:26])
+    bad = bytearray(wav)
+    bad[20 + 24 : 20 + 26] = (999).to_bytes(2, "little")
+    with pytest.raises(Exception, match="contradicts"):
+        run(bytes(bad))
+    # wrong fmt tag
+    bad2 = bytearray(wav)
+    bad2[20] = 0x50
+    with pytest.raises(Exception, match="0x0055|MPEGLAYER3"):
+        run(bytes(bad2))
+    # data chunk renamed away
+    bad3 = bytearray(wav)
+    at = wav.find(b"data")
+    bad3[at : at + 4] = b"junk"
+    with pytest.raises(Exception, match="no data chunk"):
+        run(bytes(bad3))
