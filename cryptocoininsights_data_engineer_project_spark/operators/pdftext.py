@@ -6,14 +6,16 @@ BT/ET blocks of the page content streams.
 
 Scope (each limit gates LOUDLY, the house convention):
 
-* Classic cross-reference TABLES (``xref`` sections + ``trailer``
-  dicts, /Prev chains followed): the PDF 1.0-1.4 format and still
-  the most common shape in crawled documents. PDF 1.5 cross-
-  reference STREAMS and object streams (/Type /ObjStm) raise
-  NotImplementedError naming the feature.
+* BOTH cross-reference forms: classic ``xref`` TABLES (+ ``trailer``
+  dicts, /Prev chains followed) AND the PDF 1.5 cross-reference
+  STREAMS (/Type /XRef with /W field widths, /Index subsections,
+  and the PNG row predictors encoders ship them with) including
+  type-2 entries that locate objects inside /Type /ObjStm object
+  streams — the modern default for real crawled PDFs.
 * Encrypted documents (/Encrypt in the trailer) raise by name.
 * Stream filters: none (raw) and /FlateDecode (zlib, incl. as a
-  1-element array). Every other filter (DCTDecode, LZWDecode,
+  1-element array; /DecodeParms PNG predictors 10+ decode, the TIFF
+  predictor 2 raises). Every other filter (DCTDecode, LZWDecode,
   ASCII85Decode, ...) raises naming the filter.
 * Text strings: literal ``(...)`` with the full escape grammar
   (\\n \\r \\t \\b \\f \\( \\) \\\\, 1-3 digit octal, line
@@ -256,6 +258,50 @@ class _Lexer:
         return bytes.fromhex(digits.decode("ascii"))
 
 
+def _png_unpredict(data: bytes, columns: int) -> bytes:
+    """Undo the PNG row predictors (RFC 2083 filters 0-4) over
+    1-byte-per-pixel rows — the encoding xref streams almost always
+    ship with (Predictor 12 = per-row Up). Each row is a 1-byte
+    filter tag + ``columns`` bytes."""
+    row = columns + 1
+    if len(data) % row:
+        raise PdfError(
+            f"predicted stream length {len(data)} is not a multiple "
+            f"of row size {row}"
+        )
+    out = bytearray()
+    prev = bytes(columns)
+    for r in range(0, len(data), row):
+        tag = data[r]
+        cur = bytearray(data[r + 1 : r + row])
+        if tag == 0:
+            pass
+        elif tag == 1:  # Sub
+            for i in range(1, columns):
+                cur[i] = (cur[i] + cur[i - 1]) & 0xFF
+        elif tag == 2:  # Up
+            for i in range(columns):
+                cur[i] = (cur[i] + prev[i]) & 0xFF
+        elif tag == 3:  # Average
+            for i in range(columns):
+                left = cur[i - 1] if i else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif tag == 4:  # Paeth
+            for i in range(columns):
+                a = cur[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pr) & 0xFF
+        else:
+            raise PdfError(f"unknown PNG predictor row tag {tag}")
+        out += cur
+        prev = cur
+    return bytes(out)
+
+
 class _Pdf:
     """One parsed document: xref map + object cache."""
 
@@ -287,39 +333,11 @@ class _Pdf:
                 raise PdfError("circular /Prev xref chain")
             seen.add(offset)
             lex = _Lexer(self.data, offset)
-            if not lex.peek_keyword(b"xref"):
-                # PDF 1.5 cross-reference stream ("N G obj" here)
-                raise NotImplementedError(
-                    "PDF 1.5 cross-reference stream (and /Type /ObjStm "
-                    "object streams): only classic xref tables are in "
-                    "the implemented subset"
-                )
-            lex.pos += 4
-            while True:
-                lex._skip_ws()
-                if lex.peek_keyword(b"trailer"):
-                    lex.pos += 7
-                    break
-                hdr = re.match(
-                    rb"(\d+)\s+(\d+)", self.data[lex.pos : lex.pos + 40]
-                )
-                if not hdr:
-                    raise PdfError("malformed xref subsection header")
-                first, count = int(hdr.group(1)), int(hdr.group(2))
-                lex.pos += hdr.end()
-                lex._skip_ws()
-                for i in range(count):
-                    ent = self.data[lex.pos : lex.pos + 20]
-                    em = re.match(rb"(\d{10}) (\d{5}) ([nf])", ent)
-                    if not em:
-                        raise PdfError(f"malformed xref entry {ent!r}")
-                    if em.group(3) == b"n" and (first + i) not in self.xref:
-                        self.xref[first + i] = int(em.group(1))
-                    # spec entries are exactly 20 bytes; tolerate
-                    # 19-byte single-EOL writers via the ws skip
-                    lex.pos += em.end()
-                    lex._skip_ws()
-            trailer = lex.parse_object()
+            if lex.peek_keyword(b"xref"):
+                trailer = self._parse_xref_table(lex)
+            else:
+                # PDF 1.5 cross-reference STREAM ("N G obj" here)
+                trailer = self._parse_xref_stream(offset)
             if not isinstance(trailer, dict):
                 raise PdfError("trailer is not a dictionary")
             for k, v in trailer.items():
@@ -329,21 +347,96 @@ class _Pdf:
                 continue
             return
 
+    def _parse_xref_table(self, lex: _Lexer) -> dict:
+        """Classic ``xref`` section + ``trailer`` dict."""
+        lex.pos += 4
+        while True:
+            lex._skip_ws()
+            if lex.peek_keyword(b"trailer"):
+                lex.pos += 7
+                break
+            hdr = re.match(
+                rb"(\d+)\s+(\d+)", self.data[lex.pos : lex.pos + 40]
+            )
+            if not hdr:
+                raise PdfError("malformed xref subsection header")
+            first, count = int(hdr.group(1)), int(hdr.group(2))
+            lex.pos += hdr.end()
+            lex._skip_ws()
+            for i in range(count):
+                ent = self.data[lex.pos : lex.pos + 20]
+                em = re.match(rb"(\d{10}) (\d{5}) ([nf])", ent)
+                if not em:
+                    raise PdfError(f"malformed xref entry {ent!r}")
+                if em.group(3) == b"n" and (first + i) not in self.xref:
+                    self.xref[first + i] = int(em.group(1))
+                # spec entries are exactly 20 bytes; tolerate
+                # 19-byte single-EOL writers via the ws skip
+                lex.pos += em.end()
+                lex._skip_ws()
+        return lex.parse_object()
+
+    def _parse_xref_stream(self, offset: int) -> dict:
+        """PDF 1.5 cross-reference stream (ISO 32000-1 §7.5.8): a
+        /Type /XRef stream whose rows are [type, f2, f3] fields of
+        /W byte widths over the /Index subsections — type 1 rows are
+        classic offsets, type 2 rows locate an object INSIDE a
+        /Type /ObjStm object stream. The stream dict doubles as the
+        trailer."""
+        obj = self._read_object_at(offset)
+        if not isinstance(obj, dict) or obj.get("Type") != "XRef":
+            raise PdfError(
+                f"startxref points at byte {offset} but no xref table "
+                "or /Type /XRef stream is there"
+            )
+        data = self.stream_data(obj)
+        w = [int(x) for x in obj.get("W", [])]
+        if len(w) != 3:
+            raise PdfError(f"/XRef stream /W must have 3 widths, got {w}")
+        size = int(obj.get("Size", 0))
+        index = [int(x) for x in obj.get("Index", [0, size])]
+        row = sum(w)
+        pos = 0
+        for s in range(0, len(index), 2):
+            first, count = index[s], index[s + 1]
+            for i in range(count):
+                if pos + row > len(data):
+                    raise PdfError("/XRef stream shorter than /Index")
+                f = []
+                for width in w:
+                    f.append(
+                        int.from_bytes(data[pos : pos + width], "big")
+                    )
+                    pos += width
+                typ = f[0] if w[0] else 1  # default type 1 when w1 = 0
+                num = first + i
+                if num in self.xref:
+                    continue  # earlier (newer) section wins
+                if typ == 1:
+                    self.xref[num] = f[1]
+                elif typ == 2:
+                    self.xref[num] = ("objstm", f[1], f[2])
+                # type 0 (free) and unknown types: skip (§7.5.8.3
+                # says treat unknown types as free)
+        return obj
+
     def resolve(self, obj):
         """Follow indirect references to a direct object."""
         while isinstance(obj, tuple) and obj and obj[0] == "ref":
             obj = self.get_object(obj[1])
         return obj
 
-    def get_object(self, num: int):
-        if num in self._cache:
-            return self._cache[num]
-        if num not in self.xref:
-            raise PdfError(f"object {num} not in xref")
-        lex = _Lexer(self.data, self.xref[num])
-        m = re.match(rb"(\d+)\s+(\d+)\s+obj", self.data[lex.pos : lex.pos + 40])
-        if not m or int(m.group(1)) != num:
-            raise PdfError(f"object {num}: header mismatch at xref offset")
+    def _read_object_at(self, offset: int, expect_num: int | None = None):
+        """Parse one ``N G obj ... endobj`` body (with its stream, if
+        any) at a byte offset."""
+        lex = _Lexer(self.data, offset)
+        m = re.match(
+            rb"(\d+)\s+(\d+)\s+obj", self.data[lex.pos : lex.pos + 40]
+        )
+        if not m or (expect_num is not None and int(m.group(1)) != expect_num):
+            raise PdfError(
+                f"object {expect_num}: header mismatch at xref offset"
+            )
         lex.pos += m.end()
         obj = lex.parse_object()
         if isinstance(obj, dict):
@@ -357,18 +450,65 @@ class _Pdf:
                     lex.pos += 1
                 length = self.resolve(obj.get("Length"))
                 if not isinstance(length, int):
-                    raise PdfError(f"object {num}: stream without /Length")
+                    raise PdfError("stream without a direct /Length")
                 raw = self.data[lex.pos : lex.pos + length]
                 if len(raw) < length:
-                    raise PdfError(f"object {num}: stream truncated")
+                    raise PdfError("stream truncated")
                 obj = dict(obj)
                 obj["__stream__"] = raw
+        return obj
+
+    def _load_from_objstm(self, num: int, stm_num: int, idx: int):
+        """Load object ``num`` out of a /Type /ObjStm object stream
+        (§7.5.7): the decoded stream opens with N (objnum, offset)
+        integer pairs; object bodies follow from /First."""
+        container = self.get_object(stm_num)
+        if (
+            not isinstance(container, dict)
+            or container.get("Type") != "ObjStm"
+            or "__stream__" not in container
+        ):
+            raise PdfError(
+                f"object {num}: xref names object stream {stm_num}, "
+                "which is not a /Type /ObjStm stream"
+            )
+        data = self.stream_data(container)
+        n = int(self.resolve(container.get("N", 0)))
+        first = int(self.resolve(container.get("First", 0)))
+        if not 0 <= idx < n:
+            raise PdfError(
+                f"object {num}: index {idx} out of range for "
+                f"/ObjStm {stm_num} with N={n}"
+            )
+        hdr = _Lexer(data)
+        pairs = []
+        for _ in range(n):
+            pairs.append((hdr.parse_object(), hdr.parse_object()))
+        objnum, rel = pairs[idx]
+        if objnum != num:
+            raise PdfError(
+                f"/ObjStm {stm_num} entry {idx} holds object {objnum}, "
+                f"xref claimed {num}"
+            )
+        return _Lexer(data, first + rel).parse_object()
+
+    def get_object(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        if num not in self.xref:
+            raise PdfError(f"object {num} not in xref")
+        loc = self.xref[num]
+        if isinstance(loc, tuple):  # ("objstm", stream_obj_num, index)
+            obj = self._load_from_objstm(num, loc[1], loc[2])
+        else:
+            obj = self._read_object_at(loc, expect_num=num)
         self._cache[num] = obj
         return obj
 
     def stream_data(self, obj: dict) -> bytes:
-        """Decoded stream bytes: raw or FlateDecode; anything else
-        gates loudly by filter name."""
+        """Decoded stream bytes: raw or FlateDecode (with the PNG
+        row predictors xref-stream encoders use); anything else gates
+        loudly by filter name."""
         raw = obj["__stream__"]
         filt = self.resolve(obj.get("Filter"))
         if filt is None:
@@ -383,15 +523,30 @@ class _Pdf:
                     f"PDF stream filter /{f}: only /FlateDecode (zlib) "
                     "is in the implemented subset"
                 )
-            if self.resolve(obj.get("DecodeParms")) not in (None, {}):
-                raise NotImplementedError(
-                    "/FlateDecode with /DecodeParms (PNG predictors): "
-                    "outside the implemented subset"
-                )
             try:
                 raw = zlib.decompress(raw)
             except zlib.error as e:
                 raise PdfError(f"FlateDecode failed: {e}") from e
+            parms = self.resolve(obj.get("DecodeParms")) or {}
+            pred = int(self.resolve(parms.get("Predictor", 1)))
+            if pred == 1:
+                continue
+            if pred < 10:
+                raise NotImplementedError(
+                    f"/DecodeParms /Predictor {pred} (TIFF predictor) "
+                    "is outside the implemented subset — PNG "
+                    "predictors (>= 10) decode"
+                )
+            colors = int(self.resolve(parms.get("Colors", 1)))
+            bpc = int(self.resolve(parms.get("BitsPerComponent", 8)))
+            if colors != 1 or bpc != 8:
+                raise NotImplementedError(
+                    f"PNG predictor with Colors={colors} "
+                    f"BitsPerComponent={bpc}: 1x8 only (the xref-"
+                    "stream shape)"
+                )
+            raw = _png_unpredict(raw, int(self.resolve(
+                parms.get("Columns", 1))))
         return raw
 
     def pages(self) -> list[dict]:
@@ -415,11 +570,6 @@ class _Pdf:
                     walk(kid, depth + 1)
             elif t == "Page":
                 out.append(node)
-            elif t == "ObjStm":
-                raise NotImplementedError(
-                    "PDF 1.5 object stream (/Type /ObjStm): only "
-                    "classic xref tables are in the implemented subset"
-                )
             else:
                 raise PdfError(f"unexpected page-tree node type {t!r}")
 
@@ -712,3 +862,111 @@ WITH w AS (
 SELECT asset_id, page_idx, text, CAST(length(text) AS BIGINT) AS n_chars
 FROM u
 """
+
+
+# ----------------------------------------------- PDF 1.5 fixture
+# The MODERN layout: page dicts live inside an uncompressed
+# /Type /ObjStm and the cross-reference is a /Type /XRef STREAM
+# (W [1 2 1] binary rows — SQL hex pieces handle arbitrary bytes, so
+# the whole document stays constant-layout/SQL-buildable with the
+# same dynamic fields as the 1.4 fixture).
+
+
+def _pdf15_ops(doc) -> list:
+    contents = [_pdf_content_pieces(doc, p) for p in range(2)]
+    clens = [
+        sum(len(p) if isinstance(p, str) else (8, 1, 2)[
+            ("id8", "word", "tailhex").index(p[1])] for p in c)
+        for c in contents
+    ]
+    page_bodies = [
+        f"<< /Type /Page /Parent 2 0 R /Contents {4 + 2 * i} 0 R >>"
+        for i in range(2)
+    ]
+    inner = page_bodies[0] + " " + page_bodies[1] + " "
+    hdr = f"10 0 11 {len(page_bodies[0]) + 1} "
+    stm = hdr + inner
+    objs: dict[int, list] = {
+        1: ["<< /Type /Catalog /Pages 2 0 R >>"],
+        2: ["<< /Type /Pages /Kids [10 0 R 11 0 R] /Count 2 >>"],
+        4: [f"<< /Length {clens[0]} >>\nstream\n", *contents[0],
+            "\nendstream"],
+        6: [f"<< /Length {clens[1]} >>\nstream\n", *contents[1],
+            "\nendstream"],
+        8: [f"<< /Type /ObjStm /N 2 /First {len(hdr)} "
+            f"/Length {len(stm)} >>\nstream\n" + stm + "\nendstream"],
+    }
+    pieces: list = ["%PDF-1.5\n"]
+    pos = len("%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    for n in sorted(objs):
+        offsets[n] = pos
+        head = f"{n} 0 obj\n"
+        pieces.append(head)
+        pos += len(head)
+        for p in objs[n]:
+            pieces.append(p)
+            pos += (
+                len(p)
+                if isinstance(p, str)
+                else (8, 1, 2)[("id8", "word", "tailhex").index(p[1])]
+            )
+        pieces.append("\nendobj\n")
+        pos += len("\nendobj\n")
+    xref_off = pos
+    offsets[9] = xref_off
+    rows = b""
+    for n in range(12):
+        if n == 0:
+            rows += bytes([0, 0, 0, 0])
+        elif n in offsets:
+            rows += bytes([1]) + offsets[n].to_bytes(2, "big") + bytes([0])
+        elif n >= 10:
+            rows += bytes([2, 0, 8, n - 10])
+        else:  # unused numbers 3/5/7: free
+            rows += bytes([0, 0, 0, 0])
+    xref_obj = (
+        f"9 0 obj\n<< /Type /XRef /Size 12 /W [1 2 1] /Root 1 0 R "
+        f"/Length {len(rows)} >>\nstream\n"
+    )
+    pieces.append(xref_obj)
+    pieces.append(("bin", rows))
+    pieces.append(
+        f"\nendstream\nendobj\nstartxref\n{xref_off}\n%%EOF\n"
+    )
+    return pieces
+
+
+def synth_pdf15_bytes(doc: int) -> bytes:
+    out = bytearray()
+    for p in _pdf15_ops(doc):
+        if isinstance(p, str):
+            out += p.encode("latin-1")
+        elif p[0] == "bin":
+            out += p[1]
+        else:
+            out += _pdf_dynamic(doc, p[1], p[2]).encode("latin-1")
+    return bytes(out)
+
+
+def _pdf15_sql_pieces() -> list[str]:
+    exprs = []
+    for p in _pdf15_ops("doc_id"):
+        if isinstance(p, str):
+            exprs.append("'" + p.encode("latin-1").hex().upper() + "'")
+        elif p[0] == "bin":
+            exprs.append("'" + p[1].hex().upper() + "'")
+        else:
+            exprs.append(f"hex({_pdf_dynamic('doc_id', p[1], p[2])})")
+    return exprs
+
+
+def synth_pdf15_assets(docs):
+    """(asset_id, payload): one PDF-1.5 document (xref stream +
+    object stream) per doc, built JVM-side from hex pieces."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(
+            "unhex(concat(" + ", ".join(_pdf15_sql_pieces()) + "))"
+        ).alias("payload"),
+    )

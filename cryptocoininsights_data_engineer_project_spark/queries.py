@@ -2091,6 +2091,26 @@ def pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "pdf_text_extract_v15",
+    pdftext.pdf_text_oracle_sql(),
+    doc="PDF 1.5+ text extraction — the MODERN layout most real "
+    "crawled PDFs actually use: the cross-reference is a "
+    "/Type /XRef STREAM (binary [type, field2, field3] rows of /W "
+    "byte widths; type-1 rows are offsets, type-2 rows locate "
+    "objects INSIDE a /Type /ObjStm object stream) and the page "
+    "dicts live in that object stream. Same two-page content and "
+    "closed-form oracle as pdf_text_extract, so the diff under "
+    "test is exactly the 1.5 machinery: xref-stream decode, "
+    "object-stream indexing, and (in unit tests) the PNG row "
+    "predictors xref streams ship with "
+    "(operators/pdftext.py::_parse_xref_stream/_load_from_objstm)",
+)
+def pdf_text_extract_v15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return pdftext.pdf_page_text(pdftext.synth_pdf15_assets(docs))
+
+
+@_q(
     "warc_multirecord",
     webarchive.warc_multi_oracle_sql(),
     doc="WARC extraction at the REAL archive shape — one crawl file "

@@ -131,28 +131,24 @@ def test_loud_gates():
     enc = build_pdf([b"BT (x) Tj ET"], extra_trailer=" /Encrypt 9 0 R")
     with pytest.raises(NotImplementedError, match="encrypted PDF"):
         P.pdf_text(enc)
-    # xref stream: startxref pointing at an object header
-    bad = base.replace(b"xref\n0 ", b"9 0 obj\n<< /Type /XRef >>\n0 ")
-    with pytest.raises(
-        (NotImplementedError, P.PdfError)
-    ):
-        P.pdf_text(bad)
-    # a clean synthetic xref-stream shape gates BY NAME
+    # startxref pointing at a non-XRef object is malformed (xref
+    # STREAMS themselves decode since the 1.5 support landed)
     stream_xref = base[: base.rfind(b"startxref")] + (
         b"startxref\n9\n%%EOF\n"  # offset 9 = "1 0 obj" header
     )
-    with pytest.raises(NotImplementedError, match="cross-reference stream"):
+    with pytest.raises(P.PdfError, match="no xref table or /Type /XRef"):
         P.pdf_text(stream_xref)
     # unknown filter
     lzw = build_pdf([b"BT (x) Tj ET"], flate=True, filter_name="LZWDecode")
     with pytest.raises(NotImplementedError, match="LZWDecode"):
         P.pdf_text(lzw)
-    # FlateDecode + predictors
+    # a LYING predictor declaration over unpredicted data fails at
+    # the row tags instead of silently mangling the stream
     parms = build_pdf(
         [b"BT (x) Tj ET"], flate=True,
         decode_parms=" /DecodeParms << /Predictor 12 >>",
     )
-    with pytest.raises(NotImplementedError, match="DecodeParms"):
+    with pytest.raises(P.PdfError, match="row tag"):
         P.pdf_text(parms)
     # not a PDF
     with pytest.raises(P.PdfError, match="%PDF-"):
@@ -213,3 +209,162 @@ def test_warc_doc_text_extracts_html_and_pdf(spark):
     texts = {r.text for r in docs.collect()}
     assert any("pdf doc text" in t for t in texts)
     assert any("html doc text" in t for t in texts)
+
+
+def build_pdf15(contents, *, predictor=12, flate_xref=True,
+                objstm_n_override=None, wrong_pair_num=False):
+    """Independent PDF 1.5 builder (NOT the module's emitter): page
+    dicts in an ObjStm, a /Type /XRef stream with W [1 2 1], and —
+    unlike the in-query fixture — real zlib + PNG Up prediction on
+    the xref stream."""
+    bodies = {1: b"<< /Type /Catalog /Pages 2 0 R >>"}
+    kids = " ".join(f"{10 + i} 0 R" for i in range(len(contents)))
+    bodies[2] = (
+        f"<< /Type /Pages /Kids [{kids}] /Count {len(contents)} >>"
+        .encode()
+    )
+    for i, c in enumerate(contents):
+        bodies[4 + i] = (
+            b"<< /Length " + str(len(c)).encode() + b" >>\nstream\n"
+            + c + b"\nendstream"
+        )
+    page_bodies = [
+        f"<< /Type /Page /Parent 2 0 R /Contents {4 + i} 0 R >>".encode()
+        for i in range(len(contents))
+    ]
+    pairs, inner, off = [], b"", 0
+    for i, pb in enumerate(page_bodies):
+        num = (10 + i) if not wrong_pair_num else (90 + i)
+        pairs.append(f"{num} {off}".encode())
+        inner += pb + b" "
+        off = len(inner)
+    hdr = b" ".join(pairs) + b" "
+    stm = hdr + inner
+    n_decl = (
+        len(page_bodies) if objstm_n_override is None else objstm_n_override
+    )
+    bodies[8] = (
+        b"<< /Type /ObjStm /N " + str(n_decl).encode()
+        + b" /First " + str(len(hdr)).encode()
+        + b" /Length " + str(len(stm)).encode()
+        + b" >>\nstream\n" + stm + b"\nendstream"
+    )
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    for n in sorted(bodies):
+        offsets[n] = len(out)
+        out += f"{n} 0 obj\n".encode() + bodies[n] + b"\nendobj\n"
+    xref_off = len(out)
+    max_obj = 10 + len(page_bodies)
+    rows = b""
+    for n in range(max_obj):
+        if n in offsets:
+            rows += bytes([1]) + offsets[n].to_bytes(2, "big") + bytes([0])
+        elif n == 9:
+            rows += bytes([1]) + xref_off.to_bytes(2, "big") + bytes([0])
+        elif n >= 10:
+            rows += bytes([2, 0, 8, n - 10])
+        else:
+            rows += bytes([0, 0, 0, 0])
+    data, extra = rows, b""
+    if predictor:
+        cols, pred, prev = 4, [], bytes(4)
+        for i in range(0, len(rows), 4):
+            cur = rows[i : i + 4]
+            pred.append(
+                bytes([2]) + bytes((c - p) & 0xFF for c, p in zip(cur, prev))
+            )
+            prev = cur
+        data = b"".join(pred)
+        extra = (
+            f" /DecodeParms << /Predictor {predictor} /Columns 4 >>"
+            .encode()
+        )
+    filt = b""
+    if flate_xref:
+        data = zlib.compress(data)
+        filt = b" /Filter /FlateDecode"
+    out += (
+        b"9 0 obj\n<< /Type /XRef /Size " + str(max_obj).encode()
+        + b" /W [1 2 1] /Root 1 0 R" + filt + extra
+        + b" /Length " + str(len(data)).encode()
+        + b" >>\nstream\n" + data + b"\nendstream\nendobj\n"
+    )
+    out += f"startxref\n{xref_off}\n%%EOF\n".encode()
+    return bytes(out)
+
+
+def test_pdf15_xref_stream_and_objstm():
+    """The modern layout end-to-end against the independent builder:
+    Flate-compressed PNG-Up-predicted xref stream, type-2 entries,
+    object stream page dicts — and the raw (no filter, no predictor)
+    variant."""
+    c1 = b"BT (modern pdf page one) Tj ET"
+    c2 = b"BT (page) Tj T* (two) Tj ET"
+    want = ["modern pdf page one", "page two"]
+    assert P.pdf_text(build_pdf15([c1, c2])) == want
+    assert P.pdf_text(
+        build_pdf15([c1, c2], predictor=0, flate_xref=False)
+    ) == want
+
+
+def test_pdf15_sql_fixture_bytes_equal_int_mode(spark):
+    docs = spark.createDataFrame([(7,), (4242,)], "doc_id long")
+    got = {
+        r.asset_id: bytes(r.payload)
+        for r in P.synth_pdf15_assets(docs).collect()
+    }
+    for d in (7, 4242):
+        assert got[d] == P.synth_pdf15_bytes(d)
+        assert P.pdf_text(got[d]) == P.pdf_text(P.synth_pdf_bytes(d))
+
+
+def test_pdf15_gates():
+    c = [b"BT (x) Tj ET"]
+    # TIFF predictor gates by number
+    tiff = build_pdf15(c, predictor=2)
+    with pytest.raises(NotImplementedError, match="Predictor 2"):
+        P.pdf_text(tiff)
+    # ObjStm whose header pair contradicts the xref claim
+    lie = build_pdf15(c, wrong_pair_num=True)
+    with pytest.raises(P.PdfError, match="xref claimed"):
+        P.pdf_text(lie)
+    # type-2 index out of the declared N range
+    short = build_pdf15(c, objstm_n_override=0)
+    with pytest.raises(P.PdfError, match="out of range"):
+        P.pdf_text(short)
+    # corrupt predictor row tag / bad row length
+    with pytest.raises(P.PdfError, match="row tag 9"):
+        P._png_unpredict(bytes([9, 1, 2, 3, 4]), 4)
+    with pytest.raises(P.PdfError, match="not a multiple"):
+        P._png_unpredict(bytes(7), 4)
+    # all five legal tags round-trip against a reference forward pass
+    import random
+
+    rng = random.Random(5)
+    raw = bytes(rng.randrange(256) for _ in range(40))
+    cols = 8
+    enc, prev = [], bytes(cols)
+    for tag, i in zip((0, 1, 2, 3, 4), range(0, 40, cols)):
+        cur = raw[i : i + cols]
+        row = bytearray([tag])
+        for j in range(cols):
+            a = cur[j - 1] if j else 0
+            b = prev[j]
+            cc = prev[j - 1] if j else 0
+            if tag == 0:
+                pred = 0
+            elif tag == 1:
+                pred = a
+            elif tag == 2:
+                pred = b
+            elif tag == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+            row.append((cur[j] - pred) & 0xFF)
+        enc.append(bytes(row))
+        prev = cur
+    assert P._png_unpredict(b"".join(enc), cols) == raw
