@@ -13,10 +13,12 @@ Scope (each limit gates LOUDLY, the house convention):
   type-2 entries that locate objects inside /Type /ObjStm object
   streams — the modern default for real crawled PDFs.
 * Encrypted documents (/Encrypt in the trailer) raise by name.
-* Stream filters: none (raw) and /FlateDecode (zlib, incl. as a
-  1-element array; /DecodeParms PNG predictors 10+ decode, the TIFF
-  predictor 2 raises). Every other filter (DCTDecode, LZWDecode,
-  ASCII85Decode, ...) raises naming the filter.
+* Stream filters: none (raw), /FlateDecode (zlib; /DecodeParms PNG
+  predictors 10+ decode, the TIFF predictor 2 raises), /LZWDecode
+  (the TIFF-convention MSB-first variant with EarlyChange),
+  /ASCIIHexDecode and /ASCII85Decode — filter CHAINS and per-filter
+  DecodeParms arrays handled. Every other filter (DCTDecode,
+  RunLength, CCITT, JBIG2, JPX, Crypt) raises naming the filter.
 * Text strings: literal ``(...)`` with the full escape grammar
   (\\n \\r \\t \\b \\f \\( \\) \\\\, 1-3 digit octal, line
   continuations, balanced nested parens) and hex ``<...>`` strings.
@@ -257,6 +259,90 @@ class _Lexer:
             digits.append(0x30)
         return bytes.fromhex(digits.decode("ascii"))
 
+
+
+
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF/TIFF LZWDecode (ISO 32000-1 §7.4.4): MSB-first variable
+    9-12 bit codes, Clear=256, EOD=257, code width grows one code
+    EARLIER than the table fill when EarlyChange=1 (the default —
+    the TIFF convention PDF inherited)."""
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    width = 9
+    reset()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                reset()
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise PdfError(f"LZW code {code} before any output")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise PdfError(f"LZW code {code} skips the table")
+            out += entry
+            prev = entry
+            if len(table) + early_change >= (1 << width) and width < 12:
+                width += 1
+    raise PdfError("LZW stream ended without an EOD code")
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, '>'
+    terminates, odd final digit implies a trailing 0."""
+    digits = bytearray()
+    for c in data:
+        if c in _WS:
+            continue
+        if c == 0x3E:  # '>'
+            break
+        if c not in b"0123456789ABCDEFabcdef":
+            raise PdfError(f"ASCIIHexDecode: bad digit {bytes([c])!r}")
+        digits.append(c)
+    else:
+        raise PdfError("ASCIIHexDecode: missing '>' terminator")
+    if len(digits) % 2:
+        digits.append(0x30)
+    return bytes.fromhex(digits.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (§7.4.3) — Adobe dialect with the z shortcut and
+    the ~> terminator; stdlib base64 implements it exactly."""
+    import base64
+
+    end = data.find(b"~>")
+    if end < 0:
+        raise PdfError("ASCII85Decode: missing '~>' terminator")
+    body = bytes(c for c in data[:end] if c not in _WS)
+    try:
+        return base64.a85decode(body)
+    except ValueError as e:
+        raise PdfError(f"ASCII85Decode failed: {e}") from e
 
 def _png_unpredict(data: bytes, columns: int) -> bytes:
     """Undo the PNG row predictors (RFC 2083 filters 0-4) over
@@ -506,28 +592,47 @@ class _Pdf:
         return obj
 
     def stream_data(self, obj: dict) -> bytes:
-        """Decoded stream bytes: raw or FlateDecode (with the PNG
-        row predictors xref-stream encoders use); anything else gates
-        loudly by filter name."""
+        """Decoded stream bytes through the filter chain: raw,
+        /FlateDecode (zlib, with the PNG row predictors xref-stream
+        encoders use), /LZWDecode (the TIFF-convention MSB-first
+        variant with EarlyChange), /ASCIIHexDecode and
+        /ASCII85Decode. Every other filter (DCTDecode, RunLength,
+        CCITT, JBIG2, JPX, Crypt) gates loudly by name."""
         raw = obj["__stream__"]
         filt = self.resolve(obj.get("Filter"))
         if filt is None:
             return raw
-        if isinstance(filt, list):
-            filts = [self.resolve(f) for f in filt]
-        else:
-            filts = [filt]
-        for f in filts:
-            if f != "FlateDecode":
-                raise NotImplementedError(
-                    f"PDF stream filter /{f}: only /FlateDecode (zlib) "
-                    "is in the implemented subset"
+        filts = (
+            [self.resolve(f) for f in filt]
+            if isinstance(filt, list)
+            else [filt]
+        )
+        all_parms = self.resolve(obj.get("DecodeParms"))
+        if not isinstance(all_parms, list):
+            all_parms = [all_parms] * len(filts)
+        for f, parms in zip(filts, all_parms):
+            parms = self.resolve(parms) or {}
+            if f == "FlateDecode":
+                try:
+                    raw = zlib.decompress(raw)
+                except zlib.error as e:
+                    raise PdfError(f"FlateDecode failed: {e}") from e
+            elif f == "LZWDecode":
+                raw = _lzw_decode(
+                    raw,
+                    int(self.resolve(parms.get("EarlyChange", 1))),
                 )
-            try:
-                raw = zlib.decompress(raw)
-            except zlib.error as e:
-                raise PdfError(f"FlateDecode failed: {e}") from e
-            parms = self.resolve(obj.get("DecodeParms")) or {}
+            elif f == "ASCIIHexDecode":
+                raw = _asciihex_decode(raw)
+                continue  # no predictors on the ASCII filters
+            elif f == "ASCII85Decode":
+                raw = _ascii85_decode(raw)
+                continue
+            else:
+                raise NotImplementedError(
+                    f"PDF stream filter /{f}: the implemented subset "
+                    "is Flate/LZW/ASCIIHex/ASCII85"
+                )
             pred = int(self.resolve(parms.get("Predictor", 1)))
             if pred == 1:
                 continue

@@ -138,10 +138,12 @@ def test_loud_gates():
     )
     with pytest.raises(P.PdfError, match="no xref table or /Type /XRef"):
         P.pdf_text(stream_xref)
-    # unknown filter
-    lzw = build_pdf([b"BT (x) Tj ET"], flate=True, filter_name="LZWDecode")
-    with pytest.raises(NotImplementedError, match="LZWDecode"):
-        P.pdf_text(lzw)
+    # unimplemented filter gates by name (LZW/ASCIIHex/ASCII85
+    # decode since the filter-chain extension — see
+    # test_additional_filters)
+    dct = build_pdf([b"BT (x) Tj ET"], flate=True, filter_name="DCTDecode")
+    with pytest.raises(NotImplementedError, match="DCTDecode"):
+        P.pdf_text(dct)
     # a LYING predictor declaration over unpredicted data fails at
     # the row tags instead of silently mangling the stream
     parms = build_pdf(
@@ -368,3 +370,104 @@ def test_pdf15_gates():
         enc.append(bytes(row))
         prev = cur
     assert P._png_unpredict(b"".join(enc), cols) == raw
+
+
+def _lzw_encode(data: bytes, early_change=1) -> bytes:
+    """Independent PDF-dialect LZW encoder for round-trip tests:
+    MSB-first variable 9-12 bit codes, Clear first, EOD last."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    bits = []
+
+    def emit(code):
+        bits.append(format(code, f"0{width}b"))
+
+    emit(256)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        if next_code + early_change - 1 >= (1 << width) and width < 12:
+            width += 1
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(257)
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+
+def test_additional_filters():
+    """LZW round-trips against an independent encoder (incl. a body
+    long enough to grow the code width); ASCIIHex and ASCII85 decode
+    through real PDFs; unknown filters still gate by name."""
+    body = (b"the quick brown fox jumps over the lazy dog " * 40)[:1500]
+    assert P._lzw_decode(_lzw_encode(body)) == body
+    content = b"BT (lzw text) Tj ET"
+    lzw_pdf = build_pdf([content])
+    raw = _lzw_encode(content)
+    lzw_pdf = lzw_pdf.replace(
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content,
+        b"<< /Length " + str(len(raw)).encode()
+        + b" /Filter /LZWDecode >>\nstream\n" + raw,
+    )
+    # offsets shift; rebuild via the builder's filter hook instead
+    import zlib as _z
+
+    class _FakeZ:
+        pass
+
+    # simplest: hand-build a single-object variant
+    def one_filter_pdf(data, filt_name, declared=None):
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            b"<< /Length " + str(len(data)).encode()
+            + f" /Filter /{filt_name} >>\nstream\n".encode() + data
+            + b"\nendstream",
+        ]
+        out = bytearray(b"%PDF-1.4\n")
+        offs = []
+        for n, b_ in enumerate(objs, start=1):
+            offs.append(len(out))
+            out += f"{n} 0 obj\n".encode() + b_ + b"\nendobj\n"
+        xo = len(out)
+        out += f"xref\n0 {len(objs) + 1}\n".encode()
+        out += b"0000000000 65535 f \n"
+        for o in offs:
+            out += f"{o:010d} 00000 n \n".encode()
+        out += (
+            f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xo}\n%%EOF\n".encode()
+        )
+        return bytes(out)
+
+    assert P.pdf_text(one_filter_pdf(raw, "LZWDecode")) == ["lzw text"]
+    hexed = content.hex().upper().encode() + b">"
+    assert P.pdf_text(
+        one_filter_pdf(hexed, "ASCIIHexDecode")
+    ) == ["lzw text"]
+    import base64
+
+    a85 = base64.a85encode(content) + b"~>"
+    assert P.pdf_text(
+        one_filter_pdf(a85, "ASCII85Decode")
+    ) == ["lzw text"]
+    with pytest.raises(NotImplementedError, match="DCTDecode"):
+        P.pdf_text(one_filter_pdf(b"\xff\xd8", "DCTDecode"))
+    # malformed inputs gate typed
+    with pytest.raises(P.PdfError, match="terminator"):
+        P._asciihex_decode(b"4142")
+    with pytest.raises(P.PdfError, match="terminator"):
+        P._ascii85_decode(b"no-end-marker")
+    with pytest.raises(P.PdfError, match="EOD"):
+        P._lzw_decode(b"\x00\x00")
