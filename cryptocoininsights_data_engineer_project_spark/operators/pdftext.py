@@ -829,12 +829,18 @@ def _pdf_ops(doc) -> list:
     objs: list[list] = [
         ["<< /Type /Catalog /Pages 2 0 R >>"],
         ["<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>"],
-        ["<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"],
+        ["<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+         "/Annots [7 0 R] >>"],
         [f"<< /Length {clens[0]} >>\nstream\n", *contents[0],
          "\nendstream"],
         ["<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>"],
         [f"<< /Length {clens[1]} >>\nstream\n", *contents[1],
          "\nendstream"],
+        # a /Link annotation with a URI action (the crawl-frontier
+        # outlink primitive, pdf_page_links); page 2 has none
+        ["<< /Type /Annot /Subtype /Link /Rect [0 0 72 14] "
+         "/A << /S /URI /URI (http://example.test/pdf/",
+         ("dyn", "id8", 0), ") >> >>"],
     ]
     pieces: list = ["%PDF-1.4\n"]
     offsets: list[int] = []
@@ -1075,3 +1081,76 @@ def synth_pdf15_assets(docs):
             "unhex(concat(" + ", ".join(_pdf15_sql_pieces()) + "))"
         ).alias("payload"),
     )
+
+
+# -------------------------------------------------- link extraction
+
+
+def pdf_links(data: bytes) -> list[tuple[int, str]]:
+    """(page_idx, uri) for every /Subtype /Link annotation carrying a
+    /URI action, in document order — the crawl-frontier outlink
+    primitive (the PDF twin of webarchive.html_links). Non-link
+    annotations and non-URI actions (GoTo, Launch, ...) are skipped;
+    a /Link whose action is an unexpected shape is tolerated the way
+    a crawler must be."""
+    pdf = _Pdf(bytes(data))
+    out: list[tuple[int, str]] = []
+    for i, page in enumerate(pdf.pages()):
+        annots = pdf.resolve(page.get("Annots")) or []
+        if not isinstance(annots, list):
+            raise PdfError("/Annots is not an array")
+        for a in annots:
+            a = pdf.resolve(a)
+            if not isinstance(a, dict) or a.get("Subtype") != "Link":
+                continue
+            action = pdf.resolve(a.get("A"))
+            if not isinstance(action, dict) or action.get("S") != "URI":
+                continue
+            uri = pdf.resolve(action.get("URI"))
+            if isinstance(uri, bytes):
+                out.append((i, uri.decode("latin-1")))
+    return out
+
+
+_PDF_LINKS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("page_idx", T.LongType(), False),
+        T.StructField("link_idx", T.LongType(), False),
+        T.StructField("uri", T.StringType(), False),
+    ]
+)
+
+
+def pdf_page_links(assets: DataFrame) -> DataFrame:
+    """PDF binaries → one row per /Link URI annotation, in ONE
+    mapInPandas pass (payloads never shuffle)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows: dict[str, list] = {f.name: [] for f in _PDF_LINKS_SCHEMA}
+            for aid, payload in zip(
+                pdf_batch["asset_id"], pdf_batch["payload"]
+            ):
+                for j, (page, uri) in enumerate(pdf_links(bytes(payload))):
+                    rows["asset_id"].append(int(aid))
+                    rows["page_idx"].append(page)
+                    rows["link_idx"].append(j)
+                    rows["uri"].append(uri)
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _extract, schema=_PDF_LINKS_SCHEMA
+    )
+
+
+def pdf_links_oracle_sql() -> str:
+    """Closed form: page 0 carries exactly one link to the fixture
+    URI; page 1 carries none."""
+    return """
+SELECT doc_id AS asset_id, CAST(0 AS BIGINT) AS page_idx,
+  CAST(0 AS BIGINT) AS link_idx,
+  'http://example.test/pdf/' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+    AS uri
+FROM documents
+"""

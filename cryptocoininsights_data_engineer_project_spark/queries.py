@@ -2111,6 +2111,24 @@ def pdf_text_extract_v15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "pdf_link_extract",
+    pdftext.pdf_links_oracle_sql(),
+    doc="PDF outlink extraction — the crawl-frontier primitive for "
+    "PDF documents, the twin of html_link_extract: every "
+    "/Subtype /Link annotation carrying a /S /URI action is walked "
+    "per page in document order (non-link annotations and non-URI "
+    "actions — GoTo, Launch — skip, the crawler-tolerant stance). "
+    "Same one-mapInPandas-pass shape as pdf_text_extract; the "
+    "fixture's first page carries one URI annotation (the second "
+    "deliberately none) and the oracle states it closed-form "
+    "(operators/pdftext.py::pdf_links)",
+)
+def pdf_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return pdftext.pdf_page_links(pdftext.synth_pdf_assets(docs))
+
+
+@_q(
     "warc_multirecord",
     webarchive.warc_multi_oracle_sql(),
     doc="WARC extraction at the REAL archive shape — one crawl file "

@@ -471,3 +471,44 @@ def test_additional_filters():
         P._ascii85_decode(b"no-end-marker")
     with pytest.raises(P.PdfError, match="EOD"):
         P._lzw_decode(b"\x00\x00")
+
+
+def test_pdf_links_tolerant_walk():
+    """Non-link annotations and non-URI actions are skipped; multiple
+    links on one page come out in order; /Annots on a 1.5-layout page
+    would resolve through the object stream identically (pdf_links
+    reuses the shared object machinery)."""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Annots [5 0 R 6 0 R 7 0 R 8 0 R] >>",
+        b"<< /Length 12 >>\nstream\nBT (x) Tj ET\nendstream",
+        b"<< /Type /Annot /Subtype /Link "
+        b"/A << /S /URI /URI (http://a.test/1) >> >>",
+        b"<< /Type /Annot /Subtype /Text /Contents (a note) >>",
+        b"<< /Type /Annot /Subtype /Link "
+        b"/A << /S /GoTo /D [3 0 R] >> >>",
+        b"<< /Type /Annot /Subtype /Link "
+        b"/A << /S /URI /URI (http://a.test/2) >> >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for n, b_ in enumerate(objs, start=1):
+        offs.append(len(out))
+        out += f"{n} 0 obj\n".encode() + b_ + b"\nendobj\n"
+    xo = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode() + b"0000000000 65535 f \n"
+    for o in offs:
+        out += f"{o:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xo}\n%%EOF\n".encode()
+    )
+    assert P.pdf_links(bytes(out)) == [
+        (0, "http://a.test/1"), (0, "http://a.test/2"),
+    ]
+    # fixture: page 0 one link, page 1 none
+    assert P.pdf_links(P.synth_pdf_bytes(7)) == [
+        (0, "http://example.test/pdf/00000007")
+    ]
