@@ -16,9 +16,9 @@ Scope (each limit gates LOUDLY, the house convention):
 * Stream filters: none (raw), /FlateDecode (zlib; /DecodeParms PNG
   predictors 10+ decode, the TIFF predictor 2 raises), /LZWDecode
   (the TIFF-convention MSB-first variant with EarlyChange),
-  /ASCIIHexDecode and /ASCII85Decode — filter CHAINS and per-filter
-  DecodeParms arrays handled. Every other filter (DCTDecode,
-  RunLength, CCITT, JBIG2, JPX, Crypt) raises naming the filter.
+  /RunLengthDecode, /ASCIIHexDecode and /ASCII85Decode — filter
+  CHAINS and per-filter DecodeParms arrays handled. Every other
+  filter (DCTDecode, CCITT, JBIG2, JPX, Crypt) raises naming it.
 * Text strings: literal ``(...)`` with the full escape grammar
   (\\n \\r \\t \\b \\f \\( \\) \\\\, 1-3 digit octal, line
   continuations, balanced nested parens) and hex ``<...>`` strings.
@@ -309,6 +309,29 @@ def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
             if len(table) + early_change >= (1 << width) and width < 12:
                 width += 1
     raise PdfError("LZW stream ended without an EOD code")
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """RunLengthDecode (§7.4.5): length byte < 128 copies the next
+    n+1 bytes; > 128 repeats the next byte 257-n times; 128 is EOD."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        if n == 128:
+            return bytes(out)
+        if n < 128:
+            lit = data[i + 1 : i + 2 + n]
+            if len(lit) != n + 1:
+                raise PdfError("RunLengthDecode: literal run truncated")
+            out += lit
+            i += 2 + n
+        else:
+            if i + 1 >= len(data):
+                raise PdfError("RunLengthDecode: repeat run truncated")
+            out += data[i + 1 : i + 2] * (257 - n)
+            i += 2
+    raise PdfError("RunLengthDecode: missing EOD (128) byte")
 
 
 def _asciihex_decode(data: bytes) -> bytes:
@@ -624,14 +647,17 @@ class _Pdf:
                 )
             elif f == "ASCIIHexDecode":
                 raw = _asciihex_decode(raw)
-                continue  # no predictors on the ASCII filters
+                continue  # no predictors on the ASCII/RLE filters
             elif f == "ASCII85Decode":
                 raw = _ascii85_decode(raw)
+                continue
+            elif f == "RunLengthDecode":
+                raw = _runlength_decode(raw)
                 continue
             else:
                 raise NotImplementedError(
                     f"PDF stream filter /{f}: the implemented subset "
-                    "is Flate/LZW/ASCIIHex/ASCII85"
+                    "is Flate/LZW/RunLength/ASCIIHex/ASCII85"
                 )
             pred = int(self.resolve(parms.get("Predictor", 1)))
             if pred == 1:

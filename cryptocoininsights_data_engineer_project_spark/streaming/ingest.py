@@ -866,9 +866,10 @@ def stream_warc_to_corpus_docs(
     available_now: bool = True,
 ):
     """The crawl front door emitting DOCUMENTS-shaped rows: WARC
-    archive rows stream in, the fused parse→peel→strip pass runs per
-    micro-batch (stream_warc_ingest's stage), and the output lands in
-    the (doc_id, text, lang, source, n_chars) shape
+    archive rows stream in, the fused parse→peel→extract pass runs
+    per micro-batch (warc_doc_text — HTML and, since round 14, PDF
+    responses, matching docs_from_warc exactly), and the output lands
+    in the (doc_id, text, lang, source, n_chars) shape
     ``stream_training_corpus`` consumes — chaining the two streams
     over a directory is the end-to-end Common-Crawl-to-training-packs
     path, batch-pinned in tests against
@@ -878,7 +879,7 @@ def stream_warc_to_corpus_docs(
     stream = spark.readStream.schema("asset_id long, payload binary").parquet(
         src_dir
     )
-    docs = webarchive.warc_html_text(stream).select(
+    docs = webarchive.warc_doc_text(stream).select(
         F.col("asset_id").alias("doc_id"),
         "text",
         F.lit(None).cast("string").alias("lang"),

@@ -512,3 +512,43 @@ def test_pdf_links_tolerant_walk():
     assert P.pdf_links(P.synth_pdf_bytes(7)) == [
         (0, "http://example.test/pdf/00000007")
     ]
+
+
+def test_runlength_filter():
+    """RunLengthDecode: independent forward encoder round-trip plus
+    the literal/repeat/EOD grammar and truncation gates."""
+
+    def rle_encode(data: bytes) -> bytes:
+        out = bytearray()
+        i = 0
+        while i < len(data):
+            # repeat run?
+            j = i
+            while j < len(data) and data[j] == data[i] and j - i < 128:
+                j += 1
+            if j - i >= 3:
+                out += bytes([257 - (j - i), data[i]])
+                i = j
+                continue
+            # literal run up to the next 3-repeat
+            k = i
+            while k < len(data) and k - i < 128:
+                if (
+                    k + 2 < len(data)
+                    and data[k] == data[k + 1] == data[k + 2]
+                ):
+                    break
+                k += 1
+            out += bytes([k - i - 1]) + data[i:k]
+            i = k
+        out.append(128)
+        return bytes(out)
+
+    body = b"aaaaabcdefggggggghhh" + bytes(range(256)) + b"zz" * 200
+    assert P._runlength_decode(rle_encode(body)) == body
+    with pytest.raises(P.PdfError, match="missing EOD"):
+        P._runlength_decode(b"\x02abc")
+    with pytest.raises(P.PdfError, match="literal run truncated"):
+        P._runlength_decode(b"\x05ab")
+    with pytest.raises(P.PdfError, match="repeat run truncated"):
+        P._runlength_decode(b"\xfe")
