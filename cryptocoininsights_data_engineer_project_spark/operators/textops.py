@@ -727,11 +727,31 @@ BPE_VOCAB_N = 150
 BPE_STEPS = 6
 
 
+def collect_word_vocab(docs: DataFrame, n_words: int = BPE_VOCAB_N):
+    """ONE corpus scan cutting the weighted top-``n_words`` word
+    vocabulary by the deterministic (count DESC, word ASC) order —
+    the shared seed of the char-BPE, byte-BPE, and Unigram trainers
+    (all three cut the SAME 150 rows). ``tokenizer_counts`` collects
+    it once, so the fused 4-way fertility pays one vocab scan
+    instead of three."""
+    return (
+        docs.select(F.explode(F.expr(spark_tokens("text"))).alias("w"))
+        .filter("w <> ''")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(n_words)
+        .collect()
+    )
+
+
+
 def bpe_merge_table(
     spark,
     docs: DataFrame,
     n_words: int = BPE_VOCAB_N,
     steps: int = BPE_STEPS,
+    vocab_rows=None,
 ) -> DataFrame:
     """(step, lhs, rhs, pair_count, merged): the first ``steps`` BPE
     merges learned from the corpus' top-``n_words`` vocabulary, with
@@ -754,20 +774,23 @@ def bpe_merge_table(
     argmax tie-broken (count DESC, lhs ASC, rhs ASC), greedy-leftmost
     non-overlapping replace (str.replace == Spark replace() ==
     DuckDB replace())."""
-    vocab_rows = (
-        docs.select(F.explode(F.expr(spark_tokens("text"))).alias("w"))
-        .filter("w <> ''")
-        .groupBy("w")
-        .agg(F.count("*").alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("w"))
-        .limit(n_words)
-        .collect()
-    )
+    if vocab_rows is None:
+        vocab_rows = collect_word_vocab(docs, n_words)
     segs = [
         (int(r["cnt"]), "  " + "".join(c + "  " for c in r["w"]))
         for r in vocab_rows
     ]
 
+    return spark.createDataFrame(
+        _bpe_merge_loop(segs, steps),
+        "step bigint, lhs string, rhs string, pair_count bigint, merged string",
+    )
+
+
+def _bpe_merge_loop(segs: list, steps: int) -> list:
+    """The driver-local K-iteration merge loop shared by the char and
+    byte BPE trainers (both operate on double-delimited segmentations
+    and differ only in the seg0 alphabet)."""
     merges = []
     for step in range(1, steps + 1):
         freqs: dict[tuple[str, str], int] = {}
@@ -785,11 +808,7 @@ def bpe_merge_table(
             (cnt, seg.replace(f" {lhs}  {rhs} ", f" {lhs}{rhs} "))
             for cnt, seg in segs
         ]
-
-    return spark.createDataFrame(
-        merges,
-        "step bigint, lhs string, rhs string, pair_count bigint, merged string",
-    )
+    return merges
 
 
 def _bpe_merge_blocks(n_words: int, steps: int) -> list[str]:
@@ -950,6 +969,7 @@ def bpe_bytes_merge_table(
     docs: DataFrame,
     n_words: int = BPE_VOCAB_N,
     steps: int = BPE_STEPS,
+    vocab_rows=None,
 ) -> DataFrame:
     """(step, lhs, rhs, pair_count, merged): the first ``steps``
     BYTE-LEVEL BPE merges — symbols are uppercase hex byte pairs of
@@ -959,15 +979,8 @@ def bpe_bytes_merge_table(
     parameter-bounded rows. Tie-breaks are deterministic in the hex
     alphabet ([0-9A-F], ASCII order — identical in Python, Spark, and
     DuckDB)."""
-    vocab_rows = (
-        docs.select(F.explode(F.expr(spark_tokens("text"))).alias("w"))
-        .filter("w <> ''")
-        .groupBy("w")
-        .agg(F.count("*").alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("w"))
-        .limit(n_words)
-        .collect()
-    )
+    if vocab_rows is None:
+        vocab_rows = collect_word_vocab(docs, n_words)
     segs = [
         (
             int(r["cnt"]),
@@ -2023,7 +2036,7 @@ def _uni_viterbi(word: str, scores: dict[str, int]):
     return dp[n]
 
 
-def unigram_train(spark, docs: DataFrame) -> dict[str, int]:
+def unigram_train(spark, docs: DataFrame, vocab_rows=None) -> dict[str, int]:
     """piece -> integer score, the trained unigram-LM vocabulary.
 
     Physical shape (the bpe_merge_table pattern): ONE distributed
@@ -2035,15 +2048,8 @@ def unigram_train(spark, docs: DataFrame) -> dict[str, int]:
     trainers iterate in memory over their (suffix-array-derived) seed.
     All arithmetic is integer: seed scores are substring frequencies,
     EM re-scores are Viterbi usage counts."""
-    vocab_rows = (
-        docs.select(F.explode(F.expr(spark_tokens("text"))).alias("w"))
-        .filter("w <> ''")
-        .groupBy("w")
-        .agg(F.count("*").alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("w"))
-        .limit(UNI_VOCAB_WORDS)
-        .collect()
-    )
+    if vocab_rows is None:
+        vocab_rows = collect_word_vocab(docs, UNI_VOCAB_WORDS)
     vocab = [(r["w"], int(r["cnt"])) for r in vocab_rows]
     for w, _ in vocab:
         if len(w) > UNI_MAX_WORD:
@@ -2209,15 +2215,19 @@ def tokenizer_counts(spark, docs: DataFrame) -> DataFrame:
     scan is the I/O-bound term and Nx text reads are real money.
     Training still runs per tokenizer (bounded driver-side work +
     tiny jobs)."""
+    vocab_rows = collect_word_vocab(docs)  # ONE scan, three trainers
     merges = sorted(
-        bpe_merge_table(spark, docs).collect(), key=lambda r: r["step"]
+        bpe_merge_table(spark, docs, vocab_rows=vocab_rows).collect(),
+        key=lambda r: r["step"],
     )
     bmerges = sorted(
-        bpe_bytes_merge_table(spark, docs).collect(),
+        bpe_bytes_merge_table(
+            spark, docs, vocab_rows=vocab_rows
+        ).collect(),
         key=lambda r: r["step"],
     )
     pieces = [r["piece"] for r in wordpiece_vocab(spark, docs).collect()]
-    scores = unigram_train(spark, docs)
+    scores = unigram_train(spark, docs, vocab_rows=vocab_rows)
     toks = f"filter({spark_tokens('text')}, w -> w <> '')"
     bpe = _bpe_word_count_expr(merges)
     bpb = _bpe_bytes_word_count_expr(bmerges)
