@@ -195,6 +195,8 @@ class _Lexer:
             c = d[self.pos]
             if c == 0x5C:  # backslash
                 self.pos += 1
+                if self.pos >= len(d):
+                    raise PdfError("unterminated literal string")
                 e = d[self.pos]
                 if e in b"nrtbf":
                     out += {
@@ -619,8 +621,9 @@ class _Pdf:
         /FlateDecode (zlib, with the PNG row predictors xref-stream
         encoders use), /LZWDecode (the TIFF-convention MSB-first
         variant with EarlyChange), /ASCIIHexDecode and
-        /ASCII85Decode. Every other filter (DCTDecode, RunLength,
-        CCITT, JBIG2, JPX, Crypt) gates loudly by name."""
+        /ASCII85Decode, and /RunLengthDecode. Every other filter
+        (DCTDecode, CCITT, JBIG2, JPX, Crypt) gates loudly by
+        name."""
         raw = obj["__stream__"]
         filt = self.resolve(obj.get("Filter"))
         if filt is None:

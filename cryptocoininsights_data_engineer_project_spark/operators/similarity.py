@@ -1743,12 +1743,21 @@ def probe_ivf_index(
         # the base corpus partition-prunes; the DELTA is a plain scan
         # with the cid predicate pushed — bounded by the re-index
         # cadence (the FAISS/Lucene base+delta serving shape), and
-        # compactable into the partitioned base per cell
-        corpus = corpus.unionByName(
-            delta.select("vec_id", "emb", "nrm", "cid").filter(
-                F.col("cid").isin(cell_ids)
-            )
+        # compactable into the partitioned base per cell. The delta
+        # WINS on vec_id collision: if probing resumes between
+        # compact_ivf_delta and the delta truncation (or a vec_id is
+        # re-delivered), the same vector exists on both sides — the
+        # anti-join below keeps exactly one copy, so top-k can never
+        # seat the same vec_id twice. The delta is cadence-bounded,
+        # so its vec_id list broadcasts.
+        d = (
+            delta.select("vec_id", "emb", "nrm", "cid")
+            .filter(F.col("cid").isin(cell_ids))
+            .dropDuplicates(["vec_id"])
         )
+        corpus = corpus.join(
+            F.broadcast(d.select("vec_id")), "vec_id", "left_anti"
+        ).unionByName(d)
     cand = corpus.join(F.broadcast(probes), "cid").filter(
         F.col("query_id") != F.col("vec_id")
     )

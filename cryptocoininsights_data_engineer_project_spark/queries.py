@@ -2080,8 +2080,12 @@ def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "string escape grammar, TJ kerning arrays, and hex strings "
     "(operators/pdftext.py). FlateDecode = stdlib zlib (the PNG "
     "precedent; exercised in tests — the in-query fixture keeps "
-    "streams raw so it stays SQL-buildable). Loud typed gates: "
-    "encryption, xref/object streams, non-Flate filters. The "
+    "streams raw so it stays SQL-buildable). This entry exercises "
+    "the classic-xref layout; pdf_text_extract_v15 covers the 1.5 "
+    "xref/object-stream machinery, and the filter chain decodes "
+    "Flate/LZW/RunLength/ASCIIHex/ASCII85 — remaining loud gates "
+    "are encryption, the image filters (DCT/CCITT/JBIG2/JPX/"
+    "Crypt), and the TIFF predictor. The "
     "oracle restates the per-page text closed-form with no PDF "
     "syntax on the DuckDB side",
 )

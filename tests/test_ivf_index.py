@@ -245,3 +245,34 @@ def test_compact_ivf_delta(spark, sf_dir, tmp_path):
     base = spark.read.parquet(f"{idx}/corpus")
     assert base.count() == emb.count()
     assert base.select("vec_id").distinct().count() == emb.count()
+
+
+def test_probe_with_stale_delta_never_duplicates(spark, sf_dir, tmp_path):
+    """If probing resumes between compact_ivf_delta and the delta
+    truncation (or a vec_id is re-delivered), the same vector exists
+    in BOTH the base corpus and the delta. The probe path must keep
+    exactly one copy (delta wins) so top-k never seats the same
+    vec_id twice (ADVICE r14)."""
+    emb = table(spark, sf_dir, "embeddings")
+    seed = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(seed, idx)
+    delta = similarity.assign_to_index(spark, idx, rest).localCheckpoint()
+    similarity.compact_ivf_delta(spark, idx, delta)
+
+    queries = (
+        similarity._ivf_vecs(emb)
+        .filter(F.col("vec_id") % similarity.QUERY_MODULUS == 0)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+        )
+    )
+    base_only = similarity.probe_ivf_index(spark, idx, queries).collect()
+    stale = similarity.probe_ivf_index(
+        spark, idx, queries, delta=delta
+    ).collect()
+    assert {tuple(r) for r in stale} == {tuple(r) for r in base_only}
+    # no query's top-k ever contains a neighbor twice
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in stale]
+    assert len(pairs) == len(set(pairs)) > 0

@@ -937,8 +937,11 @@ def test_parse_tar_fuzz_valid_member_then_junk():
     @given(st.binary(min_size=1, max_size=60), st.binary(min_size=512, max_size=700))
     def run(body, junk):
         blob = _stdlib_tar([("f", body)])
-        end = len(blob.rstrip(b"\x00"))
-        blob = blob[: ((end + 511) // 512) * 512] + junk
+        # Truncate at the member's structural end (512-byte header +
+        # body padded to the next 512 boundary) — rstrip(b"\x00")
+        # would eat the body block itself for all-zero bodies.
+        end = 512 + ((len(body) + 511) // 512) * 512
+        blob = blob[:end] + junk
         try:
             ms = parse_tar(blob)
             assert ms[0]["body"] == body  # first member intact regardless
