@@ -18,15 +18,36 @@ Layer III hybrid stage sits behind the same seam.
 
 Scope (each limit gates LOUDLY, the house convention):
 
-* Long blocks only: ``window_switching_flag = 1`` (short/mixed
-  blocks, Table 3-B.7 block types) raises by name.
-* Huffman tables: the bundled subset is tables 0-3 of Table 3-B.7
-  plus both count1 tables (A/B). The linbits/ESC tables (16-31)
-  and the remaining small tables raise naming the table id. The
-  bundled code data is transcribed from the public spec table; its
-  structural invariants (prefix-freeness and Kraft completeness,
-  sum 2^-len == 1) are pinned in tests/test_mp3.py so a
-  transcription slip cannot silently corrupt decode.
+* ALL window shapes decode (VERDICT r14 item 1): long blocks AND
+  ``window_switching_flag = 1`` granules — short blocks
+  (block_type 2), mixed blocks (mixed_block_flag = 1), and the
+  long start/stop windows (block_types 1/3) — with the implied
+  region counts, subblock gains, and the short/mixed scalefactor
+  layouts of 2.4.2.7. Block-type 0 with window switching set and
+  scfsi over a short-block granule are spec violations and raise
+  typed errors. (Line REORDERING for short blocks is part of the
+  float requantization stage downstream of this module's
+  integer-line output, like stereo processing.)
+* Huffman tables: the bundled subset is tables 0-3 and 5-9 of
+  Table 3-B.7 plus both count1 tables (A/B). The bundled code data
+  is transcribed from the public spec table; its structural
+  invariants (prefix-freeness and Kraft completeness, sum 2^-len
+  == 1) are pinned in tests/test_mp3.py so a transcription slip
+  cannot silently corrupt decode — table 8's (5,3) entry is the
+  UNIQUE single-entry completion those invariants force over the
+  other 35 transcribed entries (documented at the table). The
+  8x8 and 16x16 code pages (tables 10-13, 15, and the shared
+  pages of the linbits families 16-23 / 24-31) are NOT bundled:
+  they are free-form code assignments this build could not
+  re-derive under the same validation bar, so they gate loudly by
+  table id and install through ``register_huffman_table`` (the
+  register_synthesis_window seam pattern) — registration runs the
+  SAME Kraft/prefix validation. The linbits/ESC *machinery*
+  (value-15 escape + linbits extension bits, Table 3-B.7's
+  per-table linbits counts) is fully implemented and tested
+  through the seam; only the code-page data is seamed.
+* Tables 4 and 14 are "not used" in the spec and raise as
+  reserved.
 * MPEG-1 only (ID = 1); LSF raises upstream in mpaudiocodec.
 * Both channel modes decode (mono; stereo/dual as independent
   channels — ms/intensity stereo PROCESSING is float-side, after
@@ -61,7 +82,136 @@ HUFF_XY: dict[int, dict[tuple[int, int], tuple[int, int]]] = {
         (1, 0): (3, 1), (1, 1): (2, 1), (1, 2): (5, 1),
         (2, 0): (5, 3), (2, 1): (5, 2), (2, 2): (6, 0),
     },
+    # tables 5-9 (r15): 4x4 / 6x6 pages, transcribed from the public
+    # spec table and validated as COMPLETE prefix codes (Kraft sum
+    # 2^-len == 1 AND prefix-freeness) before bundling — a random
+    # transcription error passes both checks with negligible
+    # probability, so validation doubles as a fidelity witness.
+    5: {
+        (0, 0): (1, 1), (0, 1): (3, 2), (0, 2): (6, 6), (0, 3): (7, 5),
+        (1, 0): (3, 3), (1, 1): (3, 1), (1, 2): (6, 4), (1, 3): (7, 4),
+        (2, 0): (6, 7), (2, 1): (6, 5), (2, 2): (7, 7), (2, 3): (8, 1),
+        (3, 0): (7, 6), (3, 1): (6, 1), (3, 2): (7, 1), (3, 3): (8, 0),
+    },
+    6: {
+        (0, 0): (3, 7), (0, 1): (3, 3), (0, 2): (5, 5), (0, 3): (7, 1),
+        (1, 0): (3, 6), (1, 1): (2, 2), (1, 2): (4, 3), (1, 3): (5, 2),
+        (2, 0): (4, 5), (2, 1): (4, 4), (2, 2): (5, 4), (2, 3): (6, 1),
+        (3, 0): (6, 3), (3, 1): (5, 3), (3, 2): (6, 2), (3, 3): (7, 0),
+    },
+    7: {
+        (0, 0): (1, 1), (0, 1): (3, 2), (0, 2): (6, 10),
+        (0, 3): (8, 19), (0, 4): (8, 16), (0, 5): (9, 10),
+        (1, 0): (3, 3), (1, 1): (4, 3), (1, 2): (6, 7),
+        (1, 3): (7, 10), (1, 4): (7, 5), (1, 5): (8, 3),
+        (2, 0): (6, 11), (2, 1): (5, 4), (2, 2): (7, 13),
+        (2, 3): (8, 17), (2, 4): (8, 8), (2, 5): (9, 4),
+        (3, 0): (7, 12), (3, 1): (7, 11), (3, 2): (8, 18),
+        (3, 3): (9, 15), (3, 4): (9, 11), (3, 5): (9, 2),
+        (4, 0): (7, 7), (4, 1): (7, 6), (4, 2): (8, 9),
+        (4, 3): (9, 14), (4, 4): (9, 3), (4, 5): (10, 1),
+        (5, 0): (8, 6), (5, 1): (8, 4), (5, 2): (9, 5),
+        (5, 3): (10, 3), (5, 4): (10, 2), (5, 5): (10, 0),
+    },
+    # table 8: 35 entries transcribed; (5,3) is the unique
+    # single-entry completion the Kraft/prefix invariants force over
+    # them (the two free 9-bit slots 6 and 7 merge to the 8-bit
+    # code 3 — any other single assignment leaves the tree
+    # incomplete or collides).
+    8: {
+        (0, 0): (2, 3), (0, 1): (3, 4), (0, 2): (6, 6),
+        (0, 3): (8, 18), (0, 4): (8, 12), (0, 5): (9, 5),
+        (1, 0): (3, 5), (1, 1): (2, 1), (1, 2): (4, 2),
+        (1, 3): (8, 16), (1, 4): (8, 9), (1, 5): (10, 3),
+        (2, 0): (6, 7), (2, 1): (4, 3), (2, 2): (6, 5),
+        (2, 3): (8, 14), (2, 4): (8, 7), (2, 5): (9, 3),
+        (3, 0): (8, 19), (3, 1): (8, 17), (3, 2): (8, 15),
+        (3, 3): (9, 13), (3, 4): (9, 10), (3, 5): (10, 4),
+        (4, 0): (8, 13), (4, 1): (7, 5), (4, 2): (8, 8),
+        (4, 3): (9, 11), (4, 4): (10, 5), (4, 5): (10, 1),
+        (5, 0): (9, 12), (5, 1): (8, 4), (5, 2): (9, 4),
+        (5, 3): (8, 3), (5, 4): (10, 0), (5, 5): (10, 2),
+    },
+    9: {
+        (0, 0): (3, 7), (0, 1): (3, 5), (0, 2): (5, 9),
+        (0, 3): (6, 14), (0, 4): (8, 15), (0, 5): (9, 7),
+        (1, 0): (3, 6), (1, 1): (3, 4), (1, 2): (4, 5),
+        (1, 3): (5, 5), (1, 4): (6, 6), (1, 5): (8, 7),
+        (2, 0): (4, 7), (2, 1): (4, 6), (2, 2): (5, 8),
+        (2, 3): (6, 8), (2, 4): (7, 8), (2, 5): (8, 5),
+        (3, 0): (6, 15), (3, 1): (5, 6), (3, 2): (6, 9),
+        (3, 3): (7, 10), (3, 4): (7, 5), (3, 5): (8, 1),
+        (4, 0): (7, 11), (4, 1): (6, 7), (4, 2): (7, 9),
+        (4, 3): (7, 6), (4, 4): (8, 4), (4, 5): (9, 1),
+        (5, 0): (8, 14), (5, 1): (7, 4), (5, 2): (8, 6),
+        (5, 3): (8, 2), (5, 4): (9, 6), (5, 5): (9, 0),
+    },
 }
+
+# Table 3-B.7 linbits counts: tables 16-23 share table 16's code
+# page, 24-31 share table 24's — only the linbits width varies.
+LINBITS = {
+    16: 1, 17: 2, 18: 3, 19: 4, 20: 6, 21: 8, 22: 10, 23: 13,
+    24: 4, 25: 5, 26: 6, 27: 7, 28: 8, 29: 9, 30: 11, 31: 13,
+}
+_RESERVED_TABLES = {4, 14}
+
+# ------------------------------------------------- code-page seam
+# The 8x8/16x16 code pages (tables 10-13, 15, and the shared pages
+# of 16-23 / 24-31) are free-form spec data this build does not
+# bundle (module docstring); a deployment that has the spec installs
+# them here — the register_synthesis_window seam pattern, with the
+# SAME structural validation the bundled tables pass.
+_REGISTERED_XY: dict[int, dict[tuple[int, int], tuple[int, int]]] = {}
+
+
+def _validate_code_page(entries: dict) -> None:
+    kraft = 0
+    seen: set[tuple[int, int]] = set()
+    for (x, y), (ln, cd) in entries.items():
+        if not (0 <= x <= 15 and 0 <= y <= 15):
+            raise MpegAudioError(f"symbol ({x},{y}) out of range")
+        if not (1 <= ln <= _MAX_HLEN) or cd >= (1 << ln):
+            raise MpegAudioError(f"bad code ({ln},{cd}) for ({x},{y})")
+        if (ln, cd) in seen:
+            raise MpegAudioError(f"duplicate code ({ln},{cd})")
+        seen.add((ln, cd))
+        kraft += 1 << (_MAX_HLEN - ln)
+    if kraft != (1 << _MAX_HLEN):
+        raise MpegAudioError("code page is not Kraft-complete")
+    items = sorted(seen)
+    for i, (l1, c1) in enumerate(items):
+        for l2, c2 in items[i + 1:]:
+            if l2 > l1 and (c2 >> (l2 - l1)) == c1:
+                raise MpegAudioError(
+                    f"code ({l1},{c1}) is a prefix of ({l2},{c2})"
+                )
+
+
+def register_huffman_table(table_id: int, entries: dict) -> None:
+    """Install an unbundled Table 3-B.7 code page:
+    ``{(x, y): (hlen, hcod)}``. Accepted ids: 10-13, 15, 16, 24
+    (17-23 and 25-31 reuse 16's / 24's page with their own linbits
+    count — register the page under 16 or 24 and every member of
+    the family decodes). The page must be a COMPLETE prefix code —
+    validation is the same Kraft + prefix check the bundled tables
+    pass in tests.
+
+    Module-global registration does NOT reach Spark python workers
+    (the webarchive._codec_snapshot gotcha): for worker-side decode,
+    snapshot the page into the operator closure; this seam serves
+    direct/driver-side decode and tests."""
+    if table_id in HUFF_XY or table_id in _RESERVED_TABLES:
+        raise MpegAudioError(
+            f"table {table_id} is bundled or reserved — not seamable"
+        )
+    if table_id not in {10, 11, 12, 13, 15, 16, 24}:
+        raise MpegAudioError(
+            f"table id {table_id} is not a registrable code page "
+            "(10-13, 15, 16, 24)"
+        )
+    _validate_code_page(entries)
+    _REGISTERED_XY[table_id] = dict(entries)
 
 # count1 tables: quadruple (v, w, x, y), index n = v*8 + w*4 + x*2 + y
 _COUNT1_A_LEN = [1, 4, 4, 5, 4, 6, 5, 6, 4, 5, 5, 6, 5, 6, 6, 6]
@@ -161,14 +311,33 @@ def _parse_side_info(br: _Bits, nch: int) -> tuple[int, list, list]:
                 "window_switching_flag": br.read(1),
             }
             if gi["window_switching_flag"]:
-                raise NotImplementedError(
-                    "Layer III window_switching (short/mixed blocks) "
-                    "is outside the implemented subset — long blocks "
-                    "only"
-                )
-            gi["table_select"] = [br.read(5) for _ in range(3)]
-            gi["region0_count"] = br.read(4)
-            gi["region1_count"] = br.read(3)
+                # 2.4.1.7 window-switching layout: block_type,
+                # mixed_block_flag, TWO table_selects, three
+                # subblock gains; region counts are IMPLIED
+                # (2.4.2.7): region0 = 8 short-sfb triplets for a
+                # pure short block, else 7 long sfbs; region1 runs
+                # to the end (no region2).
+                gi["block_type"] = br.read(2)
+                if gi["block_type"] == 0:
+                    raise MpegAudioError(
+                        "block_type 0 with window_switching_flag set "
+                        "is forbidden (11172-3 2.4.1.7)"
+                    )
+                gi["mixed_block_flag"] = br.read(1)
+                gi["table_select"] = [br.read(5) for _ in range(2)]
+                gi["subblock_gain"] = [br.read(3) for _ in range(3)]
+                if gi["block_type"] == 2 and not gi["mixed_block_flag"]:
+                    gi["region0_count"] = 8
+                else:
+                    gi["region0_count"] = 7
+                gi["region1_count"] = 20 - gi["region0_count"]
+            else:
+                gi["block_type"] = 0
+                gi["mixed_block_flag"] = 0
+                gi["subblock_gain"] = [0, 0, 0]
+                gi["table_select"] = [br.read(5) for _ in range(3)]
+                gi["region0_count"] = br.read(4)
+                gi["region1_count"] = br.read(3)
             gi["preflag"] = br.read(1)
             gi["scalefac_scale"] = br.read(1)
             gi["count1table_select"] = br.read(1)
@@ -178,21 +347,61 @@ def _parse_side_info(br: _Bits, nch: int) -> tuple[int, list, list]:
 
 
 def _xy_decoder_for(table_id: int):
+    """(decoder, linbits) for a table id: bundled pages directly;
+    linbits families 16-23 / 24-31 map to their shared registered
+    page; reserved ids are spec violations."""
+    if table_id in _RESERVED_TABLES:
+        raise MpegAudioError(
+            f"Layer III Huffman table {table_id} is reserved "
+            "('not used' in Table 3-B.7) — invalid bitstream"
+        )
     if table_id in _XY_DECODERS:
-        return _XY_DECODERS[table_id]
+        return _XY_DECODERS[table_id], 0
+    linbits = LINBITS.get(table_id, 0)
+    page_id = table_id if table_id not in LINBITS else (
+        16 if table_id < 24 else 24
+    )
+    page = _REGISTERED_XY.get(page_id)
+    if page is not None:
+        return _build_decoder(page), linbits
     raise NotImplementedError(
         f"Layer III Huffman table {table_id} (ISO/IEC 11172-3 Table "
-        "3-B.7) is not bundled — tables 0-3 and count1 A/B are; the "
-        "linbits/ESC tables (16-31) and remaining smalls gate here"
+        "3-B.7) is not bundled — tables 0-3 and 5-9 plus count1 A/B "
+        "are; the 8x8/16x16 code pages (10-13, 15, and the shared "
+        "linbits pages 16/24) install via register_huffman_table"
     )
 
 
 def _read_scalefacs(br: _Bits, gi: dict, g: int, scfsi_ch: list,
                     prev: list | None) -> list[int]:
-    """Long-block scalefactors (21 bands): slen1 for sfb 0-10, slen2
-    for 11-20; in granule 1, scfsi groups copy granule 0's values
-    instead of reading bits (2.4.2.7)."""
+    """Scalefactors (2.4.2.7). Long blocks (block types 0/1/3): 21
+    bands, slen1 for sfb 0-10, slen2 for 11-20; in granule 1, scfsi
+    groups copy granule 0's values instead of reading bits. Short
+    blocks (block_type 2): slen1 for short sfb 0-5 x 3 windows,
+    slen2 for 6-11 x 3; the MIXED layout reads long sfb 0-7 first,
+    then short sfb 3-5 x 3 — scfsi is long-block-only, so a set
+    scfsi group over a short-block granule is a spec violation."""
     slen1, slen2 = SLEN[gi["scalefac_compress"]]
+    if gi["window_switching_flag"] and gi["block_type"] == 2:
+        if g == 1 and any(scfsi_ch):
+            raise MpegAudioError(
+                "scfsi set for a short-block granule (scfsi applies "
+                "to long blocks only, 11172-3 2.4.2.7)"
+            )
+        out = []
+        if gi["mixed_block_flag"]:
+            for _sfb in range(8):  # long sfb 0-7
+                out.append(br.read(slen1) if slen1 else 0)
+            short_lo = 3
+        else:
+            short_lo = 0
+        for _sfb in range(short_lo, 6):
+            for _w in range(3):
+                out.append(br.read(slen1) if slen1 else 0)
+        for _sfb in range(6, 12):
+            for _w in range(3):
+                out.append(br.read(slen2) if slen2 else 0)
+        return out
     groups = [(0, 6, slen1), (6, 11, slen1), (11, 16, slen2),
               (16, 21, slen2)]
     out = [0] * 21
@@ -214,9 +423,17 @@ def _decode_granule_lines(br: _Bits, gi: dict, rate: int,
     remaining lines are the zero region."""
     lines = np.zeros(576, dtype=np.int64)
     bounds = SFB_LONG[rate]
-    r0_end = bounds[min(gi["region0_count"] + 1, 22)]
-    r1_end = bounds[min(gi["region0_count"] + 1 + gi["region1_count"] + 1,
-                        22)]
+    if gi["window_switching_flag"]:
+        # implied regions (2.4.2.7): boundary at line 36 — short
+        # sfb triplet 9 for a pure short block, long sfb bound
+        # l[region0_count + 1] = l[8] = 36 at every MPEG-1 rate for
+        # the mixed/start/stop shapes — and NO region2.
+        r0_end, r1_end = 36, 576
+    else:
+        r0_end = bounds[min(gi["region0_count"] + 1, 22)]
+        r1_end = bounds[
+            min(gi["region0_count"] + 1 + gi["region1_count"] + 1, 22)
+        ]
     big = 2 * gi["big_values"]
     if big > 576:
         raise MpegAudioError(f"big_values {gi['big_values']} exceeds 576/2")
@@ -228,13 +445,19 @@ def _decode_granule_lines(br: _Bits, gi: dict, rate: int,
             tsel = gi["table_select"][1]
         else:
             tsel = gi["table_select"][2]
-        dec = _xy_decoder_for(tsel)
+        dec, linbits = _xy_decoder_for(tsel)
         if not dec:  # table 0: no data, lines stay zero
             i += 2
             continue
         x, y = _huff_read(br, dec, f"big_values table {tsel}")
+        # linbits/ESC (Table 3-B.7 families 16-31): value 15 is an
+        # escape — extend with linbits more bits BEFORE the sign
+        if x == 15 and linbits:
+            x += br.read(linbits)
         if x:
             lines[i] = -x if br.read(1) else x
+        if y == 15 and linbits:
+            y += br.read(linbits)
         if y:
             lines[i + 1] = -y if br.read(1) else y
         i += 2

@@ -6801,6 +6801,164 @@ def mpeg_audio_l3_oracle_sql() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+# -------------------------------- layer III window switching (r15)
+# All four window-switching granule shapes in ONE two-frame stream:
+# frame 0 carries a pure SHORT block (block_type 2) and a MIXED
+# block (block_type 2, mixed_block_flag 1); frame 1 the long START
+# and STOP windows (block_types 1 / 3). scalefac_compress 0 keeps
+# the scalefactor field empty in every layout, so the bit layout is
+# constant and the whole stream stays SQL-buildable; subblock gains
+# carry doc_id through the window-switching side info.
+_MP3S_BLOCKS = {(0, 0): (2, 0), (0, 1): (2, 1), (1, 0): (1, 0),
+                (1, 1): (3, 0)}
+
+
+def _mp3_sbg(doc, w: int, g: int, f: int):
+    if isinstance(doc, int):
+        return (doc * 7 + 3 * w + 2 * g + f) % 8
+    return f"((({doc}) * 7 + {3 * w + 2 * g + f}) % 8)"
+
+
+def _mpa_l3s_ops(doc) -> list[tuple]:
+    """Two layer-III frames, every granule window-switching."""
+    ops: list[tuple] = []
+    for f in range(MPA_FRAMES):
+        ops.append(("b", _mp3_header_bits()))
+        bits_used = 32
+        ops.append(("b", "0" * 9 + "0" * 5 + "0000"))
+        bits_used += 18
+        for g in range(2):
+            bt, mixed = _MP3S_BLOCKS[(f, g)]
+            ops.append(("b", format(5 * MP3_PAIRS, "012b")))
+            ops.append(("b", format(MP3_PAIRS, "09b")))
+            ops.append(("s", _mp3_gain(doc, g, f), 8))
+            # scalefac_compress 0, wsf 1, block_type, mixed flag,
+            # both table_selects = 1
+            ops.append(
+                ("b", "0000" + "1" + format(bt, "02b") + str(mixed)
+                 + "00001" * 2)
+            )
+            for w in range(3):
+                ops.append(("s", _mp3_sbg(doc, w, g, f), 3))
+            # preflag / scalefac_scale / count1table_select
+            ops.append(("b", "000"))
+            bits_used += 59
+        for g in range(2):
+            for p in range(MP3_PAIRS):
+                ops.append(("b", "000"))  # table 1 (1,1) code
+                ops.append(("s", _mp3_sx(doc, p, g, f), 1))
+                ops.append(("s", _mp3_sy(doc, p, g, f), 1))
+                bits_used += 5
+        ops.append(("b", "0" * (288 * 8 - bits_used)))
+    return ops
+
+
+def synth_mpeg_audio_l3s_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): window-switching layer-III streams."""
+    pieces = _mpeg_pack(_mpa_l3s_ops("doc_id"))
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr("unhex(concat(" + ", ".join(pieces) + "))").alias("payload"),
+    )
+
+
+_MP3_BLOCK_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("granule", T.LongType(), False),
+        T.StructField("channel", T.LongType(), False),
+        T.StructField("block_type", T.LongType(), False),
+        T.StructField("mixed_flag", T.LongType(), False),
+        T.StructField("sbg0", T.LongType(), False),
+        T.StructField("sbg1", T.LongType(), False),
+        T.StructField("sbg2", T.LongType(), False),
+        T.StructField("n_nonzero", T.LongType(), False),
+        T.StructField("line_sum", T.LongType(), False),
+        T.StructField("line_checksum", T.LongType(), False),
+    ]
+)
+
+
+def decode_mpeg_l3_block_stats(assets: DataFrame) -> DataFrame:
+    """Window-switching layer-III streams → per-(frame, granule,
+    channel) block shape + integer frequency-line stats. One
+    mapInPandas pass; payload bytes never shuffle."""
+    from .mpaudiocodec import decode_mpeg_audio
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                f.name: [] for f in _MP3_BLOCK_STATS_SCHEMA
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for fi, fr in enumerate(decode_mpeg_audio(bytes(payload))):
+                    for g in range(2):
+                        for ch in range(fr.channels):
+                            gi = fr.granules[g][ch]
+                            ln = gi.lines
+                            idx = np.arange(1, 577, dtype=np.int64)
+                            rows["asset_id"].append(int(aid))
+                            rows["frame_idx"].append(fi)
+                            rows["granule"].append(g)
+                            rows["channel"].append(ch)
+                            rows["block_type"].append(gi.block_type)
+                            rows["mixed_flag"].append(
+                                gi.mixed_block_flag
+                            )
+                            for w in range(3):
+                                rows[f"sbg{w}"].append(
+                                    gi.subblock_gain[w]
+                                )
+                            rows["n_nonzero"].append(
+                                int((ln != 0).sum())
+                            )
+                            rows["line_sum"].append(int(ln.sum()))
+                            rows["line_checksum"].append(
+                                int((ln * idx * idx).sum())
+                            )
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _decode, schema=_MP3_BLOCK_STATS_SCHEMA
+    )
+
+
+def mpeg_audio_l3s_oracle_sql() -> str:
+    """Closed form per (frame, granule): the block shape constants,
+    the subblock-gain formulas, and the same ±1 line positions as
+    the long-block fixture — a decoder that mis-walks the
+    window-switching side info or the implied regions breaks it."""
+    parts = []
+    for f in range(MPA_FRAMES):
+        for g in range(2):
+            bt, mixed = _MP3S_BLOCKS[(f, g)]
+            sx = f"((doc_id + 3 * p.p + {5 * g + 7 * f}) % 2)"
+            sy = f"((doc_id * 3 + p.p + {2 * g + f}) % 2)"
+            vx = f"(1 - 2 * {sx})"
+            vy = f"(1 - 2 * {sy})"
+            sbg = ", ".join(
+                f"CAST({_mp3_sbg('doc_id', w, g, f)} AS BIGINT) AS sbg{w}"
+                for w in range(3)
+            )
+            parts.append(
+                f"SELECT doc_id AS asset_id, CAST({f} AS BIGINT) AS "
+                f"frame_idx, CAST({g} AS BIGINT) AS granule, "
+                "CAST(0 AS BIGINT) AS channel, "
+                f"CAST({bt} AS BIGINT) AS block_type, "
+                f"CAST({mixed} AS BIGINT) AS mixed_flag, "
+                f"{sbg}, "
+                f"CAST({2 * MP3_PAIRS} AS BIGINT) AS n_nonzero, "
+                f"CAST(sum({vx} + {vy}) AS BIGINT) AS line_sum, "
+                f"CAST(sum({vx} * (2 * p.p + 1) * (2 * p.p + 1) + "
+                f"{vy} * (2 * p.p + 2) * (2 * p.p + 2)) AS BIGINT) "
+                "AS line_checksum "
+                f"FROM documents, UNNEST(generate_series(0, {MP3_PAIRS - 1}))"
+                " AS p(p) GROUP BY doc_id"
+            )
+    return "\nUNION ALL\n".join(parts)
+
+
 # ------------------------------------------ mpeg audio inside WAV
 # WAVE_FORMAT_MPEG (fmt tag 0x0050, Microsoft mmreg.h MPEG1WAVEFORMAT):
 # the container x codec DISPATCH case — a RIFF/WAVE file whose data

@@ -3051,8 +3051,8 @@ def multimodal_audio_mpeg_l2_hr(
     "(main data located back inside earlier frames' slots), "
     "scalefactor decode (slen pairs, scfsi copy groups), and the "
     "big-values + count1 Huffman stage over the bundled Table "
-    "3-B.7 subset (tables 0-3 + count1 A/B, structural Kraft/"
-    "prefix invariants pinned in tests) — decoded to the spec's "
+    "3-B.7 subset (tables 0-3 and 5-9 + count1 A/B, structural "
+    "Kraft/prefix invariants pinned in tests) — decoded to the spec's "
     "INTEGER frequency lines is[0..575], the exact-integer "
     "contract of the L1/L2 queries (floats start strictly after "
     "this output: x^(4/3) requantization and the hybrid "
@@ -3061,8 +3061,10 @@ def multimodal_audio_mpeg_l2_hr(
     "class VLC, the mpegcodec discipline) so only sign bits and "
     "global_gain carry doc_id; the oracle states every line's "
     "sign and position in closed form "
-    "(operators/mp3codec.py; loud gates: short/mixed blocks, "
-    "linbits/ESC tables, reservoir overrun)",
+    "(operators/mp3codec.py; loud gates: the unbundled 8x8/16x16 "
+    "code pages — seamable via register_huffman_table — and "
+    "reservoir overrun; short/mixed blocks and linbits/ESC decode "
+    "as of r15)",
 )
 def multimodal_audio_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
@@ -3070,6 +3072,35 @@ def multimodal_audio_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return multimodal.decode_mpeg_l3_stats(
         multimodal.synth_mpeg_audio_l3_assets(docs)
+    )
+
+
+@_q(
+    "multimodal_audio_mp3_short",
+    multimodal.mpeg_audio_l3s_oracle_sql(),
+    doc="MP3 WINDOW SWITCHING (VERDICT r14 item 1 — the block "
+    "shapes virtually every real encoder emits): all four "
+    "window-switching granule shapes in one two-frame stream — "
+    "pure SHORT blocks (block_type 2), MIXED blocks "
+    "(mixed_block_flag 1, long sfb 0-7 + short 3-11 scalefactor "
+    "order), and the long START/STOP windows (block_types 1/3) — "
+    "decoding the window-switching side-info layout (two "
+    "table_selects, three 3-bit subblock gains carrying doc_id, "
+    "IMPLIED region counts: 8 short-sfb triplets / 7 long sfbs, "
+    "boundary at line 36, no region2; 11172-3 2.4.1.7/2.4.2.7). "
+    "scalefac_compress 0 keeps every scalefactor layout empty so "
+    "the bit layout is constant and SQL-buildable; the oracle "
+    "states block shape, subblock gains, and every ±1 line in "
+    "closed form (operators/mp3codec.py; spec-violation gates: "
+    "block_type 0 under window switching, scfsi over a short "
+    "granule)",
+)
+def multimodal_audio_mp3_short(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return multimodal.decode_mpeg_l3_block_stats(
+        multimodal.synth_mpeg_audio_l3s_assets(docs)
     )
 
 

@@ -54,32 +54,57 @@ def _build_l3(
 ):
     """Independent single-frame builder (NOT the module fixture).
     granule_specs: [{pairs: [(x, y, sx, sy)...], table: id,
-    scalefac_compress: n, scalefacs: [...]}] x2."""
+    scalefac_compress: n, scalefacs: [...]}] x2. A spec with a
+    "block_type" key emits the window-switching side-info layout
+    (mixed/subblock_gain keys, short/mixed scalefactor order)."""
     hdr = "1" * 12 + "1" + "01" + ("1" if protection else "0")
     hdr += frame_kbps_bits + "01"  # 96 kbps default, 48 kHz
     hdr += "0" + "0" + "11" + "00" + "0" + "0" + "00"
     side = _bits(main_data_begin, 9) + "0" * 5
     side += "".join(str(b) for b in scfsi)
+
+    def _page(tid):
+        if tid in L3.HUFF_XY:
+            return L3.HUFF_XY[tid], 0
+        pid = tid if tid not in L3.LINBITS else (16 if tid < 24 else 24)
+        return L3._REGISTERED_XY[pid], L3.LINBITS.get(tid, 0)
+
     mains = []
     for g, spec in enumerate(granule_specs):
-        tab = L3.HUFF_XY[spec.get("table", 1)]
+        tab, linbits = _page(spec.get("table", 1))
         main = ""
         sfc = spec.get("scalefac_compress", 0)
         slen1, slen2 = L3.SLEN[sfc]
-        scf = spec.get("scalefacs", [0] * 21)
-        groups = [(0, 6, slen1), (6, 11, slen1), (11, 16, slen2),
-                  (16, 21, slen2)]
-        for gi_, (lo, hi, slen) in enumerate(groups):
-            if g == 1 and scfsi[gi_]:
-                continue
-            for sfb in range(lo, hi):
+        if spec.get("block_type", 0) == 2:
+            n_short = 36 if spec.get("mixed", 0) == 0 else 35
+            scf = spec.get("scalefacs", [0] * n_short)
+            if spec.get("mixed", 0):
+                lens = [slen1] * 8 + [slen1] * 9 + [slen2] * 18
+            else:
+                lens = [slen1] * 18 + [slen2] * 18
+            for v, slen in zip(scf + [0] * 64, lens):
                 if slen:
-                    main += _bits(scf[sfb], slen)
+                    main += _bits(v & ((1 << slen) - 1), slen)
+        else:
+            scf = spec.get("scalefacs", [0] * 21)
+            groups = [(0, 6, slen1), (6, 11, slen1), (11, 16, slen2),
+                      (16, 21, slen2)]
+            for gi_, (lo, hi, slen) in enumerate(groups):
+                if g == 1 and scfsi[gi_]:
+                    continue
+                for sfb in range(lo, hi):
+                    if slen:
+                        main += _bits(scf[sfb], slen)
         for x, y, sx, sy in spec["pairs"]:
-            ln, cd = tab[(x, y)]
+            cx, cy = min(x, 15), min(y, 15)
+            ln, cd = tab[(cx, cy)]
             main += _bits(cd, ln)
+            if cx == 15 and linbits:
+                main += _bits(x - 15, linbits)
             if x:
                 main += str(sx)
+            if cy == 15 and linbits:
+                main += _bits(y - 15, linbits)
             if y:
                 main += str(sy)
         mains.append(main)
@@ -87,9 +112,18 @@ def _build_l3(
         side += _bits(len(mains[g]), 12)
         side += _bits(len(spec["pairs"]), 9)
         side += _bits(spec.get("global_gain", 100), 8)
-        side += _bits(spec.get("scalefac_compress", 0), 4) + "0"
-        side += _bits(spec.get("table", 1), 5) * 3
-        side += _bits(15, 4) + _bits(5, 3) + "000"
+        side += _bits(spec.get("scalefac_compress", 0), 4)
+        if "block_type" in spec:
+            side += "1" + _bits(spec["block_type"], 2)
+            side += _bits(spec.get("mixed", 0), 1)
+            side += _bits(spec.get("table", 1), 5) * 2
+            for sbg in spec.get("subblock_gain", [0, 0, 0]):
+                side += _bits(sbg, 3)
+            side += "000"
+        else:
+            side += "0"
+            side += _bits(spec.get("table", 1), 5) * 3
+            side += _bits(15, 4) + _bits(5, 3) + "000"
     total = hdr + ("0" * 16 if not protection else "") + side
     main_bits = main_override if main_override is not None else (
         mains[0] + mains[1]
@@ -236,12 +270,13 @@ def test_protected_l3_frame_crc():
 
 def test_loud_gates():
     good = _payload(1)
-    # short/mixed blocks: set window_switching_flag of granule 0
-    # (bit 32 + 18 + 12 + 9 + 8 + 4 = 83 into the frame)
+    # window_switching with block_type 0 is a spec violation: set
+    # the wsf bit of granule 0 (bit 32 + 18 + 33); the long
+    # fixture's following bits then read as block_type 00
     b = bytearray(good)
     pos = 32 + 18 + 33
     b[pos // 8] |= 0x80 >> (pos % 8)
-    with pytest.raises(NotImplementedError, match="window_switching"):
+    with pytest.raises(A.MpegAudioError, match="block_type 0"):
         A.decode_mpeg_audio(bytes(b))
     # an unbundled Huffman table gates by id
     frame = _build_l3([{"pairs": [(1, 1, 0, 0)], "table": 1},
@@ -358,3 +393,220 @@ def test_wav_mp3_dispatch_guards(spark):
     bad3[at : at + 4] = b"junk"
     with pytest.raises(Exception, match="no data chunk"):
         run(bytes(bad3))
+
+
+# ------------------------------------------------- round 15: tables 5-9,
+# short/mixed blocks, linbits/ESC machinery, the code-page seam
+
+
+def _decode_one(frame: bytes):
+    return A.decode_mpeg_audio(frame)[0]
+
+
+def test_tables_5_to_9_round_trip():
+    """Encode (x, y) pairs with each newly bundled table's own codes
+    and decode them back — a self-consistency round trip over every
+    symbol of every table (the independent-encoder discipline; the
+    Kraft/prefix invariants are the transcription-fidelity witness)."""
+    for tid in (5, 6, 7, 8, 9):
+        tab = L3.HUFF_XY[tid]
+        pairs = [
+            (x, y, (x + y) % 2, (x * y) % 2) for (x, y) in sorted(tab)
+        ]
+        # big_values pairs must fit 576 lines: all tables fit (<=36)
+        frame = _build_l3([
+            {"pairs": pairs, "table": tid},
+            {"pairs": [], "table": tid},
+        ])
+        fr = _decode_one(frame)
+        gi = fr.granules[0][0]
+        lines = gi.lines
+        for p, (x, y, sx, sy) in enumerate(pairs):
+            ex = -x if (x and sx) else x
+            ey = -y if (y and sy) else y
+            assert lines[2 * p] == ex and lines[2 * p + 1] == ey, (
+                tid, p, x, y)
+        assert (lines[2 * len(pairs):] == 0).all()
+
+
+def test_short_block_decode():
+    """Pure short block (block_type 2): the window-switching side
+    info (two table_selects, subblock gains), implied regions, and
+    the 36-value short scalefactor layout all decode; granule info
+    carries the block shape."""
+    pairs = [(1, 1, 0, 1), (0, 1, 0, 0), (1, 0, 1, 0)]
+    scf = [(3 * i) % 8 for i in range(36)]
+    frame = _build_l3([
+        {"pairs": pairs, "table": 1, "block_type": 2,
+         "subblock_gain": [1, 2, 3], "scalefac_compress": 8,
+         "scalefacs": scf},
+        {"pairs": [], "table": 1},
+    ])
+    gi = _decode_one(frame).granules[0][0]
+    assert gi.window_switching_flag == 1
+    assert gi.block_type == 2 and gi.mixed_block_flag == 0
+    assert gi.subblock_gain == [1, 2, 3]
+    assert gi.region0_count == 8 and gi.region1_count == 12
+    # scalefac_compress 8 -> slen (2, 1): 18 x 2 + 18 x 1 bits
+    assert gi.part2_bits == 18 * 2 + 18 * 1
+    want = [v % 4 for v in scf[:18]] + [v % 2 for v in scf[18:]]
+    assert gi.scalefacs == want
+    assert gi.lines[0] == 1 and gi.lines[1] == -1
+    assert gi.lines[2] == 0 and gi.lines[3] == 1
+    assert gi.lines[4] == -1 and gi.lines[5] == 0
+
+
+def test_mixed_block_decode():
+    """Mixed block (block_type 2, mixed_block_flag 1): long sfb 0-7
+    first, then short sfb 3-11 x 3 — 35 scalefactors; implied
+    region0_count is 7."""
+    scf = [(i * 5) % 4 for i in range(35)]
+    frame = _build_l3([
+        {"pairs": [(1, 1, 0, 0)], "table": 1, "block_type": 2,
+         "mixed": 1, "scalefac_compress": 8, "scalefacs": scf},
+        {"pairs": [], "table": 1},
+    ])
+    gi = _decode_one(frame).granules[0][0]
+    assert gi.block_type == 2 and gi.mixed_block_flag == 1
+    assert gi.region0_count == 7 and gi.region1_count == 13
+    assert gi.part2_bits == 17 * 2 + 18 * 1
+    want = [v % 4 for v in scf[:17]] + [v % 2 for v in scf[17:]]
+    assert gi.scalefacs == want
+    assert gi.lines[0] == 1 and gi.lines[1] == 1
+
+
+def test_start_stop_window_decode():
+    """Block types 1 and 3 (long start/stop windows) use the
+    window-switching side-info layout but LONG scalefactors."""
+    for bt in (1, 3):
+        frame = _build_l3([
+            {"pairs": [(1, 0, 1, 0)], "table": 2, "block_type": bt,
+             "scalefac_compress": 1, "scalefacs": [1] * 21},
+            {"pairs": [], "table": 1},
+        ])
+        gi = _decode_one(frame).granules[0][0]
+        assert gi.block_type == bt and gi.window_switching_flag == 1
+        assert gi.region0_count == 7
+        # long layout: slen (0, 1) -> 10 one-bit reads (sfb 11-20)
+        assert gi.part2_bits == 10
+        assert gi.lines[0] == -1
+
+
+def test_scfsi_on_short_granule_raises():
+    frame = _build_l3(
+        [{"pairs": [], "table": 1},
+         {"pairs": [], "table": 1, "block_type": 2}],
+        scfsi=(1, 0, 0, 0),
+    )
+    with pytest.raises(A.MpegAudioError, match="scfsi.*short"):
+        A.decode_mpeg_audio(frame)
+
+
+def test_reserved_tables_raise():
+    for tid in (4, 14):
+        frame = _build_l3([
+            {"pairs": [(1, 1, 0, 0)], "table": tid % 4 + 1},
+            {"pairs": []},
+        ])
+        raw = bytearray(frame)
+        start = 32 + 18 + 34  # granule 0 table_select[0]
+        for i, bit in enumerate(_bits(tid, 5)):
+            byte, off = divmod(start + i, 8)
+            if bit == "1":
+                raw[byte] |= 0x80 >> off
+            else:
+                raw[byte] &= ~(0x80 >> off) & 0xFF
+        with pytest.raises(A.MpegAudioError, match="reserved"):
+            A.decode_mpeg_audio(bytes(raw))
+
+
+def _synthetic_16x16_page():
+    """A COMPLETE 8-bit prefix code over all 256 (x, y) symbols —
+    synthetic stand-in for an unbundled code page, clearly NOT the
+    spec's data: exercises the seam + linbits machinery only."""
+    return {
+        (x, y): (8, x * 16 + y) for x in range(16) for y in range(16)
+    }
+
+
+def test_code_page_seam_and_linbits():
+    """register_huffman_table + the ESC/linbits path: value 15
+    escapes extend by the family's linbits width before the sign —
+    tables 17 and 24 exercise both families sharing pages 16/24."""
+    L3._REGISTERED_XY.clear()
+    page = _synthetic_16x16_page()
+    L3.register_huffman_table(16, page)
+    L3.register_huffman_table(24, page)
+    try:
+        for tid, linbits in ((16, 1), (17, 2), (23, 13), (24, 4), (31, 13)):
+            assert L3.LINBITS[tid] == linbits
+            pairs = [(15 + (1 << linbits) - 1, 2, 1, 0), (15, 15, 0, 1)]
+            frame = _build_l3([
+                {"pairs": pairs, "table": tid},
+                {"pairs": [], "table": 1},
+            ])
+            gi = _decode_one(frame).granules[0][0]
+            assert gi.lines[0] == -(15 + (1 << linbits) - 1)
+            assert gi.lines[1] == 2
+            assert gi.lines[2] == 15 and gi.lines[3] == -15
+    finally:
+        L3._REGISTERED_XY.clear()
+
+
+def test_code_page_seam_validation():
+    L3._REGISTERED_XY.clear()
+    # bundled / reserved / unknown ids refuse
+    with pytest.raises(A.MpegAudioError, match="bundled or reserved"):
+        L3.register_huffman_table(7, _synthetic_16x16_page())
+    with pytest.raises(A.MpegAudioError, match="bundled or reserved"):
+        L3.register_huffman_table(14, _synthetic_16x16_page())
+    with pytest.raises(A.MpegAudioError, match="not a registrable"):
+        L3.register_huffman_table(17, _synthetic_16x16_page())
+    # incomplete page refuses (drop one code -> Kraft < 1)
+    page = _synthetic_16x16_page()
+    del page[(15, 15)]
+    with pytest.raises(A.MpegAudioError, match="Kraft"):
+        L3.register_huffman_table(16, page)
+    # prefix collision refuses
+    page = _synthetic_16x16_page()
+    page[(15, 15)] = (9, 0)  # child of (0,0)'s 8-bit code 0
+    with pytest.raises(A.MpegAudioError, match="prefix|Kraft"):
+        L3.register_huffman_table(16, page)
+
+
+def test_short_block_mutation_fuzz():
+    """Bit flips over a window-switching frame must decode or raise
+    typed — extends the long-block fuzzer to the new side-info and
+    scalefactor paths."""
+    base = bytearray(_build_l3([
+        {"pairs": [(1, 1, 0, 1)], "table": 1, "block_type": 2,
+         "subblock_gain": [1, 2, 3], "scalefac_compress": 8,
+         "scalefacs": [1] * 36},
+        {"pairs": [(2, 0, 1, 0)], "table": 3, "block_type": 2,
+         "mixed": 1, "scalefac_compress": 2, "scalefacs": [1] * 35},
+    ]))
+    for i in range(0, len(base) * 8, 41):
+        mut = bytearray(base)
+        mut[i // 8] ^= 0x80 >> (i % 8)
+        try:
+            A.decode_mpeg_audio(bytes(mut))
+        except (A.MpegAudioError, NotImplementedError):
+            pass
+
+
+def test_ws_sql_fixture_bytes_equal_int_mode(spark):
+    docs = spark.createDataFrame([(6,), (133,)], "doc_id long")
+    got = {
+        r.asset_id: bytes(r.payload)
+        for r in M.synth_mpeg_audio_l3s_assets(docs).collect()
+    }
+    for doc in (6, 133):
+        assert got[doc] == M._mpeg_pack(M._mpa_l3s_ops(doc))
+        frames = A.decode_mpeg_audio(got[doc])
+        shapes = [
+            (f, g, fr.granules[g][0].block_type,
+             fr.granules[g][0].mixed_block_flag)
+            for f, fr in enumerate(frames) for g in range(2)
+        ]
+        assert shapes == [(0, 0, 2, 0), (0, 1, 2, 1),
+                          (1, 0, 1, 0), (1, 1, 3, 0)]
