@@ -6517,68 +6517,97 @@ _MPA_HR_F = {0: 2, 1: 3, 4: 5, 5: 7, 12: 11, 24: 13}
 
 def _mpa_l2hr_ops(doc) -> list[tuple]:
     """Two layer-II table-2a frames as _mpeg_pack ops."""
+    ops: list[tuple] = []
+    for f in range(MPA_FRAMES):
+        ops.extend(_mpa_l2hr_frame_ops(doc, f))
+    return ops
+
+
+def _mpa_l2hr_frame_ops(doc, f: int) -> list[tuple]:
+    """ONE layer-II table-2a frame as _mpeg_pack ops (each frame is
+    byte-aligned at 288 bytes, so frames pack independently)."""
     from .mpaudiocodec import _L2_GROUP_BITS, _L2_HI_NBAL_A, _l2_hi_steps
 
     ops: list[tuple] = []
-    for f in range(MPA_FRAMES):
-        hdr = list(_mpa_header_bits(2))
-        hdr[16:20] = list("0110")  # bitrate_index 6 = 96 kbps
-        hdr[20:22] = list("01")    # sampling 48 kHz
-        ops.append(("b", "".join(hdr)))
-        bits_used = 32
-        for sb in range(27):
-            nbal = _L2_HI_NBAL_A[sb]
-            ops.append(
-                ("b", format(_MPA_HR_ALLOC.get(sb, 0), f"0{nbal}b"))
-            )
-            bits_used += nbal
-        n_scf = {0: 3, 1: 2, 2: 1, 3: 2}
+    hdr = list(_mpa_header_bits(2))
+    hdr[16:20] = list("0110")  # bitrate_index 6 = 96 kbps
+    hdr[20:22] = list("01")    # sampling 48 kHz
+    ops.append(("b", "".join(hdr)))
+    bits_used = 32
+    for sb in range(27):
+        nbal = _L2_HI_NBAL_A[sb]
+        ops.append(
+            ("b", format(_MPA_HR_ALLOC.get(sb, 0), f"0{nbal}b"))
+        )
+        bits_used += nbal
+    n_scf = {0: 3, 1: 2, 2: 1, 3: 2}
+    for sb in sorted(_MPA_HR_ALLOC):
+        ops.append(("b", format(_MPA_HR_SCFSI[sb], "02b")))
+        bits_used += 2
+    for sb in sorted(_MPA_HR_ALLOC):
+        for j in range(n_scf[_MPA_HR_SCFSI[sb]]):
+            ops.append(("s", _mpa_scf(doc, 2 * sb + 3 * j + f), 6))
+            bits_used += 6
+    for g in range(12):
         for sb in sorted(_MPA_HR_ALLOC):
-            ops.append(("b", format(_MPA_HR_SCFSI[sb], "02b")))
-            bits_used += 2
-        for sb in sorted(_MPA_HR_ALLOC):
-            for j in range(n_scf[_MPA_HR_SCFSI[sb]]):
-                ops.append(("s", _mpa_scf(doc, 2 * sb + 3 * j + f), 6))
-                bits_used += 6
-        for g in range(12):
-            for sb in sorted(_MPA_HR_ALLOC):
-                steps = _l2_hi_steps(sb, _MPA_HR_ALLOC[sb])
-                ks = [
-                    g * _MPA_HR_B[sb] + i * _MPA_HR_E[sb]
-                    + f * _MPA_HR_F[sb]
-                    for i in range(3)
+            steps = _l2_hi_steps(sb, _MPA_HR_ALLOC[sb])
+            ks = [
+                g * _MPA_HR_B[sb] + i * _MPA_HR_E[sb]
+                + f * _MPA_HR_F[sb]
+                for i in range(3)
+            ]
+            if steps in _L2_GROUP_BITS:
+                cs = [
+                    _mpa_code(doc, _MPA_HR_A[sb], k, steps) for k in ks
                 ]
-                if steps in _L2_GROUP_BITS:
-                    cs = [
-                        _mpa_code(doc, _MPA_HR_A[sb], k, steps) for k in ks
-                    ]
-                    if isinstance(doc, int):
-                        v = cs[0] + steps * cs[1] + steps * steps * cs[2]
-                    else:
-                        v = (
-                            f"({cs[0]} + {steps} * {cs[1]} + "
-                            f"{steps * steps} * {cs[2]})"
-                        )
-                    nbits = _L2_GROUP_BITS[steps]
-                    ops.append(("s", v, nbits))
-                    bits_used += nbits
+                if isinstance(doc, int):
+                    v = cs[0] + steps * cs[1] + steps * steps * cs[2]
                 else:
-                    nb = steps.bit_length()
-                    for k in ks:
-                        ops.append(
-                            ("s", _mpa_code(doc, _MPA_HR_A[sb], k, steps), nb)
-                        )
-                        bits_used += nb
-        ops.append(("b", "0" * (288 * 8 - bits_used)))
+                    v = (
+                        f"({cs[0]} + {steps} * {cs[1]} + "
+                        f"{steps * steps} * {cs[2]})"
+                    )
+                nbits = _L2_GROUP_BITS[steps]
+                ops.append(("s", v, nbits))
+                bits_used += nbits
+            else:
+                nb = steps.bit_length()
+                for k in ks:
+                    ops.append(
+                        ("s", _mpa_code(doc, _MPA_HR_A[sb], k, steps), nb)
+                    )
+                    bits_used += nb
+    ops.append(("b", "0" * (288 * 8 - bits_used)))
     return ops
 
 
 def synth_mpeg_audio_l2hr_assets(docs: DataFrame) -> DataFrame:
-    """(asset_id, payload): two-frame high-rate layer-II streams."""
-    pieces = _mpeg_pack(_mpa_l2hr_ops("doc_id"))
+    """(asset_id, payload): two-frame high-rate layer-II streams.
+
+    Each frame's hex is wrapped in a single-element ``transform`` ON
+    PURPOSE (VERDICT r14 item 4): the two 288-byte frame expressions
+    together exceed janino's 64 KB method cap inside whole-stage
+    codegen, which cannot split expressions pipelined over local
+    variables — Spark logged 4 compile ERRORs per run and silently
+    fell back to interpreted evaluation. Higher-order-function lambda
+    bodies are evaluated OUTSIDE whole-stage codegen by design, so
+    this shape never generates the uncompilable method: no compile
+    attempt, no ERROR noise, the same (executor-side, linear)
+    evaluation the fallback used — now deliberate and bounded at one
+    frame per lambda. Byte-equality with the int-mode packer is
+    pinned in tests/test_mpaudio.py."""
+    frame_hex = []
+    for f in range(MPA_FRAMES):
+        pieces = _mpeg_pack(_mpa_l2hr_frame_ops("doc_id", f))
+        frame_hex.append(
+            "array_join(transform(sequence(0, 0), _z -> concat("
+            + ", ".join(pieces) + ")), '')"
+        )
     return docs.select(
         F.col("doc_id").alias("asset_id"),
-        F.expr("unhex(concat(" + ", ".join(pieces) + "))").alias("payload"),
+        F.expr(
+            "unhex(concat(" + ", ".join(frame_hex) + "))"
+        ).alias("payload"),
     )
 
 

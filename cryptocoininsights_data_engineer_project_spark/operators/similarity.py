@@ -2237,6 +2237,77 @@ def build_ivfpq_index(
     codebook.write.mode("overwrite").parquet(f"{index_dir}/codebook")
 
 
+def assign_to_ivfpq_index(
+    spark,
+    index_dir: str,
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    dsub: int = PQ_DSUB,
+) -> DataFrame:
+    """Assign NEW vectors to a persisted IVF-PQ index with the
+    PERSISTED quantizers (VERDICT r14 item 5): cells by the exact
+    build/probe centroid expression, residual PQ codes by the
+    persisted codebook — NO retraining, so an appended vector gets
+    exactly the (cid, pq_codes) a one-shot rebuild with these
+    quantizers would give it. Returns the persisted-corpus row shape
+    (vec_id, emb, nrm, pq_codes, cid). The streaming maintenance
+    path (streaming/ingest.py::stream_incremental_similarity_pq)
+    calls this per micro-batch; centroid and codebook tables are
+    tiny and broadcast."""
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    codebook = spark.read.parquet(f"{index_dir}/codebook")
+    vecs = _ivf_vecs(embeddings)
+    assigned = _ivf_assign(vecs, cents)
+    res = assigned.join(
+        F.broadcast(cents.select("cid", "cent")), "cid"
+    ).select(
+        "vec_id", "cid", "emb", "vv",
+        F.expr("zip_with(emb, cent, (x, c) -> x - c)").alias("remb"),
+    )
+    codes = _assign_pq(_residual_subvectors(res, m, dsub), codebook)
+    packed = (
+        codes.groupBy("vec_id", "cid")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("s", "pqid"))).alias("ps")
+        )
+        .select(
+            "vec_id", "cid",
+            F.expr("transform(ps, p -> p.pqid)").alias("pq_codes"),
+        )
+    )
+    full = assigned.select(
+        "vec_id", "emb", F.expr("sqrt(vv)").alias("nrm")
+    )
+    return packed.join(full, "vec_id").select(
+        "vec_id", "emb", "nrm", "pq_codes", "cid"
+    )
+
+
+def compact_ivfpq_delta(spark, index_dir: str, delta: DataFrame) -> int:
+    """Fold streamed IVF-PQ delta rows (vec_id, emb, nrm, pq_codes,
+    cid) into the partitioned base corpus, rewriting ONLY the cells
+    the delta touches (dynamic partition overwrite) — the
+    compact_ivf_delta discipline for the PQ-coded index. Returns the
+    number of cells rewritten; probe(base') ≡ probe(base, delta)
+    because both sides carry exactly the same rows."""
+    cells = [r["cid"] for r in delta.select("cid").distinct().collect()]
+    if not cells:
+        return 0
+    base = spark.read.parquet(f"{index_dir}/corpus").filter(
+        F.col("cid").isin(cells)
+    )
+    merged = base.unionByName(
+        delta.select("vec_id", "emb", "nrm", "pq_codes", "cid")
+    ).localCheckpoint()  # sever self-read-overwrite lineage
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cid")
+        .parquet(f"{index_dir}/corpus")
+    )
+    return len(cells)
+
+
 def probe_ivfpq_index(
     spark,
     index_dir: str,
@@ -2246,6 +2317,7 @@ def probe_ivfpq_index(
     m: int = PQ_M,
     dsub: int = PQ_DSUB,
     rerank: int = PQ_RERANK,
+    delta: DataFrame | None = None,
 ) -> DataFrame:
     """Serve top-k from a persisted IVF-PQ index: nprobe cells per
     query (tiny centroid table), partition-pruned scan of ONLY those
@@ -2278,6 +2350,22 @@ def probe_ivfpq_index(
     corpus = spark.read.parquet(f"{index_dir}/corpus").filter(
         F.col("cid").isin(cell_ids)
     )
+    if delta is not None:
+        # streaming-appended vectors (stream_incremental_similarity_pq):
+        # base partition-prunes, the cadence-bounded delta is one
+        # pushed-predicate scan; the delta WINS on vec_id collision
+        # (probe between compact and truncate, or re-delivery) via the
+        # broadcast anti-join, so top-k never seats a vec_id twice —
+        # the probe_ivf_index discipline.
+        d = (
+            delta.select("vec_id", "emb", "nrm", "pq_codes", "cid")
+            .filter(F.col("cid").isin(cell_ids))
+            .dropDuplicates(["vec_id"])
+        )
+        corpus = corpus.join(
+            F.broadcast(d.select("vec_id")), "vec_id", "left_anti"
+        ).unionByName(d)
+        corpus = corpus.localCheckpoint()  # one scan for ADC + rerank
     # unpack codes to (vec_id, cid, s, pqid) rows — cheap integer rows
     codes = corpus.select(
         "vec_id", "cid", F.posexplode("pq_codes").alias("s", "pqid")

@@ -955,3 +955,60 @@ def stream_incremental_similarity(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_incremental_similarity_pq(
+    spark: SparkSession,
+    vecs_dir: str,
+    index_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    n_buckets: int = 8,
+):
+    """Streaming maintenance of a persisted IVF-PQ index (VERDICT r14
+    item 5 — the compressed, at-scale serving index): each
+    micro-batch of (vec_id, embedding) is assigned a CELL with the
+    exact build/probe centroid expression AND packed into residual PQ
+    CODES with the persisted codebook (operators/similarity.py::
+    assign_to_ivfpq_index — no retraining; centroids and codebook are
+    tiny broadcast tables), then upserted into the manifest-committed
+    delta BucketedTable keyed vec_id with a txn marker — replayed
+    micro-batches are SKIPPED at the manifest, the
+    stream_incremental_similarity discipline verbatim.
+
+    Serving reads base + delta: ``probe_ivfpq_index(..., delta=
+    delta_tbl.read())`` — the partitioned base prunes cells at the
+    FILE level and ADC-scans packed codes, the delta is one
+    cadence-bounded pushed-predicate scan; ``compact_ivfpq_delta``
+    folds touched cells into the base. Pinned ≡ one-shot layout from
+    the same quantizers over seed ∪ delivered, and replay-convergent
+    (tests/test_ivf_index.py)."""
+    from ..operators.similarity import assign_to_ivfpq_index
+    from ..pipeline.table import BucketedTable
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(vecs_dir)
+    )
+    delta_tbl = BucketedTable(
+        spark, table_root + "/delta", ["vec_id"], n_buckets=n_buckets
+    )
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        assigned = assign_to_ivfpq_index(spark, index_dir, batch_df)
+        delta_tbl.upsert(
+            assigned, txn=(checkpoint_dir + "#delta", batch_id)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

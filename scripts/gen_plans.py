@@ -64,6 +64,16 @@ bounded by part count. The IVF probe join formerly planned an SMJ
 (plan-guarded in test_ivf_probe_broadcasts_onto_corpus), and
 rank_fusion's dense leg composes the same retriever. Everything
 else joins broadcast.
+
+Codegen-size regression note (r15): multimodal_audio_mpeg_l2_hr's
+fixture projection used to exceed janino's 64 KB method cap (4
+compile ERRORs per run, silent interpreted fallback — whole-stage
+codegen cannot split expressions pipelined over local variables).
+Each frame's hex now evaluates inside a single-element transform()
+lambda, which runs outside whole-stage codegen by design: no compile
+attempt, clean logs, the same executor-side linear evaluation —
+deliberate and bounded at one 288-byte frame per lambda
+(operators/multimodal.py::synth_mpeg_audio_l2hr_assets).
 """
 
 

@@ -276,3 +276,170 @@ def test_probe_with_stale_delta_never_duplicates(spark, sf_dir, tmp_path):
     # no query's top-k ever contains a neighbor twice
     pairs = [(r["query_id"], r["neighbor_id"]) for r in stale]
     assert len(pairs) == len(set(pairs)) > 0
+
+
+# ----------------------------------------- round 15: IVFPQ maintenance
+
+
+def test_ivfpq_delta_probe_and_compact(spark, sf_dir, tmp_path):
+    """The PQ-coded maintenance triad (VERDICT r14 item 5): new
+    vectors assign to a persisted IVF-PQ index with the PERSISTED
+    codebooks (cells + residual codes, no retraining); probe(base +
+    delta) equals a one-shot layout from the same quantizer over
+    seed ∪ delivered; compact folds only touched cells and
+    probe(compacted) == probe(base + delta); a stale delta never
+    seats a vec_id twice."""
+    emb = table(spark, sf_dir, "embeddings")
+    seed = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ivfpq")
+    similarity.build_ivfpq_index(seed, idx)
+    delta = similarity.assign_to_ivfpq_index(
+        spark, idx, rest
+    ).localCheckpoint()
+
+    queries = (
+        similarity._ivf_vecs(emb)
+        .filter(F.col("vec_id") % similarity.QUERY_MODULUS == 0)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+        )
+    )
+    with_delta = {
+        tuple(r)
+        for r in similarity.probe_ivfpq_index(
+            spark, idx, queries, delta=delta
+        ).collect()
+    }
+
+    # one-shot twin: SAME centroids + codebook, corpus over seed∪rest
+    idx2 = str(tmp_path / "ivfpq2")
+    full = similarity.assign_to_ivfpq_index(spark, idx, emb)
+    full.write.partitionBy("cid").mode("overwrite").parquet(
+        f"{idx2}/corpus"
+    )
+    spark.read.parquet(f"{idx}/centroids").write.mode("overwrite").parquet(
+        f"{idx2}/centroids"
+    )
+    spark.read.parquet(f"{idx}/codebook").write.mode("overwrite").parquet(
+        f"{idx2}/codebook"
+    )
+    oneshot = {
+        tuple(r)
+        for r in similarity.probe_ivfpq_index(spark, idx2, queries).collect()
+    }
+    assert with_delta == oneshot and with_delta
+
+    n = similarity.compact_ivfpq_delta(spark, idx, delta)
+    assert n == delta.select("cid").distinct().count() > 0
+    compacted = {
+        tuple(r)
+        for r in similarity.probe_ivfpq_index(spark, idx, queries).collect()
+    }
+    assert compacted == with_delta
+    # stale delta (post-compact, pre-truncate): no duplicate seating
+    stale = similarity.probe_ivfpq_index(
+        spark, idx, queries, delta=delta
+    ).collect()
+    assert {tuple(r) for r in stale} == compacted
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in stale]
+    assert len(pairs) == len(set(pairs)) > 0
+    base = spark.read.parquet(f"{idx}/corpus")
+    assert base.count() == emb.count()
+    assert base.select("vec_id").distinct().count() == emb.count()
+
+
+def test_stream_incremental_similarity_pq_pinned_to_oneshot(
+    spark, sf_dir, tmp_path
+):
+    """Streaming IVFPQ maintenance: per micro-batch, cells assigned
+    AND residual codes packed with the persisted codebooks into the
+    manifest-txn delta table; probe(base + delta) pinned to the
+    one-shot layout; replay-convergent on a fresh checkpoint."""
+    from cryptocoininsights_data_engineer_project_spark.pipeline.table import (
+        BucketedTable,
+    )
+    from cryptocoininsights_data_engineer_project_spark.streaming.ingest import (
+        stream_incremental_similarity_pq,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    seed = emb.filter(F.col("vec_id") % 3 == 0)
+    rest1 = emb.filter(F.col("vec_id") % 3 == 1)
+    rest2 = emb.filter(F.col("vec_id") % 3 == 2)
+
+    idx = str(tmp_path / "ivfpq")
+    similarity.build_ivfpq_index(seed, idx)
+
+    vecs_dir = str(tmp_path / "arrivals")
+    rest1.select("vec_id", "embedding").coalesce(1).write.mode(
+        "append"
+    ).parquet(vecs_dir)
+    rest2.select("vec_id", "embedding").coalesce(1).write.mode(
+        "append"
+    ).parquet(vecs_dir)
+
+    troot = str(tmp_path / "tbl")
+    q = stream_incremental_similarity_pq(
+        spark, vecs_dir, idx, troot, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    delta_tbl = BucketedTable(spark, troot + "/delta", ["vec_id"])
+    delta = delta_tbl.read()
+    assert delta.count() == rest1.count() + rest2.count()
+
+    queries = (
+        similarity._ivf_vecs(emb)
+        .filter(F.col("vec_id") % similarity.QUERY_MODULUS == 0)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+        )
+    )
+    served = {
+        tuple(r)
+        for r in similarity.probe_ivfpq_index(
+            spark, idx, queries, delta=delta
+        ).collect()
+    }
+    # streamed delta rows == direct assignment of the same vectors
+    direct = similarity.assign_to_ivfpq_index(
+        spark, idx, rest1.unionByName(rest2)
+    )
+    a = sorted(
+        (r["vec_id"], r["cid"], tuple(r["pq_codes"]))
+        for r in delta.select("vec_id", "cid", "pq_codes").collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cid"], tuple(r["pq_codes"]))
+        for r in direct.select("vec_id", "cid", "pq_codes").collect()
+    )
+    assert a == b
+    # one-shot twin
+    idx2 = str(tmp_path / "ivfpq2")
+    similarity.assign_to_ivfpq_index(spark, idx, emb).write.partitionBy(
+        "cid"
+    ).mode("overwrite").parquet(f"{idx2}/corpus")
+    spark.read.parquet(f"{idx}/centroids").write.mode("overwrite").parquet(
+        f"{idx2}/centroids"
+    )
+    spark.read.parquet(f"{idx}/codebook").write.mode("overwrite").parquet(
+        f"{idx2}/codebook"
+    )
+    oneshot = {
+        tuple(r)
+        for r in similarity.probe_ivfpq_index(spark, idx2, queries).collect()
+    }
+    assert served == oneshot and served
+    # replay convergence
+    before = sorted(
+        (r["vec_id"], r["cid"]) for r in delta.select("vec_id", "cid").collect()
+    )
+    q2 = stream_incremental_similarity_pq(
+        spark, vecs_dir, idx, troot, str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(120)
+    after = sorted(
+        (r["vec_id"], r["cid"])
+        for r in delta_tbl.read().select("vec_id", "cid").collect()
+    )
+    assert after == before
