@@ -1685,6 +1685,187 @@ FROM px GROUP BY doc_id
 """
 
 
+# ------------------------------------------------- jpeg inside PDF
+# (VERDICT r14 item 7) The 16x8 JPEG fixture above, embedded as a
+# /DCTDecode /Image XObject in a one-page PDF: the container walk
+# (page tree -> /Resources /XObject -> Do paint order) belongs to
+# operators/pdftext.py::pdf_images; the pixel truth is the SAME
+# closed form as multimodal_jpeg_pixels, so any container slicing
+# bug breaks the hash. Byte layout is constant: the JPEG is the
+# constant header + 5 doc-dependent entropy bytes + EOI.
+_PDFIMG_JPEG_LEN = len(_JPEG_HEADER_HEX) // 2 + 5 + 2
+
+
+def _pdfimg_jpeg_bytes(doc: int) -> bytes:
+    b0 = 32 + doc % 32
+    b1 = 34 + (doc % 4) * 8
+    b2 = 97 + (doc % 8) * 4
+    b4 = 226 + ((doc * 3) % 4) * 8
+    return (
+        bytes.fromhex(_JPEG_HEADER_HEX)
+        + bytes([b0, b1, b2, 0x99, b4])
+        + b"\xff\xd9"
+    )
+
+
+def _pdfimg_ops(doc) -> list[tuple]:
+    """The whole PDF as ('hex', const) / ('sqlhex', expr, nbytes)
+    pieces — hex-native so the binary JPEG body needs no latin-1
+    detour."""
+    content = "q 16 0 0 8 36 700 cm /Im1 Do Q"
+    img_dict = (
+        "<< /Type /XObject /Subtype /Image /Width 16 /Height 8 "
+        "/ColorSpace /DeviceGray /BitsPerComponent 8 "
+        f"/Filter /DCTDecode /Length {_PDFIMG_JPEG_LEN} >>\nstream\n"
+    )
+    if isinstance(doc, str):
+        entropy: list[tuple] = [
+            ("sqlhex", f"lpad(hex(32 + ({doc}) % 32), 2, '0')", 1),
+            ("sqlhex", f"lpad(hex(34 + (({doc}) % 4) * 8), 2, '0')", 1),
+            ("sqlhex", f"lpad(hex(97 + (({doc}) % 8) * 4), 2, '0')", 1),
+            ("hex", "99"),
+            ("sqlhex", f"lpad(hex(226 + ((({doc}) * 3) % 4) * 8), 2, '0')", 1),
+        ]
+    else:
+        entropy = [("hex", _pdfimg_jpeg_bytes(doc)[
+            len(_JPEG_HEADER_HEX) // 2 : -2].hex())]
+    objs: list[list[tuple]] = [
+        [("hex", "<< /Type /Catalog /Pages 2 0 R >>".encode().hex())],
+        [("hex", "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".encode().hex())],
+        [("hex", (
+            "<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+            "<< /XObject << /Im1 5 0 R >> >> >>"
+        ).encode().hex())],
+        [("hex", (
+            f"<< /Length {len(content)} >>\nstream\n{content}\nendstream"
+        ).encode().hex())],
+        [
+            ("hex", img_dict.encode().hex() + _JPEG_HEADER_HEX),
+            *entropy,
+            ("hex", "ffd9" + "\nendstream".encode().hex()),
+        ],
+    ]
+    pieces: list[tuple] = [("hex", b"%PDF-1.4\n".hex())]
+    offsets: list[int] = []
+    pos = len(b"%PDF-1.4\n")
+    for n, body in enumerate(objs, start=1):
+        offsets.append(pos)
+        head = f"{n} 0 obj\n"
+        pieces.append(("hex", head.encode().hex()))
+        pos += len(head)
+        for p in body:
+            pieces.append(p)
+            pos += len(p[1]) // 2 if p[0] == "hex" else p[2]
+        pieces.append(("hex", b"\nendobj\n".hex()))
+        pos += len(b"\nendobj\n")
+    xref_off = pos
+    xref = f"xref\n0 {len(objs) + 1}\n" + "0000000000 65535 f \n"
+    for off in offsets:
+        xref += f"{off:010d} 00000 n \n"
+    pieces.append(("hex", (
+        xref + f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        + f"startxref\n{xref_off}\n%%EOF\n"
+    ).encode().hex()))
+    return pieces
+
+
+def synth_pdfimg_bytes(doc: int) -> bytes:
+    """Int-mode emitter: the PDF-with-JPEG for one doc id (all
+    pieces are hex constants in int mode)."""
+    return b"".join(bytes.fromhex(p[1]) for p in _pdfimg_ops(doc))
+
+
+def synth_pdfimg_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): one PDF-with-embedded-JPEG per doc,
+    built JVM-side."""
+    exprs = []
+    for p in _pdfimg_ops("doc_id"):
+        if p[0] == "hex":
+            exprs.append("'" + p[1].upper() + "'")
+        else:
+            exprs.append(p[1].replace("{doc}", "doc_id"))
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr("unhex(concat(" + ", ".join(exprs) + "))").alias("payload"),
+    )
+
+
+_PDF_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("page_idx", T.LongType(), False),
+        T.StructField("img_ix", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("channels", T.LongType(), False),
+        T.StructField("n_pixels", T.LongType(), False),
+        T.StructField("pixel_sum", T.LongType(), False),
+        T.StructField("px_checksum", T.LongType(), False),
+    ]
+)
+
+
+def decode_pdf_image_stats(assets: DataFrame) -> DataFrame:
+    """PDF binaries → one row per painted image with decoded pixel
+    stats (the multimodal_jpeg_pixels statistic family). One
+    mapInPandas pass; payload bytes never shuffle."""
+    from .pdftext import pdf_images
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _PDF_IMAGE_SCHEMA}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for pi, ix, w, h, ch, px in pdf_images(bytes(payload)):
+                    s = 0
+                    chk = 0
+                    for i, v in enumerate(px):
+                        s += v
+                        chk += v * (i + 1) * (i + 1)
+                    rows["asset_id"].append(int(aid))
+                    rows["page_idx"].append(pi)
+                    rows["img_ix"].append(ix)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["channels"].append(ch)
+                    rows["n_pixels"].append(w * h)
+                    rows["pixel_sum"].append(s)
+                    rows["px_checksum"].append(chk)
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _decode, schema=_PDF_IMAGE_SCHEMA
+    )
+
+
+def pdf_image_oracle_sql() -> str:
+    """The jpeg_pixels closed form with the container coordinates
+    (page 0, paint index 0) stated alongside."""
+    n = JPEG_W * JPEG_H
+    return f"""
+WITH px AS (
+  SELECT doc_id,
+    g.i AS i,
+    (CASE WHEN (g.i % {JPEG_W}) < 8
+      THEN 128 + (32 + doc_id % 32)
+         + (4 + doc_id % 4)
+           * (CASE WHEN (g.i // {JPEG_W}) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+      ELSE 128 + (32 + doc_id % 32) + (8 + doc_id % 8)
+         + (4 + (doc_id * 3) % 4)
+           * (CASE WHEN ((g.i % {JPEG_W}) - 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+           * (CASE WHEN (g.i // {JPEG_W}) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+     END) AS v
+  FROM documents, UNNEST(generate_series(0, {n - 1})) AS g(i)
+)
+SELECT doc_id AS asset_id,
+  CAST(0 AS BIGINT) AS page_idx, CAST(0 AS BIGINT) AS img_ix,
+  CAST({JPEG_W} AS BIGINT) AS width, CAST({JPEG_H} AS BIGINT) AS height,
+  CAST(1 AS BIGINT) AS channels, CAST({n} AS BIGINT) AS n_pixels,
+  CAST(sum(v) AS BIGINT) AS pixel_sum,
+  CAST(sum(v * (i + 1) * (i + 1)) AS BIGINT) AS px_checksum
+FROM px GROUP BY doc_id
+"""
+
+
 # ------------------------------------------------- arithmetic-coded jpeg
 # SOF9 (extended sequential, arithmetic) fixture: the QM-coded
 # entropy segment is a CONSTANT — arithmetic coding is history-

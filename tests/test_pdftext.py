@@ -128,8 +128,11 @@ def test_nested_page_tree():
 def test_loud_gates():
     base = build_pdf([b"BT (x) Tj ET"])
     # encryption
+    # the blanket encryption gate is RETIRED (r15 — RC4 V1/V2
+    # decrypts; see test_encrypted_*); a dangling /Encrypt ref is
+    # now a structural error, not a gate
     enc = build_pdf([b"BT (x) Tj ET"], extra_trailer=" /Encrypt 9 0 R")
-    with pytest.raises(NotImplementedError, match="encrypted PDF"):
+    with pytest.raises(P.PdfError, match="not in xref"):
         P.pdf_text(enc)
     # startxref pointing at a non-XRef object is malformed (xref
     # STREAMS themselves decode since the 1.5 support landed)
@@ -552,3 +555,383 @@ def test_runlength_filter():
         P._runlength_decode(b"\x05ab")
     with pytest.raises(P.PdfError, match="repeat run truncated"):
         P._runlength_decode(b"\xfe")
+
+
+# ----------------------------- round 15: /Encoding + /ToUnicode fonts
+
+
+def build_font_pdf(content: bytes, font_bodies: dict, extra=()):
+    """Independent builder with /Resources /Font: font objects are
+    numbered from 5 in dict order; ``extra`` objects follow (callers
+    compute refs as 5 + len(font_bodies) + i)."""
+    fnames = list(font_bodies)
+    res = " ".join(
+        f"/{nm} {5 + i} 0 R" for i, nm in enumerate(fnames)
+    )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (
+            "<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            f"/Resources << /Font << {res} >> >> >>"
+        ).encode(),
+        b"<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream",
+    ]
+    objs += [font_bodies[nm] for nm in fnames]
+    objs += list(extra)
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for n, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_off = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>"
+        f"\nstartxref\n{xref_off}\n%%EOF\n".encode()
+    )
+    return bytes(out)
+
+
+def _tounicode_obj(body: str) -> bytes:
+    return (
+        f"<< /Length {len(body)} >>\nstream\n{body}endstream"
+    ).encode()
+
+
+def test_unicode_sql_fixture_bytes_equal_int_mode(spark):
+    docs = spark.createDataFrame([(3,), (77,)], "doc_id long")
+    got = {
+        r.asset_id: bytes(r.payload)
+        for r in P.synth_pdfu_assets(docs).collect()
+    }
+    assert got[3] == P.synth_pdfu_bytes(3)
+    assert got[77] == P.synth_pdfu_bytes(77)
+
+
+def test_differences_winansi_macroman_and_uni_names():
+    f2 = (
+        b"<< /Type /Font /Subtype /Type1 /Encoding "
+        b"<< /BaseEncoding /WinAnsiEncoding "
+        b"/Differences [65 /uni0416 66 /u1F600] >> >>"
+    )
+    # WinAnsi 0x93 = LEFT DOUBLE QUOTATION MARK (cp1252)
+    pdf = build_font_pdf(
+        b"BT /F2 10 Tf (AB c \x93) Tj ET", {"F2": f2}
+    )
+    assert P.pdf_text(pdf) == ["Ж\U0001f600 c “"]
+    f3 = b"<< /Type /Font /Subtype /Type1 /Encoding /MacRomanEncoding >>"
+    # MacRoman 0xA5 = BULLET
+    pdf = build_font_pdf(b"BT /F3 10 Tf (x\xa5) Tj ET", {"F3": f3})
+    assert P.pdf_text(pdf) == ["x•"]
+    # a name NOT in resources keeps the Latin-1 identity
+    pdf = build_font_pdf(b"BT /F9 10 Tf (\xe9) Tj ET", {"F3": f3})
+    assert P.pdf_text(pdf) == ["\xe9"]
+
+
+def test_tounicode_bfchar_and_array_range():
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\nbegincmap\n"
+        "1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        "2 beginbfchar\n<41> <0057>\n<42> <00660066>\nendbfchar\n"
+        "1 beginbfrange\n<50> <51> [<0058> <0059>]\nendbfrange\n"
+        "endcmap\nend\n"
+    )
+    f = b"<< /Type /Font /Subtype /Type1 /ToUnicode 6 0 R >>"
+    pdf = build_font_pdf(
+        b"BT /F1 10 Tf (AB) Tj 0 -14 Td (PQ) Tj ET",
+        {"F1": f},
+        extra=[_tounicode_obj(cmap)],
+    )
+    # bfchar multi-char destination: the 'ff' ligature expansion
+    assert P.pdf_text(pdf) == ["Wff XY"]
+
+
+def test_type0_identity_h_tounicode():
+    cmap = (
+        "begincmap\n1 begincodespacerange\n<0000> <FFFF>\n"
+        "endcodespacerange\n1 beginbfrange\n<0041> <0043> <0061>\n"
+        "endbfrange\nendcmap\n"
+    )
+    f = (
+        b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H "
+        b"/ToUnicode 6 0 R >>"
+    )
+    pdf = build_font_pdf(
+        b"BT /F1 10 Tf <00410043> Tj ET",
+        {"F1": f},
+        extra=[_tounicode_obj(cmap)],
+    )
+    assert P.pdf_text(pdf) == ["ac"]
+
+
+def test_font_gates():
+    # StandardEncoding gates by name
+    f = b"<< /Type /Font /Subtype /Type1 /Encoding /StandardEncoding >>"
+    pdf = build_font_pdf(b"BT /F1 10 Tf (A) Tj ET", {"F1": f})
+    with pytest.raises(NotImplementedError, match="StandardEncoding"):
+        P.pdf_text(pdf)
+    # unknown glyph name gates naming the glyph
+    f = (
+        b"<< /Type /Font /Subtype /Type1 /Encoding "
+        b"<< /Differences [65 /blorb] >> >>"
+    )
+    pdf = build_font_pdf(b"BT /F1 10 Tf (A) Tj ET", {"F1": f})
+    with pytest.raises(NotImplementedError, match="blorb"):
+        P.pdf_text(pdf)
+    # composite without ToUnicode gates
+    f = b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H >>"
+    pdf = build_font_pdf(b"BT /F1 10 Tf <0041> Tj ET", {"F1": f})
+    with pytest.raises(NotImplementedError, match="ToUnicode"):
+        P.pdf_text(pdf)
+    # composite with a non-Identity encoding gates
+    f = b"<< /Type /Font /Subtype /Type0 /Encoding /UniJIS-UCS2-H >>"
+    pdf = build_font_pdf(b"BT /F1 10 Tf <0041> Tj ET", {"F1": f})
+    with pytest.raises(NotImplementedError, match="Identity"):
+        P.pdf_text(pdf)
+    # mixed codespace widths gate
+    cmap = (
+        "begincmap\n2 begincodespacerange\n<00> <80>\n<8140> <9FFC>\n"
+        "endcodespacerange\nendcmap\n"
+    )
+    f = (
+        b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H "
+        b"/ToUnicode 6 0 R >>"
+    )
+    pdf = build_font_pdf(
+        b"BT /F1 10 Tf <0041> Tj ET", {"F1": f},
+        extra=[_tounicode_obj(cmap)],
+    )
+    with pytest.raises(NotImplementedError, match="mixed code widths"):
+        P.pdf_text(pdf)
+    # an undefined WinAnsi byte is a typed error naming the byte
+    f = b"<< /Type /Font /Subtype /Type1 /Encoding /WinAnsiEncoding >>"
+    pdf = build_font_pdf(b"BT /F1 10 Tf (\x81) Tj ET", {"F1": f})
+    with pytest.raises(P.PdfError, match="0x81"):
+        P.pdf_text(pdf)
+    # an unmapped CID is a typed error
+    cmap = (
+        "begincmap\n1 begincodespacerange\n<0000> <FFFF>\n"
+        "endcodespacerange\n1 beginbfchar\n<0041> <0061>\nendbfchar\n"
+        "endcmap\n"
+    )
+    f = (
+        b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H "
+        b"/ToUnicode 6 0 R >>"
+    )
+    pdf = build_font_pdf(
+        b"BT /F1 10 Tf <0042> Tj ET", {"F1": f},
+        extra=[_tounicode_obj(cmap)],
+    )
+    with pytest.raises(P.PdfError, match="unmapped"):
+        P.pdf_text(pdf)
+    # odd-length show string under a 2-byte font is a typed error
+    pdf = build_font_pdf(
+        b"BT /F1 10 Tf <004100> Tj ET", {"F1": f},
+        extra=[_tounicode_obj(cmap)],
+    )
+    with pytest.raises(P.PdfError, match="code width"):
+        P.pdf_text(pdf)
+
+
+# --------------------------------- round 15: RC4 standard handler
+
+
+def test_encrypted_round_trip_r2_r3():
+    """The encrypted twin extracts the same text (and links) as the
+    plain document, for both revisions — and the V1 40-bit shape."""
+    for doc in (0, 9, 201):
+        plain = P.synth_pdf_bytes(doc)
+        for r in (2, 3):
+            enc = P.encrypt_pdf(plain, owner_password=b"owner", r=r)
+            assert b"/Encrypt" in enc
+            assert P.pdf_text(enc) == P.pdf_text(plain)
+            assert P.pdf_links(enc) == P.pdf_links(plain)
+    # fonts + ToUnicode CMap streams survive decryption too
+    up = P.synth_pdfu_bytes(4)
+    assert P.pdf_text(P.encrypt_pdf(up)) == P.pdf_text(up)
+
+
+def test_encrypted_u_value_is_spec_checked():
+    """Corrupting /U must trip the Algorithm 4/5 verification — the
+    decoder actually checks the password, it doesn't just decrypt."""
+    enc = bytearray(P.encrypt_pdf(P.synth_pdf_bytes(1)))
+    i = enc.rindex(b"/U <") + 4
+    enc[i : i + 2] = b"00" if enc[i : i + 2] != b"00" else b"11"
+    with pytest.raises(NotImplementedError, match="password"):
+        P.pdf_text(bytes(enc))
+
+
+def test_encrypted_gates():
+    # non-empty USER password: no input channel -> loud gate
+    enc = P.encrypt_pdf(P.synth_pdf_bytes(2), user_password=b"pw")
+    with pytest.raises(NotImplementedError, match="user password"):
+        P.pdf_text(enc)
+    # V4 (AES / crypt filters) gates by name
+    e = bytearray(P.encrypt_pdf(P.synth_pdf_bytes(2)))
+    i = e.rindex(b"/V 2")
+    e[i : i + 4] = b"/V 4"
+    with pytest.raises(NotImplementedError, match="V=4"):
+        P.pdf_text(bytes(e))
+    # a non-Standard handler gates by name
+    e = bytearray(P.encrypt_pdf(P.synth_pdf_bytes(2)))
+    i = e.rindex(b"/Filter /Standard")
+    e[i : i + 17] = b"/Filter /Acme9876"
+    with pytest.raises(NotImplementedError, match="Acme9876"):
+        P.pdf_text(bytes(e))
+
+
+def test_encrypt_rejects_double_encryption():
+    enc = P.encrypt_pdf(P.synth_pdf_bytes(3))
+    with pytest.raises(P.PdfError, match="already encrypted"):
+        P.encrypt_pdf(enc)
+
+
+def test_encrypted_mutation_fuzz_typed():
+    """Bit flips over an encrypted document must extract or raise a
+    typed error — never an untyped crash (garbled RC4 output feeds
+    every downstream parser)."""
+    base = bytearray(P.encrypt_pdf(P.synth_pdf_bytes(17)))
+    for i in range(0, len(base), 97):
+        mut = bytearray(base)
+        mut[i] ^= 0x41
+        try:
+            P.pdf_text(bytes(mut))
+        except (P.PdfError, NotImplementedError):
+            pass
+        except (zlib.error,):
+            pass
+
+
+# --------------------------------- round 15: embedded-image extraction
+
+
+def test_pdfimg_sql_fixture_bytes_equal_int_mode(spark):
+    from cryptocoininsights_data_engineer_project_spark.operators import (
+        multimodal as M,
+    )
+
+    docs = spark.createDataFrame([(2,), (61,)], "doc_id long")
+    got = {
+        r.asset_id: bytes(r.payload)
+        for r in M.synth_pdfimg_assets(docs).collect()
+    }
+    assert got[2] == M.synth_pdfimg_bytes(2)
+    assert got[61] == M.synth_pdfimg_bytes(61)
+
+
+def _image_pdf(xobj_body: bytes, stream: bytes, content=b"/Im1 Do"):
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+        b"<< /XObject << /Im1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+        xobj_body + b"\nstream\n" + stream + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for n, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_off = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode() + b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>"
+        f"\nstartxref\n{xref_off}\n%%EOF\n".encode()
+    )
+    return bytes(out)
+
+
+def test_pdf_images_raw_and_flate():
+    samples = bytes(range(24))  # 4x2 RGB
+    pdf = _image_pdf(
+        b"<< /Subtype /Image /Width 4 /Height 2 /ColorSpace /DeviceRGB "
+        b"/BitsPerComponent 8 /Length 24 >>",
+        samples,
+    )
+    assert P.pdf_images(pdf) == [(0, 0, 4, 2, 3, samples)]
+    z = zlib.compress(samples)
+    pdf = _image_pdf(
+        b"<< /Subtype /Image /Width 8 /Height 3 /ColorSpace /DeviceGray"
+        b" /BitsPerComponent 8 /Filter /FlateDecode /Length "
+        + str(len(z)).encode() + b" >>",
+        z,
+    )
+    assert P.pdf_images(pdf) == [(0, 0, 8, 3, 1, samples)]
+    # paint order with repeats: two Do occurrences -> two rows
+    pdf = _image_pdf(
+        b"<< /Subtype /Image /Width 4 /Height 2 /ColorSpace /DeviceRGB "
+        b"/BitsPerComponent 8 /Length 24 >>",
+        samples,
+        content=b"q /Im1 Do Q /Im1 Do",
+    )
+    assert [r[:2] for r in P.pdf_images(pdf)] == [(0, 0), (0, 1)]
+
+
+def test_pdf_images_gates():
+    samples = bytes(16)
+    pdf = _image_pdf(
+        b"<< /Subtype /Form /Length 16 >>", samples
+    )
+    with pytest.raises(NotImplementedError, match="Form"):
+        P.pdf_images(pdf)
+    pdf = _image_pdf(
+        b"<< /Subtype /Image /Width 4 /Height 4 /ColorSpace /DeviceGray"
+        b" /BitsPerComponent 1 /Length 16 >>",
+        samples,
+    )
+    with pytest.raises(NotImplementedError, match="BitsPerComponent 1"):
+        P.pdf_images(pdf)
+    pdf = _image_pdf(
+        b"<< /Subtype /Image /Width 4 /Height 4 /ColorSpace /Indexed"
+        b" /BitsPerComponent 8 /Length 16 >>",
+        samples,
+    )
+    with pytest.raises(NotImplementedError, match="ColorSpace"):
+        P.pdf_images(pdf)
+    pdf = _image_pdf(
+        b"<< /Subtype /Image /Width 4 /Height 4 "
+        b"/Filter /JPXDecode /Length 16 >>",
+        samples,
+    )
+    with pytest.raises(NotImplementedError, match="JPXDecode"):
+        P.pdf_images(pdf)
+    # declared size vs JPEG frame header mismatch is LOUD
+    from cryptocoininsights_data_engineer_project_spark.operators import (
+        multimodal as M,
+    )
+
+    jpg = M._pdfimg_jpeg_bytes(5)
+    pdf = _image_pdf(
+        b"<< /Subtype /Image /Width 99 /Height 8 /Filter /DCTDecode"
+        b" /Length " + str(len(jpg)).encode() + b" >>",
+        jpg,
+    )
+    with pytest.raises(P.PdfError, match="frame header"):
+        P.pdf_images(pdf)
+    # sample-count mismatch is LOUD
+    pdf = _image_pdf(
+        b"<< /Subtype /Image /Width 5 /Height 4 /ColorSpace /DeviceGray"
+        b" /BitsPerComponent 8 /Length 16 >>",
+        samples,
+    )
+    with pytest.raises(P.PdfError, match="sample bytes"):
+        P.pdf_images(pdf)
+
+
+def test_pdf_images_through_encryption():
+    from cryptocoininsights_data_engineer_project_spark.operators import (
+        multimodal as M,
+    )
+
+    b = M.synth_pdfimg_bytes(9)
+    assert P.pdf_images(P.encrypt_pdf(b, owner_password=b"o")) == \
+        P.pdf_images(b)
