@@ -753,6 +753,74 @@ def warc_doc_text(assets: DataFrame) -> DataFrame:
     )
 
 
+_WARC_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("record_idx", T.LongType(), False),
+        T.StructField("url", T.StringType(), True),
+        T.StructField("page_idx", T.LongType(), False),
+        T.StructField("img_ix", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("channels", T.LongType(), False),
+        T.StructField("pixel_sum", T.LongType(), False),
+        T.StructField("px_checksum", T.LongType(), False),
+    ]
+)
+
+
+def warc_pdf_images(assets: DataFrame) -> DataFrame:
+    """WARC archives → one row per image PAINTED by a PDF response
+    (VERDICT r14 item 7's composition: the crawl front door used to
+    extract PDF text and links but DROP embedded images): the same
+    fused mapInPandas walk as warc_doc_text, with application/pdf
+    entities routed through operators/pdftext.py::pdf_images —
+    /DCTDecode XObjects decode on the in-house T.81 decoder
+    executor-side, and only the per-image statistics leave the scan
+    stage (payload and pixel bytes never shuffle)."""
+    from .pdftext import pdf_images
+
+    snap = _codec_snapshot()
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _install_codecs(snap)
+        for pdf in batches:
+            rows: dict[str, list] = {
+                f.name: [] for f in _WARC_IMAGE_SCHEMA
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for i, rec in enumerate(parse_warc(bytes(payload))):
+                    if rec["headers"].get("warc-type") != "response":
+                        continue
+                    _status, hh, entity = split_http_response(rec["body"])
+                    if "application/pdf" not in hh.get("content-type", ""):
+                        continue
+                    doc = decode_content_encoding(hh, entity)
+                    for pi, ix, w, h, ch, px in pdf_images(doc):
+                        s = 0
+                        chk = 0
+                        for k, v in enumerate(px):
+                            s += v
+                            chk += v * (k + 1) * (k + 1)
+                        rows["asset_id"].append(int(aid))
+                        rows["record_idx"].append(i)
+                        rows["url"].append(
+                            rec["headers"].get("warc-target-uri")
+                        )
+                        rows["page_idx"].append(pi)
+                        rows["img_ix"].append(ix)
+                        rows["width"].append(w)
+                        rows["height"].append(h)
+                        rows["channels"].append(ch)
+                        rows["pixel_sum"].append(s)
+                        rows["px_checksum"].append(chk)
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _extract, schema=_WARC_IMAGE_SCHEMA
+    )
+
+
 HTML_WORDS = 12
 _CRLF = "char(13), char(10)"
 

@@ -935,3 +935,52 @@ def test_pdf_images_through_encryption():
     b = M.synth_pdfimg_bytes(9)
     assert P.pdf_images(P.encrypt_pdf(b, owner_password=b"o")) == \
         P.pdf_images(b)
+
+
+def test_warc_pdf_images_composition(spark):
+    """The crawl front door surfaces PDF-embedded images: a WARC
+    carrying a gzip-encoded PDF-with-JPEG response (plus an HTML and
+    an unrelated image record, both skipped) yields the SAME pixel
+    stats as decoding the PDF directly."""
+    import gzip
+
+    from cryptocoininsights_data_engineer_project_spark.operators import (
+        multimodal as M,
+    )
+    from cryptocoininsights_data_engineer_project_spark.operators import (
+        webarchive as W,
+    )
+
+    doc_pdf = M.synth_pdfimg_bytes(13)
+
+    def rec(url, ctype, entity, enc=None):
+        hh = f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+        if enc:
+            hh += f"Content-Encoding: {enc}\r\n"
+        http = hh.encode() + b"\r\n" + entity
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + f"WARC-Target-URI: {url}\r\n".encode()
+            + f"Content-Length: {len(http)}\r\n\r\n".encode()
+            + http + b"\r\n\r\n"
+        )
+
+    warc = (
+        rec("http://x.test/a.html", "text/html", b"<p>skip</p>")
+        + rec("http://x.test/b.pdf", "application/pdf",
+              gzip.compress(doc_pdf), enc="gzip")
+        + rec("http://x.test/c.png", "image/png", b"\x89PNG fake")
+    )
+    assets = spark.createDataFrame(
+        [(13, bytearray(warc))], "asset_id long, payload binary"
+    )
+    rows = W.warc_pdf_images(assets).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    (pi, ix, w, h, ch, px), = P.pdf_images(doc_pdf)
+    want_sum = sum(px)
+    want_chk = sum(v * (k + 1) * (k + 1) for k, v in enumerate(px))
+    assert (r.record_idx, r.url) == (1, "http://x.test/b.pdf")
+    assert (r.page_idx, r.img_ix, r.width, r.height, r.channels) == (
+        pi, ix, w, h, ch)
+    assert (r.pixel_sum, r.px_checksum) == (want_sum, want_chk)
