@@ -1790,6 +1790,91 @@ def synth_pdfimg_assets(docs: DataFrame) -> DataFrame:
     )
 
 
+def _pdfimg_total_len() -> int:
+    """Byte length of the pdfimg fixture (constant across docs)."""
+    return sum(
+        len(p[1]) // 2 if p[0] == "hex" else p[2]
+        for p in _pdfimg_ops("doc_id")
+    )
+
+
+def synth_warc_pdfimg_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): a WARC archive per doc carrying an HTML
+    response (the extractor must SKIP it) followed by the
+    PDF-with-embedded-JPEG response — the crawl-shaped input for
+    warc_pdf_images, built JVM-side hex-wise (the PDF body is
+    binary, so the string-expr WARC builders don't apply)."""
+    html_http = (
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        "<p>skip</p>"
+    )
+    html_rec = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: http://img.test/index.html\r\n"
+        f"Content-Length: {len(html_http)}\r\n\r\n{html_http}\r\n\r\n"
+    )
+    pdf_http_head = (
+        "HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n"
+    )
+    clen = len(pdf_http_head) + _pdfimg_total_len()
+    warc_head = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: http://img.test/"
+    )
+    warc_mid = (
+        ".pdf\r\n"
+        f"Content-Length: {clen}\r\n\r\n{pdf_http_head}"
+    )
+    exprs = [
+        "'" + (html_rec + warc_head).encode().hex().upper() + "'",
+        "hex(lpad(cast(doc_id AS string), 8, '0'))",
+        "'" + warc_mid.encode().hex().upper() + "'",
+    ]
+    for p in _pdfimg_ops("doc_id"):
+        if p[0] == "hex":
+            exprs.append("'" + p[1].upper() + "'")
+        else:
+            exprs.append(p[1].replace("{doc}", "doc_id"))
+    exprs.append("'" + b"\r\n\r\n".hex().upper() + "'")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr("unhex(concat(" + ", ".join(exprs) + "))").alias("payload"),
+    )
+
+
+def warc_pdf_image_oracle_sql() -> str:
+    """The pdf_image closed form plus the crawl coordinates: the PDF
+    is record 1 of each archive (the HTML record is skipped) at the
+    doc-derived target URI."""
+    n = JPEG_W * JPEG_H
+    return f"""
+WITH px AS (
+  SELECT doc_id,
+    g.i AS i,
+    (CASE WHEN (g.i % {JPEG_W}) < 8
+      THEN 128 + (32 + doc_id % 32)
+         + (4 + doc_id % 4)
+           * (CASE WHEN (g.i // {JPEG_W}) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+      ELSE 128 + (32 + doc_id % 32) + (8 + doc_id % 8)
+         + (4 + (doc_id * 3) % 4)
+           * (CASE WHEN ((g.i % {JPEG_W}) - 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+           * (CASE WHEN (g.i // {JPEG_W}) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+     END) AS v
+  FROM documents, UNNEST(generate_series(0, {n - 1})) AS g(i)
+)
+SELECT doc_id AS asset_id,
+  CAST(1 AS BIGINT) AS record_idx,
+  'http://img.test/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.pdf'
+    AS url,
+  CAST(0 AS BIGINT) AS page_idx, CAST(0 AS BIGINT) AS img_ix,
+  CAST({JPEG_W} AS BIGINT) AS width, CAST({JPEG_H} AS BIGINT) AS height,
+  CAST(1 AS BIGINT) AS channels,
+  CAST(sum(v) AS BIGINT) AS pixel_sum,
+  CAST(sum(v * (i + 1) * (i + 1)) AS BIGINT) AS px_checksum
+FROM px GROUP BY doc_id
+"""
+
+
 _PDF_IMAGE_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType(), False),

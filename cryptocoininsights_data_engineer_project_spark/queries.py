@@ -2189,6 +2189,30 @@ def pdf_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "warc_pdf_image_extract",
+    multimodal.warc_pdf_image_oracle_sql(),
+    doc="PDF images THROUGH THE CRAWL FRONT DOOR (the composition "
+    "half of VERDICT r14 item 7): a WARC archive per doc carries an "
+    "HTML response (skipped executor-side) and a PDF-with-embedded-"
+    "JPEG response; webarchive.warc_pdf_images walks the records, "
+    "routes application/pdf through pdftext.pdf_images, and decodes "
+    "the /DCTDecode XObject on the in-house T.81 decoder — one "
+    "fused mapInPandas pass, payload and pixel bytes never shuffle, "
+    "only the per-image stats leave the scan stage. Oracle: the "
+    "same closed-form pixel statement plus the record index and the "
+    "doc-derived target URI (any record-walk or Content-Length slip "
+    "shifts the entity and breaks the hash)",
+)
+def warc_pdf_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return webarchive.warc_pdf_images(
+        multimodal.synth_warc_pdfimg_assets(docs)
+    )
+
+
+@_q(
     "pdf_link_extract",
     pdftext.pdf_links_oracle_sql(),
     doc="PDF outlink extraction — the crawl-frontier primitive for "
