@@ -48,7 +48,17 @@ Scope (each limit gates LOUDLY, the house convention):
   through the seam; only the code-page data is seamed.
 * Tables 4 and 14 are "not used" in the spec and raise as
   reserved.
-* MPEG-1 only (ID = 1); LSF raises upstream in mpaudiocodec.
+* MPEG-2 LSF (ID = 0, ISO/IEC 13818-3 — the 16/22.05/24 kHz class
+  real podcasts and low-rate crawl audio use) decodes as of r15:
+  the one-granule frame layout, the 8-bit main_data_begin (255-byte
+  reservoir pool), the 9-bit scalefac_compress with its implied
+  preflag, the four-partition LSF scalefactor layouts (long, short,
+  mixed, and the intensity-channel 180/244/255 partitioning of
+  scalefac_compress >> 1), the LSF long-sfb region tables, and the
+  LSF Layer III bitrate column. The NR_OF_SFB_LSF partition-size
+  rows carry a built-in fidelity witness (every long row sums to 21
+  sfbs, short to 36, mixed to 33 — pinned in tests). MPEG-2.5 and
+  LSF layers I/II raise by name.
 * Both channel modes decode (mono; stereo/dual as independent
   channels — ms/intensity stereo PROCESSING is float-side, after
   the integer lines this module stops at).
@@ -247,7 +257,56 @@ SFB_LONG = {
             128, 156, 190, 230, 276, 330, 384, 576],
     32000: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126,
             156, 194, 240, 296, 364, 448, 550, 576],
+    # MPEG-2 LSF long-block boundaries (13818-3 Table B.2; 22050 and
+    # 16000 share one table)
+    22050: [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140,
+            168, 200, 238, 284, 336, 396, 464, 522, 576],
+    24000: [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 114, 136,
+            162, 194, 232, 278, 332, 394, 464, 540, 576],
+    16000: [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140,
+            168, 200, 238, 284, 336, 396, 464, 522, 576],
 }
+
+# LSF scalefactor partition sizes (13818-3 2.4.3.2): rows indexed by
+# the blocknumber the scalefac_compress ranges select, columns by
+# block shape (0 = long, 1 = short, 2 = short mixed), entries = the
+# number of scalefactor bands read with slen[0..3]. Fidelity witness
+# (pinned in tests): every long row sums to 21 sfbs, every short row
+# to 36 (12 sfb x 3 windows), every mixed row to 33 (6 long + 9 x 3).
+NR_OF_SFB_LSF = {
+    0: ([6, 5, 5, 5], [9, 9, 9, 9], [6, 9, 9, 9]),
+    1: ([6, 5, 7, 3], [9, 9, 12, 6], [6, 9, 12, 6]),
+    2: ([11, 10, 0, 0], [18, 18, 0, 0], [15, 18, 0, 0]),
+    3: ([7, 7, 7, 0], [12, 12, 12, 0], [6, 15, 12, 0]),
+    4: ([6, 6, 6, 3], [12, 9, 9, 6], [6, 12, 9, 6]),
+    5: ([8, 8, 5, 0], [15, 12, 9, 0], [6, 18, 9, 0]),
+}
+
+
+def _lsf_slen_block(sfc: int, intensity: bool) -> tuple[list[int], int, int]:
+    """(slen[0..3], blocknumber, preflag) for an LSF granule's
+    scalefac_compress (13818-3 2.4.3.2). ``intensity``: the second
+    channel of an intensity-stereo pair reads the 180/244/255
+    partitioning of scalefac_compress >> 1."""
+    if intensity:
+        x = sfc >> 1
+        if x < 180:
+            return [x // 36, (x % 36) // 6, x % 6, 0], 3, 0
+        if x < 244:
+            x -= 180
+            return [(x % 64) >> 3, x % 8, 0, 0], 4, 0
+        x -= 244
+        return [x // 3, x % 3, 0, 0], 5, 0
+    if sfc < 400:
+        return (
+            [(sfc >> 4) // 5, (sfc >> 4) % 5, (sfc % 16) >> 2, sfc % 4],
+            0, 0,
+        )
+    if sfc < 500:
+        x = sfc - 400
+        return [(x >> 2) // 5, (x >> 2) % 5, x % 4, 0], 1, 0
+    x = sfc - 500
+    return [x // 3, x % 3, 0, 0], 2, 1
 
 
 def _build_decoder(table: dict) -> dict[tuple[int, int], tuple]:
@@ -293,21 +352,31 @@ class Mp3Frame:
         self.granules = granules  # [granule][channel] -> GranuleInfo
 
 
-def _parse_side_info(br: _Bits, nch: int) -> tuple[int, list, list]:
+def _parse_side_info(
+    br: _Bits, nch: int, lsf: bool = False
+) -> tuple[int, list, list]:
     """11172-3 2.4.1.7: main_data_begin, scfsi, and per-(granule,
-    channel) side info. Returns (main_data_begin, scfsi, infos)."""
-    main_data_begin = br.read(9)
-    br.read(5 if nch == 1 else 3)  # private_bits
-    scfsi = [[br.read(1) for _ in range(4)] for _ in range(nch)]
+    channel) side info. Returns (main_data_begin, scfsi, infos).
+    The MPEG-2 LSF layout (13818-3 2.4.1.7): 8-bit main_data_begin,
+    1/2 private bits, NO scfsi, ONE granule, 9-bit scalefac_compress,
+    and no preflag bit (preflag is IMPLIED by the scalefac_compress
+    partition — set during scalefactor decode)."""
+    main_data_begin = br.read(8 if lsf else 9)
+    if lsf:
+        br.read(1 if nch == 1 else 2)  # private_bits
+        scfsi = [[0] * 4 for _ in range(nch)]
+    else:
+        br.read(5 if nch == 1 else 3)  # private_bits
+        scfsi = [[br.read(1) for _ in range(4)] for _ in range(nch)]
     infos: list[list[dict]] = []
-    for _g in range(2):
+    for _g in range(1 if lsf else 2):
         per_ch = []
         for _ch in range(nch):
             gi = {
                 "part2_3_length": br.read(12),
                 "big_values": br.read(9),
                 "global_gain": br.read(8),
-                "scalefac_compress": br.read(4),
+                "scalefac_compress": br.read(9 if lsf else 4),
                 "window_switching_flag": br.read(1),
             }
             if gi["window_switching_flag"]:
@@ -338,7 +407,7 @@ def _parse_side_info(br: _Bits, nch: int) -> tuple[int, list, list]:
                 gi["table_select"] = [br.read(5) for _ in range(3)]
                 gi["region0_count"] = br.read(4)
                 gi["region1_count"] = br.read(3)
-            gi["preflag"] = br.read(1)
+            gi["preflag"] = None if lsf else br.read(1)
             gi["scalefac_scale"] = br.read(1)
             gi["count1table_select"] = br.read(1)
             per_ch.append(gi)
@@ -416,6 +485,27 @@ def _read_scalefacs(br: _Bits, gi: dict, g: int, scfsi_ch: list,
     return out
 
 
+def _read_scalefacs_lsf(br: _Bits, gi: dict, intensity: bool) -> list[int]:
+    """MPEG-2 LSF scalefactors (13818-3 2.4.3.2): four slen
+    partitions selected by the scalefac_compress ranges, band counts
+    from NR_OF_SFB_LSF by block shape; sets the IMPLIED preflag."""
+    slen, blocknumber, preflag = _lsf_slen_block(
+        gi["scalefac_compress"], intensity
+    )
+    if gi["window_switching_flag"] and gi["block_type"] == 2:
+        shape = 2 if gi["mixed_block_flag"] else 1
+    else:
+        shape = 0
+    counts = NR_OF_SFB_LSF[blocknumber][shape]
+    gi["preflag"] = preflag
+    out: list[int] = []
+    for part, cnt in enumerate(counts):
+        s = slen[part]
+        for _ in range(cnt):
+            out.append(br.read(s) if s else 0)
+    return out
+
+
 def _decode_granule_lines(br: _Bits, gi: dict, rate: int,
                           start_bit: int) -> np.ndarray:
     """Huffman stage (2.4.2.7): big_values pairs over the three
@@ -424,11 +514,13 @@ def _decode_granule_lines(br: _Bits, gi: dict, rate: int,
     lines = np.zeros(576, dtype=np.int64)
     bounds = SFB_LONG[rate]
     if gi["window_switching_flag"]:
-        # implied regions (2.4.2.7): boundary at line 36 — short
-        # sfb triplet 9 for a pure short block, long sfb bound
-        # l[region0_count + 1] = l[8] = 36 at every MPEG-1 rate for
-        # the mixed/start/stop shapes — and NO region2.
-        r0_end, r1_end = 36, 576
+        # implied regions (2.4.2.7): short blocks bound region0 at
+        # line 36 (12 lines x 3 windows); the start/stop long
+        # windows use the long-sfb bound l[region0_count + 1] = l[8]
+        # (36 at every MPEG-1 rate, 54 at the LSF rates) — and NO
+        # region2 either way.
+        r0_end = 36 if gi["block_type"] == 2 else bounds[8]
+        r1_end = 576
     else:
         r0_end = bounds[min(gi["region0_count"] + 1, 22)]
         r1_end = bounds[
@@ -481,19 +573,24 @@ def decode_mp3_frames(
 ) -> list[Mp3Frame]:
     """Decode the Layer III frames of an elementary stream.
     ``frame_infos``: [(offset, frame_bytes, protection, rate, kbps,
-    nch), ...] from the caller's header walk (mpaudiocodec).
-    Maintains the BIT RESERVOIR: each frame's main data may begin
-    ``main_data_begin`` bytes back in the previous frames' unused
-    main-data space (2.4.2.7 main_data_begin)."""
+    nch, lsf, intensity_l3), ...] from the caller's header walk
+    (mpaudiocodec). Maintains the BIT RESERVOIR: each frame's main
+    data may begin ``main_data_begin`` bytes back in the previous
+    frames' unused main-data space (2.4.2.7 main_data_begin; the LSF
+    pointer is 8 bits, so its pool caps at 255). MPEG-2 LSF frames
+    (13818-3) carry ONE granule with the LSF side-info and
+    scalefactor layouts; in LSF intensity stereo the second channel
+    reads the intensity partitioning of scalefac_compress >> 1."""
     reservoir = bytearray()
     out: list[Mp3Frame] = []
-    for offset, frame_bytes, protection, rate, kbps, nch in frame_infos:
+    for (offset, frame_bytes, protection, rate, kbps, nch, lsf,
+         intensity_l3) in frame_infos:
         body = payload[offset : offset + frame_bytes]
         br = _Bits(body)
         br.pos = 32
         if not protection:
             br.read(16)  # CRC over side info: verified by caller
-        main_begin, scfsi, infos = _parse_side_info(br, nch)
+        main_begin, scfsi, infos = _parse_side_info(br, nch, lsf)
         side_end = br.pos
         if side_end % 8:
             raise MpegAudioError("side info not byte-aligned")
@@ -508,13 +605,20 @@ def decode_mp3_frames(
         ) + bytes(main_slot)
         mbr = _Bits(data)
         granules = []
-        for g in range(2):
+        for g in range(1 if lsf else 2):
             per_ch = []
             for ch in range(nch):
                 gi = infos[g][ch]
                 start_bit = mbr.pos
-                prev = granules[0][ch].scalefacs if g == 1 else None
-                scf = _read_scalefacs(mbr, gi, g, scfsi[ch], prev)
+                if lsf:
+                    scf = _read_scalefacs_lsf(
+                        mbr, gi, intensity_l3 and ch == 1
+                    )
+                else:
+                    prev = (
+                        granules[0][ch].scalefacs if g == 1 else None
+                    )
+                    scf = _read_scalefacs(mbr, gi, g, scfsi[ch], prev)
                 part2 = mbr.pos - start_bit
                 lines = _decode_granule_lines(mbr, gi, rate, start_bit)
                 spent = mbr.pos - start_bit
@@ -534,11 +638,13 @@ def decode_mp3_frames(
                 )
             granules.append(per_ch)
         # reservoir update: this frame's unused main-data bytes join
-        # the pool; spec bounds the pool at 511 bytes (9-bit pointer)
+        # the pool; the pointer width bounds the pool (9 bits -> 511
+        # bytes; the LSF 8-bit pointer -> 255)
+        cap = 255 if lsf else 511
         reservoir += main_slot
-        if len(reservoir) > 511:
-            del reservoir[: len(reservoir) - 511]
-        out.append(
-            Mp3Frame(rate, kbps, nch, main_begin, granules)
-        )
+        if len(reservoir) > cap:
+            del reservoir[: len(reservoir) - cap]
+        frame = Mp3Frame(rate, kbps, nch, main_begin, granules)
+        frame.lsf = lsf
+        out.append(frame)
     return out

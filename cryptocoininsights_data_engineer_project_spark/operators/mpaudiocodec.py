@@ -62,6 +62,12 @@ _BITRATE_L3 = [
     None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
 ]
 _SAMPLING = {0: 44100, 1: 48000, 2: 32000}
+# MPEG-2 LSF (ISO/IEC 13818-3, ID bit 0): halved sampling rates and
+# its own Layer III bitrate column (8..160 kbps)
+_SAMPLING_LSF = {0: 22050, 1: 24000, 2: 16000}
+_BITRATE_L3_LSF = [
+    None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160,
+]
 
 # Layer II low-rate ladder (Annex 3-B tables 2c/2d): alloc value ->
 # number of quantization steps; 3/5/9 are the grouped classes.
@@ -214,9 +220,13 @@ def _parse_header(b: bytes, pos: int):
         raise MpegAudioError("truncated header")
     h = int.from_bytes(b[pos : pos + 4], "big")
     if (h >> 20) & 0xFFF != 0xFFF:
+        if (h >> 21) & 0x7FF == 0x7FF:
+            raise NotImplementedError(
+                "MPEG-2.5 (11-bit syncword, ID bit 20 = 0) is outside "
+                "the implemented subset — MPEG-1 and MPEG-2 LSF decode"
+            )
         raise MpegAudioError(f"bad syncword at byte {pos}")
-    if not (h >> 19) & 1:
-        raise MpegAudioError("ID 0 (MPEG-2 LSF) not in subset")
+    lsf = not (h >> 19) & 1  # ID 0 = MPEG-2 LSF (ISO/IEC 13818-3)
     layer_code = (h >> 17) & 3
     if layer_code == 3:
         layer = 1
@@ -244,15 +254,30 @@ def _parse_header(b: bytes, pos: int):
     # identical bit layout to independent stereo.
     mode_ext = (h >> 4) & 3
     bound = 4 * (mode_ext + 1) if mode == 1 else 32
-    rate = _SAMPLING[sampling_index]
-    kbps = {1: _BITRATE_L1, 2: _BITRATE_L2, 3: _BITRATE_L3}[layer][
-        bitrate_index
-    ]
+    # layer III reinterprets mode_extension as (intensity, ms) flags;
+    # the LSF intensity-stereo scalefactor layout needs the flag
+    intensity_l3 = layer == 3 and mode == 1 and bool(mode_ext & 1)
+    if lsf and layer != 3:
+        raise NotImplementedError(
+            f"MPEG-2 LSF layer {layer} is outside the implemented "
+            "subset — LSF decodes for layer III (13818-3); layers "
+            "I/II decode for MPEG-1"
+        )
+    rate = (_SAMPLING_LSF if lsf else _SAMPLING)[sampling_index]
+    kbps = {
+        1: _BITRATE_L1,
+        2: _BITRATE_L2,
+        3: _BITRATE_L3_LSF if lsf else _BITRATE_L3,
+    }[layer][bitrate_index]
     if layer == 1:
         frame_bytes = 4 * (12 * kbps * 1000 // rate + padding)
+    elif layer == 3 and lsf:
+        # LSF layer III frames carry ONE 576-sample granule
+        frame_bytes = 72 * kbps * 1000 // rate + padding
     else:  # layers II and III share the 144-coefficient frame size
         frame_bytes = 144 * kbps * 1000 // rate + padding
-    return layer, protection, rate, kbps, nch, bound, frame_bytes
+    return (layer, protection, rate, kbps, nch, bound, frame_bytes,
+            lsf, intensity_l3)
 
 
 def _decode_frame_l1(
@@ -417,7 +442,7 @@ def _frame_bit(body: bytes, p: int) -> int:
 
 def _protected_side_bits(body: bytes, layer: int, rate: int,
                          kbps: int, nch: int, bound: int,
-                         start: int) -> list[int]:
+                         start: int, lsf: bool = False) -> list[int]:
     """The side-information bits the frame CRC covers, starting at bit
     ``start`` (just after the 16-bit crc_check field): layer I — all
     allocation fields; layer II — allocation fields + the scfsi pairs
@@ -432,8 +457,14 @@ def _protected_side_bits(body: bytes, layer: int, rate: int,
         return bits
     if layer == 3:
         # the CRC covers the whole fixed-size side information
-        # (2.4.1.7): 9 + 5/3 + 4*nch scfsi + 2 * 59 * nch granule bits
-        n_side = 9 + (5 if nch == 1 else 3) + 4 * nch + 118 * nch
+        # (2.4.1.7): 9 + 5/3 + 4*nch scfsi + 2 * 59 * nch granule
+        # bits; the LSF layout (13818-3 2.4.1.7) is 8 + 1/2 + one
+        # 63-bit granule per channel (no scfsi, 9-bit
+        # scalefac_compress, no preflag bit)
+        if lsf:
+            n_side = 8 + (1 if nch == 1 else 2) + 63 * nch
+        else:
+            n_side = 9 + (5 if nch == 1 else 3) + 4 * nch + 118 * nch
         return [_frame_bit(body, start + i) for i in range(n_side)]
     table, sblimit = _l2_table_select(rate, kbps // nch)
     if table in ("a", "b"):
@@ -494,9 +525,8 @@ def decode_mpeg_audio(payload: bytes) -> list[AudioFrame]:
     while pos + 4 <= n:
         if payload[pos] == 0 and not any(payload[pos:]):
             break  # trailing pad
-        layer, protection, rate, kbps, nch, bound, frame_bytes = (
-            _parse_header(payload, pos)
-        )
+        (layer, protection, rate, kbps, nch, bound, frame_bytes, lsf,
+         intensity_l3) = _parse_header(payload, pos)
         if pos + frame_bytes > n:
             raise MpegAudioError("frame extends past payload")
         body = payload[pos : pos + frame_bytes]
@@ -506,7 +536,7 @@ def decode_mpeg_audio(payload: bytes) -> list[AudioFrame]:
             crc_stored = br.read(16)
             covered = [_frame_bit(body, i) for i in range(16, 32)]
             covered += _protected_side_bits(
-                body, layer, rate, kbps, nch, bound, br.pos
+                body, layer, rate, kbps, nch, bound, br.pos, lsf
             )
             crc = _crc16_mpa(covered)
             if crc != crc_stored:
@@ -522,7 +552,8 @@ def decode_mpeg_audio(payload: bytes) -> list[AudioFrame]:
             frames.append(_decode_frame_l2(br, rate, kbps, nch, bound))
         else:  # layer III: reservoir spans frames — decode after walk
             l3_infos.append(
-                (pos, frame_bytes, protection, rate, kbps, nch)
+                (pos, frame_bytes, protection, rate, kbps, nch, lsf,
+                 intensity_l3)
             )
         pos += frame_bytes
     if l3_infos:

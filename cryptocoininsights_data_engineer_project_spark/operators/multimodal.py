@@ -7038,7 +7038,8 @@ def decode_mpeg_l3_stats(assets: DataFrame) -> DataFrame:
             rows: dict[str, list] = {f.name: [] for f in _MP3_STATS_SCHEMA}
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 for fi, fr in enumerate(decode_mpeg_audio(bytes(payload))):
-                    for g in range(2):
+                    # MPEG-1 frames carry 2 granules, LSF frames 1
+                    for g in range(len(fr.granules)):
                         for ch in range(fr.channels):
                             gi = fr.granules[g][ch]
                             ln = gi.lines
@@ -7093,6 +7094,98 @@ def mpeg_audio_l3_oracle_sql() -> str:
                 f"FROM documents, UNNEST(generate_series(0, {MP3_PAIRS - 1}))"
                 " AS p(p) GROUP BY doc_id"
             )
+    return "\nUNION ALL\n".join(parts)
+
+
+# ------------------------------------ layer III MPEG-2 LSF (r15)
+# ISO/IEC 13818-3, ID bit 0 — the 16/22.05/24 kHz low-sampling class:
+# ONE 576-sample granule per frame, 8-bit main_data_begin, no scfsi,
+# 9-bit scalefac_compress (preflag implied), LSF sfb tables. The
+# fixture runs 24 kHz / 64 kbps mono (192-byte frames): frame 0 a
+# normal long-block granule, frame 1 a SHORT-block (window-switching)
+# granule — both with scalefac_compress 0, whose LSF partition reads
+# zero scalefactor bits in every shape, keeping the layout constant.
+def _mp3_lsf_header_bits() -> str:
+    """MPEG-2 LSF (ID 0) layer III, no CRC, 64 kbps, 24 kHz, mono."""
+    return (
+        "1" * 12 + "0" + "01" + "1" + "1000" + "01"
+        + "0" + "0" + "11" + "00" + "0" + "0" + "00"
+    )
+
+
+def _mpa_l3lsf_ops(doc) -> list[tuple]:
+    """Two LSF layer-III frames as _mpeg_pack ops."""
+    ops: list[tuple] = []
+    for f in range(MPA_FRAMES):
+        ops.append(("b", _mp3_lsf_header_bits()))
+        bits_used = 32
+        # side info: main_data_begin 0 (8 bits), 1 private bit
+        ops.append(("b", "0" * 8 + "0"))
+        bits_used += 9
+        ops.append(("b", format(5 * MP3_PAIRS, "012b")))
+        ops.append(("b", format(MP3_PAIRS, "09b")))
+        ops.append(("s", _mp3_gain(doc, 0, f), 8))
+        if f == 0:
+            # scalefac_compress 0 (9 bits), wsf 0, tables 1/1/1,
+            # r0 15, r1 5, scalefac_scale 0, count1table 0 (NO
+            # preflag bit in the LSF layout)
+            ops.append(
+                ("b", "0" * 9 + "0" + "00001" * 3 + "1111" + "101" + "00")
+            )
+        else:
+            # frame 1: SHORT block under LSF — wsf 1, block_type 2,
+            # mixed 0, two table_selects, three subblock gains
+            ops.append(
+                ("b", "0" * 9 + "1" + "10" + "0" + "00001" * 2)
+            )
+            for w in range(3):
+                ops.append(("s", _mp3_sbg(doc, w, 0, f), 3))
+            ops.append(("b", "00"))
+        bits_used += 12 + 9 + 8 + 9 + 1 + 22 + 2
+        for p in range(MP3_PAIRS):
+            ops.append(("b", "000"))  # table 1 (1,1) code
+            ops.append(("s", _mp3_sx(doc, p, 0, f), 1))
+            ops.append(("s", _mp3_sy(doc, p, 0, f), 1))
+            bits_used += 5
+        ops.append(("b", "0" * (192 * 8 - bits_used)))
+    return ops
+
+
+def synth_mpeg_audio_l3lsf_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): two-frame MPEG-2 LSF layer-III streams."""
+    pieces = _mpeg_pack(_mpa_l3lsf_ops("doc_id"))
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr("unhex(concat(" + ", ".join(pieces) + "))").alias("payload"),
+    )
+
+
+def mpeg_audio_l3lsf_oracle_sql() -> str:
+    """Closed form per frame (ONE granule each — a decoder that
+    walks the MPEG-1 two-granule layout over an LSF stream shifts
+    every field and breaks this): the same ±1 line positions as the
+    MPEG-1 fixture, frame 1 under a short block."""
+    parts = []
+    for f in range(MPA_FRAMES):
+        sx = f"((doc_id + 3 * p.p + {7 * f}) % 2)"
+        sy = f"((doc_id * 3 + p.p + {f}) % 2)"
+        vx = f"(1 - 2 * {sx})"
+        vy = f"(1 - 2 * {sy})"
+        parts.append(
+            f"SELECT doc_id AS asset_id, CAST({f} AS BIGINT) AS frame_idx, "
+            "CAST(0 AS BIGINT) AS granule, "
+            "CAST(0 AS BIGINT) AS channel, "
+            f"CAST({MP3_PAIRS} AS BIGINT) AS big_values, "
+            f"CAST({_mp3_gain('doc_id', 0, f)} AS BIGINT) AS global_gain, "
+            f"CAST({2 * MP3_PAIRS} AS BIGINT) AS n_nonzero, "
+            f"CAST(sum({vx} + {vy}) AS BIGINT) AS line_sum, "
+            f"CAST({2 * MP3_PAIRS} AS BIGINT) AS line_energy, "
+            f"CAST(sum({vx} * (2 * p.p + 1) * (2 * p.p + 1) + "
+            f"{vy} * (2 * p.p + 2) * (2 * p.p + 2)) AS BIGINT) "
+            "AS line_checksum "
+            f"FROM documents, UNNEST(generate_series(0, {MP3_PAIRS - 1}))"
+            " AS p(p) GROUP BY doc_id"
+        )
     return "\nUNION ALL\n".join(parts)
 
 
@@ -7188,7 +7281,8 @@ def decode_mpeg_l3_block_stats(assets: DataFrame) -> DataFrame:
             }
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 for fi, fr in enumerate(decode_mpeg_audio(bytes(payload))):
-                    for g in range(2):
+                    # MPEG-1 frames carry 2 granules, LSF frames 1
+                    for g in range(len(fr.granules)):
                         for ch in range(fr.channels):
                             gi = fr.granules[g][ch]
                             ln = gi.lines

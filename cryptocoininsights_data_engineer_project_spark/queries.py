@@ -3174,6 +3174,32 @@ def multimodal_audio_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_audio_mp3_lsf",
+    multimodal.mpeg_audio_l3lsf_oracle_sql(),
+    doc="MP3 MPEG-2 LSF (ISO/IEC 13818-3, ID bit 0 — the "
+    "16/22.05/24 kHz low-sampling class podcasts and low-rate crawl "
+    "audio use, beyond the r14 verdict's list): the ONE-granule "
+    "frame layout with 8-bit main_data_begin (255-byte reservoir "
+    "pool), no scfsi, 9-bit scalefac_compress with IMPLIED preflag, "
+    "the four-partition LSF scalefactor layouts (NR_OF_SFB_LSF rows "
+    "carry a built-in sum witness: 21/36/33 per shape), the LSF "
+    "long-sfb region tables and bitrate column, and the 72-slot "
+    "frame size. Fixture: 24 kHz / 64 kbps mono, frame 0 long-block "
+    "+ frame 1 SHORT-block; a decoder walking the MPEG-1 two-"
+    "granule layout shifts every field and breaks the hash "
+    "(operators/mp3codec.py; MPEG-2.5 and LSF layers I/II gate by "
+    "name)",
+)
+def multimodal_audio_mp3_lsf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return multimodal.decode_mpeg_l3_stats(
+        multimodal.synth_mpeg_audio_l3lsf_assets(docs)
+    )
+
+
+@_q(
     "multimodal_audio_mp3_short",
     multimodal.mpeg_audio_l3s_oracle_sql(),
     doc="MP3 WINDOW SWITCHING (VERDICT r14 item 1 — the block "

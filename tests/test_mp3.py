@@ -610,3 +610,240 @@ def test_ws_sql_fixture_bytes_equal_int_mode(spark):
         ]
         assert shapes == [(0, 0, 2, 0), (0, 1, 2, 1),
                           (1, 0, 1, 0), (1, 1, 3, 0)]
+
+
+# --------------------------------------- round 15: MPEG-2 LSF layer III
+
+
+def test_nr_of_sfb_lsf_sum_witness():
+    """Every LSF partition row must cover exactly the sfb count of
+    its shape: 21 long, 36 short (12 x 3), 33 mixed (6 long + 9 x 3)
+    — the transcription-fidelity witness for the 13818-3 tables."""
+    for block, (long_r, short_r, mixed_r) in L3.NR_OF_SFB_LSF.items():
+        assert sum(long_r) == 21, block
+        assert sum(short_r) == 36, block
+        assert sum(mixed_r) == 33, block
+    # LSF long-sfb boundary tables: 23 monotone entries ending at 576
+    for rate in (22050, 24000, 16000):
+        t = L3.SFB_LONG[rate]
+        assert len(t) == 23 and t[0] == 0 and t[-1] == 576
+        assert all(a < b for a, b in zip(t, t[1:]))
+
+
+def test_lsf_slen_partitions():
+    # block 0: sfc = 4*16*5 + 2*16 + 3*4 + 1 -> wait, direct checks:
+    assert L3._lsf_slen_block(0, False) == ([0, 0, 0, 0], 0, 0)
+    # sfc 399: (399>>4)=24 -> slen0 4, slen1 4; 399%16=15 -> slen2 3,
+    # slen3 3
+    assert L3._lsf_slen_block(399, False) == ([4, 4, 3, 3], 0, 0)
+    # block 1: sfc 400 -> all zero; 499: (99>>2)=24 -> 4,4; 99%4=3
+    assert L3._lsf_slen_block(400, False) == ([0, 0, 0, 0], 1, 0)
+    assert L3._lsf_slen_block(499, False) == ([4, 4, 3, 0], 1, 0)
+    # block 2 carries the IMPLIED preflag
+    assert L3._lsf_slen_block(500, False) == ([0, 0, 0, 0], 2, 1)
+    assert L3._lsf_slen_block(511, False) == ([3, 2, 0, 0], 2, 1)
+    # intensity channel: partitions of scalefac_compress >> 1
+    assert L3._lsf_slen_block(0, True) == ([0, 0, 0, 0], 3, 0)
+    assert L3._lsf_slen_block(2 * 179, True) == ([4, 5, 5, 0], 3, 0)
+    assert L3._lsf_slen_block(2 * 180, True) == ([0, 0, 0, 0], 4, 0)
+    assert L3._lsf_slen_block(2 * 243, True) == ([7, 7, 0, 0], 4, 0)
+    assert L3._lsf_slen_block(2 * 244, True) == ([0, 0, 0, 0], 5, 0)
+    assert L3._lsf_slen_block(2 * 254, True) == ([3, 1, 0, 0], 5, 0)
+
+
+def _build_l3_lsf(pairs, *, sfc=0, scalefacs=None, block_type=None,
+                  main_data_begin=0, frame1_pairs=()):
+    """Independent two-frame LSF builder (24 kHz / 64 kbps mono,
+    192-byte frames), mirroring _build_l3 for the 13818-3 layout."""
+    def frame(pp, scf_vals):
+        hdr = "1" * 12 + "0" + "01" + "1" + "1000" + "01"
+        hdr += "0" + "0" + "11" + "00" + "0" + "0" + "00"
+        main = ""
+        slen, blockno, _pre = L3._lsf_slen_block(sfc, False)
+        shape = 0
+        if block_type == 2:
+            shape = 1
+        counts = L3.NR_OF_SFB_LSF[blockno][shape]
+        vals = list(scf_vals or [])
+        vi = 0
+        for part, cnt in enumerate(counts):
+            s = slen[part]
+            for _ in range(cnt):
+                v = vals[vi] if vi < len(vals) else 0
+                vi += 1
+                if s:
+                    main += _bits(v & ((1 << s) - 1), s)
+        tab = L3.HUFF_XY[1]
+        for x, y, sx, sy in pp:
+            ln, cd = tab[(x, y)]
+            main += _bits(cd, ln)
+            if x:
+                main += str(sx)
+            if y:
+                main += str(sy)
+        side = _bits(main_data_begin, 8) + "0"
+        side += _bits(len(main), 12)
+        side += _bits(len(pp), 9)
+        side += _bits(100, 8)
+        side += _bits(sfc, 9)
+        if block_type == 2:
+            side += "1" + "10" + "0" + "00001" * 2 + "000" * 3
+        else:
+            side += "0" + "00001" * 3 + _bits(15, 4) + _bits(5, 3)
+        side += "00"  # scalefac_scale, count1table_select (no preflag)
+        total = hdr + side + main
+        pad = 192 * 8 - len(total)
+        assert pad >= 0
+        total += "0" * pad
+        return bytes(
+            int(total[i : i + 8], 2) for i in range(0, len(total), 8)
+        )
+
+    return frame(pairs, scalefacs) + frame(frame1_pairs, None)
+
+
+def test_lsf_long_block_scalefactors_and_preflag():
+    """sfc 399 reads [4,4,3,3]-bit scalefactors over the [6,5,5,5]
+    long partition; sfc 511 implies preflag = 1."""
+    scf = [(i * 3) % 16 for i in range(21)]
+    frame = _build_l3_lsf(
+        [(1, 1, 0, 1)], sfc=399, scalefacs=scf
+    )
+    fr = A.decode_mpeg_audio(frame)[0]
+    assert fr.lsf and len(fr.granules) == 1
+    gi = fr.granules[0][0]
+    want = (
+        [v % 16 for v in scf[:6]] + [v % 16 for v in scf[6:11]]
+        + [v % 8 for v in scf[11:16]] + [v % 8 for v in scf[16:21]]
+    )
+    assert gi.scalefacs == want
+    assert gi.part2_bits == 6 * 4 + 5 * 4 + 5 * 3 + 5 * 3
+    assert gi.preflag == 0
+    assert gi.lines[0] == 1 and gi.lines[1] == -1
+    frame = _build_l3_lsf([(1, 0, 1, 0)], sfc=511,
+                          scalefacs=[1] * 21)
+    gi = A.decode_mpeg_audio(frame)[0].granules[0][0]
+    assert gi.preflag == 1
+    # block 2: slen [3, 2]; partition [11, 10]
+    assert gi.part2_bits == 11 * 3 + 10 * 2
+    assert gi.lines[0] == -1
+
+
+def test_lsf_short_block():
+    frame = _build_l3_lsf([(1, 1, 1, 0)], block_type=2)
+    gi = A.decode_mpeg_audio(frame)[0].granules[0][0]
+    assert gi.block_type == 2 and gi.window_switching_flag == 1
+    assert gi.part2_bits == 0  # sfc 0 short partition reads no bits
+    assert gi.lines[0] == -1 and gi.lines[1] == 1
+
+
+def test_lsf_reservoir_8bit_pointer():
+    """Frame 2's 20 main-data bits live in frame 1's slot via an
+    8-bit main_data_begin (the LSF pointer width)."""
+    pairs = [(1, 1, 0, 0)]
+    two = bytearray(_build_l3_lsf(pairs, frame1_pairs=pairs))
+    # rebuild frame 2 with main_data_begin = 3 and its main data
+    # moved into the last 3 bytes of frame 1's slot
+    f1, f2 = two[:192], two[192:]
+    main_bits = "000" + "0" + "0"  # (1,1) code + signs
+    carried = main_bits + "0" * (24 - len(main_bits))
+    f1 = bytearray(f1)
+    f1[189:192] = bytes(
+        int(carried[i : i + 8], 2) for i in range(0, 24, 8)
+    )
+    g2 = _build_l3_lsf(pairs, main_data_begin=3, frame1_pairs=())[:192]
+    frames = A.decode_mpeg_audio(bytes(f1) + g2[:192])
+    assert len(frames) == 2
+    assert frames[1].main_data_begin == 3
+    assert frames[1].granules[0][0].lines[0] == 1
+
+
+def test_lsf_gates_and_mpeg25():
+    # MPEG-2.5 (11-bit sync) gates by name
+    frame = bytearray(_build_l3_lsf([(1, 1, 0, 0)]))
+    frame[1] &= 0xEF  # clear bit 20 (the MPEG-2.5 marker)
+    with pytest.raises(NotImplementedError, match="MPEG-2.5"):
+        A.decode_mpeg_audio(bytes(frame))
+    # LSF layer II gates by name
+    frame = bytearray(_build_l3_lsf([(1, 1, 0, 0)]))
+    frame[1] = (frame[1] & 0xF9) | 0x04  # layer code 10 = layer II
+    with pytest.raises(NotImplementedError, match="LSF layer 2"):
+        A.decode_mpeg_audio(bytes(frame))
+
+
+def test_lsf_mutation_fuzz_typed():
+    base = bytearray(_build_l3_lsf(
+        [(1, 1, 0, 1)], sfc=399, scalefacs=[1] * 21,
+        frame1_pairs=[(0, 1, 0, 1)],
+    ))
+    for i in range(0, len(base) * 8, 47):
+        mut = bytearray(base)
+        mut[i // 8] ^= 0x80 >> (i % 8)
+        try:
+            A.decode_mpeg_audio(bytes(mut))
+        except (A.MpegAudioError, NotImplementedError):
+            pass
+
+
+def test_lsf_sql_fixture_bytes_equal_int_mode(spark):
+    docs = spark.createDataFrame([(5,), (88,)], "doc_id long")
+    got = {
+        r.asset_id: bytes(r.payload)
+        for r in M.synth_mpeg_audio_l3lsf_assets(docs).collect()
+    }
+    for doc in (5, 88):
+        assert got[doc] == M._mpeg_pack(M._mpa_l3lsf_ops(doc))
+
+
+def test_lsf_intensity_stereo_scalefactor_layout():
+    """LSF joint stereo with intensity ON (mode_ext bit 0): channel 1
+    reads the 180/244/255 partitioning of scalefac_compress >> 1 —
+    block 3's [4,5,5,0] slens over the [7,7,7,0] long partition."""
+    hdr = "1" * 12 + "0" + "01" + "1" + "1000" + "01"
+    hdr += "0" + "0" + "01" + "01" + "0" + "0" + "00"  # joint, int ON
+    ch_sides = []
+    mains = []
+    # ch0: plain sfc 399 ([4,4,3,3] over [6,5,5,5])
+    scf0 = [(i * 5) % 16 for i in range(21)]
+    m0 = ""
+    for i, v in enumerate(scf0):
+        s = 4 if i < 11 else 3
+        m0 += _bits(v & ((1 << s) - 1), s)
+    m0 += _bits(L3.HUFF_XY[1][(1, 1)][1], L3.HUFF_XY[1][(1, 1)][0])
+    m0 += "0" + "1"
+    mains.append(m0)
+    ch_sides.append((399, m0))
+    # ch1: intensity layout, int_sfc 179 -> slen [4,5,5], 21 bands
+    scf1 = [(i * 3) % 32 for i in range(21)]
+    m1 = ""
+    for i, v in enumerate(scf1):
+        s = 4 if i < 7 else 5
+        m1 += _bits(v & ((1 << s) - 1), s)
+    m1 += _bits(L3.HUFF_XY[1][(1, 0)][1], L3.HUFF_XY[1][(1, 0)][0])
+    m1 += "1"
+    mains.append(m1)
+    ch_sides.append((2 * 179, m1))
+    side = _bits(0, 8) + "00"
+    for sfc, m in ch_sides:
+        side += _bits(len(m), 12) + _bits(1, 9) + _bits(100, 8)
+        side += _bits(sfc, 9)
+        side += "0" + "00001" * 3 + _bits(15, 4) + _bits(5, 3) + "00"
+    total = hdr + side + "".join(mains)
+    # pad the 192-byte frame; the extra zero block is trailing pad
+    total += "0" * (2 * 192 * 8 - len(total))
+    frame = bytes(
+        int(total[i : i + 8], 2) for i in range(0, len(total), 8)
+    )
+    fr = A.decode_mpeg_audio(frame)[0]
+    assert fr.channels == 2 and fr.lsf
+    g0, g1 = fr.granules[0]
+    assert g0.scalefacs == (
+        [v % 16 for v in scf0[:11]] + [v % 8 for v in scf0[11:]]
+    )
+    assert g0.lines[0] == 1 and g0.lines[1] == -1
+    # intensity channel: [4,4,4,4,4,4,4] then 5-bit for sfb 7..20
+    assert g1.scalefacs == (
+        [v % 16 for v in scf1[:7]] + [v % 32 for v in scf1[7:]]
+    )
+    assert g1.part2_bits == 7 * 4 + 14 * 5
+    assert g1.lines[0] == -1
