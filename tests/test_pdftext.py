@@ -984,3 +984,40 @@ def test_warc_pdf_images_composition(spark):
     assert (r.page_idx, r.img_ix, r.width, r.height, r.channels) == (
         pi, ix, w, h, ch)
     assert (r.pixel_sum, r.px_checksum) == (want_sum, want_chk)
+
+
+def test_warc_doc_text_extracts_encrypted_pdf(spark):
+    """An RC4-encrypted PDF response in a WARC extracts the same text
+    as its plain twin through the crawl front door — no wiring
+    needed, the decoder handles /Encrypt transparently; this pins
+    the composition."""
+    from cryptocoininsights_data_engineer_project_spark.operators import (
+        webarchive as W,
+    )
+
+    plain = P.synth_pdf_bytes(21)
+    enc = P.encrypt_pdf(plain, owner_password=b"crawl")
+
+    def rec(url, entity):
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n"
+            + entity
+        )
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + f"WARC-Target-URI: {url}\r\n".encode()
+            + f"Content-Length: {len(http)}\r\n\r\n".encode()
+            + http + b"\r\n\r\n"
+        )
+
+    assets = spark.createDataFrame(
+        [(1, bytearray(rec("http://x.test/a.pdf", plain)
+                       + rec("http://x.test/b.pdf", enc)))],
+        "asset_id long, payload binary",
+    )
+    rows = sorted(
+        W.warc_doc_text(assets).collect(), key=lambda r: r.record_idx
+    )
+    assert len(rows) == 2
+    assert rows[0].text == rows[1].text and rows[0].text
+    assert {r.doc_format for r in rows} == {"pdf"}
