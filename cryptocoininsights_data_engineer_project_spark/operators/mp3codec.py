@@ -28,24 +28,33 @@ Scope (each limit gates LOUDLY, the house convention):
   typed errors. (Line REORDERING for short blocks is part of the
   float requantization stage downstream of this module's
   integer-line output, like stereo processing.)
-* Huffman tables: the bundled subset is tables 0-3 and 5-9 of
+* Huffman tables: the bundled subset is tables 0-3, 5-7 and 9 of
   Table 3-B.7 plus both count1 tables (A/B). The bundled code data
   is transcribed from the public spec table; its structural
   invariants (prefix-freeness and Kraft completeness, sum 2^-len
   == 1) are pinned in tests/test_mp3.py so a transcription slip
-  cannot silently corrupt decode — table 8's (5,3) entry is the
-  UNIQUE single-entry completion those invariants force over the
-  other 35 transcribed entries (documented at the table). The
-  8x8 and 16x16 code pages (tables 10-13, 15, and the shared
-  pages of the linbits families 16-23 / 24-31) are NOT bundled:
-  they are free-form code assignments this build could not
-  re-derive under the same validation bar, so they gate loudly by
-  table id and install through ``register_huffman_table`` (the
-  register_synthesis_window seam pattern) — registration runs the
-  SAME Kraft/prefix validation. The linbits/ESC *machinery*
-  (value-15 escape + linbits extension bits, Table 3-B.7's
-  per-table linbits counts) is fully implemented and tested
-  through the seam; only the code-page data is seamed.
+  cannot silently corrupt decode. The structural witness DETECTS
+  corruption but cannot CERTIFY spec fidelity — completeness is a
+  property of any well-formed code page, not a fingerprint of the
+  spec's particular one — so pages whose content this build could
+  not source confidently stay seamed regardless of validatability:
+  table 8 (whose earlier bundling leaned on a Kraft/prefix
+  "forced completion" that public reproductions contradict —
+  unbundled in r16 per ADVICE rather than shipping a
+  plausible-but-unverifiable page), the 8x8 and 16x16 code pages
+  (tables 10-13, 15, and the shared pages of the linbits families
+  16-23 / 24-31). They gate loudly by table id and install through
+  ``register_huffman_table`` (the register_synthesis_window seam
+  pattern) — registration runs the SAME Kraft/prefix validation,
+  and ``complete=False`` admits a deliberately incomplete spec
+  page (prefix-free, Kraft <= 1; an unassigned bit pattern then
+  raises the typed unterminated-code error at decode). The
+  linbits/ESC *machinery* (value-15 escape + linbits extension
+  bits, Table 3-B.7's per-table linbits counts) is fully
+  implemented and tested through the seam; only the code-page
+  data is seamed. Registered pages ship into Spark python workers
+  via the ``snapshot_registered_tables`` hook the decoding
+  operators capture at plan-build time (ADVICE r15).
 * Tables 4 and 14 are "not used" in the spec and raise as
   reserved.
 * MPEG-2 LSF (ID = 0, ISO/IEC 13818-3 — the 16/22.05/24 kHz class
@@ -123,25 +132,14 @@ HUFF_XY: dict[int, dict[tuple[int, int], tuple[int, int]]] = {
         (5, 0): (8, 6), (5, 1): (8, 4), (5, 2): (9, 5),
         (5, 3): (10, 3), (5, 4): (10, 2), (5, 5): (10, 0),
     },
-    # table 8: 35 entries transcribed; (5,3) is the unique
-    # single-entry completion the Kraft/prefix invariants force over
-    # them (the two free 9-bit slots 6 and 7 merge to the 8-bit
-    # code 3 — any other single assignment leaves the tree
-    # incomplete or collides).
-    8: {
-        (0, 0): (2, 3), (0, 1): (3, 4), (0, 2): (6, 6),
-        (0, 3): (8, 18), (0, 4): (8, 12), (0, 5): (9, 5),
-        (1, 0): (3, 5), (1, 1): (2, 1), (1, 2): (4, 2),
-        (1, 3): (8, 16), (1, 4): (8, 9), (1, 5): (10, 3),
-        (2, 0): (6, 7), (2, 1): (4, 3), (2, 2): (6, 5),
-        (2, 3): (8, 14), (2, 4): (8, 7), (2, 5): (9, 3),
-        (3, 0): (8, 19), (3, 1): (8, 17), (3, 2): (8, 15),
-        (3, 3): (9, 13), (3, 4): (9, 10), (3, 5): (10, 4),
-        (4, 0): (8, 13), (4, 1): (7, 5), (4, 2): (8, 8),
-        (4, 3): (9, 11), (4, 4): (10, 5), (4, 5): (10, 1),
-        (5, 0): (9, 12), (5, 1): (8, 4), (5, 2): (9, 4),
-        (5, 3): (8, 3), (5, 4): (10, 0), (5, 5): (10, 2),
-    },
+    # table 8 is NOT bundled (r16, ADVICE r15): the r15 page relied
+    # on a Kraft/prefix "forced completion" for its uncertain
+    # entries, but completeness assumes the spec page is itself
+    # Kraft-complete — public reproductions show longer codes in
+    # that region, so the forced page was a guess the structural
+    # witness could not falsify. It now gates by id and installs
+    # via register_huffman_table (complete=False admits the page if
+    # the spec's is genuinely incomplete).
     9: {
         (0, 0): (3, 7), (0, 1): (3, 5), (0, 2): (5, 9),
         (0, 3): (6, 14), (0, 4): (8, 15), (0, 5): (9, 7),
@@ -167,15 +165,20 @@ LINBITS = {
 _RESERVED_TABLES = {4, 14}
 
 # ------------------------------------------------- code-page seam
-# The 8x8/16x16 code pages (tables 10-13, 15, and the shared pages
-# of 16-23 / 24-31) are free-form spec data this build does not
-# bundle (module docstring); a deployment that has the spec installs
-# them here — the register_synthesis_window seam pattern, with the
-# SAME structural validation the bundled tables pass.
+# Table 8 and the 8x8/16x16 code pages (tables 10-13, 15, and the
+# shared pages of 16-23 / 24-31) are free-form spec data this build
+# does not bundle (module docstring); a deployment that has the spec
+# installs them here — the register_synthesis_window seam pattern,
+# with the SAME structural validation the bundled tables pass.
 _REGISTERED_XY: dict[int, dict[tuple[int, int], tuple[int, int]]] = {}
+# prebuilt (hlen, hcod) -> (x, y) decoders for registered pages,
+# built ONCE at registration (ADVICE r15: rebuilding a 256-entry
+# decoder per big_values pair is quadratic-ish on table-16 streams)
+_REGISTERED_DECODERS: dict[int, dict[tuple[int, int], tuple]] = {}
+_REGISTRABLE_IDS = {8, 10, 11, 12, 13, 15, 16, 24}
 
 
-def _validate_code_page(entries: dict) -> None:
+def _validate_code_page(entries: dict, complete: bool = True) -> None:
     kraft = 0
     seen: set[tuple[int, int]] = set()
     for (x, y), (ln, cd) in entries.items():
@@ -187,8 +190,10 @@ def _validate_code_page(entries: dict) -> None:
             raise MpegAudioError(f"duplicate code ({ln},{cd})")
         seen.add((ln, cd))
         kraft += 1 << (_MAX_HLEN - ln)
-    if kraft != (1 << _MAX_HLEN):
+    if complete and kraft != (1 << _MAX_HLEN):
         raise MpegAudioError("code page is not Kraft-complete")
+    if kraft > (1 << _MAX_HLEN):
+        raise MpegAudioError("code page exceeds Kraft capacity")
     items = sorted(seen)
     for i, (l1, c1) in enumerate(items):
         for l2, c2 in items[i + 1:]:
@@ -198,30 +203,60 @@ def _validate_code_page(entries: dict) -> None:
                 )
 
 
-def register_huffman_table(table_id: int, entries: dict) -> None:
+def register_huffman_table(
+    table_id: int, entries: dict, complete: bool = True
+) -> None:
     """Install an unbundled Table 3-B.7 code page:
-    ``{(x, y): (hlen, hcod)}``. Accepted ids: 10-13, 15, 16, 24
+    ``{(x, y): (hlen, hcod)}``. Accepted ids: 8, 10-13, 15, 16, 24
     (17-23 and 25-31 reuse 16's / 24's page with their own linbits
     count — register the page under 16 or 24 and every member of
-    the family decodes). The page must be a COMPLETE prefix code —
-    validation is the same Kraft + prefix check the bundled tables
-    pass in tests.
+    the family decodes). The page must be a prefix code; by default
+    it must also be Kraft-COMPLETE — the same check the bundled
+    tables pass in tests. Pass ``complete=False`` for a spec page
+    that is genuinely incomplete (Kraft sum < 1): decode then
+    raises the typed unterminated-code error if the stream selects
+    an unassigned bit pattern.
 
     Module-global registration does NOT reach Spark python workers
-    (the webarchive._codec_snapshot gotcha): for worker-side decode,
-    snapshot the page into the operator closure; this seam serves
-    direct/driver-side decode and tests."""
+    on its own (the webarchive._codec_snapshot gotcha): the
+    decoding operators (multimodal/webarchive audio routes) capture
+    ``snapshot_registered_tables()`` at plan-build time and
+    reinstall it worker-side, so a driver-side registration behaves
+    identically in local and cluster mode (ADVICE r15)."""
     if table_id in HUFF_XY or table_id in _RESERVED_TABLES:
         raise MpegAudioError(
             f"table {table_id} is bundled or reserved — not seamable"
         )
-    if table_id not in {10, 11, 12, 13, 15, 16, 24}:
+    if table_id not in _REGISTRABLE_IDS:
         raise MpegAudioError(
             f"table id {table_id} is not a registrable code page "
-            "(10-13, 15, 16, 24)"
+            "(8, 10-13, 15, 16, 24)"
         )
-    _validate_code_page(entries)
+    _validate_code_page(entries, complete)
     _REGISTERED_XY[table_id] = dict(entries)
+    _REGISTERED_DECODERS[table_id] = _build_decoder(entries)
+
+
+def snapshot_registered_tables() -> dict:
+    """Capture the driver-registered code pages for shipment into
+    Spark python workers (the webarchive._codec_snapshot pattern):
+    a worker re-imports this module with an EMPTY registry, so every
+    operator that decodes Layer III captures this snapshot at
+    plan-build time and hands it to ``install_registered_tables``
+    inside the worker closure."""
+    return {t: dict(p) for t, p in _REGISTERED_XY.items()}
+
+
+def install_registered_tables(snap: dict) -> None:
+    """Worker-side counterpart of ``snapshot_registered_tables``:
+    (re)install the snapshot, replacing the registry wholesale.
+    Pages were validated at registration; installation rebuilds the
+    prebuilt decoders only."""
+    _REGISTERED_XY.clear()
+    _REGISTERED_DECODERS.clear()
+    for t, p in snap.items():
+        _REGISTERED_XY[t] = dict(p)
+        _REGISTERED_DECODERS[t] = _build_decoder(p)
 
 # count1 tables: quadruple (v, w, x, y), index n = v*8 + w*4 + x*2 + y
 _COUNT1_A_LEN = [1, 4, 4, 5, 4, 6, 5, 6, 4, 5, 5, 6, 5, 6, 6, 6]
@@ -430,14 +465,15 @@ def _xy_decoder_for(table_id: int):
     page_id = table_id if table_id not in LINBITS else (
         16 if table_id < 24 else 24
     )
-    page = _REGISTERED_XY.get(page_id)
-    if page is not None:
-        return _build_decoder(page), linbits
+    dec = _REGISTERED_DECODERS.get(page_id)
+    if dec is not None:
+        return dec, linbits
     raise NotImplementedError(
         f"Layer III Huffman table {table_id} (ISO/IEC 11172-3 Table "
-        "3-B.7) is not bundled — tables 0-3 and 5-9 plus count1 A/B "
-        "are; the 8x8/16x16 code pages (10-13, 15, and the shared "
-        "linbits pages 16/24) install via register_huffman_table"
+        "3-B.7) is not bundled — tables 0-3, 5-7 and 9 plus count1 "
+        "A/B are; table 8 and the 8x8/16x16 code pages (10-13, 15, "
+        "and the shared linbits pages 16/24) install via "
+        "register_huffman_table"
     )
 
 

@@ -6178,8 +6178,18 @@ def decode_mpeg_audio_stats(assets: DataFrame) -> DataFrame:
     q_min/max/sum/energy pin every sample's exact requantized value.
     One mapInPandas pass; payload bytes never shuffle."""
     from .mpaudiocodec import decode_mpeg_audio
+    from .mp3codec import (
+        install_registered_tables, snapshot_registered_tables,
+    )
+
+    # driver-registered Layer III code pages exist only in THIS
+    # process — snapshot at plan-build time and reinstall in each
+    # worker task so registration behaves identically in local
+    # and cluster mode (ADVICE r15; webarchive._codec_snapshot)
+    _hufftab_snap = snapshot_registered_tables()
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        install_registered_tables(_hufftab_snap)
         for pdf in batches:
             rows: dict[str, list] = {f.name: [] for f in _MPA_STATS_SCHEMA}
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
@@ -7032,8 +7042,18 @@ def decode_mpeg_l3_stats(assets: DataFrame) -> DataFrame:
     position-weighted checksum pins both values and positions. One
     mapInPandas pass; payload bytes never shuffle."""
     from .mpaudiocodec import decode_mpeg_audio
+    from .mp3codec import (
+        install_registered_tables, snapshot_registered_tables,
+    )
+
+    # driver-registered Layer III code pages exist only in THIS
+    # process — snapshot at plan-build time and reinstall in each
+    # worker task so registration behaves identically in local
+    # and cluster mode (ADVICE r15; webarchive._codec_snapshot)
+    _hufftab_snap = snapshot_registered_tables()
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        install_registered_tables(_hufftab_snap)
         for pdf in batches:
             rows: dict[str, list] = {f.name: [] for f in _MP3_STATS_SCHEMA}
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
@@ -7189,6 +7209,125 @@ def mpeg_audio_l3lsf_oracle_sql() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+# ------------------------- layer III ESC/linbits via the seam (r16)
+# A table-16-class (big-value) stream decoded through the ACTUAL
+# distributed surface: the query registers a SYNTHETIC 16x16 code
+# page (flat 8-bit code — clearly NOT the spec's unbundled page;
+# Table 3-B.7's real pages stay behind register_huffman_table) under
+# page ids 16 and 24, and decode_mpeg_l3_stats ships it into the
+# python workers via snapshot_registered_tables (ADVICE r15). The
+# stream exercises exactly the machinery a real table-16/24 MP3
+# needs: value-15 ESC codes extended by the family's linbits width
+# before the sign, page SHARING across the linbits families
+# (granule 0 selects table 17 → page 16 with 2 linbits, granule 1
+# table 25 → page 24 with 5), and per-pair sign bits.
+MP3_ESC_PAGE = {
+    (x, y): (8, x * 16 + y) for x in range(16) for y in range(16)
+}
+_MP3_ESC_TABLES = ((17, 2), (25, 5))  # (table_select, linbits) per granule
+
+
+def _mp3e_lx(doc, p: int, g: int, f: int, mod: int):
+    """ESC linbits extension value for the x symbol (0 .. mod-1)."""
+    if isinstance(doc, int):
+        return (doc * 7 + 11 * p + 3 * g + 5 * f) % mod
+    return f"((({doc}) * 7 + {11 * p + 3 * g + 5 * f}) % {mod})"
+
+
+def _mp3e_y(doc, p: int, g: int, f: int):
+    """Non-escape y symbol, always nonzero (1..14)."""
+    if isinstance(doc, int):
+        return 1 + (doc + 2 * p + g + 3 * f) % 14
+    return f"(1 + ((({doc}) + {2 * p + g + 3 * f}) % 14))"
+
+
+def _mpa_l3esc_ops(doc) -> list[tuple]:
+    """Two layer-III frames whose big_values pairs ride the
+    registered 16x16 page: every x is the ESC symbol 15 (+ linbits),
+    every y a direct symbol — constant bit layout per pair (8-bit
+    flat code + linbits + 2 sign bits), so the stream stays
+    SQL-buildable while the CODE bits themselves carry doc_id."""
+    ops: list[tuple] = []
+    for f in range(MPA_FRAMES):
+        ops.append(("b", _mp3_header_bits()))
+        bits_used = 32
+        ops.append(("b", "0" * 9 + "0" * 5 + "0000"))
+        bits_used += 18
+        for g, (tsel, linbits) in enumerate(_MP3_ESC_TABLES):
+            plen = MP3_PAIRS * (8 + linbits + 2)
+            ops.append(("b", format(plen, "012b")))
+            ops.append(("b", format(MP3_PAIRS, "09b")))
+            ops.append(("s", _mp3_gain(doc, g, f), 8))
+            # scalefac_compress 0, wsf 0, table_select[0] = tsel
+            # (tables 1/1 for the empty regions 1/2), r0 15, r1 5,
+            # preflag/scalefac_scale/count1table 0
+            ops.append(
+                ("b", "0000" + "0" + format(tsel, "05b") + "00001" * 2
+                 + "1111" + "101" + "000")
+            )
+            bits_used += 12 + 9 + 8 + 30
+        for g, (_tsel, linbits) in enumerate(_MP3_ESC_TABLES):
+            for p in range(MP3_PAIRS):
+                y = _mp3e_y(doc, p, g, f)
+                code = 240 + y if isinstance(doc, int) else f"(240 + {y})"
+                ops.append(("s", code, 8))  # page code for (15, y)
+                ops.append(
+                    ("s", _mp3e_lx(doc, p, g, f, 1 << linbits), linbits)
+                )
+                ops.append(("s", _mp3_sx(doc, p, g, f), 1))
+                ops.append(("s", _mp3_sy(doc, p, g, f), 1))
+                bits_used += 8 + linbits + 2
+        ops.append(("b", "0" * (288 * 8 - bits_used)))
+    return ops
+
+
+def synth_mpeg_audio_l3esc_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): two-frame ESC/linbits layer-III streams
+    over the registered synthetic page."""
+    pieces = _mpeg_pack(_mpa_l3esc_ops("doc_id"))
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr("unhex(concat(" + ", ".join(pieces) + "))").alias("payload"),
+    )
+
+
+def mpeg_audio_l3esc_oracle_sql() -> str:
+    """Closed form per (frame, granule): line 2p is ±(15 + lx) with
+    lx the linbits extension, line 2p+1 is ±y — a decoder that drops
+    the ESC extension, reads linbits after the sign, or maps the
+    wrong shared page for the family breaks the match."""
+    parts = []
+    for f in range(MPA_FRAMES):
+        for g, (_tsel, linbits) in enumerate(_MP3_ESC_TABLES):
+            # the fixture formulas with p as the SQL unnest variable
+            lx = (
+                f"(((doc_id) * 7 + 11 * p.p + {3 * g + 5 * f}) "
+                f"% {1 << linbits})"
+            )
+            y = f"(1 + (((doc_id) + 2 * p.p + {g + 3 * f}) % 14))"
+            sx = f"((doc_id + 3 * p.p + {5 * g + 7 * f}) % 2)"
+            sy = f"((doc_id * 3 + p.p + {2 * g + f}) % 2)"
+            vx = f"((15 + {lx}) * (1 - 2 * {sx}))"
+            vy = f"({y} * (1 - 2 * {sy}))"
+            parts.append(
+                f"SELECT doc_id AS asset_id, CAST({f} AS BIGINT) AS frame_idx, "
+                f"CAST({g} AS BIGINT) AS granule, "
+                "CAST(0 AS BIGINT) AS channel, "
+                f"CAST({MP3_PAIRS} AS BIGINT) AS big_values, "
+                f"CAST({_mp3_gain('doc_id', g, f)} AS BIGINT) AS global_gain, "
+                f"CAST({2 * MP3_PAIRS} AS BIGINT) AS n_nonzero, "
+                f"CAST(sum({vx} + {vy}) AS BIGINT) AS line_sum, "
+                f"CAST(sum((15 + {lx}) * (15 + {lx}) + {y} * {y}) "
+                "AS BIGINT) AS line_energy, "
+                f"CAST(sum({vx} * (2 * p.p + 1) * (2 * p.p + 1) + "
+                f"{vy} * (2 * p.p + 2) * (2 * p.p + 2)) AS BIGINT) "
+                "AS line_checksum "
+                f"FROM documents, UNNEST(generate_series(0, {MP3_PAIRS - 1}))"
+                " AS p(p) GROUP BY doc_id"
+            )
+    return "\nUNION ALL\n".join(parts)
+
+
 # -------------------------------- layer III window switching (r15)
 # All four window-switching granule shapes in ONE two-frame stream:
 # frame 0 carries a pure SHORT block (block_type 2) and a MIXED
@@ -7273,8 +7412,18 @@ def decode_mpeg_l3_block_stats(assets: DataFrame) -> DataFrame:
     channel) block shape + integer frequency-line stats. One
     mapInPandas pass; payload bytes never shuffle."""
     from .mpaudiocodec import decode_mpeg_audio
+    from .mp3codec import (
+        install_registered_tables, snapshot_registered_tables,
+    )
+
+    # driver-registered Layer III code pages exist only in THIS
+    # process — snapshot at plan-build time and reinstall in each
+    # worker task so registration behaves identically in local
+    # and cluster mode (ADVICE r15; webarchive._codec_snapshot)
+    _hufftab_snap = snapshot_registered_tables()
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        install_registered_tables(_hufftab_snap)
         for pdf in batches:
             rows: dict[str, list] = {
                 f.name: [] for f in _MP3_BLOCK_STATS_SCHEMA
@@ -7413,8 +7562,18 @@ def decode_wav_mpeg_stats(assets: DataFrame) -> DataFrame:
     missing data chunk, or an fmt fwHeadLayer that contradicts the
     frames' own headers."""
     from .mpaudiocodec import decode_mpeg_audio
+    from .mp3codec import (
+        install_registered_tables, snapshot_registered_tables,
+    )
+
+    # driver-registered Layer III code pages exist only in THIS
+    # process — snapshot at plan-build time and reinstall in each
+    # worker task so registration behaves identically in local
+    # and cluster mode (ADVICE r15; webarchive._codec_snapshot)
+    _hufftab_snap = snapshot_registered_tables()
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        install_registered_tables(_hufftab_snap)
         for pdf in batches:
             rows: dict[str, list] = {f.name: [] for f in _MPA_STATS_SCHEMA}
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
@@ -7553,8 +7712,18 @@ def decode_wav_mp3_stats(assets: DataFrame) -> DataFrame:
     nBlockSize declaration that contradicts the frames' own
     header-implied size."""
     from .mpaudiocodec import decode_mpeg_audio
+    from .mp3codec import (
+        install_registered_tables, snapshot_registered_tables,
+    )
+
+    # driver-registered Layer III code pages exist only in THIS
+    # process — snapshot at plan-build time and reinstall in each
+    # worker task so registration behaves identically in local
+    # and cluster mode (ADVICE r15; webarchive._codec_snapshot)
+    _hufftab_snap = snapshot_registered_tables()
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        install_registered_tables(_hufftab_snap)
         for pdf in batches:
             rows: dict[str, list] = {f.name: [] for f in _MP3_STATS_SCHEMA}
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):

@@ -1173,9 +1173,34 @@ def _parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
                             raise PdfError("bfrange array entry not hex")
                         out[lo_i + k] = _utf16be(d)
                 elif isinstance(dst, bytes):
-                    base = int.from_bytes(dst, "big")
+                    # PDF 32000 9.10.3: a hex destination is UTF-16BE
+                    # and the increment applies to the LAST code unit
+                    # only — a multi-unit destination (e.g. a
+                    # surrogate pair for non-BMP CJK/emoji) keeps its
+                    # leading units fixed (ADVICE r15).
+                    if not dst or len(dst) % 2:
+                        raise PdfError(
+                            "bfrange hex destination must be UTF-16BE "
+                            f"(even, non-zero byte length; got {len(dst)})"
+                        )
+                    head = dst[:-2]
+                    last = int.from_bytes(dst[-2:], "big")
                     for k in range(hi_i - lo_i + 1):
-                        out[lo_i + k] = chr(base + k)
+                        u = last + k
+                        if u > 0xFFFF:
+                            raise PdfError(
+                                "bfrange destination increment overflows "
+                                "the last UTF-16 code unit"
+                            )
+                        try:
+                            out[lo_i + k] = _utf16be(
+                                head + u.to_bytes(2, "big")
+                            )
+                        except UnicodeDecodeError as exc:
+                            raise PdfError(
+                                "bfrange destination is not valid "
+                                f"UTF-16BE at +{k}: {exc}"
+                            ) from exc
                 else:
                     raise PdfError("bfrange destination must be hex/array")
         # every other token (dict boilerplate, usecmap names,

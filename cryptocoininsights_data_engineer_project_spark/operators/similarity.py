@@ -1675,16 +1675,29 @@ def compact_ivf_delta(spark, index_dir: str, delta: DataFrame) -> int:
     pushed-predicate delta scan bounded. Returns the number of cells
     rewritten. After compaction the caller truncates/retires the
     delta table; probe(base') ≡ probe(base, delta) because both
-    sides carry exactly the same (vec_id, emb, nrm, cid) rows."""
-    cells = [r["cid"] for r in delta.select("cid").distinct().collect()]
+    sides carry exactly the same (vec_id, emb, nrm, cid) rows.
+
+    A vec_id present in BOTH base and delta (re-delivery, or a probe
+    raced between compact and truncate) must not be written twice:
+    the delta is deduped and the base side is anti-joined against the
+    delta's vec_ids (delta wins), mirroring ``probe_ivf_index``'s
+    collision semantics. Assignment is deterministic in the persisted
+    quantizers, so a re-delivered vec_id lands in the SAME cell as
+    its base row and the anti-join sees it."""
+    d = delta.select("vec_id", "emb", "nrm", "cid").dropDuplicates(
+        ["vec_id"]
+    )
+    cells = [r["cid"] for r in d.select("cid").distinct().collect()]
     if not cells:
         return 0
     base = spark.read.parquet(f"{index_dir}/corpus").filter(
         F.col("cid").isin(cells)
     )
-    merged = base.unionByName(
-        delta.select("vec_id", "emb", "nrm", "cid")
-    ).localCheckpoint()  # sever self-read-overwrite lineage
+    merged = (
+        base.join(F.broadcast(d.select("vec_id")), "vec_id", "left_anti")
+        .unionByName(d)
+        .localCheckpoint()  # sever self-read-overwrite lineage
+    )
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -2289,16 +2302,26 @@ def compact_ivfpq_delta(spark, index_dir: str, delta: DataFrame) -> int:
     the delta touches (dynamic partition overwrite) — the
     compact_ivf_delta discipline for the PQ-coded index. Returns the
     number of cells rewritten; probe(base') ≡ probe(base, delta)
-    because both sides carry exactly the same rows."""
-    cells = [r["cid"] for r in delta.select("cid").distinct().collect()]
+    because both sides carry exactly the same rows.
+
+    As in ``compact_ivf_delta``: the delta is deduped on vec_id and
+    the base side is anti-joined against the delta's vec_ids (delta
+    wins), so a vec_id present in both sides is written exactly once
+    — mirroring ``probe_ivfpq_index``'s broadcast anti-join."""
+    d = delta.select("vec_id", "emb", "nrm", "pq_codes", "cid").dropDuplicates(
+        ["vec_id"]
+    )
+    cells = [r["cid"] for r in d.select("cid").distinct().collect()]
     if not cells:
         return 0
     base = spark.read.parquet(f"{index_dir}/corpus").filter(
         F.col("cid").isin(cells)
     )
-    merged = base.unionByName(
-        delta.select("vec_id", "emb", "nrm", "pq_codes", "cid")
-    ).localCheckpoint()  # sever self-read-overwrite lineage
+    merged = (
+        base.join(F.broadcast(d.select("vec_id")), "vec_id", "left_anti")
+        .unionByName(d)
+        .localCheckpoint()  # sever self-read-overwrite lineage
+    )
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

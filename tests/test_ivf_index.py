@@ -247,6 +247,54 @@ def test_compact_ivf_delta(spark, sf_dir, tmp_path):
     assert base.select("vec_id").distinct().count() == emb.count()
 
 
+def test_compact_ivf_delta_stale_redelivery_no_duplicates(
+    spark, sf_dir, tmp_path
+):
+    """Compacting a delta whose vec_ids ALREADY exist in the base
+    (re-delivery, or a second compact racing the delta truncation)
+    must not write any vector twice: the base side is anti-joined
+    against the delta's vec_ids before the union (delta wins),
+    mirroring the probe-path collision semantics (ADVICE r15)."""
+    emb = table(spark, sf_dir, "embeddings")
+    seed = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(seed, idx)
+    delta = similarity.assign_to_index(spark, idx, rest).localCheckpoint()
+    similarity.compact_ivf_delta(spark, idx, delta)
+    # second compact with the SAME stale delta — and a delta that
+    # internally re-delivers each row twice
+    doubled = delta.unionByName(delta)
+    n = similarity.compact_ivf_delta(spark, idx, doubled)
+    assert n > 0
+    base = spark.read.parquet(f"{idx}/corpus")
+    assert base.count() == emb.count()
+    assert base.select("vec_id").distinct().count() == emb.count()
+
+
+def test_compact_ivfpq_delta_stale_redelivery_no_duplicates(
+    spark, sf_dir, tmp_path
+):
+    """Same stale-redelivery discipline for the PQ-coded compactor
+    (ADVICE r15): re-compacting an already-folded delta leaves every
+    vec_id in the base exactly once."""
+    emb = table(spark, sf_dir, "embeddings")
+    seed = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ivfpq")
+    similarity.build_ivfpq_index(seed, idx)
+    delta = similarity.assign_to_ivfpq_index(
+        spark, idx, rest
+    ).localCheckpoint()
+    similarity.compact_ivfpq_delta(spark, idx, delta)
+    doubled = delta.unionByName(delta)
+    n = similarity.compact_ivfpq_delta(spark, idx, doubled)
+    assert n > 0
+    base = spark.read.parquet(f"{idx}/corpus")
+    assert base.count() == emb.count()
+    assert base.select("vec_id").distinct().count() == emb.count()
+
+
 def test_probe_with_stale_delta_never_duplicates(spark, sf_dir, tmp_path):
     """If probing resumes between compact_ivf_delta and the delta
     truncation (or a vec_id is re-delivered), the same vector exists

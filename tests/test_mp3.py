@@ -407,8 +407,10 @@ def test_tables_5_to_9_round_trip():
     """Encode (x, y) pairs with each newly bundled table's own codes
     and decode them back — a self-consistency round trip over every
     symbol of every table (the independent-encoder discipline; the
-    Kraft/prefix invariants are the transcription-fidelity witness)."""
-    for tid in (5, 6, 7, 8, 9):
+    Kraft/prefix invariants are a corruption witness). Table 8 is
+    no longer bundled (r16, ADVICE r15): its r15 page leaned on a
+    forced completion that public reproductions contradict."""
+    for tid in (5, 6, 7, 9):
         tab = L3.HUFF_XY[tid]
         pairs = [
             (x, y, (x + y) % 2, (x * y) % 2) for (x, y) in sorted(tab)
@@ -533,7 +535,7 @@ def test_code_page_seam_and_linbits():
     """register_huffman_table + the ESC/linbits path: value 15
     escapes extend by the family's linbits width before the sign —
     tables 17 and 24 exercise both families sharing pages 16/24."""
-    L3._REGISTERED_XY.clear()
+    L3.install_registered_tables({})
     page = _synthetic_16x16_page()
     L3.register_huffman_table(16, page)
     L3.register_huffman_table(24, page)
@@ -550,11 +552,11 @@ def test_code_page_seam_and_linbits():
             assert gi.lines[1] == 2
             assert gi.lines[2] == 15 and gi.lines[3] == -15
     finally:
-        L3._REGISTERED_XY.clear()
+        L3.install_registered_tables({})
 
 
 def test_code_page_seam_validation():
-    L3._REGISTERED_XY.clear()
+    L3.install_registered_tables({})
     # bundled / reserved / unknown ids refuse
     with pytest.raises(A.MpegAudioError, match="bundled or reserved"):
         L3.register_huffman_table(7, _synthetic_16x16_page())
@@ -562,16 +564,98 @@ def test_code_page_seam_validation():
         L3.register_huffman_table(14, _synthetic_16x16_page())
     with pytest.raises(A.MpegAudioError, match="not a registrable"):
         L3.register_huffman_table(17, _synthetic_16x16_page())
-    # incomplete page refuses (drop one code -> Kraft < 1)
+    # incomplete page refuses (drop one code -> Kraft < 1)...
     page = _synthetic_16x16_page()
     del page[(15, 15)]
     with pytest.raises(A.MpegAudioError, match="Kraft"):
         L3.register_huffman_table(16, page)
+    # ...unless complete=False admits it — decode then raises the
+    # typed unterminated-code error on the unassigned pattern
+    # (11111111 = the dropped (15,15) code, overridden into the
+    # main data since the builder can't encode a missing symbol)
+    L3.register_huffman_table(16, page, complete=False)
+    try:
+        frame = _build_l3(
+            [
+                {"pairs": [(15, 14, 0, 1)], "table": 16},
+                {"pairs": [], "table": 1},
+            ],
+            main_override="1" * 24,
+        )
+        with pytest.raises(A.MpegAudioError, match="unterminated"):
+            _decode_one(frame)
+    finally:
+        L3.install_registered_tables({})
+    # over-capacity page refuses even with complete=False
+    page = _synthetic_16x16_page()
+    page[(15, 15)] = (7, 127)  # Kraft sum > 1
+    with pytest.raises(A.MpegAudioError, match="Kraft|prefix"):
+        L3.register_huffman_table(16, page, complete=False)
     # prefix collision refuses
     page = _synthetic_16x16_page()
     page[(15, 15)] = (9, 0)  # child of (0,0)'s 8-bit code 0
     with pytest.raises(A.MpegAudioError, match="prefix|Kraft"):
         L3.register_huffman_table(16, page)
+
+
+def test_table_8_gates_and_registers():
+    """Table 8 is unbundled as of r16 (ADVICE r15: the r15 page's
+    forced-completion region contradicts public reproductions, and
+    the Kraft/prefix witness cannot certify spec fidelity — only
+    detect corruption). It gates loudly by id and installs through
+    the seam like the big-value pages; a registered page decodes."""
+    assert 8 not in L3.HUFF_XY
+    # a structurally valid (prefix-free, possibly incomplete) 6x6
+    # page (synthetic stand-in — NOT the spec's page; exercises the
+    # seam only); the builder needs it registered to encode, so
+    # register first, build, then drop it to probe the gate
+    page = {
+        (x, y): (6, x * 6 + y) for x in range(6) for y in range(6)
+    }
+    L3.install_registered_tables({})
+    L3.register_huffman_table(8, page, complete=False)
+    try:
+        frame = _build_l3([
+            {"pairs": [(1, 1, 0, 0)], "table": 8},
+            {"pairs": [], "table": 1},
+        ])
+        L3.install_registered_tables({})
+        with pytest.raises(
+            NotImplementedError, match="register_huffman_table"
+        ):
+            _decode_one(frame)
+        L3.register_huffman_table(8, page, complete=False)
+        gi = _decode_one(frame).granules[0][0]
+        assert gi.lines[0] == 1 and gi.lines[1] == 1
+    finally:
+        L3.install_registered_tables({})
+
+
+def test_registered_page_ships_to_spark_workers(spark):
+    """ADVICE r15: a driver-side register_huffman_table call must
+    reach the mapInPandas decode path — Spark python workers
+    re-import mp3codec with an EMPTY registry, so the operators
+    capture snapshot_registered_tables() at plan-build time and
+    reinstall it worker-side. Decode a table-17 ESC stream through
+    the ACTUAL query operator (decode_mpeg_l3_stats) end to end."""
+    L3.install_registered_tables({})
+    L3.register_huffman_table(16, _synthetic_16x16_page())
+    try:
+        # table 17 (linbits 2): pair (15+3, 2) with signs (1, 0)
+        payload = _build_l3([
+            {"pairs": [(18, 2, 1, 0)], "table": 17},
+            {"pairs": [], "table": 1},
+        ])
+        assets = spark.createDataFrame(
+            [(1, bytearray(payload))], "asset_id long, payload binary"
+        )
+        rows = M.decode_mpeg_l3_stats(assets).orderBy("granule").collect()
+        g0 = rows[0]
+        assert g0["n_nonzero"] == 2
+        assert g0["line_sum"] == -18 + 2
+        assert g0["line_energy"] == 18 * 18 + 2 * 2
+    finally:
+        L3.install_registered_tables({})
 
 
 def test_short_block_mutation_fuzz():

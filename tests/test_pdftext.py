@@ -651,6 +651,58 @@ def test_tounicode_bfchar_and_array_range():
     assert P.pdf_text(pdf) == ["Wff XY"]
 
 
+def test_bfrange_surrogate_pair_destination():
+    """A 4-byte (two code unit) bfrange destination — a UTF-16
+    surrogate pair for a non-BMP char — increments ONLY the last
+    code unit (PDF 32000 9.10.3; ADVICE r15): <0041>..<0043> →
+    U+1F600, U+1F601, U+1F602, not garbage from whole-int math."""
+    cmap = (
+        "begincmap\n1 begincodespacerange\n<0000> <FFFF>\n"
+        "endcodespacerange\n1 beginbfrange\n<0041> <0043> <D83DDE00>\n"
+        "endbfrange\nendcmap\n"
+    )
+    f = (
+        b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H "
+        b"/ToUnicode 6 0 R >>"
+    )
+    pdf = build_font_pdf(
+        b"BT /F1 10 Tf <004100420043> Tj ET",
+        {"F1": f},
+        extra=[_tounicode_obj(cmap)],
+    )
+    assert P.pdf_text(pdf) == ["\U0001f600\U0001f601\U0001f602"]
+
+
+def test_bfrange_destination_errors_are_typed():
+    """Destination increments that overflow the last UTF-16 code unit
+    and odd-length destinations raise PdfError (not ValueError /
+    UnicodeDecodeError) so executor tasks fail with the typed family
+    (ADVICE r15)."""
+    def _pdf(dst_hex):
+        cmap = (
+            "begincmap\n1 begincodespacerange\n<0000> <FFFF>\n"
+            "endcodespacerange\n"
+            f"1 beginbfrange\n<0041> <0043> <{dst_hex}>\n"
+            "endbfrange\nendcmap\n"
+        )
+        f = (
+            b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H "
+            b"/ToUnicode 6 0 R >>"
+        )
+        return build_font_pdf(
+            b"BT /F1 10 Tf <0041> Tj ET",
+            {"F1": f},
+            extra=[_tounicode_obj(cmap)],
+        )
+
+    with pytest.raises(P.PdfError, match="overflows"):
+        P.pdf_text(_pdf("FFFE"))  # FFFE + 2 > FFFF
+    with pytest.raises(P.PdfError, match="even"):
+        P.pdf_text(_pdf("61"))  # odd/1-byte destination
+    with pytest.raises(P.PdfError, match="UTF-16BE"):
+        P.pdf_text(_pdf("D83D"))  # lone high surrogate
+
+
 def test_type0_identity_h_tounicode():
     cmap = (
         "begincmap\n1 begincodespacerange\n<0000> <FFFF>\n"
