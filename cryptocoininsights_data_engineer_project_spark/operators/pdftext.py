@@ -12,13 +12,17 @@ Scope (each limit gates LOUDLY, the house convention):
   and the PNG row predictors encoders ship them with) including
   type-2 entries that locate objects inside /Type /ObjStm object
   streams — the modern default for real crawled PDFs.
-* Encrypted documents (/Encrypt in the trailer) raise by name.
+* Encrypted documents decode for the Standard handler with an
+  empty user password: V1/V2 RC4 (r15), V4 /AESV2 crypt filters and
+  V5 R6 /AESV3 AES-256 (r16); non-Standard handlers and non-empty
+  user passwords raise by name.
 * Stream filters: none (raw), /FlateDecode (zlib; /DecodeParms PNG
-  predictors 10+ decode, the TIFF predictor 2 raises), /LZWDecode
-  (the TIFF-convention MSB-first variant with EarlyChange),
-  /RunLengthDecode, /ASCIIHexDecode and /ASCII85Decode — filter
-  CHAINS and per-filter DecodeParms arrays handled. Every other
-  filter (DCTDecode, CCITT, JBIG2, JPX, Crypt) raises naming it.
+  predictors 10+ AND the TIFF predictor 2 decode as of r16),
+  /LZWDecode (the TIFF-convention MSB-first variant with
+  EarlyChange), /RunLengthDecode, /ASCIIHexDecode and
+  /ASCII85Decode — filter CHAINS and per-filter DecodeParms arrays
+  handled. Every other filter (DCTDecode outside pdf_images, CCITT,
+  JBIG2, JPX, Crypt) raises naming it.
 * Text strings: literal ``(...)`` with the full escape grammar
   (\\n \\r \\t \\b \\f \\( \\) \\\\, 1-3 digit octal, line
   continuations, balanced nested parens) and hex ``<...>`` strings.
@@ -374,6 +378,24 @@ def _ascii85_decode(data: bytes) -> bytes:
     except ValueError as e:
         raise PdfError(f"ASCII85Decode failed: {e}") from e
 
+def _tiff_unpredict(data: bytes, columns: int, colors: int) -> bytes:
+    """Undo TIFF predictor 2 (horizontal differencing, 8-bit
+    components): within each row of ``columns`` pixels x ``colors``
+    components, sample[i] += sample[i - colors] — no per-row tag
+    byte (unlike the PNG predictors)."""
+    row = columns * colors
+    if row <= 0 or len(data) % row:
+        raise PdfError(
+            f"TIFF-predicted stream length {len(data)} is not a "
+            f"multiple of row size {row}"
+        )
+    out = bytearray(data)
+    for r in range(0, len(out), row):
+        for i in range(colors, row):
+            out[r + i] = (out[r + i] + out[r + i - colors]) & 0xFF
+    return bytes(out)
+
+
 def _png_unpredict(data: bytes, columns: int) -> bytes:
     """Undo the PNG row predictors (RFC 2083 filters 0-4) over
     1-byte-per-pixel rows — the encoding xref streams almost always
@@ -532,6 +554,348 @@ def _obj_rc4_key(file_key: bytes, num: int, gen: int) -> bytes:
     return h[: min(len(file_key) + 5, 16)]
 
 
+# ------------------------------------------------------ AES (r16)
+# Pure-Python AES (FIPS-197) for the standard handler's V4 (/AESV2,
+# AES-128-CBC) and V5 (/AESV3, AES-256 + the 32000-2 Algorithm 2.B
+# KDF) classes — modern encrypted PDFs are AES; RC4 above is the
+# legacy half (VERDICT r15 item 2). Every table is DERIVED in code
+# (GF(2^8) inverse + affine transform for the S-box, xtime products
+# for the T-tables), so nothing numeric is transcribed — the
+# SCALE.md bundling policy is satisfied by construction, and the
+# FIPS-197 example vectors for all three key sizes pin the cipher
+# in tests/test_pdftext.py. The hot path is the T-table form (4
+# lookups + xors per column per round).
+
+
+def _aes_build_sbox() -> tuple[bytes, bytes]:
+    def gmul(a: int, b: int) -> int:
+        r = 0
+        for _ in range(8):
+            if b & 1:
+                r ^= a
+            hi = a & 0x80
+            a = (a << 1) & 0xFF
+            if hi:
+                a ^= 0x1B
+            b >>= 1
+        return r
+
+    def ginv(a: int) -> int:  # multiplicative inverse: a^254
+        if a == 0:
+            return 0
+        r, base, e = 1, a, 254
+        while e:
+            if e & 1:
+                r = gmul(r, base)
+            base = gmul(base, base)
+            e >>= 1
+        return r
+
+    sbox = [0] * 256
+    for i in range(256):
+        b = ginv(i)
+        x = b
+        for _ in range(4):
+            b = ((b << 1) | (b >> 7)) & 0xFF
+            x ^= b
+        sbox[i] = x ^ 0x63
+    inv = [0] * 256
+    for i, v in enumerate(sbox):
+        inv[v] = i
+    return bytes(sbox), bytes(inv)
+
+
+_AES_SBOX, _AES_INV_SBOX = _aes_build_sbox()
+
+
+def _aes_xtime(a: int) -> int:
+    a <<= 1
+    return (a ^ 0x1B) & 0xFF if a & 0x100 else a
+
+
+def _aes_gmul(a: int, b: int) -> int:
+    r = 0
+    for _ in range(8):
+        if b & 1:
+            r ^= a
+        a = _aes_xtime(a)
+        b >>= 1
+    return r
+
+
+def _aes_build_ttables():
+    def rotr32(w: int, n: int) -> int:
+        return ((w >> n) | (w << (32 - n))) & 0xFFFFFFFF
+
+    te0, td0 = [0] * 256, [0] * 256
+    for x in range(256):
+        s = _AES_SBOX[x]
+        te0[x] = (_aes_gmul(s, 2) << 24) | (s << 16) | (s << 8) | _aes_gmul(s, 3)
+        si = _AES_INV_SBOX[x]
+        td0[x] = (
+            (_aes_gmul(si, 14) << 24) | (_aes_gmul(si, 9) << 16)
+            | (_aes_gmul(si, 13) << 8) | _aes_gmul(si, 11)
+        )
+    te = [te0] + [[rotr32(w, 8 * i) for w in te0] for i in (1, 2, 3)]
+    td = [td0] + [[rotr32(w, 8 * i) for w in td0] for i in (1, 2, 3)]
+    return te, td
+
+
+_AES_TE, _AES_TD = _aes_build_ttables()
+
+
+def _aes_expand_key(key: bytes) -> list[bytes]:
+    nk = len(key) // 4
+    nr = nk + 6
+    w = [key[4 * i : 4 * i + 4] for i in range(nk)]
+    rcon = 1
+    for i in range(nk, 4 * (nr + 1)):
+        t = w[i - 1]
+        if i % nk == 0:
+            t = bytes(_AES_SBOX[b] for b in t[1:] + t[:1])
+            t = bytes([t[0] ^ rcon, t[1], t[2], t[3]])
+            rcon = _aes_xtime(rcon)
+        elif nk > 6 and i % nk == 4:
+            t = bytes(_AES_SBOX[b] for b in t)
+        w.append(bytes(a ^ b for a, b in zip(w[i - nk], t)))
+    return [b"".join(w[4 * r : 4 * r + 4]) for r in range(nr + 1)]
+
+
+@lru_cache(maxsize=64)
+def _aes_rk_words(key: bytes) -> tuple:
+    return tuple(
+        tuple(int.from_bytes(rk[4 * i : 4 * i + 4], "big") for i in range(4))
+        for rk in _aes_expand_key(key)
+    )
+
+
+@lru_cache(maxsize=64)
+def _aes_dk_words(key: bytes) -> tuple:
+    """Equivalent-inverse-cipher round keys: reversed schedule with
+    InvMixColumns folded into all but the first and last keys."""
+    rws = _aes_rk_words(key)
+    nr = len(rws) - 1
+    td0, td1, td2, td3 = _AES_TD
+    s = _AES_SBOX
+    out = [rws[nr]]
+    for r in range(nr - 1, 0, -1):
+        out.append(tuple(
+            td0[s[(w >> 24) & 0xFF]] ^ td1[s[(w >> 16) & 0xFF]]
+            ^ td2[s[(w >> 8) & 0xFF]] ^ td3[s[w & 0xFF]]
+            for w in rws[r]
+        ))
+    out.append(rws[0])
+    return tuple(out)
+
+
+def _aes_encrypt_block(block: bytes, rws) -> bytes:
+    te0, te1, te2, te3 = _AES_TE
+    s = _AES_SBOX
+    nr = len(rws) - 1
+    w = [int.from_bytes(block[4 * i : 4 * i + 4], "big") ^ rws[0][i]
+         for i in range(4)]
+    for r in range(1, nr):
+        rk = rws[r]
+        w = [
+            te0[(w[j] >> 24) & 0xFF] ^ te1[(w[(j + 1) % 4] >> 16) & 0xFF]
+            ^ te2[(w[(j + 2) % 4] >> 8) & 0xFF] ^ te3[w[(j + 3) % 4] & 0xFF]
+            ^ rk[j]
+            for j in range(4)
+        ]
+    rk = rws[nr]
+    out = bytearray(16)
+    for j in range(4):
+        v = (
+            (s[(w[j] >> 24) & 0xFF] << 24)
+            | (s[(w[(j + 1) % 4] >> 16) & 0xFF] << 16)
+            | (s[(w[(j + 2) % 4] >> 8) & 0xFF] << 8)
+            | s[w[(j + 3) % 4] & 0xFF]
+        ) ^ rk[j]
+        out[4 * j : 4 * j + 4] = v.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _aes_decrypt_block(block: bytes, dws) -> bytes:
+    td0, td1, td2, td3 = _AES_TD
+    si = _AES_INV_SBOX
+    nr = len(dws) - 1
+    w = [int.from_bytes(block[4 * i : 4 * i + 4], "big") ^ dws[0][i]
+         for i in range(4)]
+    for r in range(1, nr):
+        rk = dws[r]
+        w = [
+            td0[(w[j] >> 24) & 0xFF] ^ td1[(w[(j + 3) % 4] >> 16) & 0xFF]
+            ^ td2[(w[(j + 2) % 4] >> 8) & 0xFF] ^ td3[w[(j + 1) % 4] & 0xFF]
+            ^ rk[j]
+            for j in range(4)
+        ]
+    rk = dws[nr]
+    out = bytearray(16)
+    for j in range(4):
+        v = (
+            (si[(w[j] >> 24) & 0xFF] << 24)
+            | (si[(w[(j + 3) % 4] >> 16) & 0xFF] << 16)
+            | (si[(w[(j + 2) % 4] >> 8) & 0xFF] << 8)
+            | si[w[(j + 1) % 4] & 0xFF]
+        ) ^ rk[j]
+        out[4 * j : 4 * j + 4] = v.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC encrypt, NO padding (callers pad; the 2.B KDF and /UE
+    mixing run unpadded by spec)."""
+    if len(data) % 16:
+        raise PdfError("AES-CBC input not block-aligned")
+    rws = _aes_rk_words(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        prev = _aes_encrypt_block(
+            bytes(a ^ b for a, b in zip(data[i : i + 16], prev)), rws
+        )
+        out += prev
+    return bytes(out)
+
+
+_AES_TD_NP = None  # lazily-built numpy copies of the Td tables
+
+
+def _aes_decrypt_blocks_np(data: bytes, dws) -> bytes:
+    """Vectorized raw-block (ECB) decryption: all N blocks advance
+    through the 10/12/14 rounds together as (N, 4) uint32 word
+    arrays with fancy-indexed T-table lookups — CBC decryption is
+    then one XOR against the shifted ciphertext, so bulk decrypt is
+    ~20x the scalar per-block loop."""
+    import numpy as _np
+
+    global _AES_TD_NP
+    if _AES_TD_NP is None:
+        _AES_TD_NP = [
+            _np.asarray(t, dtype=_np.uint32) for t in _AES_TD
+        ] + [_np.frombuffer(_AES_INV_SBOX, dtype=_np.uint8)]
+    td0, td1, td2, td3, isb = _AES_TD_NP
+    w = _np.frombuffer(data, dtype=">u4").reshape(-1, 4).astype(_np.uint32)
+    nr = len(dws) - 1
+    w = w ^ _np.asarray(dws[0], dtype=_np.uint32)[None, :]
+    for r in range(1, nr):
+        rk = dws[r]
+        w = _np.stack(
+            [
+                td0[(w[:, j] >> 24) & 0xFF]
+                ^ td1[(w[:, (j + 3) % 4] >> 16) & 0xFF]
+                ^ td2[(w[:, (j + 2) % 4] >> 8) & 0xFF]
+                ^ td3[w[:, (j + 1) % 4] & 0xFF]
+                ^ _np.uint32(rk[j])
+                for j in range(4)
+            ],
+            axis=1,
+        )
+    rk = dws[nr]
+    out = _np.stack(
+        [
+            (
+                (isb[(w[:, j] >> 24) & 0xFF].astype(_np.uint32) << 24)
+                | (isb[(w[:, (j + 3) % 4] >> 16) & 0xFF].astype(_np.uint32) << 16)
+                | (isb[(w[:, (j + 2) % 4] >> 8) & 0xFF].astype(_np.uint32) << 8)
+                | isb[w[:, (j + 1) % 4] & 0xFF].astype(_np.uint32)
+            )
+            ^ _np.uint32(rk[j])
+            for j in range(4)
+        ],
+        axis=1,
+    )
+    return out.astype(">u4").tobytes()
+
+
+def _aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    if len(data) % 16:
+        raise PdfError("AES-CBC ciphertext not block-aligned")
+    dws = _aes_dk_words(key)
+    # numpy pays ~2 ms fixed overhead per call; the scalar loop is
+    # ~40 us/block, so vectorize only past the ~50-block crossover
+    if len(data) >= 1024:
+        import numpy as _np
+
+        pt = _aes_decrypt_blocks_np(data, dws)
+        prior = iv + data[:-16]  # CBC: plaintext = D(ct) ^ previous ct
+        return (
+            _np.frombuffer(pt, dtype=_np.uint8)
+            ^ _np.frombuffer(prior, dtype=_np.uint8)
+        ).tobytes()
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        ct = data[i : i + 16]
+        out += bytes(
+            a ^ b for a, b in zip(_aes_decrypt_block(ct, dws), prev)
+        )
+        prev = ct
+    return bytes(out)
+
+
+def _aes_decrypt_data(key: bytes, data: bytes) -> bytes:
+    """One encrypted PDF string/stream: 16-byte IV prefix, CBC body,
+    PKCS#7-style padding (7.6.3.1). Empty strings pass through (a
+    zero-length string encrypts to zero bytes in the wild)."""
+    if not data:
+        return data
+    if len(data) < 32 or len(data) % 16:
+        raise PdfError(
+            f"AES-encrypted data has invalid length {len(data)} "
+            "(IV + at least one padded block required)"
+        )
+    pt = _aes_cbc_decrypt(key, data[:16], data[16:])
+    pad = pt[-1]
+    if not (1 <= pad <= 16) or pt[-pad:] != bytes([pad]) * pad:
+        raise PdfError("AES padding invalid (wrong key or corrupt data)")
+    return pt[:-pad]
+
+
+def _aes_encrypt_data(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Forward twin of ``_aes_decrypt_data`` for the fixture
+    encryptor: pad, prepend IV, CBC."""
+    pad = 16 - (len(data) % 16)
+    return iv + _aes_cbc_encrypt(key, iv, data + bytes([pad]) * pad)
+
+
+@lru_cache(maxsize=512)
+def _obj_aes_key(file_key: bytes, num: int, gen: int) -> bytes:
+    """Algorithm 1 with the AES salt: md5(key + num + gen + sAlT)."""
+    import hashlib
+
+    h = hashlib.md5(
+        file_key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        + b"sAlT"
+    ).digest()
+    return h[: min(len(file_key) + 5, 16)]
+
+
+@lru_cache(maxsize=64)
+def _hash_2b(pw: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 Algorithm 2.B (the R6 KDF): SHA-256 seed, then
+    rounds of AES-128-CBC over (pw + K + udata) x 64 with the hash
+    chosen by E[0:16] mod 3, until >= 64 rounds AND the last byte of
+    E is <= round_count - 32. Cached: the fixture corpus shares
+    credentials and salts, so each worker derives once."""
+    import hashlib
+
+    k = hashlib.sha256(pw + salt + udata).digest()
+    e = b"\x00"
+    i = 0
+    while i < 64 or e[-1] > i - 32:
+        k1 = (pw + k + udata) * 64
+        e = _aes_cbc_encrypt(k[:16], k[16:32], k1)
+        mod = sum(e[:16]) % 3
+        k = (
+            hashlib.sha256(e) if mod == 0
+            else hashlib.sha384(e) if mod == 1
+            else hashlib.sha512(e)
+        ).digest()
+        i += 1
+    return k[:32]
+
+
 class _Pdf:
     """One parsed document: xref map + object cache."""
 
@@ -542,16 +906,18 @@ class _Pdf:
         self.xref: dict[int, int] = {}
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
-        self._enc: tuple[bytes] | None = None
+        self._enc: tuple[bytes, str] | None = None  # (key, cipher)
         self._parse_xref_chain()
         if "Encrypt" in self.trailer:
             self._setup_decryption()
 
     def _setup_decryption(self) -> None:
-        """Standard security handler, V1/V2 RC4, empty user password
-        (the owner-locked class). The /Encrypt dict itself resolves
-        while ``self._enc`` is still None, so its own strings (O, U)
-        stay raw per spec."""
+        """Standard security handler, empty user password (the
+        owner-locked class): V1/V2 RC4, V4 crypt filters (/AESV2
+        AES-128-CBC or /V2 RC4-128), and V5 R6 (/AESV3 AES-256 with
+        the Algorithm 2.B KDF). The /Encrypt dict itself resolves
+        while ``self._enc`` is still None, so its own strings (O, U,
+        UE, OE, Perms) stay raw per spec."""
         enc = self.resolve(self.trailer["Encrypt"])
         if not isinstance(enc, dict):
             raise PdfError("/Encrypt is not a dictionary")
@@ -563,15 +929,6 @@ class _Pdf:
             )
         v = int(self.resolve(enc.get("V", 0)))
         r = int(self.resolve(enc.get("R", 0)))
-        if v not in (1, 2) or r not in (2, 3):
-            raise NotImplementedError(
-                f"/Encrypt V={v} R={r} is outside the implemented "
-                "subset — V 1/2 (RC4) with R 2/3 decode; AES and "
-                "crypt filters (V >= 4) gate here"
-            )
-        n = 5 if v == 1 else int(self.resolve(enc.get("Length", 40))) // 8
-        if not (5 <= n <= 16):
-            raise PdfError(f"/Encrypt /Length {n * 8} out of range")
         o = self.resolve(enc.get("O"))
         u = self.resolve(enc.get("U"))
         p = int(self.resolve(enc.get("P")))
@@ -581,6 +938,24 @@ class _Pdf:
         id0 = ids[0] if isinstance(ids, list) and ids else b""
         if not isinstance(id0, bytes):
             raise PdfError("trailer /ID entry is not a string")
+        if v == 5 and r == 6:
+            self._setup_v5(enc, o, u)
+            return
+        cipher = "rc4"
+        if v == 4 and r == 4:
+            cipher = self._crypt_filter_method(enc)
+            n = 16
+        elif v in (1, 2) and r in (2, 3):
+            n = 5 if v == 1 else int(self.resolve(enc.get("Length", 40))) // 8
+        else:
+            raise NotImplementedError(
+                f"/Encrypt V={v} R={r} is outside the implemented "
+                "subset — V 1/2 (RC4) R 2/3, V 4 R 4 (/AESV2 or /V2 "
+                "crypt filters), and V 5 R 6 (/AESV3) decode; other "
+                "combinations gate here"
+            )
+        if not (5 <= n <= 16):
+            raise PdfError(f"/Encrypt /Length {n * 8} out of range")
         key = _std_file_key(b"", o, p, id0, r, n)
         want = _std_user_check(key, id0, r)
         got = u[:16] if r >= 3 else u[:32]
@@ -590,17 +965,82 @@ class _Pdf:
                 "password input is outside the implemented subset "
                 "(the empty-user-password /U check failed)"
             )
-        self._enc = (key,)
+        self._enc = (key, cipher)
 
-    def _decrypt_value(self, obj, key: bytes):
-        """Recursively RC4 every string (and the raw stream bytes)
-        of one indirect object with its per-object key."""
+    def _crypt_filter_method(self, enc: dict) -> str:
+        """V4: resolve /CF /StdCF /CFM with both /StmF and /StrF
+        pointing at /StdCF (the layout real V4 writers emit).
+        /AESV2 -> AES-128-CBC; /V2 -> RC4 with the V4 key length."""
+        stmf = self.resolve(enc.get("StmF", "Identity"))
+        strf = self.resolve(enc.get("StrF", "Identity"))
+        if stmf != "StdCF" or strf != "StdCF":
+            raise NotImplementedError(
+                f"/Encrypt V=4 with /StmF /{stmf} /StrF /{strf} is "
+                "outside the implemented subset (both must be /StdCF)"
+            )
+        cf = self.resolve(enc.get("CF"))
+        stdcf = self.resolve(cf.get("StdCF")) if isinstance(cf, dict) else None
+        if not isinstance(stdcf, dict):
+            raise PdfError("/Encrypt V=4 without a /CF /StdCF dictionary")
+        cfm = self.resolve(stdcf.get("CFM"))
+        if cfm == "AESV2":
+            return "aesv2"
+        if cfm == "V2":
+            return "rc4"
+        raise NotImplementedError(
+            f"crypt filter method /{cfm} is outside the implemented "
+            "subset (/AESV2 and /V2)"
+        )
+
+    def _setup_v5(self, enc: dict, o: bytes, u: bytes) -> None:
+        """V5 R6 (ISO 32000-2): AES-256, Algorithm 2.B KDF, the
+        48-byte /U = hash + validation salt + key salt, file key
+        unwrapped from /UE, and the /Perms integrity block."""
+        ue = self.resolve(enc.get("UE"))
+        perms = self.resolve(enc.get("Perms"))
+        if not isinstance(ue, bytes) or len(u) < 48 or len(ue) < 32:
+            raise PdfError("/Encrypt V=5 needs 48-byte /U and 32-byte /UE")
+        vsalt, ksalt = u[32:40], u[40:48]
+        if _hash_2b(b"", vsalt, b"") != u[:32]:
+            raise NotImplementedError(
+                "encrypted PDF with a NON-EMPTY user password: "
+                "password input is outside the implemented subset "
+                "(the empty-user-password R6 /U check failed)"
+            )
+        ikey = _hash_2b(b"", ksalt, b"")
+        file_key = _aes_cbc_decrypt(ikey, b"\x00" * 16, ue[:32])
+        if isinstance(perms, bytes) and len(perms) >= 16:
+            blk = _aes_decrypt_block(perms[:16], _aes_dk_words(file_key))
+            if blk[9:12] != b"adb":
+                raise PdfError(
+                    "/Perms integrity check failed (bytes 9-11 != "
+                    "'adb') — wrong key or corrupt /Encrypt"
+                )
+        self._enc = (file_key, "aesv3")
+
+    def _obj_cipher_key(self, num: int, gen: int) -> tuple[str, bytes]:
+        """(cipher, per-object key) for one indirect object."""
+        fkey, cipher = self._enc
+        if cipher == "rc4":
+            return cipher, _obj_rc4_key(fkey, num, gen)
+        if cipher == "aesv2":
+            return cipher, _obj_aes_key(fkey, num, gen)
+        return cipher, fkey  # aesv3: the file key, no per-object step
+
+    def _decrypt_value(self, obj, key: bytes, cipher: str = "rc4"):
+        """Recursively decrypt every string (and the raw stream
+        bytes) of one indirect object with its per-object key."""
         if isinstance(obj, bytes):
-            return _rc4(key, obj)
+            if cipher == "rc4":
+                return _rc4(key, obj)
+            return _aes_decrypt_data(key, obj)
         if isinstance(obj, list):
-            return [self._decrypt_value(x, key) for x in obj]
+            return [self._decrypt_value(x, key, cipher) for x in obj]
         if isinstance(obj, dict):
-            return {k: self._decrypt_value(v, key) for k, v in obj.items()}
+            return {
+                k: self._decrypt_value(v, key, cipher)
+                for k, v in obj.items()
+            }
         return obj
 
     def _parse_xref_chain(self) -> None:
@@ -746,10 +1186,10 @@ class _Pdf:
             # (§7.5.8.2), and objects INSIDE object streams are not
             # re-encrypted (_load_from_objstm handles those)
             if not (isinstance(obj, dict) and obj.get("Type") == "XRef"):
-                key = _obj_rc4_key(
-                    self._enc[0], int(m.group(1)), int(m.group(2))
+                cipher, key = self._obj_cipher_key(
+                    int(m.group(1)), int(m.group(2))
                 )
-                obj = self._decrypt_value(obj, key)
+                obj = self._decrypt_value(obj, key, cipher)
         return obj
 
     def _load_from_objstm(self, num: int, stm_num: int, idx: int):
@@ -848,22 +1288,33 @@ class _Pdf:
             pred = int(self.resolve(parms.get("Predictor", 1)))
             if pred == 1:
                 continue
-            if pred < 10:
-                raise NotImplementedError(
-                    f"/DecodeParms /Predictor {pred} (TIFF predictor) "
-                    "is outside the implemented subset — PNG "
-                    "predictors (>= 10) decode"
-                )
             colors = int(self.resolve(parms.get("Colors", 1)))
             bpc = int(self.resolve(parms.get("BitsPerComponent", 8)))
+            cols = int(self.resolve(parms.get("Columns", 1)))
+            if pred == 2:
+                # TIFF predictor 2 (r16, VERDICT r15 item 6):
+                # horizontal differencing — real scanner output hits
+                # this on Flate/LZW image and content streams
+                if bpc != 8 or not (1 <= colors <= 4):
+                    raise NotImplementedError(
+                        f"TIFF predictor with Colors={colors} "
+                        f"BitsPerComponent={bpc}: 8-bit, 1-4 "
+                        "components only"
+                    )
+                raw = _tiff_unpredict(raw, cols, colors)
+                continue
+            if pred < 10:
+                raise PdfError(
+                    f"/DecodeParms /Predictor {pred} is not a spec "
+                    "value (1, 2, or 10-15)"
+                )
             if colors != 1 or bpc != 8:
                 raise NotImplementedError(
                     f"PNG predictor with Colors={colors} "
                     f"BitsPerComponent={bpc}: 1x8 only (the xref-"
                     "stream shape)"
                 )
-            raw = _png_unpredict(raw, int(self.resolve(
-                parms.get("Columns", 1))))
+            raw = _png_unpredict(raw, cols)
         return raw
 
     def pages(self) -> list[dict]:
@@ -904,7 +1355,9 @@ class _Pdf:
         loudly. A font name used in content but absent from the
         resources falls back to Latin-1 (the pre-r15 behavior the
         plain fixtures rely on)."""
-        res = self.resolve(page.get("Resources"))
+        return self._fonts_from_res(self.resolve(page.get("Resources")))
+
+    def _fonts_from_res(self, res) -> dict:
         fonts = self.resolve((res or {}).get("Font")) or {}
         out = {}
         for name, fref in fonts.items():
@@ -912,6 +1365,50 @@ class _Pdf:
             if not isinstance(fd, dict):
                 raise PdfError(f"font /{name} is not a dictionary")
             out[name] = self._font_decoder(name, fd)
+        return out
+
+    def form_xobjects(self, res, parent_fonts: dict | None = None,
+                      depth: int = 0) -> dict:
+        """Form XObjects reachable from one /Resources dict (VERDICT
+        r15 item 3 — flattened forms, stamps and letterheads carry
+        text through /Subtype /Form content streams): {name:
+        (content bytes, font decoders, nested form map)}. A form's
+        own /Resources wins; a form WITHOUT /Resources inherits the
+        painting context's fonts (7.8.3). Image XObjects map to
+        None (their ``Do`` paints no text and is skipped); any other
+        subtype raises. Recursion (forms painting forms, including
+        reference cycles) is bounded by ``_FORM_MAX_DEPTH`` —
+        exceeding it raises the typed recursion-bomb error."""
+        if depth > _FORM_MAX_DEPTH:
+            raise PdfError(
+                f"Form XObject nesting exceeds depth {_FORM_MAX_DEPTH} "
+                "(reference cycle or recursion bomb)"
+            )
+        xobjs = self.resolve((res or {}).get("XObject")) or {}
+        out = {}
+        for nm, ref in xobjs.items():
+            xo = self.resolve(ref)
+            if not isinstance(xo, dict) or "__stream__" not in xo:
+                raise PdfError(f"/XObject /{nm} missing or not a stream")
+            sub = self.resolve(xo.get("Subtype"))
+            if sub == "Image":
+                out[nm] = None
+                continue
+            if sub != "Form":
+                raise PdfError(f"/XObject /{nm} has /Subtype {sub!r}")
+            fres = self.resolve(xo.get("Resources"))
+            if fres is not None:
+                ffonts = self._fonts_from_res(fres)
+            else:
+                # fonts carry over from the painting context; nested
+                # XObjects painted by an INHERITED name are outside
+                # the implemented subset and fail as unknown names
+                ffonts = dict(parent_fonts or {})
+            out[nm] = (
+                self.stream_data(xo),
+                ffonts,
+                self.form_xobjects(fres, ffonts, depth + 1),
+            )
         return out
 
     def _font_decoder(self, name: str, fd: dict):
@@ -933,16 +1430,22 @@ class _Pdf:
                     "raw CID extraction is outside the implemented "
                     "subset"
                 )
-            width, mp = cmap
-            return ("cid", max(width, 2), mp, name)
+            ranges, mp = cmap
+            if all(w == 1 for w, _lo, _hi in ranges):
+                # Identity-H/V codes are 2-byte; a CMap that only
+                # declared 1-byte entries promotes (the pre-r16
+                # max(width, 2) behavior)
+                ranges = ((2, 0, 0xFFFF),)
+                mp = {(2, c): v for (_w, c), v in mp.items()}
+            return ("cid", ranges, mp, name)
         if cmap is not None:
-            width, mp = cmap
-            if width != 1:
+            ranges, mp = cmap
+            if any(w != 1 for w, _lo, _hi in ranges):
                 raise NotImplementedError(
-                    f"simple font /{name} with a {width}-byte ToUnicode "
+                    f"simple font /{name} with a multi-byte ToUnicode "
                     "codespace is outside the implemented subset"
                 )
-            return ("cid", 1, mp, name)
+            return ("cid", ranges, mp, name)
         enc = self.resolve(fd.get("Encoding"))
         diffs = None
         base = None
@@ -1078,15 +1581,23 @@ def _base_encoding_map(name: str | None) -> dict[int, str]:
 _CMAP_KW = re.compile(rb"[A-Za-z]+")
 
 
-def _parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
+def _parse_tounicode(
+    data: bytes,
+) -> tuple[tuple[tuple[int, int, int], ...], dict[tuple[int, int], str]]:
     """Parse a /ToUnicode CMap stream (bfchar + bfrange, including
-    the array-destination bfrange form). Returns (code byte width,
-    {code int -> text}). The codespace must be a single uniform
-    width (1 or 2 bytes) — mixed-width codespaces gate loudly."""
+    the array-destination bfrange form). Returns (codespace ranges,
+    mapping): ranges are (byte width, lo, hi) tuples from
+    begincodespacerange — MIXED widths decode as of r16 (VERDICT
+    r15 item 6: real CJK CMaps declare e.g. a 1-byte <00><80> range
+    next to a 2-byte <8140><9FFC> one; show strings then match
+    greedily, shortest-width range first) — and the mapping is
+    keyed (source byte width, code). A CMap with no explicit
+    codespacerange synthesizes one full range per observed entry
+    width."""
     lex = _Lexer(data)
     n = len(data)
-    width: int | None = None
-    out: dict[int, str] = {}
+    ranges: list[tuple[int, int, int]] = []
+    out: dict[tuple[int, int], str] = {}
 
     def _utf16be(b: bytes) -> str:
         if len(b) % 2:
@@ -1115,15 +1626,12 @@ def _parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
         lex.pos = m.end()
         return m.group(0)
 
-    def _see_width(b: bytes) -> None:
-        nonlocal width
-        if width is None:
-            width = len(b)
-        elif width != len(b):
-            raise NotImplementedError(
-                "ToUnicode CMap with mixed code widths is outside the "
-                "implemented subset (uniform 1- or 2-byte codes)"
+    def _key(b: bytes) -> tuple[int, int]:
+        if not (1 <= len(b) <= 4):
+            raise PdfError(
+                f"ToUnicode source code width {len(b)} out of range"
             )
+        return (len(b), int.from_bytes(b, "big"))
 
     while True:
         tok = _next_token()
@@ -1137,8 +1645,15 @@ def _parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
                 hi = _next_token()
                 if not isinstance(lo, bytes) or not isinstance(hi, bytes):
                     raise PdfError("codespacerange bounds must be hex")
-                _see_width(lo)
-                _see_width(hi)
+                if len(lo) != len(hi):
+                    raise PdfError(
+                        "codespacerange bounds differ in byte width"
+                    )
+                w, lo_i = _key(lo)
+                hi_i = int.from_bytes(hi, "big")
+                if hi_i < lo_i:
+                    raise PdfError("codespacerange bounds out of order")
+                ranges.append((w, lo_i, hi_i))
         elif tok == b"beginbfchar":
             while True:
                 src = _next_token()
@@ -1147,8 +1662,7 @@ def _parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
                 dst = _next_token()
                 if not isinstance(src, bytes) or not isinstance(dst, bytes):
                     raise PdfError("bfchar entries must be hex strings")
-                _see_width(src)
-                out[int.from_bytes(src, "big")] = _utf16be(dst)
+                out[_key(src)] = _utf16be(dst)
         elif tok == b"beginbfrange":
             while True:
                 lo = _next_token()
@@ -1158,8 +1672,9 @@ def _parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
                 dst = _next_token()
                 if not isinstance(lo, bytes) or not isinstance(hi, bytes):
                     raise PdfError("bfrange bounds must be hex strings")
-                _see_width(lo)
-                _see_width(hi)
+                if len(lo) != len(hi):
+                    raise PdfError("bfrange bounds differ in byte width")
+                w = _key(lo)[0]
                 lo_i, hi_i = (
                     int.from_bytes(lo, "big"), int.from_bytes(hi, "big")
                 )
@@ -1171,7 +1686,7 @@ def _parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
                     for k, d in enumerate(dst):
                         if not isinstance(d, bytes):
                             raise PdfError("bfrange array entry not hex")
-                        out[lo_i + k] = _utf16be(d)
+                        out[(w, lo_i + k)] = _utf16be(d)
                 elif isinstance(dst, bytes):
                     # PDF 32000 9.10.3: a hex destination is UTF-16BE
                     # and the increment applies to the LAST code unit
@@ -1193,7 +1708,7 @@ def _parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
                                 "the last UTF-16 code unit"
                             )
                         try:
-                            out[lo_i + k] = _utf16be(
+                            out[(w, lo_i + k)] = _utf16be(
                                 head + u.to_bytes(2, "big")
                             )
                         except UnicodeDecodeError as exc:
@@ -1205,9 +1720,10 @@ def _parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
                     raise PdfError("bfrange destination must be hex/array")
         # every other token (dict boilerplate, usecmap names,
         # begincmap/endcmap, numbers) is structural noise
-    if width is None:
-        width = 2 if out and max(out) > 0xFF else 1
-    return width, out
+    if not ranges:
+        widths = sorted({k[0] for k in out}) or [1]
+        ranges = [(w, 0, (1 << (8 * w)) - 1) for w in widths]
+    return tuple(sorted(set(ranges))), out
 
 
 # show operators and the positioning operators that insert a space
@@ -1223,22 +1739,28 @@ def _decode_show(s: bytes, font) -> str:
         return s.decode("latin-1")
     kind, table, _mp, name = font[0], font[1], font[2], font[3]
     if kind == "cid":
-        width, mp = font[1], font[2]
-        if len(s) % width:
-            raise PdfError(
-                f"show string length {len(s)} is not a multiple of "
-                f"font /{name}'s {width}-byte code width"
-            )
+        ranges, mp = font[1], font[2]
         out = []
-        for i in range(0, len(s), width):
-            code = int.from_bytes(s[i : i + width], "big")
-            ch = mp.get(code)
-            if ch is None:
+        i = 0
+        while i < len(s):
+            for w, lo, hi in ranges:  # sorted: shortest width first
+                if i + w <= len(s):
+                    code = int.from_bytes(s[i : i + w], "big")
+                    if lo <= code <= hi:
+                        ch = mp.get((w, code))
+                        if ch is None:
+                            raise PdfError(
+                                f"code {code:#06x} ({w}-byte) unmapped "
+                                f"by font /{name}'s ToUnicode CMap"
+                            )
+                        out.append(ch)
+                        i += w
+                        break
+            else:
                 raise PdfError(
-                    f"code {code:#06x} unmapped by font /{name}'s "
-                    "ToUnicode CMap"
+                    f"show string byte {i} of font /{name} matches no "
+                    "ToUnicode codespace range"
                 )
-            out.append(ch)
         return "".join(out)
     out = []
     for b in s:
@@ -1251,13 +1773,25 @@ def _decode_show(s: bytes, font) -> str:
     return "".join(out)
 
 
-def _content_text(content: bytes, fonts: dict | None = None) -> str:
+_FORM_MAX_DEPTH = 8
+
+
+def _content_text(
+    content: bytes,
+    fonts: dict | None = None,
+    xobjects: dict | None = None,
+    depth: int = 0,
+) -> str:
     """Extract the show-operator text of ONE page content stream per
     the documented layout model: strings from Tj/TJ/'/\" inside BT/ET
     blocks, one space wherever a positioning operator (or the
     line-advance of '/\") separates two shows. ``Tf`` switches the
     current font; show-string bytes map through the page's font
-    decoders (page_fonts)."""
+    decoders (page_fonts). ``Do`` of a /Subtype /Form XObject
+    recurses into the form's own content stream with the form's
+    resources (r16, VERDICT r15 item 3) — its text joins the page's
+    with a single separating space; image Do's paint no text and
+    are skipped; nesting past ``_FORM_MAX_DEPTH`` raises."""
     lex = _Lexer(content)
     n = len(content)
     out: list[str] = []
@@ -1292,6 +1826,27 @@ def _content_text(content: bytes, fonts: dict | None = None) -> str:
             # pre-font-support fixture shape)
             fname = operands[-2] if len(operands) >= 2 else None
             cur_font = (fonts or {}).get(fname)
+        elif op == b"Do" and operands and isinstance(operands[-1], str):
+            nm = operands[-1]
+            if xobjects is not None:
+                if nm not in xobjects:
+                    raise PdfError(f"Do of unknown /XObject /{nm}")
+                form = xobjects[nm]
+                if form is not None:  # None = image: no text
+                    if depth >= _FORM_MAX_DEPTH:
+                        raise PdfError(
+                            "Form XObject nesting exceeds depth "
+                            f"{_FORM_MAX_DEPTH} (reference cycle or "
+                            "recursion bomb)"
+                        )
+                    sub = _content_text(
+                        form[0], form[1], form[2], depth + 1
+                    )
+                    if sub:
+                        if out:
+                            out.append(" ")
+                        out.append(sub)
+                        pending_sep = False
         elif in_text and op in _SHOW_OPS:
             if op in (b"'", b'"'):
                 pending_sep = True  # both advance to the next line
@@ -1318,12 +1873,15 @@ def _content_text(content: bytes, fonts: dict | None = None) -> str:
 
 
 def pdf_text(data: bytes) -> list[str]:
-    """Per-page extracted text of one PDF document."""
+    """Per-page extracted text of one PDF document — including text
+    painted through /Subtype /Form XObjects (r16)."""
     pdf = _Pdf(bytes(data))
-    return [
-        _content_text(pdf.page_content(p), pdf.page_fonts(p))
-        for p in pdf.pages()
-    ]
+    out = []
+    for p in pdf.pages():
+        fonts = pdf.page_fonts(p)
+        forms = pdf.form_xobjects(pdf.resolve(p.get("Resources")), fonts)
+        out.append(_content_text(pdf.page_content(p), fonts, forms))
+    return out
 
 
 # --------------------------------------------------------- fixtures
@@ -1769,6 +2327,112 @@ FROM documents d JOIN w ON d.doc_id = w.doc_id
 """
 
 
+# ------------------------------------ Form XObject fixture (r16)
+# One page whose content paints text, then Do's a /Subtype /Form
+# XObject that itself paints text AND Do's a NESTED form (which has
+# no /Resources of its own — the inherit branch), then paints more
+# text. Tests the recursion, resource scoping, and the separator
+# model in one constant-layout document (VERDICT r15 item 3).
+
+
+def _pdfform_ops(doc) -> list:
+    """The form-xobject document as pieces (str constants / dyn
+    markers), the _pdf_ops discipline: dyn widths id8=8 word=1."""
+    widths = (8, 1, 2)
+    kinds = ("id8", "word", "tailhex")
+
+    def _clen(pieces: list) -> int:
+        return sum(
+            len(p) if isinstance(p, str) else widths[kinds.index(p[1])]
+            for p in pieces
+        )
+
+    c_page: list = ["BT 72 720 Td (Pre ", ("dyn", "id8", 0),
+                    ") Tj ET /Fx1 Do BT 72 600 Td (Post) Tj ET"]
+    c_f1: list = ["BT 72 700 Td (Form ", ("dyn", "word", 0),
+                  ") Tj ET /Fx2 Do"]
+    c_f2: list = ["BT 0 0 Td (Inner ", ("dyn", "word", 1), ") Tj ET"]
+    objs: list[list] = [
+        ["<< /Type /Catalog /Pages 2 0 R >>"],
+        ["<< /Type /Pages /Kids [3 0 R] /Count 1 >>"],
+        ["<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+         "<< /XObject << /Fx1 5 0 R >> >> >>"],
+        [f"<< /Length {_clen(c_page)} >>\nstream\n", *c_page,
+         "\nendstream"],
+        ["<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+         "/Resources << /XObject << /Fx2 6 0 R >> >> "
+         f"/Length {_clen(c_f1)} >>\nstream\n", *c_f1, "\nendstream"],
+        # the inner form has NO /Resources: fonts inherit from the
+        # painting context (7.8.3) and it paints no nested XObjects
+        ["<< /Type /XObject /Subtype /Form /BBox [0 0 100 100] "
+         f"/Length {_clen(c_f2)} >>\nstream\n", *c_f2, "\nendstream"],
+    ]
+    pieces: list = ["%PDF-1.4\n"]
+    offsets: list[int] = []
+    pos = len("%PDF-1.4\n")
+    for n, body in enumerate(objs, start=1):
+        offsets.append(pos)
+        head = f"{n} 0 obj\n"
+        pieces.append(head)
+        pos += len(head)
+        for p in body:
+            pieces.append(p)
+            pos += (
+                len(p) if isinstance(p, str)
+                else widths[kinds.index(p[1])]
+            )
+        pieces.append("\nendobj\n")
+        pos += len("\nendobj\n")
+    xref_off = pos
+    xref = f"xref\n0 {len(objs) + 1}\n" + "0000000000 65535 f \n"
+    for off in offsets:
+        xref += f"{off:010d} 00000 n \n"
+    pieces.append(
+        xref
+        + f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        + f"startxref\n{xref_off}\n%%EOF\n"
+    )
+    return pieces
+
+
+def synth_pdfform_bytes(doc: int) -> bytes:
+    """Int-mode emitter for the form-xobject document."""
+    out = []
+    for p in _pdfform_ops(doc):
+        out.append(p if isinstance(p, str) else _pdf_dynamic(doc, p[1], p[2]))
+    return "".join(out).encode("latin-1")
+
+
+def synth_pdfform_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): one form-xobject PDF per document."""
+    exprs = []
+    for p in _pdfform_ops("doc_id"):
+        if isinstance(p, str):
+            exprs.append("'" + p.encode("latin-1").hex().upper() + "'")
+        else:
+            exprs.append(f"hex({_pdf_dynamic('doc_id', p[1], p[2])})")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr("unhex(concat(" + ", ".join(exprs) + "))").alias("payload"),
+    )
+
+
+def pdf_form_oracle_sql() -> str:
+    """Closed form: 'Pre <id8> Form <w0> Inner <w1> Post' — the page
+    text with the outer and nested forms' text spliced at their Do
+    positions, one space at each form boundary; no PDF syntax on
+    the DuckDB side."""
+    return """
+SELECT doc_id AS asset_id, CAST(0 AS BIGINT) AS page_idx,
+  'Pre ' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+    || ' Form ' || chr(CAST(97 + (doc_id * 7) % 26 AS INTEGER))
+    || ' Inner ' || chr(CAST(97 + (doc_id * 7 + 5) % 26 AS INTEGER))
+    || ' Post' AS text,
+  CAST(32 AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
 # --------------------------------------------- encrypt (fixture twin)
 def _ser_obj(o) -> bytes:
     """Serialize one parsed object back to PDF syntax (names are str,
@@ -1804,6 +2468,25 @@ def _ser_obj(o) -> bytes:
     raise PdfError(f"unserializable object {type(o).__name__}")
 
 
+def _aes_encrypt_value(obj, key: bytes, ivgen):
+    """Recursively AES-encrypt every string/stream of one object,
+    updating /Length for streams (IV + padding grow the bytes —
+    unlike RC4, AES ciphertext is longer than its plaintext)."""
+    if isinstance(obj, bytes):
+        return _aes_encrypt_data(key, next(ivgen), obj)
+    if isinstance(obj, list):
+        return [_aes_encrypt_value(x, key, ivgen) for x in obj]
+    if isinstance(obj, dict):
+        out = {
+            k: _aes_encrypt_value(v, key, ivgen)
+            for k, v in obj.items()
+        }
+        if "__stream__" in out:
+            out["Length"] = len(out["__stream__"])
+        return out
+    return obj
+
+
 def encrypt_pdf(
     data: bytes,
     owner_password: bytes = b"",
@@ -1811,24 +2494,31 @@ def encrypt_pdf(
     r: int = 3,
     key_bits: int = 128,
     file_id: bytes | None = None,
+    cipher: str = "rc4",
 ) -> bytes:
-    """Produce the RC4-encrypted twin of a plain PDF under the
-    standard security handler (V2, R 2/3): every object re-serializes
-    with its strings and stream bytes RC4'd under the per-object key;
-    /Encrypt + /ID join the trailer; a fresh classic xref table is
-    written. The fixture/test encryptor — the decoder's independent
-    counterpart (Algorithms 1-5 run FORWARD here, so a fixture
-    carries spec-true /O and /U values)."""
+    """Produce the encrypted twin of a plain PDF under the standard
+    security handler: ``cipher`` selects RC4 (V2, R 2/3 — ``r``/
+    ``key_bits`` apply), AES-128 crypt filters (``aesv2``: V4 R4
+    /AESV2), or AES-256 (``aesv3``: V5 R6 with the Algorithm 2.B
+    KDF, /UE key wrap and /Perms block). Every object re-serializes
+    with its strings and stream bytes encrypted under the per-object
+    (RC4/AESV2) or file (AESV3) key; /Encrypt + /ID join the
+    trailer; a fresh classic xref table is written. The fixture/test
+    encryptor — the decoder's independent counterpart (the spec
+    algorithms run FORWARD here, so fixtures carry spec-true /O,
+    /U, /UE, /OE and /Perms values). AES IVs are deterministic
+    (md5 over /ID + object number + an in-object counter) so
+    fixtures are byte-stable."""
     import hashlib
 
-    if r not in (2, 3):
+    if cipher not in ("rc4", "aesv2", "aesv3"):
+        raise PdfError(f"encrypt_pdf cipher {cipher!r} unknown")
+    if cipher == "rc4" and r not in (2, 3):
         raise PdfError(f"encrypt_pdf supports R 2/3, got {r}")
-    n = 5 if r == 2 else key_bits // 8
     pdf = _Pdf(bytes(data))
     if pdf._enc is not None or "Encrypt" in pdf.trailer:
         raise PdfError("document is already encrypted")
     p = -4  # all permission bits granted (the common owner-lock P)
-    o = _std_owner_value(owner_password, user_password, r, n)
     # /ID: content digest by default (the spec's recommendation); a
     # caller may pin it (the registry fixture does — a shared /ID
     # means shared file/object keys, so the cached keystreams turn
@@ -1836,17 +2526,74 @@ def encrypt_pdf(
     id0 = hashlib.md5(data).digest() if file_id is None else bytes(file_id)
     if len(id0) != 16:
         raise PdfError("file_id must be 16 bytes")
-    key = _std_file_key(user_password, o, p, id0, r, n)
-    u = _std_user_check(key, id0, r)
-    if r >= 3:
-        u = u + b"\x00" * 16  # 32-byte /U, last 16 arbitrary (spec)
+    if cipher == "aesv3":
+        # deterministic 32-byte file key + salts (any values are
+        # spec-legal; the KDF pins U/UE/O/OE to them)
+        key = hashlib.sha256(b"fixture-file-key" + id0).digest()
+        vsalt, ksalt = b"uvsalt01", b"uksalt01"
+        u = _hash_2b(user_password, vsalt, b"") + vsalt + ksalt
+        ikey = _hash_2b(user_password, ksalt, b"")
+        ue = _aes_cbc_encrypt(ikey, b"\x00" * 16, key)
+        opw = owner_password or user_password
+        ovs, oks = b"ovsalt01", b"oksalt01"
+        o = _hash_2b(opw, ovs, u) + ovs + oks
+        oe = _aes_cbc_encrypt(_hash_2b(opw, oks, u), b"\x00" * 16, key)
+        perms_pt = (
+            (p & 0xFFFFFFFF).to_bytes(4, "little")
+            + b"\xff\xff\xff\xff" + b"T" + b"adb" + b"\x00" * 4
+        )
+        perms = _aes_encrypt_block(perms_pt, _aes_rk_words(key))
+        enc_dict = (
+            "<< /Filter /Standard /V 5 /R 6 /Length 256 "
+            "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+            "/Length 32 >> >> /StmF /StdCF /StrF /StdCF "
+            f"/P {p} /O <{o.hex().upper()}> /U <{u.hex().upper()}> "
+            f"/OE <{oe.hex().upper()}> /UE <{ue.hex().upper()}> "
+            f"/Perms <{perms.hex().upper()}> >>"
+        )
+    else:
+        if cipher == "aesv2":
+            r, n = 4, 16
+        else:
+            n = 5 if r == 2 else key_bits // 8
+        o = _std_owner_value(owner_password, user_password, r, n)
+        key = _std_file_key(user_password, o, p, id0, r, n)
+        u = _std_user_check(key, id0, r)
+        if r >= 3:
+            u = u + b"\x00" * 16  # 32-byte /U, last 16 arbitrary (spec)
+        if cipher == "aesv2":
+            enc_dict = (
+                "<< /Filter /Standard /V 4 /R 4 /Length 128 "
+                "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+                "/Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+                f"/P {p} /O <{o.hex().upper()}> /U <{u.hex().upper()}> >>"
+            )
+        else:
+            enc_dict = (
+                f"<< /Filter /Standard /V 2 /R {r} /Length {n * 8} "
+                f"/P {p} /O <{o.hex().upper()}> /U <{u.hex().upper()}> >>"
+            )
     nums = sorted(k for k in pdf.xref if not isinstance(pdf.xref[k], tuple))
     out = bytearray(b"%PDF-1.4\n")
     offsets: dict[int, int] = {}
     for num in nums:
         obj = pdf.get_object(num)
-        okey = _obj_rc4_key(key, num, 0)
-        enc_obj = pdf._decrypt_value(obj, okey)  # RC4 is symmetric
+        if cipher == "rc4":
+            okey = _obj_rc4_key(key, num, 0)
+            enc_obj = pdf._decrypt_value(obj, okey)  # RC4 is symmetric
+        else:
+            okey = _obj_aes_key(key, num, 0) if cipher == "aesv2" else key
+
+            def _ivgen(num=num):
+                i = 0
+                while True:
+                    yield hashlib.md5(
+                        id0 + num.to_bytes(4, "big")
+                        + i.to_bytes(4, "big")
+                    ).digest()
+                    i += 1
+
+            enc_obj = _aes_encrypt_value(obj, okey, _ivgen())
         offsets[num] = len(out)
         out += f"{num} 0 obj\n".encode()
         body = _ser_obj(enc_obj)
@@ -1856,10 +2603,6 @@ def encrypt_pdf(
         out += b"\nendobj\n"
     enc_num = max(nums) + 1
     offsets[enc_num] = len(out)
-    enc_dict = (
-        f"<< /Filter /Standard /V 2 /R {r} /Length {n * 8} "
-        f"/P {p} /O <{o.hex().upper()}> /U <{u.hex().upper()}> >>"
-    )
     out += f"{enc_num} 0 obj\n{enc_dict}\nendobj\n".encode()
     xref_off = len(out)
     size = enc_num + 1
@@ -1878,11 +2621,12 @@ def encrypt_pdf(
     return bytes(out)
 
 
-def pdf_encrypt_payloads(assets: DataFrame) -> DataFrame:
-    """(asset_id, payload) -> the RC4-encrypted twin of each payload,
-    executor-side (one mapInPandas; payload bytes never shuffle —
-    chained straight into pdf_page_text the two Python stages fuse
-    into one task with no exchange between them)."""
+def pdf_encrypt_payloads(assets: DataFrame, cipher: str = "rc4") -> DataFrame:
+    """(asset_id, payload) -> the encrypted twin of each payload
+    (``cipher``: rc4 / aesv2 / aesv3), executor-side (one
+    mapInPandas; payload bytes never shuffle — chained straight into
+    pdf_page_text the two Python stages fuse into one task with no
+    exchange between them)."""
     schema = T.StructType(
         [
             T.StructField("asset_id", T.LongType(), False),
@@ -1902,7 +2646,9 @@ def pdf_encrypt_payloads(assets: DataFrame) -> DataFrame:
                 {
                     "asset_id": [int(a) for a in pdf_batch["asset_id"]],
                     "payload": [
-                        encrypt_pdf(bytes(p), file_id=fixture_id)
+                        encrypt_pdf(
+                            bytes(p), file_id=fixture_id, cipher=cipher
+                        )
                         for p in pdf_batch["payload"]
                     ],
                 }
@@ -1953,27 +2699,42 @@ def pdf_images(data: bytes) -> list[tuple[int, int, int, int, int, bytes]]:
     /Width //Height CROSS-CHECKED against the JPEG's own frame
     header — a stale declaration fails loudly. Raw and /FlateDecode
     samples decode directly (8-bit /DeviceGray or /DeviceRGB).
-    Loud gates: Form XObjects, the fax/JBIG2/JPX image filters,
-    non-8-bit samples, and palette/ICC color spaces."""
+    /Subtype /Form XObjects RECURSE (r16, VERDICT r15 item 3):
+    images painted inside a form surface in flattened paint order,
+    with the form's own /Resources (falling back to the painting
+    context's) and a ``_FORM_MAX_DEPTH`` recursion-bomb cap. Loud
+    gates: the fax/JBIG2/JPX image filters, non-8-bit samples, and
+    palette/ICC color spaces."""
     from .jpegcodec import decode_jpeg_pixels
 
     pdf = _Pdf(bytes(data))
     out: list[tuple[int, int, int, int, int, bytes]] = []
-    for pi, page in enumerate(pdf.pages()):
-        res = pdf.resolve(page.get("Resources"))
+
+    def _walk(pi: int, content: bytes, res, counter: list, depth: int):
         xobjs = pdf.resolve((res or {}).get("XObject")) or {}
-        for ix, nm in enumerate(_content_do_names(pdf.page_content(page))):
+        for nm in _content_do_names(content):
             xo = pdf.resolve(xobjs.get(nm))
             if not isinstance(xo, dict) or "__stream__" not in xo:
                 raise PdfError(f"/XObject /{nm} missing or not a stream")
             sub = pdf.resolve(xo.get("Subtype"))
             if sub == "Form":
-                raise NotImplementedError(
-                    "Form XObjects are outside the implemented subset "
-                    "(images only)"
+                if depth >= _FORM_MAX_DEPTH:
+                    raise PdfError(
+                        "Form XObject nesting exceeds depth "
+                        f"{_FORM_MAX_DEPTH} (reference cycle or "
+                        "recursion bomb)"
+                    )
+                fres = pdf.resolve(xo.get("Resources"))
+                _walk(
+                    pi, pdf.stream_data(xo),
+                    fres if fres is not None else res,
+                    counter, depth + 1,
                 )
+                continue
             if sub != "Image":
                 raise PdfError(f"/XObject /{nm} has /Subtype {sub!r}")
+            ix = counter[0]
+            counter[0] += 1
             w = int(pdf.resolve(xo.get("Width", 0)))
             h = int(pdf.resolve(xo.get("Height", 0)))
             filt = pdf.resolve(xo.get("Filter"))
@@ -2027,6 +2788,15 @@ def pdf_images(data: bytes) -> list[tuple[int, int, int, int, int, bytes]]:
                     )
                 px = samples
             out.append((pi, ix, w, h, ch, bytes(px)))
+
+    for pi, page in enumerate(pdf.pages()):
+        _walk(
+            pi,
+            pdf.page_content(page),
+            pdf.resolve(page.get("Resources")),
+            [0],
+            0,
+        )
     return out
 
 

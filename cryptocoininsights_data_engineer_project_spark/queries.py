@@ -2084,8 +2084,10 @@ def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the classic-xref layout; pdf_text_extract_v15 covers the 1.5 "
     "xref/object-stream machinery, and the filter chain decodes "
     "Flate/LZW/RunLength/ASCIIHex/ASCII85 — remaining loud gates "
-    "are encryption, the image filters (DCT/CCITT/JBIG2/JPX/"
-    "Crypt), and the TIFF predictor. The "
+    "are non-Standard security handlers and non-empty user "
+    "passwords (RC4 decrypts since r15, AES-128/AES-256 since "
+    "r16), the fax-class image filters (CCITT/JBIG2/JPX/Crypt), "
+    "and non-/Image XObjects. The "
     "oracle restates the per-page text closed-form with no PDF "
     "syntax on the DuckDB side",
 )
@@ -2150,16 +2152,106 @@ def pdf_text_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "as pdf_text_extract executor-side (encrypt_pdf runs Algorithms "
     "1-5 FORWARD, so /O and /U are spec-true) and the oracle is "
     "IDENTICAL to the plain twin's — if decryption were a no-op the "
-    "parse fails outright. AES / crypt filters (V >= 4) remain a "
-    "named gate (operators/pdftext.py::_setup_decryption)",
+    "parse fails outright. AES decodes as of r16 "
+    "(pdf_text_extract_aes / _aes256); non-Standard handlers and "
+    "non-empty user passwords stay named gates "
+    "(operators/pdftext.py::_setup_decryption)",
 )
 def pdf_text_extract_encrypted(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # python-heavy encrypt+decrypt per doc: spread over all cores
+    # (the parquet scan alone yields too few input partitions)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return pdftext.pdf_page_text(
         pdftext.pdf_encrypt_payloads(pdftext.synth_pdf_assets(docs))
     )
+
+
+@_q(
+    "pdf_text_extract_aes",
+    pdftext.pdf_text_oracle_sql(),
+    doc="AES-ENCRYPTED PDF text extraction, the V4 crypt-filter "
+    "class (VERDICT r15 item 2 — modern encrypted PDFs are AES; "
+    "RC4 was the legacy half): /Encrypt V 4 R 4 with /CF /StdCF "
+    "/CFM /AESV2 — file key by the same md5 Algorithm 2 as R3, "
+    "per-object keys with the sAlT suffix, then AES-128-CBC over "
+    "every string and stream (16-byte IV prefix + PKCS#7-style "
+    "padding, stream /Length rewritten for the growth). The cipher "
+    "is pure stdlib+derived: S-box and T-tables computed from "
+    "GF(2^8) algebra in code — NOTHING transcribed — and pinned by "
+    "the FIPS-197 example vectors for all three key sizes in "
+    "tests. Fixture encrypts the SAME two-page documents as "
+    "pdf_text_extract executor-side with deterministic IVs; oracle "
+    "IDENTICAL to the plain twin "
+    "(operators/pdftext.py::_setup_decryption/_crypt_filter_method)",
+)
+def pdf_text_extract_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # python-heavy encrypt+decrypt per doc: spread over all cores
+    # (the parquet scan alone yields too few input partitions)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return pdftext.pdf_page_text(
+        pdftext.pdf_encrypt_payloads(
+            pdftext.synth_pdf_assets(docs), cipher="aesv2"
+        )
+    )
+
+
+@_q(
+    "pdf_text_extract_aes256",
+    pdftext.pdf_text_oracle_sql(),
+    doc="AES-256 ENCRYPTED PDF text extraction, the V5 R6 class "
+    "(ISO 32000-2 — what current PDF writers emit): the Algorithm "
+    "2.B KDF (SHA-256 seed, then >= 64 rounds of AES-128-CBC over "
+    "(pw+K+udata) x 64 with the SHA-256/384/512 pick by E[0:16] "
+    "mod 3 and the last-byte termination rule), the 48-byte /U = "
+    "hash + validation salt + key salt, the file key UNWRAPPED "
+    "from /UE with the intermediate key, the /Perms integrity "
+    "block (AES-ECB, bytes 9-11 must read 'adb'), and AES-256-CBC "
+    "over strings and streams with the FILE key (V5 has no "
+    "per-object derivation). Fixture runs the whole handler "
+    "FORWARD (U/UE/O/OE/Perms spec-true, deterministic salts + "
+    "IVs); oracle IDENTICAL to the plain twin; a non-empty user "
+    "password gates loudly (operators/pdftext.py::_setup_v5)",
+)
+def pdf_text_extract_aes256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # python-heavy encrypt+decrypt per doc: spread over all cores
+    # (the parquet scan alone yields too few input partitions)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return pdftext.pdf_page_text(
+        pdftext.pdf_encrypt_payloads(
+            pdftext.synth_pdf_assets(docs), cipher="aesv3"
+        )
+    )
+
+
+@_q(
+    "pdf_text_form_xobject",
+    pdftext.pdf_form_oracle_sql(),
+    doc="PDF FORM XOBJECTS (VERDICT r15 item 3 — flattened forms, "
+    "stamps and letterheads carry text through /Subtype /Form "
+    "content streams in a large fraction of generated PDFs; "
+    "previously the whole document gated): a Do-painted form's "
+    "content stream extracts with the form's OWN /Resources, "
+    "recursively — the fixture nests a second form INSIDE the "
+    "first, and the inner one has no /Resources at all (the 7.8.3 "
+    "inherit branch). Page text splices each form's text at its Do "
+    "position with one separating space: 'Pre <id8> Form <w0> "
+    "Inner <w1> Post'. Image Do's still paint no text; unknown "
+    "XObject names and nesting past the recursion-bomb depth cap "
+    "raise typed errors; pdf_images recurses the same way so "
+    "images inside forms surface in flattened paint order "
+    "(operators/pdftext.py::form_xobjects/_content_text)",
+)
+def pdf_text_form_xobject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return pdftext.pdf_page_text(pdftext.synth_pdfform_assets(docs))
 
 
 @_q(

@@ -326,10 +326,13 @@ def test_pdf15_sql_fixture_bytes_equal_int_mode(spark):
 
 def test_pdf15_gates():
     c = [b"BT (x) Tj ET"]
-    # TIFF predictor gates by number
-    tiff = build_pdf15(c, predictor=2)
-    with pytest.raises(NotImplementedError, match="Predictor 2"):
-        P.pdf_text(tiff)
+    # a predictor value outside the spec set (1, 2, 10-15) is a
+    # typed document error (TIFF predictor 2 DECODES as of r16 —
+    # test_tiff_predictor_2_decodes; this fixture's rows are
+    # PNG-shaped so predictor 2 would misparse them, as it should)
+    bad = build_pdf15(c, predictor=5)
+    with pytest.raises(P.PdfError, match="Predictor 5"):
+        P.pdf_text(bad)
     # ObjStm whose header pair contradicts the xref claim
     lie = build_pdf15(c, wrong_pair_num=True)
     with pytest.raises(P.PdfError, match="xref claimed"):
@@ -703,6 +706,74 @@ def test_bfrange_destination_errors_are_typed():
         P.pdf_text(_pdf("D83D"))  # lone high surrogate
 
 
+def test_aes_fips197_vectors():
+    """The derived S-box/T-table AES is pinned by the FIPS-197
+    example vectors for all three key sizes (the cipher tables are
+    COMPUTED from GF(2^8) algebra, so these vectors are the
+    transcription witness — there is nothing transcribed to slip)."""
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    for kh, ch in [
+        ("000102030405060708090a0b0c0d0e0f",
+         "69c4e0d86a7b0430d8cdb78070b4c55a"),
+        ("000102030405060708090a0b0c0d0e0f1011121314151617",
+         "dda97ca4864cdfe06eaf70a0ec0d7191"),
+        ("000102030405060708090a0b0c0d0e0f1011121314151617"
+         "18191a1b1c1d1e1f",
+         "8ea2b7ca516745bfeafc49904b496089"),
+    ]:
+        key = bytes.fromhex(kh)
+        got = P._aes_encrypt_block(pt, P._aes_rk_words(key))
+        assert got.hex() == ch
+        assert P._aes_decrypt_block(got, P._aes_dk_words(key)) == pt
+    # S-box spot values (FIPS-197 figure 7) + CBC round trip
+    assert P._AES_SBOX[0] == 0x63 and P._AES_SBOX[0x53] == 0xED
+    k, iv = bytes(range(16)), bytes(range(16, 32))
+    data = bytes(range(64))
+    assert P._aes_cbc_decrypt(k, iv, P._aes_cbc_encrypt(k, iv, data)) == data
+
+
+@pytest.mark.parametrize("cipher", ["aesv2", "aesv3"])
+def test_aes_encrypted_pdf_round_trip(cipher):
+    """encrypt_pdf's AES twins (V4 /AESV2 and V5 R6 /AESV3) decode
+    back to the plain text — the forward handler (Algorithm 2 /
+    2.B, U/UE/O/OE/Perms, per-object sAlT keys, IV + padding with
+    stream /Length rewrite) against the decoder."""
+    plain = P.synth_pdf_bytes(7)
+    want = P.pdf_text(plain)
+    fid = bytes(range(16))
+    enc = P.encrypt_pdf(plain, file_id=fid, cipher=cipher)
+    assert P.pdf_text(enc) == want
+    # deterministic fixture bytes
+    assert enc == P.encrypt_pdf(plain, file_id=fid, cipher=cipher)
+    # non-empty user password gates loudly
+    locked = P.encrypt_pdf(
+        plain, user_password=b"pw", file_id=fid, cipher=cipher
+    )
+    with pytest.raises(NotImplementedError, match="NON-EMPTY user"):
+        P.pdf_text(locked)
+
+
+def test_aes_error_paths_are_typed():
+    # bad padding / truncated ciphertext raise PdfError, not
+    # untyped slicing or decode errors
+    key = bytes(16)
+    with pytest.raises(P.PdfError, match="invalid length"):
+        P._aes_decrypt_data(key, b"\x00" * 17)
+    with pytest.raises(P.PdfError, match="invalid length"):
+        P._aes_decrypt_data(key, b"\x00" * 16)  # IV with no block
+    iv = bytes(16)
+    ct = iv + P._aes_cbc_encrypt(key, iv, b"\xff" * 16)  # pad byte 0xff
+    with pytest.raises(P.PdfError, match="padding"):
+        P._aes_decrypt_data(key, ct)
+    # V5 /Perms integrity: corrupting Perms fails the 'adb' check
+    plain = P.synth_pdf_bytes(3)
+    enc = bytearray(P.encrypt_pdf(plain, file_id=bytes(16), cipher="aesv3"))
+    at = enc.find(b"/Perms <") + len(b"/Perms <")
+    enc[at] = ord("0") if enc[at] != ord("0") else ord("1")
+    with pytest.raises(P.PdfError, match="Perms"):
+        P.pdf_text(bytes(enc))
+
+
 def test_type0_identity_h_tounicode():
     cmap = (
         "begincmap\n1 begincodespacerange\n<0000> <FFFF>\n"
@@ -745,20 +816,51 @@ def test_font_gates():
     pdf = build_font_pdf(b"BT /F1 10 Tf <0041> Tj ET", {"F1": f})
     with pytest.raises(NotImplementedError, match="Identity"):
         P.pdf_text(pdf)
-    # mixed codespace widths gate
+    # show bytes outside every codespace range are loud
     cmap = (
-        "begincmap\n2 begincodespacerange\n<00> <80>\n<8140> <9FFC>\n"
-        "endcodespacerange\nendcmap\n"
+        "begincmap\n1 begincodespacerange\n<20> <7E>\n"
+        "endcodespacerange\n1 beginbfchar\n<41> <0057>\nendbfchar\n"
+        "endcmap\n"
     )
     f = (
         b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H "
         b"/ToUnicode 6 0 R >>"
     )
     pdf = build_font_pdf(
-        b"BT /F1 10 Tf <0041> Tj ET", {"F1": f},
+        b"BT /F1 10 Tf <0F> Tj ET", {"F1": f},
         extra=[_tounicode_obj(cmap)],
     )
-    with pytest.raises(NotImplementedError, match="mixed code widths"):
+    with pytest.raises(P.PdfError, match="codespace"):
+        P.pdf_text(pdf)
+
+
+def test_mixed_width_codespace_decodes():
+    """Mixed 1-/2-byte codespace ranges — the real CJK CMap shape
+    (VERDICT r15 item 6, gate RETIRED): show strings match ranges
+    greedily by width, so <41 8140 42> decodes as 1-byte A-range,
+    2-byte CJK-range, 1-byte again."""
+    cmap = (
+        "begincmap\n2 begincodespacerange\n<00> <80>\n<8140> <9FFC>\n"
+        "endcodespacerange\n"
+        "2 beginbfchar\n<41> <0057>\n<42> <0058>\nendbfchar\n"
+        "1 beginbfrange\n<8140> <8142> <4E00>\nendbfrange\n"
+        "endcmap\n"
+    )
+    f = (
+        b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H "
+        b"/ToUnicode 6 0 R >>"
+    )
+    pdf = build_font_pdf(
+        b"BT /F1 10 Tf <41814142> Tj ET", {"F1": f},
+        extra=[_tounicode_obj(cmap)],
+    )
+    assert P.pdf_text(pdf) == ["W丁X"]
+    # an in-range but unmapped code is loud
+    pdf = build_font_pdf(
+        b"BT /F1 10 Tf <43> Tj ET", {"F1": f},
+        extra=[_tounicode_obj(cmap)],
+    )
+    with pytest.raises(P.PdfError, match="unmapped"):
         P.pdf_text(pdf)
     # an undefined WinAnsi byte is a typed error naming the byte
     f = b"<< /Type /Font /Subtype /Type1 /Encoding /WinAnsiEncoding >>"
@@ -782,11 +884,12 @@ def test_font_gates():
     with pytest.raises(P.PdfError, match="unmapped"):
         P.pdf_text(pdf)
     # odd-length show string under a 2-byte font is a typed error
+    # (the trailing byte matches no codespace range)
     pdf = build_font_pdf(
         b"BT /F1 10 Tf <004100> Tj ET", {"F1": f},
         extra=[_tounicode_obj(cmap)],
     )
-    with pytest.raises(P.PdfError, match="code width"):
+    with pytest.raises(P.PdfError, match="codespace"):
         P.pdf_text(pdf)
 
 
@@ -928,13 +1031,149 @@ def test_pdf_images_raw_and_flate():
     assert [r[:2] for r in P.pdf_images(pdf)] == [(0, 0), (0, 1)]
 
 
+def _form_pdf(objs_tail: list[bytes], content: bytes = b"/Fx1 Do"):
+    """Assemble a 1-page PDF whose page /Resources /XObject maps
+    /Fx1 (and whatever ``objs_tail`` adds as objects 5, 6, ...)."""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+        b"<< /XObject << /Fx1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+        *objs_tail,
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for n, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_off = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode() + b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>"
+        f"\nstartxref\n{xref_off}\n%%EOF\n".encode()
+    )
+    return bytes(out)
+
+
+def test_form_xobject_text_and_fixture():
+    """Text inside Do-painted /Subtype /Form streams extracts with
+    the form's own resources, nested forms recurse, and the no-
+    /Resources inherit branch works (VERDICT r15 item 3) — the
+    registry fixture covers all three in one page."""
+    b = P.synth_pdfform_bytes(7)
+    assert P.pdf_text(b) == ["Pre 00000007 Form x Inner c Post"]
+    # byte-equality across int and SQL emitters is pinned by the
+    # oracle-parity sweep; here pin the closed form for doc 0 too
+    assert P.pdf_text(P.synth_pdfform_bytes(0)) == [
+        "Pre 00000000 Form a Inner f Post"
+    ]
+
+
+def test_form_xobject_recursion_bomb_gates():
+    """A self-referencing form (its /Resources names itself) must
+    raise the typed depth error, not recurse forever."""
+    fc = b"/Fx1 Do"
+    form = (
+        b"<< /Type /XObject /Subtype /Form /BBox [0 0 9 9] /Resources "
+        b"<< /XObject << /Fx1 5 0 R >> >> /Length "
+        + str(len(fc)).encode() + b" >>\nstream\n" + fc + b"\nendstream"
+    )
+    with pytest.raises(P.PdfError, match="depth"):
+        P.pdf_text(_form_pdf([form]))
+    with pytest.raises(P.PdfError, match="depth"):
+        P.pdf_images(_form_pdf([form]))
+
+
+def test_form_xobject_unknown_do_name_is_loud():
+    fc = b"/Nope Do"
+    form = (
+        b"<< /Type /XObject /Subtype /Form /BBox [0 0 9 9] /Resources "
+        b"<< /XObject << >> >> /Length "
+        + str(len(fc)).encode() + b" >>\nstream\n" + fc + b"\nendstream"
+    )
+    with pytest.raises(P.PdfError, match="unknown /XObject"):
+        P.pdf_text(_form_pdf([form]))
+
+
+def test_pdf_images_inside_form():
+    """pdf_images recurses Form XObjects: an image painted from
+    inside a form surfaces in flattened paint order with the form's
+    resources (the r15 Form gate is retired)."""
+    samples = bytes(range(24))  # 4x2 RGB
+    fc = b"/Im1 Do"
+    form = (
+        b"<< /Type /XObject /Subtype /Form /BBox [0 0 9 9] /Resources "
+        b"<< /XObject << /Im1 6 0 R >> >> /Length "
+        + str(len(fc)).encode() + b" >>\nstream\n" + fc + b"\nendstream"
+    )
+    img = (
+        b"<< /Subtype /Image /Width 4 /Height 2 /ColorSpace /DeviceRGB "
+        b"/BitsPerComponent 8 /Length 24 >>\nstream\n" + samples
+        + b"\nendstream"
+    )
+    assert P.pdf_images(_form_pdf([form, img])) == [
+        (0, 0, 4, 2, 3, samples)
+    ]
+    # a form with no /Resources falls back to the painting context's
+    form_bare = (
+        b"<< /Type /XObject /Subtype /Form /BBox [0 0 9 9] /Length "
+        + str(len(fc)).encode() + b" >>\nstream\n" + fc + b"\nendstream"
+    )
+    pdf = _form_pdf([form_bare, img])
+    # page resources don't name /Im1 -> loud
+    with pytest.raises(P.PdfError, match="missing"):
+        P.pdf_images(pdf)
+
+
+def test_tiff_predictor_2_decodes():
+    """TIFF predictor 2 (horizontal differencing) on a Flate image
+    stream — the scanner-output shape (VERDICT r15 item 6, gate
+    RETIRED): forward-difference the samples per row, compress,
+    and the decoder reconstructs the original bytes; Colors=3
+    interleaved components difference per-component."""
+    for colors, w, h in [(1, 6, 3), (3, 4, 2)]:
+        samples = bytes(
+            (7 * i + 3) % 256 for i in range(w * h * colors)
+        )
+        row = w * colors
+        diffed = bytearray(samples)
+        for r in range(0, len(diffed), row):
+            for i in range(row - 1, colors - 1, -1):
+                diffed[r + i] = (
+                    samples[r + i] - samples[r + i - colors]
+                ) & 0xFF
+        z = zlib.compress(bytes(diffed))
+        cs = b"/DeviceGray" if colors == 1 else b"/DeviceRGB"
+        pdf = _image_pdf(
+            b"<< /Subtype /Image /Width " + str(w).encode()
+            + b" /Height " + str(h).encode()
+            + b" /ColorSpace " + cs
+            + b" /BitsPerComponent 8 /Filter /FlateDecode"
+            + b" /DecodeParms << /Predictor 2 /Colors "
+            + str(colors).encode() + b" /Columns " + str(w).encode()
+            + b" >> /Length " + str(len(z)).encode() + b" >>",
+            z,
+        )
+        assert P.pdf_images(pdf) == [(0, 0, w, h, colors, samples)]
+    # a non-spec predictor value is a typed document error
+    z = zlib.compress(bytes(6))
+    pdf = _image_pdf(
+        b"<< /Subtype /Image /Width 6 /Height 1 /ColorSpace /DeviceGray"
+        b" /BitsPerComponent 8 /Filter /FlateDecode"
+        b" /DecodeParms << /Predictor 5 /Columns 6 >> /Length "
+        + str(len(z)).encode() + b" >>",
+        z,
+    )
+    with pytest.raises(P.PdfError, match="Predictor 5"):
+        P.pdf_images(pdf)
+
+
 def test_pdf_images_gates():
     samples = bytes(16)
-    pdf = _image_pdf(
-        b"<< /Subtype /Form /Length 16 >>", samples
-    )
-    with pytest.raises(NotImplementedError, match="Form"):
-        P.pdf_images(pdf)
     pdf = _image_pdf(
         b"<< /Subtype /Image /Width 4 /Height 4 /ColorSpace /DeviceGray"
         b" /BitsPerComponent 1 /Length 16 >>",
