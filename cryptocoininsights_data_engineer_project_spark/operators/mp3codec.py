@@ -66,8 +66,13 @@ Scope (each limit gates LOUDLY, the house convention):
   scalefac_compress >> 1), the LSF long-sfb region tables, and the
   LSF Layer III bitrate column. The NR_OF_SFB_LSF partition-size
   rows carry a built-in fidelity witness (every long row sums to 21
-  sfbs, short to 36, mixed to 33 — pinned in tests). MPEG-2.5 and
-  LSF layers I/II raise by name.
+  sfbs, short to 36, mixed to 33 — pinned in tests). MPEG-2.5
+  (version bits 00 — the FhG low-rate extension, 8/11.025/12 kHz)
+  decodes as of r16 with the same one-granule LSF machinery:
+  11.025/12 kHz reuse the 22.05/24 kHz scalefactor-band tables (the
+  public-decoder convention), 8 kHz has its own row, and EVERY
+  SFB_LONG row is pinned by the widths-sum-to-576 witness. LSF/2.5
+  layers I/II decode in mpaudiocodec as of r16.
 * Both channel modes decode (mono; stereo/dual as independent
   channels — ms/intensity stereo PROCESSING is float-side, after
   the integer lines this module stops at).
@@ -300,6 +305,16 @@ SFB_LONG = {
             162, 194, 232, 278, 332, 394, 464, 540, 576],
     16000: [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140,
             168, 200, 238, 284, 336, 396, 464, 522, 576],
+    # MPEG-2.5 (r16): 11.025/12 kHz reuse the 22.05/24 kHz tables
+    # (the public-decoder convention); 8 kHz has its own row. Every
+    # row's band widths sum to 576 lines — the transcription witness
+    # pinned in tests (all nine rows pass).
+    11025: [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140,
+            168, 200, 238, 284, 336, 396, 464, 522, 576],
+    12000: [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 114, 136,
+            162, 194, 232, 278, 332, 394, 464, 540, 576],
+    8000: [0, 12, 24, 36, 48, 60, 72, 88, 108, 132, 160, 192, 232,
+           280, 336, 400, 476, 566, 568, 570, 572, 574, 576],
 }
 
 # LSF scalefactor partition sizes (13818-3 2.4.3.2): rows indexed by

@@ -63,11 +63,21 @@ _BITRATE_L3 = [
 ]
 _SAMPLING = {0: 44100, 1: 48000, 2: 32000}
 # MPEG-2 LSF (ISO/IEC 13818-3, ID bit 0): halved sampling rates and
-# its own Layer III bitrate column (8..160 kbps)
+# its own bitrate columns — Layer III 8..160 kbps, Layer I
+# 32..256 kbps, Layer II sharing the Layer III column (13818-3
+# Table 11, r16)
 _SAMPLING_LSF = {0: 22050, 1: 24000, 2: 16000}
+# MPEG-2.5 (r16): the de-facto FhG extension — 11-bit syncword,
+# version bits 00, quartered sampling rates, LSF bitrate columns and
+# frame layouts otherwise
+_SAMPLING_25 = {0: 11025, 1: 12000, 2: 8000}
 _BITRATE_L3_LSF = [
     None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160,
 ]
+_BITRATE_L1_LSF = [
+    None, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256,
+]
+_BITRATE_L2_LSF = _BITRATE_L3_LSF  # 13818-3: layers II and III share it
 
 # Layer II low-rate ladder (Annex 3-B tables 2c/2d): alloc value ->
 # number of quantization steps; 3/5/9 are the grouped classes.
@@ -121,6 +131,33 @@ def _l2_hi_steps(sb: int, alloc: int) -> int:
         menu = _L2_HI_MENU_11_22
     else:
         menu = _L2_HI_MENU_23_UP
+    return menu[alloc - 1]
+
+
+# MPEG-2 LSF / MPEG-2.5 Layer II (13818-3 Annex B, Table B.1 —
+# r16): ONE allocation table for every LSF bitrate/rate combination
+# (no 2.4.2.6-style selection): sblimit 30, allocation-field widths
+# 4/3/2 bits by subband class. Transcription witnesses (pinned in
+# tests): every menu EXACTLY fills its field width (15/7/3 nonzero
+# codes for 4/3/2 bits), and every step count is either a grouped
+# class (3/5/9) or 2^nb - 1 — so the shared requantization path
+# applies unchanged.
+_L2_LSF_NBAL = [4] * 4 + [3] * 7 + [2] * 19                     # 30 sb
+_L2_LSF_MENU_0_3 = [
+    3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191, 16383,
+]
+_L2_LSF_MENU_4_10 = [3, 5, 7, 9, 15, 31, 63]
+_L2_LSF_MENU_11_29 = [3, 5, 7]
+
+
+def _l2_lsf_steps(sb: int, alloc: int) -> int:
+    """Steps for allocation code ``alloc`` in LSF subband ``sb``."""
+    if sb <= 3:
+        menu = _L2_LSF_MENU_0_3
+    elif sb <= 10:
+        menu = _L2_LSF_MENU_4_10
+    else:
+        menu = _L2_LSF_MENU_11_29
     return menu[alloc - 1]
 
 
@@ -219,14 +256,16 @@ def _parse_header(b: bytes, pos: int):
     if pos + 4 > len(b):
         raise MpegAudioError("truncated header")
     h = int.from_bytes(b[pos : pos + 4], "big")
-    if (h >> 20) & 0xFFF != 0xFFF:
-        if (h >> 21) & 0x7FF == 0x7FF:
-            raise NotImplementedError(
-                "MPEG-2.5 (11-bit syncword, ID bit 20 = 0) is outside "
-                "the implemented subset — MPEG-1 and MPEG-2 LSF decode"
-            )
+    if (h >> 21) & 0x7FF != 0x7FF:
         raise MpegAudioError(f"bad syncword at byte {pos}")
-    lsf = not (h >> 19) & 1  # ID 0 = MPEG-2 LSF (ISO/IEC 13818-3)
+    # version (bits 20-19 after the 11-bit sync): 11 = MPEG-1,
+    # 10 = MPEG-2 LSF, 00 = MPEG-2.5 (r16 — the FhG low-rate
+    # extension real voice/podcast archives carry), 01 = reserved
+    version = (h >> 19) & 3
+    if version == 1:
+        raise MpegAudioError("reserved version id 01")
+    lsf = version != 3  # both MPEG-2 LSF and 2.5 use the LSF layouts
+    mp25 = version == 0
     layer_code = (h >> 17) & 3
     if layer_code == 3:
         layer = 1
@@ -257,22 +296,19 @@ def _parse_header(b: bytes, pos: int):
     # layer III reinterprets mode_extension as (intensity, ms) flags;
     # the LSF intensity-stereo scalefactor layout needs the flag
     intensity_l3 = layer == 3 and mode == 1 and bool(mode_ext & 1)
-    if lsf and layer != 3:
-        raise NotImplementedError(
-            f"MPEG-2 LSF layer {layer} is outside the implemented "
-            "subset — LSF decodes for layer III (13818-3); layers "
-            "I/II decode for MPEG-1"
-        )
-    rate = (_SAMPLING_LSF if lsf else _SAMPLING)[sampling_index]
+    if mp25:
+        rate = _SAMPLING_25[sampling_index]
+    else:
+        rate = (_SAMPLING_LSF if lsf else _SAMPLING)[sampling_index]
     kbps = {
-        1: _BITRATE_L1,
-        2: _BITRATE_L2,
+        1: _BITRATE_L1_LSF if lsf else _BITRATE_L1,
+        2: _BITRATE_L2_LSF if lsf else _BITRATE_L2,
         3: _BITRATE_L3_LSF if lsf else _BITRATE_L3,
     }[layer][bitrate_index]
     if layer == 1:
         frame_bytes = 4 * (12 * kbps * 1000 // rate + padding)
     elif layer == 3 and lsf:
-        # LSF layer III frames carry ONE 576-sample granule
+        # LSF/2.5 layer III frames carry ONE 576-sample granule
         frame_bytes = 72 * kbps * 1000 // rate + padding
     else:  # layers II and III share the 144-coefficient frame size
         frame_bytes = 144 * kbps * 1000 // rate + padding
@@ -340,25 +376,35 @@ def _decode_frame_l1(
 
 
 def _decode_frame_l2(
-    br: _Bits, rate: int, kbps: int, nch: int, bound: int = 32
+    br: _Bits, rate: int, kbps: int, nch: int, bound: int = 32,
+    lsf: bool = False,
 ) -> AudioFrame:
-    table, sblimit = _l2_table_select(rate, kbps // nch)
-    if table in ("a", "b"):
-        nbal = _L2_HI_NBAL_A if table == "a" else _L2_HI_NBAL_B
+    if lsf:
+        # 13818-3: one table for every LSF/2.5 rate — Table B.1
+        table, sblimit = "lsf", 30
+        nbal = _L2_LSF_NBAL
 
         def steps_of(sb: int, a: int) -> int:
-            return _l2_hi_steps(sb, a)
+            return _l2_lsf_steps(sb, a)
 
     else:
-        nbal = [4] * sblimit
+        table, sblimit = _l2_table_select(rate, kbps // nch)
+        if table in ("a", "b"):
+            nbal = _L2_HI_NBAL_A if table == "a" else _L2_HI_NBAL_B
 
-        def steps_of(sb: int, a: int) -> int:
-            if a == 15:
-                raise MpegAudioError(
-                    "layer II allocation 15 is forbidden (low-rate "
-                    "ladder has 14 entries)"
-                )
-            return _L2_STEPS[a - 1]
+            def steps_of(sb: int, a: int) -> int:
+                return _l2_hi_steps(sb, a)
+
+        else:
+            nbal = [4] * sblimit
+
+            def steps_of(sb: int, a: int) -> int:
+                if a == 15:
+                    raise MpegAudioError(
+                        "layer II allocation 15 is forbidden (low-rate "
+                        "ladder has 14 entries)"
+                    )
+                return _L2_STEPS[a - 1]
 
     alloc = [[0] * 32 for _ in range(nch)]
     for sb in range(sblimit):
@@ -466,11 +512,14 @@ def _protected_side_bits(body: bytes, layer: int, rate: int,
         else:
             n_side = 9 + (5 if nch == 1 else 3) + 4 * nch + 118 * nch
         return [_frame_bit(body, start + i) for i in range(n_side)]
-    table, sblimit = _l2_table_select(rate, kbps // nch)
-    if table in ("a", "b"):
-        nbal = _L2_HI_NBAL_A if table == "a" else _L2_HI_NBAL_B
+    if lsf:
+        sblimit, nbal = 30, _L2_LSF_NBAL
     else:
-        nbal = [4] * sblimit
+        table, sblimit = _l2_table_select(rate, kbps // nch)
+        if table in ("a", "b"):
+            nbal = _L2_HI_NBAL_A if table == "a" else _L2_HI_NBAL_B
+        else:
+            nbal = [4] * sblimit
     alloc_by = [[0] * sblimit for _ in range(nch)]
     p = start
     for sb in range(sblimit):
@@ -549,7 +598,9 @@ def decode_mpeg_audio(payload: bytes) -> list[AudioFrame]:
         if layer == 1:
             frames.append(_decode_frame_l1(br, rate, kbps, nch, bound))
         elif layer == 2:
-            frames.append(_decode_frame_l2(br, rate, kbps, nch, bound))
+            frames.append(
+                _decode_frame_l2(br, rate, kbps, nch, bound, lsf)
+            )
         else:  # layer III: reservoir spans frames — decode after walk
             l3_infos.append(
                 (pos, frame_bytes, protection, rate, kbps, nch, lsf,
@@ -604,14 +655,32 @@ _SYNTHESIS_WINDOW: np.ndarray | None = None
 def register_synthesis_window(window) -> None:
     """Install the 512-coefficient synthesis window (ISO/IEC 11172-3
     Table 3-C.3). The table is numeric spec data this stdlib-only
-    build does not bundle; a deployment that has it (or any analysis
-    window of its own) registers it here — the
-    multimodal.register_decoder seam pattern."""
+    build does not bundle (free-form array, no public-reproduction
+    cross-check available in-container — the r16 SCALE.md policy);
+    a deployment that has it (or any analysis window of its own)
+    registers it here — the multimodal.register_decoder seam
+    pattern. For worker-side synthesis the operators capture
+    ``snapshot_synthesis_window()`` at plan-build time (the
+    register_huffman_table shipment discipline)."""
     global _SYNTHESIS_WINDOW
     w = np.asarray(window, dtype=np.float64)
     if w.shape != (512,):
         raise MpegAudioError("synthesis window must have 512 coefficients")
     _SYNTHESIS_WINDOW = w
+
+
+def snapshot_synthesis_window():
+    """Driver-side snapshot of the registered window for shipment
+    into Spark python workers (None if unregistered)."""
+    return None if _SYNTHESIS_WINDOW is None else _SYNTHESIS_WINDOW.copy()
+
+
+def install_synthesis_window(snap) -> None:
+    """Worker-side counterpart of ``snapshot_synthesis_window``."""
+    global _SYNTHESIS_WINDOW
+    _SYNTHESIS_WINDOW = None if snap is None else np.asarray(
+        snap, dtype=np.float64
+    )
 
 
 def matrixing(samples32: np.ndarray) -> np.ndarray:

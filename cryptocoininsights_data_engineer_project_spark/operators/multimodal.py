@@ -7328,6 +7328,457 @@ def mpeg_audio_l3esc_oracle_sql() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+# ----------------------------------- layer III MPEG-2.5 (r16)
+# The FhG low-rate extension (version bits 00): 8/11.025/12 kHz,
+# LSF frame layout and bitrate column. Fixture: 8 kHz / 32 kbps
+# mono (288-byte one-granule frames) — the rate whose DISTINCT
+# scalefactor-band row matters: 8 big-value pairs with
+# region0_count chosen so the region-0/region-1 boundary falls
+# BETWEEN pairs at the 8 kHz boundaries (bounds[1] = 12: pairs 0-5
+# ride table 1, pairs 6-7 table 2 — same 3-bit code LENGTH, so the
+# layout stays constant, but a decoder translating regions with a
+# WRONG band table decodes the boundary pairs under the wrong code
+# page and breaks the hash). Frame 1 moves the boundary with
+# region0_count = 1 (bounds[2] = 24: all pairs table 1, and the
+# wrong-table split again misdecodes).
+MP3_M25_PAIRS = 8
+
+
+def _mp3_m25_header_bits() -> str:
+    """MPEG-2.5 (version 00) layer III, no CRC, 32 kbps, 8 kHz,
+    mono."""
+    return (
+        "1" * 11 + "00" + "01" + "1" + "0100" + "10"
+        + "0" + "0" + "11" + "00" + "0" + "0" + "00"
+    )
+
+
+def _mpa_l3m25_ops(doc) -> list[tuple]:
+    """Two MPEG-2.5 layer-III frames as _mpeg_pack ops."""
+    ops: list[tuple] = []
+    # per frame: (region0_count, [table per pair])
+    shapes = [(0, [1] * 6 + [2] * 2), (1, [1] * 8)]
+    for f, (r0, tabs) in enumerate(shapes):
+        ops.append(("b", _mp3_m25_header_bits()))
+        bits_used = 32
+        # LSF side info: 8-bit main_data_begin, 1 private bit
+        ops.append(("b", "0" * 8 + "0"))
+        bits_used += 9
+        ops.append(("b", format(5 * MP3_M25_PAIRS, "012b")))
+        ops.append(("b", format(MP3_M25_PAIRS, "09b")))
+        ops.append(("s", _mp3_gain(doc, 0, f), 8))
+        # scalefac_compress 0 (9 bits), wsf 0, tables 1/2/1,
+        # region0_count r0, region1_count 5, scalefac_scale 0,
+        # count1table 0 (no preflag bit in the LSF layout)
+        ops.append(
+            ("b", "0" * 9 + "0" + "00001" + "00010" + "00001"
+             + format(r0, "04b") + "101" + "00")
+        )
+        bits_used += 12 + 9 + 8 + 9 + 1 + 15 + 4 + 3 + 2
+        for p in range(MP3_M25_PAIRS):
+            # (1, 1) is 3 bits in BOTH table 1 ("000") and table 2
+            # ("001") — constant layout, distinct code bits
+            ops.append(("b", "000" if tabs[p] == 1 else "001"))
+            ops.append(("s", _mp3_sx(doc, p, 0, f), 1))
+            ops.append(("s", _mp3_sy(doc, p, 0, f), 1))
+            bits_used += 5
+        ops.append(("b", "0" * (288 * 8 - bits_used)))
+    return ops
+
+
+def synth_mpeg_audio_l3m25_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): two-frame MPEG-2.5 layer-III streams."""
+    pieces = _mpeg_pack(_mpa_l3m25_ops("doc_id"))
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr("unhex(concat(" + ", ".join(pieces) + "))").alias("payload"),
+    )
+
+
+def mpeg_audio_l3m25_oracle_sql() -> str:
+    """Closed form per frame (one granule, 8 kHz): 16 ±1 lines from
+    the sign formulas — any error in the 2.5 header columns, the
+    one-granule walk, or the 8 kHz scalefactor-band boundaries
+    breaks the match."""
+    parts = []
+    for f in range(2):
+        sx = f"((doc_id + 3 * p.p + {7 * f}) % 2)"
+        sy = f"((doc_id * 3 + p.p + {f}) % 2)"
+        vx = f"(1 - 2 * {sx})"
+        vy = f"(1 - 2 * {sy})"
+        parts.append(
+            f"SELECT doc_id AS asset_id, CAST({f} AS BIGINT) AS frame_idx, "
+            "CAST(0 AS BIGINT) AS granule, "
+            "CAST(0 AS BIGINT) AS channel, "
+            f"CAST({MP3_M25_PAIRS} AS BIGINT) AS big_values, "
+            f"CAST({_mp3_gain('doc_id', 0, f)} AS BIGINT) AS global_gain, "
+            f"CAST({2 * MP3_M25_PAIRS} AS BIGINT) AS n_nonzero, "
+            f"CAST(sum({vx} + {vy}) AS BIGINT) AS line_sum, "
+            f"CAST({2 * MP3_M25_PAIRS} AS BIGINT) AS line_energy, "
+            f"CAST(sum({vx} * (2 * p.p + 1) * (2 * p.p + 1) + "
+            f"{vy} * (2 * p.p + 2) * (2 * p.p + 2)) AS BIGINT) "
+            "AS line_checksum "
+            "FROM documents, "
+            f"UNNEST(generate_series(0, {MP3_M25_PAIRS - 1})) AS p(p) "
+            "GROUP BY doc_id"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+# ------------------------------- layers I/II MPEG-2 LSF (r16)
+# 13818-3: layers I and II at the halved sampling rates. Layer I is
+# the MPEG-1 machinery under the LSF bitrate column; layer II swaps
+# in the single Annex-B Table B.1 allocation map (sblimit 30,
+# 4/3/2-bit allocation fields, one table for every rate) — the
+# fixture spans all three field-width classes, grouped codes (3, 5,
+# 9), the 7-step ladder MPEG-1's low-rate table lacks, and the
+# 16383-step top of the 4-bit menu.
+def _mpa_lsf_header_bits(layer: int) -> str:
+    """MPEG-2 LSF (version 10): layer I at 144 kbps, layer II at
+    64 kbps; 24 kHz mono, no CRC."""
+    bits = "1" * 11 + "10"
+    bits += "11" if layer == 1 else "10"
+    bits += "1"
+    bits += "1001" if layer == 1 else "1000"  # 144 / 64 kbps
+    bits += "01"                              # 24 kHz
+    bits += "0" + "0" + "11" + "00" + "0" + "0" + "00"
+    return bits
+
+
+def _mpa_l1lsf_ops(doc) -> list[tuple]:
+    """Two LSF layer-I frames (288 bytes each): same subband plan
+    and code formulas as the MPEG-1 fixture — the delta under test
+    is exactly the LSF header columns."""
+    ops: list[tuple] = []
+    for f in range(MPA_FRAMES):
+        bits_used = 32 + 32 * 4
+        ops.append(("b", _mpa_lsf_header_bits(1)))
+        for sb in range(32):
+            a = _MPA_L1_ALLOC[sb] if sb < len(_MPA_L1_ALLOC) else 0
+            ops.append(("b", format(a, "04b")))
+        for sb in range(len(_MPA_L1_ALLOC)):
+            ops.append(("s", _mpa_scf(doc, sb + f), 6))
+            bits_used += 6
+        for g in range(12):
+            for sb, alloc in enumerate(_MPA_L1_ALLOC):
+                nb = alloc + 1
+                k = g * _MPA_L1_B[sb] + f * _MPA_L1_F[sb]
+                ops.append(
+                    ("s", _mpa_code(doc, _MPA_L1_A[sb], k, (1 << nb) - 1), nb)
+                )
+                bits_used += nb
+        ops.append(("b", "0" * (288 * 8 - bits_used)))
+    return ops
+
+
+# LSF layer II fixture plan: coded subbands spanning every Table B.1
+# class — (subband, alloc) -> steps: sb0 a3 -> 7 (the ungrouped
+# 2^3-1 ladder MPEG-1's low-rate table lacks), sb1 a2 -> 5
+# (grouped), sb2 a15 -> 16383 (top of the 4-bit menu, 14-bit
+# codes), sb5 a4 -> 9 (grouped, 3-bit field), sb12 a1 -> 3
+# (grouped, 2-bit field), sb20 a2 -> 5 (grouped, 2-bit field).
+_MPA_L2LSF_SB = [0, 1, 2, 5, 12, 20]
+_MPA_L2LSF_ALLOC = [3, 2, 15, 4, 1, 2]
+_MPA_L2LSF_STEPS = [7, 5, 16383, 9, 3, 5]
+_MPA_L2LSF_SCFSI = [0, 1, 2, 3, 0, 1]
+_MPA_L2LSF_A = [7, 11, 13, 17, 19, 23]
+_MPA_L2LSF_B = [3, 5, 7, 11, 13, 17]
+_MPA_L2LSF_E = [1, 2, 3, 4, 5, 6]
+_MPA_L2LSF_F = [2, 3, 5, 7, 11, 13]
+
+
+def _mpa_l2lsf_ops(doc) -> list[tuple]:
+    """Two LSF layer-II frames (384 bytes each) over Table B.1."""
+    from .mpaudiocodec import _L2_GROUP_BITS, _L2_LSF_NBAL, _L2_NB
+
+    alloc_by_sb = dict(zip(_MPA_L2LSF_SB, _MPA_L2LSF_ALLOC))
+    ops: list[tuple] = []
+    for f in range(MPA_FRAMES):
+        bits_used = 32
+        ops.append(("b", _mpa_lsf_header_bits(2)))
+        for sb in range(30):
+            a = alloc_by_sb.get(sb, 0)
+            ops.append(("b", format(a, f"0{_L2_LSF_NBAL[sb]}b")))
+            bits_used += _L2_LSF_NBAL[sb]
+        for i, si in enumerate(_MPA_L2LSF_SCFSI):
+            ops.append(("b", format(si, "02b")))
+            bits_used += 2
+        n_scf = {0: 3, 1: 2, 2: 1, 3: 2}
+        for i, si in enumerate(_MPA_L2LSF_SCFSI):
+            for j in range(n_scf[si]):
+                ops.append(("s", _mpa_scf(doc, 2 * i + 3 * j + f), 6))
+                bits_used += 6
+        for g in range(12):
+            for i, steps in enumerate(_MPA_L2LSF_STEPS):
+                ks = [
+                    g * _MPA_L2LSF_B[i] + j * _MPA_L2LSF_E[i]
+                    + f * _MPA_L2LSF_F[i]
+                    for j in range(3)
+                ]
+                if steps in _L2_GROUP_BITS:
+                    cs = [
+                        _mpa_code(doc, _MPA_L2LSF_A[i], k, steps)
+                        for k in ks
+                    ]
+                    if isinstance(doc, int):
+                        v = cs[0] + steps * cs[1] + steps * steps * cs[2]
+                    else:
+                        v = (
+                            f"({cs[0]} + {steps} * {cs[1]} + "
+                            f"{steps * steps} * {cs[2]})"
+                        )
+                    nbits = _L2_GROUP_BITS[steps]
+                    ops.append(("s", v, nbits))
+                    bits_used += nbits
+                else:
+                    nb = _L2_NB.get(steps, steps.bit_length())
+                    for k in ks:
+                        ops.append(
+                            ("s",
+                             _mpa_code(doc, _MPA_L2LSF_A[i], k, steps),
+                             nb)
+                        )
+                        bits_used += nb
+        ops.append(("b", "0" * (384 * 8 - bits_used)))
+    return ops
+
+
+def synth_mpeg_audio_lsf_assets(docs: DataFrame, layer: int) -> DataFrame:
+    """(asset_id, payload): two-frame MPEG-2 LSF layer I/II
+    streams."""
+    ops = _mpa_l1lsf_ops("doc_id") if layer == 1 else _mpa_l2lsf_ops(
+        "doc_id"
+    )
+    pieces = _mpeg_pack(ops)
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr("unhex(concat(" + ", ".join(pieces) + "))").alias("payload"),
+    )
+
+
+def mpeg_audio_lsf_oracle_sql(layer: int) -> str:
+    """Closed form for the LSF layer I/II fixtures: the layer-I half
+    is the MPEG-1 oracle at 24 kHz (the fixture shares its
+    formulas); the layer-II half restates the Table B.1 fixture plan
+    (subbands, steps, scfsi expansion) directly."""
+    parts = []
+    if layer == 1:
+        for f in range(MPA_FRAMES):
+            for sb, alloc in enumerate(_MPA_L1_ALLOC):
+                nb = alloc + 1
+                q = (
+                    f"(((doc_id * {_MPA_L1_A[sb]} + g.g * {_MPA_L1_B[sb]}"
+                    f" + {f * _MPA_L1_F[sb]}) % {(1 << nb) - 1})"
+                    f" - {1 << (nb - 1)} + 1)"
+                )
+                scf0 = f"(3 * ((doc_id + {sb + f}) % 4))"
+                parts.append(
+                    f"SELECT doc_id AS asset_id, CAST({f} AS BIGINT) AS frame_idx, "
+                    f"CAST(1 AS BIGINT) AS layer, CAST(24000 AS BIGINT) AS sample_rate, "
+                    "CAST(0 AS BIGINT) AS channel, "
+                    f"CAST({sb} AS BIGINT) AS sb, CAST({(1 << nb) - 1} AS BIGINT) AS steps, "
+                    f"CAST({scf0} AS BIGINT) AS scf0, "
+                    "CAST(NULL AS BIGINT) AS scf1, CAST(NULL AS BIGINT) AS scf2, "
+                    "CAST(12 AS BIGINT) AS n_samples, "
+                    f"CAST(min({q}) AS BIGINT) AS q_min, CAST(max({q}) AS BIGINT) AS q_max, "
+                    f"CAST(sum({q}) AS BIGINT) AS q_sum, "
+                    f"CAST(sum({q} * {q}) AS BIGINT) AS q_energy "
+                    "FROM documents, UNNEST(generate_series(0, 11)) AS g(g) "
+                    "GROUP BY doc_id"
+                )
+        return "\nUNION ALL\n".join(parts)
+    from .mpaudiocodec import _L2_NB, _L2_OFFSET
+
+    for f in range(MPA_FRAMES):
+        for i, steps in enumerate(_MPA_L2LSF_STEPS):
+            sb = _MPA_L2LSF_SB[i]
+            nb = _L2_NB.get(steps, steps.bit_length())
+            off = _L2_OFFSET.get(steps, 1)
+            k = (
+                f"((g.s // 3) * {_MPA_L2LSF_B[i]} + (g.s % 3) * "
+                f"{_MPA_L2LSF_E[i]} + {f * _MPA_L2LSF_F[i]})"
+            )
+            q = (
+                f"(((doc_id * {_MPA_L2LSF_A[i]} + {k}) % {steps})"
+                f" - {1 << (nb - 1)} + {off})"
+            )
+            si = _MPA_L2LSF_SCFSI[i]
+            field = lambda j: f"(3 * ((doc_id + {2 * i + 3 * j + f}) % 4))"  # noqa: E731
+            if si == 0:
+                s0, s1, s2 = field(0), field(1), field(2)
+            elif si == 1:
+                s0 = s1 = field(0)
+                s2 = field(1)
+            elif si == 2:
+                s0 = s1 = s2 = field(0)
+            else:
+                s0 = field(0)
+                s1 = s2 = field(1)
+            parts.append(
+                f"SELECT doc_id AS asset_id, CAST({f} AS BIGINT) AS frame_idx, "
+                f"CAST(2 AS BIGINT) AS layer, CAST(24000 AS BIGINT) AS sample_rate, "
+                "CAST(0 AS BIGINT) AS channel, "
+                f"CAST({sb} AS BIGINT) AS sb, CAST({steps} AS BIGINT) AS steps, "
+                f"CAST({s0} AS BIGINT) AS scf0, CAST({s1} AS BIGINT) AS scf1, "
+                f"CAST({s2} AS BIGINT) AS scf2, "
+                "CAST(36 AS BIGINT) AS n_samples, "
+                f"CAST(min({q}) AS BIGINT) AS q_min, CAST(max({q}) AS BIGINT) AS q_max, "
+                f"CAST(sum({q}) AS BIGINT) AS q_sum, "
+                f"CAST(sum({q} * {q}) AS BIGINT) AS q_energy "
+                "FROM documents, UNNEST(generate_series(0, 35)) AS g(s) "
+                "GROUP BY doc_id"
+            )
+    return "\nUNION ALL\n".join(parts)
+
+
+# ----------------------------- layer II PCM synthesis (r16)
+# VERDICT r15 item 4, honest variant: the 512-coefficient Table
+# 3-C.3 window stays seamed (free-form spec array, r16 SCALE.md
+# policy), but the ENTIRE synthesis machinery — the normative 32→64
+# cosine matrixing, the 1024-value FIFO, the figure 3-A.2 U-build,
+# windowing, and the 32-sample output fold — runs end to end
+# through the distributed surface under a REGISTERED structurally
+# valid window chosen so PCM is integer-exact: matrixing row 48 is
+# the only rational row (cos((16+48)(2k+1)π/64) = cos((2k+1)π) =
+# -1, so V[48] = -ΣS[k]), and row 48 enters the U vector at
+# u[64i+48] from odd FIFO epochs. A window supported ONLY on
+# positions 64i+48 (weights i+1) therefore yields
+#   pcm[t][16] = -Σ_i (i+1)·ΣS[k](t-2i-1)
+# — every other output column exactly 0.0 — and with all coded
+# subbands sharing steps 31 and scalefactor 2.0, pcm·31/4 is the
+# INTEGER -Σ(i+1)·Σq the oracle states in closed form. Any error
+# in the FIFO shift, the U indexing, the window placement, or the
+# output fold moves energy into other columns or epochs and breaks
+# the hash.
+MP2_PCM_WINDOW = [0.0] * 512
+for _i in range(8):
+    MP2_PCM_WINDOW[64 * _i + 48] = float(_i + 1)
+del _i
+
+
+def _mpa_l2pcm_ops(doc) -> list[tuple]:
+    """Two MPEG-1 layer-II frames (44.1 kHz / 32 kbps mono — the
+    low-rate table-c class, sblimit 8): subbands 0-3 coded with
+    alloc 5 (steps 31, 5-bit codes), scfsi 2 (ONE scalefactor),
+    scalefactor index 0 (sf exactly 2.0) — the all-dyadic-lattice
+    plan that keeps the synthesized PCM integer-recoverable."""
+    ops: list[tuple] = []
+    for f in range(MPA_FRAMES):
+        bits_used = 32 + 8 * 4
+        # header: layer II, bitrate_index 1 (32 kbps), 44.1 kHz
+        ops.append(("b", "1" * 12 + "1" + "10" + "1" + "0001" + "00"
+                    + "0" + "0" + "11" + "00" + "0" + "0" + "00"))
+        for sb in range(8):
+            ops.append(("b", "0101" if sb < 4 else "0000"))
+        for _sb in range(4):
+            ops.append(("b", "10"))  # scfsi 2: one scalefactor
+            bits_used += 2
+        for _sb in range(4):
+            ops.append(("b", "000000"))  # scf index 0 -> sf = 2.0
+            bits_used += 6
+        for g in range(12):
+            for sb in range(4):  # 2.4.1.6: one TRIPLET per subband
+                for j in range(3):
+                    t = 36 * f + 3 * g + j
+                    # c(t, sb) in 0..30; q = c - 15
+                    if isinstance(doc, int):
+                        c = (doc * 3 + 5 * t + 7 * sb) % 31
+                    else:
+                        c = f"((({doc}) * 3 + {5 * t + 7 * sb}) % 31)"
+                    ops.append(("s", c, 5))
+                    bits_used += 5
+        ops.append(("b", "0" * (104 * 8 - bits_used)))
+    return ops
+
+
+def synth_mpeg_audio_l2pcm_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): two-frame layer-II streams for the PCM
+    synthesis query."""
+    pieces = _mpeg_pack(_mpa_l2pcm_ops("doc_id"))
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr("unhex(concat(" + ", ".join(pieces) + "))").alias("payload"),
+    )
+
+
+_MP2_PCM_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("t", T.LongType(), False),
+        T.StructField("pcm_num", T.LongType(), False),
+        T.StructField("side_leak", T.LongType(), False),
+    ]
+)
+
+
+def decode_mpeg_l2_pcm(assets: DataFrame) -> DataFrame:
+    """Layer II streams → PCM through the FULL synthesis filterbank
+    (matrixing + FIFO + windowing) under the registered window,
+    shipped worker-side via snapshot_synthesis_window (the
+    register_huffman_table discipline). The 72 granule-triplets of
+    both frames synthesize in ONE continuous FIFO pass (subband
+    samples concatenated across frames — real decoder semantics).
+    ``pcm_num`` = round(pcm[t][16] · steps / (2·sf)) — exact by the
+    fixture's dyadic plan; ``side_leak`` pins every OTHER output
+    column at exactly zero."""
+    from .mpaudiocodec import (
+        decode_mpeg_audio,
+        dequantize,
+        install_synthesis_window,
+        snapshot_synthesis_window,
+        synthesize,
+    )
+
+    _window_snap = snapshot_synthesis_window()
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        install_synthesis_window(_window_snap)
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in _MP2_PCM_SCHEMA}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                frames = decode_mpeg_audio(bytes(payload))
+                sub = np.concatenate(
+                    [dequantize(fr)[:, 0, :] for fr in frames], axis=0
+                )
+                pcm = synthesize(sub)
+                nums = np.rint(pcm[:, 16] * 31.0 / 4.0).astype(np.int64)
+                others = np.delete(pcm, 16, axis=1)
+                for t in range(pcm.shape[0]):
+                    rows["asset_id"].append(int(aid))
+                    rows["t"].append(t)
+                    rows["pcm_num"].append(int(nums[t]))
+                    rows["side_leak"].append(
+                        int(np.abs(others[t]).max() != 0.0)
+                    )
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _decode, schema=_MP2_PCM_SCHEMA
+    )
+
+
+def mpeg_audio_l2pcm_oracle_sql() -> str:
+    """Closed form: pcm_num(t) = -Σ_{i=0..7, t' = t-2i-1 ≥ 0}
+    (i+1) · Σ_{sb=0..3} (c(t', sb) - 15) with c the fixture code
+    formula — stated with plain integer arithmetic, no cosines on
+    the DuckDB side (the rational-row construction moved them out);
+    side_leak is identically 0."""
+    return """
+SELECT doc_id AS asset_id, t.t AS t,
+  CAST(COALESCE(-sum(
+    CASE WHEN t.t - 2 * i.i - 1 >= 0 THEN
+      (i.i + 1) * (((doc_id * 3 + 5 * (t.t - 2 * i.i - 1) + 7 * s.s)
+                    % 31) - 15)
+    END), 0) AS BIGINT) AS pcm_num,
+  CAST(0 AS BIGINT) AS side_leak
+FROM documents,
+  UNNEST(generate_series(0, 71)) AS t(t),
+  UNNEST(generate_series(0, 7)) AS i(i),
+  UNNEST(generate_series(0, 3)) AS s(s)
+GROUP BY doc_id, t.t
+"""
+
+
 # -------------------------------- layer III window switching (r15)
 # All four window-switching granule shapes in ONE two-frame stream:
 # frame 0 carries a pure SHORT block (block_type 2) and a MIXED

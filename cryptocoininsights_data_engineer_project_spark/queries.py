@@ -3294,6 +3294,125 @@ def multimodal_audio_mp3_lsf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_audio_mp3_mpeg25",
+    multimodal.mpeg_audio_l3m25_oracle_sql(),
+    doc="MP3 MPEG-2.5 (VERDICT r15 item 5 — the FhG low-rate "
+    "extension, version bits 00 after the 11-bit syncword: the "
+    "8/11.025/12 kHz class low-rate voice and podcast archives "
+    "carry; previously a blanket named gate): decodes with the "
+    "one-granule LSF machinery plus the 2.5 sampling column and "
+    "the 8 kHz scalefactor-band row (11.025/12 kHz reuse the "
+    "22.05/24 kHz tables — the public-decoder convention; EVERY "
+    "SFB_LONG row is pinned by the widths-sum-to-576 transcription "
+    "witness). The fixture puts the region-0/region-1 boundary "
+    "BETWEEN big-value pairs at the 8 kHz band edges with "
+    "different code pages per region (same code length — constant "
+    "layout), so translating regions with a wrong band table "
+    "misdecodes the boundary pairs and breaks the hash; the "
+    "reserved version id 01 raises typed "
+    "(operators/mpaudiocodec.py::_parse_header, operators/"
+    "mp3codec.py SFB_LONG)",
+)
+def multimodal_audio_mp3_mpeg25(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return multimodal.decode_mpeg_l3_stats(
+        multimodal.synth_mpeg_audio_l3m25_assets(docs)
+    )
+
+
+@_q(
+    "multimodal_audio_mpeg_l1_lsf",
+    multimodal.mpeg_audio_lsf_oracle_sql(layer=1),
+    doc="MPEG-2 LSF LAYER I (VERDICT r15 item 5 — 13818-3 at the "
+    "halved 16/22.05/24 kHz rates; the r15 'LSF layers I/II raise "
+    "by name' gate retired): layer I's machinery is unchanged from "
+    "MPEG-1 (4-bit allocations, nb = alloc + 1, 12 granules), so "
+    "the delta under test is exactly the LSF header columns — the "
+    "version-10 bit pattern, the halved sampling table, and the "
+    "LSF layer-I bitrate column (32..256 kbps). Fixture: 24 kHz / "
+    "144 kbps mono (288-byte frames) sharing the MPEG-1 fixture's "
+    "subband plan and closed-form integer numerators "
+    "(operators/mpaudiocodec.py)",
+)
+def multimodal_audio_mpeg_l1_lsf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return multimodal.decode_mpeg_audio_stats(
+        multimodal.synth_mpeg_audio_lsf_assets(docs, layer=1)
+    )
+
+
+@_q(
+    "multimodal_audio_mpeg_l2_lsf",
+    multimodal.mpeg_audio_lsf_oracle_sql(layer=2),
+    doc="MPEG-2 LSF LAYER II (VERDICT r15 item 5): the single "
+    "Annex-B Table B.1 allocation map every LSF/2.5 bitrate uses — "
+    "sblimit 30, allocation-field widths 4/3/2 bits by subband "
+    "class, menus whose transcription witnesses are pinned in "
+    "tests (each menu EXACTLY fills its field width with 15/7/3 "
+    "nonzero codes; every step count is a grouped class 3/5/9 or "
+    "2^nb - 1, so the shared exact-integer requantization applies "
+    "unchanged). Fixture: 24 kHz / 64 kbps mono spanning all three "
+    "field-width classes, the grouped 3/5/9 ladders, the 7-step "
+    "ladder MPEG-1's low-rate table lacks, and the 16383-step "
+    "4-bit-menu top; closed-form q min/max/sum/energy oracle "
+    "(operators/mpaudiocodec.py::_l2_lsf_steps)",
+)
+def multimodal_audio_mpeg_l2_lsf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return multimodal.decode_mpeg_audio_stats(
+        multimodal.synth_mpeg_audio_lsf_assets(docs, layer=2)
+    )
+
+
+@_q(
+    "multimodal_audio_pcm_synth",
+    multimodal.mpeg_audio_l2pcm_oracle_sql(),
+    doc="PCM SYNTHESIS through the FULL polyphase filterbank "
+    "(VERDICT r15 item 4, honest variant: Table 3-C.3 itself stays "
+    "behind register_synthesis_window under the r16 SCALE.md "
+    "policy — free-form spec array with no in-container "
+    "cross-check — but the ENTIRE machinery the window plugs into "
+    "runs end to end here): normative 32→64 cosine matrixing, the "
+    "1024-value FIFO carried CONTINUOUSLY across frames, the "
+    "figure 3-A.2 U-build, windowing, and the 16x32 output fold, "
+    "under a registered structurally-valid window supported on the "
+    "rational matrixing row (V[48] = -ΣS[k], the only row whose "
+    "cosines are exact integers) so PCM is INTEGER-exact and the "
+    "oracle states it with plain arithmetic — no cosines on the "
+    "DuckDB side. Window ships worker-side via "
+    "snapshot_synthesis_window (the register_huffman_table "
+    "discipline); side_leak pins every other output column at "
+    "exactly zero, so a FIFO/U/window-placement error breaks the "
+    "hash (operators/mpaudiocodec.py::synthesize, "
+    "operators/multimodal.py::decode_mpeg_l2_pcm)",
+)
+def multimodal_audio_pcm_synth(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import mpaudiocodec
+
+    mpaudiocodec.register_synthesis_window(multimodal.MP2_PCM_WINDOW)
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return multimodal.decode_mpeg_l2_pcm(
+        multimodal.synth_mpeg_audio_l2pcm_assets(docs)
+    )
+
+
+@_q(
     "multimodal_audio_mp3_short",
     multimodal.mpeg_audio_l3s_oracle_sql(),
     doc="MP3 WINDOW SWITCHING (VERDICT r14 item 1 — the block "

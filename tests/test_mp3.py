@@ -842,17 +842,23 @@ def test_lsf_reservoir_8bit_pointer():
     assert frames[1].granules[0][0].lines[0] == 1
 
 
-def test_lsf_gates_and_mpeg25():
-    # MPEG-2.5 (11-bit sync) gates by name
+def test_version_bits():
+    """r16: MPEG-2.5 decodes (the gate is retired — see
+    test_mpeg25_layer3_decode); the RESERVED version id 01 raises
+    typed, and re-versioning an LSF frame to 2.5 halves the sample
+    rate so the frame-length mismatch fails loudly rather than
+    misparsing."""
     frame = bytearray(_build_l3_lsf([(1, 1, 0, 0)]))
-    frame[1] &= 0xEF  # clear bit 20 (the MPEG-2.5 marker)
-    with pytest.raises(NotImplementedError, match="MPEG-2.5"):
+    frame[1] = (frame[1] & ~0x18) | 0x08  # version bits 01
+    with pytest.raises(A.MpegAudioError, match="reserved version"):
         A.decode_mpeg_audio(bytes(frame))
-    # LSF layer II gates by name
+    # version 00 = MPEG-2.5: the same bytes re-read at 12 kHz — the
+    # frame size doubles (384 bytes), so the two 192-byte LSF frames
+    # parse as ONE 2.5 frame at the quartered-rate table's rate
     frame = bytearray(_build_l3_lsf([(1, 1, 0, 0)]))
-    frame[1] = (frame[1] & 0xF9) | 0x04  # layer code 10 = layer II
-    with pytest.raises(NotImplementedError, match="LSF layer 2"):
-        A.decode_mpeg_audio(bytes(frame))
+    frame[1] &= ~0x18
+    frames = A.decode_mpeg_audio(bytes(frame))
+    assert len(frames) == 1 and frames[0].sample_rate == 12000
 
 
 def test_lsf_mutation_fuzz_typed():
@@ -931,3 +937,39 @@ def test_lsf_intensity_stereo_scalefactor_layout():
     )
     assert g1.part2_bits == 7 * 4 + 14 * 5
     assert g1.lines[0] == -1
+
+
+def test_sfb_long_rows_sum_to_576():
+    """Transcription witness for EVERY scalefactor-band row (r16 —
+    including the MPEG-2.5 additions): 23 strictly increasing
+    boundaries from 0 to 576; 11.025/12 kHz share the 22.05/24 kHz
+    tables (the public-decoder convention), 8 kHz has its own row."""
+    assert set(L3.SFB_LONG) == {
+        44100, 48000, 32000, 22050, 24000, 16000, 11025, 12000, 8000,
+    }
+    for rate, bounds in L3.SFB_LONG.items():
+        assert len(bounds) == 23, rate
+        assert bounds[0] == 0 and bounds[-1] == 576, rate
+        assert all(b < c for b, c in zip(bounds, bounds[1:])), rate
+    assert L3.SFB_LONG[11025] == L3.SFB_LONG[22050]
+    assert L3.SFB_LONG[12000] == L3.SFB_LONG[24000]
+    assert L3.SFB_LONG[16000] == L3.SFB_LONG[22050]
+
+
+def test_mpeg25_region_boundary_uses_8k_table():
+    """The 2.5 fixture's frame 0 splits its big-value pairs across
+    the region-0/1 boundary at the 8 kHz band edges (bounds[1] =
+    12): pairs 0-5 decode under table 1, pairs 6-7 under table 2 —
+    and all sixteen lines come back ±1 (a wrong band table would
+    misdecode the boundary pairs)."""
+    import cryptocoininsights_data_engineer_project_spark.operators.multimodal as MM
+
+    payload = MM._mpeg_pack(MM._mpa_l3m25_ops(5))
+    frames = A.decode_mpeg_audio(payload)
+    assert len(frames) == 2
+    assert frames[0].sample_rate == 8000 and frames[0].lsf
+    for f, fr in enumerate(frames):
+        gi = fr.granules[0][0]
+        assert gi.big_values == 8
+        assert set(abs(v) for v in gi.lines[:16]) == {1}
+        assert (gi.lines[16:] == 0).all()

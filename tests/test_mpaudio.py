@@ -510,3 +510,183 @@ def test_l2_high_rate_decode(spark):
                     + f * M._MPA_HR_F[sb]
                 ) % steps
                 assert fr.qnum[s, 0, sb] == c - (1 << (nb - 1)) + off
+
+
+# -------------------------- round 16: MPEG-2.5 + LSF layers I/II
+
+
+def test_lsf_l2_table_b1_witnesses():
+    """Table B.1 transcription witnesses (r16): 30 subbands with
+    4/3/2-bit allocation fields; every menu EXACTLY fills its field
+    width (15/7/3 nonzero codes); every step count is a grouped
+    class (3/5/9) or 2^nb - 1 — so the shared requantization path
+    needs no new arithmetic."""
+    assert A._L2_LSF_NBAL == [4] * 4 + [3] * 7 + [2] * 19
+    for menu, nbal in (
+        (A._L2_LSF_MENU_0_3, 4),
+        (A._L2_LSF_MENU_4_10, 3),
+        (A._L2_LSF_MENU_11_29, 2),
+    ):
+        assert len(menu) == (1 << nbal) - 1
+        for st in menu:
+            assert st in (3, 5, 9) or (st + 1) & st == 0, st
+        assert menu == sorted(menu)
+    # the dispatch covers all 30 subbands with the right menu
+    for sb in range(30):
+        menu = (
+            A._L2_LSF_MENU_0_3 if sb <= 3
+            else A._L2_LSF_MENU_4_10 if sb <= 10
+            else A._L2_LSF_MENU_11_29
+        )
+        assert A._l2_lsf_steps(sb, len(menu)) == menu[-1]
+        assert A._l2_lsf_steps(sb, 1) == 3
+
+
+def test_lsf_layers_1_2_decode_closed_form():
+    """LSF layer I/II fixtures decode to their closed forms (the
+    r15 'LSF layers I/II raise by name' gate is retired)."""
+    for doc in (0, 7, 133):
+        frames = A.decode_mpeg_audio(M._mpeg_pack(M._mpa_l1lsf_ops(doc)))
+        assert [f.layer for f in frames] == [1, 1]
+        assert frames[0].sample_rate == 24000 and frames[0].bitrate == 144
+        for f, fr in enumerate(frames):
+            for sb, alloc in enumerate(M._MPA_L1_ALLOC):
+                nb = alloc + 1
+                for g in range(12):
+                    k = g * M._MPA_L1_B[sb] + f * M._MPA_L1_F[sb]
+                    q = (
+                        (doc * M._MPA_L1_A[sb] + k) % ((1 << nb) - 1)
+                        - (1 << (nb - 1)) + 1
+                    )
+                    assert fr.qnum[g, 0, sb] == q
+        frames = A.decode_mpeg_audio(M._mpeg_pack(M._mpa_l2lsf_ops(doc)))
+        assert [f.layer for f in frames] == [2, 2]
+        assert frames[0].sample_rate == 24000 and frames[0].bitrate == 64
+        for f, fr in enumerate(frames):
+            for i, steps in enumerate(M._MPA_L2LSF_STEPS):
+                sb = M._MPA_L2LSF_SB[i]
+                assert fr.steps[0][sb] == steps
+                nb = A._L2_NB.get(steps, steps.bit_length())
+                off = A._L2_OFFSET.get(steps, 1)
+                for s in range(36):
+                    g, j = divmod(s, 3)
+                    k = (
+                        g * M._MPA_L2LSF_B[i] + j * M._MPA_L2LSF_E[i]
+                        + f * M._MPA_L2LSF_F[i]
+                    )
+                    q = (
+                        (doc * M._MPA_L2LSF_A[i] + k) % steps
+                        - (1 << (nb - 1)) + off
+                    )
+                    assert fr.qnum[s, 0, sb] == q
+
+
+def test_lsf_sql_fixtures_byte_equal(spark):
+    docs = spark.createDataFrame([(6,), (133,)], "doc_id long")
+    for layer, ops in ((1, M._mpa_l1lsf_ops), (2, M._mpa_l2lsf_ops)):
+        got = {
+            r.asset_id: bytes(r.payload)
+            for r in M.synth_mpeg_audio_lsf_assets(docs, layer).collect()
+        }
+        assert got[6] == M._mpeg_pack(ops(6))
+        assert got[133] == M._mpeg_pack(ops(133))
+    got = {
+        r.asset_id: bytes(r.payload)
+        for r in M.synth_mpeg_audio_l3m25_assets(docs).collect()
+    }
+    assert got[6] == M._mpeg_pack(M._mpa_l3m25_ops(6))
+    got = {
+        r.asset_id: bytes(r.payload)
+        for r in M.synth_mpeg_audio_l2pcm_assets(docs).collect()
+    }
+    assert got[133] == M._mpeg_pack(M._mpa_l2pcm_ops(133))
+
+
+def test_lsf_l2_protected_frame_crc():
+    """The CRC side-information walk covers the Table B.1
+    allocation-field widths (r16): a protected LSF layer-II frame
+    with a spec-true CRC decodes; a flipped allocation bit raises
+    the mismatch."""
+    ops = M._mpa_l2lsf_ops(7)
+    raw = bytearray(M._mpeg_pack(ops)[:384])  # frame 0 only
+    raw[1] &= 0xFE  # protection_bit 0: CRC present
+    # splice a 16-bit CRC slot after the header
+    body = bytes(raw[:4]) + b"\x00\x00" + bytes(raw[4:-2])
+    covered = [(body[i // 8] >> (7 - i % 8)) & 1 for i in range(16, 32)]
+    covered += A._protected_side_bits(
+        body, 2, 24000, 64, 1, 32, 48, lsf=True
+    )
+    crc = A._crc16_mpa(covered)
+    good = body[:4] + crc.to_bytes(2, "big") + body[6:]
+    fr = A.decode_mpeg_audio(good)[0]
+    assert fr.layer == 2 and fr.steps[0][0] == 7
+    bad = bytearray(good)
+    bad[6] ^= 0x80  # first allocation bit
+    with pytest.raises(A.MpegAudioError, match="CRC"):
+        A.decode_mpeg_audio(bytes(bad))
+
+
+# ----------------------------- round 16: PCM synthesis (seam demo)
+
+
+def test_synthesize_exact_integer_path():
+    """The registered rational-row window makes the FULL filterbank
+    (matrixing + FIFO + U-build + windowing + fold) integer-exact:
+    pcm[t][16]·31/4 equals the closed form and every other output
+    column is exactly 0.0 — pinning the FIFO epoch parity, the
+    figure 3-A.2 U indexing, and the output fold in one shot."""
+    A.register_synthesis_window(M.MP2_PCM_WINDOW)
+    try:
+        for doc in (0, 7, 133):
+            frames = A.decode_mpeg_audio(
+                M._mpeg_pack(M._mpa_l2pcm_ops(doc))
+            )
+            sub = np.concatenate(
+                [A.dequantize(fr)[:, 0, :] for fr in frames], axis=0
+            )
+            pcm = A.synthesize(sub)
+            assert np.abs(np.delete(pcm, 16, axis=1)).max() == 0.0
+            nums = np.rint(pcm[:, 16] * 31.0 / 4.0).astype(np.int64)
+
+            def c(t, sb):
+                return (doc * 3 + 5 * t + 7 * sb) % 31
+
+            for t in range(72):
+                want = -sum(
+                    (i + 1) * sum(c(t - 2 * i - 1, sb) - 15
+                                  for sb in range(4))
+                    for i in range(8) if t - 2 * i - 1 >= 0
+                )
+                assert nums[t] == want
+            assert np.abs(pcm[:, 16] * 31 / 4 - nums).max() < 1e-9
+    finally:
+        A.install_synthesis_window(None)
+
+
+def test_synthesis_window_ships_to_spark_workers(spark):
+    """ADVICE-r15 discipline for the window seam: a driver-side
+    register_synthesis_window call must reach the mapInPandas
+    decode path via the snapshot captured at plan-build time."""
+    A.register_synthesis_window(M.MP2_PCM_WINDOW)
+    try:
+        docs = spark.createDataFrame([(7,)], "doc_id long")
+        rows = (
+            M.decode_mpeg_l2_pcm(M.synth_mpeg_audio_l2pcm_assets(docs))
+            .orderBy("t")
+            .collect()
+        )
+        assert len(rows) == 72
+        assert all(r["side_leak"] == 0 for r in rows)
+
+        def c(t, sb):
+            return (7 * 3 + 5 * t + 7 * sb) % 31
+
+        for r in rows[:10]:
+            t = r["t"]
+            want = -sum(
+                (i + 1) * sum(c(t - 2 * i - 1, sb) - 15 for sb in range(4))
+                for i in range(8) if t - 2 * i - 1 >= 0
+            )
+            assert r["pcm_num"] == want
+    finally:
+        A.install_synthesis_window(None)
