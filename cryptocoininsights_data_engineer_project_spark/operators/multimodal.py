@@ -1951,6 +1951,147 @@ FROM px GROUP BY doc_id
 """
 
 
+# ------------------------------------------- CCITT G4 PDF image (r16)
+# A /CCITTFaxDecode /K -1 image — the scanned-document compression
+# (VERDICT r15 "missing" item 6). G4 code streams are content-
+# dependent VLC, so the fixture draws each document's image from a
+# FOUR-VARIANT family (doc_id % 4): a 3-pixel black run per row at
+# columns [2+v, 5+v). The four encodings are byte-identical in
+# LENGTH by construction (white runs 2-5 all carry 4-bit T.4 head
+# codes), so the PDF layout stays constant and the SQL side just
+# CASEs between four hex literals — each produced by the in-repo
+# independent encoder at import and decoded back as a self-check.
+CCITT_W, CCITT_H = 16, 8
+
+
+def _ccitt_variant_pixels(v: int) -> bytes:
+    return bytes(
+        1 if 2 + v <= x < 5 + v else 0
+        for _y in range(CCITT_H) for x in range(CCITT_W)
+    )
+
+
+def _ccitt_variant_streams() -> list[str]:
+    from .faxcodec import decode_g4, encode_g4
+
+    outs = []
+    for v in range(4):
+        px = _ccitt_variant_pixels(v)
+        enc = encode_g4(px, CCITT_W, CCITT_H)
+        assert decode_g4(enc, CCITT_W, CCITT_H) == px
+        outs.append(enc.hex().upper())
+    assert len({len(h) for h in outs}) == 1  # constant byte length
+    return outs
+
+
+_CCITT_STREAMS = _ccitt_variant_streams()
+_CCITT_LEN = len(_CCITT_STREAMS[0]) // 2
+
+
+def _pdfccitt_ops(doc) -> list[tuple]:
+    """PDF-with-G4-image as ('hex', const) / ('sqlhex', expr, n)
+    pieces (the _pdfimg_ops discipline)."""
+    content = "q 16 0 0 8 36 700 cm /Im1 Do Q"
+    img_dict = (
+        "<< /Type /XObject /Subtype /Image /Width 16 /Height 8 "
+        "/ColorSpace /DeviceGray /BitsPerComponent 1 "
+        "/Filter /CCITTFaxDecode "
+        "/DecodeParms << /K -1 /Columns 16 /Rows 8 >> "
+        f"/Length {_CCITT_LEN} >>\nstream\n"
+    )
+    if isinstance(doc, str):
+        case = (
+            f"CASE ({doc}) % 4 "
+            + " ".join(
+                f"WHEN {v} THEN '{h}'" for v, h in
+                enumerate(_CCITT_STREAMS[:3])
+            )
+            + f" ELSE '{_CCITT_STREAMS[3]}' END"
+        )
+        body: list[tuple] = [("sqlhex", case, _CCITT_LEN)]
+    else:
+        body = [("hex", _CCITT_STREAMS[doc % 4])]
+    objs: list[list[tuple]] = [
+        [("hex", "<< /Type /Catalog /Pages 2 0 R >>".encode().hex())],
+        [("hex", "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".encode().hex())],
+        [("hex", (
+            "<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+            "<< /XObject << /Im1 5 0 R >> >> >>"
+        ).encode().hex())],
+        [("hex", (
+            f"<< /Length {len(content)} >>\nstream\n{content}\nendstream"
+        ).encode().hex())],
+        [
+            ("hex", img_dict.encode().hex()),
+            *body,
+            ("hex", "\nendstream".encode().hex()),
+        ],
+    ]
+    pieces: list[tuple] = [("hex", b"%PDF-1.4\n".hex())]
+    offsets: list[int] = []
+    pos = len(b"%PDF-1.4\n")
+    for n, obody in enumerate(objs, start=1):
+        offsets.append(pos)
+        head = f"{n} 0 obj\n"
+        pieces.append(("hex", head.encode().hex()))
+        pos += len(head)
+        for p in obody:
+            pieces.append(p)
+            pos += len(p[1]) // 2 if p[0] == "hex" else p[2]
+        pieces.append(("hex", b"\nendobj\n".hex()))
+        pos += len(b"\nendobj\n")
+    xref_off = pos
+    xref = f"xref\n0 {len(objs) + 1}\n" + "0000000000 65535 f \n"
+    for off in offsets:
+        xref += f"{off:010d} 00000 n \n"
+    pieces.append(("hex", (
+        xref + f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        + f"startxref\n{xref_off}\n%%EOF\n"
+    ).encode().hex()))
+    return pieces
+
+
+def synth_pdfccitt_bytes(doc: int) -> bytes:
+    return b"".join(bytes.fromhex(p[1]) for p in _pdfccitt_ops(doc))
+
+
+def synth_pdfccitt_assets(docs: DataFrame) -> DataFrame:
+    """(asset_id, payload): one PDF-with-G4-image per doc."""
+    exprs = []
+    for p in _pdfccitt_ops("doc_id"):
+        if p[0] == "hex":
+            exprs.append("'" + p[1].upper() + "'")
+        else:
+            exprs.append(p[1])
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr("unhex(concat(" + ", ".join(exprs) + "))").alias("payload"),
+    )
+
+
+def pdf_ccitt_oracle_sql() -> str:
+    """Closed form: black columns [2+v, 5+v) (v = doc_id % 4) map to
+    gray 0, everything else 255 — position-weighted checksum pins
+    the run placement per variant."""
+    n = CCITT_W * CCITT_H
+    return f"""
+WITH px AS (
+  SELECT doc_id, g.i AS i,
+    (CASE WHEN (g.i % {CCITT_W}) >= 2 + doc_id % 4
+           AND (g.i % {CCITT_W}) < 5 + doc_id % 4
+      THEN 0 ELSE 255 END) AS v
+  FROM documents, UNNEST(generate_series(0, {n - 1})) AS g(i)
+)
+SELECT doc_id AS asset_id,
+  CAST(0 AS BIGINT) AS page_idx, CAST(0 AS BIGINT) AS img_ix,
+  CAST({CCITT_W} AS BIGINT) AS width, CAST({CCITT_H} AS BIGINT) AS height,
+  CAST(1 AS BIGINT) AS channels, CAST({n} AS BIGINT) AS n_pixels,
+  CAST(sum(v) AS BIGINT) AS pixel_sum,
+  CAST(sum(v * (i + 1) * (i + 1)) AS BIGINT) AS px_checksum
+FROM px GROUP BY doc_id
+"""
+
+
 # ------------------------------------------------- arithmetic-coded jpeg
 # SOF9 (extended sequential, arithmetic) fixture: the QM-coded
 # entropy segment is a CONSTANT — arithmetic coding is history-

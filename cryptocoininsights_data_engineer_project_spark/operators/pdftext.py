@@ -2743,50 +2743,170 @@ def pdf_images(data: bytes) -> list[tuple[int, int, int, int, int, bytes]]:
                 if isinstance(filt, list)
                 else ([filt] if filt is not None else [])
             )
+
+            def _pre_chain():
+                """Bytes after every filter BUT the last, plus the
+                last filter's /DecodeParms (r16: /DCTDecode and
+                /CCITTFaxDecode behind e.g. Flate/ASCIIHex chains)."""
+                all_parms = pdf.resolve(xo.get("DecodeParms"))
+                if not isinstance(all_parms, list):
+                    all_parms = [all_parms] * len(filts)
+                last_parms = pdf.resolve(all_parms[-1]) or {}
+                if len(filts) == 1:
+                    return xo["__stream__"], last_parms
+                pre = dict(xo)
+                pre["Filter"] = filts[:-1]
+                pre["DecodeParms"] = list(all_parms[:-1])
+                return pdf.stream_data(pre), last_parms
+
             if filts and filts[-1] == "DCTDecode":
-                if len(filts) > 1:
-                    raise NotImplementedError(
-                        "a /DCTDecode image behind additional filters "
-                        "is outside the implemented subset"
-                    )
-                jw, jh, ch, px = decode_jpeg_pixels(xo["__stream__"])
+                jraw, _p = _pre_chain()
+                jw, jh, ch, px = decode_jpeg_pixels(jraw)
                 if (jw, jh) != (w, h):
                     raise PdfError(
                         f"/XObject /{nm} declares {w}x{h} but its JPEG "
                         f"frame header says {jw}x{jh}"
                     )
-            elif filts and filts[-1] in (
-                "CCITTFaxDecode", "JBIG2Decode", "JPXDecode"
-            ):
+            elif filts and filts[-1] == "CCITTFaxDecode":
+                # r16: Group 4 (K = -1) scanned-document images
+                from .faxcodec import FaxError, decode_g4
+
+                raw, parms = _pre_chain()
+                k = int(pdf.resolve(parms.get("K", 0)))
+                if k != -1:
+                    raise NotImplementedError(
+                        f"/CCITTFaxDecode /K {k} (Group 3) is outside "
+                        "the implemented subset — Group 4 (/K -1) "
+                        "decodes"
+                    )
+                cols = int(pdf.resolve(parms.get("Columns", 1728)))
+                rows = int(pdf.resolve(parms.get("Rows", h)))
+                if (cols, rows) != (w, h):
+                    raise PdfError(
+                        f"/XObject /{nm} declares {w}x{h} but its "
+                        f"CCITT parms say {cols}x{rows}"
+                    )
+                if "Decode" in xo:
+                    raise NotImplementedError(
+                        "a /Decode array on a CCITT image is outside "
+                        "the implemented subset"
+                    )
+                eba = bool(pdf.resolve(
+                    parms.get("EncodedByteAlign", False)
+                ))
+                try:
+                    bilevel = decode_g4(
+                        raw, cols, rows, encoded_byte_align=eba
+                    )
+                except FaxError as exc:
+                    raise PdfError(f"/XObject /{nm}: {exc}") from exc
+                # semantic colors -> DeviceGray bytes (0 black,
+                # 255 white); /BlackIs1 only flips the PACKED
+                # polarity, which decode_g4 abstracts away
+                px = bytes(0 if b else 255 for b in bilevel)
+                ch = 1
+            elif filts and filts[-1] in ("JBIG2Decode", "JPXDecode"):
                 raise NotImplementedError(
                     f"image filter /{filts[-1]} is outside the "
                     "implemented subset (DCTDecode routes to the "
-                    "in-house T.81 decoder; Flate/raw decode directly)"
+                    "in-house T.81 decoder; CCITT G4 and Flate/raw "
+                    "decode directly)"
                 )
             else:
                 samples = pdf.stream_data(xo)
                 bpc = int(pdf.resolve(xo.get("BitsPerComponent", 8)))
-                if bpc != 8:
+                cs = pdf.resolve(xo.get("ColorSpace"))
+                if pdf.resolve(xo.get("ImageMask")) is True:
+                    raise NotImplementedError(
+                        "/ImageMask stencils are outside the "
+                        "implemented subset (sampled images only)"
+                    )
+                if bpc == 1:
+                    # r16: bilevel sampled images (the scanned-doc
+                    # shape) — rows byte-aligned per the PDF packing
+                    from .faxcodec import FaxError, unpack_bilevel
+
+                    if cs != "DeviceGray":
+                        raise NotImplementedError(
+                            f"1-bit /ColorSpace {cs!r}: DeviceGray "
+                            "only"
+                        )
+                    try:
+                        # sample 1 = white in DeviceGray: that IS
+                        # black_is_1=False in faxcodec's 0-white
+                        # convention... map explicitly: bit b ->
+                        # gray 255*b
+                        bits = unpack_bilevel(samples, w, h, True)
+                    except FaxError as exc:
+                        raise PdfError(
+                            f"/XObject /{nm}: {exc}"
+                        ) from exc
+                    px = bytes(255 if b else 0 for b in bits)
+                    ch = 1
+                elif bpc != 8:
                     raise NotImplementedError(
                         f"/BitsPerComponent {bpc} images are outside "
-                        "the implemented subset (8-bit only)"
+                        "the implemented subset (1-bit and 8-bit)"
                     )
-                cs = pdf.resolve(xo.get("ColorSpace"))
-                if cs == "DeviceGray":
-                    ch = 1
-                elif cs == "DeviceRGB":
-                    ch = 3
+                elif (
+                    isinstance(cs, list) and cs
+                    and pdf.resolve(cs[0]) == "Indexed"
+                ):
+                    # r16: palette images — [/Indexed base hival
+                    # lookup]
+                    if len(cs) != 4:
+                        raise PdfError("/Indexed needs 4 elements")
+                    base = pdf.resolve(cs[1])
+                    hival = int(pdf.resolve(cs[2]))
+                    lookup = pdf.resolve(cs[3])
+                    if isinstance(lookup, dict):
+                        lookup = pdf.stream_data(lookup)
+                    if not isinstance(lookup, bytes):
+                        raise PdfError("/Indexed lookup must be bytes")
+                    if base == "DeviceGray":
+                        ch = 1
+                    elif base == "DeviceRGB":
+                        ch = 3
+                    else:
+                        raise NotImplementedError(
+                            f"/Indexed base {base!r}: DeviceGray / "
+                            "DeviceRGB only"
+                        )
+                    if len(lookup) < (hival + 1) * ch:
+                        raise PdfError(
+                            f"/Indexed lookup has {len(lookup)} bytes "
+                            f"for hival {hival} x {ch}"
+                        )
+                    if len(samples) != w * h:
+                        raise PdfError(
+                            f"/XObject /{nm}: {len(samples)} index "
+                            f"bytes for a {w}x{h} image"
+                        )
+                    px = bytearray()
+                    for s in samples:
+                        if s > hival:
+                            raise PdfError(
+                                f"palette index {s} > hival {hival}"
+                            )
+                        px += lookup[s * ch : (s + 1) * ch]
+                    px = bytes(px)
                 else:
-                    raise NotImplementedError(
-                        f"/ColorSpace {cs!r} is outside the implemented "
-                        "subset (DeviceGray / DeviceRGB)"
-                    )
-                if len(samples) != w * h * ch:
-                    raise PdfError(
-                        f"/XObject /{nm}: {len(samples)} sample bytes "
-                        f"for a {w}x{h}x{ch} image"
-                    )
-                px = samples
+                    if cs == "DeviceGray":
+                        ch = 1
+                    elif cs == "DeviceRGB":
+                        ch = 3
+                    else:
+                        raise NotImplementedError(
+                            f"/ColorSpace {cs!r} is outside the "
+                            "implemented subset (DeviceGray / "
+                            "DeviceRGB / Indexed)"
+                        )
+                    if len(samples) != w * h * ch:
+                        raise PdfError(
+                            f"/XObject /{nm}: {len(samples)} sample "
+                            f"bytes for a {w}x{h}x{ch} image"
+                        )
+                    px = samples
             out.append((pi, ix, w, h, ch, bytes(px)))
 
     for pi, page in enumerate(pdf.pages()):

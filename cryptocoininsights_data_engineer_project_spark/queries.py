@@ -2086,8 +2086,8 @@ def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Flate/LZW/RunLength/ASCIIHex/ASCII85 — remaining loud gates "
     "are non-Standard security handlers and non-empty user "
     "passwords (RC4 decrypts since r15, AES-128/AES-256 since "
-    "r16), the fax-class image filters (CCITT/JBIG2/JPX/Crypt), "
-    "and non-/Image XObjects. The "
+    "r16; CCITT G4 decodes since r16 too), the JBIG2/JPX/Crypt "
+    "image filters, and ImageMask stencils. The "
     "oracle restates the per-page text closed-form with no PDF "
     "syntax on the DuckDB side",
 )
@@ -2267,9 +2267,11 @@ def pdf_text_form_xobject(spark: SparkSession, sf_dir: str) -> DataFrame:
     "directly. Fixture embeds the 16x8 multimodal_jpeg_pixels JPEG "
     "in a one-page PDF built byte-exactly in SQL; the oracle is the "
     "SAME closed-form pixel statement plus container coordinates, "
-    "so any container-slicing bug breaks the hash. Loud gates: Form "
-    "XObjects, CCITT/JBIG2/JPX filters, non-8-bit samples, "
-    "palette/ICC spaces (operators/pdftext.py::pdf_images)",
+    "so any container-slicing bug breaks the hash. Form XObjects "
+    "recurse and CCITT G4, 1-bit samples and /Indexed palettes "
+    "decode as of r16 (pdf_text_form_xobject / pdf_image_ccitt); "
+    "loud gates: JBIG2/JPX filters, ImageMask stencils, ICC "
+    "spaces (operators/pdftext.py::pdf_images)",
 )
 def pdf_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
@@ -2277,6 +2279,39 @@ def pdf_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return multimodal.decode_pdf_image_stats(
         multimodal.synth_pdfimg_assets(docs)
+    )
+
+
+@_q(
+    "pdf_image_ccitt",
+    multimodal.pdf_ccitt_oracle_sql(),
+    doc="CCITT GROUP 4 PDF images (VERDICT r15 'missing' item 6 — "
+    "the compression scanned-document PDFs carry): a full ITU-T "
+    "T.6 (MMR) decoder in operators/faxcodec.py — pass/horizontal/"
+    "vertical 2-D modes against the reference line, the imaginary "
+    "all-white first reference, makeup accumulation, EOFB, "
+    "EncodedByteAlign — wired into pdf_images behind "
+    "/CCITTFaxDecode /K -1 (Group 3 gates by name), with filter "
+    "CHAINS (CCITT or DCT behind Flate/ASCIIHex) decoded through "
+    "the pre-chain. The T.4 run-length pages bundle only their "
+    "universally-reproduced HEAD (terminating 0-15 + the "
+    "64-makeups, prefix-freeness validated at import, encoder "
+    "round-trips in tests); longer codes install via "
+    "register_runlength_tables per the SCALE.md policy. G4 streams "
+    "are content-dependent VLC, so the fixture draws from a "
+    "four-variant equal-length family (doc_id %% 4 shifts a black "
+    "run), each stream produced by the independent in-repo encoder "
+    "and CASEd into the constant-layout PDF; closed-form "
+    "pixel-sum/checksum oracle. 1-bit sampled images and /Indexed "
+    "palettes decode too (same r16 batch); ImageMask stencils gate "
+    "(operators/faxcodec.py; operators/pdftext.py::pdf_images)",
+)
+def pdf_image_ccitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return multimodal.decode_pdf_image_stats(
+        multimodal.synth_pdfccitt_assets(docs)
     )
 
 

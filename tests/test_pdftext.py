@@ -1129,6 +1129,122 @@ def test_pdf_images_inside_form():
         P.pdf_images(pdf)
 
 
+def test_pdf_images_ccitt_g4():
+    """A /CCITTFaxDecode /K -1 image decodes through the in-house
+    T.6 codec (r16 — the scanned-document shape): semantic bilevel
+    pixels come back as DeviceGray 0/255 bytes, regardless of the
+    packed /BlackIs1 polarity (which the codec abstracts away)."""
+    from cryptocoininsights_data_engineer_project_spark.operators import (
+        faxcodec as FX,
+    )
+
+    px = bytes([0, 0, 1, 1, 1, 0, 0, 0] * 3)  # 8x3
+    enc = FX.encode_g4(px, 8, 3)
+    pdf = _image_pdf(
+        b"<< /Subtype /Image /Width 8 /Height 3 /ColorSpace /DeviceGray"
+        b" /BitsPerComponent 1 /Filter /CCITTFaxDecode"
+        b" /DecodeParms << /K -1 /Columns 8 /Rows 3 >> /Length "
+        + str(len(enc)).encode() + b" >>",
+        enc,
+    )
+    want = bytes(0 if b else 255 for b in px)
+    assert P.pdf_images(pdf) == [(0, 0, 8, 3, 1, want)]
+    # Group 3 gates by name; geometry contradiction is loud
+    pdf = _image_pdf(
+        b"<< /Subtype /Image /Width 8 /Height 3 /ColorSpace /DeviceGray"
+        b" /BitsPerComponent 1 /Filter /CCITTFaxDecode"
+        b" /DecodeParms << /K 0 /Columns 8 >> /Length "
+        + str(len(enc)).encode() + b" >>",
+        enc,
+    )
+    with pytest.raises(NotImplementedError, match="Group 3"):
+        P.pdf_images(pdf)
+    pdf = _image_pdf(
+        b"<< /Subtype /Image /Width 9 /Height 3 /ColorSpace /DeviceGray"
+        b" /BitsPerComponent 1 /Filter /CCITTFaxDecode"
+        b" /DecodeParms << /K -1 /Columns 8 /Rows 3 >> /Length "
+        + str(len(enc)).encode() + b" >>",
+        enc,
+    )
+    with pytest.raises(P.PdfError, match="CCITT parms"):
+        P.pdf_images(pdf)
+
+
+def test_pdf_images_ccitt_behind_flate():
+    """CCITT (and DCT) streams behind an additional filter decode
+    through the pre-chain (r16): Flate-compressed G4 bytes."""
+    from cryptocoininsights_data_engineer_project_spark.operators import (
+        faxcodec as FX,
+    )
+
+    px = bytes([1, 0] * 4 + [0, 1] * 4)  # 8x2 checker rows
+    enc = FX.encode_g4(px, 8, 2)
+    z = zlib.compress(enc)
+    pdf = _image_pdf(
+        b"<< /Subtype /Image /Width 8 /Height 2 /ColorSpace /DeviceGray"
+        b" /BitsPerComponent 1 /Filter [/FlateDecode /CCITTFaxDecode]"
+        b" /DecodeParms [null << /K -1 /Columns 8 /Rows 2 >>] /Length "
+        + str(len(z)).encode() + b" >>",
+        z,
+    )
+    want = bytes(0 if b else 255 for b in px)
+    assert P.pdf_images(pdf) == [(0, 0, 8, 2, 1, want)]
+    # DCT behind ASCIIHex
+    from cryptocoininsights_data_engineer_project_spark.operators import (
+        multimodal as M,
+    )
+
+    jpg = M._pdfimg_jpeg_bytes(5)
+    hexed = jpg.hex().upper().encode() + b">"
+    pdf = _image_pdf(
+        b"<< /Subtype /Image /Width 16 /Height 8 "
+        b"/Filter [/ASCIIHexDecode /DCTDecode] /Length "
+        + str(len(hexed)).encode() + b" >>",
+        hexed,
+    )
+    rows = P.pdf_images(pdf)
+    assert len(rows) == 1 and rows[0][2:5] == (16, 8, 1)
+
+
+def test_pdf_images_bilevel_and_indexed():
+    """1-bit sampled DeviceGray images (byte-aligned rows) and
+    /Indexed palette images decode (r16)."""
+    from cryptocoininsights_data_engineer_project_spark.operators import (
+        faxcodec as FX,
+    )
+
+    bits = bytes([1, 0, 1, 1, 0, 0, 1, 0, 0, 1, 0, 0, 1, 1, 1, 1])
+    packed = FX.pack_bilevel(bits, 8, 2, True)  # 1 = sample bit 1
+    pdf = _image_pdf(
+        b"<< /Subtype /Image /Width 8 /Height 2 /ColorSpace /DeviceGray"
+        b" /BitsPerComponent 1 /Length " + str(len(packed)).encode()
+        + b" >>",
+        packed,
+    )
+    want = bytes(255 if b else 0 for b in bits)  # sample 1 = white
+    assert P.pdf_images(pdf) == [(0, 0, 8, 2, 1, want)]
+    # Indexed over DeviceRGB: palette gather
+    lookup = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R G B
+    samples = bytes([0, 1, 2, 2, 1, 0])
+    pdf = _image_pdf(
+        b"<< /Subtype /Image /Width 3 /Height 2 /ColorSpace "
+        b"[/Indexed /DeviceRGB 2 <FF000000FF000000FF>] "
+        b"/BitsPerComponent 8 /Length 6 >>",
+        samples,
+    )
+    want = b"".join(lookup[s * 3 : s * 3 + 3] for s in samples)
+    assert P.pdf_images(pdf) == [(0, 0, 3, 2, 3, want)]
+    # out-of-range palette index is loud
+    pdf = _image_pdf(
+        b"<< /Subtype /Image /Width 3 /Height 2 /ColorSpace "
+        b"[/Indexed /DeviceRGB 1 <FF000000FF00>] "
+        b"/BitsPerComponent 8 /Length 6 >>",
+        samples,
+    )
+    with pytest.raises(P.PdfError, match="palette index"):
+        P.pdf_images(pdf)
+
+
 def test_tiff_predictor_2_decodes():
     """TIFF predictor 2 (horizontal differencing) on a Flate image
     stream — the scanner-output shape (VERDICT r15 item 6, gate
@@ -1176,17 +1292,24 @@ def test_pdf_images_gates():
     samples = bytes(16)
     pdf = _image_pdf(
         b"<< /Subtype /Image /Width 4 /Height 4 /ColorSpace /DeviceGray"
-        b" /BitsPerComponent 1 /Length 16 >>",
+        b" /BitsPerComponent 4 /Length 16 >>",
         samples,
     )
-    with pytest.raises(NotImplementedError, match="BitsPerComponent 1"):
+    with pytest.raises(NotImplementedError, match="BitsPerComponent 4"):
         P.pdf_images(pdf)
     pdf = _image_pdf(
-        b"<< /Subtype /Image /Width 4 /Height 4 /ColorSpace /Indexed"
+        b"<< /Subtype /Image /Width 4 /Height 4 /ColorSpace /CalRGB"
         b" /BitsPerComponent 8 /Length 16 >>",
         samples,
     )
     with pytest.raises(NotImplementedError, match="ColorSpace"):
+        P.pdf_images(pdf)
+    pdf = _image_pdf(
+        b"<< /Subtype /Image /Width 4 /Height 4 /ImageMask true"
+        b" /BitsPerComponent 1 /Length 16 >>",
+        samples,
+    )
+    with pytest.raises(NotImplementedError, match="ImageMask"):
         P.pdf_images(pdf)
     pdf = _image_pdf(
         b"<< /Subtype /Image /Width 4 /Height 4 "
