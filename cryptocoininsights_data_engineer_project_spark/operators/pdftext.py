@@ -2817,11 +2817,37 @@ def pdf_images(data: bytes) -> list[tuple[int, int, int, int, int, bytes]]:
                 bpc = int(pdf.resolve(xo.get("BitsPerComponent", 8)))
                 cs = pdf.resolve(xo.get("ColorSpace"))
                 if pdf.resolve(xo.get("ImageMask")) is True:
-                    raise NotImplementedError(
-                        "/ImageMask stencils are outside the "
-                        "implemented subset (sampled images only)"
+                    # r16: stencil masks — 1-bit, no color space; by
+                    # default (/Decode [0 1]) sample 0 PAINTS, 1 is
+                    # transparent (8.9.6.2). Emitted as bilevel
+                    # DeviceGray: painted = 0 (ink), clear = 255.
+                    from .faxcodec import FaxError, unpack_bilevel
+
+                    if bpc != 1:
+                        raise PdfError(
+                            f"/ImageMask with /BitsPerComponent {bpc}"
+                            " (must be 1)"
+                        )
+                    dec = pdf.resolve(xo.get("Decode"))
+                    if dec is not None and dec not in ([0, 1], [1, 0]):
+                        raise PdfError(
+                            f"/ImageMask /Decode {dec!r} must be "
+                            "[0 1] or [1 0]"
+                        )
+                    inverted = dec == [1, 0]
+                    try:
+                        bits = unpack_bilevel(samples, w, h, True)
+                    except FaxError as exc:
+                        raise PdfError(
+                            f"/XObject /{nm}: {exc}"
+                        ) from exc
+                    # paint bit: 0 by default, 1 under /Decode [1 0]
+                    paint = 1 if inverted else 0
+                    px = bytes(
+                        0 if b == paint else 255 for b in bits
                     )
-                if bpc == 1:
+                    ch = 1
+                elif bpc == 1:
                     # r16: bilevel sampled images (the scanned-doc
                     # shape) — rows byte-aligned per the PDF packing
                     from .faxcodec import FaxError, unpack_bilevel

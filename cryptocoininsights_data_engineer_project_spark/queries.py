@@ -2086,8 +2086,9 @@ def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Flate/LZW/RunLength/ASCIIHex/ASCII85 — remaining loud gates "
     "are non-Standard security handlers and non-empty user "
     "passwords (RC4 decrypts since r15, AES-128/AES-256 since "
-    "r16; CCITT G4 decodes since r16 too), the JBIG2/JPX/Crypt "
-    "image filters, and ImageMask stencils. The "
+    "r16; CCITT G4, 1-bit/Indexed images and ImageMask stencils "
+    "decode since r16 too), and the JBIG2/JPX/Crypt image "
+    "filters. The "
     "oracle restates the per-page text closed-form with no PDF "
     "syntax on the DuckDB side",
 )
@@ -2269,9 +2270,10 @@ def pdf_text_form_xobject(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SAME closed-form pixel statement plus container coordinates, "
     "so any container-slicing bug breaks the hash. Form XObjects "
     "recurse and CCITT G4, 1-bit samples and /Indexed palettes "
-    "decode as of r16 (pdf_text_form_xobject / pdf_image_ccitt); "
-    "loud gates: JBIG2/JPX filters, ImageMask stencils, ICC "
-    "spaces (operators/pdftext.py::pdf_images)",
+    "decode as of r16 (pdf_text_form_xobject / pdf_image_ccitt), "
+    "and /ImageMask stencils decode as bilevel with the /Decode "
+    "paint-bit sense; loud gates: JBIG2/JPX filters, ICC spaces "
+    "(operators/pdftext.py::pdf_images)",
 )
 def pdf_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
@@ -2302,8 +2304,8 @@ def pdf_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "four-variant equal-length family (doc_id %% 4 shifts a black "
     "run), each stream produced by the independent in-repo encoder "
     "and CASEd into the constant-layout PDF; closed-form "
-    "pixel-sum/checksum oracle. 1-bit sampled images and /Indexed "
-    "palettes decode too (same r16 batch); ImageMask stencils gate "
+    "pixel-sum/checksum oracle. 1-bit sampled images, /Indexed "
+    "palettes and /ImageMask stencils decode too (same r16 batch) "
     "(operators/faxcodec.py; operators/pdftext.py::pdf_images)",
 )
 def pdf_image_ccitt(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1306,11 +1306,42 @@ def test_pdf_images_gates():
         P.pdf_images(pdf)
     pdf = _image_pdf(
         b"<< /Subtype /Image /Width 4 /Height 4 /ImageMask true"
-        b" /BitsPerComponent 1 /Length 16 >>",
+        b" /BitsPerComponent 1 /Decode [0 0.5 1] /Length 16 >>",
         samples,
     )
-    with pytest.raises(NotImplementedError, match="ImageMask"):
+    with pytest.raises(P.PdfError, match="Decode"):
         P.pdf_images(pdf)
+
+
+def test_image_mask_stencil_decodes():
+    """/ImageMask stencils decode as bilevel (r16): sample 0 paints
+    by default; /Decode [1 0] inverts the paint bit."""
+    from cryptocoininsights_data_engineer_project_spark.operators import (
+        faxcodec as FX,
+    )
+
+    bits = bytes([0, 1, 0, 1, 1, 0, 1, 0] * 2)  # 8x2
+    packed = FX.pack_bilevel(bits, 8, 2, True)
+    pdf = _image_pdf(
+        b"<< /Subtype /Image /Width 8 /Height 2 /ImageMask true"
+        b" /BitsPerComponent 1 /Length " + str(len(packed)).encode()
+        + b" >>",
+        packed,
+    )
+    want = bytes(0 if b == 0 else 255 for b in bits)  # 0 paints
+    assert P.pdf_images(pdf) == [(0, 0, 8, 2, 1, want)]
+    pdf = _image_pdf(
+        b"<< /Subtype /Image /Width 8 /Height 2 /ImageMask true"
+        b" /BitsPerComponent 1 /Decode [1 0] /Length "
+        + str(len(packed)).encode() + b" >>",
+        packed,
+    )
+    want = bytes(0 if b == 1 else 255 for b in bits)  # inverted
+    assert P.pdf_images(pdf) == [(0, 0, 8, 2, 1, want)]
+
+
+def test_pdf_images_gates_filters():
+    samples = bytes(16)
     pdf = _image_pdf(
         b"<< /Subtype /Image /Width 4 /Height 4 "
         b"/Filter /JPXDecode /Length 16 >>",
