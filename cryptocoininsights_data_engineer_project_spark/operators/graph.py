@@ -178,8 +178,11 @@ def hits(
     Physical shape mirrors pagerank: edges and nodes materialize
     once; each round is two |nodes|-sized-side equi-joins onto the
     edges (AQE broadcast-converts them when |nodes| allows), two
-    groupBys, and two 1-row total aggregates broadcast back. Scores
-    re-checkpoint on a cadence to bound plan depth."""
+    groupBys, and two 1-row total aggregates broadcast back. Each
+    round's raw-mass table pins as a lazy localCheckpoint (see
+    ``_l1_normalize``), which bounds plan depth per round —
+    ``checkpoint_every`` is kept for signature compatibility but the
+    per-round pin already does its job."""
     e = edges.select("src", "dst").distinct().localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -195,15 +198,22 @@ def hits(
         )
 
     def _l1_normalize(raw: DataFrame) -> DataFrame:
-        """(node, raw) -> (node, score) with total mass ~PPB; nodes
-        missing from raw (no contributing edges) score 0."""
+        """(node, raw) -> (node, score) for nodes PRESENT in raw, with
+        total mass ~PPB. Nodes with no contributing edges stay ABSENT
+        (a 0 score adds nothing to the next round's sums — identical
+        arithmetic); the final output densifies once instead of every
+        round (the former per-round nodes left-join was 6 extra joins
+        per run). ``raw`` pins as a lazy localCheckpoint: both the
+        1-row total and the scored projection reference it, and an
+        unpinned plan DOUBLES the whole iteration subtree per
+        reference — two normalizes per round made the 3-round final
+        plan carry ~4^3 copies of the edge join (~1300 Exchange nodes
+        at fixture scale; the measured cost was plan size, not data)."""
+        raw = raw.localCheckpoint(eager=False)
         total = raw.agg(F.sum("raw").alias("t"))
-        scored = raw.join(F.broadcast(total)).select(
+        return raw.join(F.broadcast(total)).select(
             "node",
             F.expr(f"(raw * 1000) div (t div {PPB // 1000})").alias("score"),
-        )
-        return nodes.join(scored, "node", "left").select(
-            "node", F.coalesce("score", F.lit(0)).cast("long").alias("score")
         )
 
     hub = nodes.select(
@@ -223,13 +233,16 @@ def hits(
             .agg(F.sum("score").alias("raw"))
         )
         hub = _l1_normalize(h_raw)
-        if i % checkpoint_every == 0 and i < iterations:
-            hub = hub.localCheckpoint()
-            auth = auth.localCheckpoint()
     return (
-        nodes.join(hub.withColumnRenamed("score", "hub_ppb"), "node")
-        .join(auth.withColumnRenamed("score", "auth_ppb"), "node")
-        .select("node", "hub_ppb", "auth_ppb")
+        nodes.join(
+            hub.withColumnRenamed("score", "hub_ppb"), "node", "left"
+        )
+        .join(auth.withColumnRenamed("score", "auth_ppb"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub_ppb", F.lit(0)).cast("long").alias("hub_ppb"),
+            F.coalesce("auth_ppb", F.lit(0)).cast("long").alias("auth_ppb"),
+        )
     )
 
 

@@ -683,13 +683,21 @@ def install_synthesis_window(snap) -> None:
     )
 
 
+_MATRIXING_N: np.ndarray | None = None
+
+
 def matrixing(samples32: np.ndarray) -> np.ndarray:
     """The NORMATIVE matrixing stage (11172-3 2.4.3.5): 64 values
-    V[i] = sum_k cos((16 + i)(2k + 1) pi / 64) * S[k]."""
-    i = np.arange(64)[:, None]
-    k = np.arange(32)[None, :]
-    n = np.cos((16 + i) * (2 * k + 1) * math.pi / 64)
-    return n @ np.asarray(samples32, dtype=np.float64)
+    V[i] = sum_k cos((16 + i)(2k + 1) pi / 64) * S[k]. The 64x32
+    cosine matrix is a constant — built once per process and cached
+    (it was rebuilt per granule: 72 np.cos(2048)/doc dominated the
+    synthesis profile, ~60% of synthesize() wall)."""
+    global _MATRIXING_N
+    if _MATRIXING_N is None:
+        i = np.arange(64)[:, None]
+        k = np.arange(32)[None, :]
+        _MATRIXING_N = np.cos((16 + i) * (2 * k + 1) * math.pi / 64)
+    return _MATRIXING_N @ np.asarray(samples32, dtype=np.float64)
 
 
 def synthesize(subband_samples: np.ndarray) -> np.ndarray:

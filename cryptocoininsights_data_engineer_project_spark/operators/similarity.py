@@ -339,20 +339,32 @@ IVF_ITERS = 2
 IVF_NPROBE = 5
 
 
+def _pack_cents(cents: DataFrame) -> DataFrame:
+    """ONE row holding the whole centroid table as a cid-sorted
+    array<struct<cid, cent, cc>>. Broadcast-crossJoined onto the
+    vector frame, the nearest-centroid argmin then evaluates INSIDE
+    each vector's own projection (array_min over a transform) — the
+    former k-fold crossJoin expansion plus per-vec_id Window forced an
+    Exchange + Sort of the k-expanded corpus per assignment pass; the
+    packed form is zero-shuffle (same FLOPs, same fold arithmetic)."""
+    return cents.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "cent", "cc"))).alias("cs")
+    )
+
+
 def _ivf_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: (vec_id, emb, vv, cid). ``cents``
-    is k rows — broadcast, so the k-fold expansion never shuffles.
+    """Nearest-centroid assignment: (vec_id, emb, vv, cid).
     d2 = vv - 2*<v,c> + cc with every dot product the sequential fold
     that DuckDB's list_dot_product reproduces bit-for-bit; ties break
-    to the lowest cid."""
-    d = vecs.crossJoin(F.broadcast(cents)).withColumn(
-        "d2", F.expr(f"vv - 2 * ({dot_expr('emb', 'cent')}) + cc")
+    to the lowest cid — array_min over struct(d2, cid) IS the
+    (d2 ASC, cid ASC) objective the former Window ranked by."""
+    best = (
+        "array_min(transform(cs, c -> named_struct("
+        f"'d2', vv - 2 * ({dot_expr('emb', 'c.cent')}) + c.cc, "
+        "'cid', c.cid)))"
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "emb", "vv", "cid")
+    return vecs.crossJoin(F.broadcast(_pack_cents(cents))).select(
+        "vec_id", "emb", "vv", F.expr(f"{best}.cid").alias("cid")
     )
 
 
@@ -442,14 +454,16 @@ def ivf_trained_topk(
         F.col("vv").alias("q_vv"),
         F.expr("sqrt(vv)").alias("q_nrm"),
     )
-    qd = q.crossJoin(F.broadcast(cents)).withColumn(
-        "d2", F.expr(f"q_vv - 2 * ({dot_expr('q_emb', 'cent')}) + cc")
+    # nearest-nprobe cells per query: sort the packed k-struct array by
+    # (d2 ASC, cid ASC) and keep the first nprobe — same selection the
+    # former per-query Window ranked, with zero exchange
+    nearest = (
+        "transform(slice(array_sort(transform(cs, c -> named_struct("
+        f"'d2', q_vv - 2 * ({dot_expr('q_emb', 'c.cent')}) + c.cc, "
+        f"'cid', c.cid))), 1, {nprobe}), p -> p.cid)"
     )
-    w_p = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
-    probes = (
-        qd.withColumn("rn", F.row_number().over(w_p))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "q_emb", "q_nrm", "cid")
+    probes = q.crossJoin(F.broadcast(_pack_cents(cents))).select(
+        "query_id", "q_emb", "q_nrm", F.explode(F.expr(nearest)).alias("cid")
     )
     # probes is |queries| x nprobe rows — tiny for any bounded query
     # batch (the ANN serving shape) — but it sits behind a Window over
@@ -1117,17 +1131,25 @@ def pq_adc_topk(
     ).select("cid", F.col("x.s").alias("s"), F.col("x.cent").alias("cent"))
 
     def _assign(cents_df: DataFrame) -> DataFrame:
+        # per-subspace packed codebook + in-row argmin (array_min over
+        # struct(d2, cid) = the former Window's (d2 ASC, cid ASC)):
+        # no n_codes-fold expansion, no per-(vec_id, s) Exchange+Sort
         cc = cents_df.withColumn("cc", F.expr(dot_expr("cent", "cent")))
-        d = sub.join(F.broadcast(cc), "s").withColumn(
-            "d2", F.expr(f"svv - 2 * ({dot_expr('semb', 'cent')}) + cc")
+        packed = cc.groupBy("s").agg(
+            F.array_sort(F.collect_list(F.struct("cid", "cent", "cc"))).alias("cs")
         )
-        w = Window.partitionBy("vec_id", "s").orderBy(
-            F.col("d2").asc(), F.col("cid").asc()
+        best = (
+            "array_min(transform(cs, c -> named_struct("
+            f"'d2', svv - 2 * ({dot_expr('semb', 'c.cent')}) + c.cc, "
+            "'cid', c.cid)))"
         )
         return (
-            d.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "s", "semb", "svv", "cid", "d2")
+            sub.join(F.broadcast(packed), "s")
+            .withColumn("b", F.expr(best))
+            .select(
+                "vec_id", "s", "semb", "svv",
+                F.col("b.cid").alias("cid"), F.col("b.d2").alias("d2"),
+            )
         )
 
     # one Lloyd's update: means per (subspace, cid, component), rounded
@@ -1863,18 +1885,23 @@ def _train_pq_codebook(
 
 def _assign_pq(rsub: DataFrame, cb: DataFrame) -> DataFrame:
     """Nearest codebook entry per (vector, subspace) on the residual
-    (ties to the lowest pqid); the codebook broadcasts."""
+    (ties to the lowest pqid); the codebook packs into one pqid-sorted
+    array row PER SUBSPACE and broadcasts — the argmin evaluates
+    inside each (vector, subspace) row's projection (array_min over
+    struct(d2, pqid) = the former Window's (d2 ASC, pqid ASC)), so no
+    n_codes-fold expansion and no per-(vec_id, s) Exchange + Sort."""
     cc = cb.withColumn("cc", F.expr(dot_expr("cent", "cent")))
-    d = rsub.join(F.broadcast(cc), "s").withColumn(
-        "d2", F.expr(f"svv - 2 * ({dot_expr('semb', 'cent')}) + cc")
+    packed = cc.groupBy("s").agg(
+        F.array_sort(F.collect_list(F.struct("pqid", "cent", "cc"))).alias("cs")
     )
-    w = Window.partitionBy("vec_id", "s").orderBy(
-        F.col("d2").asc(), F.col("pqid").asc()
+    best = (
+        "array_min(transform(cs, c -> named_struct("
+        f"'d2', svv - 2 * ({dot_expr('semb', 'c.cent')}) + c.cc, "
+        "'pqid', c.pqid)))"
     )
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "s", "semb", "svv", "pqid")
+    return rsub.join(F.broadcast(packed), "s").select(
+        "vec_id", "cid", "s", "semb", "svv",
+        F.expr(f"{best}.pqid").alias("pqid"),
     )
 
 
@@ -1921,18 +1948,22 @@ def _ivfpq_rank(
     """Probe + ADC + exact rerank over already-trained parts.
     ``queries``: (query_id, q_emb, q_vv, q_nrm). ``full_vecs``:
     (neighbor_id, n_emb, n_nrm) for the rerank stage."""
-    qd = queries.crossJoin(F.broadcast(cents)).withColumn(
-        "d2", F.expr(f"q_vv - 2 * ({dot_expr('q_emb', 'cent')}) + cc")
-    )
-    w_p = Window.partitionBy("query_id").orderBy(
-        F.col("d2").asc(), F.col("cid").asc()
+    # nearest-nprobe cells per query via the packed-array sort (zero
+    # exchange; selection identical to the former (d2 ASC, cid ASC)
+    # Window) — the probed cell's centroid rides along for the
+    # query-residual computation
+    nearest = (
+        "slice(array_sort(transform(cs, c -> named_struct("
+        f"'d2', q_vv - 2 * ({dot_expr('q_emb', 'c.cent')}) + c.cc, "
+        f"'cid', c.cid, 'cent', c.cent))), 1, {nprobe})"
     )
     probes = (
-        qd.withColumn("rn", F.row_number().over(w_p))
-        .filter(F.col("rn") <= nprobe)
+        queries.crossJoin(F.broadcast(_pack_cents(cents)))
+        .select("query_id", "q_emb", F.explode(F.expr(nearest)).alias("p"))
         .select(
-            "query_id", "cid",
-            F.expr("zip_with(q_emb, cent, (x, c) -> x - c)").alias("qremb"),
+            "query_id",
+            F.col("p.cid").alias("cid"),
+            F.expr("zip_with(q_emb, p.cent, (x, c) -> x - c)").alias("qremb"),
         )
     )
     q_rsub = (

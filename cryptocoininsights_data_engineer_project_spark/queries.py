@@ -1034,9 +1034,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is the Python twin, test-pinned equal",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return multimodal.decode_meta(
-        multimodal.synth_assets(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
+    return multimodal.decode_meta(multimodal.synth_assets(docs))
 
 
 @_q(
@@ -1050,9 +1051,10 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "no shuffle (operators/multimodal.py::frame_sample_plan)",
 )
 def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return multimodal.frame_sample_plan(
-        multimodal.synth_assets(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
+    return multimodal.frame_sample_plan(multimodal.synth_assets(docs))
 
 
 @_q(
@@ -1071,7 +1073,10 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "remain codec-gated (decode_image)",
 )
 def multimodal_wav_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assets = multimodal.synth_assets(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    assets = multimodal.synth_assets(docs)
     return multimodal.decode_wav_frames(assets, multimodal.micro_frame_plan(assets))
 
 
@@ -1089,9 +1094,10 @@ def multimodal_wav_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/multimodal.py::decode_mulaw_stats)",
 )
 def multimodal_wav_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return multimodal.decode_mulaw_stats(
-        multimodal.synth_mulaw_assets(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
     )
+    return multimodal.decode_mulaw_stats(multimodal.synth_mulaw_assets(docs))
 
 
 @_q(
@@ -1106,9 +1112,10 @@ def multimodal_wav_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/multimodal.py::decode_alaw_stats)",
 )
 def multimodal_wav_alaw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return multimodal.decode_alaw_stats(
-        multimodal.synth_alaw_assets(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
     )
+    return multimodal.decode_alaw_stats(multimodal.synth_alaw_assets(docs))
 
 
 @_q(
@@ -1129,9 +1136,10 @@ def multimodal_wav_alaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     "covered by spec-reference tests in tests/test_multimodal.py",
 )
 def multimodal_wav_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return multimodal.decode_adpcm_stats(
-        multimodal.synth_adpcm_assets(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
     )
+    return multimodal.decode_adpcm_stats(multimodal.synth_adpcm_assets(docs))
 
 
 @_q(
@@ -1835,7 +1843,9 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "covered by round-trip unit tests (tests/test_multimodal.py)",
 )
 def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return multimodal.decode_png_stats(multimodal.synth_png_assets(docs))
 
 
@@ -1856,7 +1866,9 @@ def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tests/test_multimodal.py",
 )
 def multimodal_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return multimodal.decode_image_stats(
         multimodal.synth_png_palette_assets(docs)
     )
@@ -1879,7 +1891,9 @@ def multimodal_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     "encoder-round-trip unit tests (tests/test_jpeg.py)",
 )
 def multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return multimodal.decode_image_stats(multimodal.synth_jpeg_assets(docs))
 
 
@@ -1899,7 +1913,9 @@ def multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     "position-weighted checksum over the interleaved RGB stream",
 )
 def multimodal_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return multimodal.decode_image_stats(multimodal.synth_gif_assets(docs))
 
 
@@ -1918,9 +1934,10 @@ def multimodal_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     "NotImplementedError gate",
 )
 def multimodal_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return multimodal.sample_gif_frames(
-        multimodal.synth_gif_anim_assets(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
     )
+    return multimodal.sample_gif_frames(multimodal.synth_gif_anim_assets(docs))
 
 
 @_q(
@@ -1942,9 +1959,10 @@ def multimodal_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tests/test_gif.py. One mapInPandas pass; payloads never shuffle",
 )
 def multimodal_gif_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return multimodal.compose_gif_stats(
-        multimodal.synth_gif_composite_assets(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
     )
+    return multimodal.compose_gif_stats(multimodal.synth_gif_composite_assets(docs))
 
 
 @_q(
@@ -1973,9 +1991,10 @@ def multimodal_gif_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "runs where the bytes live, exactly like the GIF/MJPEG twins",
 )
 def multimodal_apng_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return multimodal.compose_apng_stats(
-        multimodal.synth_apng_assets(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
     )
+    return multimodal.compose_apng_stats(multimodal.synth_apng_assets(docs))
 
 
 @_q(
@@ -1996,7 +2015,9 @@ def multimodal_apng_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "independent progressive encoder round-trips in tests/test_jpeg.py",
 )
 def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return multimodal.decode_image_stats(
         multimodal.synth_jpeg_progressive_assets(docs)
     )
@@ -2093,7 +2114,9 @@ def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "syntax on the DuckDB side",
 )
 def pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return pdftext.pdf_page_text(pdftext.synth_pdf_assets(docs))
 
 
@@ -2113,7 +2136,9 @@ def pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/pdftext.py::_parse_xref_stream/_load_from_objstm)",
 )
 def pdf_text_extract_v15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return pdftext.pdf_page_text(pdftext.synth_pdf15_assets(docs))
 
 
@@ -2135,7 +2160,9 @@ def pdf_text_extract_v15(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/pdftext.py::page_fonts/_parse_tounicode)",
 )
 def pdf_text_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return pdftext.pdf_page_text(pdftext.synth_pdfu_assets(docs))
 
 
@@ -2251,7 +2278,9 @@ def pdf_text_extract_aes256(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/pdftext.py::form_xobjects/_content_text)",
 )
 def pdf_text_form_xobject(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return pdftext.pdf_page_text(pdftext.synth_pdfform_assets(docs))
 
 
@@ -2355,7 +2384,9 @@ def warc_pdf_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/pdftext.py::pdf_links)",
 )
 def pdf_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return pdftext.pdf_page_links(pdftext.synth_pdf_assets(docs))
 
 
@@ -2674,7 +2705,9 @@ def ogg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "independent-encoder tests in tests/test_bitmap.py",
 )
 def multimodal_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return multimodal.decode_image_stats(multimodal.synth_bmp_assets(docs))
 
 
@@ -2693,7 +2726,9 @@ def multimodal_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mapInPandas pass; payloads never shuffle",
 )
 def multimodal_tiff_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return multimodal.decode_image_stats(multimodal.synth_tiff_assets(docs))
 
 
@@ -2716,7 +2751,9 @@ def multimodal_tiff_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle",
 )
 def multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return multimodal.decode_lossless_stats(
         multimodal.synth_lossless_assets(docs)
     )
@@ -2752,7 +2789,9 @@ def multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_jpeg_hierarchical(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return multimodal.decode_hier_stats(
         multimodal.synth_jpeg_hier_assets(docs)
     )
@@ -2779,7 +2818,9 @@ def multimodal_jpeg_hierarchical(
 def multimodal_jpeg_hier_progressive(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return multimodal.decode_hier_stats(
         multimodal.synth_jpeg_hier6_assets(docs)
     )
@@ -2803,7 +2844,9 @@ def multimodal_jpeg_hier_progressive(
 def multimodal_jpeg_hier_lossless(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return multimodal.decode_hier_stats(
         multimodal.synth_jpeg_hier7_assets(docs)
     )
@@ -2828,7 +2871,9 @@ def multimodal_jpeg_hier_lossless(
     "rms). One mapInPandas pass; payloads never shuffle",
 )
 def multimodal_flac_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return multimodal.decode_flac_stats(multimodal.synth_flac_assets(docs))
 
 
@@ -2856,7 +2901,9 @@ def multimodal_flac_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_jpeg_lossless_arith(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return multimodal.decode_lossless_stats(
         multimodal.synth_jpeg_lossless_arith_assets(docs)
     )
@@ -2882,7 +2929,9 @@ def multimodal_jpeg_lossless_arith(
     "payloads never shuffle",
 )
 def multimodal_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return multimodal.decode_image_stats(
         multimodal.synth_jpeg_arith_assets(docs)
     )
@@ -2907,7 +2956,9 @@ def multimodal_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_jpeg_arith_progressive(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return multimodal.decode_image_stats(
         multimodal.synth_jpeg_arithp_assets(docs)
     )
@@ -2925,7 +2976,9 @@ def multimodal_jpeg_arith_progressive(
     "scan-speed transform, zero shuffle, payload never moves",
 )
 def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return multimodal.resize_png_assets(multimodal.synth_png_assets(docs))
 
 
@@ -2943,7 +2996,9 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "frame sampling — all real, all cross-engine-checked",
 )
 def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return multimodal.sample_video_frames(multimodal.synth_y4m_assets(docs))
 
 
@@ -2962,7 +3017,9 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     "odd-dimension gates covered in tests/test_multimodal.py",
 )
 def multimodal_video_chroma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return multimodal.sample_video_chroma(
         multimodal.synth_y4m_420_assets(docs)
     )
@@ -2985,7 +3042,9 @@ def multimodal_video_chroma(spark: SparkSession, sf_dir: str) -> DataFrame:
     "twin (operators/multimodal.py::decode_avi_mjpeg)",
 )
 def multimodal_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return multimodal.sample_mjpeg_frames(
         multimodal.synth_avi_mjpeg_assets(docs)
     )
@@ -3015,7 +3074,9 @@ def multimodal_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "payloads never shuffle",
 )
 def multimodal_video_mrle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return multimodal.compose_mrle_stats(
         multimodal.synth_avi_mrle_assets(docs)
     )
@@ -3573,7 +3634,9 @@ def multimodal_wav_mpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "resize, frame-sample — run on real bytes",
 )
 def multimodal_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return multimodal.extract_pixel_features(multimodal.synth_png_assets(docs))
 
 
