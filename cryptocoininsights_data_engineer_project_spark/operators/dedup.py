@@ -168,6 +168,7 @@ def minhash_candidate_pairs(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) candidate near-duplicate pairs: docs agreeing on
     at least one full LSH band.
@@ -181,7 +182,11 @@ def minhash_candidate_pairs(
     no second scan. Bucket membership is bounded by true duplicate
     cluster size; a pathological all-identical corpus is the only skew
     case, and AQE splits that reduce."""
-    b = minhash_bands(minhash_signatures(docs, k), bands, rows)
+    # callers that already hold (materialized) signatures pass them in,
+    # saving a second shingle->hash->min-agg pass over the corpus
+    b = minhash_bands(
+        minhash_signatures(docs, k) if sigs is None else sigs, bands, rows
+    )
     buckets = (
         b.groupBy("band_id", "band_hash")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
@@ -408,7 +413,13 @@ def connected_components(
         .localCheckpoint()
     )
     nodes = edges.select(F.col("src").alias("doc_id")).distinct()
-    labels = nodes.withColumn("cluster_id", F.col("doc_id")).localCheckpoint()
+    # lazy checkpoints: the convergence-sum job is what materializes
+    # each round's label table, so checkpoint + scalar cost ONE job
+    # per round instead of two (the eager form paid a materialize job
+    # AND the sum job back to back)
+    labels = nodes.withColumn("cluster_id", F.col("doc_id")).localCheckpoint(
+        eager=False
+    )
     prev_sum = labels.agg(F.sum("cluster_id")).first()[0] or 0
     for rounds in range(1, max_rounds + 1):
         neighbor = (
@@ -430,7 +441,9 @@ def connected_components(
         labels = (
             stepped.join(parent, "cluster_id")
             .select("doc_id", F.col("_cc_parent").alias("cluster_id"))
-            .localCheckpoint()  # truncate the growing lineage each round
+            # truncate the growing lineage each round; materialized by
+            # the convergence sum below (one job, not two)
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("cluster_id")).first()[0] or 0
         if cur_sum == prev_sum:
@@ -900,7 +913,9 @@ def minhash_accuracy(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     this on a sample of buckets to monitor whether k still fits the
     corpus's similarity profile."""
     sigs = minhash_signatures(docs, k).localCheckpoint()
-    pairs = minhash_candidate_pairs(docs).localCheckpoint()
+    # band the CHECKPOINTED signatures: the former minhash_candidate_pairs(docs)
+    # call re-ran the whole shingle->hash->min-agg pipeline a second time
+    pairs = minhash_candidate_pairs(docs, k, sigs=sigs).localCheckpoint()
     a = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"s{i}").alias(f"a{i}") for i in range(k)],

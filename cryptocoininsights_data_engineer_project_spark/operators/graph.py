@@ -66,8 +66,12 @@ def pagerank(
     job's scheduling round-trip (~0.5 s measured at fixture scale),
     while the cadence still bounds plan depth for long runs — a K<=4
     call plans as one shallow tree."""
-    e = edges.select("src", "dst").distinct().localCheckpoint()
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    e0 = edges.select("src", "dst").distinct()
+    outdeg = e0.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # outdeg is static across rounds: fold it into the materialized
+    # edge table ONCE instead of re-joining it inside every iteration
+    # (one join per round saved; same contribution arithmetic)
+    e = e0.join(outdeg, "src").localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -86,7 +90,6 @@ def pagerank(
     for i in range(1, iterations + 1):
         contrib = (
             e.join(ranks, e.src == ranks.node)
-            .join(outdeg, "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank_ppb div outdeg").alias("c"),

@@ -1723,9 +1723,14 @@ def lang_id_ngram(docs: DataFrame, k: int = NGRAM_LANG_K) -> DataFrame:
         "ELSE transform(sequence(1, length(text) - 2), "
         "i -> substring(text, i, 3)) END"
     )
+    # the trigram explode feeds BOTH the profile build and the hits
+    # join, whose exchanges share nothing — unpinned, Spark evaluates
+    # the scan + fixture expression + explode twice (no ReusedExchange
+    # across the two partitionings). Pin it once, lazily: the profile
+    # subtree's first job materializes it.
     tri = docs.select(
         "doc_id", "lang", F.explode(F.expr(tri_expr)).alias("tri")
-    )
+    ).localCheckpoint(eager=False)
     prof = (
         tri.groupBy("lang", "tri")
         .agg(F.count("*").alias("c"))
