@@ -1170,7 +1170,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "re-derives hash/bands/pairs in its own arithmetic",
 )
 def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.image_phash_pairs(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return dedup.image_phash_pairs(docs)
 
 
 @_q(
