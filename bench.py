@@ -85,6 +85,14 @@ def main() -> None:
     _sim.hyperplane_lsh_pairs(tiny_emb, threshold=0.99).write.format("noop").mode(
         "overwrite"
     ).save()
+    # trained-IVF shapes (r16 packed-argmin rewrite): the broadcast
+    # centroid-array argmin transform, the probe array_sort/slice, and
+    # the seed TakeOrdered — compiled once here so the ANN audit
+    # queries (alphabetically first among the similarity family) bill
+    # their scan, not the kernel compile
+    _sim.ivf_trained_topk(tiny_emb, query_limit=4).write.format("noop").mode(
+        "overwrite"
+    ).save()
     spark.range(64).selectExpr(
         "id", "aggregate(zip_with(array(1.0D, 2.0D), array(3.0D, 4.0D), (x, y) -> x * y), 0.0D, (a, v) -> a + v) AS d",
         "sum(id) OVER (PARTITION BY id % 4 ORDER BY id) AS w",

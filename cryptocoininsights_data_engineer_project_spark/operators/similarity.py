@@ -92,11 +92,31 @@ def dot_expr(a: str, b: str) -> str:
     return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan spreading. The ANN operators are
+    shuffle-free up to their final per-query top-k (the r16
+    packed-argmin rewrite removed the per-assignment exchanges), so
+    their heavy per-row scoring now runs IN THE SCAN'S OWN partitions
+    — and a single-file parquet scan at bench scale yields 1-2
+    partitions, serializing the corpus scoring on 2 of 32 cores (the
+    former Window exchange was providing parallelism by accident).
+    When, and only when, the scan has fewer partitions than
+    defaultParallelism, repartition the narrow working projection
+    once; a production corpus scan has orders of magnitude more
+    partitions than cores, making this a provable no-op (no shuffle
+    added at scale)."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+
+
 def _with_norms(embeddings: DataFrame) -> DataFrame:
-    e = embeddings.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("emb"),
-        "label",
+    e = _spread(
+        embeddings.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("emb"),
+            "label",
+        )
     )
     return e.withColumn("nrm", F.expr(f"sqrt({dot_expr('emb', 'emb')})"))
 
@@ -184,8 +204,10 @@ def sq8_topk(
     operator is O(|queries| * n). At 100 TB the int8 codes are the
     column you SHIP to the serving tier: 4x less IO than float32, and
     this operator is the exact scoring those codes support."""
-    e = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    e = _spread(
+        embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
     )
     s = e.withColumn(
         "scale", F.expr("array_max(transform(emb, v -> abs(v))) / 127.0")
@@ -369,9 +391,13 @@ def _ivf_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _ivf_vecs(embeddings: DataFrame) -> DataFrame:
-    """(vec_id, emb double[], vv): the normalized working projection."""
-    e = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    """(vec_id, emb double[], vv): the normalized working projection,
+    spread over the session's parallelism when the scan under-splits
+    (see _spread)."""
+    e = _spread(
+        embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
     )
     return e.withColumn("vv", F.expr(dot_expr("emb", "emb")))
 
@@ -1100,8 +1126,10 @@ def pq_adc_topk(
     pipeline would persist); the candidate fan-out is m partial rows
     per (query, vector) combined map-side before the (query, vector)
     shuffle. No all-pairs full-precision math anywhere."""
-    e = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    e = _spread(
+        embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
     )
     sub = e.select(
         "vec_id",

@@ -9122,8 +9122,10 @@ def dedup_text_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the LSH plan references the vectors on both the sketch and
         # the verify side; without materializing, the whole
         # tokenize+hash embedding pipeline re-evaluates per reference
-        # (measured 22.8 -> 9.0 s at sf0.1)
-        .localCheckpoint()
+        # (measured 22.8 -> 9.0 s at sf0.1). Lazy: the first consumer's
+        # job materializes it — one fewer scheduling round-trip than
+        # the eager form, identical pinning
+        .localCheckpoint(eager=False)
     )
     return similarity.hyperplane_lsh_pairs(
         vecs,

@@ -71,10 +71,10 @@ ADJUDICATED = {
         "output-proportional: sf1 derivation manufactures near-dup "
         "cliques — 32x wall tracks 53x output rows (SCALE.md)"
     ),
-    "basket_affinity_lift": (
-        "output-proportional: pair-grain output grows with basket "
-        "co-occurrence density, 2 -> 20 rows at 10x data (SCALE.md)"
-    ),
+    # basket_affinity_lift's former output-proportional adjudication
+    # (2 -> 20 pair rows at 10x data) retired in r16: the re-swept
+    # ratio reads 5.5x, inside the gate — the staleness guard
+    # (test_adjudications_are_real_and_named) flags exactly this
     "dedup_embedding": (
         "oracle twin is deliberately quadratic (engine-only parity "
         "marker, SCALE.md); the ENGINE side has been constant since "
