@@ -89,8 +89,16 @@ def main() -> None:
     # centroid-array argmin transform, the probe array_sort/slice, and
     # the seed TakeOrdered — compiled once here so the ANN audit
     # queries (alphabetically first among the similarity family) bill
-    # their scan, not the kernel compile
-    _sim.ivf_trained_topk(tiny_emb, query_limit=4).write.format("noop").mode(
+    # their scan, not the kernel compile. Vectors offset to id+1: the
+    # all-zero id=0 vector of tiny_emb has norm 0, and the cosine
+    # division is ANSI (the real corpus carries no zero vectors)
+    tiny_ivf = spark.range(16).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 64), j -> CAST((id + 1) * j % 7 + 1 AS FLOAT))"
+        " AS embedding",
+        "id % 2 AS label",
+    )
+    _sim.ivf_trained_topk(tiny_ivf, query_limit=4).write.format("noop").mode(
         "overwrite"
     ).save()
     spark.range(64).selectExpr(
