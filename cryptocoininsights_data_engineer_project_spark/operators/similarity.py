@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import spark_hash64
+from ..functions.spread import spread
 
 # Query set: every 100th vector. Scale-factor-proportional (50 queries
 # at sf0.01) and deterministic.
@@ -92,22 +93,12 @@ def dot_expr(a: str, b: str) -> str:
     return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Scale-adaptive scan spreading. The ANN operators are
-    shuffle-free up to their final per-query top-k (the r16
-    packed-argmin rewrite removed the per-assignment exchanges), so
-    their heavy per-row scoring now runs IN THE SCAN'S OWN partitions
-    — and a single-file parquet scan at bench scale yields 1-2
-    partitions, serializing the corpus scoring on 2 of 32 cores (the
-    former Window exchange was providing parallelism by accident).
-    When, and only when, the scan has fewer partitions than
-    defaultParallelism, repartition the narrow working projection
-    once; a production corpus scan has orders of magnitude more
-    partitions than cores, making this a provable no-op (no shuffle
-    added at scale)."""
-    sc = df.sparkSession.sparkContext
-    n = sc.defaultParallelism
-    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+# Scale-adaptive scan spreading (shared helper since r17 — the ANN
+# operators are shuffle-free up to their final per-query top-k after
+# the r16 packed-argmin rewrite, so their heavy per-row scoring runs
+# in the scan's own partitions; see functions/spread.py for the full
+# rationale).
+_spread = spread
 
 
 def _with_norms(embeddings: DataFrame) -> DataFrame:

@@ -43,6 +43,7 @@ from .operators import (
     webarchive,
 )
 from .functions.hashing import spark_hash64
+from .functions.spread import spread as _spread
 from .functions.textnorm import duck_norm, duck_tokens, spark_tokens
 
 
@@ -1034,9 +1035,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is the Python twin, test-pinned equal",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return multimodal.decode_meta(multimodal.synth_assets(docs))
 
 
@@ -1051,9 +1050,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "no shuffle (operators/multimodal.py::frame_sample_plan)",
 )
 def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return multimodal.frame_sample_plan(multimodal.synth_assets(docs))
 
 
@@ -1073,9 +1070,7 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "remain codec-gated (decode_image)",
 )
 def multimodal_wav_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     assets = multimodal.synth_assets(docs)
     return multimodal.decode_wav_frames(assets, multimodal.micro_frame_plan(assets))
 
@@ -1094,9 +1089,7 @@ def multimodal_wav_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/multimodal.py::decode_mulaw_stats)",
 )
 def multimodal_wav_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_mulaw_stats(multimodal.synth_mulaw_assets(docs))
 
 
@@ -1112,9 +1105,7 @@ def multimodal_wav_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/multimodal.py::decode_alaw_stats)",
 )
 def multimodal_wav_alaw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_alaw_stats(multimodal.synth_alaw_assets(docs))
 
 
@@ -1136,9 +1127,7 @@ def multimodal_wav_alaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     "covered by spec-reference tests in tests/test_multimodal.py",
 )
 def multimodal_wav_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_adpcm_stats(multimodal.synth_adpcm_assets(docs))
 
 
@@ -1170,9 +1159,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "re-derives hash/bands/pairs in its own arithmetic",
 )
 def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return dedup.image_phash_pairs(docs)
 
 
@@ -1846,9 +1833,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "covered by round-trip unit tests (tests/test_multimodal.py)",
 )
 def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_png_stats(multimodal.synth_png_assets(docs))
 
 
@@ -1869,9 +1854,7 @@ def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tests/test_multimodal.py",
 )
 def multimodal_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_image_stats(
         multimodal.synth_png_palette_assets(docs)
     )
@@ -1894,9 +1877,7 @@ def multimodal_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     "encoder-round-trip unit tests (tests/test_jpeg.py)",
 )
 def multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_image_stats(multimodal.synth_jpeg_assets(docs))
 
 
@@ -1916,9 +1897,7 @@ def multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     "position-weighted checksum over the interleaved RGB stream",
 )
 def multimodal_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_image_stats(multimodal.synth_gif_assets(docs))
 
 
@@ -1937,9 +1916,7 @@ def multimodal_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     "NotImplementedError gate",
 )
 def multimodal_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.sample_gif_frames(multimodal.synth_gif_anim_assets(docs))
 
 
@@ -1962,9 +1939,7 @@ def multimodal_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tests/test_gif.py. One mapInPandas pass; payloads never shuffle",
 )
 def multimodal_gif_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.compose_gif_stats(multimodal.synth_gif_composite_assets(docs))
 
 
@@ -1994,9 +1969,7 @@ def multimodal_gif_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "runs where the bytes live, exactly like the GIF/MJPEG twins",
 )
 def multimodal_apng_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.compose_apng_stats(multimodal.synth_apng_assets(docs))
 
 
@@ -2018,9 +1991,7 @@ def multimodal_apng_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "independent progressive encoder round-trips in tests/test_jpeg.py",
 )
 def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_image_stats(
         multimodal.synth_jpeg_progressive_assets(docs)
     )
@@ -2117,9 +2088,7 @@ def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "syntax on the DuckDB side",
 )
 def pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return pdftext.pdf_page_text(pdftext.synth_pdf_assets(docs))
 
 
@@ -2139,9 +2108,7 @@ def pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/pdftext.py::_parse_xref_stream/_load_from_objstm)",
 )
 def pdf_text_extract_v15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return pdftext.pdf_page_text(pdftext.synth_pdf15_assets(docs))
 
 
@@ -2163,9 +2130,7 @@ def pdf_text_extract_v15(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/pdftext.py::page_fonts/_parse_tounicode)",
 )
 def pdf_text_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return pdftext.pdf_page_text(pdftext.synth_pdfu_assets(docs))
 
 
@@ -2193,9 +2158,7 @@ def pdf_text_extract_encrypted(
 ) -> DataFrame:
     # python-heavy encrypt+decrypt per doc: spread over all cores
     # (the parquet scan alone yields too few input partitions)
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return pdftext.pdf_page_text(
         pdftext.pdf_encrypt_payloads(pdftext.synth_pdf_assets(docs))
     )
@@ -2222,9 +2185,7 @@ def pdf_text_extract_encrypted(
 def pdf_text_extract_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # python-heavy encrypt+decrypt per doc: spread over all cores
     # (the parquet scan alone yields too few input partitions)
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return pdftext.pdf_page_text(
         pdftext.pdf_encrypt_payloads(
             pdftext.synth_pdf_assets(docs), cipher="aesv2"
@@ -2252,9 +2213,7 @@ def pdf_text_extract_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pdf_text_extract_aes256(spark: SparkSession, sf_dir: str) -> DataFrame:
     # python-heavy encrypt+decrypt per doc: spread over all cores
     # (the parquet scan alone yields too few input partitions)
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return pdftext.pdf_page_text(
         pdftext.pdf_encrypt_payloads(
             pdftext.synth_pdf_assets(docs), cipher="aesv3"
@@ -2281,9 +2240,7 @@ def pdf_text_extract_aes256(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/pdftext.py::form_xobjects/_content_text)",
 )
 def pdf_text_form_xobject(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return pdftext.pdf_page_text(pdftext.synth_pdfform_assets(docs))
 
 
@@ -2308,9 +2265,7 @@ def pdf_text_form_xobject(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/pdftext.py::pdf_images)",
 )
 def pdf_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_pdf_image_stats(
         multimodal.synth_pdfimg_assets(docs)
     )
@@ -2341,9 +2296,7 @@ def pdf_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/faxcodec.py; operators/pdftext.py::pdf_images)",
 )
 def pdf_image_ccitt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_pdf_image_stats(
         multimodal.synth_pdfccitt_assets(docs)
     )
@@ -2365,9 +2318,7 @@ def pdf_image_ccitt(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shifts the entity and breaks the hash)",
 )
 def warc_pdf_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return webarchive.warc_pdf_images(
         multimodal.synth_warc_pdfimg_assets(docs)
     )
@@ -2387,9 +2338,7 @@ def warc_pdf_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/pdftext.py::pdf_links)",
 )
 def pdf_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return pdftext.pdf_page_links(pdftext.synth_pdf_assets(docs))
 
 
@@ -2708,9 +2657,7 @@ def ogg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "independent-encoder tests in tests/test_bitmap.py",
 )
 def multimodal_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_image_stats(multimodal.synth_bmp_assets(docs))
 
 
@@ -2729,9 +2676,7 @@ def multimodal_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mapInPandas pass; payloads never shuffle",
 )
 def multimodal_tiff_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_image_stats(multimodal.synth_tiff_assets(docs))
 
 
@@ -2754,9 +2699,7 @@ def multimodal_tiff_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle",
 )
 def multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_lossless_stats(
         multimodal.synth_lossless_assets(docs)
     )
@@ -2792,9 +2735,7 @@ def multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_jpeg_hierarchical(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_hier_stats(
         multimodal.synth_jpeg_hier_assets(docs)
     )
@@ -2821,9 +2762,7 @@ def multimodal_jpeg_hierarchical(
 def multimodal_jpeg_hier_progressive(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_hier_stats(
         multimodal.synth_jpeg_hier6_assets(docs)
     )
@@ -2847,9 +2786,7 @@ def multimodal_jpeg_hier_progressive(
 def multimodal_jpeg_hier_lossless(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_hier_stats(
         multimodal.synth_jpeg_hier7_assets(docs)
     )
@@ -2874,9 +2811,7 @@ def multimodal_jpeg_hier_lossless(
     "rms). One mapInPandas pass; payloads never shuffle",
 )
 def multimodal_flac_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_flac_stats(multimodal.synth_flac_assets(docs))
 
 
@@ -2904,9 +2839,7 @@ def multimodal_flac_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_jpeg_lossless_arith(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_lossless_stats(
         multimodal.synth_jpeg_lossless_arith_assets(docs)
     )
@@ -2932,9 +2865,7 @@ def multimodal_jpeg_lossless_arith(
     "payloads never shuffle",
 )
 def multimodal_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_image_stats(
         multimodal.synth_jpeg_arith_assets(docs)
     )
@@ -2959,9 +2890,7 @@ def multimodal_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_jpeg_arith_progressive(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_image_stats(
         multimodal.synth_jpeg_arithp_assets(docs)
     )
@@ -2979,9 +2908,7 @@ def multimodal_jpeg_arith_progressive(
     "scan-speed transform, zero shuffle, payload never moves",
 )
 def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.resize_png_assets(multimodal.synth_png_assets(docs))
 
 
@@ -2999,9 +2926,7 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "frame sampling — all real, all cross-engine-checked",
 )
 def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.sample_video_frames(multimodal.synth_y4m_assets(docs))
 
 
@@ -3020,9 +2945,7 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     "odd-dimension gates covered in tests/test_multimodal.py",
 )
 def multimodal_video_chroma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.sample_video_chroma(
         multimodal.synth_y4m_420_assets(docs)
     )
@@ -3045,9 +2968,7 @@ def multimodal_video_chroma(spark: SparkSession, sf_dir: str) -> DataFrame:
     "twin (operators/multimodal.py::decode_avi_mjpeg)",
 )
 def multimodal_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.sample_mjpeg_frames(
         multimodal.synth_avi_mjpeg_assets(docs)
     )
@@ -3077,9 +2998,7 @@ def multimodal_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "payloads never shuffle",
 )
 def multimodal_video_mrle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.compose_mrle_stats(
         multimodal.synth_avi_mrle_assets(docs)
     )
@@ -3125,9 +3044,7 @@ def multimodal_video_mpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same task; the one Exchange carries only doc_id (plan-
     # asserted in tests/test_multimodal_mpeg.py). Measured at sf0.1:
     # 8.0 s -> 1.3 s warm.
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.compose_mpeg_stats(
         multimodal.synth_mpeg_assets(docs)
     )
@@ -3164,9 +3081,7 @@ def multimodal_video_mpeg_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same doc_id-only pre-synthesis repartition as
     # multimodal_video_mpeg (fixture is one parquet partition;
     # payloads never shuffle)
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.compose_mpeg_stats(
         multimodal.synth_mpeg_b_assets(docs)
     )
@@ -3192,9 +3107,7 @@ def multimodal_video_mpeg_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     "payload bytes never shuffle",
 )
 def multimodal_video_mpeg_d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.compose_mpeg_stats(multimodal.synth_mpeg_d_assets(docs))
 
 
@@ -3219,9 +3132,7 @@ def multimodal_video_mpeg_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(mpaudiocodec.register_synthesis_window)",
 )
 def multimodal_audio_mpeg_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_mpeg_audio_stats(
         multimodal.synth_mpeg_audio_assets(docs, layer=1)
     )
@@ -3247,9 +3158,7 @@ def multimodal_audio_mpeg_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "byte-equality, formula equivalence, and the matrixing stage)",
 )
 def multimodal_audio_mpeg_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_mpeg_audio_stats(
         multimodal.synth_mpeg_audio_assets(docs, layer=2)
     )
@@ -3271,9 +3180,7 @@ def multimodal_audio_mpeg_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_audio_mpeg_stereo(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_mpeg_audio_stats(
         multimodal.synth_mpeg_audio_stereo_assets(docs)
     )
@@ -3298,9 +3205,7 @@ def multimodal_audio_mpeg_stereo(
 def multimodal_audio_mpeg_js(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_mpeg_audio_stats(
         multimodal.synth_mpeg_audio_js_assets(docs)
     )
@@ -3324,9 +3229,7 @@ def multimodal_audio_mpeg_js(
 def multimodal_audio_mpeg_l2_hr(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_mpeg_audio_stats(
         multimodal.synth_mpeg_audio_l2hr_assets(docs)
     )
@@ -3360,9 +3263,7 @@ def multimodal_audio_mpeg_l2_hr(
     "surface as of r16: multimodal_audio_mp3_esc)",
 )
 def multimodal_audio_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_mpeg_l3_stats(
         multimodal.synth_mpeg_audio_l3_assets(docs)
     )
@@ -3386,9 +3287,7 @@ def multimodal_audio_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "name)",
 )
 def multimodal_audio_mp3_lsf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_mpeg_l3_stats(
         multimodal.synth_mpeg_audio_l3lsf_assets(docs)
     )
@@ -3417,9 +3316,7 @@ def multimodal_audio_mp3_lsf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_audio_mp3_mpeg25(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_mpeg_l3_stats(
         multimodal.synth_mpeg_audio_l3m25_assets(docs)
     )
@@ -3442,9 +3339,7 @@ def multimodal_audio_mp3_mpeg25(
 def multimodal_audio_mpeg_l1_lsf(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_mpeg_audio_stats(
         multimodal.synth_mpeg_audio_lsf_assets(docs, layer=1)
     )
@@ -3469,9 +3364,7 @@ def multimodal_audio_mpeg_l1_lsf(
 def multimodal_audio_mpeg_l2_lsf(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_mpeg_audio_stats(
         multimodal.synth_mpeg_audio_lsf_assets(docs, layer=2)
     )
@@ -3505,9 +3398,7 @@ def multimodal_audio_pcm_synth(
     from .operators import mpaudiocodec
 
     mpaudiocodec.register_synthesis_window(multimodal.MP2_PCM_WINDOW)
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_mpeg_l2_pcm(
         multimodal.synth_mpeg_audio_l2pcm_assets(docs)
     )
@@ -3534,9 +3425,7 @@ def multimodal_audio_pcm_synth(
     "granule)",
 )
 def multimodal_audio_mp3_short(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_mpeg_l3_block_stats(
         multimodal.synth_mpeg_audio_l3s_assets(docs)
     )
@@ -3568,9 +3457,7 @@ def multimodal_audio_mp3_esc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mp3codec.register_huffman_table(16, multimodal.MP3_ESC_PAGE)
     mp3codec.register_huffman_table(24, multimodal.MP3_ESC_PAGE)
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_mpeg_l3_stats(
         multimodal.synth_mpeg_audio_l3esc_assets(docs)
     )
@@ -3591,9 +3478,7 @@ def multimodal_audio_mp3_esc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "breaks the hash (operators/multimodal.py::decode_wav_mp3_stats)",
 )
 def multimodal_wav_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_wav_mp3_stats(
         multimodal.synth_wav_mp3_assets(docs)
     )
@@ -3616,9 +3501,7 @@ def multimodal_wav_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/multimodal.py::decode_wav_mpeg_stats)",
 )
 def multimodal_wav_mpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.decode_wav_mpeg_stats(
         multimodal.synth_wav_mpeg_assets(docs)
     )
@@ -3637,9 +3520,7 @@ def multimodal_wav_mpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "resize, frame-sample — run on real bytes",
 )
 def multimodal_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
     return multimodal.extract_pixel_features(multimodal.synth_png_assets(docs))
 
 

@@ -356,3 +356,64 @@ def test_ivf_probe_broadcasts_onto_corpus(spark):
         p = _plan(spark, name)
         assert _nodes(p, "SortMergeJoin") == 0, name
         assert _nodes(p, "ShuffledHashJoin") == 0, name
+
+
+def test_spread_is_conditional(spark):
+    """The shared scan-spreading helper (functions/spread.py) must be
+    scale-adaptive: a frame that already has >= defaultParallelism
+    partitions passes through UNTOUCHED (no Exchange added — the
+    100 TB guard: an unconditional repartition(n_cores) would coalesce
+    a thousand-partition scan down to core count and shuffle the whole
+    frame), while an under-split frame is spread to core count."""
+    from cryptocoininsights_data_engineer_project_spark.functions.spread import (
+        spread,
+    )
+
+    n = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000, 1, n)
+    assert spread(wide) is wide  # identity — not even a new plan node
+    wider = spark.range(0, 1000, 1, n + 3)
+    assert spread(wider) is wider
+    narrow = spark.range(0, 1000, 1, 1)
+    out = spread(narrow)
+    assert out.rdd.getNumPartitions() == n
+
+
+def test_decode_spread_no_exchange_on_presplit_input(spark, tmp_path):
+    """The decode-family spread sites route through the conditional
+    helper: a pre-split parquet input (>= core-count partitions) must
+    plan with ZERO round-robin Exchange — the repartition only fires
+    when the scan under-splits."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from cryptocoininsights_data_engineer_project_spark.functions.spread import (
+        spread,
+    )
+    from cryptocoininsights_data_engineer_project_spark.operators import (
+        multimodal,
+    )
+
+    n = spark.sparkContext.defaultParallelism
+    path = str(tmp_path / "presplit_docs")
+    spark.range(0, 400, 1, n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id").cast("string")).alias("text"),
+    ).write.mode("overwrite").parquet(path)
+    # default split packing would coalesce the tiny files into one
+    # scan partition; pin the split size down so the scan really is
+    # pre-split, then restore
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    try:
+        docs = spark.read.parquet(path).select("doc_id", "text")
+        assert docs.rdd.getNumPartitions() >= n
+        df = multimodal.decode_meta(multimodal.synth_assets(spread(docs)))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        assert "RoundRobinPartitioning" not in buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
