@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import duck_hash64, spark_hash64
+from ..functions.spread import spread
 from ..functions.textnorm import (
     QUALITY_STOPWORDS,
     STOPWORDS,
@@ -662,7 +663,9 @@ def hash_embed_docs(
     of vocabulary."""
     if tf_weight not in ("raw", "binary"):
         raise ValueError(f"tf_weight must be raw|binary, got {tf_weight!r}")
-    toks = docs.select(
+    # tokenize+explode+hash is this operator's map-side CPU and runs
+    # in the scan's partitions: spread when the scan under-splits
+    toks = spread(docs.select("doc_id", "text")).select(
         "doc_id",
         F.explode(
             F.expr(f"filter({spark_tokens('text')}, x -> x != '')")
@@ -671,39 +674,39 @@ def hash_embed_docs(
     if tf_weight == "binary":
         toks = toks.distinct()  # presence: one vote per (doc, term)
     h = toks.select("doc_id", F.expr(spark_hash64("term")).alias("h64"))
-    cell = h.groupBy("doc_id", (F.col("h64") % dim).alias("dim")).agg(
-        # integer div, NOT `/`: h64 is up to 60 bits and a double
-        # division would lose exactness past 2^53
+    # ONE hash aggregate computing all `dim` signed cell sums as flat
+    # columns (integer div, NOT `/`: h64 is up to 60 bits and a double
+    # division would lose exactness past 2^53). The former shape —
+    # groupBy(doc_id, cell) then groupBy(doc_id) collecting a map —
+    # paid a second Exchange plus per-element map probes and an
+    # interpreted HOF normalize (lambda machinery per element); flat
+    # columns keep the whole normalize inside whole-stage codegen.
+    # Arithmetic is unchanged: integer sums are exact under any
+    # grouping, and the flat n2 chain below is the same left-to-right
+    # summation order as the sequential fold it replaces (r17,
+    # measured 3.0 -> 1.2 s warm at sf0.1, output bit-identical).
+    sums = [
         F.sum(
-            F.when(F.expr(f"(h64 div {dim}) % 2 = 0"), 1).otherwise(-1)
-        ).alias("v")
+            F.when(
+                (F.col("h64") % dim) == i,
+                F.when(
+                    F.expr(f"(h64 div {dim}) % 2 = 0"), 1
+                ).otherwise(-1),
+            ).otherwise(0)
+        ).alias(f"c{i}")
+        for i in range(dim)
+    ]
+    vec = h.groupBy("doc_id").agg(*sums)
+    n2 = " + ".join(
+        f"(CAST(c{i} AS DOUBLE) * CAST(c{i} AS DOUBLE))" for i in range(dim)
     )
-    vec = cell.groupBy("doc_id").agg(
-        F.map_from_entries(F.collect_list(F.struct("dim", "v"))).alias("m")
-    )
-    arr = vec.select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(0, {dim - 1}),"
-            " i -> CAST(coalesce(element_at(m, CAST(i AS BIGINT)), 0) AS DOUBLE))"
-        ).alias("raw"),
-    )
-    from .similarity import dot_expr
-
-    # the squared norm is a named column computed ONCE: inlining the
-    # 64-element fold into the transform lambda re-evaluates it per
-    # element (65 folds/doc — r10 profile: ~30% of this operator's
-    # wall at sf0.1); the filter between the projections keeps
-    # CollapseProject from undoing the hoist
+    emb = "array(" + ", ".join(
+        f"round(CAST(c{i} AS DOUBLE) / sqrt(n2), 6)" for i in range(dim)
+    ) + ")"
     return (
-        arr.withColumn("n2", F.expr(dot_expr("raw", "raw")))
+        vec.withColumn("n2", F.expr(n2))
         .filter("n2 > 0")
-        .select(
-            "doc_id",
-            F.expr("transform(raw, v -> round(v / sqrt(n2), 6))").alias(
-                "embedding"
-            ),
-        )
+        .select("doc_id", F.expr(emb).alias("embedding"))
     )
 
 
@@ -893,7 +896,11 @@ def bpe_encode_counts(
     )
     toks = f"filter({spark_tokens('text')}, w -> w <> '')"
     per_word = _bpe_word_count_expr(merges)
-    return docs.select(
+    # the fold is the query's CPU and it runs in the scan's own
+    # partitions — spread the narrow projection when the scan
+    # under-splits (conditional: no-op at production split counts)
+    d = spread(docs.select("doc_id", "text"))
+    return d.select(
         "doc_id",
         F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_words"),
         F.expr(
@@ -1098,7 +1105,9 @@ def bpe_bytes_encode_counts(
     )
     toks = f"filter({spark_tokens('text')}, w -> w <> '')"
     per_word = _bpe_bytes_word_count_expr(merges)
-    return docs.select(
+    # fold CPU runs in the scan's partitions: spread when under-split
+    d = spread(docs.select("doc_id", "text"))
+    return d.select(
         "doc_id",
         F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_words"),
         F.expr(
@@ -1908,7 +1917,9 @@ def wordpiece_encode_counts(
     pieces = [r["piece"] for r in wordpiece_vocab(spark, docs, n).collect()]
     fold = _wp_word_count_expr(pieces)
     toks = f"filter({spark_tokens('text')}, w -> w <> '')"
-    return docs.select(
+    # fold CPU runs in the scan's partitions: spread when under-split
+    d = spread(docs.select("doc_id", "text"))
+    return d.select(
         "doc_id",
         F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_words"),
         F.expr(
@@ -2131,7 +2142,9 @@ def unigram_encode_counts(spark, docs: DataFrame) -> DataFrame:
     scores = unigram_train(spark, docs)
     fold = _uni_word_count_expr(scores)
     toks = f"filter({spark_tokens('text')}, w -> w <> '')"
-    return docs.select(
+    # fold CPU runs in the scan's partitions: spread when under-split
+    d = spread(docs.select("doc_id", "text"))
+    return d.select(
         "doc_id",
         F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_words"),
         F.expr(
@@ -2238,6 +2251,12 @@ def tokenizer_counts(spark, docs: DataFrame) -> DataFrame:
     bpb = _bpe_bytes_word_count_expr(bmerges)
     wp = _wp_word_count_expr(pieces)
     uni = _uni_word_count_expr(scores)
+    # the four folds are this query's entire CPU and they run in the
+    # scan's own partitions — at bench scale a single task decoded the
+    # whole corpus (measured: 4.4 s of the query's 6.6 s). Spread the
+    # narrow projection when the scan under-splits (conditional:
+    # provable no-op at production split counts)
+    docs = spread(docs.select("doc_id", "text"))
     return docs.select(
         "doc_id",
         F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_words"),
