@@ -1732,16 +1732,24 @@ def lang_id_ngram(docs: DataFrame, k: int = NGRAM_LANG_K) -> DataFrame:
         "ELSE transform(sequence(1, length(text) - 2), "
         "i -> substring(text, i, 3)) END"
     )
-    # the trigram explode feeds BOTH the profile build and the hits
-    # join, whose exchanges share nothing — unpinned, Spark evaluates
-    # the scan + fixture expression + explode twice (no ReusedExchange
-    # across the two partitionings). Pin it once, lazily: the profile
-    # subtree's first job materializes it.
-    tri = docs.select(
-        "doc_id", "lang", F.explode(F.expr(tri_expr)).alias("tri")
-    ).localCheckpoint(eager=False)
+    # r16 pinned the EXPLODED trigram stream (localCheckpoint) so the
+    # profile build and the hits join shared one evaluation — but that
+    # spills ~|text| rows (several x corpus size) to executor storage
+    # at scale, and Spark's size estimate of the checkpointed RDD then
+    # broadcast the DOC side of the hits join (build-left on the
+    # corpus stream — an OOM at 100 TB). r17 inverts it: the profile
+    # aggregates per (lang, tri) BEFORE anything is retained — its
+    # pre-cut size is bounded by |langs| x |distinct trigrams| (a
+    # vocabulary, not the corpus), the post-cut profile is |langs| x k
+    # rows — and broadcasts into the hits join in the scale-safe
+    # direction. The trigram explode re-derives from the scan on the
+    # hits side (one extra text read; nothing corpus-sized is ever
+    # pinned or broadcast). Spread the narrow working projection when
+    # the scan under-splits — the explode + agg map work is the CPU.
+    d = spread(docs.select("doc_id", "lang", "text"))
     prof = (
-        tri.groupBy("lang", "tri")
+        d.select("lang", F.explode(F.expr(tri_expr)).alias("tri"))
+        .groupBy("lang", "tri")
         .agg(F.count("*").alias("c"))
         .withColumn(
             "rk",
@@ -1753,8 +1761,8 @@ def lang_id_ngram(docs: DataFrame, k: int = NGRAM_LANG_K) -> DataFrame:
         .select(F.col("lang").alias("plang"), "tri")
     )
     hits = (
-        tri.select("doc_id", "tri")
-        .join(prof, "tri")
+        d.select("doc_id", F.explode(F.expr(tri_expr)).alias("tri"))
+        .join(F.broadcast(prof), "tri")
         .groupBy("doc_id", "plang")
         .agg(F.count("*").alias("cnt"))
     )
