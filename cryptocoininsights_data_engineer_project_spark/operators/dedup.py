@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.spread import spread
 from ..functions.hashing import (
     HASH_PRIME,
     duck_hash64,
@@ -67,7 +68,13 @@ def shingle_docs(docs: DataFrame, w: int = SHINGLE_W) -> DataFrame:
     lambda building the shingle array: same rows, but the flat
     generator form avoids seconds of whole-stage-codegen compilation
     that the higher-order-function expression costs on first use."""
-    toks = docs.select("doc_id", F.expr(spark_tokens("text")).alias("ws"))
+    # tokenize+explode is the map-side CPU of every shingle consumer
+    # and runs in the scan's own partitions — spread the narrow
+    # projection when the scan under-splits (conditional helper:
+    # provable no-op at production split counts)
+    toks = spread(docs.select("doc_id", "text")).select(
+        "doc_id", F.expr(spark_tokens("text")).alias("ws")
+    )
     idx = toks.select("doc_id", "ws", F.posexplode("ws").alias("i", "_tok"))
     parts = [F.expr(f"ws[i + {j}]") for j in range(w)]
     return (
@@ -932,7 +939,20 @@ def minhash_accuracy(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
         .join(b, "doc_b")
         .select("doc_a", "doc_b", F.expr(f"({match_expr})").alias("m"))
     )
-    sh = shingle_docs(docs)
+    # exact Jaccard only needs the shingle sets of docs that appear in
+    # a candidate PAIR — bounded by near-dup density, not the corpus.
+    # The former shape derived shingle_docs(docs) three times (sizes +
+    # both sides of the intersection join), each a full corpus
+    # shingle pass; filtering the doc frame by the (checkpointed)
+    # pairs' ids first shrinks all three to the pair docs, and the
+    # one small derivation pins so the plan shares it (§2.4).
+    pair_ids = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .distinct()
+    )
+    sh = shingle_docs(
+        docs.join(F.broadcast(pair_ids), "doc_id")
+    ).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         pairs.join(
