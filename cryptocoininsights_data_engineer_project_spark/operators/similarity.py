@@ -132,24 +132,56 @@ def _query_sample(
     )
 
 
+def eval_query_frame(
+    embeddings: DataFrame,
+    query_modulus: int = QUERY_MODULUS,
+    query_limit: int | None = None,
+) -> DataFrame:
+    """The shared (query_id, q_emb, q_vv, q_nrm) query-sample frame
+    for composed audits (ann_recall_at_5 / ann_recall_curve /
+    ndcg_at_5): each composes TWO retrievers over the same sample,
+    and without sharing each retriever plans its own
+    TakeOrderedAndProject corpus scan to build its broadcast side —
+    the same |sample| rows derived twice (§2.4). Pinned lazily
+    (<= |sample| rows — bounded, never the corpus); the first
+    broadcast build materializes it. Values are identical to what
+    each retriever derived itself: same _query_sample selection, and
+    nrm = sqrt(vv) is the same expression _with_norms computes."""
+    q = _query_sample(_ivf_vecs(embeddings), query_modulus, query_limit)
+    return q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("vv").alias("q_vv"),
+        F.expr("sqrt(vv)").alias("q_nrm"),
+    ).localCheckpoint(eager=False)
+
+
 def cosine_topk(
     embeddings: DataFrame,
     k: int = TOP_K,
     query_modulus: int = QUERY_MODULUS,
     query_limit: int | None = None,
+    q_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
     Output: (query_id, neighbor_id, cosine) with cosine rounded to 6
     decimals; ranking is on the rounded value with neighbor_id as the
     deterministic tiebreaker so results are reproducible across engines.
+
+    ``q_frame`` (an ``eval_query_frame``) overrides the in-plan query
+    sample so a composed audit derives the sample once, not once per
+    retriever.
     """
     n = _with_norms(embeddings)
-    q = _query_sample(n, query_modulus, query_limit).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-    )
+    if q_frame is not None:
+        q = q_frame.select("query_id", "q_emb", "q_nrm")
+    else:
+        q = _query_sample(n, query_modulus, query_limit).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
     pairs = F.broadcast(q).join(n, F.col("query_id") != F.col("vec_id"))
     scored = pairs.select(
         "query_id",
@@ -417,9 +449,12 @@ def _train_centroids(
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("idx", "v"))).alias("ps"))
             .select("cid", F.expr("transform(ps, p -> p.v)").alias("cent"))
-            # k tiny rows; materialize so the deep training lineage is
-            # not re-evaluated once per downstream reference
-            .localCheckpoint()
+            # k tiny rows; pin so the deep training lineage is not
+            # re-evaluated once per downstream reference. Lazy: the
+            # next iteration's (or the final assignment's) first job
+            # materializes it — one fewer scheduling round-trip per
+            # Lloyd iteration than the eager form, identical pinning
+            .localCheckpoint(eager=False)
         )
     return cents.withColumn("cc", F.expr(dot_expr("cent", "cent")))
 
@@ -432,6 +467,7 @@ def ivf_trained_topk(
     n_iters: int = IVF_ITERS,
     nprobe: int = IVF_NPROBE,
     query_limit: int | None = None,
+    q_frame: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k over a quantizer trained END-TO-END in the query:
     deterministic seeds → ``n_iters`` unrolled Lloyd's iterations →
@@ -465,12 +501,15 @@ def ivf_trained_topk(
     cents = _train_centroids(vecs, n_clusters, n_iters)
     assigned = _ivf_assign(vecs, cents).withColumn("nrm", F.expr("sqrt(vv)"))
 
-    q = _query_sample(vecs, query_modulus, query_limit).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("q_emb"),
-        F.col("vv").alias("q_vv"),
-        F.expr("sqrt(vv)").alias("q_nrm"),
-    )
+    if q_frame is not None:
+        q = q_frame.select("query_id", "q_emb", "q_vv", "q_nrm")
+    else:
+        q = _query_sample(vecs, query_modulus, query_limit).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("vv").alias("q_vv"),
+            F.expr("sqrt(vv)").alias("q_nrm"),
+        )
     # nearest-nprobe cells per query: sort the packed k-struct array by
     # (d2 ASC, cid ASC) and keep the first nprobe — same selection the
     # former per-query Window ranked, with zero exchange

@@ -8306,14 +8306,21 @@ GROUP BY ks.k
 )
 def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
+    # one pinned query sample shared by both retrievers (§2.4): each
+    # otherwise plans its own TakeOrdered corpus scan for the sample
+    qf = similarity.eval_query_frame(
+        emb, query_limit=similarity.EVAL_QUERIES
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     er = similarity.cosine_topk(
-        emb, query_limit=similarity.EVAL_QUERIES
+        emb, query_limit=similarity.EVAL_QUERIES, q_frame=qf
     ).withColumn("rk", F.row_number().over(w))
     ar = (
-        similarity.ivf_trained_topk(emb, query_limit=similarity.EVAL_QUERIES)
+        similarity.ivf_trained_topk(
+            emb, query_limit=similarity.EVAL_QUERIES, q_frame=qf
+        )
         .withColumn("a_rk", F.row_number().over(w))
         .select(
             F.col("query_id").alias("a_qid"),
@@ -8379,11 +8386,15 @@ FROM hits
 )
 def ann_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    exact = similarity.cosine_topk(
+    # one pinned query sample shared by both retrievers (§2.4)
+    qf = similarity.eval_query_frame(
         emb, query_limit=similarity.EVAL_QUERIES
+    )
+    exact = similarity.cosine_topk(
+        emb, query_limit=similarity.EVAL_QUERIES, q_frame=qf
     ).select("query_id", "neighbor_id")
     approx = similarity.ivf_trained_topk(
-        emb, query_limit=similarity.EVAL_QUERIES
+        emb, query_limit=similarity.EVAL_QUERIES, q_frame=qf
     ).select(
         F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
     )
@@ -8819,9 +8830,19 @@ def ndcg_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dcg")
         )
 
-    ideal = dcg(similarity.cosine_topk(emb, query_limit=similarity.EVAL_QUERIES))
+    # one pinned query sample shared by both retrievers (§2.4)
+    qf = similarity.eval_query_frame(
+        emb, query_limit=similarity.EVAL_QUERIES
+    )
+    ideal = dcg(
+        similarity.cosine_topk(
+            emb, query_limit=similarity.EVAL_QUERIES, q_frame=qf
+        )
+    )
     got = dcg(
-        similarity.ivf_trained_topk(emb, query_limit=similarity.EVAL_QUERIES)
+        similarity.ivf_trained_topk(
+            emb, query_limit=similarity.EVAL_QUERIES, q_frame=qf
+        )
     ).withColumnRenamed("dcg", "got_dcg")
     return ideal.join(got, "query_id", "left").select(
         "query_id",
