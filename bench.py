@@ -149,17 +149,26 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "registry_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(sf_dir),
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "registry_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": _sf_from_dir(sf_dir),
+        }
     )
+    # the contract is ONE JSON line on stdout; additionally flush and
+    # mirror it to a file so a clipped/truncated stdout capture (the
+    # r15 round-over-round table was lost to exactly that) still
+    # leaves the driver a parseable record
+    print(line, flush=True)
+    try:
+        (Path(__file__).resolve().parent / "bench_last.json").write_text(
+            line + "\n"
+        )
+    except OSError:
+        pass  # read-only checkout: stdout is still the contract
     spark.stop()
 
 

@@ -7697,6 +7697,12 @@ def synth_mpeg_audio_lsf_assets(docs: DataFrame, layer: int) -> DataFrame:
     # cap, so bare concat pays a doomed whole-stage-codegen compile
     # (4 logged ERRORs) before falling back to the same interpreted
     # evaluation the HOF body uses by design
+    # NULL-semantics note (ADVICE r16): array_join skips NULL elements,
+    # so a NULL concat(...) would yield b'' here where bare
+    # unhex(concat(...)) yields NULL. The fixture inputs are non-null
+    # by construction (doc_id is the parquet primary key and every
+    # piece is a literal or doc_id arithmetic), so no row can hit the
+    # difference.
     return docs.select(
         F.col("doc_id").alias("asset_id"),
         F.expr(

@@ -762,39 +762,65 @@ def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     rws = _aes_rk_words(key)
     nr = len(rws) - 1
     te0, te1, te2, te3 = _AES_TE
-    s = _AES_SBOX
     nw = len(data) // 4
     words = struct.unpack(f">{nw}I", data)
     c0, c1, c2, c3 = struct.unpack(">4I", iv)
-    k00, k01, k02, k03 = rws[0]
-    mid = rws[1:nr]
-    n0, n1, n2, n3 = rws[nr]
-    out = []
-    for i in range(0, nw, 4):
-        w0 = words[i] ^ c0 ^ k00
-        w1 = words[i + 1] ^ c1 ^ k01
-        w2 = words[i + 2] ^ c2 ^ k02
-        w3 = words[i + 3] ^ c3 ^ k03
-        for rk in mid:
-            t0 = (te0[(w0 >> 24) & 0xFF] ^ te1[(w1 >> 16) & 0xFF]
-                  ^ te2[(w2 >> 8) & 0xFF] ^ te3[w3 & 0xFF] ^ rk[0])
-            t1 = (te0[(w1 >> 24) & 0xFF] ^ te1[(w2 >> 16) & 0xFF]
-                  ^ te2[(w3 >> 8) & 0xFF] ^ te3[w0 & 0xFF] ^ rk[1])
-            t2 = (te0[(w2 >> 24) & 0xFF] ^ te1[(w3 >> 16) & 0xFF]
-                  ^ te2[(w0 >> 8) & 0xFF] ^ te3[w1 & 0xFF] ^ rk[2])
-            t3 = (te0[(w3 >> 24) & 0xFF] ^ te1[(w0 >> 16) & 0xFF]
-                  ^ te2[(w1 >> 8) & 0xFF] ^ te3[w2 & 0xFF] ^ rk[3])
-            w0, w1, w2, w3 = t0, t1, t2, t3
-        c0 = ((s[(w0 >> 24) & 0xFF] << 24) | (s[(w1 >> 16) & 0xFF] << 16)
-              | (s[(w2 >> 8) & 0xFF] << 8) | s[w3 & 0xFF]) ^ n0
-        c1 = ((s[(w1 >> 24) & 0xFF] << 24) | (s[(w2 >> 16) & 0xFF] << 16)
-              | (s[(w3 >> 8) & 0xFF] << 8) | s[w0 & 0xFF]) ^ n1
-        c2 = ((s[(w2 >> 24) & 0xFF] << 24) | (s[(w3 >> 16) & 0xFF] << 16)
-              | (s[(w0 >> 8) & 0xFF] << 8) | s[w1 & 0xFF]) ^ n2
-        c3 = ((s[(w3 >> 24) & 0xFF] << 24) | (s[(w0 >> 16) & 0xFF] << 16)
-              | (s[(w1 >> 8) & 0xFF] << 8) | s[w2 & 0xFF]) ^ n3
-        out.extend((c0, c1, c2, c3))
+    flat = tuple(w for rk in rws for w in rk)
+    out = _cbc_enc_fn(nr)(
+        words, c0, c1, c2, c3, flat, te0, te1, te2, te3, _AES_SBOX
+    )
     return struct.pack(f">{nw}I", *out)
+
+
+# round-count-specialized (NOT key-specialized — the 2.B KDF re-keys
+# every round, so key-baked code would recompile per round) CBC
+# encrypt bodies: the middle rounds fully unrolled and every round-key
+# word a local bound once per CALL, replacing the former per-block
+# `for rk in mid` tuple indexing. Same T-table arithmetic — the
+# FIPS-197 pinned vectors in tests cover all three key sizes.
+_CBC_ENC_FNS: dict[int, object] = {}
+
+
+def _cbc_enc_fn(nr: int):
+    fn = _CBC_ENC_FNS.get(nr)
+    if fn is not None:
+        return fn
+    names = [f"k{r}_{j}" for r in range(nr + 1) for j in range(4)]
+    rot = ((0, 1, 2, 3), (1, 2, 3, 0), (2, 3, 0, 1), (3, 0, 1, 2))
+    src = [
+        "def _enc(words, c0, c1, c2, c3, flat, te0, te1, te2, te3, s):",
+        f"    ({', '.join(names)}) = flat",
+        "    out = []",
+        "    ap = out.extend",
+        "    for i in range(0, len(words), 4):",
+        "        w0 = words[i] ^ c0 ^ k0_0",
+        "        w1 = words[i + 1] ^ c1 ^ k0_1",
+        "        w2 = words[i + 2] ^ c2 ^ k0_2",
+        "        w3 = words[i + 3] ^ c3 ^ k0_3",
+    ]
+    for r in range(1, nr):
+        for j, (a, b, c, d) in enumerate(rot):
+            src.append(
+                f"        t{j} = te0[(w{a} >> 24) & 255]"
+                f" ^ te1[(w{b} >> 16) & 255]"
+                f" ^ te2[(w{c} >> 8) & 255]"
+                f" ^ te3[w{d} & 255] ^ k{r}_{j}"
+            )
+        src.append("        w0 = t0; w1 = t1; w2 = t2; w3 = t3")
+    for j, (a, b, c, d) in enumerate(rot):
+        src.append(
+            f"        c{j} = ((s[(w{a} >> 24) & 255] << 24)"
+            f" | (s[(w{b} >> 16) & 255] << 16)"
+            f" | (s[(w{c} >> 8) & 255] << 8)"
+            f" | s[w{d} & 255]) ^ k{nr}_{j}"
+        )
+    src.append("        ap((c0, c1, c2, c3))")
+    src.append("    return out")
+    ns: dict = {}
+    exec("\n".join(src), ns)  # noqa: S102 — source built from ints only
+    fn = ns["_enc"]
+    _CBC_ENC_FNS[nr] = fn
+    return fn
 
 
 _AES_TD_NP = None  # lazily-built numpy copies of the Td tables

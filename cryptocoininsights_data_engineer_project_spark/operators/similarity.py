@@ -391,10 +391,17 @@ def _pack_cents(cents: DataFrame) -> DataFrame:
     each vector's own projection (array_min over a transform) — the
     former k-fold crossJoin expansion plus per-vec_id Window forced an
     Exchange + Sort of the k-expanded corpus per assignment pass; the
-    packed form is zero-shuffle (same FLOPs, same fold arithmetic)."""
+    packed form is zero-shuffle (same FLOPs, same fold arithmetic).
+
+    The trailing size filter preserves the former crossJoin's
+    zero-row semantics for an EMPTY centroid frame: a global agg
+    always emits one row, and an empty packed array would otherwise
+    surface NULL-cid assignments where the join produced no rows
+    (ADVICE r16 — benign in current flows, where kmeans seeds from
+    non-empty data, but cheap to pin)."""
     return cents.agg(
         F.array_sort(F.collect_list(F.struct("cid", "cent", "cc"))).alias("cs")
-    )
+    ).filter(F.size("cs") > 0)
 
 
 def _ivf_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:

@@ -61,7 +61,10 @@ def main() -> None:
                 )
             )
         if plan_only:
+            if explain_dir is None:
+                sys.exit("--plan-only requires --explain DIR")
             print(f"{name}: plan written", flush=True)
+            spark.sparkContext.setJobDescription(None)
             continue
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

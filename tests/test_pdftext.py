@@ -1466,3 +1466,22 @@ def test_warc_doc_text_extracts_encrypted_pdf(spark):
     assert len(rows) == 2
     assert rows[0].text == rows[1].text and rows[0].text
     assert {r.doc_format for r in rows} == {"pdf"}
+
+
+def test_cbc_encrypt_unrolled_matches_blockwise_all_key_sizes():
+    """The exec-specialized unrolled CBC encrypt (one compiled body
+    per round count, r17) must be bit-identical to manual per-block
+    _aes_encrypt_block chaining for 128/192/256-bit keys — pins the
+    generated source against the reference cipher the FIPS vectors
+    certify."""
+    iv = bytes(range(16, 32))
+    data = bytes(range(256)) * 2  # 32 blocks
+    for klen in (16, 24, 32):
+        key = bytes(range(klen))
+        rws = P._aes_rk_words(key)
+        chain, out = iv, b""
+        for i in range(0, len(data), 16):
+            blk = bytes(a ^ b for a, b in zip(data[i : i + 16], chain))
+            chain = P._aes_encrypt_block(blk, rws)
+            out += chain
+        assert P._aes_cbc_encrypt(key, iv, data) == out

@@ -303,3 +303,23 @@ def test_semantic_decontaminate_bench_cap(spark):
     }
     assert set(capped) <= set(full)
     assert all(capped[v] <= full[v][0] for v in capped)
+
+
+def test_pack_cents_empty_centroids_assign_zero_rows(spark):
+    """_pack_cents over an EMPTY centroid frame must behave like the
+    former crossJoin: zero assignment rows, never NULL-cid rows from
+    an empty packed array (ADVICE r16)."""
+    from pyspark.sql import functions as F
+
+    from cryptocoininsights_data_engineer_project_spark.operators import (
+        similarity as S,
+    )
+
+    vecs = spark.range(4).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 4), j -> CAST(id + j AS DOUBLE)) AS emb",
+    ).withColumn("vv", F.expr(S.dot_expr("emb", "emb")))
+    cents = spark.createDataFrame(
+        [], "cid long, cent array<double>, cc double"
+    )
+    assert S._ivf_assign(vecs, cents).count() == 0
