@@ -849,16 +849,22 @@ def hyperplane_lsh_pairs(
         out_a, out_b, out_c = [], [], []
         for lo in range(0, n - 1, tile):
             hi = min(lo + tile, n)
-            cos = (m[lo:hi] @ m.T) / np.outer(nrm[lo:hi], nrm)
+            # columns start at lo: a pair (i, j) with j <= i is dead
+            # (lower triangle), so the tile only multiplies against
+            # m[lo:] — half the FLOPs across the tile sweep, and each
+            # kept cosine is the same independent BLAS dot as before
+            # (r17; verify-CPU trim per VERDICT item 4)
+            cos = (m[lo:hi] @ m[lo:].T) / np.outer(nrm[lo:hi], nrm[lo:])
             cand = cos >= threshold - 1e-6
-            # upper triangle in GLOBAL indices: j > i
+            # upper triangle in LOCAL coords: global j = jj + lo,
+            # global i = ii + lo, so j > i is simply jj > ii
             ii, jj = np.nonzero(cand)
-            keep_ut = jj > ii + lo
+            keep_ut = jj > ii
             ii, jj = ii[keep_ut], jj[keep_ut]
             c = _round_half_away(cos[ii, jj], 6)
             keep = c >= threshold
             ii, jj, c = ii[keep], jj[keep], c[keep]
-            ia, ib = ids[ii + lo], ids[jj]
+            ia, ib = ids[ii + lo], ids[jj + lo]
             out_a.append(np.minimum(ia, ib))
             out_b.append(np.maximum(ia, ib))
             out_c.append(c)
