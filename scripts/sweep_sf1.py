@@ -14,8 +14,13 @@ quadratic-in-bucket DuckDB verification twins, where the ORACLE (not
 the engine) is the sf1 bottleneck. Their Spark side still runs and is
 timed at both scales.
 
-Results stream to .sweep_sf1/results.jsonl (one JSON object per query,
-append-mode so an interrupted sweep resumes with --resume).
+Results stream to SWEEP_SF1.jsonl at the repo root (one JSON object
+per query, append-mode so an interrupted sweep resumes with --resume).
+The record is COMMITTED (VERDICT r16 item 8): it is the
+driver-reproducible scale evidence — tiny per-query seconds, not the
+dataset. Regenerate end-to-end with `python scripts/make_sf1.py`
+(derives the sf1 parquet set deterministically from /root/testdata)
+followed by `python scripts/sweep_sf1.py` on the tree under test.
 
 Usage: python scripts/sweep_sf1.py [--resume] [--only name1,name2]
        python scripts/sweep_sf1.py --check
@@ -47,8 +52,8 @@ from tests.oracle_compare import compare, duck_connection
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/.sf1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".sweep_sf1")
-OUT = os.path.join(OUT_DIR, "results.jsonl")
+OUT_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(OUT_DIR, "SWEEP_SF1.jsonl")
 
 # DuckDB twins that are deliberately quadratic-in-bucket verification
 # oracles; at 50k docs the oracle is the bottleneck, not the engine

@@ -20,7 +20,7 @@ _spec = importlib.util.spec_from_file_location(
 sweep = importlib.util.module_from_spec(_spec)
 _spec.loader.exec_module(sweep)
 
-RECORD = os.path.join(REPO, ".sweep_sf1", "results.jsonl")
+RECORD = os.path.join(REPO, "SWEEP_SF1.jsonl")
 
 
 def _records():
